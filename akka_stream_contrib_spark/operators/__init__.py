@@ -1,0 +1,39 @@
+"""Operator library: one module per reference-operator family.
+
+Every operator is a ``DataFrame -> DataFrame`` function usable via
+``df.transform(op(...))`` — the Spark analogue of ``Flow[I, O]``.
+"""
+
+from akka_stream_contrib_spark.operators.sample import sample_nth, sample_step, sample_random
+from akka_stream_contrib_spark.operators.partition import partition_with, pass_through
+from akka_stream_contrib_spark.operators.accumulate import (
+    accumulate,
+    accumulate_while_unchanged,
+    last_element,
+)
+from akka_stream_contrib_spark.operators.merge import merge_by_index
+from akka_stream_contrib_spark.operators.windows import (
+    time_window,
+    sliding_window,
+    session_window_agg,
+    pulse,
+    interval_based_rate_limiter,
+)
+from akka_stream_contrib_spark.operators.throttle import token_throttle
+from akka_stream_contrib_spark.operators.delay import delay_flow
+from akka_stream_contrib_spark.operators.keepalive import keep_alive_concat
+from akka_stream_contrib_spark.operators.timed import timed_interval_between, with_ingest_ts, latency_columns
+from akka_stream_contrib_spark.operators.retry import retry, retry_concat
+from akka_stream_contrib_spark.operators.feedback import feedback_loop, unfold_flow
+
+__all__ = [
+    "sample_nth", "sample_step", "sample_random",
+    "partition_with", "pass_through",
+    "accumulate", "accumulate_while_unchanged", "last_element",
+    "merge_by_index",
+    "time_window", "sliding_window", "session_window_agg", "pulse",
+    "interval_based_rate_limiter",
+    "token_throttle", "delay_flow", "keep_alive_concat",
+    "timed_interval_between", "with_ingest_ts", "latency_columns",
+    "retry", "retry_concat", "feedback_loop", "unfold_flow",
+]

@@ -1,0 +1,121 @@
+"""Accumulation family.
+
+- ``accumulate``: running fold emitting every intermediate value —
+  reference ``Accumulate.scala:25-70`` ("use scan and drop(1)"). Spark form:
+  cumulative window aggregate over the explicit order column.
+- ``accumulate_while_unchanged``: buffer while a property is unchanged, emit
+  per-run groups — reference ``AccumulateWhileUnchanged.scala:26-126``. Spark
+  form: gaps-and-islands (lag + cumulative sum of change markers), with the
+  reference's ``maxElements`` bound as a secondary bucket.
+- ``last_element``: materialize the final element — reference
+  ``LastElement.scala:39-78``. Spark form: ``max_by`` over the order column.
+
+Scale note: the reference's streams are *globally* ordered, so the faithful
+re-expression uses an unpartitioned window — fine for bounded/demo data but a
+single-partition sort at 100 TB. Every operator therefore takes
+``partition_by`` so real pipelines run the keyed variant (per-user, per-shard),
+which distributes the window across the cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _window(seq: str, partition_by: Sequence[str] | None) -> WindowSpec:
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    return w.orderBy(seq).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def accumulate(
+    agg: Column,
+    out: str = "acc",
+    seq: str = "seq",
+    partition_by: Sequence[str] | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Running fold: ``out`` = aggregate of all rows up to and including the
+    current row in ``seq`` order (per ``partition_by`` group if given).
+
+    ``agg`` is any aggregate Column (``F.sum("value")``, ``F.max(...)``,
+    ``F.collect_list(...)``); arbitrary non-associative folds belong in
+    ``streaming.stateful`` (transformWithState) instead.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(out, agg.over(_window(seq, partition_by)))
+
+    return _apply
+
+
+def accumulate_while_unchanged(
+    property_col: str,
+    agg_exprs: Sequence[Column],
+    seq: str = "seq",
+    partition_by: Sequence[str] | None = None,
+    max_elements: int | None = None,
+    group_col: str = "grp",
+) -> Callable[[DataFrame], DataFrame]:
+    """Group consecutive rows with an unchanged ``property_col`` (in ``seq``
+    order) and aggregate each run.
+
+    Islands construction: mark rows where the property differs from the
+    previous row (lag), cumulative-sum the markers to get a run id, then
+    ``groupBy(run)``. ``max_elements`` splits runs longer than the reference's
+    ``maxElements`` cap into sub-buckets (AccumulateWhileUnchanged.scala:79-90).
+    The time-based ``maxDuration`` trigger is the streaming session-window form
+    (see ``operators.windows.session_window_agg``).
+
+    Output columns: ``partition_by`` keys, ``grp`` (run ordinal), the property,
+    plus ``agg_exprs``.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        base = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+        w = base.orderBy(seq)
+        changed = (
+            F.when(
+                F.lag(property_col).over(w).isNull()
+                | (F.col(property_col) != F.lag(property_col).over(w)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        runs = df.withColumn(group_col, F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        group_keys = list(partition_by or []) + [group_col]
+        if max_elements is not None:
+            wg = Window.partitionBy(*group_keys).orderBy(seq)
+            runs = runs.withColumn(
+                "_bucket",
+                ((F.row_number().over(wg) - 1) / F.lit(max_elements)).cast("bigint"),
+            )
+            group_keys = group_keys + ["_bucket"]
+        return (
+            runs.groupBy(*group_keys)
+            .agg(F.first(property_col).alias(property_col), *agg_exprs)
+        )
+
+    return _apply
+
+
+def last_element(
+    seq: str = "seq",
+    partition_by: Sequence[str] | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """The element with the greatest ``seq`` (per partition key if given) —
+    the reference's ``Future[Option[A]]`` materialized value becomes an
+    ordinary (tiny) result DataFrame. ``max_by`` runs as a partial+final
+    aggregate: no sort, no single-partition bottleneck."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        payload = F.struct(*[F.col(c) for c in df.columns])
+        if partition_by:
+            out = df.groupBy(*partition_by).agg(
+                F.max_by(payload, F.col(seq)).alias("_last"))
+        else:
+            out = df.groupBy().agg(F.max_by(payload, F.col(seq)).alias("_last"))
+        return out.select("_last.*")
+
+    return _apply

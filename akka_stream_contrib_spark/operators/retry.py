@@ -1,0 +1,112 @@
+"""Retry combinators.
+
+``Retry`` (reference Retry.scala:42-176) wraps a fallible 1:1 flow
+``(I, S) => (Try[O], S)`` and re-injects failed elements through the flow using
+``retryWith(state)``. Spark plans are DAGs, so the reference's cyclic graph
+becomes **driver-side iteration over DataFrames** (SURVEY.md §3.2): apply the
+flow to the whole pending set (one distributed pass per round — the loop is per
+*round*, not per element), split ok/failed, derive retry inputs, repeat.
+
+Failure-as-data convention (SURVEY.md §7): the flow marks rows with a boolean
+``ok`` column plus nullable ``value``/``error`` payloads — the reference's
+``Try[O]``.
+
+Scale notes: each round is a full DataFrame transformation (no collect); the
+pending set is ``localCheckpoint``-ed per round so lineage does not grow with
+retry depth; ``retries_limit``/``buffer_limit`` (Retry.scala:234-271) become
+aggregate guard checks that abort the loop.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FlowFn = Callable[[DataFrame], DataFrame]          # adds ok/value/error cols
+RetryWithFn = Callable[[DataFrame], DataFrame]     # failed rows -> new attempt rows
+
+
+def _union_all(frames: list[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def retry(
+    df: DataFrame,
+    flow: FlowFn,
+    retry_with: RetryWithFn,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Run ``flow`` over ``df``; rows with ``ok=false`` are transformed by
+    ``retry_with`` into a new attempt set (rows it drops are given up and
+    emitted as failures) and re-run, up to ``max_rounds``.
+
+    ``retry_with`` receives the failed rows (with ``attempts``) and returns the
+    next attempt set in the flow's input schema. Failures it will not retry
+    (the reference's ``retryWith(s) = None``) must be returned with a boolean
+    ``give_up = true`` marker — those are emitted as final failures. An empty
+    retry set ends the loop. Emitted rows carry ``attempts`` = number of flow
+    applications.
+    """
+    emitted: list[DataFrame] = []
+    pending = df.withColumn("attempts", F.lit(0))
+    for _ in range(max_rounds):
+        applied = flow(pending).withColumn("attempts", F.col("attempts") + 1)
+        applied = applied.localCheckpoint(eager=True)  # truncate per-round lineage
+        succeeded = applied.filter(F.col("ok"))
+        failed = applied.filter(~F.col("ok"))
+        emitted.append(succeeded)
+        retried = retry_with(failed)
+        if "give_up" in retried.columns:
+            emitted.append(retried.filter(F.col("give_up")).drop("give_up"))
+            retried = retried.filter(~F.col("give_up")).drop("give_up")
+        if retried.isEmpty():
+            break
+        pending = retried
+    else:
+        raise RuntimeError(f"retry: exceeded max_rounds={max_rounds}")
+    return _union_all(emitted)
+
+
+def retry_concat(
+    df: DataFrame,
+    flow: FlowFn,
+    retry_with: RetryWithFn,
+    retries_limit: int = 1_000_000,
+    buffer_limit: int = 1_000_000,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """``Retry.concat`` (Retry.scala:84-95): ``retry_with`` may emit *several*
+    retry rows per failure (split a heavy element). ``retries_limit`` caps the
+    cumulative number of re-injected rows and ``buffer_limit`` caps the emitted
+    output size; exceeding either raises (the reference fails the stage,
+    Retry.scala:234-239, 263-271)."""
+    emitted: list[DataFrame] = []
+    emitted_rows = 0
+    retried_rows = 0
+    pending = df.withColumn("attempts", F.lit(0))
+    for _ in range(max_rounds):
+        applied = flow(pending).withColumn("attempts", F.col("attempts") + 1)
+        applied = applied.localCheckpoint(eager=True)
+        succeeded = applied.filter(F.col("ok"))
+        failed = applied.filter(~F.col("ok"))
+        emitted.append(succeeded)
+        emitted_rows += succeeded.count()
+        if emitted_rows > buffer_limit:
+            raise RuntimeError(f"retry_concat: buffer_limit={buffer_limit} exceeded")
+        retried = retry_with(failed)
+        if "give_up" in retried.columns:
+            emitted.append(retried.filter(F.col("give_up")).drop("give_up"))
+            retried = retried.filter(~F.col("give_up")).drop("give_up")
+        n = retried.count()
+        if n == 0:
+            break
+        retried_rows += n
+        if retried_rows > retries_limit:
+            raise RuntimeError(f"retry_concat: retries_limit={retries_limit} exceeded")
+        pending = retried
+    else:
+        raise RuntimeError(f"retry_concat: exceeded max_rounds={max_rounds}")
+    return _union_all(emitted)

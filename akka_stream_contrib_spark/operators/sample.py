@@ -1,0 +1,74 @@
+"""Sampling operators.
+
+Re-expresses ``Sample`` (reference: Sample.scala:22-76): keep every nth
+element, or step-sample with a dynamic step. The reference counts elements
+one-at-a-time; on Spark the element position must be an explicit column, so
+these are pure ``filter`` expressions — Catalyst pushes them into the scan
+where possible, and they stay inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic LCG parameters (Lehmer / MINSTD) used for reproducible
+# "random" step sampling that a SQL oracle can replicate exactly.
+_LCG_A = 48271
+_LCG_M = 65536
+
+
+def sample_nth(nth: int, seq: str = "seq") -> Callable[[DataFrame], DataFrame]:
+    """Keep elements at 1-based positions nth, 2*nth, ... of the ``seq`` order.
+
+    Semantics pinned by the reference test ``SampleSpec.scala:22-30``
+    (``list.filter(_ % n == 0)`` for a 1-based dense sequence). ``seq`` must be
+    a dense 0- or 1-based monotonic index column; pass ``one_based=False``
+    via a +1 shift upstream if needed.
+
+    Scale: a single Column predicate — no shuffle, no state; predicate is
+    eligible for scan-level pushdown.
+    """
+    if nth <= 0:
+        raise ValueError("nth must be positive")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.filter(F.pmod(F.col(seq), F.lit(nth)) == 0)
+
+    return _apply
+
+
+def sample_step(max_step: int, seq: str = "seq",
+                threshold_num: int | None = None) -> Callable[[DataFrame], DataFrame]:
+    """Deterministic pseudo-random sampling ≈ ``Sample(next)`` / ``Sample.random``
+    (Sample.scala:32-76) with expected keep-rate 1/max_step.
+
+    The reference draws a random step in [1, maxStep] and keeps the element the
+    step lands on — a rate-1/E[step] sampler. Here each element is kept iff
+    ``(seq * 48271) mod 65536 < 65536/max_step`` — a stateless Lehmer-style
+    hash that (a) needs no sequential scan, so it parallelizes over any number
+    of partitions, and (b) is exactly reproducible in ANSI SQL for the oracle.
+    """
+    if max_step <= 0:
+        raise ValueError("max_step must be positive")
+    thr = threshold_num if threshold_num is not None else _LCG_M // max_step
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.pmod(F.col(seq) * F.lit(_LCG_A), F.lit(_LCG_M)) < F.lit(thr)
+        )
+
+    return _apply
+
+
+def sample_random(fraction: float, seed: int = 42) -> Callable[[DataFrame], DataFrame]:
+    """Statistical sampling via Spark's native Bernoulli sampler (non-oracle
+    path — not bit-reproducible across engines, but the right tool at scale:
+    sampling happens during the scan with zero shuffle)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.sample(fraction=fraction, seed=seed)
+
+    return _apply

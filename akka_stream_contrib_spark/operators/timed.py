@@ -1,0 +1,76 @@
+"""Instrumentation operators.
+
+- ``timed_interval_between``: interval between consecutive elements matching a
+  predicate — reference ``Timed.timedIntervalBetween`` (Timed.scala:71-87,
+  164-197). Pure ``lag`` window expression over event time.
+- ``with_ingest_ts`` / ``latency_columns``: per-element in→out latency —
+  reference ``LatencyTimer`` (latencyTimer.scala:145-199). The reference wraps
+  a flow with start/stop probes; on Spark the probe is an ingest timestamp
+  column stamped at source and differenced at the sink.
+- ``timed_section``: wall time of a whole section — reference ``Timed.timed``
+  (Timed.scala:28-56) — as a context manager around an action.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def timed_interval_between(
+    matching: Column,
+    ts: str = "ts",
+    seq: str = "seq",
+    partition_by: Sequence[str] | None = None,
+    out: str = "interval_us",
+) -> Callable[[DataFrame], DataFrame]:
+    """For elements matching the predicate, microseconds since the previous
+    matching element (in ``seq`` order); first match has NULL (the reference
+    only reports from the second match on, Timed.scala:180-189)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        base = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+        w = base.orderBy(seq)
+        return (
+            df.filter(matching)
+            .withColumn(out, F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w))
+        )
+
+    return _apply
+
+
+def with_ingest_ts(col: str = "ingest_ts") -> Callable[[DataFrame], DataFrame]:
+    """Stamp processing-time at ingest (LatencyTimer's StartTimeFlow)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(col, F.current_timestamp())
+
+    return _apply
+
+
+def latency_columns(ingest_col: str = "ingest_ts", out: str = "latency_us") -> Callable[[DataFrame], DataFrame]:
+    """Measure in→out latency at the sink side (LatencyTimer's StopTimeFlow).
+    Emit alongside the element — the reference's TimedResult side channel is a
+    second writer over the same frame."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            out, F.unix_micros(F.current_timestamp()) - F.unix_micros(F.col(ingest_col))
+        )
+
+    return _apply
+
+
+@contextmanager
+def timed_section(on_complete: Callable[[float], None]):
+    """Measure wall time of a section of driver code containing Spark actions —
+    ``Timed.timed``'s Future-completion callback becomes a context exit."""
+    t0 = time.monotonic()
+    try:
+        yield
+    finally:
+        on_complete(time.monotonic() - t0)

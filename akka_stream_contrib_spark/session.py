@@ -1,0 +1,46 @@
+"""SparkSession bootstrap tuned for the engine.
+
+Local testing runs on ``local[N]``; the same configuration keys are the ones
+that matter on a 1000-executor cluster: AQE (runtime re-planning, skew-join
+splitting, partition coalescing), broadcast thresholds for star-schema joins,
+and Arrow for the pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "akka-stream-contrib-spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or fetch) a SparkSession with scale-minded defaults.
+
+    - AQE on: coalesces post-shuffle partitions and splits skewed joins at
+      runtime, which is what makes a fixed ``shuffle.partitions`` safe at any SF.
+    - Arrow on: every pandas-UDF operator (minhash, ANN, multimodal) moves data
+      via Arrow record batches instead of pickled rows.
+    - UTC session timezone: event-time semantics must not depend on the host.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver fixtures store events.ts as TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type — read as long, convert in tables.load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
