@@ -1,38 +1,658 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+LLM-data-pipeline extensions) to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Column names and
+rounding are aligned on both sides (the driver hash-compares values).
+
+Numeric-determinism conventions used throughout:
+- unordered SUM over doubles is engine-order-dependent → money sums are cast
+  to DECIMAL(18,4) per row (exact, associative) and the exact decimal result
+  is cast back to double; derived averages divide the two exact values.
+- ordered running sums are sequential in both engines → plain double + round.
+- modulo / casts avoid engine differences (DuckDB CAST(double AS INT) rounds,
+  Spark truncates) by flooring first.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from akka_stream_contrib_spark import tables
+from akka_stream_contrib_spark.operators import (
+    accumulate,
+    accumulate_while_unchanged,
+    delay_flow,
+    interval_based_rate_limiter,
+    keep_alive_concat,
+    last_element,
+    merge_by_index,
+    partition_with,
+    pass_through,
+    pulse,
+    retry,
+    sample_nth,
+    sample_step,
+    session_window_agg,
+    sliding_window,
+    time_window,
+    timed_interval_between,
+    token_throttle,
+    unfold_flow,
+    feedback_loop,
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, "events", sf_dir).withColumn("seq", F.col("event_id"))
+
+
+def _dec(col):
+    """Exact-sum path for money columns (see module docstring)."""
+    return col.cast("decimal(18,4)")
+
+
+def _money(name: str):
+    """2-decimal money/quantity column cast to decimal BEFORE arithmetic:
+    casting the raw 2-dp value is boundary-safe in both engines, and decimal
+    multiplication/addition is exact, so aggregate results are bit-identical
+    regardless of summation order. Casting a double *product* instead would
+    hit engine-specific half-way rounding (Spark shortest-string HALF_UP vs
+    DuckDB binary-value rounding)."""
+    return F.col(name).cast("decimal(12,2)")
+
+
+def _pct(name: str):
+    """2-dp fraction column (discount/tax) as exact decimal."""
+    return F.col(name).cast("decimal(4,2)")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 per-element transforms
+# ---------------------------------------------------------------------------
+
+def q_sample_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(sample_nth(10, seq="seq"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def q_sample_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(sample_step(10, seq="seq"))
+        .select("event_id", "user_id", "value")
+    )
+
+
+def q_partition_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.transform(
+        partition_with(
+            F.col("value") >= 100,
+            left={"left_val": F.col("value") * 2},
+            right={"right_tag": F.upper(F.col("event_type"))},
+        )
+    ).select("event_id", "side", "left_val", "right_tag")
+
+
+def q_pass_through(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.transform(
+        pass_through({"out_tag": F.concat_ws(":", "event_type", F.col("user_id").cast("string"))})
+    ).select("event_id", "user_id", "event_type", "value", "out_tag")
+
+
+def q_delay_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    delay_s = F.pmod(F.floor(F.col("value")), F.lit(10))
+    return ev.transform(delay_flow(delay_s, ts="ts")).select(
+        "event_id", "ts", "deliver_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 accumulation / grouping / windowing
+# ---------------------------------------------------------------------------
+
+def q_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(accumulate(F.sum("value"), out="running_sum", seq="seq"))
+        .select("event_id", F.round("running_sum", 4).alias("running_sum"))
+    )
+
+
+def q_accumulate_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(accumulate(F.sum("value"), out="running_sum", seq="seq",
+                              partition_by=["user_id"]))
+        .select("event_id", "user_id", F.round("running_sum", 4).alias("running_sum"))
+    )
+
+
+def q_accumulate_while_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(
+            accumulate_while_unchanged(
+                "event_type",
+                [
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.round(F.sum("value"), 4).alias("sum_value"),
+                    F.min("seq").alias("first_seq"),
+                ],
+                seq="seq",
+            )
+        )
+        .select("grp", "event_type", "cnt", "sum_value", "first_seq")
+    )
+
+
+def q_last_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(last_element(seq="seq"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def q_timed_interval_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(timed_interval_between(F.col("event_type") == "click", ts="ts", seq="seq"))
+        .select("event_id", "interval_us")
+    )
+
+
+def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(
+            time_window(
+                "1 hour",
+                [F.count(F.lit(1)).alias("cnt"), F.round(F.sum(_dec(F.col("value"))), 4).cast("double").alias("sum_value")],
+                ts="ts",
+            )
+        )
+        .select("window_start", "cnt", "sum_value")
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(
+            sliding_window(
+                "1 hour",
+                "30 minutes",
+                [F.count(F.lit(1)).alias("cnt"), F.round(F.sum(_dec(F.col("value"))), 4).cast("double").alias("sum_value")],
+                ts="ts",
+            )
+        )
+        .select("window_start", "cnt", "sum_value")
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(
+            session_window_agg(
+                "10 minutes",
+                [F.count(F.lit(1)).alias("cnt"), F.round(F.sum(_dec(F.col("value"))), 4).cast("double").alias("sum_value")],
+                ts="ts",
+                partition_by=["user_id"],
+            )
+        )
+        .select("user_id", "session_start", "cnt", "sum_value")
+    )
+
+
+def q_rate_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(interval_based_rate_limiter("1 minute", 50, ts="ts", seq="seq"))
+        .select("bucket_start", "batch_no", "batch_size", "first_seq", "last_seq")
+    )
+
+
+def q_pulse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(pulse("1 minute", ts="ts", tiebreak="seq"))
+        .select(F.col("bucket_start"), "event_id", "value")
+    )
+
+
+def q_keep_alive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .transform(
+            keep_alive_concat(21600, ["value"], ts="ts", partition_by=["user_id"])
+        )
+        .select("user_id", "ts", "value", "is_heartbeat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 fan-in + §2.5 control flow
+# ---------------------------------------------------------------------------
+
+def q_merge_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("branch", F.pmod(F.col("event_id"), F.lit(3)).cast("int"))
+    branches = [ev.filter(F.col("branch") == k) for k in range(3)]
+    merged = merge_by_index(branches, index="event_id", validate="raise", rank_col="rnk")
+    return merged.select("event_id", "branch", "rnk")
+
+
+def q_token_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cost = F.pmod(F.floor(F.col("value")), F.lit(5)) + 1
+    return (
+        ev.transform(token_throttle(cost, total_tokens=15000, seq="seq"))
+        .select("event_id", "cost", "cum_cost")
+    )
+
+
+def q_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic retry fixture from RetrySpec.scala:16-41: flow fails on even
+    i and succeeds with i+1 on odd i; retryWith(s) = (s+1, s+1) while s < 500,
+    else give up. Closed form (the oracle): odd → (true, i+1, 1 attempt);
+    even < 500 → (true, i+2, 2); even ≥ 500 → (false, null, 1)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id"),
+        F.col("event_id").alias("i"),
+        F.col("event_id").alias("state"),
+        F.lit(False).alias("ok"),
+        F.lit(None).cast("bigint").alias("value"),
+    )
+
+    def flow(df: DataFrame) -> DataFrame:
+        return df.withColumn("ok", F.pmod(F.col("i"), F.lit(2)) == 1).withColumn(
+            "value", F.when(F.pmod(F.col("i"), F.lit(2)) == 1, F.col("i") + 1)
+        )
+
+    def retry_with(failed: DataFrame) -> DataFrame:
+        return (
+            failed.withColumn("give_up", F.col("state") >= 500)
+            .withColumn("i", F.when(F.col("state") < 500, F.col("state") + 1).otherwise(F.col("i")))
+            .withColumn("state", F.when(F.col("state") < 500, F.col("state") + 1).otherwise(F.col("state")))
+        )
+
+    out = retry(ev, flow, retry_with, max_rounds=8)
+    return out.select("event_id", "ok", "value", "attempts")
+
+
+def q_unfold_collatz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collatz trajectories for seeds 1..100, distributed per-seed
+    (golden fixture UnfoldFlowSpec.scala:22-27 is seed 27)."""
+    seeds = spark.range(1, 101).select(F.col("id").alias("seed"))
+
+    def step(v):
+        if v <= 1:
+            return None
+        nxt = v // 2 if v % 2 == 0 else 3 * v + 1
+        return (nxt, nxt)
+
+    return unfold_flow(seeds, step, max_steps=1000)
+
+
+def q_feedback_fibonacci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 40 Fibonacci numbers via the feedback-loop pattern
+    (FeedbackLoopSpec.scala:166): state row (n, a, b) → emit (n, a), feed back
+    (n+1, b, a+b). Fixed iteration count → fully lazy, one Spark job."""
+    initial = spark.createDataFrame([(0, 0, 1)], "n int, a bigint, b bigint")
+
+    def forward(fb: DataFrame):
+        out = fb.select(F.col("n"), F.col("a").alias("fib"))
+        nxt = fb.select((F.col("n") + 1).alias("n"), F.col("b").alias("a"),
+                        (F.col("a") + F.col("b")).alias("b"))
+        return out, nxt
+
+    return feedback_loop(initial, forward, max_iters=40)
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (Catalyst join/agg plans; also the bench headliners)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, "lineitem", sf_dir)
+    disc = _money("l_extendedprice") * (1 - _pct("l_discount"))
+    charge = _money("l_extendedprice") * (1 - _pct("l_discount")) * (1 + _pct("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tables.load(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = tables.load(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_money("l_extendedprice") * (1 - _pct("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = tables.load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    nation = tables.load(spark, "nation", sf_dir)
+    cust = tables.load(spark, "customer", sf_dir)
+    supp = tables.load(spark, "supplier", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = tables.load(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_money("l_extendedprice") * (1 - _pct("l_discount"))).cast("double").alias("revenue"))
+    )
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_money("l_extendedprice") * _pct("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "sample_nth": q_sample_nth,
+        "sample_step": q_sample_step,
+        "partition_with": q_partition_with,
+        "pass_through": q_pass_through,
+        "delay_flow": q_delay_flow,
+        "accumulate": q_accumulate,
+        "accumulate_keyed": q_accumulate_keyed,
+        "accumulate_while_unchanged": q_accumulate_while_unchanged,
+        "last_element": q_last_element,
+        "timed_interval_between": q_timed_interval_between,
+        "time_window": q_time_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "rate_limiter": q_rate_limiter,
+        "pulse": q_pulse,
+        "keep_alive": q_keep_alive,
+        "merge_by_index": q_merge_by_index,
+        "token_throttle": q_token_throttle,
+        "retry": q_retry,
+        "unfold_collatz": q_unfold_collatz,
+        "feedback_fibonacci": q_feedback_fibonacci,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sample_nth": """
+            SELECT event_id, user_id, event_type, value
+            FROM events WHERE event_id % 10 = 0
+        """,
+        "sample_step": """
+            SELECT event_id, user_id, value
+            FROM events WHERE (event_id * 48271) % 65536 < 6553
+        """,
+        "partition_with": """
+            SELECT event_id,
+                   CASE WHEN value >= 100 THEN 0 ELSE 1 END AS side,
+                   CASE WHEN value >= 100 THEN value * 2 END AS left_val,
+                   CASE WHEN value < 100 THEN upper(event_type) END AS right_tag
+            FROM events
+        """,
+        "pass_through": """
+            SELECT event_id, user_id, event_type, value,
+                   event_type || ':' || CAST(user_id AS VARCHAR) AS out_tag
+            FROM events
+        """,
+        "delay_flow": """
+            SELECT event_id, ts,
+                   ts + to_seconds(CAST(floor(value) AS BIGINT) % 10) AS deliver_ts
+            FROM events
+        """,
+        "accumulate": """
+            SELECT event_id,
+                   round(sum(value) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+            FROM events
+        """,
+        "accumulate_keyed": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+            FROM events
+        """,
+        "accumulate_while_unchanged": """
+            WITH marked AS (
+                SELECT *, CASE WHEN lag(event_type) OVER (ORDER BY event_id) IS NULL
+                                 OR event_type <> lag(event_type) OVER (ORDER BY event_id)
+                               THEN 1 ELSE 0 END AS chg
+                FROM events
+            ), runs AS (
+                SELECT *, sum(chg) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM marked
+            )
+            SELECT grp, event_type, count(*) AS cnt,
+                   round(sum(value), 4) AS sum_value, min(event_id) AS first_seq
+            FROM runs GROUP BY grp, event_type
+        """,
+        "last_element": """
+            SELECT event_id, user_id, event_type, value
+            FROM events WHERE event_id = (SELECT max(event_id) FROM events)
+        """,
+        "timed_interval_between": """
+            SELECT event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY event_id) AS interval_us
+            FROM events WHERE event_type = 'click'
+        """,
+        "time_window": """
+            SELECT count(*) AS cnt,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value,
+                   date_trunc('hour', ts) AS window_start
+            FROM events GROUP BY window_start
+        """,
+        "sliding_window": """
+            WITH b AS (
+                SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb, value FROM events
+            )
+            SELECT count(*) AS cnt,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value,
+                   tb - k * INTERVAL '30 minutes' AS window_start
+            FROM b CROSS JOIN (VALUES (0), (1)) t(k)
+            GROUP BY window_start
+        """,
+        "session_window": """
+            WITH marked AS (
+                SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                               THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sessions AS (
+                SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS cnt,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+            FROM sessions GROUP BY user_id, sid
+        """,
+        "rate_limiter": """
+            WITH positioned AS (
+                SELECT *, time_bucket(INTERVAL '1 minute', ts) AS bucket_start,
+                       row_number() OVER (PARTITION BY time_bucket(INTERVAL '1 minute', ts)
+                                          ORDER BY event_id) AS rn
+                FROM events
+            )
+            SELECT bucket_start, (rn - 1) // 50 AS batch_no, count(*) AS batch_size,
+                   min(event_id) AS first_seq, max(event_id) AS last_seq
+            FROM positioned GROUP BY bucket_start, batch_no
+        """,
+        "pulse": """
+            WITH ranked AS (
+                SELECT *, time_bucket(INTERVAL '1 minute', ts) AS bucket_start,
+                       row_number() OVER (PARTITION BY time_bucket(INTERVAL '1 minute', ts)
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            SELECT bucket_start, event_id, value FROM ranked WHERE rn = 1
+        """,
+        "keep_alive": """
+            WITH nexted AS (
+                SELECT user_id, ts, value,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+                FROM events
+            )
+            SELECT user_id, ts, value, FALSE AS is_heartbeat FROM nexted
+            UNION ALL
+            SELECT n.user_id, g.hb AS ts, n.value, TRUE AS is_heartbeat
+            FROM nexted n, LATERAL (
+                SELECT unnest(generate_series(n.ts + INTERVAL '21600 seconds',
+                                              n.next_ts - INTERVAL '1 microsecond',
+                                              INTERVAL '21600 seconds')) AS hb
+            ) g
+            WHERE n.next_ts IS NOT NULL
+        """,
+        "merge_by_index": """
+            SELECT event_id, CAST(event_id % 3 AS INT) AS branch,
+                   row_number() OVER (ORDER BY event_id) AS rnk
+            FROM events
+        """,
+        "token_throttle": """
+            WITH costed AS (
+                SELECT event_id,
+                       CAST(floor(value) AS BIGINT) % 5 + 1 AS cost
+                FROM events
+            ), cum AS (
+                SELECT event_id, cost,
+                       sum(cost) OVER (ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+                FROM costed
+            )
+            SELECT event_id, cost, cum_cost FROM cum WHERE cum_cost <= 15000
+        """,
+        "retry": """
+            SELECT event_id,
+                   CASE WHEN event_id % 2 = 1 THEN TRUE
+                        WHEN event_id < 500 THEN TRUE ELSE FALSE END AS ok,
+                   CASE WHEN event_id % 2 = 1 THEN event_id + 1
+                        WHEN event_id < 500 THEN event_id + 2 END AS value,
+                   CASE WHEN event_id % 2 = 1 THEN 1
+                        WHEN event_id < 500 THEN 2 ELSE 1 END AS attempts
+            FROM events
+        """,
+        "unfold_collatz": """
+            WITH RECURSIVE c(seed, step, value) AS (
+                SELECT s.seed, -1, s.seed
+                FROM (SELECT unnest(generate_series(1, 100)) AS seed) s
+                UNION ALL
+                SELECT seed, step + 1,
+                       CASE WHEN value % 2 = 0 THEN value // 2 ELSE 3 * value + 1 END
+                FROM c WHERE value > 1
+            )
+            SELECT seed, CAST(step AS INT) AS step, value FROM c WHERE step >= 0
+        """,
+        "feedback_fibonacci": """
+            WITH RECURSIVE f(n, a, b) AS (
+                SELECT 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+                UNION ALL
+                SELECT n + 1, b, a + b FROM f WHERE n < 39
+            )
+            SELECT n, a AS fib FROM f
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+                   count(*) AS count_order,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-06-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+    }

@@ -45,7 +45,7 @@ def keep_alive_concat(
         nxt = F.lead(ts).over(w)
         src = df.select(*keys, ts, *value_cols).withColumn("_next_ts", nxt)
         hb = (
-            src.filter(F.col("_next_ts").isNotNull())
+            src.filter(F.col("_next_ts") > F.col(ts) + step)
             .withColumn(
                 "_grid",
                 F.sequence(

@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate: run each entry in
+``queries()`` on Spark and its ``oracle_sql()`` on DuckDB over the same
+parquet tables, then compare row count, column names, and order-insensitive
+values. Used by tests and by ad-hoc dev runs (python tests/oracle_check.py).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(repr(_norm(r[i])) for i in order) for r in rows)
+
+
+def compare_query(spark, name: str, qfn, sql: str | None, sf_dir: str,
+                  max_diff_show: int = 5) -> tuple[bool, str]:
+    sdf = qfn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = [c.lower() for c in sdf.columns]
+    if sql is None:
+        return True, f"{name}: rows-only ({len(srows)} rows)"
+    con = duck_connection(sf_dir)
+    try:
+        res = con.execute(sql)
+        dcols = [d[0].lower() for d in res.description]
+        drows = res.fetchall()
+    finally:
+        con.close()
+    if sorted(scols) != sorted(dcols):
+        return False, f"{name}: SCHEMA mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"{name}: ROWCOUNT mismatch spark={len(srows)} duck={len(drows)}"
+    sm = _rows_to_multiset(scols, [[r[c] for c in sdf.columns] for r in srows])
+    dm = _rows_to_multiset(dcols, drows)
+    if sm != dm:
+        diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:max_diff_show]
+        return False, f"{name}: VALUE mismatch; first diffs: {diffs}"
+    return True, f"{name}: OK ({len(srows)} rows)"
+
+
+def run_all(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None):
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from akka_stream_contrib_spark import get_spark
+
+    spark = get_spark("oracle-check")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, qfn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            ok, msg = compare_query(spark, name, qfn, oracles.get(name), sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"{name}: EXCEPTION {type(e).__name__}: {e}"
+        print(("PASS " if ok else "FAIL ") + msg, flush=True)
+        if not ok:
+            failures.append(name)
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    fails = run_all(sf, only)
+    print(f"\n{'ALL PASS' if not fails else 'FAILURES: ' + ','.join(fails)}")
+    sys.exit(1 if fails else 0)
