@@ -294,7 +294,8 @@ def q_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unfold_collatz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collatz trajectories for seeds 1..100, distributed per-seed
     (golden fixture UnfoldFlowSpec.scala:22-27 is seed 27)."""
-    seeds = spark.range(1, 101).select(F.col("id").alias("seed"))
+    # few, fat partitions: 100 seeds don't amortize 32 python workers
+    seeds = spark.range(1, 101, 1, 8).select(F.col("id").alias("seed"))
 
     def step(v):
         if v <= 1:
@@ -394,6 +395,76 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions import text_stats
+    return tables.load(spark, "documents", sf_dir).transform(text_stats())
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions import lang_id
+    return tables.load(spark, "documents", sf_dir).transform(lang_id())
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions import token_count_bpe
+    return tables.load(spark, "documents", sf_dir).transform(token_count_bpe())
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions import doc_fingerprint
+    return tables.load(spark, "documents", sf_dir).transform(doc_fingerprint())
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions import dedup_exact
+    return tables.load(spark, "documents", sf_dir).transform(dedup_exact())
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions import minhash_lsh_dedup
+    return minhash_lsh_dedup(tables.load(spark, "documents", sf_dir), threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions import simhash
+    return tables.load(spark, "documents", sf_dir).transform(simhash())
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions import cosine_topk
+    emb = tables.load(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions import near_dup_pairs
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return near_dup_pairs(emb, threshold=0.4)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions.multimodal import with_media_columns
+    docs = tables.load(spark, "documents", sf_dir)
+    out = docs.transform(with_media_columns(
+        payload=F.col("text").cast("binary"),
+        modality=F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("n_chars"), F.lit(3)) + 1).cast("int"),
+        ),
+    ))
+    return out.select(
+        "doc_id", "modality",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -429,6 +500,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "token_count_bpe": q_token_count_bpe,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -654,5 +735,155 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                   round(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+                         / len(string_split(text, ' ')), 4) AS avg_token_len,
+                   round(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))
+                         / len(string_split(text, ' ')), 6) AS stopword_ratio
+            FROM documents
+        """,
+        "lang_id": """
+            WITH s AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text,' '), x -> x IN ('the','a','of'))) AS score_en,
+                       len(list_filter(string_split(text,' '), x -> x IN ('der','die','das'))) AS score_de,
+                       len(list_filter(string_split(text,' '), x -> x IN ('el','la','los'))) AS score_es
+                FROM documents
+            )
+            SELECT doc_id, score_en, score_de, score_es,
+                   CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+                        WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS predicted_lang
+            FROM s
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   list_sum(list_transform(regexp_extract_all(text, '[a-z0-9]+'),
+                            x -> greatest(1, (length(x) + 3) // 4))) AS est_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+            SELECT doc_id,
+                   list_sum(list_transform(generate_series(1, len(l)),
+                       i -> (CAST(concat('0x', substr(md5(l[i]), 1, 8)) AS BIGINT) * i) % 1000003)
+                   ) % 1000003 AS fingerprint
+            FROM t
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_lsh_dedup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+                FROM toks WHERE len(l) >= 3
+            ),
+            tid AS (SELECT doc_id, shingle,
+                           CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS tid
+                    FROM sh),
+            hp AS (SELECT h, 6*h + 7 AS a, 3*h + 1 AS b
+                   FROM (SELECT unnest(generate_series(0, 7)) AS h)),
+            sig AS (SELECT doc_id, h, min((a * tid + b) % 8191) AS mh
+                    FROM tid CROSS JOIN hp GROUP BY doc_id, h),
+            bandsig AS (
+                SELECT doc_id, h // 2 AS band,
+                       sum(mh * CASE WHEN h % 2 = 0 THEN 1 ELSE 8192 END) AS band_key
+                FROM sig GROUP BY doc_id, band
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bandsig a JOIN bandsig b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT doc_a, doc_b, count(*) AS inter
+                FROM cand
+                JOIN sh sa ON sa.doc_id = doc_a
+                JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+                GROUP BY doc_a, doc_b
+            ),
+            scored AS (
+                SELECT doc_a, doc_b,
+                       round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+                FROM inter
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+            )
+            SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        "simhash": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+                FROM toks WHERE len(l) >= 3
+            ),
+            hx AS (SELECT doc_id,
+                          CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS hx
+                   FROM sh),
+            bits AS (SELECT unnest(generate_series(0, 15)) AS b),
+            votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (hx >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM hx CROSS JOIN bits GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            c AS (
+                SELECT e.vec_id,
+                       list_sum(list_transform(generate_series(1, len(e.embedding)),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.qe,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+                FROM embeddings e, q WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, round(cos, 6) AS cos_sim
+            FROM c ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dup": """
+            WITH n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+                FROM embeddings
+            ),
+            p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_sum(list_transform(generate_series(1, len(a.nv)),
+                             i -> a.nv[i] * b.nv[i])), 6) AS cos_sim
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4
+        """,
+        "multimodal_meta": """
+            WITH m AS (
+                SELECT doc_id,
+                       ['image', 'audio', 'video'][(n_chars % 3) + 1] AS modality,
+                       octet_length(CAST(text AS BLOB)) AS n_bytes,
+                       CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS mh
+                FROM documents
+            )
+            SELECT doc_id, modality, CAST(n_bytes AS INT) AS n_bytes,
+                   ['png', 'jpeg', 'wav', 'mp4'][CAST(mh % 4 AS INT) + 1] AS format,
+                   CASE WHEN modality <> 'image'
+                        THEN CAST(mh % 600000 + 1 AS INT) END AS duration_ms
+            FROM m
         """,
     }

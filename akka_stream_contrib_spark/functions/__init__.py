@@ -1,0 +1,34 @@
+"""Large-scale training-data-pipeline functions (beyond the reference surface,
+per BASELINE.json): text analysis, deduplication, similarity search, and
+multimodal column plumbing. All hot paths are JVM-side Column expressions or
+Arrow-batched pandas transforms — no row-at-a-time Python."""
+
+from akka_stream_contrib_spark.functions.text import (
+    tokens,
+    text_stats,
+    lang_id,
+    token_count_bpe,
+    doc_fingerprint,
+    token_id,
+)
+from akka_stream_contrib_spark.functions.dedup import (
+    dedup_exact,
+    shingles,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    simhash,
+)
+from akka_stream_contrib_spark.functions.similarity import (
+    cosine_topk,
+    near_dup_pairs,
+    ann_topk_all,
+)
+
+__all__ = [
+    "tokens", "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
+    "token_id",
+    "dedup_exact", "shingles", "minhash_signatures", "lsh_candidate_pairs",
+    "minhash_lsh_dedup", "simhash",
+    "cosine_topk", "near_dup_pairs", "ann_topk_all",
+]

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force top-k against one query vector — a single
+  map-side zip_with/aggregate expression + TakeOrderedAndProject. O(N·d),
+  no shuffle of the vectors, the right baseline at any scale.
+- ``near_dup_pairs``: exact all-pairs cosine above a threshold (verification
+  tool; quadratic — use on candidate sets, not raw corpora).
+- ``ann_topk_all``: the scale path — blocked numpy matmul inside mapInPandas
+  with a broadcast query matrix: top-k neighbors for *every* vector without a
+  quadratic shuffle. Arrow-batched, vectorized, embarrassingly parallel over
+  partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def as_double(col: str = "embedding") -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Top-k rows by cosine similarity to ``query_vec``; deterministic
+    tie-break on id. Emits (id, cos round 6)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    qn = float(np.sqrt(np.dot(np.asarray(query_vec, dtype=np.float64),
+                              np.asarray(query_vec, dtype=np.float64))))
+    e = as_double(vec_col)
+    cos = _dot(e, q) / (_norm(e) * F.lit(qn))
+    return (
+        df.select(F.col(id_col), cos.alias("_cos"))
+        .orderBy(F.desc("_cos"), id_col)
+        .limit(k)
+        .select(id_col, F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def near_dup_pairs(df: DataFrame, threshold: float,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact pairs with cosine ≥ threshold via normalized self-join.
+    Quadratic — intended for candidate verification / small-N; the scale path
+    is ``ann_topk_all`` or LSH bucketing first."""
+    normed = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_e"))
+        .withColumn("_nrm", _norm(F.col("_e")))
+        .select(id_col, F.transform("_e", lambda x: x / F.col("_nrm")).alias("_nv"))
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    cos = _dot(F.col("a._nv"), F.col("b._nv"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding", block: int = 4096) -> DataFrame:
+    """Approximate-free brute-force top-k for EVERY vector, the distributed
+    way: broadcast the (normalized) corpus matrix, stream partitions through
+    numpy GEMM blocks. One pass over the data, no pairwise shuffle.
+
+    At 100 TB the corpus side must itself be sampled/centroided (IVF) — this
+    function is the exact kernel those variants reuse.
+    """
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def _topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        corpus = b_mat.value
+        corpus_ids = b_ids.value
+        for pdfb in batches:
+            if len(pdfb) == 0:
+                continue
+            q = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            qids = pdfb[id_col].to_numpy()
+            for s in range(0, len(q), block):
+                qb = q[s:s + block]
+                sims = qb @ corpus.T                       # (b, N)
+                qb_ids = qids[s:s + block]
+                # mask self-matches, take top-k per row
+                for row_i in range(sims.shape[0]):
+                    sims[row_i, corpus_ids == qb_ids[row_i]] = -np.inf
+                idx = np.argpartition(-sims, min(k, sims.shape[1] - 1), axis=1)[:, :k]
+                out_rows = {
+                    id_col: np.repeat(qb_ids, k),
+                    "neighbor_id": corpus_ids[idx].ravel(),
+                    "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel().round(6),
+                }
+                yield pd.DataFrame(out_rows)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _topk, schema=f"{id_col} bigint, neighbor_id bigint, cos_sim double")

@@ -1,0 +1,126 @@
+"""Text-analysis functions for the documents pipeline.
+
+All pure Column expressions (JVM-side, whole-stage codegen): tokenization,
+quality stats, language-ID heuristic, BPE-ish token estimation, and a
+position-sensitive document fingerprint. Engine-portable by construction —
+every expression has an exact DuckDB equivalent (see __spark_entry__.py
+oracles).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FP_MOD = 1_000_003  # prime modulus for the fingerprint accumulator
+
+# tiny per-language stopword marker lists for the heuristic classifier
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "das"),
+    "es": ("el", "la", "los"),
+}
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.col(col), " ")
+
+
+def token_id(col: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex digits of md5 as a bigint.
+
+    Fully distributed (no vocabulary join / global rank) and bit-identical in
+    any engine with md5 — the property the DuckDB oracle needs. At 100 TB this
+    is the right shape too: a pure map-side expression. (xxhash64 would be
+    ~3× faster but is Spark-specific; swap via this single function if oracle
+    portability is not needed.)
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def text_stats(id_col: str = "doc_id", text_col: str = "text",
+               stopwords: Sequence[str] = ("the", "a")) -> Callable[[DataFrame], DataFrame]:
+    """Per-document quality stats: token count, distinct tokens, average token
+    length, stopword ratio."""
+    sw = ", ".join(f"'{s}'" for s in stopwords)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        return df.select(
+            F.col(id_col),
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.round(
+                F.expr(f"aggregate(transform(split({text_col}, ' '), x -> length(x)), 0L, (a, x) -> a + x)")
+                / F.size(toks), 4).alias("avg_token_len"),
+            F.round(
+                F.size(F.expr(f"filter(split({text_col}, ' '), x -> x IN ({sw}))"))
+                / F.size(toks), 6).alias("stopword_ratio"),
+        )
+
+    return _apply
+
+
+def lang_id(id_col: str = "doc_id", text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
+    """Marker-word language heuristic: count hits from each language's marker
+    list; argmax with deterministic tie-break order en > de > es."""
+
+    def _score(lang: str) -> Column:
+        ws = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return F.size(F.expr(f"filter(split({text_col}, ' '), x -> x IN ({ws}))"))
+
+    def _apply(df: DataFrame) -> DataFrame:
+        s_en, s_de, s_es = _score("en"), _score("de"), _score("es")
+        out = df.select(
+            F.col(id_col),
+            s_en.alias("score_en"), s_de.alias("score_de"), s_es.alias("score_es"),
+        )
+        return out.withColumn(
+            "predicted_lang",
+            F.when((F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")), "en")
+            .when(F.col("score_de") >= F.col("score_es"), "de")
+            .otherwise("es"),
+        )
+
+    return _apply
+
+
+def token_count_bpe(id_col: str = "doc_id", text_col: str = "text",
+                    chars_per_token: int = 4) -> Callable[[DataFrame], DataFrame]:
+    """BPE-ish token-count estimate: alphanumeric words via regex, each word
+    contributing ceil(len/chars_per_token) subword tokens (min 1)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        c = chars_per_token
+        return df.select(
+            F.col(id_col),
+            F.expr(
+                f"aggregate(regexp_extract_all({text_col}, '[a-z0-9]+', 0), 0L,"
+                f" (a, x) -> a + greatest(1L, (length(x) + {c - 1}) div {c}))"
+            ).alias("est_tokens"),
+        )
+
+    return _apply
+
+
+def doc_fingerprint(id_col: str = "doc_id", text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
+    """Position-sensitive document fingerprint:
+    ``sum((token_id * position_1based) % p) % p`` — an order-aware rolling
+    signature computed as one map-side expression (posexplode-free: the fold
+    runs inside `aggregate` over the token array)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.expr(
+                f"aggregate(zip_with(split({text_col}, ' '),"
+                f"  sequence(1, size(split({text_col}, ' '))),"
+                f"  (tok, i) -> (cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) * i) % {FP_MOD}),"
+                f" 0L, (a, x) -> (a + x) % {FP_MOD})"
+            ).cast("bigint").alias("fingerprint"),
+        )
+
+    return _apply

@@ -1,0 +1,79 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to a noop sink (full computation, no driver collect
+bottleneck) after a warm-up of the parquet file listing. Timings are
+wall-clock per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from akka_stream_contrib_spark import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: relational aggregates/joins + heaviest operator queries +
+# LLM-pipeline extensions. Kept to ~a dozen so a bench round stays < ~5 min.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "accumulate_keyed",
+    "session_window",
+    "sliding_window",
+    "rate_limiter",
+    "keep_alive",
+    "token_throttle",
+    "merge_by_index",
+    "unfold_collatz",
+    # extensions (present from the round they are implemented)
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "simhash",
+    "ann_cosine_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warm the session (JVM, codegen, Arrow python workers, FS listing) so
+    # per-query timings measure the queries, not cluster startup
+    spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+    import pandas as _pd
+    spark.range(100).mapInPandas(lambda it: it, "id long").write.mode("overwrite").format("noop").save()
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
