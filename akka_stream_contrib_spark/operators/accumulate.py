@@ -116,6 +116,8 @@ def last_element(
                 F.max_by(payload, F.col(seq)).alias("_last"))
         else:
             out = df.groupBy().agg(F.max_by(payload, F.col(seq)).alias("_last"))
-        return out.select("_last.*")
+        # empty input → global agg yields one null struct; the reference
+        # materializes None (LastElement.scala:61-69) → drop it
+        return out.filter(F.col("_last").isNotNull()).select("_last.*")
 
     return _apply

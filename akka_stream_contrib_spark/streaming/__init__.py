@@ -1,0 +1,16 @@
+"""Streaming forms of the stateful reference operators
+(applyInPandasWithState-based) plus query-lifecycle utilities (Valve, Timed)."""
+
+from akka_stream_contrib_spark.streaming.stateful import (
+    token_throttle_stream,
+    keep_alive_stream,
+    accumulate_while_unchanged_stream,
+)
+from akka_stream_contrib_spark.streaming.valve import Valve
+
+__all__ = [
+    "token_throttle_stream",
+    "keep_alive_stream",
+    "accumulate_while_unchanged_stream",
+    "Valve",
+]

@@ -1,0 +1,182 @@
+"""Stateful streaming operators via ``applyInPandasWithState``.
+
+These carry the reference semantics that genuinely need cross-batch state:
+
+- ``token_throttle_stream`` — TokenThrottle.scala:42-143 with an *unbounded*
+  token stream: per-key token balance persists in the state store; elements
+  wait (in state) until affordable.
+- ``keep_alive_stream`` — KeepAliveConcat.scala:34-81: processing-time
+  timeout re-emits the extrapolated last element when a key goes idle.
+- ``accumulate_while_unchanged_stream`` — AccumulateWhileUnchanged.scala with
+  the ``maxDuration`` flush (reference :115-126) as a state timeout.
+
+Scale note (SURVEY.md §7 watch list): the reference's state is global per
+stream; a single grouping key serializes through one state partition. All
+operators here take a key column so production pipelines run keyed (state
+scales with #keys); pass a constant-key column for reference-faithful global
+behavior on bounded data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, BooleanType, ArrayType,
+)
+
+
+def token_throttle_stream(unioned: DataFrame, key_col: str = "key") -> DataFrame:
+    """Input: a union stream of token rows (is_token=true, amount) and element
+    rows (is_token=false, seq, cost). Output: (key, seq, cost) for elements
+    admitted by the token balance, in seq order per key.
+
+    State per key: current balance + pending (seq, cost) queue. Tokens are
+    "pulled lazily" in the reference (TokenThrottle.scala:79-91); here each
+    batch banks its tokens then drains the queue in order while affordable —
+    the same accounting invariant (consumed == Σ emitted costs).
+    """
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("seq", LongType()),
+        StructField("cost", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("balance", LongType()),
+        StructField("pending_seq", ArrayType(LongType())),
+        StructField("pending_cost", ArrayType(LongType())),
+    ])
+
+    def _fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            balance, pseq, pcost = state.get
+            pending = list(zip(pseq, pcost))
+        else:
+            balance, pending = 0, []
+        for pdf in pdfs:
+            tokens = pdf[pdf["is_token"]]
+            balance += int(tokens["amount"].fillna(0).sum())
+            elems = pdf[~pdf["is_token"]][["seq", "cost"]]
+            pending.extend(
+                (int(s), int(c)) for s, c in zip(elems["seq"], elems["cost"]))
+        pending.sort()
+        emitted = []
+        while pending and pending[0][1] <= balance:
+            s, c = pending.pop(0)
+            if c < 0:
+                raise ValueError("negative cost")  # TokenThrottle.scala:117-121
+            balance -= c
+            emitted.append((key[0], s, c))
+        state.update((balance,
+                      [s for s, _ in pending], [c for _, c in pending]))
+        if emitted:
+            yield pd.DataFrame(emitted, columns=[key_col, "seq", "cost"])
+
+    return (
+        unioned.groupBy(key_col)
+        .applyInPandasWithState(
+            _fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)
+    )
+
+
+def keep_alive_stream(elements: DataFrame, interval_ms: int,
+                      key_col: str = "key") -> DataFrame:
+    """Pass elements through; when a key sees no input for ``interval_ms`` of
+    processing time, re-emit its last value flagged ``is_heartbeat=true``
+    (extrapolate = repeat-last). Output: (key, value, is_heartbeat)."""
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("value", LongType()),
+        StructField("is_heartbeat", BooleanType()),
+    ])
+    state_schema = StructType([StructField("last_value", LongType())])
+
+    def _fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            if state.exists:
+                (last,) = state.get
+                state.setTimeoutDuration(interval_ms)
+                yield pd.DataFrame([(key[0], last, True)],
+                                   columns=[key_col, "value", "is_heartbeat"])
+            return
+        rows = []
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                last = int(v)
+                rows.append((key[0], last, False))
+        if last is not None:
+            state.update((last,))
+            state.setTimeoutDuration(interval_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=[key_col, "value", "is_heartbeat"])
+
+    return (
+        elements.groupBy(key_col)
+        .applyInPandasWithState(
+            _fn, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout)
+    )
+
+
+def accumulate_while_unchanged_stream(elements: DataFrame,
+                                      max_duration_ms: int | None = None,
+                                      key_col: str = "key") -> DataFrame:
+    """Streaming property-run accumulation: buffer while ``prop`` is
+    unchanged (per key, in seq order within state+batch), emit
+    (key, prop, cnt, first_seq) when the property changes; ``max_duration_ms``
+    flushes an open run via processing-time timeout
+    (AccumulateWhileUnchanged.scala:115-126)."""
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("prop", StringType()),
+        StructField("cnt", LongType()),
+        StructField("first_seq", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("prop", StringType()),
+        StructField("cnt", LongType()),
+        StructField("first_seq", LongType()),
+    ])
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if max_duration_ms else GroupStateTimeout.NoTimeout)
+
+    def _fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            if state.exists:
+                prop, cnt, first = state.get
+                state.remove()
+                yield pd.DataFrame([(key[0], prop, cnt, first)],
+                                   columns=[key_col, "prop", "cnt", "first_seq"])
+            return
+        cur = state.get if state.exists else None
+        finished = []
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values("seq")
+            for _, r in rows.iterrows():
+                p, s = str(r["prop"]), int(r["seq"])
+                if cur is None:
+                    cur = (p, 1, s)
+                elif cur[0] == p:
+                    cur = (p, cur[1] + 1, cur[2])
+                else:
+                    finished.append((key[0], *cur))
+                    cur = (p, 1, s)
+        if cur is not None:
+            state.update(cur)
+            if max_duration_ms:
+                state.setTimeoutDuration(max_duration_ms)
+        if finished:
+            yield pd.DataFrame(finished,
+                               columns=[key_col, "prop", "cnt", "first_seq"])
+
+    return (
+        elements.groupBy(key_col)
+        .applyInPandasWithState(_fn, out_schema, state_schema, "append", timeout)
+    )

@@ -1,0 +1,108 @@
+"""Extension-function invariants: similarity kernels agree with each other,
+dedup pipelines find planted duplicates, multimodal plumbing has real schemas
+with a stubbed decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from akka_stream_contrib_spark.functions import (
+    ann_topk_all,
+    cosine_topk,
+    dedup_exact,
+    minhash_lsh_dedup,
+    simhash,
+)
+from akka_stream_contrib_spark.functions.multimodal import (
+    decode_features,
+    frame_sample,
+    with_media_columns,
+)
+
+
+def vectors_df(spark, n=50, dim=8):
+    import numpy as np
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.uniform(-1, 1, dim).astype("float32").tolist())
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_ann_topk_all_agrees_with_single_query_bruteforce(spark):
+    df = vectors_df(spark)
+    all_topk = ann_topk_all(df, k=5)
+    mine = {r.neighbor_id: r.cos_sim for r in
+            all_topk.filter(F.col("vec_id") == 7).collect()}
+    qvec = df.filter(F.col("vec_id") == 7).head().embedding
+    brute = {r.vec_id: r.cos_sim for r in
+             cosine_topk(df.filter(F.col("vec_id") != 7), qvec, k=5).collect()}
+    assert set(mine) == set(brute)
+    for k in mine:
+        assert abs(mine[k] - brute[k]) < 1e-5
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different text about spark window aggregation " * 6
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id bigint, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in
+             minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_dedup_exact_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "unique")], "doc_id bigint, text string")
+    rows = {r.canonical_doc_id: r.dup_count
+            for r in docs.transform(dedup_exact()).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_simhash_similar_docs_close_hamming(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("delta", "delta2")
+    far = "one two three four five six seven eight nine ten " * 4
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id bigint, text string")
+    h = {r.doc_id: int(r.simhash) for r in docs.transform(simhash()).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+
+
+def test_multimodal_stub_raises_without_fake_decode(spark):
+    docs = spark.createDataFrame([(1, "payload", 7)],
+                                 "doc_id bigint, text string, n_chars int")
+    media = docs.transform(with_media_columns(
+        payload=F.col("text").cast("binary"), modality=F.lit("image")))
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        media.transform(decode_features(fake_decode=False)).collect()
+
+
+def test_multimodal_fake_decode_shapes_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload-{i}", i) for i in range(4)],
+        "doc_id bigint, text string, n_chars int")
+    media = docs.transform(with_media_columns(
+        payload=F.col("text").cast("binary"), modality=F.lit("audio")))
+    feats = media.transform(decode_features(fake_decode=True))
+    rows = feats.collect()
+    assert len(rows) == 4
+    assert all(len(r.features) == 16 for r in rows)
+    again = {r.doc_id: r.features for r in
+             media.transform(decode_features(fake_decode=True)).collect()}
+    assert all(again[r.doc_id] == r.features for r in rows)  # deterministic
+
+
+def test_frame_sample_grid(spark):
+    docs = spark.createDataFrame([(1, "vid", 0)],
+                                 "doc_id bigint, text string, n_chars int")
+    media = docs.transform(with_media_columns(
+        payload=F.col("text").cast("binary"), modality=F.lit("video")))
+    dur = media.select("media_meta.duration_ms").head()[0]
+    frames = media.transform(frame_sample(every_ms=1000)).collect()
+    assert len(frames) == dur // 1000 + 1
+    assert [f.frame_ts_ms for f in frames[:3]] == [0, 1000, 2000]

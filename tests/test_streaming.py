@@ -1,0 +1,123 @@
+"""Stateful streaming operator tests: file-fed microbatches → memory sink,
+deterministic batch sequencing (reference uses probe-driven demand; here the
+batch boundary is the determinism tool)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from akka_stream_contrib_spark.streaming import (
+    accumulate_while_unchanged_stream,
+    token_throttle_stream,
+)
+
+
+def _feed_json(dirpath, name, rows):
+    p = dirpath / name
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def _await_rows(spark, view, n, timeout_s=60):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout_s:
+        if spark.sql(f"select count(*) c from {view}").collect()[0].c >= n:
+            return True
+        time.sleep(0.4)
+    return False
+
+
+def test_token_throttle_stream_accounting(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # batch 1: 10 tokens, elements costing 4+4 affordable, 5 must wait
+    _feed_json(feed, "b1.json", [
+        {"key": 1, "is_token": True, "amount": 10, "seq": None, "cost": None},
+        {"key": 1, "is_token": False, "amount": None, "seq": 1, "cost": 4},
+        {"key": 1, "is_token": False, "amount": None, "seq": 2, "cost": 4},
+        {"key": 1, "is_token": False, "amount": None, "seq": 3, "cost": 5},
+    ])
+    schema = "key long, is_token boolean, amount long, seq long, cost long"
+    src = spark.readStream.schema(schema).json(str(feed))
+    out = token_throttle_stream(src, key_col="key")
+    q = (out.writeStream.format("memory").queryName("tts")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        assert _await_rows(spark, "tts", 2)
+        got = {(r.seq, r.cost) for r in spark.sql("select * from tts").collect()}
+        assert got == {(1, 4), (2, 4)}  # seq 3 unaffordable: balance 2 < 5
+        # batch 2: 3 more tokens → seq 3 becomes affordable (balance 5)
+        _feed_json(feed, "b2.json", [
+            {"key": 1, "is_token": True, "amount": 3, "seq": None, "cost": None},
+        ])
+        assert _await_rows(spark, "tts", 3)
+        got = {(r.seq, r.cost) for r in spark.sql("select * from tts").collect()}
+        assert got == {(1, 4), (2, 4), (3, 5)}
+    finally:
+        q.stop()
+
+
+def test_accumulate_while_unchanged_stream_runs(spark, tmp_path):
+    feed = tmp_path / "feed2"
+    feed.mkdir()
+    _feed_json(feed, "b1.json", [
+        {"key": 1, "seq": 1, "prop": "a"},
+        {"key": 1, "seq": 2, "prop": "a"},
+        {"key": 1, "seq": 3, "prop": "b"},   # closes run 'a' (cnt=2)
+        {"key": 2, "seq": 1, "prop": "x"},
+    ])
+    schema = "key long, seq long, prop string"
+    src = spark.readStream.schema(schema).json(str(feed))
+    out = accumulate_while_unchanged_stream(src)
+    q = (out.writeStream.format("memory").queryName("awus")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(processingTime="1 second").start())
+    try:
+        assert _await_rows(spark, "awus", 1)
+        got = {(r.key, r.prop, r.cnt, r.first_seq)
+               for r in spark.sql("select * from awus").collect()}
+        assert got == {(1, "a", 2, 1)}
+        # next batch: 'b' run for key 1 closes when 'c' arrives; key 2 'x'
+        # closes on property change too
+        _feed_json(feed, "b2.json", [
+            {"key": 1, "seq": 4, "prop": "c"},
+            {"key": 2, "seq": 2, "prop": "y"},
+        ])
+        assert _await_rows(spark, "awus", 3)
+        got = {(r.key, r.prop, r.cnt, r.first_seq)
+               for r in spark.sql("select * from awus").collect()}
+        assert got == {(1, "a", 2, 1), (1, "b", 1, 3), (2, "x", 1, 1)}
+    finally:
+        q.stop()
+
+
+def test_session_window_streaming_with_watermark(spark, tmp_path):
+    # durable form of AccumulateWhileUnchanged maxDuration: event-time
+    # session windows + watermark (late data discipline)
+    feed = tmp_path / "feed3"
+    feed.mkdir()
+    _feed_json(feed, "b1.json", [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:05:00", "value": 2.0},
+        {"user_id": 1, "ts": "2024-01-01T01:00:00", "value": 3.0},
+    ])
+    src = (spark.readStream.schema("user_id long, ts timestamp, value double")
+           .json(str(feed)))
+    agg = (src.withWatermark("ts", "10 minutes")
+           .groupBy("user_id", F.session_window("ts", "10 minutes"))
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    q = (agg.writeStream.format("memory").queryName("sessw")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(processingTime="1 second").start())
+    try:
+        # first session (2 events) closes once watermark passes 00:15
+        assert _await_rows(spark, "sessw", 1, timeout_s=60)
+        rows = spark.sql("select * from sessw").collect()
+        assert rows[0].cnt == 2
+    finally:
+        q.stop()
