@@ -63,38 +63,43 @@ def shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id",
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """MinHash signature rows (doc_id, h, mh): for hash function h,
-    mh = min over shingles of ((a_h * token_id(shingle) + b_h) mod P).
+    """Wide MinHash signatures (doc_id, mh0..mh{n-1}): for hash function h,
+    mh_h = min over shingles of ((a_h * token_id(shingle) + b_h) mod P).
 
     The hash family is affine with fixed odd coefficients a=6h+7, b=3h+1 —
-    deterministic, no RNG, reproducible in SQL. The per-doc min is a partial
-    aggregate (map-side combine) shuffled on (doc_id, h)."""
-    hparams = F.explode(
-        F.expr(f"transform(sequence(0, {num_hashes - 1}),"
-               f" h -> struct(h as h, 6*h + 7 as a, 3*h + 1 as b))")
-    ).alias("hp")
-    return (
-        sh.select("doc_id", token_id(F.col("shingle")).alias("tid"))
-        .select("doc_id", "tid", hparams)
-        .groupBy("doc_id", F.col("hp.h").alias("h"))
-        .agg(F.min((F.col("hp.a") * F.col("tid") + F.col("hp.b")) % MINHASH_P).alias("mh"))
-    )
+    deterministic, no RNG, reproducible in SQL. Computed as ``num_hashes``
+    min-aggregates over ONE pass of the shingle rows (map-side partial
+    aggregation, single shuffle on doc_id) — no row multiplication by the
+    number of hash functions."""
+    tids = sh.select("doc_id", token_id(F.col("shingle")).alias("tid"))
+    aggs = [
+        F.min((F.lit(6 * h + 7) * F.col("tid") + F.lit(3 * h + 1)) % MINHASH_P).alias(f"mh{h}")
+        for h in range(num_hashes)
+    ]
+    return tids.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
-    """Banded LSH: fold each band's signature rows into one integer key
-    (positional base-P encoding — order-independent aggregation), bucket-join
-    on (band, key), emit distinct candidate pairs (doc_a < doc_b).
+    """Banded LSH: fold each band's signature columns into one integer key
+    (positional base-(P+1) encoding), bucket-join on (band, key), emit
+    distinct candidate pairs (doc_a < doc_b).
 
-    The join is an equi-join on the band key → hash-shuffle both sides; bucket
-    sizes are small by construction (that is the LSH property), so no skew."""
-    enc = F.sum(
-        F.col("mh") * F.pow(F.lit(float(MINHASH_P + 1)), F.pmod(F.col("h"), F.lit(rows_per_band))).cast("bigint")
-    )
+    The explode is only bands-per-doc (tiny); the join is an equi-join on the
+    band key → hash-shuffle both sides; bucket sizes are small by construction
+    (that is the LSH property), so no skew."""
+    entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            sum(
+                F.col(f"mh{band * rows_per_band + r}") * F.lit((MINHASH_P + 1) ** r)
+                for r in range(rows_per_band)
+            ).alias("band_key"),
+        )
+        for band in range(bands)
+    ]
     bandsig = (
-        sig.withColumn("band", (F.col("h") / F.lit(rows_per_band)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(enc.alias("band_key"))
+        sig.select("doc_id", F.explode(F.array(*entries)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     )
     a = bandsig.alias("a")
     b = bandsig.alias("b")
@@ -115,27 +120,45 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH candidates → exact
     Jaccard verification on candidates only. Returns (doc_a, doc_b, jaccard)
-    for pairs with Jaccard ≥ threshold."""
+    for pairs with Jaccard ≥ threshold.
+
+    One pass over the shingle rows computes signatures + set size + the
+    shingle set array per doc (single shuffle on doc_id); candidate pairs
+    then join against that compact per-doc table and verification is an
+    ``array_intersect`` — the exploded shingle rows are never revisited.
+
+    ``persist_intermediate`` caches the per-doc aggregate, which three
+    consumers share (band entries, a-side, b-side of the candidate join)."""
     sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
-    cand = lsh_candidate_pairs(sig, bands=bands, rows_per_band=num_hashes // bands)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id"))
-              & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    tids = sh.withColumn("tid", token_id(F.col("shingle")))
+    min_aggs = [
+        F.min((F.lit(6 * h + 7) * F.col("tid") + F.lit(3 * h + 1)) % MINHASH_P).alias(f"mh{h}")
+        for h in range(num_hashes)
+    ]
+    per_doc = tids.groupBy("doc_id").agg(
+        *min_aggs,
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list("shingle").alias("shs"),  # shingles are distinct per doc
     )
+    if persist_intermediate:
+        per_doc = per_doc.persist()
+    cand = lsh_candidate_pairs(per_doc, bands=bands, rows_per_band=num_hashes // bands)
+    docs_a = per_doc.select(F.col("doc_id").alias("_ida"), F.col("n").alias("na"),
+                            F.col("shs").alias("sha"))
+    docs_b = per_doc.select(F.col("doc_id").alias("_idb"), F.col("n").alias("nb"),
+                            F.col("shs").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     return (
-        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
-        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        cand.join(docs_a, F.col("doc_a") == F.col("_ida"))
+        .join(docs_b, F.col("doc_b") == F.col("_idb"))
+        .withColumn("_inter", inter)
         .select(
             "doc_a", "doc_b",
-            F.round(F.col("inter") / (F.col("na.n") + F.col("nb.n") - F.col("inter")), 6).alias("jaccard"),
+            F.round(F.col("_inter") / (F.col("na") + F.col("nb") - F.col("_inter")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -144,8 +167,11 @@ def minhash_lsh_dedup(
 def simhash(id_col: str = "doc_id", text_col: str = "text", k: int = 3,
             bits: int = 16) -> Callable[[DataFrame], DataFrame]:
     """Per-document SimHash: for each bit b, sum ±1 votes of bit b of each
-    shingle hash (mixed by the Knuth multiplier); bit set iff the vote sum is
-    non-negative. One explode + one aggregation — fully distributed."""
+    shingle hash; bit set iff the vote sum is non-negative.
+
+    Computed as ``bits`` sum-aggregates over one pass of the shingle rows
+    (no per-bit row explosion): map-side partial aggregation, one shuffle on
+    doc_id, then a single-row expression folds the vote signs into the hash."""
 
     def _apply(df: DataFrame) -> DataFrame:
         sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
@@ -155,23 +181,15 @@ def simhash(id_col: str = "doc_id", text_col: str = "text", k: int = 3,
             "doc_id",
             F.conv(F.substring(F.md5(F.col("shingle")), 9, 8), 16, 10)
             .cast("bigint").alias("hx"))
-        bitrows = hashed.select(
-            "doc_id",
-            F.explode(F.expr(
-                f"transform(sequence(0, {bits - 1}),"
-                f" b -> struct(b as b, CASE WHEN shiftright(hx, b) % 2 = 1 THEN 1 ELSE -1 END as vote))"
-            )).alias("bv"),
+        vote_aggs = [
+            F.sum(F.when(F.expr(f"shiftright(hx, {b}) % 2 = 1"), 1).otherwise(-1)).alias(f"v{b}")
+            for b in range(bits)
+        ]
+        votes = hashed.groupBy("doc_id").agg(*vote_aggs)
+        hash_expr = sum(
+            F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(bits)
         )
-        votes = (
-            bitrows.groupBy("doc_id", F.col("bv.b").alias("b"))
-            .agg(F.sum("bv.vote").alias("v"))
-        )
-        return (
-            votes.groupBy("doc_id")
-            .agg(F.sum(
-                F.when(F.col("v") >= 0, F.expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-                .otherwise(F.lit(0))
-            ).alias("simhash"))
-        )
+        return votes.select("doc_id", hash_expr.cast("bigint").alias("simhash"))
 
     return _apply

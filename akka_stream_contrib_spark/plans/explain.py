@@ -1,0 +1,46 @@
+"""Physical-plan introspection helpers.
+
+The 100 TB discipline is enforceable: these helpers let tests assert that a
+query's plan has the shape that survives scale — filters pushed into the
+parquet scan, small dimensions broadcast (no shuffle of the fact table),
+bounded exchange counts — rather than hoping the optimizer did the right
+thing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    """Assert some PushedFilters entry mentions ``fragment`` (a column name or
+    literal) — i.e. the predicate reaches the parquet reader."""
+    plan = formatted_plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    if not any(fragment in l for l in pushed):
+        raise AssertionError(
+            f"filter on {fragment!r} not pushed to scan; PushedFilters lines: {pushed}")
+
+
+def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
+    plan = formatted_plan(df)
+    n = plan.count("BroadcastHashJoin")
+    if n < min_count:
+        raise AssertionError(
+            f"expected ≥{min_count} BroadcastHashJoin, found {n}")
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges) — the
+    scale-limiting resource of a plan."""
+    plan = formatted_plan(df)
+    return sum(1 for l in plan.splitlines()
+               if l.strip().startswith("(") is False and "Exchange" in l
+               and "BroadcastExchange" not in l)

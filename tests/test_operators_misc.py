@@ -1,0 +1,162 @@
+"""Coverage for the remaining reference surface: Retry.concat limits,
+DelayFlow linearIncreasingDelay, Valve lifecycle, LatencyTimer columns,
+SourceRepeatEval, keep-alive heartbeat timeout."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from akka_stream_contrib_spark.operators import retry_concat
+from akka_stream_contrib_spark.operators.delay import linear_increasing_delay
+from akka_stream_contrib_spark.operators.timed import (
+    latency_columns,
+    timed_section,
+    with_ingest_ts,
+)
+from akka_stream_contrib_spark.sources.repeat_eval import repeat_eval_stream
+from akka_stream_contrib_spark.streaming import keep_alive_stream
+from akka_stream_contrib_spark.streaming.valve import SwitchMode, Valve
+
+
+def test_retry_concat_splits_heavy_elements(spark):
+    # Retry.concat: a failure may re-inject MANY elements (split semantics)
+    inp = spark.createDataFrame(
+        [(1, 10, 10, False, None)], "seq int, i int, state int, ok boolean, value int")
+
+    def flow(df):
+        # even i fails; odd succeeds with i+1
+        return df.withColumn("ok", F.col("i") % 2 == 1).withColumn(
+            "value", F.when(F.col("i") % 2 == 1, F.col("i") + 1))
+
+    def retry_with(failed):
+        # split each failed element into two odd halves (5 -> succeed)
+        half = failed.withColumn("i", (F.col("i") / 2).cast("int") + F.lit(0))
+        fixed = half.withColumn("i", F.col("i") * 2 + 1)  # force odd
+        return fixed.unionByName(fixed).withColumn("give_up", F.lit(False))
+
+    out = retry_concat(inp, flow, retry_with, retries_limit=10, buffer_limit=10)
+    rows = out.collect()
+    assert len(rows) == 2 and all(r.ok for r in rows)
+
+
+def test_retry_concat_retries_limit_trips(spark):
+    inp = spark.createDataFrame(
+        [(1, 2, 2, False, None)], "seq int, i int, state int, ok boolean, value int")
+
+    def flow(df):
+        return df.withColumn("ok", F.lit(False)).withColumn(
+            "value", F.lit(None).cast("int"))
+
+    def retry_with(failed):
+        return failed.withColumn("give_up", F.lit(False))  # retry forever
+
+    with pytest.raises(RuntimeError, match="retries_limit"):
+        retry_concat(inp, flow, retry_with, retries_limit=3, max_rounds=50)
+
+
+def test_linear_increasing_delay_run_lengths(spark):
+    # DelayFlow.scala:60-102: step × consecutive needsIncrease, reset, cap
+    rows = [(1, True), (2, True), (3, False), (4, True), (5, True), (6, True)]
+    df = spark.createDataFrame(rows, "seq int, inc boolean")
+    out = df.withColumn("d", linear_increasing_delay(
+        F.col("inc"), step_seconds=10, max_delay_seconds=25, seq="seq"))
+    got = {r.seq: r.d for r in out.collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 0.0, 4: 10.0, 5: 20.0, 6: 25.0}  # capped
+
+
+def test_timed_section_and_latency_columns(spark):
+    captured = []
+    with timed_section(captured.append):
+        df = spark.range(10).transform(with_ingest_ts())
+        out = df.transform(latency_columns()).collect()
+    assert len(captured) == 1 and captured[0] > 0
+    assert all(r.latency_us >= 0 for r in out)
+
+
+def test_repeat_eval_stream_generates(spark, tmp_path):
+    gen = lambda seq: (seq * seq).cast("bigint")
+    q = (repeat_eval_stream(spark, gen, rows_per_second=200)
+         .writeStream.format("memory").queryName("repeat_t")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 30:
+            rows = spark.sql("select seq, element from repeat_t").collect()
+            if len(rows) >= 5:
+                break
+            time.sleep(0.3)
+        assert len(rows) >= 5
+        assert all(r.element == r.seq * r.seq for r in rows)
+    finally:
+        q.stop()  # the reference's Cancellable.cancel()
+
+
+def test_valve_flip_lifecycle(spark, tmp_path):
+    feed = tmp_path / "vfeed"
+    out_dir = tmp_path / "vout"
+    feed.mkdir()
+    (feed / "a.json").write_text('{"v": 1}')
+    starts = []
+
+    def start_query():
+        # file sink: the checkpoint is what makes flip(Open) resume losslessly
+        q = (spark.readStream.schema("v long").json(str(feed))
+             .writeStream.format("parquet")
+             .option("path", str(out_dir))
+             .option("checkpointLocation", str(tmp_path / "vck"))
+             .trigger(processingTime="500 milliseconds").start())
+        starts.append(q)
+        return q
+
+    def sink_values():
+        try:
+            return {r.v for r in spark.read.parquet(str(out_dir)).collect()}
+        except Exception:
+            return set()
+
+    valve = Valve(start_query, mode=SwitchMode.OPEN)
+    assert valve.get_mode() == SwitchMode.OPEN
+    assert valve.flip(SwitchMode.OPEN) is False       # no-op, like reference
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < 30 and 1 not in sink_values():
+        time.sleep(0.3)
+    assert 1 in sink_values()
+    assert valve.flip(SwitchMode.CLOSED) is True
+    assert valve.query is None and not starts[-1].isActive
+    # data arriving while closed is NOT lost (checkpoint): reopen drains it
+    (feed / "b.json").write_text('{"v": 2}')
+    assert valve.flip(SwitchMode.OPEN) is True
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < 30 and 2 not in sink_values():
+        time.sleep(0.3)
+    assert 2 in sink_values()
+    valve.flip(SwitchMode.CLOSED)
+
+
+def test_keep_alive_stream_emits_heartbeat_on_idle(spark, tmp_path):
+    feed = tmp_path / "kfeed"
+    feed.mkdir()
+    (feed / "b1.json").write_text('{"key": 1, "value": 42}')
+    src = spark.readStream.schema("key long, value long").json(str(feed))
+    q = (keep_alive_stream(src, interval_ms=1500)
+         .writeStream.format("memory").queryName("ka_t")
+         .option("checkpointLocation", str(tmp_path / "kck"))
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        t0 = time.monotonic()
+        hb = []
+        while time.monotonic() - t0 < 45:
+            rows = spark.sql("select * from ka_t").collect()
+            hb = [r for r in rows if r.is_heartbeat]
+            if hb:
+                break
+            time.sleep(0.5)
+        # the element passed through, then idleness produced heartbeats
+        assert any(not r.is_heartbeat and r.value == 42 for r in rows)
+        assert hb and all(r.value == 42 for r in hb)
+    finally:
+        q.stop()

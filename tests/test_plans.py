@@ -1,0 +1,48 @@
+"""Plan-shape assertions: the properties that make these queries survive a
+100× scale-up, checked against the actual physical plans."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from akka_stream_contrib_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    formatted_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = entry.q_q1_pricing_summary(spark, SF)
+    assert_pushed_filter(df, "l_shipdate")
+    plan = formatted_plan(df)
+    # column pruning: the scan must not read the unused key columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q3_q5_broadcast_all_dimensions(spark):
+    assert_broadcast_join(entry.q_q3_shipping_priority(spark, SF), min_count=2)
+    # q5: five dimension joins, all broadcast — lineitem is never shuffled
+    # before the final aggregation
+    assert_broadcast_join(entry.q_q5_local_supplier_volume(spark, SF), min_count=5)
+    plan = formatted_plan(entry.q_q5_local_supplier_volume(spark, SF))
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_nth_scans_pruned_schema(spark):
+    df = entry.q_sample_nth(spark, SF)
+    read = formatted_plan(df).split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read and "ts" not in read  # only 4 needed columns
+
+
+def test_whole_stage_codegen_covers_q1(spark):
+    df = entry.q_q1_pricing_summary(spark, SF)
+    qe = df._jdf.queryExecution()
+    jvm = spark._jvm
+    plan = qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    # the scan→filter→partial-agg pipeline must be fused into JIT'd loops
+    assert "WholeStageCodegen" in plan
