@@ -394,6 +394,31 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the value of the user's most recent purchase at or
+    before the click (time-travel feature join; see operators/asof.py for why
+    the union-trick plan is the one that scales)."""
+    from akka_stream_contrib_spark.operators import as_of_join
+    ev = tables.load(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = as_of_join(clicks, purchases, on=["user_id"], ts="ts", right_cols=["value"])
+    return out.select("event_id", "user_id", F.col("value_asof"))
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (§2.7: grouping-set family via Catalyst
+    built-ins): revenue by returnflag × linestatus with rollup totals."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -438,6 +463,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, "embeddings", sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions.similarity import ann_lsh_topk
+    return ann_lsh_topk(tables.load(spark, "embeddings", sf_dir), k=3)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        "as_of_join": q_as_of_join,
+        "rollup_revenue": q_rollup_revenue,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "token_count_bpe": q_token_count_bpe,
@@ -508,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
     }
@@ -736,6 +769,19 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
         """,
+        "as_of_join": """
+            SELECT l.event_id, l.user_id, r.value AS value_asof
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   count(*) AS cnt
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
         "text_stats": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
@@ -855,6 +901,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(cos, 6) AS cos_sim
             FROM c ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "ann_lsh_topk": """
+            WITH base AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+                       CAST(list_sum(list_transform(generate_series(0, 7), p ->
+                           CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                               i -> CAST(embedding[i] AS DOUBLE) *
+                                    (((p * 64 + (i - 1)) * 2654435761 % 1000) / 1000.0 - 0.5)
+                           )) >= 0 THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                       list_sum(list_transform(generate_series(1, 64),
+                           i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS cos,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_sum(list_transform(generate_series(1, 64),
+                                    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) DESC,
+                                    b.vec_id) AS rn
+                FROM base a JOIN base b
+                  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id, round(cos, 6) AS cos_sim
+            FROM pairs WHERE rn <= 3
         """,
         "embedding_near_dup": """
             WITH n AS (

@@ -76,6 +76,57 @@ def near_dup_pairs(df: DataFrame, threshold: float,
     )
 
 
+def _plane(p: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane p: exact integer formula then
+    one double division — reproducible in any engine (no RNG)."""
+    return [((p * dim + d) * 2654435761 % 1000) / 1000.0 - 0.5
+            for d in range(dim)]
+
+
+def ann_lsh_topk(df: DataFrame, k: int = 3, n_planes: int = 8, dim: int = 64,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane sign bucketing, then exact cosine
+    top-k *within* each bucket.
+
+    The scale path for all-pairs similarity: bucketing is a map-side
+    expression (n_planes dot products per vector); the candidate join is an
+    equi-join on the bucket id — expected bucket size N/2^n_planes, so the
+    quadratic blow-up of a full self-join never happens. Recall is traded via
+    n_planes (fewer planes = bigger buckets = higher recall, more compute).
+
+    Output: (id, neighbor_id, cos_sim) — up to k bucket-mates per vector,
+    deterministic tie-break on neighbor id.
+    """
+    e = as_double(vec_col)
+    bucket = sum(
+        F.when(
+            _dot(e, F.array(*[F.lit(x) for x in _plane(p, dim)])) >= 0,
+            F.lit(1 << p),
+        ).otherwise(F.lit(0))
+        for p in range(n_planes)
+    )
+    base = df.select(
+        F.col(id_col), e.alias("_e"), _norm(e).alias("_nrm"),
+        bucket.cast("int").alias("_bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a._e"), F.col("b._e")) / (F.col("a._nrm") * F.col("b._nrm"))
+    pairs = (
+        a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias(id_col),
+                F.col(f"b.{id_col}").alias("neighbor_id"),
+                cos.alias("_cos"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), "neighbor_id")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "neighbor_id", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
 def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
                  vec_col: str = "embedding", block: int = 4096) -> DataFrame:
     """Approximate-free brute-force top-k for EVERY vector, the distributed

@@ -25,6 +25,7 @@ from akka_stream_contrib_spark.operators.keepalive import keep_alive_concat
 from akka_stream_contrib_spark.operators.timed import timed_interval_between, with_ingest_ts, latency_columns
 from akka_stream_contrib_spark.operators.retry import retry, retry_concat
 from akka_stream_contrib_spark.operators.feedback import feedback_loop, unfold_flow
+from akka_stream_contrib_spark.operators.asof import as_of_join
 
 __all__ = [
     "sample_nth", "sample_step", "sample_random",
@@ -36,4 +37,5 @@ __all__ = [
     "token_throttle", "delay_flow", "keep_alive_concat",
     "timed_interval_between", "with_ingest_ts", "latency_columns",
     "retry", "retry_concat", "feedback_loop", "unfold_flow",
+    "as_of_join",
 ]
