@@ -394,6 +394,63 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS family): customers that placed an urgent order."""
+    cust = tables.load(spark, "customer", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS family): customers with no orders at all."""
+    cust = tables.load(spark, "customer", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function family: rank orders per customer, keep top 3 by price
+    (row_number with deterministic tie-break)."""
+    orders = tables.load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function family (JSON): extract events.props['k'] and aggregate
+    per extracted value."""
+    ev = tables.load(spark, "events", sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum(_dec(F.col("value"))), 4).cast("double").alias("sum_value"))
+    )
+
+
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family: revenue per calendar month of ship date."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(F.sum(_money("l_extendedprice") * (1 - _pct("l_discount")))
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every click, the value of the user's most recent purchase at or
     before the click (time-travel feature join; see operators/asof.py for why
@@ -532,6 +589,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "as_of_join": q_as_of_join,
         "rollup_revenue": q_rollup_revenue,
+        "semi_join_customers": q_semi_join_customers,
+        "anti_join_customers": q_anti_join_customers,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "props_json_extract": q_props_json_extract,
+        "monthly_revenue": q_monthly_revenue,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "token_count_bpe": q_token_count_bpe,
@@ -768,6 +830,38 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "semi_join_customers": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "top_orders_per_customer": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM ranked WHERE rk <= 3
+        """,
+        "props_json_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   count(*) AS cnt,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+            FROM events GROUP BY k
+        """,
+        "monthly_revenue": """
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY month
         """,
         "as_of_join": """
             SELECT l.event_id, l.user_id, r.value AS value_asof
