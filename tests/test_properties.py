@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) — the reference's randomized-testing
+style (MergeByIndexSpec.scala:105-128) upgraded to real property testing:
+operators vs pure-Python reference models on arbitrary inputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from akka_stream_contrib_spark.operators import (
+    accumulate_while_unchanged,
+    token_throttle,
+)
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from akka_stream_contrib_spark import get_spark
+        _spark = get_spark("pytest", shuffle_partitions=8)
+    return _spark
+
+
+def islands_model(props: list[str]) -> list[tuple[str, int]]:
+    """Pure-python reference: runs of equal consecutive property."""
+    runs = []
+    for p in props:
+        if runs and runs[-1][0] == p:
+            runs[-1] = (p, runs[-1][1] + 1)
+        else:
+            runs.append((p, 1))
+    return runs
+
+
+@given(st.lists(st.sampled_from("abc"), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_islands_matches_model(props):
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(props)], "seq int, prop string")
+    out = df.transform(accumulate_while_unchanged(
+        "prop", [F.count(F.lit(1)).alias("cnt")], seq="seq"))
+    got = [(r.prop, r.cnt) for r in sorted(out.collect(), key=lambda r: r.grp)]
+    assert got == islands_model(props)
+
+
+def throttle_model(costs: list[int], budget: int) -> list[int]:
+    """Emit prefix while cumulative cost fits the budget."""
+    out, acc = [], 0
+    for i, c in enumerate(costs):
+        acc += c
+        if acc > budget:
+            break
+        out.append(i)
+    return out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=30),
+       st.integers(min_value=0, max_value=100))
+@settings(**SETTINGS)
+def test_token_throttle_matches_model(costs, budget):
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(costs)], "seq int, c int")
+    out = df.transform(token_throttle(
+        F.col("c").cast("bigint"), total_tokens=budget, seq="seq"))
+    got = sorted(r.seq for r in out.collect())
+    assert got == throttle_model(costs, budget)
+
+
+def asof_model(left, right):
+    out = {}
+    for lid, lts in left:
+        best = None
+        for rts, rv in right:
+            if rts <= lts and (best is None or rts >= best[0]):
+                best = (rts, rv)
+        out[lid] = best[1] if best else None
+    return out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=1000), min_size=1,
+                max_size=15, unique=True),
+       st.lists(st.tuples(st.integers(min_value=0, max_value=1000),
+                          st.integers(min_value=0, max_value=99)),
+                min_size=0, max_size=15, unique_by=lambda t: t[0]))
+@settings(**SETTINGS)
+def test_as_of_join_matches_model(left_ts, right_rows):
+    from akka_stream_contrib_spark.operators import as_of_join
+    spark = _get_spark()
+    left = [(i, ts) for i, ts in enumerate(left_ts)]
+    ldf = spark.createDataFrame(
+        [(i, 1, ts) for i, ts in left], "event_id int, k int, ts long")
+    rdf = spark.createDataFrame(
+        [(1, ts, v) for ts, v in right_rows] or [(None, None, None)],
+        "k int, ts long, v int").filter(F.col("ts").isNotNull())
+    out = as_of_join(ldf, rdf, on=["k"], ts="ts", right_cols=["v"])
+    got = {r.event_id: r.v_asof for r in out.collect()}
+    assert got == asof_model(left, right_rows)
