@@ -451,6 +451,24 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregation family: exact count(distinct) per group (two-phase
+    partial/final under Catalyst)."""
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"))
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-distinct family (HyperLogLog++). No cross-engine oracle —
+    sketches differ by engine — so this entry is rows-only checked; the exact
+    variant above is the hash-matched twin."""
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+
+
 def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every click, the value of the user's most recent purchase at or
     before the click (time-travel feature join; see operators/asof.py for why
@@ -589,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "as_of_join": q_as_of_join,
         "rollup_revenue": q_rollup_revenue,
+        "distinct_users": q_distinct_users,
+        "approx_distinct_users": q_approx_distinct_users,
         "semi_join_customers": q_semi_join_customers,
         "anti_join_customers": q_anti_join_customers,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -830,6 +850,11 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "semi_join_customers": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer

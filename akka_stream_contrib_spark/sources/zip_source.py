@@ -76,6 +76,26 @@ def zip_entries(spark: SparkSession, path: str,
     return binary.select("path", "content").mapInPandas(_explode, schema=ZIP_SCHEMA)
 
 
+def zip_entries_udtf(spark: SparkSession, path: str,
+                     chunk_size: int = DEFAULT_CHUNK_SIZE) -> DataFrame:
+    """Python-UDTF variant of the exploder (the table-function extension
+    surface of SURVEY.md §2.7): LATERAL-joinable, one UDTF eval per archive.
+    Same output as ``zip_entries``; kept alongside the mapInPandas form to
+    exercise both extension APIs."""
+    from pyspark.sql.functions import col, udtf
+
+    @udtf(returnType=ZIP_SCHEMA)
+    class ZipExplode:
+        def eval(self, apath: str, content: bytes):  # noqa: D401
+            yield from _explode_zip_bytes(apath, bytes(content), chunk_size, (".zip",))
+
+    spark.udtf.register("zip_explode", ZipExplode)
+    binary = spark.read.format("binaryFile").load(path)
+    binary.createOrReplaceTempView("_zip_binary")
+    return spark.sql(
+        "SELECT z.* FROM _zip_binary, LATERAL zip_explode(path, content) z")
+
+
 def total_bytes(entries: DataFrame) -> int:
     """The reference's materialized value Future[Long] = total bytes read
     (ZipInputStreamSource.scala:92-94) as a tiny aggregate."""

@@ -111,6 +111,18 @@ def test_zip_entries_chunks_and_nesting(spark, tmp_path):
     assert total_bytes(df) == 5 + 20 + 10
 
 
+def test_zip_entries_udtf_matches_mapinpandas(spark, tmp_path):
+    from akka_stream_contrib_spark.sources.zip_source import zip_entries_udtf
+    outer = tmp_path / "u.zip"
+    with zipfile.ZipFile(outer, "w") as zf:
+        zf.writestr("a.txt", b"q" * 12)
+    got = zip_entries_udtf(spark, str(outer), chunk_size=8).collect()
+    ref = zip_entries(spark, str(outer), chunk_size=8).collect()
+    key = lambda r: (r.entry_name, r.chunk_no)
+    assert sorted([(r.entry_name, r.chunk_no, bytes(r.content)) for r in got]) == \
+           sorted([(r.entry_name, r.chunk_no, bytes(r.content)) for r in ref])
+
+
 def test_paged_source_batch_unfold(spark):
     # PagedSourceSpec.scala:14-63: linked pages, stop on null next key
     pages = {
