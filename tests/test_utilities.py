@@ -1,0 +1,78 @@
+"""Skew-safe aggregation, failure-as-data transform, pulse streaming form,
+progress listener."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from akka_stream_contrib_spark.functions.errors import try_transform
+from akka_stream_contrib_spark.operators.skew import salted_aggregate
+from akka_stream_contrib_spark.streaming.metrics import ProgressRecorder, pulse_stream
+
+
+def test_salted_aggregate_equals_direct(spark):
+    # heavy skew: 90% of rows share one key
+    rows = [(("hot" if i % 10 else f"k{i}"), float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    direct = {(r.k): (r.s, r.c, r.mn, r.mx) for r in
+              df.groupBy("k").agg(F.sum("v").alias("s"),
+                                  F.count("v").alias("c"),
+                                  F.min("v").alias("mn"),
+                                  F.max("v").alias("mx")).collect()}
+    salted = {(r.k): (r.s, r.c, r.mn, r.mx) for r in
+              salted_aggregate(df, ["k"], {
+                  "s": ("sum", "v"), "c": ("count", "v"),
+                  "mn": ("min", "v"), "mx": ("max", "v")}).collect()}
+    assert direct == salted
+
+
+def test_try_transform_captures_per_row_failures(spark):
+    df = spark.createDataFrame(
+        [(1, "10"), (2, "oops"), (3, "30")], "id long, raw string")
+    out = df.transform(try_transform(
+        lambda s: int(s) * 2, in_col="raw", value_type="bigint",
+        keep_cols=("id",)))
+    got = {r.id: (r.ok, r.value, r.error) for r in out.collect()}
+    assert got[1] == (True, 20, None)
+    assert got[3] == (True, 60, None)
+    assert got[2][0] is False and got[2][1] is None and "ValueError" in got[2][2]
+
+
+def test_pulse_stream_latest_per_key_per_batch(spark, tmp_path):
+    feed = tmp_path / "pfeed"
+    feed.mkdir()
+    (feed / "b1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"key": 1, "seq": 1, "v": 10}, {"key": 1, "seq": 3, "v": 30},
+        {"key": 2, "seq": 2, "v": 20},
+    ]))
+    src = spark.readStream.schema("key long, seq long, v long").json(str(feed))
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        q = (pulse_stream(src, "key", "seq")
+             .writeStream.format("memory").queryName("pulse_s")
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(processingTime="500 milliseconds").start())
+        try:
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < 30:
+                rows = spark.sql("select * from pulse_s").collect()
+                if len(rows) == 2:
+                    break
+                time.sleep(0.4)
+            got = {r.key: (r.seq, r.v) for r in rows}
+            assert got == {1: (3, 30), 2: (2, 20)}  # latest per key only
+        finally:
+            q.stop()
+        # LatencyTimer side channel: listener saw batch progress
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 10 and not rec.batches:
+            time.sleep(0.3)
+        assert rec.started
+        assert any(b.num_input_rows > 0 for b in rec.batches)
+    finally:
+        spark.streams.removeListener(rec)
