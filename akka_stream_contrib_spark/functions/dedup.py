@@ -23,6 +23,8 @@ from akka_stream_contrib_spark.functions.text import token_id
 
 MINHASH_P = 8191  # 2^13-1, prime modulus for the affine hash family
 
+_LAST_PERSISTED: DataFrame | None = None  # see minhash_lsh_dedup
+
 
 def dedup_exact(id_col: str = "doc_id", text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
     """Exact dedup via content hash: one row per distinct content with the
@@ -49,15 +51,20 @@ def shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     Built with an array expression (`transform` over an index sequence) and a
     single `explode` — the shingling itself never leaves the JVM. Documents
     with fewer than k tokens produce no shingles (matching generate_series
-    semantics in the oracle)."""
-    toks = f"split({text_col}, ' ')"
+    semantics in the oracle).
+
+    The token array is materialized as a projected column BEFORE the lambda:
+    `split()` referenced inside a higher-order function is re-evaluated per
+    shingle (no CSE across lambda scopes), which makes shingling O(tokens²)
+    per document — measured 3× slower at sf0.1."""
     shingle_arr = (
-        f"transform(sequence(0, size({toks}) - {k}),"
-        f" i -> concat_ws(' ', slice({toks}, i + 1, {k})))"
+        f"transform(sequence(0, size(_toks) - {k}),"
+        f" i -> concat_ws(' ', slice(_toks, i + 1, {k})))"
     )
     return (
-        df.filter(F.expr(f"size({toks}) >= {k}"))
-        .select(F.col(id_col).alias("doc_id"),
+        df.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select("doc_id",
                 F.explode(F.array_distinct(F.expr(shingle_arr))).alias("shingle"))
     )
 
@@ -132,7 +139,16 @@ def minhash_lsh_dedup(
     ``array_intersect`` — the exploded shingle rows are never revisited.
 
     ``persist_intermediate`` caches the per-doc aggregate, which three
-    consumers share (band entries, a-side, b-side of the candidate join)."""
+    consumers share (band entries, a-side, b-side of the candidate join).
+    The cache is dropped lazily on the NEXT call (module-level registry) so
+    repeated pipeline invocations don't accumulate executor storage."""
+    global _LAST_PERSISTED
+    if _LAST_PERSISTED is not None:
+        try:
+            _LAST_PERSISTED.unpersist()
+        except Exception:
+            pass
+        _LAST_PERSISTED = None
     sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
     tids = sh.withColumn("tid", token_id(F.col("shingle")))
     min_aggs = [
@@ -146,6 +162,7 @@ def minhash_lsh_dedup(
     )
     if persist_intermediate:
         per_doc = per_doc.persist()
+        _LAST_PERSISTED = per_doc
     cand = lsh_candidate_pairs(per_doc, bands=bands, rows_per_band=num_hashes // bands)
     docs_a = per_doc.select(F.col("doc_id").alias("_ida"), F.col("n").alias("na"),
                             F.col("shs").alias("sha"))

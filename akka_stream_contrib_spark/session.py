@@ -36,6 +36,10 @@ def get_spark(app_name: str = "akka-stream-contrib-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # default codegen cache is 100 compiled classes; a session running the
+        # full query manifest (~45 multi-stage plans) evicts hot entries and
+        # re-pays javac+JIT per run — measured 3× on the wide-agg simhash plan
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         # driver fixtures store events.ts as TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type — read as long, convert in tables.load
