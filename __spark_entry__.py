@@ -570,6 +570,252 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.7 deep relational families — adapted TPC-H over the trimmed fixture
+# schemas (no partsupp/l_shipmode/c_phone columns in the driver's tables),
+# plus set ops, CUBE, and a range join. All broadcast-annotated dims stay
+# broadcast-able at 100 TB (region/nation/part/customer are the small side).
+# ---------------------------------------------------------------------------
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (EXISTS-with-correlated-predicate family): orders per priority
+    that had at least one line shipped after the order date. The correlated
+    EXISTS becomes a left-semi join with a non-equi conjunct — Catalyst keeps
+    the equi part hashable."""
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = tables.load(spark, "lineitem", sf_dir)
+    return (
+        orders.join(li, (orders.o_orderkey == li.l_orderkey)
+                    & (li.l_shipdate > orders.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returned items per customer (4-way join,
+    one quarter of orders, returnflag filter pushed to the lineitem scan)."""
+    cust = tables.load(spark, "customer", sf_dir)
+    nation = tables.load(spark, "nation", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = tables.load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_money("l_extendedprice") * (1 - _pct("l_discount")))
+             .cast("double").alias("revenue"))
+    )
+
+
+def q_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no l_shipmode in fixtures): per ship year, how many
+    lines belong to high- vs low-priority orders (conditional counts)."""
+    orders = tables.load(spark, "orders", sf_dir)
+    li = tables.load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+    )
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share. Both exact decimal sums are cast to
+    double BEFORE the division so both engines run the identical IEEE ops."""
+    part = tables.load(spark, "part", sf_dir)
+    li = tables.load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+    disc = _money("l_extendedprice") * (1 - _pct("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(12,2)")))
+            .cast("double").alias("_promo"),
+            F.sum(disc).cast("double").alias("_total"),
+        )
+        .select(F.round(F.lit(100.0) * F.col("_promo") / F.col("_total"), 6)
+                .alias("promo_pct"))
+    )
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (correlated scalar-subquery family): yearly revenue that
+    would be lost by dropping small-quantity orders for one brand. The
+    per-part average becomes an aggregate + equi-join (no correlated rescans
+    — this is the form that scales: one partial agg + one shuffle)."""
+    part = tables.load(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#6")
+    li = tables.load(spark, "lineitem", sf_dir)
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = (
+        brand_li.groupBy(F.col("l_partkey").alias("_pk"))
+        .agg((F.sum(_money("l_quantity")).cast("double") / F.count(F.lit(1)))
+             .alias("_avg_qty"))
+    )
+    return (
+        brand_li.join(F.broadcast(avg_qty), brand_li.l_partkey == avg_qty._pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(F.round(F.sum(_money("l_extendedprice")).cast("double") / 7.0, 6)
+             .alias("avg_yearly"))
+    )
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (HAVING-subquery family): customers whose orders exceed 300
+    total quantity. Aggregate-then-join: the heavy groupBy runs on lineitem
+    alone; only the tiny surviving key set joins back."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir)
+    cust = tables.load(spark, "customer", sf_dir)
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("_ok"))
+        .agg(F.sum(_money("l_quantity")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big._ok)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+    )
+
+
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (OR-of-ANDs predicate family): revenue from three disjoint
+    brand/size/quantity bands. The whole disjunction is one Catalyst filter
+    after a broadcast join — no union-of-three-scans."""
+    part = tables.load(spark, "part", sf_dir)
+    li = tables.load(spark, "lineitem", sf_dir)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(5, 30))
+        | ((F.col("p_brand") == "Brand#16") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(10, 40))
+    )
+    return j.filter(band).agg(
+        F.sum(_money("l_extendedprice") * (1 - _pct("l_discount")))
+        .cast("double").alias("revenue"))
+
+
+def q_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (no c_phone): per nation, count + total balance of
+    above-average-balance customers with no order since 2000. Scalar subquery
+    → broadcast cross join (one row); NOT EXISTS → left-anti join."""
+    cust = tables.load(spark, "customer", sf_dir)
+    recent = tables.load(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_money("c_acctbal")).cast("double") / F.count(F.lit(1)))
+             .alias("_avg_bal"))
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(_money("c_acctbal")).cast("double").alias("totacctbal"))
+    )
+
+
+def q_customers_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation family (INTERSECT): customers ordering in both 1996 and
+    2000. Spark rewrites INTERSECT to a left-semi join under distinct."""
+    orders = tables.load(spark, "orders", sf_dir)
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y00 = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    return y96.intersect(y00)
+
+
+def q_customers_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation family (EXCEPT): customers ordering in 1996 but not 2000
+    (left-anti join under distinct)."""
+    orders = tables.load(spark, "orders", sf_dir)
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y00 = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    return y96.subtract(y00)  # EXCEPT DISTINCT
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family (CUBE): revenue across all 4 combinations of
+    (returnflag, linestatus) rollups, with grouping indicator columns so
+    subtotal rows are distinguishable from data NULLs."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping("l_returnflag").cast("int").alias("g_rf"),
+             F.grouping("l_linestatus").cast("int").alias("g_ls"),
+             F.count(F.lit(1)).alias("cnt"),
+             F.sum(_money("l_extendedprice")).cast("double").alias("gross"))
+    )
+
+
+def q_range_join_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join family: for each error event, count same-user events in the
+    following hour. Equi conjunct on user_id keeps the join hash-partitioned;
+    the range predicate filters within each user's partition (at 100 TB this
+    is the scalable shape — never a pure cross range join)."""
+    ev = tables.load(spark, "events", sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("_eid"), F.col("user_id").alias("_u"),
+        F.col("ts").alias("_t"))
+    return (
+        errors.join(
+            ev,
+            (ev.user_id == errors._u) & (ev.ts > errors._t)
+            & (ev.ts <= F.col("_t") + F.expr("INTERVAL 1 HOUR")))
+        .groupBy(F.col("_eid").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function family (strings): case, slice, pad, replace, reverse —
+    all Catalyst built-ins, verified char-exact against DuckDB."""
+    part = tables.load(spark, "part", sf_dir)
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("u_brand"),
+        F.lower("p_type").alias("l_type"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function family (dates): extraction, truncation, month-end,
+    day arithmetic — per order row."""
+    orders = tables.load(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .alias("days_since_epoch95"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -605,6 +851,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q4_order_priority": q_q4_order_priority,
+        "q10_returned_items": q_q10_returned_items,
+        "q12_priority_shipping": q_q12_priority_shipping,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q22_idle_balance": q_q22_idle_balance,
+        "customers_retained": q_customers_retained,
+        "customers_churned": q_customers_churned,
+        "cube_revenue": q_cube_revenue,
+        "range_join_follows": q_range_join_follows,
+        "string_funcs": q_string_funcs,
+        "date_parts": q_date_parts,
         "as_of_join": q_as_of_join,
         "rollup_revenue": q_rollup_revenue,
         "distinct_users": q_distinct_users,
@@ -850,6 +1110,136 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+            FROM lineitem, orders, customer, nation
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey
+              AND l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+        """,
+        "q12_priority_shipping": """
+            SELECT year(l_shipdate) AS ship_year,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY year(l_shipdate)
+        """,
+        "q14_promo_revenue": """
+            SELECT round((100.0 * _promo) / _total, 6) AS promo_pct FROM (
+                SELECT
+                    CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS _promo,
+                    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS _total
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l_shipdate < TIMESTAMP '1996-10-01')
+        """,
+        "q17_small_qty_revenue": """
+            WITH b AS (
+                SELECT l_partkey AS _pk,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS _avg_qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#6'
+                GROUP BY l_partkey)
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN b ON l_partkey = _pk
+            WHERE p_brand = 'Brand#6' AND l_quantity < 0.2 * _avg_qty
+        """,
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey AS _ok,
+                         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 300) big
+              ON o_orderkey = _ok
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 30)
+               OR (p_brand = 'Brand#16' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10 AND 40)
+        """,
+        "q22_idle_balance": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                               FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
+        """,
+        "customers_retained": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+        """,
+        "customers_churned": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                   CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "range_join_follows": """
+            SELECT a.event_id, count(*) AS n_follow
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+            WHERE a.event_type = 'error'
+            GROUP BY a.event_id
+        """,
+        "string_funcs": """
+            SELECT p_partkey,
+                   upper(p_brand) AS u_brand,
+                   lower(p_type) AS l_type,
+                   length(p_name) AS name_len,
+                   substring(p_name, 1, 8) AS name_prefix,
+                   concat_ws('-', p_brand, p_type) AS brand_type,
+                   lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+                   replace(p_name, ' ', '_') AS name_snake,
+                   reverse(p_brand) AS brand_rev
+            FROM part
+        """,
+        "date_parts": """
+            SELECT o_orderkey,
+                   year(o_orderdate) AS o_year,
+                   quarter(o_orderdate) AS o_quarter,
+                   month(o_orderdate) AS o_month,
+                   day(o_orderdate) AS o_day,
+                   last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                   date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch95
+            FROM orders
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
