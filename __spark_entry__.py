@@ -545,6 +545,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(tables.load(spark, "embeddings", sf_dir), k=3)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (iterative k-means training → rows-only check; exact twin is
+    ann_cosine_topk)."""
+    from akka_stream_contrib_spark.functions.similarity import ivf_topk
+    emb = tables.load(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from akka_stream_contrib_spark.functions.dedup import ngram_jaccard_dedup
+    return ngram_jaccard_dedup(tables.load(spark, "documents", sf_dir),
+                               n=4, threshold=0.2, max_doc_freq=250)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from akka_stream_contrib_spark.functions import near_dup_pairs
     emb = tables.load(spark, "embeddings", sf_dir)
@@ -883,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
     }
@@ -1332,6 +1349,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_dedup": """
+            WITH g AS (
+                SELECT DISTINCT doc_id, substr(lc, i, 4) AS ngram
+                FROM (SELECT doc_id, lower(text) AS lc,
+                             unnest(range(1, length(text) - 2)) AS i
+                      FROM documents WHERE length(text) >= 4)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            rare AS (
+                SELECT doc_id, ngram FROM (
+                    SELECT doc_id, ngram, count(*) OVER (PARTITION BY ngram) AS _df FROM g)
+                WHERE _df <= 250
+            ),
+            shared AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS _shared
+                FROM rare a JOIN rare b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(_shared / (sa.n_grams + sb.n_grams - _shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(_shared / (sa.n_grams + sb.n_grams - _shared), 6) >= 0.2
         """,
         "minhash_lsh_dedup": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

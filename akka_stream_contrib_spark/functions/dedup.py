@@ -181,6 +181,74 @@ def minhash_lsh_dedup(
     )
 
 
+def char_ngrams(df: DataFrame, n: int = 4, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Distinct character n-grams per document: (doc_id, ngram).
+
+    Same materialize-before-lambda discipline as :func:`shingles` — the
+    lowered text is projected once, then sliced inside the transform."""
+    grams = (
+        f"transform(sequence(1, length(_lc) - {n} + 1),"
+        f" i -> substring(_lc, i, {n}))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_lc"))
+        .filter(F.length("_lc") >= n)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(grams))).alias("ngram"))
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    n: int = 4,
+    threshold: float = 0.35,
+    max_doc_freq: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup detection via an inverted-index
+    join: explode distinct n-grams, drop ubiquitous ones (document frequency
+    > ``max_doc_freq`` — they generate quadratic candidate pairs and carry no
+    signal), self-join on the n-gram, count shared rare grams per pair, and
+    divide by the union size of the FULL gram sets. Shared ubiquitous grams
+    are excluded from the numerator — a conservative (under-)estimate, the
+    standard df-pruned inverted-index trade-off.
+
+    Scale shape: the only shuffle keys are (ngram) and (doc pair); the
+    df-filter bounds each posting list, so candidate generation is
+    O(sum df²) with df ≤ max_doc_freq — never all-pairs. Returns
+    (doc_a, doc_b, jaccard ≥ threshold).
+    """
+    grams = char_ngrams(df, n=n, id_col=id_col, text_col=text_col)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    rare = (
+        grams.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("ngram")))
+        .filter(F.col("_df") <= max_doc_freq)
+        .drop("_df")
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    shared = (
+        a.join(b, (F.col("a.ngram") == F.col("b.ngram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("_ida"), F.col("n_grams").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("_idb"), F.col("n_grams").alias("_nb"))
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("_ida"))
+        .join(sb, F.col("doc_b") == F.col("_idb"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("_shared")
+                    / (F.col("_na") + F.col("_nb") - F.col("_shared")), 6)
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(id_col: str = "doc_id", text_col: str = "text", k: int = 3,
             bits: int = 16) -> Callable[[DataFrame], DataFrame]:
     """Per-document SimHash: for each bit b, sum ±1 votes of bit b of each

@@ -127,6 +127,65 @@ def ann_lsh_topk(df: DataFrame, k: int = 3, n_planes: int = 8, dim: int = 64,
     )
 
 
+def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+             nlist: int = 16, nprobe: int = 4, iters: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``nlist`` k-means
+    cells, search only the ``nprobe`` cells whose centroids are nearest the
+    query. The 100 TB shape: centroids train on a driver-side sample (tiny),
+    cell assignment is one broadcast-centroid pass over the corpus
+    (mapInPandas, no shuffle), and the probed filter prunes (nlist-nprobe)/
+    nlist of the data before the exact-distance scan.
+
+    Deterministic: centroid init = the ``nlist`` vectors with smallest ids,
+    fixed ``iters`` Lloyd rounds, ties in assignment broken by lowest cell
+    index (np.argmin). Iterative training is not SQL-expressible — this entry
+    is rows-only checked; the exact twin is ``cosine_topk``.
+    """
+    spark = df.sparkSession
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= np.linalg.norm(q)
+
+    # --- train on a driver-side sample (deterministic: lowest ids first) ---
+    sample = (df.select(id_col, vec_col).orderBy(id_col)
+              .limit(max(nlist * 64, 1024)).toPandas())
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cents = X[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmin(((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
+        for c in range(nlist):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    probed = set(np.argsort(-(cents @ q))[:nprobe].tolist())
+    b_cents = spark.sparkContext.broadcast(cents)
+    b_q = spark.sparkContext.broadcast(q)
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs = b_cents.value
+        qv = b_q.value
+        for pdfb in batches:
+            if len(pdfb) == 0:
+                continue
+            v = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            cell = np.argmin(((v[:, None, :] - cs[None, :, :]) ** 2).sum(-1), axis=1)
+            mask = np.isin(cell, list(probed))
+            if not mask.any():
+                continue
+            yield pd.DataFrame({
+                id_col: pdfb[id_col].to_numpy()[mask],
+                "cos_sim": (v[mask] @ qv).round(6),
+            })
+
+    hits = df.select(id_col, vec_col).mapInPandas(
+        _scan, schema=f"{id_col} bigint, cos_sim double")
+    return hits.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
 def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
                  vec_col: str = "embedding", block: int = 4096) -> DataFrame:
     """Approximate-free brute-force top-k for EVERY vector, the distributed

@@ -39,3 +39,36 @@ def test_ann_lsh_neighbors_are_real_neighbors(spark):
     # near-identical twins hash to the same bucket and rank first
     hits = sum(1 for a, b in top1.items() if b == (a ^ 1))
     assert hits >= 50  # ≥ ~83% of the 60 vectors find their twin
+
+
+def test_ivf_topk_high_recall_vs_bruteforce(spark):
+    import numpy as np
+    from akka_stream_contrib_spark.functions.similarity import cosine_topk, ivf_topk
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.uniform(-1, 1, 32).astype("float32").tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = rows[0][1]
+    corpus = df.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in cosine_topk(corpus, q, k=10).collect()}
+    approx = {r.vec_id for r in ivf_topk(corpus, q, k=10, nlist=8, nprobe=4).collect()}
+    # probing half the cells on uniform vectors: most exact neighbors found
+    assert len(exact & approx) >= 6
+    # determinism: same call, same result set
+    again = {r.vec_id for r in ivf_topk(corpus, q, k=10, nlist=8, nprobe=4).collect()}
+    assert approx == again
+
+
+def test_ngram_jaccard_planted_duplicates(spark):
+    from akka_stream_contrib_spark.functions.dedup import ngram_jaccard_dedup
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),            # near-dup of 1
+        (3, "completely different words entirely unrelated content zone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_dedup(df, n=4, threshold=0.2,
+                                          max_doc_freq=10).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert all(3 not in p for p in pairs)
