@@ -23,7 +23,17 @@ from akka_stream_contrib_spark.functions.text import token_id
 
 MINHASH_P = 8191  # 2^13-1, prime modulus for the affine hash family
 
-_LAST_PERSISTED: DataFrame | None = None  # see minhash_lsh_dedup
+_LAST_PERSISTED: list[DataFrame] = []  # see minhash_lsh_dedup / ngram_jaccard_dedup
+
+
+def _drop_stale_caches() -> None:
+    """Unpersist DataFrames cached by the PREVIOUS pipeline invocation so
+    repeated calls don't accumulate executor storage."""
+    while _LAST_PERSISTED:
+        try:
+            _LAST_PERSISTED.pop().unpersist()
+        except Exception:
+            pass
 
 
 def dedup_exact(id_col: str = "doc_id", text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
@@ -142,13 +152,7 @@ def minhash_lsh_dedup(
     consumers share (band entries, a-side, b-side of the candidate join).
     The cache is dropped lazily on the NEXT call (module-level registry) so
     repeated pipeline invocations don't accumulate executor storage."""
-    global _LAST_PERSISTED
-    if _LAST_PERSISTED is not None:
-        try:
-            _LAST_PERSISTED.unpersist()
-        except Exception:
-            pass
-        _LAST_PERSISTED = None
+    _drop_stale_caches()
     sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
     tids = sh.withColumn("tid", token_id(F.col("shingle")))
     min_aggs = [
@@ -162,7 +166,7 @@ def minhash_lsh_dedup(
     )
     if persist_intermediate:
         per_doc = per_doc.persist()
-        _LAST_PERSISTED = per_doc
+        _LAST_PERSISTED.append(per_doc)
     cand = lsh_candidate_pairs(per_doc, bands=bands, rows_per_band=num_hashes // bands)
     docs_a = per_doc.select(F.col("doc_id").alias("_ida"), F.col("n").alias("na"),
                             F.col("shs").alias("sha"))
@@ -219,14 +223,21 @@ def ngram_jaccard_dedup(
     O(sum df²) with df ≤ max_doc_freq — never all-pairs. Returns
     (doc_a, doc_b, jaccard ≥ threshold).
     """
-    grams = char_ngrams(df, n=n, id_col=id_col, text_col=text_col)
+    _drop_stale_caches()
+    grams = char_ngrams(df, n=n, id_col=id_col, text_col=text_col).persist()
+    _LAST_PERSISTED.append(grams)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    rare = (
-        grams.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("ngram")))
-        .filter(F.col("_df") <= max_doc_freq)
-        .drop("_df")
+    # document frequency via partial-aggregated groupBy (map-side combine),
+    # NOT a window over every gram row (full shuffle of every gram row on the
+    # gram key). Only the grams that FAIL the cap survive — the Zipf head, a
+    # tiny set — so pruning is a broadcast anti-join: the gram rows shuffle
+    # only once (pair join). `grams` is persisted because three consumers
+    # (sizes, df counts, join probe) would otherwise re-run the explode scan.
+    common = (
+        grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq).select("ngram")
     )
+    rare = grams.join(F.broadcast(common), "ngram", "left_anti")
     a, b = rare.alias("a"), rare.alias("b")
     shared = (
         a.join(b, (F.col("a.ngram") == F.col("b.ngram"))

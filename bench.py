@@ -28,6 +28,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "range_join_follows",
     "accumulate_keyed",
     "session_window",
     "sliding_window",
@@ -39,6 +42,7 @@ HEADLINE = [
     # extensions (present from the round they are implemented)
     "dedup_exact",
     "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
     "simhash",
     "ann_cosine_topk",
     "text_stats",
