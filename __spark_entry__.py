@@ -830,6 +830,58 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function family breadth: lead/lag, ntile, percent_rank,
+    cume_dist, first/last over a deterministic order (tie-broken by key).
+    percent_rank/cume_dist are exact rational divisions — bit-identical
+    across engines."""
+    orders = tables.load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/IQR family) per group. Both
+    engines define p-quantile as linear interpolation on the sorted values;
+    rounding to 6 dp absorbs any last-ulp interpolation difference."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75_price"),
+    )
+
+
+def q_array_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family: per-user event values as a deterministically
+    ordered array (sort_array over (ts, event_id) structs — collect_list
+    alone is order-nondeterministic), then size / slice / min / max."""
+    ev = tables.load(spark, "events", sf_dir)
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("ts"), F.col("event_id"),
+                                             F.col("value")))),
+        lambda s: s["value"])
+    return (
+        ev.groupBy("user_id")
+        .agg(ordered.alias("_vals"))
+        .select(
+            "user_id",
+            F.size("_vals").alias("n_events"),
+            F.slice("_vals", 1, 3).alias("first3"),
+            F.array_min("_vals").alias("v_min"),
+            F.array_max("_vals").alias("v_max"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -880,6 +932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_follows": q_range_join_follows,
         "string_funcs": q_string_funcs,
         "date_parts": q_date_parts,
+        "window_breadth": q_window_breadth,
+        "quantiles": q_quantiles,
+        "array_agg_events": q_array_agg_events,
         "as_of_join": q_as_of_join,
         "rollup_revenue": q_rollup_revenue,
         "distinct_users": q_distinct_users,
@@ -1257,6 +1312,34 @@ def oracle_sql() -> dict[str, str]:
                    last_day(CAST(o_orderdate AS DATE)) AS month_end,
                    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch95
             FROM orders
+        """,
+        "window_breadth": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice) OVER w AS prev_price,
+                   lead(o_totalprice) OVER w AS next_price,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cum_dist,
+                   first_value(o_totalprice) OVER w AS first_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "array_agg_events": """
+            SELECT user_id,
+                   len(vals) AS n_events,
+                   vals[1:3] AS first3,
+                   list_min(vals) AS v_min,
+                   list_max(vals) AS v_max
+            FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+                  FROM events GROUP BY user_id)
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,

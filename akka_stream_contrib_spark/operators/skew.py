@@ -1,11 +1,16 @@
 """Skew-mitigation utilities.
 
 AQE's skew-join splitting (on in session.py) handles join-side skew at
-runtime; these helpers cover the aggregation-side hot-key case: a handful of
-keys holding a large share of rows serializes their groups through single
-reducers. ``salted_aggregate`` runs the classic two-phase form — a salted
-partial aggregation fans each hot key over ``salt`` reducers, then a final
-merge by the true key. Results are exactly equal for algebraic aggregates.
+runtime; these helpers cover the cases it can't:
+
+- ``salted_aggregate`` — aggregation-side hot keys: a salted partial
+  aggregation fans each hot key over ``salt`` reducers, then a final merge
+  by the true key. Results are exactly equal for algebraic aggregates.
+- ``salted_join`` — join-side hot keys when the other side is too big to
+  broadcast and AQE's post-shuffle splitting is defeated (e.g. a single key
+  larger than an executor): the small side is replicated ``salt``× and the
+  skewed side's rows spread over the replicas, so no reducer ever sees a
+  whole hot key.
 """
 
 from __future__ import annotations
@@ -50,3 +55,33 @@ def salted_aggregate(
         _MERGES[fn][1](F.col(out)).alias(out)
         for out, (fn, _) in aggs.items()
     ])
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread the skewed side over ``salt`` sub-keys and
+    replicate the small side once per sub-key, then join on (keys..., salt).
+
+    Replication multiplies the small side's shuffle volume by ``salt`` — the
+    deliberate price for breaking a hot key across reducers. Join semantics
+    (including row multiplicity) are identical to ``skewed.join(small, on,
+    how)`` for inner/left joins; every skewed row carries exactly one salt
+    value and every small row exists once per salt value.
+    """
+    if salt <= 0:
+        raise ValueError(f"salt must be positive, got {salt}")
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    spread = skewed.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
+    return (
+        spread.join(replicated, [*on, "_salt"], how)
+        .drop("_salt")
+    )

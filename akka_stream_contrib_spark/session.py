@@ -45,6 +45,9 @@ def get_spark(app_name: str = "akka-stream-contrib-spark",
         # nanosecond timestamp type — read as long, convert in tables.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed (bucketed) tables live outside the repo tree
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -46,3 +46,29 @@ def test_whole_stage_codegen_covers_q1(spark):
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     # the scan→filter→partial-agg pipeline must be fused into JIT'd loops
     assert "WholeStageCodegen" in plan
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    """Co-located bucketed tables join without any shuffle or sort: the
+    write-time bucket hash replaces the runtime Exchange."""
+    from akka_stream_contrib_spark.operators.bucketing import (
+        assert_no_shuffle_join, bucketed_join, write_bucketed)
+
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "t_bleft", ["k"], num_buckets=8)
+    write_bucketed(right, "t_bright", ["k"], num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_bleft", "t_bright", on=["k"])
+        assert_no_shuffle_join(j)  # would raise on any Exchange
+        assert j.count() == 10_000
+        # sanity: the same join on the un-bucketed frames DOES shuffle
+        plain = left.join(right, "k")
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")

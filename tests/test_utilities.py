@@ -76,3 +76,20 @@ def test_pulse_stream_latest_per_key_per_batch(spark, tmp_path):
         assert any(b.num_input_rows > 0 for b in rec.batches)
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    from akka_stream_contrib_spark.operators.skew import salted_join
+    # 90% of fact rows share key 7
+    fact = spark.range(0, 5000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 7 ELSE id % 50 END AS k", "id AS v")
+    dim = spark.range(0, 50).selectExpr("id AS k", "id * 100 AS attr")
+    plain = fact.join(dim, ["k"]).groupBy("k").count()
+    salted = salted_join(fact, dim, ["k"], salt=8).groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched skewed rows exactly once
+    dim_partial = dim.filter("k < 5")
+    left_plain = fact.join(dim_partial, ["k"], "left")
+    left_salted = salted_join(fact, dim_partial, ["k"], salt=8, how="left")
+    assert left_plain.count() == left_salted.count()
+    assert left_salted.filter("attr IS NULL").count() == left_plain.filter("attr IS NULL").count()
