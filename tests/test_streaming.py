@@ -121,3 +121,38 @@ def test_session_window_streaming_with_watermark(spark, tmp_path):
         assert rows[0].cnt == 2
     finally:
         q.stop()
+
+
+def test_keep_alive_transformwithstate_timers(spark, tmp_path):
+    """transformWithState variant: per-key timers emit repeat-last
+    heartbeats while the feed is idle."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs the protobuf python package "
+               "(absent in this container); tws.py is the forward-path impl")
+    import time as _time
+    from akka_stream_contrib_spark.streaming.tws import keep_alive_tws
+
+    feed = tmp_path / "twsfeed"
+    feed.mkdir()
+    (feed / "b1.json").write_text('{"key": 1, "value": 42}')
+    src = spark.readStream.schema("key long, value long").json(str(feed))
+    q = (keep_alive_tws(src, interval_ms=1500)
+         .writeStream.format("memory").queryName("ka_tws")
+         .option("checkpointLocation", str(tmp_path / "twsck"))
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        t0 = _time.monotonic()
+        hb = []
+        while _time.monotonic() - t0 < 60:
+            rows = spark.sql("SELECT * FROM ka_tws").collect()
+            hb = [r for r in rows if r.is_heartbeat]
+            if len(hb) >= 2:
+                break
+            _time.sleep(0.5)
+        passthrough = [r for r in spark.sql("SELECT * FROM ka_tws").collect()
+                       if not r.is_heartbeat]
+        assert [(r.key, r.value) for r in passthrough] == [(1, 42)]
+        assert len(hb) >= 2 and all(r.value == 42 and r.key == 1 for r in hb)
+    finally:
+        q.stop()
