@@ -830,6 +830,39 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: daily grid per user, forward-filled."""
+    from akka_stream_contrib_spark.operators.resample import resample_ffill
+    ev = tables.load(spark, "events", sf_dir)
+    return resample_ffill(ev, key="user_id", ts="ts", value="value",
+                          step="interval 1 day", align="day")
+
+
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot family: return-flag rows × line-status columns. Spark's pivot
+    compiles to conditional aggregates — written with an explicit value list
+    so the plan needs no distinct-values pre-pass (the scale form)."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(_money("l_quantity")).cast("double"))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+    )
+
+
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function (UDTF) family: tokens with their positions via
+    posexplode — the generator runs inside codegen, one output row per
+    token, no Python."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return (
+        docs.select(F.col("doc_id"), F.split("text", " ").alias("_toks"))
+        .select("doc_id", F.posexplode("_toks").alias("pos", "token"))
+        .filter(F.col("pos") < 5)
+    )
+
+
 def q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function family breadth: lead/lag, ntile, percent_rank,
     cume_dist, first/last over a deterministic order (tie-broken by key).
@@ -935,6 +968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_breadth": q_window_breadth,
         "quantiles": q_quantiles,
         "array_agg_events": q_array_agg_events,
+        "pivot_revenue": q_pivot_revenue,
+        "posexplode_tokens": q_posexplode_tokens,
+        "resample_ffill": q_resample_ffill,
         "as_of_join": q_as_of_join,
         "rollup_revenue": q_rollup_revenue,
         "distinct_users": q_distinct_users,
@@ -1340,6 +1376,42 @@ def oracle_sql() -> dict[str, str]:
                    list_max(vals) AS v_max
             FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
                   FROM events GROUP BY user_id)
+        """,
+        "pivot_revenue": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_linestatus = 'F'
+                                 THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+                   CAST(sum(CASE WHEN l_linestatus = 'O'
+                                 THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "posexplode_tokens": """
+            SELECT doc_id, i - 1 AS pos, toks[i] AS token
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+                  FROM documents)
+            WHERE i - 1 < 5
+        """,
+        "resample_ffill": """
+            WITH bounds AS (
+                SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS mn,
+                       max(ts) AS mx
+                FROM events GROUP BY user_id),
+            grid AS (
+                SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS ts
+                FROM bounds),
+            unioned AS (
+                SELECT user_id, ts, value AS v, 0 AS _src FROM events
+                UNION ALL
+                SELECT user_id, ts, NULL, 1 FROM grid),
+            filled AS (
+                SELECT user_id, ts, _src,
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, _src
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+                FROM unioned)
+            SELECT user_id, ts AS grid_ts, f AS value_ffill
+            FROM filled WHERE _src = 1
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,

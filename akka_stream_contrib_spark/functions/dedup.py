@@ -226,7 +226,17 @@ def ngram_jaccard_dedup(
     _drop_stale_caches()
     grams = char_ngrams(df, n=n, id_col=id_col, text_col=text_col).persist()
     _LAST_PERSISTED.append(grams)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # per-doc set sizes straight off the (un-exploded) array — map-side only,
+    # no aggregation shuffle of the gram rows
+    grams_arr = (
+        f"size(array_distinct(transform(sequence(1, length(_lc) - {n} + 1),"
+        f" i -> substring(_lc, i, {n}))))"
+    )
+    sizes = (
+        df.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_lc"))
+        .filter(F.length("_lc") >= n)
+        .select("doc_id", F.expr(grams_arr).alias("n_grams"))
+    )
     # document frequency via partial-aggregated groupBy (map-side combine),
     # NOT a window over every gram row (full shuffle of every gram row on the
     # gram key). Only the grams that FAIL the cap survive — the Zipf head, a

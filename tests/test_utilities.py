@@ -93,3 +93,21 @@ def test_salted_join_equals_plain_join_under_skew(spark):
     left_salted = salted_join(fact, dim_partial, ["k"], salt=8, how="left")
     assert left_plain.count() == left_salted.count()
     assert left_salted.filter("attr IS NULL").count() == left_plain.filter("attr IS NULL").count()
+
+
+def test_resample_ffill_golden(spark):
+    from akka_stream_contrib_spark.operators.resample import resample_ffill
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00", 10.0),   # mid-day obs
+         (1, "2024-01-03 00:00:00", 30.0),   # exactly on a grid tick
+         (2, "2024-01-05 06:00:00", 99.0)],
+        "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.user_id, str(r.grid_ts)): r.value_ffill
+           for r in resample_ffill(ev, key="user_id").collect()}
+    assert out == {
+        (1, "2024-01-01 00:00:00"): None,    # grid starts at truncated day, before first obs
+        (1, "2024-01-02 00:00:00"): 10.0,    # carried forward
+        (1, "2024-01-03 00:00:00"): 30.0,    # exact-time obs fills its own tick
+        (2, "2024-01-05 00:00:00"): None,    # single tick before the day's only obs
+    }
