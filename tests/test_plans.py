@@ -72,3 +72,28 @@ def test_bucketed_join_has_zero_exchanges(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_subquery_decorrelation_shapes(spark):
+    """The adapted TPC-H subquery queries keep their MPP shapes: hash joins
+    only (no SortMergeJoin at dimension scale), filters pushed to scans, and
+    q22's single-row scalar is the only nested-loop join in the suite."""
+    plan = formatted_plan(entry.q_q17_small_qty_revenue(spark, SF))
+    assert "SortMergeJoin" not in plan          # per-part avg joins hash-side
+    assert "BroadcastHashJoin" in plan
+    plan18 = formatted_plan(entry.q_q18_large_orders(spark, SF))
+    assert "SortMergeJoin" not in plan18        # HAVING keys broadcast back
+    assert_pushed_filter(entry.q_q4_order_priority(spark, SF), "o_orderdate")
+    plan22 = formatted_plan(entry.q_q22_idle_balance(spark, SF))
+    # formatted explain prints each node in the tree AND the detail section —
+    # count tree nodes only: exactly one BNLJ, the 1-row scalar cross join
+    tree22 = plan22.split("\n\n(")[0]
+    assert tree22.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_range_join_keeps_equi_conjunct_hashable(spark):
+    """range_join_follows must hash-partition on user_id — a plan that
+    degrades to a pure nested-loop band join would not survive scale."""
+    plan = formatted_plan(entry.q_range_join_follows(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
