@@ -830,6 +830,27 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data prep pipeline — the operators composed the way
+    a real corpus pass runs them: exact-dedup to canonical docs (hash
+    groupBy), per-doc quality stats, language tag, then the quality gate.
+    One scan feeds three shuffle-light branches re-joined on doc_id
+    (AQE broadcasts the small post-aggregation sides)."""
+    from akka_stream_contrib_spark.functions import lang_id, text_stats
+    docs = tables.load(spark, "documents", sf_dir)
+    stats = docs.transform(text_stats())
+    lang = docs.transform(lang_id()).select("doc_id", "predicted_lang")
+    canon = (docs.groupBy(F.md5("text").alias("_h"))
+             .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    return (
+        docs.join(canon, "doc_id", "left_semi")
+        .join(stats, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("n_tokens") >= 20) & (F.col("stopword_ratio") <= 0.2))
+        .select("doc_id", "predicted_lang", "n_tokens", "stopword_ratio")
+    )
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: daily grid per user, forward-filled."""
     from akka_stream_contrib_spark.operators.resample import resample_ffill
@@ -971,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_revenue": q_pivot_revenue,
         "posexplode_tokens": q_posexplode_tokens,
         "resample_ffill": q_resample_ffill,
+        "training_prep": q_training_prep,
         "as_of_join": q_as_of_join,
         "rollup_revenue": q_rollup_revenue,
         "distinct_users": q_distinct_users,
@@ -1391,6 +1413,28 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
                   FROM documents)
             WHERE i - 1 < 5
+        """,
+        "training_prep": """
+            WITH canon AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            s AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       round(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))
+                             / len(string_split(text, ' ')), 6) AS stopword_ratio
+                FROM documents),
+            l AS (
+                SELECT doc_id,
+                       CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+                            WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS predicted_lang
+                FROM (SELECT doc_id,
+                             len(list_filter(string_split(text,' '), x -> x IN ('the','a','of'))) AS score_en,
+                             len(list_filter(string_split(text,' '), x -> x IN ('der','die','das'))) AS score_de,
+                             len(list_filter(string_split(text,' '), x -> x IN ('el','la','los'))) AS score_es
+                      FROM documents))
+            SELECT s.doc_id, l.predicted_lang, s.n_tokens, s.stopword_ratio
+            FROM s JOIN l USING (doc_id) JOIN canon USING (doc_id)
+            WHERE s.n_tokens >= 20 AND s.stopword_ratio <= 0.2
         """,
         "resample_ffill": """
             WITH bounds AS (

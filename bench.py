@@ -46,6 +46,7 @@ HEADLINE = [
     "simhash",
     "ann_cosine_topk",
     "text_stats",
+    "training_prep",
 ]
 
 
