@@ -746,6 +746,94 @@ def q_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations per year, both
+    directions. Two broadcast copies of nation (supplier side / customer
+    side); the pair filter collapses to an OR-of-ANDs on broadcast keys."""
+    li = tables.load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    orders = tables.load(spark, "orders", sf_dir)
+    cust = tables.load(spark, "customer", sf_dir)
+    supp = tables.load(spark, "supplier", sf_dir)
+    n1 = tables.load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    n2 = tables.load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_ck"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_money("l_extendedprice") * (1 - _pct("l_discount")))
+             .cast("double").alias("revenue"))
+    )
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's promo-part import volume
+    per year. The share divides two exact decimal sums cast to double."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    cust = tables.load(spark, "customer", sf_dir)
+    supp = tables.load(spark, "supplier", sf_dir)
+    part = tables.load(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    n1 = tables.load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_regionkey").alias("_crk"))
+    n2 = tables.load(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    region = tables.load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    vol = _money("l_extendedprice") * (1 - _pct("l_discount"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_ck"))
+        .join(F.broadcast(region), F.col("_crk") == region.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero))
+            .cast("double").alias("_nat"),
+            F.sum(vol).cast("double").alias("_tot"),
+        )
+        .select("o_year", F.round(F.col("_nat") / F.col("_tot"), 6).alias("mkt_share"))
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    aggregate-vs-its-own-max pattern (the view + scalar subquery form).
+    Revenue per supplier aggregates once; the 1-row max broadcasts back."""
+    li = tables.load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    supp = tables.load(spark, "supplier", sf_dir)
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("_sk"))
+        .agg(F.sum(_money("l_extendedprice") * (1 - _pct("l_discount")))
+             .cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("_sk") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def q_customers_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation family (INTERSECT): customers ordering in both 1996 and
     2000. Spark rewrites INTERSECT to a left-semi join under distinct."""
@@ -980,6 +1068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q_q18_large_orders,
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q22_idle_balance": q_q22_idle_balance,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
+        "q15_top_supplier": q_q15_top_supplier,
         "customers_retained": q_customers_retained,
         "customers_churned": q_customers_churned,
         "cube_revenue": q_cube_revenue,
@@ -1321,6 +1412,51 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "q7_nation_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l_shipdate) AS l_year, l_extendedprice, l_discount
+                FROM supplier, lineitem, orders, customer, nation n1, nation n2
+                WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+                  AND c_nationkey = n2.n_nationkey
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT o_year, round(_nat / _tot, 6) AS mkt_share FROM (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS _nat,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS _tot
+                FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region
+                WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+                  AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+                  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+                  AND s_nationkey = n2.n_nationkey
+                  AND r_name = 'ASIA' AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY year(o_orderdate))
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         """,
         "customers_retained": """
             SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996

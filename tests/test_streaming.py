@@ -156,3 +156,35 @@ def test_keep_alive_transformwithstate_timers(spark, tmp_path):
         assert len(hb) >= 2 and all(r.value == 42 and r.key == 1 for r in hb)
     finally:
         q.stop()
+
+
+def test_stream_stream_join_event_time_band(spark, tmp_path):
+    """Stream-stream inner join with watermarks on both sides and an
+    event-time band constraint — the fan-in shape the reference coordinates
+    with 2-ary stages, on Spark's state-store join machinery. Watermarks +
+    the band bound both sides' state, which is what makes the join runnable
+    on unbounded streams."""
+    imp_dir, clk_dir = tmp_path / "imps", tmp_path / "clks"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    (imp_dir / "i.json").write_text(
+        '{"ad_id": 1, "i_ts": "2024-01-01 10:00:00"}\n'
+        '{"ad_id": 2, "i_ts": "2024-01-01 10:05:00"}\n')
+    (clk_dir / "c.json").write_text(
+        '{"c_ad_id": 1, "c_ts": "2024-01-01 10:20:00"}\n'   # within 1h -> match
+        '{"c_ad_id": 2, "c_ts": "2024-01-01 12:00:00"}\n'   # outside band -> no match
+        '{"c_ad_id": 9, "c_ts": "2024-01-01 10:30:00"}\n')  # no impression
+    imps = (spark.readStream.schema("ad_id long, i_ts string").json(str(imp_dir))
+            .withColumn("i_ts", F.col("i_ts").cast("timestamp"))
+            .withWatermark("i_ts", "2 hours"))
+    clks = (spark.readStream.schema("c_ad_id long, c_ts string").json(str(clk_dir))
+            .withColumn("c_ts", F.col("c_ts").cast("timestamp"))
+            .withWatermark("c_ts", "2 hours"))
+    joined = imps.join(
+        clks, F.expr("ad_id = c_ad_id AND c_ts >= i_ts "
+                     "AND c_ts <= i_ts + INTERVAL 1 HOUR"))
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .option("checkpointLocation", str(tmp_path / "ssjck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT ad_id, c_ad_id FROM ssj").collect()
+    assert [(r.ad_id, r.c_ad_id) for r in rows] == [(1, 1)]
