@@ -834,6 +834,53 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, zero-order
+    customers included via the left outer join (count of a null key = 0) —
+    the double-aggregation histogram pattern."""
+    cust = tables.load(spark, "customer", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no receipt/commit dates): per supplier, count late
+    lines (shipped >30 days after order date) on finished multi-supplier
+    orders where that supplier was the ONLY late one. The double correlated
+    EXISTS / NOT EXISTS decorrelates into one per-order aggregate
+    (distinct-supplier and distinct-late-supplier counts) joined back — one
+    extra aggregation pass instead of two correlated rescans; the DuckDB
+    oracle keeps the textbook EXISTS form, so the gate also proves the
+    rewrite's equivalence."""
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F")
+    li = tables.load(spark, "lineitem", sf_dir)
+    supp = tables.load(spark, "supplier", sf_dir)
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("_late", F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+    )
+    per_order = base.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+    )
+    return (
+        base.filter(F.col("_late"))
+        .join(per_order, base.l_orderkey == per_order._ok)
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        .join(F.broadcast(supp), base.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q_customers_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation family (INTERSECT): customers ordering in both 1996 and
     2000. Spark rewrites INTERSECT to a left-semi join under distinct."""
@@ -1071,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q_q7_nation_volume,
         "q8_market_share": q_q8_market_share,
         "q15_top_supplier": q_q15_top_supplier,
+        "q21_waiting_supplier": q_q21_waiting_supplier,
+        "q13_order_distribution": q_q13_order_distribution,
         "customers_retained": q_customers_retained,
         "customers_churned": q_customers_churned,
         "cube_revenue": q_cube_revenue,
@@ -1457,6 +1506,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, total_revenue
             FROM supplier JOIN rev ON s_suppkey = l_suppkey
             WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "q21_waiting_supplier": """
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1
+            JOIN orders ON l1.l_orderkey = o_orderkey
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY s_name
         """,
         "customers_retained": """
             SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
