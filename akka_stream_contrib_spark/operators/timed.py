@@ -74,3 +74,19 @@ def timed_section(on_complete: Callable[[float], None]):
         yield
     finally:
         on_complete(time.monotonic() - t0)
+
+
+def observed(df, name: str, *agg_cols):
+    """Attach an Observation — the exact analogue of the reference's
+    materialized summary values (`LastElement.scala:39-46` Future[Option],
+    `ZipInputStreamSource.scala:92-94` Future[Long] total bytes): metrics
+    computed DURING the main pass, delivered out-of-band after the action,
+    with zero extra jobs.
+
+    Returns (df_with_observation, observation); read ``observation.get``
+    after any action on the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *agg_cols), obs

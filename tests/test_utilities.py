@@ -111,3 +111,40 @@ def test_resample_ffill_golden(spark):
         (1, "2024-01-03 00:00:00"): 30.0,    # exact-time obs fills its own tick
         (2, "2024-01-05 00:00:00"): None,    # single tick before the day's only obs
     }
+
+
+def test_observed_materialized_summary(spark):
+    """df.observe = the reference's materialized value: total bytes / last
+    element style summaries ride along with the main action, no second job."""
+    from akka_stream_contrib_spark.operators.timed import observed
+
+    df = spark.range(1, 1001).selectExpr("id", "id * 2 AS v")
+    out, obs = observed(df, "mat",
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("v").alias("total_v"),
+                        F.max("id").alias("last_id"))
+    assert out.filter("id % 2 = 0").count() == 500   # the "main" action
+    got = obs.get
+    assert got == {"n": 1000, "total_v": 1001000, "last_id": 1000}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the streaming
+    twin of dedup_exact — state for a key is dropped once the watermark
+    passes, so dedup over an unbounded stream runs in bounded state."""
+    feed = tmp_path / "dupfeed"
+    feed.mkdir()
+    (feed / "a.json").write_text(
+        '{"k": 1, "ts": "2024-01-01 10:00:00", "v": 1.0}\n'
+        '{"k": 1, "ts": "2024-01-01 10:00:30", "v": 2.0}\n'   # dup within watermark
+        '{"k": 2, "ts": "2024-01-01 10:01:00", "v": 3.0}\n')
+    src = (spark.readStream.schema("k long, ts string, v double").json(str(feed))
+           .withColumn("ts", F.col("ts").cast("timestamp"))
+           .withWatermark("ts", "10 minutes"))
+    q = (src.dropDuplicatesWithinWatermark(["k"])
+         .writeStream.format("memory").queryName("sdedup")
+         .option("checkpointLocation", str(tmp_path / "ddck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = sorted((r.k, r.v) for r in spark.sql("SELECT k, v FROM sdedup").collect())
+    assert [k for k, _ in rows] == [1, 2]              # one row per key
