@@ -139,3 +139,25 @@ def test_paged_source_stops_on_empty_first_page(spark):
     df = paged_source(spark, lambda k: ([], "next"), "first",
                       schema="page_key string, item string")
     assert df.count() == 0
+
+
+def test_format_breadth_roundtrip(spark, tmp_path):
+    """§2.7 scans checklist: csv / json / orc are Spark built-ins — verify a
+    schema-stable round-trip so the claim is tested, not asserted."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "id long, s string, v double")
+    got = {}
+    for fmt in ("csv", "json", "orc"):
+        path = str(tmp_path / f"rt_{fmt}")
+        if fmt == "csv":
+            df.write.mode("overwrite").csv(path, header=True)
+            back = spark.read.schema(df.schema).csv(path, header=True)
+        elif fmt == "json":
+            df.write.mode("overwrite").json(path)
+            back = spark.read.schema(df.schema).json(path)
+        else:
+            df.write.mode("overwrite").orc(path)
+            back = spark.read.orc(path)
+        got[fmt] = sorted(map(tuple, back.collect()))
+    expect = sorted(map(tuple, df.collect()))
+    assert got == {"csv": expect, "json": expect, "orc": expect}
