@@ -18,17 +18,21 @@ from akka_stream_contrib_spark.functions.dedup import (
     lsh_candidate_pairs,
     minhash_lsh_dedup,
     simhash,
+    char_ngrams,
+    ngram_jaccard_dedup,
 )
 from akka_stream_contrib_spark.functions.similarity import (
     cosine_topk,
     near_dup_pairs,
     ann_topk_all,
+    ann_lsh_topk,
+    ivf_topk,
 )
 
 __all__ = [
     "tokens", "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
     "token_id",
     "dedup_exact", "shingles", "minhash_signatures", "lsh_candidate_pairs",
-    "minhash_lsh_dedup", "simhash",
-    "cosine_topk", "near_dup_pairs", "ann_topk_all",
+    "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
+    "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_lsh_topk", "ivf_topk",
 ]

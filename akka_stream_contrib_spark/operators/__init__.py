@@ -26,6 +26,14 @@ from akka_stream_contrib_spark.operators.timed import timed_interval_between, wi
 from akka_stream_contrib_spark.operators.retry import retry, retry_concat
 from akka_stream_contrib_spark.operators.feedback import feedback_loop, unfold_flow
 from akka_stream_contrib_spark.operators.asof import as_of_join
+from akka_stream_contrib_spark.operators.resample import resample_ffill
+from akka_stream_contrib_spark.operators.bucketing import (
+    write_bucketed,
+    bucketed_join,
+    assert_no_shuffle_join,
+)
+from akka_stream_contrib_spark.operators.skew import salted_aggregate, salted_join
+from akka_stream_contrib_spark.operators.timed import observed, timed_section
 
 __all__ = [
     "sample_nth", "sample_step", "sample_random",
@@ -37,5 +45,7 @@ __all__ = [
     "token_throttle", "delay_flow", "keep_alive_concat",
     "timed_interval_between", "with_ingest_ts", "latency_columns",
     "retry", "retry_concat", "feedback_loop", "unfold_flow",
-    "as_of_join",
+    "as_of_join", "resample_ffill",
+    "write_bucketed", "bucketed_join", "assert_no_shuffle_join",
+    "salted_aggregate", "salted_join", "observed", "timed_section",
 ]
