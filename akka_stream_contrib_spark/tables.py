@@ -22,10 +22,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot represent:
+        # without this (runtime-settable) flag the scan throws
+        # PARQUET_TYPE_ILLEGAL. Set here, not only in session.py — the driver
+        # gate runs these loaders under ITS OWN SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS) (no Spark type) — read via
-    # nanosAsLong and truncate to microsecond TimestampType. The DuckDB oracle
-    # side truncates identically with CAST(ts AS TIMESTAMP).
+    # truncate the nanos-as-long column to microsecond TimestampType. The
+    # DuckDB oracle side truncates identically with CAST(ts AS TIMESTAMP).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
