@@ -965,6 +965,38 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation family: confusion counts of the lang-ID heuristic against
+    the fixture's ground-truth lang column (zh/fr have no marker list, so
+    real misclassification shows up — the query a pipeline uses to decide
+    whether a classifier stage is good enough)."""
+    from akka_stream_contrib_spark.functions import lang_id
+    docs = tables.load(spark, "documents", sf_dir)
+    pred = docs.transform(lang_id()).select("doc_id", "predicted_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation family: kNN label vote — labels of the 20 nearest
+    neighbors of query vector 0 (majority vote = the kNN classifier's
+    prediction). Deterministic ranking: unrounded cosine, vec_id tie-break."""
+    from akka_stream_contrib_spark.functions import cosine_topk
+    emb = tables.load(spark, "embeddings", sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    topk = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=20)
+    labels = emb.select("vec_id", "label")
+    return (
+        topk.join(F.broadcast(labels), "vec_id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+
+
 def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data prep pipeline — the operators composed the way
     a real corpus pass runs them: exact-dedup to canonical docs (hash
@@ -1133,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_tokens": q_posexplode_tokens,
         "resample_ffill": q_resample_ffill,
         "training_prep": q_training_prep,
+        "lang_confusion": q_lang_confusion,
+        "knn_label_vote": q_knn_label_vote,
         "as_of_join": q_as_of_join,
         "rollup_revenue": q_rollup_revenue,
         "distinct_users": q_distinct_users,
@@ -1623,6 +1657,37 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
                   FROM documents)
             WHERE i - 1 < 5
+        """,
+        "lang_confusion": """
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+                            WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS predicted_lang
+                FROM (SELECT doc_id,
+                             len(list_filter(string_split(text,' '), x -> x IN ('the','a','of'))) AS score_en,
+                             len(list_filter(string_split(text,' '), x -> x IN ('der','die','das'))) AS score_de,
+                             len(list_filter(string_split(text,' '), x -> x IN ('el','la','los'))) AS score_es
+                      FROM documents))
+            SELECT d.lang, p.predicted_lang, count(*) AS n
+            FROM documents d JOIN p USING (doc_id)
+            GROUP BY d.lang, p.predicted_lang
+        """,
+        "knn_label_vote": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            c AS (
+                SELECT e.vec_id,
+                       list_sum(list_transform(generate_series(1, len(e.embedding)),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.qe,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+                FROM embeddings e, q WHERE e.vec_id <> 0
+            ),
+            topk AS (SELECT vec_id FROM c ORDER BY cos DESC, vec_id LIMIT 20)
+            SELECT label, count(*) AS votes
+            FROM topk JOIN embeddings USING (vec_id)
+            GROUP BY label
         """,
         "training_prep": """
             WITH canon AS (
