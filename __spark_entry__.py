@@ -965,6 +965,52 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity: Pearson correlation between users' daily
+    value series (pairs sharing ≥ 10 days). corr() itself is engine-order-
+    dependent over doubles, so the five sufficient statistics are exact
+    decimal sums (daily sums stay decimal end-to-end) cast to double once,
+    and the correlation combines them with the identical IEEE expression on
+    both engines — deterministic to the bit.
+
+    Scale shape: daily aggregation is one (user, day) shuffle; the pair join
+    keys on the day (users-per-day sized buckets), and the per-pair stats
+    reuse one shuffle on the pair key."""
+    ev = tables.load(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("_day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)"))
+             .cast("decimal(18,4)").alias("_ds"))
+    )
+    a = daily.select(F.col("user_id").alias("user_a"), F.col("_day"),
+                     F.col("_ds").alias("_da"))
+    b = daily.select(F.col("user_id").alias("user_b"), F.col("_day"),
+                     F.col("_ds").alias("_db"))
+    stats = (
+        a.join(b, ["_day"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("_da").cast("double").alias("_sx"),
+            F.sum("_db").cast("double").alias("_sy"),
+            F.sum(F.col("_da") * F.col("_db")).cast("double").alias("_sxy"),
+            F.sum(F.col("_da") * F.col("_da")).cast("double").alias("_sxx"),
+            F.sum(F.col("_db") * F.col("_db")).cast("double").alias("_syy"),
+        )
+        .filter(F.col("n_days") >= 10)
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt((n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+                 * (n * F.col("_syy") - F.col("_sy") * F.col("_sy")))
+    # + 0.0 normalizes IEEE negative zero: round() can yield -0.0 whose repr
+    # differs between engines even though the value compares equal
+    return stats.select(
+        "user_a", "user_b", "n_days",
+        (F.round(num / den, 6) + F.lit(0.0)).alias("corr"))
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation family: confusion counts of the lang-ID heuristic against
     the fixture's ground-truth lang column (zh/fr have no marker list, so
@@ -1167,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
+        "user_correlation": q_user_correlation,
         "as_of_join": q_as_of_join,
         "rollup_revenue": q_rollup_revenue,
         "distinct_users": q_distinct_users,
@@ -1657,6 +1704,30 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
                   FROM documents)
             WHERE i - 1 < 5
+        """,
+        "user_correlation": """
+            WITH daily AS (
+                SELECT user_id, date_trunc('day', ts) AS _day,
+                       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS _ds
+                FROM events GROUP BY user_id, date_trunc('day', ts)),
+            stats AS (
+                SELECT a.user_id AS user_a, b.user_id AS user_b,
+                       count(*) AS n_days,
+                       CAST(sum(a._ds) AS DOUBLE) AS _sx,
+                       CAST(sum(b._ds) AS DOUBLE) AS _sy,
+                       CAST(sum(a._ds * b._ds) AS DOUBLE) AS _sxy,
+                       CAST(sum(a._ds * a._ds) AS DOUBLE) AS _sxx,
+                       CAST(sum(b._ds * b._ds) AS DOUBLE) AS _syy
+                FROM daily a JOIN daily b
+                  ON a._day = b._day AND a.user_id < b.user_id
+                GROUP BY a.user_id, b.user_id
+                HAVING count(*) >= 10)
+            SELECT user_a, user_b, n_days,
+                   round((CAST(n_days AS DOUBLE) * _sxy - _sx * _sy)
+                         / sqrt((CAST(n_days AS DOUBLE) * _sxx - _sx * _sx)
+                                * (CAST(n_days AS DOUBLE) * _syy - _sy * _sy)), 6)
+                   + 0.0 AS corr
+            FROM stats
         """,
         "lang_confusion": """
             WITH p AS (
