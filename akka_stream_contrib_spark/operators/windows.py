@@ -139,3 +139,60 @@ def interval_based_rate_limiter(
         )
 
     return _apply
+
+
+def windowed_fold(
+    duration: str,
+    seed,
+    fold,
+    value_col: str = "value",
+    ts: str = "ts",
+    partition_by: Sequence[str] | None = None,
+    out_type: str = "double",
+):
+    """Tumbling window with an ARBITRARY Python fold — the reference
+    `TimeWindow.scala:33-34` contract in full generality (`seed: A => S`,
+    `aggregate: (S, A) => S` as opaque lambdas, not just algebraic
+    aggregates Catalyst knows).
+
+    Rows inside each (keys, window) group are folded IN EVENT-TIME ORDER
+    (ties broken by value) inside an Arrow-batched applyInPandas — the fold
+    runs once per group, so parallelism = number of windows × keys, and no
+    executor ever holds more than one group's rows. Use `time_window` with
+    Column aggregates whenever the fold is algebraic — this is the escape
+    hatch for genuinely non-algebraic state (the reference's user lambdas).
+
+    Output: (keys..., window_start, result).
+    """
+    from pyspark.sql.types import (
+        StructField, StructType, TimestampType, _parse_datatype_string)
+    import pandas as pd
+
+    def _apply(df: DataFrame) -> DataFrame:
+        keys = list(partition_by or [])
+        spark_fields = [df.schema[k] for k in keys]
+        out_schema = StructType(
+            spark_fields
+            + [StructField("window_start", TimestampType()),
+               StructField("result", _parse_datatype_string(out_type))]
+        )
+
+        def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values([ts, value_col], kind="mergesort")
+            acc = None
+            first = True
+            for v in pdf[value_col]:
+                acc = seed(v) if first else fold(acc, v)
+                first = False
+            head = {k: [pdf[k].iloc[0]] for k in keys}
+            head["window_start"] = [pdf["_ws"].iloc[0]]
+            head["result"] = [acc]
+            return pd.DataFrame(head)
+
+        grouped = (
+            df.withColumn("_ws", F.window(ts, duration).start)
+            .groupBy(*keys, "_ws")
+        )
+        return grouped.applyInPandas(_fold, out_schema)
+
+    return _apply

@@ -160,3 +160,37 @@ def test_keep_alive_stream_emits_heartbeat_on_idle(spark, tmp_path):
         assert hb and all(r.value == 42 for r in hb)
     finally:
         q.stop()
+
+
+def test_windowed_fold_arbitrary_lambda(spark):
+    """TimeWindow with a genuinely non-algebraic fold (running max-drawdown):
+    the user-lambda contract of the reference, checked against a pure-Python
+    model."""
+    from akka_stream_contrib_spark.operators.windows import windowed_fold
+
+    rows = [
+        (1, "2024-01-01 00:00:05", 10.0),
+        (1, "2024-01-01 00:00:20", 4.0),
+        (1, "2024-01-01 00:00:40", 7.0),     # window 0: drawdown 6
+        (1, "2024-01-01 00:01:10", 5.0),
+        (1, "2024-01-01 00:01:30", 9.0),     # window 1: drawdown 0
+        (2, "2024-01-01 00:00:30", 3.0),     # key 2, window 0: drawdown 0
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # state = (peak, max_drawdown); result extracts the drawdown
+    seed = lambda v: (v, 0.0)
+    def fold(acc, v):
+        peak, dd = acc
+        peak = max(peak, v)
+        return (peak, max(dd, peak - v))
+    op = windowed_fold("1 minute", seed, lambda a, v: fold(a, v),
+                       partition_by=["k"], out_type="struct<peak:double,dd:double>")
+    got = {(r.k, str(r.window_start)): r.result.dd
+           for r in df.transform(op).collect()}
+    assert got == {
+        (1, "2024-01-01 00:00:00"): 6.0,
+        (1, "2024-01-01 00:01:00"): 0.0,
+        (2, "2024-01-01 00:00:00"): 0.0,
+    }
