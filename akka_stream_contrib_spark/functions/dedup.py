@@ -28,7 +28,13 @@ _LAST_PERSISTED: list[DataFrame] = []  # see minhash_lsh_dedup / ngram_jaccard_d
 
 def _drop_stale_caches() -> None:
     """Unpersist DataFrames cached by the PREVIOUS pipeline invocation so
-    repeated calls don't accumulate executor storage."""
+    repeated calls don't accumulate executor storage.
+
+    Contract: materialize (collect/write) a dedup pipeline's result BEFORE
+    constructing the next one — building two lazily and then acting on the
+    first would find its intermediate cache already dropped (correct results,
+    but the shared-scan persist silently recomputes). Single-pipeline-at-a-
+    time is the gate/bench usage this session-level registry serves."""
     while _LAST_PERSISTED:
         try:
             _LAST_PERSISTED.pop().unpersist()

@@ -143,7 +143,9 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     is rows-only checked; the exact twin is ``cosine_topk``.
     """
     spark = df.sparkSession
-    q = np.asarray(query_vec, dtype=np.float64)
+    # np.array (not asarray): asarray returns the caller's own ndarray for a
+    # float64 input and the in-place normalize below would mutate it
+    q = np.array(query_vec, dtype=np.float64)
     q /= np.linalg.norm(q)
 
     # --- train on a driver-side sample (deterministic: lowest ids first) ---
@@ -181,8 +183,9 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                 "cos_sim": (v[mask] @ qv).round(6),
             })
 
+    id_type = df.schema[id_col].dataType.simpleString()
     hits = df.select(id_col, vec_col).mapInPandas(
-        _scan, schema=f"{id_col} bigint, cos_sim double")
+        _scan, schema=f"{id_col} {id_type}, cos_sim double")
     return hits.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 

@@ -22,7 +22,13 @@ from akka_stream_contrib_spark.operators.windows import (
 from akka_stream_contrib_spark.operators.throttle import token_throttle
 from akka_stream_contrib_spark.operators.delay import delay_flow
 from akka_stream_contrib_spark.operators.keepalive import keep_alive_concat
-from akka_stream_contrib_spark.operators.timed import timed_interval_between, with_ingest_ts, latency_columns
+from akka_stream_contrib_spark.operators.timed import (
+    timed_interval_between,
+    with_ingest_ts,
+    latency_columns,
+    observed,
+    timed_section,
+)
 from akka_stream_contrib_spark.operators.retry import retry, retry_concat
 from akka_stream_contrib_spark.operators.feedback import feedback_loop, unfold_flow
 from akka_stream_contrib_spark.operators.asof import as_of_join
@@ -33,7 +39,7 @@ from akka_stream_contrib_spark.operators.bucketing import (
     assert_no_shuffle_join,
 )
 from akka_stream_contrib_spark.operators.skew import salted_aggregate, salted_join
-from akka_stream_contrib_spark.operators.timed import observed, timed_section
+from akka_stream_contrib_spark.operators.windows import windowed_fold
 
 __all__ = [
     "sample_nth", "sample_step", "sample_random",
@@ -41,7 +47,7 @@ __all__ = [
     "accumulate", "accumulate_while_unchanged", "last_element",
     "merge_by_index",
     "time_window", "sliding_window", "session_window_agg", "pulse",
-    "interval_based_rate_limiter",
+    "interval_based_rate_limiter", "windowed_fold",
     "token_throttle", "delay_flow", "keep_alive_concat",
     "timed_interval_between", "with_ingest_ts", "latency_columns",
     "retry", "retry_concat", "feedback_loop", "unfold_flow",

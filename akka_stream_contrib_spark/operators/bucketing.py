@@ -32,7 +32,12 @@ def write_bucketed(df: DataFrame, table_name: str, keys: Sequence[str],
     if num_buckets <= 0:
         raise ValueError(f"num_buckets must be positive, got {num_buckets}")
     keys = list(keys)
+    if not keys:
+        raise ValueError("keys must name at least one bucket column")
     sort_keys = list(sort_keys) if sort_keys is not None else keys
+    if not sort_keys:
+        raise ValueError(
+            "sort_keys must be non-empty (omit it to sort by the bucket keys)")
     (
         df.write.mode("overwrite")
         .format("parquet")
@@ -49,12 +54,16 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
 
 
 def assert_no_shuffle_join(df: DataFrame) -> None:
-    """Raise AssertionError if the physical plan of ``df`` contains an
-    Exchange (shuffle). Used to verify bucket co-location actually held —
+    """Raise AssertionError if the physical plan of ``df`` contains a
+    shuffle Exchange. Used to verify bucket co-location actually held —
     a silent mis-bucketing (different counts/keys) degrades to a full
-    shuffle without warning otherwise."""
+    shuffle without warning otherwise.
+
+    BroadcastExchange nodes are NOT flagged: a broadcast join moves no
+    bucket data and is legitimately shuffle-free (small-dim case under the
+    session's autoBroadcastJoinThreshold)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    if "Exchange" in plan.replace("BroadcastExchange", ""):
         raise AssertionError(
             "expected a zero-shuffle co-located join but the plan contains "
-            "an Exchange:\n" + plan)
+            "a shuffle Exchange:\n" + plan)

@@ -77,6 +77,11 @@ def salted_join(
         raise ValueError(f"salt must be positive, got {salt}")
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    for side, cols in (("skewed", skewed.columns), ("small", small.columns)):
+        if "_salt" in cols:
+            raise ValueError(
+                f"the {side} side already has a '_salt' column, which this "
+                "operator would clobber and drop — rename it first")
     spread = skewed.withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"))
     replicated = small.withColumn(

@@ -70,8 +70,14 @@ def test_bucketed_join_has_zero_exchanges(spark):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS t_bleft")
-        spark.sql("DROP TABLE IF EXISTS t_bright")
+        try:
+            # under the default threshold the small side broadcasts —
+            # BroadcastExchange moves no bucket data and must NOT be flagged
+            assert_no_shuffle_join(bucketed_join(spark, "t_bleft", "t_bright",
+                                                 on=["k"]))
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bleft")
+            spark.sql("DROP TABLE IF EXISTS t_bright")
 
 
 def test_subquery_decorrelation_shapes(spark):

@@ -16,7 +16,7 @@ from akka_stream_contrib_spark.sources.paged import paged_source
 from akka_stream_contrib_spark.sources.zip_source import total_bytes, zip_entries
 
 
-def _run_until(query, predicate, timeout_s=30):
+def _run_until(query, predicate, timeout_s=90):
     t0 = time.monotonic()
     while time.monotonic() - t0 < timeout_s:
         if predicate():
