@@ -1149,6 +1149,126 @@ def q_array_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture family: deterministic hash-stratified sampling with
+    per-language keep rates — the data-mixing step of a corpus build (e.g.
+    downsample English, upsample Chinese). The keep decision is a pure
+    function of doc_id (portable 32-bit md5 prefix), so the sample is
+    reproducible across engines/runs and the filter runs scan-side with no
+    shuffle at any scale."""
+    docs = tables.load(spark, "documents", sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint"),
+        F.lit(10000))
+    rate = (F.when(F.col("lang") == "en", 3000)
+            .when(F.col("lang") == "zh", 8000)
+            .otherwise(5000))
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function family: filter / transform / aggregate
+    lambdas running entirely inside codegen (zero Python). The token array
+    is projected ONCE as a column — putting split() inside the lambdas would
+    re-evaluate it per element (no CSE inside HOFs; measured 3x on
+    shingles)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("_toks"))
+    return toks.select(
+        "doc_id",
+        F.size(F.filter("_toks", lambda t: F.length(t) > 5))
+         .cast("bigint").alias("n_long"),
+        F.aggregate("_toks", F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + F.length(t)).alias("total_chars"),
+        F.array_join(F.transform(F.slice("_toks", 1, 3), F.upper), "_")
+         .alias("head_upper"),
+    )
+
+
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp-function family: extract-all + count, first match, and a
+    pattern predicate — all JVM-side expressions on the scan (no shuffle)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    nums = F.regexp_extract_all("text", F.lit("([0-9]+)"), 1)
+    return docs.select(
+        "doc_id",
+        F.size(nums).cast("bigint").alias("n_numbers"),
+        F.try_element_at(nums, F.lit(1)).alias("first_number"),
+        F.col("text").rlike("the ").alias("has_the"),
+    )
+
+
+def q_moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window family: per-customer trailing-7-day revenue. The
+    frame is value-based (6 days preceding by calendar, not 6 rows), the
+    complement of window_breadth's ROWS frames. Decimal sum keeps the frame
+    total exact; one shuffle on o_custkey."""
+    orders = tables.load(spark, "orders", sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (Window.partitionBy("o_custkey").orderBy(day.alias("day"))
+         .rangeBetween(-6, 0))
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.sum(_money("o_totalprice")).over(w).cast("double").alias("rev_7d"),
+    )
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup): revenue
+    by region, by nation, and grand total in ONE pass — Catalyst expands to
+    a single shuffle with grouping-id, not three scans."""
+    cust = tables.load(spark, "customer", sf_dir)
+    nat = tables.load(spark, "nation", sf_dir)
+    reg = tables.load(spark, "region", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir)
+    joined = (orders
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+              .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey))
+    return (
+        joined.groupingSets([["r_name"], ["n_name"], []], "r_name", "n_name")
+        .agg(F.grouping("r_name").cast("int").alias("g_r"),
+             F.grouping("n_name").cast("int").alias("g_n"),
+             F.count(F.lit(1)).alias("cnt"),
+             F.sum(_money("o_totalprice")).cast("double").alias("revenue"))
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel family: strictly-ordered view -> click -> purchase conversion
+    counts. One shuffle on user_id (conditional-min aggregation), then a
+    single-row reduction — the standard product-analytics query at any
+    scale."""
+    ev = tables.load(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("n_view_then_click"),
+        F.sum(F.when(purchased, 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/max family (min_by / max_by): each user's first and last
+    event attributes in one hash aggregation — no window, no sort, one
+    shuffle. Order key is the unique event_id, so results are
+    deterministic."""
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1236,6 +1356,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
+        "stratified_sample": q_stratified_sample,
+        "array_hof": q_array_hof,
+        "regexp_funcs": q_regexp_funcs,
+        "moving_revenue_7d": q_moving_revenue_7d,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "funnel_conversion": q_funnel_conversion,
+        "user_journey": q_user_journey,
     }
 
 
@@ -2055,5 +2182,83 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN modality <> 'image'
                         THEN CAST(mh % 600000 + 1 AS INT) END AS duration_ms
             FROM m
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000
+                  < CASE WHEN lang = 'en' THEN 3000
+                         WHEN lang = 'zh' THEN 8000
+                         ELSE 5000 END
+        """,
+        "array_hof": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_filter(toks, t -> length(t) > 5)) AS BIGINT)
+                       AS n_long,
+                   CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+                       AS total_chars,
+                   array_to_string(list_transform(toks[1:3], t -> upper(t)), '_')
+                       AS head_upper
+            FROM t
+        """,
+        "regexp_funcs": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(text, '([0-9]+)', 1) AS nums
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(nums) AS BIGINT) AS n_numbers,
+                   nums[1] AS first_number,
+                   regexp_matches(text, 'the ') AS has_the
+            FROM t
+        """,
+        "moving_revenue_7d": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       AS rev_7d
+            FROM orders
+        """,
+        "grouping_sets_revenue": """
+            SELECT r_name, n_name,
+                   CAST(GROUPING(r_name) AS INT) AS g_r,
+                   CAST(GROUPING(n_name) AS INT) AS g_n,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """,
+        "funnel_conversion": """
+            WITH per_user AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                       min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT count(t_view) AS n_view,
+                   sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+                       AS n_view_then_click,
+                   sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+                            THEN 1 ELSE 0 END) AS n_full_funnel
+            FROM per_user
+        """,
+        "user_journey": """
+            SELECT user_id,
+                   arg_min(event_type, event_id) AS first_type,
+                   arg_max(event_type, event_id) AS last_type,
+                   arg_max(value, event_id) AS last_value,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
     }
