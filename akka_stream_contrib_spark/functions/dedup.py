@@ -195,12 +195,13 @@ def char_ngrams(df: DataFrame, n: int = 4, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Distinct character n-grams per document: (doc_id, ngram).
 
-    Same materialize-before-lambda discipline as :func:`shingles` — the
-    lowered text is projected once, then sliced inside the transform."""
-    grams = (
-        f"transform(sequence(1, length(_lc) - {n} + 1),"
-        f" i -> substring(_lc, i, {n}))"
-    )
+    Generated with a single regex pass — a capturing lookahead yields every
+    overlapping window in O(len·n). The obvious
+    ``transform(sequence(...), i -> substring(_lc, i, n))`` is O(len²):
+    UTF8String.substring must re-walk bytes to codepoint i on every call
+    (measured 4.4x slower at sf0.1). ``(?s)`` makes ``.`` match newlines so
+    grams spanning line breaks are kept, matching the substring semantics."""
+    grams = f"regexp_extract_all(_lc, '(?s)(?=(.{{{n}}}))', 1)"
     return (
         df.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_lc"))
         .filter(F.length("_lc") >= n)
@@ -235,8 +236,7 @@ def ngram_jaccard_dedup(
     # per-doc set sizes straight off the (un-exploded) array — map-side only,
     # no aggregation shuffle of the gram rows
     grams_arr = (
-        f"size(array_distinct(transform(sequence(1, length(_lc) - {n} + 1),"
-        f" i -> substring(_lc, i, {n}))))"
+        f"size(array_distinct(regexp_extract_all(_lc, '(?s)(?=(.{{{n}}}))', 1)))"
     )
     sizes = (
         df.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_lc"))
