@@ -35,6 +35,7 @@ from akka_stream_contrib_spark.operators.asof import as_of_join
 from akka_stream_contrib_spark.operators.resample import resample_ffill
 from akka_stream_contrib_spark.operators.bucketing import (
     write_bucketed,
+    write_partitioned,
     bucketed_join,
     assert_no_shuffle_join,
 )
@@ -52,6 +53,6 @@ __all__ = [
     "timed_interval_between", "with_ingest_ts", "latency_columns",
     "retry", "retry_concat", "feedback_loop", "unfold_flow",
     "as_of_join", "resample_ffill",
-    "write_bucketed", "bucketed_join", "assert_no_shuffle_join",
+    "write_bucketed", "write_partitioned", "bucketed_join", "assert_no_shuffle_join",
     "salted_aggregate", "salted_join", "observed", "timed_section",
 ]

@@ -67,3 +67,20 @@ def assert_no_shuffle_join(df: DataFrame) -> None:
         raise AssertionError(
             "expected a zero-shuffle co-located join but the plan contains "
             "a shuffle Exchange:\n" + plan)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: Sequence[str],
+                      mode: str = "overwrite") -> None:
+    """Hive-style directory partitioning — the *pruning* complement of
+    bucketing: bucketing co-locates join keys, directory partitioning lets a
+    filter on the partition column skip entire directories at planning time,
+    so a 100 TB table filtered to one day reads one day's files and nothing
+    else (verify with :func:`~akka_stream_contrib_spark.plans.assert_partition_pruned`).
+
+    Keep partition cardinality bounded (date / type / source — never a
+    high-cardinality key like user_id): each value is a directory, and
+    small-file explosion is the standard failure mode at scale."""
+    cols = list(partition_cols)
+    if not cols:
+        raise ValueError("partition_cols must name at least one column")
+    df.write.mode(mode).partitionBy(*cols).parquet(path)

@@ -44,3 +44,14 @@ def count_exchanges(df: DataFrame) -> int:
     return sum(1 for l in plan.splitlines()
                if l.strip().startswith("(") is False and "Exchange" in l
                and "BroadcastExchange" not in l)
+
+
+def assert_partition_pruned(df: DataFrame, column: str) -> None:
+    """Assert the scan node carries a PartitionFilters entry on ``column`` —
+    i.e. a filter on a directory-partition column prunes partitions at
+    planning time instead of reading every file and filtering rows."""
+    plan = formatted_plan(df)
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    if not any(column in l for l in part):
+        raise AssertionError(
+            f"no partition pruning on {column!r}; PartitionFilters lines: {part}")

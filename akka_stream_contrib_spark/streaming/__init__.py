@@ -7,10 +7,13 @@ from akka_stream_contrib_spark.streaming.stateful import (
     accumulate_while_unchanged_stream,
 )
 from akka_stream_contrib_spark.streaming.valve import Valve
+from akka_stream_contrib_spark.streaming.sinks import idempotent_parquet_sink, read_sink
 
 __all__ = [
     "token_throttle_stream",
     "keep_alive_stream",
     "accumulate_while_unchanged_stream",
     "Valve",
+    "idempotent_parquet_sink",
+    "read_sink",
 ]

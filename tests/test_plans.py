@@ -103,3 +103,25 @@ def test_range_join_keeps_equi_conjunct_hashable(spark):
     plan = formatted_plan(entry.q_range_join_follows(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from akka_stream_contrib_spark import tables
+    from akka_stream_contrib_spark.operators import write_partitioned
+    from akka_stream_contrib_spark.plans import assert_partition_pruned
+
+    ev = tables.load(spark, "events", SF)
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path)
+    clicks = back.filter(F.col("event_type") == "click")
+    # the filter must become a planning-time directory prune, not a row filter
+    assert_partition_pruned(clicks, "event_type")
+    assert clicks.count() == ev.filter(F.col("event_type") == "click").count()
+    # a non-partition filter on the same data must NOT satisfy the assertion
+    with pytest.raises(AssertionError):
+        assert_partition_pruned(back.filter(F.col("value") > 50), "value")
+    with pytest.raises(ValueError):
+        write_partitioned(ev, path, [])

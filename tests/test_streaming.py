@@ -188,3 +188,36 @@ def test_stream_stream_join_event_time_band(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT ad_id, c_ad_id FROM ssj").collect()
     assert [(r.ad_id, r.c_ad_id) for r in rows] == [(1, 1)]
+
+
+def test_idempotent_sink_replay_writes_no_duplicates(spark, tmp_path):
+    from akka_stream_contrib_spark.streaming import (
+        idempotent_parquet_sink,
+        read_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _feed_json(src, "a.json", [{"k": i, "v": i * 10} for i in range(50)])
+    out = str(tmp_path / "out")
+    sink = idempotent_parquet_sink(out)
+    q = (
+        spark.readStream.schema("k long, v long").json(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = read_sink(spark, out).collect()
+    assert sorted((r.k, r.v) for r in first) == [(i, i * 10) for i in range(50)]
+    # simulate the at-least-once window: the sink committed batch 0 but the
+    # checkpoint didn't — the engine re-delivers the SAME rows with the SAME
+    # batch_id. The write must overwrite, not append.
+    replay = spark.createDataFrame([(i, i * 10) for i in range(50)], "k long, v long")
+    sink(replay, 0)
+    again = read_sink(spark, out).collect()
+    assert sorted((r.k, r.v) for r in again) == [(i, i * 10) for i in range(50)]
+    # a genuinely new batch id lands in its own partition (append semantics)
+    sink(spark.createDataFrame([(99, 990)], "k long, v long"), 1)
+    assert read_sink(spark, out).count() == 51
