@@ -1255,6 +1255,41 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: overlapping 64-token chunks (stride 56) per document —
+    the context-window split before tokenization. Pure generator expression,
+    zero shuffle."""
+    from akka_stream_contrib_spark.functions import chunk_documents
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(chunk_documents(chunk_size=64, overlap=8))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: concatenate-then-cut packing of documents into 256-token
+    bins per source (exclusive-prefix-sum bin assignment; deterministic)."""
+    from akka_stream_contrib_spark.functions import pack_sequences
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(pack_sequences(budget=256))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: top-50 vocabulary by frequency (count desc, token asc) —
+    explode + partial-agg count + TakeOrderedAndProject."""
+    from akka_stream_contrib_spark.functions import vocab_topk
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(vocab_topk(k=50))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep: 3-word-shingle containment of each training doc
+    (doc_id >= 20) against the eval set (doc_id < 20) — the train/test
+    decontamination pass; eval shingle set is broadcast."""
+    from akka_stream_contrib_spark.functions import decontaminate
+    docs = tables.load(spark, "documents", sf_dir)
+    return decontaminate(docs.filter(F.col("doc_id") >= 20),
+                         docs.filter(F.col("doc_id") < 20), k=3)
+
+
 def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """arg-min/max family (min_by / max_by): each user's first and last
     event attributes in one hash aggregation — no window, no sort, one
@@ -1363,6 +1398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "funnel_conversion": q_funnel_conversion,
         "user_journey": q_user_journey,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "vocab_topk": q_vocab_topk,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2260,5 +2299,70 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(value, event_id) AS last_value,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(
+                           CAST(ceil((len(toks) - 8) / 56.0) AS BIGINT), 1)))
+                           AS chunk_id
+                FROM t
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(toks[chunk_id*56+1 : chunk_id*56+64], ' ')
+                       AS chunk_text,
+                   CAST(len(toks[chunk_id*56+1 : chunk_id*56+64]) AS BIGINT)
+                       AS n_chunk_tokens
+            FROM c
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT source, doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                FROM documents
+            ), p AS (
+                SELECT source, n,
+                       coalesce(sum(n) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS prefix
+                FROM t
+            )
+            SELECT source, CAST(floor(prefix / 256.0) AS BIGINT) AS bin_id,
+                   count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+            FROM p GROUP BY source, bin_id
+        """,
+        "vocab_topk": """
+            SELECT token, count(*) AS freq FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ) WHERE regexp_matches(token, '^[a-z]+$')
+            GROUP BY token ORDER BY freq DESC, token LIMIT 50
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+                FROM toks WHERE len(l) >= 3
+            ),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+            tr AS (SELECT * FROM sh WHERE doc_id >= 20),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n_hits FROM tr
+                WHERE shingle IN (SELECT shingle FROM ev)
+                GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n_shingles, h.n_hits,
+                   round(h.n_hits / CAST(s.n_shingles AS DOUBLE), 6)
+                       AS containment
+            FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
         """,
     }

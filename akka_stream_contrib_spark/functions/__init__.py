@@ -21,6 +21,12 @@ from akka_stream_contrib_spark.functions.dedup import (
     char_ngrams,
     ngram_jaccard_dedup,
 )
+from akka_stream_contrib_spark.functions.corpus import (
+    chunk_documents,
+    pack_sequences,
+    vocab_topk,
+    decontaminate,
+)
 from akka_stream_contrib_spark.functions.similarity import (
     cosine_topk,
     near_dup_pairs,
@@ -35,4 +41,5 @@ __all__ = [
     "dedup_exact", "shingles", "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_lsh_topk", "ivf_topk",
+    "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
 ]

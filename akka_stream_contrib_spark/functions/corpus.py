@@ -1,0 +1,131 @@
+"""Corpus-construction operators: the steps between a deduped document set
+and a training run — chunking long documents into model-sized windows,
+packing short ones into fixed token budgets, building the vocabulary, and
+decontaminating the training set against an evaluation set.
+
+Reference anchor: the reference has no text operators (its elements are
+opaque, `/root/reference/src/main/scala/akka/stream/contrib/Sample.scala:22`
+processes any T); these extend the engine along the BASELINE.json mandate the
+same way `functions/dedup.py` does. Everything here is pure Column
+expressions — generation/explosion happens inside codegen, no Python row
+path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(chunk_size: int = 64, overlap: int = 8,
+                    id_col: str = "doc_id", text_col: str = "text"
+                    ) -> Callable[[DataFrame], DataFrame]:
+    """Split each document into whitespace-token windows of ``chunk_size``
+    tokens overlapping by ``overlap`` (stride = chunk_size - overlap), the
+    standard context-window prep for training/embedding. Emits
+    (doc_id, chunk_id, chunk_text, n_chunk_tokens).
+
+    Scale shape: a generator expression per row (posexplode over an index
+    sequence) — no shuffle at all; output partitioning follows the input.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    stride = chunk_size - overlap
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = df.select(F.col(id_col).alias("doc_id"),
+                         F.split(text_col, " ").alias("_toks"))
+        n_chunks = F.greatest(
+            F.ceil((F.size("_toks") - F.lit(overlap)) / F.lit(stride)),
+            F.lit(1)).cast("int")
+        piece = F.slice("_toks", F.col("chunk_id") * stride + 1, chunk_size)
+        return (
+            toks.select("doc_id", "_toks",
+                        F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+                        .alias("chunk_id", "_i"))
+            .select("doc_id", F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                    F.array_join(piece, " ").alias("chunk_text"),
+                    F.size(piece).cast("bigint").alias("n_chunk_tokens"))
+        )
+
+    return _apply
+
+
+def pack_sequences(budget: int = 256, group_col: str = "source",
+                   order_col: str = "doc_id", text_col: str = "text"
+                   ) -> Callable[[DataFrame], DataFrame]:
+    """Concatenate-then-cut sequence packing: within each ``group_col``,
+    documents are taken in ``order_col`` order and assigned to consecutive
+    bins of ``budget`` tokens — bin = floor(exclusive-prefix-token-sum /
+    budget), so a document straddling a boundary belongs to the bin where it
+    starts (each bin overflows by at most one document). Deterministic, one
+    shuffle on the group key, and exactly the streaming packing a tokenizer
+    worker applies to a partitioned corpus. Emits per-bin summaries
+    (source, bin_id, n_docs, total_tokens).
+    """
+    from pyspark.sql import Window
+
+    def _apply(df: DataFrame) -> DataFrame:
+        n_tok = F.size(F.split(text_col, " ")).cast("bigint")
+        w = (Window.partitionBy(group_col).orderBy(order_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        with_bin = df.select(
+            F.col(group_col), F.col(order_col), n_tok.alias("_n"),
+            F.floor(F.coalesce(F.sum(n_tok).over(w), F.lit(0)) / budget)
+             .alias("bin_id"))
+        return (with_bin.groupBy(group_col, "bin_id")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("_n").alias("total_tokens")))
+
+    return _apply
+
+
+def vocab_topk(k: int = 50, text_col: str = "text"
+               ) -> Callable[[DataFrame], DataFrame]:
+    """Corpus vocabulary: top-k alphabetic tokens by frequency
+    (count desc, token asc tie-break — fully deterministic). The plan is
+    explode -> partial-aggregated count -> TakeOrderedAndProject: per-partition
+    top-k then a single k-row merge at the driver, never a global sort of the
+    vocabulary."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(F.split(F.lower(F.col(text_col)), " "))
+                      .alias("token"))
+            .filter(F.col("token").rlike("^[a-z]+$"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), "token").limit(k)
+        )
+
+    return _apply
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, k: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Train/eval overlap detection: for each training document, the fraction
+    of its k-word shingles that appear anywhere in the evaluation set
+    (containment). Emits (doc_id, n_shingles, n_hits, containment) for every
+    training doc with at least one hit.
+
+    Scale shape: the eval side (benchmarks — MBs even when the corpus is
+    100 TB) reduces to a distinct-shingle set that is BROADCAST; the training
+    corpus is scanned once, its shingles joined map-side, one shuffle on
+    doc_id for the per-doc count. This is how decontamination actually runs
+    on a large corpus — never a shuffle of the corpus shingles against the
+    eval shingles."""
+    from akka_stream_contrib_spark.functions.dedup import shingles
+
+    tr = shingles(train, k=k, id_col=id_col, text_col=text_col)
+    ev = (shingles(eval_df, k=k, id_col=id_col, text_col=text_col)
+          .select("shingle").distinct())
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (tr.join(F.broadcast(ev), "shingle", "left_semi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (
+        sizes.join(hits, "doc_id")
+        .select("doc_id", "n_shingles", "n_hits",
+                F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+                .alias("containment"))
+    )

@@ -106,3 +106,39 @@ def test_frame_sample_grid(spark):
     frames = media.transform(frame_sample(every_ms=1000)).collect()
     assert len(frames) == dur // 1000 + 1
     assert [f.frame_ts_ms for f in frames[:3]] == [0, 1000, 2000]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from akka_stream_contrib_spark.functions import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))  # 100 tokens
+    docs = spark.createDataFrame([(1, text), (2, "just three tokens")],
+                                 "doc_id bigint, text string")
+    rows = {(r.doc_id, r.chunk_id): r for r in
+            docs.transform(chunk_documents(chunk_size=64, overlap=8)).collect()}
+    # doc 1: ceil((100-8)/56) = 2 chunks; chunk 1 starts at token 56 (overlap 8)
+    assert (1, 0) in rows and (1, 1) in rows and (1, 2) not in rows
+    c0, c1 = rows[(1, 0)], rows[(1, 1)]
+    assert c0.n_chunk_tokens == 64 and c0.chunk_text.split(" ")[0] == "t0"
+    assert c1.chunk_text.split(" ")[0] == "t56"  # stride = 64 - 8
+    assert c1.n_chunk_tokens == 100 - 56  # tail chunk is short, never dropped
+    assert c0.chunk_text.split(" ")[-8:] == c1.chunk_text.split(" ")[:8]  # overlap
+    # short doc: single whole-document chunk
+    assert rows[(2, 0)].chunk_text == "just three tokens"
+    with pytest.raises(ValueError):
+        chunk_documents(chunk_size=8, overlap=8)
+
+
+def test_pack_sequences_bin_assignment(spark):
+    from akka_stream_contrib_spark.functions import pack_sequences
+
+    mk = lambda i, n: (i, "x " * (n - 1) + "x", "s")
+    # token counts 100, 100, 100: doc 3 starts at prefix 200 < 256 -> bin 0
+    # doc 4 (prefix 300) -> bin 1
+    docs = spark.createDataFrame(
+        [mk(1, 100), mk(2, 100), mk(3, 100), mk(4, 50)],
+        "doc_id bigint, text string, source string")
+    out = {r.bin_id: r for r in
+           docs.transform(pack_sequences(budget=256)).collect()}
+    assert out[0].n_docs == 3 and out[0].total_tokens == 300  # one-doc overflow
+    assert out[1].n_docs == 1 and out[1].total_tokens == 50
