@@ -47,6 +47,12 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_stats",
     "training_prep",
+    "moving_revenue_7d",
+    "grouping_sets_revenue",
+    "user_journey",
+    "chunk_documents",
+    "vocab_topk",
+    "decontaminate",
 ]
 
 
