@@ -1290,6 +1290,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          docs.filter(F.col("doc_id") < 20), k=3)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame: near-dup pairs resolved into connected components
+    (cluster id = min member id) via iterative min-label propagation — the
+    pairs→clusters→canonical step of a real dedup pipeline. The iteration is
+    a driver loop over the (tiny) edge set; the oracle is a recursive-CTE
+    transitive closure."""
+    from akka_stream_contrib_spark.functions import dup_clusters, near_dup_pairs
+    emb = tables.load(spark, "embeddings", sf_dir)
+    pairs = near_dup_pairs(emb, threshold=0.4)
+    return (dup_clusters(pairs, "id_a", "id_b")
+            .select(F.col("id").alias("vec_id"), "cluster_id"))
+
+
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew family: two-phase salted aggregation over events, whose 5
+    event_type values are exactly the hot-key regime (~N/5 rows per key) that
+    melts a reducer at 100 TB. Result is identical to the direct groupBy —
+    the oracle proves it — while phase 1 spreads each hot key over 16
+    reducers."""
+    from akka_stream_contrib_spark.operators import salted_aggregate
+    ev = tables.load(spark, "events", sf_dir)
+    out = salted_aggregate(
+        ev.withColumn("_v", F.col("value").cast("decimal(18,4)")),
+        keys=["event_type"],
+        aggs={"n": ("count", "event_id"), "sum_value": ("sum", "_v"),
+              "max_value": ("max", "value")},
+    )
+    return out.select("event_type", "n",
+                      F.col("sum_value").cast("double").alias("sum_value"),
+                      "max_value")
+
+
 def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """arg-min/max family (min_by / max_by): each user's first and last
     event attributes in one hash aggregation — no window, no sort, one
@@ -1402,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
+        "dup_clusters": q_dup_clusters,
+        "salted_event_stats": q_salted_event_stats,
     }
 
 
@@ -2364,5 +2398,36 @@ def oracle_sql() -> dict[str, str]:
                    round(h.n_hits / CAST(s.n_shingles AS DOUBLE), 6)
                        AS containment
             FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+                FROM embeddings
+            ), p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+                WHERE round(list_sum(list_transform(
+                          generate_series(1, len(a.nv)),
+                          i -> a.nv[i] * b.nv[i])), 6) >= 0.4
+            ), e AS (
+                SELECT id_a AS u, id_b AS v FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ), reach(u, v) AS (
+                SELECT u, v FROM e
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            )
+            SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u
+        """,
+        "salted_event_stats": """
+            SELECT event_type, count(event_id) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+                   max(value) AS max_value
+            FROM events GROUP BY event_type
         """,
     }

@@ -20,6 +20,7 @@ from akka_stream_contrib_spark.functions.dedup import (
     simhash,
     char_ngrams,
     ngram_jaccard_dedup,
+    dup_clusters,
 )
 from akka_stream_contrib_spark.functions.corpus import (
     chunk_documents,
@@ -40,6 +41,7 @@ __all__ = [
     "token_id",
     "dedup_exact", "shingles", "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
+    "dup_clusters",
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_lsh_topk", "ivf_topk",
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
 ]

@@ -305,3 +305,48 @@ def simhash(id_col: str = "doc_id", text_col: str = "text", k: int = 3,
         return votes.select("doc_id", hash_expr.cast("bigint").alias("simhash"))
 
     return _apply
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+                 max_iter: int = 30) -> DataFrame:
+    """Resolve near-dup *pairs* into connected components — the final step of
+    a dedup pipeline (pairs → clusters → one canonical doc per cluster).
+    Returns (id, cluster_id) for every id appearing in ``pairs``, where
+    cluster_id = min id of the component.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges within the graph
+    diameter. Dedup graphs are forests of shallow cliques, so rounds ≈ 2-4 in
+    practice; each round is one shuffle of the (small) edge set, never of the
+    corpus, and ``localCheckpoint`` truncates lineage so plans stay flat.
+    Driver-side iteration mirrors the reference's cyclic-graph pattern
+    (`/root/reference/src/main/scala/akka/stream/contrib/FeedbackLoop.scala:18-38`) —
+    Spark plans are DAGs, so the cycle lives in the driver loop.
+    """
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = und.localCheckpoint(eager=True)
+    labels = (und.groupBy("u").agg(F.min("v").alias("lbl"))
+              .select("u", F.least("u", "lbl").alias("lbl"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u").agg(F.min("lbl").alias("_nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select("u", F.least("lbl", "_nlbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "u")
+                   .filter(F.col("n.lbl") < F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds the bound; raise max_iter")
+    return labels.select(F.col("u").alias("id"), F.col("lbl").alias("cluster_id"))

@@ -142,3 +142,14 @@ def test_pack_sequences_bin_assignment(spark):
            docs.transform(pack_sequences(budget=256)).collect()}
     assert out[0].n_docs == 3 and out[0].total_tokens == 300  # one-doc overflow
     assert out[1].n_docs == 1 and out[1].total_tokens == 50
+
+
+def test_dup_clusters_chain_and_clique(spark):
+    from akka_stream_contrib_spark.functions import dup_clusters
+
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a bigint, id_b bigint")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
