@@ -125,3 +125,19 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
         assert_partition_pruned(back.filter(F.col("value") > 50), "value")
     with pytest.raises(ValueError):
         write_partitioned(ev, path, [])
+
+
+def test_corpus_family_plan_shapes(spark):
+    from akka_stream_contrib_spark.plans import count_exchanges
+
+    # chunking is a pure generator expression: nothing may shuffle
+    assert count_exchanges(entry.q_chunk_documents(spark, SF)) == 0
+    # vocabulary top-k must be per-partition top-k + k-row merge, never a
+    # global sort of the vocabulary
+    plan = formatted_plan(entry.q_vocab_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # decontamination must broadcast the eval shingle set (the corpus side
+    # of the semi join is never shuffled on the shingle key)
+    assert_broadcast_join(entry.q_decontaminate(spark, SF))
+    # stratified sampling: scan-side filter, zero shuffles
+    assert count_exchanges(entry.q_stratified_sample(spark, SF)) == 0

@@ -101,3 +101,34 @@ def test_as_of_join_matches_model(left_ts, right_rows):
     out = as_of_join(ldf, rdf, on=["k"], ts="ts", right_cols=["v"])
     got = {r.event_id: r.v_asof for r in out.collect()}
     assert got == asof_model(left, right_rows)
+
+
+def chunks_model(n_tokens: int, size: int, overlap: int) -> list[tuple[int, int]]:
+    """Pure-python reference: (start0, length) of each chunk over n tokens."""
+    stride = size - overlap
+    n_chunks = max(-(-(n_tokens - overlap) // stride), 1)
+    return [(i * stride, min(size, n_tokens - i * stride))
+            for i in range(n_chunks)]
+
+
+@given(st.integers(min_value=1, max_value=400),
+       st.sampled_from([(16, 0), (16, 4), (64, 8), (5, 4)]))
+@settings(**SETTINGS)
+def test_chunk_documents_matches_model(n_tokens, size_overlap):
+    size, overlap = size_overlap
+    from akka_stream_contrib_spark.functions import chunk_documents
+
+    spark = _get_spark()
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = sorted((r.chunk_id, r.chunk_text.split(" "), r.n_chunk_tokens)
+                 for r in df.transform(
+                     chunk_documents(chunk_size=size, overlap=overlap)).collect())
+    expect = chunks_model(n_tokens, size, overlap)
+    assert len(got) == len(expect)
+    for (cid, toks, n), (start, length) in zip(got, expect):
+        assert n == length and len(toks) == length
+        assert toks == [f"t{j}" for j in range(start, start + length)]
+    # invariant: every token appears in at least one chunk (no gaps)
+    covered = {start + j for start, length in expect for j in range(length)}
+    assert covered == set(range(n_tokens))
