@@ -1290,6 +1290,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          docs.filter(F.col("doc_id") < 20), k=3)
 
 
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer-join family: per-nation customer account balance vs
+    supplier account balance, reconciled — nations appearing on only one
+    side keep nulls on the other (the audit/reconciliation join shape).
+    Both sides pre-aggregate BEFORE the join, so the full outer join runs
+    on ~25 rows however large the base tables are."""
+    cust = tables.load(spark, "customer", sf_dir)
+    supp = tables.load(spark, "supplier", sf_dir)
+    nat = tables.load(spark, "nation", sf_dir)
+    c = (cust.groupBy("c_nationkey")
+         .agg(F.sum(_money("c_acctbal")).cast("double").alias("cust_bal"),
+              F.count(F.lit(1)).alias("n_cust"))
+         .withColumnRenamed("c_nationkey", "nationkey"))
+    s = (supp.groupBy("s_nationkey")
+         .agg(F.sum(_money("s_acctbal")).cast("double").alias("supp_bal"),
+              F.count(F.lit(1)).alias("n_supp"))
+         .withColumnRenamed("s_nationkey", "nationkey"))
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .join(F.broadcast(nat), F.col("nationkey") == nat.n_nationkey, "left")
+        .select("n_name", "n_cust", "cust_bal", "n_supp", "supp_bal")
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup endgame: near-dup pairs resolved into connected components
     (cluster id = min member id) via iterative min-label propagation — the
@@ -1436,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dup_clusters": q_dup_clusters,
         "salted_event_stats": q_salted_event_stats,
+        "nation_trade_balance": q_nation_trade_balance,
     }
 
 
@@ -2429,5 +2454,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
                    max(value) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "nation_trade_balance": """
+            WITH c AS (
+                SELECT c_nationkey AS nationkey,
+                       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                           AS cust_bal,
+                       count(*) AS n_cust
+                FROM customer GROUP BY c_nationkey
+            ), s AS (
+                SELECT s_nationkey AS nationkey,
+                       CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                           AS supp_bal,
+                       count(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey
+            )
+            SELECT n_name, n_cust, cust_bal, n_supp, supp_bal
+            FROM c FULL OUTER JOIN s USING (nationkey)
+            LEFT JOIN nation ON nationkey = n_nationkey
         """,
     }

@@ -8,6 +8,7 @@ from akka_stream_contrib_spark.streaming.stateful import (
 )
 from akka_stream_contrib_spark.streaming.valve import Valve
 from akka_stream_contrib_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+from akka_stream_contrib_spark.streaming.rollup import incremental_rollup, read_rollup
 
 __all__ = [
     "token_throttle_stream",
@@ -16,4 +17,6 @@ __all__ = [
     "Valve",
     "idempotent_parquet_sink",
     "read_sink",
+    "incremental_rollup",
+    "read_rollup",
 ]

@@ -221,3 +221,32 @@ def test_idempotent_sink_replay_writes_no_duplicates(spark, tmp_path):
     # a genuinely new batch id lands in its own partition (append semantics)
     sink(spark.createDataFrame([(99, 990)], "k long, v long"), 1)
     assert read_sink(spark, out).count() == 51
+
+
+def test_incremental_rollup_matches_batch_recompute(spark, tmp_path):
+    from akka_stream_contrib_spark.streaming import incremental_rollup, read_rollup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows1 = [{"ts": f"2024-01-01T{h:02d}:{m:02d}:00", "k": "a", "value": h + m}
+             for h in (0, 1) for m in (5, 35)]
+    _feed_json(src, "a.json", rows1)
+    stream = (spark.readStream.schema("ts timestamp, k string, value double")
+              .json(str(src)))
+    out = str(tmp_path / "rollup")
+    writer = incremental_rollup(stream, out, bucket="1 hour", keys=["k"],
+                                watermark="10 hours")
+    q = (writer.option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # second increment touches hour 1 only — its bucket partition is upserted
+    _feed_json(src, "b.json", [{"ts": "2024-01-01T01:50:00", "k": "a", "value": 100}])
+    q = (writer.option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.bucket_id, r.k): (r.n, r.sum_value, r.min_value, r.max_value)
+           for r in read_rollup(spark, out).collect()}
+    assert got == {
+        ("2024-01-01-00-00", "a"): (2, 5.0 + 35.0, 5.0, 35.0),
+        ("2024-01-01-01-00", "a"): (3, 1 + 5 + 1 + 35 + 100.0, 6.0, 100.0),
+    }
