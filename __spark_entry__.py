@@ -1290,6 +1290,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          docs.filter(F.col("doc_id") < 20), k=3)
 
 
+def q_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-join family: per-nation top-2 customers by balance via a
+    correlated LATERAL subquery with ORDER BY ... LIMIT — Catalyst
+    decorrelates it into a ranked window join (same plan class as the
+    window-function form, so it scales identically; this entry pins the SQL
+    surface)."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_name, c_name, c_acctbal FROM nation,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+    """)
+
+
+def q_priority_shift_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-op family (EXCEPT ALL): order-priority occurrences in
+    1995+ minus those before 1995, with duplicates preserved — the bag
+    semantics that DISTINCT set ops (customers_retained/churned) don't
+    exercise. Catalyst plans it as a single hash aggregation of counted
+    multiplicities."""
+    orders = tables.load(spark, "orders", sf_dir)
+    after = (orders.filter(F.col("o_orderdate") >= "1995-01-01")
+             .select("o_orderpriority"))
+    before = (orders.filter(F.col("o_orderdate") < "1995-01-01")
+              .select("o_orderpriority"))
+    return after.exceptAll(before)
+
+
 def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer-join family: per-nation customer account balance vs
     supplier account balance, reconciled — nations appearing on only one
@@ -1461,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "salted_event_stats": q_salted_event_stats,
         "nation_trade_balance": q_nation_trade_balance,
+        "lateral_top_customers": q_lateral_top_customers,
+        "priority_shift_except_all": q_priority_shift_except_all,
     }
 
 
@@ -2472,5 +2503,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, n_cust, cust_bal, n_supp, supp_bal
             FROM c FULL OUTER JOIN s USING (nationkey)
             LEFT JOIN nation ON nationkey = n_nationkey
+        """,
+        "lateral_top_customers": """
+            SELECT n_name, c_name, c_acctbal FROM nation,
+            LATERAL (SELECT c_name, c_acctbal FROM customer
+                     WHERE c_nationkey = n_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        """,
+        "priority_shift_except_all": """
+            SELECT o_orderpriority FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+            EXCEPT ALL
+            SELECT o_orderpriority FROM orders WHERE o_orderdate < DATE '1995-01-01'
         """,
     }
