@@ -1,0 +1,72 @@
+"""Shuffle-budget regression harness: every gate query's physical plan is
+pinned to its audited shuffle-Exchange count (SCALE.md's accounting, made
+executable). A refactor that silently adds a shuffle — the scale-limiting
+resource at 100 TB — fails here loudly, the same way a golden-value test
+catches a semantics regression.
+
+Budgets are ceilings (==audited count at authoring time); improving a plan
+means lowering the budget, never raising it without a SCALE.md argument.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from akka_stream_contrib_spark.plans import count_exchanges
+
+SF = "/root/testdata/sf0.001"
+
+# query -> max shuffle exchanges (audited 2026-08-13, spark 4.1, AQE on,
+# 64 MB broadcast threshold; sf0.001 statistics)
+BUDGET = {
+    "sample_nth": 0, "sample_step": 0, "partition_with": 0, "pass_through": 0,
+    "delay_flow": 0, "accumulate": 1, "accumulate_keyed": 1,
+    "accumulate_while_unchanged": 1, "last_element": 1,
+    "timed_interval_between": 1, "time_window": 1, "sliding_window": 1,
+    "session_window": 1, "rate_limiter": 1, "pulse": 1, "keep_alive": 1,
+    "merge_by_index": 1, "token_throttle": 1, "retry": 0, "unfold_collatz": 0,
+    "feedback_fibonacci": 0, "q1_pricing_summary": 1,
+    "q3_shipping_priority": 1, "q5_local_supplier_volume": 1,
+    "q6_forecast_revenue": 1, "q4_order_priority": 1, "q10_returned_items": 1,
+    "q12_priority_shipping": 1, "q14_promo_revenue": 1,
+    "q17_small_qty_revenue": 2, "q18_large_orders": 1,
+    "q19_disjunctive_revenue": 1, "q22_idle_balance": 2, "q7_nation_volume": 1,
+    "q8_market_share": 1, "q15_top_supplier": 3, "q21_waiting_supplier": 4,
+    "q13_order_distribution": 2, "customers_retained": 1,
+    "customers_churned": 1, "cube_revenue": 1, "range_join_follows": 1,
+    "string_funcs": 0, "date_parts": 0, "window_breadth": 1, "quantiles": 1,
+    "array_agg_events": 1, "pivot_revenue": 2, "posexplode_tokens": 0,
+    "resample_ffill": 2, "training_prep": 1, "lang_confusion": 1,
+    "knn_label_vote": 0, "user_correlation": 3, "as_of_join": 1,
+    "rollup_revenue": 1, "distinct_users": 2, "approx_distinct_users": 1,
+    "semi_join_customers": 0, "anti_join_customers": 0,
+    "top_orders_per_customer": 1, "props_json_extract": 1,
+    "monthly_revenue": 1, "text_stats": 0, "lang_id": 0, "token_count_bpe": 0,
+    "doc_fingerprint": 0, "dedup_exact": 1, "minhash_lsh_dedup": 5,
+    "simhash": 1, "ann_cosine_topk": 0, "ann_lsh_topk": 1, "ivf_ann_topk": 0,
+    "ngram_jaccard_dedup": 3, "embedding_near_dup": 0, "multimodal_meta": 0,
+    "stratified_sample": 0, "array_hof": 0, "regexp_funcs": 0,
+    "moving_revenue_7d": 1, "grouping_sets_revenue": 1, "funnel_conversion": 2,
+    "user_journey": 1, "chunk_documents": 0, "pack_sequences": 1,
+    "vocab_topk": 1, "decontaminate": 3, "dup_clusters": 0,
+    "salted_event_stats": 2, "nation_trade_balance": 2,
+    "lateral_top_customers": 2, "priority_shift_except_all": 1,
+}
+
+
+def test_budget_covers_every_query():
+    missing = sorted(set(entry.queries()) - set(BUDGET))
+    assert not missing, f"new queries need a shuffle budget: {missing}"
+
+
+def test_no_query_exceeds_its_shuffle_budget(spark):
+    qs = entry.queries()
+    over = {}
+    for name, fn in qs.items():
+        if name not in BUDGET:
+            continue
+        n = count_exchanges(fn(spark, SF))
+        if n > BUDGET[name]:
+            over[name] = (n, BUDGET[name])
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"
