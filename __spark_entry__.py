@@ -1290,6 +1290,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          docs.filter(F.col("doc_id") < 20), k=3)
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene: email/phone redaction with removal counts. Scan-side
+    regexp only — the semantics are proven on synthetic PII in
+    tests/test_functions.py; here the oracle pins cross-engine regex
+    parity over the whole corpus."""
+    from akka_stream_contrib_spark.functions import redact_pii
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(redact_pii())
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter inputs per document (most-frequent
+    token share); distributed word-count shape."""
+    from akka_stream_contrib_spark.functions import repetition_stats
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(repetition_stats())
+
+
 def q_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral-join family: per-nation top-2 customers by balance via a
     correlated LATERAL subquery with ORDER BY ... LIMIT — Catalyst
@@ -1492,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_balance": q_nation_trade_balance,
         "lateral_top_customers": q_lateral_top_customers,
         "priority_shift_except_all": q_priority_shift_except_all,
+        "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -2514,5 +2534,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority FROM orders WHERE o_orderdate >= DATE '1995-01-01'
             EXCEPT ALL
             SELECT o_orderpriority FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        """,
+        "pii_redact": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[PII]', 'g'),
+                       '\\+?[0-9][0-9 ()-]{7,}[0-9]', '[PII]', 'g')
+                       AS redacted_text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[PII]', 'g'),
+                       '\\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phones
+            FROM documents
+        """,
+        "repetition_stats": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ), per_token AS (
+                SELECT doc_id, token, count(*) AS c
+                FROM tok GROUP BY doc_id, token
+            )
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct_tokens,
+                   max(c) AS top_token_freq,
+                   round(max(c) / CAST(sum(c) AS DOUBLE), 6) + 0.0
+                       AS repetition_ratio
+            FROM per_token GROUP BY doc_id
         """,
     }

@@ -10,6 +10,8 @@ from akka_stream_contrib_spark.functions.text import (
     token_count_bpe,
     doc_fingerprint,
     token_id,
+    redact_pii,
+    repetition_stats,
 )
 from akka_stream_contrib_spark.functions.dedup import (
     dedup_exact,
@@ -38,7 +40,7 @@ from akka_stream_contrib_spark.functions.similarity import (
 
 __all__ = [
     "tokens", "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
-    "token_id",
+    "token_id", "redact_pii", "repetition_stats",
     "dedup_exact", "shingles", "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "dup_clusters",

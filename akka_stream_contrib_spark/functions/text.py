@@ -124,3 +124,62 @@ def doc_fingerprint(id_col: str = "doc_id", text_col: str = "text") -> Callable[
         )
 
     return _apply
+
+
+# Conservative patterns shared with the DuckDB oracle (both engines compile
+# them identically; no lookbehind/backreferences).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def redact_pii(id_col: str = "doc_id", text_col: str = "text",
+               token: str = "[PII]") -> Callable[[DataFrame], DataFrame]:
+    """Corpus-hygiene pass: replace email addresses and phone-number-shaped
+    spans with ``token`` and count what was removed — the redaction step a
+    training pipeline runs before anything is retained. Pure regexp
+    expressions on the scan: zero shuffle, scales with read bandwidth."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        n_email = F.size(F.regexp_extract_all(text_col, F.lit(f"({EMAIL_RE})"), 1))
+        redacted = F.regexp_replace(
+            F.regexp_replace(F.col(text_col), EMAIL_RE, token),
+            PHONE_RE, token)
+        n_phone = F.size(F.regexp_extract_all(
+            F.regexp_replace(F.col(text_col), EMAIL_RE, token),
+            F.lit(f"({PHONE_RE})"), 1))
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            redacted.alias("redacted_text"),
+            n_email.cast("bigint").alias("n_emails"),
+            n_phone.cast("bigint").alias("n_phones"),
+        )
+
+    return _apply
+
+
+def repetition_stats(id_col: str = "doc_id", text_col: str = "text"
+                     ) -> Callable[[DataFrame], DataFrame]:
+    """Gopher-style repetition filter inputs: tokens, distinct tokens, the
+    most-frequent token's count, and its share of the document
+    (repetition_ratio) — high ratios flag boilerplate/spam for removal.
+
+    Two uniform-key shuffles ((doc, token) count, then per-doc max) — the
+    distributed word-count shape, never a per-doc collect."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        tok = df.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(F.lower(F.col(text_col)), " "))
+                        .alias("token"))
+        per_token = (tok.groupBy("doc_id", "token")
+                     .agg(F.count(F.lit(1)).alias("_c")))
+        return (
+            per_token.groupBy("doc_id")
+            .agg(F.sum("_c").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_distinct_tokens"),
+                 F.max("_c").alias("top_token_freq"))
+            .select("doc_id", "n_tokens", "n_distinct_tokens", "top_token_freq",
+                    (F.round(F.col("top_token_freq") / F.col("n_tokens"), 6)
+                     + F.lit(0.0)).alias("repetition_ratio"))
+        )
+
+    return _apply

@@ -153,3 +153,33 @@ def test_dup_clusters_chain_and_clique(spark):
         "id_a bigint, id_b bigint")
     got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_redact_pii_synthetic(spark):
+    from akka_stream_contrib_spark.functions import redact_pii
+
+    docs = spark.createDataFrame([
+        (1, "contact john.doe+x@example.co.uk or +1 (555) 123-4567 today"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c.d@e.org and line +49 89 123456 78"),
+    ], "doc_id bigint, text string")
+    got = {r.doc_id: r for r in docs.transform(redact_pii()).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert "@" not in got[1].redacted_text
+    assert "555" not in got[1].redacted_text
+    assert got[1].redacted_text.startswith("contact [PII] or ")
+    assert got[2].redacted_text == "no pii here at all"
+    assert got[2].n_emails == 0 and got[2].n_phones == 0
+    assert got[3].n_emails == 2 and got[3].n_phones == 1
+
+
+def test_repetition_stats_golden(spark):
+    from akka_stream_contrib_spark.functions import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam eggs"), (2, "a b c d")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r for r in docs.transform(repetition_stats()).collect()}
+    assert (got[1].n_tokens, got[1].n_distinct_tokens,
+            got[1].top_token_freq, got[1].repetition_ratio) == (4, 2, 3, 0.75)
+    assert got[2].repetition_ratio == 0.25
