@@ -40,6 +40,7 @@ from akka_stream_contrib_spark.operators.bucketing import (
     assert_no_shuffle_join,
 )
 from akka_stream_contrib_spark.operators.skew import salted_aggregate, salted_join
+from akka_stream_contrib_spark.operators.compaction import compact_parquet, parquet_file_stats
 from akka_stream_contrib_spark.operators.windows import windowed_fold
 
 __all__ = [
@@ -54,5 +55,6 @@ __all__ = [
     "retry", "retry_concat", "feedback_loop", "unfold_flow",
     "as_of_join", "resample_ffill",
     "write_bucketed", "write_partitioned", "bucketed_join", "assert_no_shuffle_join",
-    "salted_aggregate", "salted_join", "observed", "timed_section",
+    "salted_aggregate", "salted_join",
+    "compact_parquet", "parquet_file_stats", "observed", "timed_section",
 ]

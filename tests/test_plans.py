@@ -141,3 +141,41 @@ def test_corpus_family_plan_shapes(spark):
     assert_broadcast_join(entry.q_decontaminate(spark, SF))
     # stratified sampling: scan-side filter, zero shuffles
     assert count_exchanges(entry.q_stratified_sample(spark, SF)) == 0
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
+    """The skew path the engine relies on at 100 TB: a hot join key is split
+    across tasks by AQE at runtime (SortMergeJoin(skew=true)). Thresholds
+    are shrunk so sf-test data exhibits the behavior; the mechanism is
+    byte-based and identical at any scale. (`operators/skew.py` salting
+    covers the cases AQE can't: skewed *aggregations* and broadcast-ineligible
+    plans.)"""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("r").alias("tag"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 180100
+        # the FINAL adaptive plan (only available after execution) must show
+        # the skewed-partition split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from akka_stream_contrib_spark.functions.errors import try_transform
@@ -148,3 +149,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted((r.k, r.v) for r in spark.sql("SELECT k, v FROM sdedup").collect())
     assert [k for k, _ in rows] == [1, 2]              # one row per key
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from akka_stream_contrib_spark.operators import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    src = str(tmp_path / "small_files")
+    # simulate a micro-batch sink's output: 64 tiny files
+    spark.range(20000).repartition(64).write.parquet(src)
+    n_before, total = parquet_file_stats(src)
+    assert n_before >= 64
+    out = str(tmp_path / "compacted")
+    back = compact_parquet(spark, src, out, target_file_bytes=total)
+    n_after, _ = parquet_file_stats(out)
+    assert n_after == 1
+    assert back.count() == 20000
+    assert back.selectExpr("sum(id)").head()[0] == 20000 * 19999 // 2
+    with pytest.raises(ValueError):
+        compact_parquet(spark, src, src)
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    from akka_stream_contrib_spark.operators import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "parts")
+    (spark.range(9000).select((F.col("id") % 3).alias("p"), "id")
+     .repartition(30).write.partitionBy("p").parquet(src))
+    n_before, total = parquet_file_stats(src)
+    out = str(tmp_path / "parts_out")
+    back = compact_parquet(spark, src, out, target_file_bytes=total,
+                           partition_cols=["p"])
+    n_after, _ = parquet_file_stats(out)
+    assert n_after < n_before
+    # directory layout preserved -> partition pruning still applies
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("p=")) == [
+        "p=0", "p=1", "p=2"]
+    assert back.count() == 9000
