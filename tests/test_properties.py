@@ -132,3 +132,28 @@ def test_chunk_documents_matches_model(n_tokens, size_overlap):
     # invariant: every token appears in at least one chunk (no gaps)
     covered = {start + j for start, length in expect for j in range(length)}
     assert covered == set(range(n_tokens))
+
+
+@given(st.lists(st.integers(min_value=1, max_value=120), min_size=1,
+                max_size=25),
+       st.sampled_from([64, 256]))
+@settings(**SETTINGS)
+def test_pack_sequences_conserves_and_bounds(token_counts, budget):
+    from akka_stream_contrib_spark.functions import pack_sequences
+
+    spark = _get_spark()
+    rows = [(i, " ".join(["x"] * n), "s") for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    bins = sorted((r.bin_id, r.n_docs, r.total_tokens)
+                  for r in df.transform(pack_sequences(budget=budget)).collect())
+    # conservation: every token lands in exactly one bin
+    assert sum(b[2] for b in bins) == sum(token_counts)
+    assert sum(b[1] for b in bins) == len(token_counts)
+    # bin ids are the exclusive-prefix-sum buckets of the python model
+    prefix, expect = 0, {}
+    for n in token_counts:
+        b = prefix // budget
+        d, t = expect.get(b, (0, 0))
+        expect[b] = (d + 1, t + n)
+        prefix += n
+    assert bins == sorted((b, d, t) for b, (d, t) in expect.items())
