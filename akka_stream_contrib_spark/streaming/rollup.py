@@ -51,14 +51,37 @@ def incremental_rollup(stream_df: DataFrame, path: str, ts_col: str = "ts",
             "n", "sum_value", "min_value", "max_value")
     )
 
+    group_keys = ["bucket_id", *keys]
+
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        """Merge-on-write into the touched bucket partitions. Update mode
+        emits only the (bucket, keys) rows this batch changed — but a
+        dynamic partition overwrite replaces whole bucket directories, so
+        rows of OTHER keys in a touched bucket must be carried over:
+        read them back, anti-join on the full group key, union, rewrite.
+        ``localCheckpoint`` materializes the carried rows first (a path
+        cannot be overwritten while a plan still reads from it). Work per
+        trigger is O(touched buckets), never O(history). Idempotent on
+        checkpoint replay: re-merging the same rows yields the same
+        partitions."""
         spark = batch_df.sparkSession
+        out = batch_df
+        touched = [r.bucket_id for r in
+                   batch_df.select("bucket_id").distinct().collect()]
+        try:
+            existing = (spark.read.parquet(path)
+                        .filter(F.col("bucket_id").isin(touched)))
+            carried = (existing.join(batch_df.select(*group_keys),
+                                     group_keys, "left_anti")
+                       .localCheckpoint(eager=True))
+            out = batch_df.unionByName(carried)
+        except Exception:
+            pass  # first batch: nothing materialized yet
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(key, "static")
         spark.conf.set(key, "dynamic")
         try:
-            (batch_df.write.mode("overwrite")
-             .partitionBy("bucket_id").parquet(path))
+            out.write.mode("overwrite").partitionBy("bucket_id").parquet(path)
         finally:
             spark.conf.set(key, prev)
 

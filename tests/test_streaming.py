@@ -250,3 +250,44 @@ def test_incremental_rollup_matches_batch_recompute(spark, tmp_path):
         ("2024-01-01-00-00", "a"): (2, 5.0 + 35.0, 5.0, 35.0),
         ("2024-01-01-01-00", "a"): (3, 1 + 5 + 1 + 35 + 100.0, 6.0, 100.0),
     }
+
+
+def test_composite_streaming_pipeline_end_to_end(spark, tmp_path):
+    """The streaming analogue of training_prep: file source -> watermarked
+    exact dedup -> tumbling per-type aggregation -> idempotent parquet sink,
+    across two restarts of the same checkpointed query."""
+    from akka_stream_contrib_spark.streaming import incremental_rollup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [{"ts": f"2024-03-01T10:{m:02d}:00", "k": t, "value": float(v), "uid": u}
+            for u, (m, t, v) in enumerate([
+                (1, "click", 10), (2, "click", 10), (10, "view", 5)])]
+    # duplicate uid 0 row arrives again (same uid => dropped by dedup)
+    rows.append(dict(rows[0]))
+    _feed_json(src, "a.json", rows)
+    stream = (
+        spark.readStream.schema("ts timestamp, k string, value double, uid long")
+        .json(str(src))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["uid"])
+    )
+    out = str(tmp_path / "agg")
+    writer = incremental_rollup(stream, out, bucket="30 minutes", keys=["k"],
+                                watermark=None)  # watermark already applied
+    q = (writer.option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # restart with late-but-in-watermark data + another duplicate
+    _feed_json(src, "b.json", [
+        {"ts": "2024-03-01T10:20:00", "k": "click", "value": 7.0, "uid": 50},
+        {"ts": "2024-03-01T10:02:00", "k": "click", "value": 10.0, "uid": 1},
+    ])
+    q = (writer.option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.bucket_id, r.k): (r.n, r.sum_value)
+           for r in spark.read.parquet(out).collect()}
+    # uid-1 duplicate dropped both times; late uid-50 row upserted the bucket
+    assert got == {("2024-03-01-10-00", "click"): (3, 27.0),
+                   ("2024-03-01-10-00", "view"): (1, 5.0)}
