@@ -24,9 +24,11 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from akka_stream_contrib_spark.util import normalize_cols
+
 
 def _window(seq: str, partition_by: Sequence[str] | None) -> WindowSpec:
-    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    w = Window.partitionBy(*normalize_cols(partition_by)) if partition_by else Window.partitionBy()
     return w.orderBy(seq).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
 
@@ -73,7 +75,7 @@ def accumulate_while_unchanged(
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        base = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+        base = Window.partitionBy(*normalize_cols(partition_by)) if partition_by else Window.partitionBy()
         w = base.orderBy(seq)
         changed = (
             F.when(
@@ -84,7 +86,7 @@ def accumulate_while_unchanged(
         )
         runs = df.withColumn(group_col, F.sum(changed).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        group_keys = list(partition_by or []) + [group_col]
+        group_keys = normalize_cols(partition_by) + [group_col]
         if max_elements is not None:
             wg = Window.partitionBy(*group_keys).orderBy(seq)
             runs = runs.withColumn(

@@ -20,6 +20,8 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from akka_stream_contrib_spark.util import normalize_cols
+
 
 def delay_flow(
     delay_seconds: Column,
@@ -51,7 +53,7 @@ def linear_increasing_delay(
     Uses the islands trick: run id = cumsum of NOT-predicate markers; the
     position within the run is the multiplier.
     """
-    base = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    base = Window.partitionBy(*normalize_cols(partition_by)) if partition_by else Window.partitionBy()
     cum = base.orderBy(seq).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # closed form: run-position = cumulative trues minus cumulative trues as of
     # the most recent false row (the run start)

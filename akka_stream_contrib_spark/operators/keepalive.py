@@ -20,6 +20,8 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from akka_stream_contrib_spark.util import normalize_cols
+
 
 def keep_alive_concat(
     interval_seconds: int,
@@ -38,7 +40,7 @@ def keep_alive_concat(
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        keys = list(partition_by or [])
+        keys = normalize_cols(partition_by)
         base = Window.partitionBy(*keys) if keys else Window.partitionBy()
         w = base.orderBy(ts)
         step = F.expr(f"INTERVAL {interval_seconds} SECOND")

@@ -23,6 +23,8 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from akka_stream_contrib_spark.util import normalize_cols
+
 
 def token_throttle(
     cost: Column,
@@ -51,7 +53,7 @@ def token_throttle(
             if total_tokens is not None
             else (tokens_df.agg(F.sum(token_amount)).collect()[0][0] or 0)
         )
-        base = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+        base = Window.partitionBy(*normalize_cols(partition_by)) if partition_by else Window.partitionBy()
         w = base.orderBy(seq).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         out = df.withColumn("_cost", cost)
         out = out.withColumn(

@@ -20,6 +20,8 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from akka_stream_contrib_spark.util import normalize_cols
+
 
 def timed_interval_between(
     matching: Column,
@@ -33,7 +35,7 @@ def timed_interval_between(
     only reports from the second match on, Timed.scala:180-189)."""
 
     def _apply(df: DataFrame) -> DataFrame:
-        base = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+        base = Window.partitionBy(*normalize_cols(partition_by)) if partition_by else Window.partitionBy()
         w = base.orderBy(seq)
         return (
             df.filter(matching)

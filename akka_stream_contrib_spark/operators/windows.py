@@ -24,6 +24,8 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from akka_stream_contrib_spark.util import normalize_cols
+
 
 def time_window(
     duration: str,
@@ -35,7 +37,7 @@ def time_window(
     """Tumbling event-time window aggregate; emits one row per window."""
 
     def _apply(df: DataFrame) -> DataFrame:
-        keys = list(partition_by or [])
+        keys = normalize_cols(partition_by)
         out = df.groupBy(*keys, F.window(ts, duration).alias("_w")).agg(*agg_exprs)
         return out.withColumn(start_col, F.col("_w.start")).drop("_w")
 
@@ -54,7 +56,7 @@ def sliding_window(
     duration/slide windows)."""
 
     def _apply(df: DataFrame) -> DataFrame:
-        keys = list(partition_by or [])
+        keys = normalize_cols(partition_by)
         out = df.groupBy(*keys, F.window(ts, duration, slide).alias("_w")).agg(*agg_exprs)
         return out.withColumn(start_col, F.col("_w.start")).drop("_w")
 
@@ -71,7 +73,7 @@ def session_window_agg(
     """Sessions closed by ``gap`` of inactivity, per key."""
 
     def _apply(df: DataFrame) -> DataFrame:
-        keys = list(partition_by or [])
+        keys = normalize_cols(partition_by)
         out = df.groupBy(*keys, F.session_window(ts, gap).alias("_w")).agg(*agg_exprs)
         return out.withColumn(start_col, F.col("_w.start")).drop("_w")
 
@@ -92,7 +94,7 @@ def pulse(
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        keys = list(partition_by or [])
+        keys = normalize_cols(partition_by)
         out = df.withColumn(bucket_col, F.window(ts, interval)["start"])
         order = [F.col(ts).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
         w = Window.partitionBy(*keys, bucket_col).orderBy(*order)
@@ -123,7 +125,7 @@ def interval_based_rate_limiter(
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        keys = list(partition_by or [])
+        keys = normalize_cols(partition_by)
         out = df.withColumn("bucket_start", F.window(ts, min_interval)["start"])
         w = Window.partitionBy(*keys, "bucket_start").orderBy(seq)
         out = out.withColumn(
@@ -169,7 +171,7 @@ def windowed_fold(
     import pandas as pd
 
     def _apply(df: DataFrame) -> DataFrame:
-        keys = list(partition_by or [])
+        keys = normalize_cols(partition_by)
         spark_fields = [df.schema[k] for k in keys]
         out_schema = StructType(
             spark_fields
