@@ -1290,6 +1290,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                          docs.filter(F.col("doc_id") < 20), k=3)
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval family: batch kNN join — 5 nearest corpus neighbors for
+    every query vector (vec_id < 50 = queries, rest = corpus). Broadcast
+    corpus matrix + GEMM over the query stream; zero shuffles; rank is a
+    rounded-similarity total order the oracle replays."""
+    from akka_stream_contrib_spark.functions import knn_join
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return knn_join(emb.filter(F.col("vec_id") < 50),
+                    emb.filter(F.col("vec_id") >= 50), k=5)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus hygiene: email/phone redaction with removal counts. Scan-side
     regexp only — the semantics are proven on synthetic PII in
@@ -1510,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_balance": q_nation_trade_balance,
         "lateral_top_customers": q_lateral_top_customers,
         "priority_shift_except_all": q_priority_shift_except_all,
+        "knn_join": q_knn_join,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
     }
@@ -2534,6 +2546,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority FROM orders WHERE o_orderdate >= DATE '1995-01-01'
             EXCEPT ALL
             SELECT o_orderpriority FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        """,
+        "knn_join": """
+            WITH n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+                FROM embeddings
+            ), p AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_sum(list_transform(
+                           generate_series(1, len(q.nv)),
+                           i -> q.nv[i] * c.nv[i])), 6) AS cos_sim
+                FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id >= 50
+            ), r AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM p
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+            FROM r WHERE rank <= 5
         """,
         "pii_redact": """
             SELECT doc_id,

@@ -36,6 +36,7 @@ from akka_stream_contrib_spark.functions.similarity import (
     ann_topk_all,
     ann_lsh_topk,
     ivf_topk,
+    knn_join,
 )
 
 __all__ = [
@@ -45,5 +46,6 @@ __all__ = [
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "dup_clusters",
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_lsh_topk", "ivf_topk",
+    "knn_join",
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
 ]

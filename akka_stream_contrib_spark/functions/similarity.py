@@ -232,3 +232,54 @@ def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
 
     return df.select(id_col, vec_col).mapInPandas(
         _topk, schema=f"{id_col} bigint, neighbor_id bigint, cos_sim double")
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             query_id: str = "vec_id", corpus_id: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Batch kNN join: for every query vector the k nearest corpus vectors by
+    cosine, with a deterministic dense rank. The retrieval-workload shape of
+    :func:`ann_topk_all`: the (index) corpus side is broadcast as one
+    normalized numpy matrix, the query side streams through GEMM blocks.
+
+    Each query row lives in exactly one partition and sees the whole corpus,
+    so per-row top-k is already global: ZERO shuffles, output partitioning
+    follows the queries. Ranking uses the ROUNDED similarity with
+    neighbor-id tie-break — a total order identical in any engine, which is
+    what lets the DuckDB oracle replay it exactly. At 100 TB the corpus side
+    must be sharded or centroided first (``ivf_topk``); this is the exact
+    kernel those variants reuse."""
+    spark = queries.sparkSession
+    pdf = corpus.select(corpus_id, vec_col).toPandas()
+    c_ids = pdf[corpus_id].to_numpy()
+    c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(c_ids)
+    b_mat = spark.sparkContext.broadcast(c_mat)
+    kk = min(k, len(c_ids))
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        corpus_m = b_mat.value
+        corpus_ids = b_ids.value
+        for pdfb in batches:
+            if len(pdfb) == 0:
+                continue
+            q = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = (q @ corpus_m.T).round(6)
+            qids = pdfb[query_id].to_numpy()
+            for i in range(len(q)):
+                # total order (sim desc, id asc) — np.lexsort: last key primary
+                order = np.lexsort((corpus_ids, -sims[i]))[:kk]
+                yield pd.DataFrame({
+                    "query_id": np.repeat(qids[i], kk),
+                    "neighbor_id": corpus_ids[order],
+                    "rank": np.arange(1, kk + 1),
+                    "cos_sim": sims[i, order],
+                })
+
+    id_type = queries.schema[query_id].dataType.simpleString()
+    nbr_type = corpus.schema[corpus_id].dataType.simpleString()
+    return queries.select(query_id, vec_col).mapInPandas(
+        _scan, schema=(f"query_id {id_type}, neighbor_id {nbr_type}, "
+                       "rank int, cos_sim double"))
