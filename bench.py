@@ -53,6 +53,7 @@ HEADLINE = [
     "chunk_documents",
     "vocab_topk",
     "decontaminate",
+    "knn_join",
 ]
 
 
