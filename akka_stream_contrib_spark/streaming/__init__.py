@@ -8,7 +8,7 @@ from akka_stream_contrib_spark.streaming.stateful import (
 )
 from akka_stream_contrib_spark.streaming.valve import Valve
 from akka_stream_contrib_spark.streaming.sinks import idempotent_parquet_sink, read_sink
-from akka_stream_contrib_spark.streaming.rollup import incremental_rollup, read_rollup
+from akka_stream_contrib_spark.streaming.rollup import incremental_rollup, read_rollup, expire_buckets
 
 __all__ = [
     "token_throttle_stream",
@@ -19,4 +19,5 @@ __all__ = [
     "read_sink",
     "incremental_rollup",
     "read_rollup",
+    "expire_buckets",
 ]

@@ -92,3 +92,22 @@ def read_rollup(spark, path: str) -> DataFrame:
     """Read the materialized rollup (partition pruning applies on
     ``bucket_id``)."""
     return spark.read.parquet(path)
+
+
+def expire_buckets(spark, path: str, keep_from_bucket_id: str) -> int:
+    """Retention for the rollup table: drop bucket partitions strictly older
+    than ``keep_from_bucket_id`` (lexicographic on the yyyy-MM-dd-HH-mm
+    bucket id — its format sorts chronologically by construction). Returns
+    the number of partitions removed. Directory-level deletes: O(expired
+    buckets), never touches surviving data."""
+    import glob
+    import os
+    import shutil
+
+    removed = 0
+    for d in glob.glob(os.path.join(path, "bucket_id=*")):
+        bucket = os.path.basename(d).split("=", 1)[1]
+        if bucket < keep_from_bucket_id:
+            shutil.rmtree(d)
+            removed += 1
+    return removed

@@ -179,3 +179,21 @@ def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join strategy control surface: the optimizer's choice can be
+    overridden per-join with hints — needed at scale when statistics
+    mislead (e.g. force shuffle-hash for a medium dim that would spill in
+    sort-merge, or forbid broadcast for a memory-tight executor fleet)."""
+    from akka_stream_contrib_spark import tables
+
+    orders = tables.load(spark, "orders", SF)
+    cust = tables.load(spark, "customer", SF)
+    on = orders.o_custkey == cust.c_custkey
+    merged = formatted_plan(orders.join(cust.hint("merge"), on))
+    assert "SortMergeJoin" in merged and "BroadcastHashJoin" not in merged
+    hashed = formatted_plan(orders.join(cust.hint("shuffle_hash"), on))
+    assert "ShuffledHashJoin" in hashed
+    bcast = formatted_plan(orders.join(cust.hint("broadcast"), on))
+    assert "BroadcastHashJoin" in bcast

@@ -291,3 +291,28 @@ def test_composite_streaming_pipeline_end_to_end(spark, tmp_path):
     # uid-1 duplicate dropped both times; late uid-50 row upserted the bucket
     assert got == {("2024-03-01-10-00", "click"): (3, 27.0),
                    ("2024-03-01-10-00", "view"): (1, 5.0)}
+
+
+def test_rollup_retention_expires_old_buckets(spark, tmp_path):
+    from akka_stream_contrib_spark.streaming import (
+        expire_buckets,
+        incremental_rollup,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _feed_json(src, "a.json", [
+        {"ts": "2024-01-01T00:10:00", "k": "a", "value": 1.0},
+        {"ts": "2024-01-02T00:10:00", "k": "a", "value": 2.0},
+        {"ts": "2024-01-03T00:10:00", "k": "a", "value": 3.0},
+    ])
+    out = str(tmp_path / "rollup")
+    stream = (spark.readStream.schema("ts timestamp, k string, value double")
+              .json(str(src)))
+    q = (incremental_rollup(stream, out, bucket="1 day", keys=["k"])
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert expire_buckets(spark, out, "2024-01-02-00-00") == 1
+    left = {r.bucket_id for r in spark.read.parquet(out).collect()}
+    assert left == {"2024-01-02-00-00", "2024-01-03-00-00"}
