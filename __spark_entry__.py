@@ -1301,6 +1301,16 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     emb.filter(F.col("vec_id") >= 50), k=5)
 
 
+def q_ann_all_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval family, corpus form: top-4 neighbors (self included — rank 1
+    at cos 1.0 — keeping the semantics trivially oracle-replayable) for EVERY
+    vector via the same broadcast-GEMM kernel. The oracle-checked upgrade of
+    the rows-only ``ann_topk_all`` path."""
+    from akka_stream_contrib_spark.functions import knn_join
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return knn_join(emb, emb, k=4)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus hygiene: email/phone redaction with removal counts. Scan-side
     regexp only — the semantics are proven on synthetic PII in
@@ -1522,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_top_customers": q_lateral_top_customers,
         "priority_shift_except_all": q_priority_shift_except_all,
         "knn_join": q_knn_join,
+        "ann_all_topk": q_ann_all_topk,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
     }
@@ -2546,6 +2557,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority FROM orders WHERE o_orderdate >= DATE '1995-01-01'
             EXCEPT ALL
             SELECT o_orderpriority FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        """,
+        "ann_all_topk": """
+            WITH n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+                FROM embeddings
+            ), p AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_sum(list_transform(
+                           generate_series(1, len(q.nv)),
+                           i -> q.nv[i] * c.nv[i])), 6) AS cos_sim
+                FROM n q CROSS JOIN n c
+            ), r AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM p
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+            FROM r WHERE rank <= 4
         """,
         "knn_join": """
             WITH n AS (
