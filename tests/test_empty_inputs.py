@@ -1,0 +1,61 @@
+"""Empty-source behavior sweep — the reference asserts every operator
+completes cleanly on an empty upstream (e.g. AccumulateSpec's empty-source
+cases); here EVERY gate query runs against empty fixture tables and must
+return an empty (or well-defined constant) result without raising.
+
+Queries that read a concrete datum driver-side to parameterize themselves
+(a query vector, k-means training sample) are exempt: their contract
+requires a non-empty input by construction, like a reference stage built
+from an element that doesn't exist.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry
+from akka_stream_contrib_spark import tables
+
+# need a concrete row driver-side before the plan exists
+DATA_DEPENDENT = {
+    "knn_label_vote",    # query vector = row 0's embedding
+    "ann_cosine_topk",   # idem
+    "ivf_ann_topk",      # k-means training sample
+    "knn_join",          # broadcast corpus matrix (np.stack of rows)
+    "ann_all_topk",      # idem
+    "lateral_top_customers",  # registers views from the real sf dir
+}
+# rows expected even on empty tables: global-aggregate reductions (one
+# NULL/zero row — standard SQL) and pure generators (seeded by literals,
+# independent of any table)
+NONEMPTY_OK = {
+    "funnel_conversion", "last_element",        # single-row reductions
+    "q6_forecast_revenue", "q14_promo_revenue",  # global aggs
+    "q17_small_qty_revenue", "q19_disjunctive_revenue",
+    "unfold_collatz", "feedback_fibonacci",      # literal-seeded generators
+}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in tables.TABLE_NAMES:
+        df = tables.load(spark, t, "/root/testdata/sf0.001")
+        df.limit(0).write.parquet(os.path.join(str(d), f"{t}.parquet"))
+    return str(d)
+
+
+def test_every_query_handles_empty_tables(spark, empty_sf_dir):
+    failures = {}
+    for name, fn in entry.queries().items():
+        if name in DATA_DEPENDENT:
+            continue
+        try:
+            rows = fn(spark, empty_sf_dir).collect()
+            if name not in NONEMPTY_OK and rows:
+                failures[name] = f"expected no rows, got {len(rows)}"
+        except Exception as ex:  # noqa: BLE001
+            failures[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
+    assert not failures, f"queries failing on empty input: {failures}"
