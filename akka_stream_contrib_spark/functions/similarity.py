@@ -230,8 +230,9 @@ def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
                 }
                 yield pd.DataFrame(out_rows)
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        _topk, schema=f"{id_col} bigint, neighbor_id bigint, cos_sim double")
+        _topk, schema=f"{id_col} {id_type}, neighbor_id {id_type}, cos_sim double")
 
 
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,

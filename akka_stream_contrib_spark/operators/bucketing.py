@@ -59,11 +59,13 @@ def assert_no_shuffle_join(df: DataFrame) -> None:
     a silent mis-bucketing (different counts/keys) degrades to a full
     shuffle without warning otherwise.
 
-    BroadcastExchange nodes are NOT flagged: a broadcast join moves no
-    bucket data and is legitimately shuffle-free (small-dim case under the
-    session's autoBroadcastJoinThreshold)."""
+    BroadcastExchange and ReusedExchange nodes are NOT flagged: a broadcast
+    join moves no bucket data, and a ReusedExchange only re-reads an exchange
+    that — if it were a shuffle — is already flagged at its original site."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan.replace("BroadcastExchange", ""):
+    if re.search(r"(?:^|[^A-Za-z])Exchange[ (]", plan):
         raise AssertionError(
             "expected a zero-shuffle co-located join but the plan contains "
             "a shuffle Exchange:\n" + plan)

@@ -37,6 +37,9 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
 
     Returns the compacted DataFrame (lazily re-readable from ``out_path``).
     """
+    if "://" in path or "://" in out_path:
+        raise ValueError("compact_parquet sizes files via the local "
+                         "filesystem; object-store paths are not supported")
     if os.path.abspath(out_path) == os.path.abspath(path):
         raise ValueError("out_path must differ from path (no in-place rewrite)")
     n_files, total = parquet_file_stats(path)
@@ -47,7 +50,8 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
         rows = df.count()
         bytes_per_row = max(total / max(rows, 1), 1e-9)
         (df.write.mode("overwrite")
-         .option("maxRecordsPerFile", int(target_file_bytes / bytes_per_row))
+         .option("maxRecordsPerFile",
+                 max(1, int(target_file_bytes / bytes_per_row)))
          .partitionBy(*partition_cols).parquet(out_path))
     else:
         want = max(1, -(-total // target_file_bytes))

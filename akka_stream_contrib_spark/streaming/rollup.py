@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
@@ -46,7 +47,7 @@ def incremental_rollup(stream_df: DataFrame, path: str, ts_col: str = "ts",
              F.min(value_col).alias("min_value"),
              F.max(value_col).alias("max_value"))
         .select(
-            F.date_format("_w.start", "yyyy-MM-dd-HH-mm").alias("bucket_id"),
+            F.date_format("_w.start", "yyyy-MM-dd-HH-mm-ss").alias("bucket_id"),
             F.col("_w.start").alias("bucket_start"), *keys,
             "n", "sum_value", "min_value", "max_value")
     )
@@ -75,8 +76,12 @@ def incremental_rollup(stream_df: DataFrame, path: str, ts_col: str = "ts",
                                      group_keys, "left_anti")
                        .localCheckpoint(eager=True))
             out = batch_df.unionByName(carried)
-        except Exception:
-            pass  # first batch: nothing materialized yet
+        except AnalysisException as ex:
+            # only a missing target is "first batch"; any other failure must
+            # surface — swallowing it here and overwriting would drop the
+            # carried rows of every other key in the touched buckets
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(key, "static")
         spark.conf.set(key, "dynamic")
@@ -96,7 +101,7 @@ def read_rollup(spark, path: str) -> DataFrame:
 
 def expire_buckets(spark, path: str, keep_from_bucket_id: str) -> int:
     """Retention for the rollup table: drop bucket partitions strictly older
-    than ``keep_from_bucket_id`` (lexicographic on the yyyy-MM-dd-HH-mm
+    than ``keep_from_bucket_id`` (lexicographic on the yyyy-MM-dd-HH-mm-ss
     bucket id — its format sorts chronologically by construction). Returns
     the number of partitions removed. Directory-level deletes: O(expired
     buckets), never touches surviving data."""
@@ -104,6 +109,10 @@ def expire_buckets(spark, path: str, keep_from_bucket_id: str) -> int:
     import os
     import shutil
 
+    if "://" in path:
+        raise ValueError(
+            "expire_buckets operates on local paths only; for object stores "
+            "delete the bucket_id= prefixes with the store's API")
     removed = 0
     for d in glob.glob(os.path.join(path, "bucket_id=*")):
         bucket = os.path.basename(d).split("=", 1)[1]

@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
-from akka_stream_contrib_spark import get_spark
+from akka_stream_contrib_spark import get_spark, tables
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -80,7 +80,6 @@ def main() -> None:
     # warm the TARGET SF's file listing + footers (session FileStatusCache):
     # otherwise the first timed query pays the directory listing for every
     # table it touches — a per-cluster-lifetime cost, not a per-query one
-    from akka_stream_contrib_spark import tables
     for t in tables.TABLE_NAMES:
         try:
             tables.load(spark, t, SF_DIR).limit(1).collect()
@@ -122,8 +121,7 @@ def duckdb_baseline(names: list[str]) -> float | None:
 
         oracles = entrymod.oracle_sql()
         con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part", "orders",
-                  "lineitem", "events", "documents", "embeddings"):
+        for t in tables.TABLE_NAMES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{SF_DIR}/{t}.parquet')")
         t0 = time.monotonic()

@@ -59,25 +59,25 @@ def test_bucketed_join_has_zero_exchanges(spark):
     write_bucketed(left, "t_bleft", ["k"], num_buckets=8)
     write_bucketed(right, "t_bright", ["k"], num_buckets=8)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        j = bucketed_join(spark, "t_bleft", "t_bright", on=["k"])
-        assert_no_shuffle_join(j)  # would raise on any Exchange
-        assert j.count() == 10_000
-        # sanity: the same join on the un-bucketed frames DOES shuffle
-        plain = left.join(right, "k")
-        plan = plain._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" in plan
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            # under the default threshold the small side broadcasts —
-            # BroadcastExchange moves no bucket data and must NOT be flagged
-            assert_no_shuffle_join(bucketed_join(spark, "t_bleft", "t_bright",
-                                                 on=["k"]))
+            j = bucketed_join(spark, "t_bleft", "t_bright", on=["k"])
+            assert_no_shuffle_join(j)  # would raise on any Exchange
+            assert j.count() == 10_000
+            # sanity: the same join on the un-bucketed frames DOES shuffle
+            plain = left.join(right, "k")
+            plan = plain._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in plan
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_bleft")
-            spark.sql("DROP TABLE IF EXISTS t_bright")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # under the default threshold the small side broadcasts —
+        # BroadcastExchange moves no bucket data and must NOT be flagged
+        assert_no_shuffle_join(bucketed_join(spark, "t_bleft", "t_bright",
+                                             on=["k"]))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
 
 
 def test_subquery_decorrelation_shapes(spark):

@@ -247,8 +247,8 @@ def test_incremental_rollup_matches_batch_recompute(spark, tmp_path):
     got = {(r.bucket_id, r.k): (r.n, r.sum_value, r.min_value, r.max_value)
            for r in read_rollup(spark, out).collect()}
     assert got == {
-        ("2024-01-01-00-00", "a"): (2, 5.0 + 35.0, 5.0, 35.0),
-        ("2024-01-01-01-00", "a"): (3, 1 + 5 + 1 + 35 + 100.0, 6.0, 100.0),
+        ("2024-01-01-00-00-00", "a"): (2, 5.0 + 35.0, 5.0, 35.0),
+        ("2024-01-01-01-00-00", "a"): (3, 1 + 5 + 1 + 35 + 100.0, 6.0, 100.0),
     }
 
 
@@ -289,8 +289,8 @@ def test_composite_streaming_pipeline_end_to_end(spark, tmp_path):
     got = {(r.bucket_id, r.k): (r.n, r.sum_value)
            for r in spark.read.parquet(out).collect()}
     # uid-1 duplicate dropped both times; late uid-50 row upserted the bucket
-    assert got == {("2024-03-01-10-00", "click"): (3, 27.0),
-                   ("2024-03-01-10-00", "view"): (1, 5.0)}
+    assert got == {("2024-03-01-10-00-00", "click"): (3, 27.0),
+                   ("2024-03-01-10-00-00", "view"): (1, 5.0)}
 
 
 def test_rollup_retention_expires_old_buckets(spark, tmp_path):
@@ -313,6 +313,6 @@ def test_rollup_retention_expires_old_buckets(spark, tmp_path):
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
-    assert expire_buckets(spark, out, "2024-01-02-00-00") == 1
+    assert expire_buckets(spark, out, "2024-01-02-00-00-00") == 1
     left = {r.bucket_id for r in spark.read.parquet(out).collect()}
-    assert left == {"2024-01-02-00-00", "2024-01-03-00-00"}
+    assert left == {"2024-01-02-00-00-00", "2024-01-03-00-00-00"}
