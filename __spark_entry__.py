@@ -1301,6 +1301,41 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     emb.filter(F.col("vec_id") >= 50), k=5)
 
 
+def q_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-handling family: try_divide / try_cast yield NULL instead
+    of failing the job — the hardened-expression surface a pipeline uses on
+    dirty data under ANSI mode (Spark 4 default). DuckDB's native semantics
+    (x/0 -> NULL, TRY_CAST) replay them exactly."""
+    ev = tables.load(spark, "events", sf_dir)
+    divisor = F.floor(F.col("value")) % 7
+    parsed_src = F.when(F.col("value") > 100,
+                        F.floor(F.col("value")).cast("string")
+                        ).otherwise(F.col("event_type"))
+    return ev.select(
+        "event_id",
+        (F.round(F.try_divide(F.col("value"), divisor), 6) + F.lit(0.0))
+        .alias("safe_ratio"),
+        parsed_src.try_cast("bigint").alias("parsed"),
+    )
+
+
+def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS placement family: rank each customer's orders by the
+    gap-from-previous-order date with ASC NULLS LAST — the first order (NULL
+    lag) sorts last, not first (Spark's ASC default is NULLS FIRST, so the
+    modifier is load-bearing and the oracle pins it)."""
+    orders = tables.load(spark, "orders", sf_dir)
+    w_lag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    with_prev = orders.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_orderdate").over(w_lag).alias("prev_date"))
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("prev_date").asc_nulls_last(), "o_orderkey")
+    return with_prev.select(
+        "o_custkey", "o_orderkey", "prev_date",
+        F.row_number().over(w_rank).alias("rnk"))
+
+
 def q_ann_all_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval family, corpus form: top-4 neighbors (self included — rank 1
     at cos 1.0 — keeping the semantics trivially oracle-replayable) for EVERY
@@ -1533,6 +1568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_shift_except_all": q_priority_shift_except_all,
         "knn_join": q_knn_join,
         "ann_all_topk": q_ann_all_topk,
+        "safe_arithmetic": q_safe_arithmetic,
+        "nulls_ordering": q_nulls_ordering,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
     }
@@ -2557,6 +2594,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority FROM orders WHERE o_orderdate >= DATE '1995-01-01'
             EXCEPT ALL
             SELECT o_orderpriority FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        """,
+        "safe_arithmetic": """
+            SELECT event_id,
+                   round(value / (CAST(floor(value) AS BIGINT) % 7), 6) + 0.0
+                       AS safe_ratio,
+                   TRY_CAST(CASE WHEN value > 100
+                                 THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                                 ELSE event_type END AS BIGINT) AS parsed
+            FROM events
+        """,
+        "nulls_ordering": """
+            WITH p AS (
+                SELECT o_custkey, o_orderkey,
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS prev_date
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, prev_date,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY prev_date ASC NULLS LAST, o_orderkey) AS INT)
+                       AS rnk
+            FROM p
         """,
         "ann_all_topk": """
             WITH n AS (
