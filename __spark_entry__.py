@@ -1301,6 +1301,23 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     emb.filter(F.col("vec_id") >= 50), k=5)
 
 
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: bit_and/bit_or/bit_xor aggregates + bit_count scalar
+    over per-event flag words — the flag-column idiom (feature bitsets,
+    permission masks) aggregated per group in one shuffle."""
+    ev = tables.load(spark, "events", sf_dir)
+    flags = F.floor(F.col("value")).cast("bigint") % 256
+    return (
+        ev.select("event_type", flags.alias("_f"),
+                  F.bit_count(flags).alias("_bc"))
+        .groupBy("event_type")
+        .agg(F.bit_and("_f").alias("flags_and"),
+             F.bit_or("_f").alias("flags_or"),
+             F.bit_xor("_f").alias("flags_xor"),
+             F.sum("_bc").alias("total_bits"))
+    )
+
+
 def q_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI error-handling family: try_divide / try_cast yield NULL instead
     of failing the job — the hardened-expression surface a pipeline uses on
@@ -1568,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_shift_except_all": q_priority_shift_except_all,
         "knn_join": q_knn_join,
         "ann_all_topk": q_ann_all_topk,
+        "bitwise_agg": q_bitwise_agg,
         "safe_arithmetic": q_safe_arithmetic,
         "nulls_ordering": q_nulls_ordering,
         "pii_redact": q_pii_redact,
@@ -2594,6 +2612,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority FROM orders WHERE o_orderdate >= DATE '1995-01-01'
             EXCEPT ALL
             SELECT o_orderpriority FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        """,
+        "bitwise_agg": """
+            WITH f AS (
+                SELECT event_type,
+                       CAST(floor(value) AS BIGINT) % 256 AS fl
+                FROM events
+            )
+            SELECT event_type,
+                   bit_and(fl) AS flags_and,
+                   bit_or(fl) AS flags_or,
+                   bit_xor(fl) AS flags_xor,
+                   CAST(sum(bit_count(fl)) AS BIGINT) AS total_bits
+            FROM f GROUP BY event_type
         """,
         "safe_arithmetic": """
             SELECT event_id,
