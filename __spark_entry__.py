@@ -1301,6 +1301,22 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     emb.filter(F.col("vec_id") >= 50), k=5)
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram family: equi-width bins with share-of-total — a window
+    function OVER an aggregation result (the post-agg window runs on the
+    already-tiny bin table, so the unpartitioned window is safe at any
+    scale)."""
+    ev = tables.load(spark, "events", sf_dir)
+    binned = (ev.groupBy((F.floor(F.col("value") / 50) * 50)
+                         .cast("bigint").alias("bin_lo"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy()
+    return binned.select(
+        "bin_lo", "cnt",
+        (F.round(F.col("cnt") / F.sum("cnt").over(w), 6) + F.lit(0.0))
+        .alias("share"))
+
+
 def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise family: bit_and/bit_or/bit_xor aggregates + bit_count scalar
     over per-event flag words — the flag-column idiom (feature bitsets,
@@ -1585,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_shift_except_all": q_priority_shift_except_all,
         "knn_join": q_knn_join,
         "ann_all_topk": q_ann_all_topk,
+        "value_histogram": q_value_histogram,
         "bitwise_agg": q_bitwise_agg,
         "safe_arithmetic": q_safe_arithmetic,
         "nulls_ordering": q_nulls_ordering,
@@ -2612,6 +2629,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority FROM orders WHERE o_orderdate >= DATE '1995-01-01'
             EXCEPT ALL
             SELECT o_orderpriority FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        """,
+        "value_histogram": """
+            WITH b AS (
+                SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bin_lo,
+                       count(*) AS cnt
+                FROM events GROUP BY bin_lo
+            )
+            SELECT bin_lo, cnt,
+                   round(cnt / CAST(sum(cnt) OVER () AS DOUBLE), 6) + 0.0
+                       AS share
+            FROM b
         """,
         "bitwise_agg": """
             WITH f AS (
