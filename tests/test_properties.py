@@ -157,3 +157,40 @@ def test_pack_sequences_conserves_and_bounds(token_counts, budget):
         expect[b] = (d + 1, t + n)
         prefix += n
     assert bins == sorted((b, d, t) for b, (d, t) in expect.items())
+
+
+def union_find_model(edges):
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    # path-compress fully, then label = min of component
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=15),
+                          st.integers(min_value=0, max_value=15)),
+                min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_dup_clusters_matches_union_find(edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    from akka_stream_contrib_spark.functions import dup_clusters
+
+    spark = _get_spark()
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == union_find_model(edges)
