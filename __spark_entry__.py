@@ -1301,6 +1301,29 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     emb.filter(F.col("vec_id") >= 50), k=5)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pipeline #2 (semantic dedup end-to-end): embedding near-dup
+    pairs -> connected components -> join document text -> keep the
+    highest-quality member (most tokens, doc_id tie-break) as the cluster
+    canonical. The full replace-N-near-dups-with-one-doc pass of a corpus
+    build, with every stage from this engine."""
+    from akka_stream_contrib_spark.functions import dup_clusters, near_dup_pairs
+    emb = tables.load(spark, "embeddings", sf_dir)
+    docs = tables.load(spark, "documents", sf_dir)
+    clusters = dup_clusters(near_dup_pairs(emb, threshold=0.4), "id_a", "id_b")
+    joined = (clusters.join(docs, clusters.id == docs.doc_id)
+              .select("cluster_id", "doc_id",
+                      F.size(F.split("text", " ")).alias("n_tok")))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), "doc_id")
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    members = ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("canonical_doc_id"),
+                    F.col("n_tok").cast("bigint").alias("canonical_tokens"))
+            .join(members, "cluster_id"))
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram family: equi-width bins with share-of-total — a window
     function OVER an aggregation result (the post-agg window runs on the
@@ -1601,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_shift_except_all": q_priority_shift_except_all,
         "knn_join": q_knn_join,
         "ann_all_topk": q_ann_all_topk,
+        "semantic_dedup": q_semantic_dedup,
         "value_histogram": q_value_histogram,
         "bitwise_agg": q_bitwise_agg,
         "safe_arithmetic": q_safe_arithmetic,
@@ -2629,6 +2653,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority FROM orders WHERE o_orderdate >= DATE '1995-01-01'
             EXCEPT ALL
             SELECT o_orderpriority FROM orders WHERE o_orderdate < DATE '1995-01-01'
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+                FROM embeddings
+            ), p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+                WHERE round(list_sum(list_transform(
+                          generate_series(1, len(a.nv)),
+                          i -> a.nv[i] * b.nv[i])), 6) >= 0.4
+            ), e AS (
+                SELECT id_a AS u, id_b AS v FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), reach(u, v) AS (
+                SELECT u, v FROM e
+                UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ), cl AS (
+                SELECT u AS id, least(u, min(v)) AS cluster_id
+                FROM reach GROUP BY u
+            ), joined AS (
+                SELECT cl.cluster_id, d.doc_id,
+                       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+                FROM cl JOIN documents d ON cl.id = d.doc_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_tok DESC, doc_id) AS rn
+                FROM joined
+            ), members AS (
+                SELECT cluster_id, count(*) AS n_members
+                FROM joined GROUP BY cluster_id
+            )
+            SELECT r.cluster_id, r.doc_id AS canonical_doc_id,
+                   r.n_tok AS canonical_tokens, m.n_members
+            FROM ranked r JOIN members m ON r.cluster_id = m.cluster_id
+            WHERE r.rn = 1
         """,
         "value_histogram": """
             WITH b AS (

@@ -54,6 +54,7 @@ BUDGET = {
     "lateral_top_customers": 2, "priority_shift_except_all": 1,
     "pii_redact": 0, "repetition_stats": 2, "knn_join": 0, "ann_all_topk": 0, "safe_arithmetic": 0,
     "nulls_ordering": 1, "bitwise_agg": 1, "value_histogram": 2,
+    "semantic_dedup": 2,
 }
 
 
