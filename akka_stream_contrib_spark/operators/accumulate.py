@@ -77,10 +77,15 @@ def accumulate_while_unchanged(
     def _apply(df: DataFrame) -> DataFrame:
         base = Window.partitionBy(*normalize_cols(partition_by)) if partition_by else Window.partitionBy()
         w = base.orderBy(seq)
+        # null-safe run detection: a new run starts at the partition's first
+        # row (row_number, NOT lag-is-null — a NULL *property* mid-stream
+        # must compare, not restart) or when the property differs null-safely
+        # (NULL after 'a' is a change; NULL after NULL is the same run)
+        prev = F.lag(property_col).over(w)
         changed = (
             F.when(
-                F.lag(property_col).over(w).isNull()
-                | (F.col(property_col) != F.lag(property_col).over(w)),
+                (F.row_number().over(w) == 1)
+                | ~F.col(property_col).eqNullSafe(prev),
                 F.lit(1),
             ).otherwise(F.lit(0))
         )

@@ -41,10 +41,19 @@ def partition_with(
 
     def _apply(df: DataFrame) -> DataFrame:
         out = df.withColumn(tag_col, F.when(predicate, F.lit(0)).otherwise(F.lit(1)))
-        for name, col in left.items():
-            out = out.withColumn(name, F.when(F.col(tag_col) == 0, col))
-        for name, col in right.items():
-            out = out.withColumn(name, F.when(F.col(tag_col) == 1, col))
+        # one withColumn per OUTPUT name: a name used by both sides becomes a
+        # single two-branch CASE (two separate withColumns would let the
+        # right side silently null the left payload)
+        for name in dict.fromkeys([*left, *right]):
+            lcol, rcol = left.get(name), right.get(name)
+            if lcol is not None and rcol is not None:
+                expr = (F.when(F.col(tag_col) == 0, lcol)
+                        .when(F.col(tag_col) == 1, rcol))
+            elif lcol is not None:
+                expr = F.when(F.col(tag_col) == 0, lcol)
+            else:
+                expr = F.when(F.col(tag_col) == 1, rcol)
+            out = out.withColumn(name, expr)
         return out
 
     return _apply

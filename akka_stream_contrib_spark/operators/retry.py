@@ -30,7 +30,21 @@ RetryWithFn = Callable[[DataFrame], DataFrame]     # failed rows -> new attempt 
 
 
 def _union_all(frames: list[DataFrame]) -> DataFrame:
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    # allowMissingColumns: given-up rows may be in the flow's INPUT schema
+    # (no ok/value/error yet) — missing payload columns null-fill
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
+
+def _give_up_as_failures(gave_up: DataFrame) -> DataFrame:
+    """Rows retry_with marked give_up=true are emitted as FINAL FAILURES
+    (reference: retryWith(s) = None). They may arrive in the flow's input
+    schema — normalize the failure-as-data columns so the union is sound."""
+    out = gave_up.drop("give_up")
+    if "ok" not in out.columns:
+        out = out.withColumn("ok", F.lit(False))
+    if "error" not in out.columns:
+        out = out.withColumn("error", F.lit("gave_up"))
+    return out
 
 
 def retry(
@@ -60,7 +74,7 @@ def retry(
         emitted.append(succeeded)
         retried = retry_with(failed)
         if "give_up" in retried.columns:
-            emitted.append(retried.filter(F.col("give_up")).drop("give_up"))
+            emitted.append(_give_up_as_failures(retried.filter(F.col("give_up"))))
             retried = retried.filter(~F.col("give_up")).drop("give_up")
         if retried.isEmpty():
             break
@@ -98,7 +112,7 @@ def retry_concat(
             raise RuntimeError(f"retry_concat: buffer_limit={buffer_limit} exceeded")
         retried = retry_with(failed)
         if "give_up" in retried.columns:
-            emitted.append(retried.filter(F.col("give_up")).drop("give_up"))
+            emitted.append(_give_up_as_failures(retried.filter(F.col("give_up"))))
             retried = retried.filter(~F.col("give_up")).drop("give_up")
         n = retried.count()
         if n == 0:

@@ -53,6 +53,10 @@ def sample_step(max_step: int, seq: str = "seq",
     """
     if max_step <= 0:
         raise ValueError("max_step must be positive")
+    if max_step > _LCG_M:
+        raise ValueError(
+            f"max_step must be <= {_LCG_M}: the keep-threshold {_LCG_M}//max_step "
+            "floors to 0 beyond that and the sampler would keep nothing")
     thr = threshold_num if threshold_num is not None else _LCG_M // max_step
 
     def _apply(df: DataFrame) -> DataFrame:

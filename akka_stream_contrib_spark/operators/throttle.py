@@ -61,6 +61,13 @@ def token_throttle(
             F.when(F.col("_cost") < 0, F.raise_error(F.lit("negative cost"))).otherwise(F.col("_cost")),
         )
         out = out.withColumn(cum_col, F.sum("_cost").over(w))
-        return out.filter(F.col(cum_col) <= F.lit(budget)).withColumnRenamed("_cost", "cost")
+        out = out.filter(F.col(cum_col) <= F.lit(budget))
+        if "cost" in df.columns:
+            # the computed per-element cost REPLACES an input column of the
+            # same name (they are equal when the cost expression is that
+            # column) — keeping both would make every later reference to
+            # "cost" ambiguous
+            out = out.drop("cost")
+        return out.withColumnRenamed("_cost", "cost")
 
     return _apply

@@ -70,7 +70,15 @@ class _FileTailReader(SimpleDataSourceStreamReader):
             while pos < stop:
                 chunk = f.read(min(self.max_chunk, stop - pos))
                 if not chunk:
-                    break
+                    # the committed range no longer exists (file rotated or
+                    # truncated between commit and recovery) — replaying a
+                    # shorter prefix would silently deliver DIFFERENT data
+                    # than the original batch; fail the recovery loudly
+                    raise IOError(
+                        f"file_tail replay: {self.path} ended at byte {pos} "
+                        f"but the checkpoint committed through {stop}; the "
+                        "file was truncated or rotated — exactly-once replay "
+                        "is impossible")
                 rows.append((pos, chunk))
                 pos += len(chunk)
         return iter(rows)

@@ -47,8 +47,12 @@ def _explode_zip_bytes(archive_name: str, data: bytes, chunk_size: int,
                     archive_name, payload, chunk_size, allowed_ext,
                     prefix=name + "/")
                 continue
-            mtime = int(
-                __import__("datetime").datetime(*info.date_time).timestamp())
+            # interpret the zip's DOS timestamp as UTC: naive .timestamp()
+            # would apply the executor's local zone, making entry_mtime
+            # machine-dependent (breaks engine-deterministic reproducibility)
+            _dt = __import__("datetime")
+            mtime = int(_dt.datetime(*info.date_time,
+                                     tzinfo=_dt.timezone.utc).timestamp())
             if not payload:
                 yield (archive_name, name, mtime, 0, b"")
                 continue

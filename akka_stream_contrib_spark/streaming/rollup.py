@@ -82,13 +82,13 @@ def incremental_rollup(stream_df: DataFrame, path: str, ts_col: str = "ts",
             # carried rows of every other key in the touched buckets
             if "PATH_NOT_FOUND" not in str(ex):
                 raise
-        key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
-        try:
-            out.write.mode("overwrite").partitionBy("bucket_id").parquet(path)
-        finally:
-            spark.conf.set(key, prev)
+        # writer-level option, NOT a session-conf toggle: two concurrent
+        # foreachBatch writers toggling the session conf race each other, and
+        # a concurrently-restored "static" would turn this into a whole-table
+        # overwrite
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket_id").parquet(path))
 
     return agg.writeStream.outputMode("update").foreachBatch(_upsert)
 

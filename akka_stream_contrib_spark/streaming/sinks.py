@@ -38,15 +38,13 @@ def idempotent_parquet_sink(path: str) -> Callable[[DataFrame, int], None]:
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
-        try:
-            (batch_df.withColumn(BATCH_COL, F.lit(batch_id))
-             .write.mode("overwrite").partitionBy(BATCH_COL).parquet(path))
-        finally:
-            spark.conf.set(key, prev)
+        # writer-level option, NOT a session-conf toggle (concurrent writers
+        # toggling the session conf race; a restored "static" would truncate
+        # the whole table)
+        (batch_df.withColumn(BATCH_COL, F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(BATCH_COL).parquet(path))
 
     return _write
 

@@ -156,7 +156,8 @@ def accumulate_while_unchanged_stream(elements: DataFrame,
             return
         cur = state.get if state.exists else None
         finished = []
-        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
         if len(rows):
             rows = rows.sort_values("seq")
             for _, r in rows.iterrows():

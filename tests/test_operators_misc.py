@@ -194,3 +194,73 @@ def test_windowed_fold_arbitrary_lambda(spark):
         (1, "2024-01-01 00:01:00"): 0.0,
         (2, "2024-01-01 00:00:00"): 0.0,
     }
+
+
+def test_accumulate_while_unchanged_null_runs(spark):
+    """NULL properties form runs like any value (null-safe comparison): a
+    NULL after 'a' starts a new run; consecutive NULLs share one run."""
+    from akka_stream_contrib_spark.operators import accumulate_while_unchanged
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a"), (4, None), (5, "a")],
+        "seq int, prop string")
+    runs = sorted(
+        (r.grp, r.prop, r.cnt) for r in df.transform(accumulate_while_unchanged(
+            "prop", [F.count(F.lit(1)).alias("cnt")], seq="seq")).collect())
+    assert runs == [(1, None, 2), (2, "a", 1), (3, None, 1), (4, "a", 1)]
+
+
+def test_partition_with_shared_payload_name(spark):
+    """One output column fed by BOTH sides (the Either-with-one-payload
+    shape) must carry the left expr for side 0 and the right expr for
+    side 1 — not silently null the left side."""
+    from akka_stream_contrib_spark.operators import partition_with
+
+    df = spark.createDataFrame([(1, 10), (2, 200)], "id int, v int")
+    out = {r.id: (r.side, r.payload) for r in df.transform(partition_with(
+        F.col("v") >= 100,
+        left={"payload": F.col("v") * 2},
+        right={"payload": F.col("v") * 3},
+    )).collect()}
+    assert out == {2: (0, 400), 1: (1, 30)}
+
+
+def test_retry_give_up_in_input_schema(spark):
+    """retry_with may return give-up rows in the FLOW'S INPUT schema (the
+    documented contract); they are emitted as failures with null-filled
+    payload columns instead of crashing the union."""
+    from akka_stream_contrib_spark.operators import retry
+
+    def flow(df):
+        return df.select(
+            "x", "attempts",
+            (F.col("x") % 2 == 0).alias("ok"),
+            F.when(F.col("x") % 2 == 0, F.col("x") * 10).alias("value"),
+            F.when(F.col("x") % 2 != 0, F.lit("odd")).alias("error"))
+
+    def retry_with(failed):
+        # give up on everything, returning INPUT-schema rows + marker
+        return failed.select("x", "attempts").withColumn("give_up", F.lit(True))
+
+    out = retry(spark.createDataFrame([(2,), (3,)], "x int"), flow, retry_with)
+    rows = {r.x: (r.ok, r.error) for r in out.collect()}
+    assert rows[2] == (True, None)
+    assert rows[3] == (False, "gave_up")
+
+
+def test_token_throttle_existing_cost_column(spark):
+    """An input column literally named 'cost' must not produce an ambiguous
+    duplicate in the output."""
+    from akka_stream_contrib_spark.operators import token_throttle
+
+    df = spark.createDataFrame([(1, 3), (2, 4)], "seq int, cost int")
+    out = df.transform(token_throttle(F.col("cost"), total_tokens=100, seq="seq"))
+    assert out.columns.count("cost") == 1
+    assert [r.cost for r in out.orderBy("seq").collect()] == [3, 4]
+
+
+def test_sample_step_rejects_oversized_step(spark):
+    from akka_stream_contrib_spark.operators import sample_step
+
+    with pytest.raises(ValueError):
+        sample_step(100000)
