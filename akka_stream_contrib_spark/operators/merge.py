@@ -77,10 +77,14 @@ def _parallel_global_rank(df: DataFrame, index: str, rank_col: str) -> DataFrame
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_map = F.create_map(
-        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
+        offset_expr = offset_map[F.col("_pid")]
+    else:  # no rows at all: an argless map() types as map<void,void> and
+        offset_expr = F.lit(0)  # can't be indexed by the int partition id
     wp = Window.partitionBy("_pid").orderBy(index)
     return (ranged
             .withColumn(rank_col,
-                        F.row_number().over(wp) + offset_map[F.col("_pid")])
+                        F.row_number().over(wp) + offset_expr)
             .drop("_pid"))
