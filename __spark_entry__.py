@@ -1519,6 +1519,50 @@ def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-20 over documents for a 3-term query.
+    Two corpus passes (single-row stats aggregate broadcast back over the
+    scan) + TakeOrdered top-k — no global sort shuffle. Ranking is by the
+    6-dp-rounded score then doc_id, so both engines pick the same set."""
+    from akka_stream_contrib_spark.functions import bm25_topk
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(bm25_topk(["spark", "join", "window"], k=20))
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals over the events stream: one row per run of an
+    unchanged event_type per user with half-open [valid_from, valid_to) and
+    is_current. The warehouse dual of AccumulateWhileUnchanged
+    (AccumulateWhileUnchanged.scala:26-126): same run detection, interval
+    contract output. One hash shuffle on user_id shared by both windows."""
+    from akka_stream_contrib_spark.operators import scd2_intervals
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.transform(scd2_intervals("user_id", "event_type", "ts", "event_id"))
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by a portable md5 bucket of doc_id —
+    stable across reruns/backfills/engines (randomSplit is neither), pure
+    map-side, zero shuffles."""
+    from akka_stream_contrib_spark.functions import train_test_split
+    docs = tables.load(spark, "documents", sf_dir)
+    return (docs.transform(train_test_split((80, 90)))
+            .select("doc_id", "source", "split"))
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted mixture sampling with fractional repeat: src0 2.5x
+    upsampled, src1 1x, src2 0.25x downsampled, everything else 0.5x; the
+    fractional copy is decided by a portable hash of doc_id so the sample is
+    deterministic. Map-side generator explode — zero shuffles."""
+    from akka_stream_contrib_spark.functions import mixture_sample
+    docs = tables.load(spark, "documents", sf_dir)
+    return (docs.transform(mixture_sample(
+        {"src0": 2.5, "src1": 1.0, "src2": 0.25}, default=0.5))
+        .select("doc_id", "source",
+                F.col("copy_id").cast("bigint").alias("copy_id")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1631,6 +1675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nulls_ordering": q_nulls_ordering,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
+        "bm25_search": q_bm25_search,
+        "scd2_user_state": q_scd2_user_state,
+        "train_test_split": q_train_test_split,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -2815,5 +2863,74 @@ def oracle_sql() -> dict[str, str]:
                    round(max(c) / CAST(sum(c) AS DOUBLE), 6) + 0.0
                        AS repetition_ratio
             FROM per_token GROUP BY doc_id
+        """,
+        "bm25_search": """
+            WITH tf AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS dl,
+                       len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf0,
+                       len(list_filter(string_split(text, ' '), x -> x = 'join'))   AS tf1,
+                       len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n, sum(dl) AS sdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+                FROM tf
+            )
+            SELECT doc_id,
+                   round(
+                     ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2)
+                       / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                   + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2)
+                       / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                   + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2)
+                       / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                   , 6) + 0.0 AS score
+            FROM tf, stats
+            ORDER BY score DESC, doc_id
+            LIMIT 20
+        """,
+        "scd2_user_state": """
+            WITH marked AS (
+                SELECT user_id, event_type, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+                FROM events
+            ), starts AS (
+                SELECT * FROM marked
+                WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+            )
+            SELECT user_id, event_type AS state,
+                   event_id AS valid_from_seq, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+                       AS is_current
+            FROM starts
+        """,
+        "train_test_split": """
+            SELECT doc_id, source,
+                   CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "mixture_sample": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS hm
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source,
+                       CASE WHEN source = 'src0' THEN 2 + CASE WHEN hm < 5000 THEN 1 ELSE 0 END
+                            WHEN source = 'src1' THEN 1 + CASE WHEN hm < 0 THEN 1 ELSE 0 END
+                            WHEN source = 'src2' THEN 0 + CASE WHEN hm < 2500 THEN 1 ELSE 0 END
+                            ELSE 0 + CASE WHEN hm < 5000 THEN 1 ELSE 0 END END AS n_copies
+                FROM h
+            )
+            SELECT doc_id, source,
+                   unnest(range(1, n_copies + 1)) AS copy_id
+            FROM c WHERE n_copies >= 1
         """,
     }

@@ -29,6 +29,12 @@ from akka_stream_contrib_spark.functions.corpus import (
     pack_sequences,
     vocab_topk,
     decontaminate,
+    train_test_split,
+    mixture_sample,
+)
+from akka_stream_contrib_spark.functions.retrieval import (
+    bm25_topk,
+    inverted_index,
 )
 from akka_stream_contrib_spark.functions.similarity import (
     cosine_topk,
@@ -48,4 +54,5 @@ __all__ = [
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_lsh_topk", "ivf_topk",
     "knn_join",
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
+    "train_test_split", "mixture_sample", "bm25_topk", "inverted_index",
 ]

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -129,3 +129,70 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, k: int = 3,
                 F.round(F.col("n_hits") / F.col("n_shingles"), 6)
                 .alias("containment"))
     )
+
+
+def train_test_split(buckets: tuple[int, int] = (80, 90),
+                     id_col: str = "doc_id",
+                     ) -> Callable[[DataFrame], DataFrame]:
+    """Deterministic train/val/test assignment by a portable content hash of
+    the id: bucket = md5-prefix(id) % 100; < buckets[0] -> train,
+    < buckets[1] -> val, else test.
+
+    Hash-based (not `randomSplit`): assignment is a pure map-side expression,
+    stable across reruns, backfills, partitioning changes and engines — the
+    property a 100 TB pipeline needs so incremental runs never migrate a
+    document between splits. Zero shuffles.
+    """
+    lo, hi = buckets
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.functions.text import token_id
+        bucket = F.pmod(token_id(F.col(id_col).cast("string")), F.lit(100))
+        return df.withColumn("split",
+                             F.when(bucket < lo, "train")
+                             .when(bucket < hi, "val")
+                             .otherwise("test"))
+
+    return _apply
+
+
+def mixture_sample(weights: dict[str, float], default: float = 0.0,
+                   domain_col: str = "source", id_col: str = "doc_id",
+                   ) -> Callable[[DataFrame], DataFrame]:
+    """Domain-weighted mixture sampling with fractional repeat: a document in
+    a domain with weight ``w`` is emitted ``floor(w)`` times plus one more
+    with probability ``frac(w)`` — decided by a portable hash of its id, so
+    the sample is deterministic. ``w < 1`` downsamples, ``w > 1`` upsamples
+    (the standard way to hit per-domain token budgets when building a
+    training mixture). Emits each copy with a 1-based ``copy_id``.
+
+    Scale shape: pure map-side (hash + generator explode inside codegen) —
+    zero shuffles; upsampling multiplies rows without ever materializing the
+    corpus twice.
+    """
+
+    def _copies(hash_mod: Column) -> Column:
+        # per-domain (floor, fractional-threshold-of-10000) as exact ints
+        chain = None
+        for dom, w in weights.items():
+            base = int(w)
+            thresh = int(round((w - base) * 10000))
+            c = F.lit(base) + (hash_mod < thresh).cast("int")
+            chain = F.when(F.col(domain_col) == dom, c) if chain is None \
+                else chain.when(F.col(domain_col) == dom, c)
+        dbase = int(default)
+        dthresh = int(round((default - dbase) * 10000))
+        dflt = F.lit(dbase) + (hash_mod < dthresh).cast("int")
+        return chain.otherwise(dflt) if chain is not None else dflt
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.functions.text import token_id
+        h = F.pmod(token_id(F.col(id_col).cast("string")), F.lit(10000))
+        n = _copies(h)
+        return (df.withColumn("_n_copies", n)
+                .filter(F.col("_n_copies") >= 1)
+                .withColumn("copy_id",
+                            F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+                .drop("_n_copies"))
+
+    return _apply

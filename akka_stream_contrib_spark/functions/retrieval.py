@@ -1,0 +1,114 @@
+"""Lexical retrieval: BM25 keyword scoring over the documents corpus.
+
+Complements the vector family (`functions/similarity.py` — cosine / LSH /
+IVF / kNN-join): a training-data pipeline retrieves both ways, embeddings
+for semantic neighbors and BM25 for exact-term search (quality filtering,
+targeted decontamination, eval-set mining).
+
+Reference anchor: none (the reference's elements are opaque; this extends
+the engine along the BASELINE.json mandate like `functions/dedup.py`).
+
+Scale shape (100 TB): two passes over the corpus and nothing else —
+  1. one global aggregate producing a SINGLE row of corpus statistics
+     (N, total token length, per-term document frequency); partial
+     aggregation map-side, one exchange carrying one row per partition;
+  2. a broadcast of that row back over the corpus (Catalyst plans the
+     1-row cross join as BroadcastNestedLoopJoin — no shuffle), scoring
+     each document map-side inside codegen;
+then a `TakeOrderedAndProject` top-k (per-partition heaps + driver merge,
+no global sort shuffle). Term frequencies are computed with array
+higher-order functions on a projected token array — no explode, no
+per-term join. For a *many-query* workload the right structure is an
+inverted index (explode once, groupBy term) — `inverted_index` below
+builds it; `bm25_topk` is the single-query scan form.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(terms: Sequence[str], k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text",
+              ) -> Callable[[DataFrame], DataFrame]:
+    """Top-``k`` documents by BM25 score for the bag of query ``terms``.
+
+    Uses the Lucene idf form ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
+    positive). Scores are rounded to 6 dp (`round(x,6) + 0.0` — the
+    engine-portable double convention) and ranked by (score DESC, doc_id)
+    so the top-k set is deterministic across engines.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+
+    def _tf(term: str):
+        # closure (not a default-arg lambda: pyspark reads lambda arity to
+        # pick the (x) vs (x, i) HOF form, so extra params are not allowed)
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    def _apply(df: DataFrame) -> DataFrame:
+        # project the token array ONCE (HOF lambdas re-evaluate their input
+        # expression per element — see functions/text.py perf notes)
+        toks = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        tf = toks.select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+        )
+        stats = tf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("sdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in range(len(terms))
+            ],
+        )
+        scored = tf.crossJoin(F.broadcast(stats))
+        # identical IEEE expression shape on both engines: avgdl from the two
+        # exact integer sums, per-term  idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+        avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
+        norm = F.lit(K1) * (F.lit(1.0 - B) +
+                            F.lit(B) * (F.col("dl").cast("double") / avgdl))
+        score = None
+        for i in range(len(terms)):
+            idf = F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5)))
+            tfd = F.col(f"tf{i}").cast("double")
+            part = idf * (tfd * F.lit(K1 + 1.0)) / (tfd + norm)
+            score = part if score is None else score + part
+        return (scored
+                .select(F.col(id_col),
+                        (F.round(score, 6) + F.lit(0.0)).alias("score"))
+                .orderBy(F.desc("score"), id_col)
+                .limit(k))
+
+    return _apply
+
+
+def inverted_index(id_col: str = "doc_id", text_col: str = "text",
+                   ) -> Callable[[DataFrame], DataFrame]:
+    """Build the (term, doc_id, tf, dl) posting table — the precomputed
+    structure a many-query BM25 workload scores against (one hash shuffle on
+    the term; per-term document frequency is then a grouped count, and a
+    query becomes a semi-join on its terms instead of a corpus scan).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        return (toks
+                .select(id_col, F.size("_toks").alias("dl"),
+                        F.explode("_toks").alias("term"))
+                .groupBy("term", id_col, "dl")
+                .agg(F.count(F.lit(1)).alias("tf")))
+
+    return _apply

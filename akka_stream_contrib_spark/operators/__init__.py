@@ -32,6 +32,7 @@ from akka_stream_contrib_spark.operators.timed import (
 from akka_stream_contrib_spark.operators.retry import retry, retry_concat
 from akka_stream_contrib_spark.operators.feedback import feedback_loop, unfold_flow
 from akka_stream_contrib_spark.operators.asof import as_of_join
+from akka_stream_contrib_spark.operators.scd2 import scd2_intervals
 from akka_stream_contrib_spark.operators.resample import resample_ffill
 from akka_stream_contrib_spark.operators.bucketing import (
     write_bucketed,
@@ -44,6 +45,7 @@ from akka_stream_contrib_spark.operators.compaction import compact_parquet, parq
 from akka_stream_contrib_spark.operators.windows import windowed_fold
 
 __all__ = [
+    "scd2_intervals",
     "sample_nth", "sample_step", "sample_random",
     "partition_with", "pass_through",
     "accumulate", "accumulate_while_unchanged", "last_element",

@@ -54,6 +54,9 @@ HEADLINE = [
     "vocab_topk",
     "decontaminate",
     "knn_join",
+    "bm25_search",
+    "scd2_user_state",
+    "mixture_sample",
 ]
 
 

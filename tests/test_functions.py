@@ -183,3 +183,67 @@ def test_repetition_stats_golden(spark):
     assert (got[1].n_tokens, got[1].n_distinct_tokens,
             got[1].top_token_freq, got[1].repetition_ratio) == (4, 2, 3, 0.75)
     assert got[2].repetition_ratio == 0.25
+
+
+def test_bm25_matches_python_model(spark):
+    import math
+    docs = [
+        (1, "spark join window spark spark"),
+        (2, "join join filter scan"),
+        (3, "window sort merge window window window"),
+        (4, "scan filter sort merge"),
+        (5, "spark"),
+    ]
+    terms, k1, b = ["spark", "join", "window"], 1.2, 0.75
+    toks = {i: t.split(" ") for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    expect = {}
+    for i, tl in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tl.count(t)
+            df_t = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(tl) / avgdl))
+        expect[i] = round(s, 6)
+    from akka_stream_contrib_spark.functions import bm25_topk
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: r.score for r in df.transform(bm25_topk(terms, k=5)).collect()}
+    assert got == pytest.approx(expect, abs=1e-6)
+    # ranking: highest score first
+    ranked = [r.doc_id for r in df.transform(bm25_topk(terms, k=2)).collect()]
+    assert ranked == sorted(expect, key=lambda i: (-expect[i], i))[:2]
+
+
+def test_mixture_sample_copy_counts(spark):
+    from akka_stream_contrib_spark.functions import mixture_sample
+    from akka_stream_contrib_spark.functions.text import token_id
+    rows = [(i, f"src{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+    out = df.transform(mixture_sample(weights, default=0.5))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r.copy_id)
+    hashes = {r.doc_id: r.h % 10000 for r in
+              df.select("doc_id", token_id(F.col("doc_id").cast("string")).alias("h")).collect()}
+    for i, src in rows:
+        w = weights.get(src, 0.5)
+        base = int(w)
+        frac_hit = hashes[i] < int(round((w - base) * 10000))
+        n_copies = base + (1 if frac_hit else 0)
+        copies = sorted(got.get(i, []))
+        assert copies == list(range(1, n_copies + 1)), (i, src, w, copies)
+
+
+def test_train_test_split_deterministic_and_complete(spark):
+    from akka_stream_contrib_spark.functions import train_test_split
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+    a = {r.doc_id: r.split for r in df.transform(train_test_split((80, 90))).collect()}
+    b = {r.doc_id: r.split for r in
+         df.repartition(7).transform(train_test_split((80, 90))).collect()}
+    assert a == b  # partitioning-independent
+    assert set(a.values()) == {"train", "val", "test"}
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac_train < 0.9

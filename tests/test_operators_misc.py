@@ -264,3 +264,30 @@ def test_sample_step_rejects_oversized_step(spark):
 
     with pytest.raises(ValueError):
         sample_step(100000)
+
+
+def test_scd2_intervals_invariants(spark):
+    from datetime import datetime, timedelta
+    from akka_stream_contrib_spark.operators import scd2_intervals
+    t0 = datetime(2024, 1, 1)
+    rows, seq = [], 0
+    for user in (1, 2):
+        for state in ["a", "a", "b", "b", "b", "a", "c", "c"]:
+            rows.append((seq, t0 + timedelta(minutes=seq), user, state))
+            seq += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    out = df.transform(
+        scd2_intervals("user_id", "event_type", "ts", "event_id")).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.valid_from_seq)):
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == {1, 2}
+    for user, ivs in by_user.items():
+        # runs collapse: a,b,a,c per user
+        assert [r.state for r in ivs] == ["a", "b", "a", "c"]
+        # contiguous half-open intervals: valid_to == next valid_from
+        for cur, nxt in zip(ivs, ivs[1:]):
+            assert cur.valid_to == nxt.valid_from
+            assert not cur.is_current
+        assert ivs[-1].valid_to is None and ivs[-1].is_current

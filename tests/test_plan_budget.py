@@ -55,6 +55,8 @@ BUDGET = {
     "pii_redact": 0, "repetition_stats": 2, "knn_join": 0, "ann_all_topk": 0, "safe_arithmetic": 0,
     "nulls_ordering": 1, "bitwise_agg": 1, "value_histogram": 2,
     "semantic_dedup": 2,
+    "bm25_search": 1, "scd2_user_state": 1, "train_test_split": 0,
+    "mixture_sample": 0,
 }
 
 
