@@ -1563,6 +1563,59 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("copy_id").cast("bigint").alias("copy_id")))
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly score: each event's value z-scored against its user's
+    trailing 10 observations. Exact decimal frame sums (order-independent)
+    combined into mean/var with one identical IEEE expression — the
+    engine-portable way to do rolling moments. One shuffle on user_id."""
+    from akka_stream_contrib_spark.operators import rolling_zscore
+    ev = tables.load(spark, "events", sf_dir)
+    return (ev.transform(rolling_zscore("user_id", "value", "event_id", n=10))
+            .select("event_id", "user_id", "value", "roll_mean", "zscore"))
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA smoothing per user (alpha=0.3, depth=8): the recursive
+    filter unrolled into a finite literal-weighted lag sum — pure window
+    expression, no recursive state, bit-reproducible across engines."""
+    from akka_stream_contrib_spark.operators import ewma_smooth
+    ev = tables.load(spark, "events", sf_dir)
+    return (ev.transform(ewma_smooth("user_id", "value", "event_id",
+                                     alpha=0.3, depth=8))
+            .select("event_id", "user_id", "value", "ewma"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (30-min inactivity gap): session_id and
+    position-in-session as columns ON the events, the shape downstream joins
+    need. Single shuffle on user_id — session_pos derives from the session
+    start's rank, not a second (user, session) partitioning."""
+    from akka_stream_contrib_spark.operators import sessionize
+    ev = tables.load(spark, "events", sf_dir)
+    return (ev.transform(sessionize("user_id", "ts", "event_id", gap_s=1800))
+            .select("event_id", "user_id", "session_id",
+                    F.col("session_pos").cast("bigint").alias("session_pos")))
+
+
+def q_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user-interaction graph (edges = consecutive events
+    within an hour bucket, deduped). Iterative power method as a driver loop
+    with per-iteration lineage truncation — the FeedbackLoop-style cyclic
+    dataflow (FeedbackLoop.scala:18-38) at analytics scale. No SQL oracle
+    (iterative); correctness is pinned by the python-model test in
+    tests/test_functions.py."""
+    from akka_stream_contrib_spark.functions import pagerank
+    ev = tables.load(spark, "events", sf_dir)
+    w = Window.partitionBy(F.date_trunc("hour", "ts")).orderBy("event_id")
+    edges = (ev.withColumn("src", F.lag("user_id").over(w))
+             .filter(F.col("src").isNotNull() & (F.col("src") != F.col("user_id")))
+             .select("src", F.col("user_id").alias("dst")))
+    return (pagerank(edges, iterations=3, damping=0.85)
+            .select(F.col("id").alias("user_id"),
+                    (F.round("rank", 6) + F.lit(0.0)).alias("rank"))
+            .orderBy("user_id"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1679,7 +1732,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": q_scd2_user_state,
         "train_test_split": q_train_test_split,
         "mixture_sample": q_mixture_sample,
+        "rolling_zscore": q_rolling_zscore,
+        "ewma_smooth": q_ewma_smooth,
+        "sessionize": q_sessionize,
+        "pagerank_users": q_pagerank_users,
     }
+
+
+def _ewma_oracle(alpha: float = 0.3, depth: int = 8) -> str:
+    """DuckDB mirror of operators/timeseries.py::ewma_smooth, built from the
+    SAME weight doubles (repr round-trips exactly) and the same left-assoc
+    conditional sums so the IEEE result is bit-identical."""
+    from akka_stream_contrib_spark.operators import ewma_weights
+    ws = ewma_weights(alpha, depth)
+    xs = ["value"] + [
+        f"lag(value, {j}) OVER (PARTITION BY user_id ORDER BY event_id)"
+        for j in range(1, depth)
+    ]
+    num = " + ".join(
+        f"CASE WHEN {x} IS NOT NULL THEN {w!r} * {x} ELSE 0.0 END"
+        for w, x in zip(ws, xs))
+    den = " + ".join(
+        f"CASE WHEN {x} IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for w, x in zip(ws, xs))
+    return f"""
+        SELECT event_id, user_id, value,
+               round(({num}) / ({den}), 6) + 0.0 AS ewma
+        FROM events
+    """
+
+
+_EWMA_ORACLE = _ewma_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2915,6 +2998,47 @@ def oracle_sql() -> dict[str, str]:
                         WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "rolling_zscore": """
+            WITH fr AS (
+                SELECT event_id, user_id, value,
+                       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s,
+                       CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS ss,
+                       CAST(count(*) OVER w AS DOUBLE) AS cnt
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, value,
+                   round(s / cnt, 6) + 0.0 AS roll_mean,
+                   CASE WHEN cnt >= 2.0
+                         AND sqrt(greatest((ss - (s * s) / cnt) / (cnt - 1.0), 0.0)) > 0
+                        THEN round((value - s / cnt)
+                                   / sqrt(greatest((ss - (s * s) / cnt) / (cnt - 1.0), 0.0)), 6) + 0.0
+                   END AS zscore
+            FROM fr
+        """,
+        "ewma_smooth": _EWMA_ORACLE,
+        "sessionize": """
+            WITH base AS (
+                SELECT event_id, user_id, ts,
+                       lag(ts) OVER w AS prev_ts,
+                       row_number() OVER w AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), marked AS (
+                SELECT *, CASE WHEN prev_ts IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                               THEN 1 ELSE 0 END AS new_sess
+                FROM base
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(new_sess) OVER wc AS BIGINT) AS session_id,
+                   CAST(rn - max(CASE WHEN new_sess = 1 THEN rn END) OVER wc + 1
+                        AS BIGINT) AS session_pos
+            FROM marked
+            WINDOW wc AS (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "mixture_sample": """
             WITH h AS (

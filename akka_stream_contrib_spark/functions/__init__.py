@@ -36,6 +36,7 @@ from akka_stream_contrib_spark.functions.retrieval import (
     bm25_topk,
     inverted_index,
 )
+from akka_stream_contrib_spark.functions.graph import pagerank
 from akka_stream_contrib_spark.functions.similarity import (
     cosine_topk,
     near_dup_pairs,
@@ -55,4 +56,5 @@ __all__ = [
     "knn_join",
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index",
+    "pagerank",
 ]

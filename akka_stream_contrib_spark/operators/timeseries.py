@@ -1,0 +1,124 @@
+"""Keyed time-series analytics: rolling anomaly scores, truncated EWMA
+smoothing, and gap-based sessionization.
+
+These extend the reference's windowed-fold family (`TimeWindow.scala:33-34`,
+`AccumulateWhileUnchanged.scala:26-126` — both are per-stream running
+aggregations over an order) with the three per-key series shapes an event
+pipeline actually monitors: "is this value anomalous vs its recent history",
+"smooth the series", and "cut the stream into sessions at inactivity gaps".
+
+Scale shape: every operator here is ONE hash shuffle on the key followed by
+window passes that share the partitioning. Rolling moments use exact decimal
+frame sums (sum and sum-of-squares are associative in decimal, so the window
+result is order-independent and engine-portable) cast to double only at the
+final mean/variance combination.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_zscore(key: str = "user_id", value: str = "value",
+                   seq: str = "event_id", n: int = 10,
+                   ) -> Callable[[DataFrame], DataFrame]:
+    """Rolling z-score of ``value`` against the trailing ``n``-row window
+    (including the current row) per ``key``: ``(x - mean) / stddev``; NULL
+    while the window holds < 2 rows or has zero variance.
+
+    The moments come from exact decimal frame sums (the 2-dp input cast to
+    decimal BEFORE summing — see __spark_entry__ numeric conventions), then
+    one IEEE combination identical on any engine:
+    ``var = (ss - s*s/cnt) / (cnt - 1)``.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        w = (Window.partitionBy(key).orderBy(seq)
+             .rowsBetween(-(n - 1), Window.currentRow))
+        vdec = F.col(value).cast("decimal(12,2)")
+        s = F.sum(vdec).over(w).cast("double")
+        ss = F.sum(vdec * vdec).over(w).cast("double")
+        cnt = F.count(F.lit(1)).over(w).cast("double")
+        mean = s / cnt
+        var = (ss - (s * s) / cnt) / (cnt - F.lit(1.0))
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        # cnt >= 2 keeps the 1-row window out of 0/0 (NaN) territory
+        z = F.when((cnt >= F.lit(2.0)) & (std > 0),
+                   (F.col(value) - mean) / std)
+        return df.withColumn("roll_mean", F.round(mean, 6) + F.lit(0.0)) \
+                 .withColumn("zscore", F.round(z, 6) + F.lit(0.0))
+
+    return _apply
+
+
+def ewma_weights(alpha: float, depth: int) -> list[float]:
+    """The truncated-EWMA coefficients ``alpha * (1-alpha)^j``, j=0..depth-1.
+    Exposed so oracles/tests inject the SAME double literals."""
+    return [alpha * (1.0 - alpha) ** j for j in range(depth)]
+
+
+def ewma_smooth(key: str = "user_id", value: str = "value",
+                seq: str = "event_id", alpha: float = 0.3, depth: int = 8,
+                ) -> Callable[[DataFrame], DataFrame]:
+    """Truncated exponentially-weighted moving average per ``key``:
+    ``ewma_i = sum_j w_j * x_(i-j) / sum_j w_j`` over the ``depth`` most
+    recent observations present, with ``w_j = alpha*(1-alpha)^j``.
+
+    Truncation makes the recursion a FINITE sum of literal-weighted lags —
+    a pure window expression (no recursive state), embarrassingly parallel,
+    and bit-reproducible: the weights are injected as double literals and
+    both numerator and denominator are fixed-order sums. (The infinite-tail
+    recursion differs from this by < (1-alpha)^depth ≈ 5.8% weight at the
+    defaults; deepen ``depth`` to taste — cost is one lag column each.)
+    """
+    ws = ewma_weights(alpha, depth)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(seq)
+        lags = [F.col(value) if j == 0 else F.lag(value, j).over(w)
+                for j in range(depth)]
+        num: Column | None = None
+        den: Column | None = None
+        for wj, xj in zip(ws, lags):
+            t = F.when(xj.isNotNull(), F.lit(wj) * xj).otherwise(F.lit(0.0))
+            d = F.when(xj.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+            num = t if num is None else num + t
+            den = d if den is None else den + d
+        return df.withColumn("ewma", F.round(num / den, 6) + F.lit(0.0))
+
+    return _apply
+
+
+def sessionize(key: str = "user_id", ts: str = "ts", seq: str = "event_id",
+               gap_s: int = 1800) -> Callable[[DataFrame], DataFrame]:
+    """Assign a per-key ``session_id`` (1-based) that increments whenever the
+    gap since the key's previous event exceeds ``gap_s`` seconds, plus the
+    1-based position within the session. The per-event dual of
+    ``session_window_agg`` (which emits one aggregate row per session):
+    downstream joins often need the id ON each event.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(seq)
+        wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        prev_ts = F.lag(ts).over(w)
+        # microsecond integer epochs: second-truncating unix_timestamp would
+        # misclassify sub-second gaps and diverge from any exact engine
+        gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(prev_ts)
+        new_sess = (prev_ts.isNull() |
+                    (gap_us > gap_s * 1_000_000)).cast("bigint")
+        rn = F.row_number().over(w)
+        df2 = (df.withColumn("_new_sess", new_sess)
+               .withColumn("_rn", rn))
+        # session_pos via rank-of-session-start on the SAME key partitioning
+        # (a partitionBy(key, session_id) window would cost a second shuffle)
+        start_rn = F.max(F.when(F.col("_new_sess") == 1, F.col("_rn"))).over(wc)
+        return (df2
+                .withColumn("session_id", F.sum("_new_sess").over(wc))
+                .withColumn("session_pos", F.col("_rn") - start_rn + 1)
+                .drop("_new_sess", "_rn"))
+
+    return _apply

@@ -57,6 +57,8 @@ HEADLINE = [
     "bm25_search",
     "scd2_user_state",
     "mixture_sample",
+    "rolling_zscore",
+    "sessionize",
 ]
 
 

@@ -247,3 +247,31 @@ def test_train_test_split_deterministic_and_complete(spark):
     assert set(a.values()) == {"train", "val", "test"}
     frac_train = sum(1 for v in a.values() if v == "train") / len(a)
     assert 0.7 < frac_train < 0.9
+
+
+def test_pagerank_matches_python_model(spark):
+    from akka_stream_contrib_spark.functions import pagerank
+    edges = [(2, 1), (3, 1), (4, 1), (1, 2), (3, 2)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.rank for r in pagerank(df, iterations=3, damping=0.85).collect()}
+
+    # python power iteration, same dangling-mass redistribution
+    nodes = sorted({u for e in edges for u in e})
+    n, d = len(nodes), 0.85
+    out = {}
+    for s, _ in edges:
+        out.setdefault(s, set())
+    for s, t in edges:
+        out[s].add(t)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(3):
+        dangling = sum(rank[u] for u in nodes if u not in out)
+        nxt = {}
+        for u in nodes:
+            inflow = sum(rank[s] / len(out[s]) for s in out if u in out[s])
+            nxt[u] = (1 - d) / n + d * dangling / n + d * inflow
+        rank = nxt
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert got[u] == pytest.approx(rank[u], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

@@ -291,3 +291,59 @@ def test_scd2_intervals_invariants(spark):
             assert cur.valid_to == nxt.valid_from
             assert not cur.is_current
         assert ivs[-1].valid_to is None and ivs[-1].is_current
+
+
+def test_rolling_zscore_model(spark):
+    import statistics
+    from akka_stream_contrib_spark.operators import rolling_zscore
+    vals = [10.0, 12.0, 11.0, 50.0, 12.5, 11.5, 13.0]
+    rows = [(i, 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, value double")
+    got = {r.event_id: (r.roll_mean, r.zscore) for r in
+           df.transform(rolling_zscore("user_id", "value", "event_id", n=3)).collect()}
+    for i in range(len(vals)):
+        window = vals[max(0, i - 2):i + 1]
+        mean = sum(window) / len(window)
+        assert got[i][0] == pytest.approx(round(mean, 6), abs=1e-6)
+        if len(window) >= 2 and statistics.stdev(window) > 0:
+            z = (vals[i] - mean) / statistics.stdev(window)
+            assert got[i][1] == pytest.approx(round(z, 6), abs=1e-5)
+        else:
+            assert got[i][1] is None
+    # the planted spike is the extreme score
+    assert max(got, key=lambda i: abs(got[i][1] or 0)) == 3
+
+
+def test_ewma_model_and_truncation(spark):
+    from akka_stream_contrib_spark.operators import ewma_smooth, ewma_weights
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0, 8.0, 4.0, 2.0, 1.0, 0.5]
+    rows = [(i, 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, value double")
+    ws = ewma_weights(0.3, 4)
+    got = {r.event_id: r.ewma for r in
+           df.transform(ewma_smooth("user_id", "value", "event_id",
+                                    alpha=0.3, depth=4)).collect()}
+    for i in range(len(vals)):
+        lags = [vals[i - j] for j in range(4) if i - j >= 0]
+        num = sum(w * x for w, x in zip(ws, lags))
+        den = sum(w for w, _ in zip(ws, lags))
+        assert got[i] == pytest.approx(round(num / den, 6), abs=1e-6)
+
+
+def test_sessionize_golden(spark):
+    from datetime import datetime, timedelta
+    from akka_stream_contrib_spark.operators import sessionize
+    t0 = datetime(2024, 1, 1)
+    # gaps: 10s, 2000s (new session), 5s, 1801s (new session)
+    offs = [0, 10, 2010, 2015, 2015 + 1801]
+    rows = [(i, t0 + timedelta(seconds=o), 1) for i, o in enumerate(offs)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint")
+    out = sorted(df.transform(sessionize("user_id", "ts", "event_id", gap_s=1800))
+                 .collect(), key=lambda r: r.event_id)
+    assert [r.session_id for r in out] == [1, 1, 2, 2, 3]
+    assert [r.session_pos for r in out] == [1, 2, 1, 2, 1]
+    # exact-1800s gap is NOT a new session (strict >)
+    rows2 = [(0, t0, 1), (1, t0 + timedelta(seconds=1800), 1)]
+    df2 = spark.createDataFrame(rows2, "event_id bigint, ts timestamp, user_id bigint")
+    out2 = df2.transform(sessionize("user_id", "ts", "event_id", gap_s=1800)).collect()
+    assert {r.session_id for r in out2} == {1}

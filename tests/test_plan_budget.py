@@ -57,6 +57,10 @@ BUDGET = {
     "semantic_dedup": 2,
     "bm25_search": 1, "scd2_user_state": 1, "train_test_split": 0,
     "mixture_sample": 0,
+    "rolling_zscore": 1, "ewma_smooth": 1, "sessionize": 1,
+    # pagerank: budget is the FINAL plan (per-iteration lineage truncated);
+    # each iteration internally pays one contribution shuffle by design
+    "pagerank_users": 1,
 }
 
 
