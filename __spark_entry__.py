@@ -1616,6 +1616,46 @@ def q_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-check report: predicate checks over lineitem compiled into
+    ONE conditional-sum aggregate over one scan, plus referential-integrity
+    anti-join counts (orders without customer, lineitem without order) — the
+    quality gate an ingest pipeline runs before publishing a table."""
+    from akka_stream_contrib_spark.functions import expect
+    li = tables.load(spark, "lineitem", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir)
+    cust = tables.load(spark, "customer", sf_dir)
+    rep = li.transform(expect({
+        "qty_out_of_range": ~F.col("l_quantity").between(1, 50),
+        "suspicious_high_qty": F.col("l_quantity") > 45,
+        "nonpositive_price": F.col("l_extendedprice") <= 0,
+        "null_shipdate": F.col("l_shipdate").isNull(),
+        "discount_out_of_range": ~F.col("l_discount").between(0, 0.1),
+    }))
+    orphan_orders = (orders.join(cust, orders.o_custkey == cust.c_custkey,
+                                 "left_anti")
+                     .agg(F.count(F.lit(1)).alias("n_violations"))
+                     .select(F.lit("orphan_orders").alias("check_name"),
+                             "n_violations"))
+    orphan_li = (li.join(orders, li.l_orderkey == orders.o_orderkey,
+                         "left_anti")
+                 .agg(F.count(F.lit(1)).alias("n_violations"))
+                 .select(F.lit("orphan_lineitems").alias("check_name"),
+                         "n_violations"))
+    return rep.unionByName(orphan_orders).unionByName(orphan_li)
+
+
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-tail clamping: events.value winsorized to its
+    event_type's exact [p05, p95] percentiles (bounds rounded to 6 dp so
+    both engines clamp identically; the clamp itself is least/greatest with
+    no further FP arithmetic). One group aggregate + broadcast join back."""
+    from akka_stream_contrib_spark.functions import winsorize
+    ev = tables.load(spark, "events", sf_dir)
+    return (ev.transform(winsorize("event_type", "value", 0.05, 0.95))
+            .select("event_id", "event_type", "value", "value_wins"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1736,6 +1776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "sessionize": q_sessionize,
         "pagerank_users": q_pagerank_users,
+        "data_quality_report": q_data_quality_report,
+        "winsorize_values": q_winsorize_values,
     }
 
 
@@ -3039,6 +3081,46 @@ def oracle_sql() -> dict[str, str]:
             FROM marked
             WINDOW wc AS (PARTITION BY user_id ORDER BY event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "data_quality_report": """
+            SELECT 'qty_out_of_range' AS check_name,
+                   CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'suspicious_high_qty',
+                   CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'nonpositive_price',
+                   CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'null_shipdate',
+                   CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount_out_of_range',
+                   CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'orphan_orders', CAST(count(*) AS BIGINT)
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'orphan_lineitems', CAST(count(*) AS BIGINT)
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        """,
+        "winsorize_values": """
+            WITH pct AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.05), 6) AS lo,
+                       round(quantile_cont(value, 0.95), 6) AS hi
+                FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type, value,
+                   least(greatest(value, lo), hi) AS value_wins
+            FROM events e JOIN pct ON e.event_type = pct.event_type
         """,
         "mixture_sample": """
             WITH h AS (

@@ -33,6 +33,7 @@ from akka_stream_contrib_spark.operators.retry import retry, retry_concat
 from akka_stream_contrib_spark.operators.feedback import feedback_loop, unfold_flow
 from akka_stream_contrib_spark.operators.asof import as_of_join
 from akka_stream_contrib_spark.operators.scd2 import scd2_intervals
+from akka_stream_contrib_spark.operators.zorder import zorder_key, zorder_write
 from akka_stream_contrib_spark.operators.timeseries import (
     rolling_zscore,
     ewma_smooth,
@@ -51,7 +52,7 @@ from akka_stream_contrib_spark.operators.compaction import compact_parquet, parq
 from akka_stream_contrib_spark.operators.windows import windowed_fold
 
 __all__ = [
-    "scd2_intervals", "rolling_zscore", "ewma_smooth", "ewma_weights", "sessionize",
+    "scd2_intervals", "zorder_key", "zorder_write", "rolling_zscore", "ewma_smooth", "ewma_weights", "sessionize",
     "sample_nth", "sample_step", "sample_random",
     "partition_with", "pass_through",
     "accumulate", "accumulate_while_unchanged", "last_element",

@@ -275,3 +275,30 @@ def test_pagerank_matches_python_model(spark):
     for u in nodes:
         assert got[u] == pytest.approx(rank[u], abs=1e-9)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_expect_single_pass_and_null_semantics(spark):
+    from akka_stream_contrib_spark.functions import expect
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 200.0), (4, -5.0)],
+        "id bigint, v double")
+    out = {r.check_name: r.n_violations for r in df.transform(expect({
+        "v_null": F.col("v").isNull(),
+        "v_negative": F.col("v") < 0,
+        "v_too_big": F.col("v") > 100,
+    })).collect()}
+    # NULL predicate rows don't count as violations of range checks
+    assert out == {"v_null": 1, "v_negative": 1, "v_too_big": 1}
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from akka_stream_contrib_spark.functions import winsorize
+    rows = [(i, "t", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    out = df.transform(winsorize("grp", "v", 0.05, 0.95, out_col="w")).collect()
+    lo = 1 + 0.05 * 99   # exact interpolated percentiles of 1..100
+    hi = 1 + 0.95 * 99
+    for r in out:
+        assert r.w == pytest.approx(min(max(r.v, round(lo, 6)), round(hi, 6)))
+    clamped = [r for r in out if r.w != r.v]
+    assert 6 <= len(clamped) <= 12  # ~5% each tail

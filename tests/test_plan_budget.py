@@ -61,6 +61,9 @@ BUDGET = {
     # pagerank: budget is the FINAL plan (per-iteration lineage truncated);
     # each iteration internally pays one contribution shuffle by design
     "pagerank_users": 1,
+    # one single-row agg over lineitem + two anti-join counts
+    "data_quality_report": 3,
+    "winsorize_values": 1,
 }
 
 

@@ -197,3 +197,53 @@ def test_join_strategy_hints_are_honored(spark):
     assert "ShuffledHashJoin" in hashed
     bcast = formatted_plan(orders.join(cust.hint("broadcast"), on))
     assert "BroadcastHashJoin" in bcast
+
+
+def test_zorder_write_clusters_all_dimensions(spark, tmp_path):
+    """Z-order layout: per-file min/max stats must be selective on BOTH
+    z-ordered columns (a plain sort clusters only its leading column)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from akka_stream_contrib_spark.operators import zorder_write
+
+    df = spark.range(20000).select(
+        "id",
+        ((F.col("id") * 48271) % 65536).alias("a"),
+        ((F.col("id") * 69621 + 12345) % 65536).alias("b"),
+    )
+
+    def file_spreads(path, col):
+        spreads = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mn = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            spreads.append(mx - mn)
+        return spreads
+
+    zorder_write(df, str(tmp_path / "z"), ["a", "b"], bits=16, num_files=16)
+    # baseline: plain sort by a — clusters a, leaves b unclustered
+    (df.repartitionByRange(16, "a").sortWithinPartitions("a")
+     .write.mode("overwrite").parquet(str(tmp_path / "s")))
+
+    za = file_spreads(tmp_path / "z", "a")
+    zb = file_spreads(tmp_path / "z", "b")
+    sb = file_spreads(tmp_path / "s", "b")
+    full = 65536
+    assert sum(za) / len(za) < 0.5 * full
+    assert sum(zb) / len(zb) < 0.5 * full
+    # the property a single-column sort cannot give: the non-leading column
+    # is ALSO clustered, far below the sorted-by-a layout's full-range spread
+    assert sum(zb) / len(zb) < 0.6 * sum(sb) / len(sb)
+
+    # round-trip integrity
+    back = spark.read.parquet(str(tmp_path / "z"))
+    assert back.count() == 20000
+    assert back.agg(F.sum("a"), F.sum("b")).head() == \
+        df.agg(F.sum("a"), F.sum("b")).head()
