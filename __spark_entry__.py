@@ -1656,6 +1656,22 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type", "value", "value_wins"))
 
 
+def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup: per-(event_type, day) HLL sketches
+    union-merged to per-type distinct-user estimates. The 100 TB pattern —
+    coarser granularities read only the sketch table, never the raw events.
+    No SQL oracle (DataSketches-specific estimates); accuracy and exact
+    mergeability are pinned in tests/test_functions.py."""
+    from akka_stream_contrib_spark.functions import hll_merge, hll_sketch_rollup
+    ev = tables.load(spark, "events", sf_dir)
+    daily = hll_sketch_rollup(
+        ev.withColumn("day", F.to_date("ts")),
+        keys=["event_type", "day"], item="user_id", lgk=12)
+    return (hll_merge(daily, keys=["event_type"])
+            .select("event_type", "n_buckets", "approx_distinct")
+            .orderBy("event_type"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1778,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_users": q_pagerank_users,
         "data_quality_report": q_data_quality_report,
         "winsorize_values": q_winsorize_values,
+        "hll_daily_users": q_hll_daily_users,
     }
 
 

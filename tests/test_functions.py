@@ -302,3 +302,24 @@ def test_winsorize_clamps_tails_only(spark):
         assert r.w == pytest.approx(min(max(r.v, round(lo, 6)), round(hi, 6)))
     clamped = [r for r in out if r.w != r.v]
     assert 6 <= len(clamped) <= 12  # ~5% each tail
+
+
+def test_hll_sketches_merge_exactly_and_estimate_accurately(spark):
+    from akka_stream_contrib_spark.functions import hll_merge, hll_sketch_rollup
+    rows = [(i % 500, f"d{i % 7}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "uid bigint, day string")
+    daily = hll_sketch_rollup(df, keys=["day"], item="uid", lgk=12)
+    merged = hll_merge(daily, keys=[]).head()
+    # mergeability: union of per-day sketches ~ sketch of the whole stream
+    # (not bit-identical: DataSketches unions may densify through a different
+    # representation than a directly-built sketch)
+    whole = (df.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg(F.col("uid"), F.lit(12))).alias("e")).head().e)
+    assert abs(merged.approx_distinct - whole) / whole < 0.02
+    assert merged.n_buckets == 7
+    # accuracy: a few permille at lg_k=12 on 500 distinct
+    assert abs(merged.approx_distinct - 500) / 500 < 0.05
+    # determinism: the same data always yields the same estimate
+    again = hll_merge(hll_sketch_rollup(df.repartition(13), ["day"], "uid", 12),
+                      keys=[]).head()
+    assert again.approx_distinct == merged.approx_distinct

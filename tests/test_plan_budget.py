@@ -64,6 +64,8 @@ BUDGET = {
     # one single-row agg over lineitem + two anti-join counts
     "data_quality_report": 3,
     "winsorize_values": 1,
+    # sketch build (hash agg), union-merge, final single-partition sort
+    "hll_daily_users": 3,
 }
 
 

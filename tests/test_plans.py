@@ -247,3 +247,38 @@ def test_zorder_write_clusters_all_dimensions(spark, tmp_path):
     assert back.count() == 20000
     assert back.agg(F.sum("a"), F.sum("b")).head() == \
         df.agg(F.sum("a"), F.sum("b")).head()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: a selective dimension filter should
+    inject a bloom filter on the fact-side scan of a shuffle join — at
+    100 TB this is the difference between shuffling the whole fact table
+    and shuffling the ~matching rows. (Size thresholds are lowered to make
+    the optimization fire at test scale.)"""
+    from pyspark.sql import functions as F
+
+    from akka_stream_contrib_spark import tables
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = tables.load(spark, "lineitem", "/root/testdata/sf0.001")
+        orders = tables.load(spark, "orders", "/root/testdata/sf0.001") \
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey) \
+              .groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "might_contain" in plan.lower(), plan[:2000]
+        assert j.head().o_orderpriority == "1-URGENT"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -316,3 +316,51 @@ def test_rollup_retention_expires_old_buckets(spark, tmp_path):
     assert expire_buckets(spark, out, "2024-01-02-00-00-00") == 1
     left = {r.bucket_id for r in spark.read.parquet(out).collect()}
     assert left == {"2024-01-02-00-00-00", "2024-01-03-00-00-00"}
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_on_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows emit immediately;
+    unmatched left rows must emit with nulls once the watermark passes the
+    join band — the state-eviction semantics that bound outer-join state on
+    unbounded streams."""
+    imp_dir, clk_dir = tmp_path / "imps2", tmp_path / "clks2"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    (imp_dir / "i.json").write_text(
+        '{"ad_id": 1, "i_ts": "2024-01-01 10:00:00"}\n'
+        '{"ad_id": 2, "i_ts": "2024-01-01 10:05:00"}\n')
+    (clk_dir / "c.json").write_text(
+        '{"c_ad_id": 1, "c_ts": "2024-01-01 10:20:00"}\n'   # match within band
+        '{"c_ad_id": 7, "c_ts": "2024-01-01 14:00:00"}\n')  # advances watermark
+    imps = (spark.readStream.schema("ad_id long, i_ts string").json(str(imp_dir))
+            .withColumn("i_ts", F.col("i_ts").cast("timestamp"))
+            .withWatermark("i_ts", "10 minutes"))
+    clks = (spark.readStream.schema("c_ad_id long, c_ts string").json(str(clk_dir))
+            .withColumn("c_ts", F.col("c_ts").cast("timestamp"))
+            .withWatermark("c_ts", "10 minutes"))
+    joined = imps.join(
+        clks,
+        F.expr("ad_id = c_ad_id AND c_ts >= i_ts "
+               "AND c_ts <= i_ts + INTERVAL 1 HOUR"),
+        "left_outer").select("ad_id", "c_ad_id")
+    out_dir, ck = str(tmp_path / "ssjo_out"), str(tmp_path / "ssjock")
+
+    def run_once():
+        q = (joined.writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    rows = {(r.ad_id, r.c_ad_id) for r in spark.read.parquet(out_dir).collect()}
+    assert (1, 1) in rows            # matched pair emits on the first run
+    # unmatched state evicts when a LATER batch advances the watermark —
+    # the incremental-run shape every production stream actually has. The
+    # GLOBAL watermark is min(imps wm, clks wm), so BOTH sides need later
+    # events before anything evicts.
+    (clk_dir / "c2.json").write_text(
+        '{"c_ad_id": 8, "c_ts": "2024-01-01 18:00:00"}\n')
+    (imp_dir / "i2.json").write_text(
+        '{"ad_id": 9, "i_ts": "2024-01-01 18:00:00"}\n')
+    run_once()
+    rows = {(r.ad_id, r.c_ad_id) for r in spark.read.parquet(out_dir).collect()}
+    assert (2, None) in rows         # unmatched left, emitted on eviction
