@@ -194,3 +194,73 @@ def test_dup_clusters_matches_union_find(edges):
     pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == union_find_model(edges)
+
+
+def sessionize_model(gaps_s: list[int], gap_limit: int) -> list[tuple[int, int]]:
+    """Pure-python reference: (session_id, session_pos) per event given the
+    inter-event gaps (gaps_s[i] = seconds between event i-1 and event i)."""
+    out, sid, pos = [], 0, 0
+    for i, g in enumerate(gaps_s):
+        if i == 0 or g > gap_limit:
+            sid, pos = sid + 1, 1
+        else:
+            pos += 1
+        out.append((sid, pos))
+    return out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=90))
+@settings(**SETTINGS)
+def test_sessionize_matches_model(gaps, gap_limit):
+    from datetime import datetime, timedelta
+
+    from akka_stream_contrib_spark.operators import sessionize
+    spark = _get_spark()
+    t, ts_list = datetime(2024, 1, 1), []
+    for i, g in enumerate(gaps):
+        t = t if i == 0 else t + timedelta(seconds=g)
+        ts_list.append(t)
+    rows = [(i, ts_list[i], 1) for i in range(len(gaps))]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint")
+    got = sorted(
+        ((r.event_id, r.session_id, r.session_pos) for r in
+         df.transform(sessionize("user_id", "ts", "event_id", gap_s=gap_limit))
+         .collect()))
+    expect = [(i, sid, pos) for i, (sid, pos)
+              in enumerate(sessionize_model(gaps, gap_limit))]
+    assert got == expect
+
+
+def scd2_model(states: list[str]) -> list[tuple[str, int, int | None]]:
+    """Pure-python reference: (state, from_idx, to_idx_or_None) runs."""
+    runs = []
+    for i, s in enumerate(states):
+        if not runs or runs[-1][0] != s:
+            runs.append((s, i, None))
+    out = []
+    for k, (s, fr, _) in enumerate(runs):
+        to = runs[k + 1][1] if k + 1 < len(runs) else None
+        out.append((s, fr, to))
+    return out
+
+
+@given(st.lists(st.sampled_from("xyz"), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_scd2_matches_model(states):
+    from datetime import datetime, timedelta
+
+    from akka_stream_contrib_spark.operators import scd2_intervals
+    spark = _get_spark()
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(minutes=i), 1, s) for i, s in enumerate(states)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string")
+    got = sorted(
+        ((r.valid_from_seq, r.state,
+          None if r.valid_to is None else int((r.valid_to - t0).total_seconds() // 60),
+          r.is_current) for r in
+         df.transform(scd2_intervals("user_id", "event_type", "ts", "event_id"))
+         .collect()))
+    expect = sorted((fr, s, to, to is None) for s, fr, to in scd2_model(states))
+    assert got == expect
