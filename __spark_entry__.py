@@ -1672,6 +1672,15 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity scoring: per-document unigram Shannon entropy.
+    The float fold runs in sorted-token order on both engines, making an
+    otherwise order-dependent sum deterministic."""
+    from akka_stream_contrib_spark.functions import token_entropy
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(token_entropy())
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1795,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_report": q_data_quality_report,
         "winsorize_values": q_winsorize_values,
         "hll_daily_users": q_hll_daily_users,
+        "token_entropy": q_token_entropy,
     }
 
 
@@ -3138,6 +3148,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, e.event_type, value,
                    least(greatest(value, lo), hi) AS value_wins
             FROM events e JOIN pct ON e.event_type = pct.event_type
+        """,
+        "token_entropy": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), cnt AS (
+                SELECT doc_id, token, count(*) AS c
+                FROM tok GROUP BY doc_id, token
+            ), agg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                       count(*) AS n_distinct,
+                       list(c ORDER BY token) AS cs
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT doc_id, n AS n_tokens, n_distinct AS n_distinct_tokens,
+                   round(ln(CAST(n AS DOUBLE))
+                         - list_reduce(list_transform(cs,
+                               c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))),
+                               (a, b) -> a + b) / CAST(n AS DOUBLE),
+                         6) + 0.0 AS entropy
+            FROM agg
         """,
         "mixture_sample": """
             WITH h AS (

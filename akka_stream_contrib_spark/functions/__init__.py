@@ -8,6 +8,7 @@ from akka_stream_contrib_spark.functions.text import (
     text_stats,
     lang_id,
     token_count_bpe,
+    token_entropy,
     doc_fingerprint,
     token_id,
     redact_pii,
@@ -50,7 +51,7 @@ from akka_stream_contrib_spark.functions.similarity import (
 
 __all__ = [
     "tokens", "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
-    "token_id", "redact_pii", "repetition_stats",
+    "token_id", "redact_pii", "repetition_stats", "token_entropy",
     "dedup_exact", "shingles", "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "dup_clusters",

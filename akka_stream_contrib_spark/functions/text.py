@@ -183,3 +183,40 @@ def repetition_stats(id_col: str = "doc_id", text_col: str = "text"
         )
 
     return _apply
+
+
+def token_entropy(id_col: str = "doc_id", text_col: str = "text"
+                  ) -> Callable[[DataFrame], DataFrame]:
+    """Per-document unigram Shannon entropy (nats): ``ln(n) - (1/n)*sum_t
+    c_t*ln(c_t)`` — the lexical-diversity signal quality filters combine
+    with `repetition_stats` (low entropy = repetitive/templated text).
+
+    Engine-portability: an unordered float sum over tokens would be
+    summation-order-dependent, so the per-token terms are folded in SORTED
+    token order (collect sorted counts, left-fold inside `aggregate`) —
+    deterministic on any engine. Scale shape: one shuffle to count
+    (doc, token), one to assemble each doc's count array; the array is
+    O(distinct tokens per doc), not corpus vocabulary.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        tok = df.select(F.col(id_col),
+                        F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        cnt = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+        agg = cnt.groupBy(id_col).agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sort_array(F.collect_list(F.struct("token", "c"))).alias("_arr"),
+        )
+        s = F.expr(
+            "aggregate(transform(_arr, x -> cast(x.c as double) * ln(cast(x.c as double))),"
+            " cast(0.0 as double), (a, x) -> a + x)")
+        ent = F.log(F.col("n").cast("double")) - s / F.col("n").cast("double")
+        return agg.select(
+            F.col(id_col),
+            F.col("n").alias("n_tokens"),
+            F.col("n_distinct").alias("n_distinct_tokens"),
+            (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
+        )
+
+    return _apply

@@ -323,3 +323,20 @@ def test_hll_sketches_merge_exactly_and_estimate_accurately(spark):
     again = hll_merge(hll_sketch_rollup(df.repartition(13), ["day"], "uid", 12),
                       keys=[]).head()
     assert again.approx_distinct == merged.approx_distinct
+
+
+def test_token_entropy_golden(spark):
+    import math
+    from akka_stream_contrib_spark.functions import token_entropy
+    docs = [
+        (1, "a a a a"),          # zero entropy
+        (2, "a b c d"),          # max entropy = ln(4)
+        (3, "a a b b b c"),      # mixed
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_distinct_tokens, r.entropy)
+           for r in df.transform(token_entropy()).collect()}
+    assert got[1] == (4, 1, 0.0)
+    assert got[2] == (4, 4, pytest.approx(round(math.log(4), 6)))
+    h3 = -(2/6*math.log(2/6) + 3/6*math.log(3/6) + 1/6*math.log(1/6))
+    assert got[3][2] == pytest.approx(round(h3, 6), abs=1e-6)

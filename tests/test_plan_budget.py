@@ -66,6 +66,7 @@ BUDGET = {
     "winsorize_values": 1,
     # sketch build (hash agg), union-merge, final single-partition sort
     "hll_daily_users": 3,
+    "token_entropy": 2,
 }
 
 
