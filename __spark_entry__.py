@@ -1681,6 +1681,42 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.transform(token_entropy())
 
 
+def q_shipping_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap counting by sweep line: orders in flight on each date
+    ([o_orderdate, last l_shipdate) intervals) via +1/-1 boundary events,
+    aggregated per date FIRST (shuffles over the fact tables) so the running
+    sum runs over the tiny date spine, not the 100 TB interval set — the
+    scalable form of 'max concurrent sessions'."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir)
+    done = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done_d"))
+    j = orders.join(done, orders.o_orderkey == done.l_orderkey) \
+              .select("o_orderdate", "done_d")
+    deltas = (j.select(F.col("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+              .unionAll(j.select(F.col("done_d").alias("d"),
+                                 F.lit(-1).alias("delta"))))
+    per_date = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_date.withColumn(
+        "concurrent", F.sum("net").over(w).cast("bigint"))
+
+
+def q_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion (median absolute deviation) per event type: exact
+    interpolated median broadcast back over the scan, then the median of
+    absolute deviations. Two group aggregates + one broadcast join — the
+    outlier-robust alternative to stddev for quality monitoring."""
+    ev = tables.load(spark, "events", sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"))
+    return (ev.join(F.broadcast(med), "event_type")
+            .groupBy("event_type", "median")
+            .agg(F.round(F.expr("percentile(abs(value - median), 0.5)"), 6)
+                 .alias("mad"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1805,6 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_values": q_winsorize_values,
         "hll_daily_users": q_hll_daily_users,
         "token_entropy": q_token_entropy,
+        "shipping_concurrency": q_shipping_concurrency,
+        "mad_by_type": q_mad_by_type,
     }
 
 
@@ -3148,6 +3186,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, e.event_type, value,
                    least(greatest(value, lo), hi) AS value_wins
             FROM events e JOIN pct ON e.event_type = pct.event_type
+        """,
+        "shipping_concurrency": """
+            WITH done AS (
+                SELECT l_orderkey, max(l_shipdate) AS done_d
+                FROM lineitem GROUP BY l_orderkey
+            ), j AS (
+                SELECT o_orderdate, done_d
+                FROM orders JOIN done ON o_orderkey = l_orderkey
+            ), deltas AS (
+                SELECT o_orderdate AS d, 1 AS delta FROM j
+                UNION ALL
+                SELECT done_d AS d, -1 AS delta FROM j
+            ), per_date AS (
+                SELECT d, CAST(sum(delta) AS BIGINT) AS net
+                FROM deltas GROUP BY d
+            )
+            SELECT d, net,
+                   CAST(sum(net) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS concurrent
+            FROM per_date
+        """,
+        "mad_by_type": """
+            WITH med AS (
+                SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, median,
+                   round(quantile_cont(abs(value - median), 0.5), 6) AS mad,
+                   count(*) AS n
+            FROM events e JOIN med USING (event_type)
+            GROUP BY e.event_type, median
         """,
         "token_entropy": """
             WITH tok AS (

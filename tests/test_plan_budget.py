@@ -67,6 +67,9 @@ BUDGET = {
     # sketch build (hash agg), union-merge, final single-partition sort
     "hll_daily_users": 3,
     "token_entropy": 2,
+    # sweep line: per-order max, order join, date agg, date-spine cumsum
+    "shipping_concurrency": 4,
+    "mad_by_type": 2,
 }
 
 
