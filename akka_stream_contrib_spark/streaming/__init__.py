@@ -5,6 +5,7 @@ from akka_stream_contrib_spark.streaming.stateful import (
     token_throttle_stream,
     keep_alive_stream,
     accumulate_while_unchanged_stream,
+    sessionize_stream,
 )
 from akka_stream_contrib_spark.streaming.valve import Valve
 from akka_stream_contrib_spark.streaming.sinks import idempotent_parquet_sink, read_sink
@@ -14,6 +15,7 @@ __all__ = [
     "token_throttle_stream",
     "keep_alive_stream",
     "accumulate_while_unchanged_stream",
+    "sessionize_stream",
     "Valve",
     "idempotent_parquet_sink",
     "read_sink",

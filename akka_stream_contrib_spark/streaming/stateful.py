@@ -181,3 +181,53 @@ def accumulate_while_unchanged_stream(elements: DataFrame,
         elements.groupBy(key_col)
         .applyInPandasWithState(_fn, out_schema, state_schema, "append", timeout)
     )
+
+
+def sessionize_stream(elements: DataFrame, gap_s: int,
+                      key_col: str = "user_id") -> DataFrame:
+    """Streaming per-event session assignment: the cross-batch form of
+    ``operators/timeseries.py::sessionize``. State per key = (last event
+    micros, sessions opened so far, position in the open session); each
+    micro-batch continues numbering where the previous batch left off, so a
+    session spanning many batches keeps ONE id — the property the batch
+    window form cannot give on an unbounded stream. State is three scalars
+    per key (RocksDB-friendly); rows within a batch are processed in
+    event-time order per key.
+
+    Input needs ``(key_col, ts timestamp, event_id long)``; emits
+    ``(key, event_id, session_id, session_pos)`` in append mode.
+    """
+    out_schema = StructType([
+        StructField("key", LongType()), StructField("event_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("session_pos", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("last_us", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("pos", LongType()),
+    ])
+    gap_us = gap_s * 1_000_000
+
+    def _fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last_us, n_sessions, pos = (
+            state.get if state.exists else (None, 0, 0))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+                us = int(ts.value // 1_000)  # pandas ns -> micros
+                if last_us is None or us - last_us > gap_us:
+                    n_sessions, pos = n_sessions + 1, 1
+                else:
+                    pos += 1
+                last_us = us
+                rows.append((key[0], int(eid), n_sessions, pos))
+        state.update((last_us, n_sessions, pos))
+        yield pd.DataFrame(rows, columns=["key", "event_id", "session_id",
+                                          "session_pos"])
+
+    return (elements
+            .groupBy(key_col)
+            .applyInPandasWithState(_fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -364,3 +364,39 @@ def test_stream_stream_left_outer_join_emits_unmatched_on_watermark(spark, tmp_p
     run_once()
     rows = {(r.ad_id, r.c_ad_id) for r in spark.read.parquet(out_dir).collect()}
     assert (2, None) in rows         # unmatched left, emitted on eviction
+
+
+def test_sessionize_stream_continues_sessions_across_batches(spark, tmp_path):
+    """A session spanning micro-batches must keep one id, and numbering must
+    continue where the previous batch stopped — the cross-batch state the
+    batch window form cannot provide."""
+    from akka_stream_contrib_spark.streaming import sessionize_stream
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    out_dir, ck = str(tmp_path / "sess_out"), str(tmp_path / "sess_ck")
+    # batch 1: two events 10s apart (one session)
+    (src / "b1.json").write_text(
+        '{"user_id": 1, "event_id": 1, "ts": "2024-01-01 10:00:00"}\n'
+        '{"user_id": 1, "event_id": 2, "ts": "2024-01-01 10:00:10"}\n')
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts string").json(str(src))
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    sess = sessionize_stream(stream, gap_s=60)
+
+    def run_once():
+        q = (sess.writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: one event 20s after the last (SAME session), then a 2h gap
+    (src / "b2.json").write_text(
+        '{"user_id": 1, "event_id": 3, "ts": "2024-01-01 10:00:30"}\n'
+        '{"user_id": 1, "event_id": 4, "ts": "2024-01-01 12:00:30"}\n')
+    run_once()
+    got = {r.event_id: (r.session_id, r.session_pos)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: (1, 1), 2: (1, 2),
+                   3: (1, 3),   # continued across the batch boundary
+                   4: (2, 1)}   # new session after the gap
