@@ -340,3 +340,16 @@ def test_token_entropy_golden(spark):
     assert got[2] == (4, 4, pytest.approx(round(math.log(4), 6)))
     h3 = -(2/6*math.log(2/6) + 3/6*math.log(3/6) + 1/6*math.log(1/6))
     assert got[3][2] == pytest.approx(round(h3, 6), abs=1e-6)
+
+
+def test_winsorize_approx_swap_close_to_exact(spark):
+    """SCALE.md documents approx_percentile as the extreme-cardinality swap
+    for winsorize's exact percentiles — pin that the swapped bounds stay
+    within the sketch's accuracy envelope."""
+    rows = [(i, "t", float(i % 997)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    exact = df.groupBy("grp").agg(
+        F.expr("percentile(v, 0.95)").alias("p")).head().p
+    approx = df.groupBy("grp").agg(
+        F.expr("approx_percentile(v, 0.95, 10000)").alias("p")).head().p
+    assert abs(approx - exact) / exact < 0.01
