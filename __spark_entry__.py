@@ -1717,6 +1717,187 @@ def q_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, counted per
+    months-since-cohort offset. Two hash aggregates (first-order month per
+    customer, then cohort x offset distinct count) + one key join on
+    o_custkey — the first aggregate's output is customer-sized, so the join
+    broadcast-qualifies under AQE at any realistic cohort cardinality."""
+    orders = tables.load(spark, "orders", sf_dir)
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month"))
+    return (
+        orders.join(first, "o_custkey")
+        .select(
+            "o_custkey", "cohort_month",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort_month"))
+            .cast("int").alias("month_offset"))
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event bigram counts with transition probability: the
+    Markov-chain view of user behavior. One key shuffle for the lead()
+    window; the probability denominator is a window over the (tiny)
+    aggregated transition table, not a second scan."""
+    ev = tables.load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = (
+        ev.select("user_id", "event_id", "event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type", "next_type", "cnt",
+        (F.round(F.col("cnt").cast("double")
+                 / F.sum("cnt").over(tot).cast("double"), 6)
+         + F.lit(0.0)).alias("p_transition"))
+
+
+def q_login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands streak detection: per user, the longest run of
+    consecutive active days. The anchor trick (epoch-day - row_number is
+    constant within a consecutive run) turns streaks into a plain groupBy —
+    one user-keyed shuffle for the distinct-day window, aggregates stay on
+    the same partitioning. Arithmetic is integer day numbers (datediff from
+    a fixed epoch) — no engine-specific date-interval behavior."""
+    ev = tables.load(spark, "events", sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.select(
+            "user_id", "d",
+            (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+             - F.row_number().over(w)).alias("anchor"))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("len"), F.min("d").alias("start"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min("start").alias("first_active_day"),
+    )
+
+
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC analysis: customers ranked by revenue with cumulative
+    share and A/B/C class (80/95 cuts). Revenue sums are exact decimal;
+    the cumulative window runs over the customer-sized aggregate (not the
+    fact table), ordered (revenue DESC, custkey) so ties are deterministic.
+    The share division casts both exact decimals to double first — one
+    identical IEEE op on both engines."""
+    orders = tables.load(spark, "orders", sf_dir)
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_money("o_totalprice")).alias("_rev"))
+    w = (Window.orderBy(F.desc("_rev"), "o_custkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    share = (F.round(
+        F.sum("_rev").over(w).cast("double")
+        / F.sum("_rev").over(
+            Window.partitionBy()).cast("double"), 6) + F.lit(0.0))
+    return (
+        rev.select(
+            "o_custkey", F.col("_rev").cast("double").alias("revenue"),
+            share.alias("cum_share"))
+        .withColumn(
+            "pareto_class",
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B").otherwise("C"))
+    )
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join with blocking: customer-name pairs at
+    levenshtein distance ≤ 1, blocked on the name prefix so the quadratic
+    stays inside small buckets (the standard fuzzy-join shape: block key ×
+    in-block verify). One hash shuffle on the block key; levenshtein runs
+    codegen-side on the joined pairs only."""
+    cust = tables.load(spark, "customer", sf_dir)
+    named = cust.select(
+        "c_custkey", "c_name",
+        F.substring("c_name", 1, 16).alias("_blk"))
+    a = named.alias("a")
+    b = named.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk"))
+               & (F.col("a.c_name") < F.col("b.c_name")))
+        .select(
+            F.col("a.c_custkey").alias("a_custkey"),
+            F.col("b.c_custkey").alias("b_custkey"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            .alias("edit_distance"))
+        .filter(F.col("edit_distance") <= 1)
+    )
+
+
+def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares daily revenue trend per customer segment: slope and
+    intercept from the five sufficient statistics, each an exact sum
+    (integer day numbers / decimal revenue) cast to double once and
+    combined with one identical IEEE expression — the regr_slope()
+    builtin is order-dependent over doubles, this is deterministic to the
+    bit (same recipe as q_user_correlation). Two hash aggregates: daily
+    revenue per segment, then one row per segment."""
+    orders = tables.load(spark, "orders", sf_dir)
+    cust = tables.load(spark, "customer", sf_dir)
+    daily = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", F.to_date("o_orderdate").alias("_d"))
+        .agg(F.sum(_money("o_totalprice")).alias("_rev"))
+        .select(
+            "c_mktsegment",
+            F.datediff(F.col("_d"), F.lit("1995-01-01").cast("date"))
+            .cast("bigint").alias("_x"),
+            F.col("_rev").cast("decimal(18,2)").alias("_y"))
+    )
+    stats = daily.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x").cast("decimal(10,0)") * F.col("_y"))
+        .cast("double").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    slope = ((n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+             / (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")))
+    return stats.select(
+        "c_mktsegment", "n_days",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((F.col("_sy") - slope * F.col("_sx")) / n, 6)
+         + F.lit(0.0)).alias("intercept"),
+    )
+
+
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-20 over documents for a 3-term query — the vector-space
+    complement to q_bm25_search with the same two-pass scale shape (stats
+    row broadcast over the scan, TakeOrdered top-k, no global sort)."""
+    from akka_stream_contrib_spark.functions import tfidf_topk
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(tfidf_topk(["spark", "join", "window"], k=20))
+
+
+def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over int8-quantized embeddings (storage scale path:
+    4× smaller scan than float32, integer dot products — exact, no FP
+    order sensitivity). Quantization is engine-replayable bit-for-bit
+    (floor(x*scale + 0.5), see functions/similarity.py); accuracy vs the
+    exact ranking is asserted in tests (recall@10)."""
+    from akka_stream_contrib_spark.functions import quantized_cosine_topk
+    emb = tables.load(spark, "embeddings", sf_dir)
+    qvec = [((i * 37) % 19 - 9) / 9.0 for i in range(64)]
+    return quantized_cosine_topk(emb, qvec, k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1843,6 +2024,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "shipping_concurrency": q_shipping_concurrency,
         "mad_by_type": q_mad_by_type,
+        "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
+        "login_streaks": q_login_streaks,
+        "pareto_customers": q_pareto_customers,
+        "fuzzy_name_match": q_fuzzy_name_match,
+        "regr_trend": q_regr_trend,
+        "tfidf_search": q_tfidf_search,
+        "quantized_ann": q_quantized_ann,
     }
 
 
@@ -1873,6 +2062,17 @@ _EWMA_ORACLE = _ewma_oracle()
 
 
 def oracle_sql() -> dict[str, str]:
+    # quantized-ANN query literals: same int8 quantization of the synthetic
+    # query vector as q_quantized_ann (pure python — deterministic), embedded
+    # as exact int literals + the shortest-roundtrip repr of the query norm
+    # (repr(float) parses back to the identical double in DuckDB).
+    _qvec = [((i * 37) % 19 - 9) / 9.0 for i in range(64)]
+    _amax = max(abs(v) for v in _qvec)
+    _qscale = 127.0 / _amax if _amax > 0 else 0.0
+    import math as _math
+    _qq = [int(_math.floor(v * _qscale + 0.5)) for v in _qvec]
+    _qn = _math.sqrt(sum(v * v for v in _qq))
+    _qq_sql = "[" + ", ".join(str(v) for v in _qq) + "]"
     return {
         "sample_nth": """
             SELECT event_id, user_id, event_type, value
@@ -3256,5 +3456,184 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    unnest(range(1, n_copies + 1)) AS copy_id
             FROM c WHERE n_copies >= 1
+        """,
+        "cohort_retention": """
+            WITH first AS (
+                SELECT o_custkey,
+                       CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP)
+                           AS cohort_month
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT f.cohort_month,
+                   CAST(datediff('month', f.cohort_month,
+                                 date_trunc('month', o.o_orderdate)) AS INT)
+                       AS month_offset,
+                   count(DISTINCT o.o_custkey) AS active_customers
+            FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2
+        """,
+        "event_transitions": """
+            WITH pairs AS (
+                SELECT event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY event_id) AS next_type
+                FROM events
+            ), agg AS (
+                SELECT event_type, next_type, count(*) AS cnt
+                FROM pairs WHERE next_type IS NOT NULL
+                GROUP BY event_type, next_type
+            )
+            SELECT event_type, next_type, cnt,
+                   round(CAST(cnt AS DOUBLE)
+                         / CAST(sum(cnt) OVER (PARTITION BY event_type)
+                                AS DOUBLE), 6) + 0.0 AS p_transition
+            FROM agg
+        """,
+        "login_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS d
+                FROM events
+            ), runs AS (
+                SELECT user_id, d,
+                       datediff('day', DATE '1970-01-01', d)
+                         - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                           AS anchor
+                FROM days
+            ), r2 AS (
+                SELECT user_id, anchor, count(*) AS len, min(d) AS start
+                FROM runs GROUP BY user_id, anchor
+            )
+            SELECT user_id, max(len) AS longest_streak,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   count(*) AS n_streaks,
+                   min(start) AS first_active_day
+            FROM r2 GROUP BY user_id
+        """,
+        "pareto_customers": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS r
+                FROM orders GROUP BY o_custkey
+            ), sh AS (
+                SELECT o_custkey, CAST(r AS DOUBLE) AS revenue,
+                       round(CAST(sum(r) OVER (ORDER BY r DESC, o_custkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS DOUBLE)
+                             / CAST(sum(r) OVER () AS DOUBLE), 6) + 0.0
+                           AS cum_share
+                FROM rev
+            )
+            SELECT o_custkey, revenue, cum_share,
+                   CASE WHEN cum_share <= 0.8 THEN 'A'
+                        WHEN cum_share <= 0.95 THEN 'B'
+                        ELSE 'C' END AS pareto_class
+            FROM sh
+        """,
+        "fuzzy_name_match": """
+            SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT)
+                       AS edit_distance
+            FROM customer a JOIN customer b
+              ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+             AND a.c_name < b.c_name
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "regr_trend": """
+            WITH daily AS (
+                SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS d,
+                       CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                            AS DECIMAL(18,2)) AS y
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ), dd AS (
+                SELECT c_mktsegment,
+                       CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT)
+                           AS x,
+                       y
+                FROM daily
+            ), st AS (
+                SELECT c_mktsegment, count(*) AS n_days,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE)
+                           AS sxy,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx
+                FROM dd GROUP BY c_mktsegment
+            )
+            SELECT c_mktsegment, n_days,
+                   round((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n_days AS DOUBLE) * sxx - sx * sx), 6) + 0.0
+                       AS slope,
+                   round((sy - ((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                                / (CAST(n_days AS DOUBLE) * sxx - sx * sx))
+                               * sx)
+                         / CAST(n_days AS DOUBLE), 6) + 0.0 AS intercept
+            FROM st
+        """,
+        "tfidf_search": """
+            WITH tf AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf0,
+                       len(list_filter(string_split(text, ' '), x -> x = 'join'))   AS tf1,
+                       len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+                FROM tf
+            )
+            SELECT doc_id,
+                   round(
+                     CASE WHEN tf0 > 0 AND df0 > 0
+                          THEN (1.0 + ln(CAST(tf0 AS DOUBLE)))
+                               * ln(CAST(n AS DOUBLE) / CAST(df0 AS DOUBLE))
+                          ELSE 0.0 END
+                   + CASE WHEN tf1 > 0 AND df1 > 0
+                          THEN (1.0 + ln(CAST(tf1 AS DOUBLE)))
+                               * ln(CAST(n AS DOUBLE) / CAST(df1 AS DOUBLE))
+                          ELSE 0.0 END
+                   + CASE WHEN tf2 > 0 AND df2 > 0
+                          THEN (1.0 + ln(CAST(tf2 AS DOUBLE)))
+                               * ln(CAST(n AS DOUBLE) / CAST(df2 AS DOUBLE))
+                          ELSE 0.0 END
+                   , 6) + 0.0 AS score
+            FROM tf, stats
+            ORDER BY score DESC, doc_id
+            LIMIT 20
+        """,
+        "quantized_ann": f"""
+            WITH ev AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ), m AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS amax
+                FROM ev
+            ), s AS (
+                SELECT vec_id, e,
+                       CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END
+                           AS scale
+                FROM m
+            ), q8 AS (
+                SELECT vec_id,
+                       list_transform(e, x -> CAST(floor(x * scale + 0.5)
+                                                   AS INT)) AS qvec
+                FROM s
+            ), sc AS (
+                SELECT vec_id,
+                       CAST(list_sum(list_transform(generate_series(1, 64),
+                            i -> CAST(qvec[i] AS BIGINT)
+                                 * ({_qq_sql})[i])) AS DOUBLE)
+                       / (sqrt(CAST(list_sum(list_transform(qvec,
+                              x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))
+                              AS DOUBLE)) * {_qn!r}) AS cos
+                FROM q8
+            )
+            SELECT vec_id, round(cos, 6) + 0.0 AS qcos_sim
+            FROM sc ORDER BY cos DESC, vec_id LIMIT 10
         """,
     }

@@ -36,6 +36,7 @@ from akka_stream_contrib_spark.functions.corpus import (
 from akka_stream_contrib_spark.functions.retrieval import (
     bm25_topk,
     inverted_index,
+    tfidf_topk,
 )
 from akka_stream_contrib_spark.functions.graph import pagerank
 from akka_stream_contrib_spark.functions.quality import expect, winsorize
@@ -47,6 +48,8 @@ from akka_stream_contrib_spark.functions.similarity import (
     ann_lsh_topk,
     ivf_topk,
     knn_join,
+    quantize_embeddings,
+    quantized_cosine_topk,
 )
 
 __all__ = [
@@ -56,8 +59,8 @@ __all__ = [
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "dup_clusters",
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_lsh_topk", "ivf_topk",
-    "knn_join",
+    "knn_join", "quantize_embeddings", "quantized_cosine_topk",
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
-    "train_test_split", "mixture_sample", "bm25_topk", "inverted_index",
+    "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",
     "pagerank", "expect", "winsorize", "hll_sketch_rollup", "hll_merge",
 ]

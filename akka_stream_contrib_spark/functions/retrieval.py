@@ -112,3 +112,56 @@ def inverted_index(id_col: str = "doc_id", text_col: str = "text",
                 .agg(F.count(F.lit(1)).alias("tf")))
 
     return _apply
+
+
+def tfidf_topk(terms: Sequence[str], k: int = 20,
+               id_col: str = "doc_id", text_col: str = "text",
+               ) -> Callable[[DataFrame], DataFrame]:
+    """Top-``k`` documents by TF-IDF for the bag of query ``terms`` —
+    the classic vector-space complement to ``bm25_topk`` (same two-pass
+    scale shape: one single-row stats aggregate broadcast back over the
+    scan, then TakeOrderedAndProject).
+
+    Weighting: sublinear tf ``(1 + ln(tf))`` for tf > 0 else 0, idf
+    ``ln(N / df)`` (terms absent from the corpus contribute 0 — the
+    df > 0 guard keeps the expression total). Scores round(6)+0.0 and
+    rank by (score DESC, id) so both engines pick the same set.
+    """
+    if not terms:
+        raise ValueError("tfidf_topk needs at least one query term")
+
+    def _tf(term: str):
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        tf = toks.select(
+            F.col(id_col),
+            *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+        )
+        stats = tf.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in range(len(terms))
+            ],
+        )
+        scored = tf.crossJoin(F.broadcast(stats))
+        score = None
+        for i in range(len(terms)):
+            tfd = F.col(f"tf{i}").cast("double")
+            part = F.when(
+                (F.col(f"tf{i}") > 0) & (F.col(f"df{i}") > 0),
+                (F.lit(1.0) + F.log(tfd))
+                * F.log(F.col("n").cast("double")
+                        / F.col(f"df{i}").cast("double")),
+            ).otherwise(F.lit(0.0))
+            score = part if score is None else score + part
+        return (scored
+                .select(F.col(id_col),
+                        (F.round(score, 6) + F.lit(0.0)).alias("score"))
+                .orderBy(F.desc("score"), id_col)
+                .limit(k))
+
+    return _apply

@@ -353,3 +353,69 @@ def test_winsorize_approx_swap_close_to_exact(spark):
     approx = df.groupBy("grp").agg(
         F.expr("approx_percentile(v, 0.95, 10000)").alias("p")).head().p
     assert abs(approx - exact) / exact < 0.01
+
+
+def test_tfidf_matches_python_model(spark):
+    import math
+    docs = [
+        (1, "spark join window spark spark"),
+        (2, "join join filter scan"),
+        (3, "window sort merge window window window"),
+        (4, "scan filter sort merge"),
+        (5, "spark"),
+    ]
+    terms = ["spark", "join", "window"]
+    toks = {i: t.split(" ") for i, t in docs}
+    n = len(docs)
+    expect = {}
+    for i, tl in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tl.count(t)
+            df_t = sum(1 for v in toks.values() if t in v)
+            if tf > 0 and df_t > 0:
+                s += (1.0 + math.log(tf)) * math.log(n / df_t)
+        expect[i] = round(s, 6)
+    from akka_stream_contrib_spark.functions import tfidf_topk
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: r.score for r in df.transform(tfidf_topk(terms, k=5)).collect()}
+    assert got == pytest.approx(expect, abs=1e-6)
+    ranked = [r.doc_id for r in df.transform(tfidf_topk(terms, k=2)).collect()]
+    assert ranked == sorted(expect, key=lambda i: (-expect[i], i))[:2]
+
+
+def test_quantize_embeddings_codes_and_error_bound(spark):
+    from akka_stream_contrib_spark.functions import quantize_embeddings
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.003, -0.001, 0.002, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, zero codes
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for r in out.values():
+        assert all(-127 <= q <= 127 for q in r.qvec)
+    assert out[3].scale == 0.0 and out[3].qvec == [0, 0, 0, 0]
+    # max-magnitude component maps to ±127; dequantized error ≤ 0.5/scale
+    assert out[1].qvec[0] == 127
+    import numpy as np
+    for vid, emb in ((1, rows[0][1]), (2, rows[1][1])):
+        scale = out[vid].scale
+        for orig, q in zip(emb, out[vid].qvec):
+            # the stored column is float32 — bound vs the value actually read
+            orig32 = float(np.float32(orig))
+            assert abs(q / scale - orig32) <= 0.5 / scale + 1e-12
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """Int8 quantization must preserve the cosine ranking almost exactly on
+    the fixture embeddings: recall@10 ≥ 0.8 vs the exact ranking (the
+    quantization trade is ~1e-2 score error at d=64)."""
+    from akka_stream_contrib_spark.functions import (
+        cosine_topk, quantized_cosine_topk)
+    from akka_stream_contrib_spark import tables
+    emb = tables.load(spark, "embeddings", "/root/testdata/sf0.001")
+    qvec = [((i * 37) % 19 - 9) / 9.0 for i in range(64)]
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()}
+    quant = {r.vec_id for r in quantized_cosine_topk(emb, qvec, k=10).collect()}
+    assert len(exact & quant) >= 8

@@ -70,6 +70,21 @@ BUDGET = {
     # sweep line: per-order max, order join, date agg, date-spine cumsum
     "shipping_concurrency": 4,
     "mad_by_type": 2,
+    # custkey agg + 2-phase distinct count (join side broadcasts under AQE)
+    "cohort_retention": 3,
+    # user window, transition agg, tiny per-type share window
+    "event_transitions": 3,
+    "login_streaks": 2,
+    # custkey agg + single-partition window over the aggregate only
+    "pareto_customers": 2,
+    # block-key join broadcasts at test SF; in-block verify is map-side
+    "fuzzy_name_match": 0,
+    # daily agg + per-segment stats agg (dims broadcast)
+    "regr_trend": 2,
+    # single-row corpus stats agg; scoring + top-k map-side
+    "tfidf_search": 1,
+    # quantize + integer dot + TakeOrdered: all map-side
+    "quantized_ann": 0,
 }
 
 
