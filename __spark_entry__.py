@@ -1886,6 +1886,48 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.transform(tfidf_topk(["spark", "join", "window"], k=20))
 
 
+def q_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via the bucketed match-once operator
+    (operators/interval_join.py): order fulfilment windows [orderdate,
+    +7d) × campaign windows [month start, +10d) — orders and revenue
+    reached by each campaign. A naive overlap join has no equi conjunct
+    (cartesian at scale); the bucket id gives Catalyst a hash join key and
+    the greatest-start bucket rule keeps each pair exactly once, so no
+    post-join distinct. The campaign side is month-cardinality → AQE
+    broadcasts it."""
+    from akka_stream_contrib_spark.operators import interval_overlap_join
+    orders = tables.load(spark, "orders", sf_dir)
+    fulfil = orders.select(
+        "o_orderkey", _money("o_totalprice").alias("_p"),
+        F.col("o_orderdate").alias("f_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("f_end"))
+    camps = (
+        orders.select(
+            F.date_trunc("month", "o_orderdate").alias("camp_start"))
+        .distinct()
+        .withColumn("camp_end",
+                    F.col("camp_start") + F.expr("INTERVAL 10 DAYS")))
+    joined = interval_overlap_join(
+        fulfil, camps, "f_start", "f_end", "camp_start", "camp_end",
+        bucket_width_s=7 * 86400)
+    return joined.groupBy("camp_start").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("_p").cast("double").alias("revenue"))
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent items via Misra-Gries candidates + exact recount
+    (functions/sketches.py::mg_heavy_hitters): top-20 corpus tokens without
+    shuffling the tail. Exact (== the full groupBy) whenever the k-th item
+    clears the 1/(capacity+1) share bound — amply true here, so the DuckDB
+    exact-top-k oracle applies."""
+    from akka_stream_contrib_spark.functions import mg_heavy_hitters
+    docs = tables.load(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token"))
+    return mg_heavy_hitters(toks, "token", k=20, capacity=4096)
+
+
 def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-10 over int8-quantized embeddings (storage scale path:
     4× smaller scan than float32, integer dot products — exact, no FP
@@ -2032,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regr_trend": q_regr_trend,
         "tfidf_search": q_tfidf_search,
         "quantized_ann": q_quantized_ann,
+        "campaign_overlap": q_campaign_overlap,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
     }
 
 
@@ -3603,6 +3647,34 @@ def oracle_sql() -> dict[str, str]:
             FROM tf, stats
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "campaign_overlap": """
+            WITH fulfil AS (
+                SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+                       o_orderdate AS fs,
+                       o_orderdate + INTERVAL 7 DAY AS fe
+                FROM orders
+            ), camps AS (
+                SELECT DISTINCT
+                       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                           AS cs,
+                       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                           + INTERVAL 10 DAY AS ce
+                FROM orders
+            )
+            SELECT c.cs AS camp_start, count(*) AS n_orders,
+                   CAST(sum(f.p) AS DOUBLE) AS revenue
+            FROM fulfil f JOIN camps c ON f.fs < c.ce AND c.cs < f.fe
+            GROUP BY c.cs
+        """,
+        "heavy_hitter_tokens": """
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS cnt
+            FROM tok GROUP BY token
+            ORDER BY cnt DESC, token LIMIT 20
         """,
         "quantized_ann": f"""
             WITH ev AS (

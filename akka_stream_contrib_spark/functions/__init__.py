@@ -40,7 +40,11 @@ from akka_stream_contrib_spark.functions.retrieval import (
 )
 from akka_stream_contrib_spark.functions.graph import pagerank
 from akka_stream_contrib_spark.functions.quality import expect, winsorize
-from akka_stream_contrib_spark.functions.sketches import hll_sketch_rollup, hll_merge
+from akka_stream_contrib_spark.functions.sketches import (
+    hll_sketch_rollup,
+    hll_merge,
+    mg_heavy_hitters,
+)
 from akka_stream_contrib_spark.functions.similarity import (
     cosine_topk,
     near_dup_pairs,
@@ -63,4 +67,5 @@ __all__ = [
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",
     "pagerank", "expect", "winsorize", "hll_sketch_rollup", "hll_merge",
+    "mg_heavy_hitters",
 ]

@@ -44,3 +44,54 @@ def hll_merge(sketch_df: DataFrame, keys: Sequence[str],
             .withColumn(estimate_col,
                         F.hll_sketch_estimate(F.col("_merged")))
             .drop("_merged"))
+
+
+def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
+                     capacity: int = 4096) -> DataFrame:
+    """Top-``k`` most frequent items via Misra-Gries candidate generation +
+    exact recount — the frequent-items scale path.
+
+    Why not plain ``groupBy().count()``: at 100 TB the item column's long
+    tail (URLs, shingles, user agents) makes the count shuffle as large as
+    the data. Misra-Gries keeps ≤ ``capacity`` counters per partition
+    (mapInPandas, state lives across the partition's Arrow batches), and
+    per-partition candidates are a guaranteed superset of every item with
+    global share > 1/(capacity+1): if an item's global share exceeds that,
+    some partition holds at least that local share, where MG's total
+    decrement (≤ n_p/(capacity+1)) cannot erase it. The candidate union
+    (≤ capacity × partitions rows) is broadcast back as a semi-join filter
+    and ONLY candidate rows are exactly recounted — the shuffle carries the
+    heavy head, never the tail.
+
+    Result equals the exact top-k whenever the true k-th item has share
+    > 1/(capacity+1) (size ``capacity`` ≫ k accordingly); ranking is
+    (count DESC, item) so it is deterministic and engine-replayable.
+    """
+    import pandas as pd
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > capacity:
+                # batched MG decrement: drop the smallest counters so that
+                # ≤ capacity remain; subtracting `dec` from everyone removes
+                # ≥ dec*(capacity+1) total mass per unit, preserving the
+                # share > 1/(capacity+1) survival guarantee
+                vals = sorted(counters.values())
+                dec = vals[len(counters) - capacity - 1]
+                counters = {i: c - dec for i, c in counters.items()
+                            if c > dec}
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    items = df.select(item_col)
+    cands = (items.mapInPandas(_mg, schema=items.schema)
+             .distinct())
+    return (
+        items.join(F.broadcast(cands), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), item_col)
+        .limit(k)
+    )

@@ -419,3 +419,32 @@ def test_quantized_topk_recall_vs_exact(spark):
     exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10).collect()}
     quant = {r.vec_id for r in quantized_cosine_topk(emb, qvec, k=10).collect()}
     assert len(exact & quant) >= 8
+
+
+def test_mg_heavy_hitters_exact_under_decrement_pressure(spark):
+    """Skewed head + long uniform tail with capacity far below the
+    cardinality: the MG decrement path runs, and the guaranteed-recoverable
+    head (share > 1/(capacity+1)) still comes back exactly."""
+    from akka_stream_contrib_spark.functions import mg_heavy_hitters
+    rows = []
+    for i, n in (("hot_a", 400), ("hot_b", 300), ("hot_c", 200)):
+        rows += [(i,)] * n
+    rows += [(f"tail{j}",) for j in range(500)]  # 500 singletons
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = [(r.item, r.cnt) for r in
+           mg_heavy_hitters(df, "item", k=3, capacity=16).collect()]
+    assert got == [("hot_a", 400), ("hot_b", 300), ("hot_c", 200)]
+
+
+def test_mg_heavy_hitters_matches_exact_topk_on_corpus(spark):
+    from akka_stream_contrib_spark.functions import mg_heavy_hitters
+    from akka_stream_contrib_spark import tables
+    from pyspark.sql import functions as F
+    docs = tables.load(spark, "documents", "/root/testdata/sf0.001")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    got = [(r.token, r.cnt) for r in
+           mg_heavy_hitters(toks, "token", k=10, capacity=1024).collect()]
+    exact = [(r.token, r.cnt) for r in
+             toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.desc("cnt"), "token").limit(10).collect()]
+    assert got == exact

@@ -347,3 +347,69 @@ def test_sessionize_golden(spark):
     df2 = spark.createDataFrame(rows2, "event_id bigint, ts timestamp, user_id bigint")
     out2 = df2.transform(sessionize("user_id", "ts", "event_id", gap_s=1800)).collect()
     assert {r.session_id for r in out2} == {1}
+
+
+def test_interval_overlap_join_equals_naive_predicate_join(spark):
+    """Bucketed match-once result == naive overlap join on random intervals
+    spanning 0-5 buckets, including touching/contained/identical cases."""
+    import random
+    from akka_stream_contrib_spark.operators import interval_overlap_join
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    base = 1_700_000_000
+    def mk(n, tag):
+        out = []
+        for i in range(n):
+            s = base + rng.randrange(0, 40) * 3600
+            out.append((f"{tag}{i}", s, s + rng.randrange(0, 30) * 3600))
+        return out
+
+    lrows, rrows = mk(60, "L"), mk(60, "R")
+    lrows.append(("Ltouch", base, base + 7200))          # [0h, 2h)
+    rrows.append(("Rtouch", base + 7200, base + 10800))  # [2h, 3h) — no match
+    lrows.append(("Linv", base + 9999, base))            # inverted: never matches
+    ldf = spark.createDataFrame(
+        lrows,
+        "lid string, ls_e long, le_e long").selectExpr(
+        "lid", "timestamp_seconds(ls_e) AS ls", "timestamp_seconds(le_e) AS le")
+    rdf = spark.createDataFrame(
+        rrows, "rid string, rs_e long, re_e long").selectExpr(
+        "rid", "timestamp_seconds(rs_e) AS rs", "timestamp_seconds(re_e) AS re")
+
+    got = {(r.lid, r.rid) for r in interval_overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re", bucket_width_s=6 * 3600
+    ).select("lid", "rid").collect()}
+    # naive oracle with the well-formedness filter the operator guarantees
+    # (an inverted interval can satisfy the raw predicate but is not a
+    # valid half-open interval)
+    naive = {(r.lid, r.rid) for r in ldf.filter("ls < le").join(
+        rdf.filter("rs < re"),
+        (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le"))
+    ).select("lid", "rid").collect()}
+    assert got == naive and len(got) > 50
+    assert not any(l == "Ltouch" and r == "Rtouch" for l, r in got)
+    assert not any(l == "Linv" for l, _ in got)
+
+
+def test_interval_overlap_join_match_once_and_equi_keys(spark):
+    """A pair overlapping across many buckets appears exactly once; equi
+    keys restrict matches to the same key."""
+    from akka_stream_contrib_spark.operators import interval_overlap_join
+
+    ldf = spark.createDataFrame(
+        [("a", "k1", 0, 1000_000), ("b", "k2", 0, 1000_000)],
+        "lid string, k string, ls_e long, le_e long").selectExpr(
+        "lid", "k", "timestamp_seconds(ls_e) AS ls",
+        "timestamp_seconds(le_e) AS le")
+    rdf = spark.createDataFrame(
+        [("x", "k1", 500, 2000_000)],
+        "rid string, k string, rs_e long, re_e long").selectExpr(
+        "rid", "k", "timestamp_seconds(rs_e) AS rs",
+        "timestamp_seconds(re_e) AS re")
+    # tiny buckets: the overlap spans ~1000 buckets of 1000 s each
+    rows = interval_overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re", bucket_width_s=1000,
+        equi_keys=["k"],
+    ).select("lid", "rid").collect()
+    assert [(r.lid, r.rid) for r in rows] == [("a", "x")]

@@ -85,6 +85,10 @@ BUDGET = {
     "tfidf_search": 1,
     # quantize + integer dot + TakeOrdered: all map-side
     "quantized_ann": 0,
+    # campaign distinct agg + final per-campaign agg (overlap join broadcasts)
+    "campaign_overlap": 2,
+    # candidate distinct + exact recount of candidate rows only
+    "heavy_hitter_tokens": 2,
 }
 
 
