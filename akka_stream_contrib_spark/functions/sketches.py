@@ -46,6 +46,22 @@ def hll_merge(sketch_df: DataFrame, keys: Sequence[str],
             .drop("_merged"))
 
 
+def mg_update(counters: dict, batch_counts, capacity: int) -> dict:
+    """Merge a batch's item counts into Misra-Gries ``counters``, applying
+    the batched decrement that keeps ≤ ``capacity`` entries: subtract the
+    (size-capacity)-th smallest value from everyone and drop non-positives.
+    Each unit of decrement removes ≥ capacity+1 total mass, so any item
+    with share > 1/(capacity+1) of the stream so far survives — the
+    classic MG guarantee, shared by the batch and streaming forms."""
+    for item, c in batch_counts.items():
+        counters[item] = counters.get(item, 0) + int(c)
+    if len(counters) > capacity:
+        vals = sorted(counters.values())
+        dec = vals[len(counters) - capacity - 1]
+        counters = {i: c - dec for i, c in counters.items() if c > dec}
+    return counters
+
+
 def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
                      capacity: int = 4096) -> DataFrame:
     """Top-``k`` most frequent items via Misra-Gries candidate generation +
@@ -72,17 +88,8 @@ def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
     def _mg(batches):
         counters: dict = {}
         for pdf in batches:
-            for item, c in pdf[item_col].value_counts().items():
-                counters[item] = counters.get(item, 0) + int(c)
-            if len(counters) > capacity:
-                # batched MG decrement: drop the smallest counters so that
-                # ≤ capacity remain; subtracting `dec` from everyone removes
-                # ≥ dec*(capacity+1) total mass per unit, preserving the
-                # share > 1/(capacity+1) survival guarantee
-                vals = sorted(counters.values())
-                dec = vals[len(counters) - capacity - 1]
-                counters = {i: c - dec for i, c in counters.items()
-                            if c > dec}
+            counters = mg_update(counters, pdf[item_col].value_counts(),
+                                 capacity)
         yield pd.DataFrame({item_col: list(counters.keys())})
 
     items = df.select(item_col)

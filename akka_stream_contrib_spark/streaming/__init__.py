@@ -6,6 +6,7 @@ from akka_stream_contrib_spark.streaming.stateful import (
     keep_alive_stream,
     accumulate_while_unchanged_stream,
     sessionize_stream,
+    heavy_hitters_stream,
 )
 from akka_stream_contrib_spark.streaming.valve import Valve
 from akka_stream_contrib_spark.streaming.sinks import idempotent_parquet_sink, read_sink

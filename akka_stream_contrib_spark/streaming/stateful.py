@@ -231,3 +231,62 @@ def sessionize_stream(elements: DataFrame, gap_s: int,
             .groupBy(key_col)
             .applyInPandasWithState(_fn, out_schema, state_schema, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def heavy_hitters_stream(items: DataFrame, item_col: str = "item",
+                         n_buckets: int = 32,
+                         capacity: int = 1024) -> DataFrame:
+    """Streaming frequent items: the unbounded form of
+    ``functions/sketches.py::mg_heavy_hitters``. Items hash into
+    ``n_buckets`` state partitions (state parallelism — no global
+    single-key bottleneck); each bucket keeps ≤ ``capacity`` Misra-Gries
+    counters across micro-batches and re-emits its current candidate
+    counters every batch (append-mode emission of per-batch snapshots —
+    the latest row per (bucket, item) is the current lower bound, so any
+    append-capable sink works; dedupe on read with max(mg_count)).
+
+    Each item maps to exactly one bucket, so bucket outputs never double
+    count; a consumer takes top-k by ``mg_count`` over the latest snapshot
+    of all buckets. Counts are MG lower bounds (within
+    items-seen-in-bucket/(capacity+1) of truth — exact while a bucket's
+    distinct count stays ≤ capacity); re-rank heavy candidates exactly
+    with a batch recount if the application needs true counts.
+
+    Emits ``(bucket, item, mg_count)``. State per bucket = two parallel
+    arrays, bounded by ``capacity`` entries.
+    """
+    from akka_stream_contrib_spark.functions.sketches import mg_update
+    from pyspark.sql import functions as F
+
+    out_schema = StructType([
+        StructField("bucket", LongType()),
+        StructField("item", StringType()),
+        StructField("mg_count", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ])
+
+    def _fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            s_items, s_counts = state.get
+            counters = dict(zip(list(s_items), [int(c) for c in s_counts]))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            counters = mg_update(counters, pdf[item_col].value_counts(),
+                                 capacity)
+        state.update((list(counters.keys()),
+                      [int(v) for v in counters.values()]))
+        yield pd.DataFrame({
+            "bucket": [key[0]] * len(counters),
+            "item": list(counters.keys()),
+            "mg_count": [int(v) for v in counters.values()],
+        })
+
+    bucketed = items.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets)))
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        _fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)

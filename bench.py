@@ -59,6 +59,17 @@ HEADLINE = [
     "mixture_sample",
     "rolling_zscore",
     "sessionize",
+    # session-5 families
+    "cohort_retention",
+    "login_streaks",
+    "pareto_customers",
+    "event_transitions",
+    "fuzzy_name_match",
+    "regr_trend",
+    "tfidf_search",
+    "quantized_ann",
+    "campaign_overlap",
+    "heavy_hitter_tokens",
 ]
 
 

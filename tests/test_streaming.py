@@ -400,3 +400,41 @@ def test_sessionize_stream_continues_sessions_across_batches(spark, tmp_path):
     assert got == {1: (1, 1), 2: (1, 2),
                    3: (1, 3),   # continued across the batch boundary
                    4: (2, 1)}   # new session after the gap
+
+
+def test_heavy_hitters_stream_accumulates_across_batches(spark, tmp_path):
+    """Counters persist across micro-batches and runs: the second run's
+    snapshot reflects batch-1 + batch-2 totals (capacity above the distinct
+    count -> MG counts are exact here), and every item stays in exactly one
+    bucket."""
+    from akka_stream_contrib_spark.streaming import heavy_hitters_stream
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    out_dir, ck = str(tmp_path / "hh_out"), str(tmp_path / "hh_ck")
+    (src / "b1.json").write_text(
+        "\n".join(['{"item": "a"}'] * 5 + ['{"item": "b"}'] * 3
+                  + ['{"item": "c"}']) + "\n")
+    stream = spark.readStream.schema("item string").json(str(src))
+    hh = heavy_hitters_stream(stream, n_buckets=4, capacity=64)
+
+    def run_once():
+        q = (hh.writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    (src / "b2.json").write_text(
+        "\n".join(['{"item": "a"}'] * 4 + ['{"item": "d"}'] * 2) + "\n")
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    # latest snapshot per (bucket, item): max mg_count (counts only grow
+    # while capacity is not exceeded)
+    latest = {}
+    for r in rows:
+        latest[r.item] = max(latest.get(r.item, 0), r.mg_count)
+    assert latest == {"a": 9, "b": 3, "c": 1, "d": 2}
+    buckets = {}
+    for r in rows:
+        buckets.setdefault(r.item, set()).add(r.bucket)
+    assert all(len(bs) == 1 for bs in buckets.values())
