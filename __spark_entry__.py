@@ -56,6 +56,14 @@ def _dec(col):
     return col.cast("decimal(18,4)")
 
 
+def _ts(s: str):
+    """Date literal as TIMESTAMP_NTZ — the fixtures' datetime columns are NTZ
+    (see tables.load), so an LTZ (``cast("timestamp")``) literal would compare
+    through an implicit session-timezone conversion and shift boundaries under
+    a non-UTC hosting session. NTZ vs NTZ has no timezone term at all."""
+    return F.lit(s).cast("timestamp_ntz")
+
+
 def _money(name: str):
     """2-decimal money/quantity column cast to decimal BEFORE arithmetic:
     casting the raw 2-dp value is boundary-safe in both engines, and decimal
@@ -146,7 +154,9 @@ def q_accumulate_while_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type",
                 [
                     F.count(F.lit(1)).alias("cnt"),
-                    F.round(F.sum("value"), 4).alias("sum_value"),
+                    # unordered double sum inside each island → decimal-exact
+                    # per the module's money-sum convention (driver hash-safe)
+                    F.round(F.sum(_dec(F.col("value"))), 4).cast("double").alias("sum_value"),
                     F.min("seq").alias("first_seq"),
                 ],
                 seq="seq",
@@ -255,10 +265,29 @@ def q_merge_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    cost = F.pmod(F.floor(F.col("value")), F.lit(5)) + 1
+    # explicit bigint pinning on both cost and cum_cost so no engine/session
+    # type-coercion wiggle survives into the driver hash (VERDICT r1 §4)
+    cost = (F.pmod(F.floor(F.col("value")), F.lit(5)) + F.lit(1)).cast("bigint")
     return (
         ev.transform(token_throttle(cost, total_tokens=15000, seq="seq"))
-        .select("event_id", "cost", "cum_cost")
+        .select("event_id",
+                F.col("cost").cast("bigint").alias("cost"),
+                F.col("cum_cost").cast("bigint").alias("cum_cost"))
+    )
+
+
+def q_token_throttle_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed form (per-user token budget): the scale-showcase variant — the
+    cumulative window partitions on user_id, so there is no single-partition
+    global sort anywhere in the plan (VERDICT r1 §10)."""
+    ev = _events(spark, sf_dir)
+    cost = (F.pmod(F.floor(F.col("value")), F.lit(5)) + F.lit(1)).cast("bigint")
+    return (
+        ev.transform(token_throttle(cost, total_tokens=200, seq="seq",
+                                    partition_by=["user_id"]))
+        .select("event_id", "user_id",
+                F.col("cost").cast("bigint").alias("cost"),
+                F.col("cum_cost").cast("bigint").alias("cum_cost"))
     )
 
 
@@ -321,6 +350,52 @@ def q_feedback_fibonacci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feedback_loop(initial, forward, max_iters=40)
 
 
+def q_retry_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Retry.concat`` gate (Retry.scala:84-95): the retryWith may emit
+    SEVERAL retry elements per failure. Fixture: v = floor(value) "succeeds"
+    iff v <= 100; a failure splits into the two halves (floor(v/2),
+    v - floor(v/2)) and both re-enter the flow. Closed form = the leaves of
+    the halving tree, with ``attempts`` = flow applications along the path
+    (root = 1) — expressible as a recursive CTE for the DuckDB oracle."""
+    from akka_stream_contrib_spark.operators import retry_concat
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.floor(F.col("value")).cast("bigint").alias("v"))
+
+    def flow(df: DataFrame) -> DataFrame:
+        return (df.withColumn("ok", F.col("v") <= 100)
+                  .withColumn("value", F.when(F.col("v") <= 100, F.col("v"))))
+
+    def retry_with(failed: DataFrame) -> DataFrame:
+        half = F.floor(F.col("v") / F.lit(2)).cast("bigint")
+        halves = F.array(half, (F.col("v") - half).cast("bigint"))
+        return failed.withColumn("v", F.explode(halves)).select(
+            "event_id", "v", "attempts")
+
+    out = retry_concat(ev, flow, retry_with, max_rounds=16)
+    return out.select("event_id",
+                      F.col("value").cast("bigint").alias("value"),
+                      "attempts")
+
+
+def q_unfold_flow_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SourceGen.unfoldFlowWith`` gate (SourceGen.scala:70-95): flow
+    ``S => O`` doubles the state; the separate decision fn stops once the
+    flow output exceeds 10000, else re-enters and emits it. Closed form:
+    seed s emits s*2^j (step j-1) while s*2^j <= 10000."""
+    from akka_stream_contrib_spark.operators import unfold_flow_with
+
+    seeds = spark.range(1, 101, 1, 8).select(F.col("id").alias("seed"))
+
+    def flow(state):
+        return state * 2
+
+    def unfold_with(o):
+        return None if o > 10000 else (o, o)
+
+    return unfold_flow_with(seeds, flow, unfold_with, max_steps=100)
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (Catalyst join/agg plans; also the bench headliners)
 # ---------------------------------------------------------------------------
@@ -330,7 +405,7 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = _money("l_extendedprice") * (1 - _pct("l_discount"))
     charge = _money("l_extendedprice") * (1 - _pct("l_discount")) * (1 + _pct("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-06-01").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= _ts("2000-06-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
@@ -347,9 +422,9 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tables.load(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
     orders = tables.load(spark, "orders", sf_dir).filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        F.col("o_orderdate") < _ts("1998-03-15"))
     li = tables.load(spark, "lineitem", sf_dir).filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        F.col("l_shipdate") > _ts("1998-03-15"))
     return (
         li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -366,8 +441,8 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tables.load(spark, "customer", sf_dir)
     supp = tables.load(spark, "supplier", sf_dir)
     orders = tables.load(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01")))
     li = tables.load(spark, "lineitem", sf_dir)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -385,8 +460,8 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, "lineitem", sf_dir)
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -554,6 +629,17 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
+def q_ann_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-vectors ANN through the distributed IVF composition — the default
+    past the broadcast budget: NO full-corpus driver collect, one cell-id
+    shuffle (see functions/similarity.py::ann_topk_all_ivf). Iterative
+    centroid training → rows-only check; recall vs the exact kernel is
+    asserted in tests."""
+    from akka_stream_contrib_spark.functions import ann_topk_all_ivf
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return ann_topk_all_ivf(emb, k=3, nlist=16, nprobe=4)
+
+
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from akka_stream_contrib_spark.functions.dedup import ngram_jaccard_dedup
     return ngram_jaccard_dedup(tables.load(spark, "documents", sf_dir),
@@ -597,8 +683,8 @@ def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS becomes a left-semi join with a non-equi conjunct — Catalyst keeps
     the equi part hashable."""
     orders = tables.load(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01")))
     li = tables.load(spark, "lineitem", sf_dir)
     return (
         orders.join(li, (orders.o_orderkey == li.l_orderkey)
@@ -614,8 +700,8 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tables.load(spark, "customer", sf_dir)
     nation = tables.load(spark, "nation", sf_dir)
     orders = tables.load(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01")))
     li = tables.load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -632,8 +718,8 @@ def q_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines belong to high- vs low-priority orders (conditional counts)."""
     orders = tables.load(spark, "orders", sf_dir)
     li = tables.load(spark, "lineitem", sf_dir).filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01")))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -648,8 +734,8 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     double BEFORE the division so both engines run the identical IEEE ops."""
     part = tables.load(spark, "part", sf_dir)
     li = tables.load(spark, "lineitem", sf_dir).filter(
-        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01")))
     disc = _money("l_extendedprice") * (1 - _pct("l_discount"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -730,7 +816,7 @@ def q_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     → broadcast cross join (one row); NOT EXISTS → left-anti join."""
     cust = tables.load(spark, "customer", sf_dir)
     recent = tables.load(spark, "orders", sf_dir).filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        F.col("o_orderdate") >= _ts("2000-01-01"))
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0)
         .agg((F.sum(_money("c_acctbal")).cast("double") / F.count(F.lit(1)))
@@ -751,8 +837,8 @@ def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions. Two broadcast copies of nation (supplier side / customer
     side); the pair filter collapses to an OR-of-ANDs on broadcast keys."""
     li = tables.load(spark, "lineitem", sf_dir).filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01")))
     orders = tables.load(spark, "orders", sf_dir)
     cust = tables.load(spark, "customer", sf_dir)
     supp = tables.load(spark, "supplier", sf_dir)
@@ -782,8 +868,8 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per year. The share divides two exact decimal sums cast to double."""
     li = tables.load(spark, "lineitem", sf_dir)
     orders = tables.load(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01")))
     cust = tables.load(spark, "customer", sf_dir)
     supp = tables.load(spark, "supplier", sf_dir)
     part = tables.load(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
@@ -817,8 +903,8 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-vs-its-own-max pattern (the view + scalar subquery form).
     Revenue per supplier aggregates once; the 1-row max broadcasts back."""
     li = tables.load(spark, "lineitem", sf_dir).filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01")))
     supp = tables.load(spark, "supplier", sf_dir)
     rev = (
         li.groupBy(F.col("l_suppkey").alias("_sk"))
@@ -960,7 +1046,7 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("o_month"),
         F.dayofmonth("o_orderdate").alias("o_day"),
         F.last_day("o_orderdate").alias("month_end"),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        F.datediff(F.col("o_orderdate"), _ts("1995-01-01"))
         .alias("days_since_epoch95"),
     )
 
@@ -1142,7 +1228,13 @@ def q_array_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.size("_vals").alias("n_events"),
-            F.slice("_vals", 1, 3).alias("first3"),
+            # array emitted as a fixed-format scalar: the driver's row
+            # canonicalizer cannot sort/hash a list cell (r1 err), and the
+            # 2-dp values render identically under %.2f on both engines
+            F.array_join(
+                F.transform(F.slice("_vals", 1, 3),
+                            lambda x: F.format_string("%.2f", x)),
+                ",").alias("first3"),
             F.array_min("_vals").alias("v_min"),
             F.array_max("_vals").alias("v_max"),
         )
@@ -1953,57 +2045,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so the driver's per-round correctness budget reaches the
+    # queries that need evidence most: (1) the five r1 fail/err fixes,
+    # (2) the 75 families never driver-checked in r1 (dedup/ANN/text/
+    # corpus/analytics), (3) the 45 already hash-green r1 queries.
     return {
-        "sample_nth": q_sample_nth,
-        "sample_step": q_sample_step,
-        "partition_with": q_partition_with,
-        "pass_through": q_pass_through,
-        "delay_flow": q_delay_flow,
-        "accumulate": q_accumulate,
-        "accumulate_keyed": q_accumulate_keyed,
         "accumulate_while_unchanged": q_accumulate_while_unchanged,
-        "last_element": q_last_element,
         "timed_interval_between": q_timed_interval_between,
-        "time_window": q_time_window,
-        "sliding_window": q_sliding_window,
-        "session_window": q_session_window,
-        "rate_limiter": q_rate_limiter,
-        "pulse": q_pulse,
-        "keep_alive": q_keep_alive,
-        "merge_by_index": q_merge_by_index,
         "token_throttle": q_token_throttle,
-        "retry": q_retry,
-        "unfold_collatz": q_unfold_collatz,
-        "feedback_fibonacci": q_feedback_fibonacci,
-        "q1_pricing_summary": q_q1_pricing_summary,
-        "q3_shipping_priority": q_q3_shipping_priority,
-        "q5_local_supplier_volume": q_q5_local_supplier_volume,
-        "q6_forecast_revenue": q_q6_forecast_revenue,
-        "q4_order_priority": q_q4_order_priority,
-        "q10_returned_items": q_q10_returned_items,
         "q12_priority_shipping": q_q12_priority_shipping,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q17_small_qty_revenue": q_q17_small_qty_revenue,
-        "q18_large_orders": q_q18_large_orders,
-        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
-        "q22_idle_balance": q_q22_idle_balance,
-        "q7_nation_volume": q_q7_nation_volume,
-        "q8_market_share": q_q8_market_share,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q21_waiting_supplier": q_q21_waiting_supplier,
-        "q13_order_distribution": q_q13_order_distribution,
-        "customers_retained": q_customers_retained,
-        "customers_churned": q_customers_churned,
-        "cube_revenue": q_cube_revenue,
-        "range_join_follows": q_range_join_follows,
-        "string_funcs": q_string_funcs,
-        "date_parts": q_date_parts,
-        "window_breadth": q_window_breadth,
-        "quantiles": q_quantiles,
         "array_agg_events": q_array_agg_events,
-        "pivot_revenue": q_pivot_revenue,
-        "posexplode_tokens": q_posexplode_tokens,
-        "resample_ffill": q_resample_ffill,
+        "retry_concat_split": q_retry_concat_split,
+        "unfold_flow_with": q_unfold_flow_with,
+        "token_throttle_keyed": q_token_throttle_keyed,
+        "ann_ivf_all": q_ann_ivf_all,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -2079,8 +2134,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_ann": q_quantized_ann,
         "campaign_overlap": q_campaign_overlap,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "sample_nth": q_sample_nth,
+        "sample_step": q_sample_step,
+        "partition_with": q_partition_with,
+        "pass_through": q_pass_through,
+        "delay_flow": q_delay_flow,
+        "accumulate": q_accumulate,
+        "accumulate_keyed": q_accumulate_keyed,
+        "last_element": q_last_element,
+        "time_window": q_time_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "rate_limiter": q_rate_limiter,
+        "pulse": q_pulse,
+        "keep_alive": q_keep_alive,
+        "merge_by_index": q_merge_by_index,
+        "retry": q_retry,
+        "unfold_collatz": q_unfold_collatz,
+        "feedback_fibonacci": q_feedback_fibonacci,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q4_order_priority": q_q4_order_priority,
+        "q10_returned_items": q_q10_returned_items,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q22_idle_balance": q_q22_idle_balance,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q21_waiting_supplier": q_q21_waiting_supplier,
+        "q13_order_distribution": q_q13_order_distribution,
+        "customers_retained": q_customers_retained,
+        "customers_churned": q_customers_churned,
+        "cube_revenue": q_cube_revenue,
+        "range_join_follows": q_range_join_follows,
+        "string_funcs": q_string_funcs,
+        "date_parts": q_date_parts,
+        "window_breadth": q_window_breadth,
+        "quantiles": q_quantiles,
+        "pivot_revenue": q_pivot_revenue,
+        "posexplode_tokens": q_posexplode_tokens,
+        "resample_ffill": q_resample_ffill,
     }
-
 
 def _ewma_oracle(alpha: float = 0.3, depth: int = 8) -> str:
     """DuckDB mirror of operators/timeseries.py::ewma_smooth, built from the
@@ -2170,7 +2269,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM marked
             )
             SELECT grp, event_type, count(*) AS cnt,
-                   round(sum(value), 4) AS sum_value, min(event_id) AS first_seq
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value,
+                   min(event_id) AS first_seq
             FROM runs GROUP BY grp, event_type
         """,
         "last_element": """
@@ -2258,15 +2358,48 @@ def oracle_sql() -> dict[str, str]:
         "token_throttle": """
             WITH costed AS (
                 SELECT event_id,
-                       CAST(floor(value) AS BIGINT) % 5 + 1 AS cost
+                       CAST(((CAST(floor(value) AS BIGINT) % 5) + 5) % 5 + 1 AS BIGINT) AS cost
                 FROM events
             ), cum AS (
                 SELECT event_id, cost,
-                       sum(cost) OVER (ORDER BY event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+                       CAST(sum(cost) OVER (ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
                 FROM costed
             )
             SELECT event_id, cost, cum_cost FROM cum WHERE cum_cost <= 15000
+        """,
+        "token_throttle_keyed": """
+            WITH costed AS (
+                SELECT event_id, user_id,
+                       CAST(((CAST(floor(value) AS BIGINT) % 5) + 5) % 5 + 1 AS BIGINT) AS cost
+                FROM events
+            ), cum AS (
+                SELECT event_id, user_id, cost,
+                       CAST(sum(cost) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+                FROM costed
+            )
+            SELECT event_id, user_id, cost, cum_cost FROM cum WHERE cum_cost <= 200
+        """,
+        "retry_concat_split": """
+            WITH RECURSIVE s AS (
+                SELECT event_id, CAST(floor(value) AS BIGINT) AS v, 1 AS attempts
+                FROM events
+                UNION ALL
+                SELECT event_id,
+                       CASE WHEN t.k = 0 THEN v // 2 ELSE v - v // 2 END AS v,
+                       attempts + 1
+                FROM s CROSS JOIN (VALUES (0), (1)) t(k)
+                WHERE v > 100
+            )
+            SELECT event_id, v AS value, attempts FROM s WHERE v <= 100
+        """,
+        "unfold_flow_with": """
+            SELECT seed, CAST(j - 1 AS INT) AS step,
+                   CAST(seed * power(2, j) AS BIGINT) AS value
+            FROM (SELECT unnest(generate_series(1, 100)) AS seed) s
+            CROSS JOIN (SELECT unnest(generate_series(1, 14)) AS j) js
+            WHERE seed * power(2, j) <= 10000
         """,
         "retry": """
             SELECT event_id,
@@ -2564,7 +2697,7 @@ def oracle_sql() -> dict[str, str]:
         "array_agg_events": """
             SELECT user_id,
                    len(vals) AS n_events,
-                   vals[1:3] AS first3,
+                   array_to_string(list_transform(vals[1:3], x -> printf('%.2f', x)), ',') AS first3,
                    list_min(vals) AS v_min,
                    list_max(vals) AS v_max
             FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vals

@@ -49,6 +49,7 @@ from akka_stream_contrib_spark.functions.similarity import (
     cosine_topk,
     near_dup_pairs,
     ann_topk_all,
+    ann_topk_all_ivf,
     ann_lsh_topk,
     ivf_topk,
     knn_join,
@@ -62,7 +63,8 @@ __all__ = [
     "dedup_exact", "shingles", "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "dup_clusters",
-    "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_lsh_topk", "ivf_topk",
+    "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_topk_all_ivf",
+    "ann_lsh_topk", "ivf_topk",
     "knn_join", "quantize_embeddings", "quantized_cosine_topk",
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",

@@ -148,20 +148,7 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     q = np.array(query_vec, dtype=np.float64)
     q /= np.linalg.norm(q)
 
-    # --- train on a driver-side sample (deterministic: lowest ids first) ---
-    sample = (df.select(id_col, vec_col).orderBy(id_col)
-              .limit(max(nlist * 64, 1024)).toPandas())
-    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    cents = X[:nlist].copy()
-    for _ in range(iters):
-        assign = np.argmin(((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
-        for c in range(nlist):
-            members = X[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-
+    cents = _train_centroids(df, nlist, iters, id_col, vec_col)
     probed = set(np.argsort(-(cents @ q))[:nprobe].tolist())
     b_cents = spark.sparkContext.broadcast(cents)
     b_q = spark.sparkContext.broadcast(q)
@@ -189,17 +176,47 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     return hits.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+#: default cap on rows collected to the driver for a broadcast index side.
+#: 1M × (64 dims × 8 bytes + id) ≈ 600 MB — comfortably inside a standard
+#: driver/executor heap; beyond it the caller must go through the IVF/LSH
+#: compositions, which never materialize the corpus in one place.
+BROADCAST_BUDGET_ROWS = 1_000_000
+
+
+def _bounded_index_pdf(df: DataFrame, cols: list, budget_rows: int,
+                       what: str) -> pd.DataFrame:
+    """Collect an index side to the driver ONLY if it fits the budget.
+
+    ``limit(budget+1)`` bounds the transferred data even when the check fails
+    (no full-corpus collect ever happens); seeing budget+1 rows proves the
+    corpus is over budget and raises with the scale-path pointer instead of
+    silently OOMing the driver at 100 TB.
+    """
+    pdf = df.select(*cols).limit(budget_rows + 1).toPandas()
+    if len(pdf) > budget_rows:
+        raise ValueError(
+            f"{what}: corpus exceeds broadcast_budget_rows={budget_rows}; "
+            "use the IVF composition (ann_topk_all_ivf / ivf_topk) or LSH "
+            "bucketing (ann_lsh_topk) — the corpus must not be collected "
+            "to the driver at this size")
+    return pdf
+
+
 def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
-                 vec_col: str = "embedding", block: int = 4096) -> DataFrame:
+                 vec_col: str = "embedding", block: int = 4096,
+                 broadcast_budget_rows: int = BROADCAST_BUDGET_ROWS) -> DataFrame:
     """Approximate-free brute-force top-k for EVERY vector, the distributed
     way: broadcast the (normalized) corpus matrix, stream partitions through
     numpy GEMM blocks. One pass over the data, no pairwise shuffle.
 
-    At 100 TB the corpus side must itself be sampled/centroided (IVF) — this
-    function is the exact kernel those variants reuse.
+    The corpus side is collected ONLY within ``broadcast_budget_rows``
+    (bounded transfer, hard error beyond it); at 100 TB use
+    :func:`ann_topk_all_ivf` — same GEMM kernel, centroid-pruned candidate
+    join instead of a driver collect.
     """
     spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).toPandas()
+    pdf = _bounded_index_pdf(df, [id_col, vec_col], broadcast_budget_rows,
+                             "ann_topk_all")
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -235,9 +252,92 @@ def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
         _topk, schema=f"{id_col} {id_type}, neighbor_id {id_type}, cos_sim double")
 
 
+def _train_centroids(df: DataFrame, nlist: int, iters: int,
+                     id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic driver-side k-means on a bounded sample (lowest ids
+    first, fixed Lloyd rounds, argmin tie-break) — the only driver-side step
+    in the IVF family, and its size is capped independent of corpus size."""
+    sample = (df.select(id_col, vec_col).orderBy(id_col)
+              .limit(max(nlist * 64, 1024)).toPandas())
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cents = X[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmin(((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
+        for c in range(nlist):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def ann_topk_all_ivf(df: DataFrame, k: int = 3, nlist: int = 16,
+                     nprobe: int = 4, iters: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     ) -> DataFrame:
+    """All-vectors ANN with NO full-corpus driver collect — the default
+    composition at index sizes past the broadcast budget (100 TB shape).
+
+    Plan: centroids train on a bounded driver sample; ONE Arrow pass assigns
+    every vector its home cell + its ``nprobe`` nearest probe cells
+    (broadcast centroids, map-side argmin — no shuffle); the candidate set
+    is the equi-join ``probe_cell == home_cell`` — a single hash shuffle on
+    the cell id, cell population ≈ N/nlist so the self-join never goes
+    quadratic; exact cosine on candidates is codegen-side array arithmetic;
+    per-query top-k is one window on the join's own partitioning. Recall is
+    traded via nprobe/nlist exactly as in the single-query :func:`ivf_topk`.
+    """
+    spark = df.sparkSession
+    cents = _train_centroids(df, nlist, iters, id_col, vec_col)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs = b_cents.value
+        for pdfb in batches:
+            if len(pdfb) == 0:
+                continue
+            v = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            d2 = ((v[:, None, :] - cs[None, :, :]) ** 2).sum(-1)
+            order = np.argsort(d2, axis=1, kind="stable")
+            yield pd.DataFrame({
+                id_col: pdfb[id_col],
+                "nvec": list(v),
+                "cell": order[:, 0].astype("int32"),
+                "probes": list(order[:, :nprobe].astype("int32")),
+            })
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        _assign,
+        schema=(f"{id_col} {id_type}, nvec array<double>, "
+                "cell int, probes array<int>"))
+
+    corpus = assigned.select(F.col(id_col).alias("neighbor_id"),
+                             F.col("nvec").alias("_cv"), "cell")
+    queries_side = assigned.select(
+        F.col(id_col), F.col("nvec").alias("_qv"),
+        F.explode("probes").alias("cell"))
+    cos = _dot(F.col("_qv"), F.col("_cv"))
+    pairs = (
+        queries_side.join(corpus, "cell")
+        .filter(F.col(id_col) != F.col("neighbor_id"))
+        .select(F.col(id_col), "neighbor_id", cos.alias("_cos"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), "neighbor_id")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "neighbor_id", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
              query_id: str = "vec_id", corpus_id: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             broadcast_budget_rows: int = BROADCAST_BUDGET_ROWS) -> DataFrame:
     """Batch kNN join: for every query vector the k nearest corpus vectors by
     cosine, with a deterministic dense rank. The retrieval-workload shape of
     :func:`ann_topk_all`: the (index) corpus side is broadcast as one
@@ -251,7 +351,8 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     must be sharded or centroided first (``ivf_topk``); this is the exact
     kernel those variants reuse."""
     spark = queries.sparkSession
-    pdf = corpus.select(corpus_id, vec_col).toPandas()
+    pdf = _bounded_index_pdf(corpus, [corpus_id, vec_col],
+                             broadcast_budget_rows, "knn_join")
     c_ids = pdf[corpus_id].to_numpy()
     c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)

@@ -30,7 +30,11 @@ from akka_stream_contrib_spark.operators.timed import (
     timed_section,
 )
 from akka_stream_contrib_spark.operators.retry import retry, retry_concat
-from akka_stream_contrib_spark.operators.feedback import feedback_loop, unfold_flow
+from akka_stream_contrib_spark.operators.feedback import (
+    feedback_loop,
+    unfold_flow,
+    unfold_flow_with,
+)
 from akka_stream_contrib_spark.operators.asof import as_of_join
 from akka_stream_contrib_spark.operators.scd2 import scd2_intervals
 from akka_stream_contrib_spark.operators.zorder import zorder_key, zorder_write
@@ -63,7 +67,7 @@ __all__ = [
     "interval_based_rate_limiter", "windowed_fold",
     "token_throttle", "delay_flow", "keep_alive_concat",
     "timed_interval_between", "with_ingest_ts", "latency_columns",
-    "retry", "retry_concat", "feedback_loop", "unfold_flow",
+    "retry", "retry_concat", "feedback_loop", "unfold_flow", "unfold_flow_with",
     "as_of_join", "resample_ffill",
     "write_bucketed", "write_partitioned", "bucketed_join", "assert_no_shuffle_join",
     "salted_aggregate", "salted_join",

@@ -98,3 +98,26 @@ def unfold_flow(
             yield pd.DataFrame({"seed": rows_seed, "step": rows_step, "value": rows_val})
 
     return seeds.mapInPandas(_gen, schema=out_schema)
+
+
+def unfold_flow_with(
+    seeds: DataFrame,
+    flow: Callable[[object], object],
+    unfold_with: Callable[[object], "tuple[object, object] | None"],
+    seed_col: str = "seed",
+    out_schema: str = "seed bigint, step int, value bigint",
+    max_steps: int = 100_000,
+) -> DataFrame:
+    """Reference ``SourceGen.unfoldFlowWith`` (SourceGen.scala:70-95): unlike
+    ``unfoldFlow``'s fused ``S => Option[(S, E)]`` step, the flow ``S => O``
+    and the continue/stop decision ``unfoldWith: O => Option[(S, E)]`` are
+    SEPARATE functions — the flow computes, the decision function decides
+    whether its output re-enters the loop and what to emit. The composition
+    is exactly ``unfold_flow`` with ``step = unfold_with ∘ flow``, so it
+    inherits the same distributed per-seed execution."""
+
+    def step(state):
+        return unfold_with(flow(state))
+
+    return unfold_flow(seeds, step, seed_col=seed_col,
+                       out_schema=out_schema, max_steps=max_steps)

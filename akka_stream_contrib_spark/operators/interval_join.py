@@ -29,11 +29,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from akka_stream_contrib_spark.util import epoch_micros
+
 
 def _bucket(col: Column, width_s: int) -> Column:
-    # integer bucket id from epoch seconds; floor division (unix_timestamp
-    # is already a bigint, / then floor is engine-ambiguous for negatives)
-    return F.floor(F.unix_timestamp(col) / F.lit(width_s)).cast("bigint")
+    # integer bucket id from wall-clock epoch micros (NTZ-safe; unix_timestamp
+    # rejects/coerces TIMESTAMP_NTZ); floor division handles negatives
+    return F.floor(epoch_micros(col) / F.lit(width_s * 1_000_000)).cast("bigint")
 
 
 def interval_overlap_join(

@@ -20,7 +20,7 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from akka_stream_contrib_spark.util import normalize_cols
+from akka_stream_contrib_spark.util import epoch_micros, normalize_cols
 
 
 def timed_interval_between(
@@ -39,7 +39,7 @@ def timed_interval_between(
         w = base.orderBy(seq)
         return (
             df.filter(matching)
-            .withColumn(out, F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w))
+            .withColumn(out, epoch_micros(ts) - F.lag(epoch_micros(ts)).over(w))
         )
 
     return _apply

@@ -21,6 +21,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from akka_stream_contrib_spark.util import epoch_micros
+
 
 def rolling_zscore(key: str = "user_id", value: str = "value",
                    seq: str = "event_id", n: int = 10,
@@ -107,7 +109,7 @@ def sessionize(key: str = "user_id", ts: str = "ts", seq: str = "event_id",
         prev_ts = F.lag(ts).over(w)
         # microsecond integer epochs: second-truncating unix_timestamp would
         # misclassify sub-second gaps and diverge from any exact engine
-        gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(prev_ts)
+        gap_us = epoch_micros(F.col(ts)) - epoch_micros(prev_ts)
         new_sess = (prev_ts.isNull() |
                     (gap_us > gap_s * 1_000_000)).cast("bigint")
         rn = F.row_number().over(w)

@@ -29,11 +29,21 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
         # gate runs these loaders under ITS OWN SparkSession.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # truncate the nanos-as-long column to microsecond TimestampType. The
-    # DuckDB oracle side truncates identically with CAST(ts AS TIMESTAMP).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pyspark.sql import functions as F
+    # Normalize every datetime column to TIMESTAMP_NTZ — the canonical type
+    # for these fixtures. The driver's session reads the parquet TIMESTAMP
+    # logical type as NTZ already; the casts below only fire on the fallback
+    # paths (nanos-as-long bigint, or an LTZ read under a legacy conf) so the
+    # engine sees ONE dtype everywhere regardless of the hosting session.
+    # DuckDB reads the same files as naive TIMESTAMP, so NTZ wall-clock
+    # values compare 1:1 with the oracle with no session-timezone term.
+    for col, dtype in df.dtypes:
+        if name == "events" and col == "ts" and dtype == "bigint":
+            # nanos-as-long: truncate to microseconds (oracle CASTs identically)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+                               .cast("timestamp_ntz"))
+        elif dtype == "timestamp":
+            df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
     return df
 
 

@@ -70,6 +70,11 @@ HEADLINE = [
     "quantized_ann",
     "campaign_overlap",
     "heavy_hitter_tokens",
+    # round-2 additions: keyed throttle (no global sort), distributed IVF ANN
+    # (no driver collect), concat-retry loop
+    "token_throttle_keyed",
+    "ann_ivf_all",
+    "retry_concat_split",
 ]
 
 
@@ -113,24 +118,25 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
     total = round(sum(timings.values()), 3)
-    baseline = duckdb_baseline([n for n in HEADLINE if n in timings])
+    base_total, base_queries = duckdb_baseline([n for n in HEADLINE if n in timings])
     print(json.dumps({
         "metric": "headline_queries_total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "baseline_duckdb_total_sec": baseline,
+        "baseline_duckdb_total_sec": base_total,
+        "baseline_duckdb_queries": base_queries,
     }), flush=True)
     spark.stop()
 
 
-def duckdb_baseline(names: list[str]) -> float | None:
-    """Same-machine, same-data, same-semantics single-node baseline: total
-    wall time of the headline queries' oracle SQL on DuckDB (an excellent
-    single-node OLAP engine). The reference publishes no numbers
-    (BASELINE.md), so this is the honest comparable; Spark's edge is that
-    the SAME plans scale out to a cluster, while paying JVM/task fixed
+def duckdb_baseline(names: list[str]) -> tuple[float | None, dict[str, float] | None]:
+    """Same-machine, same-data, same-semantics single-node baseline: wall
+    time (total + per query) of the headline queries' oracle SQL on DuckDB
+    (an excellent single-node OLAP engine). The reference publishes no
+    numbers (BASELINE.md), so this is the honest comparable; Spark's edge is
+    that the SAME plans scale out to a cluster, while paying JVM/task fixed
     costs at sf-test sizes."""
     try:
         import duckdb
@@ -140,14 +146,16 @@ def duckdb_baseline(names: list[str]) -> float | None:
         for t in tables.TABLE_NAMES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{SF_DIR}/{t}.parquet')")
-        t0 = time.monotonic()
+        per: dict[str, float] = {}
         for name in names:
             sql = oracles.get(name)
             if sql is not None:
+                t0 = time.monotonic()
                 con.execute(sql).fetchall()
-        return round(time.monotonic() - t0, 3)
+                per[name] = round(time.monotonic() - t0, 3)
+        return round(sum(per.values()), 3), per
     except Exception:
-        return None
+        return None, None
 
 
 if __name__ == "__main__":

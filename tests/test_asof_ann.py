@@ -72,3 +72,36 @@ def test_ngram_jaccard_planted_duplicates(spark):
                                           max_doc_freq=10).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
     assert all(3 not in p for p in pairs)
+
+
+def test_ann_topk_all_ivf_matches_kernel_on_planted_twins(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.uniform(-1, 1, 32)
+        rows.append((2 * i, v.astype("float32").tolist()))
+        rows.append((2 * i + 1, (v + rng.uniform(-0.01, 0.01, 32)).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    from akka_stream_contrib_spark.functions.similarity import ann_topk_all_ivf
+    got = ann_topk_all_ivf(df, k=1, nlist=8, nprobe=3)
+    top1 = {r.vec_id: r.neighbor_id for r in got.collect()}
+    # a vector and its twin land in the same cell (they are ~identical),
+    # so the cell-join always offers the twin as a candidate
+    hits = sum(1 for a, b in top1.items() if b == (a ^ 1))
+    assert hits >= 70  # >= ~87% of 80 vectors
+    # determinism: fixed sample/init/iters → identical rerun
+    again = {r.vec_id: r.neighbor_id for r in got.collect()}
+    assert top1 == again
+
+
+def test_broadcast_budget_raises_instead_of_collecting(spark):
+    import pytest
+    from akka_stream_contrib_spark.functions.similarity import knn_join
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="broadcast_budget_rows"):
+        knn_join(df, df, k=2, broadcast_budget_rows=10).collect()
+    # within budget: works unchanged
+    out = knn_join(df, df, k=2, broadcast_budget_rows=1000)
+    assert out.count() == 100

@@ -171,3 +171,47 @@ def test_retry_reference_semantics(spark):
 
     out = {r.seq: (r.ok, r.value) for r in retry(inp, flow, retry_with).collect()}
     assert out == {1: (True, 2), 2: (True, 4), 3: (True, 4), 42: (False, None)}
+
+
+def test_unfold_flow_with_separate_decision_fn(spark):
+    """SourceGen.unfoldFlowWith (SourceGen.scala:70-95): flow computes,
+    unfoldWith decides. Doubling fixture: seed s emits s*2^j while <= 100."""
+    from pyspark.sql import functions as F
+    from akka_stream_contrib_spark.operators import unfold_flow_with
+
+    seeds = spark.range(1, 6).select(F.col("id").alias("seed"))
+    out = unfold_flow_with(
+        seeds,
+        flow=lambda s: s * 2,
+        unfold_with=lambda o: None if o > 100 else (o, o),
+        max_steps=50,
+    ).collect()
+    got = sorted((r.seed, r.step, r.value) for r in out)
+    expect = sorted(
+        (s, j - 1, s * (2 ** j))
+        for s in range(1, 6) for j in range(1, 8) if s * (2 ** j) <= 100)
+    assert got == expect
+
+
+def test_retry_concat_splits_failures_into_multiple_retries(spark):
+    """Retry.concat (Retry.scala:84-95): one failure re-injects several
+    elements. Halving fixture: leaves of the halving tree, attempts = depth."""
+    from pyspark.sql import functions as F
+    from akka_stream_contrib_spark.operators import retry_concat
+
+    df = spark.createDataFrame([(1, 7), (2, 25)], "id int, v bigint")
+
+    def flow(d):
+        return (d.withColumn("ok", F.col("v") <= 10)
+                 .withColumn("value", F.when(F.col("v") <= 10, F.col("v"))))
+
+    def retry_with(failed):
+        half = F.floor(F.col("v") / F.lit(2)).cast("bigint")
+        return failed.withColumn(
+            "v", F.explode(F.array(half, (F.col("v") - half).cast("bigint")))
+        ).select("id", "v", "attempts")
+
+    out = retry_concat(df, flow, retry_with, max_rounds=8)
+    got = sorted((r.id, r.value, r.attempts) for r in out.collect())
+    # 7 succeeds directly; 25 -> (12, 13) -> (6, 6) and (6, 7)
+    assert got == [(1, 7, 1), (2, 6, 3), (2, 6, 3), (2, 6, 3), (2, 7, 3)]
