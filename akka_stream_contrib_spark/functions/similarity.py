@@ -309,26 +309,50 @@ def ann_topk_all_ivf(df: DataFrame, k: int = 3, nlist: int = 16,
             })
 
     id_type = df.schema[id_col].dataType.simpleString()
+    # lazy localCheckpoint: the frame feeds both cogroup sides — materialize
+    # the Arrow assignment pass once, not once per side
     assigned = df.select(id_col, vec_col).mapInPandas(
         _assign,
         schema=(f"{id_col} {id_type}, nvec array<double>, "
-                "cell int, probes array<int>"))
+                "cell int, probes array<int>")).localCheckpoint(eager=False)
 
-    corpus = assigned.select(F.col(id_col).alias("neighbor_id"),
-                             F.col("nvec").alias("_cv"), "cell")
     queries_side = assigned.select(
-        F.col(id_col), F.col("nvec").alias("_qv"),
-        F.explode("probes").alias("cell"))
-    cos = _dot(F.col("_qv"), F.col("_cv"))
-    pairs = (
-        queries_side.join(corpus, "cell")
-        .filter(F.col(id_col) != F.col("neighbor_id"))
-        .select(F.col(id_col), "neighbor_id", cos.alias("_cos"))
+        F.col(id_col), "nvec", F.explode("probes").alias("cell"))
+    corpus_side = assigned.select(F.col(id_col).alias("neighbor_id"),
+                                  F.col("nvec").alias("cvec"), "cell")
+
+    def _per_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        # one GEMM per cell: queries probing the cell × the cell's residents.
+        # Emitting only the per-cell top-k keeps the shuffle output at
+        # k rows per (query, probed cell) instead of the full candidate set.
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({id_col: [], "neighbor_id": [], "_cos": []})
+        qm = np.stack(qpdf["nvec"].to_numpy())
+        cm = np.stack(cpdf["cvec"].to_numpy())
+        qids = qpdf[id_col].to_numpy()
+        cids = cpdf["neighbor_id"].to_numpy()
+        sims = qm @ cm.T                                   # (Q, C)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])                     # +1 absorbs self
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for i in range(sims.shape[0]):
+            for j in idx[i]:
+                if cids[j] != qids[i]:
+                    out_q.append(qids[i]); out_n.append(cids[j])
+                    out_s.append(sims[i, j])
+        return pd.DataFrame({id_col: out_q, "neighbor_id": out_n, "_cos": out_s})
+
+    candidates = (
+        queries_side.groupBy("cell")
+        .cogroup(corpus_side.groupBy("cell"))
+        .applyInPandas(_per_cell,
+                       schema=(f"{id_col} {id_type}, neighbor_id {id_type}, "
+                               "_cos double"))
     )
     from pyspark.sql import Window
     w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), "neighbor_id")
     return (
-        pairs.withColumn("_rn", F.row_number().over(w))
+        candidates.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(id_col, "neighbor_id", F.round("_cos", 6).alias("cos_sim"))
     )

@@ -88,15 +88,17 @@ def retry_concat(
     df: DataFrame,
     flow: FlowFn,
     retry_with: RetryWithFn,
-    retries_limit: int = 1_000_000,
-    buffer_limit: int = 1_000_000,
+    retries_limit: int | None = None,
+    buffer_limit: int | None = None,
     max_rounds: int = 64,
 ) -> DataFrame:
     """``Retry.concat`` (Retry.scala:84-95): ``retry_with`` may emit *several*
     retry rows per failure (split a heavy element). ``retries_limit`` caps the
     cumulative number of re-injected rows and ``buffer_limit`` caps the emitted
     output size; exceeding either raises (the reference fails the stage,
-    Retry.scala:234-239, 263-271)."""
+    Retry.scala:234-239, 263-271). With both limits None (default) the loop
+    runs ONE counting action per round — the termination check on the retry
+    set; the emitted side is never counted."""
     emitted: list[DataFrame] = []
     emitted_rows = 0
     retried_rows = 0
@@ -107,9 +109,10 @@ def retry_concat(
         succeeded = applied.filter(F.col("ok"))
         failed = applied.filter(~F.col("ok"))
         emitted.append(succeeded)
-        emitted_rows += succeeded.count()
-        if emitted_rows > buffer_limit:
-            raise RuntimeError(f"retry_concat: buffer_limit={buffer_limit} exceeded")
+        if buffer_limit is not None:
+            emitted_rows += succeeded.count()
+            if emitted_rows > buffer_limit:
+                raise RuntimeError(f"retry_concat: buffer_limit={buffer_limit} exceeded")
         retried = retry_with(failed)
         if "give_up" in retried.columns:
             emitted.append(_give_up_as_failures(retried.filter(F.col("give_up"))))
@@ -118,7 +121,7 @@ def retry_concat(
         if n == 0:
             break
         retried_rows += n
-        if retried_rows > retries_limit:
+        if retries_limit is not None and retried_rows > retries_limit:
             raise RuntimeError(f"retry_concat: retries_limit={retries_limit} exceeded")
         pending = retried
     else:
