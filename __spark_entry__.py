@@ -603,6 +603,35 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(tables.load(spark, "documents", sf_dir), threshold=0.5)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-selection dedup: per exact-content cluster keep the BEST
+    copy (here: longest, tie on lowest id) with its duplicate count — the
+    post-detection step of a real dedup pipeline."""
+    from akka_stream_contrib_spark.functions import dedup_keep_best
+    docs = tables.load(spark, "documents", sf_dir)
+    return (docs.transform(dedup_keep_best(F.col("n_chars"), id_col="doc_id"))
+            .select("doc_id", "dup_count"))
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (anti-domination guard): keep a deterministic
+    hash-ordered sample of at most 25 docs per source."""
+    from akka_stream_contrib_spark.functions import domain_cap
+    docs = tables.load(spark, "documents", sf_dir)
+    return (docs.transform(domain_cap(25, domain_col="source"))
+            .select("doc_id", "source", "dom_rank"))
+
+
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-segment removal (CCNet-style boilerplate cleanup): drop
+    segments present in > 90% of documents, reassemble in order. (The
+    synthetic corpus vocabulary is bimodal — shared filler vs rare tokens —
+    so 0.9 strips exactly the filler while every document survives.)"""
+    from akka_stream_contrib_spark.functions import remove_boilerplate
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(remove_boilerplate(max_doc_frac=0.9, delim=" "))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from akka_stream_contrib_spark.functions import simhash
     return tables.load(spark, "documents", sf_dir).transform(simhash())
@@ -2059,6 +2088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unfold_flow_with": q_unfold_flow_with,
         "token_throttle_keyed": q_token_throttle_keyed,
         "ann_ivf_all": q_ann_ivf_all,
+        "dedup_keep_best": q_dedup_keep_best,
+        "domain_cap": q_domain_cap,
+        "remove_boilerplate": q_remove_boilerplate,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -2907,6 +2939,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_keep_best": """
+            WITH ranked AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY n_chars DESC, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY md5(text)) AS dup_count
+                FROM documents
+            )
+            SELECT doc_id, dup_count FROM ranked WHERE rn = 1
+        """,
+        "domain_cap": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                                    doc_id) AS INT) AS dom_rank
+                FROM documents
+            )
+            SELECT doc_id, source, dom_rank FROM ranked WHERE dom_rank <= 25
+        """,
+        "remove_boilerplate": """
+            WITH toks AS (
+                SELECT doc_id, unnest(l) AS seg,
+                       unnest(range(1, len(l) + 1)) AS pos
+                FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+            ), df AS (
+                SELECT seg, count(DISTINCT doc_id) AS n
+                FROM toks GROUP BY seg
+            ), boiler AS (
+                SELECT seg FROM df
+                WHERE n > (SELECT count(*) FROM documents) * 0.9
+            ), kept AS (
+                SELECT t.doc_id, t.seg, t.pos FROM toks t
+                WHERE t.seg NOT IN (SELECT seg FROM boiler)
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_total FROM toks GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   string_agg(k.seg, ' ' ORDER BY k.pos) AS clean_text,
+                   count(*) AS n_kept,
+                   any_value(t.n_total) - count(*) AS n_removed
+            FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+            GROUP BY k.doc_id
         """,
         "ngram_jaccard_dedup": """
             WITH g AS (

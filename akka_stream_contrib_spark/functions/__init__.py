@@ -16,6 +16,7 @@ from akka_stream_contrib_spark.functions.text import (
 )
 from akka_stream_contrib_spark.functions.dedup import (
     dedup_exact,
+    dedup_keep_best,
     shingles,
     minhash_signatures,
     lsh_candidate_pairs,
@@ -32,6 +33,8 @@ from akka_stream_contrib_spark.functions.corpus import (
     decontaminate,
     train_test_split,
     mixture_sample,
+    domain_cap,
+    remove_boilerplate,
 )
 from akka_stream_contrib_spark.functions.retrieval import (
     bm25_topk,
@@ -60,13 +63,14 @@ from akka_stream_contrib_spark.functions.similarity import (
 __all__ = [
     "tokens", "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
     "token_id", "redact_pii", "repetition_stats", "token_entropy",
-    "dedup_exact", "shingles", "minhash_signatures", "lsh_candidate_pairs",
+    "dedup_exact", "dedup_keep_best", "shingles", "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "dup_clusters",
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_topk_all_ivf",
     "ann_lsh_topk", "ivf_topk",
     "knn_join", "quantize_embeddings", "quantized_cosine_topk",
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
+    "domain_cap", "remove_boilerplate",
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",
     "pagerank", "expect", "winsorize", "hll_sketch_rollup", "hll_merge",
     "mg_heavy_hitters",

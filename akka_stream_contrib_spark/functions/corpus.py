@@ -131,6 +131,81 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, k: int = 3,
     )
 
 
+def domain_cap(n_per_domain: int, domain_col: str = "source",
+               id_col: str = "doc_id") -> Callable[[DataFrame], DataFrame]:
+    """Cap each domain at ``n_per_domain`` documents — the standard guard
+    against a single crawled site dominating a training mixture. Selection is
+    by portable hash of the id (then id) so the kept subset is a stable,
+    deterministic pseudo-random sample per domain, unchanged across reruns
+    and engines. Adds a 1-based ``dom_rank`` to the survivors.
+
+    Scale shape: ONE hash shuffle on the domain key; the per-domain window
+    orders only that domain's rows. A mega-domain is the usual skew case —
+    if one domain outweighs an executor, pre-filter with a cheap
+    approx_count threshold or salt the heavy key before the exact cap.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        from akka_stream_contrib_spark.functions.text import token_id
+        pri = token_id(F.col(id_col).cast("string"))
+        w = Window.partitionBy(domain_col).orderBy(pri, id_col)
+        return (df.withColumn("dom_rank", F.row_number().over(w))
+                .filter(F.col("dom_rank") <= n_per_domain))
+
+    return _apply
+
+
+def remove_boilerplate(max_doc_frac: float = 0.3, delim: str = " ",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       ) -> Callable[[DataFrame], DataFrame]:
+    """Frequent-segment (boilerplate) removal, the CCNet-style cleanup: split
+    every document into segments on ``delim`` (lines for real web text; the
+    fixtures' space-delimited tokens degenerate to high-DF token removal),
+    drop the segments whose document frequency exceeds ``max_doc_frac`` of
+    the corpus, and re-assemble each document preserving segment order.
+    Emits (doc_id, clean_text, n_kept, n_removed) for documents with at
+    least one surviving segment.
+
+    Scale shape: DF counting is a partial-aggregated count over distinct
+    (doc, segment); the boilerplate set is tiny by construction (a segment
+    needs > frac·N docs, so there are at most segments-per-doc / frac of
+    them) and is BROADCAST back over the corpus — the corpus itself
+    shuffles once, on doc_id, for re-assembly.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        segs = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "seg"))
+        n_docs = df.select(
+            F.count(F.lit(1)).alias("_n_docs"))
+        boiler = (
+            segs.select("doc_id", "seg").distinct()
+            .groupBy("seg").agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("_df") > F.col("_n_docs") * F.lit(max_doc_frac))
+            .select("seg")
+        )
+        kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+        ordered = F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+            lambda s: s["seg"])
+        totals = segs.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("_n_total"))
+        return (
+            kept.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_kept"), ordered.alias("_segs"))
+            .join(totals, "doc_id")
+            .select("doc_id",
+                    F.array_join("_segs", delim).alias("clean_text"),
+                    "n_kept",
+                    (F.col("_n_total") - F.col("n_kept")).alias("n_removed"))
+        )
+
+    return _apply
+
+
 def train_test_split(buckets: tuple[int, int] = (80, 90),
                      id_col: str = "doc_id",
                      ) -> Callable[[DataFrame], DataFrame]:

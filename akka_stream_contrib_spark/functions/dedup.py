@@ -60,6 +60,36 @@ def dedup_exact(id_col: str = "doc_id", text_col: str = "text") -> Callable[[Dat
     return _apply
 
 
+def dedup_keep_best(score, id_col: str = "doc_id", text_col: str = "text",
+                    ) -> Callable[[DataFrame], DataFrame]:
+    """Exact dedup that keeps the BEST copy per content cluster, not just the
+    minimum id: rank the members of each md5(text) cluster by ``score``
+    (a Column — e.g. a quality score) descending with id ascending tie-break,
+    and keep rank 1 with its ``dup_count``. This is the canonical-selection
+    step a training pipeline runs right after duplicate detection: among N
+    crawls of the same page, keep the highest-quality capture.
+
+    Scale shape: identical to :func:`dedup_exact` — one hash shuffle on the
+    uniform 128-bit content hash; the per-cluster window sorts only cluster
+    members (duplicates), never the corpus.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        h = F.md5(F.col(text_col))
+        w = Window.partitionBy(h).orderBy(F.desc("_score"), id_col)
+        wc = Window.partitionBy(h)
+        return (
+            df.withColumn("_score", score)
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("dup_count", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_rn") == 1)
+            .drop("_score", "_rn")
+        )
+
+    return _apply
+
+
 def shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Distinct k-word shingles per document: (doc_id, shingle).

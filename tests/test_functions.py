@@ -448,3 +448,41 @@ def test_mg_heavy_hitters_matches_exact_topk_on_corpus(spark):
              toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
              .orderBy(F.desc("cnt"), "token").limit(10).collect()]
     assert got == exact
+
+
+def test_dedup_keep_best_keeps_highest_score(spark):
+    from akka_stream_contrib_spark.functions import dedup_keep_best
+    rows = [(1, "same text", 10), (2, "same text", 50), (3, "same text", 50),
+            (4, "other", 7)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, quality int")
+    out = {r.doc_id: r.dup_count
+           for r in df.transform(dedup_keep_best(F.col("quality"))).collect()}
+    # cluster {1,2,3}: quality 50 tie -> lowest id 2 wins; singleton 4 stays
+    assert out == {2: 3, 4: 1}
+
+
+def test_domain_cap_deterministic_and_bounded(spark):
+    from akka_stream_contrib_spark.functions import domain_cap
+    rows = [(i, "a" if i < 40 else "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = df.transform(domain_cap(5, domain_col="source")).collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r.doc_id)
+    assert len(by_dom["a"]) == 5 and len(by_dom["b"]) == 5
+    again = df.transform(domain_cap(5, domain_col="source")).collect()
+    assert sorted((r.source, r.doc_id) for r in out) == \
+           sorted((r.source, r.doc_id) for r in again)
+
+
+def test_remove_boilerplate_strips_frequent_segments_in_order(spark):
+    from akka_stream_contrib_spark.functions import remove_boilerplate
+    rows = [(1, "cookie banner hello world"), (2, "cookie banner foo"),
+            (3, "cookie banner bar baz"), (4, "cookie banner qux")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+           for r in df.transform(remove_boilerplate(max_doc_frac=0.5)).collect()}
+    # "cookie"/"banner" appear in 4/4 docs (> 50%) -> stripped everywhere,
+    # remaining tokens keep their original order
+    assert out == {1: ("hello world", 2, 2), 2: ("foo", 1, 2),
+                   3: ("bar baz", 2, 2), 4: ("qux", 1, 2)}
