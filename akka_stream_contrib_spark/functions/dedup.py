@@ -76,15 +76,18 @@ def dedup_keep_best(score, id_col: str = "doc_id", text_col: str = "text",
 
     def _apply(df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
-        h = F.md5(F.col(text_col))
-        w = Window.partitionBy(h).orderBy(F.desc("_score"), id_col)
-        wc = Window.partitionBy(h)
+        # materialize the hash as ONE attribute: both window specs then share
+        # partitioning + sort and collapse into a single WindowExec over a
+        # single exchange (hashing inline in each spec planned two)
+        d = (df.withColumn("_score", score)
+             .withColumn("_h", F.md5(F.col(text_col))))
+        w = Window.partitionBy("_h").orderBy(F.desc("_score"), id_col)
+        wc = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         return (
-            df.withColumn("_score", score)
-            .withColumn("_rn", F.row_number().over(w))
+            d.withColumn("_rn", F.row_number().over(w))
             .withColumn("dup_count", F.count(F.lit(1)).over(wc))
             .filter(F.col("_rn") == 1)
-            .drop("_score", "_rn")
+            .drop("_score", "_rn", "_h")
         )
 
     return _apply

@@ -149,6 +149,9 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     q /= np.linalg.norm(q)
 
     cents = _train_centroids(df, nlist, iters, id_col, vec_col)
+    if cents is None:  # empty corpus: no cells, no hits
+        return (df.select(F.col(id_col))
+                .withColumn("cos_sim", F.lit(0.0)).limit(0))
     probed = set(np.argsort(-(cents @ q))[:nprobe].tolist())
     b_cents = spark.sparkContext.broadcast(cents)
     b_q = spark.sparkContext.broadcast(q)
@@ -259,6 +262,8 @@ def _train_centroids(df: DataFrame, nlist: int, iters: int,
     in the IVF family, and its size is capped independent of corpus size."""
     sample = (df.select(id_col, vec_col).orderBy(id_col)
               .limit(max(nlist * 64, 1024)).toPandas())
+    if len(sample) == 0:
+        return None
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     cents = X[:nlist].copy()
@@ -290,6 +295,10 @@ def ann_topk_all_ivf(df: DataFrame, k: int = 3, nlist: int = 16,
     """
     spark = df.sparkSession
     cents = _train_centroids(df, nlist, iters, id_col, vec_col)
+    if cents is None:  # empty corpus: empty result in the output schema
+        return (df.select(F.col(id_col),
+                          F.col(id_col).alias("neighbor_id"))
+                .withColumn("cos_sim", F.lit(0.0)).limit(0))
     b_cents = spark.sparkContext.broadcast(cents)
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,111 @@
+"""Distributed global-order primitives: rank, running sum, and lag over a
+TOTAL order without ever sorting into a single partition.
+
+The reference's operators are single-stream by construction (one GraphStage,
+one actor — e.g. ``Accumulate.scala:60-69``, ``TokenThrottle.scala:42-143``),
+so "global order" is free there. On Spark a naive
+``Window.partitionBy().orderBy(seq)`` moves ALL rows to one partition — the
+classic scale-killer. Every primitive here uses the two-phase range form
+instead:
+
+1. ``repartitionByRange(order)`` — parallel range shuffle, ranges are
+   disjoint and ordered by construction;
+2. ONE tiny per-partition summary (count / sum / last value) collected to the
+   driver — K rows for K partitions, independent of data size;
+3. the global result = local window inside each range + the broadcast
+   exclusive prefix of the summaries.
+
+Every per-row value is independent of WHERE the range boundaries land, so the
+result is deterministic even though ``repartitionByRange`` samples boundaries.
+Running doubles are summed per-range then offset — exact for integer/decimal
+costs; for raw doubles the grouping differs from strict sequential order (use
+decimal inputs where cross-engine bit-equality matters, per the repo's money
+conventions).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from akka_stream_contrib_spark.util import normalize_cols
+
+
+def _ranged(df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
+    """Range-partition on the order columns, tag the partition id, and pin
+    the placement (localCheckpoint) so the summary pass and the main pass
+    see the SAME partitioning."""
+    ranged = (df.repartitionByRange(*[F.col(c) for c in order_cols])
+              .withColumn("_pid", F.spark_partition_id()))
+    return ranged.localCheckpoint(eager=True)
+
+
+def _offset_expr(per_pid: dict[int, object], zero) -> Column:
+    """Broadcast map pid -> exclusive prefix of per-partition summaries."""
+    offsets, acc = {}, zero
+    for pid in sorted(per_pid):
+        offsets[pid] = acc
+        acc += per_pid[pid]
+    if not offsets:
+        # argless map() types as map<void,void> and can't be indexed
+        return F.lit(zero)
+    m = F.create_map(*[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
+    return m[F.col("_pid")]
+
+
+def global_rank(df: DataFrame, order_cols: str | Sequence[str],
+                out: str = "rnk") -> DataFrame:
+    """1-based global position of each row under ``order_cols`` order."""
+    order_cols = normalize_cols(order_cols)
+    ranged = _ranged(df, order_cols)
+    counts = {r._pid: r.cnt for r in
+              ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (ranged.withColumn(out, F.row_number().over(w) + _offset_expr(counts, 0))
+            .drop("_pid"))
+
+
+def global_running_sum(df: DataFrame, order_cols: str | Sequence[str],
+                       value_col: str, out: str) -> DataFrame:
+    """Inclusive global prefix sum of ``value_col`` under the total order."""
+    order_cols = normalize_cols(order_cols)
+    ranged = _ranged(df, order_cols)
+    sums = {r._pid: (r.s if r.s is not None else 0) for r in
+            ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()}
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ranged
+            .withColumn(out, F.sum(value_col).over(w) + _offset_expr(sums, 0))
+            .drop("_pid"))
+
+
+def global_lag(df: DataFrame, order_cols: str | Sequence[str],
+               value: Column, out: str) -> DataFrame:
+    """``lag(value, 1)`` under the total order: local lag inside each range;
+    each range's FIRST row takes the LAST value of the previous non-empty
+    range from the broadcast per-partition summary (NULL for the global
+    first row, matching ``F.lag``).
+
+    Assumes ``value`` itself is non-null (the boundary substitution cannot
+    distinguish "first row of range" from "previous value was NULL").
+    """
+    order_cols = normalize_cols(order_cols)
+    ranged = _ranged(df, order_cols).withColumn("_v", value)
+    last_rows = (ranged.groupBy("_pid")
+                 .agg(*[F.max_by("_v", F.struct(*order_cols)).alias("last_v")])
+                 .collect())
+    lasts = {r._pid: r.last_v for r in last_rows}
+    prev_last, carry = {}, None
+    for pid in sorted(lasts):
+        prev_last[pid] = carry
+        carry = lasts[pid] if lasts[pid] is not None else carry
+    pairs = [x for pid in prev_last if prev_last[pid] is not None
+             for x in (pid, prev_last[pid])]
+    boundary = (F.create_map(*[F.lit(x) for x in pairs])[F.col("_pid")]
+                if pairs else F.lit(None))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (ranged
+            .withColumn(out, F.coalesce(F.lag("_v").over(w), boundary))
+            .drop("_pid", "_v"))

@@ -57,34 +57,8 @@ def merge_by_index(
         out = out.withColumn("_dup_index", F.count(F.lit(1)).over(w) > 1)
 
     if rank_col:
-        out = _parallel_global_rank(out, index, rank_col)
+        # distributed two-phase rank (operators/global_order.py) — the
+        # parallel form of the reference's k-way priority-queue merge
+        from akka_stream_contrib_spark.operators.global_order import global_rank
+        out = global_rank(out, index, rank_col)
     return out
-
-
-def _parallel_global_rank(df: DataFrame, index: str, rank_col: str) -> DataFrame:
-    """Materialize the global 1-based position of each row under ``index``
-    order WITHOUT a single-partition sort: range-partition on the index,
-    row_number within each range, then add each range's broadcast start
-    offset. This is the distributed two-phase form of the reference's k-way
-    priority-queue merge — every phase is parallel; the only driver-side
-    data is one row count per range partition."""
-    ranged = (df.repartitionByRange(F.col(index))
-              .withColumn("_pid", F.spark_partition_id()))
-    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning for both passes
-    counts = {r._pid: r.cnt for r in
-              ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    if offsets:
-        offset_map = F.create_map(
-            *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])])
-        offset_expr = offset_map[F.col("_pid")]
-    else:  # no rows at all: an argless map() types as map<void,void> and
-        offset_expr = F.lit(0)  # can't be indexed by the int partition id
-    wp = Window.partitionBy("_pid").orderBy(index)
-    return (ranged
-            .withColumn(rank_col,
-                        F.row_number().over(wp) + offset_expr)
-            .drop("_pid"))

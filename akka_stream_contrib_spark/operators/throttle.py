@@ -53,14 +53,22 @@ def token_throttle(
             if total_tokens is not None
             else (tokens_df.agg(F.sum(token_amount)).collect()[0][0] or 0)
         )
-        base = Window.partitionBy(*normalize_cols(partition_by)) if partition_by else Window.partitionBy()
-        w = base.orderBy(seq).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         out = df.withColumn("_cost", cost)
         out = out.withColumn(
             "_cost",
             F.when(F.col("_cost") < 0, F.raise_error(F.lit("negative cost"))).otherwise(F.col("_cost")),
         )
-        out = out.withColumn(cum_col, F.sum("_cost").over(w))
+        if partition_by:
+            w = (Window.partitionBy(*normalize_cols(partition_by)).orderBy(seq)
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            out = out.withColumn(cum_col, F.sum("_cost").over(w))
+        else:
+            # unkeyed = TRUE global order: two-phase range prefix sum — never
+            # a single-partition Window.orderBy (the 100 TB scale shape)
+            from akka_stream_contrib_spark.operators.global_order import (
+                global_running_sum,
+            )
+            out = global_running_sum(out, seq, "_cost", cum_col)
         out = out.filter(F.col(cum_col) <= F.lit(budget))
         if "cost" in df.columns:
             # the computed per-element cost REPLACES an input column of the

@@ -35,12 +35,18 @@ def timed_interval_between(
     only reports from the second match on, Timed.scala:180-189)."""
 
     def _apply(df: DataFrame) -> DataFrame:
-        base = Window.partitionBy(*normalize_cols(partition_by)) if partition_by else Window.partitionBy()
-        w = base.orderBy(seq)
-        return (
-            df.filter(matching)
-            .withColumn(out, epoch_micros(ts) - F.lag(epoch_micros(ts)).over(w))
-        )
+        matched = df.filter(matching)
+        if partition_by:
+            w = Window.partitionBy(*normalize_cols(partition_by)).orderBy(seq)
+            return matched.withColumn(
+                out, epoch_micros(ts) - F.lag(epoch_micros(ts)).over(w))
+        # unkeyed = TRUE global order: two-phase range lag — never a
+        # single-partition Window.orderBy (the 100 TB scale shape)
+        from akka_stream_contrib_spark.operators.global_order import global_lag
+        lagged = global_lag(matched, seq, epoch_micros(ts), "_prev_us")
+        return (lagged
+                .withColumn(out, epoch_micros(ts) - F.col("_prev_us"))
+                .drop("_prev_us"))
 
     return _apply
 

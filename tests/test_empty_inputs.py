@@ -35,6 +35,7 @@ NONEMPTY_OK = {
     "q6_forecast_revenue", "q14_promo_revenue",  # global aggs
     "q17_small_qty_revenue", "q19_disjunctive_revenue",
     "unfold_collatz", "feedback_fibonacci",      # literal-seeded generators
+    "unfold_flow_with",                          # literal-seeded generator
     "data_quality_report",  # a zero-violation report row per check is correct
 }
 

@@ -413,3 +413,48 @@ def test_interval_overlap_join_match_once_and_equi_keys(spark):
         equi_keys=["k"],
     ).select("lid", "rid").collect()
     assert [(r.lid, r.rid) for r in rows] == [("a", "x")]
+
+
+def test_global_order_primitives_match_single_partition_window(spark):
+    """global_rank / global_running_sum / global_lag must equal the naive
+    Window.orderBy() results while never materializing a single partition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from akka_stream_contrib_spark.operators import (
+        global_lag, global_rank, global_running_sum)
+
+    df = spark.range(0, 5000, 1, 16).select(
+        F.col("id").alias("seq"),
+        (F.pmod(F.col("id") * 7919, F.lit(100)) + 1).alias("v"))
+    w = Window.orderBy("seq")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expect = {r.seq: (r.rnk, r.cum, r.prev) for r in df.select(
+        "seq", F.row_number().over(w).alias("rnk"),
+        F.sum("v").over(wc).alias("cum"),
+        F.lag("v").over(w).alias("prev")).collect()}
+
+    got_rank = {r.seq: r.rnk for r in global_rank(df, "seq", "rnk").collect()}
+    got_cum = {r.seq: r.cum for r in
+               global_running_sum(df, "seq", "v", "cum").collect()}
+    got_lag = {r.seq: r.prev for r in
+               global_lag(df, "seq", F.col("v"), "prev").collect()}
+    for s, (rnk, cum, prev) in expect.items():
+        assert got_rank[s] == rnk
+        assert got_cum[s] == cum
+        assert got_lag[s] == prev
+
+
+def test_unkeyed_token_throttle_plan_has_no_global_window(spark):
+    """The unkeyed throttle must not contain a partition-less Window sort."""
+    from pyspark.sql import functions as F
+    from akka_stream_contrib_spark.operators import token_throttle
+
+    df = spark.range(100).select(F.col("id").alias("seq"),
+                                 F.lit(1).alias("one"))
+    out = df.transform(token_throttle(F.col("one"), total_tokens=50, seq="seq"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only Window in the plan partitions on the range partition id
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, f"global-order window found: {line}"
+    assert out.count() == 50

@@ -89,6 +89,20 @@ BUDGET = {
     "campaign_overlap": 2,
     # candidate distinct + exact recount of candidate rows only
     "heavy_hitter_tokens": 2,
+    # driver-loop/generator queries: per-round plans, final union shuffle-free
+    "retry_concat_split": 0,
+    "unfold_flow_with": 0,
+    # keyed cumulative window: one hash exchange on user_id
+    "token_throttle_keyed": 1,
+    # cogroup shuffles each side on cell id + per-query top-k window
+    "ann_ivf_all": 3,
+    # one content-hash exchange; rank + count share a single window pass
+    "dedup_keep_best": 1,
+    # one domain exchange
+    "domain_cap": 1,
+    # distinct (doc,seg) + seg DF agg + kept reassembly + totals + join
+    # (boilerplate set broadcasts)
+    "remove_boilerplate": 5,
 }
 
 
