@@ -622,6 +622,27 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "dom_rank"))
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline as ONE lazy plan — the composition
+    story: boilerplate strip → exact dedup keeping the copy with the most
+    surviving content → minimum-content quality gate → context-window
+    chunking (16 tokens, overlap 2). Four curation stages, each individually
+    oracle-gated elsewhere, composed here and replayed as one DuckDB CTE
+    chain. Catalyst sees the WHOLE pipeline, so column pruning and stage
+    fusion cross operator boundaries — the advantage of operators that are
+    DataFrame->DataFrame transforms rather than materialization barriers."""
+    from akka_stream_contrib_spark.functions import (
+        chunk_documents, dedup_keep_best, remove_boilerplate)
+    docs = tables.load(spark, "documents", sf_dir)
+    clean = docs.transform(remove_boilerplate(max_doc_frac=0.9, delim=" "))
+    best = clean.transform(dedup_keep_best(
+        F.col("n_kept"), id_col="doc_id", text_col="clean_text"))
+    kept = best.filter(F.col("n_kept") >= 3)
+    return (kept.select("doc_id", F.col("clean_text").alias("text"))
+            .transform(chunk_documents(chunk_size=16, overlap=2))
+            .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"))
+
+
 def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-segment removal (CCNet-style boilerplate cleanup): drop
     segments present in > 90% of documents, reassemble in order. (The
@@ -2091,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "domain_cap": q_domain_cap,
         "remove_boilerplate": q_remove_boilerplate,
+        "training_pipeline": q_training_pipeline,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -2960,6 +2982,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source, dom_rank FROM ranked WHERE dom_rank <= 25
+        """,
+        "training_pipeline": """
+            WITH toks AS (
+                SELECT doc_id, unnest(l) AS seg,
+                       unnest(range(1, len(l) + 1)) AS pos
+                FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+            ), boiler AS (
+                SELECT seg FROM (
+                    SELECT seg, count(DISTINCT doc_id) AS n FROM toks GROUP BY seg
+                ) WHERE n > (SELECT count(*) FROM documents) * 0.9
+            ), cleaned AS (
+                SELECT k.doc_id,
+                       string_agg(k.seg, ' ' ORDER BY k.pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM (SELECT * FROM toks
+                      WHERE seg NOT IN (SELECT seg FROM boiler)) k
+                GROUP BY k.doc_id
+            ), best AS (
+                SELECT doc_id, clean_text, n_kept,
+                       row_number() OVER (PARTITION BY md5(clean_text)
+                                          ORDER BY n_kept DESC, doc_id) AS rn
+                FROM cleaned
+            ), kept AS (
+                SELECT doc_id, clean_text AS text FROM best
+                WHERE rn = 1 AND n_kept >= 3
+            ), t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM kept
+            ), c AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(
+                           CAST(ceil((len(toks) - 2) / 14.0) AS BIGINT), 1)))
+                           AS chunk_id
+                FROM t
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(toks[chunk_id*14+1 : chunk_id*14+16], ' ')
+                       AS chunk_text,
+                   CAST(len(toks[chunk_id*14+1 : chunk_id*14+16]) AS BIGINT)
+                       AS n_chunk_tokens
+            FROM c
         """,
         "remove_boilerplate": """
             WITH toks AS (

@@ -71,10 +71,14 @@ HEADLINE = [
     "campaign_overlap",
     "heavy_hitter_tokens",
     # round-2 additions: keyed throttle (no global sort), distributed IVF ANN
-    # (no driver collect), concat-retry loop
+    # (no driver collect), concat-retry loop, corpus curation trio
     "token_throttle_keyed",
     "ann_ivf_all",
     "retry_concat_split",
+    "dedup_keep_best",
+    "domain_cap",
+    "remove_boilerplate",
+    "training_pipeline",
 ]
 
 

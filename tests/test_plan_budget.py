@@ -103,6 +103,8 @@ BUDGET = {
     # distinct (doc,seg) + seg DF agg + kept reassembly + totals + join
     # (boilerplate set broadcasts)
     "remove_boilerplate": 5,
+    # boilerplate stages (5) + one content-hash window; chunking is map-side
+    "training_pipeline": 6,
 }
 
 
