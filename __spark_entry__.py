@@ -622,6 +622,19 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "dom_rank"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup fixture: docs with id < 250 are the historical
+    index (hashes only), docs with id >= 250 are the new batch; survivors
+    are first-seen content."""
+    from akka_stream_contrib_spark.functions import dedup_incremental
+    docs = tables.load(spark, "documents", sf_dir)
+    seen = (docs.filter(F.col("doc_id") < 250)
+            .select(F.md5(F.col("text")).alias("text_hash")).distinct())
+    new = docs.filter(F.col("doc_id") >= 250)
+    return (dedup_incremental(new, seen)
+            .select("doc_id", "text_hash"))
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline as ONE lazy plan — the composition
     story: boilerplate strip → exact dedup keeping the copy with the most
@@ -2113,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "remove_boilerplate": q_remove_boilerplate,
         "training_pipeline": q_training_pipeline,
+        "dedup_incremental": q_dedup_incremental,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -2982,6 +2996,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source, dom_rank FROM ranked WHERE dom_rank <= 25
+        """,
+        "dedup_incremental": """
+            WITH seen AS (
+                SELECT DISTINCT md5(text) AS text_hash
+                FROM documents WHERE doc_id < 250
+            ), batch AS (
+                SELECT doc_id, md5(text) AS text_hash,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents WHERE doc_id >= 250
+            )
+            SELECT doc_id, text_hash FROM batch
+            WHERE rn = 1 AND text_hash NOT IN (SELECT text_hash FROM seen)
         """,
         "training_pipeline": """
             WITH toks AS (

@@ -17,6 +17,7 @@ from akka_stream_contrib_spark.functions.text import (
 from akka_stream_contrib_spark.functions.dedup import (
     dedup_exact,
     dedup_keep_best,
+    dedup_incremental,
     shingles,
     minhash_signatures,
     lsh_candidate_pairs,
@@ -63,7 +64,8 @@ from akka_stream_contrib_spark.functions.similarity import (
 __all__ = [
     "tokens", "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
     "token_id", "redact_pii", "repetition_stats", "token_entropy",
-    "dedup_exact", "dedup_keep_best", "shingles", "minhash_signatures", "lsh_candidate_pairs",
+    "dedup_exact", "dedup_keep_best", "dedup_incremental", "shingles",
+    "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "dup_clusters",
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_topk_all_ivf",

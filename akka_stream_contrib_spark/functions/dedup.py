@@ -93,6 +93,34 @@ def dedup_keep_best(score, id_col: str = "doc_id", text_col: str = "text",
     return _apply
 
 
+def dedup_incremental(new_df: DataFrame, seen_hashes: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      hash_col: str = "text_hash") -> DataFrame:
+    """Incremental exact dedup — the daily-crawl shape: reduce a NEW batch to
+    first-seen content, i.e. drop anything whose content hash is already in
+    the historical index ``seen_hashes`` (a 1-column hash table), and keep
+    one representative (lowest id) per hash within the batch itself. Emits
+    the surviving rows with their ``hash_col`` so the caller can append them
+    to the index.
+
+    Scale shape: within-batch dedup is one window over the batch's uniform
+    content hash; the history check is a LEFT ANTI equi-join on the hash —
+    broadcastable while the index fits (hashes only: 16 bytes/doc), an
+    ordinary uniform-key shuffle join beyond that. The 100 TB history never
+    needs its text scanned — only its hash column.
+    """
+
+    def _first_per_hash(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        w = Window.partitionBy(hash_col).orderBy(id_col)
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    hashed = new_df.withColumn(hash_col, F.md5(F.col(text_col)))
+    return _first_per_hash(hashed).join(
+        seen_hashes.select(hash_col), hash_col, "left_anti")
+
+
 def shingles(df: DataFrame, k: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Distinct k-word shingles per document: (doc_id, shingle).

@@ -58,12 +58,13 @@ from akka_stream_contrib_spark.operators.interval_join import interval_overlap_j
 from akka_stream_contrib_spark.operators.global_order import (
     global_rank,
     global_running_sum,
+    global_running_agg,
     global_lag,
 )
 
 __all__ = [
     "interval_overlap_join",
-    "global_rank", "global_running_sum", "global_lag",
+    "global_rank", "global_running_sum", "global_running_agg", "global_lag",
     "scd2_intervals", "zorder_key", "zorder_write", "rolling_zscore", "ewma_smooth", "ewma_weights", "sessionize",
     "sample_nth", "sample_step", "sample_random",
     "partition_with", "pass_through",

@@ -67,18 +67,57 @@ def global_rank(df: DataFrame, order_cols: str | Sequence[str],
             .drop("_pid"))
 
 
+#: prefix-combinable running folds: (window agg, per-partition summary agg,
+#: python combine for the driver-side prefix, combine Column expr, identity)
+_MONOIDS = {
+    "sum": (F.sum, F.sum, lambda a, b: a + b,
+            lambda loc, off: loc + off, 0),
+    "count": (lambda c: F.count(F.lit(1)), lambda c: F.count(F.lit(1)),
+              lambda a, b: a + b, lambda loc, off: loc + off, 0),
+    "min": (F.min, F.min, min, F.least, None),
+    "max": (F.max, F.max, max, F.greatest, None),
+}
+
+
+def global_running_agg(df: DataFrame, order_cols: str | Sequence[str],
+                       value_col: str, out: str, fn: str = "sum") -> DataFrame:
+    """Inclusive global running fold of ``value_col`` under the total order,
+    for any prefix-combinable monoid (``sum``/``count``/``min``/``max``):
+    local running fold inside each range, combined with the exclusive prefix
+    of the per-range summaries."""
+    try:
+        local_agg, summary_agg, py_comb, col_comb, ident = _MONOIDS[fn]
+    except KeyError:
+        raise ValueError(f"fn must be one of {sorted(_MONOIDS)}, got {fn!r}")
+    order_cols = normalize_cols(order_cols)
+    ranged = _ranged(df, order_cols)
+    summaries = {r._pid: r.s for r in
+                 ranged.groupBy("_pid").agg(summary_agg(value_col).alias("s"))
+                 .collect()}
+    # exclusive prefix-combine of the summaries (skipping empty/None ranges)
+    prefix, carry = {}, ident
+    for pid in sorted(summaries):
+        prefix[pid] = carry
+        s = summaries[pid]
+        if s is not None:
+            carry = s if carry is None else py_comb(carry, s)
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = local_agg(value_col).over(w)
+    pairs = [x for pid in prefix if prefix[pid] is not None
+             for x in (pid, prefix[pid])]
+    if pairs:
+        off = F.create_map(*[F.lit(x) for x in pairs])[F.col("_pid")]
+        combined = F.when(off.isNull(), local).otherwise(col_comb(local, off))
+    else:
+        combined = local
+    return ranged.withColumn(out, combined).drop("_pid")
+
+
 def global_running_sum(df: DataFrame, order_cols: str | Sequence[str],
                        value_col: str, out: str) -> DataFrame:
     """Inclusive global prefix sum of ``value_col`` under the total order."""
-    order_cols = normalize_cols(order_cols)
-    ranged = _ranged(df, order_cols)
-    sums = {r._pid: (r.s if r.s is not None else 0) for r in
-            ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()}
-    w = (Window.partitionBy("_pid").orderBy(*order_cols)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (ranged
-            .withColumn(out, F.sum(value_col).over(w) + _offset_expr(sums, 0))
-            .drop("_pid"))
+    return global_running_agg(df, order_cols, value_col, out, fn="sum")
 
 
 def global_lag(df: DataFrame, order_cols: str | Sequence[str],

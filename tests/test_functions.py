@@ -486,3 +486,16 @@ def test_remove_boilerplate_strips_frequent_segments_in_order(spark):
     # remaining tokens keep their original order
     assert out == {1: ("hello world", 2, 2), 2: ("foo", 1, 2),
                    3: ("bar baz", 2, 2), 4: ("qux", 1, 2)}
+
+
+def test_dedup_incremental_first_seen_only(spark):
+    from akka_stream_contrib_spark.functions import dedup_incremental
+    seen = spark.createDataFrame(
+        [("old dup",)], "text string").select(F.md5("text").alias("text_hash"))
+    new = spark.createDataFrame(
+        [(10, "old dup"),      # already in history -> dropped
+         (11, "fresh"), (12, "fresh"),   # in-batch dup -> keep lowest id
+         (13, "unique")],
+        "doc_id bigint, text string")
+    out = sorted(r.doc_id for r in dedup_incremental(new, seen).collect())
+    assert out == [11, 13]

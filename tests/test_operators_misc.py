@@ -458,3 +458,27 @@ def test_unkeyed_token_throttle_plan_has_no_global_window(spark):
         if "Window" in line and "windowspecdefinition" in line:
             assert "_pid" in line, f"global-order window found: {line}"
     assert out.count() == 50
+
+
+def test_global_running_agg_min_max_count_match_naive_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from akka_stream_contrib_spark.operators import global_running_agg
+
+    df = spark.range(0, 3000, 1, 16).select(
+        F.col("id").alias("seq"),
+        (F.pmod(F.col("id") * 6007 + 13, F.lit(500)) - 250).alias("v"))
+    wc = (Window.orderBy("seq")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    expect = {r.seq: (r.mn, r.mx, r.cnt) for r in df.select(
+        "seq", F.min("v").over(wc).alias("mn"),
+        F.max("v").over(wc).alias("mx"),
+        F.count(F.lit(1)).over(wc).alias("cnt")).collect()}
+    got_mn = {r.seq: r.mn for r in
+              global_running_agg(df, "seq", "v", "mn", fn="min").collect()}
+    got_mx = {r.seq: r.mx for r in
+              global_running_agg(df, "seq", "v", "mx", fn="max").collect()}
+    got_ct = {r.seq: r.cnt for r in
+              global_running_agg(df, "seq", "v", "cnt", fn="count").collect()}
+    for s, (mn, mx, cnt) in expect.items():
+        assert got_mn[s] == mn and got_mx[s] == mx and got_ct[s] == cnt

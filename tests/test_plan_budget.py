@@ -105,6 +105,8 @@ BUDGET = {
     "remove_boilerplate": 5,
     # boilerplate stages (5) + one content-hash window; chunking is map-side
     "training_pipeline": 6,
+    # batch hash window + history distinct (anti-join side broadcasts)
+    "dedup_incremental": 2,
 }
 
 
