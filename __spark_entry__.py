@@ -622,6 +622,15 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "dom_rank"))
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: logistic over five text features with
+    injected literal weights — the fastText-classifier plan shape as one
+    codegen pass (functions/quality.py::quality_score)."""
+    from akka_stream_contrib_spark.functions import quality_score
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(quality_score())
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup fixture: docs with id < 250 are the historical
     index (hashes only), docs with id >= 250 are the new batch; survivors
@@ -2127,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q_remove_boilerplate,
         "training_pipeline": q_training_pipeline,
         "dedup_incremental": q_dedup_incremental,
+        "quality_score": q_quality_score,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -2996,6 +3006,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source, dom_rank FROM ranked WHERE dom_rank <= 25
+        """,
+        "quality_score": """
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+                       CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_nodigit,
+                       CAST(length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS n_noupper
+                FROM documents
+            ), z AS (
+                SELECT doc_id, n_tok,
+                       -1.0 + 0.6 * ln(n_tok + 1.0)
+                            + 0.25 * ((n_chars - (n_tok - 1)) / n_tok)
+                            + -3.0 * ((n_chars - n_nodigit) / n_chars)
+                            + -2.0 * ((n_chars - n_noupper) / n_chars)
+                            + 1.5 * (n_distinct / n_tok) AS zz
+                FROM f
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+                   round(1.0 / (1.0 + exp(-zz)), 6) + 0.0 AS quality_score,
+                   (round(1.0 / (1.0 + exp(-zz)), 6) + 0.0) >= 0.5 AS keep
+            FROM z
         """,
         "dedup_incremental": """
             WITH seen AS (

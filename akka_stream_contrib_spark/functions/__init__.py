@@ -43,7 +43,11 @@ from akka_stream_contrib_spark.functions.retrieval import (
     tfidf_topk,
 )
 from akka_stream_contrib_spark.functions.graph import pagerank
-from akka_stream_contrib_spark.functions.quality import expect, winsorize
+from akka_stream_contrib_spark.functions.quality import (
+    expect,
+    winsorize,
+    quality_score,
+)
 from akka_stream_contrib_spark.functions.sketches import (
     hll_sketch_rollup,
     hll_merge,
@@ -74,6 +78,7 @@ __all__ = [
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
     "domain_cap", "remove_boilerplate",
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",
-    "pagerank", "expect", "winsorize", "hll_sketch_rollup", "hll_merge",
+    "pagerank", "expect", "winsorize", "quality_score",
+    "hll_sketch_rollup", "hll_merge",
     "mg_heavy_hitters",
 ]

@@ -75,3 +75,57 @@ def winsorize(keys: str | list[str], value: str = "value",
                 .drop("_lo", "_hi"))
 
     return _apply
+
+
+DEFAULT_QUALITY_WEIGHTS = {
+    # hand-set linear weights over portable text features — stands in for a
+    # trained fastText/logistic quality model (no ML libs in this container);
+    # swap the dict for learned weights without touching the plan shape
+    "bias": -1.0,
+    "log_n_tokens": 0.6,        # longer docs score higher (log-damped)
+    "mean_token_len": 0.25,     # very short tokens = fragmentary text
+    "digit_ratio": -3.0,        # numeric soup scores down
+    "upper_ratio": -2.0,        # SHOUTING scores down
+    "distinct_ratio": 1.5,      # lexical diversity scores up
+}
+
+
+def quality_score(weights: Mapping[str, float] | None = None,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ) -> Callable[[DataFrame], DataFrame]:
+    """Model-based quality scoring as a PURE column expression: a logistic
+    over five portable text features with injected literal weights —
+    ``sigmoid(bias + w·features)``. This is the plan shape of running a
+    linear/fastText-style quality classifier over a 100 TB corpus: one
+    map-side pass, no UDF, no shuffle; the features and the dot product run
+    inside whole-stage codegen, and the identical closed form replays on
+    any engine (scores rounded to 6 dp absorb last-ulp exp() differences).
+
+    Emits (id, n_tokens, quality_score, keep) where ``keep`` = score >= 0.5.
+    """
+    w = dict(DEFAULT_QUALITY_WEIGHTS)
+    if weights:
+        w.update(weights)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        txt = F.col(text_col)
+        toks = F.split(txt, " ")
+        n_tok = F.size(toks).cast("double")
+        n_chars = F.length(txt).cast("double")
+        mean_len = (n_chars - (n_tok - 1)) / n_tok          # spaces removed
+        digit_ratio = (n_chars - F.length(F.regexp_replace(txt, "[0-9]", ""))) / n_chars
+        upper_ratio = (n_chars - F.length(F.regexp_replace(txt, "[A-Z]", ""))) / n_chars
+        distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+        z = (F.lit(float(w["bias"]))
+             + F.lit(float(w["log_n_tokens"])) * F.log(n_tok + 1.0)
+             + F.lit(float(w["mean_token_len"])) * mean_len
+             + F.lit(float(w["digit_ratio"])) * digit_ratio
+             + F.lit(float(w["upper_ratio"])) * upper_ratio
+             + F.lit(float(w["distinct_ratio"])) * distinct_ratio)
+        score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) + F.lit(0.0)
+        return df.select(
+            F.col(id_col), n_tok.cast("bigint").alias("n_tokens"),
+            score.alias("quality_score"),
+            (score >= 0.5).alias("keep"))
+
+    return _apply

@@ -499,3 +499,20 @@ def test_dedup_incremental_first_seen_only(spark):
         "doc_id bigint, text string")
     out = sorted(r.doc_id for r in dedup_incremental(new, seen).collect())
     assert out == [11, 13]
+
+
+def test_quality_score_feature_directions(spark):
+    from akka_stream_contrib_spark.functions import quality_score
+    rows = [(1, "a rich varied vocabulary spreads across many distinct interesting words"),
+            (2, "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6"),     # numeric soup
+            (3, "SHOUTING LOUD CAPS EVERYWHERE ALWAYS YELLING NOISE HERE")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.quality_score, r.keep)
+           for r in df.transform(quality_score()).collect()}
+    # directional: diverse prose outranks numeric soup and all-caps noise
+    assert out[1][0] > out[2][0] and out[1][0] > out[3][0]
+    assert out[1][1] is True
+    # heavier weights push the numeric doc under the keep threshold
+    strict = {r.doc_id: r.keep for r in df.transform(
+        quality_score({"digit_ratio": -8.0})).collect()}
+    assert strict[1] is True and strict[2] is False

@@ -107,6 +107,8 @@ BUDGET = {
     "training_pipeline": 6,
     # batch hash window + history distinct (anti-join side broadcasts)
     "dedup_incremental": 2,
+    # pure map-side logistic: zero shuffles
+    "quality_score": 0,
 }
 
 
