@@ -60,6 +60,8 @@ from akka_stream_contrib_spark.functions.similarity import (
     ann_topk_all_ivf,
     ann_lsh_topk,
     ivf_topk,
+    ivf_write_index,
+    ivf_query_index,
     knn_join,
     quantize_embeddings,
     quantized_cosine_topk,
@@ -73,7 +75,7 @@ __all__ = [
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "dup_clusters",
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_topk_all_ivf",
-    "ann_lsh_topk", "ivf_topk",
+    "ann_lsh_topk", "ivf_topk", "ivf_write_index", "ivf_query_index",
     "knn_join", "quantize_embeddings", "quantized_cosine_topk",
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
     "domain_cap", "remove_boilerplate",

@@ -367,6 +367,68 @@ def ann_topk_all_ivf(df: DataFrame, k: int = 3, nlist: int = 16,
     )
 
 
+def ivf_write_index(df: DataFrame, path: str, nlist: int = 16,
+                    iters: int = 5, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist an IVF index: normalized vectors written as parquet
+    PARTITIONED BY cell id, plus the trained centroids as a tiny side table.
+    The index layout IS the acceleration structure — a query's
+    ``cell IN (probed)`` filter becomes storage-level partition pruning, so
+    Spark lists and reads ONLY the probed cells' files: at 100 TB the scan
+    cost is nprobe/nlist of the corpus before a single row is read.
+    Training/assignment are the same deterministic passes as
+    :func:`ann_topk_all_ivf`.
+    """
+    spark = df.sparkSession
+    cents = _train_centroids(df, nlist, iters, id_col, vec_col)
+    if cents is None:
+        raise ValueError("ivf_write_index: empty corpus")
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs = b_cents.value
+        for pdfb in batches:
+            if len(pdfb) == 0:
+                continue
+            v = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            cell = np.argmin(((v[:, None, :] - cs[None, :, :]) ** 2).sum(-1), axis=1)
+            yield pd.DataFrame({id_col: pdfb[id_col], "nvec": list(v),
+                                "cell": cell.astype("int32")})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        _assign, schema=f"{id_col} {id_type}, nvec array<double>, cell int")
+    (assigned.write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/cells"))
+    cent_rows = [(int(c), [float(x) for x in cents[c]])
+                 for c in range(len(cents))]
+    (spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+
+
+def ivf_query_index(spark, path: str, query_vec: Sequence[float],
+                    k: int = 10, nprobe: int = 4,
+                    id_col: str = "vec_id") -> DataFrame:
+    """Query a persisted IVF index: rank the stored centroids against the
+    query (driver-side — nlist rows), then scan ONLY the probed cell
+    partitions (storage-level pruning, see :func:`ivf_write_index`) and
+    compute exact cosine + top-k on the pruned slice."""
+    cents_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = {r.cell: np.asarray(r.centroid, dtype=np.float64)
+             for r in cents_rows}
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= np.linalg.norm(q)
+    order = sorted(cents, key=lambda c: (-(float(cents[c] @ q)), c))
+    probed = [int(c) for c in order[:nprobe]]
+    qlit = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    cells = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(probed))
+    cos = _dot(F.col("nvec"), qlit)  # nvec is pre-normalized, |q| = 1
+    return (cells.select(F.col(id_col), cos.alias("_cos"))
+            .orderBy(F.desc("_cos"), id_col).limit(k)
+            .select(id_col, F.round("_cos", 6).alias("cos_sim")))
+
+
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
              query_id: str = "vec_id", corpus_id: str = "vec_id",
              vec_col: str = "embedding",

@@ -105,3 +105,30 @@ def test_broadcast_budget_raises_instead_of_collecting(spark):
     # within budget: works unchanged
     out = knn_join(df, df, k=2, broadcast_budget_rows=1000)
     assert out.count() == 100
+
+
+def test_ivf_index_persist_query_prunes_partitions(spark, tmp_path):
+    import numpy as np
+    from akka_stream_contrib_spark.functions.similarity import (
+        ivf_query_index, ivf_topk, ivf_write_index)
+    from akka_stream_contrib_spark.plans.explain import assert_partition_pruned
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.uniform(-1, 1, 32).astype("float32").tolist())
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    ivf_write_index(df, path, nlist=8)
+    q = rows[7][1]
+
+    hits = ivf_query_index(spark, path, q, k=10, nprobe=4)
+    # the probed-cell filter must prune at the STORAGE level
+    assert_partition_pruned(hits, "cell")
+    got = [(r.vec_id, r.cos_sim) for r in hits.collect()]
+    # same training determinism -> same results as the in-memory IVF scan
+    live = [(r.vec_id, round(r.cos_sim, 6)) for r in
+            ivf_topk(df, q, k=10, nlist=8, nprobe=4).collect()]
+    assert got == live
+    # rerun of the persisted query is identical
+    assert got == [(r.vec_id, r.cos_sim) for r in
+                   ivf_query_index(spark, path, q, k=10, nprobe=4).collect()]
