@@ -622,6 +622,15 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "dom_rank"))
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer: 64-bucket md5 feature hashing, L2-normalized,
+    long-form (doc_id, bucket, weight) — no vocabulary, O(1) memory in corpus
+    size (functions/text.py::hashed_features)."""
+    from akka_stream_contrib_spark.functions import hashed_features
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(hashed_features(dim=64))
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate: logistic over five text features with
     injected literal weights — the fastText-classifier plan shape as one
@@ -2137,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "dedup_incremental": q_dedup_incremental,
         "quality_score": q_quality_score,
+        "hashed_features": q_hashed_features,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -3006,6 +3016,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source, dom_rank FROM ranked WHERE dom_rank <= 25
+        """,
+        "hashed_features": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents
+            ), counts AS (
+                SELECT doc_id,
+                       CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket,
+                       count(*) AS tf
+                FROM toks GROUP BY doc_id, bucket
+            )
+            SELECT doc_id, bucket,
+                   round(tf / sqrt(CAST(sum(tf * tf) OVER (PARTITION BY doc_id) AS DOUBLE)), 6) + 0.0 AS weight
+            FROM counts
         """,
         "quality_score": """
             WITH f AS (

@@ -220,3 +220,37 @@ def token_entropy(id_col: str = "doc_id", text_col: str = "text"
         )
 
     return _apply
+
+
+def hashed_features(dim: int = 64, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Hashing-trick featurizer (the scalable bag-of-words vectorizer): each
+    token hashes to a bucket in [0, dim) via the portable md5-prefix hash,
+    per-document bucket counts are L2-normalized, and the result is emitted
+    in LONG form (doc_id, bucket, weight) — the sparse layout that joins,
+    aggregates, and stores efficiently at corpus scale (and that downstream
+    dot products consume directly: sum of weight products on bucket equality).
+
+    No vocabulary is built or broadcast — the defining property of feature
+    hashing: memory is O(1) in corpus size, the plan is explode → one hash
+    aggregation on (doc, bucket) → a same-partitioning window for the norm.
+    The hash, counts, and norm are engine-portable (md5 + integer counts +
+    one sqrt), so the DuckDB oracle replays it exactly.
+    """
+    from pyspark.sql import Window
+
+    def _apply(df):
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"))
+        counts = (toks.withColumn("bucket", F.pmod(token_id(F.col("tok")),
+                                                   F.lit(dim)).cast("int"))
+                  .groupBy("doc_id", "bucket")
+                  .agg(F.count(F.lit(1)).alias("_tf")))
+        w = Window.partitionBy("doc_id")
+        nrm = F.sqrt(F.sum(F.col("_tf") * F.col("_tf")).over(w).cast("double"))
+        return counts.select(
+            "doc_id", "bucket",
+            (F.round(F.col("_tf") / nrm, 6) + F.lit(0.0)).alias("weight"))
+
+    return _apply

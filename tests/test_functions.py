@@ -516,3 +516,20 @@ def test_quality_score_feature_directions(spark):
     strict = {r.doc_id: r.keep for r in df.transform(
         quality_score({"digit_ratio": -8.0})).collect()}
     assert strict[1] is True and strict[2] is False
+
+
+def test_hashed_features_unit_norm_and_no_vocab(spark):
+    import math
+    from akka_stream_contrib_spark.functions import hashed_features
+    df = spark.createDataFrame(
+        [(1, "spark spark hash trick"), (2, "one token")],
+        "doc_id bigint, text string")
+    rows = df.transform(hashed_features(dim=16)).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.bucket < 16
+        by_doc.setdefault(r.doc_id, []).append(r.weight)
+    for doc, ws in by_doc.items():
+        assert math.isclose(sum(w * w for w in ws), 1.0, rel_tol=1e-4)
+    # "spark" counted twice -> its bucket outweighs single-count buckets
+    assert max(by_doc[1]) > min(by_doc[1])

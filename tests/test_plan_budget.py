@@ -109,6 +109,8 @@ BUDGET = {
     "dedup_incremental": 2,
     # pure map-side logistic: zero shuffles
     "quality_score": 0,
+    # (doc,bucket) count agg + doc-norm window
+    "hashed_features": 2,
 }
 
 
