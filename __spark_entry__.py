@@ -622,6 +622,22 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "dom_rank"))
 
 
+def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch round trip: build a 4×128 sketch over document
+    tokens, then answer point-frequency queries for the 20 most frequent
+    tokens FROM THE SKETCH ONLY (functions/sketches.py::cm_sketch /
+    cm_estimate). Deterministic md5 cell hashing → the whole sketch and
+    every estimate replay exactly in the oracle."""
+    from akka_stream_contrib_spark.functions import cm_estimate, cm_sketch
+    docs = tables.load(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+    sketch = cm_sketch(toks, "token", depth=4, width=128)
+    top = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("_n"))
+           .orderBy(F.desc("_n"), "token").limit(20).select("token"))
+    return cm_estimate(sketch, top, "token", depth=4, width=128)
+
+
 def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurizer: 64-bucket md5 feature hashing, L2-normalized,
     long-form (doc_id, bucket, weight) — no vocabulary, O(1) memory in corpus
@@ -2147,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "quality_score": q_quality_score,
         "hashed_features": q_hashed_features,
+        "cm_frequency": q_cm_frequency,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -3016,6 +3033,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source, dom_rank FROM ranked WHERE dom_rank <= 25
+        """,
+        "cm_frequency": """
+            WITH toks AS (
+                SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ), cells AS (
+                SELECT token, r.i AS row,
+                       CAST(CAST(concat('0x', substr(md5(concat(r.i, ':', token)), 1, 8)) AS BIGINT) % 128 AS INT) AS bucket
+                FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) r(i)
+            ), sketch AS (
+                SELECT row, bucket, count(*) AS cnt
+                FROM cells GROUP BY row, bucket
+            ), top AS (
+                SELECT token FROM toks GROUP BY token
+                ORDER BY count(*) DESC, token LIMIT 20
+            ), probes AS (
+                SELECT DISTINCT c.token, c.row, c.bucket
+                FROM cells c JOIN top t ON c.token = t.token
+            )
+            SELECT p.token, min(coalesce(s.cnt, 0)) AS est_count
+            FROM probes p LEFT JOIN sketch s
+              ON p.row = s.row AND p.bucket = s.bucket
+            GROUP BY p.token
         """,
         "hashed_features": """
             WITH toks AS (

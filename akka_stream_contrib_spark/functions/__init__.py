@@ -53,6 +53,8 @@ from akka_stream_contrib_spark.functions.sketches import (
     hll_sketch_rollup,
     hll_merge,
     mg_heavy_hitters,
+    cm_sketch,
+    cm_estimate,
 )
 from akka_stream_contrib_spark.functions.similarity import (
     cosine_topk,
@@ -84,5 +86,5 @@ __all__ = [
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",
     "pagerank", "expect", "winsorize", "quality_score",
     "hll_sketch_rollup", "hll_merge",
-    "mg_heavy_hitters",
+    "mg_heavy_hitters", "cm_sketch", "cm_estimate",
 ]

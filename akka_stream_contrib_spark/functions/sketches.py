@@ -102,3 +102,55 @@ def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
         .orderBy(F.desc("cnt"), item_col)
         .limit(k)
     )
+
+
+def cm_sketch(df: DataFrame, item_col: str, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-Min sketch as a DataFrame: ``depth`` independent hash rows of
+    ``width`` buckets, each cell holding the count of items hashing there —
+    (row, bucket, cnt), depth×width cells total regardless of stream size.
+    Hashing is the portable md5-prefix (row index salted into the hash), so
+    the sketch — and every estimate read from it — is bit-identical on any
+    engine. Merging two sketches = summing cells on (row, bucket); point
+    estimates over-count only (collision bias), never under-count.
+
+    Scale shape: one map-side explode into depth cells per item, then a
+    partial-aggregated count on (row, bucket) — the same single-shuffle
+    discipline as any hash aggregation, with output bounded at depth×width
+    rows however large the input.
+    """
+    from akka_stream_contrib_spark.functions.text import token_id
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(token_id(F.concat(F.lit(f"{i}:"), F.col(item_col))),
+                   F.lit(width)).cast("int").alias("bucket"))
+        for i in range(depth)
+    ])
+    return (df.select(F.explode(cells).alias("c"))
+            .groupBy(F.col("c.row").alias("row"),
+                     F.col("c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cm_estimate(sketch: DataFrame, items: DataFrame, item_col: str,
+                depth: int = 4, width: int = 256,
+                out: str = "est_count") -> DataFrame:
+    """Point-frequency estimates from a :func:`cm_sketch`: hash each query
+    item with the same salted hashes, look its cells up in the sketch
+    (broadcast — it is at most depth×width rows), and take the MIN over the
+    depth rows. Reads only the sketch, never the original stream."""
+    from akka_stream_contrib_spark.functions.text import token_id
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(token_id(F.concat(F.lit(f"{i}:"), F.col(item_col))),
+                   F.lit(width)).cast("int").alias("bucket"))
+        for i in range(depth)
+    ])
+    probes = (items.select(F.col(item_col), F.explode(cells).alias("c"))
+              .select(item_col, F.col("c.row").alias("row"),
+                      F.col("c.bucket").alias("bucket")))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (joined.groupBy(item_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out)))

@@ -533,3 +533,24 @@ def test_hashed_features_unit_norm_and_no_vocab(spark):
         assert math.isclose(sum(w * w for w in ws), 1.0, rel_tol=1e-4)
     # "spark" counted twice -> its bucket outweighs single-count buckets
     assert max(by_doc[1]) > min(by_doc[1])
+
+
+def test_cm_sketch_never_undercounts_and_merges(spark):
+    from akka_stream_contrib_spark.functions import cm_estimate, cm_sketch
+    rows = [("a",)] * 50 + [("b",)] * 20 + [(f"noise{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "token string")
+    sketch = cm_sketch(df, "token", depth=4, width=32)
+    # bounded size: at most depth*width cells
+    assert sketch.count() <= 4 * 32
+    items = spark.createDataFrame([("a",), ("b",), ("absent",)], "token string")
+    est = {r.token: r.est_count for r in
+           cm_estimate(sketch, items, "token", depth=4, width=32).collect()}
+    # CM property: estimates >= true counts (collisions only inflate)
+    assert est["a"] >= 50 and est["b"] >= 20 and est["absent"] >= 0
+    # merge = cell-wise sum: sketch(x 2 streams) == 2 * counts lower bound
+    from pyspark.sql import functions as F
+    merged = (sketch.union(sketch).groupBy("row", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    est2 = {r.token: r.est_count for r in
+            cm_estimate(merged, items, "token", depth=4, width=32).collect()}
+    assert est2["a"] == 2 * est["a"] and est2["b"] == 2 * est["b"]

@@ -111,6 +111,8 @@ BUDGET = {
     "quality_score": 0,
     # (doc,bucket) count agg + doc-norm window
     "hashed_features": 2,
+    # cell-count agg + top-20 agg (estimate probes broadcast the sketch)
+    "cm_frequency": 2,
 }
 
 
