@@ -622,6 +622,15 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "dom_rank"))
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy LM filter: per-doc mean add-k bigram log-probability
+    with the corpus itself as the LM (functions/text.py::
+    bigram_logprob_score). Decimal-exact term sums → engine-stable."""
+    from akka_stream_contrib_spark.functions import bigram_logprob_score
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(bigram_logprob_score(k=0.5))
+
+
 def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch round trip: build a 4×128 sketch over document
     tokens, then answer point-frequency queries for the 20 most frequent
@@ -2164,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "hashed_features": q_hashed_features,
         "cm_frequency": q_cm_frequency,
+        "bigram_logprob": q_bigram_logprob,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -3033,6 +3043,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source, dom_rank FROM ranked WHERE dom_rank <= 25
+        """,
+        "bigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(t[1 : len(t) - 1]) AS w1,
+                       unnest(t[2 : len(t)]) AS w2
+                FROM toks WHERE len(t) >= 2
+            ), bgc AS (
+                SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+            ), uc AS (
+                SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+            ), v AS (
+                SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vv FROM (
+                    SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)
+            )
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(CAST(sum(CAST(round(ln((c.c12 + 0.5) / (u.c1 + 0.5 * v.vv)), 9)
+                                       AS DECIMAL(15,9))) AS DOUBLE) / count(*), 6) + 0.0
+                       AS logprob
+            FROM bg b
+            JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+            JOIN uc u ON b.w1 = u.w1
+            CROSS JOIN v
+            GROUP BY b.doc_id
         """,
         "cm_frequency": """
             WITH toks AS (

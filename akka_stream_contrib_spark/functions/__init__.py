@@ -14,6 +14,7 @@ from akka_stream_contrib_spark.functions.text import (
     redact_pii,
     repetition_stats,
     hashed_features,
+    bigram_logprob_score,
 )
 from akka_stream_contrib_spark.functions.dedup import (
     dedup_exact,
@@ -73,7 +74,7 @@ from akka_stream_contrib_spark.functions.similarity import (
 __all__ = [
     "tokens", "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
     "token_id", "redact_pii", "repetition_stats", "token_entropy",
-    "hashed_features",
+    "hashed_features", "bigram_logprob_score",
     "dedup_exact", "dedup_keep_best", "dedup_incremental", "shingles",
     "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",

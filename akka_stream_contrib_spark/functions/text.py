@@ -254,3 +254,62 @@ def hashed_features(dim: int = 64, id_col: str = "doc_id",
             (F.round(F.col("_tf") / nrm, 6) + F.lit(0.0)).alias("weight"))
 
     return _apply
+
+
+def bigram_logprob_score(k: float = 0.5, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Perplexity-proxy quality score (the CCNet/Gopher-style LM filter,
+    with the corpus itself as the LM): score each document by the mean
+    add-k-smoothed bigram log-probability
+    ``mean over bigrams of ln((c(w1,w2) + k) / (c(w1) + k*V))``
+    where counts come from the whole corpus and V is the unigram vocabulary
+    size. Documents full of rare/unseen transitions score low — the
+    standard gibberish/boilerplate discriminator when no external LM is
+    available.
+
+    Scale shape: bigram extraction is a map-side array zip (no window);
+    corpus bigram/unigram count tables aggregate with map-side partials;
+    scoring joins each doc bigram against the two count tables on uniform
+    token keys (ordinary hash joins — the Zipf head is handled by AQE skew
+    split) and reduces per doc. The log/mean runs on SORTED per-doc sums?
+    No: mean of logs is an unordered double sum — made engine-stable by
+    rounding each log term to 9 dp before summation (exact in both engines
+    at these magnitudes) and the mean to 6 dp.
+    """
+
+    def _apply(df):
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.col(text_col)), " ").alias("_t"))
+        bigrams = toks.select(
+            "doc_id",
+            F.explode(F.zip_with(
+                F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("bg")
+        ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        bg_counts = bigrams.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12"))
+        # proper conditional marginal: c(w1 as bigram head) = Σ_w2 c(w1,w2)
+        u_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        # V = distinct tokens over either position (smoothing vocabulary)
+        vocab = (bigrams.select(F.col("w1").alias("w"))
+                 .union(bigrams.select(F.col("w2").alias("w")))
+                 .agg(F.count_distinct("w").cast("double").alias("_v")))
+        scored = (bigrams
+                  .join(bg_counts, ["w1", "w2"])
+                  .join(u_counts, "w1")
+                  .crossJoin(F.broadcast(vocab)))
+        # each log term rounded to 9 dp then summed as EXACT decimal — an
+        # unordered double sum would be partition-order-dependent
+        term = F.round(
+            F.log((F.col("c12") + F.lit(float(k)))
+                  / (F.col("c1") + F.lit(float(k)) * F.col("_v"))),
+            9).cast("decimal(15,9)")
+        return (scored.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                     (F.round(F.sum(term).cast("double")
+                              / F.count(F.lit(1)), 6)
+                      + F.lit(0.0)).alias("logprob")))
+
+    return _apply

@@ -554,3 +554,16 @@ def test_cm_sketch_never_undercounts_and_merges(spark):
     est2 = {r.token: r.est_count for r in
             cm_estimate(merged, items, "token", depth=4, width=32).collect()}
     assert est2["a"] == 2 * est["a"] and est2["b"] == 2 * est["b"]
+
+
+def test_bigram_logprob_discriminates_gibberish(spark):
+    from akka_stream_contrib_spark.functions import bigram_logprob_score
+    common = "the cat sat on the mat and the cat ran to the mat"
+    rows = [(i, common) for i in range(1, 9)]  # common transitions, seen 8x
+    rows.append((99, "zx qv jk wp zx qv mn bb cc dd ee ff gg hh ii jj"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.logprob
+           for r in df.transform(bigram_logprob_score()).collect()}
+    # frequent transitions score far above one-off gibberish bigrams
+    assert out[1] > out[99]
+    assert all(out[i] == out[1] for i in range(2, 9))  # identical docs tie

@@ -113,6 +113,8 @@ BUDGET = {
     "hashed_features": 2,
     # cell-count agg + top-20 agg (estimate probes broadcast the sketch)
     "cm_frequency": 2,
+    # bigram counts, head counts, vocab distinct (2-phase), doc reduce
+    "bigram_logprob": 5,
 }
 
 
