@@ -622,6 +622,39 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "dom_rank"))
 
 
+def q_unpivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational breadth: UNPIVOT (melt) — the inverse of pivot_revenue,
+    via the native DataFrame.unpivot (Catalyst Expand, zero shuffles over
+    the already-aggregated 3-row input)."""
+    wide = q_pivot_revenue(spark, sf_dir)
+    return (wide.unpivot("l_returnflag", ["qty_f", "qty_o"],
+                         "linestatus_col", "qty")
+            .filter(F.col("qty").isNotNull()))
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in LONG form (label, pos, value): the
+    class-prototype computation behind nearest-centroid classification and
+    centroid-seeded clustering. posexplode + one (label, pos) hash agg —
+    no array column in the output, so the driver canonicalizer and the
+    DuckDB replay both hash it exactly."""
+    emb = tables.load(spark, "embeddings", sf_dir)
+    agg = (emb.select(
+               "label",
+               F.posexplode(F.col("embedding").cast("array<double>"))
+               .alias("pos", "v"))
+           .groupBy("label", "pos")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                # sorted left-fold (repo float-sum convention, cf.
+                # token_entropy): an unordered avg() would be
+                # partition-order-dependent
+                F.sort_array(F.collect_list("v")).alias("_vs")))
+    s = F.expr("aggregate(_vs, cast(0.0 as double), (a, x) -> a + x)")
+    return agg.select(
+        "label", "pos",
+        (F.round(s / F.col("_n"), 6) + F.lit(0.0)).alias("centroid_v"))
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy LM filter: per-doc mean add-k bigram log-probability
     with the corpus itself as the LM (functions/text.py::
@@ -2174,6 +2207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "cm_frequency": q_cm_frequency,
         "bigram_logprob": q_bigram_logprob,
+        "unpivot_revenue": q_unpivot_revenue,
+        "label_centroids": q_label_centroids,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -3043,6 +3078,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source, dom_rank FROM ranked WHERE dom_rank <= 25
+        """,
+        "unpivot_revenue": """
+            WITH wide AS (
+                SELECT l_returnflag,
+                       CAST(sum(CASE WHEN l_linestatus = 'F'
+                                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+                       CAST(sum(CASE WHEN l_linestatus = 'O'
+                                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, linestatus_col, qty FROM (
+                SELECT l_returnflag, 'qty_f' AS linestatus_col, qty_f AS qty FROM wide
+                UNION ALL
+                SELECT l_returnflag, 'qty_o' AS linestatus_col, qty_o AS qty FROM wide
+            ) WHERE qty IS NOT NULL
+        """,
+        "label_centroids": """
+            WITH e AS (
+                SELECT label, unnest(embedding) AS v,
+                       unnest(range(0, len(embedding))) AS pos
+                FROM embeddings
+            ), a AS (
+                SELECT label, pos, count(*) AS n,
+                       list(CAST(v AS DOUBLE) ORDER BY CAST(v AS DOUBLE)) AS vs
+                FROM e GROUP BY label, pos
+            )
+            SELECT label, CAST(pos AS INT) AS pos,
+                   round(list_reduce(vs, (x, y) -> x + y) / n, 6) + 0.0 AS centroid_v
+            FROM a
         """,
         "bigram_logprob": """
             WITH toks AS (

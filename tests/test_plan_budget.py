@@ -115,6 +115,10 @@ BUDGET = {
     "cm_frequency": 2,
     # bigram counts, head counts, vocab distinct (2-phase), doc reduce
     "bigram_logprob": 5,
+    # pivot agg (2, as pivot_revenue); Expand itself adds none
+    "unpivot_revenue": 2,
+    # one (label,pos) hash agg
+    "label_centroids": 1,
 }
 
 
