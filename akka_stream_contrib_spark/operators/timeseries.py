@@ -50,8 +50,12 @@ def rolling_zscore(key: str = "user_id", value: str = "value",
         # cnt >= 2 keeps the 1-row window out of 0/0 (NaN) territory
         z = F.when((cnt >= F.lit(2.0)) & (std > 0),
                    (F.col(value) - mean) / std)
-        return df.withColumn("roll_mean", F.round(mean, 6) + F.lit(0.0)) \
-                 .withColumn("zscore", F.round(z, 6) + F.lit(0.0))
+        # single select (not chained withColumns): both outputs plan into ONE
+        # WindowExec pass — sequential withColumns left two Window nodes
+        return df.select(
+            "*",
+            (F.round(mean, 6) + F.lit(0.0)).alias("roll_mean"),
+            (F.round(z, 6) + F.lit(0.0)).alias("zscore"))
 
     return _apply
 
