@@ -117,14 +117,17 @@ def sessionize(key: str = "user_id", ts: str = "ts", seq: str = "event_id",
         new_sess = (prev_ts.isNull() |
                     (gap_us > gap_s * 1_000_000)).cast("bigint")
         rn = F.row_number().over(w)
-        df2 = (df.withColumn("_new_sess", new_sess)
-               .withColumn("_rn", rn))
+        # two window passes minimum (the cumsum consumes the lag output);
+        # each pass computes ALL its expressions in one select so same-spec
+        # windows plan into a single WindowExec per pass
+        df2 = df.select("*", new_sess.alias("_new_sess"), rn.alias("_rn"))
         # session_pos via rank-of-session-start on the SAME key partitioning
         # (a partitionBy(key, session_id) window would cost a second shuffle)
         start_rn = F.max(F.when(F.col("_new_sess") == 1, F.col("_rn"))).over(wc)
         return (df2
-                .withColumn("session_id", F.sum("_new_sess").over(wc))
-                .withColumn("session_pos", F.col("_rn") - start_rn + 1)
+                .select("*",
+                        F.sum("_new_sess").over(wc).alias("session_id"),
+                        (F.col("_rn") - start_rn + 1).alias("session_pos"))
                 .drop("_new_sess", "_rn"))
 
     return _apply
