@@ -556,6 +556,30 @@ def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.col("value_asof"))
 
 
+def q_as_of_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every click, the user's NEXT purchase value at or
+    after the click (reversed-order window, same single key shuffle)."""
+    from akka_stream_contrib_spark.operators import as_of_join
+    ev = tables.load(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = as_of_join(clicks, purchases, on=["user_id"], ts="ts",
+                     right_cols=["value"], direction="forward")
+    return out.select("event_id", "user_id", F.col("value_asof"))
+
+
+def q_as_of_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 1-hour tolerance: a latest purchase older than
+    the bound yields NULL (pandas merge_asof tolerance semantics)."""
+    from akka_stream_contrib_spark.operators import as_of_join
+    ev = tables.load(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = as_of_join(clicks, purchases, on=["user_id"], ts="ts",
+                     right_cols=["value"], tolerance_s=3600)
+    return out.select("event_id", "user_id", F.col("value_asof"))
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals (§2.7: grouping-set family via Catalyst
     built-ins): revenue by returnflag × linestatus with rollup totals."""
@@ -2209,6 +2233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "unpivot_revenue": q_unpivot_revenue,
         "label_centroids": q_label_centroids,
+        "as_of_join_forward": q_as_of_join_forward,
+        "as_of_join_tolerance": q_as_of_join_tolerance,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -3005,6 +3031,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "as_of_join": """
             SELECT l.event_id, l.user_id, r.value AS value_asof
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "as_of_join_forward": """
+            SELECT l.event_id, l.user_id, r.value AS value_asof
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+        """,
+        "as_of_join_tolerance": """
+            SELECT l.event_id, l.user_id,
+                   CASE WHEN r.ts IS NOT NULL
+                             AND l.ts - r.ts <= INTERVAL '3600 seconds'
+                        THEN r.value END AS value_asof
             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts

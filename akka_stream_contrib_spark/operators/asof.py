@@ -35,19 +35,29 @@ def as_of_join(
     ts: str = "ts",
     right_cols: Sequence[str] = (),
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """Attach to each ``left`` row the latest ``right`` row at-or-before its
-    ``ts``, matching on the ``on`` key columns. Right payload columns appear
-    as ``<col><suffix>`` (null when no right row precedes)."""
+    """Attach to each ``left`` row the nearest ``right`` row per the ``on``
+    key columns: ``direction="backward"`` (default) takes the latest right
+    row with ``right.ts <= left.ts``; ``"forward"`` the earliest with
+    ``right.ts >= left.ts`` (same reversed-order window — still one
+    shuffle). ``tolerance_s`` bounds the match's age in seconds (pandas
+    ``merge_asof`` semantics): a nearest row further away yields NULLs.
+    Right payload columns appear as ``<col><suffix>``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in set(on) | {ts}]
     lcols = [c for c in left.columns]
+    # carry the matched right row's ts inside the payload for the tolerance test
+    r_payload = [*[F.col(c) for c in right_cols], F.col(ts).alias("_rts")]
     l_tagged = left.select(
         *[F.col(c) for c in on], F.col(ts),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
         F.lit(None).cast(
-            right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
+            right.select(F.struct(*r_payload).alias("s")).schema["s"].dataType
         ).alias("_r"),
     )
     r_tagged = right.select(
@@ -56,14 +66,25 @@ def as_of_join(
         F.lit(None).cast(
             left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
         ).alias("_l"),
-        F.struct(*right_cols).alias("_r"),
+        F.struct(*r_payload).alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (Window.partitionBy(*on).orderBy(ts, "_side")
+    # _side asc puts right (0) before left (1) at equal ts in BOTH directions,
+    # so an exact timestamp match is matched (>= / <= tie rule)
+    order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
+    w = (Window.partitionBy(*on).orderBy(order, F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.withColumn("_rlast", F.last("_r", ignorenulls=True).over(w))
+    matched = F.col("_rlast").isNotNull()
+    if tolerance_s is not None:
+        from akka_stream_contrib_spark.util import epoch_micros
+        age = (epoch_micros(F.col(ts)) - epoch_micros(F.col("_rlast._rts"))
+               if direction == "backward"
+               else epoch_micros(F.col("_rlast._rts")) - epoch_micros(F.col(ts)))
+        matched = matched & (age <= F.lit(int(tolerance_s * 1_000_000)))
     out = carried.filter(F.col("_side") == 1).select(
         "_l.*",
-        *[F.col(f"_rlast.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        *[F.when(matched, F.col(f"_rlast.{c}")).alias(f"{c}{suffix}")
+          for c in right_cols],
     )
     return out

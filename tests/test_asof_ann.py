@@ -132,3 +132,27 @@ def test_ivf_index_persist_query_prunes_partitions(spark, tmp_path):
     # rerun of the persisted query is identical
     assert got == [(r.vec_id, r.cos_sim) for r in
                    ivf_query_index(spark, path, q, k=10, nprobe=4).collect()]
+
+
+def test_as_of_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:10:00"), (2, 1, "2024-01-01 03:00:00")],
+        "event_id int, user_id int, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 50.0),   # 5 min before row 1
+         (1, "2024-01-01 00:30:00", 75.0)],  # 20 min after row 1
+        "user_id int, ts string, value double").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    fwd = {r.event_id: r.value_asof
+           for r in as_of_join(left, right, on=["user_id"], ts="ts",
+                               right_cols=["value"],
+                               direction="forward").collect()}
+    assert fwd == {1: 75.0, 2: None}   # next-at-or-after; none after 03:00
+    tol = {r.event_id: r.value_asof
+           for r in as_of_join(left, right, on=["user_id"], ts="ts",
+                               right_cols=["value"],
+                               tolerance_s=600).collect()}
+    # row 1: latest-before is 5 min old (within 600 s); row 2: latest-before
+    # is 2.5 h old -> nulled by tolerance
+    assert tol == {1: 50.0, 2: None}

@@ -119,6 +119,9 @@ BUDGET = {
     "unpivot_revenue": 2,
     # one (label,pos) hash agg
     "label_centroids": 1,
+    # union-trick as-of variants: one key shuffle each, like as_of_join
+    "as_of_join_forward": 1,
+    "as_of_join_tolerance": 1,
 }
 
 
