@@ -713,6 +713,19 @@ def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.transform(hashed_features(dim=64))
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen: docs with id < 250 are the historical
+    LSH band index, docs >= 250 the new batch; each new doc is flagged if
+    any of its minhash bands collides with the index
+    (functions/dedup.py::minhash_incremental_dedup)."""
+    from akka_stream_contrib_spark.functions import (
+        minhash_band_table, minhash_incremental_dedup)
+    docs = tables.load(spark, "documents", sf_dir)
+    index = minhash_band_table(docs.filter(F.col("doc_id") < 250))
+    new = docs.filter(F.col("doc_id") >= 250)
+    return minhash_incremental_dedup(new, index)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate: logistic over five text features with
     injected literal weights — the fastText-classifier plan shape as one
@@ -2235,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "as_of_join_forward": q_as_of_join_forward,
         "as_of_join_tolerance": q_as_of_join_tolerance,
+        "minhash_incremental": q_minhash_incremental,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -3337,6 +3351,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(_shared / (sa.n_grams + sb.n_grams - _shared), 6) >= 0.2
+        """,
+        "minhash_incremental": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+                FROM toks WHERE len(l) >= 3
+            ),
+            tid AS (SELECT doc_id, shingle,
+                           CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS tid
+                    FROM sh),
+            hp AS (SELECT h, 6*h + 7 AS a, 3*h + 1 AS b
+                   FROM (SELECT unnest(generate_series(0, 7)) AS h)),
+            sig AS (SELECT doc_id, h, min((a * tid + b) % 8191) AS mh
+                    FROM tid CROSS JOIN hp GROUP BY doc_id, h),
+            bandsig AS (
+                SELECT doc_id, h // 2 AS band,
+                       sum(mh * CASE WHEN h % 2 = 0 THEN 1 ELSE 8192 END) AS band_key
+                FROM sig GROUP BY doc_id, band
+            ),
+            hist AS (SELECT DISTINCT band, band_key FROM bandsig WHERE doc_id < 250),
+            hits AS (
+                SELECT DISTINCT n.doc_id
+                FROM bandsig n JOIN hist h
+                  ON n.band = h.band AND n.band_key = h.band_key
+                WHERE n.doc_id >= 250
+            )
+            SELECT d.doc_id, (hits.doc_id IS NOT NULL) AS candidate_dup
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+            LEFT JOIN hits ON d.doc_id = hits.doc_id
         """,
         "minhash_lsh_dedup": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -23,6 +23,9 @@ from akka_stream_contrib_spark.functions.dedup import (
     shingles,
     minhash_signatures,
     lsh_candidate_pairs,
+    band_keys,
+    minhash_band_table,
+    minhash_incremental_dedup,
     minhash_lsh_dedup,
     simhash,
     char_ngrams,
@@ -77,7 +80,8 @@ __all__ = [
     "hashed_features", "bigram_logprob_score",
     "dedup_exact", "dedup_keep_best", "dedup_incremental", "shingles",
     "minhash_signatures", "lsh_candidate_pairs",
-    "minhash_lsh_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
+    "minhash_lsh_dedup", "band_keys", "minhash_band_table",
+    "minhash_incremental_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "dup_clusters",
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_topk_all_ivf",
     "ann_lsh_topk", "ivf_topk", "ivf_write_index", "ivf_query_index",

@@ -163,14 +163,11 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     return tids.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
-    """Banded LSH: fold each band's signature columns into one integer key
-    (positional base-(P+1) encoding), bucket-join on (band, key), emit
-    distinct candidate pairs (doc_a < doc_b).
-
-    The explode is only bands-per-doc (tiny); the join is an equi-join on the
-    band key → hash-shuffle both sides; bucket sizes are small by construction
-    (that is the LSH property), so no skew."""
+def band_keys(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Fold a wide signature table into LSH band rows (doc_id, band,
+    band_key): positional base-(P+1) encoding of each band's ``rows_per_band``
+    signature columns. These rows ARE the persistable LSH index — tiny
+    (bands rows per doc, integers only) and joinable by equality."""
     entries = [
         F.struct(
             F.lit(band).alias("band"),
@@ -181,10 +178,21 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) 
         )
         for band in range(bands)
     ]
-    bandsig = (
+    return (
         sig.select("doc_id", F.explode(F.array(*entries)).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Banded LSH: fold each band's signature columns into one integer key
+    (see :func:`band_keys`), bucket-join on (band, key), emit distinct
+    candidate pairs (doc_a < doc_b).
+
+    The explode is only bands-per-doc (tiny); the join is an equi-join on the
+    band key → hash-shuffle both sides; bucket sizes are small by construction
+    (that is the LSH property), so no skew."""
+    bandsig = band_keys(sig, bands=bands, rows_per_band=rows_per_band)
     a = bandsig.alias("a")
     b = bandsig.alias("b")
     return (
@@ -194,6 +202,46 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) 
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_band_table(df: DataFrame, k: int = 3, num_hashes: int = 8,
+                       bands: int = 4, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """The persistent near-dup index rows for ``df``: shingle → minhash →
+    :func:`band_keys`. Store/append these (doc_id, band, band_key) rows;
+    they are all an incremental near-dup screen ever needs."""
+    sig = minhash_signatures(
+        shingles(df, k=k, id_col=id_col, text_col=text_col),
+        num_hashes=num_hashes)
+    return band_keys(sig, bands=bands, rows_per_band=num_hashes // bands)
+
+
+def minhash_incremental_dedup(new_df: DataFrame, index: DataFrame,
+                              k: int = 3, num_hashes: int = 8, bands: int = 4,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              ) -> DataFrame:
+    """Incremental NEAR-dup screen — the daily-crawl analogue of
+    :func:`dedup_incremental` for fuzzy duplicates: flag each new document
+    whose minhash bands collide with the historical ``index`` (a
+    (band, band_key) table built by :func:`minhash_band_table`). Emits every
+    new doc id with ``candidate_dup`` — callers drop flagged docs (the
+    recall-oriented screen) or route them to exact Jaccard verification.
+
+    Scale shape: the history participates ONLY through its integer band
+    rows (bands per doc, no text, no signatures) — an equi-join on uniform
+    band keys; new-batch banding is the same single doc_id shuffle as the
+    batch pipeline. Append the survivors' band rows to the index afterwards.
+    """
+    new_bands = minhash_band_table(new_df, k=k, num_hashes=num_hashes,
+                                   bands=bands, id_col=id_col,
+                                   text_col=text_col)
+    hits = (new_bands.join(index.select("band", "band_key").distinct(),
+                           ["band", "band_key"], "left_semi")
+            .select("doc_id").distinct().withColumn("_hit", F.lit(True)))
+    return (new_df.select(F.col(id_col).alias("doc_id"))
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("_hit"), F.lit(False)).alias("candidate_dup")))
 
 
 def minhash_lsh_dedup(

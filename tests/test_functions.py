@@ -567,3 +567,18 @@ def test_bigram_logprob_discriminates_gibberish(spark):
     # frequent transitions score far above one-off gibberish bigrams
     assert out[1] > out[99]
     assert all(out[i] == out[1] for i in range(2, 9))  # identical docs tie
+
+
+def test_minhash_incremental_flags_near_dup_of_history(spark):
+    from akka_stream_contrib_spark.functions import (
+        minhash_band_table, minhash_incremental_dedup)
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    hist = spark.createDataFrame([(1, base)], "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(10, base.replace("lazy", "sleepy")),      # near-dup of history
+         (11, "entirely different content about spark shuffles and joins " * 5)],
+        "doc_id bigint, text string")
+    index = minhash_band_table(hist)
+    got = {r.doc_id: r.candidate_dup
+           for r in minhash_incremental_dedup(new, index).collect()}
+    assert got == {10: True, 11: False}

@@ -122,6 +122,9 @@ BUDGET = {
     # union-trick as-of variants: one key shuffle each, like as_of_join
     "as_of_join_forward": 1,
     "as_of_join_tolerance": 1,
+    # two doc_id sig aggs (history + batch) + band distinct; flag join
+    # broadcasts
+    "minhash_incremental": 3,
 }
 
 
