@@ -79,6 +79,9 @@ HEADLINE = [
     "domain_cap",
     "remove_boilerplate",
     "training_pipeline",
+    "minhash_incremental",
+    "hashed_features",
+    "bigram_logprob",
 ]
 
 
