@@ -713,6 +713,22 @@ def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.transform(hashed_features(dim=64))
 
 
+def q_frame_sample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing, driver-verified: documents stand
+    in as video payloads (deterministic md5-derived metadata — see
+    functions/multimodal.py), exploded onto a 60 s frame grid. The decode
+    stays stubbed; the row multiplication, grid arithmetic, and metadata
+    derivation are the real Spark-side machinery."""
+    from akka_stream_contrib_spark.functions.multimodal import (
+        frame_sample, with_media_columns)
+    docs = tables.load(spark, "documents", sf_dir)
+    media = docs.transform(with_media_columns(
+        payload=F.col("text").cast("binary"), modality=F.lit("video")))
+    return (media.transform(frame_sample(every_ms=60000))
+            .select("doc_id", "frame_no", "frame_ts_ms",
+                    F.col("media_meta.duration_ms").alias("duration_ms")))
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup screen: docs with id < 250 are the historical
     LSH band index, docs >= 250 the new batch; each new doc is flagged if
@@ -2249,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "as_of_join_forward": q_as_of_join_forward,
         "as_of_join_tolerance": q_as_of_join_tolerance,
         "minhash_incremental": q_minhash_incremental,
+        "frame_sample_grid": q_frame_sample_grid,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -3351,6 +3368,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(_shared / (sa.n_grams + sb.n_grams - _shared), 6) >= 0.2
+        """,
+        "frame_sample_grid": """
+            WITH m AS (
+                SELECT doc_id,
+                       CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 600000 + 1 AS INT)
+                           AS duration_ms
+                FROM documents
+            )
+            SELECT doc_id, CAST(f AS INT) AS frame_no,
+                   CAST(f * 60000 AS INT) AS frame_ts_ms, duration_ms
+            FROM m, LATERAL (
+                SELECT unnest(range(0, duration_ms // 60000 + 1)) AS f
+            ) g
         """,
         "minhash_incremental": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

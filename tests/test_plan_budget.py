@@ -125,6 +125,8 @@ BUDGET = {
     # two doc_id sig aggs (history + batch) + band distinct; flag join
     # broadcasts
     "minhash_incremental": 3,
+    # md5 meta + grid explode: pure map-side
+    "frame_sample_grid": 0,
 }
 
 

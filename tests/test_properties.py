@@ -264,3 +264,28 @@ def test_scd2_matches_model(states):
          .collect()))
     expect = sorted((fr, s, to, to is None) for s, fr, to in scd2_model(states))
     assert got == expect
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=15, deadline=None)
+def test_global_order_matches_model(values, n_parts):
+    """global_rank / running sum / lag equal the sequential model for ANY
+    input partitioning (the two-phase range form must be placement-proof)."""
+    spark = _get_spark()
+    from akka_stream_contrib_spark.operators import (
+        global_lag, global_rank, global_running_agg)
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "seq int, v long").repartition(n_parts)
+    ranks = {r.seq: r.rnk for r in global_rank(df, "seq", "rnk").collect()}
+    sums = {r.seq: r.cum for r in
+            global_running_agg(df, "seq", "v", "cum", fn="sum").collect()}
+    lags = {r.seq: r.prev for r in
+            global_lag(df, "seq", F.col("v"), "prev").collect()}
+    run = 0
+    for i, v in enumerate(values):
+        run += v
+        assert ranks[i] == i + 1
+        assert sums[i] == run
+        assert lags[i] == (values[i - 1] if i > 0 else None)
