@@ -515,6 +515,19 @@ def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse events.props once into
+    a VARIANT column, extract typed fields with variant_get — the
+    schema-on-read shape for heterogeneous JSON at scale (parse once,
+    extract many, no per-extract re-parse)."""
+    ev = tables.load(spark, "events", sf_dir)
+    v = ev.withColumn("_v", F.parse_json("props"))
+    return (v.select(
+        "event_id",
+        F.try_variant_get(F.col("_v"), "$.k", "int").alias("k"))
+        .filter(F.col("k") > 50))
+
+
 def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-function family: revenue per calendar month of ship date."""
     li = tables.load(spark, "lineitem", sf_dir)
@@ -2266,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "as_of_join_tolerance": q_as_of_join_tolerance,
         "minhash_incremental": q_minhash_incremental,
         "frame_sample_grid": q_frame_sample_grid,
+        "props_variant": q_props_variant,
         "training_prep": q_training_prep,
         "lang_confusion": q_lang_confusion,
         "knn_label_vote": q_knn_label_vote,
@@ -3368,6 +3382,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(_shared / (sa.n_grams + sb.n_grams - _shared), 6) >= 0.2
+        """,
+        "props_variant": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INT) AS k
+            FROM events
+            WHERE CAST(json_extract(props, '$.k') AS INT) > 50
         """,
         "frame_sample_grid": """
             WITH m AS (

@@ -9,7 +9,11 @@ from akka_stream_contrib_spark.streaming.stateful import (
     heavy_hitters_stream,
 )
 from akka_stream_contrib_spark.streaming.valve import Valve
-from akka_stream_contrib_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+from akka_stream_contrib_spark.streaming.sinks import (
+    idempotent_parquet_sink,
+    incremental_dedup_sink,
+    read_sink,
+)
 from akka_stream_contrib_spark.streaming.rollup import incremental_rollup, read_rollup, expire_buckets
 
 __all__ = [
@@ -19,6 +23,7 @@ __all__ = [
     "sessionize_stream",
     "Valve",
     "idempotent_parquet_sink",
+    "incremental_dedup_sink",
     "read_sink",
     "incremental_rollup",
     "read_rollup",

@@ -53,3 +53,38 @@ def read_sink(spark, path: str) -> DataFrame:
     """Read an :func:`idempotent_parquet_sink` output without the batch-id
     bookkeeping column."""
     return spark.read.parquet(path).drop(BATCH_COL)
+
+
+def incremental_dedup_sink(path: str, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           hash_col: str = "text_hash",
+                           ) -> Callable[[DataFrame], None]:
+    """``foreachBatch`` callback implementing STREAMING first-seen dedup
+    against a growing on-disk hash index — the continuous form of
+    ``functions.dedup.dedup_incremental``: each micro-batch is reduced to
+    content the pipeline has never emitted (across ALL previous batches and
+    restarts — the index, not executor state, is the memory), survivors are
+    appended to ``path``/docs and their hashes to ``path``/index.
+
+    Unlike ``dropDuplicatesWithinWatermark`` this has no state horizon: the
+    index is a plain parquet hash table (16 bytes/doc) read via an anti
+    join, so the dedup window is the pipeline's whole lifetime. The
+    append-twice sequence is idempotent-enough under batch replay IF the
+    caller pairs it with a batch-id guard (see ``idempotent_parquet_sink``)
+    or accepts at-least-once hashes (a duplicate hash row only strengthens
+    the filter)."""
+    from akka_stream_contrib_spark.functions import dedup_incremental
+
+    def _write(batch_df: DataFrame, batch_id: int = 0) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = spark.read.parquet(f"{path}/index")
+        except Exception:
+            seen = spark.createDataFrame([], f"{hash_col} string")
+        fresh = dedup_incremental(batch_df, seen, id_col=id_col,
+                                  text_col=text_col, hash_col=hash_col)
+        fresh = fresh.localCheckpoint(eager=True)  # read index BEFORE writing it
+        fresh.drop(hash_col).write.mode("append").parquet(f"{path}/docs")
+        fresh.select(hash_col).write.mode("append").parquet(f"{path}/index")
+
+    return _write

@@ -127,6 +127,8 @@ BUDGET = {
     "minhash_incremental": 3,
     # md5 meta + grid explode: pure map-side
     "frame_sample_grid": 0,
+    # VARIANT parse + typed extract: pure map-side
+    "props_variant": 0,
 }
 
 

@@ -438,3 +438,29 @@ def test_heavy_hitters_stream_accumulates_across_batches(spark, tmp_path):
     for r in rows:
         buckets.setdefault(r.item, set()).add(r.bucket)
     assert all(len(bs) == 1 for bs in buckets.values())
+
+
+def test_incremental_dedup_sink_first_seen_across_batches(spark, tmp_path):
+    """Streaming first-seen dedup: the on-disk hash index is the memory, so
+    dedup spans micro-batches AND process restarts with no state horizon."""
+    from akka_stream_contrib_spark.streaming import incremental_dedup_sink
+
+    out = str(tmp_path / "dedup_out")
+    sink = incremental_dedup_sink(out)
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], "doc_id bigint, text string")
+    b2 = spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma"), (6, "beta"), (7, "gamma")],
+        "doc_id bigint, text string")
+    sink(b1, 0)
+    sink(b2, 1)
+    docs = {r.doc_id for r in spark.read.parquet(f"{out}/docs").collect()}
+    # batch 1: first-seen per content -> {1, 3}; batch 2: only "gamma" is new
+    assert docs == {1, 3, 5}
+    # a "restarted" sink instance sees the same index (disk, not memory)
+    sink2 = incremental_dedup_sink(out)
+    b3 = spark.createDataFrame(
+        [(8, "beta"), (9, "delta")], "doc_id bigint, text string")
+    sink2(b3, 2)
+    docs = {r.doc_id for r in spark.read.parquet(f"{out}/docs").collect()}
+    assert docs == {1, 3, 5, 9}
