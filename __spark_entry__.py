@@ -1345,6 +1345,78 @@ def q_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-uniform sample (operators/sample.py::reservoir_sample):
+    multiplicative-hash rank + TakeOrdered(k) — the engine-portable,
+    partition-layout-independent form of the reference's random sampling
+    (Sample.scala:32-44). No shuffle: each partition ships only its local
+    top-k to the driver merge."""
+    ev = tables.load(spark, "events", sf_dir)
+    from akka_stream_contrib_spark.operators import reservoir_sample
+    return (ev.transform(reservoir_sample(500, id_col="event_id"))
+            .select("event_id", "user_id", "event_type"))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-motif family: exact triangle + wedge counts over the user
+    co-activity graph (functions/graph.py::triangle_count, compact-forward
+    degree ordering — wedges fan out from low-degree endpoints only, the
+    scale-safe shape under Zipf degrees). Edges = consecutive distinct users
+    within an hour bucket, as in pagerank_users — but this op is
+    non-iterative, so it gets a full SQL oracle."""
+    from akka_stream_contrib_spark.functions import triangle_count
+    ev = tables.load(spark, "events", sf_dir)
+    w = Window.partitionBy(F.date_trunc("hour", "ts")).orderBy("event_id")
+    edges = (ev.withColumn("src", F.lag("user_id").over(w))
+             .filter(F.col("src").isNotNull()
+                     & (F.col("src") != F.col("user_id")))
+             .select("src", F.col("user_id").alias("dst")))
+    return triangle_count(edges)
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality family: Flesch reading-ease per document
+    (functions/text.py::readability_score) — regexp counts + one arithmetic
+    expression, zero shuffles; composes with quality_score/perplexity as a
+    curation filter column."""
+    from akka_stream_contrib_spark.functions import readability_score
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(readability_score())
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent token pairs by PMI with support
+    >= 5 (functions/text.py::pmi_bigrams) — the phrase-vocabulary prep for
+    tokenizer/embedding training; counts aggregate map-side, marginals join
+    on uniform token keys, N is a 1-row broadcast."""
+    from akka_stream_contrib_spark.functions import pmi_bigrams
+    docs = tables.load(spark, "documents", sf_dir)
+    return pmi_bigrams(docs, min_count=5, top_n=50)
+
+
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill by linear interpolation on a daily per-user grid
+    (operators/resample.py::resample_interpolate): two window passes over
+    ONE hash shuffle on the key, blend is row-local NTZ-safe epoch math.
+    Complements resample_ffill (step fill) for model-feature prep."""
+    from akka_stream_contrib_spark.operators import resample_interpolate
+    ev = tables.load(spark, "events", sf_dir)
+    return resample_interpolate(ev, key="user_id", ts="ts", value="value",
+                                step="interval 1 day", align="day")
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-corpus Lloyd k-means over the embeddings table
+    (functions/clustering.py::kmeans_assign): per-iteration broadcast-argmin
+    assignment (no shuffle) + k*dim-row partial-sum re-centering. Iterative
+    → rows-only driver check; exact semantics pinned by the numpy-model
+    pytest on separated fixtures (tests/test_functions.py)."""
+    from akka_stream_contrib_spark.functions import kmeans_assign
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return (kmeans_assign(emb, k=8, iterations=3)
+            .select("vec_id", "cluster", "dist"))
+
+
 def q_customers_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation family (INTERSECT): customers ordering in both 1996 and
     2000. Spark rewrites INTERSECT to a left-semi join under distinct."""
@@ -2442,6 +2514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": q_q11_important_stock,
         "q16_supplier_part_counts": q_q16_supplier_part_counts,
         "q20_promotion_suppliers": q_q20_promotion_suppliers,
+        "reservoir_sample": q_reservoir_sample,
+        "triangle_count": q_triangle_count,
+        "readability_scores": q_readability_scores,
+        "pmi_collocations": q_pmi_collocations,
+        "interpolate_linear": q_interpolate_linear,
+        "kmeans_clusters": q_kmeans_clusters,
         "ann_ivf_all": q_ann_ivf_all,
         "dedup_keep_best": q_dedup_keep_best,
         "domain_cap": q_domain_cap,
@@ -2829,6 +2907,118 @@ def oracle_sql() -> dict[str, str]:
                 SELECT n + 1, b, a + b FROM f WHERE n < 39
             )
             SELECT n, a AS fib FROM f
+        """,
+        "reservoir_sample": """
+            SELECT event_id, user_id, event_type FROM (
+                SELECT event_id, user_id, event_type,
+                       ((event_id % 2147483648) * 2654435761) % 2147483648 AS _rk
+                FROM events)
+            ORDER BY _rk, event_id
+            LIMIT 500
+        """,
+        "triangle_count": """
+            WITH e0 AS (
+                SELECT lag(user_id) OVER (
+                           PARTITION BY date_trunc('hour', ts)
+                           ORDER BY event_id) AS src,
+                       user_id AS dst
+                FROM events),
+            edges AS (SELECT src, dst FROM e0
+                      WHERE src IS NOT NULL AND src <> dst),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst),
+            deg AS (SELECT v, count(*) AS d FROM (
+                        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+                    GROUP BY v),
+            oriented AS (
+                SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                            THEN a ELSE b END AS lo,
+                       CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                            THEN b ELSE a END AS hi
+                FROM und
+                JOIN deg da ON a = da.v
+                JOIN deg db ON b = db.v),
+            wedges AS (
+                SELECT e1.lo AS u, e1.hi AS w1, e2.hi AS w2
+                FROM oriented e1 JOIN oriented e2
+                  ON e1.lo = e2.lo AND e1.hi < e2.hi)
+            SELECT (SELECT count(*) FROM wedges) AS n_wedges,
+                   (SELECT count(*) FROM wedges w
+                    WHERE EXISTS (SELECT 1 FROM und
+                                  WHERE (a = w.w1 AND b = w.w2)
+                                     OR (a = w.w2 AND b = w.w1))) AS n_triangles
+        """,
+        "readability_scores": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(lower(text)), ' +')) AS n_words,
+                       greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+                           AS n_sentences,
+                       len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+                FROM documents)
+            SELECT doc_id, n_words, n_sentences,
+                   greatest(vg, n_words) AS n_syllables,
+                   round(206.835 - 1.015 * n_words / n_sentences
+                         - 84.6 * greatest(vg, n_words) / n_words, 4) AS flesch
+            FROM c
+        """,
+        "pmi_collocations": """
+            WITH toks AS (
+                SELECT string_split(lower(text), ' ') AS t FROM documents),
+            bg AS (
+                SELECT unnest(t[1 : len(t) - 1]) AS w1,
+                       unnest(t[2 : len(t)]) AS w2
+                FROM toks WHERE len(t) >= 2),
+            pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            hc AS (SELECT w1, count(*) AS _c1 FROM bg GROUP BY 1),
+            tc AS (SELECT w2, count(*) AS _c2 FROM bg GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM bg)
+            SELECT pc.w1, pc.w2, c12,
+                   round(ln(c12 * _n / (_c1 * _c2)), 6) AS pmi
+            FROM pc
+            JOIN hc ON pc.w1 = hc.w1
+            JOIN tc ON pc.w2 = tc.w2
+            CROSS JOIN n
+            WHERE c12 >= 5
+            ORDER BY pmi DESC, pc.w1, pc.w2
+            LIMIT 50
+        """,
+        "interpolate_linear": """
+            WITH bounds AS (
+                SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS mn,
+                       max(ts) AS mx
+                FROM events GROUP BY user_id),
+            grid AS (
+                SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS ts
+                FROM bounds),
+            unioned AS (
+                SELECT user_id, ts, CAST(value AS DOUBLE) AS v, 0 AS _src FROM events
+                UNION ALL
+                SELECT user_id, ts, NULL, 1 FROM grid),
+            marked AS (
+                SELECT user_id, ts, _src,
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, _src
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                       last_value(CASE WHEN _src = 0 THEN ts END IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, _src
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                       first_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, _src
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                       first_value(CASE WHEN _src = 0 THEN ts END IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, _src
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+                FROM unioned)
+            SELECT user_id, ts AS grid_ts,
+                   round(CASE WHEN pt IS NULL THEN nv
+                              WHEN nt IS NULL THEN pv
+                              WHEN nt = pt THEN pv
+                              ELSE pv + (epoch_us(ts) - epoch_us(pt))
+                                        / (CAST(epoch_us(nt) AS DOUBLE)
+                                           - epoch_us(pt)) * (nv - pv)
+                         END, 6) AS value_interp
+            FROM marked WHERE _src = 1
         """,
         "q2_min_cost_supplier": """
             WITH """ + _PS_SQL + """,

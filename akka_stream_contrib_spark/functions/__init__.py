@@ -15,6 +15,8 @@ from akka_stream_contrib_spark.functions.text import (
     repetition_stats,
     hashed_features,
     bigram_logprob_score,
+    pmi_bigrams,
+    readability_score,
 )
 from akka_stream_contrib_spark.functions.dedup import (
     dedup_exact,
@@ -47,7 +49,8 @@ from akka_stream_contrib_spark.functions.retrieval import (
     inverted_index,
     tfidf_topk,
 )
-from akka_stream_contrib_spark.functions.graph import pagerank
+from akka_stream_contrib_spark.functions.graph import pagerank, triangle_count
+from akka_stream_contrib_spark.functions.clustering import kmeans_assign
 from akka_stream_contrib_spark.functions.quality import (
     expect,
     winsorize,
@@ -89,7 +92,9 @@ __all__ = [
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
     "domain_cap", "remove_boilerplate",
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",
-    "pagerank", "expect", "winsorize", "quality_score",
+    "pagerank", "triangle_count", "kmeans_assign",
+    "expect", "winsorize", "quality_score",
+    "pmi_bigrams", "readability_score",
     "hll_sketch_rollup", "hll_merge",
     "mg_heavy_hitters", "cm_sketch", "cm_estimate",
 ]

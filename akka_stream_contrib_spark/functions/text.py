@@ -313,3 +313,76 @@ def bigram_logprob_score(k: float = 0.5, id_col: str = "doc_id",
                       + F.lit(0.0)).alias("logprob")))
 
     return _apply
+
+
+def pmi_bigrams(df: DataFrame, text_col: str = "text", min_count: int = 5,
+                top_n: int = 50) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    ``pmi(w1,w2) = ln(c12 * N / (c1 * c2))`` over adjacent lowercase token
+    pairs, where c1/c2 are the bigram head/tail marginals and N the total
+    bigram count. The word2vec/phrase-mining prep step (collocations become
+    single tokens before training). Output: (w1, w2, c12, pmi), the
+    ``top_n`` highest-PMI pairs with support >= ``min_count``.
+
+    Scale shape: bigram extraction is a map-side array zip (no window, no
+    shuffle); three count aggregates with map-side partials; marginals join
+    back on uniform token keys; N is a 1-row broadcast crossJoin. The
+    ln runs once per surviving PAIR (not per occurrence) on exact bigint
+    counts, rounded to 6 dp — engine-portable. Deterministic top-n via the
+    (pmi desc, w1, w2) total order."""
+    toks = df.select(F.split(F.lower(F.col(text_col)), " ").alias("_t"))
+    bigrams = toks.select(
+        F.explode(F.zip_with(
+            F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+            F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    head_c = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    tail_c = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("_c2"))
+    total = bigrams.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    return (
+        pair_c.filter(F.col("c12") >= min_count)
+        .join(head_c, "w1").join(tail_c, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c12",
+                F.round(F.log(F.col("c12") * F.col("_n")
+                              / (F.col("_c1") * F.col("_c2"))), 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_n)
+    )
+
+
+def readability_score(id_col: str = "doc_id", text_col: str = "text"
+                      ) -> Callable[[DataFrame], DataFrame]:
+    """Flesch reading-ease approximation per document:
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)`` with
+    sentences = [.!?] runs (min 1), words = whitespace tokens, syllables =
+    vowel groups ``[aeiouy]+`` (min 1 per word — the standard
+    dictionary-free heuristic). A curation quality signal orthogonal to
+    length/stopword ratios (`quality.py::quality_score`): flags
+    both unreadably dense prose and token-salad.
+
+    Pure codegen expressions (regexp counts + arithmetic), no shuffle at
+    all — the score pipelines into any downstream filter at full scan
+    speed. Counts are exact ints; the final arithmetic is one double
+    expression per row, rounded to 4 dp (engine-portable)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        txt = F.lower(F.col(text_col))
+        words = F.size(F.split(F.trim(txt), " +"))
+        sentences = F.greatest(
+            F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), 0)), F.lit(1))
+        vowel_groups = F.size(F.regexp_extract_all(txt, F.lit(r"[aeiouy]+"), 0))
+        syllables = F.greatest(vowel_groups, words)  # >= 1 syllable per word
+        score = (F.lit(206.835)
+                 - F.lit(1.015) * words / sentences
+                 - F.lit(84.6) * syllables / words)
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+            syllables.alias("n_syllables"),
+            F.round(score, 4).alias("flesch"))
+
+    return _apply

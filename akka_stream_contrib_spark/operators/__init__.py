@@ -4,7 +4,7 @@ Every operator is a ``DataFrame -> DataFrame`` function usable via
 ``df.transform(op(...))`` — the Spark analogue of ``Flow[I, O]``.
 """
 
-from akka_stream_contrib_spark.operators.sample import sample_nth, sample_step, sample_random
+from akka_stream_contrib_spark.operators.sample import sample_nth, sample_step, sample_random, reservoir_sample
 from akka_stream_contrib_spark.operators.partition import partition_with, pass_through
 from akka_stream_contrib_spark.operators.accumulate import (
     accumulate,
@@ -44,7 +44,7 @@ from akka_stream_contrib_spark.operators.timeseries import (
     ewma_weights,
     sessionize,
 )
-from akka_stream_contrib_spark.operators.resample import resample_ffill
+from akka_stream_contrib_spark.operators.resample import resample_ffill, resample_interpolate
 from akka_stream_contrib_spark.operators.bucketing import (
     write_bucketed,
     write_partitioned,
@@ -66,7 +66,7 @@ __all__ = [
     "interval_overlap_join",
     "global_rank", "global_running_sum", "global_running_agg", "global_lag",
     "scd2_intervals", "zorder_key", "zorder_write", "rolling_zscore", "ewma_smooth", "ewma_weights", "sessionize",
-    "sample_nth", "sample_step", "sample_random",
+    "sample_nth", "sample_step", "sample_random", "reservoir_sample",
     "partition_with", "pass_through",
     "accumulate", "accumulate_while_unchanged", "last_element",
     "merge_by_index",
@@ -75,7 +75,7 @@ __all__ = [
     "token_throttle", "delay_flow", "keep_alive_concat",
     "timed_interval_between", "with_ingest_ts", "latency_columns",
     "retry", "retry_concat", "feedback_loop", "unfold_flow", "unfold_flow_with",
-    "as_of_join", "resample_ffill",
+    "as_of_join", "resample_ffill", "resample_interpolate",
     "write_bucketed", "write_partitioned", "bucketed_join", "assert_no_shuffle_join",
     "salted_aggregate", "salted_join",
     "compact_parquet", "parquet_file_stats", "observed", "timed_section",

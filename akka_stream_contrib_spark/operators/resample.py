@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from akka_stream_contrib_spark.util import epoch_micros
+
 
 def resample_ffill(
     df: DataFrame,
@@ -50,3 +52,55 @@ def resample_ffill(
         .filter(F.col("_src") == 1)
         .select(key, F.col(ts).alias("grid_ts"), F.col("_fill").alias("value_ffill"))
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    step: str = "interval 1 day",
+    align: str = "day",
+) -> DataFrame:
+    """Per ``key``: resample onto the same grid as :func:`resample_ffill` but
+    fill interior gaps by LINEAR interpolation between the surrounding
+    observations (grid ticks before the first / after the last observation
+    carry the nearest observation, matching pandas ``interpolate`` +
+    edge-fill). Output: (key, grid_ts, value_interp).
+
+    Same single-shuffle scale shape as ``resample_ffill``: the union of
+    observations and grid ticks makes TWO window passes over ONE hash
+    partitioning on ``key`` (backward pass = last-non-null + its timestamp;
+    forward pass = the mirrored first-following), then the blend is a pure
+    row-local expression — epoch-second arithmetic, no UDFs, no re-shuffle
+    between the passes (same partitioning, Spark reuses the exchange).
+    """
+    bounds = df.groupBy(key).agg(
+        F.date_trunc(align, F.min(ts)).alias("_mn"), F.max(ts).alias("_mx"))
+    grid = bounds.select(
+        key, F.explode(F.expr(f"sequence(_mn, _mx, {step})")).alias(ts))
+    obs = df.select(key, ts, F.col(value).cast("double").alias("_v"),
+                    F.lit(0).alias("_src"))
+    ticks = grid.select(key, ts, F.lit(None).cast("double").alias("_v"),
+                        F.lit(1).alias("_src"))
+    wb = (Window.partitionBy(key).orderBy(ts, "_src")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(key).orderBy(ts, "_src")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_ts = F.when(F.col("_src") == 0, F.col(ts))
+    sec = lambda c: epoch_micros(c).cast("double")  # noqa: E731  (NTZ-safe)
+    u = (obs.unionByName(ticks)
+         .withColumn("_pv", F.last("_v", ignorenulls=True).over(wb))
+         .withColumn("_pt", F.last(obs_ts, ignorenulls=True).over(wb))
+         .withColumn("_nv", F.first("_v", ignorenulls=True).over(wf))
+         .withColumn("_nt", F.first(obs_ts, ignorenulls=True).over(wf)))
+    frac = ((sec(F.col(ts)) - sec(F.col("_pt")))
+            / (sec(F.col("_nt")) - sec(F.col("_pt"))))
+    interp = (F.when(F.col("_pt").isNull(), F.col("_nv"))
+              .when(F.col("_nt").isNull(), F.col("_pv"))
+              .when(F.col("_nt") == F.col("_pt"), F.col("_pv"))
+              .otherwise(F.col("_pv")
+                         + frac * (F.col("_nv") - F.col("_pv"))))
+    return (u.filter(F.col("_src") == 1)
+            .select(key, F.col(ts).alias("grid_ts"),
+                    F.round(interp, 6).alias("value_interp")))

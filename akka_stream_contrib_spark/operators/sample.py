@@ -76,3 +76,31 @@ def sample_random(fraction: float, seed: int = 42) -> Callable[[DataFrame], Data
         return df.sample(fraction=fraction, seed=seed)
 
     return _apply
+
+
+def reservoir_sample(k: int, id_col: str = "seq") -> Callable[[DataFrame], DataFrame]:
+    """Deterministic k-row uniform sample without replacement: rank every row
+    by a multiplicative-congruential hash of its id (Lehmer-style multiplier
+    2654435761 = Knuth's 2^32/phi, modulus 2^31) and keep the k smallest.
+
+    The distributed analogue of reservoir sampling (the reference's
+    ``Sample.random``, Sample.scala:32-44, draws per-element random steps):
+    identical output on every engine/run for a given id set, unlike
+    ``df.sample`` whose draw depends on partition layout. Plan shape: a
+    map-side expression + TakeOrdered(k) — each partition keeps its local
+    top-k and only k rows per partition reach the driver-side merge; no
+    full sort, no shuffle of the data. Survives any scale where k fits in
+    memory; for k beyond that, swap the limit for a rank-filter window.
+    """
+    if k <= 0:
+        raise ValueError(f"reservoir_sample requires k >= 1, got {k}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        key = F.pmod(F.pmod(F.col(id_col).cast("bigint"), F.lit(2147483648))
+                     * F.lit(2654435761), F.lit(2147483648))
+        return (df.withColumn("_rsv_key", key)
+                .orderBy("_rsv_key", id_col)
+                .limit(k)
+                .drop("_rsv_key"))
+
+    return _apply

@@ -482,3 +482,32 @@ def test_global_running_agg_min_max_count_match_naive_window(spark):
               global_running_agg(df, "seq", "v", "cnt", fn="count").collect()}
     for s, (mn, mx, cnt) in expect.items():
         assert got_mn[s] == mn and got_mx[s] == mx and got_ct[s] == cnt
+
+
+def test_reservoir_sample_deterministic_and_uniform(spark):
+    from akka_stream_contrib_spark.operators import reservoir_sample
+    import pytest as _pytest
+    df = spark.createDataFrame([(i,) for i in range(2000)], "seq bigint")
+    a = sorted(r.seq for r in df.transform(reservoir_sample(100)).collect())
+    b = sorted(r.seq for r in
+               df.repartition(13).transform(reservoir_sample(100)).collect())
+    assert a == b and len(a) == 100  # partition-layout independent
+    # hash-rank spreads across the id range (crude uniformity check)
+    assert min(a) < 200 and max(a) > 1800
+    with _pytest.raises(ValueError):
+        reservoir_sample(0)
+
+
+def test_resample_interpolate_exact_line(spark):
+    from akka_stream_contrib_spark.operators import resample_interpolate
+    from datetime import datetime
+    rows = [(1, datetime(2024, 1, 1), 0.0), (1, datetime(2024, 1, 5), 8.0),
+            (2, datetime(2024, 1, 2), 5.0)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = {(r.user_id, r.grid_ts.day): r.value_interp
+           for r in resample_interpolate(
+               df, key="user_id", step="interval 1 day", align="day").collect()}
+    # user 1: linear 0→8 over 4 days = 2.0/day
+    assert [out[(1, d)] for d in (1, 2, 3, 4, 5)] == [0.0, 2.0, 4.0, 6.0, 8.0]
+    # user 2: single observation fills its whole (1-tick) grid
+    assert out[(2, 2)] == 5.0
