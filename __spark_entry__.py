@@ -2945,8 +2945,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM wedges) AS n_wedges,
                    (SELECT count(*) FROM wedges w
                     WHERE EXISTS (SELECT 1 FROM und
-                                  WHERE (a = w.w1 AND b = w.w2)
-                                     OR (a = w.w2 AND b = w.w1))) AS n_triangles
+                                  WHERE a = w.w1 AND b = w.w2)) AS n_triangles
         """,
         "readability_scores": """
             WITH c AS (

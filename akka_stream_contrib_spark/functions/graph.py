@@ -98,11 +98,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     wedges = (e1.join(e2, (F.col("u") == F.col("u2"))
                       & (F.col("w1") < F.col("w2")))
               .select("u", "w1", "w2"))
-    closing = oriented.select(F.col("lo").alias("c1"), F.col("hi").alias("c2"))
+    # wedge endpoints are value-ordered (w1 < w2) and `und` is canonical
+    # (a < b), so the closing-edge probe is a single EQUI semi-join — a
+    # disjunctive form here would force a nested-loop join and blow up on
+    # dense graphs.
     und2 = und.select(F.col("a").alias("c1"), F.col("b").alias("c2"))
     tri = wedges.join(
-        und2, ((F.col("w1") == F.col("c1")) & (F.col("w2") == F.col("c2")))
-        | ((F.col("w2") == F.col("c1")) & (F.col("w1") == F.col("c2"))),
+        und2, (F.col("w1") == F.col("c1")) & (F.col("w2") == F.col("c2")),
         "left_semi")
     return (wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
             .crossJoin(F.broadcast(tri.agg(

@@ -82,6 +82,20 @@ HEADLINE = [
     "minhash_incremental",
     "hashed_features",
     "bigram_logprob",
+    # round-3 additions: full TPC-H over the derived partsupp view, graph
+    # motifs, collocations, readability, deterministic sampling, gap fill,
+    # distributed k-means
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_promotion_suppliers",
+    "triangle_count",
+    "pmi_collocations",
+    "readability_scores",
+    "reservoir_sample",
+    "interpolate_linear",
+    "kmeans_clusters",
 ]
 
 
