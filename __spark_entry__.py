@@ -4444,8 +4444,9 @@ def oracle_sql() -> dict[str, str]:
         "rolling_zscore": """
             WITH fr AS (
                 SELECT event_id, user_id, value,
-                       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s,
-                       CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS ss,
+                       sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w / 100.0 AS s,
+                       sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                           * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w / 10000.0 AS ss,
                        CAST(count(*) OVER w AS DOUBLE) AS cnt
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY event_id

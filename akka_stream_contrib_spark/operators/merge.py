@@ -40,6 +40,15 @@ def merge_by_index(
     """
     if not branches:
         raise ValueError("merge_by_index needs at least one branch")
+    # bool is a likely caller slip for the string enum — map it rather than
+    # silently skipping the duplicate check (validate=True ≠ any branch below)
+    if validate is True:
+        validate = "raise"
+    elif validate is False or validate is None:
+        validate = "none"
+    if validate not in ("raise", "column", "none"):
+        raise ValueError(f"merge_by_index: unknown validate={validate!r} "
+                         "(expected 'raise', 'column', or 'none')")
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)

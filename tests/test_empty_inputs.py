@@ -37,6 +37,7 @@ NONEMPTY_OK = {
     "unfold_collatz", "feedback_fibonacci",      # literal-seeded generators
     "unfold_flow_with",                          # literal-seeded generator
     "data_quality_report",  # a zero-violation report row per check is correct
+    "triangle_count",  # global (n_wedges, n_triangles) reduction — 1 zero row
 }
 
 
