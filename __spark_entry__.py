@@ -1394,6 +1394,31 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(docs, min_count=5, top_n=50)
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step statistic: top-20 adjacent character pairs
+    (functions/bpe.py::bpe_pair_counts) — the argmax source for the first
+    BPE merge. Pair stats are computed over the DISTINCT-WORD table weighted
+    by word frequency (vocabulary collapse): the only corpus-sized shuffle
+    is the word-frequency partial agg; the pair explode fans out over the
+    vocabulary alone, so the plan is corpus-size-independent past the first
+    aggregation — the shape that matters at 100 TB."""
+    from akka_stream_contrib_spark.functions import bpe_pair_counts
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(bpe_pair_counts(k=20))
+
+
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, full loop: 10 BPE merge rules learned from the
+    corpus (functions/bpe.py::bpe_learn_merges). Iterative driver loop like
+    k-means/pagerank (rows-only driver check; step-1 statistics are the
+    SQL-oracled bpe_pair_counts above; the loop itself is pinned by the
+    classic low/lower/newest/widest worked example in tests/test_bpe.py);
+    every iteration is vocabulary-sized — the corpus is read once."""
+    from akka_stream_contrib_spark.functions import bpe_learn_merges
+    docs = tables.load(spark, "documents", sf_dir)
+    return bpe_learn_merges(docs, n_merges=10)
+
+
 def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill by linear interpolation on a daily per-user grid
     (operators/resample.py::resample_interpolate): two window passes over
@@ -2518,6 +2543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "readability_scores": q_readability_scores,
         "pmi_collocations": q_pmi_collocations,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_learn_merges": q_bpe_learn_merges,
         "interpolate_linear": q_interpolate_linear,
         "kmeans_clusters": q_kmeans_clusters,
         "ann_ivf_all": q_ann_ivf_all,
@@ -2981,6 +3008,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE c12 >= 5
             ORDER BY pmi DESC, pc.w1, pc.w2
             LIMIT 50
+        """,
+        "bpe_pair_counts": """
+            WITH words AS (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ), wf AS (
+                SELECT w, count(*) AS f FROM words
+                WHERE len(w) >= 2 GROUP BY w
+            ), pairs AS (
+                SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, f
+                FROM (SELECT w, f, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM wf)
+            )
+            SELECT a, b, CAST(sum(f) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY a, b
+            ORDER BY pair_count DESC, a, b
+            LIMIT 20
         """,
         "interpolate_linear": """
             WITH bounds AS (

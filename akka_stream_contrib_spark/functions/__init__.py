@@ -18,6 +18,11 @@ from akka_stream_contrib_spark.functions.text import (
     pmi_bigrams,
     readability_score,
 )
+from akka_stream_contrib_spark.functions.bpe import (
+    bpe_pair_counts,
+    bpe_learn_merges,
+    word_freq,
+)
 from akka_stream_contrib_spark.functions.dedup import (
     dedup_exact,
     dedup_keep_best,
@@ -81,6 +86,7 @@ __all__ = [
     "tokens", "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
     "token_id", "redact_pii", "repetition_stats", "token_entropy",
     "hashed_features", "bigram_logprob_score",
+    "bpe_pair_counts", "bpe_learn_merges", "word_freq",
     "dedup_exact", "dedup_keep_best", "dedup_incremental", "shingles",
     "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "band_keys", "minhash_band_table",

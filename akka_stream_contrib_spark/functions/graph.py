@@ -78,8 +78,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     und = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
                         F.greatest(F.col(src), F.col(dst)).alias("b"))
            .filter(F.col("a") != F.col("b")).distinct())
-    deg = (und.select(F.col("a").alias("v"))
-           .unionAll(und.select(F.col("b").alias("v")))
+    # one scan of `und` (explode both endpoints), not a 2-scan unionAll —
+    # halves the upstream recomputation in the physical plan
+    deg = (und.select(F.explode(F.array("a", "b")).alias("v"))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
     # orient each edge from the (degree, id)-smaller endpoint to the larger
     da, db = deg.alias("da"), deg.alias("db")
@@ -102,10 +103,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # (a < b), so the closing-edge probe is a single EQUI semi-join — a
     # disjunctive form here would force a nested-loop join and blow up on
     # dense graphs.
+    # LEFT join, not semi + a second wedge scan: `und` is canonically
+    # distinct so each wedge matches at most once (no fanout), and one
+    # aggregation then yields BOTH counts in a single pass over the wedge
+    # stream — the wedge set (the big intermediate) is never recomputed.
     und2 = und.select(F.col("a").alias("c1"), F.col("b").alias("c2"))
-    tri = wedges.join(
+    closed = wedges.join(
         und2, (F.col("w1") == F.col("c1")) & (F.col("w2") == F.col("c2")),
-        "left_semi")
-    return (wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
-            .crossJoin(F.broadcast(tri.agg(
-                F.count(F.lit(1)).alias("n_triangles")))))
+        "left")
+    return closed.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count(F.col("c1")).alias("n_triangles"))

@@ -96,6 +96,7 @@ HEADLINE = [
     "reservoir_sample",
     "interpolate_linear",
     "kmeans_clusters",
+    "bpe_pair_counts",
 ]
 
 

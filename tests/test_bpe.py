@@ -1,0 +1,56 @@
+"""BPE tokenizer training — pinned to the classic low/lower/newest/widest
+worked example (Sennrich et al. 2016 fixture): merges must come out
+es → est → lo → low, with frequency-weighted pair counts."""
+
+from __future__ import annotations
+
+from akka_stream_contrib_spark.functions import bpe_learn_merges, bpe_pair_counts
+
+
+def _corpus(spark):
+    # word frequencies: low×5, lower×2, newest×6, widest×3
+    return spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest widest"),
+         (2, "widest widest newest newest low low")],
+        "doc_id long, text string")
+
+
+def test_pair_counts_weighted_by_word_freq(spark):
+    rows = {(r["a"], r["b"]): r["pair_count"]
+            for r in bpe_pair_counts(k=50)(_corpus(spark)).collect()}
+    # 'es' appears once in newest(6) + once in widest(3)
+    assert rows[("e", "s")] == 9
+    assert rows[("s", "t")] == 9
+    # 'lo' from low(5) + lower(2)
+    assert rows[("l", "o")] == 7
+    # 'ne' only from newest
+    assert rows[("n", "e")] == 6
+
+
+def test_learn_merges_classic_sequence(spark):
+    out = bpe_learn_merges(_corpus(spark), n_merges=4).collect()
+    got = [(r["step"], r["left"], r["right"]) for r in out]
+    assert got[0] == (1, "e", "s")
+    assert got[1] == (2, "es", "t")
+    assert got[2] == (3, "l", "o")
+    assert got[3] == (4, "lo", "w")
+    # counts are the frequency-weighted pair supports at each step
+    assert [r["pair_count"] for r in out] == [9, 9, 7, 7]
+
+
+def test_overlapping_pairs_merge_left_to_right(spark):
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    out = bpe_learn_merges(docs, n_merges=2).collect()
+    # 'aaa' (freq 2) has two (a,a) positions -> support 2*2; the merge
+    # applies left-to-right non-overlapping: aaa -> [aa, a], then (aa, a)
+    # with one position -> support 2
+    assert (out[0]["left"], out[0]["right"]) == ("a", "a")
+    assert out[0]["pair_count"] == 4
+    assert (out[1]["left"], out[1]["right"]) == ("aa", "a")
+    assert out[1]["pair_count"] == 2
+
+
+def test_empty_corpus_yields_no_merges(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_learn_merges(docs, n_merges=3).count() == 0
+    assert bpe_pair_counts()(docs).count() == 0

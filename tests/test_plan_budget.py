@@ -129,6 +129,31 @@ BUDGET = {
     "frame_sample_grid": 0,
     # VARIANT parse + typed extract: pure map-side
     "props_variant": 0,
+    # gap-fill: grid window + blend window over one key shuffle (+1 grid agg)
+    "interpolate_linear": 2,
+    # iterations run at plan-build time; the returned assignment plan is a
+    # broadcast-centroid argmin — pure map-side
+    "kmeans_clusters": 0,
+    # bigram counts + two marginal aggs + top-n; N is a 1-row broadcast
+    "pmi_collocations": 4,
+    # partsupp-derived value agg ×2 (group + global threshold) + dims
+    "q11_important_stock": 5,
+    "q16_supplier_part_counts": 3,
+    "q20_promotion_suppliers": 3,
+    "q2_min_cost_supplier": 2,
+    "q9_product_profit": 2,
+    # regexp counts + arithmetic: zero shuffles
+    "readability_scores": 0,
+    # per-partition reservoirs merge driver-side: map-side only
+    "reservoir_sample": 0,
+    # STATIC count — the edge subtree (`und`) appears 4× in the declarative
+    # plan; at runtime AQE's stage cache collapses identical subtrees to 8
+    # unique shuffle stages + 6 ReusedExchange (verified sf0.01)
+    "triangle_count": 19,
+    # corpus→vocab word-freq agg + vocab-sized pair agg
+    "bpe_pair_counts": 2,
+    # iterative: per-round jobs run at build time; result is a local table
+    "bpe_learn_merges": 0,
 }
 
 
