@@ -630,6 +630,21 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, "documents", sf_dir).transform(doc_fingerprint())
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 dedup, Spark-first):
+    maximal per-doc token ranges covered by non-canonical occurrences of any
+    duplicated 8-gram."""
+    from akka_stream_contrib_spark.functions import duplicate_spans
+    return duplicate_spans(tables.load(spark, "documents", sf_dir), k=8)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the duplicated-span cut: per-doc cleaned text + removed-token
+    count (docs without duplicated spans pass through unchanged)."""
+    from akka_stream_contrib_spark.functions import span_dedup
+    return span_dedup(tables.load(spark, "documents", sf_dir), k=8)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from akka_stream_contrib_spark.functions import dedup_exact
     return tables.load(spark, "documents", sf_dir).transform(dedup_exact())
@@ -2534,6 +2549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_concat_split": q_retry_concat_split,
         "unfold_flow_with": q_unfold_flow_with,
         "token_throttle_keyed": q_token_throttle_keyed,
+        "duplicate_spans": q_duplicate_spans,
+        "span_dedup": q_span_dedup,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q9_product_profit": q_q9_product_profit,
         "q11_important_stock": q_q11_important_stock,
@@ -3641,6 +3658,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "duplicate_spans": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), occ AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(t[i:i+7], ' ')) AS g
+                FROM toks, (SELECT unnest(generate_series(1, 4096)) AS i) s
+                WHERE i <= len(t) - 8 + 1
+            ), dup AS (
+                SELECT g, min(doc_id * 4294967296 + pos) AS canon_key
+                FROM occ GROUP BY g HAVING count(*) > 1
+            ), marked AS (
+                SELECT o.doc_id, o.pos AS s, o.pos + 7 AS e
+                FROM occ o JOIN dup d USING (g)
+                WHERE o.doc_id * 4294967296 + o.pos <> d.canon_key
+            ), flagged AS (
+                SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pmax
+                FROM marked
+            ), isl AS (
+                SELECT doc_id, s, e,
+                       sum(CASE WHEN pmax IS NULL OR s > pmax + 1
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
+                FROM flagged
+            )
+            SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+            FROM isl GROUP BY doc_id, isl_id
+        """,
+        "span_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), occ AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(t[i:i+7], ' ')) AS g
+                FROM toks, (SELECT unnest(generate_series(1, 4096)) AS i) s
+                WHERE i <= len(t) - 8 + 1
+            ), dup AS (
+                SELECT g, min(doc_id * 4294967296 + pos) AS canon_key
+                FROM occ GROUP BY g HAVING count(*) > 1
+            ), marked AS (
+                SELECT o.doc_id, o.pos AS s, o.pos + 7 AS e
+                FROM occ o JOIN dup d USING (g)
+                WHERE o.doc_id * 4294967296 + o.pos <> d.canon_key
+            ), flagged AS (
+                SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pmax
+                FROM marked
+            ), isl AS (
+                SELECT doc_id, s, e,
+                       sum(CASE WHEN pmax IS NULL OR s > pmax + 1
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s) AS isl_id
+                FROM flagged
+            ), spans AS (
+                SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+                FROM isl GROUP BY doc_id, isl_id
+            ), tok_rows AS (
+                SELECT doc_id, i - 1 AS pos, t[i] AS tok
+                FROM toks, (SELECT unnest(generate_series(1, 4096)) AS i) s
+                WHERE i <= len(t)
+            ), kept AS (
+                SELECT tr.doc_id, tr.pos, tr.tok
+                FROM tok_rows tr
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = tr.doc_id
+                      AND tr.pos BETWEEN sp.span_start AND sp.span_end)
+            ), rebuilt AS (
+                SELECT doc_id,
+                       coalesce(string_agg(tok, ' ' ORDER BY pos), '')
+                           AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0)
+                       AS removed_tokens
+            FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         """,
         "dedup_keep_best": """
             WITH ranked AS (

@@ -38,6 +38,9 @@ from akka_stream_contrib_spark.functions.dedup import (
     char_ngrams,
     ngram_jaccard_dedup,
     dup_clusters,
+    positional_ngrams,
+    duplicate_spans,
+    span_dedup,
 )
 from akka_stream_contrib_spark.functions.corpus import (
     chunk_documents,
@@ -91,6 +94,7 @@ __all__ = [
     "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "band_keys", "minhash_band_table",
     "minhash_incremental_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
+    "positional_ngrams", "duplicate_spans", "span_dedup",
     "dup_clusters",
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_topk_all_ivf",
     "ann_lsh_topk", "ivf_topk", "ivf_write_index", "ivf_query_index",

@@ -459,3 +459,107 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
             f"dup_clusters did not converge in {max_iter} rounds — "
             "component diameter exceeds the bound; raise max_iter")
     return labels.select(F.col("u").alias("id"), F.col("lbl").alias("cluster_id"))
+
+
+def positional_ngrams(df: DataFrame, k: int = 8, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Every k-token window with its position: (doc_id, pos, gram) — one row
+    per OCCURRENCE (unlike :func:`shingles`, which is distinct-per-doc).
+    ``pos`` is the 0-based index of the window's first token.
+
+    Same single-pass array construction as :func:`shingles` (token array
+    projected once, ``transform`` over an index sequence, one ``posexplode``)
+    so the whole gram table is produced map-side with no window functions."""
+    gram_arr = (
+        f"transform(sequence(0, size(_toks) - {k}),"
+        f" i -> concat_ws(' ', slice(_toks, i + 1, {k})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select("doc_id", F.posexplode(F.expr(gram_arr)).alias("pos", "gram"))
+    )
+
+
+# canonical-occurrence key: doc_id * 2^32 + pos, totally ordered and portable
+_SPAN_KEY = 4294967296
+
+
+def duplicate_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact duplicated-substring detection, the corpus-level dedup from
+    "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+    2022), re-expressed Spark-first: instead of a suffix array (a global
+    sorted structure that does not shard), find every k-token window whose
+    text occurs more than once ANYWHERE in the corpus, drop the single
+    canonical occurrence (lowest (doc_id, pos)), and merge the surviving
+    marks into maximal per-document spans. Returns
+    (doc_id, span_start, span_end) — inclusive 0-based token ranges that a
+    cleaner may cut (see :func:`span_dedup`).
+
+    Scale shape: one map-side gram pass (:func:`positional_ngrams`), one
+    shuffle grouping on md5(gram) — a uniform 128-bit key, so no skew and a
+    32-char key instead of the k-word string on the wire; the duplicated-gram
+    table (count > 1) is typically a small fraction of the corpus and joins
+    back to the occurrence rows on the same hash. Span merging is a
+    gaps-and-islands window partitioned per document — bounded work per doc.
+    At 100 TB every stage is an ordinary hash shuffle; nothing global, no
+    suffix array, no driver state.
+    """
+    occ = (positional_ngrams(df, k=k, id_col=id_col, text_col=text_col)
+           .select("doc_id", "pos", F.md5("gram").alias("g")))
+    dup = (occ.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.min(F.col("doc_id") * F.lit(_SPAN_KEY) + F.col("pos")).alias("canon_key"))
+           .filter(F.col("cnt") > 1)
+           .select("g", "canon_key"))
+    marked = (
+        occ.join(dup, "g")
+        .filter(F.col("doc_id") * F.lit(_SPAN_KEY) + F.col("pos") != F.col("canon_key"))
+        .select("doc_id", F.col("pos").alias("s"),
+                (F.col("pos") + F.lit(k - 1)).alias("e"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max = (Window.partitionBy("doc_id").orderBy("s")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        marked
+        .withColumn("_pmax", F.max("e").over(prev_max))
+        .withColumn("_new", F.when(
+            F.col("_pmax").isNull() | (F.col("s") > F.col("_pmax") + 1),
+            F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("_isl", F.sum("_new").over(w))
+    )
+    return (islands.groupBy("doc_id", "_isl")
+            .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+            .select("doc_id", "span_start", "span_end"))
+
+
+def span_dedup(df: DataFrame, k: int = 8, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Apply :func:`duplicate_spans`: cut every duplicated span (keeping the
+    corpus-wide canonical occurrence) and re-join the remaining tokens.
+    Returns (doc_id, clean_text, removed_tokens) for EVERY input document —
+    untouched docs pass through with removed_tokens = 0.
+
+    The span list joins back per document (spans per doc are few — they were
+    merged to maximal islands), and the cut is a higher-order-function filter
+    over the token index sequence, entirely JVM-side: no token-row explode,
+    no range join. A fully-duplicated document yields clean_text = ''."""
+    spans = duplicate_spans(df, k=k, id_col=id_col, text_col=text_col)
+    sp_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    keep_expr = (
+        "transform(filter(sequence(0, size(_toks) - 1),"
+        " i -> _spans IS NULL OR NOT exists(_spans,"
+        " sp -> i >= sp.span_start AND i <= sp.span_end)),"
+        " i -> element_at(_toks, i + 1))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("_toks"))
+        .join(sp_arr, "doc_id", "left")
+        .withColumn("_kept", F.expr(keep_expr))
+        .select("doc_id",
+                F.array_join(F.col("_kept"), " ").alias("clean_text"),
+                (F.size("_toks") - F.size("_kept")).cast("bigint").alias("removed_tokens"))
+    )

@@ -97,6 +97,9 @@ HEADLINE = [
     "interpolate_linear",
     "kmeans_clusters",
     "bpe_pair_counts",
+    # exact duplicated-span dedup (suffix-array-free Lee et al. 2022)
+    "duplicate_spans",
+    "span_dedup",
 ]
 
 

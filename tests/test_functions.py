@@ -662,3 +662,47 @@ def test_readability_scores_model(spark):
     assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 6)
     expected = round(206.835 - 1.015 * 5 / 2 - 84.6 * 6 / 5, 4)
     assert r.flesch == expected
+
+
+def test_duplicate_spans_marks_non_canonical_copy(spark):
+    from akka_stream_contrib_spark.functions import duplicate_spans, span_dedup
+    # doc 2 repeats doc 1's opening 6 tokens; k=4 grams at pos 0,1,2 of both
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, shared + " eta theta"),
+         (2, shared + " iota kappa"),
+         (3, "wholly unrelated text content here now")],
+        "doc_id bigint, text string")
+    spans = {(r.doc_id, r.span_start, r.span_end)
+             for r in duplicate_spans(docs, k=4).collect()}
+    # canonical occurrence (doc 1, pos 0) is kept; doc 2's copy is one
+    # merged island covering tokens 0..5
+    assert spans == {(2, 0, 5)}
+    cleaned = {r.doc_id: (r.clean_text, r.removed_tokens)
+               for r in span_dedup(docs, k=4).collect()}
+    assert cleaned[1] == (shared + " eta theta", 0)
+    assert cleaned[2] == ("iota kappa", 6)
+    assert cleaned[3][1] == 0
+
+
+def test_span_dedup_fully_duplicated_doc_empties(spark):
+    from akka_stream_contrib_spark.functions import span_dedup
+    t = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id bigint, text string")
+    out = {r.doc_id: (r.clean_text, r.removed_tokens)
+           for r in span_dedup(docs, k=5).collect()}
+    assert out[1] == (t, 0)          # canonical survives
+    assert out[2] == ("", 5)         # copy fully removed
+
+
+def test_duplicate_spans_merges_adjacent_islands(spark):
+    from akka_stream_contrib_spark.functions import duplicate_spans
+    # two overlapping duplicated 3-gram regions in doc 2 merge to one span
+    docs = spark.createDataFrame(
+        [(1, "a b c d e x y z"),
+         (2, "p q a b c d e r")],
+        "doc_id bigint, text string")
+    spans = [(r.doc_id, r.span_start, r.span_end)
+             for r in duplicate_spans(docs, k=3).collect()]
+    assert spans == [(2, 2, 6)]
