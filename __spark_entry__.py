@@ -630,6 +630,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, "documents", sf_dir).transform(doc_fingerprint())
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the shipped 8-merge tokenizer (FIXTURE_MERGES, learned once from
+    this corpus) to every document: per-doc word + BPE token counts."""
+    from akka_stream_contrib_spark.functions import bpe_encode
+    return tables.load(spark, "documents", sf_dir).transform(bpe_encode())
+
+
+def q_bpe_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus token frequencies under the shipped merge table."""
+    from akka_stream_contrib_spark.functions import bpe_encode_tokens
+    return tables.load(spark, "documents", sf_dir).transform(bpe_encode_tokens(k=20))
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2022 dedup, Spark-first):
     maximal per-doc token ranges covered by non-canonical occurrences of any
@@ -2551,6 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_throttle_keyed": q_token_throttle_keyed,
         "duplicate_spans": q_duplicate_spans,
         "span_dedup": q_span_dedup,
+        "bpe_encode": q_bpe_encode,
+        "bpe_token_freqs": q_bpe_token_freqs,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q9_product_profit": q_q9_product_profit,
         "q11_important_stock": q_q11_important_stock,
@@ -3658,6 +3673,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "bpe_encode": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), vocab AS (
+                SELECT DISTINCT w FROM words WHERE w <> ''
+            ), enc AS (
+                SELECT w,
+                  replace(replace(replace(replace(replace(replace(replace(replace(
+                    chr(31) || array_to_string(string_split_regex(w, ''), chr(31)),
+                    chr(31)||'e'||chr(31)||'r', chr(31)||'er'),
+                    chr(31)||'i'||chr(31)||'n', chr(31)||'in'),
+                    chr(31)||'o'||chr(31)||'w', chr(31)||'ow'),
+                    chr(31)||'o'||chr(31)||'r', chr(31)||'or'),
+                    chr(31)||'s'||chr(31)||'t', chr(31)||'st'),
+                    chr(31)||'m'||chr(31)||'er', chr(31)||'mer'),
+                    chr(31)||'a'||chr(31)||'t', chr(31)||'at'),
+                    chr(31)||'l'||chr(31)||'u', chr(31)||'lu') AS e
+                FROM vocab
+            ), counts AS (
+                SELECT w, len(string_split(e, chr(31))) - 1 AS n_tok FROM enc
+            )
+            SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(n_tok) AS BIGINT) AS bpe_tokens
+            FROM words JOIN counts USING (w)
+            GROUP BY doc_id
+        """,
+        "bpe_token_freqs": """
+            WITH words AS (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ), wf AS (
+                SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w
+            ), enc AS (
+                SELECT w, f,
+                  replace(replace(replace(replace(replace(replace(replace(replace(
+                    chr(31) || array_to_string(string_split_regex(w, ''), chr(31)),
+                    chr(31)||'e'||chr(31)||'r', chr(31)||'er'),
+                    chr(31)||'i'||chr(31)||'n', chr(31)||'in'),
+                    chr(31)||'o'||chr(31)||'w', chr(31)||'ow'),
+                    chr(31)||'o'||chr(31)||'r', chr(31)||'or'),
+                    chr(31)||'s'||chr(31)||'t', chr(31)||'st'),
+                    chr(31)||'m'||chr(31)||'er', chr(31)||'mer'),
+                    chr(31)||'a'||chr(31)||'t', chr(31)||'at'),
+                    chr(31)||'l'||chr(31)||'u', chr(31)||'lu') AS e
+                FROM wf
+            ), toks AS (
+                SELECT unnest(string_split(e, chr(31))) AS token, f FROM enc
+            )
+            SELECT token, CAST(sum(f) AS BIGINT) AS freq
+            FROM toks WHERE token <> ''
+            GROUP BY token ORDER BY freq DESC, token LIMIT 20
         """,
         "duplicate_spans": """
             WITH toks AS (

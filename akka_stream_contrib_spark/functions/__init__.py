@@ -21,6 +21,9 @@ from akka_stream_contrib_spark.functions.text import (
 from akka_stream_contrib_spark.functions.bpe import (
     bpe_pair_counts,
     bpe_learn_merges,
+    bpe_encode,
+    bpe_encode_tokens,
+    FIXTURE_MERGES,
     word_freq,
 )
 from akka_stream_contrib_spark.functions.dedup import (
@@ -90,6 +93,7 @@ __all__ = [
     "token_id", "redact_pii", "repetition_stats", "token_entropy",
     "hashed_features", "bigram_logprob_score",
     "bpe_pair_counts", "bpe_learn_merges", "word_freq",
+    "bpe_encode", "bpe_encode_tokens", "FIXTURE_MERGES",
     "dedup_exact", "dedup_keep_best", "dedup_incremental", "shingles",
     "minhash_signatures", "lsh_candidate_pairs",
     "minhash_lsh_dedup", "band_keys", "minhash_band_table",

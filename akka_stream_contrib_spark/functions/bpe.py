@@ -129,3 +129,89 @@ def bpe_learn_merges(df: DataFrame, n_merges: int = 10,
         )
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint")
+
+
+# Delimiter for the flat symbol-string encoding below: a control character
+# that never appears in text tokens, so symbol boundaries are unambiguous.
+_SEP = "\x1f"
+
+#: Merge table learned (bpe_learn_merges, n=8) from the sf0.01 documents
+#: fixture — the "shipped tokenizer" constant the gate query applies. Rank
+#: order matters: ('m','er') fires only after ('e','r') has produced 'er'.
+FIXTURE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+)
+
+
+def _encode_expr(word, merges) -> "F.Column":
+    """Flat BPE application as a pure string expression: prefix every
+    character with the separator, then for each merge (a, b) in rank order
+    run a plain left-to-right ``replace`` of SEP+a+SEP+b with SEP+ab.
+
+    Because every symbol carries its OWN leading separator, a pattern can
+    only match at a symbol boundary (no cross-symbol false positives) and
+    adjacent matches share no characters — so replace-all equals the
+    left-to-right greedy merge pass of standard BPE encoding ('aaa' with
+    merge (a,a) → [aa, a]). Plain ``replace`` (not regexp) exists with
+    identical scan-forward semantics in Spark and DuckDB, which is what
+    makes the oracle bit-exact."""
+    e = F.regexp_replace(word, "(.)", _SEP + "$1")
+    for a, b in merges:
+        e = F.replace(e, F.lit(_SEP + a + _SEP + b), F.lit(_SEP + a + b))
+    return e
+
+
+def bpe_encode(merges=FIXTURE_MERGES, id_col: str = "doc_id",
+               text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
+    """Tokenize documents with a LEARNED merge table (the inference half of
+    the tokenizer: :func:`bpe_learn_merges` trains once; this applies the
+    shipped constant everywhere). Returns (doc_id, n_words, bpe_tokens).
+
+    Scale shape: the corpus explodes to (doc_id, word) once, but the merge
+    cascade runs over the DISTINCT-word vocabulary only (Heaps-law bounded,
+    ≪ corpus) — then a vocabulary join (broadcastable: the vocab carries two
+    ints per word) maps per-word token counts back and re-aggregates per
+    document. Encoding cost is independent of how often each word repeats
+    across 100 TB. The vocab join is left to AQE: it broadcasts while the
+    (word, int) table fits the threshold and falls back to an ordinary
+    uniform-key hash join for extreme vocabularies — never forced."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        words = (df.select(F.col(id_col).alias("doc_id"),
+                           F.explode(F.split(F.col(text_col), " ")).alias("w"))
+                 .filter(F.col("w") != ""))
+        vocab = words.select("w").distinct()
+        n_tok = (F.size(F.split(_encode_expr(F.col("w"), merges), _SEP))
+                 - F.lit(1)).cast("bigint")
+        vocab_counts = vocab.select("w", n_tok.alias("_n_tok"))
+        return (
+            words.join(vocab_counts, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("_n_tok").cast("bigint").alias("bpe_tokens"))
+        )
+
+    return _apply
+
+
+def bpe_encode_tokens(merges=FIXTURE_MERGES, text_col: str = "text",
+                      k: int = 20) -> Callable[[DataFrame], DataFrame]:
+    """Corpus token frequencies under the merge table: top-``k``
+    (token, freq) after BPE encoding — the sanity table a tokenizer rollout
+    reviews. Same vocabulary-collapse shape as :func:`bpe_encode`; the
+    symbol explode fans out over distinct words only, weighted by word
+    frequency. Ties break lexically so top-k is deterministic."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        wf = word_freq(df, text_col, min_len=1)
+        syms = F.split(_encode_expr(F.col("w"), merges), _SEP)
+        return (
+            wf.select(F.explode(F.slice(syms, 2, F.size(syms) - 1)).alias("token"), "f")
+            .groupBy("token")
+            .agg(F.sum("f").cast("bigint").alias("freq"))
+            .orderBy(F.desc("freq"), "token")
+            .limit(k)
+        )
+
+    return _apply

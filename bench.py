@@ -97,9 +97,10 @@ HEADLINE = [
     "interpolate_linear",
     "kmeans_clusters",
     "bpe_pair_counts",
-    # exact duplicated-span dedup (suffix-array-free Lee et al. 2022)
+    # exact duplicated-span dedup (suffix-array-free Lee et al. 2022) + BPE inference
     "duplicate_spans",
     "span_dedup",
+    "bpe_encode",
 ]
 
 

@@ -54,3 +54,32 @@ def test_empty_corpus_yields_no_merges(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert bpe_learn_merges(docs, n_merges=3).count() == 0
     assert bpe_pair_counts()(docs).count() == 0
+
+
+def test_bpe_encode_left_to_right_greedy(spark):
+    from akka_stream_contrib_spark.functions import bpe_encode
+    # merge (a,a) over 'aaaa a aaa': left-to-right non-overlapping pass →
+    # aaaa→[aa,aa]=2, a→[a]=1, aaa→[aa,a]=2
+    docs = spark.createDataFrame([(1, "aaaa a aaa")], "doc_id bigint, text string")
+    row = docs.transform(bpe_encode(merges=(("a", "a"),))).head()
+    assert (row.n_words, row.bpe_tokens) == (3, 5)
+
+
+def test_bpe_encode_rank_order_cascade(spark):
+    from akka_stream_contrib_spark.functions import bpe_encode
+    # 'mer' only forms because rank-1 (e,r) runs before rank-2 (m,er):
+    # merge→[m,er]→[mer]=1 token; reversed order leaves [m,e,r]=3
+    docs = spark.createDataFrame([(1, "mer")], "doc_id bigint, text string")
+    fwd = docs.transform(bpe_encode(merges=(("e", "r"), ("m", "er")))).head()
+    rev = docs.transform(bpe_encode(merges=(("m", "er"), ("e", "r")))).head()
+    assert fwd.bpe_tokens == 1
+    assert rev.bpe_tokens == 2  # (m,er) finds nothing; (e,r) then fires
+
+
+def test_bpe_encode_tokens_freq_weighted(spark):
+    from akka_stream_contrib_spark.functions import bpe_encode_tokens
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab cd")], "doc_id bigint, text string")
+    freqs = {r.token: r.freq for r in
+             docs.transform(bpe_encode_tokens(merges=(("a", "b"),), k=10)).collect()}
+    assert freqs == {"ab": 3, "c": 1, "d": 1}
