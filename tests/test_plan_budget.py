@@ -154,6 +154,16 @@ BUDGET = {
     "bpe_pair_counts": 2,
     # iterative: per-round jobs run at build time; result is a local table
     "bpe_learn_merges": 0,
+    # gram-hash agg (occ side reused for the dup join) + doc_id window;
+    # the islands groupBy inherits the doc_id partitioning (subset key)
+    "duplicate_spans": 2,
+    # spans pipeline's 2; the span-array join back to documents broadcasts
+    "span_dedup": 2,
+    # corpus→vocab distinct + per-doc agg; the vocab-count join broadcasts
+    # under AQE while the (word, int) table fits
+    "bpe_encode": 2,
+    # corpus→vocab word-freq agg + token agg; top-k is TakeOrdered
+    "bpe_token_freqs": 2,
 }
 
 
