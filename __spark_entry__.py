@@ -630,6 +630,22 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.load(spark, "documents", sf_dir).transform(doc_fingerprint())
 
 
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-sorted batch packing via the distributed global rank: per-batch
+    padding-waste stats for a pad-to-longest collator (batch_size=32)."""
+    from akka_stream_contrib_spark.functions import length_sorted_batches
+    return tables.load(spark, "documents", sf_dir).transform(
+        length_sorted_batches(batch_size=32))
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 4 md5-hash-picked partner
+    docs per doc, self-pairs wrapped to the next ordinal."""
+    from akka_stream_contrib_spark.functions import negative_sampling
+    return tables.load(spark, "documents", sf_dir).transform(
+        negative_sampling(k=4))
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the shipped 8-merge tokenizer (FIXTURE_MERGES, learned once from
     this corpus) to every document: per-doc word + BPE token counts."""
@@ -2566,6 +2582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "bpe_encode": q_bpe_encode,
         "bpe_token_freqs": q_bpe_token_freqs,
+        "length_batches": q_length_batches,
+        "negative_samples": q_negative_samples,
         "q2_min_cost_supplier": q_q2_min_cost_supplier,
         "q9_product_profit": q_q9_product_profit,
         "q11_important_stock": q_q11_important_stock,
@@ -3673,6 +3691,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "length_batches": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_tokens,
+                       row_number() OVER (ORDER BY n_tokens, doc_id) AS rnk
+                FROM d
+            ), b AS (
+                SELECT n_tokens, CAST((rnk - 1) // 32 AS BIGINT) AS batch_id
+                FROM r
+            )
+            SELECT batch_id, count(*) AS n_docs, max(n_tokens) AS max_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+                       AS padding_waste
+            FROM b GROUP BY batch_id
+        """,
+        "negative_samples": """
+            WITH ords AS (
+                SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ord
+                FROM documents
+            ), nn AS (SELECT count(*) AS n FROM documents),
+            slots AS (
+                SELECT doc_id, ord, unnest(generate_series(1, 4)) AS slot
+                FROM ords
+            ), cand AS (
+                SELECT doc_id, ord, slot,
+                       CAST(concat('0x', substr(md5(concat(
+                           CAST(doc_id AS VARCHAR), '#',
+                           CAST(slot AS VARCHAR))), 1, 8)) AS BIGINT)
+                           % nn.n + 1 AS c,
+                       nn.n AS n
+                FROM slots, nn
+            ), adj AS (
+                SELECT doc_id, slot,
+                       CASE WHEN c = ord THEN c % n + 1 ELSE c END AS neg_ord
+                FROM cand
+            )
+            SELECT a.doc_id, CAST(a.slot AS BIGINT) AS slot,
+                   o.doc_id AS neg_doc_id
+            FROM adj a JOIN ords o ON o.ord = a.neg_ord
         """,
         "bpe_encode": """
             WITH words AS (

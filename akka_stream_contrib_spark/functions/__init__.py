@@ -47,6 +47,8 @@ from akka_stream_contrib_spark.functions.dedup import (
 )
 from akka_stream_contrib_spark.functions.corpus import (
     chunk_documents,
+    length_sorted_batches,
+    negative_sampling,
     pack_sequences,
     vocab_topk,
     decontaminate,
@@ -103,7 +105,7 @@ __all__ = [
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_topk_all_ivf",
     "ann_lsh_topk", "ivf_topk", "ivf_write_index", "ivf_query_index",
     "knn_join", "quantize_embeddings", "quantized_cosine_topk",
-    "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
+    "chunk_documents", "length_sorted_batches", "negative_sampling", "pack_sequences", "vocab_topk", "decontaminate",
     "domain_cap", "remove_boilerplate",
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",
     "pagerank", "triangle_count", "kmeans_assign",

@@ -271,3 +271,81 @@ def mixture_sample(weights: dict[str, float], default: float = 0.0,
                 .drop("_n_copies"))
 
     return _apply
+
+
+def length_sorted_batches(batch_size: int = 32, id_col: str = "doc_id",
+                          text_col: str = "text"
+                          ) -> Callable[[DataFrame], DataFrame]:
+    """Length-sorted batch packing — the padding-waste minimizer a training
+    loader runs: rank documents by token count over a TOTAL order (two-phase
+    distributed rank, never a single-partition sort), assign consecutive
+    ranks to the same fixed-size batch, and report per-batch padding stats:
+    (batch_id, n_docs, max_tokens, sum_tokens, padding_waste) where
+    ``padding_waste = n_docs * max_tokens - sum_tokens`` is the token count a
+    pad-to-longest collator burns. Because neighbours in rank order have
+    near-equal lengths, waste is near the achievable minimum for fixed-size
+    batches.
+
+    Scale shape: token counting is map-side; the rank is
+    ``operators.global_order.global_rank`` (range shuffle + K-row driver
+    summary); the batch aggregation shuffles (batch_id) — uniform by
+    construction. No global sort anywhere."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.operators.global_order import global_rank
+        d = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"))
+        ranked = global_rank(d, ["n_tokens", "doc_id"], out="_rnk")
+        batched = ranked.withColumn(
+            "batch_id", F.expr(f"CAST((_rnk - 1) DIV {batch_size} AS BIGINT)"))
+        return (
+            batched.groupBy("batch_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 F.sum("n_tokens").cast("bigint").alias("sum_tokens"))
+            .withColumn("padding_waste",
+                        (F.col("n_docs") * F.col("max_tokens")
+                         - F.col("sum_tokens")).cast("bigint"))
+        )
+
+    return _apply
+
+
+def negative_sampling(k: int = 4, id_col: str = "doc_id"
+                      ) -> Callable[[DataFrame], DataFrame]:
+    """Deterministic negative sampling for contrastive training: ``k``
+    pseudo-random partner documents per document, reproducible on any engine
+    (md5-prefix hash of (doc_id, slot) — no RNG state). Self-pairs are
+    skipped by wrapping to the next ordinal. Emits
+    (doc_id, slot, neg_doc_id).
+
+    Scale shape: the (ordinal → id) table comes from the two-phase
+    distributed rank; candidates join it by ordinal — a uniform-key hash
+    join (the hash IS uniform), corpus-sized but never skewed, and the only
+    shuffles are that join's. No driver-side id list, so non-dense /
+    arbitrary id spaces work unchanged."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.functions.text import token_id
+        from akka_stream_contrib_spark.operators.global_order import global_rank
+        ids = df.select(F.col(id_col).alias("doc_id"))
+        ords = global_rank(ids, ["doc_id"], out="ord")  # 1-based
+        n = ords.count()
+        slots = ords.withColumn("slot", F.explode(
+            F.sequence(F.lit(1), F.lit(k)))).select("doc_id", "ord", "slot")
+        cand = F.pmod(
+            token_id(F.concat_ws("#", F.col("doc_id"), F.col("slot"))),
+            F.lit(n)) + F.lit(1)
+        picked = slots.withColumn("_cand", cand).withColumn(
+            "_neg_ord",
+            F.when(F.col("_cand") == F.col("ord"),
+                   F.pmod(F.col("_cand"), F.lit(n)) + F.lit(1))
+            .otherwise(F.col("_cand")))
+        lookup = ords.select(F.col("ord").alias("_neg_ord"),
+                             F.col("doc_id").alias("neg_doc_id"))
+        return (picked.join(lookup, "_neg_ord")
+                .select("doc_id", F.col("slot").cast("bigint").alias("slot"),
+                        "neg_doc_id"))
+
+    return _apply

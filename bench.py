@@ -101,6 +101,8 @@ HEADLINE = [
     "duplicate_spans",
     "span_dedup",
     "bpe_encode",
+    "length_batches",
+    "negative_samples",
 ]
 
 

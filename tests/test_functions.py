@@ -706,3 +706,28 @@ def test_duplicate_spans_merges_adjacent_islands(spark):
     spans = [(r.doc_id, r.span_start, r.span_end)
              for r in duplicate_spans(docs, k=3).collect()]
     assert spans == [(2, 2, 6)]
+
+
+def test_length_sorted_batches_minimizes_padding(spark):
+    from akka_stream_contrib_spark.functions import length_sorted_batches
+    # 4 docs of lengths 1,1,5,5; batch_size=2 → length-sorted batching pairs
+    # equals (zero waste); any mixed pairing would waste 8 tokens
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b c d e f"), (3, "g"), (4, "h i j k l")],
+        "doc_id bigint, text string")
+    rows = {r.batch_id: (r.n_docs, r.max_tokens, r.padding_waste)
+            for r in docs.transform(length_sorted_batches(batch_size=2)).collect()}
+    assert rows == {0: (2, 1, 0), 1: (2, 5, 0)}
+
+
+def test_negative_sampling_no_self_pairs_and_deterministic(spark):
+    from akka_stream_contrib_spark.functions import negative_sampling
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id bigint, text string")
+    out1 = sorted((r.doc_id, r.slot, r.neg_doc_id)
+                  for r in docs.transform(negative_sampling(k=3)).collect())
+    out2 = sorted((r.doc_id, r.slot, r.neg_doc_id)
+                  for r in docs.transform(negative_sampling(k=3)).collect())
+    assert out1 == out2                      # reproducible, no RNG state
+    assert len(out1) == 30                   # k per doc, join loses none
+    assert all(d != n for d, _, n in out1)   # self-pairs wrapped away

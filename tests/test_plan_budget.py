@@ -164,6 +164,10 @@ BUDGET = {
     "bpe_encode": 2,
     # corpus→vocab word-freq agg + token agg; top-k is TakeOrdered
     "bpe_token_freqs": 2,
+    # global_rank range shuffle + batch_id agg (rank summary is K rows)
+    "length_batches": 2,
+    # global_rank range shuffle + ordinal lookup join (hash keys uniform)
+    "negative_samples": 2,
 }
 
 
