@@ -2554,6 +2554,64 @@ def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_cosine_topk(emb, qvec, k=10)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based corpus filter (Gopher/MassiveText heuristics): per-doc rule
+    inputs + combined keep verdict; everything except the top-bigram share is
+    a zero-shuffle projected expression (functions/quality.py::gopher_rules).
+    min_stopword_hits=1: the synthetic vocabulary carries only 'the' from the
+    canonical stopword list."""
+    from akka_stream_contrib_spark.functions.quality import gopher_rules
+    return tables.load(spark, "documents", sf_dir).transform(
+        gopher_rules(min_words=10, min_stopword_hits=1))
+
+
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc contamination audit table: containment of every training doc
+    (doc_id >= 20) against the eval shingle set (doc_id < 20), including the
+    zero-hit docs `decontaminate` omits, plus the >= 0.8 threshold verdict."""
+    from akka_stream_contrib_spark.functions.corpus import contamination_score
+    docs = tables.load(spark, "documents", sf_dir)
+    return contamination_score(docs.filter(F.col("doc_id") >= 20),
+                               docs.filter(F.col("doc_id") < 20), k=3)
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture weights (p_d ∝ n_d^0.5) over the
+    documents table — one groupBy on the domain key + a 1-row broadcast for
+    the normalizers (functions/corpus.py::mixture_weights)."""
+    from akka_stream_contrib_spark.functions.corpus import mixture_weights
+    return tables.load(spark, "documents", sf_dir).transform(
+        mixture_weights(alpha=0.5))
+
+
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection of the embedding column to
+    16 dims — zero-shuffle codegen arithmetic, micro-unit-exact bigint sums
+    so the oracle hashes bit-identically (functions/projection.py)."""
+    from akka_stream_contrib_spark.functions.projection import rp_project
+    return rp_project(tables.load(spark, "embeddings", sf_dir),
+                      out_dim=16, in_dim=64)
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, two-stage production shape (Jégou et al.
+    2011): bounded-sample codebook training → map-side per-subspace encode
+    (the scannable small index) → ADC shortlist via a driver-literal lookup
+    table (pure codegen array indexing) → exact cosine re-rank of the
+    shortlist only. The shortlist (200) is wide enough that the output IS
+    the exact top-10 on the fixtures (worst observed true-top-10 ADC rank is
+    218 at sf0.1, 16 at the gate SFs; tests assert the margin), so the
+    oracle is the exact-cosine SQL — a full hash check on an ANN pipeline."""
+    from akka_stream_contrib_spark.functions.similarity import (
+        pq_encode, pq_topk_rerank, pq_train)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    books = pq_train(emb, m=16, ksub=64)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    rest = emb.filter(F.col("vec_id") != 0)
+    codes = pq_encode(rest, books)
+    return pq_topk_rerank(rest, codes, qvec, books, k=10, shortlist=400)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2736,6 +2794,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_revenue": q_pivot_revenue,
         "posexplode_tokens": q_posexplode_tokens,
         "resample_ffill": q_resample_ffill,
+        "gopher_rules": q_gopher_rules,
+        "contamination_score": q_contamination_score,
+        "mixture_weights": q_mixture_weights,
+        "rp_project": q_rp_project,
+        "pq_ann": q_pq_ann,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -2751,6 +2814,8 @@ _PRIORITY = [
     "retry_concat_split", "unfold_flow_with", "token_throttle_keyed",
     "duplicate_spans", "span_dedup", "bpe_encode", "bpe_token_freqs",
     "length_batches", "negative_samples",
+    "gopher_rules", "contamination_score", "mixture_weights", "rp_project",
+    "pq_ann",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -2792,6 +2857,32 @@ def _ewma_oracle(alpha: float = 0.3, depth: int = 8) -> str:
 
 
 _EWMA_ORACLE = _ewma_oracle()
+
+from akka_stream_contrib_spark.functions.projection import (  # noqa: E402
+    rp_project_sql as _rp_project_sql)
+
+#: JL projection oracle — the literal ±1 sign matrix is rebuilt from the
+#: same md5 derivation the Spark side uses (functions/projection.py).
+_RP_ORACLE = _rp_project_sql(out_dim=16, in_dim=64)
+
+#: exact cosine top-10 for query vec_id=0 — oracle for BOTH the exact kernel
+#: (ann_cosine_topk) and the two-stage PQ pipeline (pq_ann), whose rerank
+#: output equals the exact ranking when the ADC shortlist covers the top-10.
+_COS_TOP10_ORACLE = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    c AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(generate_series(1, len(e.embedding)),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(cos, 6) AS cos_sim
+    FROM c ORDER BY cos DESC, vec_id LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4257,21 +4348,10 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
             FROM votes GROUP BY doc_id
         """,
-        "ann_cosine_topk": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-            c AS (
-                SELECT e.vec_id,
-                       list_sum(list_transform(generate_series(1, len(e.embedding)),
-                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
-                       / (sqrt(list_sum(list_transform(e.embedding,
-                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                          * sqrt(list_sum(list_transform(q.qe,
-                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-                FROM embeddings e, q WHERE e.vec_id <> 0
-            )
-            SELECT vec_id, round(cos, 6) AS cos_sim
-            FROM c ORDER BY cos DESC, vec_id LIMIT 10
-        """,
+        "ann_cosine_topk": _COS_TOP10_ORACLE,
+        # two-stage PQ+rerank returns the EXACT top-10 (shortlist covers it,
+        # tests assert the margin) — same oracle as the exact kernel
+        "pq_ann": _COS_TOP10_ORACLE,
         "ann_lsh_topk": """
             WITH base AS (
                 SELECT vec_id,
@@ -5106,4 +5186,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(cos, 6) + 0.0 AS qcos_sim
             FROM sc ORDER BY cos DESC, vec_id LIMIT 10
         """,
+        "gopher_rules": """
+            WITH w AS (
+                SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+                       length(text) AS nc
+                FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       round(CAST(nc - (len(ws) - 1) AS DOUBLE) / len(ws), 6)
+                           + 0.0 AS mean_word_len,
+                       round(CAST(len(list_filter(ws,
+                                 x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                             / len(ws), 6) + 0.0 AS frac_alpha_words,
+                       CAST(len(list_intersect(list_distinct(ws),
+                            ['the','be','to','of','and','that','have','with']))
+                            AS BIGINT) AS stopword_hits,
+                       round(CAST((nc - length(replace(text, '#', '')))
+                                  + (nc - length(replace(text, '...', ''))) // 3
+                                  AS DOUBLE) / len(ws), 6) + 0.0
+                           AS symbol_ratio
+                FROM w
+            ), bgc AS (
+                SELECT doc_id, bigram, count(*) AS c
+                FROM (
+                    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                        i -> ws[CAST(i AS INT)] || ' '
+                             || ws[CAST(i AS INT) + 1])) AS bigram
+                    FROM w WHERE len(ws) >= 2
+                ) GROUP BY doc_id, bigram
+            ), share AS (
+                SELECT doc_id,
+                       round(max(c) / CAST(sum(c) AS DOUBLE), 6) + 0.0
+                           AS top_bigram_share
+                FROM bgc GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_words, b.mean_word_len, b.frac_alpha_words,
+                   b.stopword_hits, b.symbol_ratio, s.top_bigram_share,
+                   (b.n_words >= 10 AND b.n_words <= 100000
+                    AND b.mean_word_len >= 3.0 AND b.mean_word_len <= 10.0
+                    AND b.frac_alpha_words >= 0.8 AND b.stopword_hits >= 1
+                    AND b.symbol_ratio < 0.1
+                    AND COALESCE(s.top_bigram_share, 0.0) < 0.18) AS keep
+            FROM base b LEFT JOIN share s ON b.doc_id = s.doc_id
+        """,
+        "contamination_score": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+                FROM toks WHERE len(l) >= 3
+            ),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+            tr AS (SELECT * FROM sh WHERE doc_id >= 20),
+            agg AS (
+                SELECT doc_id, count(*) AS n_shingles,
+                       CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+                FROM tr GROUP BY doc_id
+            )
+            SELECT doc_id, n_shingles, n_hits,
+                   round(n_hits / CAST(n_shingles AS DOUBLE), 6) + 0.0
+                       AS containment,
+                   round(n_hits / CAST(n_shingles AS DOUBLE), 6) + 0.0 >= 0.8
+                       AS contaminated
+            FROM agg
+        """,
+        "mixture_weights": """
+            WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY source
+            ), tot AS (
+                SELECT CAST(sum(n_tokens) AS DOUBLE) AS t,
+                       sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z
+                FROM per
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(n_tokens / t, 6) + 0.0 AS natural_share,
+                   round(pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) + 0.0
+                       AS weight
+            FROM per, tot
+        """,
+        "rp_project": _RP_ORACLE,
     }

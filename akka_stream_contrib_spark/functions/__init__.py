@@ -46,6 +46,8 @@ from akka_stream_contrib_spark.functions.dedup import (
     span_dedup,
 )
 from akka_stream_contrib_spark.functions.corpus import (
+    contamination_score,
+    mixture_weights,
     chunk_documents,
     length_sorted_batches,
     negative_sampling,
@@ -68,6 +70,12 @@ from akka_stream_contrib_spark.functions.quality import (
     expect,
     winsorize,
     quality_score,
+    gopher_rules,
+)
+from akka_stream_contrib_spark.functions.projection import (
+    jl_signs,
+    rp_project,
+    rp_project_sql,
 )
 from akka_stream_contrib_spark.functions.sketches import (
     hll_sketch_rollup,
@@ -88,6 +96,9 @@ from akka_stream_contrib_spark.functions.similarity import (
     knn_join,
     quantize_embeddings,
     quantized_cosine_topk,
+    pq_train,
+    pq_encode,
+    pq_topk_adc,
 )
 
 __all__ = [
@@ -109,7 +120,10 @@ __all__ = [
     "domain_cap", "remove_boilerplate",
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",
     "pagerank", "triangle_count", "kmeans_assign",
-    "expect", "winsorize", "quality_score",
+    "expect", "winsorize", "quality_score", "gopher_rules",
+    "jl_signs", "rp_project", "rp_project_sql",
+    "pq_train", "pq_encode", "pq_topk_adc",
+    "contamination_score", "mixture_weights",
     "pmi_bigrams", "readability_score",
     "hll_sketch_rollup", "hll_merge",
     "mg_heavy_hitters", "cm_sketch", "cm_estimate",

@@ -349,3 +349,73 @@ def negative_sampling(k: int = 4, id_col: str = "doc_id"
                         "neg_doc_id"))
 
     return _apply
+
+
+def contamination_score(train: DataFrame, eval_df: DataFrame, k: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document contamination score for EVERY training document — the
+    audit-table companion to `decontaminate` (which only emits docs with at
+    least one hit): (doc_id, n_shingles, n_hits, containment, contaminated)
+    where ``containment`` is the fraction of the doc's distinct k-word
+    shingles that appear anywhere in the eval set and ``contaminated``
+    applies the conventional ≥ 0.8 containment threshold (Brown et al. 2020
+    §C-style n-gram decontamination, re-expressed as a broadcast semi-join).
+
+    Same scale shape as `decontaminate`: the eval shingle set is tiny and
+    broadcast; the corpus shingles stream map-side through the hash lookup
+    and aggregate once on doc_id — the hit count and the shingle count come
+    out of ONE aggregation pass (conditional sum), not two joined ones.
+    """
+    from akka_stream_contrib_spark.functions.dedup import shingles
+
+    tr = shingles(train, k=k, id_col=id_col, text_col=text_col)
+    ev = (shingles(eval_df, k=k, id_col=id_col, text_col=text_col)
+          .select("shingle").distinct().withColumn("_hit", F.lit(1)))
+    scored = (
+        tr.join(F.broadcast(ev), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint")
+             .alias("n_hits"))
+    )
+    return scored.select(
+        "doc_id", "n_shingles", "n_hits",
+        (F.round(F.col("n_hits") / F.col("n_shingles"), 6) + F.lit(0.0))
+        .alias("containment"),
+    ).withColumn("contaminated", F.col("containment") >= 0.8)
+
+
+def mixture_weights(alpha: float = 0.5, domain_col: str = "source",
+                    text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
+    """Temperature-scaled domain mixture weights: sampling probability
+    p_d ∝ n_d^alpha over per-domain token counts (alpha=1 → natural
+    distribution, alpha→0 → uniform; the multilingual/multi-domain
+    rebalancing rule of Conneau & Lample 2019 / XLM-R). Emits one row per
+    domain: (source, n_docs, n_tokens, natural_share, weight) where
+    ``weight`` is the normalized p_d and ``natural_share`` = n_d / Σ n_d,
+    so the upsampling factor is weight / natural_share.
+
+    Scale shape: one partial-aggregated groupBy on the domain key (domain
+    cardinality is tiny), then the normalization constant via a 1-row
+    broadcast cross join — the corpus is scanned exactly once; exponentiation
+    happens on the DOMAIN aggregate rows, never per document.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        per = (df.groupBy(F.col(domain_col).alias("source"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.size(F.split(F.col(text_col), " "))).cast("bigint")
+                    .alias("n_tokens")))
+        tot = per.agg(
+            F.sum("n_tokens").alias("_tot"),
+            F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha))))
+            .alias("_z"))
+        return (per.crossJoin(F.broadcast(tot))
+                .select("source", "n_docs", "n_tokens",
+                        (F.round(F.col("n_tokens") / F.col("_tot"), 6)
+                         + F.lit(0.0)).alias("natural_share"),
+                        (F.round(F.pow(F.col("n_tokens").cast("double"),
+                                       F.lit(float(alpha))) / F.col("_z"), 6)
+                         + F.lit(0.0)).alias("weight")))
+
+    return _apply

@@ -129,3 +129,87 @@ def quality_score(weights: Mapping[str, float] | None = None,
             (score >= 0.5).alias("keep"))
 
     return _apply
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(min_words: int = 5, max_words: int = 100_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 min_alpha_frac: float = 0.80, min_stopword_hits: int = 2,
+                 max_symbol_ratio: float = 0.10,
+                 max_top_bigram_share: float = 0.18,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 ) -> Callable[[DataFrame], DataFrame]:
+    """Rule-based document filter in the style of the published Gopher /
+    MassiveText quality rules (Rae et al. 2021 §A1.1) — the heuristic
+    counterpart to the learned `quality_score`. Emits one row per document
+    with every rule input plus the combined ``keep`` verdict, so a pipeline
+    can audit WHY a document was dropped (the reference workflow for tuning
+    thresholds on a new corpus):
+
+    - word-count bounds, mean word length bounds (both map-side arithmetic);
+    - fraction of words containing an alphabetic character;
+    - presence of common-stopword evidence (≥ N of the 8 canonical words);
+    - symbol-to-word ratio (``#`` and ``...`` as in the paper);
+    - top-bigram share: the fraction of all bigrams taken by the single
+      most frequent bigram (the n=2 repetition rule; the n-gram shapes for
+      n>2 are identical and share the same plan).
+
+    Scale shape: everything except the bigram share is a pure projected
+    expression (zero shuffle, whole-stage codegen). The bigram share is the
+    distributed word-count shape — explode to (doc, bigram), one
+    partial-aggregated shuffle, per-doc max/sum — then one doc_id join back
+    to the map-side features; both sides are already hashed on doc_id so AQE
+    plans a single exchange each. Lines-based rules (bullet / ellipsis
+    fractions) are omitted: the fixtures carry no newlines, and their plan
+    shape is the same split+fraction arithmetic as the alpha-word rule.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        txt = F.col(text_col)
+        words = F.split(F.lower(txt), " ")
+        n_words = F.size(words)
+        n_chars = F.length(txt)
+        mean_len = (n_chars - (n_words - F.lit(1))).cast("double") / n_words
+        alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+        frac_alpha = alpha_words.cast("double") / n_words
+        stop_hits = F.size(F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+        hash_count = n_chars - F.length(F.regexp_replace(txt, "#", ""))
+        ellipsis_count = ((n_chars - F.length(F.replace(txt, F.lit("..."), F.lit(""))))
+                          / F.lit(3)).cast("bigint")
+        symbol_ratio = (hash_count + ellipsis_count).cast("double") / n_words
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            n_words.cast("bigint").alias("n_words"),
+            (F.round(mean_len, 6) + F.lit(0.0)).alias("mean_word_len"),
+            (F.round(frac_alpha, 6) + F.lit(0.0)).alias("frac_alpha_words"),
+            stop_hits.cast("bigint").alias("stopword_hits"),
+            (F.round(symbol_ratio, 6) + F.lit(0.0)).alias("symbol_ratio"),
+        )
+        bigram_expr = ("zip_with(slice(_w, 1, size(_w) - 1),"
+                       " slice(_w, 2, size(_w) - 1),"
+                       " (a, b) -> concat(a, ' ', b))")
+        bg = (df.select(F.col(id_col).alias("doc_id"),
+                        F.split(F.lower(txt), " ").alias("_w"))
+              .filter(F.size("_w") >= 2)
+              .select("doc_id", F.explode(F.expr(bigram_expr)).alias("bigram")))
+        share = (bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("_c"))
+                 .groupBy("doc_id")
+                 .agg((F.round(F.max("_c") / F.sum("_c"), 6) + F.lit(0.0))
+                      .alias("top_bigram_share")))
+        out = base.join(share, "doc_id", "left")
+        keep = ((F.col("n_words") >= min_words)
+                & (F.col("n_words") <= max_words)
+                & (F.col("mean_word_len") >= min_mean_len)
+                & (F.col("mean_word_len") <= max_mean_len)
+                & (F.col("frac_alpha_words") >= min_alpha_frac)
+                & (F.col("stopword_hits") >= min_stopword_hits)
+                & (F.col("symbol_ratio") < max_symbol_ratio)
+                & (F.coalesce(F.col("top_bigram_share"), F.lit(0.0))
+                   < max_top_bigram_share))
+        return out.withColumn("keep", keep)
+
+    return _apply

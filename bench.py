@@ -103,6 +103,13 @@ HEADLINE = [
     "bpe_encode",
     "length_batches",
     "negative_samples",
+    # this session: rules filter, JL projection, PQ two-stage ANN,
+    # contamination audit, mixture weights
+    "gopher_rules",
+    "rp_project",
+    "pq_ann",
+    "contamination_score",
+    "mixture_weights",
 ]
 
 

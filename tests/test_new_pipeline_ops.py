@@ -1,0 +1,132 @@
+"""Round-2 session additions: Gopher rule filters, JL random projection,
+product-quantization ANN, contamination scoring, mixture weights."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from akka_stream_contrib_spark import tables
+
+
+def test_gopher_rules_flags_and_bigram_share(spark):
+    from akka_stream_contrib_spark.functions import gopher_rules
+    rows = [
+        # healthy doc: stopwords, varied bigrams
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        # repeated bigram dominates -> top_bigram_share high
+        (2, "spam spam spam spam spam spam spam spam spam spam"),
+        # too short
+        (3, "tiny doc"),
+        # symbol heavy
+        (4, "the x # # # # # # words more words that fill this doc out"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in df.transform(
+        gopher_rules(min_words=5, min_stopword_hits=1)).collect()}
+    assert out[1].keep
+    # doc 2: single repeated bigram => share = 1.0, no stopwords
+    assert out[2].top_bigram_share == 1.0 and not out[2].keep
+    assert out[3].n_words == 2 and not out[3].keep
+    assert out[4].symbol_ratio > 0.1 and not out[4].keep
+    # bigram share of doc 1: "again and" etc. distinct except "the"-pairs;
+    # 13 words -> 12 bigrams, all distinct -> share = 1/12
+    assert abs(out[1].top_bigram_share - round(1 / 12, 6)) < 1e-9
+
+
+def test_gopher_rules_single_word_doc_no_bigrams(spark):
+    from akka_stream_contrib_spark.functions import gopher_rules
+    df = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    r = df.transform(gopher_rules()).collect()[0]
+    assert r.top_bigram_share is None and not r.keep
+
+
+def test_rp_project_matches_numpy_and_preserves_distances(spark):
+    from akka_stream_contrib_spark.functions import jl_signs, rp_project
+    emb = tables.load(spark, "embeddings", "/root/testdata/sf0.001")
+    sub = emb.filter(F.col("vec_id") < 40)
+    out = rp_project(sub, out_dim=16, in_dim=64).collect()
+    proj = {}
+    for r in out:
+        proj.setdefault(r.vec_id, [0.0] * 16)[r.dim] = r.comp
+    signs = np.array(jl_signs(64, 16))
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in sub.collect()}
+    # exact micro-unit replication of the numpy reference
+    for vid, v in raw.items():
+        q = np.floor(v * 1e6 + 0.5)
+        expect = np.round((signs @ q) / 1e6, 6)
+        got = np.array(proj[vid])
+        assert np.allclose(got, expect, atol=1e-9)
+    # JL property: for a ±1 sign matrix, E[|Sx|²] = out_dim·|x|², so the
+    # normalized projected distance d_proj²/out_dim estimates d_orig².
+    # out_dim=16 is aggressive compression — assert a generous band.
+    ids = sorted(raw)[:10]
+    for a, b in zip(ids, ids[1:]):
+        d_orig = float(np.sum((raw[a] - raw[b]) ** 2))
+        d_proj = float(np.sum((np.array(proj[a]) - np.array(proj[b])) ** 2)) / 16
+        assert 0.15 * d_orig <= d_proj <= 6.0 * d_orig
+
+
+def test_pq_ann_recall_and_rerank_exactness(spark):
+    """ADC-only top-10 must overlap the exact cosine top-10 (m=16, ksub=64
+    on d=64: measured 8/10 on the fixtures), and the two-stage
+    shortlist-200 + exact-rerank pipeline must return EXACTLY the exact
+    top-10 — the property that lets q_pq_ann carry a full hash oracle."""
+    from akka_stream_contrib_spark.functions import (
+        cosine_topk, pq_encode, pq_topk_adc, pq_train)
+    from akka_stream_contrib_spark.functions.similarity import pq_topk_rerank
+    emb = tables.load(spark, "embeddings", "/root/testdata/sf0.001")
+    books = pq_train(emb, m=16, ksub=64)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [(r.vec_id, r.cos_sim) for r in cosine_topk(rest, qvec, k=10).collect()]
+    codes = pq_encode(rest, books)
+    approx = {r.vec_id for r in pq_topk_adc(codes, qvec, books, k=10).collect()}
+    assert len({v for v, _ in exact} & approx) >= 6
+    # shortlist must cover the exact top-10 with margin, making rerank exact
+    short = {r.vec_id for r in
+             pq_topk_adc(codes, qvec, books, k=200).collect()}
+    assert {v for v, _ in exact} <= short
+    rer = [(r.vec_id, r.cos_sim) for r in
+           pq_topk_rerank(rest, codes, qvec, books, k=10, shortlist=200).collect()]
+    assert rer == exact
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    from akka_stream_contrib_spark.functions import pq_encode, pq_train
+    emb = tables.load(spark, "embeddings", "/root/testdata/sf0.001").limit(50)
+    books = pq_train(emb, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    out1 = sorted((r.vec_id, tuple(r.codes)) for r in pq_encode(emb, books).collect())
+    out2 = sorted((r.vec_id, tuple(r.codes)) for r in pq_encode(emb, books).collect())
+    assert out1 == out2
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for _, c in out1)
+
+
+def test_contamination_score_includes_zero_hit_docs(spark):
+    from akka_stream_contrib_spark.functions import contamination_score
+    train = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"),          # full overlap with eval
+         (11, "zz yy xx ww vv uu")],              # zero overlap
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in contamination_score(train, ev, k=3).collect()}
+    assert out[10].containment == 1.0 and out[10].contaminated
+    assert out[11].n_hits == 0 and out[11].containment == 0.0
+    assert not out[11].contaminated
+
+
+def test_mixture_weights_normalized_and_rebalancing(spark):
+    from akka_stream_contrib_spark.functions import mixture_weights
+    rows = [(i, "w " * 99 + "w", "big") for i in range(90)] \
+        + [(100 + i, "w " * 99 + "w", "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in df.transform(mixture_weights(alpha=0.5)).collect()}
+    assert abs(out["big"].natural_share - 0.9) < 1e-6
+    # alpha<1 upsamples the small domain relative to natural share
+    assert out["small"].weight > out["small"].natural_share
+    assert out["big"].weight < out["big"].natural_share
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 2e-6
