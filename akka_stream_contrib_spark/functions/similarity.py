@@ -582,12 +582,17 @@ def pq_train(df: DataFrame, m: int = 8, ksub: int = 16, iters: int = 5,
     for s in range(m):
         Xs = X[:, s * dsub:(s + 1) * dsub]
         cents = Xs[init_idx].copy()
+        xs2 = (Xs * Xs).sum(1, keepdims=True)
         for _ in range(iters):
-            assign = np.argmin(((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
-            for c in range(ksub):
-                members = Xs[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+            # ||x-c||² via GEMM (4× the broadcasting form); scatter-mean via
+            # bincount instead of a per-cluster boolean-mask loop
+            d2 = xs2 - 2.0 * (Xs @ cents.T) + (cents * cents).sum(1)
+            assign = np.argmin(d2, axis=1)
+            n = np.bincount(assign, minlength=ksub)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, Xs)
+            nz = n > 0  # empty clusters keep their centroid
+            cents[nz] = sums[nz] / n[nz, None]
         books[s] = cents
     return books
 
@@ -617,7 +622,9 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray, id_col: str = "vec_id",
             codes = np.empty((len(v), m), dtype=np.int32)
             for s in range(m):
                 vs = v[:, s * dsub:(s + 1) * dsub]
-                d2 = ((vs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                d2 = ((vs * vs).sum(1, keepdims=True)
+                      - 2.0 * (vs @ books[s].T)
+                      + (books[s] * books[s]).sum(1))
                 codes[:, s] = np.argmin(d2, axis=1)
             yield pd.DataFrame({id_col: pdfb[id_col], "codes": list(codes)})
 

