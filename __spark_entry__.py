@@ -2431,30 +2431,17 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance similarity join with blocking: customer-name pairs at
-    levenshtein distance ≤ 1, blocked on the name prefix so the quadratic
-    stays inside small buckets (the standard fuzzy-join shape: block key ×
-    in-block verify). One hash shuffle on the block key; levenshtein runs
-    codegen-side on the joined pairs only, with the threshold-bounded form
-    (early exit once distance must exceed 1 — measured ~1.6× on the block
-    verify; -1 sentinel filtered, surviving values equal the true
-    distance)."""
+    """EXACT edit-distance-≤1 similarity self-join over customer names via
+    the deletion neighborhood (functions/dedup.py::edit1_pairs) — upgraded
+    from prefix blocking, which was quadratic inside each block AND missed
+    pairs differing within the prefix. O(Σ len) key rows, one posting-list
+    shuffle, threshold-bounded levenshtein verification on candidates only."""
+    from akka_stream_contrib_spark.functions.dedup import edit1_pairs
     cust = tables.load(spark, "customer", sf_dir)
-    named = cust.select(
-        "c_custkey", "c_name",
-        F.substring("c_name", 1, 16).alias("_blk"))
-    a = named.alias("a")
-    b = named.alias("b")
-    return (
-        a.join(b, (F.col("a._blk") == F.col("b._blk"))
-               & (F.col("a.c_name") < F.col("b.c_name")))
-        .select(
-            F.col("a.c_custkey").alias("a_custkey"),
-            F.col("b.c_custkey").alias("b_custkey"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1)
-            .alias("edit_distance"))
-        .filter(F.col("edit_distance") >= 0)
-    )
+    return (edit1_pairs(cust, "c_custkey", "c_name")
+            .select(F.col("id_a").alias("a_custkey"),
+                    F.col("id_b").alias("b_custkey"),
+                    "edit_distance"))
 
 
 def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5059,13 +5046,24 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
         "fuzzy_name_match": """
-            SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
-                   CAST(levenshtein(a.c_name, b.c_name) AS INT)
-                       AS edit_distance
-            FROM customer a JOIN customer b
-              ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
-             AND a.c_name < b.c_name
-            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            WITH v AS (
+                SELECT c_custkey, c_name,
+                       unnest(list_append(list_transform(
+                           range(1, length(c_name) + 1),
+                           i -> substr(c_name, 1, CAST(i AS INT) - 1)
+                                || substr(c_name, CAST(i AS INT) + 1)),
+                           c_name)) AS variant
+                FROM customer
+            ), cand AS (
+                SELECT DISTINCT a.c_custkey AS a_custkey,
+                                b.c_custkey AS b_custkey,
+                                a.c_name AS an, b.c_name AS bn
+                FROM v a JOIN v b
+                  ON a.variant = b.variant AND a.c_name < b.c_name
+            )
+            SELECT a_custkey, b_custkey,
+                   CAST(levenshtein(an, bn) AS INT) AS edit_distance
+            FROM cand WHERE levenshtein(an, bn) <= 1
         """,
         "regr_trend": """
             WITH daily AS (

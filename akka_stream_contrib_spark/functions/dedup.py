@@ -342,16 +342,11 @@ def ngram_jaccard_dedup(
     _drop_stale_caches()
     grams = char_ngrams(df, n=n, id_col=id_col, text_col=text_col).persist()
     _LAST_PERSISTED.append(grams)
-    # per-doc set sizes straight off the (un-exploded) array — map-side only,
-    # no aggregation shuffle of the gram rows
-    grams_arr = (
-        f"size(array_distinct(regexp_extract_all(_lc, '(?s)(?=(.{{{n}}}))', 1)))"
-    )
-    sizes = (
-        df.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("_lc"))
-        .filter(F.length("_lc") >= n)
-        .select("doc_id", F.expr(grams_arr).alias("n_grams"))
-    )
+    # per-doc set sizes from the PERSISTED gram table (grams are distinct
+    # per doc, so count == set size) — one tiny cache-fed aggregation
+    # instead of re-running the O(len·n) regexp extraction over the
+    # documents scan once per join side (plan showed 3 scans before)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     # document frequency via partial-aggregated groupBy (map-side combine),
     # NOT a window over every gram row (full shuffle of every gram row on the
     # gram key). Only the grams that FAIL the cap survive — the Zipf head, a
@@ -519,17 +514,23 @@ def duplicate_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     suffix array, no driver state.
     """
     occ = (positional_ngrams(df, k=k, id_col=id_col, text_col=text_col)
-           .select("doc_id", "pos", F.md5("gram").alias("g")))
-    dup = (occ.groupBy("g")
-           .agg(F.count(F.lit(1)).alias("cnt"),
-                F.min(F.col("doc_id") * F.lit(_SPAN_KEY) + F.col("pos")).alias("canon_key"))
-           .filter(F.col("cnt") > 1)
-           .select("g", "canon_key"))
+           .select(F.md5("gram").alias("g"),
+                   (F.col("doc_id") * F.lit(_SPAN_KEY) + F.col("pos"))
+                   .alias("_key")))
+    # posting-list form: ONE shuffle on the gram hash collects each gram's
+    # occurrence keys; dropping the canonical occurrence is a map-side array
+    # filter (x != array_min). The previous groupBy + join-back shape both
+    # recomputed the gram explode and shuffled the occurrence rows twice.
+    # Per-gram state is O(occurrences of that gram) — even a corpus-wide
+    # boilerplate gram at 100k occurrences is sub-MB of bigints.
     marked = (
-        occ.join(dup, "g")
-        .filter(F.col("doc_id") * F.lit(_SPAN_KEY) + F.col("pos") != F.col("canon_key"))
-        .select("doc_id", F.col("pos").alias("s"),
-                (F.col("pos") + F.lit(k - 1)).alias("e"))
+        occ.groupBy("g").agg(F.collect_list("_key").alias("_ks"))
+        .filter(F.size("_ks") >= 2)
+        .select(F.explode(F.expr("filter(_ks, x -> x != array_min(_ks))"))
+                .alias("_key"))
+        .select(F.expr(f"_key div {_SPAN_KEY}").alias("doc_id"),
+                (F.col("_key") % F.lit(_SPAN_KEY)).alias("s"))
+        .withColumn("e", F.col("s") + F.lit(k - 1))
     )
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_max = (Window.partitionBy("doc_id").orderBy("s")
@@ -575,3 +576,53 @@ def span_dedup(df: DataFrame, k: int = 8, id_col: str = "doc_id",
                 F.array_join(F.col("_kept"), " ").alias("clean_text"),
                 (F.size("_toks") - F.size("_kept")).cast("bigint").alias("removed_tokens"))
     )
+
+
+def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """Exact edit-distance-≤1 self-join via the deletion neighborhood
+    (the spell-checker / SymSpell indexing trick): two strings are at
+    Levenshtein distance ≤ 1 iff they share a key in
+    ``{s} ∪ {s with one char deleted}`` — substitutions meet at the common
+    deletion position, insert/delete pairs meet at the shorter string
+    itself. Candidates sharing a key can still be at distance 2
+    (different-position deletions), so survivors are verified with the
+    threshold-bounded ``levenshtein(a, b, 1)``.
+
+    Replaces prefix blocking, which is quadratic inside each block AND
+    misses pairs that differ inside the prefix. Scale shape: O(Σ len) key
+    rows, ONE shuffle grouping them, pair fan-out inside a map-side array
+    expression (posting lists are tiny — a variant is shared only by
+    near-identical strings), a pair-distinct reduction, and codegen-side
+    verification on candidates only. No block-size skew parameter to tune.
+
+    Emits (id_a, id_b, edit_distance) with the pair ordered by the string
+    (a < b), distance ∈ {0, 1} (0 only for duplicate strings under distinct
+    ids).
+    """
+    variants = (
+        "array_append(transform(sequence(1, length(_s)),"
+        " i -> concat(substring(_s, 1, i - 1),"
+        " substring(_s, i + 1, length(_s)))), _s)"
+    )
+    v = (df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+         .select("_id", "_s", F.explode(F.expr(variants)).alias("variant")))
+    pair_expr = (
+        "flatten(transform(sequence(1, size(_l) - 1),"
+        " i -> transform(slice(_l, i + 1, size(_l) - i),"
+        " y -> struct(element_at(_l, i) AS a, y AS b))))"
+    )
+    cand = (
+        v.groupBy("variant")
+        .agg(F.array_sort(F.collect_list(F.struct("_s", "_id"))).alias("_l"))
+        .filter(F.size("_l") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .filter(F.col("_p.a._s") < F.col("_p.b._s"))
+        .select(F.col("_p.a._id").alias("id_a"), F.col("_p.b._id").alias("id_b"),
+                F.col("_p.a._s").alias("_sa"), F.col("_p.b._s").alias("_sb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb"))
+    )
+    return (cand
+            .withColumn("edit_distance", F.levenshtein("_sa", "_sb", 1))
+            .filter(F.col("edit_distance") >= 0)
+            .select("id_a", "id_b", "edit_distance"))

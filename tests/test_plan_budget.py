@@ -45,7 +45,9 @@ BUDGET = {
     "monthly_revenue": 1, "text_stats": 0, "lang_id": 0, "token_count_bpe": 0,
     "doc_fingerprint": 0, "dedup_exact": 1, "minhash_lsh_dedup": 5,
     "simhash": 1, "ann_cosine_topk": 0, "ann_lsh_topk": 1, "ivf_ann_topk": 0,
-    "ngram_jaccard_dedup": 3, "embedding_near_dup": 0, "multimodal_meta": 0,
+    # jaccard: posting-list agg + pair agg + cache-fed size agg + 2 size
+    # joins of tiny aggregates (sub-broadcast at runtime; counted in-plan)
+    "ngram_jaccard_dedup": 5, "embedding_near_dup": 0, "multimodal_meta": 0,
     "stratified_sample": 0, "array_hof": 0, "regexp_funcs": 0,
     "moving_revenue_7d": 1, "grouping_sets_revenue": 1, "funnel_conversion": 2,
     "user_journey": 1, "chunk_documents": 0, "pack_sequences": 1,
@@ -77,8 +79,8 @@ BUDGET = {
     "login_streaks": 2,
     # custkey agg + single-partition window over the aggregate only
     "pareto_customers": 2,
-    # block-key join broadcasts at test SF; in-block verify is map-side
-    "fuzzy_name_match": 0,
+    # deletion-neighborhood posting lists: variant groupBy + pair dedup
+    "fuzzy_name_match": 2,
     # daily agg + per-segment stats agg (dims broadcast)
     "regr_trend": 2,
     # single-row corpus stats agg; scoring + top-k map-side
@@ -113,8 +115,9 @@ BUDGET = {
     "hashed_features": 2,
     # cell-count agg + top-20 agg (estimate probes broadcast the sketch)
     "cm_frequency": 2,
-    # bigram counts, head counts, vocab distinct (2-phase), doc reduce
-    "bigram_logprob": 5,
+    # bigram counts + marginals/vocab DERIVED from the count table (tiny
+    # aggregate-side exchanges) + doc reduce; raw rows shuffle only twice
+    "bigram_logprob": 8,
     # pivot agg (2, as pivot_revenue); Expand itself adds none
     "unpivot_revenue": 2,
     # one (label,pos) hash agg
@@ -168,6 +171,16 @@ BUDGET = {
     "length_batches": 2,
     # global_rank range shuffle + ordinal lookup join (hash keys uniform)
     "negative_samples": 2,
+    # bigram word-count shuffle + per-doc share agg; map-side rule columns
+    "gopher_rules": 2,
+    # eval-shingle distinct (broadcast side) + per-doc conditional-sum agg
+    "contamination_score": 2,
+    # domain agg + 1-row normalizer agg + broadcast distribution
+    "mixture_weights": 3,
+    # literal sign matrix: pure projected expressions, zero shuffles
+    "rp_project": 0,
+    # ADC shortlist is TakeOrdered, rerank joins broadcast: zero exchanges
+    "pq_ann": 0,
 }
 
 
