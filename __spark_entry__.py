@@ -2605,6 +2605,15 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_rerank(rest, codes, qvec, books, k=10, shortlist=400)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming radius 3 via pigeonhole band
+    bucketing (functions/dedup.py::simhash_pairs): band equi-join candidates,
+    integer bit_count(xor) verification — no all-pairs comparison."""
+    from akka_stream_contrib_spark.functions.dedup import simhash_pairs
+    return simhash_pairs(tables.load(spark, "documents", sf_dir),
+                         max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2792,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "rp_project": q_rp_project,
         "pq_ann": q_pq_ann,
+        "simhash_pairs": q_simhash_pairs,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -2808,7 +2818,7 @@ _PRIORITY = [
     "duplicate_spans", "span_dedup", "bpe_encode", "bpe_token_freqs",
     "length_batches", "negative_samples",
     "gopher_rules", "contamination_score", "mixture_weights", "rp_project",
-    "pq_ann",
+    "pq_ann", "simhash_pairs",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5059,7 +5069,9 @@ def oracle_sql() -> dict[str, str]:
                                 b.c_custkey AS b_custkey,
                                 a.c_name AS an, b.c_name AS bn
                 FROM v a JOIN v b
-                  ON a.variant = b.variant AND a.c_name < b.c_name
+                  ON a.variant = b.variant
+                 AND (a.c_name < b.c_name OR (a.c_name = b.c_name
+                      AND a.c_custkey < b.c_custkey))
             )
             SELECT a_custkey, b_custkey,
                    CAST(levenshtein(an, bn) AS INT) AS edit_distance
@@ -5276,4 +5288,43 @@ def oracle_sql() -> dict[str, str]:
             FROM per, tot
         """,
         "rp_project": _RP_ORACLE,
+        "simhash_pairs": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+                FROM toks WHERE len(l) >= 3
+            ),
+            hx AS (SELECT doc_id,
+                          CAST(concat('0x', substr(md5(shingle), 9, 8))
+                               AS BIGINT) AS hx
+                   FROM sh),
+            bits AS (SELECT unnest(generate_series(0, 15)) AS b),
+            votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (hx >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM hx CROSS JOIN bits GROUP BY doc_id, b
+            ),
+            sig AS (
+                SELECT doc_id,
+                       sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS s
+                FROM votes GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, s, j, (s >> (CAST(j AS INT) * 4)) & 15 AS bkey
+                FROM sig CROSS JOIN range(0, 4) r(j)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.s AS sa, b.s AS sb
+                FROM bands a JOIN bands b
+                  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
     }

@@ -44,6 +44,8 @@ from akka_stream_contrib_spark.functions.dedup import (
     positional_ngrams,
     duplicate_spans,
     span_dedup,
+    edit1_pairs,
+    simhash_pairs,
 )
 from akka_stream_contrib_spark.functions.corpus import (
     contamination_score,
@@ -112,6 +114,7 @@ __all__ = [
     "minhash_lsh_dedup", "band_keys", "minhash_band_table",
     "minhash_incremental_dedup", "simhash", "char_ngrams", "ngram_jaccard_dedup",
     "positional_ngrams", "duplicate_spans", "span_dedup",
+    "edit1_pairs", "simhash_pairs",
     "dup_clusters",
     "cosine_topk", "near_dup_pairs", "ann_topk_all", "ann_topk_all_ivf",
     "ann_lsh_topk", "ivf_topk", "ivf_write_index", "ivf_query_index",

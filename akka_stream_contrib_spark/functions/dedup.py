@@ -616,7 +616,12 @@ def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("_s", "_id"))).alias("_l"))
         .filter(F.size("_l") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("_p"))
-        .filter(F.col("_p.a._s") < F.col("_p.b._s"))
+        # the list is sorted by (string, id): keep strictly-ordered pairs —
+        # equal strings (distance 0) pair by id; drop only the same-entry
+        # self-pairs a repeated deletion of one string can produce
+        .filter((F.col("_p.a._s") < F.col("_p.b._s"))
+                | ((F.col("_p.a._s") == F.col("_p.b._s"))
+                   & (F.col("_p.a._id") < F.col("_p.b._id"))))
         .select(F.col("_p.a._id").alias("id_a"), F.col("_p.b._id").alias("id_b"),
                 F.col("_p.a._s").alias("_sa"), F.col("_p.b._s").alias("_sb"))
         .groupBy("id_a", "id_b")
@@ -626,3 +631,58 @@ def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
             .withColumn("edit_distance", F.levenshtein("_sa", "_sb", 1))
             .filter(F.col("edit_distance") >= 0)
             .select("id_a", "id_b", "edit_distance"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, k: int = 3,
+                  bits: int = 16, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """SimHash near-dup PAIRS — completes the signature into a detector the
+    way banded LSH completes MinHash: split the ``bits``-bit fingerprint
+    into ``max_hamming + 1`` bands; by pigeonhole, any pair within the
+    hamming radius agrees exactly on at least one band, so candidates are
+    an equi-join on (band, band_bits) and verification is
+    ``bit_count(a XOR b) ≤ max_hamming`` — pure integer codegen.
+
+    Scale shape: signatures are one doc_id shuffle (see :func:`simhash`);
+    band rows are ``bands`` integers per doc; candidates come from the same
+    posting-list fan-out as :func:`edit1_pairs` (one shuffle on the band
+    key, map-side pair expression, pair-level dedup). Hot bands (a common
+    16-bit pattern in a clustered corpus) bound the fan-out at
+    O(band population²) — widen ``bits`` to re-spread before that bites.
+
+    Emits (doc_a, doc_b, hamming).
+    """
+    bands = max_hamming + 1
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sig = df.transform(simhash(id_col=id_col, text_col=text_col, k=k, bits=bits))
+    entries = F.array(*[
+        F.struct(F.lit(j).alias("band"),
+                 (F.shiftright("simhash", j * band_bits).bitwiseAND(F.lit(mask))
+                  ).alias("bkey"))
+        for j in range(bands)
+    ])
+    band_rows = (sig.select("doc_id", "simhash", F.explode(entries).alias("_b"))
+                 .select("doc_id", "simhash",
+                         F.col("_b.band").alias("band"),
+                         F.col("_b.bkey").alias("bkey")))
+    pair_expr = (
+        "flatten(transform(sequence(1, size(_l) - 1),"
+        " i -> transform(slice(_l, i + 1, size(_l) - i),"
+        " y -> struct(element_at(_l, i) AS a, y AS b))))"
+    )
+    return (
+        band_rows.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("_l"))
+        .filter(F.size("_l") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .groupBy(F.col("_p.a.doc_id").alias("doc_a"),
+                 F.col("_p.b.doc_id").alias("doc_b"))
+        .agg(F.first(F.col("_p.a.simhash")).alias("_sa"),
+             F.first(F.col("_p.b.simhash")).alias("_sb"))
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -110,6 +110,7 @@ HEADLINE = [
     "pq_ann",
     "contamination_score",
     "mixture_weights",
+    "simhash_pairs",
 ]
 
 

@@ -130,3 +130,40 @@ def test_mixture_weights_normalized_and_rebalancing(spark):
     assert out["small"].weight > out["small"].natural_share
     assert out["big"].weight < out["big"].natural_share
     assert abs(out["big"].weight + out["small"].weight - 1.0) < 2e-6
+
+
+def test_edit1_pairs_exact_neighborhood(spark):
+    from akka_stream_contrib_spark.functions import edit1_pairs
+    rows = [(1, "spark"), (2, "spork"),      # substitution, d=1
+            (3, "sparks"),                   # insertion vs 1, d=1
+            (4, "park"),                     # deletion vs 1, d=1
+            (5, "scala"),                    # far from everything
+            (6, "spark")]                    # duplicate string, d=0
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {(r.id_a, r.id_b): r.edit_distance
+           for r in edit1_pairs(df, "id", "s").collect()}
+    # pair ids follow string order (a < b); equal strings tie-break by id
+    assert got[(1, 2)] == 1 or got[(2, 1)] == 1
+    assert any(k in got for k in [(1, 3), (3, 1)])
+    assert any(k in got for k in [(4, 1), (1, 4)])
+    assert all(5 not in k for k in got)
+    assert any(got[k] == 0 for k in got if {1, 6} == set(k))
+    # no false positives at distance 2: spork vs sparks (d=2) absent
+    assert not any({2, 3} == set(k) for k in got)
+
+
+def test_simhash_pairs_radius_and_no_all_pairs(spark):
+    from akka_stream_contrib_spark.functions import simhash, simhash_pairs
+    rows = [(1, "the quick brown fox jumps over the lazy dog today ok fine"),
+            (2, "the quick brown fox jumps over the lazy dog today ok sure"),
+            (3, "completely different words about spark shuffle joins here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in df.transform(simhash()).collect()}
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_pairs(df, max_hamming=3).collect()}
+    # every reported pair's hamming matches the signature xor popcount
+    for (a, b), h in pairs.items():
+        assert bin(sigs[a] ^ sigs[b]).count("1") == h and h <= 3
+    # near-identical docs land within the radius
+    if bin(sigs[1] ^ sigs[2]).count("1") <= 3:
+        assert (1, 2) in pairs or (2, 1) in pairs

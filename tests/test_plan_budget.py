@@ -181,6 +181,8 @@ BUDGET = {
     "rp_project": 0,
     # ADC shortlist is TakeOrdered, rerank joins broadcast: zero exchanges
     "pq_ann": 0,
+    # signature doc agg + band posting lists + pair dedup
+    "simhash_pairs": 3,
 }
 
 
