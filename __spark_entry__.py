@@ -2599,19 +2599,42 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode, pq_topk_rerank, pq_train)
     emb = tables.load(spark, "embeddings", sf_dir)
     books = pq_train(emb, m=16, ksub=64)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if books is None or qrow is None:  # empty corpus: empty output schema
+        return emb.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
     rest = emb.filter(F.col("vec_id") != 0)
     codes = pq_encode(rest, books)
-    return pq_topk_rerank(rest, codes, qvec, books, k=10, shortlist=400)
+    return pq_topk_rerank(rest, codes, qrow[0], books, k=10, shortlist=400)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming radius 3 via pigeonhole band
     bucketing (functions/dedup.py::simhash_pairs): band equi-join candidates,
-    integer bit_count(xor) verification — no all-pairs comparison."""
+    integer bit_count(xor) verification — no all-pairs comparison. 32-bit
+    signatures: at 16 bits a radius-3 ball over a clustered corpus matches
+    ~half of all pairs (measured 138k pairs / 5000 docs and a 3× slower
+    band fan-out); 8-bit bands re-spread the posting lists."""
     from akka_stream_contrib_spark.functions.dedup import simhash_pairs
     return simhash_pairs(tables.load(spark, "documents", sf_dir),
-                         max_hamming=3)
+                         max_hamming=3, bits=32)
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest canonicalization (functions/text.py::normalize_text):
+    lowercase + control-strip + whitespace-collapse as pure regexp
+    expressions — zero shuffles, ASCII classes so Java regex and RE2
+    compile identically."""
+    from akka_stream_contrib_spark.functions.text import normalize_text
+    return tables.load(spark, "documents", sf_dir).transform(normalize_text())
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (functions/text.py::doc_keywords):
+    word-count reductions + corpus-size broadcast + per-doc ranking window
+    with deterministic (score, token) order the oracle replays."""
+    from akka_stream_contrib_spark.functions.text import doc_keywords
+    return tables.load(spark, "documents", sf_dir).transform(
+        doc_keywords(top_n=3))
 
 
 # ---------------------------------------------------------------------------
@@ -2802,6 +2825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project": q_rp_project,
         "pq_ann": q_pq_ann,
         "simhash_pairs": q_simhash_pairs,
+        "normalize_text": q_normalize_text,
+        "doc_keywords": q_doc_keywords,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -2818,7 +2843,7 @@ _PRIORITY = [
     "duplicate_spans", "span_dedup", "bpe_encode", "bpe_token_freqs",
     "length_batches", "negative_samples",
     "gopher_rules", "contamination_score", "mixture_weights", "rp_project",
-    "pq_ann", "simhash_pairs",
+    "pq_ann", "simhash_pairs", "normalize_text", "doc_keywords",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5301,7 +5326,7 @@ def oracle_sql() -> dict[str, str]:
                           CAST(concat('0x', substr(md5(shingle), 9, 8))
                                AS BIGINT) AS hx
                    FROM sh),
-            bits AS (SELECT unnest(generate_series(0, 15)) AS b),
+            bits AS (SELECT unnest(generate_series(0, 31)) AS b),
             votes AS (
                 SELECT doc_id, b,
                        sum(CASE WHEN (hx >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -5314,7 +5339,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM votes GROUP BY doc_id
             ),
             bands AS (
-                SELECT doc_id, s, j, (s >> (CAST(j AS INT) * 4)) & 15 AS bkey
+                SELECT doc_id, s, j, (s >> (CAST(j AS INT) * 8)) & 255 AS bkey
                 FROM sig CROSS JOIN range(0, 4) r(j)
             ),
             cand AS (
@@ -5326,5 +5351,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "normalize_text": r"""
+            WITH n AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                            '[ \t\n\r]+', ' ', 'g')) AS norm_text
+                FROM documents
+            )
+            SELECT doc_id, norm_text, norm_text <> text AS changed FROM n
+        """,
+        "doc_keywords": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM tok GROUP BY doc_id, token
+            ), dfq AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            ), scored AS (
+                SELECT doc_id, token,
+                       round((1.0 + ln(tf)) * ln(n / df), 6) + 0.0 AS score
+                FROM tf JOIN dfq USING (token), nn
+            ), r AS (
+                SELECT doc_id, token, score,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, token) AS INT) AS rank
+                FROM scored
+            )
+            SELECT doc_id, token, score, rank FROM r WHERE rank <= 3
         """,
     }

@@ -17,6 +17,8 @@ from akka_stream_contrib_spark.functions.text import (
     bigram_logprob_score,
     pmi_bigrams,
     readability_score,
+    normalize_text,
+    doc_keywords,
 )
 from akka_stream_contrib_spark.functions.bpe import (
     bpe_pair_counts,
@@ -127,7 +129,7 @@ __all__ = [
     "jl_signs", "rp_project", "rp_project_sql",
     "pq_train", "pq_encode", "pq_topk_adc",
     "contamination_score", "mixture_weights",
-    "pmi_bigrams", "readability_score",
+    "pmi_bigrams", "readability_score", "normalize_text", "doc_keywords",
     "hll_sketch_rollup", "hll_merge",
     "mg_heavy_hitters", "cm_sketch", "cm_estimate",
 ]

@@ -394,3 +394,63 @@ def readability_score(id_col: str = "doc_id", text_col: str = "text"
             F.round(score, 4).alias("flesch"))
 
     return _apply
+
+
+def normalize_text(id_col: str = "doc_id", text_col: str = "text"
+                   ) -> Callable[[DataFrame], DataFrame]:
+    """Text canonicalization — the first map of every ingest pipeline:
+    lowercase, strip ASCII control characters, collapse whitespace runs,
+    trim. Emits (doc_id, norm_text, changed). Pure regexp/codegen
+    expressions (zero shuffles, trivially pipelineable into any downstream
+    operator); ASCII character classes only, so the exact same regexes run
+    under Java regex (Spark) and RE2 (DuckDB oracle)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        t = F.col(text_col)
+        norm = F.lower(t)
+        norm = F.regexp_replace(norm, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+        norm = F.regexp_replace(norm, "[ \\t\\n\\r]+", " ")
+        norm = F.trim(norm)
+        return df.select(F.col(id_col).alias("doc_id"),
+                         norm.alias("norm_text"),
+                         (norm != t).alias("changed"))
+
+    return _apply
+
+
+def doc_keywords(top_n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
+    """Per-document keyword extraction: the ``top_n`` terms by TF-IDF
+    (sublinear tf: 1 + ln(tf), idf: ln(N/df)) with deterministic (score
+    desc, token asc) ranking. The corpus-level signal (df table) is the
+    same partial-aggregated word-count reduction every retrieval operator
+    here uses; N rides along as a 1-row broadcast; ranking is a per-doc
+    window over that doc's distinct terms only.
+
+    Scale shape: two uniform-key shuffles ((doc, token) tf + token df) +
+    one doc window; the df table joins token-keyed (AQE broadcasts it while
+    it fits, hash join beyond). Scores round to 6 dp with exact tie-break
+    so the oracle replays the ranking bit-for-bit."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        tok = df.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(F.lower(F.col(text_col)), " "))
+                        .alias("token"))
+        tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        scored = (tf.join(dfreq, "token")
+                  .crossJoin(F.broadcast(n_docs))
+                  .withColumn(
+                      "score",
+                      F.round((F.lit(1.0) + F.log("tf"))
+                              * F.log(F.col("_n") / F.col("df")), 6)
+                      + F.lit(0.0)))
+        w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= top_n)
+                .select("doc_id", "token", "score",
+                        F.col("rank").cast("int").alias("rank")))
+
+    return _apply

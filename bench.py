@@ -111,6 +111,8 @@ HEADLINE = [
     "contamination_score",
     "mixture_weights",
     "simhash_pairs",
+    "normalize_text",
+    "doc_keywords",
 ]
 
 

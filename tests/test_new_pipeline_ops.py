@@ -167,3 +167,31 @@ def test_simhash_pairs_radius_and_no_all_pairs(spark):
     # near-identical docs land within the radius
     if bin(sigs[1] ^ sigs[2]).count("1") <= 3:
         assert (1, 2) in pairs or (2, 1) in pairs
+
+
+def test_normalize_text_canonicalizes(spark):
+    from akka_stream_contrib_spark.functions import normalize_text
+    rows = [(1, "Hello   World\t\nfoo"), (2, "already clean"),
+            (3, "ctrl\x07chars\x1fgone")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in df.transform(normalize_text()).collect()}
+    assert out[1].norm_text == "hello world foo" and out[1].changed
+    assert out[2].norm_text == "already clean" and not out[2].changed
+    assert out[3].norm_text == "ctrlcharsgone" and out[3].changed
+
+
+def test_doc_keywords_tfidf_ranking(spark):
+    from akka_stream_contrib_spark.functions import doc_keywords
+    rows = [(1, "rare common common filler filler filler"),
+            (2, "common filler filler other other other"),
+            (3, "common filler unique unique unique unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.transform(doc_keywords(top_n=2)).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.doc_id, []).append((r.rank, r.token))
+    # doc-exclusive terms (df=1) outrank corpus-wide ones (df=3 -> idf=0)
+    assert sorted(per[1])[0][1] == "rare"
+    assert sorted(per[2])[0][1] == "other"
+    assert sorted(per[3])[0][1] == "unique"
+    assert all(len(v) == 2 for v in per.values())

@@ -183,6 +183,10 @@ BUDGET = {
     "pq_ann": 0,
     # signature doc agg + band posting lists + pair dedup
     "simhash_pairs": 3,
+    # pure regexp canonicalization: zero shuffles
+    "normalize_text": 0,
+    # (doc,token) tf + token df + df join + per-doc rank window
+    "doc_keywords": 5,
 }
 
 
