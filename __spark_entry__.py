@@ -2637,6 +2637,39 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_keywords(top_n=3))
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (functions/sketches.py::bloom_build/
+    bloom_probe): build a word-table filter over orders.o_custkey (one
+    map-side position expansion + bit_or aggregation), broadcast it, probe
+    every customer — (key, member) with zero false negatives. Bit-exact in
+    any engine: portable md5-affine positions, 32-bit words."""
+    from akka_stream_contrib_spark.functions.sketches import (
+        bloom_build, bloom_probe)
+    orders = tables.load(spark, "orders", sf_dir)
+    cust = tables.load(spark, "customer", sf_dir)
+    bloom = bloom_build(orders, "o_custkey")
+    return bloom_probe(bloom, cust, "c_custkey")
+
+
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick→bar OHLC downsampling (operators/resample.py::ohlc_resample):
+    hourly candles per user in ONE partial-aggregated groupBy — open/close
+    via min/max over a (ts, seq, value) struct, no window pass."""
+    from akka_stream_contrib_spark.operators.resample import ohlc_resample
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.transform(ohlc_resample(bucket_s=3600))
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis over events.user_id
+    (functions/quality.py::skew_report): heaviest keys + distribution stats
+    from one key aggregation and a 1-row broadcast — the pre-flight check
+    before keying a 100 TB join."""
+    from akka_stream_contrib_spark.functions.quality import skew_report
+    return tables.load(spark, "events", sf_dir).transform(
+        skew_report("user_id", top_n=10))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2827,6 +2860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "normalize_text": q_normalize_text,
         "doc_keywords": q_doc_keywords,
+        "bloom_membership": q_bloom_membership,
+        "ohlc_resample": q_ohlc_resample,
+        "skew_report": q_skew_report,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -2844,6 +2880,7 @@ _PRIORITY = [
     "length_batches", "negative_samples",
     "gopher_rules", "contamination_score", "mixture_weights", "rp_project",
     "pq_ann", "simhash_pairs", "normalize_text", "doc_keywords",
+    "bloom_membership", "ohlc_resample", "skew_report",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5385,5 +5422,79 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, token, score, rank FROM r WHERE rank <= 3
+        """,
+        "bloom_membership": """
+            WITH bpos AS (
+                SELECT ((6*i+7) * CAST(concat('0x',
+                            substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) + (3*i+1)) % 65536 AS pos
+                FROM orders CROSS JOIN range(0, 4) t(i)
+            ), words AS (
+                SELECT pos // 32 AS word,
+                       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                           AS bits
+                FROM bpos GROUP BY 1
+            ), cpos AS (
+                SELECT c_custkey AS key,
+                       ((6*i+7) * CAST(concat('0x',
+                            substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) + (3*i+1)) % 65536 AS pos
+                FROM customer CROSS JOIN range(0, 4) t(i)
+            ), probe AS (
+                SELECT key,
+                       CASE WHEN (COALESCE(w.bits, 0)
+                                  & (CAST(1 AS BIGINT)
+                                     << CAST(pos % 32 AS INT))) <> 0
+                            THEN 1 ELSE 0 END AS hit
+                FROM cpos LEFT JOIN words w ON cpos.pos // 32 = w.word
+            )
+            SELECT key, sum(hit) = 4 AS member FROM probe GROUP BY key
+        """,
+        "ohlc_resample": """
+            WITH base AS (
+                SELECT user_id AS key,
+                       (epoch_us(ts) // 1000000)
+                           - ((epoch_us(ts) // 1000000) % 3600)
+                           AS bucket_start_s,
+                       ts, event_id, CAST(value AS DECIMAL(18,4)) AS v
+                FROM events
+            ), w AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY key, bucket_start_s
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY key, bucket_start_s
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM base
+            )
+            SELECT key, bucket_start_s,
+                   CAST(max(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+                   CAST(max(v) AS DOUBLE) AS high,
+                   CAST(min(v) AS DOUBLE) AS low,
+                   CAST(max(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close,
+                   count(*) AS n
+            FROM w GROUP BY key, bucket_start_s
+        """,
+        "skew_report": """
+            WITH per AS (
+                SELECT user_id AS key, count(*) AS cnt
+                FROM events GROUP BY 1
+            ), stats AS (
+                SELECT count(*) AS n_keys, sum(cnt) AS total_rows,
+                       max(cnt) AS mx
+                FROM per
+            ), top AS (
+                SELECT key, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, key) AS rank
+                FROM per ORDER BY cnt DESC, key LIMIT 10
+            )
+            SELECT key, cnt,
+                   round(cnt / CAST(total_rows AS DOUBLE), 6) + 0.0 AS share,
+                   CAST(rank AS INT) AS rank,
+                   n_keys, CAST(total_rows AS BIGINT) AS total_rows,
+                   round(total_rows / CAST(n_keys AS DOUBLE), 6) + 0.0
+                       AS mean_per_key,
+                   round(mx * n_keys / CAST(total_rows AS DOUBLE), 6) + 0.0
+                       AS skew_factor
+            FROM top, stats
         """,
     }

@@ -75,6 +75,7 @@ from akka_stream_contrib_spark.functions.quality import (
     winsorize,
     quality_score,
     gopher_rules,
+    skew_report,
 )
 from akka_stream_contrib_spark.functions.projection import (
     jl_signs,
@@ -87,6 +88,8 @@ from akka_stream_contrib_spark.functions.sketches import (
     mg_heavy_hitters,
     cm_sketch,
     cm_estimate,
+    bloom_build,
+    bloom_probe,
 )
 from akka_stream_contrib_spark.functions.similarity import (
     cosine_topk,
@@ -126,10 +129,11 @@ __all__ = [
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",
     "pagerank", "triangle_count", "kmeans_assign",
     "expect", "winsorize", "quality_score", "gopher_rules",
-    "jl_signs", "rp_project", "rp_project_sql",
+    "jl_signs", "rp_project", "rp_project_sql", "skew_report",
     "pq_train", "pq_encode", "pq_topk_adc",
     "contamination_score", "mixture_weights",
     "pmi_bigrams", "readability_score", "normalize_text", "doc_keywords",
     "hll_sketch_rollup", "hll_merge",
     "mg_heavy_hitters", "cm_sketch", "cm_estimate",
+    "bloom_build", "bloom_probe",
 ]

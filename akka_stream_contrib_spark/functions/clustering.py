@@ -60,25 +60,51 @@ def kmeans_assign(df: DataFrame, k: int = 8, iterations: int = 5,
     if not seed_rows:
         return df.select(F.col(id_col), F.lit(0).alias("cluster"),
                          F.lit(0.0).alias("dist")).limit(0)
-    cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
-    dim = len(cents[0])
+    import numpy as np
+
+    cents_np = np.array([[float(x) for x in r[vec_col]] for r in seed_rows])
     base = df.select(id_col, vec_col)
+    spark = df.sparkSession
+    # Iteration assignments run as ONE Arrow pass with broadcast centroids
+    # and per-batch partial (cluster, n, vector-sum) rows — no shuffle at
+    # all inside an iteration, and no per-iteration literal plan: the
+    # previous codegen-expression form re-javac'd an 8×64-literal argmin
+    # every round because the centroid literals changed (measured ~2× the
+    # iteration cost). The tiny partials (≤ partitions·k rows) combine on
+    # the driver — the same K-rows-cross-the-loop-boundary shape as the
+    # reference's FeedbackLoop.
     for _ in range(iterations):
-        assigned = _assign(base, vec_col, cents)
-        parts = (assigned
-                 .select("cluster", F.posexplode(
-                     F.col(vec_col).cast("array<double>")).alias("_i", "_x"))
-                 .groupBy("cluster", "_i")
-                 .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n")))
-        rows = (parts.groupBy("cluster")
-                .agg(F.map_from_arrays(F.collect_list("_i"),
-                                       F.collect_list(F.col("_s") / F.col("_n"))
-                                       ).alias("_m"))
-                .collect())
-        new_cents = list(cents)
-        for r in rows:  # clusters that lost all members keep their centroid
-            new_cents[r["cluster"]] = [r["_m"][i] for i in range(dim)]
-        cents = new_cents
+        b_cents = spark.sparkContext.broadcast(cents_np)
+
+        def _partials(batches, _b=b_cents):
+            import pandas as pd
+            c = _b.value
+            for pdfb in batches:
+                if len(pdfb) == 0:
+                    continue
+                X = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
+                d2 = ((X * X).sum(1, keepdims=True) - 2.0 * (X @ c.T)
+                      + (c * c).sum(1))
+                a = np.argmin(d2, axis=1)
+                n = np.bincount(a, minlength=len(c))
+                sums = np.zeros_like(c)
+                np.add.at(sums, a, X)
+                nz = np.nonzero(n)[0]
+                yield pd.DataFrame({"cluster": nz.astype("int32"),
+                                    "n": n[nz],
+                                    "sums": list(sums[nz])})
+
+        parts = base.mapInPandas(
+            _partials, schema="cluster int, n long, sums array<double>"
+        ).collect()
+        tot_n = np.zeros(len(cents_np))
+        tot_s = np.zeros_like(cents_np)
+        for r in parts:
+            tot_n[r["cluster"]] += r["n"]
+            tot_s[r["cluster"]] += np.asarray(r["sums"])
+        upd = tot_n > 0  # clusters that lost all members keep their centroid
+        cents_np[upd] = tot_s[upd] / tot_n[upd, None]
+    cents = cents_np.tolist()
     dists = F.array(*[_dist2(vec_col, c) for c in cents])
     out = (base.withColumn("_d", dists)
            .withColumn("cluster",

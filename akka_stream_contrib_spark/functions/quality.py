@@ -213,3 +213,42 @@ def gopher_rules(min_words: int = 5, max_words: int = 100_000,
         return out.withColumn("keep", keep)
 
     return _apply
+
+
+def skew_report(key_col: str, top_n: int = 10) -> Callable[[DataFrame], DataFrame]:
+    """Shuffle-key skew diagnosis — run this BEFORE keying a 100 TB join or
+    aggregation on a column: per-key cardinality stats plus the ``top_n``
+    heaviest keys, each row carrying (key, cnt, share, rank, n_keys,
+    total_rows, mean_per_key, skew_factor). ``skew_factor`` = heaviest key /
+    mean — >10 means the key needs salting or AQE skew-join handling;
+    `operators/salt.py` is the companion fix.
+
+    One partial-aggregated groupBy on the key + a 1-row stats aggregate
+    broadcast back over the top-N (TakeOrdered, no global sort) — the
+    diagnosis never costs more than the aggregation it is protecting.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        per = df.groupBy(F.col(key_col).alias("key")).agg(
+            F.count(F.lit(1)).alias("cnt"))
+        stats = per.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("_max"))
+        from pyspark.sql import Window
+        top = (per.orderBy(F.desc("cnt"), "key").limit(top_n)
+               .crossJoin(F.broadcast(stats)))
+        w = Window.orderBy(F.desc("cnt"), "key")
+        return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+                .select(
+                    "key", "cnt",
+                    (F.round(F.col("cnt") / F.col("total_rows"), 6)
+                     + F.lit(0.0)).alias("share"),
+                    "rank", "n_keys", "total_rows",
+                    (F.round(F.col("total_rows") / F.col("n_keys"), 6)
+                     + F.lit(0.0)).alias("mean_per_key"),
+                    (F.round(F.col("_max") * F.col("n_keys")
+                             / F.col("total_rows"), 6)
+                     + F.lit(0.0)).alias("skew_factor")))
+
+    return _apply

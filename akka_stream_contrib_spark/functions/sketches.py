@@ -154,3 +154,61 @@ def cm_estimate(sketch: DataFrame, items: DataFrame, item_col: str,
     joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
     return (joined.groupBy(item_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out)))
+
+
+def _bloom_positions(key, m_bits: int, k_hashes: int):
+    """The k bit positions of ``key`` — same portable affine family over the
+    md5-prefix hash as the MinHash signatures (a=6i+7, b=3i+1), so every
+    engine (and the DuckDB oracle) reproduces the sketch bit-for-bit."""
+    from akka_stream_contrib_spark.functions.text import token_id
+    h = token_id(key.cast("string"))
+    return [
+        (F.lit(6 * i + 7) * h + F.lit(3 * i + 1)) % F.lit(m_bits)
+        for i in range(k_hashes)
+    ]
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 65536,
+                k_hashes: int = 4) -> DataFrame:
+    """Build a Bloom filter over a key column as a TABLE of 32-bit words
+    (word, bits) — the mergeable, engine-portable representation: union two
+    filters with ``bit_or`` on word, broadcast it to prune a join, persist
+    it as the daily membership index. At 100 TB the filter for a billion
+    keys at 1% fp is ~1.2 GB of words — shardable because it IS a table,
+    unlike an opaque sketch blob.
+
+    One map-side position expansion (k rows per key) + one bit_or
+    aggregation on the uniform word index. No false negatives; false
+    positives at the standard (1-e^{-kn/m})^k rate (asserted in tests).
+    """
+    pos = (df.select(F.explode(F.array(
+        *_bloom_positions(F.col(key_col), m_bits, k_hashes))).alias("pos")))
+    return (pos.select((F.col("pos") / F.lit(32)).cast("bigint").alias("word"),
+                       F.expr("shiftleft(cast(1 as bigint),"
+                              " cast(pos % 32 as int))").alias("_m"))
+            .groupBy("word").agg(F.bit_or("_m").alias("bits")))
+
+
+def bloom_probe(bloom: DataFrame, df: DataFrame, key_col: str,
+                m_bits: int = 65536, k_hashes: int = 4) -> DataFrame:
+    """Probe a `bloom_build` table: (key, member) for every input row —
+    member = all k bits set (guaranteed true for every inserted key; false
+    positives possible, false negatives never). The filter words broadcast
+    (they are k·n bits / 32 words at most); the probe side is one map-side
+    expansion + a per-key conditional count — the join-pruning shape:
+    ``big.join(broadcast(bloom_probe(...)), ...)`` drops most non-matching
+    rows before any shuffle of the big side."""
+    pos = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array(
+            *_bloom_positions(F.col(key_col), m_bits, k_hashes))).alias("pos"))
+    probed = (pos
+              .withColumn("word", (F.col("pos") / F.lit(32)).cast("bigint"))
+              .withColumn("_m", F.expr("shiftleft(cast(1 as bigint),"
+                                       " cast(pos % 32 as int))"))
+              .join(F.broadcast(bloom), "word", "left")
+              .withColumn("_hit",
+                          (F.coalesce(F.col("bits"), F.lit(0))
+                           .bitwiseAND(F.col("_m")) != 0).cast("int")))
+    return (probed.groupBy("key")
+            .agg((F.sum("_hit") == F.lit(k_hashes)).alias("member")))

@@ -104,3 +104,44 @@ def resample_interpolate(
     return (u.filter(F.col("_src") == 1)
             .select(key, F.col(ts).alias("grid_ts"),
                     F.round(interp, 6).alias("value_interp")))
+
+
+def ohlc_resample(key: str = "user_id", ts: str = "ts", value: str = "value",
+                  seq: str = "event_id", bucket_s: int = 3600,
+                  ) -> Callable[[DataFrame], DataFrame]:
+    """Downsample a value stream into OHLC candles per key and time bucket:
+    (key, bucket_start, open, high, low, close, n) — the canonical
+    time-series compaction (tick → bar) that turns an unbounded event
+    stream into a bounded summary table.
+
+    Open/close are order-sensitive: they pick the value at the min/max of
+    (ts, seq) inside the bucket — expressed as min/max over a packed
+    struct, so the whole operator is ONE partial-aggregated groupBy on
+    (key, bucket): no windows, no second shuffle, streaming-friendly (the
+    same aggregate runs under a watermark). High/low/count are plain
+    aggregates. Money values go through the exact decimal cast per the repo
+    convention.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import epoch_micros
+        bucket = (epoch_micros(ts) / F.lit(1_000_000)).cast("bigint")
+        bucket = (bucket - bucket % F.lit(bucket_s)).alias("bucket_start_s")
+        v = F.col(value).cast("decimal(18,4)")
+        packed = F.struct(F.col(ts).alias("_t"), F.col(seq).alias("_q"),
+                          v.alias("_v"))
+        return (df.groupBy(F.col(key).alias("key"), bucket)
+                .agg(F.min(packed).alias("_first"),
+                     F.max(packed).alias("_last"),
+                     F.max(v).alias("high"),
+                     F.min(v).alias("low"),
+                     F.count(F.lit(1)).alias("n"))
+                .select("key", "bucket_start_s",
+                        F.col("_first._v").cast("double").alias("open"),
+                        "high", "low",
+                        F.col("_last._v").cast("double").alias("close"),
+                        "n")
+                .withColumn("high", F.col("high").cast("double"))
+                .withColumn("low", F.col("low").cast("double")))
+
+    return _apply

@@ -113,6 +113,9 @@ HEADLINE = [
     "simhash_pairs",
     "normalize_text",
     "doc_keywords",
+    "bloom_membership",
+    "ohlc_resample",
+    "skew_report",
 ]
 
 

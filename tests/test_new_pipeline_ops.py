@@ -195,3 +195,59 @@ def test_doc_keywords_tfidf_ranking(spark):
     assert sorted(per[2])[0][1] == "other"
     assert sorted(per[3])[0][1] == "unique"
     assert all(len(v) == 2 for v in per.values())
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from akka_stream_contrib_spark.functions import bloom_build, bloom_probe
+    inserted = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    others = spark.createDataFrame([(i,) for i in range(10000, 12000)], "k long")
+    bloom = bloom_build(inserted, "k", m_bits=65536, k_hashes=4)
+    mem_in = {r.key: r.member for r in bloom_probe(bloom, inserted, "k").collect()}
+    assert all(mem_in.values())                     # no false negatives, ever
+    mem_out = [r.member for r in bloom_probe(bloom, others, "k").collect()]
+    fp = sum(mem_out) / len(mem_out)
+    # theoretical fp at n=500, m=65536, k=4 is ~2e-5; allow a generous band
+    assert fp < 0.01
+
+
+def test_bloom_merge_is_bit_or(spark):
+    from pyspark.sql import functions as F
+    from akka_stream_contrib_spark.functions import bloom_build, bloom_probe
+    a = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(100, 200)], "k long")
+    both = a.union(b)
+    merged = (bloom_build(a, "k").union(bloom_build(b, "k"))
+              .groupBy("word").agg(F.bit_or("bits").alias("bits")))
+    direct = bloom_build(both, "k")
+    assert (sorted((r.word, r.bits) for r in merged.collect())
+            == sorted((r.word, r.bits) for r in direct.collect()))
+    assert all(r.member for r in bloom_probe(merged, both, "k").collect())
+
+
+def test_ohlc_resample_candles(spark):
+    from datetime import datetime
+    from akka_stream_contrib_spark.operators.resample import ohlc_resample
+    rows = [(1, datetime(2024, 1, 1, 0, 5), 1, 10.0),
+            (2, datetime(2024, 1, 1, 0, 20), 1, 30.0),
+            (3, datetime(2024, 1, 1, 0, 50), 1, 20.0),
+            (4, datetime(2024, 1, 1, 1, 10), 1, 5.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double")
+    out = {r.bucket_start_s: r for r in
+           df.transform(ohlc_resample(bucket_s=3600)).collect()}
+    h0 = out[1704067200]
+    assert (h0.open, h0.high, h0.low, h0.close, h0.n) == (10.0, 30.0, 10.0, 20.0, 3)
+    h1 = out[1704070800]
+    assert (h1.open, h1.close, h1.n) == (5.0, 5.0, 1)
+
+
+def test_skew_report_detects_hot_key(spark):
+    from akka_stream_contrib_spark.functions import skew_report
+    rows = [("hot",)] * 900 + [(f"k{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    out = df.transform(skew_report("k", top_n=3)).collect()
+    top = out[0]
+    assert top.key == "hot" and top.rank == 1 and top.cnt == 900
+    assert top.share == 0.9 and top.n_keys == 101
+    # skew factor = max/mean = 900 / (1000/101) ≈ 90.9
+    assert 85 < top.skew_factor < 95

@@ -187,6 +187,12 @@ BUDGET = {
     "normalize_text": 0,
     # (doc,token) tf + token df + df join + per-doc rank window
     "doc_keywords": 5,
+    # build word agg + probe key agg (filter words broadcast)
+    "bloom_membership": 2,
+    # tick->bar: ONE (key,bucket) partial-aggregated groupBy
+    "ohlc_resample": 1,
+    # key agg + 1-row stats + post-reduction top-N window
+    "skew_report": 3,
 }
 
 
