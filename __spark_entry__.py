@@ -2670,6 +2670,45 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew_report("user_id", top_n=10))
 
 
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (functions/corpus.py::kfold_split):
+    md5-hash mod k, zero shuffles, engine-stable."""
+    from akka_stream_contrib_spark.functions.corpus import kfold_split
+    return (tables.load(spark, "documents", sf_dir)
+            .transform(kfold_split(k=5)).select("doc_id", "fold"))
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rank normalization (functions/corpus.py::
+    quantile_normalize): percent rank of value within event_type, seq
+    tie-break for a deterministic total order; one group-key shuffle."""
+    from akka_stream_contrib_spark.functions.corpus import quantile_normalize
+    ev = tables.load(spark, "events", sf_dir)
+    return (ev.transform(quantile_normalize("event_type", "value",
+                                            seq="event_id"))
+            .select("event_id", "event_type", "value", "pct"))
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end in-engine classifier loop (functions/ml.py): featurize
+    documents map-side, TRAIN logistic regression with Arrow gradient
+    partials (one scan per iteration, no shuffle), then SCORE every doc
+    with the learned weights as literals inside codegen — the fastText-
+    style quality-filter workflow. Iterative training → rows-only check;
+    convergence/accuracy pinned by tests on separable data."""
+    from akka_stream_contrib_spark.functions.ml import (
+        logreg_predict, logreg_train, text_feature_vector)
+    docs = tables.load(spark, "documents", sf_dir)
+    feat = docs.select(
+        "doc_id", text_feature_vector().alias("features"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    w, b = logreg_train(feat, iters=15, lr=0.5)
+    return (feat.select(
+        "doc_id", "label",
+        (F.round(logreg_predict(w, b), 6) + F.lit(0.0)).alias("prob"))
+        .withColumn("predicted", (F.col("prob") >= 0.5).cast("int")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2863,6 +2902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "ohlc_resample": q_ohlc_resample,
         "skew_report": q_skew_report,
+        "kfold_split": q_kfold_split,
+        "quantile_normalize": q_quantile_normalize,
+        "logreg_quality": q_logreg_quality,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -2881,6 +2923,7 @@ _PRIORITY = [
     "gopher_rules", "contamination_score", "mixture_weights", "rp_project",
     "pq_ann", "simhash_pairs", "normalize_text", "doc_keywords",
     "bloom_membership", "ohlc_resample", "skew_report",
+    "kfold_split", "quantile_normalize", "logreg_quality",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5496,5 +5539,19 @@ def oracle_sql() -> dict[str, str]:
                    round(mx * n_keys / CAST(total_rows AS DOUBLE), 6) + 0.0
                        AS skew_factor
             FROM top, stats
+        """,
+        "kfold_split": """
+            SELECT doc_id,
+                   CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 5 AS INT) AS fold
+            FROM documents
+        """,
+        "quantile_normalize": """
+            SELECT event_id, event_type, value,
+                   round(percent_rank() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, event_id), 6) + 0.0 AS pct
+            FROM events
         """,
     }

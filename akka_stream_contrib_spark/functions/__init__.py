@@ -52,6 +52,8 @@ from akka_stream_contrib_spark.functions.dedup import (
 from akka_stream_contrib_spark.functions.corpus import (
     contamination_score,
     mixture_weights,
+    kfold_split,
+    quantile_normalize,
     chunk_documents,
     length_sorted_batches,
     negative_sampling,
@@ -69,6 +71,11 @@ from akka_stream_contrib_spark.functions.retrieval import (
     tfidf_topk,
 )
 from akka_stream_contrib_spark.functions.graph import pagerank, triangle_count
+from akka_stream_contrib_spark.functions.ml import (
+    logreg_train,
+    logreg_predict,
+    text_feature_vector,
+)
 from akka_stream_contrib_spark.functions.clustering import kmeans_assign
 from akka_stream_contrib_spark.functions.quality import (
     expect,
@@ -128,10 +135,12 @@ __all__ = [
     "domain_cap", "remove_boilerplate",
     "train_test_split", "mixture_sample", "bm25_topk", "inverted_index", "tfidf_topk",
     "pagerank", "triangle_count", "kmeans_assign",
+    "logreg_train", "logreg_predict", "text_feature_vector",
     "expect", "winsorize", "quality_score", "gopher_rules",
     "jl_signs", "rp_project", "rp_project_sql", "skew_report",
     "pq_train", "pq_encode", "pq_topk_adc",
-    "contamination_score", "mixture_weights",
+    "contamination_score", "mixture_weights", "kfold_split",
+    "quantile_normalize",
     "pmi_bigrams", "readability_score", "normalize_text", "doc_keywords",
     "hll_sketch_rollup", "hll_merge",
     "mg_heavy_hitters", "cm_sketch", "cm_estimate",

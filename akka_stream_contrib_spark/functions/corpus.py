@@ -419,3 +419,41 @@ def mixture_weights(alpha: float = 0.5, domain_col: str = "source",
                          + F.lit(0.0)).alias("weight")))
 
     return _apply
+
+
+def kfold_split(k: int = 5, id_col: str = "doc_id"
+                ) -> Callable[[DataFrame], DataFrame]:
+    """Deterministic k-fold assignment for cross-validation: fold =
+    md5-hash(id) mod k — a pure map-side expression (zero shuffles), stable
+    across runs/engines/partitionings, and uniform across folds. Emits the
+    input rows with a ``fold`` column; filter ``fold != i`` / ``fold == i``
+    for the train/validation split of round i."""
+    if k < 2:
+        raise ValueError("kfold_split needs k >= 2")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.functions.text import token_id
+        return df.withColumn(
+            "fold", F.pmod(token_id(F.col(id_col).cast("string")),
+                           F.lit(k)).cast("int"))
+
+    return _apply
+
+
+def quantile_normalize(key: str, value: str = "value",
+                       seq: str | None = None
+                       ) -> Callable[[DataFrame], DataFrame]:
+    """Per-group quantile (rank) normalization — map every value to its
+    percent rank within its group, the outlier-robust feature transform
+    (rank-gauss without the gaussianization step). ``seq`` breaks ties for
+    a total order so the output is engine-deterministic. One hash shuffle
+    on the group key; the window sorts only within groups."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        order = [F.col(value)] + ([F.col(seq)] if seq else [])
+        w = Window.partitionBy(key).orderBy(*order)
+        return df.withColumn(
+            "pct", (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)))
+
+    return _apply

@@ -116,6 +116,9 @@ HEADLINE = [
     "bloom_membership",
     "ohlc_resample",
     "skew_report",
+    "kfold_split",
+    "quantile_normalize",
+    "logreg_quality",
 ]
 
 

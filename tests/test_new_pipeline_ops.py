@@ -251,3 +251,50 @@ def test_skew_report_detects_hot_key(spark):
     assert top.share == 0.9 and top.n_keys == 101
     # skew factor = max/mean = 900 / (1000/101) ≈ 90.9
     assert 85 < top.skew_factor < 95
+
+
+def test_logreg_converges_on_separable_data(spark):
+    import numpy as np
+    from akka_stream_contrib_spark.functions.ml import (
+        logreg_predict, logreg_train)
+    rows = []
+    for i in range(200):
+        x0 = (i % 7 - 3) / 3.0          # deterministic spread in [-1, 1]
+        x1 = ((i * 13) % 11 - 5) / 5.0
+        rows.append((i, [x0 + 2.0, x1], 1) if i % 2 == 0
+                    else (i, [x0 - 2.0, x1], 0))
+    df = spark.createDataFrame(rows, "id long, features array<double>, label int")
+    w, b = logreg_train(df, iters=30, lr=1.0)
+    assert w[0] > 1.0 and abs(w[1]) < abs(w[0])   # learns the separating dim
+    scored = df.select("id", "label",
+                       logreg_predict(w, b).alias("p")).collect()
+    acc = sum((r.p >= 0.5) == (r.label == 1) for r in scored) / len(scored)
+    assert acc >= 0.98
+    # the codegen scoring expression replays the numpy model exactly
+    import numpy as np
+    for r in scored[:10]:
+        feats = rows[r.id][1]
+        expect = 1.0 / (1.0 + np.exp(-(np.dot(w, feats) + b)))
+        assert abs(r.p - expect) < 1e-12
+
+
+def test_kfold_split_uniform_and_stable(spark):
+    from akka_stream_contrib_spark.functions.corpus import kfold_split
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = {r.doc_id: r.fold for r in df.transform(kfold_split(k=5)).collect()}
+    b = {r.doc_id: r.fold for r in df.transform(kfold_split(k=5)).collect()}
+    assert a == b and set(a.values()) == {0, 1, 2, 3, 4}
+    from collections import Counter
+    counts = Counter(a.values())
+    assert max(counts.values()) < 1.5 * min(counts.values())
+
+
+def test_quantile_normalize_rank_semantics(spark):
+    from akka_stream_contrib_spark.functions.corpus import quantile_normalize
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+            (4, "b", 5.0), (5, "b", 5.0)]
+    df = spark.createDataFrame(rows, "event_id long, k string, value double")
+    out = {r.event_id: r.pct for r in
+           df.transform(quantile_normalize("k", "value", seq="event_id")).collect()}
+    assert (out[1], out[2], out[3]) == (0.0, 0.5, 1.0)
+    assert (out[4], out[5]) == (0.0, 1.0)   # seq breaks the tie

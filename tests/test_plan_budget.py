@@ -193,6 +193,12 @@ BUDGET = {
     "ohlc_resample": 1,
     # key agg + 1-row stats + post-reduction top-N window
     "skew_report": 3,
+    # hash-mod fold: pure map-side
+    "kfold_split": 0,
+    # one group-key window exchange
+    "quantile_normalize": 1,
+    # training iterations run at plan-build; scoring plan is map-side
+    "logreg_quality": 0,
 }
 
 

@@ -289,3 +289,56 @@ def test_global_order_matches_model(values, n_parts):
         assert ranks[i] == i + 1
         assert sums[i] == run
         assert lags[i] == (values[i - 1] if i > 0 else None)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=6),
+                min_size=2, max_size=15, unique=True))
+@settings(**SETTINGS)
+def test_edit1_pairs_matches_bruteforce(strings):
+    """Deletion-neighborhood join == brute-force all-pairs distance ≤ 1 on
+    arbitrary strings (insertions, deletions, substitutions, duplicates)."""
+    from akka_stream_contrib_spark.functions import edit1_pairs
+    spark = _get_spark()
+    df = spark.createDataFrame(list(enumerate(strings)), "id int, s string")
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.edit_distance
+           for r in edit1_pairs(df, "id", "s").collect()}
+    expect = {}
+    for i in range(len(strings)):
+        for j in range(i + 1, len(strings)):
+            d = _lev(strings[i], strings[j])
+            if d <= 1:
+                expect[(i, j)] = d
+    assert got == expect
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5000),
+                min_size=1, max_size=60, unique=True),
+       st.lists(st.integers(min_value=0, max_value=5000),
+                min_size=1, max_size=40, unique=True))
+@settings(**SETTINGS)
+def test_bloom_membership_matches_set_semantics(inserted, probes):
+    """Probe(bloom(inserted)) must be TRUE for every inserted key (no false
+    negatives) regardless of overlap; non-members may only err toward
+    membership (false positives)."""
+    from akka_stream_contrib_spark.functions import bloom_build, bloom_probe
+    spark = _get_spark()
+    ins = spark.createDataFrame([(k,) for k in inserted], "k long")
+    prb = spark.createDataFrame([(k,) for k in probes], "k long")
+    bloom = bloom_build(ins, "k")
+    got = {r.key: r.member for r in bloom_probe(bloom, prb, "k").collect()}
+    ins_set = set(inserted)
+    for k in probes:
+        if k in ins_set:
+            assert got[k] is True
