@@ -2709,6 +2709,22 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("predicted", (F.col("prob") >= 0.5).cast("int")))
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between snapshots (operators/cdc.py::snapshot_diff): old = events
+    with event_id % 10 != 0, new = events with event_id % 7 != 0 and value
+    bumped where event_id % 3 == 0 — exercising added, removed, and changed
+    in one co-partitioned full outer join."""
+    from akka_stream_contrib_spark.operators.cdc import snapshot_diff
+    ev = tables.load(spark, "events", sf_dir)
+    old = ev.filter(F.col("event_id") % 10 != 0)
+    new = (ev.filter(F.col("event_id") % 7 != 0)
+           .withColumn("value",
+                       F.when(F.col("event_id") % 3 == 0,
+                              F.round(F.col("value") + 1.0, 2))
+                       .otherwise(F.col("value"))))
+    return snapshot_diff(old, new, ["event_id"], ["value", "event_type"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2905,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_split": q_kfold_split,
         "quantile_normalize": q_quantile_normalize,
         "logreg_quality": q_logreg_quality,
+        "snapshot_diff": q_snapshot_diff,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -2923,7 +2940,7 @@ _PRIORITY = [
     "gopher_rules", "contamination_score", "mixture_weights", "rp_project",
     "pq_ann", "simhash_pairs", "normalize_text", "doc_keywords",
     "bloom_membership", "ohlc_resample", "skew_report",
-    "kfold_split", "quantile_normalize", "logreg_quality",
+    "kfold_split", "quantile_normalize", "logreg_quality", "snapshot_diff",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5553,5 +5570,36 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type
                        ORDER BY value, event_id), 6) + 0.0 AS pct
             FROM events
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT event_id, value AS old_value,
+                       event_type AS old_event_type, 1 AS in_old
+                FROM events WHERE event_id % 10 <> 0
+            ), new AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 3 = 0 THEN round(value + 1.0, 2)
+                            ELSE value END AS new_value,
+                       event_type AS new_event_type, 1 AS in_new
+                FROM events WHERE event_id % 7 <> 0
+            ), j AS (
+                SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+                       o.old_value, o.old_event_type, o.in_old,
+                       n.new_value, n.new_event_type, n.in_new
+                FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+            )
+            SELECT event_id,
+                   CASE WHEN in_old IS NULL THEN 'added'
+                        WHEN in_new IS NULL THEN 'removed'
+                        WHEN old_value IS DISTINCT FROM new_value
+                             OR old_event_type IS DISTINCT FROM new_event_type
+                             THEN 'changed' END AS change_type,
+                   old_value, old_event_type, new_value, new_event_type
+            FROM j
+            WHERE CASE WHEN in_old IS NULL THEN 'added'
+                       WHEN in_new IS NULL THEN 'removed'
+                       WHEN old_value IS DISTINCT FROM new_value
+                            OR old_event_type IS DISTINCT FROM new_event_type
+                            THEN 'changed' END IS NOT NULL
         """,
     }

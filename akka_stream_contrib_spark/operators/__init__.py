@@ -45,6 +45,7 @@ from akka_stream_contrib_spark.operators.timeseries import (
     sessionize,
 )
 from akka_stream_contrib_spark.operators.resample import resample_ffill, resample_interpolate, ohlc_resample
+from akka_stream_contrib_spark.operators.cdc import snapshot_diff
 from akka_stream_contrib_spark.operators.bucketing import (
     write_bucketed,
     write_partitioned,
@@ -75,7 +76,7 @@ __all__ = [
     "token_throttle", "delay_flow", "keep_alive_concat",
     "timed_interval_between", "with_ingest_ts", "latency_columns",
     "retry", "retry_concat", "feedback_loop", "unfold_flow", "unfold_flow_with",
-    "as_of_join", "resample_ffill", "resample_interpolate", "ohlc_resample",
+    "as_of_join", "resample_ffill", "resample_interpolate", "ohlc_resample", "snapshot_diff",
     "write_bucketed", "write_partitioned", "bucketed_join", "assert_no_shuffle_join",
     "salted_aggregate", "salted_join",
     "compact_parquet", "parquet_file_stats", "observed", "timed_section",

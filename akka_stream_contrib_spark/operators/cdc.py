@@ -1,0 +1,57 @@
+"""Change-data-capture between table snapshots.
+
+`snapshot_diff` computes the (added / removed / changed) delta between two
+versions of a keyed table — the operation behind incremental ingestion,
+audit trails, and downstream cache invalidation when a 100 TB upstream
+re-publishes. Companion to `operators/scd2.py` (which tracks history once
+changes are KNOWN; this derives the changes).
+
+Scale shape: one full outer join on the key — both sides hash-shuffle once
+on the same uniform key (co-partitioned join, AQE handles skew); the
+column comparison is a codegen expression. Never a collect, never a
+row-by-row diff.
+
+Reference anchor: none (BASELINE.json extension — the reference has no
+table surface).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: Sequence[str],
+                  compare_cols: Sequence[str]) -> DataFrame:
+    """Delta between snapshots: one row per key that was added, removed, or
+    changed (any ``compare_cols`` differs, null-safe), with the old and new
+    values of every compared column. Unchanged keys are dropped — the
+    output is the (usually tiny) changeset, not the table."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    o = old.select(*key_cols,
+                   *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    n = new.select(*key_cols,
+                   *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    j = o.join(n, list(key_cols), "full_outer")
+    # presence flags off the first compared column's side-specific slot —
+    # null there could mean a null VALUE, so use a dedicated marker column
+    o = o.withColumn("_in_old", F.lit(1))
+    n = n.withColumn("_in_new", F.lit(1))
+    j = o.join(n, list(key_cols), "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select(*key_cols, "change_type",
+                    *[f"old_{c}" for c in compare_cols],
+                    *[f"new_{c}" for c in compare_cols]))

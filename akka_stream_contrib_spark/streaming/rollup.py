@@ -120,3 +120,37 @@ def expire_buckets(spark, path: str, keep_from_bucket_id: str) -> int:
             shutil.rmtree(d)
             removed += 1
     return removed
+
+
+def ohlc_stream(stream_df: DataFrame, ts_col: str = "ts",
+                key_col: str = "user_id", value_col: str = "value",
+                seq_col: str = "event_id", bucket: str = "1 hour",
+                watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of `operators/resample.py::ohlc_resample`: tick→bar
+    OHLC candles per (key, event-time window) as a watermarked windowed
+    aggregation — the SAME min/max-over-packed-struct aggregate, so batch
+    and stream produce identical candles for closed windows. The watermark
+    bounds state (open candles only); closed windows finalize and evict.
+
+    Returns a streaming DataFrame (key, window_start, open, high, low,
+    close, n) — attach any sink; Trigger.AvailableNow for batch-like runs.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("decimal(18,4)")
+    packed = F.struct(F.col(ts_col).alias("_t"), F.col(seq_col).alias("_q"),
+                      v.alias("_v"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col).alias("key"), F.window(ts_col, bucket))
+        .agg(F.min(packed).alias("_first"),
+             F.max(packed).alias("_last"),
+             F.max(v).alias("high"), F.min(v).alias("low"),
+             F.count(F.lit(1)).alias("n"))
+        .select("key", F.col("window.start").alias("window_start"),
+                F.col("_first._v").cast("double").alias("open"),
+                F.col("high").cast("double").alias("high"),
+                F.col("low").cast("double").alias("low"),
+                F.col("_last._v").cast("double").alias("close"),
+                "n")
+    )

@@ -119,6 +119,7 @@ HEADLINE = [
     "kfold_split",
     "quantile_normalize",
     "logreg_quality",
+    "snapshot_diff",
 ]
 
 

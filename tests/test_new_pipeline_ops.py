@@ -298,3 +298,16 @@ def test_quantile_normalize_rank_semantics(spark):
            df.transform(quantile_normalize("k", "value", seq="event_id")).collect()}
     assert (out[1], out[2], out[3]) == (0.0, 0.5, 1.0)
     assert (out[4], out[5]) == (0.0, 1.0)   # seq breaks the tie
+
+
+def test_snapshot_diff_change_types(spark):
+    from akka_stream_contrib_spark.operators.cdc import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "id long, v double, t string")
+    new = spark.createDataFrame(
+        [(2, 21.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        "id long, v double, t string")
+    out = {r.id: r.change_type
+           for r in snapshot_diff(old, new, ["id"], ["v", "t"]).collect()}
+    assert out == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged: absent

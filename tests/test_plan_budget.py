@@ -199,6 +199,8 @@ BUDGET = {
     "quantile_normalize": 1,
     # training iterations run at plan-build; scoring plan is map-side
     "logreg_quality": 0,
+    # one co-partitioned full outer join (both sides hash on the key)
+    "snapshot_diff": 2,
 }
 
 

@@ -464,3 +464,35 @@ def test_incremental_dedup_sink_first_seen_across_batches(spark, tmp_path):
     sink2(b3, 2)
     docs = {r.doc_id for r in spark.read.parquet(f"{out}/docs").collect()}
     assert docs == {1, 3, 5, 9}
+
+
+def test_ohlc_stream_matches_batch_candles(spark, tmp_path):
+    # streaming tick->bar twin: closed windows must equal the batch
+    # ohlc_resample candles for the same ticks
+    from akka_stream_contrib_spark.streaming.rollup import ohlc_stream
+    feed = tmp_path / "ticks"
+    feed.mkdir()
+    _feed_json(feed, "b1.json", [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01T00:05:00", "value": 10.0},
+        {"event_id": 2, "user_id": 1, "ts": "2024-01-01T00:20:00", "value": 30.0},
+        {"event_id": 3, "user_id": 1, "ts": "2024-01-01T00:50:00", "value": 20.0},
+        # a later-hour tick pushes the watermark past the first window
+        {"event_id": 4, "user_id": 1, "ts": "2024-01-01T03:30:00", "value": 5.0},
+    ])
+    src = (spark.readStream
+           .schema("event_id long, user_id long, ts timestamp, value double")
+           .json(str(feed)))
+    bars = ohlc_stream(src, bucket="1 hour", watermark="1 hour")
+    q = (bars.writeStream.format("memory").queryName("ohlc_bars")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_ohlc"))
+         .trigger(processingTime="1 second").start())
+    try:
+        assert _await_rows(spark, "ohlc_bars", 1, timeout_s=60)
+        rows = spark.sql("select * from ohlc_bars").collect()
+        first = [r for r in rows
+                 if r.window_start.isoformat().startswith("2024-01-01T00")][0]
+        assert (first.open, first.high, first.low, first.close, first.n) \
+            == (10.0, 30.0, 10.0, 20.0, 3)
+    finally:
+        q.stop()
