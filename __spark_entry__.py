@@ -2725,6 +2725,45 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["event_id"], ["value", "event_type"])
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution composition: exact distance-≤1 name pairs
+    (functions/dedup.py::edit1_pairs) → connected components
+    (dup_clusters min-label propagation) → canonical id per entity. The
+    standard record-linkage pipeline (candidate generation → match →
+    cluster) with every stage scale-shaped; components checked against a
+    recursive-CTE oracle."""
+    from akka_stream_contrib_spark.functions.dedup import (
+        dup_clusters, edit1_pairs)
+    cust = tables.load(spark, "customer", sf_dir).filter(
+        F.col("c_custkey") < 400)
+    pairs = edit1_pairs(cust, "c_custkey", "c_name")
+    return (dup_clusters(pairs, "id_a", "id_b")
+            .select(F.col("id").alias("c_custkey"), "cluster_id"))
+
+
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join — the 100 TB pattern the filter exists for: build
+    the filter over high-balance customers (the small side), probe the
+    orders stream map-side, and aggregate revenue ONLY over rows that pass
+    the filter (false positives included by construction — the oracle
+    replays the identical bit pattern, so the result is deterministic).
+    At scale this drops most of the fact table before any shuffle."""
+    from akka_stream_contrib_spark.functions.sketches import (
+        bloom_build, bloom_probe)
+    cust = tables.load(spark, "customer", sf_dir).filter(
+        F.col("c_acctbal") > 5000)
+    orders = tables.load(spark, "orders", sf_dir)
+    bloom = bloom_build(cust, "c_custkey")
+    member = bloom_probe(bloom, orders.select("o_custkey").distinct(),
+                         "o_custkey").filter("member").select(
+                             F.col("key").alias("o_custkey"))
+    return (orders.join(F.broadcast(member), "o_custkey", "left_semi")
+            .groupBy(F.year("o_orderdate").alias("year"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(_money("o_totalprice")).cast("double")
+                 .alias("revenue")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2922,6 +2961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "logreg_quality": q_logreg_quality,
         "snapshot_diff": q_snapshot_diff,
+        "entity_resolution": q_entity_resolution,
+        "bloom_pruned_revenue": q_bloom_pruned_revenue,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -2941,6 +2982,7 @@ _PRIORITY = [
     "pq_ann", "simhash_pairs", "normalize_text", "doc_keywords",
     "bloom_membership", "ohlc_resample", "skew_report",
     "kfold_split", "quantile_normalize", "logreg_quality", "snapshot_diff",
+    "entity_resolution", "bloom_pruned_revenue",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5570,6 +5612,76 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type
                        ORDER BY value, event_id), 6) + 0.0 AS pct
             FROM events
+        """,
+        "entity_resolution": """
+            WITH RECURSIVE c AS (
+                SELECT c_custkey, c_name FROM customer WHERE c_custkey < 400
+            ), v AS (
+                SELECT c_custkey, c_name,
+                       unnest(list_append(list_transform(
+                           range(1, length(c_name) + 1),
+                           i -> substr(c_name, 1, CAST(i AS INT) - 1)
+                                || substr(c_name, CAST(i AS INT) + 1)),
+                           c_name)) AS variant
+                FROM c
+            ), cand AS (
+                SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb,
+                                a.c_name AS an, b.c_name AS bn
+                FROM v a JOIN v b
+                  ON a.variant = b.variant
+                 AND (a.c_name < b.c_name OR (a.c_name = b.c_name
+                      AND a.c_custkey < b.c_custkey))
+            ), p AS (
+                SELECT ka, kb FROM cand WHERE levenshtein(an, bn) <= 1
+            ), e AS (
+                SELECT ka AS u, kb AS v FROM p
+                UNION
+                SELECT kb, ka FROM p
+            ), reach(u, v) AS (
+                SELECT u, v FROM e
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            )
+            SELECT u AS c_custkey, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u
+        """,
+        "bloom_pruned_revenue": """
+            WITH hv AS (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+            ), bpos AS (
+                SELECT ((6*i+7) * CAST(concat('0x',
+                            substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) + (3*i+1)) % 65536 AS pos
+                FROM hv CROSS JOIN range(0, 4) t(i)
+            ), words AS (
+                SELECT pos // 32 AS word,
+                       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                           AS bits
+                FROM bpos GROUP BY 1
+            ), ks AS (
+                SELECT DISTINCT o_custkey FROM orders
+            ), cpos AS (
+                SELECT o_custkey AS key,
+                       ((6*i+7) * CAST(concat('0x',
+                            substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) + (3*i+1)) % 65536 AS pos
+                FROM ks CROSS JOIN range(0, 4) t(i)
+            ), probe AS (
+                SELECT key,
+                       CASE WHEN (COALESCE(w.bits, 0)
+                                  & (CAST(1 AS BIGINT)
+                                     << CAST(pos % 32 AS INT))) <> 0
+                            THEN 1 ELSE 0 END AS hit
+                FROM cpos LEFT JOIN words w ON cpos.pos // 32 = w.word
+            ), members AS (
+                SELECT key FROM probe GROUP BY key HAVING sum(hit) = 4
+            )
+            SELECT CAST(year(o_orderdate) AS INT) AS year,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders JOIN members ON o_custkey = members.key
+            GROUP BY 1
         """,
         "snapshot_diff": """
             WITH old AS (

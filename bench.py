@@ -120,6 +120,8 @@ HEADLINE = [
     "quantile_normalize",
     "logreg_quality",
     "snapshot_diff",
+    "entity_resolution",
+    "bloom_pruned_revenue",
 ]
 
 

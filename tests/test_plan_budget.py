@@ -201,6 +201,12 @@ BUDGET = {
     "logreg_quality": 0,
     # one co-partitioned full outer join (both sides hash on the key)
     "snapshot_diff": 2,
+    # label-propagation rounds run at plan-build (localCheckpoint); the
+    # final labels frame is already materialized
+    "entity_resolution": 0,
+    # bloom word agg + distinct-key probe agg (+probe agg); fact side
+    # never shuffles pre-aggregation (semi join broadcasts)
+    "bloom_pruned_revenue": 3,
 }
 
 
