@@ -2764,6 +2764,31 @@ def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("revenue")))
 
 
+def q_vwap_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per return flag and 30-day bucket over
+    lineitem (operators/resample.py::vwap_resample): exact decimal
+    numerator/denominator, one partial-aggregated groupBy."""
+    from akka_stream_contrib_spark.operators.resample import vwap_resample
+    li = (tables.load(spark, "lineitem", sf_dir)
+          .withColumn("_ts", F.col("l_shipdate").cast("timestamp_ntz")))
+    return li.transform(vwap_resample(
+        key="l_returnflag", ts="_ts", price="l_extendedprice",
+        qty="l_quantity", bucket_s=86400 * 30))
+
+
+def q_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup (operators/resample.py::dedup_within): at most one
+    kept event per (user, type) per hour, anchor resetting only on KEPT
+    events — grouped Arrow state machine, one key shuffle; oracle is the
+    same recurrence as a recursive CTE."""
+    from akka_stream_contrib_spark.operators.resample import dedup_within
+    ev = tables.load(spark, "events", sf_dir)
+    return (ev.transform(dedup_within(["user_id", "event_type"],
+                                      within_s=3600))
+            .select("event_id", "ts", "user_id", "event_type", "value",
+                    "props", "kept"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2963,6 +2988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "entity_resolution": q_entity_resolution,
         "bloom_pruned_revenue": q_bloom_pruned_revenue,
+        "vwap_resample": q_vwap_resample,
+        "dedup_within": q_dedup_within,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -2982,7 +3009,8 @@ _PRIORITY = [
     "pq_ann", "simhash_pairs", "normalize_text", "doc_keywords",
     "bloom_membership", "ohlc_resample", "skew_report",
     "kfold_split", "quantile_normalize", "logreg_quality", "snapshot_diff",
-    "entity_resolution", "bloom_pruned_revenue",
+    "entity_resolution", "bloom_pruned_revenue", "vwap_resample",
+    "dedup_within",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5682,6 +5710,45 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM orders JOIN members ON o_custkey = members.key
             GROUP BY 1
+        """,
+        "vwap_resample": """
+            WITH b AS (
+                SELECT l_returnflag AS key,
+                       (epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 1000000)
+                           - ((epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                               // 1000000) % 2592000) AS bucket_start_s,
+                       CAST(l_extendedprice AS DECIMAL(18,4)) AS p,
+                       CAST(l_quantity AS DECIMAL(18,4)) AS q
+                FROM lineitem
+            )
+            SELECT key, bucket_start_s,
+                   CAST(round(sum(p * q) / sum(q), 6) AS DOUBLE) AS vwap,
+                   CAST(sum(q) AS DOUBLE) AS total_qty,
+                   count(*) AS n
+            FROM b GROUP BY key, bucket_start_s
+        """,
+        "dedup_within": """
+            WITH RECURSIVE b AS (
+                SELECT event_id, ts, user_id, event_type, value, props,
+                       epoch_us(ts) AS t,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id) AS rn
+                FROM events
+            ), scan(user_id, event_type, rn, t, anchor, kept) AS (
+                SELECT user_id, event_type, rn, t, t, TRUE
+                FROM b WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.event_type, b.rn, b.t,
+                       CASE WHEN b.t - s.anchor >= 3600000000
+                            THEN b.t ELSE s.anchor END,
+                       b.t - s.anchor >= 3600000000
+                FROM scan s JOIN b ON b.user_id = s.user_id
+                 AND b.event_type = s.event_type AND b.rn = s.rn + 1
+            )
+            SELECT b.event_id, b.ts, b.user_id, b.event_type, b.value,
+                   b.props, s.kept
+            FROM b JOIN scan s ON b.user_id = s.user_id
+             AND b.event_type = s.event_type AND b.rn = s.rn
         """,
         "snapshot_diff": """
             WITH old AS (

@@ -145,3 +145,77 @@ def ohlc_resample(key: str = "user_id", ts: str = "ts", value: str = "value",
                 .withColumn("low", F.col("low").cast("double")))
 
     return _apply
+
+
+def vwap_resample(key: str = "user_id", ts: str = "ts", price: str = "value",
+                  qty: str | None = None, bucket_s: int = 3600,
+                  ) -> Callable[[DataFrame], DataFrame]:
+    """Volume-weighted average price per key and bucket —
+    ``Σ(price·qty)/Σ(qty)`` with exact decimal numerator/denominator (the
+    money-sum convention), one partial-aggregated groupBy like
+    :func:`ohlc_resample`. ``qty=None`` weights every tick equally (plain
+    time-bucket mean, but order-independent-exact unlike avg())."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import epoch_micros
+        bucket = (epoch_micros(ts) / F.lit(1_000_000)).cast("bigint")
+        bucket = (bucket - bucket % F.lit(bucket_s)).alias("bucket_start_s")
+        p = F.col(price).cast("decimal(18,4)")
+        q = F.col(qty).cast("decimal(18,4)") if qty else F.lit(1).cast(
+            "decimal(18,4)")
+        return (df.groupBy(F.col(key).alias("key"), bucket)
+                .agg(F.sum(p * q).alias("_pq"), F.sum(q).alias("_q"),
+                     F.count(F.lit(1)).alias("n"))
+                .select("key", "bucket_start_s",
+                        (F.round(F.col("_pq") / F.col("_q"), 6)
+                         .cast("double")).alias("vwap"),
+                        F.col("_q").cast("double").alias("total_qty"), "n"))
+
+    return _apply
+
+
+def dedup_within(key_cols, ts: str = "ts", within_s: int = 60,
+                 seq: str = "event_id") -> Callable[[DataFrame], DataFrame]:
+    """Time-windowed event dedup (debounce) — drop repeats of the same key
+    arriving within ``within_s`` seconds of the last KEPT occurrence: the
+    at-most-once-per-interval hygiene filter in front of metrics/alerting.
+
+    The recurrence (the threshold anchor resets only on kept events) is
+    inherently sequential, so this is a grouped Arrow state-machine scan —
+    the same shape as the `streaming/stateful.py` operators' batch twins:
+    ONE shuffle on the key, a per-key ordered pass in numpy, state = a
+    single anchor timestamp. Emits every row with a ``kept`` flag (filter
+    on it to drop); exact, not a lag approximation (a lag filter re-admits
+    a burst's third event when the second was dropped).
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    def _apply(df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        from akka_stream_contrib_spark.util import epoch_micros
+
+        us = within_s * 1_000_000
+        d = df.withColumn("_t", epoch_micros(ts))
+        fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in d.schema.fields)
+
+        def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["_t", seq]).reset_index(drop=True)
+            kept = []
+            anchor = None
+            for t in pdf["_t"]:
+                if anchor is None or t - anchor >= us:
+                    anchor = t
+                    kept.append(True)
+                else:
+                    kept.append(False)
+            pdf["kept"] = kept
+            return pdf
+
+        out = d.groupBy(*key_cols).applyInPandas(
+            _scan, schema=f"{fields}, kept boolean")
+        return out.drop("_t")
+
+    return _apply

@@ -122,6 +122,8 @@ HEADLINE = [
     "snapshot_diff",
     "entity_resolution",
     "bloom_pruned_revenue",
+    "vwap_resample",
+    "dedup_within",
 ]
 
 

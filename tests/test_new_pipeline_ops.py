@@ -311,3 +311,33 @@ def test_snapshot_diff_change_types(spark):
     out = {r.id: r.change_type
            for r in snapshot_diff(old, new, ["id"], ["v", "t"]).collect()}
     assert out == {1: "removed", 2: "changed", 4: "added"}  # 3 unchanged: absent
+
+
+def test_dedup_within_debounce_not_lag(spark):
+    from datetime import datetime
+    from akka_stream_contrib_spark.operators.resample import dedup_within
+    # burst at t=0,40,80,130s with 60s window: keep 0, drop 40, drop 80
+    # (within 60 of anchor 0? 80-0=80 >= 60 -> KEPT, re-anchor), 130-80=50
+    # -> dropped. A naive lag filter would drop 80 (40s after 40).
+    rows = [(1, datetime(2024, 1, 1, 0, 0, 0), 1, "c"),
+            (2, datetime(2024, 1, 1, 0, 0, 40), 1, "c"),
+            (3, datetime(2024, 1, 1, 0, 1, 20), 1, "c"),
+            (4, datetime(2024, 1, 1, 0, 2, 10), 1, "c")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    out = {r.event_id: r.kept for r in
+           df.transform(dedup_within(["user_id", "event_type"],
+                                     within_s=60)).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_vwap_weights_by_quantity(spark):
+    from datetime import datetime
+    from akka_stream_contrib_spark.operators.resample import vwap_resample
+    rows = [(1, datetime(2024, 1, 1, 0, 10), "A", 10.0, 1.0),
+            (2, datetime(2024, 1, 1, 0, 50), "A", 20.0, 3.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, _ts timestamp_ntz, k string, p double, q double")
+    out = df.transform(vwap_resample(key="k", ts="_ts", price="p", qty="q",
+                                     bucket_s=3600)).collect()[0]
+    assert out.vwap == 17.5 and out.total_qty == 4.0 and out.n == 2

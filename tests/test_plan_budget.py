@@ -207,6 +207,10 @@ BUDGET = {
     # bloom word agg + distinct-key probe agg (+probe agg); fact side
     # never shuffles pre-aggregation (semi join broadcasts)
     "bloom_pruned_revenue": 3,
+    # one (key,bucket) partial-aggregated groupBy
+    "vwap_resample": 1,
+    # one key shuffle into the grouped Arrow state machine
+    "dedup_within": 1,
 }
 
 
