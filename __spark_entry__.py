@@ -3003,12 +3003,12 @@ _PRIORITY = [
     "accumulate_while_unchanged", "timed_interval_between", "token_throttle",
     "q12_priority_shipping", "array_agg_events",
     "retry_concat_split", "unfold_flow_with", "token_throttle_keyed",
-    "duplicate_spans", "span_dedup", "bpe_encode", "bpe_token_freqs",
+    "duplicate_spans", "span_dedup", "bpe_encode",
     "length_batches", "negative_samples",
     "gopher_rules", "contamination_score", "mixture_weights", "rp_project",
-    "pq_ann", "simhash_pairs", "normalize_text", "doc_keywords",
+    "pq_ann", "simhash_pairs", "doc_keywords",
     "bloom_membership", "ohlc_resample", "skew_report",
-    "kfold_split", "quantile_normalize", "logreg_quality", "snapshot_diff",
+    "quantile_normalize", "logreg_quality", "snapshot_diff",
     "entity_resolution", "bloom_pruned_revenue", "vwap_resample",
     "dedup_within",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
@@ -3017,7 +3017,8 @@ _PRIORITY = [
     "ann_cosine_topk", "ann_lsh_topk", "ivf_ann_topk", "ann_ivf_all",
     "ann_all_topk", "knn_join", "quantized_ann", "embedding_near_dup",
     "label_centroids",
-    "tfidf_search", "bm25_search",
+    "tfidf_search", "bm25_search", "bpe_token_freqs", "normalize_text",
+    "kfold_split",
     "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
     "pii_redact", "repetition_stats", "quality_score", "hashed_features",
     "bigram_logprob",
