@@ -45,6 +45,11 @@ def logreg_train(df: DataFrame, feature_col: str = "features",
     spark = df.sparkSession
     base = df.select(F.col(feature_col).cast("array<double>").alias("x"),
                      F.col(label_col).cast("double").alias("y"))
+    # NOTE on caching: at real scale, localCheckpoint/persist the (x, y)
+    # frame so iterations do not replay the source scan + featurization;
+    # measured at the bench SFs (5k rows) the extra materialization job
+    # costs MORE than the re-scan, so the loop deliberately stays lazy and
+    # leaves caching to the caller (pass an already-checkpointed frame).
     for _ in range(iters):
         b_wb = spark.sparkContext.broadcast((w, b))
 
