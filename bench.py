@@ -124,6 +124,7 @@ HEADLINE = [
     "bloom_pruned_revenue",
     "vwap_resample",
     "dedup_within",
+    "corpus_report",
 ]
 
 

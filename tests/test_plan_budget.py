@@ -211,6 +211,8 @@ BUDGET = {
     "vwap_resample": 1,
     # one key shuffle into the grouped Arrow state machine
     "dedup_within": 1,
+    # one source rollup (2-phase distinct inside the same agg)
+    "corpus_report": 2,
 }
 
 

@@ -342,3 +342,50 @@ def test_bloom_membership_matches_set_semantics(inserted, probes):
     for k in probes:
         if k in ins_set:
             assert got[k] is True
+
+
+@given(st.lists(st.integers(min_value=0, max_value=3_600_000),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=600))
+@settings(**SETTINGS)
+def test_dedup_within_matches_sequential_model(offsets_ms, within_s):
+    """Grouped Arrow debounce == the sequential anchor recurrence."""
+    from datetime import datetime, timedelta
+    from akka_stream_contrib_spark.operators.resample import dedup_within
+    spark = _get_spark()
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(milliseconds=ms), 1, "t")
+            for i, ms in enumerate(sorted(offsets_ms))]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    got = {r.event_id: r.kept
+           for r in df.transform(dedup_within(["user_id", "event_type"],
+                                              within_s=within_s)).collect()}
+    # model: events sorted by (t, id); anchor resets on kept
+    us = within_s * 1_000_000
+    anchor = None
+    expect = {}
+    for i, ms in enumerate(sorted(offsets_ms)):
+        t = ms * 1000
+        if anchor is None or t - anchor >= us:
+            anchor = t
+            expect[i] = True
+        else:
+            expect[i] = False
+    # ties on ts broken by event_id ascending — enumeration order matches
+    assert got == expect
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 32) - 1),
+                min_size=2, max_size=25, unique=True))
+@settings(**SETTINGS)
+def test_simhash_band_candidates_cover_radius(hashes):
+    """Pigeonhole property the pair detector relies on: any two 32-bit
+    values within hamming distance 3 share at least one of four 8-bit
+    bands. (Pure model check of the bucketing invariant.)"""
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            a, b = hashes[i], hashes[j]
+            if bin(a ^ b).count("1") <= 3:
+                assert any(((a >> (k * 8)) & 255) == ((b >> (k * 8)) & 255)
+                           for k in range(4))
