@@ -2832,6 +2832,16 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("dup_rate")))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (functions/corpus.py::weighted_sample): 100 docs with probability ∝
+    length, deterministic hash-derived uniforms, TakeOrdered selection."""
+    from akka_stream_contrib_spark.functions.corpus import weighted_sample
+    return (tables.load(spark, "documents", sf_dir)
+            .transform(weighted_sample(100, "n_chars"))
+            .select("doc_id", "n_chars", "sample_key"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3034,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_resample": q_vwap_resample,
         "dedup_within": q_dedup_within,
         "corpus_report": q_corpus_report,
+        "weighted_sample": q_weighted_sample,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3054,7 +3065,7 @@ _PRIORITY = [
     "bloom_membership", "ohlc_resample", "skew_report",
     "quantile_normalize", "logreg_quality", "snapshot_diff",
     "entity_resolution", "bloom_pruned_revenue", "vwap_resample",
-    "dedup_within", "corpus_report",
+    "dedup_within", "corpus_report", "weighted_sample",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5826,6 +5837,16 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) - count(DISTINCT h))
                          / CAST(count(*) AS DOUBLE), 6) + 0.0 AS dup_rate
             FROM z GROUP BY source
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars,
+                   round(-ln((CAST(CAST(concat('0x',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+                         / CAST(n_chars AS DOUBLE), 9) AS sample_key
+            FROM documents
+            ORDER BY sample_key, doc_id
+            LIMIT 100
         """,
         "snapshot_diff": """
             WITH old AS (

@@ -457,3 +457,32 @@ def quantile_normalize(key: str, value: str = "value",
             "pct", (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)))
 
     return _apply
+
+
+def weighted_sample(n: int, weight, id_col: str = "doc_id",
+                    ) -> Callable[[DataFrame], DataFrame]:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    draw ``n`` rows with inclusion probability proportional to ``weight``
+    by ranking on ``u^(1/w)`` — equivalently ``-ln(u)/w`` ascending — with
+    ``u`` a DETERMINISTIC per-row uniform derived from the md5 hash of the
+    id (no RNG state, identical on any engine and any partitioning; the
+    same device as `mixture_sample`/`train_test_split`). The quality- or
+    length-weighted subsampling step of corpus curation.
+
+    Scale shape: the key is a map-side expression; selection is a
+    TakeOrdered top-n (no global sort). Emits the sampled rows with their
+    ``sample_key``.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.functions.text import token_id
+        # u in (0,1): (h + 0.5) / 2^32 over the 32-bit hash — never 0 or 1
+        u = (token_id(F.col(id_col).cast("string")).cast("double")
+             + F.lit(0.5)) / F.lit(float(1 << 32))
+        w = weight if isinstance(weight, Column) else F.col(weight)
+        key = -F.log(u) / w.cast("double")
+        return (df.withColumn("sample_key", F.round(key, 9))
+                .orderBy("sample_key", id_col)
+                .limit(n))
+
+    return _apply

@@ -27,7 +27,13 @@ def register_sources(spark: SparkSession) -> None:
     spark.dataSource.register(PagedDataSource)
 
 
+from akka_stream_contrib_spark.sources.ingest import (  # noqa: E402
+    read_jsonl_docs,
+    ingest_report,
+)
+
 __all__ = [
     "FileTailDataSource", "DirectoryChangesDataSource", "PagedDataSource",
     "paged_source", "zip_entries", "repeat_eval_stream", "register_sources",
+    "read_jsonl_docs", "ingest_report",
 ]

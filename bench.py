@@ -125,6 +125,7 @@ HEADLINE = [
     "vwap_resample",
     "dedup_within",
     "corpus_report",
+    "weighted_sample",
 ]
 
 

@@ -213,6 +213,8 @@ BUDGET = {
     "dedup_within": 1,
     # one source rollup (2-phase distinct inside the same agg)
     "corpus_report": 2,
+    # map-side key + TakeOrdered top-n
+    "weighted_sample": 0,
 }
 
 

@@ -161,3 +161,22 @@ def test_format_breadth_roundtrip(spark, tmp_path):
         got[fmt] = sorted(map(tuple, back.collect()))
     expect = sorted(map(tuple, df.collect()))
     assert got == {"csv": expect, "json": expect, "orc": expect}
+
+
+def test_read_jsonl_docs_routes_corrupt_records(spark, tmp_path):
+    from akka_stream_contrib_spark.sources.ingest import (
+        ingest_report, read_jsonl_docs)
+    p = tmp_path / "docs.jsonl"
+    p.write_text('\n'.join([
+        '{"doc_id": 1, "text": "hello world"}',
+        '{"doc_id": 2, "text": "ok"}',
+        '{"doc_id": 3, "text": broken',          # malformed line
+        'not json at all',
+    ]) + '\n')
+    good, bad = read_jsonl_docs(spark, str(p), "doc_id long, text string")
+    grows = {r.doc_id: r.text for r in good.collect()}
+    assert grows == {1: "hello world", 2: "ok"}
+    braws = [r.raw for r in bad.collect()]
+    assert len(braws) == 2 and any("broken" in r for r in braws)
+    rep = ingest_report(good, bad).collect()[0]
+    assert (rep.n_good, rep.n_bad, rep.bad_rate) == (2, 2, 0.5)
