@@ -3408,8 +3408,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id, n_words, n_sentences,
                    greatest(vg, n_words) AS n_syllables,
-                   round(206.835 - 1.015 * n_words / n_sentences
-                         - 84.6 * greatest(vg, n_words) / n_words, 4) AS flesch
+                   floor((CAST(206.835 AS DOUBLE)
+                          - CAST(1.015 AS DOUBLE) * n_words / n_sentences
+                          - CAST(84.6 AS DOUBLE) * greatest(vg, n_words)
+                            / n_words)
+                         * 10000.0 + 0.5) / 10000.0 AS flesch
             FROM c
         """,
         "pmi_collocations": """

@@ -374,7 +374,11 @@ def readability_score(id_col: str = "doc_id", text_col: str = "text"
     Pure codegen expressions (regexp counts + arithmetic), no shuffle at
     all — the score pipelines into any downstream filter at full scan
     speed. Counts are exact ints; the final arithmetic is one double
-    expression per row, rounded to 4 dp (engine-portable)."""
+    expression per row. Rounding to 4 dp uses the engine-replayable
+    ``floor(x·10⁴ + 0.5)/10⁴`` device (same as the int8 quantizer): the
+    Flesch rational lands EXACTLY on half-boundaries (e.g. x.xxx75) where
+    round() half-way policy differs between engines — caught by the
+    sf0.1 gate sweep."""
 
     def _apply(df: DataFrame) -> DataFrame:
         txt = F.lower(F.col(text_col))
@@ -391,7 +395,8 @@ def readability_score(id_col: str = "doc_id", text_col: str = "text"
             words.alias("n_words"),
             sentences.alias("n_sentences"),
             syllables.alias("n_syllables"),
-            F.round(score, 4).alias("flesch"))
+            (F.floor(score * F.lit(10000.0) + F.lit(0.5))
+             / F.lit(10000.0)).alias("flesch"))
 
     return _apply
 
