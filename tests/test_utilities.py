@@ -193,3 +193,20 @@ def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     assert sorted(d for d in os.listdir(out) if d.startswith("p=")) == [
         "p=0", "p=1", "p=2"]
     assert back.count() == 9000
+
+
+def test_registry_consistency():
+    """Driver-contract invariants: every priority entry resolves, no
+    orphan oracles, every oracle key is a registered query, and the
+    ~50-row driver window is filled with real names."""
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    assert set(entry._PRIORITY) <= set(qs), \
+        sorted(set(entry._PRIORITY) - set(qs))
+    assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
+    # priority front actually reorders the dict
+    assert list(qs)[:len(entry._PRIORITY)] == [
+        k for k in entry._PRIORITY if k in qs]
+    # every query callable is materially distinct (no aliased duplicates)
+    assert len({id(v) for v in qs.values()}) == len(qs)
