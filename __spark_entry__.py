@@ -2842,6 +2842,32 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_chars", "sample_key"))
 
 
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation (functions/ml.py::classification_report):
+    confusion counts + precision/recall/F1/accuracy in ONE conditional-sum
+    pass, over a deterministic rule pair (label = lang=='en', predicted =
+    length>250) so the oracle replays it exactly."""
+    from akka_stream_contrib_spark.functions.ml import classification_report
+    docs = tables.load(spark, "documents", sf_dir)
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        (F.col("n_chars") > 250).cast("int").alias("predicted"))
+    return scored.transform(classification_report())
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-drift monitor (functions/ml.py::psi_drift): PSI between
+    even-id events and odd-id events with values scaled 1.1× — fixed
+    equal-width buckets, per-bucket decimal-exact terms, two bucket-count
+    aggregations regardless of corpus size."""
+    from akka_stream_contrib_spark.functions.ml import psi_drift
+    ev = tables.load(spark, "events", sf_dir)
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = (ev.filter(F.col("event_id") % 2 == 1)
+           .withColumn("value", F.col("value") * 1.1))
+    return psi_drift(old, new, "value", n_buckets=10, lo=0.0, hi=1000.0)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3045,6 +3071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_within": q_dedup_within,
         "corpus_report": q_corpus_report,
         "weighted_sample": q_weighted_sample,
+        "classification_report": q_classification_report,
+        "psi_drift": q_psi_drift,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3066,6 +3094,7 @@ _PRIORITY = [
     "quantile_normalize", "logreg_quality", "snapshot_diff",
     "entity_resolution", "bloom_pruned_revenue", "vwap_resample",
     "dedup_within", "corpus_report", "weighted_sample",
+    "classification_report", "psi_drift",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5850,6 +5879,69 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY sample_key, doc_id
             LIMIT 100
+        """,
+        "classification_report": """
+            WITH s AS (
+                SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                       CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS p
+                FROM documents
+            ), agg AS (
+                SELECT CAST(sum(CASE WHEN y=1 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(sum(CASE WHEN y=0 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(sum(CASE WHEN y=1 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                       CAST(sum(CASE WHEN y=0 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                FROM s
+            )
+            SELECT tp, fp, fn, tn,
+                   round(tp / CAST(tp + fp AS DOUBLE), 6) + 0.0 AS precision,
+                   round(tp / CAST(tp + fn AS DOUBLE), 6) + 0.0 AS recall,
+                   round(CAST(2.0 AS DOUBLE) * (tp / CAST(tp + fp AS DOUBLE))
+                         * (tp / CAST(tp + fn AS DOUBLE))
+                         / ((tp / CAST(tp + fp AS DOUBLE))
+                            + (tp / CAST(tp + fn AS DOUBLE))), 6) + 0.0 AS f1,
+                   round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+                       + 0.0 AS accuracy
+            FROM agg
+        """,
+        "psi_drift": """
+            WITH oldv AS (
+                SELECT value FROM events WHERE event_id % 2 = 0
+            ), newv AS (
+                SELECT value * CAST(1.1 AS DOUBLE) AS value
+                FROM events WHERE event_id % 2 = 1
+            ), pb AS (
+                SELECT CASE WHEN value < CAST(0.0 AS DOUBLE) THEN -1
+                            ELSE least(CAST(floor(value
+                                / CAST(100.0 AS DOUBLE)) AS INT), 9) END
+                           AS bucket, count(*) AS c
+                FROM oldv GROUP BY 1
+            ), pt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM pb),
+            p AS (SELECT bucket, c / t AS p FROM pb, pt),
+            qb AS (
+                SELECT CASE WHEN value < CAST(0.0 AS DOUBLE) THEN -1
+                            ELSE least(CAST(floor(value
+                                / CAST(100.0 AS DOUBLE)) AS INT), 9) END
+                           AS bucket, count(*) AS c
+                FROM newv GROUP BY 1
+            ), qt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM qb),
+            q AS (SELECT bucket, c / t AS q FROM qb, qt),
+            j AS (
+                SELECT COALESCE(p.bucket, q.bucket) AS bucket,
+                       COALESCE(p.p, CAST(0.0 AS DOUBLE)) AS p,
+                       COALESCE(q.q, CAST(0.0 AS DOUBLE)) AS q
+                FROM p FULL OUTER JOIN q ON p.bucket = q.bucket
+            ), terms AS (
+                SELECT bucket, p, q,
+                       CAST(round((greatest(p, 1e-6) - greatest(q, 1e-6))
+                            * ln(greatest(p, 1e-6) / greatest(q, 1e-6)), 9)
+                            AS DECIMAL(15,9)) AS term
+                FROM j
+            ), tot AS (
+                SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM terms
+            )
+            SELECT bucket, round(p, 6) + 0.0 AS p, round(q, 6) + 0.0 AS q,
+                   CAST(term AS DOUBLE) + 0.0 AS psi_term, psi + 0.0 AS psi
+            FROM terms, tot
         """,
         "snapshot_diff": """
             WITH old AS (

@@ -107,3 +107,85 @@ def text_feature_vector(text_col: str = "text") -> Column:
         (n_chars - F.length(F.regexp_replace(txt, "[A-Z]", ""))) / n_chars,
         F.size(F.array_distinct(toks)).cast("double") / n_tok,
     )
+
+
+def classification_report(label_col: str = "label",
+                          predicted_col: str = "predicted"):
+    """Evaluation counterpart to `logreg_train`: confusion counts and
+    precision/recall/F1 from any (label, predicted) frame in ONE
+    conditional-sum aggregation pass (same single-aggregate discipline as
+    `quality.expect`) — no per-class shuffle, engine-exact arithmetic.
+    Returns a 1-row frame (tp, fp, fn, tn, precision, recall, f1,
+    accuracy), ratios rounded to 6 dp."""
+    def _apply(df):
+        y = F.col(label_col).cast("int")
+        p = F.col(predicted_col).cast("int")
+        agg = df.agg(
+            F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+            F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+            F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+            F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"))
+        prec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+        rec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+        return agg.select(
+            "tp", "fp", "fn", "tn",
+            (F.round(prec, 6) + F.lit(0.0)).alias("precision"),
+            (F.round(rec, 6) + F.lit(0.0)).alias("recall"),
+            (F.round(F.try_divide(F.lit(2.0) * prec * rec, prec + rec), 6)
+             + F.lit(0.0)).alias("f1"),
+            (F.round((F.col("tp") + F.col("tn"))
+                     / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+                     6) + F.lit(0.0)).alias("accuracy"))
+    return _apply
+
+
+def psi_drift(old, new, value_col: str = "value", n_buckets: int = 10,
+              lo: float = 0.0, hi: float = 1000.0):
+    """Population Stability Index between two samples of a numeric column —
+    THE production drift monitor for features/scores: fixed equal-width
+    buckets over [lo, hi) (fixed, not quantile, so the two sides and the
+    oracle bucket identically), per-bucket shares, and
+    ``PSI = Σ (p−q)·ln(p/q)`` with the conventional 1e-6 floor on empty
+    buckets. PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+
+    Scale shape: each side is one partial-aggregated bucket count (bucket
+    cardinality rows), joined on the tiny bucket id — the monitor costs
+    two scans regardless of corpus size. Returns per-bucket rows plus the
+    PSI repeated (the driver-friendly long form).
+    """
+    def bucketize(df, share_name):
+        b = F.when(F.col(value_col) < lo, F.lit(-1)).otherwise(
+            F.least(F.floor((F.col(value_col) - F.lit(lo))
+                            / F.lit((hi - lo) / n_buckets)).cast("int"),
+                    F.lit(n_buckets - 1)))
+        per = (df.select(b.alias("bucket")).groupBy("bucket")
+               .agg(F.count(F.lit(1)).alias("_c"))
+               # two consumers (share + normalizer) — materialize the
+               # ≤ n_buckets+1 rows once, or the source scan runs twice
+               # per side
+               .localCheckpoint(eager=False))
+        tot = per.agg(F.sum("_c").alias("_t"))
+        return (per.crossJoin(F.broadcast(tot))
+                .select("bucket", (F.col("_c") / F.col("_t"))
+                        .alias(share_name)))
+    p = bucketize(old, "p")
+    q = bucketize(new, "q")
+    joined = (p.join(q, "bucket", "full_outer")
+              .select("bucket",
+                      F.coalesce("p", F.lit(0.0)).alias("p"),
+                      F.coalesce("q", F.lit(0.0)).alias("q")))
+    eps = 1e-6
+    pe = F.greatest(F.col("p"), F.lit(eps))
+    qe = F.greatest(F.col("q"), F.lit(eps))
+    term = (pe - qe) * F.log(pe / qe)
+    per_bucket = joined.withColumn(
+        "psi_term", F.round(term, 9).cast("decimal(15,9)"))
+    tot = per_bucket.agg(
+        F.round(F.sum("psi_term").cast("double"), 6).alias("psi"))
+    return (per_bucket.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    (F.round("p", 6) + F.lit(0.0)).alias("p"),
+                    (F.round("q", 6) + F.lit(0.0)).alias("q"),
+                    (F.col("psi_term").cast("double") + F.lit(0.0))
+                    .alias("psi_term"),
+                    (F.col("psi") + F.lit(0.0)).alias("psi")))

@@ -126,6 +126,8 @@ HEADLINE = [
     "dedup_within",
     "corpus_report",
     "weighted_sample",
+    "classification_report",
+    "psi_drift",
 ]
 
 

@@ -341,3 +341,25 @@ def test_vwap_weights_by_quantity(spark):
     out = df.transform(vwap_resample(key="k", ts="_ts", price="p", qty="q",
                                      bucket_s=3600)).collect()[0]
     assert out.vwap == 17.5 and out.total_qty == 4.0 and out.n == 2
+
+
+def test_classification_report_counts(spark):
+    from akka_stream_contrib_spark.functions import classification_report
+    rows = [(1, 1)] * 6 + [(0, 1)] * 2 + [(1, 0)] * 3 + [(0, 0)] * 9
+    df = spark.createDataFrame(rows, "label int, predicted int")
+    r = df.transform(classification_report()).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (6, 2, 3, 9)
+    assert r.precision == 0.75 and r.recall == round(6 / 9, 6)
+    assert r.accuracy == 0.75
+
+
+def test_psi_drift_detects_shift(spark):
+    from akka_stream_contrib_spark.functions import psi_drift
+    same = spark.createDataFrame([(float(i % 1000),) for i in range(2000)],
+                                 "value double")
+    shifted = spark.createDataFrame(
+        [(float((i % 500) + 500),) for i in range(2000)], "value double")
+    psi_same = psi_drift(same, same).collect()[0].psi
+    psi_shift = psi_drift(same, shifted).collect()[0].psi
+    assert psi_same == 0.0
+    assert psi_shift > 0.25   # half the mass moved: clearly 'shifted'

@@ -215,6 +215,12 @@ BUDGET = {
     "corpus_report": 2,
     # map-side key + TakeOrdered top-n
     "weighted_sample": 0,
+    # one conditional-sum aggregate
+    "classification_report": 1,
+    # STATIC count: per-side bucket agg subtrees appear in share+normalizer
+    # and the psi total reuses the term frame; runtime collapses via the
+    # lazy checkpoint + AQE stage reuse
+    "psi_drift": 9,
 }
 
 
