@@ -38,6 +38,7 @@ NONEMPTY_OK = {
     "unfold_flow_with",                          # literal-seeded generator
     "data_quality_report",  # a zero-violation report row per check is correct
     "triangle_count",  # global (n_wedges, n_triangles) reduction — 1 zero row
+    "classification_report",  # a one-row zero-count confusion report is correct
 }
 
 
