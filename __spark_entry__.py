@@ -2868,6 +2868,19 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(old, new, "value", n_buckets=10, lo=0.0, hi=1000.0)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (functions/corpus.py::dsir_weights; Xie et al.
+    2023): hashed unigram+bigram importance weights tilting the corpus
+    toward the lang='en' target slice; top 50 docs by log weight. The two
+    bucket LMs reduce to ≤128-row broadcast lookups — the gram stream
+    shuffles exactly twice regardless of corpus size."""
+    from akka_stream_contrib_spark.functions.corpus import dsir_weights
+    docs = tables.load(spark, "documents", sf_dir)
+    w = docs.transform(dsir_weights(F.col("lang") == "en",
+                                    n_buckets=128, k=0.5))
+    return w.orderBy(F.desc("logweight"), "doc_id").limit(50)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3073,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "classification_report": q_classification_report,
         "psi_drift": q_psi_drift,
+        "dsir_select": q_dsir_select,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3095,6 +3109,7 @@ _PRIORITY = [
     "entity_resolution", "bloom_pruned_revenue", "vwap_resample",
     "dedup_within", "corpus_report", "weighted_sample",
     "classification_report", "psi_drift",
+    "dsir_select",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -5973,5 +5988,44 @@ def oracle_sql() -> dict[str, str]:
                        WHEN old_value IS DISTINCT FROM new_value
                             OR old_event_type IS DISTINCT FROM new_event_type
                             THEN 'changed' END IS NOT NULL
+        """,
+        "dsir_select": """
+            WITH toks AS (
+                SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
+                       string_split(lower(text), ' ') AS t
+                FROM documents
+            ), uni AS (
+                SELECT doc_id, is_t, unnest(t) AS gram FROM toks
+            ), bi AS (
+                SELECT doc_id, is_t,
+                       unnest(t[1 : len(t) - 1]) || ' ' || unnest(t[2 : len(t)]) AS gram
+                FROM toks WHERE len(t) >= 2
+            ), grams AS (
+                SELECT doc_id, is_t,
+                       CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) % 128 AS bucket
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            ), per_doc AS (
+                SELECT doc_id, bucket, count(*) AS cnt, max(is_t) AS is_t
+                FROM grams GROUP BY doc_id, bucket
+            ), buckets AS (
+                SELECT bucket,
+                       sum(CASE WHEN is_t = 1 THEN cnt ELSE 0 END) AS ct,
+                       sum(cnt) AS cr
+                FROM per_doc GROUP BY bucket
+            ), tot AS (
+                SELECT sum(ct) AS nt, sum(cr) AS nr FROM buckets
+            ), lut AS (
+                SELECT bucket,
+                       CAST(round(ln((ct + 0.5) / (nt + 0.5 * 128))
+                                  - ln((cr + 0.5) / (nr + 0.5 * 128)), 9)
+                            AS DECIMAL(15,9)) AS ratio
+                FROM buckets CROSS JOIN tot
+            )
+            SELECT p.doc_id, sum(p.cnt) AS n_grams,
+                   round(CAST(sum(p.cnt * l.ratio) AS DOUBLE), 6) + 0.0 AS logweight
+            FROM per_doc p JOIN lut l USING (bucket)
+            GROUP BY p.doc_id
+            ORDER BY logweight DESC, p.doc_id
+            LIMIT 50
         """,
     }

@@ -486,3 +486,72 @@ def weighted_sample(n: int, weight, id_col: str = "doc_id",
                 .limit(n))
 
     return _apply
+
+
+def dsir_weights(is_target, n_buckets: int = 128, k: float = 0.5,
+                 id_col: str = "doc_id", text_col: str = "text"
+                 ) -> Callable[[DataFrame], DataFrame]:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every document by the log importance weight
+    ``log p_target(x) - log p_raw(x)`` under two hashed bag-of-n-gram
+    models — the standard device for tilting a raw crawl toward a target
+    domain before pretraining. ``is_target`` is a boolean Column marking
+    the in-domain rows of the SAME corpus (e.g. ``F.col("lang") == "en"``);
+    both models are add-k-smoothed over ``n_buckets`` hashed buckets of
+    the documents' unigrams + bigrams.
+
+    Output: (doc_id, n_grams, logweight) — resample with
+    ``weighted_sample`` or rank on ``logweight`` directly.
+
+    Scale shape: grams explode map-side; one shuffle to the per-(doc,
+    bucket) count table; the two bucket LMs reduce that table (≤ n_buckets
+    rows each) and broadcast back as a log-ratio lookup, so the raw gram
+    stream is never joined against anything big; one final shuffle per doc.
+    Engine-stable: the per-bucket log ratio rounds to 9 dp and becomes an
+    EXACT decimal; per-doc totals are integer-count × decimal sums (no
+    unordered double accumulation anywhere).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        b = F.lit(n_buckets)
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            is_target.cast("int").alias("_is_t"),
+            F.split(F.lower(F.col(text_col)), " ").alias("_t"))
+        uni = toks.select("doc_id", "_is_t",
+                          F.explode("_t").alias("gram"))
+        n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+        bi = toks.select(
+            "doc_id", "_is_t",
+            F.explode(F.zip_with(
+                F.slice("_t", 1, n1), F.slice("_t", 2, n1),
+                lambda a, x: F.concat_ws(" ", a, x))).alias("gram"))
+        grams = uni.unionAll(bi)
+        from akka_stream_contrib_spark.functions.text import token_id
+        per_doc = (grams
+                   .select("doc_id", "_is_t",
+                           F.pmod(token_id(F.col("gram")), b).alias("bucket"))
+                   .groupBy("doc_id", "bucket")
+                   .agg(F.count(F.lit(1)).alias("cnt"),
+                        F.max("_is_t").alias("_is_t")))
+        buckets = per_doc.groupBy("bucket").agg(
+            F.sum(F.when(F.col("_is_t") == 1, F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("ct"),
+            F.sum("cnt").alias("cr"))
+        totals = buckets.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+        kk = F.lit(float(k))
+        ratio = F.round(
+            F.log((F.col("ct") + kk) / (F.col("nt") + kk * b))
+            - F.log((F.col("cr") + kk) / (F.col("nr") + kk * b)),
+            9).cast("decimal(15,9)")
+        lut = buckets.crossJoin(F.broadcast(totals)).select(
+            "bucket", ratio.alias("_ratio"))
+        return (per_doc
+                .join(F.broadcast(lut), "bucket")
+                .groupBy("doc_id")
+                .agg(F.sum("cnt").alias("n_grams"),
+                     (F.round(F.sum(F.col("cnt") * F.col("_ratio"))
+                              .cast("double"), 6)
+                      + F.lit(0.0)).alias("logweight")))
+
+    return _apply
