@@ -2881,6 +2881,47 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.orderBy(F.desc("logweight"), "doc_id").limit(50)
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: every purchase's revenue credited
+    to the day of the user's most recent click within 7 days (NULL day =
+    organic/unattributed). Pure composition of the as-of join
+    (operators/asof.py — one key shuffle, no range blow-up) with an exact
+    decimal revenue rollup."""
+    from akka_stream_contrib_spark.operators import as_of_join
+    ev = tables.load(spark, "events", sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.to_date("ts").alias("click_day")))
+    j = as_of_join(purchases, clicks, on=["user_id"], ts="ts",
+                   right_cols=["click_day"], tolerance_s=7 * 86400)
+    return (j.groupBy(F.col("click_day_asof").alias("click_day"))
+            .agg(F.sum(_money("value")).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_purchases")))
+
+
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles per event type
+    (functions/sketches.py::histogram_quantiles): p50/p90/p99 of value via
+    a 64-bin histogram — one map-combined shuffle, windows over ≤64 rows
+    per key, no sort of the raw values at any scale."""
+    from akka_stream_contrib_spark.functions.sketches import histogram_quantiles
+    ev = tables.load(spark, "events", sf_dir)
+    return histogram_quantiles(ev, key="event_type", value="value",
+                               lo=0.0, hi=1000.0, n_bins=64,
+                               qs=(0.5, 0.9, 0.99))
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning order (functions/corpus.py::curriculum_order):
+    4 difficulty stages by descending length with a deterministic hash
+    shuffle inside each stage — both total orders via the distributed
+    global-rank primitive, no single-partition window."""
+    from akka_stream_contrib_spark.functions.corpus import curriculum_order
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(curriculum_order(4, F.col("n_chars")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3087,6 +3128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_report": q_classification_report,
         "psi_drift": q_psi_drift,
         "dsir_select": q_dsir_select,
+        "attribution_last_touch": q_attribution_last_touch,
+        "value_quantile_sketch": q_value_quantile_sketch,
+        "curriculum_order": q_curriculum_order,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3109,7 +3153,8 @@ _PRIORITY = [
     "entity_resolution", "bloom_pruned_revenue", "vwap_resample",
     "dedup_within", "corpus_report", "weighted_sample",
     "classification_report", "psi_drift",
-    "dsir_select",
+    "dsir_select", "attribution_last_touch", "value_quantile_sketch",
+    "curriculum_order",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -6027,5 +6072,68 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.doc_id
             ORDER BY logweight DESC, p.doc_id
             LIMIT 50
+        """,
+        "attribution_last_touch": """
+            WITH j AS (
+                SELECT p.value,
+                       CASE WHEN c.ts IS NOT NULL
+                                 AND p.ts - c.ts <= INTERVAL '604800 seconds'
+                            THEN CAST(c.ts AS DATE) END AS click_day
+                FROM (SELECT user_id, ts, value FROM events
+                      WHERE event_type = 'purchase') p
+                ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                                WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id AND p.ts >= c.ts
+            )
+            SELECT click_day,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_purchases
+            FROM j GROUP BY click_day
+        """,
+        "value_quantile_sketch": """
+            WITH b AS (
+                SELECT event_type AS key,
+                       CAST(least(greatest(floor((value - 0.0) / 15.625), 0), 63)
+                            AS INT) AS bin
+                FROM events
+            ), counts AS (
+                SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin
+            ), c AS (
+                SELECT key, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY key ORDER BY bin
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+                       sum(cnt) OVER (PARTITION BY key) AS n
+                FROM counts
+            ), probes AS (
+                SELECT c.*, q.q, CAST(ceil(q.q * c.n) AS BIGINT) AS rnk
+                FROM c CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+                                          (CAST(0.9 AS DOUBLE)),
+                                          (CAST(0.99 AS DOUBLE))) q(q)
+            )
+            SELECT key, q,
+                   round(0.0 + 15.625 * (bin + CAST(rnk - (cum - cnt) AS DOUBLE)
+                                               / cnt), 6) AS est,
+                   n
+            FROM probes WHERE cum >= rnk AND cum - cnt < rnk
+        """,
+        "curriculum_order": """
+            WITH r1 AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY -CAST(n_chars AS DOUBLE), doc_id) AS grk,
+                       count(*) OVER () AS n,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) AS shuf
+                FROM documents
+            ), staged AS (
+                SELECT doc_id, shuf,
+                       CAST(floor((grk - 1) * 4 / n) AS INT) AS stage
+                FROM r1
+            )
+            SELECT doc_id, stage,
+                   row_number() OVER (PARTITION BY stage
+                                      ORDER BY shuf, doc_id) AS within_pos
+            FROM staged
         """,
     }

@@ -555,3 +555,43 @@ def dsir_weights(is_target, n_buckets: int = 128, k: float = 0.5,
                       + F.lit(0.0)).alias("logweight")))
 
     return _apply
+
+
+def curriculum_order(stages: int, score, id_col: str = "doc_id"
+                     ) -> Callable[[DataFrame], DataFrame]:
+    """Curriculum-learning data order: split the corpus into ``stages``
+    equal-size difficulty stages by descending ``score`` (stage 0 = the
+    easiest/highest-scoring quarter, the usual easy-to-hard schedule),
+    then give every row a deterministic position WITHIN its stage by a
+    hash shuffle of its id (so each stage streams in a fixed but
+    uncorrelated order). Output: (doc_id, stage, within_pos).
+
+    Scale shape: both total orders come from the distributed global-rank
+    primitive (operators/global_order.py — range-partition + per-partition
+    window + broadcast prefix offsets; no single-partition sort anywhere).
+    Stage boundaries derive from the global rank arithmetically and the
+    within-stage position subtracts a broadcast per-stage offset — the
+    plan has no ``stages``-way skewed window.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.functions.text import token_id
+        from akka_stream_contrib_spark.operators.global_order import global_rank
+        s = score if isinstance(score, Column) else F.col(score)
+        base = df.select(F.col(id_col).alias("doc_id"),
+                         (-s.cast("double")).alias("_neg"),
+                         token_id(F.col(id_col).cast("string")).alias("_shuf"))
+        r1 = global_rank(base, ["_neg", "doc_id"], out="_grk")
+        n = r1.agg(F.count(F.lit(1)).alias("_n"))
+        staged = (r1.crossJoin(F.broadcast(n))
+                  .withColumn("stage",
+                              F.floor((F.col("_grk") - 1) * F.lit(stages)
+                                      / F.col("_n")).cast("int")))
+        r2 = global_rank(staged.select("doc_id", "stage", "_shuf"),
+                         ["stage", "_shuf", "doc_id"], out="_grk2")
+        offs = r2.groupBy("stage").agg((F.min("_grk2") - 1).alias("_off"))
+        return (r2.join(F.broadcast(offs), "stage")
+                .select("doc_id", "stage",
+                        (F.col("_grk2") - F.col("_off")).alias("within_pos")))
+
+    return _apply

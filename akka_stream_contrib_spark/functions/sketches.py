@@ -212,3 +212,43 @@ def bloom_probe(bloom: DataFrame, df: DataFrame, key_col: str,
                            .bitwiseAND(F.col("_m")) != 0).cast("int")))
     return (probed.groupBy("key")
             .agg((F.sum("_hit") == F.lit(k_hashes)).alias("member")))
+
+
+def histogram_quantiles(df: DataFrame, key: str, value: str = "value",
+                        lo: float = 0.0, hi: float = 1000.0,
+                        n_bins: int = 64, qs: Sequence[float] = (0.5, 0.9, 0.99),
+                        ) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles per ``key``: estimate each
+    requested quantile by linear interpolation inside the first bin whose
+    cumulative count reaches ``ceil(q*n)`` — the classic distributed
+    quantile sketch (fixed boundaries make per-partition histograms
+    trivially mergeable by addition, unlike exact percentiles which need a
+    sort). Values clamp into [lo, hi).
+
+    Output: (key, q, est, n). Scale shape: ONE map-side-combined shuffle to
+    the (key, bin) count table (≤ n_bins rows per key); the cumulative
+    walk and quantile probe are windows over those ≤ n_bins rows — no
+    global sort, no per-value window, streaming/incremental friendly.
+    Engine-stable: counts are integers and the interpolation is one double
+    expression evaluated identically from them.
+    """
+    w = (hi - lo) / n_bins
+    v = F.col(value).cast("double")
+    bin_ = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
+                   F.lit(n_bins - 1)).cast("int")
+    counts = (df.select(F.col(key).alias("key"), bin_.alias("bin"))
+              .groupBy("key", "bin").agg(F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    wk = Window.partitionBy("key")
+    cum = (counts
+           .withColumn("cum", F.sum("cnt").over(
+               wk.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)))
+           .withColumn("n", F.sum("cnt").over(wk)))
+    probes = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
+    rank = F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    hit = probes.filter((F.col("cum") >= rank) & (F.col("cum") - F.col("cnt") < rank))
+    est = (F.lit(lo) + F.lit(w) * (F.col("bin")
+           + (rank - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt")))
+    return hit.select("key", "q", F.round(est, 6).alias("est"), "n")

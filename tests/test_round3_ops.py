@@ -1,0 +1,79 @@
+"""Round-3 session additions: DSIR importance weights, mergeable histogram
+quantiles, curriculum ordering."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def test_dsir_weights_tilt_toward_target(spark):
+    from akka_stream_contrib_spark.functions import dsir_weights
+    rows = [
+        # target slice: physics-flavored docs
+        (1, "quantum field theory lattice gauge symmetry", "en"),
+        (2, "quantum gauge lattice field symmetry breaking", "en"),
+        # raw-only slice: cooking docs
+        (3, "butter flour sugar eggs whisk oven bake", "fr"),
+        (4, "oven bake flour butter sugar whisk eggs", "fr"),
+        # the docs to score: one in-domain, one off-domain
+        (5, "quantum lattice symmetry", "xx"),
+        (6, "butter sugar oven", "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.logweight for r in df.transform(
+        dsir_weights(F.col("lang") == "en", n_buckets=64, k=0.5)).collect()}
+    # physics-gram doc must outweigh the cooking-gram doc
+    assert out[5] > out[6]
+    # target members themselves score high, raw-only members low
+    assert min(out[1], out[2]) > max(out[3], out[4])
+
+
+def test_dsir_weights_gram_count(spark):
+    from akka_stream_contrib_spark.functions import dsir_weights
+    df = spark.createDataFrame([(1, "a b c", "en")],
+                               "doc_id long, text string, lang string")
+    r = df.transform(dsir_weights(F.col("lang") == "en")).collect()[0]
+    # 3 unigrams + 2 bigrams
+    assert r.n_grams == 5
+
+
+def test_histogram_quantiles_exact_bins(spark):
+    from akka_stream_contrib_spark.functions.sketches import histogram_quantiles
+    # 10 values of 5.0 and 10 of 95.0 in [0,100) with 10 bins of width 10:
+    # p50 -> rank 10 falls in bin 0 (cum 10), interp = 0 + 10*(0 + 10/10) = 10
+    # p90 -> rank 18 falls in bin 9, interp = 90 + 10*(8/10) = 98
+    rows = [(i, "a", 5.0) for i in range(10)] + \
+           [(i + 10, "a", 95.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "i long, k string, value double")
+    out = {r.q: r for r in histogram_quantiles(
+        df, key="k", value="value", lo=0.0, hi=100.0, n_bins=10,
+        qs=(0.5, 0.9)).collect()}
+    assert out[0.5].est == 10.0 and out[0.5].n == 20
+    assert out[0.9].est == 98.0
+
+
+def test_histogram_quantiles_clamps_out_of_range(spark):
+    from akka_stream_contrib_spark.functions.sketches import histogram_quantiles
+    df = spark.createDataFrame([(1, "a", -50.0), (2, "a", 500.0)],
+                               "i long, k string, value double")
+    out = histogram_quantiles(df, key="k", value="value", lo=0.0, hi=100.0,
+                              n_bins=10, qs=(0.5,)).collect()
+    # both rows land in the edge bins; the estimate stays within [lo, hi]
+    assert len(out) == 1 and 0.0 <= out[0].est <= 100.0
+
+
+def test_curriculum_order_stages_and_positions(spark):
+    from akka_stream_contrib_spark.functions.corpus import curriculum_order
+    rows = [(i, float(100 - i)) for i in range(20)]  # doc 0 scores highest
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = df.transform(curriculum_order(4, F.col("score"))).collect()
+    by_stage = Counter(r.stage for r in out)
+    assert by_stage == {0: 5, 1: 5, 2: 5, 3: 5}
+    # stage 0 = the 5 highest scores = doc_ids 0..4 (descending score order)
+    stage0 = {r.doc_id for r in out if r.stage == 0}
+    assert stage0 == {0, 1, 2, 3, 4}
+    # within each stage the positions are a 1..5 permutation
+    for s in range(4):
+        assert sorted(r.within_pos for r in out if r.stage == s) == [1, 2, 3, 4, 5]
