@@ -2912,6 +2912,24 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                qs=(0.5, 0.9, 0.99))
 
 
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs
+    (functions/multimodal.py::media_phash + phash_near_dup): Arrow-batched
+    DCT hash over the (fake-decoded) payloads, pigeonhole band join,
+    exact bit_count verify. 20 payloads are duplicated under shifted ids
+    so the detector provably fires. Python DCT → rows-only driver check;
+    the hamming-nearness property is pinned by pytest on gradient images."""
+    from akka_stream_contrib_spark.functions.multimodal import (
+        media_phash, phash_near_dup)
+    docs = tables.load(spark, "documents", sf_dir)
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("media"))
+    dup = (media.filter(F.col("doc_id") < 20)
+           .withColumn("doc_id", F.col("doc_id") + 1000000))
+    hashed = media.unionByName(dup).transform(media_phash(fake_decode=True))
+    return (hashed.transform(phash_near_dup(radius=4))
+            .orderBy("id_a", "id_b"))
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning order (functions/corpus.py::curriculum_order):
     4 difficulty stages by descending length with a deterministic hash
@@ -3131,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last_touch": q_attribution_last_touch,
         "value_quantile_sketch": q_value_quantile_sketch,
         "curriculum_order": q_curriculum_order,
+        "phash_near_dup": q_phash_near_dup,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3154,7 +3173,7 @@ _PRIORITY = [
     "dedup_within", "corpus_report", "weighted_sample",
     "classification_report", "psi_drift",
     "dsir_select", "attribution_last_touch", "value_quantile_sketch",
-    "curriculum_order",
+    "curriculum_order", "phash_near_dup",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",

@@ -118,3 +118,114 @@ def frame_sample(every_ms: int = 1000) -> Callable[[DataFrame], DataFrame]:
         )
 
     return _apply
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG transform), pure numpy."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of a 32x32 grayscale image: 2-D DCT-II, keep
+    the lowest 8x8 frequency block minus the DC term, threshold at the
+    block median. Visually similar images differ in few bits (verified by
+    the gradient/noise pytest); the standard pre-embedding image near-dup
+    key. Deterministic, no image libraries needed."""
+    n = pixels.shape[0]
+    c = _dct_matrix(n)
+    freq = c @ pixels.astype(np.float64) @ c.T
+    block = freq[:8, :8].copy()
+    flat = block.flatten()[1:]  # drop DC — it only encodes mean brightness
+    med = np.median(flat)
+    bits = flat > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # 63 data bits; keep as a non-negative int64
+    return h
+
+
+def _fake_pixels(payload: bytes, side: int = 32) -> np.ndarray:
+    """Deterministic fake decode to a side x side grayscale image (md5-seeded
+    — same caveat as _fake_features: swap for a real decoder on a cluster)."""
+    h = hashlib.md5(payload).digest()
+    seed = int.from_bytes(h[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.uniform(0.0, 255.0, size=(side, side))
+
+
+def media_phash(fake_decode: bool = False, media_col: str = "media"
+                ) -> Callable[[DataFrame], DataFrame]:
+    """mapInPandas decode→perceptual-hash stage: binary payload → ``phash``
+    bigint column. Arrow-batched like decode_features; raises
+    NotImplementedError without ``fake_decode=True`` (no real decoder in
+    this container — the DCT/threshold math itself is real and runs on
+    whatever pixels the decoder yields)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real image decoding requires PIL — not available in "
+                    "this container; pass fake_decode=True for the "
+                    "deterministic test decoder")
+            out = pdf.drop(columns=[media_col]).copy()
+            out["phash"] = [phash64(_fake_pixels(bytes(p)))
+                            for p in pdf[media_col]]
+            yield out
+
+    def _apply(df: DataFrame) -> DataFrame:
+        keep = [f"{c.name} {c.dataType.simpleString()}" for c in df.schema
+                if c.name != media_col]
+        schema = ", ".join(keep + ["phash bigint"])
+        return df.mapInPandas(_hash, schema=schema)
+
+    return _apply
+
+
+def phash_near_dup(radius: int = 4, hash_col: str = "phash",
+                   id_col: str = "doc_id") -> Callable[[DataFrame], DataFrame]:
+    """Image near-duplicate pairs by perceptual-hash hamming distance ≤
+    ``radius``: pigeonhole the 64 bits into ``radius + 1`` bands — two
+    hashes within the radius MUST agree on at least one whole band — then
+    equi-join per band bucket and verify the exact distance with
+    ``bit_count(a XOR b)``. Same shape as the SimHash pair detector
+    (functions/dedup.py::simhash_pairs): never an all-pairs comparison;
+    candidate volume is bounded by band-bucket occupancy (uniform for
+    DCT-derived bits; a degenerate corpus of near-identical images
+    concentrates buckets — cap with a df-style bucket limit upstream if
+    that is the expected regime). Output: (id_a, id_b, hamming)."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        n_bands = radius + 1
+        width = 64 // n_bands
+        src = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+        bands = src.select(
+            "_id", "_h",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("_h"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+                for b in range(n_bands)])).alias("bk")
+        ).select("_id", "_h", "bk.band", "bk.val")
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.val") == F.col("b.val"))
+                       & (F.col("a._id") < F.col("b._id")))
+                .select(F.col("a._id").alias("id_a"),
+                        F.col("b._id").alias("id_b"),
+                        F.col("a._h").alias("_ha"),
+                        F.col("b._h").alias("_hb"))
+                .distinct())
+        ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= radius)
+                .select("id_a", "id_b", "hamming"))
+
+    return _apply

@@ -77,3 +77,46 @@ def test_curriculum_order_stages_and_positions(spark):
     # within each stage the positions are a 1..5 permutation
     for s in range(4):
         assert sorted(r.within_pos for r in out if r.stage == s) == [1, 2, 3, 4, 5]
+
+
+def test_phash64_nearness_property():
+    import numpy as np
+    from akka_stream_contrib_spark.functions.multimodal import (
+        _dct_matrix, phash64)
+
+    # build images with KNOWN low-frequency content by inverse DCT of a
+    # random 8x8 coefficient block (a flat gradient would be degenerate:
+    # its AC coefficients sit at ~0, i.e. exactly at the median threshold)
+    def img_from_block(seed):
+        block = np.random.RandomState(seed).uniform(-300, 300, (8, 8))
+        f = np.zeros((32, 32))
+        f[:8, :8] = block
+        c = _dct_matrix(32)
+        return c.T @ f @ c
+
+    a = img_from_block(1)
+    noised = a + np.random.RandomState(7).uniform(-6, 6, a.shape)
+    b = img_from_block(2)
+    h0, h1, h2 = phash64(a), phash64(noised), phash64(b)
+    assert bin(h0 ^ h1).count("1") <= 8       # same image + noise: near
+    assert bin(h0 ^ h2).count("1") >= 16      # different image: far
+    assert 0 <= h0 < (1 << 63)
+
+
+def test_phash_near_dup_finds_exact_dups_only(spark):
+    from akka_stream_contrib_spark.functions.multimodal import (
+        media_phash, phash_near_dup)
+    rows = [(1, bytearray(b"payload-alpha")), (2, bytearray(b"payload-alpha")),
+            (3, bytearray(b"payload-beta")), (4, bytearray(b"payload-gamma"))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = df.transform(media_phash(fake_decode=True)).transform(
+        phash_near_dup(radius=4)).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+def test_media_phash_requires_decoder_opt_in(spark):
+    import pytest as _pytest
+    from akka_stream_contrib_spark.functions.multimodal import media_phash
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, media binary")
+    with _pytest.raises(Exception):
+        df.transform(media_phash(fake_decode=False)).collect()
