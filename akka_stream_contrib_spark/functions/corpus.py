@@ -533,7 +533,10 @@ def dsir_weights(is_target, n_buckets: int = 128, k: float = 0.5,
                            F.pmod(token_id(F.col("gram")), b).alias("bucket"))
                    .groupBy("doc_id", "bucket")
                    .agg(F.count(F.lit(1)).alias("cnt"),
-                        F.max("_is_t").alias("_is_t")))
+                        F.max("_is_t").alias("_is_t"))
+                   # feeds both the bucket LMs and the final scoring join —
+                   # cache so the gram explode + count shuffle run once
+                   .persist())
         buckets = per_doc.groupBy("bucket").agg(
             F.sum(F.when(F.col("_is_t") == 1, F.col("cnt"))
                   .otherwise(F.lit(0))).alias("ct"),

@@ -686,3 +686,46 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, k: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def novelty_score(n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+                  ) -> Callable[[DataFrame], DataFrame]:
+    """Per-document n-gram novelty: the share of the document's DISTINCT
+    word n-grams whose first corpus occurrence (lowest doc id) is this
+    document — the how-much-new-content-does-each-doc-add curve used to
+    diagnose corpus redundancy before/after dedup (an exact duplicate of
+    an earlier doc scores 0.0; the corpus opener scores 1.0).
+
+    Output: (doc_id, n_grams, novel, novelty).
+
+    Scale shape: grams explode map-side; one shuffle to distinct
+    (doc, gram), one to the per-gram min-doc table; the ownership join is
+    gram-keyed on the SAME uniform key (ordinary hash join, Zipf head
+    handled by AQE skew split) and the final per-doc reduce is the only
+    other exchange. Integer counts only — no float accumulation.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = df.select(F.col(id_col).alias("doc_id"),
+                         F.split(F.lower(F.col(text_col)), " ").alias("_t"))
+        cnt = F.size("_t") - (n - 1)
+        # sequence(1, 0) DESCENDS in Spark — emit no grams for short docs
+        idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)) \
+               .otherwise(F.array().cast("array<int>"))
+        grams = toks.select(
+            "doc_id",
+            F.explode(F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice("_t", i, n)))).alias("gram"))
+        doc_grams = grams.distinct()
+        first = doc_grams.groupBy("gram").agg(F.min("doc_id").alias("_first"))
+        return (doc_grams.join(first, "gram")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_grams"),
+                     F.sum(F.when(F.col("_first") == F.col("doc_id"), 1)
+                           .otherwise(0)).alias("novel"))
+                .withColumn("novelty",
+                            F.round(F.col("novel") / F.col("n_grams"), 6)
+                            + F.lit(0.0)))
+
+    return _apply

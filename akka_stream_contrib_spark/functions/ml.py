@@ -160,10 +160,10 @@ def psi_drift(old, new, value_col: str = "value", n_buckets: int = 10,
                     F.lit(n_buckets - 1)))
         per = (df.select(b.alias("bucket")).groupBy("bucket")
                .agg(F.count(F.lit(1)).alias("_c"))
-               # two consumers (share + normalizer) — materialize the
+               # two consumers (share + normalizer) — cache the
                # ≤ n_buckets+1 rows once, or the source scan runs twice
                # per side
-               .localCheckpoint(eager=False))
+               .persist())
         tot = per.agg(F.sum("_c").alias("_t"))
         return (per.crossJoin(F.broadcast(tot))
                 .select("bucket", (F.col("_c") / F.col("_t"))

@@ -38,12 +38,18 @@ def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excludes broadcast exchanges) — the
-    scale-limiting resource of a plan."""
+    """Number of DISTINCT shuffle exchanges (excludes broadcast exchanges
+    and ReusedExchange references) — the scale-limiting resource of a plan.
+    Distinct by formatted-plan node id: a cached (InMemoryRelation) subtree
+    is printed once per consumer but its exchanges execute once, and a
+    ReusedExchange re-reads shuffle files instead of re-shuffling."""
+    import re
     plan = formatted_plan(df)
-    return sum(1 for l in plan.splitlines()
-               if l.strip().startswith("(") is False and "Exchange" in l
-               and "BroadcastExchange" not in l)
+    ids = set()
+    for name, node_id in re.findall(r"([A-Za-z]*Exchange) \((\d+)\)", plan):
+        if name == "Exchange":
+            ids.add(node_id)
+    return len(ids)
 
 
 def assert_partition_pruned(df: DataFrame, column: str) -> None:

@@ -217,10 +217,27 @@ BUDGET = {
     "weighted_sample": 0,
     # one conditional-sum aggregate
     "classification_report": 1,
-    # STATIC count: per-side bucket agg subtrees appear in share+normalizer
-    # and the psi total reuses the term frame; runtime collapses via the
-    # lazy checkpoint + AQE stage reuse
-    "psi_drift": 9,
+    # per-side bucket agg + its 1-row normalizer + bucket join + total;
+    # the cached bucket frames execute once (distinct-id counting), every
+    # exchange past the two scans moves ≤ n_buckets+1 rows
+    "psi_drift": 11,
+    # 2 gram-stream shuffles (doc-bucket count, per-doc score) + 3 aggs
+    # over ≤128-row bucket tables
+    "dsir_select": 5,
+    # as-of union window key shuffle + final day rollup
+    "attribution_last_touch": 2,
+    # one (key,bin) partial-agg shuffle + ≤n_bins-row window exchange
+    "value_quantile_sketch": 2,
+    # two distributed global-rank range partitionings + per-stage offsets
+    # agg (the rank primitive's summary passes read the pinned placement)
+    "curriculum_order": 3,
+    # band-bucket self-join exchange + candidate distinct
+    "phash_near_dup": 2,
+    # distinct (doc,gram) + per-gram min-doc agg + per-doc reduce
+    "novelty_score": 3,
+    # name distinct + blocked self-join key exchange (similarity UDF runs
+    # on candidates only)
+    "fuzzy_vocab_jw": 2,
 }
 
 

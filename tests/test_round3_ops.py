@@ -120,3 +120,46 @@ def test_media_phash_requires_decoder_opt_in(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, media binary")
     with _pytest.raises(Exception):
         df.transform(media_phash(fake_decode=False)).collect()
+
+
+def test_novelty_score_duplicate_scores_zero(spark):
+    from akka_stream_contrib_spark.functions.dedup import novelty_score
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),       # exact dup of doc 1
+        (3, "epsilon zeta eta theta iota"),  # all-new content
+        (4, "ab"),                           # too short for trigrams: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in df.transform(novelty_score(n=3)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].novelty == 1.0 and out[1].n_grams == 2
+    assert out[2].novelty == 0.0
+    assert out[3].novelty == 1.0 and out[3].n_grams == 3
+
+
+def test_jaro_winkler_reference_values():
+    from akka_stream_contrib_spark.functions.text import jaro_winkler
+    # classic Winkler (1990) examples + DuckDB conventions
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert abs(jaro_winkler("dixon", "dicksonx") - 0.8133333333333332) < 1e-12
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("", "") == 0.0          # DuckDB convention
+    assert jaro_winkler("abc", "") == 0.0
+    assert jaro_winkler("abc", "xyz") == 0.0    # no matches
+
+
+def test_jaro_winkler_matches_duckdb_on_corpus_pairs():
+    import random
+    import duckdb
+    from akka_stream_contrib_spark.functions.text import jaro_winkler
+    words = [r[0] for r in duckdb.sql(
+        "select distinct p_name from "
+        "'/root/testdata/sf0.001/part.parquet' order by 1").fetchall()]
+    random.seed(3)
+    pairs = [(random.choice(words), random.choice(words)) for _ in range(500)]
+    con = duckdb.connect()
+    for a, b in pairs:
+        d = con.execute("select jaro_winkler_similarity(?, ?)",
+                        [a, b]).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - d) < 1e-12, (a, b)
