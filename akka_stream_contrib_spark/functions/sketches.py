@@ -232,12 +232,33 @@ def histogram_quantiles(df: DataFrame, key: str, value: str = "value",
     Engine-stable: counts are integers and the interpolation is one double
     expression evaluated identically from them.
     """
+    counts = histogram_build(df, key=key, value=value, lo=lo, hi=hi,
+                             n_bins=n_bins)
+    return histogram_probe(counts, qs=qs, lo=lo, hi=hi, n_bins=n_bins)
+
+
+def histogram_build(df: DataFrame, key: str, value: str = "value",
+                    lo: float = 0.0, hi: float = 1000.0, n_bins: int = 64
+                    ) -> DataFrame:
+    """Build stage of the histogram sketch: the (key, bin, cnt) count
+    table. Mergeable by addition — works identically as a STREAMING
+    aggregation (see streaming/rollup.py::histogram_stream) or a
+    per-shard table merged with a second groupBy-sum."""
     w = (hi - lo) / n_bins
     v = F.col(value).cast("double")
     bin_ = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
                    F.lit(n_bins - 1)).cast("int")
-    counts = (df.select(F.col(key).alias("key"), bin_.alias("bin"))
-              .groupBy("key", "bin").agg(F.count(F.lit(1)).alias("cnt")))
+    return (df.select(F.col(key).alias("key"), bin_.alias("bin"))
+            .groupBy("key", "bin").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def histogram_probe(counts: DataFrame, qs: Sequence[float] = (0.5, 0.9, 0.99),
+                    lo: float = 0.0, hi: float = 1000.0, n_bins: int = 64
+                    ) -> DataFrame:
+    """Probe stage: quantile estimates from a (key, bin, cnt) table —
+    windows over ≤ n_bins rows per key, so it can run on every
+    micro-batch snapshot of a streaming build for pennies."""
+    w = (hi - lo) / n_bins
     from pyspark.sql import Window
     wk = Window.partitionBy("key")
     cum = (counts

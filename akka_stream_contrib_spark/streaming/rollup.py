@@ -154,3 +154,24 @@ def ohlc_stream(stream_df: DataFrame, ts_col: str = "ts",
                 F.col("_last._v").cast("double").alias("close"),
                 "n")
     )
+
+
+def histogram_stream(stream_df: DataFrame, key_col: str = "event_type",
+                     value_col: str = "value", lo: float = 0.0,
+                     hi: float = 1000.0, n_bins: int = 64) -> DataFrame:
+    """Streaming twin of functions/sketches.py::histogram_build: the
+    per-(key, bin) count table as a plain streaming aggregation. Fixed bin
+    boundaries make the histogram mergeable by addition, so the streaming
+    state IS the exact batch histogram at every micro-batch — run
+    functions/sketches.py::histogram_probe over any snapshot for
+    quantiles. State is bounded at keys × n_bins rows regardless of
+    stream volume (no watermark needed: the sketch never grows)."""
+    from pyspark.sql import functions as F
+    w = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
+                   F.lit(n_bins - 1)).cast("int")
+    return (stream_df
+            .select(F.col(key_col).alias("key"), bin_.alias("bin"))
+            .groupBy("key", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))

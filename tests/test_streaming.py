@@ -496,3 +496,40 @@ def test_ohlc_stream_matches_batch_candles(spark, tmp_path):
             == (10.0, 30.0, 10.0, 20.0, 3)
     finally:
         q.stop()
+
+
+def test_histogram_stream_probe_matches_batch_quantiles(spark, tmp_path):
+    # the streamed (key, bin) sketch probed for quantiles must equal the
+    # batch histogram_quantiles over the same rows — mergeability in action
+    from akka_stream_contrib_spark.functions.sketches import (
+        histogram_probe, histogram_quantiles)
+    from akka_stream_contrib_spark.streaming.rollup import histogram_stream
+    feed = tmp_path / "vals"
+    feed.mkdir()
+    rows1 = [{"event_type": "a", "value": float(v)} for v in range(0, 50)]
+    rows2 = [{"event_type": "a", "value": float(v)} for v in range(50, 100)] \
+        + [{"event_type": "b", "value": 7.0}] * 10
+    _feed_json(feed, "b1.json", rows1)
+    _feed_json(feed, "b2.json", rows2)
+    src = (spark.readStream
+           .schema("event_type string, value double")
+           .option("maxFilesPerTrigger", 1)
+           .json(str(feed)))
+    sketch = histogram_stream(src, lo=0.0, hi=100.0, n_bins=10)
+    q = (sketch.writeStream.format("memory").queryName("hist_sketch")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck_hist"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    streamed = spark.sql("select key, bin, cnt from hist_sketch")
+    got = {(r.key, r.q): (r.est, r.n) for r in histogram_probe(
+        streamed, qs=(0.5, 0.9), lo=0.0, hi=100.0, n_bins=10).collect()}
+    batch_rows = [("a", float(v)) for v in range(100)] + [("b", 7.0)] * 10
+    bdf = spark.createDataFrame(batch_rows, "event_type string, value double")
+    want = {(r.key, r.q): (r.est, r.n) for r in histogram_quantiles(
+        bdf, key="event_type", value="value", lo=0.0, hi=100.0, n_bins=10,
+        qs=(0.5, 0.9)).collect()}
+    assert got == want and ("a", 0.5) in got
