@@ -2939,6 +2939,32 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: the histogram quantile estimate next to the
+    exact interpolated percentile per event type, with absolute error —
+    the check you run before trusting a sketch at 100 TB (where the exact
+    side becomes a sampled audit, not a full sort)."""
+    from akka_stream_contrib_spark.functions.sketches import histogram_quantiles
+    qs = (0.5, 0.9, 0.99)
+    ev = tables.load(spark, "events", sf_dir)
+    sk = histogram_quantiles(ev, key="event_type", value="value",
+                             lo=0.0, hi=1000.0, n_bins=64, qs=qs)
+    exact = ev.groupBy(F.col("event_type").alias("key")).agg(
+        *[F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"_e{i}")
+          for i, q in enumerate(qs)])
+    exact_long = exact.select(
+        "key",
+        F.explode(F.array(*[
+            F.struct(F.lit(float(q)).alias("q"),
+                     F.col(f"_e{i}").alias("exact"))
+            for i, q in enumerate(qs)])).alias("s")
+    ).select("key", "s.q", "s.exact")
+    return (sk.join(exact_long, ["key", "q"])
+            .select("key", "q", "est", "exact",
+                    F.round(F.abs(F.col("est") - F.col("exact")), 6)
+                    .alias("abs_err"), "n"))
+
+
 def q_fuzzy_vocab_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-cluster detection over the corpus vocabulary with Jaro-Winkler
     similarity (functions/text.py::jaro_winkler_col — validated char-for-
@@ -3192,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "novelty_score": q_novelty_score,
         "fuzzy_vocab_jw": q_fuzzy_vocab_jw,
+        "quantile_error_report": q_quantile_error_report,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3216,6 +3243,7 @@ _PRIORITY = [
     "classification_report", "psi_drift",
     "dsir_select", "attribution_last_touch", "value_quantile_sketch",
     "curriculum_order", "phash_near_dup", "novelty_score", "fuzzy_vocab_jw",
+    "quantile_error_report",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -6217,6 +6245,49 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
             FROM g JOIN f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "quantile_error_report": """
+            WITH b AS (
+                SELECT event_type AS key,
+                       CAST(least(greatest(floor((value - 0.0) / 15.625), 0), 63)
+                            AS INT) AS bin
+                FROM events
+            ), counts AS (
+                SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin
+            ), c AS (
+                SELECT key, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY key ORDER BY bin
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+                       sum(cnt) OVER (PARTITION BY key) AS n
+                FROM counts
+            ), probes AS (
+                SELECT c.*, q.q, CAST(ceil(q.q * c.n) AS BIGINT) AS rnk
+                FROM c CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+                                          (CAST(0.9 AS DOUBLE)),
+                                          (CAST(0.99 AS DOUBLE))) q(q)
+            ), sk AS (
+                SELECT key, q,
+                       round(0.0 + 15.625 * (bin + CAST(rnk - (cum - cnt) AS DOUBLE)
+                                                   / cnt), 6) AS est,
+                       n
+                FROM probes WHERE cum >= rnk AND cum - cnt < rnk
+            ), ex AS (
+                SELECT event_type AS key, CAST(0.5 AS DOUBLE) AS q,
+                       round(quantile_cont(value, 0.5), 6) AS exact
+                FROM events GROUP BY 1
+                UNION ALL
+                SELECT event_type, CAST(0.9 AS DOUBLE),
+                       round(quantile_cont(value, 0.9), 6)
+                FROM events GROUP BY 1
+                UNION ALL
+                SELECT event_type, CAST(0.99 AS DOUBLE),
+                       round(quantile_cont(value, 0.99), 6)
+                FROM events GROUP BY 1
+            )
+            SELECT s.key, s.q, s.est, e.exact,
+                   round(abs(s.est - e.exact), 6) AS abs_err, s.n
+            FROM sk s JOIN ex e ON s.key = e.key AND s.q = e.q
         """,
         "fuzzy_vocab_jw": """
             WITH v AS (SELECT DISTINCT p_name AS w FROM part)

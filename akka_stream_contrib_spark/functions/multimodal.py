@@ -158,6 +158,24 @@ def _fake_pixels(payload: bytes, side: int = 32) -> np.ndarray:
     return rng.uniform(0.0, 255.0, size=(side, side))
 
 
+def phash64_batch(pixels: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`phash64` over a (n, 32, 32) pixel stack — one
+    broadcast DCT matmul pair and a vectorized median/threshold/pack for
+    the whole Arrow batch (identical bits to the scalar form, pinned by
+    pytest). This is what keeps the hash stage compute-bound on BLAS
+    rather than per-row Python overhead at corpus scale."""
+    n = pixels.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    c = _dct_matrix(pixels.shape[1])
+    freq = np.matmul(np.matmul(c, pixels.astype(np.float64)), c.T)
+    block = freq[:, :8, :8].reshape(n, 64)[:, 1:]
+    med = np.median(block, axis=1, keepdims=True)
+    bits = (block > med).astype(np.int64)
+    weights = (np.int64(1) << np.arange(62, -1, -1, dtype=np.int64))
+    return bits @ weights
+
+
 def media_phash(fake_decode: bool = False, media_col: str = "media"
                 ) -> Callable[[DataFrame], DataFrame]:
     """mapInPandas decode→perceptual-hash stage: binary payload → ``phash``
@@ -174,8 +192,12 @@ def media_phash(fake_decode: bool = False, media_col: str = "media"
                     "this container; pass fake_decode=True for the "
                     "deterministic test decoder")
             out = pdf.drop(columns=[media_col]).copy()
-            out["phash"] = [phash64(_fake_pixels(bytes(p)))
-                            for p in pdf[media_col]]
+            if len(pdf):
+                pix = np.stack([_fake_pixels(bytes(p))
+                                for p in pdf[media_col]])
+                out["phash"] = phash64_batch(pix)
+            else:
+                out["phash"] = np.zeros(0, dtype=np.int64)
             yield out
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -213,6 +235,9 @@ def phash_near_dup(radius: int = 4, hash_col: str = "phash",
                     .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
                 for b in range(n_bands)])).alias("bk")
         ).select("_id", "_h", "bk.band", "bk.val")
+        # both self-join sides read this frame — cache it or the upstream
+        # decode/hash stage (often an Arrow pass) executes twice
+        bands = bands.persist()
         a = bands.alias("a")
         b = bands.alias("b")
         cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

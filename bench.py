@@ -128,6 +128,16 @@ HEADLINE = [
     "weighted_sample",
     "classification_report",
     "psi_drift",
+    # this session: DSIR selection, histogram quantile sketch, curriculum
+    # order, as-of attribution, pHash near-dup, n-gram novelty, Jaro-Winkler
+    "dsir_select",
+    "value_quantile_sketch",
+    "curriculum_order",
+    "attribution_last_touch",
+    "phash_near_dup",
+    "novelty_score",
+    "fuzzy_vocab_jw",
+    "quantile_error_report",
 ]
 
 

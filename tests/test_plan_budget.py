@@ -238,6 +238,9 @@ BUDGET = {
     # name distinct + blocked self-join key exchange (similarity UDF runs
     # on candidates only)
     "fuzzy_vocab_jw": 2,
+    # sketch build shuffle + exact-percentile agg + key join of two tiny
+    # per-key tables
+    "quantile_error_report": 3,
 }
 
 

@@ -163,3 +163,13 @@ def test_jaro_winkler_matches_duckdb_on_corpus_pairs():
         d = con.execute("select jaro_winkler_similarity(?, ?)",
                         [a, b]).fetchone()[0]
         assert abs(jaro_winkler(a, b) - d) < 1e-12, (a, b)
+
+
+def test_phash64_batch_matches_scalar():
+    import numpy as np
+    from akka_stream_contrib_spark.functions.multimodal import (
+        _fake_pixels, phash64, phash64_batch)
+    pix = np.stack([_fake_pixels(f"payload-{i}".encode()) for i in range(40)])
+    batch = phash64_batch(pix)
+    scalar = [phash64(pix[i]) for i in range(40)]
+    assert batch.tolist() == scalar
