@@ -2939,6 +2939,16 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus exact segment dedup
+    (functions/corpus.py::segment_dedup): 8-token segments, keep-first by
+    (doc, position), documents reassembled from surviving segments. Two
+    shuffles: segment-content window + doc reassembly."""
+    from akka_stream_contrib_spark.functions.corpus import segment_dedup
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(segment_dedup(seg_tokens=8))
+
+
 def q_quantile_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy audit: the histogram quantile estimate next to the
     exact interpolated percentile per event type, with absolute error —
@@ -3219,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_score": q_novelty_score,
         "fuzzy_vocab_jw": q_fuzzy_vocab_jw,
         "quantile_error_report": q_quantile_error_report,
+        "segment_dedup": q_segment_dedup,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3243,7 +3254,7 @@ _PRIORITY = [
     "classification_report", "psi_drift",
     "dsir_select", "attribution_last_touch", "value_quantile_sketch",
     "curriculum_order", "phash_near_dup", "novelty_score", "fuzzy_vocab_jw",
-    "quantile_error_report",
+    "quantile_error_report", "segment_dedup",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -6245,6 +6256,34 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
             FROM g JOIN f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "segment_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), idx AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(0,
+                           CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS pos
+                FROM toks
+            ), segs AS (
+                SELECT doc_id, pos,
+                       array_to_string(t[(pos*8+1):((pos+1)*8)], ' ') AS seg
+                FROM idx
+            ), kept AS (
+                SELECT doc_id, pos, seg,
+                       row_number() OVER (PARTITION BY seg
+                                          ORDER BY doc_id, pos) AS rn
+                FROM segs
+            ), tot AS (
+                SELECT doc_id, count(*) AS n_total FROM segs GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   string_agg(k.seg, ' ' ORDER BY k.pos) AS dedup_text,
+                   count(*) AS n_kept,
+                   min(t.n_total) - count(*) AS n_dropped
+            FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+            WHERE k.rn = 1
+            GROUP BY k.doc_id
         """,
         "quantile_error_report": """
             WITH b AS (

@@ -598,3 +598,59 @@ def curriculum_order(stages: int, score, id_col: str = "doc_id"
                         (F.col("_grk2") - F.col("_off")).alias("within_pos")))
 
     return _apply
+
+
+def segment_dedup(seg_tokens: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
+    """C4-style exact segment dedup ACROSS the corpus: split every document
+    into non-overlapping ``seg_tokens``-token segments, keep only the
+    FIRST occurrence of each distinct segment corpus-wide (ordered by
+    (doc_id, position) — the C4 paper deduplicates exact three-sentence
+    spans the same keep-first way), and reassemble each document from its
+    surviving segments. Complements `remove_boilerplate` (which drops
+    high-DF segments everywhere) and `span_dedup` (token-level overlap):
+    this one removes *later copies* while always preserving one.
+
+    Output: (doc_id, dedup_text, n_kept, n_dropped) — documents whose
+    every segment was seen earlier disappear (fully duplicated).
+
+    Scale shape: two shuffles — segment-content window (keep-first needs
+    the global order within each identical-segment group only) and the
+    doc_id reassembly groupBy. Segment groups are as skewed as the
+    duplication itself; a pathological corpus (one segment duplicated
+    everywhere) concentrates one group — pre-aggregate with a count if
+    that regime is expected.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        st = seg_tokens
+        toks = df.select(F.col(id_col).alias("doc_id"),
+                         F.split(F.col(text_col), " ").alias("_t"))
+        n_seg = F.ceil(F.size("_t") / F.lit(float(st))).cast("int")
+        idx = F.when(n_seg >= 1, F.sequence(F.lit(0), n_seg - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        segs = toks.select(
+            "doc_id",
+            F.posexplode(F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice("_t", i * st + 1, st))))
+            .alias("pos", "seg"))
+        w = Window.partitionBy("seg").orderBy("doc_id", "pos")
+        kept = (segs.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))
+        totals = segs.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("_n_total"))
+        ordered = F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+            lambda s: s["seg"])
+        return (kept.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_kept"), ordered.alias("_segs"))
+                .join(totals, "doc_id")
+                .select("doc_id",
+                        F.array_join("_segs", " ").alias("dedup_text"),
+                        "n_kept",
+                        (F.col("_n_total") - F.col("n_kept"))
+                        .alias("n_dropped")))
+
+    return _apply

@@ -138,6 +138,7 @@ HEADLINE = [
     "novelty_score",
     "fuzzy_vocab_jw",
     "quantile_error_report",
+    "segment_dedup",
 ]
 
 

@@ -241,6 +241,8 @@ BUDGET = {
     # sketch build shuffle + exact-percentile agg + key join of two tiny
     # per-key tables
     "quantile_error_report": 3,
+    # segment-content window + per-doc totals + reassembly groupBy
+    "segment_dedup": 3,
 }
 
 

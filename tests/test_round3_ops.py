@@ -173,3 +173,18 @@ def test_phash64_batch_matches_scalar():
     batch = phash64_batch(pix)
     scalar = [phash64(pix[i]) for i in range(40)]
     assert batch.tolist() == scalar
+
+
+def test_segment_dedup_keep_first(spark):
+    from akka_stream_contrib_spark.functions.corpus import segment_dedup
+    rows = [
+        (1, "a b c d"),          # two 2-token segments: "a b", "c d"
+        (2, "a b x y"),          # "a b" seen in doc 1 -> dropped here
+        (3, "a b c d"),          # fully duplicated -> disappears
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in df.transform(
+        segment_dedup(seg_tokens=2)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].dedup_text == "a b c d" and out[1].n_dropped == 0
+    assert out[2].dedup_text == "x y" and out[2].n_kept == 1
