@@ -2939,6 +2939,27 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per source, the share of token
+    occurrences outside the top-30 corpus vocabulary — the OOV report run
+    before committing to a tokenizer vocab. The vocabulary is tiny by
+    construction and broadcasts; the token stream shuffles once."""
+    from akka_stream_contrib_spark.functions import vocab_topk
+    docs = tables.load(spark, "documents", sf_dir)
+    vocab = (docs.transform(vocab_topk(k=30))
+             .select("token").withColumn("_in", F.lit(1)))
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    return (toks.join(F.broadcast(vocab), "token", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                 .alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+                        + F.lit(0.0)))
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-corpus exact segment dedup
     (functions/corpus.py::segment_dedup): 8-token segments, keep-first by
@@ -3230,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_vocab_jw": q_fuzzy_vocab_jw,
         "quantile_error_report": q_quantile_error_report,
         "segment_dedup": q_segment_dedup,
+        "oov_rate": q_oov_rate,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3254,7 +3276,7 @@ _PRIORITY = [
     "classification_report", "psi_drift",
     "dsir_select", "attribution_last_touch", "value_quantile_sketch",
     "curriculum_order", "phash_near_dup", "novelty_score", "fuzzy_vocab_jw",
-    "quantile_error_report", "segment_dedup",
+    "quantile_error_report", "segment_dedup", "oov_rate",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -6256,6 +6278,25 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
             FROM g JOIN f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "oov_rate": """
+            WITH toks AS (
+                SELECT source, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ), v AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS freq FROM toks
+                    WHERE regexp_matches(token, '^[a-z]+$')
+                    GROUP BY token ORDER BY freq DESC, token LIMIT 30
+                )
+            )
+            SELECT source, count(*) AS n_tokens,
+                   sum(CASE WHEN token NOT IN (SELECT token FROM v)
+                            THEN 1 ELSE 0 END) AS n_oov,
+                   round(sum(CASE WHEN token NOT IN (SELECT token FROM v)
+                                  THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS oov_rate
+            FROM toks GROUP BY source
         """,
         "segment_dedup": """
             WITH toks AS (

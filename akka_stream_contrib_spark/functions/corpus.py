@@ -518,15 +518,14 @@ def dsir_weights(is_target, n_buckets: int = 128, k: float = 0.5,
             F.col(id_col).alias("doc_id"),
             is_target.cast("int").alias("_is_t"),
             F.split(F.lower(F.col(text_col)), " ").alias("_t"))
-        uni = toks.select("doc_id", "_is_t",
-                          F.explode("_t").alias("gram"))
         n1 = F.greatest(F.size("_t") - 1, F.lit(0))
-        bi = toks.select(
+        bi_arr = F.zip_with(F.slice("_t", 1, n1), F.slice("_t", 2, n1),
+                            lambda a, x: F.concat_ws(" ", a, x))
+        # single explode of unigrams ++ bigrams — one scan pass, not a
+        # union of two branches over the same projection
+        grams = toks.select(
             "doc_id", "_is_t",
-            F.explode(F.zip_with(
-                F.slice("_t", 1, n1), F.slice("_t", 2, n1),
-                lambda a, x: F.concat_ws(" ", a, x))).alias("gram"))
-        grams = uni.unionAll(bi)
+            F.explode(F.concat("_t", bi_arr)).alias("gram"))
         from akka_stream_contrib_spark.functions.text import token_id
         per_doc = (grams
                    .select("doc_id", "_is_t",

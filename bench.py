@@ -139,6 +139,7 @@ HEADLINE = [
     "fuzzy_vocab_jw",
     "quantile_error_report",
     "segment_dedup",
+    "oov_rate",
 ]
 
 

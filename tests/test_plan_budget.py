@@ -243,6 +243,8 @@ BUDGET = {
     "quantile_error_report": 3,
     # segment-content window + per-doc totals + reassembly groupBy
     "segment_dedup": 3,
+    # vocab count agg (broadcast back) + per-source rollup
+    "oov_rate": 2,
 }
 
 
