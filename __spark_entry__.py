@@ -2939,6 +2939,42 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration (reliability) report: a fixed-literal-weight
+    logistic scorer over document length binned into 10 probability
+    deciles, with per-bin mean prediction, observed rate, and Brier
+    contribution — the is-the-probability-meaningful audit run on every
+    quality classifier before its scores gate a corpus. One partial-agg
+    shuffle to ≤10 rows; decimal-exact bin sums."""
+    docs = tables.load(spark, "documents", sf_dir)
+    z = (F.size(F.split("text", " ")) - F.lit(60)) / F.lit(30.0)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    d = docs.select(prob.alias("_p"),
+                    (F.col("lang") == "en").cast("int").alias("_y"))
+    bin_ = F.least(F.floor(F.col("_p") * 10), F.lit(9)).cast("int")
+    pd_ = F.col("_p").cast("decimal(10,6)")
+    sq = F.round((F.col("_p") - F.col("_y"))
+                 * (F.col("_p") - F.col("_y")), 9).cast("decimal(12,9)")
+    return (d.groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.round(F.sum(pd_).cast("double") / F.count(F.lit(1)), 6)
+                  + F.lit(0.0)).alias("avg_pred"),
+                 (F.round(F.sum("_y") / F.count(F.lit(1)), 6)
+                  + F.lit(0.0)).alias("obs_rate"),
+                 (F.round(F.sum(sq).cast("double") / F.count(F.lit(1)), 6)
+                  + F.lit(0.0)).alias("brier")))
+
+
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-form silhouette per label over the embeddings table
+    (functions/clustering.py::cluster_silhouette): O(n·k) quality metric —
+    broadcast centroids, one corpus scan, fixed-order distance folds."""
+    from akka_stream_contrib_spark.functions.clustering import (
+        cluster_silhouette)
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return cluster_silhouette(emb)
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-coverage audit: per source, the share of token
     occurrences outside the top-30 corpus vocabulary — the OOV report run
@@ -3252,6 +3288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_error_report": q_quantile_error_report,
         "segment_dedup": q_segment_dedup,
         "oov_rate": q_oov_rate,
+        "cluster_silhouette": q_cluster_silhouette,
+        "calibration_report": q_calibration_report,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3277,6 +3315,7 @@ _PRIORITY = [
     "dsir_select", "attribution_last_touch", "value_quantile_sketch",
     "curriculum_order", "phash_near_dup", "novelty_score", "fuzzy_vocab_jw",
     "quantile_error_report", "segment_dedup", "oov_rate",
+    "cluster_silhouette", "calibration_report",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -6278,6 +6317,65 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
             FROM g JOIN f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "calibration_report": """
+            WITH d AS (
+                SELECT round(1.0 / (1.0 + exp(-((len(string_split(text, ' ')) - 60)
+                                                / 30.0))), 6) AS p,
+                       CAST(lang = 'en' AS INT) AS y
+                FROM documents
+            )
+            SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(p AS DECIMAL(10,6))) AS DOUBLE)
+                         / count(*), 6) + 0.0 AS avg_pred,
+                   round(sum(y) / CAST(count(*) AS DOUBLE), 6) + 0.0
+                       AS obs_rate,
+                   round(CAST(sum(CAST(round((p - y) * (p - y), 9)
+                                       AS DECIMAL(12,9))) AS DOUBLE)
+                         / count(*), 6) + 0.0 AS brier
+            FROM d GROUP BY 1
+        """,
+        "cluster_silhouette": """
+            WITH e AS (
+                SELECT label, unnest(embedding) AS v,
+                       unnest(range(0, len(embedding))) AS pos
+                FROM embeddings
+            ), cl AS (
+                SELECT label, pos, count(*) AS n,
+                       list(CAST(v AS DOUBLE) ORDER BY CAST(v AS DOUBLE)) AS vs
+                FROM e GROUP BY label, pos
+            ), cent_long AS (
+                SELECT label, pos,
+                       round(list_reduce(vs, (x, y) -> x + y) / n, 6) + 0.0 AS cv
+                FROM cl
+            ), cent AS (
+                SELECT label AS clb, list(cv ORDER BY pos) AS c
+                FROM cent_long GROUP BY label
+            ), dist AS (
+                SELECT v.vec_id, v.label, c.clb,
+                       sqrt(list_reduce(list_transform(
+                           generate_series(1, len(v.embedding)),
+                           i -> (CAST(v.embedding[i] AS DOUBLE) - c.c[i])
+                                * (CAST(v.embedding[i] AS DOUBLE) - c.c[i])),
+                           (x, y) -> x + y)) AS d
+                FROM embeddings v CROSS JOIN cent c
+            ), ab AS (
+                SELECT vec_id, label,
+                       min(CASE WHEN clb = label THEN d END) AS a,
+                       min(CASE WHEN clb <> label THEN d END) AS b
+                FROM dist GROUP BY vec_id, label
+            ), s AS (
+                SELECT label,
+                       CAST(round(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                                       ELSE (b - a) / greatest(a, b) END, 9)
+                            AS DECIMAL(12,9)) AS sv
+                FROM ab
+            )
+            SELECT label, count(*) AS n,
+                   round(CAST(sum(sv) AS DOUBLE) / count(*), 6) + 0.0
+                       AS silhouette
+            FROM s GROUP BY label
         """,
         "oov_rate": """
             WITH toks AS (

@@ -114,3 +114,58 @@ def kmeans_assign(df: DataFrame, k: int = 8, iterations: int = 5,
         F.col(id_col), "cluster",
         F.round(F.sqrt(F.element_at(F.col("_d"), F.col("cluster") + 1)), 6)
         .alias("dist"))
+
+
+def cluster_silhouette(df: DataFrame, vec_col: str = "embedding",
+                       label_col: str = "label", id_col: str = "vec_id"
+                       ) -> DataFrame:
+    """Simplified (centroid-form) silhouette score per cluster — Rousseeuw
+    1987 with centroid distances standing in for mean pairwise distances,
+    the standard O(n·k) clustering-quality metric at corpus scale (the
+    exact form is O(n²) and never runs on a big corpus). Per vector:
+    a = distance to its own cluster's centroid, b = the nearest OTHER
+    centroid, s = (b − a)/max(a, b). Output: (label, n, silhouette).
+
+    Scale shape: centroids reduce to k×dim rows (sorted-fold means per the
+    repo float convention, rounded 6 dp so both engines see identical
+    centroid literals) and BROADCAST; the corpus is scanned once with a
+    fixed-order per-row distance fold — no shuffle of the vectors; the
+    rollup is a k-row aggregate. Engine-stable: per-vector s rounds to
+    9 dp and accumulates as exact decimal.
+    """
+    e = df.select(
+        F.col(label_col).alias("_lb"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+    cent_long = (e.groupBy("_lb", "pos")
+                 .agg(F.count(F.lit(1)).alias("_n"),
+                      F.sort_array(F.collect_list("v")).alias("_vs"))
+                 .select("_lb", "pos",
+                         (F.round(
+                             F.expr("aggregate(_vs, cast(0.0 as double),"
+                                    " (a, x) -> a + x)") / F.col("_n"), 6)
+                          + F.lit(0.0)).alias("_cv")))
+    cent = cent_long.groupBy("_lb").agg(
+        F.transform(F.sort_array(F.collect_list(F.struct("pos", "_cv"))),
+                    lambda s: s["_cv"]).alias("_c"))
+    vx = df.select(F.col(id_col).alias("_id"),
+                   F.col(label_col).alias("_vlb"),
+                   F.col(vec_col).cast("array<double>").alias("_x"))
+    j = vx.crossJoin(F.broadcast(
+        cent.select(F.col("_lb").alias("_clb"), "_c")))
+    d = F.sqrt(F.expr(
+        "aggregate(zip_with(_x, _c, (a, b) -> (a - b) * (a - b)),"
+        " cast(0.0 as double), (acc, t) -> acc + t)"))
+    ab = (j.select("_id", "_vlb", "_clb", d.alias("_d"))
+          .groupBy("_id", "_vlb")
+          .agg(F.min(F.when(F.col("_clb") == F.col("_vlb"), F.col("_d")))
+               .alias("_a"),
+               F.min(F.when(F.col("_clb") != F.col("_vlb"), F.col("_d")))
+               .alias("_b")))
+    s = F.when(F.greatest("_a", "_b") == 0, F.lit(0.0)) \
+         .otherwise((F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"))
+    sv = F.round(s, 9).cast("decimal(12,9)")
+    return (ab.select(F.col("_vlb").alias(label_col), sv.alias("_s"))
+            .groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.round(F.sum("_s").cast("double") / F.count(F.lit(1)), 6)
+                  + F.lit(0.0)).alias("silhouette")))

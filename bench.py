@@ -140,6 +140,8 @@ HEADLINE = [
     "quantile_error_report",
     "segment_dedup",
     "oov_rate",
+    "cluster_silhouette",
+    "calibration_report",
 ]
 
 

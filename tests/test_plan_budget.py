@@ -245,6 +245,11 @@ BUDGET = {
     "segment_dedup": 3,
     # vocab count agg (broadcast back) + per-source rollup
     "oov_rate": 2,
+    # (label,pos) centroid agg + label array agg + per-vec a/b agg +
+    # k-row rollup (centroids broadcast; corpus never shuffles for dist)
+    "cluster_silhouette": 4,
+    # one partial-agg shuffle to <=10 bins
+    "calibration_report": 1,
 }
 
 

@@ -188,3 +188,31 @@ def test_segment_dedup_keep_first(spark):
     assert set(out) == {1, 2}
     assert out[1].dedup_text == "a b c d" and out[1].n_dropped == 0
     assert out[2].dedup_text == "x y" and out[2].n_kept == 1
+
+
+def test_cluster_silhouette_separated_clusters_score_high(spark):
+    from akka_stream_contrib_spark.functions.clustering import (
+        cluster_silhouette)
+    rows = []
+    for i in range(10):       # tight cluster at (10, 0, ...)
+        rows.append((i, [10.0 + 0.01 * i, 0.0, 0.0, 0.0], 0))
+    for i in range(10):       # tight cluster at (0, 10, ...)
+        rows.append((100 + i, [0.0, 10.0 + 0.01 * i, 0.0, 0.0], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in cluster_silhouette(df).collect()}
+    assert out[0].n == 10 and out[1].n == 10
+    # well-separated tight clusters -> silhouette near 1
+    assert out[0].silhouette > 0.9 and out[1].silhouette > 0.9
+
+
+def test_cluster_silhouette_mixed_labels_score_low(spark):
+    from akka_stream_contrib_spark.functions.clustering import (
+        cluster_silhouette)
+    # identical point cloud split arbitrarily across two labels:
+    # centroids coincide -> a == b -> silhouette ~ 0
+    rows = [(i, [float(i % 5), 1.0], i % 2) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r.silhouette for r in cluster_silhouette(df).collect()}
+    assert abs(out[0]) < 0.2 and abs(out[1]) < 0.2
