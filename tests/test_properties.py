@@ -389,3 +389,45 @@ def test_simhash_band_candidates_cover_radius(hashes):
             if bin(a ^ b).count("1") <= 3:
                 assert any(((a >> (k * 8)) & 255) == ((b >> (k * 8)) & 255)
                            for k in range(4))
+
+
+def hist_quantile_model(values, lo, hi, n_bins, q):
+    """Pure-python reference of histogram_quantiles' estimator."""
+    import math
+    w = (hi - lo) / n_bins
+    bins = [0] * n_bins
+    for v in values:
+        b = min(max(int(math.floor((v - lo) / w)), 0), n_bins - 1)
+        bins[b] += 1
+    n = len(values)
+    rank = math.ceil(q * n)
+    cum = 0
+    for b, cnt in enumerate(bins):
+        if cnt and cum + cnt >= rank:
+            return lo + w * (b + (rank - cum) / cnt)
+        cum += cnt
+    raise AssertionError("rank not reached")
+
+
+@given(st.lists(st.floats(min_value=0.0, max_value=99.5, allow_nan=False),
+                min_size=1, max_size=60),
+       st.sampled_from([0.25, 0.5, 0.9]))
+@settings(**SETTINGS)
+def test_histogram_quantile_matches_model_and_error_bound(values, q):
+    from akka_stream_contrib_spark.functions.sketches import (
+        histogram_quantiles)
+    spark = _get_spark()
+    values = [float(v) for v in values]
+    df = spark.createDataFrame([(i, "k", v) for i, v in enumerate(values)],
+                               "i long, k string, value double")
+    out = histogram_quantiles(df, key="k", value="value", lo=0.0, hi=100.0,
+                              n_bins=20, qs=(q,)).collect()
+    assert len(out) == 1
+    est = out[0].est
+    want = hist_quantile_model(values, 0.0, 100.0, 20, q)
+    assert abs(est - round(want, 6)) < 1e-9
+    # sketch error bound: estimate within one bin width of a true quantile
+    import math
+    rank = math.ceil(q * len(values))
+    true_v = sorted(values)[rank - 1]
+    assert abs(est - true_v) <= 100.0 / 20 + 1e-9
