@@ -2939,6 +2939,16 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation over event types
+    (functions/corpus.py::neyman_allocation): variance-minimizing budget
+    split from ONE pass of decimal-exact moments, deterministic hash
+    selection, and an integer id-sum checksum of the sample per stratum."""
+    from akka_stream_contrib_spark.functions.corpus import neyman_allocation
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.transform(neyman_allocation(1000))
+
+
 def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier calibration (reliability) report: a fixed-literal-weight
     logistic scorer over document length binned into 10 probability
@@ -3290,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "cluster_silhouette": q_cluster_silhouette,
         "calibration_report": q_calibration_report,
+        "neyman_sample": q_neyman_sample,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3315,7 +3326,7 @@ _PRIORITY = [
     "dsir_select", "attribution_last_touch", "value_quantile_sketch",
     "curriculum_order", "phash_near_dup", "novelty_score", "fuzzy_vocab_jw",
     "quantile_error_report", "segment_dedup", "oov_rate",
-    "cluster_silhouette", "calibration_report",
+    "cluster_silhouette", "calibration_report", "neyman_sample",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -6317,6 +6328,47 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
             FROM g JOIN f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "neyman_sample": """
+            WITH mom AS (
+                SELECT event_type AS stratum, count(*) AS n_stratum,
+                       sum(CAST(value AS DECIMAL(18,4))) AS sx,
+                       sum(CAST(value AS DECIMAL(18,4))
+                           * CAST(value AS DECIMAL(18,4))) AS sxx
+                FROM events GROUP BY 1
+            ), m2 AS (
+                SELECT stratum, n_stratum,
+                       round(sqrt((CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                     / n_stratum) / n_stratum), 6) AS sigma
+                FROM mom
+            ), w AS (
+                SELECT stratum, n_stratum, sigma,
+                       n_stratum * CAST(sigma AS DECIMAL(18,6)) AS wgt
+                FROM m2
+            ), tot AS (SELECT sum(wgt) AS tw FROM w),
+            alloc AS (
+                SELECT stratum, n_stratum, sigma,
+                       CAST(floor(1000 * CAST(wgt AS DOUBLE)
+                                  / CAST(tw AS DOUBLE)) AS BIGINT) AS alloc
+                FROM w CROSS JOIN tot
+            ), ranked AS (
+                SELECT event_type AS stratum, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY CAST(concat('0x',
+                               substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                               AS BIGINT), event_id) AS rk
+                FROM events
+            ), kept AS (
+                SELECT r.stratum, count(*) AS n_kept,
+                       sum(r.event_id) AS kept_id_sum
+                FROM ranked r JOIN alloc a USING (stratum)
+                WHERE r.rk <= a.alloc GROUP BY r.stratum
+            )
+            SELECT a.stratum, a.n_stratum, a.sigma, a.alloc,
+                   COALESCE(k.n_kept, 0) AS n_kept,
+                   COALESCE(k.kept_id_sum, 0) AS kept_id_sum
+            FROM alloc a LEFT JOIN kept k ON a.stratum = k.stratum
         """,
         "calibration_report": """
             WITH d AS (

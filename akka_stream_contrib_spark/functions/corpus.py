@@ -653,3 +653,67 @@ def segment_dedup(seg_tokens: int = 8, id_col: str = "doc_id",
                         .alias("n_dropped")))
 
     return _apply
+
+
+def neyman_allocation(n_total: int, stratum_col: str = "event_type",
+                      value_col: str = "value", id_col: str = "event_id"
+                      ) -> Callable[[DataFrame], DataFrame]:
+    """Neyman-optimal stratified sample allocation: stratum h receives
+    ``n_h = floor(n_total · N_h·S_h / Σ N·S)`` — the variance-minimizing
+    split of a fixed survey budget (Neyman 1934). Selection within each
+    stratum is by portable hash of the id, so the sample is deterministic
+    on any engine/partitioning. Emits one summary row per stratum:
+    (stratum, n_stratum, sigma, alloc, n_kept, kept_id_sum) — kept_id_sum
+    is an exact integer checksum of the selected ids, verifiable without
+    materializing the sample.
+
+    Scale shape: stratum moments reduce from ONE pass of decimal-exact
+    sums (Σx, Σx² — variance from exact integers, no unordered float
+    accumulation); the ≤|strata|-row allocation table broadcasts back and
+    per-stratum rank is one window over the stratum key.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        from akka_stream_contrib_spark.functions.text import token_id
+        x = F.col(value_col).cast("decimal(18,4)")
+        mom = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+            F.count(F.lit(1)).alias("n_stratum"),
+            F.sum(x).alias("_sx"),
+            F.sum(x * x).alias("_sxx"))
+        var = ((F.col("_sxx").cast("double")
+                - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+                / F.col("n_stratum")) / F.col("n_stratum"))
+        mom = mom.withColumn("sigma", F.round(F.sqrt(var), 6))
+        # weight totals accumulate as EXACT decimal (the 6dp sigma is
+        # decimal-representable) so the allocation is engine-stable
+        mom = mom.withColumn(
+            "_w", F.col("n_stratum") * F.col("sigma").cast("decimal(18,6)"))
+        # the <=|strata|-row moments table feeds the total AND the
+        # allocation join — cache it so the events scan runs once
+        mom = mom.persist()
+        tot = mom.agg(F.sum("_w").alias("_tw"))
+        alloc = (mom.crossJoin(F.broadcast(tot))
+                 .withColumn("alloc",
+                             F.floor(F.lit(n_total)
+                                     * F.col("_w").cast("double")
+                                     / F.col("_tw").cast("double"))
+                             .cast("bigint"))
+                 .select("stratum", "n_stratum", "sigma", "alloc"))
+        w = Window.partitionBy(stratum_col).orderBy(
+            token_id(F.col(id_col).cast("string")), id_col)
+        ranked = df.select(F.col(stratum_col).alias("stratum"),
+                           F.col(id_col).alias("_id"),
+                           F.row_number().over(w).alias("_rk"))
+        kept = (ranked.join(F.broadcast(alloc), "stratum")
+                .filter(F.col("_rk") <= F.col("alloc"))
+                .groupBy("stratum")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.sum("_id").alias("kept_id_sum")))
+        return (alloc.join(kept, "stratum", "left")
+                .select("stratum", "n_stratum", "sigma", "alloc",
+                        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                        F.coalesce("kept_id_sum", F.lit(0))
+                        .alias("kept_id_sum")))
+
+    return _apply

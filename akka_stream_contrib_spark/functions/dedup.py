@@ -729,3 +729,24 @@ def novelty_score(n: int = 3, id_col: str = "doc_id", text_col: str = "text"
                             + F.lit(0.0)))
 
     return _apply
+
+
+def lsh_tune(threshold: float, n_perm: int = 64) -> tuple[int, int]:
+    """Choose (bands, rows) for MinHash LSH banding: among factorizations
+    ``bands × rows = n_perm``, pick the one whose S-curve threshold
+    ``(1/bands)^(1/rows)`` lands closest to the target Jaccard
+    ``threshold`` — the standard tuning rule (Mining of Massive Datasets
+    §3.4.3). Pure planning helper: feed the result to minhash_lsh_dedup.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best = None
+    for bands in range(1, n_perm + 1):
+        if n_perm % bands:
+            continue
+        rows = n_perm // bands
+        t = (1.0 / bands) ** (1.0 / rows)
+        err = abs(t - threshold)
+        if best is None or err < best[0]:
+            best = (err, bands, rows)
+    return best[1], best[2]

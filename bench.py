@@ -142,6 +142,7 @@ HEADLINE = [
     "oov_rate",
     "cluster_silhouette",
     "calibration_report",
+    "neyman_sample",
 ]
 
 

@@ -250,6 +250,8 @@ BUDGET = {
     "cluster_silhouette": 4,
     # one partial-agg shuffle to <=10 bins
     "calibration_report": 1,
+    # cached moments agg + stratum-rank window + kept agg + tiny joins
+    "neyman_sample": 6,
 }
 
 

@@ -216,3 +216,31 @@ def test_cluster_silhouette_mixed_labels_score_low(spark):
         rows, "vec_id long, embedding array<float>, label int")
     out = {r.label: r.silhouette for r in cluster_silhouette(df).collect()}
     assert abs(out[0]) < 0.2 and abs(out[1]) < 0.2
+
+
+def test_lsh_tune_picks_threshold_matching_banding():
+    from akka_stream_contrib_spark.functions.dedup import lsh_tune
+    import pytest as _pytest
+    # 64 perms, want ~0.5: (16 bands, 4 rows) -> (1/16)^(1/4) = 0.5 exactly
+    assert lsh_tune(0.5, 64) == (16, 4)
+    # high threshold -> few bands, many rows
+    b_hi, r_hi = lsh_tune(0.9, 64)
+    b_lo, r_lo = lsh_tune(0.2, 64)
+    assert b_hi < b_lo and b_hi * r_hi == 64 and b_lo * r_lo == 64
+    with _pytest.raises(ValueError):
+        lsh_tune(1.5)
+
+
+def test_neyman_allocation_favors_high_variance_strata(spark):
+    from akka_stream_contrib_spark.functions.corpus import neyman_allocation
+    rows = []
+    for i in range(100):   # stratum A: constant values -> sigma 0
+        rows.append((i, "A", 50.0))
+    for i in range(100):   # stratum B: high spread
+        rows.append((1000 + i, "B", float(i % 2) * 100.0))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.stratum: r for r in df.transform(
+        neyman_allocation(50, stratum_col="event_type")).collect()}
+    assert out["A"].alloc == 0 and out["A"].n_kept == 0   # zero variance
+    assert out["B"].alloc == 50 and out["B"].n_kept == 50
+    assert out["B"].kept_id_sum > 0
