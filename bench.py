@@ -22,7 +22,8 @@ from akka_stream_contrib_spark import get_spark, tables
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: relational aggregates/joins + heaviest operator queries +
-# LLM-pipeline extensions. ~30 queries; a bench round stays well under 5 min.
+# LLM-pipeline extensions. 107 queries; a bench round (sf0.01 compile
+# warm-up + timed sf0.1 pass + DuckDB baseline) completes in ~8 min.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
