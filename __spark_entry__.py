@@ -2939,6 +2939,43 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage blocking quality audit on the distinct part names:
+    reduction ratio (pairs pruned by the first-4-chars block) and pair
+    completeness (share of true JW≥0.86 matches the blocking keeps).
+    The all-pairs ground truth runs on the DISTINCT-name sample — the
+    audit-scale check you run before trusting a blocking scheme on the
+    full corpus (where all-pairs is never an option)."""
+    from akka_stream_contrib_spark.functions.text import jaro_winkler_col
+    part = tables.load(spark, "part", sf_dir)
+    names = part.select("p_name").distinct().persist()
+    a = names.select(F.col("p_name").alias("w1"))
+    b = names.select(F.col("p_name").alias("w2"))
+    pairs = (a.join(b, F.col("w1") < F.col("w2"))
+             .withColumn("_blocked",
+                         (F.substring("w1", 1, 4)
+                          == F.substring("w2", 1, 4)).cast("int"))
+             .withColumn("_match",
+                         (F.round(jaro_winkler_col(F.col("w1"),
+                                                   F.col("w2")), 6)
+                          >= 0.86).cast("int")))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("total_pairs"),
+        F.sum("_blocked").alias("candidate_pairs"),
+        F.sum("_match").alias("true_matches"),
+        F.sum(F.col("_blocked") * F.col("_match"))
+        .alias("matched_in_candidates"))
+    return agg.select(
+        "total_pairs", "candidate_pairs", "true_matches",
+        "matched_in_candidates",
+        (F.round(F.lit(1.0) - F.col("candidate_pairs")
+                 / F.col("total_pairs"), 6) + F.lit(0.0))
+        .alias("reduction_ratio"),
+        (F.round(F.col("matched_in_candidates")
+                 / F.col("true_matches"), 6) + F.lit(0.0))
+        .alias("pair_completeness"))
+
+
 def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-optimal stratified allocation over event types
     (functions/corpus.py::neyman_allocation): variance-minimizing budget
@@ -3301,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_silhouette": q_cluster_silhouette,
         "calibration_report": q_calibration_report,
         "neyman_sample": q_neyman_sample,
+        "blocking_report": q_blocking_report,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3327,6 +3365,7 @@ _PRIORITY = [
     "curriculum_order", "phash_near_dup", "novelty_score", "fuzzy_vocab_jw",
     "quantile_error_report", "segment_dedup", "oov_rate",
     "cluster_silhouette", "calibration_report", "neyman_sample",
+    "blocking_report",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -6328,6 +6367,26 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
             FROM g JOIN f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "blocking_report": """
+            WITH v AS (SELECT DISTINCT p_name AS w FROM part),
+            pairs AS (
+                SELECT CAST(substr(a.w, 1, 4) = substr(b.w, 1, 4) AS INT)
+                           AS blocked,
+                       CAST(round(jaro_winkler_similarity(a.w, b.w), 6)
+                            >= 0.86 AS INT) AS is_match
+                FROM v a JOIN v b ON a.w < b.w
+            )
+            SELECT count(*) AS total_pairs,
+                   sum(blocked) AS candidate_pairs,
+                   sum(is_match) AS true_matches,
+                   sum(blocked * is_match) AS matched_in_candidates,
+                   round(1.0 - sum(blocked) / CAST(count(*) AS DOUBLE), 6)
+                       + 0.0 AS reduction_ratio,
+                   round(sum(blocked * is_match)
+                         / CAST(sum(is_match) AS DOUBLE), 6) + 0.0
+                       AS pair_completeness
+            FROM pairs
         """,
         "neyman_sample": """
             WITH mom AS (

@@ -144,6 +144,7 @@ HEADLINE = [
     "cluster_silhouette",
     "calibration_report",
     "neyman_sample",
+    "blocking_report",
 ]
 
 

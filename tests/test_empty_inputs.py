@@ -39,6 +39,7 @@ NONEMPTY_OK = {
     "data_quality_report",  # a zero-violation report row per check is correct
     "triangle_count",  # global (n_wedges, n_triangles) reduction — 1 zero row
     "classification_report",  # a one-row zero-count confusion report is correct
+    "blocking_report",  # global 1-row audit aggregate — zero counts correct
 }
 
 

@@ -252,6 +252,9 @@ BUDGET = {
     "calibration_report": 1,
     # cached moments agg + stratum-rank window + kept agg + tiny joins
     "neyman_sample": 6,
+    # cached name distinct + 1-row audit aggregate (all-pairs is the
+    # audit sample by design)
+    "blocking_report": 2,
 }
 
 
