@@ -2939,6 +2939,30 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each event's value against its
+    (event_type, hour-of-day) mean — the seasonal-naive residual monitor
+    for metric streams. Baselines reduce to ≤ types×24 rows (decimal-exact
+    means) and broadcast back over one scan; top 20 |residual| via
+    TakeOrdered, no global sort."""
+    ev = tables.load(spark, "events", sf_dir)
+    base = (ev.groupBy(F.col("event_type").alias("etype"),
+                       F.hour("ts").alias("_bh"))
+            .agg((F.sum(_money("value")).cast("double")
+                  / F.count(F.lit(1))).alias("_mu")))
+    scored = (ev.select("event_id", "event_type",
+                        F.hour("ts").alias("hod"), "value")
+              .join(F.broadcast(base),
+                    (F.col("event_type") == F.col("etype"))
+                    & (F.col("hod") == F.col("_bh")), "inner"))
+    resid = F.round(F.col("value") - F.col("_mu"), 6)
+    return (scored
+            .select("event_id", "event_type", "hod", "value",
+                    resid.alias("residual"))
+            .orderBy(F.abs(F.col("residual")).desc(), "event_id")
+            .limit(20))
+
+
 def q_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-linkage blocking quality audit on the distinct part names:
     reduction ratio (pairs pruned by the first-4-chars block) and pair
@@ -3339,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_report": q_calibration_report,
         "neyman_sample": q_neyman_sample,
         "blocking_report": q_blocking_report,
+        "seasonal_anomalies": q_seasonal_anomalies,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3365,7 +3390,7 @@ _PRIORITY = [
     "curriculum_order", "phash_near_dup", "novelty_score", "fuzzy_vocab_jw",
     "quantile_error_report", "segment_dedup", "oov_rate",
     "cluster_silhouette", "calibration_report", "neyman_sample",
-    "blocking_report",
+    "blocking_report", "seasonal_anomalies",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
     "dup_clusters", "dedup_keep_best", "dedup_incremental",
     "minhash_incremental", "semantic_dedup",
@@ -6367,6 +6392,22 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
             FROM g JOIN f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "seasonal_anomalies": """
+            WITH base AS (
+                SELECT event_type AS etype, extract(hour FROM ts) AS bh,
+                       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                           / count(*) AS mu
+                FROM events GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.event_type,
+                   CAST(extract(hour FROM e.ts) AS INT) AS hod, e.value,
+                   round(e.value - b.mu, 6) AS residual
+            FROM events e JOIN base b
+              ON e.event_type = b.etype
+             AND extract(hour FROM e.ts) = b.bh
+            ORDER BY abs(round(e.value - b.mu, 6)) DESC, e.event_id
+            LIMIT 20
         """,
         "blocking_report": """
             WITH v AS (SELECT DISTINCT p_name AS w FROM part),

@@ -255,6 +255,8 @@ BUDGET = {
     # cached name distinct + 1-row audit aggregate (all-pairs is the
     # audit sample by design)
     "blocking_report": 2,
+    # <=types*24-row baseline agg broadcast back; top-20 is TakeOrdered
+    "seasonal_anomalies": 1,
 }
 
 
