@@ -3522,7 +3522,7 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
                 FROM marked
             )
-            SELECT grp, event_type, count(*) AS cnt,
+            SELECT CAST(grp AS BIGINT) AS grp, event_type, count(*) AS cnt,
                    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value,
                    min(event_id) AS first_seq
             FROM runs GROUP BY grp, event_type
@@ -3968,8 +3968,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_shipping": """
             SELECT year(l_shipdate) AS ship_year,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -4377,16 +4377,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_bpe": """
             SELECT doc_id,
-                   list_sum(list_transform(regexp_extract_all(text, '[a-z0-9]+'),
-                            x -> greatest(1, (length(x) + 3) // 4))) AS est_tokens
+                   CAST(list_sum(list_transform(regexp_extract_all(text, '[a-z0-9]+'),
+                            x -> greatest(1, (length(x) + 3) // 4))) AS BIGINT) AS est_tokens
             FROM documents
         """,
         "doc_fingerprint": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
             SELECT doc_id,
-                   list_sum(list_transform(generate_series(1, len(l)),
+                   CAST(list_sum(list_transform(generate_series(1, len(l)),
                        i -> (CAST(concat('0x', substr(md5(l[i]), 1, 8)) AS BIGINT) * i) % 1000003)
-                   ) % 1000003 AS fingerprint
+                   ) % 1000003 AS BIGINT) AS fingerprint
             FROM t
         """,
         "dedup_exact": """
@@ -4924,7 +4924,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM hx CROSS JOIN bits GROUP BY doc_id, b
             )
             SELECT doc_id,
-                   sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+                   CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
         "ann_cosine_topk": _COS_TOP10_ORACLE,
@@ -5053,10 +5053,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY user_id
             )
             SELECT count(t_view) AS n_view,
-                   sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
-                       AS n_view_then_click,
-                   sum(CASE WHEN t_click > t_view AND t_purchase > t_click
-                            THEN 1 ELSE 0 END) AS n_full_funnel
+                   CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view_then_click,
+                   CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
             FROM per_user
         """,
         "user_journey": """
@@ -6302,7 +6302,7 @@ def oracle_sql() -> dict[str, str]:
                             AS DECIMAL(15,9)) AS ratio
                 FROM buckets CROSS JOIN tot
             )
-            SELECT p.doc_id, sum(p.cnt) AS n_grams,
+            SELECT p.doc_id, CAST(sum(p.cnt) AS BIGINT) AS n_grams,
                    round(CAST(sum(p.cnt * l.ratio) AS DOUBLE), 6) + 0.0 AS logweight
             FROM per_doc p JOIN lut l USING (bucket)
             GROUP BY p.doc_id
@@ -6350,7 +6350,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, q,
                    round(0.0 + 15.625 * (bin + CAST(rnk - (cum - cnt) AS DOUBLE)
                                                / cnt), 6) AS est,
-                   n
+                   CAST(n AS BIGINT) AS n
             FROM probes WHERE cum >= rnk AND cum - cnt < rnk
         """,
         "curriculum_order": """
@@ -6385,8 +6385,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
             )
             SELECT g.doc_id, count(*) AS n_grams,
-                   sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
-                       AS novel,
+                   CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS novel,
                    round(sum(CASE WHEN f.first_doc = g.doc_id
                                   THEN 1 ELSE 0 END)
                          / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
@@ -6419,9 +6419,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM v a JOIN v b ON a.w < b.w
             )
             SELECT count(*) AS total_pairs,
-                   sum(blocked) AS candidate_pairs,
-                   sum(is_match) AS true_matches,
-                   sum(blocked * is_match) AS matched_in_candidates,
+                   CAST(sum(blocked) AS BIGINT) AS candidate_pairs,
+                   CAST(sum(is_match) AS BIGINT) AS true_matches,
+                   CAST(sum(blocked * is_match) AS BIGINT) AS matched_in_candidates,
                    round(1.0 - sum(blocked) / CAST(count(*) AS DOUBLE), 6)
                        + 0.0 AS reduction_ratio,
                    round(sum(blocked * is_match)
@@ -6466,8 +6466,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.rk <= a.alloc GROUP BY r.stratum
             )
             SELECT a.stratum, a.n_stratum, a.sigma, a.alloc,
-                   COALESCE(k.n_kept, 0) AS n_kept,
-                   COALESCE(k.kept_id_sum, 0) AS kept_id_sum
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(COALESCE(k.kept_id_sum, 0) AS BIGINT) AS kept_id_sum
             FROM alloc a LEFT JOIN kept k ON a.stratum = k.stratum
         """,
         "calibration_report": """
@@ -6541,8 +6541,8 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             SELECT source, count(*) AS n_tokens,
-                   sum(CASE WHEN token NOT IN (SELECT token FROM v)
-                            THEN 1 ELSE 0 END) AS n_oov,
+                   CAST(sum(CASE WHEN token NOT IN (SELECT token FROM v)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
                    round(sum(CASE WHEN token NOT IN (SELECT token FROM v)
                                   THEN 1 ELSE 0 END)
                          / CAST(count(*) AS DOUBLE), 6) + 0.0 AS oov_rate
@@ -6600,7 +6600,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT key, q,
                        round(0.0 + 15.625 * (bin + CAST(rnk - (cum - cnt) AS DOUBLE)
                                                    / cnt), 6) AS est,
-                       n
+                       CAST(n AS BIGINT) AS n
                 FROM probes WHERE cum >= rnk AND cum - cnt < rnk
             ), ex AS (
                 SELECT event_type AS key, CAST(0.5 AS DOUBLE) AS q,

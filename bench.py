@@ -1,6 +1,9 @@
 """Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT
+JSON line (totals + top-10 slowest queries; kept small so the driver's
+stdout capture never truncates it):
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Full per-query timings are written to BENCH_DETAIL.json next to this file.
 
 Each query executes to a noop sink (full computation, no driver collect
 bottleneck) after a warm-up of the parquet file listing. Timings are
@@ -195,16 +198,36 @@ def main() -> None:
     # non-SQL-expressible queries would otherwise inflate it)
     comparable = (round(sum(timings[q] for q in base_queries), 3)
                   if base_queries else None)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail goes to a FILE; stdout gets ONE COMPACT line.
+    # (The driver's stdout capture truncated the r1/r3 runs — 109 per-query
+    # entries overflowed its buffer and BENCH_r{N}.json recorded
+    # "parsed": null. Keep the line under ~1 KB: totals + top-10 slowest.)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "metric": "headline_queries_total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "queries": timings,
+            "baseline_duckdb_total_sec": base_total,
+            "baseline_duckdb_queries": base_queries,
+            "spark_total_oracle_subset_sec": comparable,
+        }, f, indent=1)
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "headline_queries_total_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": top10,
         "baseline_duckdb_total_sec": base_total,
-        "baseline_duckdb_queries": base_queries,
         "spark_total_oracle_subset_sec": comparable,
-    }), flush=True)
+        "detail": "BENCH_DETAIL.json",
+    }, separators=(",", ":")), flush=True)
     spark.stop()
 
 

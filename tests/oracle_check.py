@@ -1,7 +1,18 @@
 """Local replica of the driver's correctness gate: run each entry in
 ``queries()`` on Spark and its ``oracle_sql()`` on DuckDB over the same
-parquet tables, then compare row count, column names, and order-insensitive
-values. Used by tests and by ad-hoc dev runs (python tests/oracle_check.py).
+parquet tables, then compare row count, column names, order-insensitive
+values, AND the pandas dtype class of every column.
+
+The dtype check exists because the driver hashes the *pandas* rendering of
+both result sets (Spark ``toPandas()`` vs DuckDB ``.df()``).  DuckDB returns
+``SUM(int)`` as HUGEINT, which pandas renders as float64, while Spark gives
+int64 — so an oracle with an unpinned integer SUM hashes ``5.0`` against
+``5`` and fails at the driver even though ``fetchall()`` (exact Python ints)
+says the values are identical.  That blind spot shipped red twice (rounds
+1 and 3); this replica now compares int/float/bool dtype classes via the
+same pandas path the driver uses, so an unpinned SUM fails locally too.
+
+Used by tests and by ad-hoc dev runs (python tests/oracle_check.py).
 """
 
 from __future__ import annotations
@@ -44,6 +55,24 @@ def _rows_to_multiset(cols, rows):
     return sorted(tuple(repr(_norm(r[i])) for i in order) for r in rows)
 
 
+def _dtype_class(dtype) -> str:
+    """Collapse a pandas dtype to the class the driver's hash distinguishes:
+    int widths are interchangeable (int32 vs int64 both render ``5``) but
+    int-vs-float is not (``5`` vs ``5.0``)."""
+    kind = getattr(dtype, "kind", "O")
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    return "other"
+
+
+def _pandas_dtype_classes(pdf) -> dict[str, str]:
+    return {c.lower(): _dtype_class(t) for c, t in pdf.dtypes.items()}
+
+
 def compare_query(spark, name: str, qfn, sql: str | None, sf_dir: str,
                   max_diff_show: int = 5) -> tuple[bool, str]:
     sdf = qfn(spark, sf_dir)
@@ -56,12 +85,21 @@ def compare_query(spark, name: str, qfn, sql: str | None, sf_dir: str,
         res = con.execute(sql)
         dcols = [d[0].lower() for d in res.description]
         drows = res.fetchall()
+        dkinds = _pandas_dtype_classes(con.execute(sql).df())
     finally:
         con.close()
     if sorted(scols) != sorted(dcols):
         return False, f"{name}: SCHEMA mismatch spark={sorted(scols)} duck={sorted(dcols)}"
     if len(srows) != len(drows):
         return False, f"{name}: ROWCOUNT mismatch spark={len(srows)} duck={len(drows)}"
+    # Driver-faithful dtype gate: both sides are hashed via pandas, where
+    # DuckDB HUGEINT (unpinned integer SUM) renders float64 vs Spark int64.
+    skinds = _pandas_dtype_classes(sdf.toPandas())
+    drift = {c: (skinds[c], dkinds[c]) for c in skinds
+             if skinds[c] != dkinds.get(c, skinds[c])}
+    if drift:
+        return False, (f"{name}: PANDAS-DTYPE mismatch (spark, duck) = {drift}"
+                       " — pin the oracle (e.g. CAST(sum(...) AS BIGINT))")
     sm = _rows_to_multiset(scols, [[r[c] for c in sdf.columns] for r in srows])
     dm = _rows_to_multiset(dcols, drows)
     if sm != dm:
