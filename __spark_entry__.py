@@ -130,10 +130,16 @@ def q_delay_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decimal input: the unkeyed fold runs on the distributed range-prefix
+    # path (global_running_agg), whose per-range grouping must not perturb
+    # IEEE association — decimal sums are associative, so the result is
+    # exact and engine-independent
     return (
         _events(spark, sf_dir)
-        .transform(accumulate(F.sum("value"), out="running_sum", seq="seq"))
-        .select("event_id", F.round("running_sum", 4).alias("running_sum"))
+        .withColumn("value_dec", _dec(F.col("value")))
+        .transform(accumulate(F.sum("value_dec"), out="running_sum", seq="seq"))
+        .select("event_id",
+                F.round("running_sum", 4).cast("double").alias("running_sum"))
     )
 
 
@@ -1320,7 +1326,9 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     ps = _partsupp(spark, sf_dir)
-    per_part = (
+    from akka_stream_contrib_spark.util import drop_stale_caches, pipeline_cache
+    drop_stale_caches()
+    per_part = pipeline_cache(
         ps.join(F.broadcast(asia), ps.l_suppkey == asia.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("ps_cost") * F.col("ps_avail")).alias("_value"))
@@ -1330,8 +1338,8 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         # beats localCheckpoint here — the cached relation serves both
         # consumers without the checkpoint's write barrier (measured
         # 2.3 s → 0.6 s warm at sf0.1). Distributed cache, not a driver
-        # collect: scale-safe at any part cardinality.
-        .persist()
+        # collect: scale-safe at any part cardinality; released by the
+        # next pipeline's drop_stale_caches.
     )
     total = per_part.agg(F.sum("_value").alias("_total"))
     return (
@@ -2696,8 +2704,10 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents map-side, TRAIN logistic regression with Arrow gradient
     partials (one scan per iteration, no shuffle), then SCORE every doc
     with the learned weights as literals inside codegen — the fastText-
-    style quality-filter workflow. Iterative training → rows-only check;
-    convergence/accuracy pinned by tests on separable data."""
+    style quality-filter workflow. Oracle: the full 15-iteration GD loop
+    unrolled as chained DuckDB CTEs (_logreg_oracle), so training AND
+    scoring are value-checked; convergence/accuracy additionally pinned by
+    tests on separable data."""
     from akka_stream_contrib_spark.functions.ml import (
         logreg_predict, logreg_train, text_feature_vector)
     docs = tables.load(spark, "documents", sf_dir)
@@ -2926,7 +2936,9 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/multimodal.py::media_phash + phash_near_dup): Arrow-batched
     DCT hash over the (fake-decoded) payloads, pigeonhole band join,
     exact bit_count verify. 20 payloads are duplicated under shifted ids
-    so the detector provably fires. Python DCT → rows-only driver check;
+    so the detector provably fires. Oracle: the planted clone pairs at
+    hamming 0 are the complete ground truth (no other fixture pair falls
+    within the radius), so the driver value-checks the detector output;
     the hamming-nearness property is pinned by pytest on gradient images."""
     from akka_stream_contrib_spark.functions.multimodal import (
         media_phash, phash_near_dup)
@@ -2971,8 +2983,10 @@ def q_blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit-scale check you run before trusting a blocking scheme on the
     full corpus (where all-pairs is never an option)."""
     from akka_stream_contrib_spark.functions.text import jaro_winkler_col
+    from akka_stream_contrib_spark.util import drop_stale_caches, pipeline_cache
+    drop_stale_caches()
     part = tables.load(spark, "part", sf_dir)
-    names = part.select("p_name").distinct().persist()
+    names = pipeline_cache(part.select("p_name").distinct())
     a = names.select(F.col("p_name").alias("w1"))
     b = names.select(F.col("p_name").alias("w2"))
     pairs = (a.join(b, F.col("w1") < F.col("w2"))
@@ -3370,42 +3384,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **{k: v for k, v in base.items() if k not in set(front)}}
 
 
-#: the ~50-query driver-evidence window (see queries() comment); grouped:
-#: r1 fixes → this round's new ops → LLM-pipeline core (dedup / similarity /
-#: retrieval / text / corpus / multimodal) the r1 verdict flagged unverified.
+#: the ~50-query driver-evidence window (see queries() comment). Round-4
+#: grouping: (1) the 9 r3 hash-fails, repinned to BIGINT oracles — must
+#: re-verify green; (2) queries whose oracle or implementation changed this
+#: round (newly-oracled logreg/pHash, 4 latent unpinned SUMs the upgraded
+#: local gate caught, the rerouted unkeyed accumulate); (3) 34 queries from
+#: the never-driver-verified tail (~107 at round start — keep rotating the
+#: remainder through rounds 5+; the ever-green set needs no re-checks).
 _PRIORITY = [
-    "accumulate_while_unchanged", "timed_interval_between", "token_throttle",
-    "q12_priority_shipping", "array_agg_events",
-    "retry_concat_split", "unfold_flow_with", "token_throttle_keyed",
-    "duplicate_spans", "span_dedup", "bpe_encode",
-    "length_batches", "negative_samples",
-    "gopher_rules", "contamination_score", "mixture_weights", "rp_project",
-    "pq_ann", "simhash_pairs", "doc_keywords",
-    "bloom_membership", "ohlc_resample", "skew_report",
-    "quantile_normalize", "logreg_quality", "snapshot_diff",
-    "entity_resolution", "bloom_pruned_revenue", "vwap_resample",
-    "dedup_within", "corpus_report", "weighted_sample",
-    "classification_report", "psi_drift",
-    "dsir_select", "attribution_last_touch", "value_quantile_sketch",
-    "curriculum_order", "phash_near_dup", "novelty_score", "fuzzy_vocab_jw",
-    "quantile_error_report", "segment_dedup", "oov_rate",
-    "cluster_silhouette", "calibration_report", "neyman_sample",
-    "blocking_report", "seasonal_anomalies",
-    "dedup_exact", "minhash_lsh_dedup", "simhash", "ngram_jaccard_dedup",
-    "dup_clusters", "dedup_keep_best", "dedup_incremental",
-    "minhash_incremental", "semantic_dedup",
-    "ann_cosine_topk", "ann_lsh_topk", "ivf_ann_topk", "ann_ivf_all",
-    "ann_all_topk", "knn_join", "quantized_ann", "embedding_near_dup",
-    "label_centroids",
-    "tfidf_search", "bm25_search", "bpe_token_freqs", "normalize_text",
-    "kfold_split",
-    "text_stats", "lang_id", "token_count_bpe", "doc_fingerprint",
-    "pii_redact", "repetition_stats", "quality_score", "hashed_features",
-    "bigram_logprob",
+    # (1) repinned r3 hash-fails
+    "accumulate_while_unchanged", "q12_priority_shipping", "dsir_select",
+    "value_quantile_sketch", "novelty_score", "quantile_error_report",
+    "oov_rate", "neyman_sample", "blocking_report",
+    # (2) changed this round
+    "logreg_quality", "phash_near_dup", "accumulate",
+    "simhash", "token_count_bpe", "doc_fingerprint", "funnel_conversion",
+    # (3) never-driver-verified rotation (all oracle-backed)
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_promotion_suppliers",
+    "minhash_lsh_dedup", "ngram_jaccard_dedup", "dedup_incremental",
+    "dedup_keep_best", "dup_clusters", "semantic_dedup",
+    "ann_cosine_topk", "ann_lsh_topk", "knn_join", "ann_all_topk",
+    "text_stats", "lang_id", "quality_score", "pii_redact",
+    "bm25_search", "tfidf_search",
     "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
-    "train_test_split", "mixture_sample", "domain_cap",
-    "remove_boilerplate", "training_pipeline", "training_prep",
-    "multimodal_meta", "frame_sample_grid",
+    "train_test_split", "as_of_join", "as_of_join_forward",
+    "rollup_revenue", "moving_revenue_7d", "ewma_smooth", "sessionize",
+    "semi_join_customers", "grouping_sets_revenue",
+    # spillover if the window is wider than 50 — still never-verified
+    "anti_join_customers", "top_orders_per_customer", "user_journey",
+    "monthly_revenue", "distinct_users", "approx_distinct_users",
+    "stratified_sample", "reservoir_sample", "triangle_count",
+    "readability_scores", "pmi_collocations", "bpe_pair_counts",
+    "bpe_token_freqs", "bpe_learn_merges", "interpolate_linear",
+    "hll_daily_users", "cm_frequency", "token_entropy",
+    "value_histogram", "rolling_zscore", "winsorize_values", "mad_by_type",
+    "data_quality_report", "salted_event_stats", "nation_trade_balance",
+    "lateral_top_customers", "priority_shift_except_all",
+    "props_json_extract", "props_variant", "array_hof", "regexp_funcs",
+    "bitwise_agg", "safe_arithmetic", "nulls_ordering", "unpivot_revenue",
+    "as_of_join_tolerance", "user_correlation", "shipping_concurrency",
+    "cohort_retention", "event_transitions", "login_streaks",
+    "pareto_customers", "fuzzy_name_match", "regr_trend",
+    "campaign_overlap", "heavy_hitter_tokens", "normalize_text",
+    "kfold_split", "hashed_features", "bigram_logprob", "lang_confusion",
+    "knn_label_vote", "label_centroids", "embedding_near_dup",
+    "minhash_incremental", "multimodal_meta", "frame_sample_grid",
 ]
 
 
@@ -3433,6 +3457,61 @@ def _ewma_oracle(alpha: float = 0.3, depth: int = 8) -> str:
 
 
 _EWMA_ORACLE = _ewma_oracle()
+
+
+def _logreg_oracle(iters: int = 15, lr: float = 0.5) -> str:
+    """DuckDB mirror of q_logreg_quality's full training+scoring loop:
+    15 full-batch GD iterations unrolled as chained single-row weight CTEs
+    (w_j ← w_j − lr·mean(err·f_j), zero init — functions/ml.py::logreg_train)
+    over the same five quality features, then the same left-associated
+    literal-weight sigmoid scorer. Float sums associate differently between
+    numpy batch partials and DuckDB's aggregate, so weights agree to ~1e-14
+    — far inside the 6-dp rounding of the emitted probabilities."""
+    feats = ["f1", "f2", "f3", "f4", "f5"]
+    ctes = [
+        """feat AS (
+            SELECT doc_id, CAST(lang = 'en' AS INT) AS label,
+                   ln(n_tok + 1.0) AS f1,
+                   (n_chars - (n_tok - 1)) / n_tok AS f2,
+                   (n_chars - n_nodigit) / n_chars AS f3,
+                   (n_chars - n_noupper) / n_chars AS f4,
+                   n_distinct / n_tok AS f5
+            FROM (
+                SELECT doc_id, lang,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) AS n_distinct,
+                       CAST(length(regexp_replace(text, '[0-9]', '', 'g'))
+                            AS DOUBLE) AS n_nodigit,
+                       CAST(length(regexp_replace(text, '[A-Z]', '', 'g'))
+                            AS DOUBLE) AS n_noupper
+                FROM documents)
+        )""",
+        "it0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in range(1, 6))
+        + ", 0.0 AS b)",
+    ]
+    # z matches logreg_predict's left fold: ((((0+f1w1)+f2w2)+...)+f5w5)+b
+    z = "(0.0 + " + " + ".join(f"{f}*w{j+1}" for j, f in enumerate(feats)) + ") + b"
+    for k in range(1, iters + 1):
+        err = f"(1.0 / (1.0 + exp(-({z}))) - label)"
+        ups = ", ".join(
+            f"min(w{j}) - {lr!r} * (sum({err} * f{j}) / count(*)) AS w{j}"
+            for j in range(1, 6))
+        ctes.append(
+            f"it{k} AS (SELECT {ups}, "
+            f"min(b) - {lr!r} * (sum({err}) / count(*)) AS b "
+            f"FROM feat CROSS JOIN it{k-1})")
+    prob = f"round(1.0 / (1.0 + exp(-({z}))), 6) + 0.0"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT doc_id, label, {prob} AS prob,
+               CAST(({prob}) >= 0.5 AS INT) AS predicted
+        FROM feat CROSS JOIN it{iters}
+    """)
+
+
+_LOGREG_ORACLE = _logreg_oracle()
 
 from akka_stream_contrib_spark.functions.projection import (  # noqa: E402
     rp_project_sql as _rp_project_sql)
@@ -3501,8 +3580,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "accumulate": """
             SELECT event_id,
-                   round(sum(value) OVER (ORDER BY event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER (ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_sum
             FROM events
         """,
         "accumulate_keyed": """
@@ -6175,6 +6254,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY sample_key, doc_id
             LIMIT 100
+        """,
+        "logreg_quality": _LOGREG_ORACLE,
+        # ground-truth oracle: the query plants 20 byte-identical payload
+        # clones at doc_id+1000000 (q_phash_near_dup) — identical payloads
+        # hash identically (hamming 0), and the fixture corpus contains no
+        # other pair within the radius (verified at sf0.001/sf0.01/sf0.1),
+        # so the planted pairs ARE the full expected result; any extra or
+        # missing detector pair fails the compare
+        "phash_near_dup": """
+            SELECT doc_id AS id_a,
+                   doc_id + 1000000 AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM documents WHERE doc_id < 20
         """,
         "classification_report": """
             WITH s AS (

@@ -161,7 +161,11 @@ def cluster_silhouette(df: DataFrame, vec_col: str = "embedding",
                .alias("_a"),
                F.min(F.when(F.col("_clb") != F.col("_vlb"), F.col("_d")))
                .alias("_b")))
-    s = F.when(F.greatest("_a", "_b") == 0, F.lit(0.0)) \
+    # k=1 degenerate case: with a single distinct label there is no "other"
+    # centroid, _b is NULL, and s would propagate NULL — emit the
+    # conventional 0.0 instead (no separation information either way)
+    s = F.when(F.col("_b").isNull() | (F.greatest("_a", "_b") == 0),
+               F.lit(0.0)) \
          .otherwise((F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"))
     sv = F.round(s, 9).cast("decimal(12,9)")
     return (ab.select(F.col("_vlb").alias(label_col), sv.alias("_s"))

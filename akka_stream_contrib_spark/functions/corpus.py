@@ -513,6 +513,8 @@ def dsir_weights(is_target, n_buckets: int = 128, k: float = 0.5,
     """
 
     def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import drop_stale_caches
+        drop_stale_caches()
         b = F.lit(n_buckets)
         toks = df.select(
             F.col(id_col).alias("doc_id"),
@@ -533,9 +535,12 @@ def dsir_weights(is_target, n_buckets: int = 128, k: float = 0.5,
                    .groupBy("doc_id", "bucket")
                    .agg(F.count(F.lit(1)).alias("cnt"),
                         F.max("_is_t").alias("_is_t"))
-                   # feeds both the bucket LMs and the final scoring join —
-                   # cache so the gram explode + count shuffle run once
-                   .persist())
+                   )
+        # feeds both the bucket LMs and the final scoring join — cache so
+        # the gram explode + count shuffle run once; registered so the
+        # NEXT pipeline's entry releases it (bounded session storage)
+        from akka_stream_contrib_spark.util import pipeline_cache
+        per_doc = pipeline_cache(per_doc)
         buckets = per_doc.groupBy("bucket").agg(
             F.sum(F.when(F.col("_is_t") == 1, F.col("cnt"))
                   .otherwise(F.lit(0))).alias("ct"),
@@ -676,6 +681,8 @@ def neyman_allocation(n_total: int, stratum_col: str = "event_type",
     def _apply(df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
         from akka_stream_contrib_spark.functions.text import token_id
+        from akka_stream_contrib_spark.util import drop_stale_caches
+        drop_stale_caches()
         x = F.col(value_col).cast("decimal(18,4)")
         mom = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
             F.count(F.lit(1)).alias("n_stratum"),
@@ -690,8 +697,10 @@ def neyman_allocation(n_total: int, stratum_col: str = "event_type",
         mom = mom.withColumn(
             "_w", F.col("n_stratum") * F.col("sigma").cast("decimal(18,6)"))
         # the <=|strata|-row moments table feeds the total AND the
-        # allocation join — cache it so the events scan runs once
-        mom = mom.persist()
+        # allocation join — cache it so the events scan runs once;
+        # registered for release by the next pipeline's entry
+        from akka_stream_contrib_spark.util import pipeline_cache
+        mom = pipeline_cache(mom)
         tot = mom.agg(F.sum("_w").alias("_tw"))
         alloc = (mom.crossJoin(F.broadcast(tot))
                  .withColumn("alloc",

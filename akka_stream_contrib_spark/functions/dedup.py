@@ -23,23 +23,13 @@ from akka_stream_contrib_spark.functions.text import token_id
 
 MINHASH_P = 8191  # 2^13-1, prime modulus for the affine hash family
 
-_LAST_PERSISTED: list[DataFrame] = []  # see minhash_lsh_dedup / ngram_jaccard_dedup
-
-
-def _drop_stale_caches() -> None:
-    """Unpersist DataFrames cached by the PREVIOUS pipeline invocation so
-    repeated calls don't accumulate executor storage.
-
-    Contract: materialize (collect/write) a dedup pipeline's result BEFORE
-    constructing the next one — building two lazily and then acting on the
-    first would find its intermediate cache already dropped (correct results,
-    but the shared-scan persist silently recomputes). Single-pipeline-at-a-
-    time is the gate/bench usage this session-level registry serves."""
-    while _LAST_PERSISTED:
-        try:
-            _LAST_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
+# pipeline-scoped persists are registered in the PACKAGE-level registry
+# (util.pipeline_cache): the next pipeline's entry point unpersists them,
+# bounding executor storage across a long sequential gate/bench session
+from akka_stream_contrib_spark.util import (  # noqa: E402
+    _PIPELINE_CACHES as _LAST_PERSISTED)
+from akka_stream_contrib_spark.util import (  # noqa: E402
+    drop_stale_caches as _drop_stale_caches)
 
 
 def dedup_exact(id_col: str = "doc_id", text_col: str = "text") -> Callable[[DataFrame], DataFrame]:

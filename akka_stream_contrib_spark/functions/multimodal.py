@@ -223,6 +223,8 @@ def phash_near_dup(radius: int = 4, hash_col: str = "phash",
     that is the expected regime). Output: (id_a, id_b, hamming)."""
 
     def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import drop_stale_caches
+        drop_stale_caches()
         n_bands = radius + 1
         width = 64 // n_bands
         src = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
@@ -236,8 +238,10 @@ def phash_near_dup(radius: int = 4, hash_col: str = "phash",
                 for b in range(n_bands)])).alias("bk")
         ).select("_id", "_h", "bk.band", "bk.val")
         # both self-join sides read this frame — cache it or the upstream
-        # decode/hash stage (often an Arrow pass) executes twice
-        bands = bands.persist()
+        # decode/hash stage (often an Arrow pass) executes twice;
+        # registered for release by the next pipeline's entry
+        from akka_stream_contrib_spark.util import pipeline_cache
+        bands = pipeline_cache(bands)
         a = bands.alias("a")
         b = bands.alias("b")
         cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

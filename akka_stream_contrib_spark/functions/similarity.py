@@ -320,11 +320,15 @@ def ann_topk_all_ivf(df: DataFrame, k: int = 3, nlist: int = 16,
     id_type = df.schema[id_col].dataType.simpleString()
     # cache: the frame feeds both cogroup sides — materialize the Arrow
     # assignment pass once, not once per side (persist over
-    # localCheckpoint: same reuse without the checkpoint write barrier)
-    assigned = df.select(id_col, vec_col).mapInPandas(
+    # localCheckpoint: same reuse without the checkpoint write barrier);
+    # registered for release by the next pipeline's entry
+    from akka_stream_contrib_spark.util import (drop_stale_caches,
+                                                pipeline_cache)
+    drop_stale_caches()
+    assigned = pipeline_cache(df.select(id_col, vec_col).mapInPandas(
         _assign,
         schema=(f"{id_col} {id_type}, nvec array<double>, "
-                "cell int, probes array<int>")).persist()
+                "cell int, probes array<int>")))
 
     queries_side = assigned.select(
         F.col(id_col), "nvec", F.explode("probes").alias("cell"))

@@ -19,6 +19,8 @@ which distributes the window across the cluster.
 
 from __future__ import annotations
 
+import re
+import warnings
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
@@ -30,6 +32,23 @@ from akka_stream_contrib_spark.util import normalize_cols
 def _window(seq: str, partition_by: Sequence[str] | None) -> WindowSpec:
     w = Window.partitionBy(*normalize_cols(partition_by)) if partition_by else Window.partitionBy()
     return w.orderBy(seq).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+#: simple prefix-combinable monoid over a plain column — the shapes the
+#: range-partitioned ``global_running_agg`` path supports (count excluded:
+#: its monoid counts rows, not non-null values of the argument)
+_MONOID_EXPR = re.compile(r"^(sum|min|max)\((\w+)\)$")
+
+
+def _monoid_spec(agg: Column) -> tuple[str, str] | None:
+    """``F.sum("value")`` → ``("sum", "value")``; None for anything the
+    distributed prefix-fold can't express (casts, arithmetic, collect_list,
+    non-monoid aggregates)."""
+    m = re.search(r"Column<'([^']*)'>", str(agg))
+    if not m:
+        return None
+    mm = _MONOID_EXPR.match(m.group(1))
+    return (mm.group(1), mm.group(2)) if mm else None
 
 
 def accumulate(
@@ -44,9 +63,30 @@ def accumulate(
     ``agg`` is any aggregate Column (``F.sum("value")``, ``F.max(...)``,
     ``F.collect_list(...)``); arbitrary non-associative folds belong in
     ``streaming.stateful`` (transformWithState) instead.
+
+    Scale path: the UNKEYED form with a prefix-combinable aggregate
+    (``sum``/``min``/``max`` of a plain column) routes through
+    ``global_running_agg`` — a ``repartitionByRange`` + per-range local fold
+    + broadcast exclusive prefix, so the total order never collapses into a
+    single partition. Only a generic unkeyed fold (e.g. ``collect_list``, or
+    an expression the prefix-fold can't combine) falls back to the
+    partition-less window, with a warning.
     """
 
     def _apply(df: DataFrame) -> DataFrame:
+        if not partition_by:
+            spec = _monoid_spec(agg)
+            if spec is not None:
+                from akka_stream_contrib_spark.operators.global_order import (
+                    global_running_agg)
+                fn, value_col = spec
+                return global_running_agg(df, seq, value_col, out, fn=fn)
+            warnings.warn(
+                "unkeyed accumulate with a non-prefix-combinable aggregate "
+                f"({agg}) falls back to a single-partition window — fine for "
+                "bounded/demo data, a scale-killer on a real cluster; pass "
+                "partition_by or use a sum/min/max of a plain column",
+                stacklevel=2)
         return df.withColumn(out, agg.over(_window(seq, partition_by)))
 
     return _apply

@@ -39,3 +39,36 @@ def normalize_cols(cols: str | Sequence[str] | None) -> list[str]:
     if isinstance(cols, str):
         return [cols]
     return list(cols)
+
+
+#: session-level registry of pipeline-scoped persisted DataFrames — see
+#: pipeline_cache(). One list for the whole package: a new pipeline's entry
+#: point frees every cache the PREVIOUS pipeline left behind, bounding
+#: executor storage over a long session (100+ sequential gate/bench queries)
+#: instead of pinning every shared subtree until the session dies.
+_PIPELINE_CACHES: list = []
+
+
+def drop_stale_caches() -> None:
+    """Unpersist DataFrames cached by PREVIOUS pipeline invocations.
+
+    Contract: materialize (collect/write) a pipeline's result BEFORE
+    constructing the next one — building two lazily and then acting on the
+    first would find its intermediate cache already dropped (results stay
+    correct; the shared-scan persist silently recomputes). Sequential
+    single-pipeline usage is exactly what the driver gate and bench do."""
+    while _PIPELINE_CACHES:
+        try:
+            _PIPELINE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
+def pipeline_cache(df):
+    """``df.persist()`` (default MEMORY_AND_DISK — spills instead of
+    evicting under pressure) registered for release by the NEXT pipeline's
+    ``drop_stale_caches()``. Use for shared subtrees read by 2+ consumers
+    (self-join sides, total+detail branches) whose lifetime is one query."""
+    df = df.persist()
+    _PIPELINE_CACHES.append(df)
+    return df

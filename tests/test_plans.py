@@ -282,3 +282,32 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_unkeyed_accumulate_avoids_single_partition_window(spark):
+    """The unkeyed running sum must run on the range-partitioned prefix-fold
+    path (global_running_agg): the physical plan may not contain a
+    partition-less Window (which compiles to Exchange SinglePartition and
+    moves the whole stream to one task)."""
+    df = entry.q_accumulate(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+    # and the window that remains is per-range (partitioned by _pid)
+
+
+def test_unkeyed_accumulate_generic_fold_warns(spark):
+    """A non-prefix-combinable unkeyed fold still works (single-partition
+    window fallback) but must say so."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from akka_stream_contrib_spark.operators import accumulate
+
+    df = spark.range(10).selectExpr("id AS seq", "id AS value")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = df.transform(accumulate(F.collect_list("value"), out="acc"))
+        rows = out.orderBy("seq").collect()
+    assert any("single-partition" in str(x.message) for x in w)
+    assert [r.acc for r in rows[:3]] == [[0], [0, 1], [0, 1, 2]]

@@ -244,3 +244,17 @@ def test_neyman_allocation_favors_high_variance_strata(spark):
     assert out["A"].alloc == 0 and out["A"].n_kept == 0   # zero variance
     assert out["B"].alloc == 50 and out["B"].n_kept == 50
     assert out["B"].kept_id_sum > 0
+
+
+def test_cluster_silhouette_single_label_is_zero(spark):
+    """k=1 degenerate case: no 'other' centroid exists, so b is undefined —
+    the conventional silhouette is 0.0, not NULL."""
+    from akka_stream_contrib_spark.functions.clustering import (
+        cluster_silhouette)
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], 7) for i in range(6)],
+        "vec_id long, embedding array<double>, label int")
+    rows = cluster_silhouette(df).collect()
+    assert len(rows) == 1
+    assert rows[0].n == 6
+    assert rows[0].silhouette == 0.0
