@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with
 typed metadata, processed by Arrow-batched pandas transforms.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_stub`` raises NotImplementedError unless
-``fake_decode=True``, in which case a deterministic fake decoder produces
-shape-correct features so the Spark-side plumbing — schema, partitioning, UDF
-signature, batch shape — is real and testable. Swap ``_fake_features`` for a
-PIL/librosa/ffmpeg call on a real cluster; nothing else changes.
+Decoding is PLUGGABLE: ``decode_features`` and ``media_phash`` accept a
+``decoder: bytes -> np.ndarray`` callable (pixel array for images) — pass a
+PIL/librosa/ffmpeg-backed function on a real cluster and nothing else
+changes. This module ships one REAL decoder usable anywhere:
+:func:`decode_ppm` (binary netpbm P6, pure numpy — no image libraries), which
+the pytest suite drives end-to-end. Without a decoder the stages fall back
+to ``fake_decode=True`` (a deterministic md5-seeded stand-in that keeps the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+real and testable) or raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -64,6 +67,74 @@ def with_media_columns(payload: Column, modality: Column) -> Callable[[DataFrame
     return _apply
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real, dependency-free image decoder: binary netpbm PPM (``P6``,
+    maxval ≤ 255 — a public format) → (h, w) grayscale float64 array via
+    the Rec.601 luma weights. Proves the pluggable-decoder path end-to-end
+    in environments without PIL; swap for a PIL/ffmpeg-backed callable on
+    a real cluster."""
+    # header = magic, width, height, maxval as whitespace-separated tokens;
+    # '#' comments may appear between tokens; ONE whitespace byte then raster
+    pos, tokens = 0, []
+    while len(tokens) < 4:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        ch = payload[pos:pos + 1]
+        if ch == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if tokens[0] != b"P6":
+        raise ValueError(f"not a binary PPM (magic {tokens[0]!r})")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # the single whitespace byte after maxval
+    raster = np.frombuffer(payload, dtype=np.uint8,
+                           count=w * h * 3, offset=pos)
+    rgb = raster.reshape(h, w, 3).astype(np.float64)
+    return rgb @ np.array([0.299, 0.587, 0.114])
+
+
+def _resize_gray(img: np.ndarray, side: int = 32) -> np.ndarray:
+    """(h, w[, 3]) pixel array → (side, side) grayscale, by exact block
+    means over an integral image (area interpolation, pure numpy) when
+    shrinking, nearest-neighbor when a dimension is below ``side``."""
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 3:
+        img = img @ np.array([0.299, 0.587, 0.114])
+    h, w = img.shape
+    if h < side or w < side:
+        yi = np.minimum(np.arange(side) * h // side, h - 1)
+        xi = np.minimum(np.arange(side) * w // side, w - 1)
+        return img[np.ix_(yi, xi)]
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = img.cumsum(0).cumsum(1)
+    ye = np.arange(side + 1) * h // side
+    xe = np.arange(side + 1) * w // side
+    y0, y1 = ye[:-1], ye[1:]
+    x0, x1 = xe[:-1], xe[1:]
+    sums = (integral[np.ix_(y1, x1)] - integral[np.ix_(y0, x1)]
+            - integral[np.ix_(y1, x0)] + integral[np.ix_(y0, x0)])
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return sums / area
+
+
+def _pixel_features(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Decoded pixels → the FEATURE_DIM-vector the decode stage emits:
+    4×4 block-mean pooling of the grayscale image scaled to [0, 1] —
+    deterministic, resolution-independent, and comparable across engines."""
+    side = int(np.sqrt(dim))
+    pooled = _resize_gray(pixels, side=side) / 255.0
+    return pooled.flatten().astype(np.float32)
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder+featurizer: md5-seeded
     uniform vector. Stable across processes/executors."""
@@ -74,22 +145,33 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def decode_features(fake_decode: bool = False,
-                    media_col: str = "media") -> Callable[[DataFrame], DataFrame]:
+                    media_col: str = "media",
+                    decoder: Callable[[bytes], np.ndarray] | None = None
+                    ) -> Callable[[DataFrame], DataFrame]:
     """mapInPandas decode/feature-extract stage: binary payload → float
-    feature vector. Arrow-batched; each batch is decoded vectorized inside the
-    executor Python worker. Raises NotImplementedError without
-    ``fake_decode=True`` (no media libraries in this container)."""
+    feature vector. Arrow-batched; each batch is decoded vectorized inside
+    the executor Python worker.
+
+    ``decoder``: a ``bytes -> pixel ndarray`` callable (e.g.
+    :func:`decode_ppm`, or a PIL/ffmpeg wrapper on a real cluster) — its
+    pixels are pooled to the FEATURE_DIM vector by :func:`_pixel_features`.
+    Without a decoder, ``fake_decode=True`` selects the deterministic
+    md5-seeded stand-in; otherwise the stage raises NotImplementedError."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
+            if decoder is not None:
+                feats = [_pixel_features(decoder(bytes(p))).tolist()
+                         for p in pdf[media_col]]
+            elif fake_decode:
+                feats = [_fake_features(bytes(p)).tolist()
+                         for p in pdf[media_col]]
+            else:
                 raise NotImplementedError(
-                    "real media decoding requires PIL/librosa/ffmpeg — not "
-                    "available in this container; pass fake_decode=True for "
-                    "the deterministic test decoder")
-            feats = [
-                _fake_features(bytes(p)).tolist() for p in pdf[media_col]
-            ]
+                    "no media decoder: pass decoder= (bytes -> pixel "
+                    "ndarray, e.g. decode_ppm or a PIL/librosa/ffmpeg "
+                    "wrapper) or fake_decode=True for the deterministic "
+                    "test decoder")
             out = pdf.drop(columns=[media_col]).copy()
             out["features"] = feats
             yield out
@@ -176,25 +258,34 @@ def phash64_batch(pixels: np.ndarray) -> np.ndarray:
     return bits @ weights
 
 
-def media_phash(fake_decode: bool = False, media_col: str = "media"
+def media_phash(fake_decode: bool = False, media_col: str = "media",
+                decoder: Callable[[bytes], np.ndarray] | None = None
                 ) -> Callable[[DataFrame], DataFrame]:
     """mapInPandas decode→perceptual-hash stage: binary payload → ``phash``
-    bigint column. Arrow-batched like decode_features; raises
-    NotImplementedError without ``fake_decode=True`` (no real decoder in
-    this container — the DCT/threshold math itself is real and runs on
-    whatever pixels the decoder yields)."""
+    bigint column. Arrow-batched like decode_features; the DCT/threshold
+    math runs on whatever pixels the decoder yields.
+
+    ``decoder``: a ``bytes -> pixel ndarray`` callable (any resolution,
+    gray or RGB — pixels are area-resized to the 32×32 hash input by
+    :func:`_resize_gray`); e.g. :func:`decode_ppm`, or a PIL wrapper on a
+    real cluster. Without a decoder, ``fake_decode=True`` selects the
+    deterministic stand-in; otherwise raises NotImplementedError."""
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
+            if decoder is None and not fake_decode:
                 raise NotImplementedError(
-                    "real image decoding requires PIL — not available in "
-                    "this container; pass fake_decode=True for the "
-                    "deterministic test decoder")
+                    "no image decoder: pass decoder= (bytes -> pixel "
+                    "ndarray, e.g. decode_ppm or a PIL wrapper) or "
+                    "fake_decode=True for the deterministic test decoder")
             out = pdf.drop(columns=[media_col]).copy()
             if len(pdf):
-                pix = np.stack([_fake_pixels(bytes(p))
-                                for p in pdf[media_col]])
+                if decoder is not None:
+                    pix = np.stack([_resize_gray(decoder(bytes(p)))
+                                    for p in pdf[media_col]])
+                else:
+                    pix = np.stack([_fake_pixels(bytes(p))
+                                    for p in pdf[media_col]])
                 out["phash"] = phash64_batch(pix)
             else:
                 out["phash"] = np.zeros(0, dtype=np.int64)

@@ -258,3 +258,94 @@ def test_cluster_silhouette_single_label_is_zero(spark):
     assert len(rows) == 1
     assert rows[0].n == 6
     assert rows[0].silhouette == 0.0
+
+
+def _ppm_bytes(img: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6) with a comment
+    line, exercising the decoder's header handling."""
+    import numpy as np
+    h, w, _ = img.shape
+    header = f"P6\n# test image\n{w} {h}\n255\n".encode()
+    return header + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def test_decode_ppm_roundtrip_and_header_parsing():
+    import numpy as np
+
+    from akka_stream_contrib_spark.functions.multimodal import decode_ppm
+    rgb = np.zeros((4, 5, 3), dtype=np.uint8)
+    rgb[..., 0] = 255  # pure red
+    gray = decode_ppm(_ppm_bytes(rgb))
+    assert gray.shape == (4, 5)
+    assert np.allclose(gray, 0.299 * 255)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM is not P6
+
+
+def test_media_phash_real_ppm_decoder_end_to_end(spark):
+    """The pluggable-decoder path on real image bytes: a noised copy of a
+    low-frequency image hashes within a few bits; an unrelated image does
+    not. Images are built by inverse DCT of a random coefficient block
+    (same device as test_phash64_nearness_property — a flat gradient is
+    degenerate) and upsampled 2x, which the decoder's block-mean resize
+    inverts exactly."""
+    import numpy as np
+
+    from akka_stream_contrib_spark.functions.multimodal import (
+        _dct_matrix, decode_ppm, media_phash, phash_near_dup)
+
+    def img64(seed):
+        block = np.random.RandomState(seed).uniform(-300, 300, (8, 8))
+        f = np.zeros((32, 32))
+        f[:8, :8] = block
+        c = _dct_matrix(32)
+        small = c.T @ f @ c
+        big = np.kron(small, np.ones((2, 2)))  # 64x64, 2x upsample
+        return np.clip(big + 128.0, 0, 255).astype(np.uint8)
+
+    base = img64(1)
+    near = np.clip(
+        base.astype(float)
+        + np.random.RandomState(7).uniform(-6, 6, base.shape),
+        0, 255).astype(np.uint8)
+    other = img64(2)
+
+    def rgb(g):
+        return np.stack([g, g, g], axis=-1)
+
+    rows = [(1, _ppm_bytes(rgb(base))), (2, _ppm_bytes(rgb(near))),
+            (3, _ppm_bytes(rgb(other)))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    hashed = df.transform(media_phash(decoder=decode_ppm))
+    hs = {r.doc_id: r.phash for r in hashed.collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(hs[1], hs[2]) <= 4
+    assert ham(hs[1], hs[3]) >= 16
+    pairs = hashed.transform(phash_near_dup(radius=4)).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_decode_features_real_ppm_decoder_matches_numpy(spark):
+    import numpy as np
+
+    from akka_stream_contrib_spark.functions.multimodal import (
+        _pixel_features, decode_ppm, decode_features)
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(48, 40, 3), dtype=np.uint8)
+    payload = _ppm_bytes(img)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, media binary")
+    row = df.transform(decode_features(decoder=decode_ppm)).head()
+    expected = _pixel_features(decode_ppm(payload))
+    assert len(row.features) == 16
+    assert np.allclose(row.features, expected)
+
+
+def test_media_decode_requires_a_decoder(spark):
+    import pytest as _pytest
+
+    from akka_stream_contrib_spark.functions.multimodal import media_phash
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, media binary")
+    with _pytest.raises(Exception, match="decoder"):
+        df.transform(media_phash()).collect()
