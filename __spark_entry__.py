@@ -3158,6 +3158,80 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.transform(curriculum_order(4, F.col("n_chars")))
 
 
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (operators/cdc.py::apply_changes): replay a changeset —
+    deletes for event_id%7==0, value-bumped upserts for event_id%3==0
+    (delete wins on overlap; upserts include brand-new keys the %10 base
+    snapshot never had) — one broadcast anti join + union, the snapshot is
+    never sorted and shuffles at most once."""
+    from akka_stream_contrib_spark.operators.cdc import apply_changes
+    ev = tables.load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value")
+    snapshot = ev.filter(F.col("event_id") % 10 != 0)
+    changes = (ev.filter((F.col("event_id") % 7 == 0)
+                         | (F.col("event_id") % 3 == 0))
+               .withColumn("op", F.when(F.col("event_id") % 7 == 0,
+                                        F.lit("delete"))
+                           .otherwise(F.lit("upsert")))
+               .withColumn("value", F.when(F.col("op") == "upsert",
+                                           F.col("value") + 1.0)
+                           .otherwise(F.col("value"))))
+    return apply_changes(snapshot, changes, ["event_id"])
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding (functions/ml.py::target_encoding):
+    event_type encoded by the out-of-fold smoothed mean of value — two
+    map-side-collapsing groupBys + broadcast joins, decimal-exact sums."""
+    from akka_stream_contrib_spark.functions.ml import target_encoding
+    ev = tables.load(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value")
+    return ev.transform(target_encoding(
+        "event_type", "value", "event_id", n_folds=5, smoothing=20))
+
+
+def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated payment-card PII scan (functions/text.py::
+    luhn_scan): 16-digit candidates synthesized deterministically from
+    doc_id are appended to each document, and only Luhn-valid ones are
+    reported (last4 + length, never the number) — zero-shuffle map-side
+    expressions end to end."""
+    from akka_stream_contrib_spark.functions.text import luhn_scan
+    docs = tables.load(spark, "documents", sf_dir)
+    card = F.concat(
+        F.lpad((F.col("doc_id") * 48271 % 100000000).cast("string"), 8, "0"),
+        F.lpad((F.col("doc_id") * 16807 % 100000000).cast("string"), 8, "0"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" card "), card).alias("text"))
+    return aug.transform(luhn_scan())
+
+
+def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval (functions/retrieval.py::
+    boolean_and_search): documents containing ALL of spark/join/window
+    with per-term frequencies — ONE codegen scan, no explode/join."""
+    from akka_stream_contrib_spark.functions.retrieval import (
+        boolean_and_search)
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(
+        boolean_and_search(["spark", "join", "window"]))
+
+
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing per user (operators/timeseries.py::
+    holt_linear): grouped Arrow fold, one key shuffle. The DuckDB
+    recursive-CTE oracle replays the recurrence step-for-step with the
+    same double factors; α/β are deliberately NON-dyadic (0.45/0.35) —
+    halving factors would land results exactly on 6-dp rounding ties,
+    where engines' round-on-double algorithms disagree (see
+    holt_linear's rounding note)."""
+    from akka_stream_contrib_spark.operators.timeseries import holt_linear
+    ev = tables.load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value")
+    return ev.transform(holt_linear(alpha=0.45, beta=0.35))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3378,6 +3452,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_sample": q_neyman_sample,
         "blocking_report": q_blocking_report,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "cdc_apply_changes": q_cdc_apply_changes,
+        "target_encoding": q_target_encoding,
+        "pii_luhn": q_pii_luhn,
+        "boolean_retrieval": q_boolean_retrieval,
+        "holt_trend": q_holt_trend,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3396,9 +3475,11 @@ _PRIORITY = [
     "accumulate_while_unchanged", "q12_priority_shipping", "dsir_select",
     "value_quantile_sketch", "novelty_score", "quantile_error_report",
     "oov_rate", "neyman_sample", "blocking_report",
-    # (2) changed this round
+    # (2) changed or NEW this round
     "logreg_quality", "phash_near_dup", "accumulate",
     "simhash", "token_count_bpe", "doc_fingerprint", "funnel_conversion",
+    "cdc_apply_changes", "target_encoding", "pii_luhn",
+    "boolean_retrieval", "holt_trend",
     # (3) never-driver-verified rotation (all oracle-backed)
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_part_counts", "q20_promotion_suppliers",
@@ -6500,6 +6581,141 @@ def oracle_sql() -> dict[str, str]:
              AND extract(hour FROM e.ts) = b.bh
             ORDER BY abs(round(e.value - b.mu, 6)) DESC, e.event_id
             LIMIT 20
+        """,
+        "cdc_apply_changes": """
+            WITH ev AS (
+                SELECT event_id, user_id, event_type, value FROM events
+            ), snap AS (
+                SELECT * FROM ev WHERE event_id % 10 <> 0
+            ), changes AS (
+                SELECT event_id, user_id, event_type,
+                       CASE WHEN event_id % 7 = 0 THEN value
+                            ELSE value + 1.0 END AS value,
+                       CASE WHEN event_id % 7 = 0 THEN 'delete'
+                            ELSE 'upsert' END AS op
+                FROM ev WHERE event_id % 7 = 0 OR event_id % 3 = 0
+            )
+            SELECT s.event_id, s.user_id, s.event_type, s.value
+            FROM snap s
+            WHERE s.event_id NOT IN (SELECT event_id FROM changes)
+            UNION ALL
+            SELECT event_id, user_id, event_type, value
+            FROM changes WHERE op = 'upsert'
+        """,
+        "target_encoding": """
+            WITH base AS (
+                SELECT event_id, event_type, value,
+                       CAST(CAST(concat('0x',
+                            substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 5 AS INT) AS fold
+                FROM events
+            ), per_cat AS (
+                SELECT event_type AS c,
+                       sum(CAST(value AS DECIMAL(18,4))) AS s,
+                       count(*) AS n
+                FROM base GROUP BY 1
+            ), per_cf AS (
+                SELECT event_type AS c, fold AS f,
+                       sum(CAST(value AS DECIMAL(18,4))) AS sf,
+                       count(*) AS nf
+                FROM base GROUP BY 1, 2
+            ), prior AS (
+                SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       / count(*) AS p
+                FROM events
+            )
+            SELECT b.event_id, b.event_type, b.value, b.fold,
+                   round((CAST(pc.s - pf.sf AS DOUBLE) + 20.0 * prior.p)
+                         / (pc.n - pf.nf + 20.0), 6) + 0.0 AS te
+            FROM base b
+            JOIN per_cat pc ON b.event_type = pc.c
+            JOIN per_cf pf ON b.event_type = pf.c AND b.fold = pf.f
+            CROSS JOIN prior
+        """,
+        "pii_luhn": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' card '
+                       || lpad(CAST((doc_id * 48271) % 100000000 AS VARCHAR),
+                               8, '0')
+                       || lpad(CAST((doc_id * 16807) % 100000000 AS VARCHAR),
+                               8, '0') AS text
+                FROM documents
+            ), cand AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                              '[0-9][0-9 -]*[0-9]')) AS raw
+                FROM aug
+            ), flt AS (
+                SELECT doc_id, regexp_replace(raw, '[^0-9]', '', 'g') AS dg
+                FROM cand
+                WHERE length(regexp_replace(raw, '[^0-9]', '', 'g'))
+                      BETWEEN 13 AND 19
+            ), luhn AS (
+                SELECT doc_id, dg,
+                       list_sum(list_transform(
+                           generate_series(1, length(dg)),
+                           i -> CASE WHEN i % 2 = 0
+                                THEN CASE WHEN CAST(substr(reverse(dg), i, 1)
+                                               AS INT) * 2 > 9
+                                     THEN CAST(substr(reverse(dg), i, 1)
+                                          AS INT) * 2 - 9
+                                     ELSE CAST(substr(reverse(dg), i, 1)
+                                          AS INT) * 2 END
+                                ELSE CAST(substr(reverse(dg), i, 1) AS INT)
+                                END)) AS tot
+                FROM flt
+            )
+            SELECT doc_id, substr(dg, length(dg) - 3, 4) AS last4,
+                   CAST(length(dg) AS INT) AS n_digits
+            FROM luhn WHERE tot % 10 = 0
+        """,
+        "boolean_retrieval": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), f AS (
+                SELECT doc_id,
+                       len(list_filter(l, x -> x = 'spark')) AS tf_0,
+                       len(list_filter(l, x -> x = 'join')) AS tf_1,
+                       len(list_filter(l, x -> x = 'window')) AS tf_2
+                FROM t
+            )
+            SELECT doc_id, CAST(tf_0 AS INT) AS tf_0,
+                   CAST(tf_1 AS INT) AS tf_1, CAST(tf_2 AS INT) AS tf_2,
+                   CAST(3 AS INT) AS n_terms_matched
+            FROM f WHERE tf_0 > 0 AND tf_1 > 0 AND tf_2 > 0
+        """,
+        # replays holt_linear's exact per-key recurrence: each step is the
+        # SAME fixed-order IEEE expression with the same double factors
+        # (0.45/0.35 — non-dyadic on purpose, see q_holt_trend), so the
+        # recursive CTE reproduces the numpy fold bit-for-bit
+        "holt_trend": """
+            WITH RECURSIVE o AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS rn
+                FROM events
+            ), h AS (
+                SELECT user_id, event_id, value, rn,
+                       CAST(value AS DOUBLE) AS level,
+                       CAST(0.0 AS DOUBLE) AS trend
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.user_id, o.event_id, o.value, o.rn,
+                       0.45 * o.value
+                       + (1.0 - 0.45) * (h.level + h.trend) AS level,
+                       0.35 * ((0.45 * o.value
+                                + (1.0 - 0.45) * (h.level + h.trend))
+                               - h.level)
+                       + (1.0 - 0.35) * h.trend AS trend
+                FROM o JOIN h ON o.user_id = h.user_id AND o.rn = h.rn + 1
+            )
+            SELECT event_id, user_id, value,
+                   CAST(floor(level * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0 + 0.0 AS level,
+                   CAST(floor(trend * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0 + 0.0 AS trend
+            FROM h
         """,
         "blocking_report": """
             WITH v AS (SELECT DISTINCT p_name AS w FROM part),

@@ -513,8 +513,10 @@ def dsir_weights(is_target, n_buckets: int = 128, k: float = 0.5,
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        from akka_stream_contrib_spark.util import drop_stale_caches
-        drop_stale_caches()
+        from decimal import Decimal
+
+        from akka_stream_contrib_spark.functions.text import token_id
+
         b = F.lit(n_buckets)
         toks = df.select(
             F.col(id_col).alias("doc_id"),
@@ -523,43 +525,55 @@ def dsir_weights(is_target, n_buckets: int = 128, k: float = 0.5,
         n1 = F.greatest(F.size("_t") - 1, F.lit(0))
         bi_arr = F.zip_with(F.slice("_t", 1, n1), F.slice("_t", 2, n1),
                             lambda a, x: F.concat_ws(" ", a, x))
-        # single explode of unigrams ++ bigrams — one scan pass, not a
-        # union of two branches over the same projection
+        toks = toks.withColumn("_g", F.concat("_t", bi_arr))
+        # PASS 1 — the bucket LMs: single explode of unigrams ++ bigrams,
+        # groupBy(bucket) collapses map-side to <= n_buckets rows per task,
+        # so the only shuffle moves ~tasks x n_buckets tiny rows. The ratio
+        # is computed in Spark SQL on the <= n_buckets-row frame with the
+        # SAME expression as before (bit-identical to the oracle), then the
+        # ROUNDED decimals are collected — a bounded n_buckets-row driver
+        # summary, same budget class as global_order's prefix offsets.
         grams = toks.select(
-            "doc_id", "_is_t",
-            F.explode(F.concat("_t", bi_arr)).alias("gram"))
-        from akka_stream_contrib_spark.functions.text import token_id
-        per_doc = (grams
-                   .select("doc_id", "_is_t",
-                           F.pmod(token_id(F.col("gram")), b).alias("bucket"))
-                   .groupBy("doc_id", "bucket")
-                   .agg(F.count(F.lit(1)).alias("cnt"),
-                        F.max("_is_t").alias("_is_t"))
-                   )
-        # feeds both the bucket LMs and the final scoring join — cache so
-        # the gram explode + count shuffle run once; registered so the
-        # NEXT pipeline's entry releases it (bounded session storage)
-        from akka_stream_contrib_spark.util import pipeline_cache
-        per_doc = pipeline_cache(per_doc)
-        buckets = per_doc.groupBy("bucket").agg(
-            F.sum(F.when(F.col("_is_t") == 1, F.col("cnt"))
-                  .otherwise(F.lit(0))).alias("ct"),
-            F.sum("cnt").alias("cr"))
+            "_is_t", F.explode("_g").alias("gram"))
+        buckets = (grams
+                   .select(F.pmod(token_id(F.col("gram")), b).alias("bucket"),
+                           "_is_t")
+                   .groupBy("bucket")
+                   .agg(F.sum(F.when(F.col("_is_t") == 1, F.lit(1))
+                              .otherwise(F.lit(0))).alias("ct"),
+                        F.count(F.lit(1)).alias("cr")))
         totals = buckets.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
         kk = F.lit(float(k))
         ratio = F.round(
             F.log((F.col("ct") + kk) / (F.col("nt") + kk * b))
             - F.log((F.col("cr") + kk) / (F.col("nr") + kk * b)),
             9).cast("decimal(15,9)")
-        lut = buckets.crossJoin(F.broadcast(totals)).select(
-            "bucket", ratio.alias("_ratio"))
-        return (per_doc
-                .join(F.broadcast(lut), "bucket")
-                .groupBy("doc_id")
-                .agg(F.sum("cnt").alias("n_grams"),
-                     (F.round(F.sum(F.col("cnt") * F.col("_ratio"))
-                              .cast("double"), 6)
-                      + F.lit(0.0)).alias("logweight")))
+        lut_rows = (buckets.crossJoin(F.broadcast(totals))
+                    .select("bucket", ratio.alias("_ratio")).collect())
+        # PASS 2 — scoring is a pure map-side projection: the 9-dp ratios
+        # become a literal nano-unit bigint array (exact — decimal(15,9)
+        # x 1e9 is an integer) and each doc folds its own gram array
+        # through it. logweight = Σ_gram ratio[bucket(gram)] — identical
+        # to the old Σ cnt·ratio since integer/decimal addition is exact
+        # and associative. NO per-doc shuffle, NO cache, NO join: the
+        # 100 TB cost is two corpus scans and one n_buckets-row shuffle.
+        nanos = [0] * n_buckets
+        for r in lut_rows:
+            nanos[int(r["bucket"])] = int(
+                (r["_ratio"] * Decimal(10) ** 9).to_integral_value())
+        lut_arr = F.array(*[F.lit(v).cast("bigint") for v in nanos])
+        bucket_of = lambda g: F.pmod(token_id(g), b).cast("int")  # noqa: E731
+        lw_nanos = F.aggregate(
+            F.col("_g"), F.lit(0).cast("bigint"),
+            lambda acc, g: acc + F.element_at(lut_arr, bucket_of(g) + 1))
+        logweight = (F.round(
+            (lw_nanos.cast("decimal(28,0)")
+             * F.lit(Decimal("0.000000001"))).cast("double"), 6)
+            + F.lit(0.0))
+        return toks.select(
+            "doc_id",
+            F.size("_g").cast("bigint").alias("n_grams"),
+            logweight.alias("logweight"))
 
     return _apply
 

@@ -189,3 +189,59 @@ def psi_drift(old, new, value_col: str = "value", n_buckets: int = 10,
                     (F.col("psi_term").cast("double") + F.lit(0.0))
                     .alias("psi_term"),
                     (F.col("psi") + F.lit(0.0)).alias("psi")))
+
+
+def target_encoding(cat_col: str, label_col: str, id_col: str,
+                    n_folds: int = 5, smoothing: int = 20,
+                    out: str = "te") -> "Callable[[DataFrame], DataFrame]":
+    """Leakage-safe (out-of-fold) target encoding — the standard high-
+    cardinality categorical featurizer for tabular models: each row's
+    category is replaced by the smoothed mean label of the OTHER folds,
+    ``te = (sum_cat − sum_cat_fold + m·prior) / (cnt_cat − cnt_cat_fold
+    + m)`` with the global mean as the prior. In-fold rows are excluded so
+    the feature never sees its own label (target leakage), and the fold is
+    the deterministic md5 id hash (same device as ``kfold_split``), so the
+    encoding is reproducible on any engine/partitioning.
+
+    Scale shape: two partial-aggregated groupBys — (category) and
+    (category, fold), both collapsing map-side — plus one broadcast of the
+    (cat, fold) table back onto the rows and a 1-row global-prior
+    broadcast. Label sums accumulate as EXACT decimal, so the division is
+    the only float step (then rounded to 6 dp): engine-stable.
+
+    Reference anchor: none (LLM/tabular-pipeline extension; same family
+    as hashed_features / kfold_split).
+    """
+    from typing import Callable  # noqa: F401  (signature forward ref)
+
+    from akka_stream_contrib_spark.functions.text import token_id
+
+    def _apply(df: DataFrame) -> DataFrame:
+        y = F.col(label_col).cast("decimal(18,4)")
+        fold = F.pmod(token_id(F.col(id_col).cast("string")),
+                      F.lit(n_folds)).cast("int")
+        base = df.withColumn("_fold", fold)
+        per_cat = (base.groupBy(F.col(cat_col).alias("_c"))
+                   .agg(F.sum(y).alias("_s"), F.count(F.lit(1)).alias("_n")))
+        per_cat_fold = (base.groupBy(F.col(cat_col).alias("_c"),
+                                     F.col("_fold").alias("_f"))
+                        .agg(F.sum(y).alias("_sf"),
+                             F.count(F.lit(1)).alias("_nf")))
+        prior = df.agg(
+            (F.sum(y).cast("double") / F.count(F.lit(1))).alias("_prior"))
+        enc = (per_cat.join(per_cat_fold, per_cat["_c"] == per_cat_fold["_c"])
+               .select(per_cat["_c"].alias("_c"), F.col("_f"),
+                       F.col("_s"), F.col("_n"), F.col("_sf"), F.col("_nf"))
+               .crossJoin(F.broadcast(prior)))
+        m = F.lit(float(smoothing))
+        te = ((F.col("_s") - F.col("_sf")).cast("double")
+              + m * F.col("_prior")) / (F.col("_n") - F.col("_nf") + m)
+        enc = enc.select("_c", "_f",
+                         (F.round(te, 6) + F.lit(0.0)).alias(out))
+        return (base.join(F.broadcast(enc),
+                          (base[cat_col] == enc["_c"])
+                          & (base["_fold"] == enc["_f"]))
+                .drop("_c", "_f")
+                .withColumnRenamed("_fold", "fold"))
+
+    return _apply

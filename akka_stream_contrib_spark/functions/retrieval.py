@@ -165,3 +165,40 @@ def tfidf_topk(terms: Sequence[str], k: int = 20,
                 .limit(k))
 
     return _apply
+
+
+def boolean_and_search(terms: Sequence[str], id_col: str = "doc_id",
+                       text_col: str = "text"
+                       ) -> Callable[[DataFrame], DataFrame]:
+    """Conjunctive (AND-semantics) boolean retrieval: documents containing
+    EVERY query term, with per-term frequencies — the posting-list
+    intersection primitive under any ranked retriever (BM25/TF-IDF rank
+    what this selects). Emits (id, tf_<term>..., n_terms_matched) for
+    matching docs only.
+
+    Scale shape: the per-term frequency is a pure map-side HOF count over
+    the tokenized text (the token array is projected ONCE — see bm25_topk's
+    perf note); the AND is a conjunction of ``tf > 0`` predicates pushed
+    into the same scan. ZERO shuffles, no explode, no join: at 100 TB this
+    is one codegen pass over the corpus.
+    """
+    if not terms:
+        raise ValueError("boolean_and_search needs at least one query term")
+
+    def _tf(term: str):
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        out = toks.select(
+            id_col,
+            *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)])
+        cond = None
+        for i in range(len(terms)):
+            c = F.col(f"tf_{i}") > 0
+            cond = c if cond is None else (cond & c)
+        return (out.filter(cond)
+                .withColumn("n_terms_matched", F.lit(len(terms))))
+
+    return _apply

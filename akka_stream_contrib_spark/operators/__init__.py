@@ -42,10 +42,11 @@ from akka_stream_contrib_spark.operators.timeseries import (
     rolling_zscore,
     ewma_smooth,
     ewma_weights,
+    holt_linear,
     sessionize,
 )
 from akka_stream_contrib_spark.operators.resample import resample_ffill, resample_interpolate, ohlc_resample
-from akka_stream_contrib_spark.operators.cdc import snapshot_diff
+from akka_stream_contrib_spark.operators.cdc import apply_changes, snapshot_diff
 from akka_stream_contrib_spark.operators.bucketing import (
     write_bucketed,
     write_partitioned,
@@ -77,6 +78,7 @@ __all__ = [
     "timed_interval_between", "with_ingest_ts", "latency_columns",
     "retry", "retry_concat", "feedback_loop", "unfold_flow", "unfold_flow_with",
     "as_of_join", "resample_ffill", "resample_interpolate", "ohlc_resample", "snapshot_diff",
+    "apply_changes", "holt_linear",
     "write_bucketed", "write_partitioned", "bucketed_join", "assert_no_shuffle_join",
     "salted_aggregate", "salted_join",
     "compact_parquet", "parquet_file_stats", "observed", "timed_section",

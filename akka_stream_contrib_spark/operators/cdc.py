@@ -55,3 +55,32 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: Sequence[str],
             .select(*key_cols, "change_type",
                     *[f"old_{c}" for c in compare_cols],
                     *[f"new_{c}" for c in compare_cols]))
+
+
+def apply_changes(snapshot: DataFrame, changes: DataFrame,
+                  key_cols: Sequence[str], op_col: str = "op",
+                  broadcast_changes: bool = True) -> DataFrame:
+    """Apply a changeset to a snapshot — the MERGE/upsert half of the CDC
+    loop (``snapshot_diff`` derives changes; this replays them). ``changes``
+    carries ``op_col`` ∈ {'upsert', 'delete'}: upserts replace or insert
+    their key's row, deletes remove it, untouched keys pass through.
+
+    Scale shape: ONE left anti join of the snapshot against the (usually
+    tiny, broadcastable) changeset's keys plus a union with the upsert
+    rows — the snapshot is never sorted and shuffles at most once; with a
+    broadcastable changeset it doesn't shuffle at all. Duplicate keys
+    within one changeset are an upstream bug — resolve with a last-writer
+    window before calling (documented, not silently masked).
+
+    Reference anchor: none (BASELINE.json table-surface extension,
+    companion to snapshot_diff/scd2).
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    touched = changes.select(*key_cols).distinct()
+    if broadcast_changes:  # set False when the changeset rivals the snapshot
+        touched = F.broadcast(touched)
+    kept = snapshot.join(touched, list(key_cols), "left_anti")
+    upserts = (changes.filter(F.col(op_col) == "upsert")
+               .select(*snapshot.columns))
+    return kept.unionByName(upserts)

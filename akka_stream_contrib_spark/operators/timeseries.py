@@ -134,3 +134,63 @@ def sessionize(key: str = "user_id", ts: str = "ts", seq: str = "event_id",
                 .drop("_new_sess", "_rn"))
 
     return _apply
+
+
+def holt_linear(key: str = "user_id", value: str = "value",
+                seq: str = "event_id", alpha: float = 0.5,
+                beta: float = 0.5) -> Callable[[DataFrame], DataFrame]:
+    """Holt's linear-trend double exponential smoothing per ``key``:
+    ``level_i = α·x_i + (1−α)·(level_{i−1} + trend_{i−1})``,
+    ``trend_i = β·(level_i − level_{i−1}) + (1−β)·trend_{i−1}``, seeded
+    level₀ = x₀, trend₀ = 0 — the trend-aware sibling of ``ewma_smooth``
+    for metric streams that drift.
+
+    Unlike the truncated EWMA this recursion is NOT a finite lag sum (the
+    trend couples every step), so it runs as a grouped Arrow pass
+    (``applyInPandas``): one shuffle on the key, then a sequential numpy
+    fold inside each group — the same shape as ``resample.dedup_within``'s
+    state machine. Per-key history must fit one task (true of any per-user
+    metric stream; re-key by (user, day) upstream if a single key is
+    unbounded). Both smoothing factors should be exactly representable
+    doubles (0.5, 0.25, …) if cross-engine bit-equality matters; each
+    update is a fixed-order IEEE expression, so any engine replaying the
+    same order reproduces it bit-for-bit (the DuckDB oracle recurses over
+    the same per-key order).
+    """
+
+    def _fold(pdf):
+        import numpy as np
+        pdf = pdf.sort_values(seq)
+        x = pdf[value].to_numpy(dtype=np.float64)
+        lv = np.empty(len(x))
+        tr = np.empty(len(x))
+        if len(x):
+            lv[0], tr[0] = x[0], 0.0
+            for i in range(1, len(x)):
+                prev = lv[i - 1] + tr[i - 1]
+                lv[i] = alpha * x[i] + (1.0 - alpha) * prev
+                tr[i] = beta * (lv[i] - lv[i - 1]) + (1.0 - beta) * tr[i - 1]
+        out = pdf.copy()
+        out["level"] = lv
+        out["trend"] = tr
+        return out
+
+    def _apply(df: DataFrame) -> DataFrame:
+        schema = ", ".join(
+            [f"{f.name} {f.dataType.simpleString()}" for f in df.schema]
+            + ["level double", "trend double"])
+        folded = df.groupBy(key).applyInPandas(_fold, schema=schema)
+        # quantize with PURE IEEE arithmetic — floor(x·1e6 + 0.5)/1e6 —
+        # instead of SQL round(): smoothing recurrences over short-decimal
+        # inputs land mathematically ON 6-dp ties, where every engine's
+        # round-on-double disagrees with every other's (Spark half-ups the
+        # double's SHORTEST decimal repr, DuckDB scales in floating point,
+        # numpy is half-even). mult/add/floor/divide are IEEE-defined, so
+        # any engine computing this expression yields the identical double.
+        def _q6(c: str) -> Column:
+            return (F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("double") / F.lit(1000000.0) + F.lit(0.0))
+        return folded.withColumn("level", _q6("level")) \
+                     .withColumn("trend", _q6("trend"))
+
+    return _apply

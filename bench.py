@@ -149,6 +149,13 @@ HEADLINE = [
     "neyman_sample",
     "blocking_report",
     "seasonal_anomalies",
+    # round-4 additions: CDC merge, leakage-safe target encoding,
+    # Luhn-validated PII scan, conjunctive retrieval, Holt trend smoothing
+    "cdc_apply_changes",
+    "target_encoding",
+    "pii_luhn",
+    "boolean_retrieval",
+    "holt_trend",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Round-4 operator unit tests: CDC merge, target encoding, Luhn PII,
+boolean retrieval, Holt smoothing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_apply_changes_golden(spark):
+    from akka_stream_contrib_spark.operators.cdc import apply_changes
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(2, "B", "upsert"),     # replace
+         (3, None, "delete"),    # remove
+         (4, "d", "upsert")],    # brand-new key
+        "k long, v string, op string")
+    out = {r.k: r.v for r in apply_changes(snap, changes, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_apply_changes_broadcast_off_same_result(spark):
+    from akka_stream_contrib_spark.operators.cdc import apply_changes
+    snap = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    changes = spark.range(0, 100, 10).selectExpr(
+        "id AS k", "id AS v", "'upsert' AS op")
+    a = apply_changes(snap, changes, ["k"]).collect()
+    b = apply_changes(snap, changes, ["k"], broadcast_changes=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_target_encoding_excludes_own_fold(spark):
+    """Leakage check: a row's encoding must not move when ITS OWN label
+    changes (the in-fold sum is subtracted), but must move when a
+    same-category row in ANOTHER fold changes."""
+    from akka_stream_contrib_spark.functions.ml import target_encoding
+    rows = [(i, "x", 10.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_id long, cat string, y double")
+    enc = target_encoding("cat", "y", "event_id", n_folds=4, smoothing=5)
+    base = {r.event_id: r.te for r in df.transform(enc).collect()}
+    # bump row 0's label only
+    df2 = df.withColumn(
+        "y", F.when(F.col("event_id") == 0, 1000.0).otherwise(F.col("y")))
+    bumped = {r.event_id: r.te for r in df2.transform(enc).collect()}
+    fold = {r.event_id: r.fold for r in df.transform(enc).collect()}
+    f0 = fold[0]
+    same_fold = [i for i in base if fold[i] == f0]
+    other_fold = [i for i in base if fold[i] != f0]
+    assert other_fold and same_fold
+    # prior moved for everyone, but same-fold rows must NOT see row 0's
+    # label beyond the prior: their (cat-sum minus fold-sum) is unchanged,
+    # while other-fold rows absorb the full bump
+    for i in other_fold:
+        assert bumped[i] > base[i] + 1.0
+    # smoothing=5, prior shift = 990/40; same-fold rows move ONLY by the
+    # smoothed prior term m*Δprior/(n_oof+m)
+    d_prior = 990.0 / 40
+    for i in same_fold:
+        assert abs((bumped[i] - base[i])
+                   - 5 * d_prior / (40 - sum(1 for j in fold
+                                             if fold[j] == f0) + 5)) < 1e-3
+
+
+def test_luhn_valid_known_numbers(spark):
+    from akka_stream_contrib_spark.functions.text import luhn_valid
+    df = spark.createDataFrame(
+        [("4111111111111111",),   # classic valid test PAN
+         ("4111111111111112",),   # checksum broken
+         ("79927398713",),        # valid Luhn but only 11 digits
+         ("5500005555555559",)],  # valid 16-digit
+        "d string")
+    got = df.select(luhn_valid(F.col("d")).alias("ok")).collect()
+    assert [r.ok for r in got] == [True, False, False, True]
+
+
+def test_luhn_scan_extracts_only_valid_with_separators(spark):
+    from akka_stream_contrib_spark.functions.text import luhn_scan
+    df = spark.createDataFrame(
+        [(1, "pay 4111-1111-1111-1111 now"),
+         (2, "ref 4111 1111 1111 1112 bogus"),   # invalid checksum
+         (3, "short 1234-5678 code"),            # too few digits
+         (4, "id 12345678901234567890 tail")],   # 20 digits: too long
+        "doc_id long, text string")
+    rows = df.transform(luhn_scan()).collect()
+    assert [(r.doc_id, r.last4, r.n_digits) for r in rows] == [
+        (1, "1111", 16)]
+
+
+def test_boolean_and_search_golden(spark):
+    from akka_stream_contrib_spark.functions.retrieval import (
+        boolean_and_search)
+    df = spark.createDataFrame(
+        [(1, "spark join window join"),
+         (2, "spark window"),
+         (3, "join window nothing")],
+        "doc_id long, text string")
+    rows = df.transform(
+        boolean_and_search(["spark", "join"])).collect()
+    assert [(r.doc_id, r.tf_0, r.tf_1) for r in rows] == [(1, 1, 2)]
+    with pytest.raises(ValueError):
+        boolean_and_search([])
+
+
+def test_holt_linear_matches_python_model(spark):
+    from akka_stream_contrib_spark.operators.timeseries import holt_linear
+    rng = np.random.RandomState(3)
+    rows = [(int(i), int(i % 3), float(round(v, 2)))
+            for i, v in enumerate(rng.uniform(0, 100, 60))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    got = {(r.user_id, r.event_id): (r.level, r.trend)
+           for r in df.transform(holt_linear(alpha=0.45, beta=0.35)).collect()}
+    for u in range(3):
+        xs = [(i, v) for i, k, v in rows if k == u]
+        lv, tr = xs[0][1], 0.0
+        q = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
+        assert got[(u, xs[0][0])] == (q(lv), q(tr))
+        for i, x in xs[1:]:
+            prev = lv + tr
+            nlv = 0.45 * x + (1.0 - 0.45) * prev
+            tr = 0.35 * (nlv - lv) + (1.0 - 0.35) * tr
+            lv = nlv
+            assert got[(u, i)] == (q(lv), q(tr))
