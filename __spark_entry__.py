@@ -2718,9 +2718,10 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # neither the scan nor the featurization (distributed checkpoint, not
     # a driver collect; full-batch GD is partition-independent so the
     # coalesce changes nothing but task overhead — measured 8.0 s → 3.5 s
-    # at sf0.1 with bit-identical weights). At cluster scale size the
-    # partition count to the data instead of 8.
-    train_frame = feat.coalesce(8).localCheckpoint(eager=True)
+    # at sf0.1 with bit-identical weights; 15 iterations × per-task floor
+    # makes 2 partitions the local sweet spot). At cluster scale size the
+    # partition count to the data instead of 2.
+    train_frame = feat.coalesce(2).localCheckpoint(eager=True)
     w, b = logreg_train(train_frame, iters=15, lr=0.5)
     return (feat.select(
         "doc_id", "label",
@@ -2936,10 +2937,11 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/multimodal.py::media_phash + phash_near_dup): Arrow-batched
     DCT hash over the (fake-decoded) payloads, pigeonhole band join,
     exact bit_count verify. 20 payloads are duplicated under shifted ids
-    so the detector provably fires. Oracle: the planted clone pairs at
-    hamming 0 are the complete ground truth (no other fixture pair falls
-    within the radius), so the driver value-checks the detector output;
-    the hamming-nearness property is pinned by pytest on gradient images."""
+    so the detector provably fires. Oracle: byte-identical texts (planted
+    clones plus any natural fixture duplicates) at hamming 0 are the
+    complete ground truth — no non-identical fixture pair falls within the
+    radius — so the driver value-checks the detector output; the
+    hamming-nearness property is pinned by pytest on gradient images."""
     from akka_stream_contrib_spark.functions.multimodal import (
         media_phash, phash_near_dup)
     docs = tables.load(spark, "documents", sf_dir)
@@ -3463,47 +3465,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **{k: v for k, v in base.items() if k not in set(front)}}
 
 
-#: the ~50-query driver-evidence window (see queries() comment). Round-4
-#: grouping: (1) the 9 r3 hash-fails, repinned to BIGINT oracles — must
-#: re-verify green; (2) queries whose oracle or implementation changed this
-#: round (newly-oracled logreg/pHash, 4 latent unpinned SUMs the upgraded
-#: local gate caught, the rerouted unkeyed accumulate); (3) 34 queries from
-#: the never-driver-verified tail (~107 at round start — keep rotating the
-#: remainder through rounds 5+; the ever-green set needs no re-checks).
+#: the ~50-query driver-evidence window (see queries() comment). Round-5
+#: grouping: (1) queries whose oracle or implementation changed this round
+#: (data-derived pHash oracle, NULL-aware accumulate reroute, dsir NULL-text
+#: filter, pure-checksum luhn, vectorized holt, persisted logreg features) —
+#: must re-verify green; (2) the 7 no-oracle queries, rotated in so the
+#: driver pins rows+schema (their value semantics are pytest-pinned by
+#: python-model/recall replay tests); (3) the never-driver-verified tail
+#: (74 at round start; the ~30 past the window spill to round 6; the
+#: 133-query ever-green set needs no re-checks).
 _PRIORITY = [
-    # (1) repinned r3 hash-fails
-    "accumulate_while_unchanged", "q12_priority_shipping", "dsir_select",
-    "value_quantile_sketch", "novelty_score", "quantile_error_report",
-    "oov_rate", "neyman_sample", "blocking_report",
-    # (2) changed or NEW this round
-    "logreg_quality", "phash_near_dup", "accumulate",
-    "simhash", "token_count_bpe", "doc_fingerprint", "funnel_conversion",
-    "cdc_apply_changes", "target_encoding", "pii_luhn",
-    "boolean_retrieval", "holt_trend",
+    # (1) changed this round
+    "phash_near_dup", "accumulate", "dsir_select", "pii_luhn",
+    "holt_trend", "logreg_quality",
+    # (2) no-oracle rows+schema pinning
+    "ann_ivf_all", "approx_distinct_users", "bpe_learn_merges",
+    "hll_daily_users", "ivf_ann_topk", "kmeans_clusters", "pagerank_users",
     # (3) never-driver-verified rotation (all oracle-backed)
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    "q16_supplier_part_counts", "q20_promotion_suppliers",
-    "minhash_lsh_dedup", "ngram_jaccard_dedup", "dedup_incremental",
-    "dedup_keep_best", "dup_clusters", "semantic_dedup",
-    "ann_cosine_topk", "ann_lsh_topk", "knn_join", "ann_all_topk",
-    "text_stats", "lang_id", "quality_score", "pii_redact",
-    "bm25_search", "tfidf_search",
-    "chunk_documents", "pack_sequences", "vocab_topk", "decontaminate",
-    "train_test_split", "as_of_join", "as_of_join_forward",
-    "rollup_revenue", "moving_revenue_7d", "ewma_smooth", "sessionize",
-    "semi_join_customers", "grouping_sets_revenue",
-    # spillover if the window is wider than 50 — still never-verified
-    "anti_join_customers", "top_orders_per_customer", "user_journey",
-    "monthly_revenue", "distinct_users", "approx_distinct_users",
+    "moving_revenue_7d", "ewma_smooth", "sessionize", "semi_join_customers",
+    "grouping_sets_revenue", "anti_join_customers", "top_orders_per_customer",
+    "user_journey", "monthly_revenue", "distinct_users",
     "stratified_sample", "reservoir_sample", "triangle_count",
     "readability_scores", "pmi_collocations", "bpe_pair_counts",
-    "bpe_token_freqs", "bpe_learn_merges", "interpolate_linear",
-    "hll_daily_users", "cm_frequency", "token_entropy",
+    "bpe_token_freqs", "interpolate_linear", "cm_frequency", "token_entropy",
     "value_histogram", "rolling_zscore", "winsorize_values", "mad_by_type",
     "data_quality_report", "salted_event_stats", "nation_trade_balance",
     "lateral_top_customers", "priority_shift_except_all",
     "props_json_extract", "props_variant", "array_hof", "regexp_funcs",
     "bitwise_agg", "safe_arithmetic", "nulls_ordering", "unpivot_revenue",
+    # spillover if the window is wider than 50 — still never-verified
     "as_of_join_tolerance", "user_correlation", "shipping_concurrency",
     "cohort_retention", "event_transitions", "login_streaks",
     "pareto_customers", "fuzzy_name_match", "regr_trend",
@@ -3511,6 +3501,8 @@ _PRIORITY = [
     "kfold_split", "hashed_features", "bigram_logprob", "lang_confusion",
     "knn_label_vote", "label_centroids", "embedding_near_dup",
     "minhash_incremental", "multimodal_meta", "frame_sample_grid",
+    "domain_cap", "remove_boilerplate", "training_pipeline", "training_prep",
+    "repetition_stats", "scd2_user_state", "mixture_sample", "quantized_ann",
 ]
 
 
@@ -6337,17 +6329,23 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "logreg_quality": _LOGREG_ORACLE,
-        # ground-truth oracle: the query plants 20 byte-identical payload
-        # clones at doc_id+1000000 (q_phash_near_dup) — identical payloads
-        # hash identically (hamming 0), and the fixture corpus contains no
-        # other pair within the radius (verified at sf0.001/sf0.01/sf0.1),
-        # so the planted pairs ARE the full expected result; any extra or
-        # missing detector pair fails the compare
+        # ground-truth oracle DERIVED FROM THE DATA: byte-identical payloads
+        # (the 20 planted clones at doc_id+1000000 AND any naturally
+        # duplicated fixture texts — sf0.1 ships 8 such pairs) hash
+        # identically (hamming 0), and no non-identical fixture pair falls
+        # within the radius (verified sf0.001/sf0.01/sf0.1 by exhaustive
+        # detector-vs-equality compare), so text-equality pairs over the
+        # same union frame the query builds ARE the full expected result
         "phash_near_dup": """
-            SELECT doc_id AS id_a,
-                   doc_id + 1000000 AS id_b,
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id < 20
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(0 AS INT) AS hamming
-            FROM documents WHERE doc_id < 20
+            FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
         """,
         "classification_report": """
             WITH s AS (

@@ -510,6 +510,12 @@ def dsir_weights(is_target, n_buckets: int = 128, k: float = 0.5,
     Engine-stable: the per-bucket log ratio rounds to 9 dp and becomes an
     EXACT decimal; per-doc totals are integer-count × decimal sums (no
     unordered double accumulation anywhere).
+
+    NULL-text documents are dropped (they contribute no grams and have no
+    defined weight — same row semantics as the explode-based formulation).
+    Note: building the plan runs ONE bounded Spark job eagerly (the
+    ≤ n_buckets-row log-ratio LUT is collected to the driver so scoring
+    stays a pure map-side projection).
     """
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -518,6 +524,7 @@ def dsir_weights(is_target, n_buckets: int = 128, k: float = 0.5,
         from akka_stream_contrib_spark.functions.text import token_id
 
         b = F.lit(n_buckets)
+        df = df.filter(F.col(text_col).isNotNull())
         toks = df.select(
             F.col(id_col).alias("doc_id"),
             is_target.cast("int").alias("_is_t"),

@@ -535,10 +535,12 @@ def luhn_valid(digits: Column) -> Column:
     """Luhn checksum (ISO/IEC 7812) over a digit-string Column — TRUE iff
     the number self-validates. The check runs right-to-left: double every
     second digit, subtract 9 when the double exceeds 9, and the grand
-    total must divide by 10. Pure higher-order-function expression
-    (reverse → per-position transform → aggregate): zero shuffles, no UDF,
-    and the same arithmetic is expressible in any SQL engine (the oracle
-    mirrors it with list_transform/list_sum)."""
+    total must divide by 10. Pure checksum — any length validates (the
+    13–19 PAN length floor lives in ``luhn_scan``'s candidate filter, not
+    here). Pure higher-order-function expression (reverse → per-position
+    transform → aggregate): zero shuffles, no UDF, and the same arithmetic
+    is expressible in any SQL engine (the oracle mirrors it with
+    list_transform/list_sum)."""
     ds = F.split(F.reverse(digits), "")
     ds = F.filter(ds, lambda c: c != F.lit(""))  # trailing split artifact
     terms = F.transform(
@@ -548,7 +550,7 @@ def luhn_valid(digits: Column) -> Column:
             .otherwise(c.cast("int") * 2),
         ).otherwise(c.cast("int")))
     total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
-    return (F.pmod(total, F.lit(10)) == 0) & (F.length(digits) >= 13)
+    return F.pmod(total, F.lit(10)) == 0
 
 
 def luhn_scan(id_col: str = "doc_id", text_col: str = "text"

@@ -80,6 +80,15 @@ def accumulate(
                 from akka_stream_contrib_spark.operators.global_order import (
                     global_running_agg)
                 fn, value_col = spec
+                if fn == "sum" and dict(df.dtypes).get(value_col) in (
+                        "float", "double"):
+                    warnings.warn(
+                        f"unkeyed running sum of {value_col} "
+                        f"({dict(df.dtypes)[value_col]}) routes through the "
+                        "range-partitioned prefix fold, which regroups the "
+                        "IEEE additions — low bits may differ from a strict "
+                        "sequential sum; use decimal where cross-engine "
+                        "bit-equality matters", stacklevel=2)
                 return global_running_agg(df, seq, value_col, out, fn=fn)
             warnings.warn(
                 "unkeyed accumulate with a non-prefix-combinable aggregate "

@@ -35,9 +35,8 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: Sequence[str],
                    *[F.col(c).alias(f"old_{c}") for c in compare_cols])
     n = new.select(*key_cols,
                    *[F.col(c).alias(f"new_{c}") for c in compare_cols])
-    j = o.join(n, list(key_cols), "full_outer")
-    # presence flags off the first compared column's side-specific slot —
-    # null there could mean a null VALUE, so use a dedicated marker column
+    # presence flags: null in a side-specific value slot could mean a null
+    # VALUE, so join on dedicated marker columns instead
     o = o.withColumn("_in_old", F.lit(1))
     n = n.withColumn("_in_new", F.lit(1))
     j = o.join(n, list(key_cols), "full_outer")

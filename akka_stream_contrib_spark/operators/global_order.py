@@ -108,7 +108,12 @@ def global_running_agg(df: DataFrame, order_cols: str | Sequence[str],
              for x in (pid, prefix[pid])]
     if pairs:
         off = F.create_map(*[F.lit(x) for x in pairs])[F.col("_pid")]
-        combined = F.when(off.isNull(), local).otherwise(col_comb(local, off))
+        # window aggregates skip NULLs, so a row whose in-range prefix is
+        # all-NULL must inherit the carried offset (NULL+off would be NULL);
+        # with no offset the all-NULL local result (NULL) is already right
+        combined = (F.when(off.isNull(), local)
+                    .when(local.isNull(), off)
+                    .otherwise(col_comb(local, off)))
     else:
         combined = local
     return ranged.withColumn(out, combined).drop("_pid")

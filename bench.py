@@ -188,18 +188,37 @@ def main() -> None:
         except Exception:
             pass
     timings: dict[str, float] = {}
+    floors: dict[str, float] = {}
+    warms: dict[str, float] = {}
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
+        # fixed-floor probe: the SAME plan at the (already compile-warmed)
+        # tiny SF — job setup, task scheduling, AQE, Arrow worker round-trips
+        # at 10x less data. floor ≈ this; data-bound cost ≈ t - floor.
+        try:
+            t0 = time.monotonic()
+            fn(spark, warm_sf).write.mode("overwrite").format("noop").save()
+            floors[name] = round(time.monotonic() - t0, 3)
+        except Exception:
+            pass
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+        # warm repeat: same query rebuilt from scratch (its per-pipeline
+        # caches are re-persisted, not reused — see util.drop_stale_caches),
+        # isolating run-to-run jitter from plan cost
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        warms[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s (floor {floors.get(name, -1):.3f}, "
+              f"warm {warms[name]:.3f})", file=sys.stderr, flush=True)
     total = round(sum(timings.values()), 3)
-    base_total, base_queries = duckdb_baseline([n for n in HEADLINE if n in timings])
+    base_total, base_queries, base_runs = duckdb_baseline(
+        [n for n in HEADLINE if n in timings])
     # apples-to-apples: DuckDB only runs oracle-backed queries, so the
     # ratio must use the Spark total over that SAME subset (iterative /
     # non-SQL-expressible queries would otherwise inflate it)
@@ -212,6 +231,10 @@ def main() -> None:
     # "parsed": null. Keep the line under ~1 KB: totals + top-10 slowest.)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
+    floor_subset = (round(sum(floors.get(q, 0.0) for q in base_queries), 3)
+                    if base_queries else None)
+    warm_subset = (round(sum(warms.get(q, timings[q]) for q in base_queries), 3)
+                   if base_queries else None)
     with open(detail_path, "w") as f:
         json.dump({
             "metric": "headline_queries_total_wall_sec",
@@ -219,9 +242,22 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "queries": timings,
+            "queries_floor_sf001": floors,
+            "queries_warm_repeat": warms,
             "baseline_duckdb_total_sec": base_total,
             "baseline_duckdb_queries": base_queries,
+            "baseline_duckdb_runs": base_runs,
             "spark_total_oracle_subset_sec": comparable,
+            "spark_floor_oracle_subset_sec": floor_subset,
+            "spark_warm_oracle_subset_sec": warm_subset,
+            "decomposition_note": (
+                "floor = same plan at the compile-warmed tiny SF (job "
+                "setup/scheduling/AQE at 10x less data, a per-query fixed "
+                "cost a long-lived cluster amortizes); data-bound cost "
+                "~= t - floor. warm = second from-scratch run at the "
+                "target SF (per-pipeline caches re-persisted, not reused). "
+                "DuckDB runs each oracle twice; the baseline totals use "
+                "the per-query MIN (conservative denominator)."),
         }, f, indent=1)
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
@@ -233,18 +269,24 @@ def main() -> None:
         "queries": top10,
         "baseline_duckdb_total_sec": base_total,
         "spark_total_oracle_subset_sec": comparable,
+        "spark_floor_oracle_subset_sec": floor_subset,
+        "spark_warm_oracle_subset_sec": warm_subset,
         "detail": "BENCH_DETAIL.json",
     }, separators=(",", ":")), flush=True)
     spark.stop()
 
 
-def duckdb_baseline(names: list[str]) -> tuple[float | None, dict[str, float] | None]:
+def duckdb_baseline(names: list[str]) -> tuple[
+        float | None, dict[str, float] | None, dict[str, list[float]] | None]:
     """Same-machine, same-data, same-semantics single-node baseline: wall
     time (total + per query) of the headline queries' oracle SQL on DuckDB
     (an excellent single-node OLAP engine). The reference publishes no
     numbers (BASELINE.md), so this is the honest comparable; Spark's edge is
     that the SAME plans scale out to a cluster, while paying JVM/task fixed
-    costs at sf-test sizes."""
+    costs at sf-test sizes. Each oracle runs TWICE (BASELINE.md documents
+    2.6x run-to-run swings in the denominator); the returned per-query
+    number is the MIN of the two — the conservative (DuckDB-favoring)
+    denominator — with both raw runs reported alongside."""
     try:
         import duckdb
 
@@ -254,15 +296,20 @@ def duckdb_baseline(names: list[str]) -> tuple[float | None, dict[str, float] | 
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{SF_DIR}/{t}.parquet')")
         per: dict[str, float] = {}
+        runs: dict[str, list[float]] = {}
         for name in names:
             sql = oracles.get(name)
             if sql is not None:
-                t0 = time.monotonic()
-                con.execute(sql).fetchall()
-                per[name] = round(time.monotonic() - t0, 3)
-        return round(sum(per.values()), 3), per
+                pair = []
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    con.execute(sql).fetchall()
+                    pair.append(round(time.monotonic() - t0, 3))
+                runs[name] = pair
+                per[name] = min(pair)
+        return round(sum(per.values()), 3), per, runs
     except Exception:
-        return None, None
+        return None, None, None
 
 
 if __name__ == "__main__":

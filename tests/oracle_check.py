@@ -19,10 +19,12 @@ from __future__ import annotations
 
 import math
 import sys
-from datetime import datetime
+from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -37,6 +39,17 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    """Canonicalize one pandas-rendered value so equal data compares equal
+    across the two engines' pandas conventions: numpy scalars unwrap,
+    arrays/lists become tuples, NaT/None→None, NaN→"NaN", Decimal→float,
+    and date-like values render as the day when the time part is zero
+    (DuckDB renders DATE as a midnight Timestamp, Spark as datetime.date)."""
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm(x) for x in v)
+    if v is None:
+        return None
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, float):
@@ -44,9 +57,14 @@ def _norm(v):
             return "NaN"
         return v
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
+        if pd.isna(v):  # NaT
+            return None
+        v = v.replace(tzinfo=None)
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
     return v
 
 
@@ -75,37 +93,41 @@ def _pandas_dtype_classes(pdf) -> dict[str, str]:
 
 def compare_query(spark, name: str, qfn, sql: str | None, sf_dir: str,
                   max_diff_show: int = 5) -> tuple[bool, str]:
+    # each side executes exactly ONCE (the driver does too): everything —
+    # row count, dtype classes, values — derives from the single pandas
+    # frame each engine produced, which is also the representation the
+    # driver hashes
     sdf = qfn(spark, sf_dir)
-    srows = sdf.collect()
     scols = [c.lower() for c in sdf.columns]
     if sql is None:
-        return True, f"{name}: rows-only ({len(srows)} rows)"
+        return True, f"{name}: rows-only ({sdf.count()} rows)"
+    spdf = sdf.toPandas()
     con = duck_connection(sf_dir)
     try:
-        res = con.execute(sql)
-        dcols = [d[0].lower() for d in res.description]
-        drows = res.fetchall()
-        dkinds = _pandas_dtype_classes(con.execute(sql).df())
+        dpdf = con.execute(sql).df()
     finally:
         con.close()
+    dcols = [c.lower() for c in dpdf.columns]
     if sorted(scols) != sorted(dcols):
         return False, f"{name}: SCHEMA mismatch spark={sorted(scols)} duck={sorted(dcols)}"
-    if len(srows) != len(drows):
-        return False, f"{name}: ROWCOUNT mismatch spark={len(srows)} duck={len(drows)}"
+    if len(spdf) != len(dpdf):
+        return False, f"{name}: ROWCOUNT mismatch spark={len(spdf)} duck={len(dpdf)}"
     # Driver-faithful dtype gate: both sides are hashed via pandas, where
     # DuckDB HUGEINT (unpinned integer SUM) renders float64 vs Spark int64.
-    skinds = _pandas_dtype_classes(sdf.toPandas())
+    skinds = _pandas_dtype_classes(spdf)
+    dkinds = _pandas_dtype_classes(dpdf)
     drift = {c: (skinds[c], dkinds[c]) for c in skinds
              if skinds[c] != dkinds.get(c, skinds[c])}
     if drift:
         return False, (f"{name}: PANDAS-DTYPE mismatch (spark, duck) = {drift}"
                        " — pin the oracle (e.g. CAST(sum(...) AS BIGINT))")
-    sm = _rows_to_multiset(scols, [[r[c] for c in sdf.columns] for r in srows])
-    dm = _rows_to_multiset(dcols, drows)
+    # itertuples preserves per-cell types (df.values would upcast columns)
+    sm = _rows_to_multiset(scols, list(spdf.itertuples(index=False, name=None)))
+    dm = _rows_to_multiset(dcols, list(dpdf.itertuples(index=False, name=None)))
     if sm != dm:
         diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:max_diff_show]
         return False, f"{name}: VALUE mismatch; first diffs: {diffs}"
-    return True, f"{name}: OK ({len(srows)} rows)"
+    return True, f"{name}: OK ({len(spdf)} rows)"
 
 
 def run_all(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None):

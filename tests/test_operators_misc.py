@@ -484,6 +484,36 @@ def test_global_running_agg_min_max_count_match_naive_window(spark):
         assert got_mn[s] == mn and got_mx[s] == mx and got_ct[s] == cnt
 
 
+def test_global_running_agg_nulls_inherit_prefix(spark):
+    """Window aggregates SKIP NULLs, so a row whose in-range local prefix is
+    all-NULL must still carry the cross-range offset (the regression was
+    NULL + offset = NULL). Force many tiny ranges so some ranges START with
+    NULL values, and compare sum/min/max against the naive global window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from akka_stream_contrib_spark.operators import global_running_agg
+
+    # every 3rd value NULL, including long NULL runs at range heads
+    df = spark.range(0, 2000, 1, 16).select(
+        F.col("id").alias("seq"),
+        F.when(F.pmod("id", F.lit(7)) < 3, F.pmod(F.col("id") * 37, F.lit(50)))
+        .alias("v"))
+    wc = (Window.orderBy("seq")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    expect = {r.seq: (r.s, r.mn, r.mx) for r in df.select(
+        "seq", F.sum("v").over(wc).alias("s"),
+        F.min("v").over(wc).alias("mn"),
+        F.max("v").over(wc).alias("mx")).collect()}
+    got_s = {r.seq: r.s for r in
+             global_running_agg(df, "seq", "v", "s", fn="sum").collect()}
+    got_mn = {r.seq: r.mn for r in
+              global_running_agg(df, "seq", "v", "mn", fn="min").collect()}
+    got_mx = {r.seq: r.mx for r in
+              global_running_agg(df, "seq", "v", "mx", fn="max").collect()}
+    for s, (sm, mn, mx) in expect.items():
+        assert got_s[s] == sm and got_mn[s] == mn and got_mx[s] == mx
+
+
 def test_reservoir_sample_deterministic_and_uniform(spark):
     from akka_stream_contrib_spark.operators import reservoir_sample
     import pytest as _pytest

@@ -257,6 +257,17 @@ BUDGET = {
     "blocking_report": 2,
     # <=types*24-row baseline agg broadcast back; top-20 is TakeOrdered
     "seasonal_anomalies": 1,
+    # posting-list intersection: term filter + per-doc count agg feed one
+    # TakeOrdered; AQE broadcasts the tiny term table → zero at runtime
+    "boolean_retrieval": 0,
+    # change-log dedup window + co-partitioned outer merge on the key
+    "cdc_apply_changes": 1,
+    # one key shuffle into the grouped Arrow linear-filter fold
+    "holt_trend": 1,
+    # pure regexp scan + Luhn HOF expressions: zero shuffles
+    "pii_luhn": 0,
+    # category stats agg + global prior agg + smoothed-encoding join
+    "target_encoding": 3,
 }
 
 

@@ -39,6 +39,17 @@ def test_dsir_weights_gram_count(spark):
     assert r.n_grams == 5
 
 
+def test_dsir_weights_drops_null_text(spark):
+    """NULL-text docs have no grams and no defined weight: they must be
+    DROPPED (the explode-based formulation's row semantics), not emitted
+    with n_grams=-1 / NULL logweight by the map-side scoring pass."""
+    from akka_stream_contrib_spark.functions import dsir_weights
+    df = spark.createDataFrame([(1, "a b c", "en"), (2, None, "fr")],
+                               "doc_id long, text string, lang string")
+    rows = df.transform(dsir_weights(F.col("lang") == "en")).collect()
+    assert [r.doc_id for r in rows] == [1]
+
+
 def test_histogram_quantiles_exact_bins(spark):
     from akka_stream_contrib_spark.functions.sketches import histogram_quantiles
     # 10 values of 5.0 and 10 of 95.0 in [0,100) with 10 bins of width 10:

@@ -68,11 +68,11 @@ def test_luhn_valid_known_numbers(spark):
     df = spark.createDataFrame(
         [("4111111111111111",),   # classic valid test PAN
          ("4111111111111112",),   # checksum broken
-         ("79927398713",),        # valid Luhn but only 11 digits
+         ("79927398713",),        # valid 11-digit (pure checksum: True)
          ("5500005555555559",)],  # valid 16-digit
         "d string")
     got = df.select(luhn_valid(F.col("d")).alias("ok")).collect()
-    assert [r.ok for r in got] == [True, False, False, True]
+    assert [r.ok for r in got] == [True, False, True, True]
 
 
 def test_luhn_scan_extracts_only_valid_with_separators(spark):

@@ -129,7 +129,10 @@ def test_keep_alive_transformwithstate_timers(spark, tmp_path):
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas needs the protobuf python package "
-               "(absent in this container); tws.py is the forward-path impl")
+               "(pypi 'protobuf' >= 4.25, import name google.protobuf — "
+               "absent in this container and no-install policy applies); "
+               "tws.py is the forward-path impl, exercised wherever "
+               "`import google.protobuf` succeeds")
     import time as _time
     from akka_stream_contrib_spark.streaming.tws import keep_alive_tws
 
