@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 
 from akka_stream_contrib_spark.util import epoch_micros
 
+#: holt_linear's padded-matrix cap (keys × max-history cells per fold
+#: bucket): bounds task memory to ~3 × budget × 8 bytes regardless of key
+#: skew. Module-level so tests can shrink it to exercise multi-bucket runs.
+_HOLT_CELL_BUDGET = 4_000_000
+
 
 def rolling_zscore(key: str = "user_id", value: str = "value",
                    seq: str = "event_id", n: int = 10,
@@ -162,6 +167,11 @@ def holt_linear(key: str = "user_id", value: str = "value",
     for thousands of short ones.
     """
 
+    # snapshot the budget at construction: closure variables ship to the
+    # python workers by VALUE (a module global would re-resolve to the
+    # default on re-import worker-side)
+    cell_budget = _HOLT_CELL_BUDGET
+
     def _fold_partition(batches):
         import numpy as np
         import pandas as pd
@@ -189,7 +199,7 @@ def holt_linear(key: str = "user_id", value: str = "value",
             lmax = 0
             while j < len(order):
                 lmax = max(lmax, lens[order[j]])
-                if (j - i + 1) * lmax > 4_000_000 and j > i:
+                if (j - i + 1) * lmax > cell_budget and j > i:
                     break
                 j += 1
             seg = order[i:j]

@@ -122,3 +122,38 @@ def test_holt_linear_matches_python_model(spark):
             tr = 0.35 * (nlv - lv) + (1.0 - 0.35) * tr
             lv = nlv
             assert got[(u, i)] == (q(lv), q(tr))
+
+
+def test_holt_linear_length_buckets_and_skew(spark, monkeypatch):
+    """Force the multi-bucket padded-fold path (tiny cell budget) with
+    SKEWED key lengths — one long key among many short ones — and verify
+    bit-equality with a sequential python fold per key. Guards the
+    bucketing/scatter index arithmetic in the vectorized rewrite."""
+    import akka_stream_contrib_spark.operators.timeseries as ts
+    monkeypatch.setattr(ts, "_HOLT_CELL_BUDGET", 64)
+    rng = np.random.RandomState(11)
+    rows, eid = [], 0
+    # key 0: length 100 (exceeds the 64-cell budget alone); keys 1..12:
+    # lengths 1..12 — multiple buckets, including a single-key bucket
+    for k, n in [(0, 100)] + [(k, k) for k in range(1, 13)]:
+        for _ in range(n):
+            rows.append((eid, k, float(round(rng.uniform(0, 50), 2))))
+            eid += 1
+    df = (spark.createDataFrame(rows, "event_id long, user_id long, value double")
+          .repartition(4))
+    got = {(r.user_id, r.event_id): (r.level, r.trend)
+           for r in df.transform(ts.holt_linear(alpha=0.45, beta=0.35)).collect()}
+    assert len(got) == len(rows)
+    q = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
+    by_key = {}
+    for i, k, v in rows:
+        by_key.setdefault(k, []).append((i, v))
+    for k, xs in by_key.items():
+        lv, tr = xs[0][1], 0.0
+        assert got[(k, xs[0][0])] == (q(lv), q(tr))
+        for i, x in xs[1:]:
+            prev = lv + tr
+            nlv = 0.45 * x + (1.0 - 0.45) * prev
+            tr = 0.35 * (nlv - lv) + (1.0 - 0.35) * tr
+            lv = nlv
+            assert got[(k, i)] == (q(lv), q(tr))
