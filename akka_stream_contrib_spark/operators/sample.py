@@ -50,6 +50,16 @@ def sample_step(max_step: int, seq: str = "seq",
     ``(seq * 48271) mod 65536 < 65536/max_step`` — a stateless Lehmer-style
     hash that (a) needs no sequential scan, so it parallelizes over any number
     of partitions, and (b) is exactly reproducible in ANSI SQL for the oracle.
+
+    Documented deviation: the reference's ``next: () => Int`` is an arbitrary
+    stateful callable whose draws are consumed SEQUENTIALLY — replaying that
+    exactly would need a cumulative sum of the draw sequence (a global-order
+    scan; SURVEY §2.2 notes the same), coupling every row to its predecessors
+    for no statistical benefit. This operator is the statistical equivalent
+    (identical keep-rate, deterministic), not a draw-for-draw replay; a
+    pipeline that truly needs replayed stateful draws can feed the draw
+    sequence as a column and filter on its running sum via
+    ``operators.global_order.global_running_sum``.
     """
     if max_step <= 0:
         raise ValueError("max_step must be positive")
