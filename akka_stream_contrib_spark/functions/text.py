@@ -550,7 +550,10 @@ def luhn_valid(digits: Column) -> Column:
             .otherwise(c.cast("int") * 2),
         ).otherwise(c.cast("int")))
     total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
-    return F.pmod(total, F.lit(10)) == 0
+    # empty input is NOT a valid number (a vacuous checksum of 0 digits
+    # would pass pmod 0); any non-empty digit run validates purely by
+    # checksum — PAN length policy belongs to callers like luhn_scan
+    return (F.length(digits) >= 1) & (F.pmod(total, F.lit(10)) == 0)
 
 
 def luhn_scan(id_col: str = "doc_id", text_col: str = "text"

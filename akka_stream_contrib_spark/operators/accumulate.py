@@ -80,11 +80,11 @@ def accumulate(
                 from akka_stream_contrib_spark.operators.global_order import (
                     global_running_agg)
                 fn, value_col = spec
-                if fn == "sum" and dict(df.dtypes).get(value_col) in (
-                        "float", "double"):
+                vdtype = dict(df.dtypes).get(value_col)
+                if fn == "sum" and vdtype in ("float", "double"):
                     warnings.warn(
                         f"unkeyed running sum of {value_col} "
-                        f"({dict(df.dtypes)[value_col]}) routes through the "
+                        f"({vdtype}) routes through the "
                         "range-partitioned prefix fold, which regroups the "
                         "IEEE additions — low bits may differ from a strict "
                         "sequential sum; use decimal where cross-engine "

@@ -86,7 +86,7 @@ def global_running_agg(df: DataFrame, order_cols: str | Sequence[str],
     local running fold inside each range, combined with the exclusive prefix
     of the per-range summaries."""
     try:
-        local_agg, summary_agg, py_comb, col_comb, ident = _MONOIDS[fn]
+        local_agg, summary_agg, py_comb, col_comb, _ident = _MONOIDS[fn]
     except KeyError:
         raise ValueError(f"fn must be one of {sorted(_MONOIDS)}, got {fn!r}")
     order_cols = normalize_cols(order_cols)
@@ -94,8 +94,12 @@ def global_running_agg(df: DataFrame, order_cols: str | Sequence[str],
     summaries = {r._pid: r.s for r in
                  ranged.groupBy("_pid").agg(summary_agg(value_col).alias("s"))
                  .collect()}
-    # exclusive prefix-combine of the summaries (skipping empty/None ranges)
-    prefix, carry = {}, ident
+    # exclusive prefix-combine of the summaries (skipping empty/None ranges).
+    # carry starts as None — NOT the monoid identity — so ranges before the
+    # first non-NULL value get NO offset and an all-NULL local prefix stays
+    # NULL (window semantics); seeding sum's identity 0 here would turn a
+    # leading all-NULL run into 0.
+    prefix, carry = {}, None
     for pid in sorted(summaries):
         prefix[pid] = carry
         s = summaries[pid]

@@ -153,18 +153,20 @@ def holt_linear(key: str = "user_id", value: str = "value",
     Unlike the truncated EWMA this recursion is NOT a finite lag sum (the
     trend couples every step), so it runs as ONE Arrow pass over
     key-partitioned, (key, seq)-sorted data (``mapInPandas``): all keys in
-    a partition fold SIMULTANEOUSLY, one vectorized numpy step per time
-    index instead of one Python call per group — the per-group Arrow
-    dispatch that made the ``applyInPandas`` form O(n_keys) in overhead is
-    gone (measured 3.5 s → sub-second at sf0.1, 1 500 keys). Each key's
-    update sequence is the SAME fixed-order IEEE expression as a
-    sequential fold — batching across keys is element-wise, so the result
-    is bit-for-bit identical and any engine replaying the order reproduces
-    it (the DuckDB oracle recurses over the same per-key order). Per-key
-    history must fit one task (true of any per-user metric stream; re-key
-    by (user, day) upstream if a single key is unbounded); keys are
-    length-bucketed so one long series doesn't inflate the padded matrix
-    for thousands of short ones.
+    a batch fold SIMULTANEOUSLY, one vectorized numpy step per time index
+    instead of one Python call per group — the per-group Arrow dispatch
+    that made the ``applyInPandas`` form O(n_keys) in overhead is gone
+    (measured 3.5 s → sub-second at sf0.1, 1 500 keys). Each key's update
+    sequence is the SAME fixed-order IEEE expression as a sequential fold
+    — batching across keys is element-wise, so the result is bit-for-bit
+    identical and any engine replaying the order reproduces it (the DuckDB
+    oracle recurses over the same per-key order). Batches stream through
+    with the last key's (level, trend) carried across batch boundaries, so
+    task memory is O(Arrow batch), not O(partition) — even a single
+    unbounded key streams in O(1) state. NULL keys form ONE series, same
+    as ``groupBy``'s null grouping. Keys are length-bucketed inside each
+    batch so one long series doesn't inflate the padded matrix for
+    thousands of short ones.
     """
 
     # snapshot the budget at construction: closure variables ship to the
@@ -175,55 +177,84 @@ def holt_linear(key: str = "user_id", value: str = "value",
     def _fold_partition(batches):
         import numpy as np
         import pandas as pd
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        if pdf.empty:
-            return
-        keys = pdf[key].to_numpy()
-        x = pdf[value].to_numpy(dtype=np.float64)
-        n = len(x)
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        ends = np.r_[starts[1:], n]
-        lens = ends - starts
-        out_lv = np.empty(n)
-        out_tr = np.empty(n)
-        # length-bucketed padded fold: segments sorted by length, greedy
-        # buckets capped at ~4M padded cells so skewed keys don't blow up
-        # the short keys' padding
-        order = np.argsort(lens, kind="stable")
-        i = 0
-        while i < len(order):
-            j, cells = i, 0
-            lmax = 0
-            while j < len(order):
-                lmax = max(lmax, lens[order[j]])
-                if (j - i + 1) * lmax > cell_budget and j > i:
-                    break
-                j += 1
-            seg = order[i:j]
-            i = j
-            K, L = len(seg), int(lens[seg].max())
-            idx = starts[seg][:, None] + np.arange(L)[None, :]
-            valid = np.arange(L)[None, :] < lens[seg][:, None]
-            xm = np.zeros((K, L))
-            xm[valid] = x[idx[valid]]
-            lv = np.empty((K, L))
-            tr = np.empty((K, L))
-            lv[:, 0] = xm[:, 0]
-            tr[:, 0] = 0.0
-            for t in range(1, L):
-                prev = lv[:, t - 1] + tr[:, t - 1]
-                lv[:, t] = alpha * xm[:, t] + (1.0 - alpha) * prev
-                tr[:, t] = (beta * (lv[:, t] - lv[:, t - 1])
-                            + (1.0 - beta) * tr[:, t - 1])
-            out_lv[idx[valid]] = lv[valid]
-            out_tr[idx[valid]] = tr[valid]
-        out = pdf.copy()
-        out["level"] = out_lv
-        out["trend"] = out_tr
-        yield out
+        # (is_null, key value, level, trend) of the last row seen, carried
+        # across Arrow batch boundaries within the partition
+        carry = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = pdf[key].to_numpy()
+            kn = pd.isna(keys)
+            x = pdf[value].to_numpy(dtype=np.float64)
+            n = len(x)
+            # null-safe run boundaries: all NULL keys are one group (NaN !=
+            # NaN would otherwise fragment them into singleton series)
+            if n > 1:
+                neq = (keys[1:] != keys[:-1]) & ~(kn[1:] & kn[:-1])
+                starts = np.flatnonzero(np.r_[True, neq])
+            else:
+                starts = np.array([0])
+            ends = np.r_[starts[1:], n]
+            lens = ends - starts
+            # segment 0 continues the previous batch's series iff the key
+            # matches the carried one (null-safely)
+            cont_init = None
+            if carry is not None:
+                c_nan, c_key, c_lv, c_tr = carry
+                if (kn[0] and c_nan) or (not kn[0] and not c_nan
+                                         and keys[0] == c_key):
+                    cont_init = (c_lv, c_tr)
+            out_lv = np.empty(n)
+            out_tr = np.empty(n)
+            # length-bucketed padded fold: segments sorted by length, greedy
+            # buckets capped at ~cell_budget padded cells so skewed keys
+            # don't blow up the short keys' padding
+            order = np.argsort(lens, kind="stable")
+            i = 0
+            while i < len(order):
+                j = i
+                lmax = 0
+                while j < len(order):
+                    lmax = max(lmax, lens[order[j]])
+                    if (j - i + 1) * lmax > cell_budget and j > i:
+                        break
+                    j += 1
+                seg = order[i:j]
+                i = j
+                K, L = len(seg), int(lens[seg].max())
+                idx = starts[seg][:, None] + np.arange(L)[None, :]
+                valid = np.arange(L)[None, :] < lens[seg][:, None]
+                xm = np.zeros((K, L))
+                xm[valid] = x[idx[valid]]
+                lv = np.empty((K, L))
+                tr = np.empty((K, L))
+                # seed step: fresh series start at (x0, 0); the one segment
+                # continuing from the previous batch applies a normal update
+                # against the carried state instead
+                lv[:, 0] = xm[:, 0]
+                tr[:, 0] = 0.0
+                if cont_init is not None:
+                    m = np.flatnonzero(starts[seg] == 0)
+                    if len(m):
+                        r = m[0]
+                        c_lv, c_tr = cont_init
+                        prev = c_lv + c_tr
+                        lv[r, 0] = alpha * xm[r, 0] + (1.0 - alpha) * prev
+                        tr[r, 0] = (beta * (lv[r, 0] - c_lv)
+                                    + (1.0 - beta) * c_tr)
+                for t in range(1, L):
+                    prev = lv[:, t - 1] + tr[:, t - 1]
+                    lv[:, t] = alpha * xm[:, t] + (1.0 - alpha) * prev
+                    tr[:, t] = (beta * (lv[:, t] - lv[:, t - 1])
+                                + (1.0 - beta) * tr[:, t - 1])
+                out_lv[idx[valid]] = lv[valid]
+                out_tr[idx[valid]] = tr[valid]
+            carry = (bool(kn[-1]), keys[-1], float(out_lv[-1]),
+                     float(out_tr[-1]))
+            out = pdf.copy()
+            out["level"] = out_lv
+            out["trend"] = out_tr
+            yield out
 
     def _apply(df: DataFrame) -> DataFrame:
         schema = ", ".join(

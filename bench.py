@@ -260,12 +260,21 @@ def main() -> None:
     # "parsed": null. Keep the line under ~1 KB: totals + top-10 slowest.)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
-    floor_subset = (round(sum(floors.get(q, 0.0) for q in base_queries), 3)
-                    if base_queries else None)
+    # subset totals must cover the SAME queries as the primary total to be
+    # comparable — report any probe that failed instead of silently
+    # summing over fewer queries
+    floor_missing = ([q for q in base_queries if q not in floors]
+                     if base_queries else [])
+    split_missing = ([q for q in base_queries if q not in splits]
+                     if base_queries else [])
+    floor_subset = (round(sum(floors[q] for q in base_queries
+                              if q in floors), 3)
+                    if base_queries and not floor_missing else None)
     warm_subset = (round(sum(warms.get(q, timings[q]) for q in base_queries), 3)
                    if base_queries else None)
-    split_subset = (round(sum(splits[q] for q in base_queries if q in splits), 3)
-                    if base_queries and splits else None)
+    split_subset = (round(sum(splits[q] for q in base_queries
+                              if q in splits), 3)
+                    if base_queries and splits and not split_missing else None)
     with open(detail_path, "w") as f:
         json.dump({
             "metric": "headline_queries_total_wall_sec",
@@ -283,6 +292,8 @@ def main() -> None:
             "spark_floor_oracle_subset_sec": floor_subset,
             "spark_warm_oracle_subset_sec": warm_subset,
             "spark_split_input_oracle_subset_sec": split_subset,
+            "floor_probe_failed": floor_missing,
+            "split_probe_failed": split_missing,
             "decomposition_note": (
                 "floor = same plan at the compile-warmed tiny SF (job "
                 "setup/scheduling/AQE at 10x less data, a per-query fixed "
@@ -323,21 +334,32 @@ def _split_fixture_copy() -> str | None:
     """Re-encode SF_DIR's tables as 32-row-group parquet under /tmp (same
     rows, splittable scans). Returns the directory, or None on failure."""
     try:
+        import hashlib
         import pyarrow.parquet as pq
 
-        out = f"/tmp/spark-graft-split-{os.path.basename(SF_DIR.rstrip('/'))}"
+        # key the cache dir by the FULL source path (two fixture trees with
+        # the same basename must not share a copy), and re-encode whenever
+        # the source's (mtime, size) identity changes in ANY direction — an
+        # mtime-preserving regeneration still flips size or mtime equality
+        tag = hashlib.md5(os.path.abspath(SF_DIR).encode()).hexdigest()[:12]
+        out = f"/tmp/spark-graft-split-{tag}"
         os.makedirs(out, exist_ok=True)
         for t in tables.TABLE_NAMES:
             src = os.path.join(SF_DIR, f"{t}.parquet")
             dst = os.path.join(out, f"{t}.parquet")
+            marker = dst + ".src"
             if not os.path.exists(src):
                 continue
-            if (os.path.exists(dst)
-                    and os.path.getmtime(dst) >= os.path.getmtime(src)):
-                continue
+            ident = f"{os.path.getmtime(src)}:{os.path.getsize(src)}"
+            if os.path.exists(dst) and os.path.exists(marker):
+                with open(marker) as mf:
+                    if mf.read() == ident:
+                        continue
             tab = pq.read_table(src)
             pq.write_table(tab, dst,
                            row_group_size=max(1, tab.num_rows // 32))
+            with open(marker, "w") as mf:
+                mf.write(ident)
         return out
     except Exception:
         return None

@@ -493,10 +493,13 @@ def test_global_running_agg_nulls_inherit_prefix(spark):
     from pyspark.sql import functions as F
     from akka_stream_contrib_spark.operators import global_running_agg
 
-    # every 3rd value NULL, including long NULL runs at range heads
+    # LEADING all-NULL run spanning >1 range (2000/16 = 125 rows per range,
+    # first 300 rows NULL: the whole first range and part of the second must
+    # return NULL, not the sum identity 0) plus interior NULL runs
     df = spark.range(0, 2000, 1, 16).select(
         F.col("id").alias("seq"),
-        F.when(F.pmod("id", F.lit(7)) < 3, F.pmod(F.col("id") * 37, F.lit(50)))
+        F.when((F.col("id") >= 300) & (F.pmod("id", F.lit(7)) < 3),
+               F.pmod(F.col("id") * 37, F.lit(50)))
         .alias("v"))
     wc = (Window.orderBy("seq")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))

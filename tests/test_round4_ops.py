@@ -69,10 +69,11 @@ def test_luhn_valid_known_numbers(spark):
         [("4111111111111111",),   # classic valid test PAN
          ("4111111111111112",),   # checksum broken
          ("79927398713",),        # valid 11-digit (pure checksum: True)
+         ("",),                   # empty: no digits, never valid
          ("5500005555555559",)],  # valid 16-digit
         "d string")
     got = df.select(luhn_valid(F.col("d")).alias("ok")).collect()
-    assert [r.ok for r in got] == [True, False, True, True]
+    assert [r.ok for r in got] == [True, False, True, False, True]
 
 
 def test_luhn_scan_extracts_only_valid_with_separators(spark):
@@ -122,6 +123,43 @@ def test_holt_linear_matches_python_model(spark):
             tr = 0.35 * (nlv - lv) + (1.0 - 0.35) * tr
             lv = nlv
             assert got[(u, i)] == (q(lv), q(tr))
+
+
+def test_holt_linear_null_keys_one_series_and_batch_carry(spark):
+    """NULL keys must fold as ONE series (groupBy's null grouping, not
+    NaN != NaN fragmentation), and a key whose history spans multiple
+    Arrow batches must continue bit-exactly via the carried (level, trend)
+    state — forced here with a 7-row Arrow batch size."""
+    import akka_stream_contrib_spark.operators.timeseries as ts
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rng = np.random.RandomState(7)
+        rows, eid = [], 0
+        for k, cnt in [(None, 40), (1, 30), (2, 3)]:
+            for _ in range(cnt):
+                rows.append((eid, k, float(round(rng.uniform(0, 50), 2))))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, value double").repartition(2)
+        got = {r.event_id: (r.level, r.trend) for r in
+               df.transform(ts.holt_linear(alpha=0.45, beta=0.35)).collect()}
+        assert len(got) == len(rows)
+        q = lambda v: np.floor(v * 1e6 + 0.5) / 1e6
+        by_key = {}
+        for i, k, v in rows:
+            by_key.setdefault(k, []).append((i, v))
+        for k, xs in by_key.items():
+            lv, tr = xs[0][1], 0.0
+            assert got[xs[0][0]] == (q(lv), q(tr))
+            for i, x in xs[1:]:
+                prev_s = lv + tr
+                nlv = 0.45 * x + (1.0 - 0.45) * prev_s
+                tr = 0.35 * (nlv - lv) + (1.0 - 0.35) * tr
+                lv = nlv
+                assert got[i] == (q(lv), q(tr)), f"key {k} event {i}"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
 def test_holt_linear_length_buckets_and_skew(spark, monkeypatch):
