@@ -3234,6 +3234,42 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.transform(holt_linear(alpha=0.45, beta=0.35))
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 and TF-IDF
+    top-100 rankings for the spark/join/window query (functions/
+    retrieval.py::rrf_fusion — ONE cached tf scan scores both rankers,
+    rank 0 = absent from that list)."""
+    from akka_stream_contrib_spark.functions.retrieval import rrf_fusion
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(
+        rrf_fusion(["spark", "join", "window"], k=20, depth=100))
+
+
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy token-budget curation (functions/corpus.py::
+    token_budget_fill): keep the highest distinct-token-ratio documents
+    until 30% of the corpus's tokens are spent; the global greedy prefix
+    is the two-phase range running sum (operators/global_order.py) — no
+    single-partition window."""
+    from akka_stream_contrib_spark.functions.corpus import token_budget_fill
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(token_budget_fill(budget_num=3, budget_den=10))
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation plumbing (functions/multimodal.py::
+    audio_segments): documents stand in as audio payloads, per-frame
+    energy is the hash-derived decode stub (JVM md5 — fully
+    oracle-mirrorable), and contiguous active frames merge into segments
+    via gaps-and-islands."""
+    from akka_stream_contrib_spark.functions.multimodal import (
+        audio_segments, with_media_columns)
+    docs = tables.load(spark, "documents", sf_dir)
+    media = docs.transform(with_media_columns(
+        payload=F.col("text").cast("binary"), modality=F.lit("audio")))
+    return media.transform(audio_segments(frame_ms=1000, threshold=0.6))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3459,6 +3495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_luhn": q_pii_luhn,
         "boolean_retrieval": q_boolean_retrieval,
         "holt_trend": q_holt_trend,
+        "rrf_fusion": q_rrf_fusion,
+        "token_budget_fill": q_token_budget_fill,
+        "audio_segments": q_audio_segments,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -6933,5 +6972,107 @@ def oracle_sql() -> dict[str, str]:
               ON substr(a.w, 1, 4) = substr(b.w, 1, 4)
              AND a.w < b.w
             WHERE round(jaro_winkler_similarity(a.w, b.w), 6) >= 0.86
+        """,
+        "rrf_fusion": """
+            WITH tf AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS dl,
+                       len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf0,
+                       len(list_filter(string_split(text, ' '), x -> x = 'join'))   AS tf1,
+                       len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n, sum(dl) AS sdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+                FROM tf
+            ), scored AS (
+                SELECT doc_id,
+                       round(
+                         ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2)
+                           / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2)
+                           / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2)
+                           / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                       , 6) + 0.0 AS sb,
+                       round(
+                         CASE WHEN tf0 > 0 AND df0 > 0
+                              THEN (1.0 + ln(CAST(tf0 AS DOUBLE))) * ln(CAST(n AS DOUBLE) / CAST(df0 AS DOUBLE))
+                              ELSE 0.0 END
+                       + CASE WHEN tf1 > 0 AND df1 > 0
+                              THEN (1.0 + ln(CAST(tf1 AS DOUBLE))) * ln(CAST(n AS DOUBLE) / CAST(df1 AS DOUBLE))
+                              ELSE 0.0 END
+                       + CASE WHEN tf2 > 0 AND df2 > 0
+                              THEN (1.0 + ln(CAST(tf2 AS DOUBLE))) * ln(CAST(n AS DOUBLE) / CAST(df2 AS DOUBLE))
+                              ELSE 0.0 END
+                       , 6) + 0.0 AS st
+                FROM tf, stats
+            ), tb AS (
+                SELECT doc_id, sb FROM scored ORDER BY sb DESC, doc_id LIMIT 100
+            ), tt AS (
+                SELECT doc_id, st FROM scored ORDER BY st DESC, doc_id LIMIT 100
+            ), ra AS (
+                SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id) AS r FROM tb
+            ), rb AS (
+                SELECT doc_id, row_number() OVER (ORDER BY st DESC, doc_id) AS r FROM tt
+            ), fused AS (
+                SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                       CAST(COALESCE(ra.r, 0) AS BIGINT) AS bm25_rank,
+                       CAST(COALESCE(rb.r, 0) AS BIGINT) AS tfidf_rank
+                FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+            )
+            SELECT doc_id, bm25_rank, tfidf_rank,
+                   round(
+                     CASE WHEN bm25_rank > 0
+                          THEN 1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)) ELSE 0.0 END
+                   + CASE WHEN tfidf_rank > 0
+                          THEN 1.0 / (60.0 + CAST(tfidf_rank AS DOUBLE)) ELSE 0.0 END
+                   , 6) + 0.0 AS rrf
+            FROM fused
+            ORDER BY rrf DESC, doc_id
+            LIMIT 20
+        """,
+        "token_budget_fill": """
+            WITH q AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) + 0.0 AS quality
+                FROM documents WHERE text IS NOT NULL
+            ), c AS (
+                SELECT doc_id, n_tok, quality,
+                       CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tok,
+                       (3 * CAST(sum(n_tok) OVER () AS BIGINT)) // 10 AS budget
+                FROM q
+            )
+            SELECT doc_id, n_tok, quality, cum_tok
+            FROM c WHERE cum_tok <= budget
+        """,
+        "audio_segments": """
+            WITH m AS (
+                SELECT doc_id, md5(text) AS ph,
+                       CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 600000 + 1
+                           AS dur
+                FROM documents
+            ), fr AS (
+                SELECT doc_id, CAST(f AS BIGINT) AS f,
+                       CAST(concat('0x', substr(md5(concat(ph, ':', f)), 1, 8)) AS BIGINT) % 1000
+                           AS e
+                FROM m, LATERAL (
+                    SELECT unnest(range(0, dur // 1000 + 1)) AS f
+                ) g
+            ), act AS (
+                SELECT doc_id, f, e,
+                       f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS isl
+                FROM fr WHERE e >= 600
+            )
+            SELECT doc_id,
+                   CAST(min(f) * 1000 AS BIGINT) AS seg_start_ms,
+                   CAST((max(f) + 1) * 1000 AS BIGINT) AS seg_end_ms,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(sum(e) AS BIGINT) AS energy_millis
+            FROM act GROUP BY doc_id, isl
         """,
     }

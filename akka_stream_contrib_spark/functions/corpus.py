@@ -747,3 +747,55 @@ def neyman_allocation(n_total: int, stratum_col: str = "event_type",
                         .alias("kept_id_sum")))
 
     return _apply
+
+
+def token_budget_fill(budget_num: int = 3, budget_den: int = 10,
+                      id_col: str = "doc_id", text_col: str = "text"
+                      ) -> Callable[[DataFrame], DataFrame]:
+    """Quality-greedy token-budget selection: rank every document by a
+    lexical-diversity quality proxy (distinct-token ratio, the ``f5``
+    feature of `functions/ml.py`'s quality model) and keep the best
+    documents until their cumulative token count fills the budget —
+    ``budget_num/budget_den`` of the corpus's total tokens (integer
+    arithmetic, engine-exact). This is the standard curation step "fill an
+    N-token training budget with the highest-quality documents first".
+
+    Emits (id, n_tok, quality, cum_tok) for the selected documents;
+    ``cum_tok`` is the inclusive running token total under the
+    (quality DESC, id) order, so ``max(cum_tok) <= floor(total·frac)``.
+
+    Scale shape (100 TB): the quality score and token count are one
+    map-side projection; the global greedy prefix is
+    `operators/global_order.py`'s two-phase range form (range shuffle on
+    the sort key + a K-row driver summary — never a single-partition
+    window); the corpus-total budget is a single-row aggregate broadcast
+    back over the ranked frame. NULL-text documents are excluded (they
+    carry no tokens to spend).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.operators.global_order import (
+            global_running_sum)
+
+        toks = (df.filter(F.col(text_col).isNotNull())
+                .select(F.col(id_col),
+                        F.split(F.col(text_col), " ").alias("_t")))
+        q = toks.select(
+            F.col(id_col),
+            F.size("_t").cast("long").alias("n_tok"),
+            (F.round(F.size(F.array_distinct("_t")).cast("double")
+                     / F.size("_t").cast("double"), 6) + F.lit(0.0))
+            .alias("quality"))
+        # descending quality via a negated sort key (repartitionByRange in
+        # the two-phase prefix sorts ascending)
+        keyed = q.withColumn("_negq", -F.col("quality"))
+        cum = global_running_sum(keyed, ["_negq", id_col], "n_tok",
+                                 "cum_tok").drop("_negq")
+        total = q.agg(F.sum("n_tok").alias("_tot"))
+        thresh = F.expr(f"({budget_num} * _tot) div {budget_den}")
+        return (cum.crossJoin(F.broadcast(total))
+                .filter(F.col("cum_tok") <= thresh)
+                .select(id_col, "n_tok", "quality",
+                        F.col("cum_tok").cast("long").alias("cum_tok")))
+
+    return _apply

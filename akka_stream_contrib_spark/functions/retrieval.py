@@ -202,3 +202,117 @@ def boolean_and_search(terms: Sequence[str], id_col: str = "doc_id",
                 .withColumn("n_terms_matched", F.lit(len(terms))))
 
     return _apply
+
+
+def rrf_fusion(terms: Sequence[str], k: int = 20, depth: int = 100,
+               rrf_c: int = 60, id_col: str = "doc_id",
+               text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): score the corpus with BOTH rankers (BM25 and TF-IDF,
+    the same expression shapes as ``bm25_topk`` / ``tfidf_topk``), take each
+    ranker's top-``depth`` list, and fuse by
+    ``rrf = Σ 1/(rrf_c + rank)`` over the lists the document appears in.
+    RRF is the standard way to combine heterogeneous retrievers (lexical +
+    semantic) without score calibration — only ranks enter the fusion.
+
+    Emits the fused top-``k``: (id, bm25_rank, tfidf_rank, rrf) with rank 0
+    meaning "absent from that ranker's top-``depth``" (avoids NULL-typed
+    rank columns) and rrf rounded to 6 dp, ordered ties broken by id.
+
+    Scale shape (100 TB): ONE corpus scan computes the per-term tf columns
+    (persisted via ``pipeline_cache`` — two consumers: the single-row stats
+    aggregate and the scoring projection); both rankers score from the SAME
+    cached frame, so fusing costs no extra pass. Each top-``depth`` is a
+    ``TakeOrderedAndProject`` (per-partition heaps, no global sort); the
+    rank windows and the full-outer fusion join run over ≤ ``depth`` rows —
+    driver-scale, constant in corpus size.
+    """
+    if not terms:
+        raise ValueError("rrf_fusion needs at least one query term")
+
+    def _tf(term: str):
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from akka_stream_contrib_spark.util import (drop_stale_caches,
+                                                    pipeline_cache)
+
+        drop_stale_caches()
+        toks = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        tf = pipeline_cache(toks.select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+        ))
+        stats = tf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("sdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in range(len(terms))
+            ],
+        )
+        scored = tf.crossJoin(F.broadcast(stats))
+        # identical IEEE shapes to bm25_topk / tfidf_topk (their oracles are
+        # hash-verified): per-term Lucene-idf BM25 and sublinear-tf TF-IDF
+        avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
+        norm = F.lit(K1) * (F.lit(1.0 - B) +
+                            F.lit(B) * (F.col("dl").cast("double") / avgdl))
+        bm25 = None
+        tfidf = None
+        for i in range(len(terms)):
+            tfd = F.col(f"tf{i}").cast("double")
+            idf = F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5)))
+            bpart = idf * (tfd * F.lit(K1 + 1.0)) / (tfd + norm)
+            bm25 = bpart if bm25 is None else bm25 + bpart
+            tpart = F.when(
+                (F.col(f"tf{i}") > 0) & (F.col(f"df{i}") > 0),
+                (F.lit(1.0) + F.log(tfd))
+                * F.log(F.col("n").cast("double")
+                        / F.col(f"df{i}").cast("double")),
+            ).otherwise(F.lit(0.0))
+            tfidf = tpart if tfidf is None else tfidf + tpart
+        both = scored.select(
+            F.col(id_col),
+            (F.round(bm25, 6) + F.lit(0.0)).alias("_sb"),
+            (F.round(tfidf, 6) + F.lit(0.0)).alias("_st"))
+        top_b = both.select(id_col, "_sb").orderBy(
+            F.desc("_sb"), id_col).limit(depth)
+        top_t = both.select(id_col, "_st").orderBy(
+            F.desc("_st"), id_col).limit(depth)
+        # rank windows run over the ≤depth-row top lists — single tiny
+        # partition by construction (same benign post-limit WindowExec as
+        # the post-aggregation windows elsewhere in the repo)
+        ra = top_b.select(
+            F.col(id_col),
+            F.row_number().over(Window.orderBy(F.desc("_sb"), id_col))
+            .cast("long").alias("bm25_rank"))
+        rb = top_t.select(
+            F.col(id_col),
+            F.row_number().over(Window.orderBy(F.desc("_st"), id_col))
+            .cast("long").alias("tfidf_rank"))
+        contrib = (
+            lambda r: F.when(r > 0, F.lit(1.0) /
+                             (F.lit(float(rrf_c)) + r.cast("double")))
+            .otherwise(F.lit(0.0)))
+        fused = (ra.join(rb, id_col, "full_outer")
+                 .select(F.col(id_col),
+                         F.coalesce("bm25_rank", F.lit(0).cast("long"))
+                         .alias("bm25_rank"),
+                         F.coalesce("tfidf_rank", F.lit(0).cast("long"))
+                         .alias("tfidf_rank")))
+        return (fused
+                .select(id_col, "bm25_rank", "tfidf_rank",
+                        (F.round(contrib(F.col("bm25_rank"))
+                                 + contrib(F.col("tfidf_rank")), 6)
+                         + F.lit(0.0)).alias("rrf"))
+                .orderBy(F.desc("rrf"), id_col)
+                .limit(k))
+
+    return _apply

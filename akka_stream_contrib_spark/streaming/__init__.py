@@ -8,6 +8,7 @@ from akka_stream_contrib_spark.streaming.stateful import (
     sessionize_stream,
     heavy_hitters_stream,
 )
+from akka_stream_contrib_spark.streaming.dedup import dedup_within_watermark
 from akka_stream_contrib_spark.streaming.valve import Valve
 from akka_stream_contrib_spark.streaming.sinks import (
     idempotent_parquet_sink,
@@ -21,6 +22,7 @@ __all__ = [
     "keep_alive_stream",
     "accumulate_while_unchanged_stream",
     "sessionize_stream",
+    "dedup_within_watermark",
     "Valve",
     "idempotent_parquet_sink",
     "incremental_dedup_sink",

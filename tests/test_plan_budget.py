@@ -268,6 +268,14 @@ BUDGET = {
     "pii_luhn": 0,
     # category stats agg + global prior agg + smoothed-encoding join
     "target_encoding": 3,
+    # ONE cached tf scan feeds the single-row stats agg + both rankers;
+    # the two TakeOrdered top-100s, rank windows and fusion join are
+    # ≤depth-row driver-scale (limit exchange + tiny outer join)
+    "rrf_fusion": 2,
+    # two-phase range prefix (range shuffle) + single-row total agg
+    "token_budget_fill": 2,
+    # active-frame island window + segment groupBy on the same doc key
+    "audio_segments": 1,
 }
 
 
