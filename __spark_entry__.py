@@ -3514,9 +3514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (74 at round start; the ~30 past the window spill to round 6; the
 #: 133-query ever-green set needs no re-checks).
 _PRIORITY = [
-    # (1) changed this round
+    # (1) changed/new this round
     "phash_near_dup", "accumulate", "dsir_select", "pii_luhn",
     "holt_trend", "logreg_quality",
+    "rrf_fusion", "token_budget_fill", "audio_segments",
     # (2) no-oracle rows+schema pinning
     "ann_ivf_all", "approx_distinct_users", "bpe_learn_merges",
     "hll_daily_users", "ivf_ann_topk", "kmeans_clusters", "pagerank_users",

@@ -402,11 +402,15 @@ def audio_segments(frame_ms: int = 1000, threshold: float = 0.6
     sum of the per-frame milli-energies (the repo's exact-integer
     convention: no float aggregation, no 6-dp rounding-tie hazard).
 
-    Scale shape (100 TB): the frame explode and energy scoring are
-    map-side codegen (JVM md5 — no Python anywhere); the island window and
-    the segment groupBy both key on (doc_id[, island]) — one hash shuffle
-    of the ACTIVE frames only (the threshold filter runs before the
-    window), partial aggregation on the merge.
+    Scale shape (100 TB): the compact per-doc rows are hash-repartitioned
+    on doc_id BEFORE the frame explode — a ~600× fan-out stage must never
+    be bound to input-split parallelism (the shuffle moves only the small
+    pre-explode rows; measured 3.0 s → sub-second at sf0.1, where the
+    single-row-group fixture otherwise pins the explode to one core).
+    The explode and energy scoring are map-side codegen (JVM md5 — no
+    Python anywhere); the island window and the segment groupBy then
+    REUSE that doc_id partitioning (no further exchange), with the
+    threshold filter dropping inactive frames before the window sort.
     """
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -417,9 +421,18 @@ def audio_segments(frame_ms: int = 1000, threshold: float = 0.6
             .select(
                 "doc_id",
                 F.md5(F.col("media")).alias("_ph"),
+                F.col("media_meta.duration_ms").alias("_dur"))
+            # EXPLICIT partition count: without it AQE sees only the tiny
+            # pre-explode bytes and coalesces the shuffle back to one
+            # partition, re-serializing the ~600x fan-out it exists to
+            # spread (the planner can't know rows are about to multiply)
+            .repartition(df.sparkSession.sparkContext.defaultParallelism,
+                         F.col("doc_id"))
+            .select(
+                "doc_id", "_ph",
                 F.explode(F.sequence(
                     F.lit(0),
-                    (F.col("media_meta.duration_ms") / F.lit(frame_ms))
+                    (F.col("_dur") / F.lit(frame_ms))
                     .cast("int"))).alias("frame_no"))
             .withColumn(
                 "_e1000",

@@ -156,6 +156,11 @@ HEADLINE = [
     "pii_luhn",
     "boolean_retrieval",
     "holt_trend",
+    # round-5 additions: hybrid RRF retrieval, token-budget curation,
+    # audio activity segmentation
+    "rrf_fusion",
+    "token_budget_fill",
+    "audio_segments",
 ]
 
 

@@ -274,7 +274,8 @@ BUDGET = {
     "rrf_fusion": 2,
     # two-phase range prefix (range shuffle) + single-row total agg
     "token_budget_fill": 2,
-    # active-frame island window + segment groupBy on the same doc key
+    # ONE pre-explode doc_id repartition (explicit count — fan-out must
+    # not bind to input splits); island window + segment groupBy REUSE it
     "audio_segments": 1,
 }
 

@@ -81,6 +81,15 @@ SHOWCASE = {
     "logreg_quality": "scoring plan after in-engine GD training: learned "
         "weights inlined as literals, sigmoid inside whole-stage codegen "
         "— zero exchanges over any corpus size",
+    "rrf_fusion": "hybrid RRF retrieval: ONE cached tf scan feeds the "
+        "single-row stats broadcast and BOTH rankers; two TakeOrdered "
+        "top-depth lists; rank windows + fusion join over <=depth rows",
+    "token_budget_fill": "greedy token-budget curation: range exchange on "
+        "the quality key (two-phase global prefix sum) + single-row "
+        "corpus-total broadcast — no single-partition window",
+    "audio_segments": "audio framing: ONE explicit-count repartition of "
+        "the compact pre-explode rows (fan-out never binds to input "
+        "splits); island window + segment groupBy reuse the partitioning",
 }
 
 
