@@ -3270,6 +3270,25 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.transform(audio_segments(frame_ms=1000, threshold=0.6))
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining (functions/similarity.py::
+    hard_negatives): for every embedding, the top-3 most-similar vectors
+    with a DIFFERENT label — broadcast-GEMM kernel, rounded-sim +
+    id tie-break rank, zero shuffles."""
+    from akka_stream_contrib_spark.functions import hard_negatives
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return hard_negatives(emb, k=3)
+
+
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training-shard assignment (functions/corpus.py::
+    balanced_shards): round-robin over size-descending documents via the
+    two-phase global rank — 16 shards of near-equal token totals."""
+    from akka_stream_contrib_spark.functions.corpus import balanced_shards
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(balanced_shards(n_shards=16))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3498,6 +3517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "token_budget_fill": q_token_budget_fill,
         "audio_segments": q_audio_segments,
+        "hard_negatives": q_hard_negatives,
+        "balanced_shards": q_balanced_shards,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3518,6 +3539,7 @@ _PRIORITY = [
     "phash_near_dup", "accumulate", "dsir_select", "pii_luhn",
     "holt_trend", "logreg_quality",
     "rrf_fusion", "token_budget_fill", "audio_segments",
+    "hard_negatives", "balanced_shards",
     # (2) no-oracle rows+schema pinning
     "ann_ivf_all", "approx_distinct_users", "bpe_learn_merges",
     "hll_daily_users", "ivf_ann_topk", "kmeans_clusters", "pagerank_users",
@@ -7075,5 +7097,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_frames,
                    CAST(sum(e) AS BIGINT) AS energy_millis
             FROM act GROUP BY doc_id, isl
+        """,
+        "hard_negatives": """
+            WITH n AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+                FROM embeddings
+            ), p AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_sum(list_transform(
+                           generate_series(1, len(q.nv)),
+                           i -> q.nv[i] * c.nv[i])), 6) AS cos_sim
+                FROM n q JOIN n c ON q.label <> c.label
+            ), r AS (
+                SELECT query_id, neighbor_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rank
+                FROM p
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+            FROM r WHERE rank <= 3
+        """,
+        "balanced_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id, n_tok,
+                   CAST((row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+                        % 16 AS INT) AS shard
+            FROM t
         """,
     }

@@ -799,3 +799,40 @@ def token_budget_fill(budget_num: int = 3, budget_den: int = 10,
                         F.col("cum_tok").cast("long").alias("cum_tok")))
 
     return _apply
+
+
+def balanced_shards(n_shards: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text"
+                    ) -> Callable[[DataFrame], DataFrame]:
+    """Token-balanced output sharding: assign every document to one of
+    ``n_shards`` shards so shard token totals come out near-equal —
+    round-robin over the documents in DESCENDING token order (the greedy
+    longest-processing-time heuristic's fixed-order cousin: the large
+    documents spread first, the small ones fill the tails). This is the
+    standard "write N training shards of ~equal token count" step; a
+    size-oblivious hash split leaves shards unbalanced by the token-count
+    variance, which serializes the tail of any shard-parallel consumer.
+
+    Emits (id, n_tok, shard). NULL-text documents are excluded.
+
+    Scale shape (100 TB): the global size-descending rank is
+    `operators/global_order.py::global_rank` — range shuffle on the sort
+    key + a K-row broadcast prefix, never a single-partition window; the
+    shard id is then a map-side modulo. One exchange total.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.operators.global_order import (
+            global_rank)
+
+        toks = (df.filter(F.col(text_col).isNotNull())
+                .select(F.col(id_col),
+                        F.size(F.split(F.col(text_col), " "))
+                        .cast("long").alias("n_tok")))
+        ranked = global_rank(toks.withColumn("_negn", -F.col("n_tok")),
+                             ["_negn", id_col], out="_grk")
+        return ranked.select(
+            id_col, "n_tok",
+            ((F.col("_grk") - 1) % n_shards).cast("int").alias("shard"))
+
+    return _apply

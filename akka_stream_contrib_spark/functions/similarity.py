@@ -687,3 +687,65 @@ def pq_topk_rerank(df: DataFrame, codes_df: DataFrame,
                         id_col=id_col).select(id_col)
     cand = df.join(F.broadcast(short), id_col, "left_semi")
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def hard_negatives(queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   broadcast_budget_rows: int = BROADCAST_BUDGET_ROWS
+                   ) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector, the
+    ``k`` most-similar vectors carrying a DIFFERENT label — the negatives a
+    contrastive loss learns most from (easy negatives are already far away;
+    same-label neighbors are positives, not negatives). Self-matches are
+    excluded by the label mask for free.
+
+    Same kernel and determinism contract as :func:`knn_join`: the corpus
+    side broadcasts as one normalized matrix (hard-bounded collect), query
+    partitions stream through GEMM, ranking is on the ROUNDED similarity
+    with neighbor-id tie-break — a total order any engine replays. ZERO
+    shuffles; output partitioning follows the queries. At 100 TB shard or
+    centroid the corpus side first (`ivf_topk`), keeping the label mask in
+    the scoring kernel.
+    """
+    spark = queries.sparkSession
+    pdf = _bounded_index_pdf(queries, [id_col, vec_col, label_col],
+                             broadcast_budget_rows, "hard_negatives")
+    id_type = queries.schema[id_col].dataType.simpleString()
+    out_schema = (f"query_id {id_type}, neighbor_id {id_type}, "
+                  "rank int, cos_sim double")
+    if len(pdf) == 0:
+        # empty corpus → zero negatives (the reference's empty-upstream
+        # contract: complete cleanly, emit nothing)
+        return spark.createDataFrame([], out_schema)
+    c_ids = pdf[id_col].to_numpy()
+    c_labels = pdf[label_col].to_numpy()
+    c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((c_ids, c_labels, c_mat))
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        corpus_ids, corpus_labels, corpus_m = b.value
+        for pdfb in batches:
+            if len(pdfb) == 0:
+                continue
+            q = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = (q @ corpus_m.T).round(6)
+            qids = pdfb[id_col].to_numpy()
+            qlabels = pdfb[label_col].to_numpy()
+            for i in range(len(q)):
+                mask = corpus_labels != qlabels[i]
+                cand_sims = sims[i, mask]
+                cand_ids = corpus_ids[mask]
+                kk = min(k, len(cand_ids))
+                order = np.lexsort((cand_ids, -cand_sims))[:kk]
+                yield pd.DataFrame({
+                    "query_id": np.repeat(qids[i], kk),
+                    "neighbor_id": cand_ids[order],
+                    "rank": np.arange(1, kk + 1),
+                    "cos_sim": cand_sims[order],
+                })
+
+    return queries.select(id_col, vec_col, label_col).mapInPandas(
+        _scan, schema=out_schema)

@@ -14,6 +14,8 @@ from akka_stream_contrib_spark.streaming.sinks import (
     idempotent_parquet_sink,
     incremental_dedup_sink,
     read_sink,
+    scd2_sink,
+    read_scd2,
 )
 from akka_stream_contrib_spark.streaming.rollup import incremental_rollup, read_rollup, expire_buckets
 
@@ -27,6 +29,8 @@ __all__ = [
     "idempotent_parquet_sink",
     "incremental_dedup_sink",
     "read_sink",
+    "scd2_sink",
+    "read_scd2",
     "incremental_rollup",
     "read_rollup",
     "expire_buckets",

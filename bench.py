@@ -161,6 +161,8 @@ HEADLINE = [
     "rrf_fusion",
     "token_budget_fill",
     "audio_segments",
+    "hard_negatives",
+    "balanced_shards",
 ]
 
 

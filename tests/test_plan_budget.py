@@ -277,6 +277,10 @@ BUDGET = {
     # ONE pre-explode doc_id repartition (explicit count — fan-out must
     # not bind to input splits); island window + segment groupBy REUSE it
     "audio_segments": 1,
+    # broadcast-corpus GEMM with a label mask: zero shuffles (knn_join kin)
+    "hard_negatives": 0,
+    # two-phase global rank (range exchange); shard id is map-side modulo
+    "balanced_shards": 1,
 }
 
 

@@ -151,3 +151,98 @@ def test_dedup_within_watermark_suppresses_redelivery(spark, tmp_path):
         assert rows() == {(1, "a"), (2, "b"), (3, "c")}
     finally:
         q.stop()
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    import numpy as np
+
+    from akka_stream_contrib_spark.functions import hard_negatives
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(30):
+        rows.append((i, [float(x) for x in rng.uniform(-1, 1, 8)], i % 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(df, k=4).collect()
+    labels = {i: i % 3 for i in range(30)}
+    assert len(out) == 30 * 4
+    by_q = {}
+    for r in out:
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim))
+    for q, rs in by_q.items():
+        rs.sort()
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
+    # python replay for one query: best different-label neighbor matches
+    mat = np.stack([np.array(v, dtype=np.float64) for _, v, _ in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims0 = (mat[0] @ mat.T).round(6)
+    cand = [(sims0[j], -j) for j in range(30) if j % 3 != 0]
+    best_j = -max(cand)[1]
+    got_best = min((r for r in out if r.query_id == 0),
+                   key=lambda r: r.rank)
+    assert got_best.neighbor_id == best_j
+
+
+def test_balanced_shards_balance_and_assignment(spark):
+    from akka_stream_contrib_spark.functions.corpus import balanced_shards
+    rows = [(i, " ".join(["w"] * (10 + (i * 37) % 90))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = balanced_shards(n_shards=8)(df).collect()
+    assert len(out) == 200
+    assert {r.shard for r in out} == set(range(8))
+    # python replay of the round-robin over size-descending order
+    order = sorted(rows, key=lambda t: (-len(t[1].split(" ")), t[0]))
+    expect = {doc_id: pos % 8 for pos, (doc_id, _) in enumerate(order)}
+    assert {r.doc_id: r.shard for r in out} == expect
+    # balance: shard token totals within one max-doc of each other
+    totals = {}
+    for r in out:
+        totals[r.shard] = totals.get(r.shard, 0) + r.n_tok
+    max_doc = max(len(t.split(" ")) for _, t in rows)
+    assert max(totals.values()) - min(totals.values()) <= max_doc
+
+
+def test_scd2_sink_matches_batch_recompute_and_replays(spark, tmp_path):
+    from akka_stream_contrib_spark.operators.scd2 import scd2_intervals
+    from akka_stream_contrib_spark.streaming import read_scd2, scd2_sink
+
+    rows_b1 = [
+        (1, "a", "2026-01-01 10:00:00", 1),
+        (1, "a", "2026-01-01 10:01:00", 2),   # same state: no new interval
+        (1, "b", "2026-01-01 10:02:00", 3),   # change
+        (2, "x", "2026-01-01 10:00:30", 4),
+    ]
+    rows_b2 = [
+        (1, "b", "2026-01-01 10:03:00", 5),   # continues open 'b'
+        (1, "c", "2026-01-01 10:04:00", 6),   # change across batches
+        (2, "y", "2026-01-01 10:05:00", 7),   # change
+        (3, "n", "2026-01-01 10:06:00", 8),   # brand-new key
+    ]
+    schema = "user_id long, event_type string, ts string, event_id long"
+
+    def mk(rows):
+        return (spark.createDataFrame(rows, schema)
+                .withColumn("ts", F.to_timestamp("ts")))
+
+    sink = scd2_sink(str(tmp_path / "dim"))
+    sink(mk(rows_b1), 0)
+    sink(mk(rows_b2), 1)
+
+    def snap():
+        return sorted(map(tuple, read_scd2(
+            spark, str(tmp_path / "dim")).collect()))
+
+    batch_all = mk(rows_b1 + rows_b2)
+    expect = sorted(map(tuple, batch_all.transform(
+        scd2_intervals()).collect()))
+    got = snap()
+    assert got == expect
+    # at-least-once replay of the LAST batch must not change the table
+    sink(mk(rows_b2), 1)
+    assert snap() == expect
+    # a key with no rows in batch 2 but closed in batch 1 stays closed
+    currents = {(r[0], r[1]) for r in got if r[5]}
+    assert currents == {(1, "c"), (2, "y"), (3, "n")}

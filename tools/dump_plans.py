@@ -90,6 +90,10 @@ SHOWCASE = {
     "audio_segments": "audio framing: ONE explicit-count repartition of "
         "the compact pre-explode rows (fan-out never binds to input "
         "splits); island window + segment groupBy reuse the partitioning",
+    "hard_negatives": "contrastive hard-negative mining: broadcast-GEMM "
+        "with the label mask inside the kernel — zero exchanges",
+    "balanced_shards": "token-balanced shards: two-phase global rank "
+        "(range exchange + broadcast prefix) + map-side modulo",
 }
 
 
