@@ -718,9 +718,13 @@ def hard_negatives(queries: DataFrame, k: int = 5,
         # empty corpus → zero negatives (the reference's empty-upstream
         # contract: complete cleanly, emit nothing)
         return spark.createDataFrame([], out_schema)
-    c_ids = pdf[id_col].to_numpy()
-    c_labels = pdf[label_col].to_numpy()
-    c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    # corpus arrays sorted by id ONCE: a stable argsort on the negated
+    # rounded sims then yields exactly the (sim DESC, id ASC) total order
+    # without any per-row lexsort
+    order0 = np.argsort(pdf[id_col].to_numpy())
+    c_ids = pdf[id_col].to_numpy()[order0]
+    c_labels = pdf[label_col].to_numpy()[order0]
+    c_mat = np.stack(pdf[vec_col].to_numpy()[order0]).astype(np.float64)
     c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
     b = spark.sparkContext.broadcast((c_ids, c_labels, c_mat))
 
@@ -734,18 +738,28 @@ def hard_negatives(queries: DataFrame, k: int = 5,
             sims = (q @ corpus_m.T).round(6)
             qids = pdfb[id_col].to_numpy()
             qlabels = pdfb[label_col].to_numpy()
-            for i in range(len(q)):
-                mask = corpus_labels != qlabels[i]
-                cand_sims = sims[i, mask]
+            # one vectorized top-k per LABEL GROUP (few labels, not per row):
+            # the label mask is shared by every query of that label, so the
+            # candidate slice, the stable argsort, and the output columns
+            # all batch — no per-row python, no per-row DataFrame
+            outs = []
+            for lab in np.unique(qlabels):
+                qsel = qlabels == lab
+                mask = corpus_labels != lab
                 cand_ids = corpus_ids[mask]
                 kk = min(k, len(cand_ids))
-                order = np.lexsort((cand_ids, -cand_sims))[:kk]
-                yield pd.DataFrame({
-                    "query_id": np.repeat(qids[i], kk),
-                    "neighbor_id": cand_ids[order],
-                    "rank": np.arange(1, kk + 1),
-                    "cos_sim": cand_sims[order],
-                })
+                if kk == 0:
+                    continue
+                sub = sims[qsel][:, mask]
+                idx = np.argsort(-sub, axis=1, kind="stable")[:, :kk]
+                outs.append(pd.DataFrame({
+                    "query_id": np.repeat(qids[qsel], kk),
+                    "neighbor_id": cand_ids[idx].ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1), int(qsel.sum())),
+                    "cos_sim": np.take_along_axis(sub, idx, axis=1).ravel(),
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
     return queries.select(id_col, vec_col, label_col).mapInPandas(
         _scan, schema=out_schema)

@@ -431,3 +431,53 @@ def test_histogram_quantile_matches_model_and_error_bound(values, q):
     rank = math.ceil(q * len(values))
     true_v = sorted(values)[rank - 1]
     assert abs(est - true_v) <= 100.0 / 20 + 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(**SETTINGS)
+def test_token_budget_fill_is_greedy_prefix(ntoks, num):
+    """For ANY corpus and budget fraction: the selection is exactly the
+    maximal prefix of the (quality desc, id) order whose token sum fits."""
+    from akka_stream_contrib_spark.functions.corpus import token_budget_fill
+    spark = _get_spark()
+    # doc i: i distinct tokens then padding repeats of the first token
+    rows = []
+    for i, n in enumerate(ntoks):
+        base = [f"w{i}_{j}" for j in range(max(1, n // 2))]
+        toks = (base * ((n // len(base)) + 1))[:n]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           token_budget_fill(budget_num=num, budget_den=10)(df).collect()}
+    budget = (num * sum(ntoks)) // 10
+    qual = []
+    for i, n in enumerate(ntoks):
+        distinct = len(set(rows[i][1].split(" ")))
+        qual.append((-round(distinct / n, 6), i, n))
+    qual.sort()
+    acc, expect = 0, {}
+    for _negq, i, n in qual:
+        if acc + n > budget:
+            break
+        acc += n
+        expect[i] = acc
+    assert {i: r.cum_tok for i, r in out.items()} == expect
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=50),
+    st.integers(min_value=2, max_value=7),
+)
+@settings(**SETTINGS)
+def test_balanced_shards_round_robin_model(ntoks, shards):
+    from akka_stream_contrib_spark.functions.corpus import balanced_shards
+    spark = _get_spark()
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(ntoks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.shard for r in
+           balanced_shards(n_shards=shards)(df).collect()}
+    order = sorted(range(len(ntoks)), key=lambda i: (-ntoks[i], i))
+    assert out == {i: pos % shards for pos, i in enumerate(order)}
