@@ -2167,6 +2167,17 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.transform(scd2_intervals("user_id", "event_type", "ts", "event_id"))
 
 
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state lookup over the SCD2 interval table
+    (operators/scd2.py::scd2_as_of): every user's event_type in effect at
+    2024-01-15 12:00 under the half-open [valid_from, valid_to) contract —
+    a pure map-side filter over the intervals, no join or window."""
+    from akka_stream_contrib_spark.operators import scd2_as_of, scd2_intervals
+    ev = tables.load(spark, "events", sf_dir)
+    iv = ev.transform(scd2_intervals("user_id", "event_type", "ts", "event_id"))
+    return iv.transform(scd2_as_of(_ts("2024-01-15 12:00:00"), key="user_id"))
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 split by a portable md5 bucket of doc_id —
     stable across reruns/backfills/engines (randomSplit is neither), pure
@@ -3519,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": q_audio_segments,
         "hard_negatives": q_hard_negatives,
         "balanced_shards": q_balanced_shards,
+        "scd2_as_of": q_scd2_as_of,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3539,7 +3551,7 @@ _PRIORITY = [
     "phash_near_dup", "accumulate", "dsir_select", "pii_luhn",
     "holt_trend", "logreg_quality",
     "rrf_fusion", "token_budget_fill", "audio_segments",
-    "hard_negatives", "balanced_shards",
+    "hard_negatives", "balanced_shards", "scd2_as_of",
     # (2) no-oracle rows+schema pinning
     "ann_ivf_all", "approx_distinct_users", "bpe_learn_merges",
     "hll_daily_users", "ivf_ann_topk", "kmeans_clusters", "pagerank_users",
@@ -7119,6 +7131,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
             FROM r WHERE rank <= 3
+        """,
+        "scd2_as_of": """
+            WITH marked AS (
+                SELECT user_id, event_type, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+                FROM events
+            ), starts AS (
+                SELECT * FROM marked
+                WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+            ), iv AS (
+                SELECT user_id, event_type AS state,
+                       event_id AS valid_from_seq, ts AS valid_from,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                           AS valid_to
+                FROM starts
+            )
+            SELECT user_id, state, valid_from, valid_from_seq
+            FROM iv
+            WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+              AND (valid_to IS NULL OR TIMESTAMP '2024-01-15 12:00:00' < valid_to)
         """,
         "balanced_shards": """
             WITH t AS (

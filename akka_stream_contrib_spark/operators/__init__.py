@@ -36,7 +36,7 @@ from akka_stream_contrib_spark.operators.feedback import (
     unfold_flow_with,
 )
 from akka_stream_contrib_spark.operators.asof import as_of_join
-from akka_stream_contrib_spark.operators.scd2 import scd2_intervals
+from akka_stream_contrib_spark.operators.scd2 import scd2_intervals, scd2_as_of
 from akka_stream_contrib_spark.operators.zorder import zorder_key, zorder_write
 from akka_stream_contrib_spark.operators.timeseries import (
     rolling_zscore,
@@ -67,7 +67,7 @@ from akka_stream_contrib_spark.operators.global_order import (
 __all__ = [
     "interval_overlap_join",
     "global_rank", "global_running_sum", "global_running_agg", "global_lag",
-    "scd2_intervals", "zorder_key", "zorder_write", "rolling_zscore", "ewma_smooth", "ewma_weights", "sessionize",
+    "scd2_intervals", "scd2_as_of", "zorder_key", "zorder_write", "rolling_zscore", "ewma_smooth", "ewma_weights", "sessionize",
     "sample_nth", "sample_step", "sample_random", "reservoir_sample",
     "partition_with", "pass_through",
     "accumulate", "accumulate_while_unchanged", "last_element",

@@ -54,3 +54,30 @@ def scd2_intervals(key: str = "user_id", attr: str = "event_type",
         )
 
     return _apply
+
+
+def scd2_as_of(at, key: str = "user_id",
+               ) -> Callable[[DataFrame], DataFrame]:
+    """Point-in-time lookup over an SCD2 interval table (the output of
+    :func:`scd2_intervals` or ``streaming/sinks.py::read_scd2``): each
+    key's state valid AT the given instant, under the half-open
+    ``[valid_from, valid_to)`` contract — a change AT ``at`` is already in
+    effect, the closed-out state is not.
+
+    Keys whose first interval opens after ``at`` have no row (they did not
+    exist yet). Emits (key, state, valid_from, valid_from_seq).
+
+    Scale shape: a pure map-side filter over the interval table — the
+    predicate prunes to ≤ one row per key with no window, join, or
+    shuffle; with the table partitioned on ``valid_from`` date the scan
+    itself prunes to the intervals overlapping ``at``.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        t = F.lit(at).cast("timestamp")
+        return (df.filter((F.col("valid_from") <= t)
+                          & (F.col("valid_to").isNull()
+                             | (t < F.col("valid_to"))))
+                .select(key, "state", "valid_from", "valid_from_seq"))
+
+    return _apply

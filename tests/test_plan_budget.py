@@ -279,6 +279,9 @@ BUDGET = {
     "audio_segments": 1,
     # broadcast-corpus GEMM with a label mask: zero shuffles (knn_join kin)
     "hard_negatives": 0,
+    # the scd2 interval windows' one user_id shuffle; the as-of filter is
+    # map-side over the intervals
+    "scd2_as_of": 1,
     # two-phase global rank (range exchange); shard id is map-side modulo
     "balanced_shards": 1,
 }

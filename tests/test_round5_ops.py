@@ -246,3 +246,27 @@ def test_scd2_sink_matches_batch_recompute_and_replays(spark, tmp_path):
     # a key with no rows in batch 2 but closed in batch 1 stays closed
     currents = {(r[0], r[1]) for r in got if r[5]}
     assert currents == {(1, "c"), (2, "y"), (3, "n")}
+
+
+def test_scd2_as_of_half_open_boundary(spark):
+    from akka_stream_contrib_spark.operators import scd2_as_of, scd2_intervals
+    rows = [
+        (1, "a", "2026-01-01 10:00:00", 1),
+        (1, "b", "2026-01-01 11:00:00", 2),   # change exactly AT the probe
+        (2, "x", "2026-01-01 12:00:00", 3),   # first interval after probe
+    ]
+    df = (spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, event_id long")
+        .withColumn("ts", F.to_timestamp("ts")))
+    iv = df.transform(scd2_intervals("user_id", "event_type", "ts",
+                                     "event_id"))
+    import datetime
+    at = datetime.datetime(2026, 1, 1, 11, 0, 0)
+    got = {(r.user_id, r.state) for r in
+           iv.transform(scd2_as_of(at)).collect()}
+    # half-open: the 11:00 change is already in effect; user 2 not born yet
+    assert got == {(1, "b")}
+    before = datetime.datetime(2026, 1, 1, 10, 59, 59)
+    got = {(r.user_id, r.state) for r in
+           iv.transform(scd2_as_of(before)).collect()}
+    assert got == {(1, "a")}
