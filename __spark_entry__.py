@@ -99,6 +99,20 @@ def q_sample_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_step_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sequential Sample(next) replay (operators/sample.py::
+    sample_step_replay — closes the one documented Sample deviation): the
+    i-th LCG draw consumes ((i*48271) % 65536) % 40 + 1 elements of the
+    event_id order and emits the one it lands on; positions replayed
+    driver-side, data side = global rank + broadcast semi-join. The
+    oracle replays the same recurrence as a DuckDB recursive CTE."""
+    from akka_stream_contrib_spark.operators import sample_step_replay
+    ev = tables.load(spark, "events", sf_dir)
+    step = lambda i: ((i * 48271) % 65536) % 40 + 1  # noqa: E731
+    return (ev.transform(sample_step_replay(step, seq="event_id"))
+            .select("event_id", "user_id", "value"))
+
+
 def q_partition_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.transform(
@@ -3531,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "balanced_shards": q_balanced_shards,
         "scd2_as_of": q_scd2_as_of,
+        "sample_step_replay": q_sample_step_replay,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3552,6 +3567,7 @@ _PRIORITY = [
     "holt_trend", "logreg_quality",
     "rrf_fusion", "token_budget_fill", "audio_segments",
     "hard_negatives", "balanced_shards", "scd2_as_of",
+    "sample_step_replay",
     # (2) no-oracle rows+schema pinning
     "ann_ivf_all", "approx_distinct_users", "bpe_learn_merges",
     "hll_daily_users", "ivf_ann_topk", "kmeans_clusters", "pagerank_users",
@@ -3707,6 +3723,22 @@ def oracle_sql() -> dict[str, str]:
         "sample_step": """
             SELECT event_id, user_id, value
             FROM events WHERE (event_id * 48271) % 65536 < 6553
+        """,
+        "sample_step_replay": """
+            WITH RECURSIVE tgt(i, pos) AS (
+                SELECT 1, ((1 * 48271) % 65536) % 40 + 1
+                UNION ALL
+                SELECT i + 1,
+                       pos + ((((i + 1) * 48271) % 65536) % 40) + 1
+                FROM tgt
+                WHERE pos <= (SELECT count(*) FROM events)
+            ), r AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (ORDER BY event_id) AS rn
+                FROM events
+            )
+            SELECT event_id, user_id, value
+            FROM r JOIN tgt ON r.rn = tgt.pos
         """,
         "partition_with": """
             SELECT event_id,

@@ -4,7 +4,7 @@ Every operator is a ``DataFrame -> DataFrame`` function usable via
 ``df.transform(op(...))`` — the Spark analogue of ``Flow[I, O]``.
 """
 
-from akka_stream_contrib_spark.operators.sample import sample_nth, sample_step, sample_random, reservoir_sample
+from akka_stream_contrib_spark.operators.sample import (sample_nth, sample_step, sample_random, reservoir_sample, sample_step_replay)
 from akka_stream_contrib_spark.operators.partition import partition_with, pass_through
 from akka_stream_contrib_spark.operators.accumulate import (
     accumulate,
@@ -68,7 +68,7 @@ __all__ = [
     "interval_overlap_join",
     "global_rank", "global_running_sum", "global_running_agg", "global_lag",
     "scd2_intervals", "scd2_as_of", "zorder_key", "zorder_write", "rolling_zscore", "ewma_smooth", "ewma_weights", "sessionize",
-    "sample_nth", "sample_step", "sample_random", "reservoir_sample",
+    "sample_nth", "sample_step", "sample_random", "reservoir_sample", "sample_step_replay",
     "partition_with", "pass_through",
     "accumulate", "accumulate_while_unchanged", "last_element",
     "merge_by_index",

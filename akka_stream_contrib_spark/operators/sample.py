@@ -52,14 +52,11 @@ def sample_step(max_step: int, seq: str = "seq",
     of partitions, and (b) is exactly reproducible in ANSI SQL for the oracle.
 
     Documented deviation: the reference's ``next: () => Int`` is an arbitrary
-    stateful callable whose draws are consumed SEQUENTIALLY — replaying that
-    exactly would need a cumulative sum of the draw sequence (a global-order
-    scan; SURVEY §2.2 notes the same), coupling every row to its predecessors
-    for no statistical benefit. This operator is the statistical equivalent
-    (identical keep-rate, deterministic), not a draw-for-draw replay; a
-    pipeline that truly needs replayed stateful draws can feed the draw
-    sequence as a column and filter on its running sum via
-    ``operators.global_order.global_running_sum``.
+    stateful callable whose draws are consumed SEQUENTIALLY. This operator is
+    the statistical equivalent (identical keep-rate, deterministic), the
+    right default at scale; :func:`sample_step_replay` is the exact
+    draw-for-draw replay (driver-side cumulative targets + broadcast
+    semi-join) when the reference sequence itself is the contract.
     """
     if max_step <= 0:
         raise ValueError("max_step must be positive")
@@ -112,5 +109,60 @@ def reservoir_sample(k: int, id_col: str = "seq") -> Callable[[DataFrame], DataF
                 .orderBy("_rsv_key", id_col)
                 .limit(k)
                 .drop("_rsv_key"))
+
+    return _apply
+
+
+def sample_step_replay(next_step: Callable[[int], int], seq: str = "seq",
+                       n_rows: int | None = None,
+                       max_kept: int = 10_000_000
+                       ) -> Callable[[DataFrame], DataFrame]:
+    """EXACT draw-for-draw replay of ``Sample(next: () => Int)``
+    (Sample.scala:32-76): the i-th draw ``g_i = next_step(i) >= 1`` consumes
+    ``g_i`` upstream elements and emits the one it lands on, so the emitted
+    1-based positions are the cumulative sums ``g_1, g_1+g_2, ...`` —
+    the sequential semantics ``sample_step`` deliberately trades away
+    (see its docstring).
+
+    This stays scale-safe because the POSITIONS are generated, not scanned:
+    the draw sequence is replayed DRIVER-side (a pure recurrence — the
+    reference consumes the same callable single-threadedly, so this is not
+    a new serial bottleneck; it just runs on tiny integers instead of the
+    data), producing ≤ n/min_step target positions (hard-capped at
+    ``max_kept``), and the data-side work is the two-phase global rank
+    plus a broadcast semi-join against the target table. One range
+    exchange total; the one extra eager job is the ``count()`` bounding
+    the recurrence (skipped when ``n_rows`` is supplied).
+
+    ``next_step`` takes the 1-based draw index (a stateful reference
+    callable ports as ``lambda i: my_draws[i]``) and must return >= 1.
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.operators.global_order import (
+            global_rank)
+
+        n = df.count() if n_rows is None else n_rows
+        targets, pos, i = [], 0, 0
+        while True:
+            i += 1
+            g = next_step(i)
+            if g < 1:
+                raise ValueError(
+                    f"next_step must return >= 1, got {g} at draw {i}")
+            pos += g
+            if pos > n:
+                break
+            targets.append(pos)
+            if len(targets) > max_kept:
+                raise ValueError(
+                    f"sample_step_replay: more than {max_kept} kept "
+                    "positions — raise max_kept or use the stateless "
+                    "sample_step for rates this dense")
+        spark = df.sparkSession
+        tdf = spark.createDataFrame([(t,) for t in targets], "_pos bigint")
+        ranked = global_rank(df, [seq], out="_pos")
+        return (ranked.join(F.broadcast(tdf), "_pos", "left_semi")
+                .drop("_pos"))
 
     return _apply

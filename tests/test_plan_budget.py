@@ -282,6 +282,8 @@ BUDGET = {
     # the scd2 interval windows' one user_id shuffle; the as-of filter is
     # map-side over the intervals
     "scd2_as_of": 1,
+    # two-phase global rank (range exchange); the target table broadcasts
+    "sample_step_replay": 1,
     # two-phase global rank (range exchange); shard id is map-side modulo
     "balanced_shards": 1,
 }

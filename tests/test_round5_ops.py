@@ -270,3 +270,26 @@ def test_scd2_as_of_half_open_boundary(spark):
     got = {(r.user_id, r.state) for r in
            iv.transform(scd2_as_of(before)).collect()}
     assert got == {(1, "a")}
+
+
+def test_sample_step_replay_matches_sequential_model(spark):
+    from akka_stream_contrib_spark.operators import sample_step_replay
+    draws = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 41)], "seq long, v long")
+    out = sorted(r.seq for r in
+                 sample_step_replay(lambda i: draws[i - 1],
+                                    seq="seq")(df).collect())
+    # sequential model: cumulative draws land on 1-based positions; seq is
+    # already the 1-based dense position here
+    expect, pos = [], 0
+    for g in draws:
+        pos += g
+        if pos > 40:
+            break
+        expect.append(pos)
+    assert out == expect
+    # bad draw contract
+    import pytest
+    with pytest.raises(ValueError):
+        sample_step_replay(lambda i: 0, seq="seq")(df)
