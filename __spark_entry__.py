@@ -113,6 +113,59 @@ def q_sample_step_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "value"))
 
 
+def q_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-normalized subsequence similarity search over each user's value
+    series (operators/timeseries.py::znorm_motif_topk; EDBT-2019
+    streaming-similarity family): top-50 length-8 windows best matching an
+    up-down query shape — one key shuffle, lead-column windows, codegen
+    distance, TakeOrdered."""
+    from akka_stream_contrib_spark.operators import znorm_motif_topk
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.transform(znorm_motif_topk(_MOTIF_PATTERN, k=50))
+
+
+_MOTIF_PATTERN = [0.0, 1.0, 2.0, 1.0, 0.0, -1.0, -2.0, -1.0]
+
+
+def _motif_oracle(k: int = 50) -> str:
+    """DuckDB mirror of q_motif_search: the SAME z-normalized query doubles
+    (repr round-trips exactly) and the SAME left-associated mean/variance/
+    distance chains, so the rounded distances are bit-identical."""
+    from akka_stream_contrib_spark.operators import znorm_query
+    q = znorm_query(_MOTIF_PATTERN)
+    L = len(q)
+    leads = ",\n                       ".join(
+        f"lead(value, {j}) OVER (PARTITION BY user_id ORDER BY event_id) AS v{j}"
+        if j else "value AS v0"
+        for j in range(L))
+    mean = "v0"
+    for j in range(1, L):
+        mean += f" + v{j}"
+    var = "(v0 - m) * (v0 - m)"
+    for j in range(1, L):
+        var += f" + (v{j} - m) * (v{j} - m)"
+    dist = " + ".join(
+        f"((v{j} - m) / sd - ({q[j]!r})) * ((v{j} - m) / sd - ({q[j]!r}))"
+        for j in range(L))
+    return f"""
+        WITH lagged AS (
+            SELECT user_id, event_id,
+                       {leads}
+            FROM events
+        ), stats AS (
+            SELECT user_id, event_id, v0{"".join(f", v{j}" for j in range(1, L))},
+                   ({mean}) / {float(L)!r} AS m
+            FROM lagged WHERE v{L-1} IS NOT NULL
+        ), sds AS (
+            SELECT *, sqrt(({var}) / {float(L)!r}) AS sd FROM stats
+        )
+        SELECT user_id, event_id, round({dist}, 6) + 0.0 AS dist
+        FROM sds WHERE sd > 0
+        ORDER BY dist, user_id, event_id
+        LIMIT {k}
+    """
+
+
 def q_partition_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.transform(
@@ -3546,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_shards": q_balanced_shards,
         "scd2_as_of": q_scd2_as_of,
         "sample_step_replay": q_sample_step_replay,
+        "motif_search": q_motif_search,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3567,7 +3621,7 @@ _PRIORITY = [
     "holt_trend", "logreg_quality",
     "rrf_fusion", "token_budget_fill", "audio_segments",
     "hard_negatives", "balanced_shards", "scd2_as_of",
-    "sample_step_replay",
+    "sample_step_replay", "motif_search",
     # (2) no-oracle rows+schema pinning
     "ann_ivf_all", "approx_distinct_users", "bpe_learn_merges",
     "hll_daily_users", "ivf_ann_topk", "kmeans_clusters", "pagerank_users",
@@ -3724,6 +3778,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, value
             FROM events WHERE (event_id * 48271) % 65536 < 6553
         """,
+        "motif_search": _motif_oracle(),
         "sample_step_replay": """
             WITH RECURSIVE tgt(i, pos) AS (
                 SELECT 1, ((1 * 48271) % 65536) % 40 + 1

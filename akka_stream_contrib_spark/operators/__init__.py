@@ -44,6 +44,8 @@ from akka_stream_contrib_spark.operators.timeseries import (
     ewma_weights,
     holt_linear,
     sessionize,
+    znorm_motif_topk,
+    znorm_query,
 )
 from akka_stream_contrib_spark.operators.resample import resample_ffill, resample_interpolate, ohlc_resample
 from akka_stream_contrib_spark.operators.cdc import apply_changes, snapshot_diff
@@ -67,7 +69,7 @@ from akka_stream_contrib_spark.operators.global_order import (
 __all__ = [
     "interval_overlap_join",
     "global_rank", "global_running_sum", "global_running_agg", "global_lag",
-    "scd2_intervals", "scd2_as_of", "zorder_key", "zorder_write", "rolling_zscore", "ewma_smooth", "ewma_weights", "sessionize",
+    "scd2_intervals", "scd2_as_of", "zorder_key", "zorder_write", "rolling_zscore", "ewma_smooth", "ewma_weights", "sessionize", "znorm_motif_topk", "znorm_query",
     "sample_nth", "sample_step", "sample_random", "reservoir_sample", "sample_step_replay",
     "partition_with", "pass_through",
     "accumulate", "accumulate_while_unchanged", "last_element",

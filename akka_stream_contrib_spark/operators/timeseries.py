@@ -277,3 +277,82 @@ def holt_linear(key: str = "user_id", value: str = "value",
                      .withColumn("trend", _q6("trend"))
 
     return _apply
+
+
+def znorm_query(pattern: list[float]) -> list[float]:
+    """Z-normalize a query pattern with plain double arithmetic — shared by
+    :func:`znorm_motif_topk` and its SQL oracle so both engines embed the
+    SAME literal doubles (repr round-trips exactly)."""
+    L = len(pattern)
+    qm = 0.0
+    for x in pattern:
+        qm += float(x)
+    qm /= L
+    qs = 0.0
+    for x in pattern:
+        qs += (float(x) - qm) * (float(x) - qm)
+    qsd = (qs / L) ** 0.5
+    if qsd == 0.0:
+        raise ValueError("pattern is constant — z-normalization undefined")
+    return [(float(x) - qm) / qsd for x in pattern]
+
+
+def znorm_motif_topk(pattern: list[float], k: int = 50,
+                     key: str = "user_id", seq: str = "event_id",
+                     value: str = "value"
+                     ) -> Callable[[DataFrame], DataFrame]:
+    """Subsequence similarity search (the distributed core of streaming
+    time-series similarity search, EDBT 2019 / UCR-suite style): slide a
+    length-``L = len(pattern)`` window along every key's series, z-normalize
+    each window, and return the top-``k`` windows by squared Euclidean
+    distance to the z-normalized query ``pattern`` — matching SHAPE, not
+    level or amplitude (that is what the z-normalization buys).
+
+    Emits (key, seq, dist) for the window STARTING at ``seq``; constant
+    (zero-variance) windows cannot be shape-matched and are skipped.
+
+    Scale shape: the window materializes as ``L`` ``lead`` columns over ONE
+    key-hash shuffle (no explode — row count is unchanged); the distance is
+    a fixed left-associated arithmetic chain inside codegen (engine-exact,
+    6-dp rounded), and the top-k is TakeOrderedAndProject — per-partition
+    heaps, no global sort. L is a model constant (8-32); the plan width
+    grows with L, not the data.
+    """
+    L = len(pattern)
+    if L < 2:
+        raise ValueError("pattern needs at least 2 points")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    q = znorm_query(pattern)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(seq)
+        vs = [F.col(value).cast("double") if j == 0
+              else F.lead(F.col(value).cast("double"), j).over(w)
+              for j in range(L)]
+        d = df.select(F.col(key), F.col(seq),
+                      *[v.alias(f"_v{j}") for j, v in enumerate(vs)])
+        d = d.filter(F.col(f"_v{L-1}").isNotNull())
+        # fixed left-assoc chains — identical IEEE order in the SQL oracle
+        mean = F.col("_v0")
+        for j in range(1, L):
+            mean = mean + F.col(f"_v{j}")
+        mean = mean / F.lit(float(L))
+        d = d.withColumn("_m", mean)
+        var = (F.col("_v0") - F.col("_m")) * (F.col("_v0") - F.col("_m"))
+        for j in range(1, L):
+            var = var + (F.col(f"_v{j}") - F.col("_m")) \
+                * (F.col(f"_v{j}") - F.col("_m"))
+        d = d.withColumn("_sd", F.sqrt(var / F.lit(float(L))))
+        d = d.filter(F.col("_sd") > 0)
+        dist = None
+        for j in range(L):
+            z = (F.col(f"_v{j}") - F.col("_m")) / F.col("_sd")
+            term = (z - F.lit(q[j])) * (z - F.lit(q[j]))
+            dist = term if dist is None else dist + term
+        return (d.select(F.col(key), F.col(seq),
+                         (F.round(dist, 6) + F.lit(0.0)).alias("dist"))
+                .orderBy("dist", key, seq)
+                .limit(k))
+
+    return _apply

@@ -284,6 +284,8 @@ BUDGET = {
     "scd2_as_of": 1,
     # two-phase global rank (range exchange); the target table broadcasts
     "sample_step_replay": 1,
+    # one key-window shuffle; distance is codegen, top-k is TakeOrdered
+    "motif_search": 1,
     # two-phase global rank (range exchange); shard id is map-side modulo
     "balanced_shards": 1,
 }

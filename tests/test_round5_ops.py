@@ -293,3 +293,25 @@ def test_sample_step_replay_matches_sequential_model(spark):
     import pytest
     with pytest.raises(ValueError):
         sample_step_replay(lambda i: 0, seq="seq")(df)
+
+
+def test_znorm_motif_topk_finds_planted_shape(spark):
+    from akka_stream_contrib_spark.operators import znorm_motif_topk
+    pattern = [0.0, 1.0, 2.0, 1.0, 0.0, -1.0, -2.0, -1.0]
+    rows = []
+    # user 1: noise-ish sequence
+    vals1 = [5.0, 7.0, 3.0, 9.0, 2.0, 8.0, 4.0, 6.0, 5.0, 7.0, 3.0, 9.0]
+    rows += [(1, i, v) for i, v in enumerate(vals1)]
+    # user 2: the exact shape scaled (*3) and shifted (+100) at offset 2 —
+    # z-normalization must find it at distance 0
+    vals2 = [50.0, 60.0] + [100 + 3 * x for x in pattern] + [55.0, 65.0]
+    rows += [(2, i, v) for i, v in enumerate(vals2)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = znorm_motif_topk(pattern, k=3)(df).collect()
+    best = out[0]
+    assert (best.user_id, best.event_id, best.dist) == (2, 2, 0.0)
+    assert all(r.dist >= 0 for r in out)
+    # constant pattern is rejected
+    import pytest
+    with pytest.raises(ValueError):
+        znorm_motif_topk([1.0, 1.0, 1.0])
