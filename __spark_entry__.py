@@ -3609,12 +3609,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: the ~50-query driver-evidence window (see queries() comment). Round-5
 #: grouping: (1) queries whose oracle or implementation changed this round
 #: (data-derived pHash oracle, NULL-aware accumulate reroute, dsir NULL-text
-#: filter, pure-checksum luhn, vectorized holt, persisted logreg features) —
-#: must re-verify green; (2) the 7 no-oracle queries, rotated in so the
+#: filter, pure-checksum luhn, vectorized holt, persisted logreg features)
+#: plus the NINE queries new this round (rrf_fusion … motif_search) — all
+#: must show driver-green; (2) the 7 no-oracle queries, rotated in so the
 #: driver pins rows+schema (their value semantics are pytest-pinned by
 #: python-model/recall replay tests); (3) the never-driver-verified tail
-#: (74 at round start; the ~30 past the window spill to round 6; the
-#: 133-query ever-green set needs no re-checks).
+#: (74 at round start; entries past the ~50 cut spill to round 6, where
+#: one more window finishes the registry; the 133-query ever-green set
+#: needs no re-checks).
 _PRIORITY = [
     # (1) changed/new this round
     "phash_near_dup", "accumulate", "dsir_select", "pii_luhn",
