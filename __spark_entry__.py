@@ -7185,7 +7185,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(concat('0x', substr(md5(concat(ph, ':', f)), 1, 8)) AS BIGINT) % 1000
                            AS e
                 FROM m, LATERAL (
-                    SELECT unnest(range(0, dur // 1000 + 1)) AS f
+                    SELECT unnest(range(0, (dur + 999) // 1000)) AS f
                 ) g
             ), act AS (
                 SELECT doc_id, f, e,

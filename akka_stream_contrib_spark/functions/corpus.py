@@ -791,7 +791,11 @@ def token_budget_fill(budget_num: int = 3, budget_den: int = 10,
         keyed = q.withColumn("_negq", -F.col("quality"))
         cum = global_running_sum(keyed, ["_negq", id_col], "n_tok",
                                  "cum_tok").drop("_negq")
-        total = q.agg(F.sum("n_tok").alias("_tot"))
+        # corpus total = the LAST inclusive prefix = max(cum_tok), read from
+        # the localCheckpointed ranged frame — NOT a second source scan with
+        # a full re-tokenization (n_tok is never NULL here, so the max is
+        # always the complete sum)
+        total = cum.agg(F.max("cum_tok").alias("_tot"))
         thresh = F.expr(f"({budget_num} * _tot) div {budget_den}")
         return (cum.crossJoin(F.broadcast(total))
                 .filter(F.col("cum_tok") <= thresh)

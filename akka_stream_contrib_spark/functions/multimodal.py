@@ -430,10 +430,13 @@ def audio_segments(frame_ms: int = 1000, threshold: float = 0.6
                          F.col("doc_id"))
             .select(
                 "doc_id", "_ph",
+                # ceil(dur/frame_ms) frames: the last PARTIAL frame carries
+                # audio, but an exact multiple must NOT grow a phantom frame
+                # past the end (integer arithmetic, engine-portable)
                 F.explode(F.sequence(
                     F.lit(0),
-                    (F.col("_dur") / F.lit(frame_ms))
-                    .cast("int"))).alias("frame_no"))
+                    ((F.col("_dur") + F.lit(frame_ms - 1))
+                     / F.lit(frame_ms)).cast("int") - 1)).alias("frame_no"))
             .withColumn(
                 "_e1000",
                 F.pmod(

@@ -34,6 +34,51 @@ K1 = 1.2
 B = 0.75
 
 
+def _term_tf(term: str):
+    """HOF count of ``term`` in the projected ``_toks`` array (closure, not a
+    default-arg lambda: pyspark reads lambda arity to pick the (x) vs (x, i)
+    HOF form, so extra params are not allowed)."""
+    return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+
+def _bm25_score(n_terms: int):
+    """The BM25 score Column over the (dl, tf0..tfN) + broadcast
+    (n, sdl, df0..dfN) columns — ONE expression shape shared by
+    ``bm25_topk`` and ``rrf_fusion`` so their oracles stay bit-identical:
+    Lucene idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive),
+    ``idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))`` per term."""
+    avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
+    norm = F.lit(K1) * (F.lit(1.0 - B) +
+                        F.lit(B) * (F.col("dl").cast("double") / avgdl))
+    score = None
+    for i in range(n_terms):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5)))
+        tfd = F.col(f"tf{i}").cast("double")
+        part = idf * (tfd * F.lit(K1 + 1.0)) / (tfd + norm)
+        score = part if score is None else score + part
+    return score
+
+
+def _tfidf_score(n_terms: int):
+    """The TF-IDF score Column over the same frame — shared by
+    ``tfidf_topk`` and ``rrf_fusion``: sublinear tf ``(1 + ln(tf))`` for
+    tf > 0 else 0, idf ``ln(N / df)`` with a df > 0 guard."""
+    score = None
+    for i in range(n_terms):
+        tfd = F.col(f"tf{i}").cast("double")
+        part = F.when(
+            (F.col(f"tf{i}") > 0) & (F.col(f"df{i}") > 0),
+            (F.lit(1.0) + F.log(tfd))
+            * F.log(F.col("n").cast("double")
+                    / F.col(f"df{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return score
+
+
 def bm25_topk(terms: Sequence[str], k: int = 20,
               id_col: str = "doc_id", text_col: str = "text",
               ) -> Callable[[DataFrame], DataFrame]:
@@ -47,11 +92,6 @@ def bm25_topk(terms: Sequence[str], k: int = 20,
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
 
-    def _tf(term: str):
-        # closure (not a default-arg lambda: pyspark reads lambda arity to
-        # pick the (x) vs (x, i) HOF form, so extra params are not allowed)
-        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
-
     def _apply(df: DataFrame) -> DataFrame:
         # project the token array ONCE (HOF lambdas re-evaluate their input
         # expression per element — see functions/text.py perf notes)
@@ -60,7 +100,7 @@ def bm25_topk(terms: Sequence[str], k: int = 20,
         tf = toks.select(
             F.col(id_col),
             F.size("_toks").alias("dl"),
-            *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+            *[_term_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
         )
         stats = tf.agg(
             F.count(F.lit(1)).alias("n"),
@@ -71,20 +111,7 @@ def bm25_topk(terms: Sequence[str], k: int = 20,
             ],
         )
         scored = tf.crossJoin(F.broadcast(stats))
-        # identical IEEE expression shape on both engines: avgdl from the two
-        # exact integer sums, per-term  idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
-        avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
-        norm = F.lit(K1) * (F.lit(1.0 - B) +
-                            F.lit(B) * (F.col("dl").cast("double") / avgdl))
-        score = None
-        for i in range(len(terms)):
-            idf = F.log(
-                F.lit(1.0)
-                + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
-                / (F.col(f"df{i}") + F.lit(0.5)))
-            tfd = F.col(f"tf{i}").cast("double")
-            part = idf * (tfd * F.lit(K1 + 1.0)) / (tfd + norm)
-            score = part if score is None else score + part
+        score = _bm25_score(len(terms))
         return (scored
                 .select(F.col(id_col),
                         (F.round(score, 6) + F.lit(0.0)).alias("score"))
@@ -130,15 +157,12 @@ def tfidf_topk(terms: Sequence[str], k: int = 20,
     if not terms:
         raise ValueError("tfidf_topk needs at least one query term")
 
-    def _tf(term: str):
-        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
-
     def _apply(df: DataFrame) -> DataFrame:
         toks = df.select(
             F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
         tf = toks.select(
             F.col(id_col),
-            *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+            *[_term_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
         )
         stats = tf.agg(
             F.count(F.lit(1)).alias("n"),
@@ -148,16 +172,7 @@ def tfidf_topk(terms: Sequence[str], k: int = 20,
             ],
         )
         scored = tf.crossJoin(F.broadcast(stats))
-        score = None
-        for i in range(len(terms)):
-            tfd = F.col(f"tf{i}").cast("double")
-            part = F.when(
-                (F.col(f"tf{i}") > 0) & (F.col(f"df{i}") > 0),
-                (F.lit(1.0) + F.log(tfd))
-                * F.log(F.col("n").cast("double")
-                        / F.col(f"df{i}").cast("double")),
-            ).otherwise(F.lit(0.0))
-            score = part if score is None else score + part
+        score = _tfidf_score(len(terms))
         return (scored
                 .select(F.col(id_col),
                         (F.round(score, 6) + F.lit(0.0)).alias("score"))
@@ -230,9 +245,6 @@ def rrf_fusion(terms: Sequence[str], k: int = 20, depth: int = 100,
     if not terms:
         raise ValueError("rrf_fusion needs at least one query term")
 
-    def _tf(term: str):
-        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
-
     def _apply(df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
@@ -245,7 +257,7 @@ def rrf_fusion(terms: Sequence[str], k: int = 20, depth: int = 100,
         tf = pipeline_cache(toks.select(
             F.col(id_col),
             F.size("_toks").alias("dl"),
-            *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+            *[_term_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
         ))
         stats = tf.agg(
             F.count(F.lit(1)).alias("n"),
@@ -256,28 +268,11 @@ def rrf_fusion(terms: Sequence[str], k: int = 20, depth: int = 100,
             ],
         )
         scored = tf.crossJoin(F.broadcast(stats))
-        # identical IEEE shapes to bm25_topk / tfidf_topk (their oracles are
-        # hash-verified): per-term Lucene-idf BM25 and sublinear-tf TF-IDF
-        avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
-        norm = F.lit(K1) * (F.lit(1.0 - B) +
-                            F.lit(B) * (F.col("dl").cast("double") / avgdl))
-        bm25 = None
-        tfidf = None
-        for i in range(len(terms)):
-            tfd = F.col(f"tf{i}").cast("double")
-            idf = F.log(
-                F.lit(1.0)
-                + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
-                / (F.col(f"df{i}") + F.lit(0.5)))
-            bpart = idf * (tfd * F.lit(K1 + 1.0)) / (tfd + norm)
-            bm25 = bpart if bm25 is None else bm25 + bpart
-            tpart = F.when(
-                (F.col(f"tf{i}") > 0) & (F.col(f"df{i}") > 0),
-                (F.lit(1.0) + F.log(tfd))
-                * F.log(F.col("n").cast("double")
-                        / F.col(f"df{i}").cast("double")),
-            ).otherwise(F.lit(0.0))
-            tfidf = tpart if tfidf is None else tfidf + tpart
+        # the SAME shared score builders as bm25_topk / tfidf_topk — any
+        # change to the standalone rankers changes this fusion identically,
+        # keeping the bit-identity promise and the rank-replay test honest
+        bm25 = _bm25_score(len(terms))
+        tfidf = _tfidf_score(len(terms))
         both = scored.select(
             F.col(id_col),
             (F.round(bm25, 6) + F.lit(0.0)).alias("_sb"),

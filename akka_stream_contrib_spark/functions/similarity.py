@@ -709,6 +709,10 @@ def hard_negatives(queries: DataFrame, k: int = 5,
     the scoring kernel.
     """
     spark = queries.sparkSession
+    # NULL-labeled vectors are excluded from BOTH sides, matching SQL
+    # `q.label <> c.label` semantics (NULL compares to nothing): they can
+    # neither anchor a query nor serve as a negative
+    queries = queries.filter(F.col(label_col).isNotNull())
     pdf = _bounded_index_pdf(queries, [id_col, vec_col, label_col],
                              broadcast_budget_rows, "hard_negatives")
     id_type = queries.schema[id_col].dataType.simpleString()

@@ -119,13 +119,24 @@ def scd2_sink(path: str, key: str = "user_id", attr: str = "event_type",
         cols = [key, "state", "valid_from_seq", "valid_from", "valid_to",
                 "is_current"]
         schema_hint = None
+        # ONLY path-not-found means "first batch" — any other read/collect
+        # failure (FS hiccup, corrupt footer, executor loss) must propagate
+        # so the checkpoint retries the batch instead of silently writing a
+        # from-scratch snapshot that loses every prior key
+        from pyspark.errors import AnalysisException
         try:
             all_snaps = spark.read.parquet(path)
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in (ex.getErrorClass() or "") \
+                    and "Path does not exist" not in str(ex):
+                raise
+            all_snaps = None
+        if all_snaps is not None:
             prior = all_snaps.filter(F.col(BATCH_COL) < batch_id)
             last = prior.agg(F.max(BATCH_COL).alias("m")).collect()[0].m
             hist = (prior.filter(F.col(BATCH_COL) == last).drop(BATCH_COL)
                     if last is not None else None)
-        except Exception:
+        else:
             hist = None
         if hist is None:
             ts_t = batch_df.schema[ts].dataType.simpleString()

@@ -99,7 +99,7 @@ def test_audio_segments_islands_python_model(spark):
         dur = h32(text.encode()) % 600000 + 1
         ph = hashlib.md5(text.encode()).hexdigest()
         frames = [(f, h32(f"{ph}:{f}".encode()) % 1000)
-                  for f in range(dur // 1000 + 1)]
+                  for f in range((dur + 999) // 1000)]
         run = []
         for f, e in frames + [(None, -1)]:
             if e >= 600:
