@@ -272,8 +272,11 @@ BUDGET = {
     # the two TakeOrdered top-100s, rank windows and fusion join are
     # ≤depth-row driver-scale (limit exchange + tiny outer join)
     "rrf_fusion": 2,
-    # two-phase range prefix (range shuffle) + single-row total agg
-    "token_budget_fill": 2,
+    # two-phase range prefix + the budget agg over the CHECKPOINTED ranged
+    # frame (window exchange + partial-agg exchange, both over the narrow
+    # (id, n_tok, quality) frame — the r5 review fix removed the second
+    # full-corpus scan+re-tokenize this replaced; see SCALE.md)
+    "token_budget_fill": 3,
     # ONE pre-explode doc_id repartition (explicit count — fan-out must
     # not bind to input splits); island window + segment groupBy REUSE it
     "audio_segments": 1,

@@ -311,3 +311,15 @@ def test_unkeyed_accumulate_generic_fold_warns(spark):
         rows = out.orderBy("seq").collect()
     assert any("single-partition" in str(x.message) for x in w)
     assert [r.acc for r in rows[:3]] == [[0], [0, 1], [0, 1, 2]]
+
+
+def test_token_budget_fill_derives_total_without_rescanning_source(spark):
+    """The corpus-total budget must come from the checkpointed ranged frame
+    (max of the inclusive prefix), NOT a second parquet scan with a full
+    re-tokenization — the final plan may contain only ExistingRDD scans."""
+    from akka_stream_contrib_spark.functions.corpus import token_budget_fill
+    from akka_stream_contrib_spark.plans import formatted_plan
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = formatted_plan(token_budget_fill()(df))
+    assert "Scan parquet" not in plan, plan[:2000]
