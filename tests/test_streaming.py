@@ -536,3 +536,61 @@ def test_histogram_stream_probe_matches_batch_quantiles(spark, tmp_path):
         bdf, key="event_type", value="value", lo=0.0, hi=100.0, n_bins=10,
         qs=(0.5, 0.9)).collect()}
     assert got == want and ("a", 0.5) in got
+
+
+def test_scd2_sink_streaming_end_to_end(spark, tmp_path):
+    """scd2_sink driven by a real foreachBatch stream: two file-fed
+    microbatches must leave the same dimension as the batch recompute."""
+    from akka_stream_contrib_spark.operators.scd2 import scd2_intervals
+    from akka_stream_contrib_spark.streaming import read_scd2, scd2_sink
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    rows_b1 = [
+        {"user_id": 1, "event_type": "a", "ts": "2026-01-01 10:00:00",
+         "event_id": 1},
+        {"user_id": 1, "event_type": "b", "ts": "2026-01-01 10:02:00",
+         "event_id": 2},
+    ]
+    rows_b2 = [
+        {"user_id": 1, "event_type": "c", "ts": "2026-01-01 10:04:00",
+         "event_id": 3},
+        {"user_id": 2, "event_type": "x", "ts": "2026-01-01 10:05:00",
+         "event_id": 4},
+    ]
+    _feed_json(feed, "b1.json", rows_b1)
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    src = spark.readStream.schema(schema).json(str(feed))
+    dim = str(tmp_path / "dim")
+    q = (src.writeStream
+         .foreachBatch(scd2_sink(dim))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 60:
+            try:
+                if read_scd2(spark, dim).count() >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.4)
+        _feed_json(feed, "b2.json", rows_b2)
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 60:
+            try:
+                if read_scd2(spark, dim).count() >= 4:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.4)
+    finally:
+        q.stop()
+    batch_all = (spark.createDataFrame(
+        [tuple(r.values()) for r in rows_b1 + rows_b2],
+        "user_id long, event_type string, ts string, event_id long")
+        .withColumn("ts", F.to_timestamp("ts")))
+    expect = sorted(map(tuple, batch_all.transform(
+        scd2_intervals()).collect()))
+    got = sorted(map(tuple, read_scd2(spark, dim).collect()))
+    assert got == expect
