@@ -65,7 +65,6 @@ def dedup_keep_best(score, id_col: str = "doc_id", text_col: str = "text",
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
         # materialize the hash as ONE attribute: both window specs then share
         # partitioning + sort and collapse into a single WindowExec over a
         # single exchange (hashing inline in each spec planned two)
@@ -101,7 +100,6 @@ def dedup_incremental(new_df: DataFrame, seen_hashes: DataFrame,
     """
 
     def _first_per_hash(df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
         w = Window.partitionBy(hash_col).orderBy(id_col)
         return (df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
@@ -146,11 +144,33 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     aggregation, single shuffle on doc_id) — no row multiplication by the
     number of hash functions."""
     tids = sh.select("doc_id", token_id(F.col("shingle")).alias("tid"))
-    aggs = [
-        F.min((F.lit(6 * h + 7) * F.col("tid") + F.lit(3 * h + 1)) % MINHASH_P).alias(f"mh{h}")
+    return tids.groupBy("doc_id").agg(*minhash_aggs(num_hashes))
+
+
+
+def pair_fanout_expr(a: str = "a", b: str = "b") -> str:
+    """SQL expression emitting every ordered pair (l[i], l[j]), i < j, from
+    a sorted id array ``_l`` — the map-side posting-list fan-out shared by
+    the n-gram/edit-distance/SimHash candidate generators (one definition so
+    a fix to the fan-out cannot silently diverge between them)."""
+    return (
+        "flatten(transform(sequence(1, size(_l) - 1),"
+        " i -> transform(slice(_l, i + 1, size(_l) - i),"
+        f" y -> struct(element_at(_l, i) AS {a}, y AS {b}))))"
+    )
+
+
+
+def minhash_aggs(num_hashes: int) -> list:
+    """The affine minhash min-aggregates ((6h+7)*tid + (3h+1)) % P over a
+    ``tid`` column — ONE definition shared by :func:`minhash_signatures`
+    (which feeds the persistent band index) and the batch LSH path, so the
+    hash family can never silently diverge between index and query."""
+    return [
+        F.min((F.lit(6 * h + 7) * F.col("tid") + F.lit(3 * h + 1))
+              % MINHASH_P).alias(f"mh{h}")
         for h in range(num_hashes)
     ]
-    return tids.groupBy("doc_id").agg(*aggs)
 
 
 def band_keys(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFrame:
@@ -158,14 +178,20 @@ def band_keys(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFra
     band_key): positional base-(P+1) encoding of each band's ``rows_per_band``
     signature columns. These rows ARE the persistable LSH index — tiny
     (bands rows per doc, integers only) and joinable by equality."""
+    def _key(band: int):
+        cols = [F.col(f"mh{band * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        if rows_per_band * 13 <= 62:
+            # positional base-8192 (= 2^13) packing fits int64 only up to
+            # 4 rows/band; beyond that the sum silently wraps (spurious
+            # band collisions) or the literal 8192**r overflows LongType
+            return sum(c * F.lit((MINHASH_P + 1) ** r)
+                       for r, c in enumerate(cols))
+        # wide bands: portable injective string key instead
+        return F.md5(F.concat_ws(":", *cols))
+
     entries = [
-        F.struct(
-            F.lit(band).alias("band"),
-            sum(
-                F.col(f"mh{band * rows_per_band + r}") * F.lit((MINHASH_P + 1) ** r)
-                for r in range(rows_per_band)
-            ).alias("band_key"),
-        )
+        F.struct(F.lit(band).alias("band"), _key(band).alias("band_key"))
         for band in range(bands)
     ]
     return (
@@ -260,12 +286,8 @@ def minhash_lsh_dedup(
     _drop_stale_caches()
     sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
     tids = sh.withColumn("tid", token_id(F.col("shingle")))
-    min_aggs = [
-        F.min((F.lit(6 * h + 7) * F.col("tid") + F.lit(3 * h + 1)) % MINHASH_P).alias(f"mh{h}")
-        for h in range(num_hashes)
-    ]
     per_doc = tids.groupBy("doc_id").agg(
-        *min_aggs,
+        *minhash_aggs(num_hashes),
         F.count(F.lit(1)).alias("n"),
         F.collect_list("shingle").alias("shs"),  # shingles are distinct per doc
     )
@@ -355,11 +377,7 @@ def ngram_jaccard_dedup(
     # is hashed ONCE instead of twice, and no join ever materializes
     # (gram, doc_a, doc_b) wider than the pairs themselves. Measured 2.6×
     # at sf0.1 vs the a/b self-join formulation.
-    pair_expr = (
-        "flatten(transform(sequence(1, size(_l) - 1),"
-        " i -> transform(slice(_l, i + 1, size(_l) - i),"
-        " y -> struct(element_at(_l, i) AS doc_a, y AS doc_b))))"
-    )
+    pair_expr = pair_fanout_expr("doc_a", "doc_b")
     shared = (
         rare.groupBy("ngram").agg(F.array_sort(F.collect_list("doc_id")).alias("_l"))
         .filter(F.size("_l") >= 2)
@@ -389,7 +407,14 @@ def simhash(id_col: str = "doc_id", text_col: str = "text", k: int = 3,
 
     Computed as ``bits`` sum-aggregates over one pass of the shingle rows
     (no per-bit row explosion): map-side partial aggregation, one shuffle on
-    doc_id, then a single-row expression folds the vote signs into the hash."""
+    doc_id, then a single-row expression folds the vote signs into the hash.
+
+    ``bits`` is capped at 32: the source hash is a 32-bit md5 slice, so any
+    higher bit would be a constant-zero vote for every document — and a
+    downstream pigeonhole band over constant bits collapses to ONE bucket
+    (an all-pairs join), the exact blowup banding exists to prevent."""
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32] (32-bit source hash), got {bits}")
 
     def _apply(df: DataFrame) -> DataFrame:
         sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
@@ -479,7 +504,6 @@ def positional_ngrams(df: DataFrame, k: int = 8, id_col: str = "doc_id",
 
 
 # canonical-occurrence key: doc_id * 2^32 + pos, totally ordered and portable
-_SPAN_KEY = 4294967296
 
 
 def duplicate_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
@@ -505,8 +529,11 @@ def duplicate_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     """
     occ = (positional_ngrams(df, k=k, id_col=id_col, text_col=text_col)
            .select(F.md5("gram").alias("g"),
-                   (F.col("doc_id") * F.lit(_SPAN_KEY) + F.col("pos"))
-                   .alias("_key")))
+                   # occurrence key as an ORDERABLE STRUCT, not an integer
+                   # pack: works for string/huge ids (a doc_id*2^32 pack
+                   # NULLs non-numeric ids and wraps past 2^31), and struct
+                   # lexicographic order == the (doc_id, pos) canonical order
+                   F.struct(F.col("doc_id"), F.col("pos")).alias("_key")))
     # posting-list form: ONE shuffle on the gram hash collects each gram's
     # occurrence keys; dropping the canonical occurrence is a map-side array
     # filter (x != array_min). The previous groupBy + join-back shape both
@@ -518,8 +545,8 @@ def duplicate_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
         .filter(F.size("_ks") >= 2)
         .select(F.explode(F.expr("filter(_ks, x -> x != array_min(_ks))"))
                 .alias("_key"))
-        .select(F.expr(f"_key div {_SPAN_KEY}").alias("doc_id"),
-                (F.col("_key") % F.lit(_SPAN_KEY)).alias("s"))
+        .select(F.col("_key.doc_id").alias("doc_id"),
+                F.col("_key.pos").alias("s"))
         .withColumn("e", F.col("s") + F.lit(k - 1))
     )
     w = Window.partitionBy("doc_id").orderBy("s")
@@ -596,11 +623,7 @@ def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     )
     v = (df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
          .select("_id", "_s", F.explode(F.expr(variants)).alias("variant")))
-    pair_expr = (
-        "flatten(transform(sequence(1, size(_l) - 1),"
-        " i -> transform(slice(_l, i + 1, size(_l) - i),"
-        " y -> struct(element_at(_l, i) AS a, y AS b))))"
-    )
+    pair_expr = pair_fanout_expr()
     cand = (
         v.groupBy("variant")
         .agg(F.array_sort(F.collect_list(F.struct("_s", "_id"))).alias("_l"))
@@ -658,11 +681,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, k: int = 3,
                  .select("doc_id", "simhash",
                          F.col("_b.band").alias("band"),
                          F.col("_b.bkey").alias("bkey")))
-    pair_expr = (
-        "flatten(transform(sequence(1, size(_l) - 1),"
-        " i -> transform(slice(_l, i + 1, size(_l) - i),"
-        " y -> struct(element_at(_l, i) AS a, y AS b))))"
-    )
+    pair_expr = pair_fanout_expr()
     return (
         band_rows.groupBy("band", "bkey")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("_l"))

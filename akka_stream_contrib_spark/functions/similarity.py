@@ -76,6 +76,17 @@ def near_dup_pairs(df: DataFrame, threshold: float,
     )
 
 
+
+def _sq_dists(v: np.ndarray, cs: np.ndarray) -> np.ndarray:
+    """(n, d) × (m, d) → (n, m) squared Euclidean distances via the GEMM
+    identity |x|² − 2x·c + |c|² — no (n, m, d) broadcast temporary and ~4×
+    fewer FLOPs than the subtract-square-sum form (measured in pq_train);
+    shared by every IVF cell-assignment site."""
+    return ((v * v).sum(axis=1, keepdims=True)
+            - 2.0 * (v @ cs.T)
+            + (cs * cs).sum(axis=1))
+
+
 def _plane(p: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane p: exact integer formula then
     one double division — reproducible in any engine (no RNG)."""
@@ -164,7 +175,7 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                 continue
             v = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
             v /= np.linalg.norm(v, axis=1, keepdims=True)
-            cell = np.argmin(((v[:, None, :] - cs[None, :, :]) ** 2).sum(-1), axis=1)
+            cell = np.argmin(_sq_dists(v, cs), axis=1)
             mask = np.isin(cell, list(probed))
             if not mask.any():
                 continue
@@ -226,6 +237,8 @@ def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
+    kk = min(k, max(len(ids) - 1, 0))  # self is always masked out
+
     def _topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         corpus = b_mat.value
         corpus_ids = b_ids.value
@@ -242,9 +255,12 @@ def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
                 # mask self-matches, take top-k per row
                 for row_i in range(sims.shape[0]):
                     sims[row_i, corpus_ids == qb_ids[row_i]] = -np.inf
-                idx = np.argpartition(-sims, min(k, sims.shape[1] - 1), axis=1)[:, :k]
+                if kk == 0:
+                    continue
+                idx = np.argpartition(-sims, min(kk, sims.shape[1] - 1),
+                                      axis=1)[:, :kk]
                 out_rows = {
-                    id_col: np.repeat(qb_ids, k),
+                    id_col: np.repeat(qb_ids, kk),
                     "neighbor_id": corpus_ids[idx].ravel(),
                     "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel().round(6),
                 }
@@ -268,7 +284,7 @@ def _train_centroids(df: DataFrame, nlist: int, iters: int,
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     cents = X[:nlist].copy()
     for _ in range(iters):
-        assign = np.argmin(((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
+        assign = np.argmin(_sq_dists(X, cents), axis=1)
         for c in range(nlist):
             members = X[assign == c]
             if len(members):
@@ -308,7 +324,7 @@ def ann_topk_all_ivf(df: DataFrame, k: int = 3, nlist: int = 16,
                 continue
             v = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
             v /= np.linalg.norm(v, axis=1, keepdims=True)
-            d2 = ((v[:, None, :] - cs[None, :, :]) ** 2).sum(-1)
+            d2 = _sq_dists(v, cs)
             order = np.argsort(d2, axis=1, kind="stable")
             yield pd.DataFrame({
                 id_col: pdfb[id_col],
@@ -397,7 +413,7 @@ def ivf_write_index(df: DataFrame, path: str, nlist: int = 16,
                 continue
             v = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
             v /= np.linalg.norm(v, axis=1, keepdims=True)
-            cell = np.argmin(((v[:, None, :] - cs[None, :, :]) ** 2).sum(-1), axis=1)
+            cell = np.argmin(_sq_dists(v, cs), axis=1)
             yield pd.DataFrame({id_col: pdfb[id_col], "nvec": list(v),
                                 "cell": cell.astype("int32")})
 
@@ -453,8 +469,13 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     spark = queries.sparkSession
     pdf = _bounded_index_pdf(corpus, [corpus_id, vec_col],
                              broadcast_budget_rows, "knn_join")
-    c_ids = pdf[corpus_id].to_numpy()
-    c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    # corpus sorted by id ONCE so a stable argsort on the negated rounded
+    # sims IS the (sim desc, id asc) total order — one vectorized argsort
+    # and ONE output frame per Arrow batch instead of a per-query-row
+    # lexsort + DataFrame (the hard_negatives kernel shape)
+    order0 = np.argsort(pdf[corpus_id].to_numpy())
+    c_ids = pdf[corpus_id].to_numpy()[order0]
+    c_mat = np.stack(pdf[vec_col].to_numpy()[order0]).astype(np.float64)
     c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
     b_ids = spark.sparkContext.broadcast(c_ids)
     b_mat = spark.sparkContext.broadcast(c_mat)
@@ -464,21 +485,19 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
         corpus_m = b_mat.value
         corpus_ids = b_ids.value
         for pdfb in batches:
-            if len(pdfb) == 0:
+            if len(pdfb) == 0 or kk == 0:
                 continue
             q = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             sims = (q @ corpus_m.T).round(6)
             qids = pdfb[query_id].to_numpy()
-            for i in range(len(q)):
-                # total order (sim desc, id asc) — np.lexsort: last key primary
-                order = np.lexsort((corpus_ids, -sims[i]))[:kk]
-                yield pd.DataFrame({
-                    "query_id": np.repeat(qids[i], kk),
-                    "neighbor_id": corpus_ids[order],
-                    "rank": np.arange(1, kk + 1),
-                    "cos_sim": sims[i, order],
-                })
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids, kk),
+                "neighbor_id": corpus_ids[idx].ravel(),
+                "rank": np.tile(np.arange(1, kk + 1), len(q)),
+                "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+            })
 
     id_type = queries.schema[query_id].dataType.simpleString()
     nbr_type = corpus.schema[corpus_id].dataType.simpleString()
