@@ -4692,7 +4692,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_bpe": """
             SELECT doc_id,
-                   CAST(list_sum(list_transform(regexp_extract_all(text, '[a-z0-9]+'),
+                   CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
                             x -> greatest(1, (length(x) + 3) // 4))) AS BIGINT) AS est_tokens
             FROM documents
         """,
@@ -6154,12 +6154,17 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
                 FROM tr GROUP BY doc_id
             )
-            SELECT doc_id, n_shingles, n_hits,
-                   round(n_hits / CAST(n_shingles AS DOUBLE), 6) + 0.0
-                       AS containment,
-                   round(n_hits / CAST(n_shingles AS DOUBLE), 6) + 0.0 >= 0.8
-                       AS contaminated
-            FROM agg
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+                   CASE WHEN coalesce(a.n_shingles, 0) > 0
+                        THEN round(a.n_hits / CAST(a.n_shingles AS DOUBLE), 6) + 0.0
+                        ELSE 0.0 END AS containment,
+                   CASE WHEN coalesce(a.n_shingles, 0) > 0
+                        THEN round(a.n_hits / CAST(a.n_shingles AS DOUBLE), 6) + 0.0
+                        ELSE 0.0 END >= 0.8 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= 20) d
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "mixture_weights": """
             WITH per AS (

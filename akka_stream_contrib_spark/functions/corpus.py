@@ -120,15 +120,19 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, k: int = 3,
     tr = shingles(train, k=k, id_col=id_col, text_col=text_col)
     ev = (shingles(eval_df, k=k, id_col=id_col, text_col=text_col)
           .select("shingle").distinct())
-    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (tr.join(F.broadcast(ev), "shingle", "left_semi")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
-    return (
-        sizes.join(hits, "doc_id")
-        .select("doc_id", "n_shingles", "n_hits",
-                F.round(F.col("n_hits") / F.col("n_shingles"), 6)
-                .alias("containment"))
-    )
+    # ONE aggregation pass (the contamination_score conditional-sum shape):
+    # the sizes + semi-join formulation consumed the shingled corpus twice,
+    # i.e. two full scans + two shingle explosions of the train side
+    marked = ev.withColumn("_hit", F.lit(1))
+    agg = (tr.join(F.broadcast(marked), "shingle", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint")
+                .alias("n_hits")))
+    return (agg.filter(F.col("n_hits") > 0)
+            .select("doc_id", "n_shingles", "n_hits",
+                    F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+                    .alias("containment")))
 
 
 def domain_cap(n_per_domain: int, domain_col: str = "source",
@@ -378,11 +382,23 @@ def contamination_score(train: DataFrame, eval_df: DataFrame, k: int = 3,
              F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint")
              .alias("n_hits"))
     )
-    return scored.select(
-        "doc_id", "n_shingles", "n_hits",
-        (F.round(F.col("n_hits") / F.col("n_shingles"), 6) + F.lit(0.0))
-        .alias("containment"),
-    ).withColumn("contaminated", F.col("containment") >= 0.8)
+    # EVERY training document appears — docs too short to shingle (< k
+    # tokens, or NULL text) audit as zero shingles / zero containment
+    # rather than silently vanishing from the table
+    all_docs = train.select(F.col(id_col).alias("doc_id")).distinct()
+    return (all_docs.join(scored, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shingles", F.lit(0)).cast("bigint")
+                .alias("n_shingles"),
+                F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                .alias("n_hits"))
+            .withColumn(
+                "containment",
+                F.when(F.col("n_shingles") > 0,
+                       F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+                       + F.lit(0.0)).otherwise(F.lit(0.0)))
+            .withColumn("contaminated", F.col("containment") >= 0.8))
 
 
 def mixture_weights(alpha: float = 0.5, domain_col: str = "source",
@@ -402,10 +418,15 @@ def mixture_weights(alpha: float = 0.5, domain_col: str = "source",
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        per = (df.groupBy(F.col(domain_col).alias("source"))
-               .agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(F.size(F.split(F.col(text_col), " "))).cast("bigint")
-                    .alias("n_tokens")))
+        from akka_stream_contrib_spark.util import pipeline_cache
+        # two consumers (normalizer + final projection): cache the
+        # ≤ |domains|-row aggregate so the corpus scan+tokenize runs ONCE,
+        # matching the docstring's single-scan claim
+        per = pipeline_cache(
+            df.groupBy(F.col(domain_col).alias("source"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(F.split(F.col(text_col), " "))).cast("bigint")
+                 .alias("n_tokens")))
         tot = per.agg(
             F.sum("n_tokens").alias("_tot"),
             F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha))))
@@ -481,7 +502,11 @@ def weighted_sample(n: int, weight, id_col: str = "doc_id",
              + F.lit(0.5)) / F.lit(float(1 << 32))
         w = weight if isinstance(weight, Column) else F.col(weight)
         key = -F.log(u) / w.cast("double")
-        return (df.withColumn("sample_key", F.round(key, 9))
+        # weight <= 0 means "never sampled" — unfiltered, -log(u)/0 is NULL
+        # (non-ANSI), which sorts FIRST ascending and would fill the sample
+        # with exactly the excluded rows (or throw under ANSI division)
+        return (df.filter(w.cast("double") > 0)
+                .withColumn("sample_key", F.round(key, 9))
                 .orderBy("sample_key", id_col)
                 .limit(n))
 

@@ -187,12 +187,13 @@ def psi_drift(old, new, value_col: str = "value", n_buckets: int = 10,
             F.least(F.floor((F.col(value_col) - F.lit(lo))
                             / F.lit((hi - lo) / n_buckets)).cast("int"),
                     F.lit(n_buckets - 1)))
-        per = (df.select(b.alias("bucket")).groupBy("bucket")
-               .agg(F.count(F.lit(1)).alias("_c"))
-               # two consumers (share + normalizer) — cache the
-               # ≤ n_buckets+1 rows once, or the source scan runs twice
-               # per side
-               .persist())
+        from akka_stream_contrib_spark.util import pipeline_cache
+        per = pipeline_cache(
+            df.select(b.alias("bucket")).groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_c")))
+        # two consumers (share + normalizer) — cache the ≤ n_buckets+1 rows
+        # once (registered for release by the next pipeline's
+        # drop_stale_caches; a bare .persist() leaked it for the session)
         tot = per.agg(F.sum("_c").alias("_t"))
         return (per.crossJoin(F.broadcast(tot))
                 .select("bucket", (F.col("_c") / F.col("_t"))
@@ -258,7 +259,11 @@ def target_encoding(cat_col: str, label_col: str, id_col: str,
                              F.count(F.lit(1)).alias("_nf")))
         prior = df.agg(
             (F.sum(y).cast("double") / F.count(F.lit(1))).alias("_prior"))
-        enc = (per_cat.join(per_cat_fold, per_cat["_c"] == per_cat_fold["_c"])
+        # null-safe joins throughout: NULL is a legitimate category (and a
+        # NULL id yields a NULL fold) — plain equality would silently drop
+        # those rows from the returned frame
+        enc = (per_cat.join(per_cat_fold,
+                            per_cat["_c"].eqNullSafe(per_cat_fold["_c"]))
                .select(per_cat["_c"].alias("_c"), F.col("_f"),
                        F.col("_s"), F.col("_n"), F.col("_sf"), F.col("_nf"))
                .crossJoin(F.broadcast(prior)))
@@ -268,8 +273,8 @@ def target_encoding(cat_col: str, label_col: str, id_col: str,
         enc = enc.select("_c", "_f",
                          (F.round(te, 6) + F.lit(0.0)).alias(out))
         return (base.join(F.broadcast(enc),
-                          (base[cat_col] == enc["_c"])
-                          & (base["_fold"] == enc["_f"]))
+                          base[cat_col].eqNullSafe(enc["_c"])
+                          & base["_fold"].eqNullSafe(enc["_f"]))
                 .drop("_c", "_f")
                 .withColumnRenamed("_fold", "fold"))
 

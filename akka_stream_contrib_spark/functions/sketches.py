@@ -198,10 +198,14 @@ def bloom_probe(bloom: DataFrame, df: DataFrame, key_col: str,
     expansion + a per-key conditional count — the join-pruning shape:
     ``big.join(broadcast(bloom_probe(...)), ...)`` drops most non-matching
     rows before any shuffle of the big side."""
-    pos = df.select(
-        F.col(key_col).alias("key"),
+    # DISTINCT keys first: a key probed from m input rows would otherwise
+    # contribute m*k hit rows and fail the sum == k membership test — a
+    # false negative the filter's contract forbids (one output row per
+    # distinct key either way)
+    pos = df.select(F.col(key_col).alias("key")).distinct().select(
+        "key",
         F.explode(F.array(
-            *_bloom_positions(F.col(key_col), m_bits, k_hashes))).alias("pos"))
+            *_bloom_positions(F.col("key"), m_bits, k_hashes))).alias("pos"))
     probed = (pos
               .withColumn("word", (F.col("pos") / F.lit(32)).cast("bigint"))
               .withColumn("_m", F.expr("shiftleft(cast(1 as bigint),"
@@ -248,7 +252,11 @@ def histogram_build(df: DataFrame, key: str, value: str = "value",
     v = F.col(value).cast("double")
     bin_ = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
                    F.lit(n_bins - 1)).cast("int")
-    return (df.select(F.col(key).alias("key"), bin_.alias("bin"))
+    # NULL values carry no position: unfiltered they would form a NULL bin
+    # that sorts FIRST in the probe's cumulative walk and inflates n,
+    # shifting every quantile estimate
+    return (df.filter(v.isNotNull())
+            .select(F.col(key).alias("key"), bin_.alias("bin"))
             .groupBy("key", "bin").agg(F.count(F.lit(1)).alias("cnt")))
 
 

@@ -98,7 +98,7 @@ def token_count_bpe(id_col: str = "doc_id", text_col: str = "text",
         return df.select(
             F.col(id_col),
             F.expr(
-                f"aggregate(regexp_extract_all({text_col}, '[a-z0-9]+', 0), 0L,"
+                f"aggregate(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0), 0L,"
                 f" (a, x) -> a + greatest(1L, (length(x) + {c - 1}) div {c}))"
             ).alias("est_tokens"),
         )
@@ -290,10 +290,14 @@ def bigram_logprob_score(k: float = 0.5, id_col: str = "doc_id",
         ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         # the explode feeds four consumers (counts, marginals, vocab, the
         # scoring join) — materialize it ONCE (distributed, no driver
-        # collect); without this the document scan + explode replays per
-        # consumer. persist over localCheckpoint: same reuse, no
-        # checkpoint write barrier.
-        bigrams = bigrams.persist()
+        # collect); persist over localCheckpoint: same reuse, no checkpoint
+        # write barrier. Registered with pipeline_cache so the NEXT
+        # pipeline's drop_stale_caches releases it (a bare .persist() here
+        # pinned a corpus-sized frame for the session lifetime)
+        from akka_stream_contrib_spark.util import (drop_stale_caches,
+                                                    pipeline_cache)
+        drop_stale_caches()
+        bigrams = pipeline_cache(bigrams)
         bg_counts = bigrams.groupBy("w1", "w2").agg(
             F.count(F.lit(1)).alias("c12"))
         # marginal + vocabulary DERIVE from the aggregated count table
@@ -346,10 +350,18 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text", min_count: int = 5,
             F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    pair_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    head_c = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
-    tail_c = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("_c2"))
-    total = bigrams.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # marginals and N DERIVE from the aggregated pair table (the
+    # bigram_logprob_score pattern): the raw exploded bigram rows are
+    # consumed ONCE — without this the document scan + explode replayed
+    # four times (pair counts, two marginals, total)
+    from akka_stream_contrib_spark.util import (drop_stale_caches,
+                                                pipeline_cache)
+    drop_stale_caches()
+    pair_c = pipeline_cache(
+        bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    head_c = pair_c.groupBy("w1").agg(F.sum("c12").alias("_c1"))
+    tail_c = pair_c.groupBy("w2").agg(F.sum("c12").alias("_c2"))
+    total = pair_c.agg(F.sum("c12").cast("double").alias("_n"))
     return (
         pair_c.filter(F.col("c12") >= min_count)
         .join(head_c, "w1").join(tail_c, "w2")
@@ -522,8 +534,11 @@ def jaro_winkler_col(a, b):
     # NOTE: hints must resolve under `from __future__ import annotations`
     # (pandas_udf re-evaluates them as strings from module globals)
     def _jw_impl(x, y):
-        return pandas.Series([jaro_winkler(u, v) for u, v in zip(x, y)],
-                             dtype="float64")
+        # NULL on either side -> NULL similarity (a None would crash
+        # len() inside jaro_winkler and fail the whole task)
+        return pandas.Series(
+            [None if u is None or v is None else jaro_winkler(u, v)
+             for u, v in zip(x, y)], dtype="float64")
 
     _jw_impl.__annotations__ = {
         "x": pandas.Series, "y": pandas.Series, "return": pandas.Series}

@@ -51,7 +51,8 @@ BUDGET = {
     "stratified_sample": 0, "array_hof": 0, "regexp_funcs": 0,
     "moving_revenue_7d": 1, "grouping_sets_revenue": 1, "funnel_conversion": 2,
     "user_journey": 1, "chunk_documents": 0, "pack_sequences": 1,
-    "vocab_topk": 1, "decontaminate": 3, "dup_clusters": 0,
+    # decontaminate: one-pass conditional sum (r5 review) — was 3
+    "vocab_topk": 1, "decontaminate": 2, "dup_clusters": 0,
     "salted_event_stats": 2, "nation_trade_balance": 2,
     "lateral_top_customers": 2, "priority_shift_except_all": 1,
     "pii_redact": 0, "repetition_stats": 2, "knn_join": 0, "ann_all_topk": 0, "safe_arithmetic": 0,
@@ -174,9 +175,10 @@ BUDGET = {
     # bigram word-count shuffle + per-doc share agg; map-side rule columns
     "gopher_rules": 2,
     # eval-shingle distinct (broadcast side) + per-doc conditional-sum agg
-    "contamination_score": 2,
+    # +1: the every-doc contract joins the audit onto the full doc list
+    "contamination_score": 3,
     # domain agg + 1-row normalizer agg + broadcast distribution
-    "mixture_weights": 3,
+    "mixture_weights": 2,
     # literal sign matrix: pure projected expressions, zero shuffles
     "rp_project": 0,
     # ADC shortlist is TakeOrdered, rerank joins broadcast: zero exchanges

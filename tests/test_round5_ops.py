@@ -315,3 +315,101 @@ def test_znorm_motif_topk_finds_planted_shape(spark):
     import pytest
     with pytest.raises(ValueError):
         znorm_motif_topk([1.0, 1.0, 1.0])
+
+
+def test_bloom_probe_duplicate_probe_keys_no_false_negative(spark):
+    from akka_stream_contrib_spark.functions.sketches import (bloom_build,
+                                                              bloom_probe)
+    inserted = spark.createDataFrame([("a",), ("b",)], "w string")
+    bloom = bloom_build(inserted, key_col="w")
+    # the probe side carries the SAME key on multiple rows (the normal
+    # fact-table pruning shape) — membership must still hold
+    probe = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("zzz",)], "w string")
+    got = {r.key: r.member for r in
+           bloom_probe(bloom, probe, key_col="w").collect()}
+    assert got["a"] is True
+
+
+def test_weighted_sample_zero_weight_never_selected(spark):
+    from akka_stream_contrib_spark.functions.corpus import weighted_sample
+    rows = [(i, 1.0 if i % 2 else 0.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(5, "w")(df).collect()
+    assert len(out) == 5
+    assert all(r.doc_id % 2 == 1 for r in out), out
+
+
+def test_jaro_winkler_col_null_safe(spark):
+    from akka_stream_contrib_spark.functions.text import jaro_winkler_col
+    df = spark.createDataFrame(
+        [("martha", "marhta"), (None, "x"), ("x", None)], "a string, b string")
+    out = df.select(jaro_winkler_col("a", "b").alias("jw")).collect()
+    assert out[0].jw is not None
+    assert out[1].jw is None and out[2].jw is None
+
+
+def test_target_encoding_keeps_null_categories(spark):
+    from akka_stream_contrib_spark.functions.ml import target_encoding
+    rows = [(i, None if i % 3 == 0 else "c", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, cat string, y double")
+    out = target_encoding("cat", "y", "event_id", n_folds=3)(df)
+    assert out.count() == 30  # NULL-category rows must not vanish
+
+
+def test_contamination_score_includes_short_docs(spark):
+    from akka_stream_contrib_spark.functions.corpus import contamination_score
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "hi")], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.containment, r.contaminated)
+           for r in contamination_score(train, ev, k=3).collect()}
+    assert set(got) == {1, 2}
+    assert got[2] == (0, 0.0, False)  # too short to shingle, still audited
+
+
+def test_ann_topk_all_small_corpus_no_crash(spark):
+    from akka_stream_contrib_spark.functions.similarity import ann_topk_all
+    rows = [(i, [float(i), 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann_topk_all(df, k=10).collect()
+    assert len(out) == 3 * 2  # self masked; only 2 neighbors exist
+
+
+def test_simhash_rejects_bits_past_source_hash(spark):
+    import pytest
+
+    from akka_stream_contrib_spark.functions.dedup import simhash
+    with pytest.raises(ValueError):
+        simhash(bits=48)
+
+
+def test_band_keys_wide_bands_no_overflow(spark):
+    from akka_stream_contrib_spark.functions.dedup import (band_keys,
+                                                           minhash_signatures,
+                                                           shingles)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string")
+    sig = minhash_signatures(shingles(df, k=3), num_hashes=12)
+    # rows_per_band=6 > 4: positional packing would overflow int64 —
+    # the md5 fallback must keep identical docs colliding per band
+    bk = band_keys(sig, bands=2, rows_per_band=6).collect()
+    by_band = {}
+    for r in bk:
+        by_band.setdefault(r.band, {}).setdefault(r.band_key, set()).add(r.doc_id)
+    for band, keys in by_band.items():
+        assert any({1, 2} <= docs for docs in keys.values())
+        assert all(3 not in docs or docs == {3} for docs in keys.values())
+
+
+def test_duplicate_spans_string_doc_ids(spark):
+    from akka_stream_contrib_spark.functions.dedup import duplicate_spans
+    df = spark.createDataFrame(
+        [("docA", "one two three four five six seven eight nine ten"),
+         ("docB", "one two three four five six seven eight nine ten"),
+         ("docC", "totally different words in this line here now ok fine")],
+        "doc_id string, text string")
+    out = duplicate_spans(df, k=8).collect()
+    # docB's copy of the 10-token text must be marked (canonical = docA)
+    assert {r.doc_id for r in out} == {"docB"}
