@@ -5727,7 +5727,7 @@ def oracle_sql() -> dict[str, str]:
                        sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w / 100.0 AS s,
                        sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
                            * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w / 10000.0 AS ss,
-                       CAST(count(*) OVER w AS DOUBLE) AS cnt
+                       CAST(count(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w AS DOUBLE) AS cnt
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)

@@ -48,7 +48,10 @@ def bpe_pair_counts(text_col: str = "text", k: int = 20,
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        wf = word_freq(df, text_col, min_len)
+        # 1-char words have no adjacent pair, and sequence(1, 0) generates
+        # a DESCENDING [1, 0] in Spark whose substr(0, 1) aliases the first
+        # char into phantom (c, c)/(c, '') pairs — exclude them explicitly
+        wf = word_freq(df, text_col, min_len).filter(F.length("w") >= 2)
         idx = F.sequence(F.lit(1), F.length("w") - F.lit(1))
         pair = F.explode(F.transform(
             idx,

@@ -104,6 +104,9 @@ def kmeans_assign(df: DataFrame, k: int = 8, iterations: int = 5,
             tot_s[r["cluster"]] += np.asarray(r["sums"])
         upd = tot_n > 0  # clusters that lost all members keep their centroid
         cents_np[upd] = tot_s[upd] / tot_n[upd, None]
+        # the partials are collected — release this round's centroid
+        # broadcast instead of accumulating one per iteration per call
+        b_cents.unpersist()
     cents = cents_np.tolist()
     dists = F.array(*[_dist2(vec_col, c) for c in cents])
     out = (base.withColumn("_d", dists)

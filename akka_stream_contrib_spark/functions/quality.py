@@ -68,11 +68,22 @@ def winsorize(keys: str | list[str], value: str = "value",
             F.round(F.expr(f"percentile({value}, {p_lo})"), 6).alias("_lo"),
             F.round(F.expr(f"percentile({value}, {p_hi})"), 6).alias("_hi"),
         )
-        return (df.join(F.broadcast(bounds), keylist)
+        # null-safe key join: groupBy emits a bounds row for the NULL
+        # group, but a plain USING join would never match it back and the
+        # NULL-key rows would silently vanish from the output
+        bounds = bounds.select(
+            *[F.col(k).alias(f"_bk_{i}") for i, k in enumerate(keylist)],
+            "_lo", "_hi")
+        cond = None
+        for i, k in enumerate(keylist):
+            c = F.col(k).eqNullSafe(F.col(f"_bk_{i}"))
+            cond = c if cond is None else (cond & c)
+        return (df.join(F.broadcast(bounds), cond)
                 .withColumn(out, F.least(F.greatest(F.col(value),
                                                     F.col("_lo")),
                                          F.col("_hi")))
-                .drop("_lo", "_hi"))
+                .drop("_lo", "_hi",
+                      *[f"_bk_{i}" for i in range(len(keylist))]))
 
     return _apply
 
@@ -113,8 +124,16 @@ def quality_score(weights: Mapping[str, float] | None = None,
         n_tok = F.size(toks).cast("double")
         n_chars = F.length(txt).cast("double")
         mean_len = (n_chars - (n_tok - 1)) / n_tok          # spaces removed
-        digit_ratio = (n_chars - F.length(F.regexp_replace(txt, "[0-9]", ""))) / n_chars
-        upper_ratio = (n_chars - F.length(F.regexp_replace(txt, "[A-Z]", ""))) / n_chars
+        # guard the n_chars=0 divisions: an empty-string doc must score as
+        # a defined low-quality row (keep=false), not NULL-propagate
+        # through every feature and silently vanish from filter(keep)
+        safe_chars = F.when(n_chars > 0, n_chars)
+        digit_ratio = F.coalesce(
+            (n_chars - F.length(F.regexp_replace(txt, "[0-9]", ""))) / safe_chars,
+            F.lit(0.0))
+        upper_ratio = F.coalesce(
+            (n_chars - F.length(F.regexp_replace(txt, "[A-Z]", ""))) / safe_chars,
+            F.lit(0.0))
         distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
         z = (F.lit(float(w["bias"]))
              + F.lit(float(w["log_n_tokens"])) * F.log(n_tok + 1.0)

@@ -39,7 +39,19 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: Sequence[str],
     # VALUE, so join on dedicated marker columns instead
     o = o.withColumn("_in_old", F.lit(1))
     n = n.withColumn("_in_new", F.lit(1))
-    j = o.join(n, list(key_cols), "full_outer")
+    # NULL-SAFE key match: a USING join never matches NULL keys, so an
+    # unchanged NULL-key row would be reported as phantom removed+added
+    # churn every CDC cycle (and apply_changes would delete-and-reinsert)
+    n = n.select(*[F.col(k).alias(f"_nk_{i}")
+                   for i, k in enumerate(key_cols)],
+                 *[f"new_{c}" for c in compare_cols], "_in_new")
+    cond = None
+    for i, k in enumerate(key_cols):
+        c = o[k].eqNullSafe(F.col(f"_nk_{i}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    keys_out = [F.coalesce(o[k], F.col(f"_nk_{i}")).alias(k)
+                for i, k in enumerate(key_cols)]
     differs = None
     for c in compare_cols:
         d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
@@ -51,7 +63,7 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: Sequence[str],
     )
     return (j.withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
-            .select(*key_cols, "change_type",
+            .select(*keys_out, "change_type",
                     *[f"old_{c}" for c in compare_cols],
                     *[f"new_{c}" for c in compare_cols]))
 

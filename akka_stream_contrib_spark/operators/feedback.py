@@ -48,6 +48,8 @@ def feedback_loop(
     emptiness / the reference's buffer overflow (FeedbackLoop.scala:34,
     OverflowStrategy.fail → RuntimeError here).
     """
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     outs: list[DataFrame] = []
     fb = initial
     for i in range(max_iters):

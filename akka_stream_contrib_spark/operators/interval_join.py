@@ -82,8 +82,14 @@ def interval_overlap_join(
     on = F.col("l._ivj_bucket") == F.col("r._ivj_bucket")
     for k in equi_keys:
         on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
-    return (
+    out = (
         l.alias("l").join(r.alias("r"), on, how="inner")
         .filter(cond)
         .drop("_ivj_bucket")  # drops both sides' helper column
     )
+    # a Column join condition keeps BOTH sides' equi-key columns with the
+    # same name — selecting the key downstream would raise
+    # AMBIGUOUS_REFERENCE; keep the left one (values are equal by the join)
+    for k in equi_keys:
+        out = out.drop(F.col(f"r.{k}"))
+    return out

@@ -215,7 +215,12 @@ def dedup_within(key_cols, ts: str = "ts", within_s: int = 60,
                 n = len(pdfb)
                 if n == 0:
                     continue
-                keys = list(zip(*(pdfb[k].tolist() for k in key_cols)))
+                # canonicalize missing keys: Spark NULL arrives as NaN in
+                # numeric pandas columns, and NaN != NaN would make every
+                # NULL-key row open a fresh anchor (no debounce at all)
+                keys = list(zip(*(
+                    [None if pd.isna(x) else x for x in pdfb[k].tolist()]
+                    for k in key_cols)))
                 t = pdfb["_t"].tolist()
                 kept = [False] * n
                 for i in range(n):

@@ -72,9 +72,16 @@ def token_throttle(
         out = out.filter(F.col(cum_col) <= F.lit(budget))
         if "cost" in df.columns:
             # the computed per-element cost REPLACES an input column of the
-            # same name (they are equal when the cost expression is that
-            # column) — keeping both would make every later reference to
-            # "cost" ambiguous
+            # same name — only safe when the expression IS that column
+            # (values identical); silently overwriting an unrelated
+            # business column named "cost" would destroy user data, so
+            # that collision is a loud error instead
+            if str(cost) != str(F.col("cost")):
+                raise ValueError(
+                    "token_throttle: input already has a 'cost' column but "
+                    "the cost expression is not that column — rename the "
+                    "input column (or alias the output) to avoid silently "
+                    "overwriting it")
             out = out.drop("cost")
         return out.withColumnRenamed("_cost", "cost")
 

@@ -51,7 +51,10 @@ def rolling_zscore(key: str = "user_id", value: str = "value",
         vlong = (F.col(value).cast("decimal(12,2)") * 100).cast("bigint")
         s = (F.sum(vlong).over(w) / F.lit(100.0))
         ss = (F.sum(vlong * vlong).over(w) / F.lit(10000.0))
-        cnt = F.count(F.lit(1)).over(w).cast("double")
+        # count the VALUE (not rows): frame sums skip NULL values, so a
+        # row count would divide present-value sums by a larger n and skew
+        # every mean/variance in any window containing a NULL
+        cnt = F.count(vlong).over(w).cast("double")
         mean = s / cnt
         var = (ss - (s * s) / cnt) / (cnt - F.lit(1.0))
         std = F.sqrt(F.greatest(var, F.lit(0.0)))

@@ -413,3 +413,93 @@ def test_duplicate_spans_string_doc_ids(spark):
     out = duplicate_spans(df, k=8).collect()
     # docB's copy of the 10-token text must be marked (canonical = docA)
     assert {r.doc_id for r in out} == {"docB"}
+
+
+def test_rolling_zscore_null_values_use_present_count(spark):
+    from akka_stream_contrib_spark.operators import rolling_zscore
+    rows = [(1, 1, 10.0), (1, 2, None), (1, 3, 20.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = {r.event_id: r.roll_mean
+           for r in df.transform(rolling_zscore(n=10)).collect()}
+    assert out[3] == 15.0  # mean of the two PRESENT values, not 30/3
+
+
+def test_winsorize_keeps_null_group_keys(spark):
+    from akka_stream_contrib_spark.functions.quality import winsorize
+    rows = [("a", 1.0), ("a", 100.0), (None, 5.0), (None, 500.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = winsorize("k", value="value")(df)
+    assert out.count() == 4  # NULL-key rows clamped, not dropped
+
+
+def test_snapshot_diff_null_keys_match(spark):
+    from akka_stream_contrib_spark.operators.cdc import snapshot_diff
+    old = spark.createDataFrame([(None, 1), (1, 2)], "k long, v long")
+    new = spark.createDataFrame([(None, 1), (1, 3)], "k long, v long")
+    out = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    # NULL-key row is unchanged → only the k=1 change appears
+    assert [(r.k, r.change_type) for r in out] == [(1, "changed")]
+
+
+def test_dedup_within_debounces_null_numeric_keys(spark):
+    from akka_stream_contrib_spark.operators.resample import dedup_within
+    rows = [(None, 1, "2026-01-01 10:00:00"), (None, 2, "2026-01-01 10:00:10")]
+    df = (spark.createDataFrame(rows, "user_id bigint, event_id long, ts string")
+          .withColumn("ts", F.to_timestamp("ts")))
+    out = {r.event_id: r.kept
+           for r in dedup_within(["user_id"], within_s=60)(df).collect()}
+    assert out == {1: True, 2: False}  # second event inside the window
+
+
+def test_interval_overlap_join_single_equi_key_column(spark):
+    from akka_stream_contrib_spark.operators import interval_overlap_join
+    l = (spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", "2026-01-01 11:00:00", "L")],
+        "k long, ls string, le string, lv string")
+        .withColumn("ls", F.to_timestamp("ls"))
+        .withColumn("le", F.to_timestamp("le")))
+    r = (spark.createDataFrame(
+        [(1, "2026-01-01 10:30:00", "2026-01-01 12:00:00", "R")],
+        "k long, rs string, re string, rv string")
+        .withColumn("rs", F.to_timestamp("rs"))
+        .withColumn("re", F.to_timestamp("re")))
+    out = interval_overlap_join(l, r, "ls", "le", "rs", "re",
+                                equi_keys=["k"], bucket_width_s=3600)
+    assert out.columns.count("k") == 1
+    assert out.select("k").collect()[0].k == 1  # no AMBIGUOUS_REFERENCE
+
+
+def test_bpe_pair_counts_no_phantom_pairs_for_short_words(spark):
+    from akka_stream_contrib_spark.functions.bpe import bpe_pair_counts
+    df = spark.createDataFrame([("x y ab",)], "text string")
+    got = {(r.a, r.b): r.pair_count
+           for r in bpe_pair_counts(min_len=1)(df).collect()}
+    assert got == {("a", "b"): 1}
+
+
+def test_token_throttle_refuses_unrelated_cost_collision(spark):
+    import pytest
+
+    from akka_stream_contrib_spark.operators import token_throttle
+    df = spark.createDataFrame([(1, 2, 9.0)], "seq long, w long, cost double")
+    with pytest.raises(ValueError):
+        df.transform(token_throttle(F.col("w"), total_tokens=10))
+    # passing the cost column ITSELF still works (values identical)
+    ok = df.transform(token_throttle(F.col("cost"), total_tokens=10))
+    assert ok.columns.count("cost") == 1
+
+
+def test_feedback_loop_rejects_nonpositive_iters(spark):
+    import pytest
+
+    from akka_stream_contrib_spark.operators import feedback_loop
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        feedback_loop(df, lambda d: (d, d.limit(0)), max_iters=0)
+
+
+def test_quality_score_empty_text_defined(spark):
+    from akka_stream_contrib_spark.functions.quality import quality_score
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = quality_score()(df).collect()[0]
+    assert r.quality_score is not None and r.keep is not None
