@@ -46,7 +46,14 @@ def rp_project(df: DataFrame, out_dim: int = 16, in_dim: int = 64,
                vec_col: str = "embedding") -> DataFrame:
     """Project each vector onto ``out_dim`` ±1 hyperplanes; emits long form
     (vec_id, dim, comp) with ``comp`` the projected component in original
-    units (micro-unit-exact, rounded to 6 dp)."""
+    units (micro-unit-exact, rounded to 6 dp).
+
+    NULL handling: a NULL vector component propagates NULL through the
+    whole output vector (fail-loud — a corrupt embedding should not
+    silently project as if the component were 0); feed complete vectors,
+    or coalesce upstream if partial projection is genuinely wanted. The
+    SQL oracle assumes complete fixed-width vectors for the same reason.
+    """
     signs = jl_signs(in_dim, out_dim, seed)
     q = ("transform(cast({v} as array<double>),"
          " x -> cast(floor(x * 1000000.0 + 0.5) as bigint))").format(v=vec_col)

@@ -46,7 +46,16 @@ class _FileTailReader(SimpleDataSourceStreamReader):
             size = os.path.getsize(self.path)
         except OSError:
             return iter([]), start
-        if size <= pos:
+        if size < pos:
+            # the file SHRANK: truncation/rotation — fail loudly like the
+            # replay path does, instead of stalling forever and then
+            # resuming mid-content at an offset from the OLD file's
+            # coordinate space (silent corruption)
+            raise IOError(
+                f"file_tail: {self.path} shrank below the tracked offset "
+                f"({size} < {pos}) — truncated or rotated; restart the "
+                "stream from a fresh checkpoint (or offset 0)")
+        if size == pos:
             # nothing appended; reference just re-arms its poll timer
             return iter([]), start
         rows = []

@@ -41,11 +41,13 @@ def read_jsonl_docs(spark: SparkSession, path: str, schema: str,
           .json(path))
     # Spark disallows queries referencing ONLY the corrupt column of a raw
     # json scan (SPARK-21610 / QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
-    # documented pattern is to materialize the parsed frame first. cache()
-    # here is per-ingest-batch working state (a batch, not the corpus); a
+    # documented pattern is to materialize the parsed frame first. The
+    # cache is per-ingest-batch working state registered with
+    # pipeline_cache (a bare .cache() pinned it for the session); a
     # continuous 100 TB ingest does this split inside foreachBatch where
     # the batch is already materialized.
-    df = df.cache()
+    from akka_stream_contrib_spark.util import pipeline_cache
+    df = pipeline_cache(df)
     good = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     bad = (df.filter(df[CORRUPT_COL].isNotNull())
            .select(df[CORRUPT_COL].alias("raw")))

@@ -33,14 +33,19 @@ def paged_source(spark: SparkSession, fetch_page: FetchPage, first_key: str,
     None`` or an empty page (PagedSource.scala:44-49)."""
     rows: list[tuple] = []
     key: Optional[str] = first_key
+    if key is None:  # nothing to page
+        return spark.createDataFrame(rows, schema=schema)
     for _ in range(max_pages):
-        if key is None:
-            break
         items, key = fetch_page(key)
         items = list(items)
         if not items:
-            break
+            key = None
         rows.extend(items)
+        # exhaustion is checked AFTER the fetch: an API whose final page
+        # lands exactly on max_pages terminates cleanly instead of hitting
+        # the for/else overflow error on the never-started next iteration
+        if key is None:
+            break
     else:
         raise RuntimeError(f"paged_source: exceeded max_pages={max_pages}")
     return spark.createDataFrame(rows, schema=schema)

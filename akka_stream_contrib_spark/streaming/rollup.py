@@ -72,8 +72,17 @@ def incremental_rollup(stream_df: DataFrame, path: str, ts_col: str = "ts",
         try:
             existing = (spark.read.parquet(path)
                         .filter(F.col("bucket_id").isin(touched)))
-            carried = (existing.join(batch_df.select(*group_keys),
-                                     group_keys, "left_anti")
+            # NULL-SAFE anti join: a NULL grouping key never matches under
+            # plain equality, so the stale (bucket, NULL) row would survive
+            # next to the fresh one and downstream reads would double-count
+            fresh_keys = batch_df.select(
+                *[F.col(k).alias(f"_fk_{i}")
+                  for i, k in enumerate(group_keys)]).distinct()
+            anti_cond = None
+            for i, k in enumerate(group_keys):
+                c = existing[k].eqNullSafe(F.col(f"_fk_{i}"))
+                anti_cond = c if anti_cond is None else (anti_cond & c)
+            carried = (existing.join(fresh_keys, anti_cond, "left_anti")
                        .localCheckpoint(eager=True))
             out = batch_df.unionByName(carried)
         except AnalysisException as ex:
@@ -171,7 +180,11 @@ def histogram_stream(stream_df: DataFrame, key_col: str = "event_type",
     v = F.col(value_col).cast("double")
     bin_ = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
                    F.lit(n_bins - 1)).cast("int")
+    # NULL values carry no position (matches histogram_build): unfiltered,
+    # greatest(NULL, 0) = 0 would silently count them in bin 0 and skew
+    # every probe quantile low
     return (stream_df
+            .filter(v.isNotNull())
             .select(F.col(key_col).alias("key"), bin_.alias("bin"))
             .groupBy("key", "bin")
             .agg(F.count(F.lit(1)).alias("cnt")))

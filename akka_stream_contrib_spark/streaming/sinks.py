@@ -76,10 +76,18 @@ def incremental_dedup_sink(path: str, id_col: str = "doc_id",
     from akka_stream_contrib_spark.functions import dedup_incremental
 
     def _write(batch_df: DataFrame, batch_id: int = 0) -> None:
+        from pyspark.errors import AnalysisException
         spark = batch_df.sparkSession
+        # only a MISSING index means "first batch" — a transient read
+        # failure must propagate, or the dedup index silently resets and
+        # previously-emitted docs re-append as duplicates (same hardening
+        # as scd2_sink below)
         try:
             seen = spark.read.parquet(f"{path}/index")
-        except Exception:
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in (ex.getErrorClass() or "") \
+                    and "Path does not exist" not in str(ex):
+                raise
             seen = spark.createDataFrame([], f"{hash_col} string")
         fresh = dedup_incremental(batch_df, seen, id_col=id_col,
                                   text_col=text_col, hash_col=hash_col)

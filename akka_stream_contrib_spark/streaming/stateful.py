@@ -213,16 +213,22 @@ def sessionize_stream(elements: DataFrame, gap_s: int,
         last_us, n_sessions, pos = (
             state.get if state.exists else (None, 0, 0))
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
-                us = int(ts.value // 1_000)  # pandas ns -> micros
-                if last_us is None or us - last_us > gap_us:
-                    n_sessions, pos = n_sessions + 1, 1
-                else:
-                    pos += 1
-                last_us = us
-                rows.append((key[0], int(eid), n_sessions, pos))
+        # concat ALL Arrow chunks before the single sort (the
+        # accumulate_while_unchanged_stream pattern): a >maxRecordsPerBatch
+        # group arrives as several chunks, and chunk-local sorts would let
+        # last_us move backwards across the boundary — wrong gap tests,
+        # wrong session ids
+        chunks = [c for c in pdfs if len(c)]
+        batch = (pd.concat(chunks).sort_values("ts")
+                 if chunks else pd.DataFrame(columns=["ts", "event_id"]))
+        for ts, eid in zip(batch["ts"], batch["event_id"]):
+            us = int(ts.value // 1_000)  # pandas ns -> micros
+            if last_us is None or us - last_us > gap_us:
+                n_sessions, pos = n_sessions + 1, 1
+            else:
+                pos += 1
+            last_us = us
+            rows.append((key[0], int(eid), n_sessions, pos))
         state.update((last_us, n_sessions, pos))
         yield pd.DataFrame(rows, columns=["key", "event_id", "session_id",
                                           "session_pos"])

@@ -37,6 +37,15 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     # engine sees ONE dtype everywhere regardless of the hosting session.
     # DuckDB reads the same files as naive TIMESTAMP, so NTZ wall-clock
     # values compare 1:1 with the oracle with no session-timezone term.
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    if any(t == "timestamp" for _, t in df.dtypes) and tz not in ("UTC", "Etc/UTC", "GMT"):
+        import warnings
+        warnings.warn(
+            f"tables.load: session timeZone={tz!r} — the LTZ→NTZ fallback "
+            "casts below render wall-clock in THAT zone, shifting every "
+            "timestamp relative to the UTC-naive oracle values; set "
+            "spark.sql.session.timeZone=UTC for oracle parity",
+            RuntimeWarning, stacklevel=2)
     for col, dtype in df.dtypes:
         if name == "events" and col == "ts" and dtype == "bigint":
             # nanos-as-long: truncate to microseconds (oracle CASTs identically)

@@ -503,3 +503,62 @@ def test_quality_score_empty_text_defined(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     r = quality_score()(df).collect()[0]
     assert r.quality_score is not None and r.keep is not None
+
+
+def test_paged_source_completes_at_exact_max_pages(spark):
+    from akka_stream_contrib_spark.sources.paged import paged_source
+
+    def fetch(key):
+        n = int(key)
+        return [(f"row{n}",)], (str(n + 1) if n < 2 else None)
+
+    out = paged_source(spark, fetch, "0", "v string", max_pages=3)
+    assert out.count() == 3  # 3 pages within max_pages=3: clean completion
+    import pytest
+    with pytest.raises(RuntimeError):
+        paged_source(spark, lambda k: ([("x",)], "loop"), "0",
+                     "v string", max_pages=3)
+
+
+def test_incremental_rollup_carries_null_keyed_groups_once(spark, tmp_path):
+    import json as _json
+
+    from akka_stream_contrib_spark.streaming import (incremental_rollup,
+                                                     read_rollup)
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"ts": "2024-01-01T00:05:00", "k": None, "value": 5.0},
+        {"ts": "2024-01-01T00:10:00", "k": "a", "value": 1.0},
+    ]))
+    stream = (spark.readStream.schema("ts timestamp, k string, value double")
+              .json(str(src)))
+    out = str(tmp_path / "rollup")
+    writer = incremental_rollup(stream, out, bucket="1 hour", keys=["k"],
+                                watermark="10 hours")
+    q = (writer.option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # batch 2 updates the NULL group in the same bucket — the stale NULL
+    # row must be replaced by the carry-over anti-join, not duplicated
+    (src / "b.json").write_text(_json.dumps(
+        {"ts": "2024-01-01T00:20:00", "k": None, "value": 4.0}))
+    q = (writer.option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = read_rollup(spark, out).collect()
+    nulls = [r for r in rows if r.k is None]
+    assert len(nulls) == 1 and (nulls[0].n, nulls[0].sum_value) == (2, 9.0)
+    assert [(r.n, r.sum_value) for r in rows if r.k == "a"] == [(1, 1.0)]
+
+
+def test_histogram_stream_expr_filters_nulls(spark):
+    # histogram_stream is a streaming plan; verify the NULL filter via the
+    # same expression applied to a batch frame
+    from akka_stream_contrib_spark.streaming.rollup import histogram_stream
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None)], "event_type string, value double")
+    # reuse the internal construction through a batch groupBy: build the
+    # streaming plan against a batch frame (works — no stream ops used)
+    out = histogram_stream(df).collect()
+    assert sum(r.cnt for r in out) == 1
