@@ -5145,7 +5145,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(f AS INT) AS frame_no,
                    CAST(f * 60000 AS INT) AS frame_ts_ms, duration_ms
             FROM m, LATERAL (
-                SELECT unnest(range(0, duration_ms // 60000 + 1)) AS f
+                SELECT unnest(range(0, (duration_ms + 59999) // 60000)) AS f
             ) g
         """,
         "minhash_incremental": """

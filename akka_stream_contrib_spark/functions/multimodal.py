@@ -135,13 +135,33 @@ def _pixel_features(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return pooled.flatten().astype(np.float32)
 
 
+def _fake_features_batch(payloads, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a real decoder+featurizer over a whole
+    Arrow batch: md5-seeded counter-based splitmix64 expansion to uniform
+    [-1, 1) — the same fully-vectorized generator as
+    :func:`_fake_pixels_batch` (the per-row ``RandomState(seed)`` ctor it
+    replaces cost ~170 µs/row and serialized the decode stage)."""
+    n = len(payloads)
+    if n == 0:
+        return np.zeros((0, dim), dtype=np.float32)
+    seeds = np.frombuffer(
+        b"".join(hashlib.md5(bytes(p)).digest()[:8] for p in payloads),
+        dtype=">u8").astype(np.uint64)
+    ctr = ((np.arange(dim, dtype=np.uint64) + np.uint64(1))
+           * np.uint64(0x9E3779B97F4A7C15))
+    z = seeds[:, None] + ctr[None, :]
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    u = (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return (u * 2.0 - 1.0).astype(np.float32)
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for a real decoder+featurizer: md5-seeded
-    uniform vector. Stable across processes/executors."""
-    h = hashlib.md5(payload).digest()
-    seed = int.from_bytes(h[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.uniform(-1.0, 1.0, size=dim).astype(np.float32)
+    """Single-payload form of :func:`_fake_features_batch`."""
+    return _fake_features_batch([payload], dim)[0]
 
 
 def decode_features(fake_decode: bool = False,
@@ -160,11 +180,16 @@ def decode_features(fake_decode: bool = False,
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads decode to NULL features (bytes(None) would
+            # crash the whole stage with an opaque TypeError)
             if decoder is not None:
-                feats = [_pixel_features(decoder(bytes(p))).tolist()
+                feats = [None if p is None
+                         else _pixel_features(decoder(bytes(p))).tolist()
                          for p in pdf[media_col]]
             elif fake_decode:
-                feats = [_fake_features(bytes(p)).tolist()
+                present = [p for p in pdf[media_col] if p is not None]
+                fb = iter(_fake_features_batch(present))
+                feats = [None if p is None else next(fb).tolist()
                          for p in pdf[media_col]]
             else:
                 raise NotImplementedError(
@@ -192,10 +217,19 @@ def frame_sample(every_ms: int = 1000) -> Callable[[DataFrame], DataFrame]:
     (original columns..., frame_no, frame_ts_ms)."""
 
     def _apply(df: DataFrame) -> DataFrame:
-        n_frames = (F.col("media_meta.duration_ms") / F.lit(every_ms)).cast("int") + 1
+        # ceil(duration/every_ms) frames: valid instants are t < duration
+        # (half-open clip), so an exact multiple must not stamp a frame AT
+        # the end; duration <= 0 yields no frames. The compact rows
+        # repartition with an EXPLICIT count before the ~600x explode —
+        # same AQE-coalesce/fan-out reasoning as audio_segments
+        dur = F.col("media_meta.duration_ms")
+        n_frames = ((dur + F.lit(every_ms - 1)) / F.lit(every_ms)).cast("int")
         return (
             df.filter(F.col("modality") == "video")
-            .withColumn("frame_no", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .withColumn("frame_no", F.explode(F.when(
+                n_frames > 0, F.sequence(F.lit(0), n_frames - 1))
+                .otherwise(F.array().cast("array<int>"))))
             .withColumn("frame_ts_ms", F.col("frame_no") * F.lit(every_ms))
         )
 
@@ -316,12 +350,25 @@ def media_phash(fake_decode: bool = False, media_col: str = "media",
                     "fake_decode=True for the deterministic test decoder")
             out = pdf.drop(columns=[media_col]).copy()
             if len(pdf):
-                if decoder is not None:
-                    pix = np.stack([_resize_gray(decoder(bytes(p)))
-                                    for p in pdf[media_col]])
-                else:
-                    pix = _fake_pixels_batch(list(pdf[media_col]))
-                out["phash"] = phash64_batch(pix)
+                # NULL payloads hash to NULL (bytes(None) would crash the
+                # stage); hash only the present payloads, then re-expand.
+                # pandas nullable Int64 — a float64 NaN carrier would lose
+                # the low bits of 64-bit hash values past 2^53
+                present = [p for p in pdf[media_col] if p is not None]
+                vals: list = [None] * len(pdf)
+                if present:
+                    if decoder is not None:
+                        pix = np.stack([_resize_gray(decoder(bytes(p)))
+                                        for p in present])
+                    else:
+                        pix = _fake_pixels_batch(present)
+                    hv = phash64_batch(pix)
+                    j = 0
+                    for i, payload in enumerate(pdf[media_col]):
+                        if payload is not None:
+                            vals[i] = int(hv[j])
+                            j += 1
+                out["phash"] = pd.array(vals, dtype="Int64")
             else:
                 out["phash"] = np.zeros(0, dtype=np.int64)
             yield out
@@ -432,11 +479,17 @@ def audio_segments(frame_ms: int = 1000, threshold: float = 0.6
                 "doc_id", "_ph",
                 # ceil(dur/frame_ms) frames: the last PARTIAL frame carries
                 # audio, but an exact multiple must NOT grow a phantom frame
-                # past the end (integer arithmetic, engine-portable)
-                F.explode(F.sequence(
-                    F.lit(0),
-                    ((F.col("_dur") + F.lit(frame_ms - 1))
-                     / F.lit(frame_ms)).cast("int") - 1)).alias("frame_no"))
+                # past the end; duration <= 0 yields NO frames (an untyped
+                # sequence(0, -1) would default to step -1 and emit phantom
+                # frames 0 and -1)
+                F.explode(F.when(
+                    F.col("_dur") > 0,
+                    F.sequence(
+                        F.lit(0),
+                        ((F.col("_dur") + F.lit(frame_ms - 1))
+                         / F.lit(frame_ms)).cast("int") - 1))
+                    .otherwise(F.array().cast("array<int>")))
+                .alias("frame_no"))
             .withColumn(
                 "_e1000",
                 F.pmod(

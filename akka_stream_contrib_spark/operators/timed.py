@@ -52,10 +52,22 @@ def timed_interval_between(
 
 
 def with_ingest_ts(col: str = "ingest_ts") -> Callable[[DataFrame], DataFrame]:
-    """Stamp processing-time at ingest (LatencyTimer's StartTimeFlow)."""
+    """Stamp processing-time at ingest (LatencyTimer's StartTimeFlow).
+
+    The stamp is the PLAN-BUILD wall clock (a driver-side literal), not
+    ``current_timestamp()``: Spark evaluates current_timestamp once per
+    query, so stamping and measuring inside the same query would subtract
+    the constant from itself and report zero latency for every row. With a
+    build-time literal, ``latency_columns`` in the same query measures
+    build→execution delay; across materializations (stamp, persist/write,
+    measure later — the LatencyTimer deployment shape) it measures real
+    pipeline latency. In Structured Streaming, stamp per micro-batch
+    inside ``foreachBatch`` for an execution-time stamp."""
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.withColumn(col, F.current_timestamp())
+        from datetime import datetime, timezone
+        stamp = datetime.now(timezone.utc).replace(tzinfo=None)
+        return df.withColumn(col, F.lit(stamp).cast("timestamp"))
 
     return _apply
 

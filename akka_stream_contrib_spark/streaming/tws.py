@@ -59,6 +59,10 @@ class KeepAliveProcessor(StatefulProcessor):
         last = None
         for pdf in rows:
             for v in pdf["value"]:
+                if pd.isna(v):
+                    # a NULL value cannot be extrapolated as a heartbeat;
+                    # int(NaN) would kill the whole streaming query
+                    continue
                 last = int(v)
                 yield pd.DataFrame(
                     {self.key_col: [key[0]], "value": [last],
@@ -84,11 +88,12 @@ def keep_alive_tws(elements: DataFrame, interval_ms: int,
                    key_col: str = "key") -> DataFrame:
     """`keep_alive_stream` on the transformWithState API (real per-key
     timers instead of a single GroupStateTimeout)."""
+    key_t = elements.schema[key_col].dataType.simpleString()
     return (
         elements.groupBy(key_col)
         .transformWithStateInPandas(
             KeepAliveProcessor(interval_ms, key_col),
-            outputStructType=f"{key_col} long, value long, is_heartbeat boolean",
+            outputStructType=f"{key_col} {key_t}, value long, is_heartbeat boolean",
             outputMode="append",
             timeMode="ProcessingTime",
         )

@@ -38,21 +38,34 @@ class Valve:
         if mode == SwitchMode.OPEN:
             self.flip(SwitchMode.OPEN)
 
+    def _sync(self) -> None:
+        """Reconcile with reality: a query that terminated or failed on its
+        own (source error, external stop) leaves the valve CLOSED — without
+        this, get_mode() would report OPEN forever and flip(OPEN) would
+        refuse to restart a dead query."""
+        if self._mode == SwitchMode.OPEN and (
+                self._query is None or not self._query.isActive):
+            self._query = None
+            self._mode = SwitchMode.CLOSED
+
     def flip(self, mode: SwitchMode) -> bool:
         """Returns True if the mode changed (reference Valve.scala:25-31
         returns Future[Boolean] with the same contract)."""
+        self._sync()
         if mode == self._mode:
             return False
         if mode == SwitchMode.OPEN:
             self._query = self._start()
         else:
-            assert self._query is not None
+            if self._query is None:
+                raise RuntimeError("Valve: no query to close")
             self._query.stop()
             self._query = None
         self._mode = mode
         return True
 
     def get_mode(self) -> SwitchMode:
+        self._sync()
         return self._mode
 
     @property

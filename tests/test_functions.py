@@ -104,8 +104,9 @@ def test_frame_sample_grid(spark):
         payload=F.col("text").cast("binary"), modality=F.lit("video")))
     dur = media.select("media_meta.duration_ms").head()[0]
     frames = media.transform(frame_sample(every_ms=1000)).collect()
-    assert len(frames) == dur // 1000 + 1
-    assert [f.frame_ts_ms for f in frames[:3]] == [0, 1000, 2000]
+    # ceil grid: instants t < duration only (no frame AT the exact end)
+    assert len(frames) == (dur + 999) // 1000
+    assert sorted(f.frame_ts_ms for f in frames)[:3] == [0, 1000, 2000]
 
 
 def test_chunk_documents_overlap_and_tail(spark):

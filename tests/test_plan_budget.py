@@ -129,8 +129,9 @@ BUDGET = {
     # two doc_id sig aggs (history + batch) + band distinct; flag join
     # broadcasts
     "minhash_incremental": 3,
-    # md5 meta + grid explode: pure map-side
-    "frame_sample_grid": 0,
+    # ONE explicit-count repartition before the frame explode (fan-out
+    # must not bind to input splits — the audio_segments reasoning)
+    "frame_sample_grid": 1,
     # VARIANT parse + typed extract: pure map-side
     "props_variant": 0,
     # gap-fill: grid window + blend window over one key shuffle (+1 grid agg)

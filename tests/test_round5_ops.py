@@ -562,3 +562,61 @@ def test_histogram_stream_expr_filters_nulls(spark):
     # streaming plan against a batch frame (works — no stream ops used)
     out = histogram_stream(df).collect()
     assert sum(r.cnt for r in out) == 1
+
+
+def test_latency_columns_nonzero_in_same_query(spark):
+    import time as _time
+
+    from akka_stream_contrib_spark.operators.timed import (latency_columns,
+                                                           with_ingest_ts)
+    stamped = spark.range(3).transform(with_ingest_ts())
+    _time.sleep(0.05)  # build→execution delay the stamp must expose
+    out = stamped.transform(latency_columns()).collect()
+    assert all(r.latency_us > 0 for r in out)
+
+
+def test_audio_segments_zero_duration_no_phantom_frames(spark):
+    from akka_stream_contrib_spark.functions.multimodal import audio_segments
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), "audio", (0,))],
+        "doc_id long, media binary, modality string, "
+        "media_meta struct<duration_ms:int>")
+    assert audio_segments()(df).count() == 0
+
+
+def test_decode_and_phash_null_payloads(spark):
+    from akka_stream_contrib_spark.functions.multimodal import (decode_features,
+                                                                media_phash)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)], "doc_id long, media binary")
+    feats = {r.doc_id: r.features
+             for r in df.transform(decode_features(fake_decode=True)).collect()}
+    assert feats[2] is None and len(feats[1]) == 16
+    hashes = {r.doc_id: r.phash
+              for r in df.transform(media_phash(fake_decode=True)).collect()}
+    assert hashes[2] is None and isinstance(hashes[1], int)
+
+
+def test_valve_reconciles_dead_query(spark, tmp_path):
+    from akka_stream_contrib_spark.streaming.valve import SwitchMode, Valve
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.json").write_text('{"v": 1}')
+
+    n_starts = [0]
+
+    def start():
+        # memory sink cannot recover a checkpoint — each open is a fresh run
+        n_starts[0] += 1
+        return (spark.readStream.schema("v long").json(str(feed))
+                .writeStream.format("memory")
+                .queryName(f"valve_dead_{n_starts[0]}")
+                .option("checkpointLocation",
+                        str(tmp_path / f"ck{n_starts[0]}"))
+                .trigger(availableNow=True).start())
+
+    valve = Valve(start, mode=SwitchMode.OPEN)
+    valve.query.awaitTermination(60)  # availableNow terminates on its own
+    assert valve.get_mode() == SwitchMode.CLOSED  # reconciled, not stuck OPEN
+    assert valve.flip(SwitchMode.OPEN) is True    # restart allowed
+    valve.query.awaitTermination(60)
