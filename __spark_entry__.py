@@ -1537,10 +1537,11 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training, full loop: 10 BPE merge rules learned from the
     corpus (functions/bpe.py::bpe_learn_merges). Iterative driver loop like
-    k-means/pagerank (rows-only driver check; step-1 statistics are the
-    SQL-oracled bpe_pair_counts above; the loop itself is pinned by the
-    classic low/lower/newest/widest worked example in tests/test_bpe.py);
-    every iteration is vocabulary-sized — the corpus is read once."""
+    k-means/pagerank, oracled merge-for-merge by _bpe_learn_oracle (the
+    loop unrolled as 10 chained argmax+rewrite CTEs — all-integer, exact);
+    the loop semantics are also pinned by the classic
+    low/lower/newest/widest worked example in tests/test_bpe.py. Every
+    iteration is vocabulary-sized — the corpus is read once."""
     from akka_stream_contrib_spark.functions import bpe_learn_merges
     docs = tables.load(spark, "documents", sf_dir)
     return bpe_learn_merges(docs, n_merges=10)
@@ -2306,9 +2307,11 @@ def q_pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the user-interaction graph (edges = consecutive events
     within an hour bucket, deduped). Iterative power method as a driver loop
     with per-iteration lineage truncation — the FeedbackLoop-style cyclic
-    dataflow (FeedbackLoop.scala:18-38) at analytics scale. No SQL oracle
-    (iterative); correctness is pinned by the python-model test in
-    tests/test_functions.py."""
+    dataflow (FeedbackLoop.scala:18-38) at analytics scale. Oracled by
+    _pagerank_oracle (the power iteration unrolled as chained CTEs,
+    dangling-mass redistribution included; FP drift ~1e-16 absorbed by the
+    6-dp rounding); the python-model test in tests/test_functions.py pins
+    the same semantics independently."""
     from akka_stream_contrib_spark.functions import pagerank
     ev = tables.load(spark, "events", sf_dir)
     w = Window.partitionBy(F.date_trunc("hour", "ts")).orderBy("event_id")
@@ -2679,20 +2682,36 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     2011): bounded-sample codebook training → map-side per-subspace encode
     (the scannable small index) → ADC shortlist via a driver-literal lookup
     table (pure codegen array indexing) → exact cosine re-rank of the
-    shortlist only. The shortlist (200) is wide enough that the output IS
+    shortlist only. The shortlist (400) is wide enough that the output IS
     the exact top-10 on the fixtures (worst observed true-top-10 ADC rank is
     218 at sf0.1, 16 at the gate SFs; tests assert the margin), so the
-    oracle is the exact-cosine SQL — a full hash check on an ANN pipeline."""
+    oracle is the exact-cosine SQL — a full hash check on an ANN pipeline.
+
+    Cold-chain discipline (the r5 3.19 s regression): ONE bounded driver
+    collect serves both codebook training and the query-row extraction
+    (vec_id 0 is in the id-sorted training sample whenever it exists), and
+    the embedding frame is persisted across its two plan consumers (encode
+    side + exact-rerank side) — 2 driver jobs total instead of 4."""
     from akka_stream_contrib_spark.functions.similarity import (
-        pq_encode, pq_topk_rerank, pq_train)
-    emb = tables.load(spark, "embeddings", sf_dir)
-    books = pq_train(emb, m=16, ksub=64)
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    if books is None or qrow is None:  # empty corpus: empty output schema
+        pq_encode, pq_sample_size, pq_topk_rerank, pq_train_pdf)
+    from akka_stream_contrib_spark.util import drop_stale_caches, pipeline_cache
+    drop_stale_caches()
+    emb = pipeline_cache(
+        tables.load(spark, "embeddings", sf_dir).select("vec_id", "embedding"))
+    sample = (emb.orderBy("vec_id").limit(pq_sample_size(64))).toPandas()
+    books = pq_train_pdf(sample, m=16, ksub=64)
+    qhit = sample[sample["vec_id"] == 0] if len(sample) else sample
+    if len(qhit):
+        qvec = list(qhit["embedding"].iloc[0])
+    else:  # id-sorted sample covers vec_id 0 unless it's absent or the
+        # corpus outgrew the sample without an id-0 row — fall back to a scan
+        qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+        qvec = qrow[0] if qrow is not None else None
+    if books is None or qvec is None:  # empty corpus: empty output schema
         return emb.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
     rest = emb.filter(F.col("vec_id") != 0)
     codes = pq_encode(rest, books)
-    return pq_topk_rerank(rest, codes, qrow[0], books, k=10, shortlist=400)
+    return pq_topk_rerank(rest, codes, qvec, books, k=10, shortlist=400)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3731,6 +3750,111 @@ def _logreg_oracle(iters: int = 15, lr: float = 0.5) -> str:
 
 
 _LOGREG_ORACLE = _logreg_oracle()
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """DuckDB mirror of q_pagerank_users' full power iteration, unrolled as
+    chained CTEs (the _logreg_oracle pattern for iterative driver loops).
+    Each round k mirrors functions/graph.py::pagerank exactly: d{k} = the
+    dangling mass (rank held by nodes with no out-edges), c{k} = the inflow
+    aggregation, r{k} = the rank update with the SAME expression ordering
+    the Spark side folds into its literal — ((1-d)/n + d*m/n) + d*inflow.
+    Float sums associate differently across engines (~1e-16 drift), far
+    inside the 6-dp output rounding; verified exact at sf0.001/0.01/0.1."""
+    d = repr(float(damping))
+    parts = ["""
+e AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT lag(user_id) OVER (
+                   PARTITION BY date_trunc('hour', ts) ORDER BY event_id
+               ) AS src,
+               user_id AS dst
+        FROM events)
+    WHERE src IS NOT NULL AND src <> dst
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes, nn)
+"""]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(f"""
+d{k} AS (
+    SELECT coalesce(sum(rank), 0.0) AS m
+    FROM r{p} WHERE NOT EXISTS (
+        SELECT 1 FROM outdeg WHERE outdeg.src = r{p}.id)
+),
+c{k} AS (
+    SELECT e.dst, sum(r{p}.rank / outdeg.out_deg) AS inflow
+    FROM e JOIN r{p} ON r{p}.id = e.src
+           JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst
+),
+r{k} AS (
+    SELECT nodes.id,
+           ((1.0 - {d}) / nn.n + {d} * d{k}.m / nn.n)
+           + {d} * coalesce(c{k}.inflow, 0.0) AS rank
+    FROM nodes
+    LEFT JOIN c{k} ON c{k}.dst = nodes.id
+    CROSS JOIN nn CROSS JOIN d{k}
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT id AS user_id, round(rank, 6) + 0.0 AS rank
+FROM r{iterations} ORDER BY user_id
+""")
+
+
+_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+def _bpe_learn_oracle(n_merges: int = 10) -> str:
+    """DuckDB mirror of q_bpe_learn_merges' full training loop, unrolled as
+    chained CTEs. Vocabulary state is the flat SEP-prefixed symbol string
+    (the bpe_encode oracle's representation): plain replace of
+    SEP+a+SEP+b with SEP+ab equals the left-to-right non-overlapping merge
+    fold of functions/bpe.py::_merge_pair, because every symbol carries its
+    own leading separator. Each round: adjacent-pair counts over the
+    weighted vocab (p{{k}}), the lexically tie-broken argmax (t{{k}}), and
+    the rewrite (v{{k}}). All-integer — exact by construction; verified
+    merge-for-merge at sf0.001/0.01/0.1."""
+    parts = ["""
+v0 AS (
+    SELECT chr(31) || array_to_string(string_split_regex(w, ''), chr(31))
+               AS s,
+           f
+    FROM (
+        SELECT w, count(*) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 2 GROUP BY w)
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""
+p{k} AS (
+    SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(f) AS BIGINT) AS c
+    FROM (
+        SELECT string_split(s, chr(31)) AS l, f,
+               unnest(generate_series(2, len(string_split(s, chr(31))) - 1))
+                   AS i
+        FROM v{p})
+    GROUP BY a, b
+),
+t{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+v{k} AS (
+    SELECT replace(v{p}.s, chr(31) || t{k}.a || chr(31) || t{k}.b,
+                   chr(31) || t{k}.a || t{k}.b) AS s,
+           v{p}.f
+    FROM v{p} CROSS JOIN t{k}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, a AS left, b AS right, c AS pair_count"
+        f" FROM t{k}"
+        for k in range(1, n_merges + 1))
+    return "WITH " + ",".join(parts) + "\n" + sel + "\nORDER BY step"
+
+
+_BPE_LEARN_ORACLE = _bpe_learn_oracle()
 
 from akka_stream_contrib_spark.functions.projection import (  # noqa: E402
     rp_project_sql as _rp_project_sql)
@@ -6497,6 +6621,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "logreg_quality": _LOGREG_ORACLE,
+        "pagerank_users": _PAGERANK_ORACLE,
+        "bpe_learn_merges": _BPE_LEARN_ORACLE,
         # ground-truth oracle DERIVED FROM THE DATA: byte-identical payloads
         # (the 20 planted clones at doc_id+1000000 AND any naturally
         # duplicated fixture texts — sf0.1 ships 8 such pairs) hash

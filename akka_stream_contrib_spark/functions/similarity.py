@@ -589,7 +589,24 @@ def pq_train(df: DataFrame, m: int = 8, ksub: int = 16, iters: int = 5,
     not grow with 100 TB; only encode (map-side) does.
     """
     sample = (df.select(id_col, vec_col).orderBy(id_col)
-              .limit(max(ksub * 64, 1024)).toPandas())
+              .limit(pq_sample_size(ksub)).toPandas())
+    return pq_train_pdf(sample, m=m, ksub=ksub, iters=iters,
+                        vec_col=vec_col)
+
+
+def pq_sample_size(ksub: int) -> int:
+    """Training-sample bound for :func:`pq_train` — ~64 points per centroid,
+    floor 1024; independent of corpus size."""
+    return max(ksub * 64, 1024)
+
+
+def pq_train_pdf(sample: pd.DataFrame, m: int = 8, ksub: int = 16,
+                 iters: int = 5, vec_col: str = "embedding"
+                 ) -> np.ndarray:
+    """Driver-side core of :func:`pq_train` over an already-collected
+    id-sorted sample — callers that need the sample for other bounded
+    driver work too (e.g. extracting a query row) collect it ONCE and
+    share it instead of paying a second Spark job."""
     if len(sample) == 0:
         return None
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
@@ -673,14 +690,19 @@ def pq_topk_adc(codes_df: DataFrame, query_vec: Sequence[float],
     q = q / np.linalg.norm(q)
     lut = [float(np.dot(q[s * dsub:(s + 1) * dsub], codebooks[s][c]))
            for s in range(m) for c in range(ksub)]
-    lut_lit = F.array(*[F.lit(v) for v in lut])
-    score = F.aggregate(
-        F.zip_with(
-            "codes",
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, s: F.element_at(lut_lit, s * ksub + c + 1),
-        ),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # The whole ADC score as ONE parsed SQL expression: a per-subspace
+    # 64-double array literal indexed by that subspace's code, summed
+    # left-to-right (the same IEEE order as a left fold over s). Building
+    # this via F.lit/F.array + zip_with/aggregate lambdas paid ~0.9 s of
+    # py4j plan-build PER QUERY plus heavier codegen (measured r6: 1.56 s
+    # vs 1.01 s end-to-end at sf0.1); one expr() string is one py4j call
+    # and parses in ~10 ms. repr(double)+'D' round-trips exactly.
+    terms = []
+    for s in range(m):
+        arr = ",".join(repr(v) + "D" for v in lut[s * ksub:(s + 1) * ksub])
+        terms.append(
+            f"element_at(array({arr}), element_at(codes, {s + 1}) + 1)")
+    score = F.expr("(" + " + ".join(terms) + ")")
     return (
         codes_df.select(F.col(id_col), score.alias("_s"))
         .orderBy(F.desc("_s"), id_col)

@@ -34,6 +34,7 @@ def token_throttle(
     seq: str = "seq",
     partition_by: Sequence[str] | None = None,
     cum_col: str = "cum_cost",
+    overwrite_cost: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
     """Emit rows whose cumulative cost (in ``seq`` order, per ``partition_by``)
     stays within the token budget.
@@ -72,15 +73,16 @@ def token_throttle(
         out = out.filter(F.col(cum_col) <= F.lit(budget))
         if "cost" in df.columns:
             # the computed per-element cost REPLACES an input column of the
-            # same name — only safe when the expression IS that column
-            # (values identical); silently overwriting an unrelated
-            # business column named "cost" would destroy user data, so
-            # that collision is a loud error instead
-            if str(cost) != str(F.col("cost")):
+            # same name; silently overwriting a business column named
+            # "cost" would destroy user data. Column expressions carry no
+            # stable identity to compare against (repr is not an API), so
+            # the caller must state the intent explicitly.
+            if not overwrite_cost:
                 raise ValueError(
-                    "token_throttle: input already has a 'cost' column but "
-                    "the cost expression is not that column — rename the "
-                    "input column (or alias the output) to avoid silently "
+                    "token_throttle: input already has a 'cost' column. "
+                    "Pass overwrite_cost=True if the cost expression is "
+                    "that column (or intentionally replaces it); otherwise "
+                    "rename the input column to avoid silently "
                     "overwriting it")
             out = out.drop("cost")
         return out.withColumnRenamed("_cost", "cost")

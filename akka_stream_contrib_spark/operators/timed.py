@@ -65,6 +65,15 @@ def with_ingest_ts(col: str = "ingest_ts") -> Callable[[DataFrame], DataFrame]:
     inside ``foreachBatch`` for an execution-time stamp."""
 
     def _apply(df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            # a streaming plan is built ONCE: the literal would stamp every
+            # future micro-batch with the same instant and measured latency
+            # would grow without bound — loud error instead of silent drift
+            raise ValueError(
+                "with_ingest_ts on a streaming DataFrame would freeze the "
+                "stamp at plan-build time; stamp each micro-batch inside "
+                "foreachBatch instead (df.transform(with_ingest_ts()) on "
+                "the batch frame)")
         from datetime import datetime, timezone
         stamp = datetime.now(timezone.utc).replace(tzinfo=None)
         return df.withColumn(col, F.lit(stamp).cast("timestamp"))

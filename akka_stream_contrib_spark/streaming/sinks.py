@@ -157,14 +157,19 @@ def scd2_sink(path: str, key: str = "user_id", attr: str = "event_type",
             hist = spark.createDataFrame([], schema_hint)
         # presence of an open interval is tracked separately from its value:
         # an open interval whose state IS NULL must still suppress a re-open
+        # null-safe join keys throughout (the snapshot_diff `_nk_` pattern):
+        # a NULL-key entity is one entity — plain equality would never match
+        # its open interval, re-opening a duplicate is_current row per batch
         open_rows = hist.filter("is_current").select(
-            F.col(key), F.col("state").alias("_open_state"),
+            F.col(key).alias("_nk_open"), F.col("state").alias("_open_state"),
             F.lit(True).alias("_has_open"))
         w = Window.partitionBy(key).orderBy(seq)
         b = (batch_df.select(key, attr, ts, seq)
              .withColumn("_prev", F.lag(attr).over(w))
              .withColumn("_rn", F.row_number().over(w))
-             .join(open_rows, key, "left"))  # dimension-sized: let AQE pick the join
+             # dimension-sized: let AQE pick the join
+             .join(open_rows, F.col(key).eqNullSafe(F.col("_nk_open")), "left")
+             .drop("_nk_open"))
         # a batch's first row continues the open interval unless the state
         # differs (null-safe: NULL attr is a state; a key with no open row
         # always starts one)
@@ -186,8 +191,11 @@ def scd2_sink(path: str, key: str = "user_id", attr: str = "event_type",
         first_new = (fresh.groupBy(key)
                      .agg(F.min(F.struct("valid_from_seq", "valid_from"))
                           .alias("_f"))
-                     .select(key, F.col("_f.valid_from").alias("_close_at")))
-        closed = (hist.join(F.broadcast(first_new), key, "left")
+                     .select(F.col(key).alias("_nk_close"),
+                             F.col("_f.valid_from").alias("_close_at")))
+        closed = (hist.join(F.broadcast(first_new),
+                            F.col(key).eqNullSafe(F.col("_nk_close")), "left")
+                  .drop("_nk_close")
                   .withColumn(
                       "valid_to",
                       F.when(F.col("is_current") & F.col("_close_at").isNotNull(),

@@ -254,7 +254,8 @@ def test_token_throttle_existing_cost_column(spark):
     from akka_stream_contrib_spark.operators import token_throttle
 
     df = spark.createDataFrame([(1, 3), (2, 4)], "seq int, cost int")
-    out = df.transform(token_throttle(F.col("cost"), total_tokens=100, seq="seq"))
+    out = df.transform(token_throttle(F.col("cost"), total_tokens=100, seq="seq",
+                                      overwrite_cost=True))
     assert out.columns.count("cost") == 1
     assert [r.cost for r in out.orderBy("seq").collect()] == [3, 4]
 

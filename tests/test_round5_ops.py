@@ -214,12 +214,17 @@ def test_scd2_sink_matches_batch_recompute_and_replays(spark, tmp_path):
         (1, "a", "2026-01-01 10:01:00", 2),   # same state: no new interval
         (1, "b", "2026-01-01 10:02:00", 3),   # change
         (2, "x", "2026-01-01 10:00:30", 4),
+        (None, "p", "2026-01-01 10:00:45", 9),  # NULL-key entity
     ]
     rows_b2 = [
         (1, "b", "2026-01-01 10:03:00", 5),   # continues open 'b'
         (1, "c", "2026-01-01 10:04:00", 6),   # change across batches
         (2, "y", "2026-01-01 10:05:00", 7),   # change
         (3, "n", "2026-01-01 10:06:00", 8),   # brand-new key
+        # NULL key continues its open interval, then changes: plain-equality
+        # joins would never match the open row and re-open a duplicate
+        (None, "p", "2026-01-01 10:06:30", 10),
+        (None, "q", "2026-01-01 10:07:00", 11),
     ]
     schema = "user_id long, event_type string, ts string, event_id long"
 
@@ -231,21 +236,25 @@ def test_scd2_sink_matches_batch_recompute_and_replays(spark, tmp_path):
     sink(mk(rows_b1), 0)
     sink(mk(rows_b2), 1)
 
+    def keyf(t):
+        return tuple((v is None, v) for v in t)
+
     def snap():
         return sorted(map(tuple, read_scd2(
-            spark, str(tmp_path / "dim")).collect()))
+            spark, str(tmp_path / "dim")).collect()), key=keyf)
 
     batch_all = mk(rows_b1 + rows_b2)
     expect = sorted(map(tuple, batch_all.transform(
-        scd2_intervals()).collect()))
+        scd2_intervals()).collect()), key=keyf)
     got = snap()
     assert got == expect
     # at-least-once replay of the LAST batch must not change the table
     sink(mk(rows_b2), 1)
     assert snap() == expect
-    # a key with no rows in batch 2 but closed in batch 1 stays closed
+    # a key with no rows in batch 2 but closed in batch 1 stays closed;
+    # exactly ONE current row per key, including the NULL key
     currents = {(r[0], r[1]) for r in got if r[5]}
-    assert currents == {(1, "c"), (2, "y"), (3, "n")}
+    assert currents == {(1, "c"), (2, "y"), (3, "n"), (None, "q")}
 
 
 def test_scd2_as_of_half_open_boundary(spark):
@@ -484,8 +493,10 @@ def test_token_throttle_refuses_unrelated_cost_collision(spark):
     df = spark.createDataFrame([(1, 2, 9.0)], "seq long, w long, cost double")
     with pytest.raises(ValueError):
         df.transform(token_throttle(F.col("w"), total_tokens=10))
-    # passing the cost column ITSELF still works (values identical)
-    ok = df.transform(token_throttle(F.col("cost"), total_tokens=10))
+    # the same collision is fine once the caller states the intent — even
+    # for an unrelated expression (explicit flag, no repr-sniffing)
+    ok = df.transform(token_throttle(F.col("cost"), total_tokens=10,
+                                     overwrite_cost=True))
     assert ok.columns.count("cost") == 1
 
 
@@ -573,6 +584,18 @@ def test_latency_columns_nonzero_in_same_query(spark):
     _time.sleep(0.05)  # build→execution delay the stamp must expose
     out = stamped.transform(latency_columns()).collect()
     assert all(r.latency_us > 0 for r in out)
+
+
+def test_with_ingest_ts_rejects_streaming_frame(spark):
+    """A plan-build literal on a streaming frame would stamp every future
+    micro-batch with the same instant — must raise, pointing at
+    foreachBatch."""
+    import pytest
+
+    from akka_stream_contrib_spark.operators.timed import with_ingest_ts
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="foreachBatch"):
+        stream.transform(with_ingest_ts())
 
 
 def test_audio_segments_zero_duration_no_phantom_frames(spark):
