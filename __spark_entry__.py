@@ -1561,12 +1561,15 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed full-corpus Lloyd k-means over the embeddings table
     (functions/clustering.py::kmeans_assign): per-iteration broadcast-argmin
-    assignment (no shuffle) + k*dim-row partial-sum re-centering. Iterative
-    → rows-only driver check; exact semantics pinned by the numpy-model
-    pytest on separated fixtures (tests/test_functions.py)."""
+    assignment (no shuffle) + k*dim-row partial-sum re-centering.
+    portable_round=6 rounds centroids after every re-centering so both
+    engines carry identical centroid literals, making the full loop
+    oracle-expressible (_kmeans_oracle: 3 Lloyd rounds unrolled as
+    assignment/mean/carry CTEs — exact at sf0.001/0.01/0.1); the numpy-model
+    pytest on separated fixtures pins the loop independently."""
     from akka_stream_contrib_spark.functions import kmeans_assign
     emb = tables.load(spark, "embeddings", sf_dir)
-    return (kmeans_assign(emb, k=8, iterations=3)
+    return (kmeans_assign(emb, k=8, iterations=3, portable_round=6)
             .select("vec_id", "cluster", "dist"))
 
 
@@ -3855,6 +3858,68 @@ v{k} AS (
 
 
 _BPE_LEARN_ORACLE = _bpe_learn_oracle()
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+    """DuckDB mirror of q_kmeans_clusters' full Lloyd loop (portable_round=6),
+    unrolled as chained CTEs: a{it} = full-precision argmin assignment
+    (ties → lowest cid, like numpy argmin), m{it} = per-dimension member
+    means rounded to 6 dp, c{it} = carry (empty clusters keep the prior
+    centroid, rounded — matching the Spark side's round-after-update).
+    Rounded centroids make the literals identical across engines each
+    round; the residual risk is a point whose two nearest centroids are
+    equidistant to ~1e-13 (measure-zero, the logreg-oracle acceptance).
+    Verified exact at sf0.001/0.01/0.1."""
+    d2 = "list_sum(list_transform(list_zip(x, c), p -> (p[1] - p[2])^2))"
+    parts = [f"""
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           x AS c
+    FROM (SELECT vec_id, x FROM emb ORDER BY vec_id LIMIT {k})
+)"""]
+    for it in range(1, iterations + 1):
+        p = it - 1
+        parts.append(f"""
+a{it} AS (
+    SELECT vec_id, x, cid FROM (
+        SELECT emb.vec_id, emb.x, c{p}.cid,
+               row_number() OVER (
+                   PARTITION BY emb.vec_id
+                   ORDER BY {d2}, c{p}.cid) AS rn
+        FROM emb CROSS JOIN c{p})
+    WHERE rn = 1
+),
+m{it} AS (
+    SELECT cid, list(mv ORDER BY i) AS c
+    FROM (
+        SELECT cid, i, round(avg(x[i]), 6) + 0.0 AS mv
+        FROM a{it},
+             (SELECT unnest(generate_series(1, {dim})) AS i) s
+        GROUP BY cid, i)
+    GROUP BY cid
+),
+c{it} AS (
+    SELECT c{p}.cid,
+           coalesce(m{it}.c,
+                    list_transform(c{p}.c, v -> round(v, 6) + 0.0)) AS c
+    FROM c{p} LEFT JOIN m{it} ON m{it}.cid = c{p}.cid
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT vec_id, cid AS cluster, round(sqrt(d2), 6) + 0.0 AS dist
+FROM (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT emb.vec_id, c{iterations}.cid,
+               {d2} AS d2,
+               row_number() OVER (
+                   PARTITION BY emb.vec_id
+                   ORDER BY {d2}, c{iterations}.cid) AS rn
+        FROM emb CROSS JOIN c{iterations})
+    WHERE rn = 1)
+""")
+
+
+_KMEANS_ORACLE = _kmeans_oracle()
 
 from akka_stream_contrib_spark.functions.projection import (  # noqa: E402
     rp_project_sql as _rp_project_sql)
@@ -6623,6 +6688,7 @@ def oracle_sql() -> dict[str, str]:
         "logreg_quality": _LOGREG_ORACLE,
         "pagerank_users": _PAGERANK_ORACLE,
         "bpe_learn_merges": _BPE_LEARN_ORACLE,
+        "kmeans_clusters": _KMEANS_ORACLE,
         # ground-truth oracle DERIVED FROM THE DATA: byte-identical payloads
         # (the 20 planted clones at doc_id+1000000 AND any naturally
         # duplicated fixture texts — sf0.1 ships 8 such pairs) hash

@@ -42,6 +42,7 @@ def _assign(df: DataFrame, vec_col: str, cents: list[list[float]]):
 
 def kmeans_assign(df: DataFrame, k: int = 8, iterations: int = 5,
                   id_col: str = "vec_id", vec_col: str = "embedding",
+                  portable_round: int | None = None,
                   ) -> DataFrame:
     """Lloyd's k-means: returns (id, cluster, dist) for every input row,
     with ``dist`` the final distance to the assigned centroid (6 dp).
@@ -49,10 +50,14 @@ def kmeans_assign(df: DataFrame, k: int = 8, iterations: int = 5,
     Deterministic structure: centroids seed from the k lowest ids; each
     round every vector joins the broadcast centroid literals in a pure
     argmin expression; re-centering averages member vectors per dimension.
-    (Unordered double averaging makes last-digit centroid bits engine-
-    dependent — assignments of points near a Voronoi boundary can differ
-    across engines, which is why the gate query for this family is
-    rows-only; the pytest model pins well-separated fixtures exactly.)
+    Unordered double averaging makes last-digit centroid bits engine-
+    dependent; ``portable_round`` rounds the centroids to that many dp
+    after every re-centering (the cluster_silhouette convention), so both
+    engines carry IDENTICAL centroid literals into the next round and the
+    whole loop becomes SQL-oracle-expressible — argmin itself stays
+    full-precision (a flip needs two centroid distances equal to ~1e-13,
+    the same measure-zero risk the logreg CTE oracle accepts). Left at
+    None, semantics are the unrounded textbook loop.
     """
     if k <= 0 or iterations < 0:
         raise ValueError(f"kmeans_assign needs k>=1, iterations>=0")
@@ -104,6 +109,9 @@ def kmeans_assign(df: DataFrame, k: int = 8, iterations: int = 5,
             tot_s[r["cluster"]] += np.asarray(r["sums"])
         upd = tot_n > 0  # clusters that lost all members keep their centroid
         cents_np[upd] = tot_s[upd] / tot_n[upd, None]
+        if portable_round is not None:
+            # +0.0 normalizes any -0.0 so the literal matches SQL round()
+            cents_np = np.round(cents_np, portable_round) + 0.0
         # the partials are collected — release this round's centroid
         # broadcast instead of accumulating one per iteration per call
         b_cents.unpersist()
