@@ -3628,40 +3628,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **{k: v for k, v in base.items() if k not in set(front)}}
 
 
-#: the ~50-query driver-evidence window (see queries() comment). Round-5
-#: grouping: (1) queries whose oracle or implementation changed this round
-#: (data-derived pHash oracle, NULL-aware accumulate reroute, dsir NULL-text
-#: filter, pure-checksum luhn, vectorized holt, persisted logreg features)
-#: plus the NINE queries new this round (rrf_fusion … motif_search) — all
-#: must show driver-green; (2) the 7 no-oracle queries, rotated in so the
-#: driver pins rows+schema (their value semantics are pytest-pinned by
-#: python-model/recall replay tests); (3) the never-driver-verified tail
-#: (74 at round start; entries past the ~50 cut spill to round 6, where
-#: one more window finishes the registry; the 133-query ever-green set
-#: needs no re-checks).
+#: the ~50-query driver-evidence window (see queries() comment). Round-6
+#: grouping: (1) the 38 queries that have NEVER appeared in a driver
+#: CORRECTNESS window (r5 cumulative: 177 of 215 seen) — front-loaded so
+#: this round closes the registry; every one is oracle-backed and local-
+#: gate green at sf0.001/0.01; (2) the queries whose oracle or
+#: implementation changed this round and must re-show driver-green:
+#: pagerank/bpe_learn/kmeans flipped from rows-only to full value-hash
+#: oracles (CTE loop unrolls), pq_ann's cold chain was rebuilt (shared
+#: train/query collect, persisted embedding frame, SQL-text ADC), and
+#: logreg's GD iterations became parsed selectExpr text (bit-identical
+#: weights); (3) the 4 remaining no-oracle approximates (HLL sketches and
+#: the unrounded IVF family), re-pinned rows+schema. The 170-query
+#: ever-green set needs no re-checks.
 _PRIORITY = [
-    # (1) changed/new this round
-    "phash_near_dup", "accumulate", "dsir_select", "pii_luhn",
-    "holt_trend", "logreg_quality",
-    "rrf_fusion", "token_budget_fill", "audio_segments",
-    "hard_negatives", "balanced_shards", "scd2_as_of",
-    "sample_step_replay", "motif_search",
-    # (2) no-oracle rows+schema pinning
-    "ann_ivf_all", "approx_distinct_users", "bpe_learn_merges",
-    "hll_daily_users", "ivf_ann_topk", "kmeans_clusters", "pagerank_users",
-    # (3) never-driver-verified rotation (all oracle-backed)
-    "moving_revenue_7d", "ewma_smooth", "sessionize", "semi_join_customers",
-    "grouping_sets_revenue", "anti_join_customers", "top_orders_per_customer",
-    "user_journey", "monthly_revenue", "distinct_users",
-    "stratified_sample", "reservoir_sample", "triangle_count",
-    "readability_scores", "pmi_collocations", "bpe_pair_counts",
-    "bpe_token_freqs", "interpolate_linear", "cm_frequency", "token_entropy",
-    "value_histogram", "rolling_zscore", "winsorize_values", "mad_by_type",
-    "data_quality_report", "salted_event_stats", "nation_trade_balance",
-    "lateral_top_customers", "priority_shift_except_all",
+    # (1) never-driver-verified — closing the registry
     "props_json_extract", "props_variant", "array_hof", "regexp_funcs",
     "bitwise_agg", "safe_arithmetic", "nulls_ordering", "unpivot_revenue",
-    # spillover if the window is wider than 50 — still never-verified
     "as_of_join_tolerance", "user_correlation", "shipping_concurrency",
     "cohort_retention", "event_transitions", "login_streaks",
     "pareto_customers", "fuzzy_name_match", "regr_trend",
@@ -3671,6 +3654,12 @@ _PRIORITY = [
     "minhash_incremental", "multimodal_meta", "frame_sample_grid",
     "domain_cap", "remove_boilerplate", "training_pipeline", "training_prep",
     "repetition_stats", "scd2_user_state", "mixture_sample", "quantized_ann",
+    # (2) changed this round
+    "pagerank_users", "bpe_learn_merges", "kmeans_clusters",
+    "pq_ann", "logreg_quality",
+    # (3) no-oracle rows+schema re-pin
+    "ann_ivf_all", "approx_distinct_users", "hll_daily_users",
+    "ivf_ann_topk",
 ]
 
 

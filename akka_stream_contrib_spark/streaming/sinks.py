@@ -69,10 +69,13 @@ def incremental_dedup_sink(path: str, id_col: str = "doc_id",
     Unlike ``dropDuplicatesWithinWatermark`` this has no state horizon: the
     index is a plain parquet hash table (16 bytes/doc) read via an anti
     join, so the dedup window is the pipeline's whole lifetime. The
-    append-twice sequence is idempotent-enough under batch replay IF the
-    caller pairs it with a batch-id guard (see ``idempotent_parquet_sink``)
-    or accepts at-least-once hashes (a duplicate hash row only strengthens
-    the filter)."""
+    docs write is batch-id-partitioned with dynamic overwrite (the module
+    pattern above), which closes the replay crash window: a crash between
+    the docs write and the index write replays the batch, recomputes the
+    SAME fresh set (their hashes never reached the index) and overwrites
+    the same ``_batch_id`` partition byte-identically instead of appending
+    duplicates; a replay after both writes finds nothing fresh and touches
+    nothing."""
     from akka_stream_contrib_spark.functions import dedup_incremental
 
     def _write(batch_df: DataFrame, batch_id: int = 0) -> None:
@@ -92,7 +95,10 @@ def incremental_dedup_sink(path: str, id_col: str = "doc_id",
         fresh = dedup_incremental(batch_df, seen, id_col=id_col,
                                   text_col=text_col, hash_col=hash_col)
         fresh = fresh.localCheckpoint(eager=True)  # read index BEFORE writing it
-        fresh.drop(hash_col).write.mode("append").parquet(f"{path}/docs")
+        (fresh.drop(hash_col).withColumn(BATCH_COL, F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(BATCH_COL).parquet(f"{path}/docs"))
         fresh.select(hash_col).write.mode("append").parquet(f"{path}/index")
 
     return _write

@@ -225,9 +225,14 @@ def sessionize_stream(elements: DataFrame, gap_s: int,
             us = int(ts.value // 1_000)  # pandas ns -> micros
             if last_us is None or us - last_us > gap_us:
                 n_sessions, pos = n_sessions + 1, 1
+                last_us = us
             else:
+                # a CROSS-BATCH late event (us < last_us) joins the open
+                # session but must not move the clock backwards — a
+                # rewound last_us would make the next on-time event look
+                # past-gap and split a continuous session in two
                 pos += 1
-            last_us = us
+                last_us = max(last_us, us)
             rows.append((key[0], int(eid), n_sessions, pos))
         state.update((last_us, n_sessions, pos))
         yield pd.DataFrame(rows, columns=["key", "event_id", "session_id",

@@ -594,3 +594,164 @@ def test_scd2_sink_streaming_end_to_end(spark, tmp_path):
         scd2_intervals()).collect()))
     got = sorted(map(tuple, read_scd2(spark, dim).collect()))
     assert got == expect
+
+
+def test_sessionize_stream_late_event_does_not_rewind_clock(spark, tmp_path):
+    """Out-of-order-past-the-open-session: a cross-batch late event joins
+    the open session WITHOUT rewinding the session clock — a rewound
+    last_us would make the next on-time event look past-gap and split a
+    continuous session (the r6 hardening fix)."""
+    from akka_stream_contrib_spark.streaming import sessionize_stream
+    src = tmp_path / "late_src"
+    src.mkdir()
+    out_dir, ck = str(tmp_path / "late_out"), str(tmp_path / "late_ck")
+    (src / "b1.json").write_text(
+        '{"user_id": 1, "event_id": 1, "ts": "2024-01-01 10:00:00"}\n'
+        '{"user_id": 1, "event_id": 2, "ts": "2024-01-01 10:00:50"}\n')
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts string").json(str(src))
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    sess = sessionize_stream(stream, gap_s=60)
+
+    def run_once():
+        q = (sess.writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: a LATE event (before the open session's last ts) plus an
+    # on-time event 30s after the true session clock
+    (src / "b2.json").write_text(
+        '{"user_id": 1, "event_id": 3, "ts": "2024-01-01 09:59:30"}\n'
+        '{"user_id": 1, "event_id": 4, "ts": "2024-01-01 10:01:20"}\n')
+    run_once()
+    got = {r.event_id: (r.session_id, r.session_pos)
+           for r in spark.read.parquet(out_dir).collect()}
+    # all four belong to ONE session: the late event must not have moved
+    # last_us back to 09:59:30 (which would put event 4 past the 60s gap)
+    assert got == {1: (1, 1), 2: (1, 2), 3: (1, 3), 4: (1, 4)}
+
+
+def test_sessionize_stream_restart_under_load_and_replay(spark, tmp_path):
+    """Restart with MULTIPLE pending files processed as separate
+    micro-batches (maxFilesPerTrigger=1), then an idle restart: state
+    resumes across every boundary and the idle run appends nothing."""
+    from akka_stream_contrib_spark.streaming import sessionize_stream
+    src = tmp_path / "rl_src"
+    src.mkdir()
+    out_dir, ck = str(tmp_path / "rl_out"), str(tmp_path / "rl_ck")
+    (src / "b1.json").write_text(
+        '{"user_id": 1, "event_id": 1, "ts": "2024-01-01 10:00:00"}\n')
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts string")
+              .option("maxFilesPerTrigger", 1).json(str(src))
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    sess = sessionize_stream(stream, gap_s=60)
+
+    def run_once():
+        q = (sess.writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    # two files pending at restart -> two micro-batches in one availableNow
+    # run; the session must continue across BOTH internal boundaries.
+    # Distinct mtimes pin the file-source admission order (same-ms files
+    # are otherwise picked in either order).
+    import os
+    (src / "b2.json").write_text(
+        '{"user_id": 1, "event_id": 2, "ts": "2024-01-01 10:00:30"}\n')
+    (src / "b3.json").write_text(
+        '{"user_id": 1, "event_id": 3, "ts": "2024-01-01 10:01:00"}\n'
+        '{"user_id": 1, "event_id": 4, "ts": "2024-01-01 12:00:00"}\n')
+    now = time.time()
+    os.utime(src / "b2.json", (now - 10, now - 10))
+    os.utime(src / "b3.json", (now, now))
+    run_once()
+    got = {r.event_id: (r.session_id, r.session_pos)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: (1, 1), 2: (1, 2), 3: (1, 3), 4: (2, 1)}
+    # idle restart: same checkpoint, no new files -> no new rows
+    n_before = spark.read.parquet(out_dir).count()
+    run_once()
+    assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_heavy_hitters_stream_restart_under_load(spark, tmp_path):
+    """Two files pending at restart (forced into separate micro-batches),
+    then an idle restart: counters accumulate across every boundary, the
+    idle run emits nothing, and no item migrates buckets."""
+    from akka_stream_contrib_spark.streaming import heavy_hitters_stream
+    src = tmp_path / "hhrl_src"
+    src.mkdir()
+    out_dir, ck = str(tmp_path / "hhrl_out"), str(tmp_path / "hhrl_ck")
+    (src / "b1.json").write_text(
+        "\n".join(['{"item": "a"}'] * 3 + ['{"item": "b"}']) + "\n")
+    stream = (spark.readStream.schema("item string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    hh = heavy_hitters_stream(stream, n_buckets=4, capacity=64)
+
+    def run_once():
+        q = (hh.writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    (src / "b2.json").write_text(
+        "\n".join(['{"item": "a"}'] * 2 + ['{"item": "c"}'] * 2) + "\n")
+    (src / "b3.json").write_text(
+        "\n".join(['{"item": "b"}'] * 4 + ['{"item": "a"}']) + "\n")
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in rows:
+        latest[r.item] = max(latest.get(r.item, 0), r.mg_count)
+    assert latest == {"a": 6, "b": 5, "c": 2}
+    buckets = {}
+    for r in rows:
+        buckets.setdefault(r.item, set()).add(r.bucket)
+    assert all(len(bs) == 1 for bs in buckets.values())
+    n_before = spark.read.parquet(out_dir).count()
+    run_once()  # idle restart
+    assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_incremental_dedup_sink_replay_and_mid_crash_recovery(spark, tmp_path):
+    """At-least-once replay: (a) a full replay of an already-committed
+    batch appends nothing; (b) a crash BETWEEN the docs write and the index
+    write (docs partition exists, hashes absent) recovers on replay with no
+    duplicate docs — the batch-id dynamic overwrite rewrites the same
+    partition instead of appending."""
+    from akka_stream_contrib_spark.streaming import incremental_dedup_sink
+    from akka_stream_contrib_spark.streaming.sinks import BATCH_COL
+
+    out = str(tmp_path / "dd_out")
+    sink = incremental_dedup_sink(out)
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, text string")
+    sink(b1, 0)
+    # (a) full replay of batch 0
+    sink(b1, 0)
+    docs = spark.read.parquet(f"{out}/docs")
+    assert [r.doc_id for r in docs.groupBy("doc_id").count()
+            .filter("count > 1").collect()] == []
+    assert {r.doc_id for r in docs.collect()} == {1, 2}
+    # (b) simulate the crash window for batch 1: the docs partition was
+    # written but the process died before the index append
+    b2 = spark.createDataFrame(
+        [(3, "gamma"), (4, "alpha")], "doc_id bigint, text string")
+    (b2.filter("doc_id = 3").withColumn(BATCH_COL, F.lit(1))
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy(BATCH_COL).parquet(f"{out}/docs"))
+    # checkpoint replays batch 1 against the un-updated index
+    sink(b2, 1)
+    docs = spark.read.parquet(f"{out}/docs")
+    assert [r.doc_id for r in docs.groupBy("doc_id").count()
+            .filter("count > 1").collect()] == []
+    assert {r.doc_id for r in docs.collect()} == {1, 2, 3}
+    # index now covers every emitted content hash exactly
+    idx = spark.read.parquet(f"{out}/index")
+    assert idx.distinct().count() == 3
