@@ -943,23 +943,29 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (iterative k-means training → rows-only check; exact twin is
-    ann_cosine_topk)."""
+    """IVF ANN, fully value-oracled: portable_round=6 rounds the trained
+    cell centroids after every Lloyd round (the kmeans_assign convention),
+    so _ivf_topk_oracle can replay training, probe selection, cell
+    assignment, and the probed-cell cosine scan in DuckDB — exact at
+    sf0.001/0.01/0.1. Exact-recall twin is ann_cosine_topk."""
     from akka_stream_contrib_spark.functions.similarity import ivf_topk
     emb = tables.load(spark, "embeddings", sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+                    portable_round=6)
 
 
 def q_ann_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-vectors ANN through the distributed IVF composition — the default
     past the broadcast budget: NO full-corpus driver collect, one cell-id
-    shuffle (see functions/similarity.py::ann_topk_all_ivf). Iterative
-    centroid training → rows-only check; recall vs the exact kernel is
-    asserted in tests."""
+    shuffle (see functions/similarity.py::ann_topk_all_ivf). portable_round=6
+    makes the centroid literals engine-identical, so _ann_ivf_all_oracle
+    value-checks the whole pipeline (probe fan-out, home-cell join, per-query
+    top-k) — exact at sf0.001/0.01/0.1; recall vs the exact kernel is
+    additionally asserted in tests."""
     from akka_stream_contrib_spark.functions import ann_topk_all_ivf
     emb = tables.load(spark, "embeddings", sf_dir)
-    return ann_topk_all_ivf(emb, k=3, nlist=16, nprobe=4)
+    return ann_topk_all_ivf(emb, k=3, nlist=16, nprobe=4, portable_round=6)
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3638,9 +3644,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: oracles (CTE loop unrolls), pq_ann's cold chain was rebuilt (shared
 #: train/query collect, persisted embedding frame, SQL-text ADC), and
 #: logreg's GD iterations became parsed selectExpr text (bit-identical
-#: weights); (3) the 4 remaining no-oracle approximates (HLL sketches and
-#: the unrounded IVF family), re-pinned rows+schema. The 170-query
-#: ever-green set needs no re-checks.
+#: weights); (3) the rest of the formerly-no-oracle family: the IVF pair
+#: also flipped to full value-hash oracles this round (portable_round=6 +
+#: _ivf_topk_oracle/_ann_ivf_all_oracle), leaving only the two HLL
+#: sketches (engine-specific by nature) on the rows+schema check. The
+#: 170-query ever-green set needs no re-checks.
 _PRIORITY = [
     # (1) never-driver-verified — closing the registry
     "props_json_extract", "props_variant", "array_hof", "regexp_funcs",
@@ -3909,6 +3917,162 @@ FROM (
 
 
 _KMEANS_ORACLE = _kmeans_oracle()
+
+#: squared L2 / dot product between DOUBLE[] lists — DuckDB fragments shared
+#: by the IVF oracles below
+_SQL_D2 = "list_sum(list_transform(list_zip(s.x, c.c), p -> (p[1] - p[2])^2))"
+_SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _ivf_train_ctes(src: str, nlist: int, iters: int, dim: int,
+                    cap: int) -> str:
+    """CTE chain ending in c{iters} (cid, c) — the DuckDB unroll of
+    functions/similarity.py::_train_centroids with portable_round=6:
+    bounded id-sorted sample, seeds = first nlist normalized rows, then per
+    round argmin assignment (ties → lowest cid), per-dimension member means
+    (empty cells carry the prior centroid), re-normalization of EVERY
+    centroid (numpy divides kept cells by their ≈1.0 norm too), and 6-dp
+    rounding so both engines enter the next round with identical literals.
+    ``src`` is a (vec_id, x) relation of L2-normalized DOUBLE[] vectors."""
+    parts = [f"""
+samp AS (SELECT vec_id, x FROM {src} ORDER BY vec_id LIMIT {cap}),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           x AS c
+    FROM (SELECT vec_id, x FROM samp ORDER BY vec_id LIMIT {nlist})
+)"""]
+    for r in range(1, iters + 1):
+        p = r - 1
+        parts.append(f"""
+a{r} AS (
+    SELECT vec_id, x, cid FROM (
+        SELECT s.vec_id, s.x, c.cid,
+               row_number() OVER (
+                   PARTITION BY s.vec_id ORDER BY {_SQL_D2}, c.cid) AS rn
+        FROM samp s CROSS JOIN c{p} c)
+    WHERE rn = 1
+),
+m{r} AS (
+    SELECT cid, list(mv ORDER BY i) AS c
+    FROM (
+        SELECT cid, i, avg(x[i]) AS mv
+        FROM a{r}, (SELECT unnest(generate_series(1, {dim})) AS i) g
+        GROUP BY cid, i)
+    GROUP BY cid
+),
+k{r} AS (
+    SELECT p.cid, coalesce(m{r}.c, p.c) AS c
+    FROM c{p} p LEFT JOIN m{r} ON m{r}.cid = p.cid
+),
+c{r} AS (
+    SELECT cid,
+           list_transform(c, v -> round(
+               v / sqrt(list_sum(list_transform(c, w -> w * w))), 6) + 0.0)
+               AS c
+    FROM k{r}
+)""")
+    return ",".join(parts)
+
+
+def _ivf_topk_oracle(k: int = 10, nlist: int = 16, nprobe: int = 4,
+                     iters: int = 5, dim: int = 64) -> str:
+    """DuckDB mirror of q_ivf_ann_topk (portable_round=6): centroid training
+    unrolled (_ivf_train_ctes over the vec_id<>0 corpus), probe cells = top
+    nprobe by centroid·query dot (ties → lowest cid, numpy stable argsort),
+    home-cell assignment for every vector, exact cosine over probed cells
+    only, top-k by (rounded cos DESC, vec_id). Residual cross-engine risk is
+    an argmin/probe tie at ~1e-13 — the kmeans-oracle acceptance. Verified
+    exact at sf0.001/0.01/0.1."""
+    cap = max(nlist * 64, 1024)
+    dot_cq = _SQL_DOT.format(a="c.c", b="qv.q")
+    dot_xq = _SQL_DOT.format(a="a.x", b="qv.q")
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+             FROM embeddings),
+nv AS (
+    SELECT vec_id,
+           list_transform(raw, v -> v / sqrt(
+               list_sum(list_transform(raw, w -> w * w)))) AS x
+    FROM emb WHERE vec_id <> 0
+),
+{_ivf_train_ctes("nv", nlist, iters, dim, cap)},
+qv AS (
+    SELECT list_transform(raw, v -> v / sqrt(
+               list_sum(list_transform(raw, w -> w * w)))) AS q
+    FROM emb WHERE vec_id = 0
+),
+probes AS (
+    SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {dot_cq} DESC, c.cid) AS rn
+        FROM c{iters} c CROSS JOIN qv)
+    WHERE rn <= {nprobe}
+),
+assigned AS (
+    SELECT vec_id, x, cid FROM (
+        SELECT s.vec_id, s.x, c.cid,
+               row_number() OVER (
+                   PARTITION BY s.vec_id ORDER BY {_SQL_D2}, c.cid) AS rn
+        FROM nv s CROSS JOIN c{iters} c)
+    WHERE rn = 1
+)
+SELECT a.vec_id, round({dot_xq}, 6) + 0.0 AS cos_sim
+FROM assigned a CROSS JOIN qv
+WHERE a.cid IN (SELECT cid FROM probes)
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT {k}
+"""
+
+
+def _ann_ivf_all_oracle(k: int = 3, nlist: int = 16, nprobe: int = 4,
+                        iters: int = 5, dim: int = 64) -> str:
+    """DuckDB mirror of q_ann_ivf_all (portable_round=6): after the shared
+    training unroll, every vector gets its nprobe nearest cells (stable
+    ties), candidates = probe-cell × home-cell equi-join minus self, and
+    the per-query top-k windows on UNROUNDED cosine with neighbor_id
+    tie-break — exactly the Spark composition's window. The Spark side's
+    per-cell top-(k+1) pre-pruning is a pure optimization (it always
+    contains the per-query global top-k), so the SQL can skip it. Verified
+    exact at sf0.001/0.01/0.1."""
+    cap = max(nlist * 64, 1024)
+    dot_qc = _SQL_DOT.format(a="q.x", b="r.x")
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+             FROM embeddings),
+nv AS (
+    SELECT vec_id,
+           list_transform(raw, v -> v / sqrt(
+               list_sum(list_transform(raw, w -> w * w)))) AS x
+    FROM emb
+),
+{_ivf_train_ctes("nv", nlist, iters, dim, cap)},
+ranked AS (
+    SELECT vec_id, x, cid, rn FROM (
+        SELECT s.vec_id, s.x, c.cid,
+               row_number() OVER (
+                   PARTITION BY s.vec_id ORDER BY {_SQL_D2}, c.cid) AS rn
+        FROM nv s CROSS JOIN c{iters} c)
+    WHERE rn <= {nprobe}
+),
+home AS (SELECT vec_id, x, cid FROM ranked WHERE rn = 1),
+cand AS (
+    SELECT q.vec_id AS vec_id, r.vec_id AS neighbor_id,
+           {dot_qc} AS cos
+    FROM ranked q JOIN home r ON r.cid = q.cid
+    WHERE r.vec_id <> q.vec_id
+)
+SELECT vec_id, neighbor_id, round(cos, 6) + 0.0 AS cos_sim
+FROM (
+    SELECT vec_id, neighbor_id, cos,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+    FROM cand)
+WHERE rn <= {k}
+"""
+
+
+_IVF_TOPK_ORACLE = _ivf_topk_oracle()
+_ANN_IVF_ALL_ORACLE = _ann_ivf_all_oracle()
 
 from akka_stream_contrib_spark.functions.projection import (  # noqa: E402
     rp_project_sql as _rp_project_sql)
@@ -6678,6 +6842,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_users": _PAGERANK_ORACLE,
         "bpe_learn_merges": _BPE_LEARN_ORACLE,
         "kmeans_clusters": _KMEANS_ORACLE,
+        "ivf_ann_topk": _IVF_TOPK_ORACLE,
+        "ann_ivf_all": _ANN_IVF_ALL_ORACLE,
         # ground-truth oracle DERIVED FROM THE DATA: byte-identical payloads
         # (the 20 planted clones at doc_id+1000000 AND any naturally
         # duplicated fixture texts — sf0.1 ships 8 such pairs) hash

@@ -140,7 +140,8 @@ def ann_lsh_topk(df: DataFrame, k: int = 3, n_planes: int = 8, dim: int = 64,
 
 def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
              nlist: int = 16, nprobe: int = 4, iters: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             portable_round: int | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``nlist`` k-means
     cells, search only the ``nprobe`` cells whose centroids are nearest the
     query. The 100 TB shape: centroids train on a driver-side sample (tiny),
@@ -159,7 +160,8 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     q = np.array(query_vec, dtype=np.float64)
     q /= np.linalg.norm(q)
 
-    cents = _train_centroids(df, nlist, iters, id_col, vec_col)
+    cents = _train_centroids(df, nlist, iters, id_col, vec_col,
+                             portable_round=portable_round)
     if cents is None:  # empty corpus: no cells, no hits
         return (df.select(F.col(id_col))
                 .withColumn("cos_sim", F.lit(0.0)).limit(0))
@@ -272,10 +274,16 @@ def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
 
 
 def _train_centroids(df: DataFrame, nlist: int, iters: int,
-                     id_col: str, vec_col: str) -> np.ndarray:
+                     id_col: str, vec_col: str,
+                     portable_round: int | None = None) -> np.ndarray:
     """Deterministic driver-side k-means on a bounded sample (lowest ids
     first, fixed Lloyd rounds, argmin tie-break) — the only driver-side step
-    in the IVF family, and its size is capped independent of corpus size."""
+    in the IVF family, and its size is capped independent of corpus size.
+
+    ``portable_round`` rounds the (re-normalized) centroids to that many dp
+    after every round — the kmeans_assign convention that makes both engines
+    carry identical centroid literals, so the IVF compositions built on top
+    become SQL-oracle-expressible. None keeps the unrounded textbook loop."""
     sample = (df.select(id_col, vec_col).orderBy(id_col)
               .limit(max(nlist * 64, 1024)).toPandas())
     if len(sample) == 0:
@@ -290,12 +298,15 @@ def _train_centroids(df: DataFrame, nlist: int, iters: int,
             if len(members):
                 cents[c] = members.mean(axis=0)
         cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        if portable_round is not None:
+            cents = np.round(cents, portable_round) + 0.0
     return cents
 
 
 def ann_topk_all_ivf(df: DataFrame, k: int = 3, nlist: int = 16,
                      nprobe: int = 4, iters: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
+                     portable_round: int | None = None,
                      ) -> DataFrame:
     """All-vectors ANN with NO full-corpus driver collect — the default
     composition at index sizes past the broadcast budget (100 TB shape).
@@ -310,7 +321,8 @@ def ann_topk_all_ivf(df: DataFrame, k: int = 3, nlist: int = 16,
     traded via nprobe/nlist exactly as in the single-query :func:`ivf_topk`.
     """
     spark = df.sparkSession
-    cents = _train_centroids(df, nlist, iters, id_col, vec_col)
+    cents = _train_centroids(df, nlist, iters, id_col, vec_col,
+                             portable_round=portable_round)
     if cents is None:  # empty corpus: empty result in the output schema
         return (df.select(F.col(id_col),
                           F.col(id_col).alias("neighbor_id"))
