@@ -3707,7 +3707,11 @@ def _logreg_oracle(iters: int = 15, lr: float = 0.5) -> str:
     — far inside the 6-dp rounding of the emitted probabilities."""
     feats = ["f1", "f2", "f3", "f4", "f5"]
     ctes = [
-        """feat AS (
+        # MATERIALIZED: the Spark side featurizes ONCE (localCheckpoint
+        # before the GD loop); without it DuckDB inlines feat into every
+        # iteration CTE and re-scans documents 15x - 1.35 s vs 0.15 s at
+        # sf0.1, and not the equivalent work
+        """feat AS MATERIALIZED (
             SELECT doc_id, CAST(lang = 'en' AS INT) AS label,
                    ln(n_tok + 1.0) AS f1,
                    (n_chars - (n_tok - 1)) / n_tok AS f2,
@@ -3763,7 +3767,7 @@ def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
     inside the 6-dp output rounding; verified exact at sf0.001/0.01/0.1."""
     d = repr(float(damping))
     parts = ["""
-e AS (
+e AS MATERIALIZED (
     SELECT DISTINCT src, dst FROM (
         SELECT lag(user_id) OVER (
                    PARTITION BY date_trunc('hour', ts) ORDER BY event_id
@@ -3772,26 +3776,26 @@ e AS (
         FROM events)
     WHERE src IS NOT NULL AND src <> dst
 ),
-nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-outdeg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
-r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes, nn)
+outdeg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM nodes, nn)
 """]
     for k in range(1, iterations + 1):
         p = k - 1
         parts.append(f"""
-d{k} AS (
+d{k} AS MATERIALIZED (
     SELECT coalesce(sum(rank), 0.0) AS m
     FROM r{p} WHERE NOT EXISTS (
         SELECT 1 FROM outdeg WHERE outdeg.src = r{p}.id)
 ),
-c{k} AS (
+c{k} AS MATERIALIZED (
     SELECT e.dst, sum(r{p}.rank / outdeg.out_deg) AS inflow
     FROM e JOIN r{p} ON r{p}.id = e.src
            JOIN outdeg ON outdeg.src = e.src
     GROUP BY e.dst
 ),
-r{k} AS (
+r{k} AS MATERIALIZED (
     SELECT nodes.id,
            ((1.0 - {d}) / nn.n + {d} * d{k}.m / nn.n)
            + {d} * coalesce(c{k}.inflow, 0.0) AS rank
@@ -3819,7 +3823,7 @@ def _bpe_learn_oracle(n_merges: int = 10) -> str:
     the rewrite (v{{k}}). All-integer — exact by construction; verified
     merge-for-merge at sf0.001/0.01/0.1."""
     parts = ["""
-v0 AS (
+v0 AS MATERIALIZED (
     SELECT chr(31) || array_to_string(string_split_regex(w, ''), chr(31))
                AS s,
            f
@@ -3831,7 +3835,7 @@ v0 AS (
     for k in range(1, n_merges + 1):
         p = k - 1
         parts.append(f"""
-p{k} AS (
+p{k} AS MATERIALIZED (
     SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(f) AS BIGINT) AS c
     FROM (
         SELECT string_split(s, chr(31)) AS l, f,
@@ -3840,8 +3844,8 @@ p{k} AS (
         FROM v{p})
     GROUP BY a, b
 ),
-t{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
-v{k} AS (
+t{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+v{k} AS MATERIALIZED (
     SELECT replace(v{p}.s, chr(31) || t{k}.a || chr(31) || t{k}.b,
                    chr(31) || t{k}.a || t{k}.b) AS s,
            v{p}.f
@@ -3869,8 +3873,8 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
     Verified exact at sf0.001/0.01/0.1."""
     d2 = "list_sum(list_transform(list_zip(x, c), p -> (p[1] - p[2])^2))"
     parts = [f"""
-emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-c0 AS (
+emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+c0 AS MATERIALIZED (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
            x AS c
     FROM (SELECT vec_id, x FROM emb ORDER BY vec_id LIMIT {k})
@@ -3878,7 +3882,7 @@ c0 AS (
     for it in range(1, iterations + 1):
         p = it - 1
         parts.append(f"""
-a{it} AS (
+a{it} AS MATERIALIZED (
     SELECT vec_id, x, cid FROM (
         SELECT emb.vec_id, emb.x, c{p}.cid,
                row_number() OVER (
@@ -3887,7 +3891,7 @@ a{it} AS (
         FROM emb CROSS JOIN c{p})
     WHERE rn = 1
 ),
-m{it} AS (
+m{it} AS MATERIALIZED (
     SELECT cid, list(mv ORDER BY i) AS c
     FROM (
         SELECT cid, i, round(avg(x[i]), 6) + 0.0 AS mv
@@ -3896,7 +3900,7 @@ m{it} AS (
         GROUP BY cid, i)
     GROUP BY cid
 ),
-c{it} AS (
+c{it} AS MATERIALIZED (
     SELECT c{p}.cid,
            coalesce(m{it}.c,
                     list_transform(c{p}.c, v -> round(v, 6) + 0.0)) AS c
@@ -3935,8 +3939,8 @@ def _ivf_train_ctes(src: str, nlist: int, iters: int, dim: int,
     rounding so both engines enter the next round with identical literals.
     ``src`` is a (vec_id, x) relation of L2-normalized DOUBLE[] vectors."""
     parts = [f"""
-samp AS (SELECT vec_id, x FROM {src} ORDER BY vec_id LIMIT {cap}),
-c0 AS (
+samp AS MATERIALIZED (SELECT vec_id, x FROM {src} ORDER BY vec_id LIMIT {cap}),
+c0 AS MATERIALIZED (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
            x AS c
     FROM (SELECT vec_id, x FROM samp ORDER BY vec_id LIMIT {nlist})
@@ -3944,7 +3948,7 @@ c0 AS (
     for r in range(1, iters + 1):
         p = r - 1
         parts.append(f"""
-a{r} AS (
+a{r} AS MATERIALIZED (
     SELECT vec_id, x, cid FROM (
         SELECT s.vec_id, s.x, c.cid,
                row_number() OVER (
@@ -3952,7 +3956,7 @@ a{r} AS (
         FROM samp s CROSS JOIN c{p} c)
     WHERE rn = 1
 ),
-m{r} AS (
+m{r} AS MATERIALIZED (
     SELECT cid, list(mv ORDER BY i) AS c
     FROM (
         SELECT cid, i, avg(x[i]) AS mv
@@ -3960,11 +3964,11 @@ m{r} AS (
         GROUP BY cid, i)
     GROUP BY cid
 ),
-k{r} AS (
+k{r} AS MATERIALIZED (
     SELECT p.cid, coalesce(m{r}.c, p.c) AS c
     FROM c{p} p LEFT JOIN m{r} ON m{r}.cid = p.cid
 ),
-c{r} AS (
+c{r} AS MATERIALIZED (
     SELECT cid,
            list_transform(c, v -> round(
                v / sqrt(list_sum(list_transform(c, w -> w * w))), 6) + 0.0)
@@ -3989,26 +3993,26 @@ def _ivf_topk_oracle(k: int = 10, nlist: int = 16, nprobe: int = 4,
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
              FROM embeddings),
-nv AS (
+nv AS MATERIALIZED (
     SELECT vec_id,
            list_transform(raw, v -> v / sqrt(
                list_sum(list_transform(raw, w -> w * w)))) AS x
     FROM emb WHERE vec_id <> 0
 ),
 {_ivf_train_ctes("nv", nlist, iters, dim, cap)},
-qv AS (
+qv AS MATERIALIZED (
     SELECT list_transform(raw, v -> v / sqrt(
                list_sum(list_transform(raw, w -> w * w)))) AS q
     FROM emb WHERE vec_id = 0
 ),
-probes AS (
+probes AS MATERIALIZED (
     SELECT cid FROM (
         SELECT c.cid,
                row_number() OVER (ORDER BY {dot_cq} DESC, c.cid) AS rn
         FROM c{iters} c CROSS JOIN qv)
     WHERE rn <= {nprobe}
 ),
-assigned AS (
+assigned AS MATERIALIZED (
     SELECT vec_id, x, cid FROM (
         SELECT s.vec_id, s.x, c.cid,
                row_number() OVER (
@@ -4039,14 +4043,14 @@ def _ann_ivf_all_oracle(k: int = 3, nlist: int = 16, nprobe: int = 4,
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
              FROM embeddings),
-nv AS (
+nv AS MATERIALIZED (
     SELECT vec_id,
            list_transform(raw, v -> v / sqrt(
                list_sum(list_transform(raw, w -> w * w)))) AS x
     FROM emb
 ),
 {_ivf_train_ctes("nv", nlist, iters, dim, cap)},
-ranked AS (
+ranked AS MATERIALIZED (
     SELECT vec_id, x, cid, rn FROM (
         SELECT s.vec_id, s.x, c.cid,
                row_number() OVER (
@@ -4054,8 +4058,8 @@ ranked AS (
         FROM nv s CROSS JOIN c{iters} c)
     WHERE rn <= {nprobe}
 ),
-home AS (SELECT vec_id, x, cid FROM ranked WHERE rn = 1),
-cand AS (
+home AS MATERIALIZED (SELECT vec_id, x, cid FROM ranked WHERE rn = 1),
+cand AS MATERIALIZED (
     SELECT q.vec_id AS vec_id, r.vec_id AS neighbor_id,
            {dot_qc} AS cos
     FROM ranked q JOIN home r ON r.cid = q.cid
