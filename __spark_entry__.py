@@ -3407,11 +3407,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate records ~50 rows per round, taken from
     # the FRONT of this dict. _PRIORITY pins that window to the queries that
-    # need driver evidence most this round: (1) the five r1 fail/err fixes,
-    # (2) this round's new operators, (3) the LLM-pipeline core the r1
-    # verdict flagged as driver-unverified (dedup / similarity / text /
-    # corpus / multimodal). Everything else follows in authoring order and
-    # is covered by the local oracle replica (tests/test_oracle_gate.py).
+    # need driver evidence most this round (see its comment for the round-6
+    # grouping: the 38 never-driver-verified first, then this round's
+    # changed queries, then the two HLL rows+schema checks). Everything
+    # else follows in authoring order and is covered by the local oracle
+    # replica (tests/test_oracle_gate.py).
     base = {
         "accumulate_while_unchanged": q_accumulate_while_unchanged,
         "timed_interval_between": q_timed_interval_between,

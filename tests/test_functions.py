@@ -631,6 +631,37 @@ def test_kmeans_assign_separated_clusters(spark):
     assert all(r.dist < 2.0 for r in out)
 
 
+def test_kmeans_assign_portable_round_preserves_assignments(spark):
+    """portable_round=6 only quantizes the centroid literals — on separated
+    data the cluster memberships (and 6-dp distances) match the unrounded
+    loop, and the IVF trainer honors the same flag (unit-norm rounded
+    centroids)."""
+    import numpy as np
+
+    from akka_stream_contrib_spark.functions import kmeans_assign
+    from akka_stream_contrib_spark.functions.similarity import _train_centroids
+    rng = np.random.default_rng(11)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    rows = []
+    for i in range(60):
+        v = centers[i % 3] + rng.normal(0, 0.3, 2)
+        rows.append((i, [float(v[0]), float(v[1])]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    plain = {r.vec_id: (r.cluster, r.dist)
+             for r in kmeans_assign(df, k=3, iterations=4).collect()}
+    rounded = {r.vec_id: (r.cluster, r.dist)
+               for r in kmeans_assign(df, k=3, iterations=4,
+                                      portable_round=6).collect()}
+    assert {i: c for i, (c, _) in plain.items()} == \
+        {i: c for i, (c, _) in rounded.items()}
+    # distances agree to the quantization the rounding introduces
+    assert all(abs(plain[i][1] - rounded[i][1]) < 1e-4 for i in plain)
+    cents = _train_centroids(df, nlist=3, iters=2, id_col="vec_id",
+                             vec_col="embedding", portable_round=6)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
+    assert np.array_equal(cents, np.round(cents, 6))
+
+
 def test_kmeans_assign_empty_and_validation(spark):
     from akka_stream_contrib_spark.functions import kmeans_assign
     import pytest as _pytest
