@@ -65,7 +65,14 @@ def logreg_train(df: DataFrame, feature_col: str = "features",
     # oracle's 6-dp rounding absorbs is unchanged. High-dim models keep
     # the Arrow path (dim codegen sum columns stop being a win).
     if dim <= 64:
+        import math
         for _ in range(iters):
+            if not (all(map(math.isfinite, w)) and math.isfinite(b)):
+                # the old Column-literal path tolerated inf/nan silently and
+                # trained garbage; the SQL-text literal would not even parse
+                raise ValueError(
+                    "logreg_train: non-finite weights (diverged) — lower lr "
+                    "or standardize features")
             ws = " + ".join(f"x[{j}] * {float(w[j])!r}D" for j in range(dim))
             zs = f"((0.0D + {ws}) + {float(b)!r}D)"
             es = f"(1.0D / (1.0D + exp(-{zs})) - y)"
