@@ -3814,18 +3814,21 @@ _PAGERANK_ORACLE = _pagerank_oracle()
 
 def _bpe_learn_oracle(n_merges: int = 10) -> str:
     """DuckDB mirror of q_bpe_learn_merges' full training loop, unrolled as
-    chained CTEs. Vocabulary state is the flat SEP-prefixed symbol string
-    (the bpe_encode oracle's representation): plain replace of
-    SEP+a+SEP+b with SEP+ab equals the left-to-right non-overlapping merge
-    fold of functions/bpe.py::_merge_pair, because every symbol carries its
-    own leading separator. Each round: adjacent-pair counts over the
-    weighted vocab (p{{k}}), the lexically tie-broken argmax (t{{k}}), and
-    the rewrite (v{{k}}). All-integer — exact by construction; verified
-    merge-for-merge at sf0.001/0.01/0.1."""
+    chained CTEs. Vocabulary state is the flat PER-SYMBOL-WRAPPED string
+    (every symbol carries its own leading AND trailing separator — see
+    functions/bpe.py::_encode_expr for why both boundaries must anchor and
+    why a shared separator breaks chained merges): plain replace of
+    SEP+a+SEP+SEP+b+SEP with SEP+ab+SEP equals the left-to-right
+    non-overlapping merge fold of functions/bpe.py::_merge_pair. Each
+    round: adjacent-pair counts over the weighted vocab (p{{k}}), the
+    lexically tie-broken argmax (t{{k}}), and the rewrite (v{{k}}).
+    All-integer — exact by construction; verified merge-for-merge at
+    sf0.001/0.01/0.1 plus the adversarial prefix-symbol corpus in
+    tests."""
     parts = ["""
 v0 AS MATERIALIZED (
-    SELECT chr(31) || array_to_string(string_split_regex(w, ''), chr(31))
-               AS s,
+    SELECT array_to_string(list_transform(string_split_regex(w, ''),
+               c -> chr(31) || c || chr(31)), '') AS s,
            f
     FROM (
         SELECT w, count(*) AS f
@@ -3838,16 +3841,19 @@ v0 AS MATERIALIZED (
 p{k} AS MATERIALIZED (
     SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(f) AS BIGINT) AS c
     FROM (
-        SELECT string_split(s, chr(31)) AS l, f,
-               unnest(generate_series(2, len(string_split(s, chr(31))) - 1))
-                   AS i
+        SELECT list_filter(string_split(s, chr(31)), x -> x <> '') AS l, f,
+               unnest(generate_series(1,
+                   len(list_filter(string_split(s, chr(31)),
+                                   x -> x <> '')) - 1)) AS i
         FROM v{p})
     GROUP BY a, b
 ),
 t{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
 v{k} AS MATERIALIZED (
-    SELECT replace(v{p}.s, chr(31) || t{k}.a || chr(31) || t{k}.b,
-                   chr(31) || t{k}.a || t{k}.b) AS s,
+    SELECT replace(v{p}.s,
+                   chr(31) || t{k}.a || chr(31) || chr(31) || t{k}.b
+                       || chr(31),
+                   chr(31) || t{k}.a || t{k}.b || chr(31)) AS s,
            v{p}.f
     FROM v{p} CROSS JOIN t{k}
 )""")
@@ -5108,18 +5114,19 @@ def oracle_sql() -> dict[str, str]:
             ), enc AS (
                 SELECT w,
                   replace(replace(replace(replace(replace(replace(replace(replace(
-                    chr(31) || array_to_string(string_split_regex(w, ''), chr(31)),
-                    chr(31)||'e'||chr(31)||'r', chr(31)||'er'),
-                    chr(31)||'i'||chr(31)||'n', chr(31)||'in'),
-                    chr(31)||'o'||chr(31)||'w', chr(31)||'ow'),
-                    chr(31)||'o'||chr(31)||'r', chr(31)||'or'),
-                    chr(31)||'s'||chr(31)||'t', chr(31)||'st'),
-                    chr(31)||'m'||chr(31)||'er', chr(31)||'mer'),
-                    chr(31)||'a'||chr(31)||'t', chr(31)||'at'),
-                    chr(31)||'l'||chr(31)||'u', chr(31)||'lu') AS e
+                    array_to_string(list_transform(string_split_regex(w, ''),
+                        c -> chr(31) || c || chr(31)), ''),
+                    chr(31)||'e'||chr(31)||chr(31)||'r'||chr(31), chr(31)||'er'||chr(31)),
+                    chr(31)||'i'||chr(31)||chr(31)||'n'||chr(31), chr(31)||'in'||chr(31)),
+                    chr(31)||'o'||chr(31)||chr(31)||'w'||chr(31), chr(31)||'ow'||chr(31)),
+                    chr(31)||'o'||chr(31)||chr(31)||'r'||chr(31), chr(31)||'or'||chr(31)),
+                    chr(31)||'s'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'st'||chr(31)),
+                    chr(31)||'m'||chr(31)||chr(31)||'er'||chr(31), chr(31)||'mer'||chr(31)),
+                    chr(31)||'a'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'at'||chr(31)),
+                    chr(31)||'l'||chr(31)||chr(31)||'u'||chr(31), chr(31)||'lu'||chr(31)) AS e
                 FROM vocab
             ), counts AS (
-                SELECT w, len(string_split(e, chr(31))) - 1 AS n_tok FROM enc
+                SELECT w, (len(string_split(e, chr(31))) - 1) // 2 AS n_tok FROM enc
             )
             SELECT doc_id, count(*) AS n_words,
                    CAST(sum(n_tok) AS BIGINT) AS bpe_tokens
@@ -5134,15 +5141,16 @@ def oracle_sql() -> dict[str, str]:
             ), enc AS (
                 SELECT w, f,
                   replace(replace(replace(replace(replace(replace(replace(replace(
-                    chr(31) || array_to_string(string_split_regex(w, ''), chr(31)),
-                    chr(31)||'e'||chr(31)||'r', chr(31)||'er'),
-                    chr(31)||'i'||chr(31)||'n', chr(31)||'in'),
-                    chr(31)||'o'||chr(31)||'w', chr(31)||'ow'),
-                    chr(31)||'o'||chr(31)||'r', chr(31)||'or'),
-                    chr(31)||'s'||chr(31)||'t', chr(31)||'st'),
-                    chr(31)||'m'||chr(31)||'er', chr(31)||'mer'),
-                    chr(31)||'a'||chr(31)||'t', chr(31)||'at'),
-                    chr(31)||'l'||chr(31)||'u', chr(31)||'lu') AS e
+                    array_to_string(list_transform(string_split_regex(w, ''),
+                        c -> chr(31) || c || chr(31)), ''),
+                    chr(31)||'e'||chr(31)||chr(31)||'r'||chr(31), chr(31)||'er'||chr(31)),
+                    chr(31)||'i'||chr(31)||chr(31)||'n'||chr(31), chr(31)||'in'||chr(31)),
+                    chr(31)||'o'||chr(31)||chr(31)||'w'||chr(31), chr(31)||'ow'||chr(31)),
+                    chr(31)||'o'||chr(31)||chr(31)||'r'||chr(31), chr(31)||'or'||chr(31)),
+                    chr(31)||'s'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'st'||chr(31)),
+                    chr(31)||'m'||chr(31)||chr(31)||'er'||chr(31), chr(31)||'mer'||chr(31)),
+                    chr(31)||'a'||chr(31)||chr(31)||'t'||chr(31), chr(31)||'at'||chr(31)),
+                    chr(31)||'l'||chr(31)||chr(31)||'u'||chr(31), chr(31)||'lu'||chr(31)) AS e
                 FROM wf
             ), toks AS (
                 SELECT unnest(string_split(e, chr(31))) AS token, f FROM enc

@@ -148,20 +148,30 @@ FIXTURE_MERGES: tuple[tuple[str, str], ...] = (
 
 
 def _encode_expr(word, merges) -> "F.Column":
-    """Flat BPE application as a pure string expression: prefix every
-    character with the separator, then for each merge (a, b) in rank order
-    run a plain left-to-right ``replace`` of SEP+a+SEP+b with SEP+ab.
+    """Flat BPE application as a pure string expression: wrap EVERY symbol
+    in its own leading AND trailing separator (adjacent symbols are joined
+    by a DOUBLE separator), then for each merge (a, b) in rank order run a
+    plain left-to-right ``replace`` of SEP+a+SEP+SEP+b+SEP with SEP+ab+SEP.
 
-    Because every symbol carries its OWN leading separator, a pattern can
-    only match at a symbol boundary (no cross-symbol false positives) and
-    adjacent matches share no characters — so replace-all equals the
-    left-to-right greedy merge pass of standard BPE encoding ('aaa' with
-    merge (a,a) → [aa, a]). Plain ``replace`` (not regexp) exists with
-    identical scan-forward semantics in Spark and DuckDB, which is what
-    makes the oracle bit-exact."""
-    e = F.regexp_replace(word, "(.)", _SEP + "$1")
+    Why this exact representation — two failure modes it is the unique
+    plain-replace fix for (r6 review):
+    1. Anchoring only the LEFT boundary of each symbol let the pattern
+       match a longer symbol that merely STARTS with b, merging (a, b)
+       into an adjacent 'bc'.
+    2. Anchoring with a single SHARED trailing separator breaks chained
+       merges: scan-forward replace resumes in the SOURCE after the
+       consumed separator, so 'aaaa' under merge (a,a) came out [aa, a, a]
+       instead of the greedy [aa, aa].
+    With per-symbol wrapping, both symbol boundaries are anchored and
+    adjacent matches share no characters, so replace-all equals the
+    left-to-right greedy merge pass of standard BPE exactly like
+    :func:`_merge_pair` ('aaaaa' + (a,a) → [aa, aa, a]). Plain ``replace``
+    (not regexp) exists with identical scan-forward semantics in Spark and
+    DuckDB, which is what makes the oracle bit-exact."""
+    e = F.regexp_replace(word, "(.)", _SEP + "$1" + _SEP)
     for a, b in merges:
-        e = F.replace(e, F.lit(_SEP + a + _SEP + b), F.lit(_SEP + a + b))
+        e = F.replace(e, F.lit(_SEP + a + _SEP + _SEP + b + _SEP),
+                      F.lit(_SEP + a + b + _SEP))
     return e
 
 
@@ -185,8 +195,10 @@ def bpe_encode(merges=FIXTURE_MERGES, id_col: str = "doc_id",
                            F.explode(F.split(F.col(text_col), " ")).alias("w"))
                  .filter(F.col("w") != ""))
         vocab = words.select("w").distinct()
-        n_tok = (F.size(F.split(_encode_expr(F.col("w"), merges), _SEP))
-                 - F.lit(1)).cast("bigint")
+        # split of the per-symbol-wrapped string yields 2n+1 elements
+        # ('', s1, '', s2, ..., ''): n = (size - 1) / 2, exact in double
+        n_tok = ((F.size(F.split(_encode_expr(F.col("w"), merges), _SEP))
+                  - F.lit(1)) / F.lit(2)).cast("bigint")
         vocab_counts = vocab.select("w", n_tok.alias("_n_tok"))
         return (
             words.join(vocab_counts, "w")
@@ -210,7 +222,8 @@ def bpe_encode_tokens(merges=FIXTURE_MERGES, text_col: str = "text",
         wf = word_freq(df, text_col, min_len=1)
         syms = F.split(_encode_expr(F.col("w"), merges), _SEP)
         return (
-            wf.select(F.explode(F.slice(syms, 2, F.size(syms) - 1)).alias("token"), "f")
+            # symbols are the non-empty elements of the 2n+1 split
+            wf.select(F.explode(F.filter(syms, lambda s: s != "")).alias("token"), "f")
             .groupBy("token")
             .agg(F.sum("f").cast("bigint").alias("freq"))
             .orderBy(F.desc("freq"), "token")

@@ -73,8 +73,12 @@ def logreg_train(df: DataFrame, feature_col: str = "features",
                 raise ValueError(
                     "logreg_train: non-finite weights (diverged) — lower lr "
                     "or standardize features")
-            ws = " + ".join(f"x[{j}] * {float(w[j])!r}D" for j in range(dim))
-            zs = f"((0.0D + {ws}) + {float(b)!r}D)"
+            # dim == 0 (empty feature arrays) folds z to the bias alone,
+            # like the old zip_with form — an empty join would emit
+            # unparseable SQL '(0.0D + )'
+            terms = "".join(f" + x[{j}] * {float(w[j])!r}D"
+                            for j in range(dim))
+            zs = f"((0.0D{terms}) + {float(b)!r}D)"
             es = f"(1.0D / (1.0D + exp(-{zs})) - y)"
             row = base.selectExpr(
                 *[f"sum({es} * x[{j}]) AS g{j}" for j in range(dim)],

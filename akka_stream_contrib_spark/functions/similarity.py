@@ -150,9 +150,12 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     nlist of the data before the exact-distance scan.
 
     Deterministic: centroid init = the ``nlist`` vectors with smallest ids,
-    fixed ``iters`` Lloyd rounds, ties in assignment broken by lowest cell
-    index (np.argmin). Iterative training is not SQL-expressible — this entry
-    is rows-only checked; the exact twin is ``cosine_topk``.
+    fixed ``iters`` Lloyd rounds, ties in assignment and probe selection
+    broken by lowest cell index (stable argsort/argmin). With
+    ``portable_round`` set (the gate query passes 6) the centroids are
+    engine-identical each round and the WHOLE pipeline is value-checked by
+    a DuckDB oracle (``_ivf_topk_oracle``); the exact-recall twin is
+    ``cosine_topk``.
     """
     spark = df.sparkSession
     # np.array (not asarray): asarray returns the caller's own ndarray for a
@@ -165,7 +168,10 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     if cents is None:  # empty corpus: no cells, no hits
         return (df.select(F.col(id_col))
                 .withColumn("cos_sim", F.lit(0.0)).limit(0))
-    probed = set(np.argsort(-(cents @ q))[:nprobe].tolist())
+    # stable sort: exact dot ties (realistic once portable_round quantizes
+    # two converged centroids identically) must pick the LOWER cell ids,
+    # matching the oracle's ORDER BY dot DESC, cid
+    probed = set(np.argsort(-(cents @ q), kind="stable")[:nprobe].tolist())
     b_cents = spark.sparkContext.broadcast(cents)
     b_q = spark.sparkContext.broadcast(q)
 
@@ -183,7 +189,9 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                 continue
             yield pd.DataFrame({
                 id_col: pdfb[id_col].to_numpy()[mask],
-                "cos_sim": (v[mask] @ qv).round(6),
+                # +0.0 normalizes np.round's -0.0 (repo float convention;
+                # the oracle emits round(...)+0.0)
+                "cos_sim": (v[mask] @ qv).round(6) + 0.0,
             })
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -376,9 +384,14 @@ def ann_topk_all_ivf(df: DataFrame, k: int = 3, nlist: int = 16,
         sims = qm @ cm.T                                   # (Q, C)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, sims.shape[1])                     # +1 absorbs self
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         for i in range(sims.shape[0]):
-            for j in idx[i]:
+            # top-kk by (sim DESC, neighbor_id ASC) — the same total order
+            # as the final window. A plain argpartition on sims alone
+            # drops an arbitrary member of an exact-tie straddling the kk
+            # boundary (duplicate vectors make that real), which could
+            # drop the smaller neighbor_id the window's tie-break selects.
+            order = np.lexsort((cids, -sims[i]))[:kk]
+            for j in order:
                 if cids[j] != qids[i]:
                     out_q.append(qids[i]); out_n.append(cids[j])
                     out_s.append(sims[i, j])
@@ -702,6 +715,13 @@ def pq_topk_adc(codes_df: DataFrame, query_vec: Sequence[float],
     q = q / np.linalg.norm(q)
     lut = [float(np.dot(q[s * dsub:(s + 1) * dsub], codebooks[s][c]))
            for s in range(m) for c in range(ksub)]
+    if not np.isfinite(lut).all():
+        # a zero-norm / NaN-bearing query yields NaN LUT entries whose
+        # repr ('nanD') is not a parseable SQL literal — fail with the
+        # cause instead of a bare ParseException
+        raise ValueError(
+            "pq_topk_adc: non-finite lookup table — query_vec must be a "
+            "finite, non-zero vector")
     # The whole ADC score as ONE parsed SQL expression: a per-subspace
     # 64-double array literal indexed by that subspace's code, summed
     # left-to-right (the same IEEE order as a left fold over s). Building

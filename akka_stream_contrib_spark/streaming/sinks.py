@@ -58,7 +58,7 @@ def read_sink(spark, path: str) -> DataFrame:
 def incremental_dedup_sink(path: str, id_col: str = "doc_id",
                            text_col: str = "text",
                            hash_col: str = "text_hash",
-                           ) -> Callable[[DataFrame], None]:
+                           ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` callback implementing STREAMING first-seen dedup
     against a growing on-disk hash index — the continuous form of
     ``functions.dedup.dedup_incremental``: each micro-batch is reduced to
@@ -78,7 +78,12 @@ def incremental_dedup_sink(path: str, id_col: str = "doc_id",
     nothing."""
     from akka_stream_contrib_spark.functions import dedup_incremental
 
-    def _write(batch_df: DataFrame, batch_id: int = 0) -> None:
+    # batch_id is REQUIRED (foreachBatch always passes it): with the docs
+    # write now partition-overwriting on _batch_id, a defaulted id would
+    # let ad-hoc single-arg callers silently overwrite partition 0 on
+    # every call — destroying prior docs while their hashes stay in the
+    # index, permanently suppressing that content
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
         spark = batch_df.sparkSession
         # only a MISSING index means "first batch" — a transient read

@@ -83,3 +83,35 @@ def test_bpe_encode_tokens_freq_weighted(spark):
     freqs = {r.token: r.freq for r in
              docs.transform(bpe_encode_tokens(merges=(("a", "b"),), k=10)).collect()}
     assert freqs == {"ab": 3, "c": 1, "d": 1}
+
+
+def test_bpe_encode_no_prefix_symbol_false_positive(spark):
+    from akka_stream_contrib_spark.functions import bpe_encode
+    # after (b,c) the word 'abc' is [a, bc]; merge (a,b) must NOT fire
+    # against the 'bc' symbol that merely STARTS with b (the r6 review bug:
+    # left-only separator anchoring merged [a, bc] into one 'abc' token)
+    docs = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    row = docs.transform(bpe_encode(merges=(("b", "c"), ("a", "b")))).head()
+    assert row.bpe_tokens == 2  # [a, bc]
+
+
+def test_bpe_learn_oracle_matches_on_adversarial_corpus(spark):
+    """The DuckDB learn-oracle must replay _merge_pair exactly on the
+    corpus where left-anchored flat replace diverges: after (b,c) and
+    (a,b), the word 'abc' is [a, bc] and merge 3 is ('a','bc') — a buggy
+    rewrite collapses 'abc' early and loses that merge."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    text = "bc bc bc bc ab ab ab abc abc"
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = [tuple(r) for r in
+           bpe_learn_merges(docs, n_merges=3).orderBy("step").collect()]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [1], "text": [text]}))
+    expect = [tuple(r) for r in
+              con.execute(entry._bpe_learn_oracle(3)).fetchall()]
+    assert got == expect
+    assert [(l, r) for _, l, r, _ in got] == [("b", "c"), ("a", "b"),
+                                              ("a", "bc")]
