@@ -105,8 +105,11 @@ def bpe_learn_merges(df: DataFrame, n_merges: int = 10,
         word_freq(df, text_col, min_len)
         # (?!^)(?=.): split at every between-character boundary; the (?=.)
         # guard stops the end-of-string position matching (F.split keeps
-        # trailing empties, which would otherwise become a '' symbol)
-        .select(F.split("w", "(?!^)(?=.)").alias("syms"), "f")
+        # trailing empties, which would otherwise become a '' symbol).
+        # (?s) so the boundary before a line terminator also splits —
+        # otherwise '\n' glues to its predecessor and the symbol table
+        # diverges from the oracle's per-character split
+        .select(F.split("w", "(?s)(?!^)(?=.)").alias("syms"), "f")
         .localCheckpoint()
     )
     merges = []
@@ -168,7 +171,11 @@ def _encode_expr(word, merges) -> "F.Column":
     :func:`_merge_pair` ('aaaaa' + (a,a) → [aa, aa, a]). Plain ``replace``
     (not regexp) exists with identical scan-forward semantics in Spark and
     DuckDB, which is what makes the oracle bit-exact."""
-    e = F.regexp_replace(word, "(.)", _SEP + "$1" + _SEP)
+    # (?s): '.' must match line terminators too — a word containing \n
+    # (split is on spaces only) would otherwise keep that char un-wrapped,
+    # breaking the 2n+1 split invariant and diverging from the oracle's
+    # string_split_regex(w, ''), which splits EVERY character
+    e = F.regexp_replace(word, "(?s)(.)", _SEP + "$1" + _SEP)
     for a, b in merges:
         e = F.replace(e, F.lit(_SEP + a + _SEP + _SEP + b + _SEP),
                       F.lit(_SEP + a + b + _SEP))

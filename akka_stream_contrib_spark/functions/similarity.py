@@ -381,17 +381,21 @@ def ann_topk_all_ivf(df: DataFrame, k: int = 3, nlist: int = 16,
         cm = np.stack(cpdf["cvec"].to_numpy())
         qids = qpdf[id_col].to_numpy()
         cids = cpdf["neighbor_id"].to_numpy()
-        sims = qm @ cm.T                                   # (Q, C)
+        # pre-sort residents by neighbor id, then ONE vectorized stable
+        # argsort over (Q, C): stable on an id-ascending array = total
+        # order (sim DESC, neighbor_id ASC) — the final window's order. A
+        # plain argpartition on sims alone drops an arbitrary member of an
+        # exact-tie straddling the kk boundary (duplicate vectors make
+        # that real), which could drop the smaller neighbor_id the
+        # window's tie-break selects.
+        ord0 = np.argsort(cids, kind="stable")
+        cids = cids[ord0]
+        sims = qm @ cm[ord0].T                             # (Q, C)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, sims.shape[1])                     # +1 absorbs self
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
         for i in range(sims.shape[0]):
-            # top-kk by (sim DESC, neighbor_id ASC) — the same total order
-            # as the final window. A plain argpartition on sims alone
-            # drops an arbitrary member of an exact-tie straddling the kk
-            # boundary (duplicate vectors make that real), which could
-            # drop the smaller neighbor_id the window's tie-break selects.
-            order = np.lexsort((cids, -sims[i]))[:kk]
-            for j in order:
+            for j in idx[i]:
                 if cids[j] != qids[i]:
                     out_q.append(qids[i]); out_n.append(cids[j])
                     out_s.append(sims[i, j])

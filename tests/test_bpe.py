@@ -115,3 +115,21 @@ def test_bpe_learn_oracle_matches_on_adversarial_corpus(spark):
     assert got == expect
     assert [(l, r) for _, l, r, _ in got] == [("b", "c"), ("a", "b"),
                                               ("a", "bc")]
+
+
+def test_bpe_handles_line_terminators_inside_words(spark):
+    """Words split on spaces only, so \\n can live inside a word: every
+    character (including line terminators) must be wrapped/split — a
+    non-DOTALL '(.)' left \\n un-wrapped, breaking the 2n+1 invariant and
+    diverging from the oracle's per-character split."""
+    from akka_stream_contrib_spark.functions import (bpe_encode,
+                                                     bpe_learn_merges)
+    docs = spark.createDataFrame([(1, "a\nb a\nb xy")],
+                                 "doc_id bigint, text string")
+    row = docs.transform(bpe_encode(merges=(("a", "\n"),))).head()
+    # 'a\nb' -> [a\n, b] = 2 tokens (x2 words) + 'xy' -> 2
+    assert (row.n_words, row.bpe_tokens) == (3, 6)
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=1).collect()]
+    # per-char symbols: pairs (a,\n)x2, (\n,b)x2, (x,y)x1 -> lexical tie
+    # break picks ('\n','b')
+    assert got == [(1, "\n", "b", 2)]
