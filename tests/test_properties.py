@@ -481,3 +481,44 @@ def test_balanced_shards_round_robin_model(ntoks, shards):
            balanced_shards(n_shards=shards)(df).collect()}
     order = sorted(range(len(ntoks)), key=lambda i: (-ntoks[i], i))
     assert out == {i: pos % shards for pos, i in enumerate(order)}
+
+
+def _merge_pair_model(syms: list[str], a: str, b: str) -> list[str]:
+    """Python twin of functions/bpe.py::_merge_pair's left-to-right
+    non-overlapping greedy fold."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _flat_replace_model(syms: list[str], a: str, b: str) -> list[str]:
+    """Python twin of the per-symbol-wrapped flat-string rewrite shared by
+    _encode_expr and _bpe_learn_oracle (str.replace has the same
+    scan-forward non-overlapping semantics as Spark/DuckDB replace)."""
+    sep = "\x1f"
+    s = "".join(sep + x + sep for x in syms)
+    s = s.replace(sep + a + sep + sep + b + sep, sep + a + b + sep)
+    return [t for t in s.split(sep) if t != ""]
+
+
+@given(st.lists(st.text(alphabet="ab\n", min_size=1, max_size=3),
+                min_size=0, max_size=12),
+       st.lists(st.tuples(st.text(alphabet="ab\n", min_size=1, max_size=2),
+                          st.text(alphabet="ab\n", min_size=1, max_size=2)),
+                min_size=1, max_size=4))
+@settings(max_examples=300, deadline=None)
+def test_flat_replace_equals_greedy_merge_fold(syms, merges):
+    """The r6 BPE fix's core claim, adversarially: applying a CASCADE of
+    merges through the wrapped flat string equals applying them through
+    the greedy array fold — over a tiny alphabet rich in prefix-symbol
+    and chained-merge collisions (the two failure modes of the previous
+    representations)."""
+    flat, fold = list(syms), list(syms)
+    for a, b in merges:
+        flat = _flat_replace_model(flat, a, b)
+        fold = _merge_pair_model(fold, a, b)
+        assert flat == fold
