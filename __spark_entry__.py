@@ -4130,7 +4130,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_step": """
             SELECT event_id, user_id, value
-            FROM events WHERE (event_id * 48271) % 65536 < 6553
+            FROM events
+            WHERE (((event_id * 48271) % 65536) + 65536) % 65536 < 6553
         """,
         "motif_search": _motif_oracle(),
         "sample_step_replay": """
@@ -4163,7 +4164,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "delay_flow": """
             SELECT event_id, ts,
-                   ts + to_seconds(CAST(floor(value) AS BIGINT) % 10) AS deliver_ts
+                   ts + to_seconds(((CAST(floor(value) AS BIGINT) % 10) + 10) % 10) AS deliver_ts
             FROM events
         """,
         "accumulate": """
@@ -4272,7 +4273,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE n.next_ts IS NOT NULL
         """,
         "merge_by_index": """
-            SELECT event_id, CAST(event_id % 3 AS INT) AS branch,
+            SELECT event_id, CAST(((event_id % 3) + 3) % 3 AS INT) AS branch,
                    row_number() OVER (ORDER BY event_id) AS rnk
             FROM events
         """,
@@ -4324,11 +4325,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "retry": """
             SELECT event_id,
-                   CASE WHEN event_id % 2 = 1 THEN TRUE
+                   CASE WHEN ((event_id % 2) + 2) % 2 = 1 THEN TRUE
                         WHEN event_id < 500 THEN TRUE ELSE FALSE END AS ok,
-                   CASE WHEN event_id % 2 = 1 THEN event_id + 1
+                   CASE WHEN ((event_id % 2) + 2) % 2 = 1 THEN event_id + 1
                         WHEN event_id < 500 THEN event_id + 2 END AS value,
-                   CASE WHEN event_id % 2 = 1 THEN 1
+                   CASE WHEN ((event_id % 2) + 2) % 2 = 1 THEN 1
                         WHEN event_id < 500 THEN 2 ELSE 1 END AS attempts
             FROM events
         """,
@@ -4354,7 +4355,8 @@ def oracle_sql() -> dict[str, str]:
         "reservoir_sample": """
             SELECT event_id, user_id, event_type FROM (
                 SELECT event_id, user_id, event_type,
-                       ((event_id % 2147483648) * 2654435761) % 2147483648 AS _rk
+                       ((((event_id % 2147483648) + 2147483648) % 2147483648)
+                        * 2654435761) % 2147483648 AS _rk
                 FROM events)
             ORDER BY _rk, event_id
             LIMIT 500
@@ -4541,8 +4543,9 @@ def oracle_sql() -> dict[str, str]:
             FROM partsupp_v JOIN part ON l_partkey = p_partkey
             WHERE p_type <> 'PROMO'
               AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-              AND l_suppkey NOT IN
-                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              AND NOT EXISTS
+                  (SELECT 1 FROM supplier
+                   WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
             GROUP BY 1, 2, 3
         """,
         "q20_promotion_suppliers": """
@@ -5163,17 +5166,26 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents
             ), occ AS (
+                -- position range derived from the doc itself (no fixed cap:
+                -- the Spark side enumerates every window), canonical key as
+                -- (doc_id, pos) order, not a doc_id*2^32 pack that overflows
+                -- BIGINT past doc_id 2^31 (the Spark side orders structs)
                 SELECT doc_id, i - 1 AS pos,
                        md5(array_to_string(t[i:i+7], ' ')) AS g
-                FROM toks, (SELECT unnest(generate_series(1, 4096)) AS i) s
-                WHERE i <= len(t) - 8 + 1
+                FROM toks, LATERAL (
+                    SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
             ), dup AS (
-                SELECT g, min(doc_id * 4294967296 + pos) AS canon_key
-                FROM occ GROUP BY g HAVING count(*) > 1
+                SELECT g, doc_id AS cd, pos AS cp FROM (
+                    SELECT g, doc_id, pos,
+                           count(*) OVER (PARTITION BY g) AS n,
+                           row_number() OVER (PARTITION BY g
+                               ORDER BY doc_id, pos) AS rn
+                    FROM occ)
+                WHERE n > 1 AND rn = 1
             ), marked AS (
                 SELECT o.doc_id, o.pos AS s, o.pos + 7 AS e
                 FROM occ o JOIN dup d USING (g)
-                WHERE o.doc_id * 4294967296 + o.pos <> d.canon_key
+                WHERE o.doc_id <> d.cd OR o.pos <> d.cp
             ), flagged AS (
                 SELECT doc_id, s, e,
                        max(e) OVER (PARTITION BY doc_id ORDER BY s
@@ -5194,17 +5206,26 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents
             ), occ AS (
+                -- position range derived from the doc itself (no fixed cap:
+                -- the Spark side enumerates every window), canonical key as
+                -- (doc_id, pos) order, not a doc_id*2^32 pack that overflows
+                -- BIGINT past doc_id 2^31 (the Spark side orders structs)
                 SELECT doc_id, i - 1 AS pos,
                        md5(array_to_string(t[i:i+7], ' ')) AS g
-                FROM toks, (SELECT unnest(generate_series(1, 4096)) AS i) s
-                WHERE i <= len(t) - 8 + 1
+                FROM toks, LATERAL (
+                    SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
             ), dup AS (
-                SELECT g, min(doc_id * 4294967296 + pos) AS canon_key
-                FROM occ GROUP BY g HAVING count(*) > 1
+                SELECT g, doc_id AS cd, pos AS cp FROM (
+                    SELECT g, doc_id, pos,
+                           count(*) OVER (PARTITION BY g) AS n,
+                           row_number() OVER (PARTITION BY g
+                               ORDER BY doc_id, pos) AS rn
+                    FROM occ)
+                WHERE n > 1 AND rn = 1
             ), marked AS (
                 SELECT o.doc_id, o.pos AS s, o.pos + 7 AS e
                 FROM occ o JOIN dup d USING (g)
-                WHERE o.doc_id * 4294967296 + o.pos <> d.canon_key
+                WHERE o.doc_id <> d.cd OR o.pos <> d.cp
             ), flagged AS (
                 SELECT doc_id, s, e,
                        max(e) OVER (PARTITION BY doc_id ORDER BY s
@@ -5222,8 +5243,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM isl GROUP BY doc_id, isl_id
             ), tok_rows AS (
                 SELECT doc_id, i - 1 AS pos, t[i] AS tok
-                FROM toks, (SELECT unnest(generate_series(1, 4096)) AS i) s
-                WHERE i <= len(t)
+                FROM toks, LATERAL (
+                    SELECT unnest(generate_series(1, len(t))) AS i) s
             ), kept AS (
                 SELECT tr.doc_id, tr.pos, tr.tok
                 FROM tok_rows tr
@@ -5391,8 +5412,9 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY doc_id) AS rn
                 FROM documents WHERE doc_id >= 250
             )
-            SELECT doc_id, text_hash FROM batch
-            WHERE rn = 1 AND text_hash NOT IN (SELECT text_hash FROM seen)
+            SELECT doc_id, text_hash FROM batch b
+            WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM seen s
+                                         WHERE s.text_hash = b.text_hash)
         """,
         "training_pipeline": """
             WITH toks AS (
@@ -5484,10 +5506,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(_shared / (sa.n_grams + sb.n_grams - _shared), 6) >= 0.2
         """,
         "props_variant": """
+            -- TRY_CAST of the unquoted string: a plain CAST(json_extract(..)
+            -- AS INT) errors out on a non-numeric (or quoted-string) k where
+            -- Spark's try_variant_get returns NULL and the row is filtered
             SELECT event_id,
-                   CAST(json_extract(props, '$.k') AS INT) AS k
+                   TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events
-            WHERE CAST(json_extract(props, '$.k') AS INT) > 50
+            WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) > 50
         """,
         "frame_sample_grid": """
             WITH m AS (
@@ -5729,12 +5754,26 @@ def oracle_sql() -> dict[str, str]:
             FROM per_user
         """,
         "user_journey": """
+            -- row_number instead of arg_min/arg_max: DuckDB's arg_* skip rows
+            -- whose VALUE argument is NULL, Spark's min_by/max_by return that
+            -- row's (possibly NULL) value — the window replays Spark exactly
+            WITH o AS (
+                SELECT user_id, event_type, value, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY event_id ASC NULLS LAST) AS ra,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY event_id DESC NULLS LAST) AS rd
+                FROM events
+            )
             SELECT user_id,
-                   arg_min(event_type, event_id) AS first_type,
-                   arg_max(event_type, event_id) AS last_type,
-                   arg_max(value, event_id) AS last_value,
+                   max(CASE WHEN ra = 1 AND event_id IS NOT NULL
+                            THEN event_type END) AS first_type,
+                   max(CASE WHEN rd = 1 AND event_id IS NOT NULL
+                            THEN event_type END) AS last_type,
+                   max(CASE WHEN rd = 1 AND event_id IS NOT NULL
+                            THEN value END) AS last_value,
                    count(*) AS n_events
-            FROM events GROUP BY user_id
+            FROM o GROUP BY user_id
         """,
         "chunk_documents": """
             WITH t AS (
@@ -6173,7 +6212,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM deltas GROUP BY d
             )
             SELECT d, net,
-                   CAST(sum(net) OVER (ORDER BY d
+                   CAST(sum(net) OVER (ORDER BY d NULLS FIRST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS concurrent
             FROM per_date
@@ -7122,7 +7161,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.event_id, s.user_id, s.event_type, s.value
             FROM snap s
-            WHERE s.event_id NOT IN (SELECT event_id FROM changes)
+            WHERE NOT EXISTS (SELECT 1 FROM changes c
+                              WHERE c.event_id = s.event_id)
             UNION ALL
             SELECT event_id, user_id, event_type, value
             FROM changes WHERE op = 'upsert'
