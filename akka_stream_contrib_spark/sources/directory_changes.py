@@ -31,12 +31,23 @@ CREATION, MODIFICATION, DELETION = "Creation", "Modification", "Deletion"
 def _snapshot(directory: str) -> dict[str, int]:
     snap: dict[str, int] = {}
     try:
-        with os.scandir(directory) as it:
-            for e in it:
+        it = os.scandir(directory)
+    except FileNotFoundError:
+        # a missing DIRECTORY means an empty snapshot
+        return snap
+    with it as entries:  # scandir's __enter__ returns the iterator itself
+        for e in entries:
+            try:
                 if e.is_file():
                     snap[e.path] = e.stat().st_mtime_ns
-    except FileNotFoundError:
-        pass
+            except FileNotFoundError:
+                # a file deleted between the listing and its stat() is a
+                # routine race under concurrent writers: skip THIS entry
+                # only. Catching it around the whole scan would commit a
+                # truncated snapshot — every not-yet-scanned file would
+                # emit a phantom Deletion now and a phantom Creation next
+                # batch.
+                continue
     return snap
 
 

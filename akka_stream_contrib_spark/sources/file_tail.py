@@ -47,10 +47,18 @@ class _FileTailReader(SimpleDataSourceStreamReader):
         except OSError:
             return iter([]), start
         if size < pos:
-            # the file SHRANK: truncation/rotation — fail loudly like the
-            # replay path does, instead of stalling forever and then
-            # resuming mid-content at an offset from the OLD file's
-            # coordinate space (silent corruption)
+            if pos == self.start_pos:
+                # nothing has been READ yet: a size below the CONFIGURED
+                # start is "the file has not grown to the offset", not a
+                # shrink — the reference polls until data reaches it
+                # (tailing from a known future offset / a recreated file
+                # that will refill). Only an offset we actually consumed
+                # past can witness truncation.
+                return iter([]), start
+            # the file SHRANK below consumed data: truncation/rotation —
+            # fail loudly like the replay path does, instead of stalling
+            # forever and then resuming mid-content at an offset from the
+            # OLD file's coordinate space (silent corruption)
             raise IOError(
                 f"file_tail: {self.path} shrank below the tracked offset "
                 f"({size} < {pos}) — truncated or rotated; restart the "

@@ -60,8 +60,13 @@ def ingest_report(good: DataFrame, bad: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
     g = good.agg(F.count(F.lit(1)).alias("n_good"))
     b = bad.agg(F.count(F.lit(1)).alias("n_bad"))
+    # an EMPTY batch is 0/0 — a plain `/` raises under ANSI, and a NULL
+    # rate would make a `bad_rate > t` gate silently pass. try_divide +
+    # coalesce pins it to 0.0 so the gate is well-defined on empty input.
     return (g.crossJoin(b)
             .select("n_good", "n_bad",
-                    F.round(F.col("n_bad")
-                            / (F.col("n_good") + F.col("n_bad")), 6)
-                    .alias("bad_rate")))
+                    F.coalesce(
+                        F.round(F.try_divide(
+                            F.col("n_bad"),
+                            F.col("n_good") + F.col("n_bad")), 6),
+                        F.lit(0.0)).alias("bad_rate")))

@@ -57,7 +57,17 @@ def _resolve_fetcher(spec: str) -> FetchPage:
 
 
 class _PagedReader(SimpleDataSourceStreamReader):
-    """One page per read; the offset carries the next key (or exhaustion)."""
+    """One page per read; the offset carries the next key (or exhaustion).
+
+    REPLAY CONTRACT: Spark recovers a crashed-but-committed batch through
+    ``readBetweenOffsets``, which re-invokes the fetcher with the SAME page
+    key — so exactly-once delivery holds only if ``fetch(key)`` is
+    deterministic for a given key (an immutable page store, a snapshot/
+    as-of-versioned API, or a caching shim). Against a LIVE mutating API
+    the replayed batch may contain different rows than the original — the
+    same at-least-once caveat the reference's PagedSource has (it re-calls
+    ``f(key)`` on restart from a saved nextKey, PagedSource.scala); cache
+    pages durably before this source if the pipeline needs exactly-once."""
 
     def __init__(self, options):
         spec = options.get("fetcher")

@@ -36,7 +36,15 @@ def _explode_zip_bytes(archive_name: str, data: bytes, chunk_size: int,
                        allowed_ext: tuple[str, ...], prefix: str = ""):
     """Yield (archive, entry_name, mtime, chunk_no, chunk) rows, recursing
     into nested archives like the reference's next() (ZipInputStreamSource.scala:169-184)."""
-    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+    try:
+        zf_open = zipfile.ZipFile(io.BytesIO(data))
+    except zipfile.BadZipFile:
+        # a zero-byte or non-zip payload behind a .zip name yields NO
+        # entries, like the reference's ZipInputStream whose getNextEntry
+        # returns null on invalid data (ZipInputStreamSource.scala:169-184)
+        # — a raise here would fail the whole job for every archive
+        return
+    with zf_open as zf:
         for info in zf.infolist():
             if info.is_dir():
                 continue  # reference skips directories

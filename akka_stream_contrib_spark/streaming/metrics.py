@@ -55,8 +55,14 @@ class ProgressRecorder(StreamingQueryListener):
 def pulse_stream(df: DataFrame, key_col: str, order_col: str) -> DataFrame:
     """Latest row per key per microbatch (conflate + pulse). Use with
     ``outputMode('update')`` or foreachBatch; each trigger emits at most one
-    row per key — exactly the reference's one-element-per-pulse contract."""
-    return df.groupBy(key_col).agg(
+    row per key — exactly the reference's one-element-per-pulse contract.
+
+    Rows whose ``order_col`` is NULL are unordered and excluded up front:
+    max_by already ignores NULL ordering keys, but a key whose batch rows
+    are ALL NULL-ordered would otherwise emit a fabricated all-NULL payload
+    row (the reference's Pulse never invents elements)."""
+    return (df.filter(F.col(order_col).isNotNull())
+            .groupBy(key_col).agg(
         F.max_by(F.struct(*[c for c in df.columns if c != key_col]),
                  F.col(order_col)).alias("_latest")
-    ).select(key_col, "_latest.*")
+    ).select(key_col, "_latest.*"))

@@ -37,6 +37,8 @@ def incremental_rollup(stream_df: DataFrame, path: str, ts_col: str = "ts",
     watermark are finalized and evicted from the state store — without it the
     state grows with the number of open buckets forever.
     """
+    from akka_stream_contrib_spark.util import normalize_cols
+    keys = normalize_cols(keys)  # keys="user_id" must not splat into chars
     src = stream_df
     if watermark is not None:
         src = src.withWatermark(ts_col, watermark)
@@ -69,9 +71,24 @@ def incremental_rollup(stream_df: DataFrame, path: str, ts_col: str = "ts",
         out = batch_df
         touched = [r.bucket_id for r in
                    batch_df.select("bucket_id").distinct().collect()]
+        if not touched:
+            # nothing to upsert. Returning (instead of writing an empty
+            # frame) also avoids creating a bare output directory, which a
+            # later batch would read as UNABLE_TO_INFER_SCHEMA — an empty
+            # or all-NULL-ts first batch must not poison the path
+            return
+        # NULL-safe touched-partition filter. Spark's window() drops
+        # NULL-ts rows, so this writer never produces a NULL bucket_id
+        # itself — but isin([None]) silently matching nothing is exactly
+        # the bug class that loses the __HIVE_DEFAULT_PARTITION__ carry if
+        # a caller ever lands NULL buckets here, so handle it anyway.
+        non_null = [b for b in touched if b is not None]
+        touched_cond = (F.col("bucket_id").isin(non_null)
+                        if non_null else F.lit(False))
+        if any(b is None for b in touched):
+            touched_cond = touched_cond | F.col("bucket_id").isNull()
         try:
-            existing = (spark.read.parquet(path)
-                        .filter(F.col("bucket_id").isin(touched)))
+            existing = spark.read.parquet(path).filter(touched_cond)
             # NULL-SAFE anti join: a NULL grouping key never matches under
             # plain equality, so the stale (bucket, NULL) row would survive
             # next to the fresh one and downstream reads would double-count
@@ -86,10 +103,13 @@ def incremental_rollup(stream_df: DataFrame, path: str, ts_col: str = "ts",
                        .localCheckpoint(eager=True))
             out = batch_df.unionByName(carried)
         except AnalysisException as ex:
-            # only a missing target is "first batch"; any other failure must
-            # surface — swallowing it here and overwriting would drop the
-            # carried rows of every other key in the touched buckets
-            if "PATH_NOT_FOUND" not in str(ex):
+            # a missing target OR a bare directory with no data files yet
+            # (UNABLE_TO_INFER_SCHEMA — e.g. a crashed first write) is
+            # "first batch"; any other failure must surface — swallowing it
+            # here and overwriting would drop the carried rows of every
+            # other key in the touched buckets
+            if ("PATH_NOT_FOUND" not in str(ex)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(ex)):
                 raise
         # writer-level option, NOT a session-conf toggle: two concurrent
         # foreachBatch writers toggling the session conf race each other, and

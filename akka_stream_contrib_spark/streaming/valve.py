@@ -11,6 +11,7 @@ Valve.scala:40-58), restarting resumes exactly where it stopped.
 from __future__ import annotations
 
 import enum
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -35,6 +36,12 @@ class Valve:
         self._start = start_query
         self._query: StreamingQuery | None = None
         self._mode = SwitchMode.CLOSED
+        # the reference's materialized switch is safe to flip from any
+        # thread (Future[Boolean]); without a lock two racing flip(OPEN)
+        # calls both pass the mode check and start TWO queries against one
+        # checkpoint (the leaked handle keeps running), and a racing close
+        # can stop None
+        self._lock = threading.RLock()
         if mode == SwitchMode.OPEN:
             self.flip(SwitchMode.OPEN)
 
@@ -50,23 +57,26 @@ class Valve:
 
     def flip(self, mode: SwitchMode) -> bool:
         """Returns True if the mode changed (reference Valve.scala:25-31
-        returns Future[Boolean] with the same contract)."""
-        self._sync()
-        if mode == self._mode:
-            return False
-        if mode == SwitchMode.OPEN:
-            self._query = self._start()
-        else:
-            if self._query is None:
-                raise RuntimeError("Valve: no query to close")
-            self._query.stop()
-            self._query = None
-        self._mode = mode
-        return True
+        returns Future[Boolean] with the same contract). Thread-safe like
+        the reference's switch."""
+        with self._lock:
+            self._sync()
+            if mode == self._mode:
+                return False
+            if mode == SwitchMode.OPEN:
+                self._query = self._start()
+            else:
+                if self._query is None:
+                    raise RuntimeError("Valve: no query to close")
+                self._query.stop()
+                self._query = None
+            self._mode = mode
+            return True
 
     def get_mode(self) -> SwitchMode:
-        self._sync()
-        return self._mode
+        with self._lock:
+            self._sync()
+            return self._mode
 
     @property
     def query(self) -> StreamingQuery | None:

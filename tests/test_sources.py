@@ -180,3 +180,81 @@ def test_read_jsonl_docs_routes_corrupt_records(spark, tmp_path):
     assert len(braws) == 2 and any("broken" in r for r in braws)
     rep = ingest_report(good, bad).collect()[0]
     assert (rep.n_good, rep.n_bad, rep.bad_rate) == (2, 2, 0.5)
+
+
+def test_zip_entries_tolerates_empty_and_corrupt_nested_archives(spark, tmp_path):
+    """A zero-byte or non-zip payload behind a .zip name must yield NO
+    entries (reference ZipInputStream.getNextEntry returns null) instead
+    of failing the whole job with BadZipFile."""
+    outer = tmp_path / "mixed.zip"
+    with zipfile.ZipFile(outer, "w") as zf:
+        zf.writestr("ok.txt", b"hello")
+        zf.writestr("empty_placeholder.zip", b"")
+        zf.writestr("corrupt.zip", b"this is not a zip archive")
+    rows = zip_entries(spark, str(outer)).collect()
+    assert {r.entry_name for r in rows} == {"ok.txt"}
+    # a zero-byte TOP-LEVEL .zip beside a good one: job still completes
+    (tmp_path / "empty_top.zip").write_bytes(b"")
+    rows = zip_entries(spark, str(tmp_path / "*.zip")).collect()
+    assert {r.entry_name for r in rows} == {"ok.txt"}
+
+
+def test_file_tail_start_position_beyond_size_waits(tmp_path):
+    """startingPosition past the current file size means 'not yet grown':
+    the reader must poll (empty batch) like the reference, not trip the
+    shrink detector. Truncation below CONSUMED data still raises."""
+    from akka_stream_contrib_spark.sources.file_tail import _FileTailReader
+    log = tmp_path / "future.log"
+    log.write_bytes(b"0123456789")  # 10 bytes
+    r = _FileTailReader({"path": str(log), "startingPosition": "100"})
+    rows, off = r.read(r.initialOffset())
+    assert list(rows) == [] and off == {"position": 100}
+    # file grows past the start -> bytes from the offset are emitted
+    log.write_bytes(b"x" * 105)
+    rows, off = r.read({"position": 100})
+    assert b"".join(c for _, c in rows) == b"x" * 5 and off == {"position": 105}
+    # NOW a shrink below consumed data is a loud truncation error
+    log.write_bytes(b"x" * 50)
+    with pytest.raises(IOError):
+        r.read({"position": 105})
+
+
+def test_directory_changes_snapshot_skips_stat_race(tmp_path, monkeypatch):
+    """A file deleted between the scandir listing and its stat() is a
+    routine race: only THAT entry is skipped. Catching it around the whole
+    scan committed a truncated snapshot that emitted phantom
+    Deletion/Creation waves for still-present files."""
+    import os as _os
+
+    from akka_stream_contrib_spark.sources.directory_changes import _snapshot
+    d = tmp_path / "watched"
+    d.mkdir()
+    (d / "a.txt").write_text("a")
+    (d / "b.txt").write_text("b")
+    (d / "c.txt").write_text("c")
+    real_scandir = _os.scandir
+
+    class _RacyEntry:
+        def __init__(self, e):
+            self._e = e
+            self.path = e.path
+        def is_file(self):
+            return self._e.is_file()
+        def stat(self):
+            if self._e.path.endswith("b.txt"):
+                raise FileNotFoundError(self._e.path)  # deleted mid-scan
+            return self._e.stat()
+
+    class _RacyScan:
+        def __init__(self, path):
+            self._it = real_scandir(path)
+        def __enter__(self):
+            return (_RacyEntry(e) for e in
+                    sorted(self._it, key=lambda e: e.path))
+        def __exit__(self, *a):
+            self._it.close()
+
+    monkeypatch.setattr(_os, "scandir", _RacyScan)
+    snap = _snapshot(str(d))
+    # b.txt's race skips b only — a and c are still present in the snapshot
+    assert {p.rsplit("/", 1)[-1] for p in snap} == {"a.txt", "c.txt"}

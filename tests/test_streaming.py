@@ -755,3 +755,53 @@ def test_incremental_dedup_sink_replay_and_mid_crash_recovery(spark, tmp_path):
     # index now covers every emitted content hash exactly
     idx = spark.read.parquet(f"{out}/index")
     assert idx.distinct().count() == 3
+
+
+def test_incremental_rollup_empty_first_batch_does_not_poison_path(spark,
+                                                                   tmp_path):
+    """Spark's window() drops NULL-ts rows, so an all-NULL-ts first batch
+    produces an EMPTY upsert. That must be a no-op: the un-guarded write
+    created a bare output directory that every later batch read as
+    UNABLE_TO_INFER_SCHEMA and crashed. Also exercises keys as a bare
+    string (normalize_cols — 'k' must not splat into characters)."""
+    from akka_stream_contrib_spark.streaming import (incremental_rollup,
+                                                     read_rollup)
+    src = tmp_path / "nb_in"
+    src.mkdir()
+    (src / "a.json").write_text('{"ts": null, "k": "a", "value": 1.0}\n')
+    stream = (spark.readStream.schema("ts timestamp, k string, value double")
+              .json(str(src)))
+    out = str(tmp_path / "nb_rollup")
+    writer = incremental_rollup(stream, out, bucket="1 hour", keys="k")
+    ck = str(tmp_path / "nb_ckpt")
+
+    def run_once():
+        q = (writer.option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()  # NULL-ts row -> empty agg -> must not create a bare dir
+    (src / "b.json").write_text(
+        '{"ts": "2024-01-01T00:10:00", "k": "b", "value": 2.0}\n')
+    run_once()  # would raise UNABLE_TO_INFER_SCHEMA before the guard
+    got = {(r.bucket_id, r.k): (r.n, r.sum_value)
+           for r in read_rollup(spark, out).collect()}
+    assert got == {("2024-01-01-00-00-00", "b"): (1, 2.0)}
+
+
+def test_pulse_stream_null_order_rows_never_fabricate_payloads(spark):
+    from akka_stream_contrib_spark.streaming.metrics import pulse_stream
+    df = spark.createDataFrame(
+        [("k1", None, 10.0), ("k1", 2, 20.0), ("k2", None, 7.0)],
+        "k string, seq int, v double")
+    got = {(r.k, r.seq, r.v) for r in pulse_stream(df, "k", "seq").collect()}
+    # k1 conflates to its ordered row; k2 (all NULL-ordered) emits NOTHING
+    # instead of a fabricated (k2, NULL, NULL) row
+    assert got == {("k1", 2, 20.0)}
+
+
+def test_ingest_report_empty_batch_rate_is_zero(spark):
+    from akka_stream_contrib_spark.sources.ingest import ingest_report
+    empty = spark.createDataFrame([], "x string")
+    row = ingest_report(empty, empty.select(F.col("x").alias("raw"))).head()
+    assert (row.n_good, row.n_bad, row.bad_rate) == (0, 0, 0.0)
