@@ -5060,9 +5060,12 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "dedup_exact": """
+            -- NULL text never merges: each such doc is its own cluster
             SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                    count(*) AS dup_count
-            FROM documents GROUP BY md5(text)
+            FROM documents
+            GROUP BY md5(text),
+                     CASE WHEN text IS NULL THEN doc_id END
         """,
         "length_batches": """
             WITH d AS (
@@ -5174,18 +5177,16 @@ def oracle_sql() -> dict[str, str]:
                        md5(array_to_string(t[i:i+7], ' ')) AS g
                 FROM toks, LATERAL (
                     SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
-            ), dup AS (
-                SELECT g, doc_id AS cd, pos AS cp FROM (
+            ), marked AS (
+                -- drop exactly ONE canonical occurrence per duplicated gram
+                -- (rank > 1), mirroring the Spark side's sorted-array slice
+                SELECT doc_id, pos AS s, pos + 7 AS e FROM (
                     SELECT g, doc_id, pos,
                            count(*) OVER (PARTITION BY g) AS n,
                            row_number() OVER (PARTITION BY g
                                ORDER BY doc_id, pos) AS rn
                     FROM occ)
-                WHERE n > 1 AND rn = 1
-            ), marked AS (
-                SELECT o.doc_id, o.pos AS s, o.pos + 7 AS e
-                FROM occ o JOIN dup d USING (g)
-                WHERE o.doc_id <> d.cd OR o.pos <> d.cp
+                WHERE n > 1 AND rn > 1
             ), flagged AS (
                 SELECT doc_id, s, e,
                        max(e) OVER (PARTITION BY doc_id ORDER BY s
@@ -5214,18 +5215,16 @@ def oracle_sql() -> dict[str, str]:
                        md5(array_to_string(t[i:i+7], ' ')) AS g
                 FROM toks, LATERAL (
                     SELECT unnest(generate_series(1, len(t) - 7)) AS i) s
-            ), dup AS (
-                SELECT g, doc_id AS cd, pos AS cp FROM (
+            ), marked AS (
+                -- drop exactly ONE canonical occurrence per duplicated gram
+                -- (rank > 1), mirroring the Spark side's sorted-array slice
+                SELECT doc_id, pos AS s, pos + 7 AS e FROM (
                     SELECT g, doc_id, pos,
                            count(*) OVER (PARTITION BY g) AS n,
                            row_number() OVER (PARTITION BY g
                                ORDER BY doc_id, pos) AS rn
                     FROM occ)
-                WHERE n > 1 AND rn = 1
-            ), marked AS (
-                SELECT o.doc_id, o.pos AS s, o.pos + 7 AS e
-                FROM occ o JOIN dup d USING (g)
-                WHERE o.doc_id <> d.cd OR o.pos <> d.cp
+                WHERE n > 1 AND rn > 1
             ), flagged AS (
                 SELECT doc_id, s, e,
                        max(e) OVER (PARTITION BY doc_id ORDER BY s
@@ -5261,16 +5260,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id,
                    coalesce(r.clean_text, '') AS clean_text,
-                   len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0)
-                       AS removed_tokens
+                   coalesce(len(string_split(d.text, ' '))
+                            - coalesce(r.n_kept, 0), 0) AS removed_tokens
             FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         """,
         "dedup_keep_best": """
             WITH ranked AS (
                 SELECT doc_id,
-                       row_number() OVER (PARTITION BY md5(text)
-                                          ORDER BY n_chars DESC, doc_id) AS rn,
-                       count(*) OVER (PARTITION BY md5(text)) AS dup_count
+                       row_number() OVER (
+                           PARTITION BY md5(text),
+                               CASE WHEN text IS NULL THEN doc_id END
+                           ORDER BY n_chars DESC, doc_id) AS rn,
+                       count(*) OVER (
+                           PARTITION BY md5(text),
+                               CASE WHEN text IS NULL THEN doc_id END
+                           ) AS dup_count
                 FROM documents
             )
             SELECT doc_id, dup_count FROM ranked WHERE rn = 1
@@ -5408,8 +5412,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id < 250
             ), batch AS (
                 SELECT doc_id, md5(text) AS text_hash,
-                       row_number() OVER (PARTITION BY md5(text)
-                                          ORDER BY doc_id) AS rn
+                       row_number() OVER (
+                           PARTITION BY md5(text),
+                               CASE WHEN text IS NULL THEN doc_id END
+                           ORDER BY doc_id) AS rn
                 FROM documents WHERE doc_id >= 250
             )
             SELECT doc_id, text_hash FROM batch b
@@ -5795,7 +5801,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": """
             WITH t AS (
                 SELECT source, doc_id,
-                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                       CAST(coalesce(len(string_split(text, ' ')), 0)
+                            AS BIGINT) AS n
                 FROM documents
             ), p AS (
                 SELECT source, n,
@@ -6069,7 +6076,7 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf0,
                        len(list_filter(string_split(text, ' '), x -> x = 'join'))   AS tf1,
                        len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
-                FROM documents
+                FROM documents WHERE text IS NOT NULL
             ), stats AS (
                 SELECT count(*) AS n, sum(dl) AS sdl,
                        CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
@@ -6399,7 +6406,7 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf0,
                        len(list_filter(string_split(text, ' '), x -> x = 'join'))   AS tf1,
                        len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
-                FROM documents
+                FROM documents WHERE text IS NOT NULL
             ), stats AS (
                 SELECT count(*) AS n,
                        CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
@@ -7311,19 +7318,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY 1
             ), m2 AS (
                 SELECT stratum, n_stratum,
-                       round(sqrt((CAST(sxx AS DOUBLE)
+                       round(sqrt(greatest((CAST(sxx AS DOUBLE)
                                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                                     / n_stratum) / n_stratum), 6) AS sigma
+                                     / n_stratum) / n_stratum, 0.0)), 6)
+                           AS sigma
                 FROM mom
             ), w AS (
                 SELECT stratum, n_stratum, sigma,
                        n_stratum * CAST(sigma AS DECIMAL(18,6)) AS wgt
                 FROM m2
-            ), tot AS (SELECT sum(wgt) AS tw FROM w),
+            ), tot AS (SELECT sum(wgt) AS tw, sum(n_stratum) AS tn FROM w),
             alloc AS (
                 SELECT stratum, n_stratum, sigma,
-                       CAST(floor(1000 * CAST(wgt AS DOUBLE)
-                                  / CAST(tw AS DOUBLE)) AS BIGINT) AS alloc
+                       CAST(floor(CASE WHEN tw > 0
+                                  THEN 1000 * CAST(wgt AS DOUBLE)
+                                       / CAST(tw AS DOUBLE)
+                                  ELSE 1000 * CAST(n_stratum AS DOUBLE)
+                                       / CAST(tn AS DOUBLE) END) AS BIGINT)
+                           AS alloc
                 FROM w CROSS JOIN tot
             ), ranked AS (
                 SELECT event_type AS stratum, event_id,
@@ -7508,7 +7520,7 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf0,
                        len(list_filter(string_split(text, ' '), x -> x = 'join'))   AS tf1,
                        len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
-                FROM documents
+                FROM documents WHERE text IS NOT NULL
             ), stats AS (
                 SELECT count(*) AS n, sum(dl) AS sdl,
                        CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,

@@ -35,8 +35,12 @@ def chunk_documents(chunk_size: int = 64, overlap: int = 8,
     stride = chunk_size - overlap
 
     def _apply(df: DataFrame) -> DataFrame:
-        toks = df.select(F.col(id_col).alias("doc_id"),
-                         F.split(text_col, " ").alias("_toks"))
+        toks = (df.select(F.col(id_col).alias("doc_id"),
+                          F.split(text_col, " ").alias("_toks"))
+                # a NULL-text doc has no tokens to window: emitting the
+                # greatest(ceil(NULL),1)=1 phantom chunk (chunk_text NULL)
+                # would feed a junk row into the training-window table
+                .filter(F.col("_toks").isNotNull()))
         n_chunks = F.greatest(
             F.ceil((F.size("_toks") - F.lit(overlap)) / F.lit(stride)),
             F.lit(1)).cast("int")
@@ -68,7 +72,11 @@ def pack_sequences(budget: int = 256, group_col: str = "source",
     from pyspark.sql import Window
 
     def _apply(df: DataFrame) -> DataFrame:
-        n_tok = F.size(F.split(text_col, " ")).cast("bigint")
+        # NULL text = a 0-token doc: counted in n_docs, adds no tokens
+        # (raw size(NULL) is NULL, which silently under-counted the bin's
+        # total_tokens while still counting the doc)
+        n_tok = F.coalesce(F.size(F.split(text_col, " ")),
+                           F.lit(0)).cast("bigint")
         w = (Window.partitionBy(group_col).orderBy(order_col)
              .rowsBetween(Window.unboundedPreceding, -1))
         with_bin = df.select(
@@ -336,6 +344,13 @@ def negative_sampling(k: int = 4, id_col: str = "doc_id"
         ids = df.select(F.col(id_col).alias("doc_id"))
         ords = global_rank(ids, ["doc_id"], out="ord")  # 1-based
         n = ords.count()
+        if n < 2:
+            # with one document the wrap pmod(c, 1) + 1 always lands back on
+            # the anchor itself — every "negative" would BE the anchor,
+            # silently poisoning a contrastive loss
+            raise ValueError(
+                "negative_sampling needs at least 2 documents "
+                f"(got {n}) — a 1-doc corpus has no negatives")
         slots = ords.withColumn("slot", F.explode(
             F.sequence(F.lit(1), F.lit(k)))).select("doc_id", "ord", "slot")
         cand = F.pmod(
@@ -737,7 +752,11 @@ def neyman_allocation(n_total: int, stratum_col: str = "event_type",
         var = ((F.col("_sxx").cast("double")
                 - F.col("_sx").cast("double") * F.col("_sx").cast("double")
                 / F.col("n_stratum")) / F.col("n_stratum"))
-        mom = mom.withColumn("sigma", F.round(F.sqrt(var), 6))
+        # cancellation on huge constant-ish values can push the exact-sum
+        # variance epsilon-negative: clamp, or sqrt -> NaN silently
+        # unsamples the stratum
+        mom = mom.withColumn(
+            "sigma", F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6))
         # weight totals accumulate as EXACT decimal (the 6dp sigma is
         # decimal-representable) so the allocation is engine-stable
         mom = mom.withColumn(
@@ -747,12 +766,20 @@ def neyman_allocation(n_total: int, stratum_col: str = "event_type",
         # registered for release by the next pipeline's entry
         from akka_stream_contrib_spark.util import pipeline_cache
         mom = pipeline_cache(mom)
-        tot = mom.agg(F.sum("_w").alias("_tw"))
+        tot = mom.agg(F.sum("_w").alias("_tw"),
+                      F.sum("n_stratum").alias("_tn"))
+        # degenerate corpus (every stratum constant-valued / singleton):
+        # all sigma = 0 so total weight = 0, and 0/0 -> NaN -> floor(NaN)=0
+        # silently vanished the whole budget; fall back to PROPORTIONAL
+        # allocation (the standard Neyman degenerate case)
+        neyman = (F.lit(n_total) * F.col("_w").cast("double")
+                  / F.col("_tw").cast("double"))
+        proportional = (F.lit(n_total) * F.col("n_stratum").cast("double")
+                        / F.col("_tn").cast("double"))
         alloc = (mom.crossJoin(F.broadcast(tot))
                  .withColumn("alloc",
-                             F.floor(F.lit(n_total)
-                                     * F.col("_w").cast("double")
-                                     / F.col("_tw").cast("double"))
+                             F.floor(F.when(F.col("_tw") > 0, neyman)
+                                     .otherwise(proportional))
                              .cast("bigint"))
                  .select("stratum", "n_stratum", "sigma", "alloc"))
         w = Window.partitionBy(stratum_col).orderBy(

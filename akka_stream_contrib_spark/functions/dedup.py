@@ -39,12 +39,20 @@ def dedup_exact(id_col: str = "doc_id", text_col: str = "text") -> Callable[[Dat
     (hash keys are uniform)."""
 
     def _apply(df: DataFrame) -> DataFrame:
+        # NULL text is NOT comparable content: md5(NULL) = NULL would fold
+        # every failed-extraction doc into ONE cluster (reporting N docs as
+        # one with dup_count=N — a canonical-pruning caller then deletes
+        # N-1 real documents). The secondary key makes each NULL-text doc
+        # its own singleton cluster; same single shuffle.
+        null_own = F.when(F.col(text_col).isNull(), F.col(id_col))
         return (
-            df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+            df.groupBy(F.md5(F.col(text_col)).alias("text_hash"),
+                       null_own.alias("_null_own"))
             .agg(
                 F.min(id_col).alias("canonical_doc_id"),
                 F.count(F.lit(1)).alias("dup_count"),
             )
+            .drop("_null_own")
         )
 
     return _apply
@@ -69,14 +77,18 @@ def dedup_keep_best(score, id_col: str = "doc_id", text_col: str = "text",
         # partitioning + sort and collapse into a single WindowExec over a
         # single exchange (hashing inline in each spec planned two)
         d = (df.withColumn("_score", score)
-             .withColumn("_h", F.md5(F.col(text_col))))
-        w = Window.partitionBy("_h").orderBy(F.desc("_score"), id_col)
+             .withColumn("_h", F.md5(F.col(text_col)))
+             # NULL text never merges: each such doc is its own cluster
+             # (see dedup_exact) — _g is a constant for hashable rows
+             .withColumn("_g", F.when(F.col(text_col).isNull(),
+                                      F.col(id_col))))
+        w = Window.partitionBy("_h", "_g").orderBy(F.desc("_score"), id_col)
         wc = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         return (
             d.withColumn("_rn", F.row_number().over(w))
             .withColumn("dup_count", F.count(F.lit(1)).over(wc))
             .filter(F.col("_rn") == 1)
-            .drop("_score", "_rn", "_h")
+            .drop("_score", "_rn", "_h", "_g")
         )
 
     return _apply
@@ -100,7 +112,13 @@ def dedup_incremental(new_df: DataFrame, seen_hashes: DataFrame,
     """
 
     def _first_per_hash(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(hash_col).orderBy(id_col)
+        # NULL-text rows (hash NULL) are each their own group: content that
+        # cannot be hashed is never deduplicated — neither against the
+        # batch nor the index (a NULL hash also never equi-joins the index,
+        # so the two rules agree)
+        w = Window.partitionBy(
+            hash_col,
+            F.when(F.col(hash_col).isNull(), F.col(id_col))).orderBy(id_col)
         return (df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
 
@@ -178,6 +196,19 @@ def band_keys(sig: DataFrame, bands: int = 4, rows_per_band: int = 2) -> DataFra
     band_key): positional base-(P+1) encoding of each band's ``rows_per_band``
     signature columns. These rows ARE the persistable LSH index — tiny
     (bands rows per doc, integers only) and joinable by equality."""
+    if bands < 1 or rows_per_band < 1:
+        # bands > num_hashes upstream gives rows_per_band = 0: _key would
+        # return the Python int 0 (empty sum) and crash on .alias — raise
+        # the actual contract violation instead (simhash_pairs convention)
+        raise ValueError(
+            f"band_keys needs bands >= 1 and rows_per_band >= 1 "
+            f"(got bands={bands}, rows_per_band={rows_per_band})")
+    n_have = len([c for c in sig.columns if c.startswith("mh")])
+    if bands * rows_per_band > n_have:
+        raise ValueError(
+            f"band_keys: bands*rows_per_band = {bands * rows_per_band} "
+            f"exceeds the {n_have} signature columns")
+
     def _key(band: int):
         cols = [F.col(f"mh{band * rows_per_band + r}")
                 for r in range(rows_per_band)]
@@ -229,6 +260,12 @@ def minhash_band_table(df: DataFrame, k: int = 3, num_hashes: int = 8,
     sig = minhash_signatures(
         shingles(df, k=k, id_col=id_col, text_col=text_col),
         num_hashes=num_hashes)
+    if bands < 1 or num_hashes % bands != 0:
+        # a silent floor-division would compute and then IGNORE the trailing
+        # signature columns (lower recall than documented), or pass
+        # rows_per_band=0; same divisibility contract as simhash_pairs
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})")
     return band_keys(sig, bands=bands, rows_per_band=num_hashes // bands)
 
 
@@ -283,6 +320,9 @@ def minhash_lsh_dedup(
     consumers share (band entries, a-side, b-side of the candidate join).
     The cache is dropped lazily on the NEXT call (module-level registry) so
     repeated pipeline invocations don't accumulate executor storage."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})")
     _drop_stale_caches()
     sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
     tids = sh.withColumn("tid", token_id(F.col("shingle")))
@@ -379,7 +419,11 @@ def ngram_jaccard_dedup(
     # at sf0.1 vs the a/b self-join formulation.
     pair_expr = pair_fanout_expr("doc_a", "doc_b")
     shared = (
-        rare.groupBy("ngram").agg(F.array_sort(F.collect_list("doc_id")).alias("_l"))
+        # collect_SET: a duplicated doc_id row (re-crawl glitch) would put
+        # the same id twice in a posting list and fan out a destructive
+        # (X, X) self-pair; sizes/df are still per-row counts — exact for
+        # well-formed input, documented approximation under key duplication
+        rare.groupBy("ngram").agg(F.array_sort(F.collect_set("doc_id")).alias("_l"))
         .filter(F.size("_l") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("_p"))
         .groupBy(F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b"))
@@ -543,8 +587,12 @@ def duplicate_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     marked = (
         occ.groupBy("g").agg(F.collect_list("_key").alias("_ks"))
         .filter(F.size("_ks") >= 2)
-        .select(F.explode(F.expr("filter(_ks, x -> x != array_min(_ks))"))
-                .alias("_key"))
+        # drop exactly ONE canonical occurrence — the array head after a
+        # sort. filter(x != array_min) dropped EVERY occurrence tied with
+        # the minimum, so two identical rows of one doc kept both full
+        # copies uncut (copy-vs-copy duplication produced no marks)
+        .select(F.explode(F.expr(
+            "slice(array_sort(_ks), 2, size(_ks) - 1)")).alias("_key"))
         .select(F.col("_key.doc_id").alias("doc_id"),
                 F.col("_key.pos").alias("s"))
         .withColumn("e", F.col("s") + F.lit(k - 1))
@@ -589,9 +637,15 @@ def span_dedup(df: DataFrame, k: int = 8, id_col: str = "doc_id",
         df.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("_toks"))
         .join(sp_arr, "doc_id", "left")
         .withColumn("_kept", F.expr(keep_expr))
+        # NULL text carries no tokens: it passes through with clean_text ''
+        # and removed_tokens 0 per the every-input-doc contract — the raw
+        # size() arithmetic yielded NULL/NULL, which downstream sums of
+        # removed_tokens silently skipped and non-null writers rejected
         .select("doc_id",
-                F.array_join(F.col("_kept"), " ").alias("clean_text"),
-                (F.size("_toks") - F.size("_kept")).cast("bigint").alias("removed_tokens"))
+                F.coalesce(F.array_join(F.col("_kept"), " "), F.lit(""))
+                .alias("clean_text"),
+                F.coalesce(F.size("_toks") - F.size("_kept"), F.lit(0))
+                .cast("bigint").alias("removed_tokens"))
     )
 
 
@@ -632,9 +686,12 @@ def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
         # the list is sorted by (string, id): keep strictly-ordered pairs —
         # equal strings (distance 0) pair by id; drop only the same-entry
         # self-pairs a repeated deletion of one string can produce
-        .filter((F.col("_p.a._s") < F.col("_p.b._s"))
-                | ((F.col("_p.a._s") == F.col("_p.b._s"))
-                   & (F.col("_p.a._id") < F.col("_p.b._id"))))
+        .filter(((F.col("_p.a._s") < F.col("_p.b._s"))
+                 | ((F.col("_p.a._s") == F.col("_p.b._s"))
+                    & (F.col("_p.a._id") < F.col("_p.b._id"))))
+                # a duplicated id carrying two DIFFERENT strings meets at a
+                # shared deletion key: never emit it as its own neighbor
+                & (F.col("_p.a._id") != F.col("_p.b._id")))
         .select(F.col("_p.a._id").alias("id_a"), F.col("_p.b._id").alias("id_b"),
                 F.col("_p.a._s").alias("_sa"), F.col("_p.b._s").alias("_sb"))
         .groupBy("id_a", "id_b")
@@ -684,9 +741,12 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, k: int = 3,
     pair_expr = pair_fanout_expr()
     return (
         band_rows.groupBy("band", "bkey")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("_l"))
+        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "simhash"))).alias("_l"))
         .filter(F.size("_l") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("_p"))
+        # a duplicated doc_id row (same or different signature) must never
+        # pair with itself — hamming(X, X) = 0 would flag X for deletion
+        .filter(F.col("_p.a.doc_id") != F.col("_p.b.doc_id"))
         .groupBy(F.col("_p.a.doc_id").alias("doc_a"),
                  F.col("_p.b.doc_id").alias("doc_b"))
         .agg(F.first(F.col("_p.a.simhash")).alias("_sa"),

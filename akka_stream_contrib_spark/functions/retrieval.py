@@ -96,7 +96,10 @@ def bm25_topk(terms: Sequence[str], k: int = 20,
         # project the token array ONCE (HOF lambdas re-evaluate their input
         # expression per element — see functions/text.py perf notes)
         toks = df.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        ).filter(F.col("_toks").isNotNull())  # NULL text is not a document:
+        # counting it in N while it contributes nothing to df/sdl biases
+        # idf/avgdl, and its NULL score could pad the top-k
         tf = toks.select(
             F.col(id_col),
             F.size("_toks").alias("dl"),
@@ -131,7 +134,10 @@ def inverted_index(id_col: str = "doc_id", text_col: str = "text",
 
     def _apply(df: DataFrame) -> DataFrame:
         toks = df.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        ).filter(F.col("_toks").isNotNull())  # NULL text is not a document:
+        # counting it in N while it contributes nothing to df/sdl biases
+        # idf/avgdl, and its NULL score could pad the top-k
         return (toks
                 .select(id_col, F.size("_toks").alias("dl"),
                         F.explode("_toks").alias("term"))
@@ -159,7 +165,10 @@ def tfidf_topk(terms: Sequence[str], k: int = 20,
 
     def _apply(df: DataFrame) -> DataFrame:
         toks = df.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        ).filter(F.col("_toks").isNotNull())  # NULL text is not a document:
+        # counting it in N while it contributes nothing to df/sdl biases
+        # idf/avgdl, and its NULL score could pad the top-k
         tf = toks.select(
             F.col(id_col),
             *[_term_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
@@ -205,7 +214,10 @@ def boolean_and_search(terms: Sequence[str], id_col: str = "doc_id",
 
     def _apply(df: DataFrame) -> DataFrame:
         toks = df.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        ).filter(F.col("_toks").isNotNull())  # NULL text is not a document:
+        # counting it in N while it contributes nothing to df/sdl biases
+        # idf/avgdl, and its NULL score could pad the top-k
         out = toks.select(
             id_col,
             *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)])
@@ -253,7 +265,10 @@ def rrf_fusion(terms: Sequence[str], k: int = 20, depth: int = 100,
 
         drop_stale_caches()
         toks = df.select(
-            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        ).filter(F.col("_toks").isNotNull())  # NULL text is not a document:
+        # counting it in N while it contributes nothing to df/sdl biases
+        # idf/avgdl, and its NULL score could pad the top-k
         tf = pipeline_cache(toks.select(
             F.col(id_col),
             F.size("_toks").alias("dl"),

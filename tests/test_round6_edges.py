@@ -1,0 +1,123 @@
+"""Round-6 adversarial-input hardening: NULL text, duplicate ids,
+degenerate strata, invalid band arithmetic (review findings, all fixed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup_family_null_text_never_merges(spark):
+    from akka_stream_contrib_spark.functions.dedup import (dedup_exact,
+                                                           dedup_incremental,
+                                                           dedup_keep_best)
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id bigint, text string")
+    rep = df.transform(dedup_exact()).collect()
+    # 'same' cluster (dup_count 2) + THREE singleton NULL-text clusters —
+    # not one 3-doc cluster whose pruning would delete two real documents
+    counts = sorted(r.dup_count for r in rep)
+    assert counts == [1, 1, 1, 2]
+    best = df.transform(dedup_keep_best(F.col("doc_id"))).collect()
+    assert {r.doc_id for r in best} == {2, 3, 4, 5}  # max id wins 'same'
+    seen = spark.createDataFrame([], "text_hash string")
+    fresh = dedup_incremental(df, seen)
+    assert {r.doc_id for r in fresh.collect()} == {1, 3, 4, 5}
+
+
+def test_pair_generators_never_emit_self_pairs_on_duplicate_ids(spark):
+    from akka_stream_contrib_spark.functions.dedup import (edit1_pairs,
+                                                           ngram_jaccard_dedup,
+                                                           simhash_pairs)
+    dup_docs = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog"),
+         (7, "the quick brown fox jumps over the lazy dog"),
+         (9, "a completely different document about spark windows")],
+        "doc_id bigint, text string")
+    nj = ngram_jaccard_dedup(dup_docs, n=4, threshold=0.01, max_doc_freq=50)
+    assert all(r.doc_a != r.doc_b for r in nj.collect())
+    sh = simhash_pairs(dup_docs, max_hamming=3, bits=32)
+    assert all(r.doc_a != r.doc_b for r in sh.collect())
+    dup_names = spark.createDataFrame(
+        [(7, "abc"), (7, "abd"), (9, "zzz")], "id bigint, name string")
+    e1 = edit1_pairs(dup_names, "id", "name")
+    assert all(r.id_a != r.id_b for r in e1.collect())
+
+
+def test_span_dedup_cuts_copy_of_duplicated_row_and_passes_null(spark):
+    from akka_stream_contrib_spark.functions.dedup import span_dedup
+    text = "w0 w1 w2 w3 w4 w5 w6 w7"  # exactly one 8-gram
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, None)], "doc_id bigint, text string")
+    out = {r.doc_id: (r.clean_text, r.removed_tokens)
+           for r in span_dedup(df, k=8).collect()}
+    # exactly ONE canonical occurrence survives; the copy is fully cut
+    # (filter(x != array_min) used to drop BOTH under tied keys when the
+    # duplicate was the same doc twice — here ids differ, pin the contract)
+    assert out[1] == (text, 0)
+    assert out[2] == ("", 8)
+    # NULL text passes through: clean '' and removed 0, not NULL/NULL
+    assert out[3] == ("", 0)
+
+
+def test_span_dedup_same_doc_duplicated_rows_cut_one_copy(spark):
+    from akka_stream_contrib_spark.functions.dedup import duplicate_spans
+    text = "w0 w1 w2 w3 w4 w5 w6 w7"
+    df = spark.createDataFrame(
+        [(1, text), (1, text)], "doc_id bigint, text string")
+    spans = duplicate_spans(df, k=8).collect()
+    # two identical (doc_id, pos) occurrences: exactly one is canonical,
+    # the other is marked (the tie-filter used to drop both -> no marks)
+    assert [(r.doc_id, r.span_start, r.span_end)
+            for r in spans] == [(1, 0, 7)]
+
+
+def test_negative_sampling_rejects_single_doc_corpus(spark):
+    from akka_stream_contrib_spark.functions.corpus import negative_sampling
+    df = spark.createDataFrame([(1, "only doc")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="at least 2"):
+        df.transform(negative_sampling(k=2))
+
+
+def test_neyman_degenerate_strata_fall_back_to_proportional(spark):
+    from akka_stream_contrib_spark.functions.corpus import neyman_allocation
+    # every stratum constant-valued: all sigma 0 -> total weight 0; the
+    # NaN path silently allocated 0 everywhere — now proportional
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 5.0),
+         (4, "b", 7.0)],
+        "event_id bigint, event_type string, value double")
+    out = {r.stratum: (r.alloc, r.n_kept)
+           for r in df.transform(neyman_allocation(4)).collect()}
+    assert out["a"][0] == 3 and out["b"][0] == 1
+    assert out["a"][1] == 3 and out["b"][1] == 1
+
+
+def test_band_arithmetic_validation(spark):
+    from akka_stream_contrib_spark.functions.dedup import (minhash_band_table,
+                                                           minhash_lsh_dedup)
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="divide"):
+        minhash_band_table(df, num_hashes=8, bands=3)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_dedup(df, num_hashes=8, bands=16)
+
+
+def test_chunk_pack_retrieval_null_text(spark):
+    from akka_stream_contrib_spark.functions.corpus import (chunk_documents,
+                                                            pack_sequences)
+    from akka_stream_contrib_spark.functions.retrieval import bm25_topk
+    df = spark.createDataFrame(
+        [(1, "a", "one two three"), (2, "a", None)],
+        "doc_id bigint, source string, text string")
+    chunks = df.transform(chunk_documents(chunk_size=4, overlap=0)).collect()
+    # NULL-text doc yields NO phantom chunk row
+    assert {r.doc_id for r in chunks} == {1}
+    packs = df.transform(pack_sequences(budget=16)).collect()
+    # NULL-text doc counts as 0 tokens but is still a doc in the bin
+    assert [(r.n_docs, r.total_tokens) for r in packs] == [(2, 3)]
+    hits = df.transform(bm25_topk(["two"], k=5)).collect()
+    # NULL-text doc neither scores nor inflates N
+    assert [r.doc_id for r in hits] == [1]
