@@ -5041,7 +5041,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, score_en, score_de, score_es,
-                   CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+                   CASE WHEN score_en IS NULL THEN NULL
+                        WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
                         WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS predicted_lang
             FROM s
         """,
@@ -6199,8 +6200,11 @@ def oracle_sql() -> dict[str, str]:
                        round(quantile_cont(value, 0.95), 6) AS hi
                 FROM events GROUP BY event_type
             )
+            -- CASE mirror of the Spark side's explicit NULL propagation
+            -- (both engines' greatest/least skip NULL arguments)
             SELECT event_id, e.event_type, value,
-                   least(greatest(value, lo), hi) AS value_wins
+                   CASE WHEN value IS NOT NULL
+                        THEN least(greatest(value, lo), hi) END AS value_wins
             FROM events e JOIN pct ON e.event_type = pct.event_type
         """,
         "shipping_concurrency": """
@@ -6627,8 +6631,8 @@ def oracle_sql() -> dict[str, str]:
             WITH n AS (
                 SELECT doc_id, text,
                        trim(regexp_replace(regexp_replace(lower(text),
-                            '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
-                            '[ \t\n\r]+', ' ', 'g')) AS norm_text
+                            '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+                            '[ \t\n\r\x0b\x0c]+', ' ', 'g')) AS norm_text
                 FROM documents
             )
             SELECT doc_id, norm_text, norm_text <> text AS changed FROM n
@@ -7076,6 +7080,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(least(greatest(floor((value - 0.0) / 15.625), 0), 63)
                             AS INT) AS bin
                 FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
             ), counts AS (
                 SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin
             ), c AS (
@@ -7086,7 +7091,7 @@ def oracle_sql() -> dict[str, str]:
                        sum(cnt) OVER (PARTITION BY key) AS n
                 FROM counts
             ), probes AS (
-                SELECT c.*, q.q, CAST(ceil(q.q * c.n) AS BIGINT) AS rnk
+                SELECT c.*, q.q, CAST(greatest(ceil(q.q * c.n), 1) AS BIGINT) AS rnk
                 FROM c CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
                                           (CAST(0.9 AS DOUBLE)),
                                           (CAST(0.99 AS DOUBLE))) q(q)
@@ -7467,6 +7472,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(least(greatest(floor((value - 0.0) / 15.625), 0), 63)
                             AS INT) AS bin
                 FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
             ), counts AS (
                 SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin
             ), c AS (
@@ -7477,7 +7483,7 @@ def oracle_sql() -> dict[str, str]:
                        sum(cnt) OVER (PARTITION BY key) AS n
                 FROM counts
             ), probes AS (
-                SELECT c.*, q.q, CAST(ceil(q.q * c.n) AS BIGINT) AS rnk
+                SELECT c.*, q.q, CAST(greatest(ceil(q.q * c.n), 1) AS BIGINT) AS rnk
                 FROM c CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
                                           (CAST(0.9 AS DOUBLE)),
                                           (CAST(0.99 AS DOUBLE))) q(q)

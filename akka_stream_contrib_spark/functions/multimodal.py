@@ -99,6 +99,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     raster = np.frombuffer(payload, dtype=np.uint8,
                            count=w * h * 3, offset=pos)
     rgb = raster.reshape(h, w, 3).astype(np.float64)
+    if maxval != 255:
+        # netpbm samples are FRACTIONS of maxval: a spec-valid maxval=15
+        # white image is raw 15s, which unscaled reads as ~6% gray and
+        # hashes/features as noise — rescale onto the 0-255 luma range
+        rgb *= 255.0 / maxval
     return rgb @ np.array([0.299, 0.587, 0.114])
 
 

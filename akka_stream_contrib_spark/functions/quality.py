@@ -79,9 +79,14 @@ def winsorize(keys: str | list[str], value: str = "value",
             c = F.col(k).eqNullSafe(F.col(f"_bk_{i}"))
             cond = c if cond is None else (cond & c)
         return (df.join(F.broadcast(bounds), cond)
-                .withColumn(out, F.least(F.greatest(F.col(value),
-                                                    F.col("_lo")),
-                                         F.col("_hi")))
+                # explicit NULL propagation: Spark greatest/least SKIP NULL
+                # arguments (unlike SQL), so a NULL measurement would be
+                # silently rewritten to the low bound — a value the row
+                # never had
+                .withColumn(out, F.when(
+                    F.col(value).isNotNull(),
+                    F.least(F.greatest(F.col(value), F.col("_lo")),
+                            F.col("_hi"))))
                 .drop("_lo", "_hi",
                       *[f"_bk_{i}" for i in range(len(keylist))]))
 

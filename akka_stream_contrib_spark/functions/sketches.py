@@ -82,6 +82,11 @@ def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
     Result equals the exact top-k whenever the true k-th item has share
     > 1/(capacity+1) (size ``capacity`` ≫ k accordingly); ranking is
     (count DESC, item) so it is deterministic and engine-replayable.
+
+    NULL items are excluded up front (explicitly, not by accident):
+    pandas ``value_counts`` drops them from the MG counters and the
+    candidate semi-join could never match a NULL key anyway — the top-k
+    is over REAL item values; count NULLs separately if they matter.
     """
     import pandas as pd
 
@@ -92,7 +97,7 @@ def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 50,
                                  capacity)
         yield pd.DataFrame({item_col: list(counters.keys())})
 
-    items = df.select(item_col)
+    items = df.select(item_col).filter(F.col(item_col).isNotNull())
     cands = (items.mapInPandas(_mg, schema=items.schema)
              .distinct())
     return (
@@ -254,8 +259,10 @@ def histogram_build(df: DataFrame, key: str, value: str = "value",
                    F.lit(n_bins - 1)).cast("int")
     # NULL values carry no position: unfiltered they would form a NULL bin
     # that sorts FIRST in the probe's cumulative walk and inflates n,
-    # shifting every quantile estimate
-    return (df.filter(v.isNotNull())
+    # shifting every quantile estimate. The same goes for NaN — Spark's
+    # double->long floor coerces NaN to 0, silently counting every NaN in
+    # bin 0 and dragging all estimates toward lo.
+    return (df.filter(v.isNotNull() & ~F.isnan(v))
             .select(F.col(key).alias("key"), bin_.alias("bin"))
             .groupBy("key", "bin").agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -276,7 +283,10 @@ def histogram_probe(counts: DataFrame, qs: Sequence[float] = (0.5, 0.9, 0.99),
            .withColumn("n", F.sum("cnt").over(wk)))
     probes = cum.select(
         "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
-    rank = F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    # clamp to >= 1: q = 0.0 gives rank 0, which no (cum >= rank AND
+    # cum - cnt < rank) bin can satisfy — the probe silently emitted no
+    # row for the requested min-estimate quantile
+    rank = F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1)).cast("bigint")
     hit = probes.filter((F.col("cum") >= rank) & (F.col("cum") - F.col("cnt") < rank))
     est = (F.lit(lo) + F.lit(w) * (F.col("bin")
            + (rank - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt")))

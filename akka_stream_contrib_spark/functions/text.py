@@ -25,7 +25,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col: str = "text") -> Column:
-    """Whitespace tokenization as an array column."""
+    """SINGLE-SPACE tokenization as an array column — the corpus-wide token
+    contract. A token is a run of non-space characters between single ' '
+    separators; this is deliberately NOT \\s+ splitting, because the same
+    literal split exists bit-identically in DuckDB (string_split), which is
+    what keeps every token-derived oracle exact. Text with tabs / newlines /
+    repeated spaces should pass through :func:`normalize_text` first (its
+    whitespace collapse makes the single-space contract exact); un-normalized
+    mixed whitespace yields fused or empty tokens by design of the contract.
+    """
     return F.split(F.col(col), " ")
 
 
@@ -80,7 +88,11 @@ def lang_id(id_col: str = "doc_id", text_col: str = "text") -> Callable[[DataFra
         )
         return out.withColumn(
             "predicted_lang",
-            F.when((F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")), "en")
+            # NULL text has no tokens to score: label NULL, not a language.
+            # All-NULL scores would skip every when() and confidently fall
+            # through to the 'es' branch.
+            F.when(F.col("score_en").isNull(), F.lit(None).cast("string"))
+            .when((F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")), "en")
             .when(F.col("score_de") >= F.col("score_es"), "de")
             .otherwise("es"),
         )
@@ -160,7 +172,13 @@ def redact_pii(id_col: str = "doc_id", text_col: str = "text",
 def repetition_stats(id_col: str = "doc_id", text_col: str = "text"
                      ) -> Callable[[DataFrame], DataFrame]:
     """Gopher-style repetition filter inputs: tokens, distinct tokens, the
-    most-frequent token's count, and its share of the document
+    most-frequent token's count, and its share of the document.
+
+    Cardinality contract: docs that produce NO token rows (NULL text)
+    have no output row — like token_entropy and bigram_logprob_score,
+    this is a stats-for-scorable-docs table; LEFT-join it from the corpus
+    when every doc needs a row (a dropped doc means "no tokens", not
+    "filtered for quality")
     (repetition_ratio) — high ratios flag boilerplate/spam for removal.
 
     Two uniform-key shuffles ((doc, token) count, then per-doc max) — the
@@ -265,7 +283,9 @@ def bigram_logprob_score(k: float = 0.5, id_col: str = "doc_id",
     where counts come from the whole corpus and V is the unigram vocabulary
     size. Documents full of rare/unseen transitions score low — the
     standard gibberish/boilerplate discriminator when no external LM is
-    available.
+    available. Docs with fewer than two tokens (or NULL text) have no
+    bigrams and therefore NO output row — LEFT-join from the corpus if
+    every doc needs a score.
 
     Scale shape: bigram extraction is a map-side array zip (no window);
     corpus bigram/unigram count tables aggregate with map-side partials;
@@ -426,8 +446,11 @@ def normalize_text(id_col: str = "doc_id", text_col: str = "text"
     def _apply(df: DataFrame) -> DataFrame:
         t = F.col(text_col)
         norm = F.lower(t)
-        norm = F.regexp_replace(norm, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
-        norm = F.regexp_replace(norm, "[ \\t\\n\\r]+", " ")
+        # \x0b (VT), \x0c (FF) and \x0d (CR) are LINE TERMINATORS, not
+        # junk: stripping them fused the words around a bare-CR boundary
+        # ('foo\rbar' -> 'foobar') before the collapse could space them
+        norm = F.regexp_replace(norm, "[\\x00-\\x08\\x0e-\\x1f\\x7f]", "")
+        norm = F.regexp_replace(norm, "[ \\t\\n\\r\\x0b\\x0c]+", " ")
         norm = F.trim(norm)
         return df.select(F.col(id_col).alias("doc_id"),
                          norm.alias("norm_text"),

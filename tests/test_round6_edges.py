@@ -121,3 +121,72 @@ def test_chunk_pack_retrieval_null_text(spark):
     hits = df.transform(bm25_topk(["two"], k=5)).collect()
     # NULL-text doc neither scores nor inflates N
     assert [r.doc_id for r in hits] == [1]
+
+
+def test_winsorize_preserves_null_values(spark):
+    from akka_stream_contrib_spark.functions.quality import winsorize
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0), (4, "a", None)],
+        "event_id bigint, event_type string, value double")
+    out = {r.event_id: r.value_wins
+           for r in df.transform(
+               winsorize("event_type", "value", 0.25, 0.75)).collect()}
+    # greatest/least skip NULL args: the un-guarded clamp invented the low
+    # bound for a NULL measurement
+    assert out[4] is None and out[2] == 5.0
+
+
+def test_lang_id_null_text_labels_null(spark):
+    from akka_stream_contrib_spark.functions.text import lang_id
+    df = spark.createDataFrame(
+        [(1, "the cat of a hat"), (2, None)], "doc_id bigint, text string")
+    out = {r.doc_id: r.predicted_lang
+           for r in df.transform(lang_id()).collect()}
+    assert out[1] == "en" and out[2] is None  # not a confident 'es'
+
+
+def test_normalize_text_bare_cr_becomes_space(spark):
+    from akka_stream_contrib_spark.functions.text import normalize_text
+    df = spark.createDataFrame(
+        [(1, "Foo\rBar"), (2, "a\x0bb\x0cc"), (3, "x\x01y")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r.norm_text
+           for r in df.transform(normalize_text()).collect()}
+    # line terminators collapse to spaces (stripping fused 'foobar');
+    # true control junk is still deleted
+    assert out[1] == "foo bar"
+    assert out[2] == "a b c"
+    assert out[3] == "xy"
+
+
+def test_histogram_quantiles_nan_and_q_zero(spark):
+    from akka_stream_contrib_spark.functions.sketches import (
+        histogram_quantiles)
+    rows = [(1, "a", float("nan"))] * 9 + [(10, "a", 500.0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double")
+    out = {r.q: r.est for r in histogram_quantiles(
+        df, "event_type", qs=(0.0, 0.5)).collect()}
+    # NaN rows excluded: n=1 and both quantiles interpolate inside the
+    # 500-bin (NaN used to land in bin 0 and drag estimates toward lo);
+    # q=0.0 emits a row (rank clamped to 1 — it used to vanish)
+    assert set(out) == {0.0, 0.5}
+    assert all(400 < v < 520 for v in out.values())
+
+
+def test_mg_heavy_hitters_excludes_null_items(spark):
+    from akka_stream_contrib_spark.functions.sketches import mg_heavy_hitters
+    df = spark.createDataFrame(
+        [(None,)] * 6 + [("a",)] * 3 + [("b",)],
+        "item string")
+    out = [r.item for r in mg_heavy_hitters(df, "item", k=2).collect()]
+    assert out == ["a", "b"]
+
+
+def test_decode_ppm_rescales_low_maxval(spark):
+    from akka_stream_contrib_spark.functions.multimodal import decode_ppm
+    # pure white at maxval=15: every sample is 15 -> must decode to 255 luma
+    payload = b"P6 2 1 15\n" + bytes([15] * 6)
+    img = decode_ppm(payload)
+    assert img.shape == (1, 2)
+    assert abs(img[0, 0] - 255.0) < 1e-9
