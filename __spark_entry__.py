@@ -2505,22 +2505,32 @@ def q_login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC analysis: customers ranked by revenue with cumulative
-    share and A/B/C class (80/95 cuts). Revenue sums are exact decimal;
-    the cumulative window runs over the customer-sized aggregate (not the
-    fact table), ordered (revenue DESC, custkey) so ties are deterministic.
-    The share division casts both exact decimals to double first — one
-    identical IEEE op on both engines."""
+    share and A/B/C class (80/95 cuts). Revenue sums are exact decimal, so
+    the cumulative prefix runs as the two-phase range prefix sum
+    (``global_order.global_running_sum`` — range shuffle + K-row driver
+    summary), never a single-partition window: the customer aggregate is
+    corpus-sized (15B rows at SF100k), unlike the repo's bounded post-agg
+    windows. Ordering is (revenue DESC, custkey) via an exact decimal
+    negation; decimal prefix combine is associative, so the result is
+    bit-identical to the sequential window. The total is a 1-row aggregate
+    broadcast; the share division casts both exact decimals to double
+    first — one identical IEEE op on both engines."""
+    from akka_stream_contrib_spark.operators.global_order import (
+        global_running_sum,
+    )
     orders = tables.load(spark, "orders", sf_dir)
     rev = orders.groupBy("o_custkey").agg(
         F.sum(_money("o_totalprice")).alias("_rev"))
-    w = (Window.orderBy(F.desc("_rev"), "o_custkey")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = rev.agg(F.sum("_rev").alias("_tot"))
+    cum = global_running_sum(
+        rev.withColumn("_negrev", -F.col("_rev")),
+        ["_negrev", "o_custkey"], "_rev", "_cum")
     share = (F.round(
-        F.sum("_rev").over(w).cast("double")
-        / F.sum("_rev").over(
-            Window.partitionBy()).cast("double"), 6) + F.lit(0.0))
+        F.col("_cum").cast("double") / F.col("_tot").cast("double"), 6)
+        + F.lit(0.0))
     return (
-        rev.select(
+        cum.crossJoin(F.broadcast(total))
+        .select(
             "o_custkey", F.col("_rev").cast("double").alias("revenue"),
             share.alias("cum_share"))
         .withColumn(

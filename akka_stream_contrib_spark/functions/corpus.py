@@ -344,13 +344,15 @@ def negative_sampling(k: int = 4, id_col: str = "doc_id"
         ids = df.select(F.col(id_col).alias("doc_id"))
         ords = global_rank(ids, ["doc_id"], out="ord")  # 1-based
         n = ords.count()
-        if n < 2:
+        if n == 1:
             # with one document the wrap pmod(c, 1) + 1 always lands back on
             # the anchor itself — every "negative" would BE the anchor,
-            # silently poisoning a contrastive loss
+            # silently poisoning a contrastive loss. An EMPTY corpus is not
+            # poisoned — no anchors means no pairs, and the no-row plan
+            # below emits exactly that (pmod's 0 divisor never evaluates).
             raise ValueError(
                 "negative_sampling needs at least 2 documents "
-                f"(got {n}) — a 1-doc corpus has no negatives")
+                "(got 1) — a 1-doc corpus has no negatives")
         slots = ords.withColumn("slot", F.explode(
             F.sequence(F.lit(1), F.lit(k)))).select("doc_id", "ord", "slot")
         cand = F.pmod(

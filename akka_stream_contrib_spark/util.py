@@ -48,6 +48,9 @@ def normalize_cols(cols: str | Sequence[str] | None) -> list[str]:
 #: instead of pinning every shared subtree until the session dies.
 _PIPELINE_CACHES: list = []
 
+#: when True, drop_stale_caches() is a no-op — see retain_pipeline_caches()
+_RETAIN_CACHES = False
+
 
 def drop_stale_caches() -> None:
     """Unpersist DataFrames cached by PREVIOUS pipeline invocations.
@@ -57,11 +60,33 @@ def drop_stale_caches() -> None:
     first would find its intermediate cache already dropped (results stay
     correct; the shared-scan persist silently recomputes). Sequential
     single-pipeline usage is exactly what the driver gate and bench do."""
+    if _RETAIN_CACHES:
+        return
     while _PIPELINE_CACHES:
         try:
             _PIPELINE_CACHES.pop().unpersist()
         except Exception:
             pass
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def retain_pipeline_caches():
+    """Scope in which pipelines run CONCURRENTLY: suspends the
+    sequential-contract cache dropping (one in-flight pipeline would
+    otherwise unpersist another's live shared subtree — results stay
+    correct, the persist just silently recomputes) and releases every
+    accumulated cache on exit. Storage is bounded by the scope's concurrent
+    batch instead of a single pipeline — size the batch accordingly."""
+    global _RETAIN_CACHES
+    _RETAIN_CACHES = True
+    try:
+        yield
+    finally:
+        _RETAIN_CACHES = False
+        drop_stale_caches()
 
 
 def pipeline_cache(df):

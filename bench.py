@@ -258,6 +258,39 @@ def main() -> None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     base_total, base_queries, base_runs = duckdb_baseline(
         [n for n in HEADLINE if n in timings])
+    # pipelined pass: the SAME oracle-subset queries submitted 8 at a time
+    # from concurrent driver threads — how a multi-tenant cluster (or any
+    # driver with a job queue) actually runs a 120-query workload. The
+    # per-query fixed floor (job setup / scheduling / AQE rounds, ~0.37 s
+    # each here) overlaps across in-flight queries instead of summing, so
+    # wall-clock ~= data-bound cost + floor/8. Sequential per-query numbers
+    # above are unaffected; this measures throughput of the same plans.
+    pipelined_wall = None
+    if base_queries:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from akka_stream_contrib_spark.util import retain_pipeline_caches
+
+        def _run_noop(name: str) -> str | None:
+            try:
+                qs[name](spark, SF_DIR).write.mode(
+                    "overwrite").format("noop").save()
+                return None
+            except Exception as ex:  # noqa: BLE001
+                return f"{name}: {ex}"
+
+        t0 = time.monotonic()
+        with retain_pipeline_caches():
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                pipe_errs = [e for e in pool.map(_run_noop, base_queries) if e]
+        if pipe_errs:
+            print(f"# pipelined pass errors: {pipe_errs}",
+                  file=sys.stderr, flush=True)
+        else:
+            pipelined_wall = round(time.monotonic() - t0, 3)
+            print(f"# pipelined wall ({len(base_queries)} queries, "
+                  f"8 threads): {pipelined_wall:.3f}s",
+                  file=sys.stderr, flush=True)
     # apples-to-apples: DuckDB only runs oracle-backed queries, so the
     # ratio must use the Spark total over that SAME subset (iterative /
     # non-SQL-expressible queries would otherwise inflate it)
@@ -302,6 +335,7 @@ def main() -> None:
             "spark_floor_oracle_subset_sec": floor_subset,
             "spark_warm_oracle_subset_sec": warm_subset,
             "spark_split_input_oracle_subset_sec": split_subset,
+            "spark_pipelined_oracle_subset_sec": pipelined_wall,
             "floor_probe_failed": floor_missing,
             "split_probe_failed": split_missing,
             "decomposition_note": (
@@ -320,7 +354,11 @@ def main() -> None:
                 "while the ~100 floor-bound sub-second queries pay extra "
                 "task scheduling — so the split SUBSET TOTAL can exceed "
                 "the primary total even as every heavy query improves; "
-                "both effects are the floor decomposition in action."),
+                "both effects are the floor decomposition in action. "
+                "pipelined = the same oracle-subset queries submitted 8 "
+                "at a time from concurrent driver threads (multi-tenant "
+                "cluster shape): per-query floors overlap instead of "
+                "summing, so wall ~= data-bound cost + floor/8."),
         }, f, indent=1)
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
@@ -335,6 +373,7 @@ def main() -> None:
         "spark_floor_oracle_subset_sec": floor_subset,
         "spark_warm_oracle_subset_sec": warm_subset,
         "spark_split_input_oracle_subset_sec": split_subset,
+        "spark_pipelined_oracle_subset_sec": pipelined_wall,
         "detail": "BENCH_DETAIL.json",
     }, separators=(",", ":")), flush=True)
     spark.stop()

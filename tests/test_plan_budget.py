@@ -78,8 +78,11 @@ BUDGET = {
     # user window, transition agg, tiny per-type share window
     "event_transitions": 3,
     "login_streaks": 2,
-    # custkey agg + single-partition window over the aggregate only
-    "pareto_customers": 2,
+    # two-phase range prefix over the custkey aggregate (pid-window
+    # exchange on the checkpointed ranged frame + 1-row total agg +
+    # custkey agg): +1 vs the old budget, which bought the removal of the
+    # unbounded single-partition cumulative window (SCALE.md)
+    "pareto_customers": 3,
     # deletion-neighborhood posting lists: variant groupBy + pair dedup
     "fuzzy_name_match": 2,
     # daily agg + per-segment stats agg (dims broadcast)

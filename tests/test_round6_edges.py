@@ -80,6 +80,15 @@ def test_negative_sampling_rejects_single_doc_corpus(spark):
         df.transform(negative_sampling(k=2))
 
 
+def test_negative_sampling_empty_corpus_is_empty_not_error(spark):
+    # 0 docs = no anchors = no pairs; only the 1-doc corpus is poisoned
+    from akka_stream_contrib_spark.functions.corpus import negative_sampling
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    out = df.transform(negative_sampling(k=2))
+    assert out.columns == ["doc_id", "slot", "neg_doc_id"]
+    assert out.count() == 0
+
+
 def test_neyman_degenerate_strata_fall_back_to_proportional(spark):
     from akka_stream_contrib_spark.functions.corpus import neyman_allocation
     # every stratum constant-valued: all sigma 0 -> total weight 0; the

@@ -210,3 +210,17 @@ def test_registry_consistency():
         k for k in entry._PRIORITY if k in qs]
     # every query callable is materially distinct (no aliased duplicates)
     assert len({id(v) for v in qs.values()}) == len(qs)
+
+
+def test_retain_pipeline_caches_defers_drop(spark):
+    """Inside the scope drop_stale_caches() must keep concurrent pipelines'
+    caches alive; on exit every accumulated cache is released."""
+    from akka_stream_contrib_spark import util
+
+    a = util.pipeline_cache(spark.range(10))
+    with util.retain_pipeline_caches():
+        b = util.pipeline_cache(spark.range(20))
+        util.drop_stale_caches()  # no-op inside the scope
+        assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+    assert not util._PIPELINE_CACHES

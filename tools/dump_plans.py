@@ -34,9 +34,9 @@ SHOWCASE = {
         "column in the same window pass",
     "quantized_ann": "int8 quantization + integer dot products entirely "
         "map-side: zero exchanges, top-k via TakeOrderedAndProject",
-    "pareto_customers": "cumulative-share window runs over the customer-sized "
-        "aggregate, never the fact table; single-partition window is "
-        "post-reduction only",
+    "pareto_customers": "cumulative share via the two-phase range prefix "
+        "sum over the customer aggregate (pid-window exchange + broadcast "
+        "1-row total): no single-partition window anywhere",
     "ann_ivf_all": "distributed IVF ANN: one Arrow assignment pass "
         "(broadcast centroids), cogrouped per-cell GEMM — the only exchange "
         "is the hash shuffle on cell id; no driver-side corpus collect",
