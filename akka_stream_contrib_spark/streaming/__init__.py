@@ -9,6 +9,7 @@ from akka_stream_contrib_spark.streaming.stateful import (
     heavy_hitters_stream,
 )
 from akka_stream_contrib_spark.streaming.dedup import dedup_within_watermark
+from akka_stream_contrib_spark.streaming.joins import stream_interval_join
 from akka_stream_contrib_spark.streaming.valve import Valve
 from akka_stream_contrib_spark.streaming.sinks import (
     idempotent_parquet_sink,
@@ -25,6 +26,7 @@ __all__ = [
     "accumulate_while_unchanged_stream",
     "sessionize_stream",
     "dedup_within_watermark",
+    "stream_interval_join",
     "Valve",
     "idempotent_parquet_sink",
     "incremental_dedup_sink",
