@@ -1630,6 +1630,26 @@ def q_range_join_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch backtest of ``streaming/joins.py::stream_interval_join`` — the
+    SAME call the streaming attribution pipeline makes (watermarks are a
+    no-op on batch frames, so this gate pins the exact join semantics the
+    stream runs): each view event paired with the same user's clicks in the
+    following hour, inclusive bounds. One key hash shuffle per side; the
+    time bound is what keeps the streaming form's state bounded."""
+    from akka_stream_contrib_spark.streaming import stream_interval_join
+    ev = tables.load(spark, "events", sf_dir)
+    imps = (ev.filter(F.col("event_type") == "view")
+            .select("user_id", F.col("event_id").alias("imp_id"),
+                    F.col("ts").alias("imp_ts")))
+    clks = (ev.filter(F.col("event_type") == "click")
+            .select("user_id", F.col("event_id").alias("clk_id"),
+                    F.col("ts").alias("clk_ts")))
+    return stream_interval_join(
+        imps, clks, on="user_id", l_ts="imp_ts", r_ts="clk_ts",
+        lower_s=0, upper_s=3600)
+
+
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function family (strings): case, slice, pad, replace, reverse —
     all Catalyst built-ins, verified char-exact against DuckDB."""
@@ -3580,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_churned": q_customers_churned,
         "cube_revenue": q_cube_revenue,
         "range_join_follows": q_range_join_follows,
+        "attribution_window_join": q_attribution_window_join,
         "string_funcs": q_string_funcs,
         "date_parts": q_date_parts,
         "window_breadth": q_window_breadth,
@@ -3672,9 +3693,10 @@ _PRIORITY = [
     "minhash_incremental", "multimodal_meta", "frame_sample_grid",
     "domain_cap", "remove_boilerplate", "training_pipeline", "training_prep",
     "repetition_stats", "scd2_user_state", "mixture_sample", "quantized_ann",
-    # (2) changed this round
+    # (2) changed or added this round (attribution_window_join is the new
+    # stream_interval_join batch-backtest gate)
     "pagerank_users", "bpe_learn_merges", "kmeans_clusters",
-    "pq_ann", "logreg_quality",
+    "pq_ann", "logreg_quality", "attribution_window_join",
     # (3) no-oracle rows+schema re-pin
     "ann_ivf_all", "approx_distinct_users", "hll_daily_users",
     "ivf_ann_topk",
@@ -4803,6 +4825,16 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
             WHERE a.event_type = 'error'
             GROUP BY a.event_id
+        """,
+        "attribution_window_join": """
+            SELECT l.user_id, l.imp_id, l.imp_ts, r.clk_id, r.clk_ts
+            FROM (SELECT user_id, event_id AS imp_id, ts AS imp_ts
+                  FROM events WHERE event_type = 'view') l
+            JOIN (SELECT user_id, event_id AS clk_id, ts AS clk_ts
+                  FROM events WHERE event_type = 'click') r
+              ON r.user_id = l.user_id
+             AND r.clk_ts >= l.imp_ts
+             AND r.clk_ts <= l.imp_ts + INTERVAL 1 HOUR
         """,
         "string_funcs": """
             SELECT p_partkey,

@@ -25,7 +25,7 @@ from akka_stream_contrib_spark import get_spark, tables
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: relational aggregates/joins + heaviest operator queries +
-# LLM-pipeline extensions. 122 queries; a bench round (sf0.01 compile
+# LLM-pipeline extensions. 123 queries; a bench round (sf0.01 compile
 # warm-up + timed sf0.1 pass + DuckDB baseline) completes in ~8 min.
 HEADLINE = [
     "q1_pricing_summary",
@@ -35,6 +35,7 @@ HEADLINE = [
     "q10_returned_items",
     "q18_large_orders",
     "range_join_follows",
+    "attribution_window_join",
     "accumulate_keyed",
     "session_window",
     "sliding_window",

@@ -33,6 +33,9 @@ BUDGET = {
     "q17_small_qty_revenue": 2, "q18_large_orders": 1,
     "q19_disjunctive_revenue": 1, "q22_idle_balance": 2, "q7_nation_volume": 1,
     "q8_market_share": 1, "q15_top_supplier": 3, "q21_waiting_supplier": 4,
+    # stream_interval_join batch backtest: both sides hash on user_id
+    # (the streaming form pays the same two per-micro-batch)
+    "attribution_window_join": 2,
     "q13_order_distribution": 2, "customers_retained": 1,
     "customers_churned": 1, "cube_revenue": 1, "range_join_follows": 1,
     "string_funcs": 0, "date_parts": 0, "window_breadth": 1, "quantiles": 1,
