@@ -292,6 +292,10 @@ def main() -> None:
             print(f"# pipelined wall ({len(base_queries)} queries, "
                   f"8 threads): {pipelined_wall:.3f}s",
                   file=sys.stderr, flush=True)
+    base_pipelined = duckdb_pipelined(base_queries) if base_queries else None
+    if base_pipelined is not None:
+        print(f"# duckdb pipelined wall: {base_pipelined:.3f}s",
+              file=sys.stderr, flush=True)
     # apples-to-apples: DuckDB only runs oracle-backed queries, so the
     # ratio must use the Spark total over that SAME subset (iterative /
     # non-SQL-expressible queries would otherwise inflate it)
@@ -337,6 +341,7 @@ def main() -> None:
             "spark_warm_oracle_subset_sec": warm_subset,
             "spark_split_input_oracle_subset_sec": split_subset,
             "spark_pipelined_oracle_subset_sec": pipelined_wall,
+            "baseline_duckdb_pipelined_sec": base_pipelined,
             "floor_probe_failed": floor_missing,
             "split_probe_failed": split_missing,
             "decomposition_note": (
@@ -359,7 +364,10 @@ def main() -> None:
                 "pipelined = the same oracle-subset queries submitted 8 "
                 "at a time from concurrent driver threads (multi-tenant "
                 "cluster shape): per-query floors overlap instead of "
-                "summing, so wall ~= data-bound cost + floor/8."),
+                "summing, so wall ~= data-bound cost + floor/8. DuckDB "
+                "gets the same treatment (baseline_duckdb_pipelined_sec: "
+                "8 threads, one cursor each) so the pipelined comparison "
+                "is apples-to-apples."),
         }, f, indent=1)
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
@@ -375,6 +383,7 @@ def main() -> None:
         "spark_warm_oracle_subset_sec": warm_subset,
         "spark_split_input_oracle_subset_sec": split_subset,
         "spark_pipelined_oracle_subset_sec": pipelined_wall,
+        "baseline_duckdb_pipelined_sec": base_pipelined,
         "detail": "BENCH_DETAIL.json",
     }, separators=(",", ":")), flush=True)
     spark.stop()
@@ -449,6 +458,40 @@ def duckdb_baseline(names: list[str]) -> tuple[
         return round(sum(per.values()), 3), per, runs
     except Exception:
         return None, None, None
+
+
+def duckdb_pipelined(names: list[str], workers: int = 8) -> float | None:
+    """The baseline's turn at the pipelined comparison: the same oracle
+    queries submitted from ``workers`` concurrent threads, each on its own
+    cursor of one shared in-memory database (DuckDB releases the GIL during
+    execution, so this is real concurrency). Keeps the Spark-vs-DuckDB
+    pipelined numbers apples-to-apples — neither side gets concurrency the
+    other was denied."""
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import duckdb
+
+        oracles = entrymod.oracle_sql()
+        sqls = [oracles[n] for n in names if n in oracles]
+        con = duckdb.connect()
+        for t in tables.TABLE_NAMES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF_DIR}/{t}.parquet')")
+
+        def _run(sql: str) -> None:
+            cur = con.cursor()
+            try:
+                cur.execute(sql).fetchall()
+            finally:
+                cur.close()
+
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(_run, sqls))
+        return round(time.monotonic() - t0, 3)
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

@@ -295,6 +295,21 @@ def test_unkeyed_accumulate_avoids_single_partition_window(spark):
     # and the window that remains is per-range (partitioned by _pid)
 
 
+def test_pareto_cumulative_share_avoids_single_partition_window(spark):
+    """Round 6 moved pareto_customers' cumulative share off the unpartitioned
+    window (the customer aggregate is corpus-sized — the ONE post-agg window
+    in the registry that grows with the data) onto the two-phase range
+    prefix sum: every Window in the plan must be partitioned by the range
+    pid (the remaining SinglePartition exchange is the benign 1-row total
+    aggregate, not a data-sized window sort)."""
+    import re
+    df = entry.q_pareto_customers(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan, plan[:2000]
+    for spec in re.findall(r"windowspecdefinition\((\S+)", plan):
+        assert spec.startswith("_pid"), (spec, plan[:2000])
+
+
 def test_unkeyed_accumulate_generic_fold_warns(spark):
     """A non-prefix-combinable unkeyed fold still works (single-partition
     window fallback) but must say so."""
