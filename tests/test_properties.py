@@ -522,3 +522,50 @@ def test_flat_replace_equals_greedy_merge_fold(syms, merges):
         flat = _flat_replace_model(flat, a, b)
         fold = _merge_pair_model(fold, a, b)
         assert flat == fold
+
+
+@given(
+    st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 3)),
+                       st.integers(0, 100)), min_size=0, max_size=15),
+    st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 3)),
+                       st.integers(0, 100)), min_size=0, max_size=15),
+    st.integers(0, 5), st.integers(0, 20),
+)
+@settings(**SETTINGS)
+def test_stream_interval_join_batch_matches_model(lrows, rrows, lo, span):
+    """Batch form of the watermarked stream-stream join vs a brute model:
+    inclusive bounds, NULL keys never match, left_outer pads exactly the
+    partnerless left rows."""
+    from akka_stream_contrib_spark.streaming import stream_interval_join
+    spark = _get_spark()
+    hi = lo + span
+    base = "2024-01-01 00:00:00"
+    left = spark.createDataFrame(
+        [(k, i, f"2024-01-01 00:00:{s:02d}" if s < 60
+          else f"2024-01-01 00:01:{s-60:02d}")
+         for i, (k, s) in enumerate(lrows)] or None,
+        "k long, lid long, lts string"
+    ).selectExpr("k", "lid", "cast(lts as timestamp) lts") \
+        if lrows else spark.createDataFrame([], "k long, lid long, lts timestamp")
+    right = spark.createDataFrame(
+        [(k, i, f"2024-01-01 00:00:{s:02d}" if s < 60
+          else f"2024-01-01 00:01:{s-60:02d}")
+         for i, (k, s) in enumerate(rrows)] or None,
+        "k long, rid long, rts string"
+    ).selectExpr("k", "rid", "cast(rts as timestamp) rts") \
+        if rrows else spark.createDataFrame([], "k long, rid long, rts timestamp")
+    inner = stream_interval_join(left, right, "k", "lts", "rts",
+                                 lower_s=lo, upper_s=hi)
+    got = {(r.lid, r.rid) for r in inner.collect()}
+    model = {(i, j)
+             for i, (lk, ls) in enumerate(lrows) if lk is not None
+             for j, (rk, rs) in enumerate(rrows)
+             if rk == lk and ls + lo <= rs <= ls + hi}
+    assert got == model
+    outer = stream_interval_join(left, right, "k", "lts", "rts",
+                                 lower_s=lo, upper_s=hi, how="left_outer")
+    orows = outer.collect()
+    assert {(r.lid, r.rid) for r in orows if r.rid is not None} == model
+    matched_left = {i for i, _ in model}
+    assert {r.lid for r in orows if r.rid is None} \
+        == set(range(len(lrows))) - matched_left
