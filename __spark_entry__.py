@@ -6991,10 +6991,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "psi_drift": """
             WITH oldv AS (
-                SELECT value FROM events WHERE event_id % 2 = 0
+                SELECT value FROM events
+                WHERE event_id % 2 = 0 AND value IS NOT NULL
             ), newv AS (
                 SELECT value * CAST(1.1 AS DOUBLE) AS value
-                FROM events WHERE event_id % 2 = 1
+                FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
             ), pb AS (
                 SELECT CASE WHEN value < CAST(0.0 AS DOUBLE) THEN -1
                             ELSE least(CAST(floor(value

@@ -192,6 +192,11 @@ def psi_drift(old, new, value_col: str = "value", n_buckets: int = 10,
     PSI repeated (the driver-friendly long form).
     """
     def bucketize(df, share_name):
+        # NULL measurements carry no distributional information and would
+        # otherwise form a NULL bucket that the full-outer join can never
+        # match across sides (SQL equality) — two disjoint PSI-floored rows
+        # inflating the index. Exclude them from both sides' totals.
+        df = df.filter(F.col(value_col).isNotNull())
         b = F.when(F.col(value_col) < lo, F.lit(-1)).otherwise(
             F.least(F.floor((F.col(value_col) - F.lit(lo))
                             / F.lit((hi - lo) / n_buckets)).cast("int"),

@@ -199,3 +199,16 @@ def test_decode_ppm_rescales_low_maxval(spark):
     img = decode_ppm(payload)
     assert img.shape == (1, 2)
     assert abs(img[0, 0] - 255.0) < 1e-9
+
+
+def test_psi_drift_excludes_null_measurements(spark):
+    # a NULL value must not form an unmatched NULL bucket on each side
+    # (two disjoint PSI-floored rows); shares normalize over non-null rows
+    from akka_stream_contrib_spark.functions.ml import psi_drift
+    old = spark.createDataFrame([(None,), (10.0,), (200.0,)], "value double")
+    new = spark.createDataFrame(
+        [(None,), (None,), (15.0,), (900.0,)], "value double")
+    rows = psi_drift(old, new).collect()
+    assert sorted((r.bucket, r.p, r.q) for r in rows) == [
+        (0, 0.5, 0.5), (2, 0.5, 0.0), (9, 0.0, 0.5)]
+    assert all(r.bucket is not None for r in rows)
