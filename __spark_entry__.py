@@ -1650,6 +1650,36 @@ def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower_s=0, upper_s=3600)
 
 
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL family (`functions/web.py`): deterministic synthetic
+    URLs from the documents table (two shapes: a bare host with trailing
+    slash, and a full path with an occasional #fragment, mixed-case
+    scheme/host) → parse_url host extraction, registered-domain key, and
+    normalized-URL dedup counts per host. Everything before the final
+    groupBy is codegen expressions — the one hash shuffle (plus the
+    count-distinct expand) is the whole cost at any corpus size."""
+    from akka_stream_contrib_spark.functions.web import (
+        normalize_url, registered_domain, with_url_parts)
+    docs = tables.load(spark, "documents", sf_dir)
+    ids = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("HTTPS://"), F.col("source"),
+                 F.lit(".Example.COM/"))
+    ).otherwise(F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), ids,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit(""))))
+    d = (docs.select("doc_id", url.alias("url"))
+         .transform(with_url_parts())
+         .withColumn("reg_domain", registered_domain(F.col("host")))
+         .withColumn("norm_url", normalize_url(F.col("url"))))
+    return (d.groupBy("host", "reg_domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("norm_url").alias("n_norm"),
+                 F.min("doc_id").alias("first_doc")))
+
+
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function family (strings): case, slice, pad, replace, reverse —
     all Catalyst built-ins, verified char-exact against DuckDB."""
@@ -3601,6 +3631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "range_join_follows": q_range_join_follows,
         "attribution_window_join": q_attribution_window_join,
+        "url_domain_stats": q_url_domain_stats,
         "string_funcs": q_string_funcs,
         "date_parts": q_date_parts,
         "window_breadth": q_window_breadth,
@@ -3697,6 +3728,7 @@ _PRIORITY = [
     # stream_interval_join batch-backtest gate)
     "pagerank_users", "bpe_learn_merges", "kmeans_clusters",
     "pq_ann", "logreg_quality", "attribution_window_join",
+    "url_domain_stats",
     # (3) no-oracle rows+schema re-pin
     "ann_ivf_all", "approx_distinct_users", "hll_daily_users",
     "ivf_ann_topk",
@@ -4825,6 +4857,45 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
             WHERE a.event_type = 'error'
             GROUP BY a.event_id
+        """,
+        "url_domain_stats": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'HTTPS://' || source || '.Example.COM/'
+                            ELSE 'https://www.' || source || '.example.com/'
+                                 || lang || '/' || CAST(doc_id AS VARCHAR)
+                                 || CASE WHEN doc_id % 3 = 0
+                                         THEN '#frag' ELSE '' END
+                       END AS url
+                FROM documents
+            ), p AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^[a-zA-Z]+://([^/?#]+)', 1)) AS host,
+                       regexp_replace(url, '#.*$', '') AS _nf
+                FROM u
+            ), n AS (
+                SELECT doc_id, host,
+                       CASE WHEN regexp_matches(host, '^[0-9.]+$')
+                                 OR NOT contains(host, '.')
+                            THEN host
+                            ELSE regexp_extract(host,
+                                '([^.]+\\.[^.]+)$', 1) END AS reg_domain,
+                       regexp_replace(
+                           lower(regexp_extract(_nf,
+                               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                           || regexp_replace(_nf,
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                           '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1')
+                           AS norm_url
+                FROM p
+            )
+            SELECT host, reg_domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT norm_url) AS BIGINT) AS n_norm,
+                   min(doc_id) AS first_doc
+            FROM n GROUP BY host, reg_domain
         """,
         "attribution_window_join": """
             SELECT l.user_id, l.imp_id, l.imp_ts, r.clk_id, r.clk_ts

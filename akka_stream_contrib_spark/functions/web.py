@@ -1,0 +1,72 @@
+"""URL analysis for web-corpus curation.
+
+The front half of a Common-Crawl-style pipeline keys everything on the URL:
+host extraction feeds per-domain caps (`corpus.domain_cap`), registered
+domains feed source mixing, and normalized URLs are the exact-dedup key for
+re-crawls. All three are pure column expressions — `parse_url` and regexps
+run inside whole-stage codegen, zero shuffles over any corpus size; the
+downstream groupBys are the only exchanges.
+
+Reference anchor: none (LLM/web-pipeline extension, same family as
+`corpus.domain_cap` / `text.normalize_text`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_url_parts(url_col: str = "url") -> Callable[[DataFrame], DataFrame]:
+    """Decompose ``url_col`` into ``scheme``, ``host``, ``path``,
+    ``query_string`` columns (JVM ``parse_url`` — NULL per part when the
+    URL is malformed or the part is absent, which is the quarantine
+    signal: ``filter(host IS NULL)`` is the bad-URL side). Hosts are
+    lowercased (DNS is case-insensitive); schemes likewise."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        u = F.col(url_col)
+        # try_parse_url, not parse_url: ANSI parse_url RAISES on the first
+        # malformed URL — a 100 TB crawl always contains one, and the
+        # contract here is NULL-parts-as-quarantine, not a dead job
+        return df.withColumns({
+            "scheme": F.lower(F.try_parse_url(u, F.lit("PROTOCOL"))),
+            "host": F.lower(F.try_parse_url(u, F.lit("HOST"))),
+            "path": F.try_parse_url(u, F.lit("PATH")),
+            "query_string": F.try_parse_url(u, F.lit("QUERY")),
+        })
+
+    return _apply
+
+
+def registered_domain(host: Column) -> Column:
+    """The last two labels of ``host`` (``a.b.example.com`` →
+    ``example.com``) — the per-site aggregation key for domain caps and
+    source mixing. Documented simplification: a real public-suffix list
+    (``co.uk`` etc.) is a data file, deliberately out of scope under the
+    no-third-party constraint; swap the regexp for a PSL lookup table
+    broadcast-joined on the suffix when one is available. IP hosts (all
+    numeric labels) pass through whole — their "last two labels" are not a
+    site. Single-label hosts (``localhost``) also pass through whole."""
+    return F.when(
+        host.rlike(r"^[0-9.]+$") | ~host.contains("."), host
+    ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for exact re-crawl dedup: lowercase scheme+host, strip
+    the fragment, drop a trailing ``/`` on a bare host. Pure regexp chain —
+    the same three rewrites replay in any engine. Conservative by design:
+    query strings are preserved (order rewriting changes semantics on some
+    sites), default ports are preserved (:80 vs bare is a crawl-source
+    artifact better handled at ingest)."""
+    # strip #fragment first so host-case rewriting can't touch it
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    # lowercase scheme://host (leave path/query case intact)
+    lowered = F.concat(
+        F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""))
+    # bare-host trailing slash: "https://x.com/" == "https://x.com"
+    return F.regexp_replace(lowered, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")

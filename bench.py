@@ -25,7 +25,7 @@ from akka_stream_contrib_spark import get_spark, tables
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: relational aggregates/joins + heaviest operator queries +
-# LLM-pipeline extensions. 123 queries; a bench round (sf0.01 compile
+# LLM-pipeline extensions. 124 queries; a bench round (sf0.01 compile
 # warm-up + timed sf0.1 pass + DuckDB baseline) completes in ~8 min.
 HEADLINE = [
     "q1_pricing_summary",
@@ -167,6 +167,7 @@ HEADLINE = [
     "scd2_as_of",
     "sample_step_replay",
     "motif_search",
+    "url_domain_stats",
 ]
 
 

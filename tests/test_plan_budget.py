@@ -36,6 +36,9 @@ BUDGET = {
     # stream_interval_join batch backtest: both sides hash on user_id
     # (the streaming form pays the same two per-micro-batch)
     "attribution_window_join": 2,
+    # URL parse/normalize are map-side; one (host, reg_domain) groupBy
+    # whose count-distinct expands to a second phase
+    "url_domain_stats": 2,
     "q13_order_distribution": 2, "customers_retained": 1,
     "customers_churned": 1, "cube_revenue": 1, "range_join_follows": 1,
     "string_funcs": 0, "date_parts": 0, "window_breadth": 1, "quantiles": 1,

@@ -212,3 +212,34 @@ def test_psi_drift_excludes_null_measurements(spark):
     assert sorted((r.bucket, r.p, r.q) for r in rows) == [
         (0, 0.5, 0.5), (2, 0.5, 0.0), (9, 0.0, 0.5)]
     assert all(r.bucket is not None for r in rows)
+
+
+def test_url_parts_registered_domain_and_normalize(spark):
+    from akka_stream_contrib_spark.functions.web import (
+        normalize_url, registered_domain, with_url_parts)
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Sub.Example.COM/A/B?q=1#frag"),
+         (2, "http://10.0.0.1:8080/x"),
+         (3, "http://localhost/y"),
+         (4, "https://example.com/"),
+         (5, "not a url at all"),
+         (6, None)],
+        "id bigint, url string")
+    out = {r.id: r for r in
+           df.transform(with_url_parts())
+             .withColumn("reg", registered_domain(F.col("host")))
+             .withColumn("norm", normalize_url(F.col("url"))).collect()}
+    # host lowercased; fragment stripped from norm; path case preserved
+    assert out[1].host == "www.sub.example.com"
+    assert out[1].reg == "example.com"
+    assert out[1].norm == "https://www.sub.example.com/A/B?q=1"
+    # IP host passes through registered_domain whole (no fake '0.1' site);
+    # port stays part of the authority
+    assert out[2].host == "10.0.0.1"
+    assert out[2].reg == "10.0.0.1"
+    # single-label host passes through whole
+    assert out[3].reg == "localhost"
+    # bare-host trailing slash normalizes away
+    assert out[4].norm == "https://example.com"
+    # malformed URL -> NULL host is the quarantine signal
+    assert out[5].host is None and out[6].host is None
