@@ -2562,19 +2562,23 @@ def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized (15B rows at SF100k), unlike the repo's bounded post-agg
     windows. Ordering is (revenue DESC, custkey) via an exact decimal
     negation; decimal prefix combine is associative, so the result is
-    bit-identical to the sequential window. The total is a 1-row aggregate
-    broadcast; the share division casts both exact decimals to double
-    first — one identical IEEE op on both engines."""
+    bit-identical to the sequential window. The total is read back off the
+    CHECKPOINTED prefix frame (max of the monotone cumulative — revenues
+    are positive TPC-H prices, so the last prefix IS the sum; an
+    independent ``rev.agg`` would re-scan and re-aggregate the fact table
+    a second time, the corpus.py:849 anti-pattern); the share division
+    casts both exact decimals to double first — one identical IEEE op on
+    both engines."""
     from akka_stream_contrib_spark.operators.global_order import (
         global_running_sum,
     )
     orders = tables.load(spark, "orders", sf_dir)
     rev = orders.groupBy("o_custkey").agg(
         F.sum(_money("o_totalprice")).alias("_rev"))
-    total = rev.agg(F.sum("_rev").alias("_tot"))
     cum = global_running_sum(
         rev.withColumn("_negrev", -F.col("_rev")),
         ["_negrev", "o_custkey"], "_rev", "_cum")
+    total = cum.agg(F.max("_cum").alias("_tot"))
     share = (F.round(
         F.col("_cum").cast("double") / F.col("_tot").cast("double"), 6)
         + F.lit(0.0))

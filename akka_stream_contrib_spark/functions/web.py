@@ -27,6 +27,16 @@ def with_url_parts(url_col: str = "url") -> Callable[[DataFrame], DataFrame]:
     lowercased (DNS is case-insensitive); schemes likewise."""
 
     def _apply(df: DataFrame) -> DataFrame:
+        clash = sorted({"scheme", "host", "path", "query_string"}
+                       & set(df.columns))
+        if clash:
+            # same loud-contract rule as stream_interval_join: a crawl
+            # frame often already carries a `host` (the server that served
+            # the fetch) — silently replacing it would corrupt downstream
+            # per-host aggregation
+            raise ValueError(
+                f"with_url_parts would overwrite existing column(s) "
+                f"{clash} — rename them first")
         u = F.col(url_col)
         # try_parse_url, not parse_url: ANSI parse_url RAISES on the first
         # malformed URL — a 100 TB crawl always contains one, and the

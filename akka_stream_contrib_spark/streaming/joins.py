@@ -62,6 +62,11 @@ def stream_interval_join(
     keys = [on] if isinstance(on, str) else list(on)
     if not keys:
         raise ValueError("stream_interval_join needs at least one key")
+    # the bounds are interpolated into SQL interval literals below — coerce
+    # to int here so a stray string/float from config parsing becomes a
+    # loud error at the call site, not a parse error (or a different join
+    # condition) deep inside the plan
+    lower_s, upper_s = int(lower_s), int(upper_s)
     if lower_s > upper_s:
         raise ValueError(
             f"empty interval: lower_s={lower_s} > upper_s={upper_s}")

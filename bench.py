@@ -267,8 +267,12 @@ def main() -> None:
     # each here) overlaps across in-flight queries instead of summing, so
     # wall-clock ~= data-bound cost + floor/8. Sequential per-query numbers
     # above are unaffected; this measures throughput of the same plans.
+    # the Spark measurement must not depend on DuckDB being installed:
+    # derive the oracle subset directly when the baseline was unavailable
+    pipe_names = list(base_queries) if base_queries else [
+        n for n in HEADLINE if n in timings and n in entrymod.oracle_sql()]
     pipelined_wall = None
-    if base_queries:
+    if pipe_names:
         from concurrent.futures import ThreadPoolExecutor
 
         from akka_stream_contrib_spark.util import retain_pipeline_caches
@@ -282,18 +286,24 @@ def main() -> None:
                 return f"{name}: {ex}"
 
         t0 = time.monotonic()
-        with retain_pipeline_caches():
-            with ThreadPoolExecutor(max_workers=8) as pool:
-                pipe_errs = [e for e in pool.map(_run_noop, base_queries) if e]
+        pipe_errs: list[str] = []
+        # chunked retain scopes: cache storage is bounded by one chunk's
+        # pipelines (retain_pipeline_caches' documented contract), not by
+        # the whole subset's accumulated persists at a larger SF
+        for i in range(0, len(pipe_names), 16):
+            with retain_pipeline_caches():
+                with ThreadPoolExecutor(max_workers=8) as pool:
+                    pipe_errs += [e for e in pool.map(
+                        _run_noop, pipe_names[i:i + 16]) if e]
         if pipe_errs:
             print(f"# pipelined pass errors: {pipe_errs}",
                   file=sys.stderr, flush=True)
         else:
             pipelined_wall = round(time.monotonic() - t0, 3)
-            print(f"# pipelined wall ({len(base_queries)} queries, "
+            print(f"# pipelined wall ({len(pipe_names)} queries, "
                   f"8 threads): {pipelined_wall:.3f}s",
                   file=sys.stderr, flush=True)
-    base_pipelined = duckdb_pipelined(base_queries) if base_queries else None
+    base_pipelined = duckdb_pipelined(pipe_names) if pipe_names else None
     if base_pipelined is not None:
         print(f"# duckdb pipelined wall: {base_pipelined:.3f}s",
               file=sys.stderr, flush=True)
@@ -437,13 +447,8 @@ def duckdb_baseline(names: list[str]) -> tuple[
     number is the MIN of the two — the conservative (DuckDB-favoring)
     denominator — with both raw runs reported alongside."""
     try:
-        import duckdb
-
         oracles = entrymod.oracle_sql()
-        con = duckdb.connect()
-        for t in tables.TABLE_NAMES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{SF_DIR}/{t}.parquet')")
+        con = _duckdb_connect()
         per: dict[str, float] = {}
         runs: dict[str, list[float]] = {}
         for name in names:
@@ -457,8 +462,23 @@ def duckdb_baseline(names: list[str]) -> tuple[
                 runs[name] = pair
                 per[name] = min(pair)
         return round(sum(per.values()), 3), per, runs
-    except Exception:
+    except Exception as ex:  # noqa: BLE001
+        print(f"# duckdb baseline unavailable: {type(ex).__name__}: {ex}",
+              file=sys.stderr, flush=True)
         return None, None, None
+
+
+def _duckdb_connect():
+    """One in-memory DuckDB with the fixture tables registered as views —
+    the SAME setup for the sequential and pipelined baselines, so a future
+    registration tweak cannot give them different table semantics."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables.TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
 
 
 def duckdb_pipelined(names: list[str], workers: int = 8) -> float | None:
@@ -471,14 +491,9 @@ def duckdb_pipelined(names: list[str], workers: int = 8) -> float | None:
     try:
         from concurrent.futures import ThreadPoolExecutor
 
-        import duckdb
-
         oracles = entrymod.oracle_sql()
         sqls = [oracles[n] for n in names if n in oracles]
-        con = duckdb.connect()
-        for t in tables.TABLE_NAMES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{SF_DIR}/{t}.parquet')")
+        con = _duckdb_connect()
 
         def _run(sql: str) -> None:
             cur = con.cursor()
@@ -491,7 +506,9 @@ def duckdb_pipelined(names: list[str], workers: int = 8) -> float | None:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             list(pool.map(_run, sqls))
         return round(time.monotonic() - t0, 3)
-    except Exception:
+    except Exception as ex:  # noqa: BLE001
+        print(f"# duckdb pipelined unavailable: {type(ex).__name__}: {ex}",
+              file=sys.stderr, flush=True)
         return None
 
 

@@ -243,3 +243,20 @@ def test_url_parts_registered_domain_and_normalize(spark):
     assert out[4].norm == "https://example.com"
     # malformed URL -> NULL host is the quarantine signal
     assert out[5].host is None and out[6].host is None
+
+
+def test_with_url_parts_refuses_to_clobber_existing_columns(spark):
+    from akka_stream_contrib_spark.functions.web import with_url_parts
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", "edge-7")], "id bigint, url string, host string")
+    with pytest.raises(ValueError, match="overwrite existing"):
+        df.transform(with_url_parts())
+
+
+def test_stream_interval_join_coerces_interval_bounds(spark):
+    from akka_stream_contrib_spark.streaming import stream_interval_join
+    l = spark.createDataFrame([], "k long, lts timestamp")
+    r = spark.createDataFrame([], "k long, rts timestamp")
+    with pytest.raises(ValueError):  # int('x') -> ValueError at call site
+        stream_interval_join(l, r, "k", "lts", "rts",
+                             lower_s="0 SECOND) OR (1=1", upper_s=5)
