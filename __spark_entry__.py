@@ -3728,11 +3728,12 @@ _PRIORITY = [
     "minhash_incremental", "multimodal_meta", "frame_sample_grid",
     "domain_cap", "remove_boilerplate", "training_pipeline", "training_prep",
     "repetition_stats", "scd2_user_state", "mixture_sample", "quantized_ann",
-    # (2) changed or added this round (attribution_window_join is the new
-    # stream_interval_join batch-backtest gate)
+    # (2) changed or added this round (attribution_window_join /
+    # url_domain_stats are the new stream-join backtest and URL-family
+    # gates; pareto moved to the range prefix sum; psi excludes NULLs)
     "pagerank_users", "bpe_learn_merges", "kmeans_clusters",
     "pq_ann", "logreg_quality", "attribution_window_join",
-    "url_domain_stats",
+    "url_domain_stats", "psi_drift",
     # (3) no-oracle rows+schema re-pin
     "ann_ivf_all", "approx_distinct_users", "hll_daily_users",
     "ivf_ann_topk",
