@@ -27,8 +27,8 @@ def with_url_parts(url_col: str = "url") -> Callable[[DataFrame], DataFrame]:
     lowercased (DNS is case-insensitive); schemes likewise."""
 
     def _apply(df: DataFrame) -> DataFrame:
-        clash = sorted({"scheme", "host", "path", "query_string"}
-                       & set(df.columns))
+        clash = sorted({"scheme", "host", "path", "query_string",
+                        "query_params"} & set(df.columns))
         if clash:
             # same loud-contract rule as stream_interval_join: a crawl
             # frame often already carries a `host` (the server that served
@@ -41,11 +41,16 @@ def with_url_parts(url_col: str = "url") -> Callable[[DataFrame], DataFrame]:
         # try_parse_url, not parse_url: ANSI parse_url RAISES on the first
         # malformed URL — a 100 TB crawl always contains one, and the
         # contract here is NULL-parts-as-quarantine, not a dead job
+        q = F.try_parse_url(u, F.lit("QUERY"))
         return df.withColumns({
             "scheme": F.lower(F.try_parse_url(u, F.lit("PROTOCOL"))),
             "host": F.lower(F.try_parse_url(u, F.lit("HOST"))),
             "path": F.try_parse_url(u, F.lit("PATH")),
-            "query_string": F.try_parse_url(u, F.lit("QUERY")),
+            "query_string": q,
+            # parsed key->value map for tracking-param analysis
+            # (map_filter(query_params, (k, v) -> NOT k LIKE 'utm_%') is
+            # the canonical strip); NULL when the URL has no query
+            "query_params": F.str_to_map(q, F.lit("&"), F.lit("=")),
         })
 
     return _apply

@@ -260,3 +260,16 @@ def test_stream_interval_join_coerces_interval_bounds(spark):
     with pytest.raises(ValueError):  # int('x') -> ValueError at call site
         stream_interval_join(l, r, "k", "lts", "rts",
                              lower_s="0 SECOND) OR (1=1", upper_s=5)
+
+
+def test_url_query_params_map(spark):
+    from akka_stream_contrib_spark.functions.web import with_url_parts
+    df = spark.createDataFrame(
+        [(1, "https://a.com/p?utm_source=x&q=spark&flag"),
+         (2, "https://a.com/p")],
+        "id bigint, url string")
+    out = {r.id: r for r in df.transform(with_url_parts()).collect()}
+    assert out[1].query_params["utm_source"] == "x"
+    assert out[1].query_params["q"] == "spark"
+    assert "flag" in out[1].query_params  # bare key present, value empty/NULL
+    assert out[2].query_params is None    # no query at all
