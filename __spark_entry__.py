@@ -3459,6 +3459,68 @@ def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.transform(balanced_shards(n_shards=16))
 
 
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of doc length as a predictor of lang=='en' (functions/ml.py::
+    auc_roc): distinct-score collapse, two-phase range prefix of the
+    negatives, exact-integer Mann–Whitney numerator — bit-identical AUC on
+    any engine/partitioning."""
+    from akka_stream_contrib_spark.functions.ml import auc_roc
+    docs = tables.load(spark, "documents", sf_dir)
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        F.col("n_chars").alias("score"))
+    return scored.transform(auc_roc())
+
+
+def q_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed level-shift changepoints on each user's value series
+    (operators/timeseries.py::mean_shift_detect): |mean(next 5) −
+    mean(prev 5)| > 100, exact cents-integer test, one key shuffle."""
+    from akka_stream_contrib_spark.operators.timeseries import (
+        mean_shift_detect,
+    )
+    ev = tables.load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value")
+    return ev.transform(mean_shift_detect(w=5, threshold=100.0))
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation at lags 1–3 (operators/timeseries.py::
+    autocorrelation): cents-integer moment sums, one Pearson combination
+    per (type, lag) — the seasonality probe."""
+    from akka_stream_contrib_spark.operators.timeseries import (
+        autocorrelation,
+    )
+    ev = tables.load(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value")
+    return ev.transform(autocorrelation(key="event_type", lags=(1, 2, 3)))
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank–frequency fit over the top-300 corpus tokens
+    (functions/corpus.py::zipf_fit): TakeOrdered vocabulary, two-phase
+    global rank, decimal-exact regression moments."""
+    from akka_stream_contrib_spark.functions.corpus import zipf_fit
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(zipf_fit(top_k=300))
+
+
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes language ID, trained AND scored in-engine (functions/
+    ml.py::nb_train/nb_predict): top-300 vocabulary, Laplace smoothing,
+    decimal-exact posteriors, label-asc tie-break; resubstitution
+    confusion matrix (truth × predicted counts)."""
+    from akka_stream_contrib_spark.functions.ml import nb_predict, nb_train
+    docs = tables.load(spark, "documents", sf_dir)
+    matrix, priors = nb_train(docs, vocab_size=300)
+    pred = nb_predict(docs, matrix, priors)
+    truth = docs.select("doc_id", F.col("lang").alias("truth"))
+    return (pred.join(truth, "doc_id")
+            .groupBy("truth", "predicted")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_tok").alias("sum_tok")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3694,6 +3756,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_as_of": q_scd2_as_of,
         "sample_step_replay": q_sample_step_replay,
         "motif_search": q_motif_search,
+        "auc_roc": q_auc_roc,
+        "mean_shift": q_mean_shift,
+        "acf_lags": q_acf_lags,
+        "zipf_fit": q_zipf_fit,
+        "nb_lang_confusion": q_nb_lang_confusion,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3728,15 +3795,23 @@ _PRIORITY = [
     "minhash_incremental", "multimodal_meta", "frame_sample_grid",
     "domain_cap", "remove_boilerplate", "training_pipeline", "training_prep",
     "repetition_stats", "scd2_user_state", "mixture_sample", "quantized_ann",
-    # (2) changed or added this round (attribution_window_join /
+    # (2) new this session — ROC AUC, level-shift changepoints, lagged
+    # autocorrelation, Zipf fit, Naive Bayes language ID (all oracle-backed,
+    # never driver-seen)
+    "auc_roc", "mean_shift", "acf_lags", "zipf_fit", "nb_lang_confusion",
+    # (3) changed this round and result-affecting (attribution_window_join /
     # url_domain_stats are the new stream-join backtest and URL-family
-    # gates; pareto moved to the range prefix sum; psi excludes NULLs)
+    # gates; pareto moved to the range prefix sum; psi excludes NULLs;
+    # pagerank/bpe_learn/kmeans flipped from rows-only to value-hash CTE
+    # oracles; pq_ann's oracle moved to SQL-text ADC)
     "pagerank_users", "bpe_learn_merges", "kmeans_clusters",
-    "pq_ann", "logreg_quality", "attribution_window_join",
+    "pq_ann", "attribution_window_join",
     "url_domain_stats", "psi_drift",
-    # (3) no-oracle rows+schema re-pin
-    "ann_ivf_all", "approx_distinct_users", "hll_daily_users",
-    "ivf_ann_topk",
+    # exactly 50 = the driver window. Deliberately queued for round 7
+    # (window has room once the 38-query backlog clears): logreg_quality
+    # (r5 hash-green; this round's selectExpr refactor is bit-identical and
+    # local-gate green), the ivf pair's oracle-flip re-evidence, and the
+    # hll rows-only re-pins.
 ]
 
 
@@ -7793,5 +7868,214 @@ def oracle_sql() -> dict[str, str]:
                    CAST((row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
                         % 16 AS INT) AS shard
             FROM t
+        """,
+        # Mann–Whitney AUC with average-rank tie handling: exact integers
+        # until the one final division (functions/ml.py::auc_roc)
+        "auc_roc": """
+            WITH scored AS (
+                SELECT CAST(lang = 'en' AS INT) AS label, n_chars AS score
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            ), per AS (
+                SELECT score,
+                       CAST(sum(label) AS BIGINT) AS pos,
+                       CAST(count(*) - sum(label) AS BIGINT) AS neg
+                FROM scored GROUP BY score
+            ), c AS (
+                SELECT pos, neg,
+                       CAST(sum(neg) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) - neg AS cumneg
+                FROM per
+            )
+            SELECT round(CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE)
+                         / (2.0 * CAST(sum(pos) AS DOUBLE)
+                            * CAST(sum(neg) AS DOUBLE)), 6) + 0.0 AS auc,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(neg) AS BIGINT) AS n_neg
+            FROM c
+        """,
+        # windowed two-sample level-shift detector: exact cents-integer
+        # sums and threshold test (operators/timeseries.py::
+        # mean_shift_detect, w=5, threshold=100.0 -> 50000 cents)
+        "mean_shift": """
+            WITH base AS (
+                SELECT event_id, user_id, value,
+                       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                           AS cl
+                FROM events
+            ), fr AS (
+                SELECT event_id, user_id, value,
+                       sum(cl) OVER wpre AS pre_s,
+                       count(cl) OVER wpre AS pre_n,
+                       sum(cl) OVER wpost AS post_s,
+                       count(cl) OVER wpost AS post_n
+                FROM base
+                WINDOW wpre AS (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+                       wpost AS (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+            )
+            SELECT event_id, user_id, value,
+                   round(pre_s / 500.0, 6) + 0.0 AS pre_mean,
+                   round(post_s / 500.0, 6) + 0.0 AS post_mean,
+                   round((post_s - pre_s) / 500.0, 6) + 0.0 AS shift
+            FROM fr
+            WHERE pre_n = 5 AND post_n = 5
+              AND abs(post_s - pre_s) > 50000
+        """,
+        # per-type lag-1..3 Pearson autocorrelation from exact cents-integer
+        # moment sums (operators/timeseries.py::autocorrelation)
+        "acf_lags": """
+            WITH base AS (
+                SELECT event_type, event_id,
+                       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                           AS y
+                FROM events
+            ), lagged AS (
+                SELECT event_type, 1 AS lag, lag(y, 1) OVER w1 AS x, y
+                FROM base WINDOW w1 AS (PARTITION BY event_type
+                                        ORDER BY event_id)
+                UNION ALL
+                SELECT event_type, 2 AS lag, lag(y, 2) OVER w2 AS x, y
+                FROM base WINDOW w2 AS (PARTITION BY event_type
+                                        ORDER BY event_id)
+                UNION ALL
+                SELECT event_type, 3 AS lag, lag(y, 3) OVER w3 AS x, y
+                FROM base WINDOW w3 AS (PARTITION BY event_type
+                                        ORDER BY event_id)
+            ), m AS (
+                SELECT event_type, lag,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(*) AS DOUBLE) AS nn,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE)
+                           AS sxy,
+                       CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE)
+                           AS sxx,
+                       CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE)
+                           AS syy
+                FROM lagged
+                WHERE x IS NOT NULL AND y IS NOT NULL
+                GROUP BY event_type, lag
+            )
+            SELECT event_type, CAST(lag AS INT) AS lag, n,
+                   round(CASE WHEN sqrt((nn * sxx - sx * sx)
+                                        * (nn * syy - sy * sy)) > 0
+                              THEN (nn * sxy - sx * sy)
+                                   / sqrt((nn * sxx - sx * sx)
+                                          * (nn * syy - sy * sy))
+                         END, 6) + 0.0 AS acf
+            FROM m
+        """,
+        # Zipf rank-frequency regression over the top-300 vocabulary:
+        # 9-dp-rounded logs summed as exact decimals
+        # (functions/corpus.py::zipf_fit)
+        "zipf_fit": """
+            WITH vt AS (
+                SELECT token, count(*) AS freq FROM (
+                    SELECT unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents
+                ) WHERE regexp_matches(token, '^[a-z]+$')
+                GROUP BY token ORDER BY freq DESC, token LIMIT 300
+            ), r AS (
+                SELECT CAST(round(ln(CAST(row_number() OVER (
+                                ORDER BY freq DESC, token) AS DOUBLE)), 9)
+                            AS DECIMAL(18,9)) AS x,
+                       CAST(round(ln(CAST(freq AS DOUBLE)), 9)
+                            AS DECIMAL(18,9)) AS y
+                FROM vt
+            ), m AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(count(*) AS BIGINT) AS n_terms,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE)
+                           AS sxy,
+                       CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
+                           AS sxx
+                FROM r
+            )
+            SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       + 0.0 AS zipf_slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                          * sx) / n, 6) + 0.0 AS zipf_intercept,
+                   n_terms
+            FROM m
+        """,
+        # Naive Bayes language ID, trained and scored in SQL exactly as
+        # functions/ml.py::nb_train/nb_predict: top-300 vocabulary
+        # (freq desc, token asc), Laplace-smoothed 9-dp decimal log-probs,
+        # decimal-exact posteriors, label-asc argmax tie-break
+        "nb_lang_confusion": """
+            WITH toks AS (
+                SELECT doc_id, lang, token FROM (
+                    SELECT doc_id, lang,
+                           unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents
+                ) WHERE regexp_matches(token, '^[a-z]+$')
+            ), counts AS (
+                SELECT token, lang AS label, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks GROUP BY token, lang
+            ), vocab AS (
+                SELECT token FROM (
+                    SELECT token, sum(cnt) AS tot FROM counts GROUP BY token
+                    ORDER BY tot DESC, token LIMIT 300
+                )
+            ), v_size AS (
+                SELECT count(*) AS v FROM vocab
+            ), cv AS (
+                SELECT c.token, c.label, c.cnt
+                FROM counts c JOIN vocab USING (token)
+            ), tot_l AS (
+                SELECT label, CAST(sum(cnt) AS BIGINT) AS label_total
+                FROM cv GROUP BY label
+            ), labels AS (
+                SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY lang
+            ), n_all AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents
+            ), matrix AS (
+                SELECT v.token, l.label,
+                       CAST(round(ln(
+                           CAST(coalesce(cv.cnt, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(t.label_total, 0) + s.v
+                                  AS DOUBLE)), 9) AS DECIMAL(18,9)) AS logp
+                FROM vocab v
+                CROSS JOIN (SELECT label FROM labels) l
+                LEFT JOIN cv ON cv.token = v.token AND cv.label = l.label
+                LEFT JOIN tot_l t ON t.label = l.label
+                CROSS JOIN v_size s
+            ), priors AS (
+                SELECT label,
+                       CAST(round(ln(CAST(n_docs AS DOUBLE)
+                                     / CAST(n_all AS DOUBLE)), 9)
+                            AS DECIMAL(18,9)) AS logprior
+                FROM labels CROSS JOIN n_all
+            ), dtoks AS (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents
+                ) WHERE regexp_matches(token, '^[a-z]+$')
+            ), scored AS (
+                SELECT d.doc_id, m.label, sum(m.logp) AS s,
+                       CAST(count(*) AS BIGINT) AS n_tok
+                FROM dtoks d JOIN matrix m USING (token)
+                GROUP BY d.doc_id, m.label
+            ), post AS (
+                SELECT s.doc_id, s.label, s.n_tok,
+                       row_number() OVER (
+                           PARTITION BY s.doc_id
+                           ORDER BY s.s + p.logprior DESC, s.label) AS rn
+                FROM scored s JOIN priors p USING (label)
+            )
+            SELECT d.lang AS truth, post.label AS predicted,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(post.n_tok) AS BIGINT) AS sum_tok
+            FROM post JOIN documents d USING (doc_id)
+            WHERE rn = 1
+            GROUP BY truth, predicted
         """,
     }

@@ -894,3 +894,57 @@ def balanced_shards(n_shards: int = 32, id_col: str = "doc_id",
             ((F.col("_grk") - 1) % n_shards).cast("int").alias("shard"))
 
     return _apply
+
+
+def zipf_fit(top_k: int = 500, text_col: str = "text"
+             ) -> Callable[[DataFrame], DataFrame]:
+    """Corpus-health check: least-squares fit of ``ln(freq) = intercept +
+    slope·ln(rank)`` over the ``top_k`` most frequent alphabetic tokens —
+    natural language sits near the Zipf slope of −1; heavily templated or
+    machine-generated corpora drift toward 0 (flat) or below −1.5 (spammy
+    repetition), so the slope is a cheap one-number drift monitor for a
+    training corpus.
+
+    Plan shape: the ``vocab_topk`` reduction (explode → partial-aggregated
+    count → TakeOrdered, never a global vocabulary sort) picks the top_k
+    (freq desc, token asc) tokens; ranks come from the two-phase global rank
+    (`operators/global_order.py`) over those ≤ top_k rows — bounded work no
+    matter the corpus size. Regression moments sum as exact decimals of
+    9-dp-rounded logs (the `psi_drift` device), so the one-row result is
+    engine-portable.
+
+    Reference anchor: none (corpus-curation extension; same family as
+    vocab_topk / corpus_report).
+    """
+    from akka_stream_contrib_spark.operators.global_order import global_rank
+
+    def _apply(df: DataFrame) -> DataFrame:
+        top = df.transform(vocab_topk(k=top_k, text_col=text_col))
+        # rank by the SAME (freq desc, token asc) order the top-k used —
+        # global_rank sorts ascending, so rank on (-freq, token)
+        ranked = global_rank(top.withColumn("_negf", -F.col("freq")),
+                             ["_negf", "token"], out="rank").drop("_negf")
+        x = F.round(F.log(F.col("rank").cast("double")), 9) \
+            .cast("decimal(18,9)")
+        y = F.round(F.log(F.col("freq").cast("double")), 9) \
+            .cast("decimal(18,9)")
+        m = ranked.select(x.alias("x"), y.alias("y")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,18)"))
+            .alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
+            .alias("sxx"))
+        n = F.col("n").cast("double")
+        sx = F.col("sx").cast("double")
+        sy = F.col("sy").cast("double")
+        sxy = F.col("sxy").cast("double")
+        sxx = F.col("sxx").cast("double")
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return m.select(
+            (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+            (F.round(intercept, 6) + F.lit(0.0)).alias("zipf_intercept"),
+            F.col("n").alias("n_terms"))
+
+    return _apply

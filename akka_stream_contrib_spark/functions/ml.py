@@ -235,6 +235,163 @@ def psi_drift(old, new, value_col: str = "value", n_buckets: int = 10,
                     (F.col("psi") + F.lit(0.0)).alias("psi")))
 
 
+def auc_roc(label_col: str = "label", score_col: str = "score"):
+    """Exact ROC AUC (Mann–Whitney U form, average-rank tie handling) of a
+    scored binary frame — the threshold-free companion to
+    `classification_report` for evaluating the quality filter.
+
+    Distributed shape: the raw rows collapse FIRST to per-distinct-score
+    (pos, neg) counts (one map-combined shuffle — the result frame is
+    bounded by score cardinality, not corpus size), then the cumulative
+    negatives below each score come from the two-phase range prefix sum
+    (`operators/global_order.py` — never a single-partition window), and
+    the final reduction is one single-row aggregate. All arithmetic stays
+    in exact integers until the last division:
+    ``AUC = Σ_s pos_s·(2·cumneg_<s + neg_s) / (2·P·N)``
+    (the ``neg_s/2`` tie credit kept integral by doubling both sides), so
+    the result is bit-identical on any engine or partitioning.
+
+    Returns a 1-row frame (auc, n_pos, n_neg); auc is NULL when either
+    class is absent (try_divide).
+
+    Reference anchor: none (ML-evaluation extension; same family as
+    classification_report / calibration_report).
+    """
+    from akka_stream_contrib_spark.operators.global_order import (
+        global_running_sum,
+    )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        # a NULL score cannot be ranked (and engines order NULLs
+        # differently); a NULL label is not a class — both carry no AUC
+        # evidence and are excluded up front
+        df = df.filter(F.col(label_col).isNotNull()
+                       & F.col(score_col).isNotNull())
+        y = F.col(label_col).cast("long")
+        per = (df.groupBy(F.col(score_col).alias("_score"))
+               .agg(F.sum(y).alias("pos"),
+                    (F.count(F.lit(1)) - F.sum(y)).alias("neg")))
+        c = global_running_sum(per, ["_score"], "neg", "_cn")
+        cumneg = F.col("_cn") - F.col("neg")
+        agg = c.agg(
+            F.sum(F.col("pos") * (F.lit(2) * cumneg + F.col("neg")))
+            .alias("_num2"),
+            F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"))
+        return agg.select(
+            (F.round(F.try_divide(
+                F.col("_num2").cast("double"),
+                F.lit(2.0) * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")), 6) + F.lit(0.0))
+            .alias("auc"),
+            "n_pos", "n_neg")
+
+    return _apply
+
+
+def nb_train(docs: DataFrame, text_col: str = "text",
+             label_col: str = "lang", vocab_size: int = 200,
+             ) -> tuple[DataFrame, DataFrame]:
+    """Multinomial Naive Bayes over whitespace tokens — the classical
+    closed-form text classifier (language ID, source routing, spam
+    filtering) trained entirely in aggregations: no iterations, no driver
+    loop, no UDF. Returns ``(matrix, priors)``:
+
+    - ``matrix``: one row per (token, label) over the top-``vocab_size``
+      corpus tokens (freq desc, token asc — deterministic) × every label,
+      COMPLETE (unseen pairs get the Laplace floor), with
+      ``logp = ln((count + 1) / (label_total + V))`` rounded to 9 dp and
+      stored as exact decimal so downstream sums are order-independent;
+    - ``priors``: one row per label with the 9-dp decimal log prior.
+
+    Scale shape: one (token, label) count shuffle over the exploded corpus
+    (map-combined — output bounded by vocab × labels after the broadcast
+    vocab semi-join), TakeOrdered for the vocabulary (never a global
+    vocabulary sort), and label-cardinality aggregates; the emitted model
+    is V·L rows — always broadcastable to the scorer.
+
+    Reference anchor: none (ML extension; the aggregation-only sibling of
+    `logreg_train`).
+    """
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    toks = (docs.select(F.col(label_col).alias("label"),
+                        F.explode(F.split(F.lower(F.col(text_col)), " "))
+                        .alias("token"))
+            .filter(F.col("token").rlike("^[a-z]+$")))
+    # counts is the vocabulary × labels reduction of the corpus — the ONE
+    # expensive pass. Three consumers (vocab ranking, cv, and through cv
+    # the matrix) would each replay the explode+count without the cache.
+    counts = pipeline_cache(toks.groupBy("token", "label")
+                            .agg(F.count(F.lit(1)).alias("cnt")))
+    vocab = pipeline_cache(
+        counts.groupBy("token").agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.desc("tot"), "token").limit(vocab_size)
+        .select("token"))
+    cv = pipeline_cache(counts.join(F.broadcast(vocab), "token"))
+    tot_l = cv.groupBy("label").agg(F.sum("cnt").alias("label_total"))
+    labels = pipeline_cache(
+        docs.groupBy(F.col(label_col).alias("label")).agg(
+            F.count(F.lit(1)).alias("n_docs")))
+    # the corpus size is the sum of the (cached, label-cardinality) label
+    # counts — never a second full corpus scan
+    n_all = labels.agg(F.sum("n_docs").alias("n_all"))
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v"))
+    # the finished matrix is V·L rows — cache it so the scorer's broadcast
+    # and any reuse do not replay the model-building joins
+    matrix = pipeline_cache(
+        vocab.crossJoin(F.broadcast(labels.select("label")))
+        .join(F.broadcast(cv), ["token", "label"], "left")
+        .join(F.broadcast(tot_l), "label", "left")
+        .crossJoin(F.broadcast(v_size))
+        .select(
+            "token", "label",
+            F.round(F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                .cast("double")
+                / (F.coalesce(F.col("label_total"), F.lit(0))
+                   + F.col("v")).cast("double")), 9)
+            .cast("decimal(18,9)").alias("logp")))
+    priors = (labels.crossJoin(F.broadcast(n_all))
+              .select("label",
+                      F.round(F.log(F.col("n_docs").cast("double")
+                                    / F.col("n_all").cast("double")), 9)
+                      .cast("decimal(18,9)").alias("logprior")))
+    return matrix, priors
+
+
+def nb_predict(docs: DataFrame, matrix: DataFrame, priors: DataFrame,
+               id_col: str = "doc_id", text_col: str = "text",
+               out: str = "predicted") -> DataFrame:
+    """Score documents with an `nb_train` model: per-document label
+    posteriors ``Σ logp(token|label) + logprior`` summed as exact decimals
+    (order-independent, engine-portable) over the document's in-vocabulary
+    tokens, argmax broken by label ascending — fully deterministic.
+    Documents with NO in-vocabulary token are absent from the result (no
+    evidence to score). Returns (id, predicted, logpost, n_tok).
+
+    Scale shape: the V·L model broadcasts; the corpus pays one
+    (id, label) aggregation shuffle and the per-id argmax window reuses
+    L-row groups — cost is one pass regardless of corpus size.
+    """
+    toks = (docs.select(F.col(id_col),
+                        F.explode(F.split(F.lower(F.col(text_col)), " "))
+                        .alias("token"))
+            .filter(F.col("token").rlike("^[a-z]+$")))
+    scored = (toks.join(F.broadcast(matrix), "token")
+              .groupBy(id_col, "label")
+              .agg(F.sum("logp").alias("_s"),
+                   F.count(F.lit(1)).alias("n_tok")))
+    tot = (scored.join(F.broadcast(priors), "label")
+           .withColumn("_post", F.col("_s") + F.col("logprior")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.desc("_post"), "label")
+    return (tot.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(id_col), F.col("label").alias(out),
+                    (F.col("_post").cast("double") + F.lit(0.0))
+                    .alias("logpost"), "n_tok"))
+
+
 def target_encoding(cat_col: str, label_col: str, id_col: str,
                     n_folds: int = 5, smoothing: int = 20,
                     out: str = "te") -> "Callable[[DataFrame], DataFrame]":

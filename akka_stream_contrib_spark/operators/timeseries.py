@@ -359,3 +359,121 @@ def znorm_motif_topk(pattern: list[float], k: int = 50,
                 .limit(k))
 
     return _apply
+
+
+def mean_shift_detect(key: str = "user_id", value: str = "value",
+                      seq: str = "event_id", w: int = 10,
+                      threshold: float = 50.0,
+                      ) -> Callable[[DataFrame], DataFrame]:
+    """Changepoint (level-shift) detection per ``key``: flag positions where
+    the mean of the NEXT ``w`` observations differs from the mean of the
+    PREVIOUS ``w`` observations by more than ``threshold`` — the windowed
+    two-sample form of CUSUM that needs no recursive state, so it stays a
+    pure window expression (the recursive CUSUM fold is not
+    prefix-combinable; this detector catches the same step changes one
+    window-width later at worst).
+
+    Exactness: both side sums use the cents-long device (see
+    ``rolling_zscore``) so they are order-independent integers; the
+    threshold comparison happens on the exact integer difference
+    (``|post_sum − pre_sum| > threshold·w`` in cents), and doubles appear
+    only in the emitted rounded means. Positions whose flanks hold fewer
+    than ``w`` non-NULL values each are never flagged (edge windows carry
+    no two-sample evidence).
+
+    Scale shape: ONE hash shuffle on ``key``; both frames share the single
+    WindowExec pass. Same family as `rolling_zscore`/`ewma_smooth`.
+
+    Reference anchor: none (time-series extension of the windowed-fold
+    family, `TimeWindow.scala:33-34`).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        win_pre = (Window.partitionBy(key).orderBy(seq)
+                   .rowsBetween(-w, -1))
+        win_post = (Window.partitionBy(key).orderBy(seq)
+                    .rowsBetween(Window.currentRow, w - 1))
+        vlong = (F.col(value).cast("decimal(12,2)") * 100).cast("bigint")
+        pre_s = F.sum(vlong).over(win_pre)
+        pre_n = F.count(vlong).over(win_pre)
+        post_s = F.sum(vlong).over(win_post)
+        post_n = F.count(vlong).over(win_post)
+        # exact integer test: |post−pre| in cents vs threshold·w in cents
+        lim = int(round(threshold * 100)) * w
+        shift_c = post_s - pre_s
+        full = (pre_n == w) & (post_n == w)
+        out = df.select(
+            "*",
+            (F.round(pre_s / F.lit(100.0 * w), 6) + F.lit(0.0))
+            .alias("pre_mean"),
+            (F.round(post_s / F.lit(100.0 * w), 6) + F.lit(0.0))
+            .alias("post_mean"),
+            F.when(full & (F.abs(shift_c) > F.lit(lim)),
+                   F.round(shift_c / F.lit(100.0 * w), 6) + F.lit(0.0))
+            .alias("shift"))
+        return out.filter(F.col("shift").isNotNull())
+
+    return _apply
+
+
+def autocorrelation(key: str = "event_type", value: str = "value",
+                    seq: str = "event_id", lags: tuple[int, ...] = (1, 2, 3),
+                    ) -> Callable[[DataFrame], DataFrame]:
+    """Sample autocorrelation (Pearson r of the series against its
+    ``lag``-shifted self) per ``key`` at each requested lag — the seasonality
+    probe for event streams (a strong ACF at lag k = a k-period cycle).
+
+    Exactness: each (x=lagged, y=current) pair's five moment sums accumulate
+    as cents-long integers (sum, and int128-safe decimal for the products),
+    so the per-key reduction is order-independent; the Pearson combination
+    ``(n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)(n·Σyy − Σy²))`` runs once per
+    (key, lag) on exact operands cast to double — bit-identical on any
+    engine. Pairs with a NULL on either side are excluded (both moments and
+    n), matching SQL corr semantics.
+
+    Scale shape: one hash shuffle on ``key`` for the lag window, then one
+    map-combined (key, lag) aggregation of the unpivoted pairs — per-key
+    output is ``len(lags)`` rows regardless of series length.
+
+    Reference anchor: none (time-series extension; same family as
+    `rolling_zscore`).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        win = Window.partitionBy(key).orderBy(seq)
+        y = (F.col(value).cast("decimal(12,2)") * 100).cast("bigint")
+        # lag columns FIRST (one WindowExec pass), THEN the explode —
+        # generators cannot contain window expressions
+        lagged = df.select(
+            F.col(key), y.alias("_y"),
+            *[F.lag(y, lag).over(win).alias(f"_x{lag}") for lag in lags])
+        pairs = [F.struct(F.lit(lag).alias("lag"),
+                          F.col(f"_x{lag}").alias("x"),
+                          F.col("_y").alias("y")) for lag in lags]
+        d = (lagged.select(F.col(key), F.explode(F.array(*pairs)).alias("p"))
+             .select(F.col(key), F.col("p.lag").alias("lag"),
+                     F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+             .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+        # products of |cents| ≤ ~9e8 fit int64 pairwise but their SUM can
+        # overflow at ~1e10 rows — exact decimal keeps the reduction safe
+        dec = "decimal(38,0)"
+        agg = d.groupBy(key, "lag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"))
+        n = F.col("n").cast("double")
+        sx = F.col("sx").cast("double")
+        sy = F.col("sy").cast("double")
+        sxy = F.col("sxy").cast("double")
+        sxx = F.col("sxx").cast("double")
+        syy = F.col("syy").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return agg.select(
+            F.col(key), "lag", "n",
+            (F.round(F.when(den > 0, num / den), 6) + F.lit(0.0))
+            .alias("acf"))
+
+    return _apply

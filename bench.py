@@ -168,6 +168,13 @@ HEADLINE = [
     "sample_step_replay",
     "motif_search",
     "url_domain_stats",
+    # round-6 session-2 additions: ROC AUC, changepoints, autocorrelation,
+    # Zipf corpus fit, Naive Bayes language ID
+    "auc_roc",
+    "mean_shift",
+    "acf_lags",
+    "zipf_fit",
+    "nb_lang_confusion",
 ]
 
 

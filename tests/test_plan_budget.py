@@ -303,6 +303,21 @@ BUDGET = {
     "motif_search": 1,
     # two-phase global rank (range exchange); shard id is map-side modulo
     "balanced_shards": 1,
+    # distinct-score collapse + two-phase range prefix of negatives; the
+    # final 1-row reduction rides the checkpointed ranged frame
+    "auc_roc": 2,
+    # both flank frames share the one key-window shuffle
+    "mean_shift": 1,
+    # ONE key shuffle: the (key, lag) agg's clustered distribution is
+    # satisfied by the lag window's key hash partitioning (subset rule)
+    "acf_lags": 1,
+    # vocab_topk reduction + two-phase global rank over <= top_k rows
+    "zipf_fit": 2,
+    # train+score+evaluate: (token,label) corpus count, cached-model
+    # aggregates (vocab/tot_l/labels/v_size/n_all — all vocabulary- or
+    # label-cardinality), (doc,label) posterior agg, per-doc argmax
+    # window, truth join + confusion rollup
+    "nb_lang_confusion": 9,
 }
 
 

@@ -1,0 +1,296 @@
+"""Round-6 analytics additions, each checked against an independent python
+model (not the oracle SQL — that mirror is exercised by the driver gate and
+tests/test_oracle_gate.py): ROC AUC, windowed level-shift changepoints,
+lagged autocorrelation, the Zipf rank-frequency fit, and Naive Bayes
+language ID."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# auc_roc
+# ---------------------------------------------------------------------------
+
+def _auc_model(pairs):
+    """Rank-based AUC with average-rank tie handling (Mann–Whitney)."""
+    pos = [s for y, s in pairs if y == 1]
+    neg = [s for y, s in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    total = 0.0
+    for p in pos:
+        for n in neg:
+            total += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return total / (len(pos) * len(neg))
+
+
+def test_auc_matches_pairwise_model(spark):
+    from akka_stream_contrib_spark.functions.ml import auc_roc
+    pairs = [(1, 10), (1, 8), (1, 8), (0, 8), (0, 5), (1, 5), (0, 3),
+             (0, 10), (1, 2), (0, 2)]
+    df = spark.createDataFrame(pairs, "label int, score int")
+    row = df.transform(auc_roc()).collect()[0]
+    assert row.n_pos == 5 and row.n_neg == 5
+    assert row.auc == pytest.approx(_auc_model(pairs), abs=1e-6)
+
+
+def test_auc_perfect_separation_and_reversal(spark):
+    from akka_stream_contrib_spark.functions.ml import auc_roc
+    df = spark.createDataFrame(
+        [(1, 100), (1, 90), (0, 10), (0, 5)], "label int, score int")
+    assert df.transform(auc_roc()).collect()[0].auc == 1.0
+    rev = df.withColumn("score", -F.col("score"))
+    assert rev.transform(auc_roc()).collect()[0].auc == 0.0
+
+
+def test_auc_single_class_is_null_and_nulls_excluded(spark):
+    from akka_stream_contrib_spark.functions.ml import auc_roc
+    one = spark.createDataFrame([(1, 3), (1, 4)], "label int, score int")
+    assert one.transform(auc_roc()).collect()[0].auc is None
+    withnull = spark.createDataFrame(
+        [(1, 10), (0, 5), (None, 99), (1, None)], "label int, score int")
+    row = withnull.transform(auc_roc()).collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (1, 1, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# mean_shift_detect
+# ---------------------------------------------------------------------------
+
+def test_mean_shift_flags_the_step(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        mean_shift_detect,
+    )
+    # user 1: 10 at level 100 then 10 at level 500. Positions 9 and 11
+    # see 4/5 new-level rows in one flank (|shift| = 320), the boundary
+    # row 10 sees clean flanks (400) — threshold 350 isolates it
+    rows = [(i, 1, 100.0 if i < 10 else 500.0) for i in range(20)]
+    # user 2: flat — never flagged
+    rows += [(i, 2, 250.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, value double")
+    out = (df.transform(mean_shift_detect(w=5, threshold=350.0))
+           .select("user_id", "event_id", "pre_mean", "post_mean", "shift")
+           .collect())
+    assert [(r.user_id, r.event_id) for r in out] == [(1, 10)]
+    r = out[0]
+    assert (r.pre_mean, r.post_mean, r.shift) == (100.0, 500.0, 400.0)
+
+
+def test_mean_shift_partial_flanks_never_flag(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        mean_shift_detect,
+    )
+    # series shorter than 2w: no position has two full flanks
+    rows = [(i, 1, 0.0 if i < 4 else 900.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, value double")
+    assert df.transform(mean_shift_detect(w=5, threshold=10.0)).count() == 0
+
+
+def test_mean_shift_null_values_break_full_windows(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        mean_shift_detect,
+    )
+    rows = [(i, 1, None if i == 7 else (100.0 if i < 10 else 500.0))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, value double")
+    out = df.transform(mean_shift_detect(w=5, threshold=300.0)).collect()
+    # the NULL at position 7 voids full-pre-flank status for positions
+    # 8..12, killing the boundary row at 10; nothing else shifts
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation
+# ---------------------------------------------------------------------------
+
+def _pearson(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (n * sxy - sx * sy) / den if den > 0 else None
+
+
+def test_acf_matches_python_model(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        autocorrelation,
+    )
+    series = [5.0, 7.0, 6.0, 9.0, 8.0, 11.0, 10.0, 13.0, 12.0, 15.0]
+    rows = [(i, "a", v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+    got = {r.lag: (r.n, r.acf) for r in
+           df.transform(autocorrelation(lags=(1, 2))).collect()}
+    for lag in (1, 2):
+        xs = series[:-lag]
+        ys = series[lag:]
+        assert got[lag][0] == len(xs)
+        assert got[lag][1] == pytest.approx(_pearson(xs, ys), abs=1e-6)
+
+
+def test_acf_alternating_series_is_negative_at_lag1(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        autocorrelation,
+    )
+    rows = [(i, "a", 1.0 if i % 2 == 0 else -1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+    got = {r.lag: r.acf for r in
+           df.transform(autocorrelation(lags=(1, 2))).collect()}
+    assert got[1] == -1.0 and got[2] == 1.0
+
+
+def test_acf_constant_series_is_null(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        autocorrelation,
+    )
+    rows = [(i, "a", 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+    assert [r.acf for r in
+            df.transform(autocorrelation(lags=(1,))).collect()] == [None]
+
+
+def test_acf_null_pairs_excluded(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        autocorrelation,
+    )
+    series = [5.0, 7.0, None, 9.0, 8.0, 11.0, 10.0]
+    rows = [(i, "a", v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "event_id int, event_type string, value double")
+    got = df.transform(autocorrelation(lags=(1,))).collect()[0]
+    pairs = [(x, y) for x, y in zip(series[:-1], series[1:])
+             if x is not None and y is not None]
+    assert got.n == len(pairs)
+    assert got.acf == pytest.approx(
+        _pearson([p[0] for p in pairs], [p[1] for p in pairs]), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+def test_zipf_fit_recovers_the_power_law(spark):
+    from akka_stream_contrib_spark.functions.corpus import zipf_fit
+    # construct a corpus whose token frequencies are exactly 600/rank:
+    # slope of ln(freq) on ln(rank) is then -1 up to integer truncation
+    rows = []
+    doc = 0
+    for rank in range(1, 21):
+        freq = 600 // rank
+        # alphabetic-only tokens (the vocabulary filter drops digits)
+        word = chr(97 + (rank - 1) // 26) + chr(97 + (rank - 1) % 26)
+        for _ in range(freq):
+            rows.append((doc, word))
+            doc += 1
+    df = (spark.createDataFrame(rows, "doc_id int, text string"))
+    out = df.transform(zipf_fit(top_k=20)).collect()[0]
+    assert out.n_terms == 20
+    assert out.zipf_slope == pytest.approx(-1.0, abs=0.02)
+    # python least-squares on the identical 9-dp-rounded logs
+    pts = [(round(math.log(r), 9), round(math.log(600 // r), 9))
+           for r in range(1, 21)]
+    n = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts); sxx = sum(p[0] ** 2 for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out.zipf_slope == pytest.approx(slope, abs=1e-5)
+    assert out.zipf_intercept == pytest.approx((sy - slope * sx) / n, abs=1e-5)
+
+
+def test_zipf_fit_ignores_non_alpha_and_case(spark):
+    from akka_stream_contrib_spark.functions.corpus import zipf_fit
+    df = spark.createDataFrame(
+        [(0, "Apple apple APPLE 123 b2b"), (1, "apple banana !")],
+        "doc_id int, text string")
+    out = df.transform(zipf_fit(top_k=10)).collect()[0]
+    # vocabulary is {apple: 4, banana: 1} — 2 terms survive the filter
+    assert out.n_terms == 2
+
+
+# ---------------------------------------------------------------------------
+# naive bayes
+# ---------------------------------------------------------------------------
+
+def _nb_model(docs, vocab_size=100):
+    """Plain-python multinomial NB mirroring nb_train/nb_predict."""
+    import re
+    tok = lambda t: [w for w in t.lower().split(" ")
+                     if re.fullmatch("[a-z]+", w)]
+    counts: dict[tuple[str, str], int] = {}
+    total: dict[str, int] = {}
+    for _id, text, lab in docs:
+        for w in tok(text):
+            counts[(w, lab)] = counts.get((w, lab), 0) + 1
+            total[w] = total.get(w, 0) + 1
+    vocab = sorted(total, key=lambda w: (-total[w], w))[:vocab_size]
+    vset = set(vocab)
+    labels = sorted({lab for _, _, lab in docs})
+    n_docs = {lab: sum(1 for d in docs if d[2] == lab) for lab in labels}
+    tot_l = {lab: sum(c for (w, l), c in counts.items()
+                      if l == lab and w in vset) for lab in labels}
+    v = len(vocab)
+    logp = {(w, lab): round(math.log((counts.get((w, lab), 0) + 1)
+                                     / (tot_l[lab] + v)), 9)
+            for w in vocab for lab in labels}
+    logprior = {lab: round(math.log(n_docs[lab] / len(docs)), 9)
+                for lab in labels}
+    preds = {}
+    for _id, text, _lab in docs:
+        ws = [w for w in tok(text) if w in vset]
+        if not ws:
+            continue
+        scores = {lab: sum(logp[(w, lab)] for w in ws) + logprior[lab]
+                  for lab in labels}
+        preds[_id] = min(labels, key=lambda l: (-scores[l], l))
+    return preds
+
+
+def test_nb_matches_python_model_and_separates_langs(spark):
+    from akka_stream_contrib_spark.functions.ml import nb_predict, nb_train
+    docs = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog ate the food", "en"),
+        (2, "a cat and a dog", "en"),
+        (3, "le chat et le chien", "fr"),
+        (4, "le chien mange le pain", "fr"),
+        (5, "un chat sur le tapis", "fr"),
+        (6, "the cat and le chat", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string, lang string")
+    matrix, priors = nb_train(df, vocab_size=100)
+    got = {r.doc_id: r.predicted
+           for r in nb_predict(df, matrix, priors).collect()}
+    assert got == _nb_model(docs)
+    # sanity: monolingual docs classify correctly by resubstitution
+    for i in range(6):
+        assert got[i] == docs[i][2]
+
+
+def test_nb_model_is_complete_and_docs_without_vocab_drop(spark):
+    from akka_stream_contrib_spark.functions.ml import nb_predict, nb_train
+    df = spark.createDataFrame(
+        [(0, "aaa bbb", "x"), (1, "ccc ddd", "y")],
+        "doc_id int, text string, lang string")
+    matrix, priors = nb_train(df, vocab_size=10)
+    # complete matrix: every (token, label) pair incl. unseen combinations
+    assert matrix.count() == 4 * 2
+    assert priors.count() == 2
+    # a doc with only out-of-vocabulary tokens yields no prediction
+    score_df = spark.createDataFrame(
+        [(9, "zzz 123")], "doc_id int, text string")
+    assert nb_predict(score_df, matrix, priors).count() == 0
+
+
+def test_nb_vocab_truncation_is_deterministic(spark):
+    from akka_stream_contrib_spark.functions.ml import nb_train
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd", "x"), (1, "aa bb cc dd", "y")],
+        "doc_id int, text string, lang string")
+    matrix, _ = nb_train(df, vocab_size=2)
+    # all four tokens tie on frequency — token-asc tie-break keeps aa, bb
+    assert sorted({r.token for r in matrix.collect()}) == ["aa", "bb"]
