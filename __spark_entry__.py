@@ -3521,6 +3521,62 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").alias("sum_tok")))
 
 
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation (functions/retrieval.py::ndcg_at_k):
+    nDCG@10 of the BM25 top-10 for the spark/join/window query, graded by
+    how many of the three query terms each hit actually contains —
+    9-dp-literal discounts, decimal-exact DCG sums."""
+    from akka_stream_contrib_spark.functions import bm25_topk
+    from akka_stream_contrib_spark.functions.retrieval import ndcg_at_k
+    terms = ["spark", "join", "window"]
+    docs = tables.load(spark, "documents", sf_dir)
+    top = docs.transform(bm25_topk(terms, k=10))
+    toks = F.split(F.col("text"), " ")
+    rel = sum((F.array_contains(toks, t).cast("int") for t in terms),
+              F.lit(0))
+    graded = (F.broadcast(top)
+              .join(docs.select("doc_id", rel.alias("rel")), "doc_id"))
+    return graded.transform(ndcg_at_k(rel_col="rel", k=10,
+                                      order_by=["score"]))
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort mean comparison (functions/ml.py::welch_ttest): purchase vs
+    click event values — one conditional-sum pass, exact cents-integer
+    moments, Welch–Satterthwaite df."""
+    from akka_stream_contrib_spark.functions.ml import welch_ttest
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.transform(welch_ttest("event_type", "value",
+                                    "purchase", "click"))
+
+
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit of lineitem extended prices (functions/
+    quality.py::benford_check): string-derived leading digit (no
+    cross-engine pow/log boundary), 9-group exact counts, χ² vs the
+    9-dp-literal Benford shares."""
+    from akka_stream_contrib_spark.functions.quality import benford_check
+    li = tables.load(spark, "lineitem", sf_dir)
+    return li.transform(benford_check("l_extendedprice"))
+
+
+def q_sliced_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice classifier evaluation (functions/ml.py::
+    classification_report with group_by): a deterministic rule pair
+    (label = n_chars>250, predicted = n_tokens>45 — correlated, so every
+    language slice populates all four confusion cells) reported PER
+    LANGUAGE — the fairness/regression view; one map-combined slice
+    shuffle."""
+    from akka_stream_contrib_spark.functions.ml import classification_report
+    docs = tables.load(spark, "documents", sf_dir)
+    scored = docs.select(
+        F.col("lang"),
+        (F.col("n_chars") > 250).cast("int").alias("label"),
+        (F.size(F.split(F.col("text"), " ")) > 45).cast("int")
+        .alias("predicted"))
+    return scored.transform(classification_report(group_by=["lang"]))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3761,6 +3817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_lags": q_acf_lags,
         "zipf_fit": q_zipf_fit,
         "nb_lang_confusion": q_nb_lang_confusion,
+        "ndcg_eval": q_ndcg_eval,
+        "welch_ttest": q_welch_ttest,
+        "benford_check": q_benford_check,
+        "sliced_eval": q_sliced_eval,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3810,8 +3870,10 @@ _PRIORITY = [
     # exactly 50 = the driver window. Deliberately queued for round 7
     # (window has room once the 38-query backlog clears): logreg_quality
     # (r5 hash-green; this round's selectExpr refactor is bit-identical and
-    # local-gate green), the ivf pair's oracle-flip re-evidence, and the
-    # hll rows-only re-pins.
+    # local-gate green), the ivf pair's oracle-flip re-evidence, the hll
+    # rows-only re-pins, and session-2's second batch (ndcg_eval,
+    # welch_ttest, benford_check, sliced_eval — all local-gate green at
+    # two SFs).
 ]
 
 
@@ -3839,6 +3901,162 @@ def _ewma_oracle(alpha: float = 0.3, depth: int = 8) -> str:
 
 
 _EWMA_ORACLE = _ewma_oracle()
+
+
+def _ndcg_oracle(k: int = 10) -> str:
+    """DuckDB mirror of q_ndcg_eval: the bm25_search score CTE cut at
+    top-k, term-containment relevance grades, and the SAME 9-dp discount
+    literals (retrieval.py::ndcg_weights) applied by both rank
+    permutations — decimal-exact DCG sums, one final double division."""
+    from akka_stream_contrib_spark.functions.retrieval import ndcg_weights
+    wcases = " ".join(
+        f"WHEN {i + 1} THEN CAST({w!r} AS DECIMAL(18,9))"
+        for i, w in enumerate(ndcg_weights(k)))
+    score = """
+                   round(
+                     ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2)
+                       / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                   + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2)
+                       / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                   + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2)
+                       / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                   , 6) + 0.0"""
+    return f"""
+        WITH tf AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf0,
+                   len(list_filter(string_split(text, ' '), x -> x = 'join'))   AS tf1,
+                   len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
+            FROM documents WHERE text IS NOT NULL
+        ), stats AS (
+            SELECT count(*) AS n, sum(dl) AS sdl,
+                   CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                   CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                   CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+            FROM tf
+        ), top AS (
+            SELECT doc_id, {score} AS score
+            FROM tf, stats
+            ORDER BY score DESC, doc_id
+            LIMIT {k}
+        ), graded AS (
+            SELECT t.doc_id, t.score,
+                   CAST(CAST(list_contains(string_split(d.text, ' '), 'spark') AS INT)
+                      + CAST(list_contains(string_split(d.text, ' '), 'join') AS INT)
+                      + CAST(list_contains(string_split(d.text, ' '), 'window') AS INT)
+                      AS BIGINT) AS rel
+            FROM top t JOIN documents d USING (doc_id)
+        ), ranked AS (
+            SELECT rel,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r,
+                   row_number() OVER (ORDER BY rel DESC, score DESC, doc_id)
+                       AS ir
+            FROM graded
+        ), agg AS (
+            SELECT sum(rel * CASE r {wcases} END) AS dcg,
+                   sum(rel * CASE ir {wcases} END) AS idcg
+            FROM ranked
+        )
+        SELECT CAST({k} AS INT) AS k,
+               CAST(dcg AS DOUBLE) + 0.0 AS dcg,
+               CAST(idcg AS DOUBLE) + 0.0 AS idcg,
+               round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) + 0.0
+                   AS ndcg
+        FROM agg
+    """
+
+
+def _welch_oracle(g1: str = "purchase", g2: str = "click") -> str:
+    """DuckDB mirror of q_welch_ttest: identical conditional cents-integer
+    moment sums and the identical double expression trees for mean /
+    variance / t / Welch–Satterthwaite df (python-composed so both engines
+    share ONE formula text)."""
+    sides = []
+    for tag, g in ((1, g1), (2, g2)):
+        m = f"event_type = '{g}'"
+        sides.append(f"""
+            CAST(sum(CASE WHEN {m} AND cl IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n{tag},
+            CAST(sum(CASE WHEN {m} THEN cl END) AS BIGINT) AS s{tag},
+            CAST(sum(CASE WHEN {m} THEN CAST(cl * cl AS DECIMAL(38,0)) END)
+                 AS DECIMAL(38,0)) AS q{tag}""")
+    stats = {}
+    for tag in (1, 2):
+        n = f"CAST(n{tag} AS DOUBLE)"
+        s = f"CAST(s{tag} AS DOUBLE)"
+        q = f"CAST(q{tag} AS DOUBLE)"
+        mean = f"({s} / (100.0 * {n}))"
+        var = f"((({q} - ({s} * {s}) / {n}) / ({n} - 1.0)) / 10000.0)"
+        stats[tag] = (n, mean, var)
+    n1, m1, v1 = stats[1]
+    n2, m2, v2 = stats[2]
+    se2 = f"({v1} / {n1} + {v2} / {n2})"
+    t = f"(({m1} - {m2}) / sqrt({se2}))"
+    dfw = (f"(({se2} * {se2}) / (({v1} / {n1}) * ({v1} / {n1})"
+           f" / ({n1} - 1.0) + ({v2} / {n2}) * ({v2} / {n2})"
+           f" / ({n2} - 1.0)))")
+    return f"""
+        WITH m AS (
+            SELECT {",".join(sides)}
+            FROM (SELECT event_type,
+                         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                             AS cl
+                  FROM events)
+        )
+        SELECT n1, n2,
+               round({m1}, 6) + 0.0 AS mean1,
+               round({m2}, 6) + 0.0 AS mean2,
+               round({v1}, 6) + 0.0 AS var1,
+               round({v2}, 6) + 0.0 AS var2,
+               round({t}, 6) + 0.0 AS t_stat,
+               round({dfw}, 6) + 0.0 AS df_welch
+        FROM m
+    """
+
+
+def _benford_oracle(col: str = "l_extendedprice",
+                    table: str = "lineitem") -> str:
+    """DuckDB mirror of q_benford_check: string-derived leading digit of
+    the cents integer, exact 9-group counts, and the SAME 9-dp Benford
+    share literals (quality.py::benford_expected) in the χ² terms."""
+    from akka_stream_contrib_spark.functions.quality import benford_expected
+    ecase = ("CASE digit "
+             + " ".join(f"WHEN {d} THEN {e!r}"
+                        for d, e in enumerate(benford_expected(), start=1))
+             + " END")
+    return f"""
+        WITH d AS (
+            SELECT CAST(substr(CAST(cl AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM (SELECT CAST(CAST({col} AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      AS cl FROM {table})
+            WHERE cl > 0
+        ), per AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY digit
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS t FROM per
+        ), scored AS (
+            SELECT digit, n, t, {ecase} AS expected,
+                   {ecase} * CAST(t AS DOUBLE) AS en
+            FROM per CROSS JOIN tot
+        ), pd AS (
+            SELECT digit, n,
+                   round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0.0
+                       AS share,
+                   expected,
+                   CAST(round((CAST(n AS DOUBLE) - en)
+                              * (CAST(n AS DOUBLE) - en) / en, 9)
+                        AS DECIMAL(15,9)) AS chi_term
+            FROM scored
+        ), total AS (
+            SELECT round(CAST(sum(chi_term) AS DOUBLE), 6) AS chi2 FROM pd
+        )
+        SELECT digit, n, share, expected,
+               CAST(chi_term AS DOUBLE) + 0.0 AS chi_term,
+               chi2 + 0.0 AS chi2
+        FROM pd CROSS JOIN total
+    """
 
 
 def _logreg_oracle(iters: int = 15, lr: float = 0.5) -> str:
@@ -8077,5 +8295,37 @@ def oracle_sql() -> dict[str, str]:
             FROM post JOIN documents d USING (doc_id)
             WHERE rn = 1
             GROUP BY truth, predicted
+        """,
+        "ndcg_eval": _ndcg_oracle(),
+        "welch_ttest": _welch_oracle(),
+        "benford_check": _benford_oracle(),
+        # sliced classifier evaluation: q_classification_report's shape
+        # per language with a rule pair that populates all four cells in
+        # every slice (label n_chars>250, predicted n_tokens>45)
+        "sliced_eval": """
+            WITH s AS (
+                SELECT lang,
+                       CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS y,
+                       CASE WHEN len(string_split(text, ' ')) > 45
+                            THEN 1 ELSE 0 END AS p
+                FROM documents
+            ), agg AS (
+                SELECT lang,
+                       CAST(sum(CASE WHEN y=1 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(sum(CASE WHEN y=0 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(sum(CASE WHEN y=1 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                       CAST(sum(CASE WHEN y=0 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                FROM s GROUP BY lang
+            )
+            SELECT lang, tp, fp, fn, tn,
+                   round(tp / CAST(tp + fp AS DOUBLE), 6) + 0.0 AS precision,
+                   round(tp / CAST(tp + fn AS DOUBLE), 6) + 0.0 AS recall,
+                   round(CAST(2.0 AS DOUBLE) * (tp / CAST(tp + fp AS DOUBLE))
+                         * (tp / CAST(tp + fn AS DOUBLE))
+                         / ((tp / CAST(tp + fp AS DOUBLE))
+                            + (tp / CAST(tp + fn AS DOUBLE))), 6) + 0.0 AS f1,
+                   round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+                       + 0.0 AS accuracy
+            FROM agg
         """,
     }

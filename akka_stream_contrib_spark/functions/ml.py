@@ -148,17 +148,24 @@ def text_feature_vector(text_col: str = "text") -> Column:
 
 
 def classification_report(label_col: str = "label",
-                          predicted_col: str = "predicted"):
+                          predicted_col: str = "predicted",
+                          group_by: Sequence[str] | None = None):
     """Evaluation counterpart to `logreg_train`: confusion counts and
     precision/recall/F1 from any (label, predicted) frame in ONE
     conditional-sum aggregation pass (same single-aggregate discipline as
     `quality.expect`) — no per-class shuffle, engine-exact arithmetic.
     Returns a 1-row frame (tp, fp, fn, tn, precision, recall, f1,
-    accuracy), ratios rounded to 6 dp."""
+    accuracy), ratios rounded to 6 dp.
+
+    ``group_by`` turns it into a SLICED evaluation — one report row per
+    slice (per language, per source, per cohort), the fairness/regression
+    view an eval pipeline actually publishes. Same single pass; the only
+    cost is the map-combined slice-key shuffle."""
     def _apply(df):
         y = F.col(label_col).cast("int")
         p = F.col(predicted_col).cast("int")
-        agg = df.agg(
+        base = df.groupBy(*group_by) if group_by else df
+        agg = base.agg(
             F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
             F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
             F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
@@ -166,6 +173,7 @@ def classification_report(label_col: str = "label",
         prec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
         rec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
         return agg.select(
+            *(list(group_by) if group_by else []),
             "tp", "fp", "fn", "tn",
             (F.round(prec, 6) + F.lit(0.0)).alias("precision"),
             (F.round(rec, 6) + F.lit(0.0)).alias("recall"),
@@ -174,6 +182,68 @@ def classification_report(label_col: str = "label",
             (F.round((F.col("tp") + F.col("tn"))
                      / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
                      6) + F.lit(0.0)).alias("accuracy"))
+    return _apply
+
+
+def welch_ttest(group_col: str, value_col: str, g1, g2):
+    """Welch's unequal-variance two-sample t-test between two groups of a
+    numeric column — the A/B-test / cohort-comparison primitive
+    (`psi_drift` asks "did the distribution move"; this asks "do the two
+    cohorts' MEANS differ, and by how many standard errors").
+
+    Returns one row: n/mean/variance per group, ``t_stat``, and the
+    Welch–Satterthwaite degrees of freedom ``df_welch`` (round 6 dp).
+
+    Determinism: both groups' moment sums accumulate as exact
+    cents-integers (sum as bigint, sum-of-squares as decimal so 1e10+ row
+    partials cannot overflow) inside ONE conditional-sum pass over the
+    scan — a single map-combined aggregate, no per-group shuffle, no
+    second scan. The t/df combination runs once on exact operands cast to
+    double with a fixed expression tree — engine-identical. Domain bound:
+    |value| < ~9e6 (the `rolling_zscore` cents contract).
+
+    Reference anchor: none (evaluation extension; family of
+    classification_report / psi_drift / auc_roc).
+    """
+    def _apply(df: DataFrame) -> DataFrame:
+        cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+        dec = "decimal(38,0)"
+
+        def side(tag, g):
+            m = (F.col(group_col) == F.lit(g)) & cents.isNotNull()
+            return [
+                F.sum(F.when(m, 1).otherwise(0)).cast("long")
+                .alias(f"n{tag}"),
+                F.sum(F.when(m, cents)).alias(f"s{tag}"),
+                F.sum(F.when(m, (cents * cents).cast(dec))).alias(f"q{tag}"),
+            ]
+
+        agg = df.agg(*side(1, g1), *side(2, g2))
+
+        def stats(tag):
+            n = F.col(f"n{tag}").cast("double")
+            s = F.col(f"s{tag}").cast("double")
+            q = F.col(f"q{tag}").cast("double")
+            mean = s / (F.lit(100.0) * n)
+            # cents² → value units²: ÷ 10000 inside the exact bracket
+            var = ((q - (s * s) / n) / (n - F.lit(1.0))) / F.lit(10000.0)
+            return n, mean, var
+
+        n1, m1, v1 = stats(1)
+        n2, m2, v2 = stats(2)
+        se2 = v1 / n1 + v2 / n2
+        t = (m1 - m2) / F.sqrt(se2)
+        dfw = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
+                             + (v2 / n2) * (v2 / n2) / (n2 - F.lit(1.0)))
+        return agg.select(
+            F.col("n1"), F.col("n2"),
+            (F.round(m1, 6) + F.lit(0.0)).alias("mean1"),
+            (F.round(m2, 6) + F.lit(0.0)).alias("mean2"),
+            (F.round(v1, 6) + F.lit(0.0)).alias("var1"),
+            (F.round(v2, 6) + F.lit(0.0)).alias("var2"),
+            (F.round(t, 6) + F.lit(0.0)).alias("t_stat"),
+            (F.round(dfw, 6) + F.lit(0.0)).alias("df_welch"))
+
     return _apply
 
 

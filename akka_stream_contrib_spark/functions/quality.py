@@ -276,3 +276,72 @@ def skew_report(key_col: str, top_n: int = 10) -> Callable[[DataFrame], DataFram
                      + F.lit(0.0)).alias("skew_factor")))
 
     return _apply
+
+
+def benford_expected() -> list[float]:
+    """Benford's-law first-digit shares ``log10(1 + 1/d)``, d = 1..9,
+    rounded to 9 dp. Python literals (like ``ewma_weights``) so Spark and
+    any oracle inject the IDENTICAL doubles — no cross-engine log10."""
+    import math
+    return [round(math.log10(1.0 + 1.0 / d), 9) for d in range(1, 10)]
+
+
+def benford_check(value_col: str = "value"
+                  ) -> Callable[[DataFrame], DataFrame]:
+    """First-digit Benford's-law audit of a positive money/measure column —
+    the classic fabricated-data and unit-mix detector for ingested tables:
+    naturally-occurring amounts follow ``P(d) = log10(1+1/d)``; generated,
+    truncated, or re-scaled data does not. Emits one row per digit 1..9
+    (observed count, observed share, expected share, χ² term) with the
+    total χ² statistic repeated — psi_drift's long form. χ² > ~15.5
+    (df=8, α=0.05) flags the column.
+
+    Determinism: the leading digit comes from the FIRST CHARACTER of the
+    cents-integer's string rendering (positive bigint → identical text on
+    any engine; no pow/log10 boundary risk), counts aggregate exactly,
+    the expected shares are 9-dp python literals, and the χ² combination
+    runs once per digit on exact operands.
+
+    Scale shape: one map-combined 9-group aggregation of the scan — a
+    fixed-size result at any corpus size; the total is a broadcast of the
+    9-row frame back onto itself (`psi_drift`'s device). Non-positive and
+    NULL values are excluded (Benford is defined on positive magnitudes).
+    """
+    exp = benford_expected()
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import pipeline_cache
+
+        cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+        d = df.select(cents.alias("_c")).filter(F.col("_c") > 0).select(
+            F.substring(F.col("_c").cast("string"), 1, 1).cast("int")
+            .alias("digit"))
+        per = pipeline_cache(
+            d.groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+        tot = per.agg(F.sum("n").alias("_t"))
+        emap = F.create_map(*[
+            F.lit(x) for dd, e in enumerate(exp, start=1)
+            for x in (dd, e)])
+        scored = (per.crossJoin(F.broadcast(tot))
+                  .withColumn("expected", emap[F.col("digit")])
+                  .withColumn("_en", F.col("expected") * F.col("_t")
+                              .cast("double")))
+        chi_term = ((F.col("n").cast("double") - F.col("_en"))
+                    * (F.col("n").cast("double") - F.col("_en"))
+                    / F.col("_en"))
+        per_digit = scored.select(
+            "digit", "n",
+            (F.round(F.col("n").cast("double")
+                     / F.col("_t").cast("double"), 6) + F.lit(0.0))
+            .alias("share"),
+            F.col("expected"),
+            F.round(chi_term, 9).cast("decimal(15,9)").alias("chi_term"))
+        total = per_digit.agg(
+            F.round(F.sum("chi_term").cast("double"), 6).alias("chi2"))
+        return (per_digit.crossJoin(F.broadcast(total))
+                .select("digit", "n", "share", "expected",
+                        (F.col("chi_term").cast("double") + F.lit(0.0))
+                        .alias("chi_term"),
+                        (F.col("chi2") + F.lit(0.0)).alias("chi2")))
+
+    return _apply

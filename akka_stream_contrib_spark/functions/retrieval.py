@@ -326,3 +326,67 @@ def rrf_fusion(terms: Sequence[str], k: int = 20, depth: int = 100,
                 .limit(k))
 
     return _apply
+
+
+def ndcg_weights(k: int) -> list[float]:
+    """The nDCG position discounts ``1/log2(i+1)`` for ranks 1..k, rounded
+    to 9 dp. Exposed (like ``ewma_weights``) so oracles and tests inject
+    the IDENTICAL literals — no cross-engine log in the hot path."""
+    import math
+    return [round(1.0 / math.log2(i + 1), 9) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(rel_col: str = "rel", k: int = 10,
+              order_by: Sequence[str] | None = None,
+              id_col: str = "doc_id",
+              ) -> Callable[[DataFrame], DataFrame]:
+    """Ranking quality of a scored result list: nDCG@k —
+    ``DCG = Σ rel_i / log2(i+1)`` over the top-k by (score desc, id),
+    normalized by the ideal ordering's DCG. THE standard graded-relevance
+    retrieval metric; pairs with `bm25_topk`/`rrf_fusion` the way `auc_roc`
+    pairs with the classifiers.
+
+    Determinism: the discounts are 9-dp python literals (`ndcg_weights`)
+    held as exact decimals, relevance grades are integers, so both DCG
+    sums are order-independent decimals; ranks tie-break by the full
+    ``order_by`` then ``id_col`` (and the ideal ordering by rel desc then
+    the same keys), making both permutations engine-identical. One double
+    division at the end.
+
+    Scale shape: the top-k cut is TakeOrdered (never a global sort); both
+    rank windows run over the ≤k-row result — the same benign post-limit
+    WindowExec as `rrf_fusion`. Returns one row (k, dcg, idcg, ndcg).
+    """
+    order_by = list(order_by) if order_by else ["score"]
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        ws = ndcg_weights(k)
+        order = [F.desc(c) for c in order_by] + [F.col(id_col)]
+        top = df.orderBy(*order).limit(k)
+        wmap = F.create_map(*[
+            F.lit(x) for i, w in enumerate(ws)
+            for x in (i + 1, F.lit(w).cast("decimal(18,9)"))])
+        rnk = F.row_number().over(Window.orderBy(*order))
+        irnk = F.row_number().over(
+            Window.orderBy(F.desc(rel_col), *order))
+        # rel as a NARROW decimal: long × decimal(18,9) would need
+        # precision 39 and Spark trims the scale to fit 38, silently
+        # dropping the 9th discount digit; decimal(10,0) × decimal(18,9)
+        # stays exact at scale 9
+        graded = top.select(
+            F.col(rel_col).cast("decimal(10,0)").alias("_rel"),
+            rnk.alias("_r"), irnk.alias("_ir"))
+        agg = graded.agg(
+            F.sum(F.col("_rel") * wmap[F.col("_r")]).alias("_dcg"),
+            F.sum(F.col("_rel") * wmap[F.col("_ir")]).alias("_idcg"))
+        return agg.select(
+            F.lit(k).alias("k"),
+            (F.col("_dcg").cast("double") + F.lit(0.0)).alias("dcg"),
+            (F.col("_idcg").cast("double") + F.lit(0.0)).alias("idcg"),
+            (F.round(F.try_divide(F.col("_dcg").cast("double"),
+                                  F.col("_idcg").cast("double")), 6)
+             + F.lit(0.0)).alias("ndcg"))
+
+    return _apply

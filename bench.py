@@ -175,6 +175,10 @@ HEADLINE = [
     "acf_lags",
     "zipf_fit",
     "nb_lang_confusion",
+    "ndcg_eval",
+    "welch_ttest",
+    "benford_check",
+    "sliced_eval",
 ]
 
 

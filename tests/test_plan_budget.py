@@ -318,6 +318,15 @@ BUDGET = {
     # label-cardinality), (doc,label) posterior agg, per-doc argmax
     # window, truth join + confusion rollup
     "nb_lang_confusion": 9,
+    # TakeOrdered top-10 cut; rank windows + DCG agg run on the ≤k rows
+    "ndcg_eval": 1,
+    # ONE conditional-sum moment pass for both cohorts
+    "welch_ttest": 1,
+    # 9-group digit count + the three ≤9-row share/total aggregates
+    # (psi_drift's long-form shape)
+    "benford_check": 4,
+    # one map-combined slice-key shuffle
+    "sliced_eval": 1,
 }
 
 

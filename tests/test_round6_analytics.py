@@ -294,3 +294,171 @@ def test_nb_vocab_truncation_is_deterministic(spark):
     matrix, _ = nb_train(df, vocab_size=2)
     # all four tokens tie on frequency — token-asc tie-break keeps aa, bb
     assert sorted({r.token for r in matrix.collect()}) == ["aa", "bb"]
+
+
+# ---------------------------------------------------------------------------
+# ndcg_at_k
+# ---------------------------------------------------------------------------
+
+def _ndcg_model(rels, k):
+    ws = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    ws = [round(w, 9) for w in ws]
+    top = rels[:k]
+    dcg = sum(r * w for r, w in zip(top, ws))
+    idcg = sum(r * w for r, w in zip(sorted(top, reverse=True), ws))
+    return dcg / idcg if idcg else None
+
+
+def test_ndcg_matches_model_and_detects_perfect_ranking(spark):
+    from akka_stream_contrib_spark.functions.retrieval import ndcg_at_k
+    # scores descending, relevance NOT aligned with rank
+    rows = [(i, float(100 - i), rel) for i, rel in
+            enumerate([3, 1, 0, 2, 0, 1, 3, 0, 0, 2])]
+    df = spark.createDataFrame(rows, "doc_id int, score double, rel int")
+    out = df.transform(ndcg_at_k(rel_col="rel", k=10,
+                                 order_by=["score"])).collect()[0]
+    assert out.k == 10
+    assert out.ndcg == pytest.approx(
+        _ndcg_model([3, 1, 0, 2, 0, 1, 3, 0, 0, 2], 10), abs=1e-6)
+    # relevance aligned with rank -> ndcg exactly 1
+    aligned = spark.createDataFrame(
+        [(i, float(100 - i), 10 - i) for i in range(10)],
+        "doc_id int, score double, rel int")
+    assert aligned.transform(
+        ndcg_at_k(rel_col="rel", k=10, order_by=["score"])
+    ).collect()[0].ndcg == 1.0
+
+
+def test_ndcg_all_zero_relevance_is_null(spark):
+    from akka_stream_contrib_spark.functions.retrieval import ndcg_at_k
+    df = spark.createDataFrame(
+        [(1, 5.0, 0), (2, 4.0, 0)], "doc_id int, score double, rel int")
+    assert df.transform(
+        ndcg_at_k(rel_col="rel", k=5, order_by=["score"])
+    ).collect()[0].ndcg is None
+
+
+def test_ndcg_cuts_at_k(spark):
+    from akka_stream_contrib_spark.functions.retrieval import ndcg_at_k
+    # rel 5 sits at rank 4 — invisible to ndcg@3
+    df = spark.createDataFrame(
+        [(1, 9.0, 1), (2, 8.0, 1), (3, 7.0, 1), (4, 6.0, 5)],
+        "doc_id int, score double, rel int")
+    out = df.transform(
+        ndcg_at_k(rel_col="rel", k=3, order_by=["score"])).collect()[0]
+    assert out.ndcg == 1.0 and out.dcg == out.idcg
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest
+# ---------------------------------------------------------------------------
+
+def _welch_model(a, b):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = se2 ** 2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return ma, mb, va, vb, t, dfw
+
+
+def test_welch_matches_python_model(spark):
+    from akka_stream_contrib_spark.functions.ml import welch_ttest
+    a = [10.5, 12.0, 11.25, 13.75, 10.0, 12.5]
+    b = [8.0, 9.5, 7.25, 9.0, 8.75]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 99.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = df.transform(welch_ttest("grp", "value", "a", "b")).collect()[0]
+    ma, mb, va, vb, t, dfw = _welch_model(a, b)
+    assert (out.n1, out.n2) == (len(a), len(b))
+    assert out.mean1 == pytest.approx(ma, abs=1e-6)
+    assert out.mean2 == pytest.approx(mb, abs=1e-6)
+    assert out.var1 == pytest.approx(va, abs=1e-6)
+    assert out.var2 == pytest.approx(vb, abs=1e-6)
+    assert out.t_stat == pytest.approx(t, abs=1e-5)
+    assert out.df_welch == pytest.approx(dfw, abs=1e-4)
+
+
+def test_welch_identical_groups_t_is_zero(spark):
+    from akka_stream_contrib_spark.functions.ml import welch_ttest
+    rows = [("a", float(v)) for v in (1, 2, 3)] + \
+           [("b", float(v)) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    assert df.transform(
+        welch_ttest("grp", "value", "a", "b")).collect()[0].t_stat == 0.0
+
+
+def test_welch_null_values_excluded(spark):
+    from akka_stream_contrib_spark.functions.ml import welch_ttest
+    rows = [("a", 1.0), ("a", 3.0), ("a", None), ("b", 2.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = df.transform(welch_ttest("grp", "value", "a", "b")).collect()[0]
+    assert (out.n1, out.n2, out.mean1, out.mean2) == (2, 2, 2.0, 3.0)
+
+
+# ---------------------------------------------------------------------------
+# benford_check
+# ---------------------------------------------------------------------------
+
+def test_benford_uniform_digits_fail_the_law(spark):
+    from akka_stream_contrib_spark.functions.quality import (
+        benford_check, benford_expected)
+    # 90 values with uniform leading digits 1..9 (10 each) — far from
+    # Benford; chi2 must exceed the df=8 critical value
+    rows = [(float(d * 100 + i),) for d in range(1, 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "value double")
+    out = df.transform(benford_check("value")).collect()
+    assert len(out) == 9
+    assert all(r.n == 10 for r in out)
+    assert out[0].chi2 > 15.5
+    exp = dict(zip(range(1, 10), benford_expected()))
+    for r in out:
+        assert r.expected == exp[r.digit]
+        en = exp[r.digit] * 90
+        assert r.chi_term == pytest.approx((10 - en) ** 2 / en, abs=1e-6)
+
+
+def test_benford_exact_distribution_has_tiny_chi2(spark):
+    from akka_stream_contrib_spark.functions.quality import (
+        benford_check, benford_expected)
+    # build counts proportional to the law itself (x1000, rounded)
+    rows = []
+    for d, e in zip(range(1, 10), benford_expected()):
+        rows += [(float(d),)] * round(e * 1000)
+    df = spark.createDataFrame(rows, "value double")
+    out = df.transform(benford_check("value")).collect()
+    assert out[0].chi2 < 1.0
+
+
+def test_benford_ignores_nonpositive_and_null(spark):
+    from akka_stream_contrib_spark.functions.quality import benford_check
+    rows = [(1.0,), (-5.0,), (0.0,), (None,), (19.0,), (120.0,)]
+    df = spark.createDataFrame(rows, "value double")
+    out = df.transform(benford_check("value")).collect()
+    assert {(r.digit, r.n) for r in out} == {(1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# sliced classification_report
+# ---------------------------------------------------------------------------
+
+def test_classification_report_sliced_matches_per_group(spark):
+    from akka_stream_contrib_spark.functions.ml import classification_report
+    rows = [
+        ("g1", 1, 1), ("g1", 1, 0), ("g1", 0, 1), ("g1", 0, 0),
+        ("g2", 1, 1), ("g2", 1, 1), ("g2", 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "slice string, label int, predicted int")
+    out = {r.slice: r for r in
+           df.transform(classification_report(group_by=["slice"])).collect()}
+    assert (out["g1"].tp, out["g1"].fp, out["g1"].fn, out["g1"].tn) \
+        == (1, 1, 1, 1)
+    assert out["g1"].accuracy == 0.5
+    assert (out["g2"].tp, out["g2"].fp, out["g2"].fn, out["g2"].tn) \
+        == (2, 0, 0, 1)
+    assert out["g2"].precision == 1.0 and out["g2"].recall == 1.0
+    # ungrouped form unchanged: one row, no slice column
+    flat = df.transform(classification_report()).collect()
+    assert len(flat) == 1 and "slice" not in flat[0].asDict()
