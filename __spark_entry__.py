@@ -3577,6 +3577,28 @@ def q_sliced_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.transform(classification_report(group_by=["lang"]))
 
 
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-separation monitor (functions/ml.py::ks_statistic): KS of doc
+    length vs lang=='en' — distinct-score collapse, two range-prefix CDFs,
+    exact-integer max, smallest-score tie-break."""
+    from akka_stream_contrib_spark.functions.ml import ks_statistic
+    docs = tables.load(spark, "documents", sf_dir)
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        F.col("n_chars").alias("score"))
+    return scored.transform(ks_statistic())
+
+
+def q_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² token selection for the lang=='en' class (functions/ml.py::
+    chi2_tokens): document-presence contingency, exact-count cells,
+    top-30 by (6-dp χ² desc, token asc)."""
+    from akka_stream_contrib_spark.functions.ml import chi2_tokens
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(
+        chi2_tokens(F.col("lang") == "en", top_k=30, min_docs=5))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3821,6 +3843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": q_welch_ttest,
         "benford_check": q_benford_check,
         "sliced_eval": q_sliced_eval,
+        "ks_statistic": q_ks_statistic,
+        "chi2_tokens": q_chi2_tokens,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3871,9 +3895,9 @@ _PRIORITY = [
     # (window has room once the 38-query backlog clears): logreg_quality
     # (r5 hash-green; this round's selectExpr refactor is bit-identical and
     # local-gate green), the ivf pair's oracle-flip re-evidence, the hll
-    # rows-only re-pins, and session-2's second batch (ndcg_eval,
-    # welch_ttest, benford_check, sliced_eval — all local-gate green at
-    # two SFs).
+    # rows-only re-pins, and session-2's later batches (ndcg_eval,
+    # welch_ttest, benford_check, sliced_eval, ks_statistic, chi2_tokens —
+    # all local-gate green at two SFs).
 ]
 
 
@@ -8299,6 +8323,83 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_eval": _ndcg_oracle(),
         "welch_ttest": _welch_oracle(),
         "benford_check": _benford_oracle(),
+        # KS separation: same distinct-score collapse as auc_roc, both
+        # class CDFs as prefix sums, exact-integer max diff, smallest-score
+        # tie-break (functions/ml.py::ks_statistic)
+        "ks_statistic": """
+            WITH scored AS (
+                SELECT CAST(lang = 'en' AS INT) AS label, n_chars AS score
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            ), per AS (
+                SELECT score,
+                       CAST(sum(label) AS BIGINT) AS pos,
+                       CAST(count(*) - sum(label) AS BIGINT) AS neg
+                FROM scored GROUP BY score
+            ), tot AS (
+                SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                       CAST(sum(neg) AS BIGINT) AS n_neg
+                FROM per
+            ), c AS (
+                SELECT score,
+                       CAST(sum(pos) OVER w AS BIGINT) AS cp,
+                       CAST(sum(neg) OVER w AS BIGINT) AS cn
+                FROM per
+                WINDOW w AS (ORDER BY score ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)
+            ), d AS (
+                SELECT score, n_pos, n_neg,
+                       abs(CAST(cp AS DECIMAL(19,0)) * n_neg
+                           - CAST(cn AS DECIMAL(19,0)) * n_pos) AS num
+                FROM c CROSS JOIN tot
+            )
+            SELECT round(CAST(num AS DOUBLE)
+                         / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                         6) + 0.0 AS ks,
+                   score AS at_score, n_pos, n_neg
+            FROM d ORDER BY num DESC, score LIMIT 1
+        """,
+        # χ² token selection: document-presence contingency with exact
+        # cells, double square of the exact decimal (ad-bc), zero-marginal
+        # tokens excluded on both engines (functions/ml.py::chi2_tokens)
+        "chi2_tokens": """
+            WITH toks AS (
+                SELECT y, unnest(list_distinct(
+                           string_split(lower(text), ' '))) AS token
+                FROM (SELECT CAST(lang = 'en' AS INT) AS y, text
+                      FROM documents WHERE lang IS NOT NULL)
+            ), per AS (
+                SELECT token,
+                       CAST(sum(y) AS BIGINT) AS a,
+                       CAST(sum(1 - y) AS BIGINT) AS b
+                FROM toks
+                WHERE regexp_matches(token, '^[a-z]+$')
+                GROUP BY token
+            ), tot AS (
+                SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n0
+                FROM documents WHERE lang IS NOT NULL
+            ), j AS (
+                SELECT token, a, b, n1 - a AS c, n0 - b AS d, n1 + n0 AS n
+                FROM per CROSS JOIN tot
+                WHERE a + b >= 5
+            )
+            SELECT token, a, b, c, d,
+                   round(CAST(n AS DOUBLE)
+                         * (CAST(CAST(a AS DECIMAL(19,0)) * d
+                                 - CAST(b AS DECIMAL(19,0)) * c AS DOUBLE)
+                            * CAST(CAST(a AS DECIMAL(19,0)) * d
+                                   - CAST(b AS DECIMAL(19,0)) * c AS DOUBLE))
+                         / (CAST(CAST(a + b AS DECIMAL(19,0)) * (c + d)
+                                 AS DOUBLE)
+                            * CAST(CAST(a + c AS DECIMAL(19,0)) * (b + d)
+                                   AS DOUBLE)), 6) + 0.0 AS chi2
+            FROM j
+            WHERE c + d > 0 AND b + d > 0
+            ORDER BY chi2 DESC, token LIMIT 30
+        """,
         # sliced classifier evaluation: q_classification_report's shape
         # per language with a rule pair that populates all four cells in
         # every slice (label n_chars>250, predicted n_tokens>45)

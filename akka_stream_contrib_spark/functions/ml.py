@@ -185,6 +185,138 @@ def classification_report(label_col: str = "label",
     return _apply
 
 
+def ks_statistic(label_col: str = "label", score_col: str = "score"):
+    """Kolmogorov–Smirnov separation of a scored binary frame:
+    ``KS = max_s |F_pos(s) − F_neg(s)|`` over the distinct scores — the
+    credit-scoring / model-monitoring companion to `auc_roc` (AUC ranks
+    the whole curve; KS reports the single best separating threshold,
+    returned as ``at_score``).
+
+    Same distributed shape as `auc_roc`: distinct-score collapse first
+    (one map-combined shuffle, result bounded by score cardinality), BOTH
+    class CDFs as two-phase range prefix sums — never a single-partition
+    window — and exact integers to the end:
+    ``|cum_pos·N − cum_neg·P|`` is maximized as a bigint and divided by
+    ``P·N`` exactly once. Ties on the max break toward the SMALLEST
+    score. NULL labels/scores are excluded (no CDF evidence).
+
+    Returns one row: (ks, at_score, n_pos, n_neg).
+
+    Reference anchor: none (ML-evaluation extension; family of auc_roc /
+    welch_ttest / psi_drift).
+    """
+    from akka_stream_contrib_spark.operators.global_order import (
+        global_running_sum,
+    )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        df = df.filter(F.col(label_col).isNotNull()
+                       & F.col(score_col).isNotNull())
+        y = F.col(label_col).cast("long")
+        per = (df.groupBy(F.col(score_col).alias("_score"))
+               .agg(F.sum(y).alias("pos"),
+                    (F.count(F.lit(1)) - F.sum(y)).alias("neg")))
+        c = global_running_sum(per, ["_score"], "pos", "_cp")
+        c = global_running_sum(c, ["_score"], "neg", "_cn")
+        tot = c.agg(F.sum("pos").alias("n_pos"),
+                    F.sum("neg").alias("n_neg"))
+        # cum·total products as exact decimal: two ~1e11-row classes at
+        # 100 TB would overflow an int64 product
+        d = c.crossJoin(F.broadcast(tot)).select(
+            "_score", "n_pos", "n_neg",
+            F.abs(F.col("_cp").cast("decimal(19,0)") * F.col("n_neg")
+                  - F.col("_cn").cast("decimal(19,0)") * F.col("n_pos"))
+            .alias("_num"))
+        agg = d.agg(
+            F.max("_num").alias("_m"),
+            # ties on the max diff -> smallest score (negate inside the
+            # max_by struct so the larger key means the smaller score)
+            F.min_by("_score", F.struct(F.negate(F.col("_num")),
+                                        F.col("_score"))).alias("at_score"),
+            F.first("n_pos").alias("n_pos"), F.first("n_neg").alias("n_neg"))
+        return agg.select(
+            (F.round(F.try_divide(
+                F.col("_m").cast("double"),
+                F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")), 6) + F.lit(0.0))
+            .alias("ks"),
+            "at_score", "n_pos", "n_neg")
+
+    return _apply
+
+
+def chi2_tokens(label: Column, text_col: str = "text", top_k: int = 30,
+                min_docs: int = 5):
+    """χ² feature selection over document-level token PRESENCE against a
+    binary label — the classical "which tokens identify this class"
+    selector feeding `nb_train`/`logreg_train`/`hashed_features`:
+    ``χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))`` from the per-token
+    presence contingency table (a = class-1 docs containing the token,
+    b = class-0 docs containing it, c/d = the complements).
+
+    Exactness: every cell is an exact count (array_distinct collapses
+    within-doc repeats before the one (token, label) shuffle), the
+    numerator/denominator products are exact decimals, and the single χ²
+    division runs on identical operands in any engine; the emitted top-k
+    orders by (rounded χ² desc, token asc) — fully deterministic. Tokens
+    present in fewer than ``min_docs`` documents are dropped (χ² is
+    unstable on singletons).
+
+    Scale shape: explode → ONE map-combined (token) aggregation carrying
+    the label-conditional counts as conditional sums; the two label
+    totals broadcast from the label-cardinality aggregate; TakeOrdered
+    top-k — never a global vocabulary sort.
+
+    Reference anchor: none (ML extension; the selection sibling of
+    nb_train).
+    """
+    def _apply(df: DataFrame) -> DataFrame:
+        lab = label.cast("int")
+        toks = (df.select(lab.alias("_y"),
+                          F.explode(F.array_distinct(
+                              F.split(F.lower(F.col(text_col)), " ")))
+                          .alias("token"))
+                .filter(F.col("token").rlike("^[a-z]+$")
+                        & F.col("_y").isNotNull()))
+        per = (toks.groupBy("token")
+               .agg(F.sum("_y").cast("long").alias("a"),
+                    F.sum(F.lit(1) - F.col("_y")).cast("long").alias("b")))
+        tot = df.filter(lab.isNotNull()).agg(
+            F.sum(lab).cast("long").alias("n1"),
+            F.sum(F.lit(1) - lab).cast("long").alias("n0"))
+        j = (per.filter(F.col("a") + F.col("b") >= min_docs)
+             .crossJoin(F.broadcast(tot))
+             .select("token", "a", "b",
+                     (F.col("n1") - F.col("a")).alias("c"),
+                     (F.col("n0") - F.col("b")).alias("d"),
+                     (F.col("n1") + F.col("n0")).alias("n")))
+        dec = "decimal(19,0)"
+        adbc = (F.col("a").cast(dec) * F.col("d")
+                - F.col("b").cast(dec) * F.col("c"))
+        # square in DOUBLE: an exact-decimal square would need precision 76
+        # and Spark nulls it out past 38; the decimal→double conversion is
+        # deterministic (nearest double of an exact integer) on any engine
+        ad = adbc.cast("double")
+        num = F.col("n").cast("double") * (ad * ad)
+        den = ((F.col("a") + F.col("b")).cast(dec)
+               * (F.col("c") + F.col("d"))).cast("double") \
+            * ((F.col("a") + F.col("c")).cast(dec)
+               * (F.col("b") + F.col("d"))).cast("double")
+        out = (j
+               # a token present in EVERY class-1 or class-0 doc zeroes a
+               # marginal: both engines must skip it (Spark NULL-division
+               # vs DuckDB semantics would otherwise diverge)
+               .filter((F.col("c") + F.col("d") > 0)
+                       & (F.col("b") + F.col("d") > 0))
+               .select(
+                   "token", "a", "b", "c", "d",
+                   (F.round(F.try_divide(num, den), 6) + F.lit(0.0))
+                   .alias("chi2")))
+        return out.orderBy(F.desc("chi2"), "token").limit(top_k)
+
+    return _apply
+
+
 def welch_ttest(group_col: str, value_col: str, g1, g2):
     """Welch's unequal-variance two-sample t-test between two groups of a
     numeric column — the A/B-test / cohort-comparison primitive

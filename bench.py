@@ -179,6 +179,8 @@ HEADLINE = [
     "welch_ttest",
     "benford_check",
     "sliced_eval",
+    "ks_statistic",
+    "chi2_tokens",
 ]
 
 

@@ -327,6 +327,11 @@ BUDGET = {
     "benford_check": 4,
     # one map-combined slice-key shuffle
     "sliced_eval": 1,
+    # distinct-score collapse + TWO range-prefix CDFs (checkpoint-backed)
+    "ks_statistic": 3,
+    # one (token) presence aggregation + broadcast label totals +
+    # TakeOrdered top-k
+    "chi2_tokens": 2,
 }
 
 

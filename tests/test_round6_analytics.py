@@ -462,3 +462,112 @@ def test_classification_report_sliced_matches_per_group(spark):
     # ungrouped form unchanged: one row, no slice column
     flat = df.transform(classification_report()).collect()
     assert len(flat) == 1 and "slice" not in flat[0].asDict()
+
+
+# ---------------------------------------------------------------------------
+# ks_statistic
+# ---------------------------------------------------------------------------
+
+def _ks_model(pairs):
+    """Max CDF gap over distinct scores, tie -> smallest score."""
+    pos = sorted(s for y, s in pairs if y == 1)
+    neg = sorted(s for y, s in pairs if y == 0)
+    best, at = -1, None
+    for s in sorted({s for _, s in pairs}):
+        cp = sum(1 for x in pos if x <= s)
+        cn = sum(1 for x in neg if x <= s)
+        gap = abs(cp * len(neg) - cn * len(pos))
+        if gap > best:
+            best, at = gap, s
+    return best / (len(pos) * len(neg)), at
+
+
+def test_ks_matches_python_model(spark):
+    from akka_stream_contrib_spark.functions.ml import ks_statistic
+    pairs = [(1, 10), (1, 8), (1, 8), (0, 8), (0, 5), (1, 5), (0, 3),
+             (0, 10), (1, 2), (0, 2), (0, 1)]
+    df = spark.createDataFrame(pairs, "label int, score int")
+    out = df.transform(ks_statistic()).collect()[0]
+    ks, at = _ks_model(pairs)
+    assert (out.n_pos, out.n_neg) == (5, 6)
+    assert out.ks == pytest.approx(ks, abs=1e-6)
+    assert out.at_score == at
+
+
+def test_ks_perfect_separation_is_one(spark):
+    from akka_stream_contrib_spark.functions.ml import ks_statistic
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 10), (1, 20)], "label int, score int")
+    out = df.transform(ks_statistic()).collect()[0]
+    assert out.ks == 1.0 and out.at_score == 2
+
+
+def test_ks_identical_distributions_is_zero_somewhere(spark):
+    from akka_stream_contrib_spark.functions.ml import ks_statistic
+    # same score multiset for both classes -> every CDF gap is 0
+    df = spark.createDataFrame(
+        [(1, 5), (1, 7), (0, 5), (0, 7)], "label int, score int")
+    out = df.transform(ks_statistic()).collect()[0]
+    assert out.ks == 0.0 and out.at_score == 5  # tie -> smallest score
+
+
+# ---------------------------------------------------------------------------
+# chi2_tokens
+# ---------------------------------------------------------------------------
+
+def _chi2_model(docs, label_fn, min_docs, top_k):
+    import re
+    pres = {}
+    n1 = sum(1 for d in docs if label_fn(d))
+    n0 = len(docs) - n1
+    for d in docs:
+        y = 1 if label_fn(d) else 0
+        for w in {w for w in d[1].lower().split(" ")
+                  if re.fullmatch("[a-z]+", w)}:
+            a, b = pres.get(w, (0, 0))
+            pres[w] = (a + y, b + (1 - y))
+    out = []
+    for w, (a, b) in pres.items():
+        c, d = n1 - a, n0 - b
+        if a + b < min_docs or c + d <= 0 or b + d <= 0:
+            continue
+        n = n1 + n0
+        num = n * float((a * d - b * c)) ** 2
+        den = float((a + b) * (c + d)) * float((a + c) * (b + d))
+        out.append((w, round(num / den, 6)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:top_k]
+
+
+def test_chi2_matches_python_model(spark):
+    from akka_stream_contrib_spark.functions.ml import chi2_tokens
+    docs = [
+        (i, "the cat sat here today", "en") for i in range(6)
+    ] + [
+        (10 + i, "le chat dort ici maintenant", "fr") for i in range(6)
+    ] + [
+        (20, "the chat mixed le cat", "en"),
+        (21, "cat le the dort", "fr"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string, lang string")
+    got = [(r.token, r.chi2) for r in df.transform(
+        chi2_tokens(F.col("lang") == "en", top_k=5, min_docs=3)).collect()]
+    want = _chi2_model(
+        [(d[0], d[1]) for d in docs],
+        lambda d: next(x[2] for x in docs if x[0] == d[0]) == "en",
+        min_docs=3, top_k=5)
+    assert [t for t, _ in got] == [t for t, _ in want]
+    for (_, gc), (_, wc) in zip(got, want):
+        assert gc == pytest.approx(wc, abs=1e-6)
+
+
+def test_chi2_presence_not_frequency(spark):
+    from akka_stream_contrib_spark.functions.ml import chi2_tokens
+    # "spam spam spam" counts ONCE per doc: a=3 (not 9)
+    docs = [(i, "spam spam spam", "en") for i in range(3)] + \
+           [(10 + i, "ham", "fr") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id int, text string, lang string")
+    out = {r.token: r for r in df.transform(
+        chi2_tokens(F.col("lang") == "en", top_k=5, min_docs=1)).collect()}
+    assert out["spam"].a == 3 and out["spam"].b == 0
+    assert out["ham"].a == 0 and out["ham"].b == 3
