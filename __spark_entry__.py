@@ -3599,6 +3599,36 @@ def q_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2_tokens(F.col("lang") == "en", top_k=30, min_docs=5))
 
 
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient over the user co-activity graph
+    (functions/graph.py::local_clustering): q_triangle_count's edges, each
+    closed wedge credited to its three vertices, exact-integer counts to
+    the one coefficient division."""
+    from akka_stream_contrib_spark.functions.graph import local_clustering
+    ev = tables.load(spark, "events", sf_dir)
+    w = Window.partitionBy(F.date_trunc("hour", "ts")).orderBy("event_id")
+    edges = (ev.withColumn("src", F.lag("user_id").over(w))
+             .filter(F.col("src").isNotNull()
+                     & (F.col("src") != F.col("user_id")))
+             .select("src", F.col("user_id").alias("dst")))
+    return local_clustering(edges)
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining (functions/basket.py::association_rules):
+    brand pairs co-ordered in the same order — support / confidence /
+    lift from exact counts, top-25 by lift. ONE basket-key self-join;
+    oversized baskets excluded up front."""
+    from akka_stream_contrib_spark.functions.basket import association_rules
+    li = tables.load(spark, "lineitem", sf_dir)
+    part = tables.load(spark, "part", sf_dir)
+    baskets = (li.join(part, li.l_partkey == part.p_partkey)
+               .select(F.col("l_orderkey").alias("basket"),
+                       F.col("p_brand").alias("item")))
+    return baskets.transform(association_rules(
+        "basket", "item", min_pair_count=3, top_k=25))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3845,6 +3875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliced_eval": q_sliced_eval,
         "ks_statistic": q_ks_statistic,
         "chi2_tokens": q_chi2_tokens,
+        "local_clustering": q_local_clustering,
+        "association_rules": q_association_rules,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3896,8 +3928,9 @@ _PRIORITY = [
     # (r5 hash-green; this round's selectExpr refactor is bit-identical and
     # local-gate green), the ivf pair's oracle-flip re-evidence, the hll
     # rows-only re-pins, and session-2's later batches (ndcg_eval,
-    # welch_ttest, benford_check, sliced_eval, ks_statistic, chi2_tokens —
-    # all local-gate green at two SFs).
+    # welch_ttest, benford_check, sliced_eval, ks_statistic, chi2_tokens,
+    # local_clustering, association_rules — all local-gate green at two
+    # SFs).
 ]
 
 
@@ -8399,6 +8432,99 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE c + d > 0 AND b + d > 0
             ORDER BY chi2 DESC, token LIMIT 30
+        """,
+        # per-node clustering coefficient: triangle_count's CTE chain with
+        # the closed wedges exploded to all three vertices
+        # (functions/graph.py::local_clustering)
+        "local_clustering": """
+            WITH e0 AS (
+                SELECT lag(user_id) OVER (
+                           PARTITION BY date_trunc('hour', ts)
+                           ORDER BY event_id) AS src,
+                       user_id AS dst
+                FROM events),
+            edges AS (SELECT src, dst FROM e0
+                      WHERE src IS NOT NULL AND src <> dst),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst),
+            deg AS (SELECT v, count(*) AS d FROM (
+                        SELECT a AS v FROM und
+                        UNION ALL SELECT b AS v FROM und)
+                    GROUP BY v),
+            oriented AS (
+                SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                            THEN a ELSE b END AS lo,
+                       CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                            THEN b ELSE a END AS hi
+                FROM und
+                JOIN deg da ON a = da.v
+                JOIN deg db ON b = db.v),
+            wedges AS (
+                SELECT e1.lo AS u, e1.hi AS w1, e2.hi AS w2
+                FROM oriented e1 JOIN oriented e2
+                  ON e1.lo = e2.lo AND e1.hi < e2.hi),
+            closed AS (
+                SELECT u, w1, w2 FROM wedges w
+                WHERE EXISTS (SELECT 1 FROM und
+                              WHERE a = w.w1 AND b = w.w2)),
+            tri AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+                    SELECT u AS node FROM closed
+                    UNION ALL SELECT w1 AS node FROM closed
+                    UNION ALL SELECT w2 AS node FROM closed)
+                GROUP BY node)
+            SELECT deg.v AS node, CAST(deg.d AS BIGINT) AS degree,
+                   CAST(coalesce(tri.triangles, 0) AS BIGINT) AS triangles,
+                   round(CAST(2 * coalesce(tri.triangles, 0) AS DOUBLE)
+                         / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) + 0.0
+                       AS coefficient
+            FROM deg LEFT JOIN tri ON deg.v = tri.node
+            WHERE deg.d >= 2
+        """,
+        # market-basket association rules over co-ordered brands: ONE
+        # basket-key self-join, exact counts, decimal lift products
+        # (functions/basket.py::association_rules)
+        "association_rules": """
+            WITH items0 AS (
+                SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL
+            ), items AS (
+                SELECT basket, item FROM (
+                    SELECT basket, item,
+                           count(*) OVER (PARTITION BY basket) AS sz
+                    FROM items0)
+                WHERE sz <= 100
+            ), nb AS (
+                SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+                FROM items
+            ), item_n AS (
+                SELECT item, CAST(count(*) AS BIGINT) AS n FROM items
+                GROUP BY item
+            ), pairs AS (
+                SELECT a.item AS x, b.item AS y,
+                       CAST(count(*) AS BIGINT) AS n_xy
+                FROM items a JOIN items b
+                  ON a.basket = b.basket AND a.item < b.item
+                GROUP BY a.item, b.item
+                HAVING count(*) >= 3
+            )
+            SELECT x, y, n_xy,
+                   ix.n AS n_x, iy.n AS n_y,
+                   round(CAST(n_xy AS DOUBLE)
+                         / CAST(n_baskets AS DOUBLE), 6) + 0.0 AS support,
+                   round(CAST(n_xy AS DOUBLE) / CAST(ix.n AS DOUBLE), 6)
+                       + 0.0 AS confidence,
+                   round(CAST(CAST(n_xy AS DECIMAL(19,0)) * n_baskets
+                              AS DOUBLE)
+                         / CAST(CAST(ix.n AS DECIMAL(19,0)) * iy.n
+                                AS DOUBLE), 6) + 0.0 AS lift
+            FROM pairs
+            JOIN item_n ix ON pairs.x = ix.item
+            JOIN item_n iy ON pairs.y = iy.item
+            CROSS JOIN nb
+            ORDER BY lift DESC, x, y LIMIT 25
         """,
         # sliced classifier evaluation: q_classification_report's shape
         # per language with a rule pair that populates all four cells in

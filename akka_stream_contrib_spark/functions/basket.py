@@ -1,0 +1,92 @@
+"""Market-basket analysis: pairwise association rules over transactions.
+
+The classical co-occurrence miner (support / confidence / lift) applied to
+any (basket, item) relation — parts co-ordered in the same order, tags
+co-applied to the same document, tools co-invoked in the same session. Not
+in the reference (an Akka operator library has no relational analytics);
+this is part of the beyond-reference analytics mandate, same family as the
+cohort/funnel/retention queries.
+
+Scale shape: the pair stream comes from ONE self-equi-join on the basket
+key — both sides the same deduplicated (basket, item) frame sharing one
+hash partitioning — with the item order constraint (`i1 < i2`) keeping
+each pair counted once. Per-basket fanout is quadratic in basket size, so
+oversized baskets (a retailer's "test order" with 1e5 items would emit
+5e9 pairs) are EXCLUDED up front by ``max_basket_size``, computed with a
+window count over the same basket partitioning — documented truncation,
+loud in the signature, not a silent cap. Everything downstream is
+map-combined counting; the final metrics divide exact integers once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def association_rules(basket_col: str, item_col: str,
+                      min_pair_count: int = 3, top_k: int = 25,
+                      max_basket_size: int = 100,
+                      ) -> Callable[[DataFrame], DataFrame]:
+    """Top-``top_k`` item pairs by lift with their support and confidence.
+
+    For each unordered item pair {x, y} (x < y) co-present in a basket:
+    ``support = n_xy / N``, ``confidence = n_xy / n_x`` (x→y), and
+    ``lift = n_xy·N / (n_x·n_y)`` — computed from exact counts, products
+    held as decimal (two 1e10-count items would overflow an int64
+    product), ONE double division each, rounded to 6 dp. Ranking is
+    (lift desc, x, y): fully deterministic on any engine.
+
+    Pairs seen in fewer than ``min_pair_count`` baskets are dropped
+    (singleton pairs of rare items have unboundedly noisy lift); baskets
+    larger than ``max_basket_size`` distinct items are excluded entirely
+    (see module docstring).
+
+    Returns (x, y, n_xy, n_x, n_y, support, confidence, lift).
+    """
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import pipeline_cache
+
+        items = pipeline_cache(
+            df.select(F.col(basket_col).alias("basket"),
+                      F.col(item_col).alias("item"))
+            .filter(F.col("basket").isNotNull() & F.col("item").isNotNull())
+            .distinct()
+            .withColumn("_sz", F.count(F.lit(1)).over(
+                Window.partitionBy("basket")))
+            .filter(F.col("_sz") <= max_basket_size)
+            .drop("_sz"))
+        n_baskets = items.agg(
+            F.count_distinct("basket").alias("n_baskets"))
+        item_n = items.groupBy(F.col("item").alias("_i")).agg(
+            F.count(F.lit(1)).alias("_n"))
+        left = items.select("basket", F.col("item").alias("x"))
+        right = items.select(F.col("basket").alias("_b"),
+                             F.col("item").alias("y"))
+        pairs = (left.join(right, (F.col("basket") == F.col("_b"))
+                           & (F.col("x") < F.col("y")))
+                 .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+                 .filter(F.col("n_xy") >= min_pair_count))
+        nx = item_n.select(F.col("_i").alias("_ix"), F.col("_n").alias("n_x"))
+        ny = item_n.select(F.col("_i").alias("_iy"), F.col("_n").alias("n_y"))
+        j = (pairs.join(nx, F.col("x") == F.col("_ix"))
+             .join(ny, F.col("y") == F.col("_iy"))
+             .crossJoin(F.broadcast(n_baskets)))
+        dec = "decimal(19,0)"
+        lift = (F.col("n_xy").cast(dec) * F.col("n_baskets")).cast("double") \
+            / (F.col("n_x").cast(dec) * F.col("n_y")).cast("double")
+        return (j.select(
+            "x", "y", "n_xy", "n_x", "n_y",
+            (F.round(F.col("n_xy").cast("double")
+                     / F.col("n_baskets").cast("double"), 6) + F.lit(0.0))
+            .alias("support"),
+            (F.round(F.col("n_xy").cast("double")
+                     / F.col("n_x").cast("double"), 6) + F.lit(0.0))
+            .alias("confidence"),
+            (F.round(lift, 6) + F.lit(0.0)).alias("lift"))
+            .orderBy(F.desc("lift"), "x", "y")
+            .limit(top_k))
+
+    return _apply

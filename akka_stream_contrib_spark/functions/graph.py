@@ -61,20 +61,11 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     return ranks
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Exact global triangle and wedge counts over the undirected simple
-    graph induced by ``edges`` (direction and duplicates collapsed, self
-    loops dropped). Returns one row ``(n_wedges, n_triangles)``.
-
-    Compact-forward scheme: vertices are totally ordered by (degree, id)
-    and every edge is oriented low→high under that order, so each triangle
-    is enumerated exactly once and — the 100 TB point — the wedge join
-    fans out only from each edge's LOWER-degree endpoint. Against a Zipf
-    degree distribution that bounds intermediate wedges near the O(m^1.5)
-    optimum instead of Σ deg² blowing up on hub nodes. Plan: two hash
-    joins on vertex keys (wedge build + closing-edge probe), no crossJoin,
-    all counting map-side-combined.
-    """
+def _wedge_frames(edges: DataFrame, src: str, dst: str
+                  ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared compact-forward pipeline: canonical undirected edges,
+    degrees, and the oriented wedge stream (see `triangle_count` for the
+    scale argument). Returns (und, deg, wedges)."""
     und = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
                         F.greatest(F.col(src), F.col(dst)).alias("b"))
            .filter(F.col("a") != F.col("b")).distinct())
@@ -82,7 +73,6 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # halves the upstream recomputation in the physical plan
     deg = (und.select(F.explode(F.array("a", "b")).alias("v"))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
-    # orient each edge from the (degree, id)-smaller endpoint to the larger
     da, db = deg.alias("da"), deg.alias("db")
     oriented = (und.join(da, F.col("a") == F.col("da.v"))
                 .join(db, F.col("b") == F.col("db.v"))
@@ -99,6 +89,24 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     wedges = (e1.join(e2, (F.col("u") == F.col("u2"))
                       & (F.col("w1") < F.col("w2")))
               .select("u", "w1", "w2"))
+    return und, deg, wedges
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact global triangle and wedge counts over the undirected simple
+    graph induced by ``edges`` (direction and duplicates collapsed, self
+    loops dropped). Returns one row ``(n_wedges, n_triangles)``.
+
+    Compact-forward scheme: vertices are totally ordered by (degree, id)
+    and every edge is oriented low→high under that order, so each triangle
+    is enumerated exactly once and — the 100 TB point — the wedge join
+    fans out only from each edge's LOWER-degree endpoint. Against a Zipf
+    degree distribution that bounds intermediate wedges near the O(m^1.5)
+    optimum instead of Σ deg² blowing up on hub nodes. Plan: two hash
+    joins on vertex keys (wedge build + closing-edge probe), no crossJoin,
+    all counting map-side-combined.
+    """
+    und, _deg, wedges = _wedge_frames(edges, src, dst)
     # wedge endpoints are value-ordered (w1 < w2) and `und` is canonical
     # (a < b), so the closing-edge probe is a single EQUI semi-join — a
     # disjunctive form here would force a nested-loop join and blow up on
@@ -114,3 +122,49 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return closed.agg(
         F.count(F.lit(1)).alias("n_wedges"),
         F.count(F.col("c1")).alias("n_triangles"))
+
+
+def local_clustering(edges: DataFrame, src: str = "src", dst: str = "dst",
+                     ) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph: ``c(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`` — how close each
+    node's neighborhood is to a clique; the node-level drill-down of
+    `triangle_count`'s global transitivity (community-structure probes,
+    bot/spam-account signals in co-activity graphs).
+
+    Same compact-forward wedge stream as `triangle_count` (shared
+    `_wedge_frames` — the low-degree-endpoint fanout bound is what
+    survives Zipf degrees at 100 TB); each CLOSED wedge credits one
+    triangle to all three of its vertices via a 3-way explode, one
+    map-combined count per node. All integers up to the one coefficient
+    division. Nodes with degree < 2 are excluded (the coefficient is
+    undefined). Returns (node, degree, triangles, coefficient).
+
+    Reference anchor: none (graph-analytics extension; family of
+    triangle_count / pagerank).
+    """
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    und, deg, wedges = _wedge_frames(edges, src, dst)
+    # unlike triangle_count's single-consumer chain, this op reads `und`
+    # three times (degrees, orientation, closing probe) and `deg` twice
+    # (orientation, output) — cache both so the edge canonicalization and
+    # the degree shuffle run once
+    und = pipeline_cache(und)
+    deg = pipeline_cache(deg)
+    und2 = und.select(F.col("a").alias("c1"), F.col("b").alias("c2"))
+    closed = wedges.join(
+        und2, (F.col("w1") == F.col("c1")) & (F.col("w2") == F.col("c2")))
+    tri = (closed.select(F.explode(F.array("u", "w1", "w2")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+    out = (deg.filter(F.col("d") >= 2)
+           .join(tri, deg.v == tri.node, "left")
+           .select(F.col("v").alias("node"),
+                   F.col("d").alias("degree"),
+                   F.coalesce("triangles", F.lit(0).cast("long"))
+                   .alias("triangles")))
+    coef = (F.lit(2) * F.col("triangles")).cast("double") \
+        / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double")
+    return out.select(
+        "node", "degree", "triangles",
+        (F.round(coef, 6) + F.lit(0.0)).alias("coefficient"))

@@ -181,6 +181,8 @@ HEADLINE = [
     "sliced_eval",
     "ks_statistic",
     "chi2_tokens",
+    "local_clustering",
+    "association_rules",
 ]
 
 

@@ -332,6 +332,13 @@ BUDGET = {
     # one (token) presence aggregation + broadcast label totals +
     # TakeOrdered top-k
     "chi2_tokens": 2,
+    # triangle_count's wedge pipeline with und/deg pipeline-cached (the
+    # multi-consumer difference), per-node credit explode + count
+    "local_clustering": 7,
+    # cached (basket,item) distinct + basket-size window + self-join +
+    # pair count + two item-count joins (shared partitioning where keys
+    # allow; AQE broadcasts the small sides at runtime)
+    "association_rules": 7,
 }
 
 

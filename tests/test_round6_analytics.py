@@ -571,3 +571,106 @@ def test_chi2_presence_not_frequency(spark):
         chi2_tokens(F.col("lang") == "en", top_k=5, min_docs=1)).collect()}
     assert out["spam"].a == 3 and out["spam"].b == 0
     assert out["ham"].a == 0 and out["ham"].b == 3
+
+
+# ---------------------------------------------------------------------------
+# local_clustering
+# ---------------------------------------------------------------------------
+
+def test_local_clustering_known_graph(spark):
+    from akka_stream_contrib_spark.functions.graph import local_clustering
+    # triangle 1-2-3 plus a pendant 3-4: c(1)=c(2)=1, c(3)=1/3, 4 excluded
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int")
+    out = {r.node: r for r in local_clustering(edges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].coefficient == 1.0 and out[1].degree == 2
+    assert out[2].coefficient == 1.0
+    assert out[3].degree == 3 and out[3].triangles == 1
+    assert out[3].coefficient == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_local_clustering_matches_brute_force(spark):
+    import itertools
+    import random
+    from akka_stream_contrib_spark.functions.graph import local_clustering
+    rng = random.Random(7)
+    edges = {(a, b) for a, b in
+             (sorted(rng.sample(range(12), 2)) for _ in range(40))}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    got = {r.node: (r.degree, r.triangles, r.coefficient)
+           for r in local_clustering(df).collect()}
+    for v, nbrs in adj.items():
+        if len(nbrs) < 2:
+            assert v not in got
+            continue
+        t = sum(1 for x, y in itertools.combinations(sorted(nbrs), 2)
+                if (x, y) in edges)
+        c = round(2 * t / (len(nbrs) * (len(nbrs) - 1)), 6)
+        assert got[v] == (len(nbrs), t, pytest.approx(c, abs=1e-9)), v
+
+
+def test_local_clustering_ignores_direction_and_self_loops(spark):
+    from akka_stream_contrib_spark.functions.graph import local_clustering
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)], "src int, dst int")
+    out = {r.node: r.coefficient for r in local_clustering(edges).collect()}
+    assert out == {1: 1.0, 2: 1.0, 3: 1.0}
+
+
+# ---------------------------------------------------------------------------
+# association_rules
+# ---------------------------------------------------------------------------
+
+def test_association_rules_known_baskets(spark):
+    from akka_stream_contrib_spark.functions.basket import association_rules
+    rows = [
+        (1, "beer"), (1, "chips"),
+        (2, "beer"), (2, "chips"),
+        (3, "beer"), (3, "chips"), (3, "milk"),
+        (4, "milk"), (4, "bread"),
+        (5, "beer"), (5, "bread"),
+        (6, "beer"), (6, "chips"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = {(r.x, r.y): r for r in df.transform(
+        association_rules("basket", "item", min_pair_count=2, top_k=10)
+    ).collect()}
+    r = out[("beer", "chips")]
+    assert (r.n_xy, r.n_x, r.n_y) == (4, 5, 4)
+    # 6 baskets: support 4/6, confidence 4/5, lift 4*6/(5*4)
+    assert r.support == pytest.approx(4 / 6, abs=1e-6)
+    assert r.confidence == pytest.approx(4 / 5, abs=1e-6)
+    assert r.lift == pytest.approx(24 / 20, abs=1e-6)
+    # pairs below min_pair_count never appear
+    assert ("bread", "milk") not in out
+
+
+def test_association_rules_dedups_within_basket(spark):
+    from akka_stream_contrib_spark.functions.basket import association_rules
+    # item repeated in one basket counts once
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    r = df.transform(association_rules(
+        "basket", "item", min_pair_count=1, top_k=5)).collect()[0]
+    assert (r.x, r.y, r.n_xy, r.n_x, r.n_y) == ("a", "b", 2, 2, 2)
+    assert r.lift == 1.0
+
+
+def test_association_rules_excludes_oversized_baskets(spark):
+    from akka_stream_contrib_spark.functions.basket import association_rules
+    rows = [(1, f"i{k}") for k in range(5)] + [(2, "i0"), (2, "i1")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = df.transform(association_rules(
+        "basket", "item", min_pair_count=1, top_k=50,
+        max_basket_size=3)).collect()
+    # basket 1 (5 items) is dropped entirely; only basket 2's pair remains
+    assert len(out) == 1
+    r = out[0]
+    assert (r.x, r.y, r.n_xy) == ("i0", "i1", 1)
+    # N counts only surviving baskets
+    assert r.support == 1.0
