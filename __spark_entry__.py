@@ -3629,6 +3629,26 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "basket", "item", min_pair_count=3, top_k=25))
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Censoring-aware user-retention curve (functions/ml.py::
+    kaplan_meier): subject = user with duration last−first activity day;
+    users still active in the final 7 fixture days are right-censored.
+    Distinct-duration collapse, range-prefix at-risk set, log-space
+    product with 9-dp decimal terms."""
+    from akka_stream_contrib_spark.functions.ml import kaplan_meier
+    ev = tables.load(spark, "events", sf_dir)
+    g = ev.groupBy("user_id").agg(F.min("ts").alias("_first"),
+                                  F.max("ts").alias("_last"))
+    mx = ev.agg(F.max("ts").alias("_mx"))
+    subj = (g.crossJoin(F.broadcast(mx))
+            .select(F.datediff(F.to_date("_last"), F.to_date("_first"))
+                    .alias("duration"),
+                    (F.col("_last")
+                     <= F.col("_mx") - F.expr("INTERVAL 7 DAYS"))
+                    .cast("int").alias("event")))
+    return subj.transform(kaplan_meier())
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3877,6 +3897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_tokens": q_chi2_tokens,
         "local_clustering": q_local_clustering,
         "association_rules": q_association_rules,
+        "kaplan_meier": q_kaplan_meier,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3929,8 +3950,8 @@ _PRIORITY = [
     # local-gate green), the ivf pair's oracle-flip re-evidence, the hll
     # rows-only re-pins, and session-2's later batches (ndcg_eval,
     # welch_ttest, benford_check, sliced_eval, ks_statistic, chi2_tokens,
-    # local_clustering, association_rules — all local-gate green at two
-    # SFs).
+    # local_clustering, association_rules, kaplan_meier — all local-gate
+    # green at two SFs).
 ]
 
 
@@ -8525,6 +8546,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN item_n iy ON pairs.y = iy.item
             CROSS JOIN nb
             ORDER BY lift DESC, x, y LIMIT 25
+        """,
+        # Kaplan-Meier: per-user durations, last-7-day censoring, exclusive
+        # prefix at-risk set, log-space survival product with 9-dp decimal
+        # terms (functions/ml.py::kaplan_meier)
+        "kaplan_meier": """
+            WITH subj AS (
+                SELECT CAST(date_diff('day', CAST(min(ts) AS DATE),
+                                      CAST(max(ts) AS DATE)) AS INT) AS t,
+                       CAST(max(ts) <= (SELECT max(ts) FROM events)
+                                       - INTERVAL 7 DAY AS INT) AS ev
+                FROM events GROUP BY user_id
+            ), per AS (
+                SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                       CAST(count(*) - sum(ev) AS BIGINT) AS c
+                FROM subj GROUP BY t
+            ), c1 AS (
+                SELECT t, d,
+                       CAST((SELECT sum(d + c) FROM per) AS BIGINT)
+                       - CAST(coalesce(sum(d + c) OVER (
+                             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+                FROM per
+            ), c2 AS (
+                SELECT t, d, n_risk,
+                       sum(CASE WHEN d < n_risk
+                                THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+                                                    / CAST(n_risk AS DOUBLE)),
+                                                9) AS DECIMAL(18,9)) END)
+                           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS cs
+                FROM c1
+            )
+            SELECT t AS duration, n_risk, d AS n_events,
+                   CASE WHEN d = n_risk THEN CAST(0.0 AS DOUBLE)
+                        ELSE round(exp(CAST(cs AS DOUBLE)), 6) + 0.0
+                   END AS survival
+            FROM c2 WHERE d > 0
         """,
         # sliced classifier evaluation: q_classification_report's shape
         # per language with a rule pair that populates all four cells in

@@ -317,6 +317,64 @@ def chi2_tokens(label: Column, text_col: str = "text", top_k: int = 30,
     return _apply
 
 
+def kaplan_meier(duration_col: str = "duration", event_col: str = "event"):
+    """Kaplan–Meier survival curve over (duration, event) subjects —
+    right-censoring-aware retention/churn estimation (event = 1 means the
+    terminal event was observed at ``duration``; 0 means the subject was
+    censored there and is only known to have survived AT LEAST that long).
+    Emits one row per distinct EVENT time: (duration, n_risk, n_events,
+    survival) with ``S(t) = Π_{t'≤t} (1 − d/n)``.
+
+    Distributed shape: subjects collapse to per-distinct-duration
+    (events, censored) counts first (one map-combined shuffle; everything
+    after is bounded by duration cardinality), the at-risk set comes from
+    the total minus the EXCLUSIVE prefix of (d+c) under duration order,
+    and the product runs in log space — both prefixes are the two-phase
+    range form (`operators/global_order.py`), never a single-partition
+    window. Per-term logs are rounded to 9 dp and summed as exact
+    decimals, so the curve is engine-portable; ``d == n`` (everyone
+    remaining dies) can only happen at the last emitted time and yields
+    survival exactly 0 rather than ln(0).
+
+    Reference anchor: none (analytics extension; family of
+    cohort_retention / auc_roc).
+    """
+    from akka_stream_contrib_spark.operators.global_order import (
+        global_running_sum,
+    )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        ev = F.col(event_col).cast("long")
+        per = (df.filter(F.col(duration_col).isNotNull() & ev.isNotNull())
+               .groupBy(F.col(duration_col).alias("t"))
+               .agg(F.sum(ev).alias("d"),
+                    (F.count(F.lit(1)) - F.sum(ev)).alias("c")))
+        per = per.withColumn("_leave", F.col("d") + F.col("c"))
+        c1 = global_running_sum(per, ["t"], "_leave", "_cum_leave")
+        tot = c1.agg(F.sum("_leave").alias("_n_total"))
+        c1 = (c1.crossJoin(F.broadcast(tot))
+              .withColumn("n_risk",
+                          F.col("_n_total")
+                          - (F.col("_cum_leave") - F.col("_leave"))))
+        ratio = F.col("d").cast("double") / F.col("n_risk").cast("double")
+        term = F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(F.log(F.lit(1.0) - ratio), 9).cast("decimal(18,9)"))
+        c2 = global_running_sum(c1.withColumn("_term", term),
+                                ["t"], "_term", "_cs")
+        return (c2.filter(F.col("d") > 0)
+                .select(F.col("t").alias(duration_col),
+                        "n_risk",
+                        F.col("d").alias("n_events"),
+                        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+                        .otherwise(F.round(
+                            F.exp(F.col("_cs").cast("double")), 6)
+                            + F.lit(0.0))
+                        .alias("survival")))
+
+    return _apply
+
+
 def welch_ttest(group_col: str, value_col: str, g1, g2):
     """Welch's unequal-variance two-sample t-test between two groups of a
     numeric column — the A/B-test / cohort-comparison primitive

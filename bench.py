@@ -183,6 +183,7 @@ HEADLINE = [
     "chi2_tokens",
     "local_clustering",
     "association_rules",
+    "kaplan_meier",
 ]
 
 

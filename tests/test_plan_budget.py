@@ -339,6 +339,9 @@ BUDGET = {
     # pair count + two item-count joins (shared partitioning where keys
     # allow; AQE broadcasts the small sides at runtime)
     "association_rules": 7,
+    # per-user duration agg + distinct-duration collapse + two range
+    # prefixes (checkpoint-truncated in the printed plan)
+    "kaplan_meier": 2,
 }
 
 

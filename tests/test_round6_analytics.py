@@ -674,3 +674,62 @@ def test_association_rules_excludes_oversized_baskets(spark):
     assert (r.x, r.y, r.n_xy) == ("i0", "i1", 1)
     # N counts only surviving baskets
     assert r.support == 1.0
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+def _km_model(subjects):
+    """Plain-python KM over (duration, event) pairs."""
+    times = sorted({t for t, e in subjects if e == 1})
+    out = {}
+    s = 1.0
+    for t in times:
+        n = sum(1 for d, _ in subjects if d >= t)
+        d = sum(1 for dur, e in subjects if dur == t and e == 1)
+        s *= 1.0 - d / n
+        out[t] = (n, d, s)
+    return out
+
+
+def test_kaplan_meier_matches_textbook_leukemia_data(spark):
+    from akka_stream_contrib_spark.functions.ml import kaplan_meier
+    # the classic 6-MP arm (Freireich 1963): 9 relapses, 12 censored
+    events = [6, 6, 6, 7, 10, 13, 16, 22, 23]
+    censored = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]
+    subjects = [(t, 1) for t in events] + [(t, 0) for t in censored]
+    df = spark.createDataFrame(subjects, "duration int, event int")
+    got = {r.duration: r for r in df.transform(kaplan_meier()).collect()}
+    want = _km_model(subjects)
+    assert set(got) == set(want)
+    for t, (n, d, s) in want.items():
+        assert got[t].n_risk == n and got[t].n_events == d
+        assert got[t].survival == pytest.approx(s, abs=1e-4), t
+    # the canonical published values
+    assert got[6].survival == pytest.approx(0.8571, abs=1e-3)
+    assert got[23].survival == pytest.approx(0.4482, abs=1e-3)
+
+
+def test_kaplan_meier_no_censoring_equals_empirical_survival(spark):
+    from akka_stream_contrib_spark.functions.ml import kaplan_meier
+    subjects = [(t, 1) for t in [1, 2, 2, 3, 5]]
+    df = spark.createDataFrame(subjects, "duration int, event int")
+    got = {r.duration: r.survival
+           for r in df.transform(kaplan_meier()).collect()}
+    # with everyone observed, S(t) = fraction with duration > t
+    assert got[1] == pytest.approx(4 / 5, abs=1e-6)
+    assert got[2] == pytest.approx(2 / 5, abs=1e-6)
+    assert got[3] == pytest.approx(1 / 5, abs=1e-6)
+    assert got[5] == 0.0  # d == n_risk at the last time -> exactly 0
+
+
+def test_kaplan_meier_censored_only_times_not_emitted(spark):
+    from akka_stream_contrib_spark.functions.ml import kaplan_meier
+    subjects = [(1, 1), (2, 0), (3, 1)]
+    df = spark.createDataFrame(subjects, "duration int, event int")
+    out = df.transform(kaplan_meier()).collect()
+    assert sorted(r.duration for r in out) == [1, 3]
+    got = {r.duration: r for r in out}
+    # censoring at 2 still shrinks the risk set at 3
+    assert got[3].n_risk == 1 and got[3].survival == 0.0
