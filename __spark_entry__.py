@@ -3569,11 +3569,18 @@ def q_sliced_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from akka_stream_contrib_spark.functions.ml import classification_report
     docs = tables.load(spark, "documents", sf_dir)
-    scored = docs.select(
-        F.col("lang"),
-        (F.col("n_chars") > 250).cast("int").alias("label"),
-        (F.size(F.split(F.col("text"), " ")) > 45).cast("int")
-        .alias("predicted"))
+    # NULL stats carry no confusion evidence, and Spark's three-valued
+    # cast would drop them where a SQL CASE..ELSE buckets them — exclude
+    # explicitly on both sides (no NULLs in today's fixtures; this guards
+    # regeneration)
+    scored = (docs
+              .filter(F.col("n_chars").isNotNull()
+                      & F.col("text").isNotNull())
+              .select(
+                  F.col("lang"),
+                  (F.col("n_chars") > 250).cast("int").alias("label"),
+                  (F.size(F.split(F.col("text"), " ")) > 45).cast("int")
+                  .alias("predicted")))
     return scored.transform(classification_report(group_by=["lang"]))
 
 
@@ -3630,22 +3637,26 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Censoring-aware user-retention curve (functions/ml.py::
-    kaplan_meier): subject = user with duration last−first activity day;
-    users still active in the final 7 fixture days are right-censored.
-    Distinct-duration collapse, range-prefix at-risk set, log-space
-    product with 9-dp decimal terms."""
+    """Censoring-aware time-to-first-purchase curve (functions/ml.py::
+    kaplan_meier): subject = user, duration = days from first activity to
+    first purchase, administratively right-censored at a deterministic
+    per-user observation window of ``user_id % 7`` days (the uniform
+    fixtures have no natural churn, so the censoring device is explicit —
+    at sf0.01 this yields 121 events / 29 censored over 5 event times, a
+    real mixed curve). Distinct-duration collapse, range-prefix at-risk
+    set, log-space product with 9-dp decimal terms."""
     from akka_stream_contrib_spark.functions.ml import kaplan_meier
     ev = tables.load(spark, "events", sf_dir)
-    g = ev.groupBy("user_id").agg(F.min("ts").alias("_first"),
-                                  F.max("ts").alias("_last"))
-    mx = ev.agg(F.max("ts").alias("_mx"))
-    subj = (g.crossJoin(F.broadcast(mx))
-            .select(F.datediff(F.to_date("_last"), F.to_date("_first"))
-                    .alias("duration"),
-                    (F.col("_last")
-                     <= F.col("_mx") - F.expr("INTERVAL 7 DAYS"))
-                    .cast("int").alias("event")))
+    g = ev.groupBy("user_id").agg(
+        F.min("ts").alias("_first"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("_buy"))
+    pdays = F.datediff(F.to_date("_buy"), F.to_date("_first"))
+    cday = (F.col("user_id") % 7).cast("int")
+    observed = pdays.isNotNull() & (pdays <= cday)
+    subj = g.select(
+        F.when(observed, pdays).otherwise(cday).alias("duration"),
+        observed.cast("int").alias("event"))
     return subj.transform(kaplan_meier())
 
 
@@ -4109,9 +4120,14 @@ def _benford_oracle(col: str = "l_extendedprice",
             FROM (SELECT CAST(CAST({col} AS DECIMAL(12,2)) * 100 AS BIGINT)
                       AS cl FROM {table})
             WHERE cl > 0
+        ), spine AS (
+            SELECT CAST(unnest(range(1, 10)) AS INT) AS digit
         ), per AS (
-            SELECT digit, CAST(count(*) AS BIGINT) AS n
-            FROM d GROUP BY digit
+            SELECT spine.digit,
+                   CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+            FROM spine LEFT JOIN (
+                SELECT digit, count(*) AS n FROM d GROUP BY digit) cnt
+              ON spine.digit = cnt.digit
         ), tot AS (
             SELECT CAST(sum(n) AS BIGINT) AS t FROM per
         ), scored AS (
@@ -4120,12 +4136,14 @@ def _benford_oracle(col: str = "l_extendedprice",
             FROM per CROSS JOIN tot
         ), pd AS (
             SELECT digit, n,
-                   round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0.0
-                       AS share,
+                   round(CASE WHEN t > 0
+                              THEN CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                         END, 6) + 0.0 AS share,
                    expected,
-                   CAST(round((CAST(n AS DOUBLE) - en)
-                              * (CAST(n AS DOUBLE) - en) / en, 9)
-                        AS DECIMAL(15,9)) AS chi_term
+                   CAST(CASE WHEN en > 0
+                             THEN round((CAST(n AS DOUBLE) - en)
+                                        * (CAST(n AS DOUBLE) - en) / en, 9)
+                        END AS DECIMAL(15,9)) AS chi_term
             FROM scored
         ), total AS (
             SELECT round(CAST(sum(chi_term) AS DOUBLE), 6) AS chi2 FROM pd
@@ -8184,7 +8202,8 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) - neg AS cumneg
                 FROM per
             )
-            SELECT round(CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE)
+            SELECT round(CAST(sum(CAST(pos AS DECIMAL(19,0))
+                                  * (2 * cumneg + neg)) AS DOUBLE)
                          / (2.0 * CAST(sum(pos) AS DOUBLE)
                             * CAST(sum(neg) AS DOUBLE)), 6) + 0.0 AS auc,
                    CAST(sum(pos) AS BIGINT) AS n_pos,
@@ -8451,7 +8470,7 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(CAST(a + c AS DECIMAL(19,0)) * (b + d)
                                    AS DOUBLE)), 6) + 0.0 AS chi2
             FROM j
-            WHERE c + d > 0 AND b + d > 0
+            WHERE c + d > 0 AND b + d > 0 AND a + c > 0
             ORDER BY chi2 DESC, token LIMIT 30
         """,
         # per-node clustering coefficient: triangle_count's CTE chain with
@@ -8547,16 +8566,23 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN nb
             ORDER BY lift DESC, x, y LIMIT 25
         """,
-        # Kaplan-Meier: per-user durations, last-7-day censoring, exclusive
-        # prefix at-risk set, log-space survival product with 9-dp decimal
-        # terms (functions/ml.py::kaplan_meier)
+        # Kaplan-Meier: time to first purchase, administratively censored
+        # at user_id % 7 observation days; exclusive prefix at-risk set,
+        # log-space survival product with 9-dp decimal terms
+        # (functions/ml.py::kaplan_meier)
         "kaplan_meier": """
-            WITH subj AS (
-                SELECT CAST(date_diff('day', CAST(min(ts) AS DATE),
-                                      CAST(max(ts) AS DATE)) AS INT) AS t,
-                       CAST(max(ts) <= (SELECT max(ts) FROM events)
-                                       - INTERVAL 7 DAY AS INT) AS ev
+            WITH subj0 AS (
+                SELECT CAST(user_id % 7 AS INT) AS cday,
+                       date_diff('day', CAST(min(ts) AS DATE),
+                                 CAST(min(CASE WHEN event_type = 'purchase'
+                                          THEN ts END) AS DATE)) AS pdays
                 FROM events GROUP BY user_id
+            ), subj AS (
+                SELECT CAST(CASE WHEN pdays IS NOT NULL AND pdays <= cday
+                            THEN pdays ELSE cday END AS INT) AS t,
+                       CAST(pdays IS NOT NULL AND pdays <= cday AS INT)
+                           AS ev
+                FROM subj0
             ), per AS (
                 SELECT t, CAST(sum(ev) AS BIGINT) AS d,
                        CAST(count(*) - sum(ev) AS BIGINT) AS c
@@ -8594,6 +8620,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN len(string_split(text, ' ')) > 45
                             THEN 1 ELSE 0 END AS p
                 FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL
             ), agg AS (
                 SELECT lang,
                        CAST(sum(CASE WHEN y=1 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,

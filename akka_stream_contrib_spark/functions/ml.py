@@ -272,16 +272,19 @@ def chi2_tokens(label: Column, text_col: str = "text", top_k: int = 30,
     """
     def _apply(df: DataFrame) -> DataFrame:
         lab = label.cast("int")
-        toks = (df.select(lab.alias("_y"),
-                          F.explode(F.array_distinct(
-                              F.split(F.lower(F.col(text_col)), " ")))
-                          .alias("token"))
-                .filter(F.col("token").rlike("^[a-z]+$")
-                        & F.col("_y").isNotNull()))
+        # drop NULL-label documents BEFORE the tokenize+dedup+explode
+        # fan-out (the most expensive stage) — a post-explode label filter
+        # would pay it for every discarded row
+        labeled = df.filter(lab.isNotNull())
+        toks = (labeled.select(lab.alias("_y"),
+                               F.explode(F.array_distinct(
+                                   F.split(F.lower(F.col(text_col)), " ")))
+                               .alias("token"))
+                .filter(F.col("token").rlike("^[a-z]+$")))
         per = (toks.groupBy("token")
                .agg(F.sum("_y").cast("long").alias("a"),
                     F.sum(F.lit(1) - F.col("_y")).cast("long").alias("b")))
-        tot = df.filter(lab.isNotNull()).agg(
+        tot = labeled.agg(
             F.sum(lab).cast("long").alias("n1"),
             F.sum(F.lit(1) - lab).cast("long").alias("n0"))
         j = (per.filter(F.col("a") + F.col("b") >= min_docs)
@@ -303,11 +306,13 @@ def chi2_tokens(label: Column, text_col: str = "text", top_k: int = 30,
             * ((F.col("a") + F.col("c")).cast(dec)
                * (F.col("b") + F.col("d"))).cast("double")
         out = (j
-               # a token present in EVERY class-1 or class-0 doc zeroes a
-               # marginal: both engines must skip it (Spark NULL-division
-               # vs DuckDB semantics would otherwise diverge)
+               # a zero marginal (token in EVERY class-1 or class-0 doc,
+               # or an absent class: a+c = n1 = 0) makes χ² 0/0 — both
+               # engines must skip it (Spark NULL-division vs DuckDB
+               # semantics would otherwise diverge)
                .filter((F.col("c") + F.col("d") > 0)
-                       & (F.col("b") + F.col("d") > 0))
+                       & (F.col("b") + F.col("d") > 0)
+                       & (F.col("a") + F.col("c") > 0))
                .select(
                    "token", "a", "b", "c", "d",
                    (F.round(F.try_divide(num, den), 6) + F.lit(0.0))
@@ -533,8 +538,11 @@ def auc_roc(label_col: str = "label", score_col: str = "score"):
                     (F.count(F.lit(1)) - F.sum(y)).alias("neg")))
         c = global_running_sum(per, ["_score"], "neg", "_cn")
         cumneg = F.col("_cn") - F.col("neg")
+        # pos·(2·cumneg+neg) approaches 2·P·N — decimal keeps two ~3e9-row
+        # classes from overflowing the int64 sum (the ks_statistic guard)
         agg = c.agg(
-            F.sum(F.col("pos") * (F.lit(2) * cumneg + F.col("neg")))
+            F.sum(F.col("pos").cast("decimal(19,0)")
+                  * (F.lit(2) * cumneg + F.col("neg")))
             .alias("_num2"),
             F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"))
         return agg.select(

@@ -316,8 +316,17 @@ def benford_check(value_col: str = "value"
         d = df.select(cents.alias("_c")).filter(F.col("_c") > 0).select(
             F.substring(F.col("_c").cast("string"), 1, 1).cast("int")
             .alias("digit"))
+        # COMPLETE the digit spine: a digit with zero observations carries
+        # the LARGEST possible χ² term ((0−e·N)²/(e·N) = e·N) and is
+        # exactly the fabricated-data signature — groupBy alone would
+        # silently drop it and understate χ² when it matters most
+        spine = (df.sparkSession.range(1).select(
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")))
         per = pipeline_cache(
-            d.groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+            spine.join(d.groupBy("digit").agg(F.count(F.lit(1)).alias("_n")),
+                       "digit", "left")
+            .select("digit",
+                    F.coalesce("_n", F.lit(0).cast("long")).alias("n")))
         tot = per.agg(F.sum("n").alias("_t"))
         emap = F.create_map(*[
             F.lit(x) for dd, e in enumerate(exp, start=1)
@@ -329,13 +338,18 @@ def benford_check(value_col: str = "value"
         chi_term = ((F.col("n").cast("double") - F.col("_en"))
                     * (F.col("n").cast("double") - F.col("_en"))
                     / F.col("_en"))
+        # _en > 0 guard: a fully-empty input (no positive values) zeroes
+        # every expected count — emit NULL terms on both engines instead
+        # of Spark-NULL-vs-DuckDB-NaN divergence
         per_digit = scored.select(
             "digit", "n",
-            (F.round(F.col("n").cast("double")
-                     / F.col("_t").cast("double"), 6) + F.lit(0.0))
+            (F.round(F.when(F.col("_t") > 0,
+                            F.col("n").cast("double")
+                            / F.col("_t").cast("double")), 6) + F.lit(0.0))
             .alias("share"),
             F.col("expected"),
-            F.round(chi_term, 9).cast("decimal(15,9)").alias("chi_term"))
+            F.when(F.col("_en") > 0, F.round(chi_term, 9))
+            .cast("decimal(15,9)").alias("chi_term"))
         total = per_digit.agg(
             F.round(F.sum("chi_term").cast("double"), 6).alias("chi2"))
         return (per_digit.crossJoin(F.broadcast(total))

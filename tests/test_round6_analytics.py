@@ -437,7 +437,41 @@ def test_benford_ignores_nonpositive_and_null(spark):
     rows = [(1.0,), (-5.0,), (0.0,), (None,), (19.0,), (120.0,)]
     df = spark.createDataFrame(rows, "value double")
     out = df.transform(benford_check("value")).collect()
-    assert {(r.digit, r.n) for r in out} == {(1, 3)}
+    # the digit spine is COMPLETE: unseen digits appear with n=0
+    assert {(r.digit, r.n) for r in out} \
+        == {(1, 3)} | {(d, 0) for d in range(2, 10)}
+
+
+def test_benford_missing_digit_contributes_full_chi2(spark):
+    from akka_stream_contrib_spark.functions.quality import (
+        benford_check, benford_expected)
+    # Benford-perfect counts for digits 1..8 but ZERO nines (the
+    # truncated/capped-data signature): the absent digit must contribute
+    # its full (0 - e9*N)^2 / (e9*N) = e9*N term, not silently vanish
+    exp = benford_expected()
+    rows = []
+    for d, e in zip(range(1, 9), exp[:8]):
+        rows += [(float(d),)] * round(e * 1000)
+    df = spark.createDataFrame(rows, "value double")
+    out = {r.digit: r for r in df.transform(benford_check("value")).collect()}
+    assert set(out) == set(range(1, 10))
+    n_tot = sum(r.n for r in out.values())
+    e9n = exp[8] * n_tot
+    assert out[9].n == 0
+    assert out[9].chi_term == pytest.approx(e9n, abs=1e-4)
+    assert out[9].chi2 >= e9n  # the total includes the missing digit
+
+
+def test_chi2_absent_class_yields_no_rows(spark):
+    from akka_stream_contrib_spark.functions.ml import chi2_tokens
+    df = spark.createDataFrame(
+        [(0, "aaa bbb", "en"), (1, "aaa ccc", "fr")],
+        "doc_id int, text string, lang string")
+    # predicate matches no documents -> every a+c marginal is 0, and the
+    # guard must drop all rows instead of emitting NULL/NaN chi2
+    out = df.transform(chi2_tokens(F.col("lang") == "xx",
+                                   top_k=5, min_docs=1)).collect()
+    assert out == []
 
 
 # ---------------------------------------------------------------------------
