@@ -94,6 +94,18 @@ SHOWCASE = {
         "with the label mask inside the kernel — zero exchanges",
     "balanced_shards": "token-balanced shards: two-phase global rank "
         "(range exchange + broadcast prefix) + map-side modulo",
+    "auc_roc": "exact Mann-Whitney AUC: distinct-score collapse, two-phase "
+        "range prefix of negatives (no global sort), decimal-exact "
+        "integer numerator to one final division",
+    "nb_lang_confusion": "Naive Bayes train+score+evaluate: one "
+        "(token,label) corpus count, cached V*L model broadcast to the "
+        "scorer, decimal posterior sums, per-doc argmax window",
+    "association_rules": "market-basket lift: ONE basket-key self-join on "
+        "the cached deduplicated item frame, window basket-size guard, "
+        "TakeOrdered top-k",
+    "kaplan_meier": "survival curve: distinct-duration collapse, exclusive "
+        "range-prefix at-risk set, log-space product — duration "
+        "cardinality bounds everything after the first shuffle",
 }
 
 
