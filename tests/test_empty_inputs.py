@@ -40,6 +40,12 @@ NONEMPTY_OK = {
     "triangle_count",  # global (n_wedges, n_triangles) reduction — 1 zero row
     "classification_report",  # a one-row zero-count confusion report is correct
     "blocking_report",  # global 1-row audit aggregate — zero counts correct
+    # round-6 session-2 single-row metric reductions: one all-NULL/zero
+    # metrics row on empty input is standard aggregate semantics
+    "auc_roc", "ks_statistic", "welch_ttest", "zipf_fit", "ndcg_eval",
+    # benford emits its COMPLETE 9-digit spine (n=0, NULL χ² terms) by
+    # design — an absent digit is the signal it audits for
+    "benford_check",
 }
 
 
