@@ -4143,7 +4143,7 @@ def _benford_oracle(col: str = "l_extendedprice",
                    CAST(CASE WHEN en > 0
                              THEN round((CAST(n AS DOUBLE) - en)
                                         * (CAST(n AS DOUBLE) - en) / en, 9)
-                        END AS DECIMAL(15,9)) AS chi_term
+                        END AS DECIMAL(28,9)) AS chi_term
             FROM scored
         ), total AS (
             SELECT round(CAST(sum(chi_term) AS DOUBLE), 6) AS chi2 FROM pd

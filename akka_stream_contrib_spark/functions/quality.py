@@ -348,8 +348,13 @@ def benford_check(value_col: str = "value"
                             / F.col("_t").cast("double")), 6) + F.lit(0.0))
             .alias("share"),
             F.col("expected"),
+            # decimal(28,9), not (15,9): a MISSING digit's term is e·N
+            # (≈ 0.046·N for digit 9), which blows a 6-integer-digit
+            # decimal past ~22M rows — under Spark 4's ANSI default the
+            # cast would CRASH the audit exactly on the fabricated-data
+            # input it exists to flag
             F.when(F.col("_en") > 0, F.round(chi_term, 9))
-            .cast("decimal(15,9)").alias("chi_term"))
+            .cast("decimal(28,9)").alias("chi_term"))
         total = per_digit.agg(
             F.round(F.sum("chi_term").cast("double"), 6).alias("chi2"))
         return (per_digit.crossJoin(F.broadcast(total))
