@@ -3660,6 +3660,55 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subj.transform(kaplan_meier())
 
 
+#: deterministic unit anchor for q_embedding_drift: the quantized_ann
+#: synthetic query direction, L2-normalized in python so BOTH engines
+#: receive the identical double literals
+def _drift_anchor() -> list[float]:
+    import math as _m
+    qv = [((i * 37) % 19 - 9) / 9.0 for i in range(64)]
+    n = _m.sqrt(sum(v * v for v in qv))
+    return [v / n for v in qv]
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-population drift monitor: PSI between two corpus slices
+    (labels 0–4 vs 5–9) of the distance-to-anchor distribution — the
+    embedding-ops analogue of q_psi_drift (did the new batch's vectors
+    move relative to a fixed reference direction?). The distance is ONE
+    parsed left-assoc expression over the 64 components with python
+    anchor literals (identical IEEE text on both engines — fixtures are
+    unit vectors, so anchor distance is the discriminative scalar, norms
+    are all exactly 1); then functions/ml.py::psi_drift's fixed-bucket
+    machinery. Map-side distance + two bucket-count aggregations at any
+    corpus size."""
+    from akka_stream_contrib_spark.functions.ml import psi_drift
+    a = _drift_anchor()
+    dist = "sqrt(0.0D" + "".join(
+        f" + (CAST(embedding[{i}] AS DOUBLE) - {a[i]!r}D)"
+        f" * (CAST(embedding[{i}] AS DOUBLE) - {a[i]!r}D)"
+        for i in range(64)) + ")"
+    emb = tables.load(spark, "embeddings", sf_dir)
+    d = emb.selectExpr("label", f"{dist} AS value")
+    old = d.filter(F.col("label") < 5)
+    new = d.filter(F.col("label") >= 5)
+    return psi_drift(old, new, "value", n_buckets=10, lo=1.0, hi=1.8)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification audit (functions/quality.py::k_anonymity):
+    customer groups under the (nation, segment, coarse account-balance)
+    quasi-identifier with fewer than k=5 members — the groups a
+    pseudonymized release would expose. One map-combined groupBy."""
+    from akka_stream_contrib_spark.functions.quality import k_anonymity
+    cust = tables.load(spark, "customer", sf_dir)
+    quasi = cust.select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 1000)
+        .cast("int").alias("bal_band"))
+    return quasi.transform(k_anonymity(
+        ["c_nationkey", "c_mktsegment", "bal_band"], k=5))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3909,6 +3958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": q_local_clustering,
         "association_rules": q_association_rules,
         "kaplan_meier": q_kaplan_meier,
+        "embedding_drift": q_embedding_drift,
+        "k_anonymity": q_k_anonymity,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -3961,8 +4012,8 @@ _PRIORITY = [
     # local-gate green), the ivf pair's oracle-flip re-evidence, the hll
     # rows-only re-pins, and session-2's later batches (ndcg_eval,
     # welch_ttest, benford_check, sliced_eval, ks_statistic, chi2_tokens,
-    # local_clustering, association_rules, kaplan_meier — all local-gate
-    # green at two SFs).
+    # local_clustering, association_rules, kaplan_meier, embedding_drift,
+    # k_anonymity — all local-gate green at two SFs).
 ]
 
 
@@ -4101,6 +4152,54 @@ def _welch_oracle(g1: str = "purchase", g2: str = "click") -> str:
                round({t}, 6) + 0.0 AS t_stat,
                round({dfw}, 6) + 0.0 AS df_welch
         FROM m
+    """
+
+
+def _embedding_drift_oracle() -> str:
+    """DuckDB mirror of q_embedding_drift: the SAME left-assoc anchor
+    distance (1-based list indexing) and psi_drift's fixed-bucket CTE
+    chain with lo=1.0, 10 buckets over [1.0, 1.8)."""
+    a = _drift_anchor()
+    dist = "sqrt(0.0" + "".join(
+        f" + (CAST(embedding[{i + 1}] AS DOUBLE) - {a[i]!r})"
+        f" * (CAST(embedding[{i + 1}] AS DOUBLE) - {a[i]!r})"
+        for i in range(64)) + ")"
+    w = (1.8 - 1.0) / 10
+    bucket = (f"CASE WHEN value < CAST(1.0 AS DOUBLE) THEN -1 "
+              f"ELSE least(CAST(floor((value - CAST(1.0 AS DOUBLE)) "
+              f"/ {w!r}) AS INT), 9) END")
+    return f"""
+        WITH d AS (
+            SELECT label, {dist} AS value FROM embeddings
+        ), oldv AS (
+            SELECT value FROM d WHERE label < 5 AND value IS NOT NULL
+        ), newv AS (
+            SELECT value FROM d WHERE label >= 5 AND value IS NOT NULL
+        ), pb AS (
+            SELECT {bucket} AS bucket, count(*) AS c FROM oldv GROUP BY 1
+        ), pt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM pb),
+        p AS (SELECT bucket, c / t AS p FROM pb, pt),
+        qb AS (
+            SELECT {bucket} AS bucket, count(*) AS c FROM newv GROUP BY 1
+        ), qt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM qb),
+        q AS (SELECT bucket, c / t AS q FROM qb, qt),
+        j AS (
+            SELECT COALESCE(p.bucket, q.bucket) AS bucket,
+                   COALESCE(p.p, CAST(0.0 AS DOUBLE)) AS p,
+                   COALESCE(q.q, CAST(0.0 AS DOUBLE)) AS q
+            FROM p FULL OUTER JOIN q ON p.bucket = q.bucket
+        ), terms AS (
+            SELECT bucket, p, q,
+                   CAST(round((greatest(p, 1e-6) - greatest(q, 1e-6))
+                        * ln(greatest(p, 1e-6) / greatest(q, 1e-6)), 9)
+                        AS DECIMAL(15,9)) AS term
+            FROM j
+        ), tot AS (
+            SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM terms
+        )
+        SELECT bucket, round(p, 6) + 0.0 AS p, round(q, 6) + 0.0 AS q,
+               CAST(term AS DOUBLE) + 0.0 AS psi_term, psi + 0.0 AS psi
+        FROM terms, tot
     """
 
 
@@ -8609,6 +8708,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(exp(CAST(cs AS DOUBLE)), 6) + 0.0
                    END AS survival
             FROM c2 WHERE d > 0
+        """,
+        "embedding_drift": _embedding_drift_oracle(),
+        # k-anonymity: the groups a pseudonymized release would expose
+        # (functions/quality.py::k_anonymity; Spark floor-divides the
+        # exact decimal balance, so mirror with decimal division)
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 1000)
+                        AS INT) AS bal_band,
+                   CAST(count(*) AS BIGINT) AS group_size
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment, bal_band
+            HAVING count(*) < 5
         """,
         # sliced classifier evaluation: q_classification_report's shape
         # per language with a rule pair that populates all four cells in

@@ -364,3 +364,33 @@ def benford_check(value_col: str = "value"
                         (F.col("chi2") + F.lit(0.0)).alias("chi2")))
 
     return _apply
+
+
+def k_anonymity(quasi_cols: list[str], k: int = 5
+                ) -> Callable[[DataFrame], DataFrame]:
+    """k-anonymity audit over a set of quasi-identifier columns — the
+    standard re-identification check before publishing or sharing a table:
+    every combination of quasi-identifier values must describe at least
+    ``k`` individuals; smaller groups are re-identifiable and must be
+    generalized or suppressed. Emits one row per VIOLATING group (the
+    quasi values plus its size) — empty result = the table is
+    k-anonymous at this ``k``.
+
+    Scale shape: ONE map-combined groupBy on the quasi columns and a
+    size filter; output is bounded by the number of small groups, never
+    the table. NULL is a legitimate quasi value (SQL GROUP BY semantics
+    keep NULL groups intact on any engine). Companion to `pii_redact` /
+    `pii_luhn` — those find the identifiers, this measures whether the
+    remaining attributes still single people out.
+
+    Reference anchor: none (governance extension of the quality family).
+    """
+    if k < 2:
+        raise ValueError("k_anonymity: k must be >= 2 (k=1 is vacuous)")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return (df.groupBy(*quasi_cols)
+                .agg(F.count(F.lit(1)).alias("group_size"))
+                .filter(F.col("group_size") < k))
+
+    return _apply

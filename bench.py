@@ -184,6 +184,8 @@ HEADLINE = [
     "local_clustering",
     "association_rules",
     "kaplan_meier",
+    "embedding_drift",
+    "k_anonymity",
 ]
 
 

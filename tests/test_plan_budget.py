@@ -342,6 +342,11 @@ BUDGET = {
     # per-user duration agg + distinct-duration collapse + two range
     # prefixes (checkpoint-truncated in the printed plan)
     "kaplan_meier": 2,
+    # psi_drift's bucket machinery (same 11 as psi_drift) over the
+    # map-side anchor-distance projection
+    "embedding_drift": 11,
+    # ONE map-combined quasi-identifier groupBy + size filter
+    "k_anonymity": 1,
 }
 
 

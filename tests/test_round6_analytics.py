@@ -767,3 +767,27 @@ def test_kaplan_meier_censored_only_times_not_emitted(spark):
     got = {r.duration: r for r in out}
     # censoring at 2 still shrinks the risk set at 3
     assert got[3].n_risk == 1 and got[3].survival == 0.0
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity
+# ---------------------------------------------------------------------------
+
+def test_k_anonymity_flags_small_groups_only(spark):
+    from akka_stream_contrib_spark.functions.quality import k_anonymity
+    rows = [("US", "a")] * 5 + [("US", "b")] * 2 + [("DE", "a")] * 1 \
+        + [(None, "a")] * 3
+    df = spark.createDataFrame(rows, "country string, seg string")
+    out = {(r.country, r.seg): r.group_size for r in
+           df.transform(k_anonymity(["country", "seg"], k=5)).collect()}
+    # the 5-member group is anonymous; the rest (incl. the NULL group)
+    # are re-identifiable
+    assert out == {("US", "b"): 2, ("DE", "a"): 1, (None, "a"): 3}
+
+
+def test_k_anonymity_anonymous_table_is_empty_and_k1_rejected(spark):
+    from akka_stream_contrib_spark.functions.quality import k_anonymity
+    df = spark.createDataFrame([("US",)] * 4 + [("DE",)] * 4, "c string")
+    assert df.transform(k_anonymity(["c"], k=4)).count() == 0
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        k_anonymity(["c"], k=1)
