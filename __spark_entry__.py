@@ -4118,24 +4118,27 @@ def _welch_oracle(g1: str = "purchase", g2: str = "click") -> str:
         sides.append(f"""
             CAST(sum(CASE WHEN {m} AND cl IS NOT NULL THEN 1 ELSE 0 END)
                  AS BIGINT) AS n{tag},
-            CAST(sum(CASE WHEN {m} THEN cl END) AS BIGINT) AS s{tag},
+            sum(CASE WHEN {m} THEN CAST(cl AS DECIMAL(19,0)) END) AS s{tag},
             CAST(sum(CASE WHEN {m} THEN CAST(cl * cl AS DECIMAL(38,0)) END)
                  AS DECIMAL(38,0)) AS q{tag}""")
+    # the SAME guard structure as the Spark side: every division behind a
+    # CASE, so degenerate cohorts yield NULL on both engines
     stats = {}
     for tag in (1, 2):
         n = f"CAST(n{tag} AS DOUBLE)"
         s = f"CAST(s{tag} AS DOUBLE)"
         q = f"CAST(q{tag} AS DOUBLE)"
-        mean = f"({s} / (100.0 * {n}))"
-        var = f"((({q} - ({s} * {s}) / {n}) / ({n} - 1.0)) / 10000.0)"
+        mean = f"(CASE WHEN n{tag} > 0 THEN {s} / (100.0 * {n}) END)"
+        var = (f"(CASE WHEN n{tag} > 1 THEN "
+               f"((({q} - ({s} * {s}) / {n}) / ({n} - 1.0)) / 10000.0) END)")
         stats[tag] = (n, mean, var)
     n1, m1, v1 = stats[1]
     n2, m2, v2 = stats[2]
     se2 = f"({v1} / {n1} + {v2} / {n2})"
-    t = f"(({m1} - {m2}) / sqrt({se2}))"
-    dfw = (f"(({se2} * {se2}) / (({v1} / {n1}) * ({v1} / {n1})"
-           f" / ({n1} - 1.0) + ({v2} / {n2}) * ({v2} / {n2})"
-           f" / ({n2} - 1.0)))")
+    t = f"(CASE WHEN {se2} > 0 THEN ({m1} - {m2}) / sqrt({se2}) END)"
+    dfw_den = (f"(({v1} / {n1}) * ({v1} / {n1}) / ({n1} - 1.0)"
+               f" + ({v2} / {n2}) * ({v2} / {n2}) / ({n2} - 1.0))")
+    dfw = (f"(CASE WHEN {dfw_den} > 0 THEN ({se2} * {se2}) / {dfw_den} END)")
     return f"""
         WITH m AS (
             SELECT {",".join(sides)}
@@ -8375,8 +8378,11 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY event_type, lag
             )
             SELECT event_type, CAST(lag AS INT) AS lag, n,
-                   round(CASE WHEN sqrt((nn * sxx - sx * sx)
-                                        * (nn * syy - sy * sy)) > 0
+                   -- guard the RADICAND, not sqrt(...): double rounding
+                   -- can land an exact-zero product slightly negative and
+                   -- DuckDB's sqrt raises where Spark yields NaN
+                   round(CASE WHEN (nn * sxx - sx * sx)
+                                   * (nn * syy - sy * sy) > 0
                               THEN (nn * sxy - sx * sy)
                                    / sqrt((nn * sxx - sx * sx)
                                           * (nn * syy - sy * sy))
@@ -8411,10 +8417,16 @@ def oracle_sql() -> dict[str, str]:
                            AS sxx
                 FROM r
             )
-            SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+            SELECT round(CASE WHEN (n * sxx - sx * sx) <> 0
+                              THEN (n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx) END, 6)
                        + 0.0 AS zipf_slope,
-                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-                          * sx) / n, 6) + 0.0 AS zipf_intercept,
+                   round(CASE WHEN n > 0
+                              THEN (sy - (CASE WHEN (n * sxx - sx * sx) <> 0
+                                          THEN (n * sxy - sx * sy)
+                                               / (n * sxx - sx * sx) END)
+                                    * sx) / n END, 6) + 0.0
+                       AS zipf_intercept,
                    n_terms
             FROM m
         """,

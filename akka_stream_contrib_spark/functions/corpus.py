@@ -907,23 +907,25 @@ def zipf_fit(top_k: int = 500, text_col: str = "text"
 
     Plan shape: the ``vocab_topk`` reduction (explode → partial-aggregated
     count → TakeOrdered, never a global vocabulary sort) picks the top_k
-    (freq desc, token asc) tokens; ranks come from the two-phase global rank
-    (`operators/global_order.py`) over those ≤ top_k rows — bounded work no
-    matter the corpus size. Regression moments sum as exact decimals of
-    9-dp-rounded logs (the `psi_drift` device), so the one-row result is
-    engine-portable.
+    (freq desc, token asc) tokens; ranks come from a plain row_number over
+    the ≤ top_k-row result (the benign post-limit WindowExec, same as
+    `rrf_fusion`/`ndcg_at_k` — bounded work no matter the corpus size).
+    Regression moments sum as exact decimals of 9-dp-rounded logs (the
+    `psi_drift` device); the slope division is guarded, so a degenerate
+    single-token vocabulary yields NULL instead of an ANSI
+    divide-by-zero.
 
     Reference anchor: none (corpus-curation extension; same family as
     vocab_topk / corpus_report).
     """
-    from akka_stream_contrib_spark.operators.global_order import global_rank
 
     def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
         top = df.transform(vocab_topk(k=top_k, text_col=text_col))
-        # rank by the SAME (freq desc, token asc) order the top-k used —
-        # global_rank sorts ascending, so rank on (-freq, token)
-        ranked = global_rank(top.withColumn("_negf", -F.col("freq")),
-                             ["_negf", "token"], out="rank").drop("_negf")
+        ranked = top.withColumn(
+            "rank", F.row_number().over(
+                Window.orderBy(F.desc("freq"), "token")))
         x = F.round(F.log(F.col("rank").cast("double")), 9) \
             .cast("decimal(18,9)")
         y = F.round(F.log(F.col("freq").cast("double")), 9) \
@@ -940,8 +942,13 @@ def zipf_fit(top_k: int = 500, text_col: str = "text"
         sy = F.col("sy").cast("double")
         sxy = F.col("sxy").cast("double")
         sxx = F.col("sxx").cast("double")
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        intercept = (sy - slope * sx) / n
+        # a single-distinct-token vocabulary gives rank=1 → x=0 for every
+        # row and an exactly-zero denominator: NULL, not ANSI
+        # divide-by-zero (the degenerate templated corpus this monitor
+        # exists to flag)
+        den = n * sxx - sx * sx
+        slope = F.when(den != 0, (n * sxy - sx * sy) / den)
+        intercept = F.when(F.col("n") > 0, (sy - slope * sx) / n)
         return m.select(
             (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
             (F.round(intercept, 6) + F.lit(0.0)).alias("zipf_intercept"),

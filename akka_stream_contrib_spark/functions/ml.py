@@ -206,7 +206,7 @@ def ks_statistic(label_col: str = "label", score_col: str = "score"):
     welch_ttest / psi_drift).
     """
     from akka_stream_contrib_spark.operators.global_order import (
-        global_running_sum,
+        global_running_sums,
     )
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -216,8 +216,10 @@ def ks_statistic(label_col: str = "label", score_col: str = "score"):
         per = (df.groupBy(F.col(score_col).alias("_score"))
                .agg(F.sum(y).alias("pos"),
                     (F.count(F.lit(1)) - F.sum(y)).alias("neg")))
-        c = global_running_sum(per, ["_score"], "pos", "_cp")
-        c = global_running_sum(c, ["_score"], "neg", "_cn")
+        # BOTH class CDFs from one ranged pass (one range shuffle, one
+        # checkpoint, one driver summary round-trip)
+        c = global_running_sums(per, ["_score"], ["pos", "neg"],
+                                ["_cp", "_cn"])
         tot = c.agg(F.sum("pos").alias("n_pos"),
                     F.sum("neg").alias("n_neg"))
         # cum·total products as exact decimal: two ~1e11-row classes at
@@ -402,6 +404,10 @@ def welch_ttest(group_col: str, value_col: str, g1, g2):
     """
     def _apply(df: DataFrame) -> DataFrame:
         cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+        # sums as exact decimal throughout: raw cents reach 9e8, so a
+        # ~1e10-row cohort overflows a bigint SUM (and under Spark 4's
+        # ANSI default that is a query-killing ARITHMETIC_OVERFLOW)
+        dec19 = "decimal(19,0)"
         dec = "decimal(38,0)"
 
         def side(tag, g):
@@ -409,27 +415,35 @@ def welch_ttest(group_col: str, value_col: str, g1, g2):
             return [
                 F.sum(F.when(m, 1).otherwise(0)).cast("long")
                 .alias(f"n{tag}"),
-                F.sum(F.when(m, cents)).alias(f"s{tag}"),
+                F.sum(F.when(m, cents.cast(dec19))).alias(f"s{tag}"),
                 F.sum(F.when(m, (cents * cents).cast(dec))).alias(f"q{tag}"),
             ]
 
         agg = df.agg(*side(1, g1), *side(2, g2))
 
+        # every division sits behind an explicit CASE guard (conditionals
+        # short-circuit, so ANSI mode cannot raise DIVIDE_BY_ZERO on a
+        # missing group, a 1-row cohort, or two constant cohorts —
+        # degenerate inputs yield NULL metrics like the sibling
+        # auc_roc/ks_statistic, matching DuckDB's NULL division)
         def stats(tag):
             n = F.col(f"n{tag}").cast("double")
             s = F.col(f"s{tag}").cast("double")
             q = F.col(f"q{tag}").cast("double")
-            mean = s / (F.lit(100.0) * n)
+            mean = F.when(F.col(f"n{tag}") > 0, s / (F.lit(100.0) * n))
             # cents² → value units²: ÷ 10000 inside the exact bracket
-            var = ((q - (s * s) / n) / (n - F.lit(1.0))) / F.lit(10000.0)
+            var = F.when(
+                F.col(f"n{tag}") > 1,
+                ((q - (s * s) / n) / (n - F.lit(1.0))) / F.lit(10000.0))
             return n, mean, var
 
         n1, m1, v1 = stats(1)
         n2, m2, v2 = stats(2)
         se2 = v1 / n1 + v2 / n2
-        t = (m1 - m2) / F.sqrt(se2)
-        dfw = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
-                             + (v2 / n2) * (v2 / n2) / (n2 - F.lit(1.0)))
+        t = F.when(se2 > 0, (m1 - m2) / F.sqrt(se2))
+        dfw_den = ((v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
+                   + (v2 / n2) * (v2 / n2) / (n2 - F.lit(1.0)))
+        dfw = F.when(dfw_den > 0, (se2 * se2) / dfw_den)
         return agg.select(
             F.col("n1"), F.col("n2"),
             (F.round(m1, 6) + F.lit(0.0)).alias("mean1"),

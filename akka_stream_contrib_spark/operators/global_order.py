@@ -129,6 +129,51 @@ def global_running_sum(df: DataFrame, order_cols: str | Sequence[str],
     return global_running_agg(df, order_cols, value_col, out, fn="sum")
 
 
+def global_running_sums(df: DataFrame, order_cols: str | Sequence[str],
+                        value_cols: Sequence[str], outs: Sequence[str],
+                        ) -> DataFrame:
+    """Inclusive global prefix sums of SEVERAL columns under one total
+    order, sharing a single range shuffle + checkpoint + driver summary
+    round-trip (chaining `global_running_sum` per column would re-range
+    and re-checkpoint the same frame each time — measured as one extra
+    plan exchange per column in `ks_statistic` before this existed).
+    NULL-prefix semantics per column are identical to the single-column
+    form."""
+    if len(value_cols) != len(outs):
+        raise ValueError("global_running_sums: value_cols and outs must "
+                         "pair up")
+    order_cols = normalize_cols(order_cols)
+    ranged = _ranged(df, order_cols)
+    # ONE summary aggregation collects every column's per-range sums
+    rows = (ranged.groupBy("_pid")
+            .agg(*[F.sum(c).alias(f"_s{i}") for i, c in
+                   enumerate(value_cols)])
+            .collect())
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out_cols = []
+    for i, (c, out) in enumerate(zip(value_cols, outs)):
+        summaries = {r["_pid"]: r[f"_s{i}"] for r in rows}
+        prefix, carry = {}, None
+        for pid in sorted(summaries):
+            prefix[pid] = carry
+            s = summaries[pid]
+            if s is not None:
+                carry = s if carry is None else carry + s
+        local = F.sum(c).over(w)
+        pairs = [x for pid in prefix if prefix[pid] is not None
+                 for x in (pid, prefix[pid])]
+        if pairs:
+            off = F.create_map(*[F.lit(x) for x in pairs])[F.col("_pid")]
+            combined = (F.when(off.isNull(), local)
+                        .when(local.isNull(), off)
+                        .otherwise(local + off))
+        else:
+            combined = local
+        out_cols.append(combined.alias(out))
+    return ranged.select("*", *out_cols).drop("_pid")
+
+
 def global_lag(df: DataFrame, order_cols: str | Sequence[str],
                value: Column, out: str) -> DataFrame:
     """``lag(value, 1)`` under the total order: local lag inside each range;

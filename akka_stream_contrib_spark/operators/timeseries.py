@@ -454,12 +454,16 @@ def autocorrelation(key: str = "event_type", value: str = "value",
              .select(F.col(key), F.col("p.lag").alias("lag"),
                      F.col("p.x").alias("x"), F.col("p.y").alias("y"))
              .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
-        # products of |cents| ≤ ~9e8 fit int64 pairwise but their SUM can
-        # overflow at ~1e10 rows — exact decimal keeps the reduction safe
+        # ALL sums as exact decimal: the products overflow an int64 SUM at
+        # ~1e10 rows, and the raw cents sums themselves (≤ 9e8 each) do
+        # too at the same scale — under Spark 4's ANSI default either is
+        # a query-killing ARITHMETIC_OVERFLOW, silent wraparound otherwise
         dec = "decimal(38,0)"
+        dec19 = "decimal(19,0)"
         agg = d.groupBy(key, "lag").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x").cast(dec19)).alias("sx"),
+            F.sum(F.col("y").cast(dec19)).alias("sy"),
             F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
             F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
             F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"))

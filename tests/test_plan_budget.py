@@ -311,8 +311,9 @@ BUDGET = {
     # ONE key shuffle: the (key, lag) agg's clustered distribution is
     # satisfied by the lag window's key hash partitioning (subset rule)
     "acf_lags": 1,
-    # vocab_topk reduction + two-phase global rank over <= top_k rows
-    "zipf_fit": 2,
+    # vocab_topk reduction; rank is the benign post-limit window over
+    # <= top_k rows (was a two-phase global rank: 2 -> 1)
+    "zipf_fit": 1,
     # train+score+evaluate: (token,label) corpus count, cached-model
     # aggregates (vocab/tot_l/labels/v_size/n_all — all vocabulary- or
     # label-cardinality), (doc,label) posterior agg, per-doc argmax

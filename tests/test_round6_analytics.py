@@ -791,3 +791,40 @@ def test_k_anonymity_anonymous_table_is_empty_and_k1_rejected(spark):
     assert df.transform(k_anonymity(["c"], k=4)).count() == 0
     with pytest.raises(ValueError, match="k must be >= 2"):
         k_anonymity(["c"], k=1)
+
+
+# ---------------------------------------------------------------------------
+# ANSI-mode degenerate inputs (review-pass regressions): every metric must
+# yield NULL rather than raise DIVIDE_BY_ZERO under Spark 4's ANSI default
+# ---------------------------------------------------------------------------
+
+def test_welch_degenerate_cohorts_yield_null_not_crash(spark):
+    from akka_stream_contrib_spark.functions.ml import welch_ttest
+    # absent group: n2 = 0
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "grp string, value double")
+    r = df.transform(welch_ttest("grp", "value", "a", "zz")).collect()[0]
+    assert r.n2 == 0 and r.mean2 is None and r.t_stat is None
+    # single-observation group: n-1 = 0 in the variance
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "grp string, value double")
+    r = df.transform(welch_ttest("grp", "value", "a", "b")).collect()[0]
+    assert r.mean2 == 5.0 and r.var2 is None and r.df_welch is None
+    # two zero-variance cohorts: se2 = 0 in the t denominator
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 7.0), ("b", 7.0)],
+        "grp string, value double")
+    r = df.transform(welch_ttest("grp", "value", "a", "b")).collect()[0]
+    assert (r.var1, r.var2) == (0.0, 0.0)
+    assert r.t_stat is None and r.df_welch is None
+
+
+def test_zipf_single_token_vocabulary_yields_null(spark):
+    from akka_stream_contrib_spark.functions.corpus import zipf_fit
+    # fully templated corpus: one distinct token -> rank 1 -> x == 0 for
+    # every row -> exactly-zero regression denominator
+    df = spark.createDataFrame(
+        [(0, "hello hello hello"), (1, "hello")], "doc_id int, text string")
+    out = df.transform(zipf_fit(top_k=10)).collect()[0]
+    assert out.n_terms == 1
+    assert out.zipf_slope is None and out.zipf_intercept is None
