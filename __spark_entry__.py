@@ -144,8 +144,11 @@ def _motif_oracle(k: int = 50) -> str:
     var = "(v0 - m) * (v0 - m)"
     for j in range(1, L):
         var += f" + (v{j} - m) * (v{j} - m)"
+    # CAST('<repr>' AS DOUBLE) = correctly-rounded parse (bare 17-digit
+    # literals go through DECIMAL and can land 1 ulp off)
     dist = " + ".join(
-        f"((v{j} - m) / sd - ({q[j]!r})) * ((v{j} - m) / sd - ({q[j]!r}))"
+        f"((v{j} - m) / sd - CAST('{q[j]!r}' AS DOUBLE))"
+        f" * ((v{j} - m) / sd - CAST('{q[j]!r}' AS DOUBLE))"
         for j in range(L))
     return f"""
         WITH lagged AS (
@@ -3676,11 +3679,13 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-ops analogue of q_psi_drift (did the new batch's vectors
     move relative to a fixed reference direction?). The distance is ONE
     parsed left-assoc expression over the 64 components with python
-    anchor literals (identical IEEE text on both engines — fixtures are
-    unit vectors, so anchor distance is the discriminative scalar, norms
-    are all exactly 1); then functions/ml.py::psi_drift's fixed-bucket
-    machinery. Map-side distance + two bucket-count aggregations at any
-    corpus size."""
+    anchor literals — `<repr>D` double literals here, and the oracle
+    mirrors each as CAST('<repr>' AS DOUBLE) because DuckDB's
+    VARCHAR->DOUBLE parse is correctly rounded while its bare-literal
+    DECIMAL(18,17)->DOUBLE path can be 1 ulp off (fixtures are unit
+    vectors, so anchor distance is the discriminative scalar); then
+    functions/ml.py::psi_drift's fixed-bucket machinery. Map-side
+    distance + two bucket-count aggregations at any corpus size."""
     from akka_stream_contrib_spark.functions.ml import psi_drift
     a = _drift_anchor()
     dist = "sqrt(0.0D" + "".join(
@@ -4027,11 +4032,16 @@ def _ewma_oracle(alpha: float = 0.3, depth: int = 8) -> str:
         f"lag(value, {j}) OVER (PARTITION BY user_id ORDER BY event_id)"
         for j in range(1, depth)
     ]
+    # CAST('<repr>' AS DOUBLE): DuckDB's VARCHAR->DOUBLE parse is correctly
+    # rounded (matches the python double exactly); a bare 17-digit literal
+    # parses as wide DECIMAL whose double conversion can be 1 ulp off.
     num = " + ".join(
-        f"CASE WHEN {x} IS NOT NULL THEN {w!r} * {x} ELSE 0.0 END"
+        f"CASE WHEN {x} IS NOT NULL"
+        f" THEN CAST('{w!r}' AS DOUBLE) * {x} ELSE 0.0 END"
         for w, x in zip(ws, xs))
     den = " + ".join(
-        f"CASE WHEN {x} IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        f"CASE WHEN {x} IS NOT NULL"
+        f" THEN CAST('{w!r}' AS DOUBLE) ELSE 0.0 END"
         for w, x in zip(ws, xs))
     return f"""
         SELECT event_id, user_id, value,
@@ -4163,14 +4173,18 @@ def _embedding_drift_oracle() -> str:
     distance (1-based list indexing) and psi_drift's fixed-bucket CTE
     chain with lo=1.0, 10 buckets over [1.0, 1.8)."""
     a = _drift_anchor()
+    # CAST('<repr>' AS DOUBLE): DuckDB's VARCHAR->DOUBLE parse is correctly
+    # rounded and matches the python float exactly, whereas a bare literal
+    # parses as DECIMAL(18,17) whose double conversion can be 1 ulp off
+    # (7 of 64 anchors differ) — enough to flip a PSI bucket boundary.
     dist = "sqrt(0.0" + "".join(
-        f" + (CAST(embedding[{i + 1}] AS DOUBLE) - {a[i]!r})"
-        f" * (CAST(embedding[{i + 1}] AS DOUBLE) - {a[i]!r})"
+        f" + (CAST(embedding[{i + 1}] AS DOUBLE) - CAST('{a[i]!r}' AS DOUBLE))"
+        f" * (CAST(embedding[{i + 1}] AS DOUBLE) - CAST('{a[i]!r}' AS DOUBLE))"
         for i in range(64)) + ")"
     w = (1.8 - 1.0) / 10
     bucket = (f"CASE WHEN value < CAST(1.0 AS DOUBLE) THEN -1 "
               f"ELSE least(CAST(floor((value - CAST(1.0 AS DOUBLE)) "
-              f"/ {w!r}) AS INT), 9) END")
+              f"/ CAST('{w!r}' AS DOUBLE)) AS INT), 9) END")
     return f"""
         WITH d AS (
             SELECT label, {dist} AS value FROM embeddings
@@ -7100,7 +7114,7 @@ def oracle_sql() -> dict[str, str]:
                                  * ({_qq_sql})[i])) AS DOUBLE)
                        / (sqrt(CAST(list_sum(list_transform(qvec,
                               x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))
-                              AS DOUBLE)) * {_qn!r}) AS cos
+                              AS DOUBLE)) * CAST('{_qn!r}' AS DOUBLE)) AS cos
                 FROM q8
             )
             SELECT vec_id, round(cos, 6) + 0.0 AS qcos_sim
@@ -7545,13 +7559,22 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CASE WHEN y=0 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
                 FROM s
             )
+            -- guards mirror Spark's try_divide (NULL, never NaN/inf):
+            -- precision/recall NULL on zero denominator; f1 is NULL
+            -- whenever tp = 0 (prec or rec NULL, or try_divide(0,0))
             SELECT tp, fp, fn, tn,
-                   round(tp / CAST(tp + fp AS DOUBLE), 6) + 0.0 AS precision,
-                   round(tp / CAST(tp + fn AS DOUBLE), 6) + 0.0 AS recall,
-                   round(CAST(2.0 AS DOUBLE) * (tp / CAST(tp + fp AS DOUBLE))
-                         * (tp / CAST(tp + fn AS DOUBLE))
-                         / ((tp / CAST(tp + fp AS DOUBLE))
-                            + (tp / CAST(tp + fn AS DOUBLE))), 6) + 0.0 AS f1,
+                   CASE WHEN tp + fp > 0 THEN
+                     round(tp / CAST(tp + fp AS DOUBLE), 6) + 0.0
+                   END AS precision,
+                   CASE WHEN tp + fn > 0 THEN
+                     round(tp / CAST(tp + fn AS DOUBLE), 6) + 0.0
+                   END AS recall,
+                   CASE WHEN tp > 0 THEN
+                     round(CAST(2.0 AS DOUBLE) * (tp / CAST(tp + fp AS DOUBLE))
+                           * (tp / CAST(tp + fn AS DOUBLE))
+                           / ((tp / CAST(tp + fp AS DOUBLE))
+                              + (tp / CAST(tp + fn AS DOUBLE))), 6) + 0.0
+                   END AS f1,
                    round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
                        + 0.0 AS accuracy
             FROM agg
@@ -8304,10 +8327,14 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) - neg AS cumneg
                 FROM per
             )
-            SELECT round(CAST(sum(CAST(pos AS DECIMAL(19,0))
+            -- single-class guard mirrors Spark's try_divide: NULL (not
+            -- NaN/inf) when either class is absent
+            SELECT CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+                     round(CAST(sum(CAST(pos AS DECIMAL(19,0))
                                   * (2 * cumneg + neg)) AS DOUBLE)
                          / (2.0 * CAST(sum(pos) AS DOUBLE)
-                            * CAST(sum(neg) AS DOUBLE)), 6) + 0.0 AS auc,
+                            * CAST(sum(neg) AS DOUBLE)), 6) + 0.0
+                   END AS auc,
                    CAST(sum(pos) AS BIGINT) AS n_pos,
                    CAST(sum(neg) AS BIGINT) AS n_neg
             FROM c
@@ -8537,9 +8564,13 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(cn AS DECIMAL(19,0)) * n_pos) AS num
                 FROM c CROSS JOIN tot
             )
-            SELECT round(CAST(num AS DOUBLE)
-                         / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
-                         6) + 0.0 AS ks,
+            -- single-class guard mirrors Spark's try_divide: NULL (not
+            -- NaN/inf) when either class is absent
+            SELECT CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                     round(CAST(num AS DOUBLE)
+                           / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                           6) + 0.0
+                   END AS ks,
                    score AS at_score, n_pos, n_neg
             FROM d ORDER BY num DESC, score LIMIT 1
         """,
@@ -8753,13 +8784,23 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CASE WHEN y=0 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
                 FROM s GROUP BY lang
             )
+            -- guards mirror Spark's try_divide (NULL, never NaN/inf): a
+            -- slice that never predicts positive (tp+fp=0) or has no
+            -- positives (tp+fn=0) gets NULL, and f1 is NULL whenever
+            -- tp = 0 (prec or rec NULL, or try_divide(0,0))
             SELECT lang, tp, fp, fn, tn,
-                   round(tp / CAST(tp + fp AS DOUBLE), 6) + 0.0 AS precision,
-                   round(tp / CAST(tp + fn AS DOUBLE), 6) + 0.0 AS recall,
-                   round(CAST(2.0 AS DOUBLE) * (tp / CAST(tp + fp AS DOUBLE))
-                         * (tp / CAST(tp + fn AS DOUBLE))
-                         / ((tp / CAST(tp + fp AS DOUBLE))
-                            + (tp / CAST(tp + fn AS DOUBLE))), 6) + 0.0 AS f1,
+                   CASE WHEN tp + fp > 0 THEN
+                     round(tp / CAST(tp + fp AS DOUBLE), 6) + 0.0
+                   END AS precision,
+                   CASE WHEN tp + fn > 0 THEN
+                     round(tp / CAST(tp + fn AS DOUBLE), 6) + 0.0
+                   END AS recall,
+                   CASE WHEN tp > 0 THEN
+                     round(CAST(2.0 AS DOUBLE) * (tp / CAST(tp + fp AS DOUBLE))
+                           * (tp / CAST(tp + fn AS DOUBLE))
+                           / ((tp / CAST(tp + fp AS DOUBLE))
+                              + (tp / CAST(tp + fn AS DOUBLE))), 6) + 0.0
+                   END AS f1,
                    round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
                        + 0.0 AS accuracy
             FROM agg

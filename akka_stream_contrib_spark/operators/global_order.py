@@ -80,47 +80,67 @@ _MONOIDS = {
 
 
 def global_running_agg(df: DataFrame, order_cols: str | Sequence[str],
-                       value_col: str, out: str, fn: str = "sum") -> DataFrame:
-    """Inclusive global running fold of ``value_col`` under the total order,
-    for any prefix-combinable monoid (``sum``/``count``/``min``/``max``):
-    local running fold inside each range, combined with the exclusive prefix
-    of the per-range summaries."""
+                       value_col: str | Sequence[str],
+                       out: str | Sequence[str],
+                       fn: str = "sum") -> DataFrame:
+    """Inclusive global running fold of one or several value columns under
+    the total order, for any prefix-combinable monoid
+    (``sum``/``count``/``min``/``max``): local running fold inside each
+    range, combined with the exclusive prefix of the per-range summaries.
+
+    Passing sequences for ``value_col``/``out`` folds every column in ONE
+    shared range shuffle + checkpoint + driver summary round-trip (chaining
+    the single-column form would re-range and re-checkpoint the same frame
+    per column — measured as one extra plan exchange per column in
+    `ks_statistic` before the shared pass existed)."""
     try:
         local_agg, summary_agg, py_comb, col_comb, _ident = _MONOIDS[fn]
     except KeyError:
         raise ValueError(f"fn must be one of {sorted(_MONOIDS)}, got {fn!r}")
+    value_cols = ([value_col] if isinstance(value_col, str)
+                  else list(value_col))
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(value_cols) != len(outs):
+        raise ValueError("global_running_agg: value_col and out must pair up")
     order_cols = normalize_cols(order_cols)
     ranged = _ranged(df, order_cols)
-    summaries = {r._pid: r.s for r in
-                 ranged.groupBy("_pid").agg(summary_agg(value_col).alias("s"))
-                 .collect()}
-    # exclusive prefix-combine of the summaries (skipping empty/None ranges).
-    # carry starts as None — NOT the monoid identity — so ranges before the
-    # first non-NULL value get NO offset and an all-NULL local prefix stays
-    # NULL (window semantics); seeding sum's identity 0 here would turn a
-    # leading all-NULL run into 0.
-    prefix, carry = {}, None
-    for pid in sorted(summaries):
-        prefix[pid] = carry
-        s = summaries[pid]
-        if s is not None:
-            carry = s if carry is None else py_comb(carry, s)
+    # ONE summary aggregation collects every column's per-range folds
+    rows = (ranged.groupBy("_pid")
+            .agg(*[summary_agg(c).alias(f"_s{i}")
+                   for i, c in enumerate(value_cols)])
+            .collect())
     w = (Window.partitionBy("_pid").orderBy(*order_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = local_agg(value_col).over(w)
-    pairs = [x for pid in prefix if prefix[pid] is not None
-             for x in (pid, prefix[pid])]
-    if pairs:
-        off = F.create_map(*[F.lit(x) for x in pairs])[F.col("_pid")]
-        # window aggregates skip NULLs, so a row whose in-range prefix is
-        # all-NULL must inherit the carried offset (NULL+off would be NULL);
-        # with no offset the all-NULL local result (NULL) is already right
-        combined = (F.when(off.isNull(), local)
-                    .when(local.isNull(), off)
-                    .otherwise(col_comb(local, off)))
-    else:
-        combined = local
-    return ranged.withColumn(out, combined).drop("_pid")
+    out_cols = []
+    for i, (c, o) in enumerate(zip(value_cols, outs)):
+        summaries = {r["_pid"]: r[f"_s{i}"] for r in rows}
+        # exclusive prefix-combine of the summaries (skipping empty/None
+        # ranges). carry starts as None — NOT the monoid identity — so
+        # ranges before the first non-NULL value get NO offset and an
+        # all-NULL local prefix stays NULL (window semantics); seeding
+        # sum's identity 0 here would turn a leading all-NULL run into 0.
+        prefix, carry = {}, None
+        for pid in sorted(summaries):
+            prefix[pid] = carry
+            s = summaries[pid]
+            if s is not None:
+                carry = s if carry is None else py_comb(carry, s)
+        local = local_agg(c).over(w)
+        pairs = [x for pid in prefix if prefix[pid] is not None
+                 for x in (pid, prefix[pid])]
+        if pairs:
+            off = F.create_map(*[F.lit(x) for x in pairs])[F.col("_pid")]
+            # window aggregates skip NULLs, so a row whose in-range prefix
+            # is all-NULL must inherit the carried offset (NULL+off would
+            # be NULL); with no offset the all-NULL local result (NULL) is
+            # already right
+            combined = (F.when(off.isNull(), local)
+                        .when(local.isNull(), off)
+                        .otherwise(col_comb(local, off)))
+        else:
+            combined = local
+        out_cols.append(combined.alias(o))
+    return ranged.select("*", *out_cols).drop("_pid")
 
 
 def global_running_sum(df: DataFrame, order_cols: str | Sequence[str],
@@ -132,46 +152,9 @@ def global_running_sum(df: DataFrame, order_cols: str | Sequence[str],
 def global_running_sums(df: DataFrame, order_cols: str | Sequence[str],
                         value_cols: Sequence[str], outs: Sequence[str],
                         ) -> DataFrame:
-    """Inclusive global prefix sums of SEVERAL columns under one total
-    order, sharing a single range shuffle + checkpoint + driver summary
-    round-trip (chaining `global_running_sum` per column would re-range
-    and re-checkpoint the same frame each time — measured as one extra
-    plan exchange per column in `ks_statistic` before this existed).
-    NULL-prefix semantics per column are identical to the single-column
-    form."""
-    if len(value_cols) != len(outs):
-        raise ValueError("global_running_sums: value_cols and outs must "
-                         "pair up")
-    order_cols = normalize_cols(order_cols)
-    ranged = _ranged(df, order_cols)
-    # ONE summary aggregation collects every column's per-range sums
-    rows = (ranged.groupBy("_pid")
-            .agg(*[F.sum(c).alias(f"_s{i}") for i, c in
-                   enumerate(value_cols)])
-            .collect())
-    w = (Window.partitionBy("_pid").orderBy(*order_cols)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out_cols = []
-    for i, (c, out) in enumerate(zip(value_cols, outs)):
-        summaries = {r["_pid"]: r[f"_s{i}"] for r in rows}
-        prefix, carry = {}, None
-        for pid in sorted(summaries):
-            prefix[pid] = carry
-            s = summaries[pid]
-            if s is not None:
-                carry = s if carry is None else carry + s
-        local = F.sum(c).over(w)
-        pairs = [x for pid in prefix if prefix[pid] is not None
-                 for x in (pid, prefix[pid])]
-        if pairs:
-            off = F.create_map(*[F.lit(x) for x in pairs])[F.col("_pid")]
-            combined = (F.when(off.isNull(), local)
-                        .when(local.isNull(), off)
-                        .otherwise(local + off))
-        else:
-            combined = local
-        out_cols.append(combined.alias(out))
-    return ranged.select("*", *out_cols).drop("_pid")
+    """Inclusive global prefix sums of SEVERAL columns sharing one range
+    pass — the multi-column form of `global_running_agg(fn="sum")`."""
+    return global_running_agg(df, order_cols, value_cols, outs, fn="sum")
 
 
 def global_lag(df: DataFrame, order_cols: str | Sequence[str],
