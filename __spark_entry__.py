@@ -625,12 +625,25 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate-distinct family (HyperLogLog++). No cross-engine oracle —
-    sketches differ by engine — so this entry is rows-only checked; the exact
-    variant above is the hash-matched twin."""
+    """Approximate-distinct CONTRACT audit (HyperLogLog++ via
+    approx_count_distinct, rsd=0.02). The raw sketch estimate is
+    engine-specific and can never hash-match another engine, but its
+    published accuracy contract can: per event_type we emit the exact
+    distinct count plus ``est_ok`` = |estimate − exact| ≤ 4·rsd·exact
+    (a ≥4-sigma bound on the HLL++ relative standard deviation — the
+    estimate violating it means the sketch is broken, not unlucky). The
+    oracle asserts the same exact counts and est_ok ≡ TRUE, upgrading
+    this entry from rows-only to hash-checked. Production reads the
+    estimate alone (one map-combined sketch agg, no distinct shuffle);
+    the exact twin exists here only to audit the bound."""
     ev = tables.load(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"))
+    return agg.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("_approx") - F.col("exact_users"))
+         <= F.lit(4 * 0.02) * F.col("exact_users")).alias("est_ok"))
 
 
 def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2430,15 +2443,29 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct rollup: per-(event_type, day) HLL sketches
     union-merged to per-type distinct-user estimates. The 100 TB pattern —
     coarser granularities read only the sketch table, never the raw events.
-    No SQL oracle (DataSketches-specific estimates); accuracy and exact
-    mergeability are pinned in tests/test_functions.py."""
+
+    Like q_approx_distinct_users, the DataSketches estimate itself is
+    engine-specific, so the hash-checked surface is its CONTRACT:
+    ``n_buckets`` (how many day-sketches merged per type — exact),
+    ``exact_users``, and ``est_ok`` = |estimate − exact| ≤ 5σ·exact with
+    σ = 1.04/√(2^lgk) ≈ 1.6 % at lgk=12 (the published HLL relative
+    standard error; exceeding 5σ means a broken merge, not variance).
+    The oracle recomputes both exact columns and pins est_ok ≡ TRUE.
+    Estimate accuracy and exact mergeability are additionally pinned in
+    tests/test_functions.py."""
     from akka_stream_contrib_spark.functions import hll_merge, hll_sketch_rollup
     ev = tables.load(spark, "events", sf_dir)
     daily = hll_sketch_rollup(
         ev.withColumn("day", F.to_date("ts")),
         keys=["event_type", "day"], item="user_id", lgk=12)
-    return (hll_merge(daily, keys=["event_type"])
-            .select("event_type", "n_buckets", "approx_distinct")
+    merged = hll_merge(daily, keys=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    bound = 5 * 1.04 / (2 ** 12) ** 0.5
+    return (merged.join(F.broadcast(exact), "event_type")
+            .select("event_type", "n_buckets", "exact_users",
+                    (F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                     <= F.lit(bound) * F.col("exact_users")).alias("est_ok"))
             .orderBy("event_type"))
 
 
@@ -5583,6 +5610,24 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        # sketch CONTRACT oracles: the HLL estimates are engine-specific,
+        # so the hash-checked surface is the exact counts plus the
+        # estimate-within-published-error-bound boolean, which the Spark
+        # side computes from the live sketch and the oracle pins to TRUE
+        "approx_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS est_ok
+            FROM events GROUP BY event_type
+        """,
+        "hll_daily_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                       AS n_buckets,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS est_ok
             FROM events GROUP BY event_type
         """,
         "semi_join_customers": """

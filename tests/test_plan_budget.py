@@ -45,7 +45,11 @@ BUDGET = {
     "array_agg_events": 1, "pivot_revenue": 2, "posexplode_tokens": 0,
     "resample_ffill": 2, "training_prep": 1, "lang_confusion": 1,
     "knn_label_vote": 0, "user_correlation": 3, "as_of_join": 1,
-    "rollup_revenue": 1, "distinct_users": 2, "approx_distinct_users": 1,
+    "rollup_revenue": 1, "distinct_users": 2,
+    # contract-audit form: the exact-countDistinct twin (expand + final
+    # phase) exists only to hash-check the estimate's error bound;
+    # production reads the 1-exchange sketch estimate alone
+    "approx_distinct_users": 2,
     "semi_join_customers": 0, "anti_join_customers": 0,
     "top_orders_per_customer": 1, "props_json_extract": 1,
     "monthly_revenue": 1, "text_stats": 0, "lang_id": 0, "token_count_bpe": 0,
@@ -73,8 +77,11 @@ BUDGET = {
     # one single-row agg over lineitem + two anti-join counts
     "data_quality_report": 3,
     "winsorize_values": 1,
-    # sketch build (hash agg), union-merge, final single-partition sort
-    "hll_daily_users": 3,
+    # sketch build (hash agg), union-merge, final single-partition sort,
+    # plus the exact-countDistinct audit twin (expand + final phase) that
+    # hash-checks the estimate's error bound; the production rollup path
+    # (sketch table only) stays at 3
+    "hll_daily_users": 5,
     "token_entropy": 2,
     # sweep line: per-order max, order join, date agg, date-spine cumsum
     "shipping_concurrency": 4,
