@@ -47,13 +47,19 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
                                   .alias("share")),
                           e.src == F.col("id"))
                    .groupBy("dst").agg(F.sum("share").alias("inflow")))
-        # dangling mass: rank held by nodes with no out-edges
+        # dangling mass (rank held by nodes with no out-edges) stays a
+        # broadcast 1-row frame folded into the rank update, so each
+        # iteration runs as ONE job (the eager checkpoint) instead of
+        # paying an extra driver .head() round-trip per iteration. The
+        # expression order — (base + d·m/n) + d·inflow — is the one the
+        # unrolled DuckDB oracle mirrors; keep them in lockstep.
         dangling = (ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-                    .head().m)
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")))
         ranks = (nodes.join(contrib, nodes.id == contrib.dst, "left")
+                 .crossJoin(F.broadcast(dangling))
                  .select("id",
-                         (F.lit(base + damping * dangling / n)
+                         (F.lit(base)
+                          + F.lit(damping) * F.col("m") / F.lit(float(n))
                           + F.lit(damping)
                           * F.coalesce(F.col("inflow"), F.lit(0.0)))
                          .alias("rank"))
