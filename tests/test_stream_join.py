@@ -137,3 +137,49 @@ def test_stream_interval_join_contract_errors(spark):
                              how="full_outer")
     with pytest.raises(ValueError, match="must exist on both"):
         stream_interval_join(df_l, df_r3, "nope", "lts", "rts")
+
+
+def test_stream_interval_join_drops_click_past_watermark(spark, tmp_path):
+    """Out-of-order-past-watermark drop: once the committed right watermark
+    has passed an impression's whole match window, an in-window click that
+    arrives late must be DROPPED across a restart (a batch join over the
+    same rows would match it) — the contract that keeps join state bounded."""
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    # batch 1: the target impression, plus a far-future pair on another key
+    # that (a) proves the join works on-time and (b) advances both
+    # watermarks to 22:50, far past imp 10's [10:00, 10:30] match window
+    _feed(imp_dir, "b1.json", [
+        {"user_id": 1, "imp_id": 10, "imp_ts": "2024-01-01 10:00:00"},
+        {"user_id": 9, "imp_id": 90, "imp_ts": "2024-01-01 23:00:00"}])
+    _feed(clk_dir, "b1.json", [
+        {"user_id": 9, "clk_id": 900, "clk_ts": "2024-01-01 23:00:00"}])
+    imps = spark.readStream.schema(IMP_SCHEMA).json(str(imp_dir))
+    clks = spark.readStream.schema(CLK_SCHEMA).json(str(clk_dir))
+    out = stream_interval_join(
+        imps, clks, on="user_id", l_ts="imp_ts", r_ts="clk_ts",
+        lower_s=0, upper_s=1800,
+        l_watermark="10 minutes", r_watermark="10 minutes")
+
+    def run_once():
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        q.stop()
+
+    run_once()
+    # second zero-data run: the watermark derived from batch 1 is committed
+    # in the checkpoint before the late click exists anywhere
+    run_once()
+    # restart with ONLY the late click pending: 10:20 is inside imp 10's
+    # window but hours below the committed 22:50 watermark
+    _feed(clk_dir, "b2.json", [
+        {"user_id": 1, "clk_id": 100, "clk_ts": "2024-01-01 10:20:00"}])
+    run_once()
+    got = {(r.imp_id, r.clk_id)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert (90, 900) in got, "on-time pair must join"
+    assert (10, 100) not in got, \
+        "click past the committed watermark must be dropped"
