@@ -3752,6 +3752,100 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey", "c_mktsegment", "bal_band"], k=5))
 
 
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift between two corpus slices (functions/ml.py::
+    js_divergence): JSD of the token distributions of English vs
+    non-English documents — symmetric, always ≤ ln 2, no epsilon floor.
+    One groupBy per side on the token key + a full-outer vocabulary join;
+    9-dp decimal term sums (the psi_drift device)."""
+    from akka_stream_contrib_spark.functions.ml import js_divergence
+    docs = tables.load(spark, "documents", sf_dir)
+    tok = docs.select("lang",
+                      F.explode(F.split(F.lower("text"), " ")).alias("item"))
+    return js_divergence(tok.filter(F.col("lang") == "en"),
+                         tok.filter(F.col("lang") != "en"), "item")
+
+
+def q_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is the next user event (functions/ml.py::
+    conditional_entropy): H(next), H(next|cur), and their difference —
+    the mutual information of the event-type transition table. One lead
+    window on user_id + one map-combined pair groupBy; the entropy sums
+    run over the |types|²-row pair table."""
+    from akka_stream_contrib_spark.functions.ml import conditional_entropy
+    ev = tables.load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = ev.select("event_type",
+                      F.lead("event_type").over(w).alias("next_type"))
+    return conditional_entropy(pairs, "event_type", "next_type")
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error bars for an eval metric (functions/ml.py::bootstrap_ci):
+    deterministic multiplicative-hash bootstrap (b=200 resamples) of the
+    mean n_chars over the fixed doc_id<400 panel — exact integer draws
+    and sums, one double division per resample mean, rank-selected 2.5 %
+    CI bounds."""
+    from akka_stream_contrib_spark.functions.ml import bootstrap_ci
+    docs = tables.load(spark, "documents", sf_dir)
+    return bootstrap_ci(docs, "n_chars", "doc_id", n=400, b=200)
+
+
+def q_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-concentration audit (functions/quality.py::
+    gini_concentration): Gini coefficient of event counts across users —
+    exact integer rank·count sums over the two-phase range rank (key
+    cardinality is unbounded at 100 TB; no single-partition window)."""
+    from akka_stream_contrib_spark.functions.quality import gini_concentration
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.transform(gini_concentration("user_id"))
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-evaluation fertility (functions/text.py::
+    tokenizer_fertility): BPE-ish subword tokens per whitespace word, per
+    language — the under-served-language detector. One map-combined
+    groupBy, exact integer sums, one try_divide."""
+    from akka_stream_contrib_spark.functions.text import tokenizer_fertility
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.transform(tokenizer_fertility())
+
+
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation #2 (functions/retrieval.py::
+    average_precision_at_k): AP@20 of the BM25 top-20 for the
+    spark/join/window query against an INDEPENDENT editorial-style label
+    (document length > 300 chars) — binary relevance, so AP measures
+    whether the labeled docs rank early; term containment would be
+    degenerate here (BM25's own signal ⇒ all-relevant top-k)."""
+    from akka_stream_contrib_spark.functions import bm25_topk
+    from akka_stream_contrib_spark.functions.retrieval import (
+        average_precision_at_k,
+    )
+    docs = tables.load(spark, "documents", sf_dir)
+    top = docs.transform(bm25_topk(["spark", "join", "window"], k=20))
+    graded = F.broadcast(top).join(
+        docs.select("doc_id",
+                    (F.col("n_chars") > 300).cast("int").alias("rel")),
+        "doc_id")
+    return graded.transform(
+        average_precision_at_k(rel_col="rel", k=20, order_by=["score"]))
+
+
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval (functions/similarity.py::mmr_select):
+    Maximal Marginal Relevance top-5 from the int8-quantized shortlist-20
+    — relevance and redundancy as EXACT integer inner products, λ=7/10 as
+    a rational, so every greedy round's objective is an exact integer the
+    unrolled DuckDB oracle replays bit-for-bit. The distributed part is
+    the shortlist preselect (TakeOrdered on the quantized query dot);
+    the greedy loop runs on the bounded collected shortlist."""
+    from akka_stream_contrib_spark.functions.similarity import mmr_select
+    emb = tables.load(spark, "embeddings", sf_dir)
+    qvec = [((i * 37) % 19 - 9) / 9.0 for i in range(64)]
+    return mmr_select(emb, qvec, k=5, shortlist=20)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4003,60 +4097,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "embedding_drift": q_embedding_drift,
         "k_anonymity": q_k_anonymity,
+        "js_divergence": q_js_divergence,
+        "conditional_entropy": q_conditional_entropy,
+        "bootstrap_ci": q_bootstrap_ci,
+        "gini_user_activity": q_gini_user_activity,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "average_precision": q_average_precision,
+        "mmr_diverse_topk": q_mmr_diverse_topk,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
             **{k: v for k, v in base.items() if k not in set(front)}}
 
 
-#: the ~50-query driver-evidence window (see queries() comment). Round-6
-#: grouping: (1) the 38 queries that have NEVER appeared in a driver
-#: CORRECTNESS window (r5 cumulative: 177 of 215 seen) — front-loaded so
-#: this round closes the registry; every one is oracle-backed and local-
-#: gate green at sf0.001/0.01; (2) the queries whose oracle or
-#: implementation changed this round and must re-show driver-green:
-#: pagerank/bpe_learn/kmeans flipped from rows-only to full value-hash
-#: oracles (CTE loop unrolls), pq_ann's cold chain was rebuilt (shared
-#: train/query collect, persisted embedding frame, SQL-text ADC), and
-#: logreg's GD iterations became parsed selectExpr text (bit-identical
-#: weights); (3) the rest of the formerly-no-oracle family: the IVF pair
-#: also flipped to full value-hash oracles this round (portable_round=6 +
-#: _ivf_topk_oracle/_ann_ivf_all_oracle), leaving only the two HLL
-#: sketches (engine-specific by nature) on the rows+schema check. The
-#: 170-query ever-green set needs no re-checks.
+#: the ~50-query driver-evidence window (see queries() comment). Round-7
+#: grouping: (1) the 11 round-6 evaluation/graph queries that have NEVER
+#: appeared in a driver CORRECTNESS window (r6 cumulative: 222 of 233
+#: seen) — front-loaded so this round closes the registry; (2) the 7
+#: round-7 additions (JSD, conditional entropy, bootstrap CI, Gini,
+#: fertility, AP@k, MMR — all oracle-backed, local-gate green at
+#: sf0.001/0.01/0.1); (3) the formerly no-oracle rows now oracle-backed:
+#: the HLL pair flipped to contract oracles (exact counts + est_ok
+#: pinned TRUE) this round, the IVF pair flipped to value-hash oracles
+#: late in r6 and was never driver-seen with them; (4) queries whose
+#: oracle or implementation changed this round: the try_divide guard
+#: mirrors (classification_report, auc_roc), the CAST('…' AS DOUBLE)
+#: literal hardening (ewma_smooth, motif_search, quantized_ann), the
+#: one-job-per-iteration pagerank, the star-schema grouping-sets
+#: pre-join, and the global_running_agg consolidation's callers
+#: (accumulate, token_throttle, pareto_customers, token_budget_fill;
+#: ks_statistic/kaplan_meier/auc_roc already above); (5) logreg_quality
+#: re-evidence (r6's selectExpr refactor, queued from last round);
+#: (6) re-evidence picks: the strict-weak-set heavies and staples whose
+#: last driver check predates round 4.
 _PRIORITY = [
-    # (1) never-driver-verified — closing the registry
-    "props_json_extract", "props_variant", "array_hof", "regexp_funcs",
-    "bitwise_agg", "safe_arithmetic", "nulls_ordering", "unpivot_revenue",
-    "as_of_join_tolerance", "user_correlation", "shipping_concurrency",
-    "cohort_retention", "event_transitions", "login_streaks",
-    "pareto_customers", "fuzzy_name_match", "regr_trend",
-    "campaign_overlap", "heavy_hitter_tokens", "normalize_text",
-    "kfold_split", "hashed_features", "bigram_logprob", "lang_confusion",
-    "knn_label_vote", "label_centroids", "embedding_near_dup",
-    "minhash_incremental", "multimodal_meta", "frame_sample_grid",
-    "domain_cap", "remove_boilerplate", "training_pipeline", "training_prep",
-    "repetition_stats", "scd2_user_state", "mixture_sample", "quantized_ann",
-    # (2) new this session — ROC AUC, level-shift changepoints, lagged
-    # autocorrelation, Zipf fit, Naive Bayes language ID (all oracle-backed,
-    # never driver-seen)
-    "auc_roc", "mean_shift", "acf_lags", "zipf_fit", "nb_lang_confusion",
-    # (3) changed this round and result-affecting (attribution_window_join /
-    # url_domain_stats are the new stream-join backtest and URL-family
-    # gates; pareto moved to the range prefix sum; psi excludes NULLs;
-    # pagerank/bpe_learn/kmeans flipped from rows-only to value-hash CTE
-    # oracles; pq_ann's oracle moved to SQL-text ADC)
-    "pagerank_users", "bpe_learn_merges", "kmeans_clusters",
-    "pq_ann", "attribution_window_join",
-    "url_domain_stats", "psi_drift",
-    # exactly 50 = the driver window. Deliberately queued for round 7
-    # (window has room once the 38-query backlog clears): logreg_quality
-    # (r5 hash-green; this round's selectExpr refactor is bit-identical and
-    # local-gate green), the ivf pair's oracle-flip re-evidence, the hll
-    # rows-only re-pins, and session-2's later batches (ndcg_eval,
-    # welch_ttest, benford_check, sliced_eval, ks_statistic, chi2_tokens,
-    # local_clustering, association_rules, kaplan_meier, embedding_drift,
-    # k_anonymity — all local-gate green at two SFs).
+    # (1) never-driver-verified — closing the registry at 233/233
+    "ndcg_eval", "welch_ttest", "benford_check", "sliced_eval",
+    "ks_statistic", "chi2_tokens", "local_clustering", "association_rules",
+    "kaplan_meier", "embedding_drift", "k_anonymity",
+    # (2) new this round
+    "js_divergence", "conditional_entropy", "bootstrap_ci",
+    "gini_user_activity", "tokenizer_fertility", "average_precision",
+    "mmr_diverse_topk",
+    # (3) no-oracle rows flipped to oracle-backed
+    "approx_distinct_users", "hll_daily_users", "ivf_ann_topk",
+    "ann_ivf_all",
+    # (4) oracle/implementation changed this round
+    "classification_report", "auc_roc", "ewma_smooth", "motif_search",
+    "quantized_ann", "pagerank_users", "grouping_sets_revenue",
+    "accumulate", "token_throttle", "pareto_customers", "token_budget_fill",
+    # (5) queued re-evidence from round 6
+    "logreg_quality",
+    # (6) re-evidence picks (weak-set heavies + long-unseen staples)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q11_important_stock",
+    "q9_product_profit", "minhash_lsh_dedup", "ngram_jaccard_dedup",
+    "simhash_pairs", "dedup_exact", "bm25_search", "rrf_fusion",
+    "hard_negatives", "dsir_select", "novelty_score", "duplicate_spans",
+    "holt_trend", "sessionize",
+    # exactly 50 = the driver window. Everything else is cumulative
+    # driver-green and covered by the local replica each session.
 ]
 
 
@@ -4153,6 +4252,134 @@ def _ndcg_oracle(k: int = 10) -> str:
                    AS ndcg
         FROM agg
     """
+
+
+def _ap_oracle(k: int = 20) -> str:
+    """DuckDB mirror of q_average_precision: the _ndcg_oracle score CTE cut
+    at top-k, the independent length label (n_chars > 300), per-hit
+    precision@i as round-9 decimals summed exactly, one guarded final
+    division (NULL when the top-k has no relevant hit — try_divide)."""
+    score = """
+                   round(
+                     ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2)
+                       / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                   + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2)
+                       / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                   + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2)
+                       / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+                   , 6) + 0.0"""
+    return f"""
+        WITH tf AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   len(list_filter(string_split(text, ' '), x -> x = 'spark'))  AS tf0,
+                   len(list_filter(string_split(text, ' '), x -> x = 'join'))   AS tf1,
+                   len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf2
+            FROM documents WHERE text IS NOT NULL
+        ), stats AS (
+            SELECT count(*) AS n, sum(dl) AS sdl,
+                   CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                   CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                   CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+            FROM tf
+        ), top AS (
+            SELECT doc_id, {score} AS score
+            FROM tf, stats
+            ORDER BY score DESC, doc_id
+            LIMIT {k}
+        ), graded AS (
+            SELECT t.doc_id, t.score,
+                   CASE WHEN d.n_chars > 300 THEN 1 ELSE 0 END AS rel
+            FROM top t JOIN documents d USING (doc_id)
+        ), ranked AS (
+            SELECT rel,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS i,
+                   sum(rel) OVER (ORDER BY score DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM graded
+        ), agg AS (
+            SELECT sum(CAST(CASE WHEN rel = 1 THEN
+                         round(CAST(cum AS DOUBLE) / CAST(i AS DOUBLE), 9)
+                       ELSE 0.0 END AS DECIMAL(15,9))) AS sp,
+                   CAST(sum(rel) AS BIGINT) AS nrel
+            FROM ranked
+        )
+        SELECT CAST({k} AS INT) AS k, nrel AS n_rel,
+               CASE WHEN nrel > 0 THEN
+                 round(CAST(sp AS DOUBLE) / CAST(nrel AS DOUBLE), 6) + 0.0
+               END AS ap
+        FROM agg
+    """
+
+
+def _mmr_oracle(k: int = 5, shortlist: int = 20, lam_num: int = 7,
+                lam_den: int = 10, dim: int = 64) -> str:
+    """DuckDB mirror of q_mmr_diverse_topk's full greedy loop, unrolled as
+    chained CTEs (the _pagerank_oracle pattern): the quantized_ann int8
+    CTE chain builds the shortlist by exact integer query dots, then each
+    round r computes lam_num·rel − (lam_den−lam_num)·max_sim over the
+    not-yet-selected candidates (all exact integers) and picks the max
+    (ties → smaller vec_id)."""
+    qvec = [((i * 37) % 19 - 9) / 9.0 for i in range(dim)]
+    amax = max(abs(v) for v in qvec)
+    qscale = 127.0 / amax if amax > 0 else 0.0
+    import math as _m
+    qq = [int(_m.floor(v * qscale + 0.5)) for v in qvec]
+    qq_sql = "[" + ", ".join(str(v) for v in qq) + "]"
+    mu = lam_den - lam_num
+    pairdot = ("list_sum(list_transform(generate_series(1, %d), "
+               "i -> CAST(c.qvec[i] AS BIGINT) * CAST(s.qvec[i] AS BIGINT)))"
+               % dim)
+    parts = [f"""
+m AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS amax
+    FROM embeddings
+), s0 AS (
+    SELECT vec_id, e,
+           CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale
+    FROM m
+), q8 AS (
+    SELECT vec_id,
+           list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INT))
+               AS qvec
+    FROM s0
+), short AS (
+    SELECT vec_id, qvec,
+           CAST(list_sum(list_transform(generate_series(1, {dim}),
+                i -> CAST(qvec[i] AS BIGINT)
+                     * ({qq_sql})[i])) AS BIGINT) AS rel
+    FROM q8 ORDER BY rel DESC, vec_id LIMIT {shortlist}
+), sel1 AS (
+    SELECT 1 AS rank, vec_id, qvec, rel,
+           CAST({lam_num} AS BIGINT) * rel AS score
+    FROM short ORDER BY rel DESC, vec_id LIMIT 1
+)"""]
+    for r in range(2, k + 1):
+        p = r - 1
+        parts.append(f"""
+cand{r} AS (
+    SELECT c.vec_id, c.qvec, c.rel,
+           max({pairdot}) AS msim
+    FROM short c CROSS JOIN sel{p} s
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{p})
+    GROUP BY c.vec_id, c.qvec, c.rel
+), pick{r} AS (
+    SELECT {r} AS rank, vec_id, qvec, rel,
+           CAST({lam_num} AS BIGINT) * rel
+               - CAST({mu} AS BIGINT) * msim AS score
+    FROM cand{r}
+    ORDER BY score DESC, vec_id LIMIT 1
+), sel{r} AS (
+    SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{r}
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT CAST(rank AS INT) AS rank, vec_id,
+       CAST(rel AS BIGINT) AS rel_dot, CAST(score AS BIGINT) AS mmr_score
+FROM sel{k} ORDER BY rank
+""")
 
 
 def _welch_oracle(g1: str = "purchase", g2: str = "click") -> str:
@@ -8861,4 +9088,170 @@ def oracle_sql() -> dict[str, str]:
                        + 0.0 AS accuracy
             FROM agg
         """,
+        # JSD of the en/non-en token distributions: exact counts, the SAME
+        # zero-guarded double term expression, round-9 decimal sums
+        # (functions/ml.py::js_divergence)
+        "js_divergence": """
+            WITH tok AS (
+                SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_p,
+                       unnest(string_split(lower(text), ' ')) AS item
+                FROM documents
+            ), cnt AS (
+                SELECT item,
+                       CAST(sum(is_p) AS BIGINT) AS cp,
+                       CAST(sum(1 - is_p) AS BIGINT) AS cq
+                FROM tok GROUP BY item
+            ), tot AS (
+                SELECT CAST(sum(cp) AS BIGINT) AS tp,
+                       CAST(sum(cq) AS BIGINT) AS tq,
+                       CAST(sum(CASE WHEN cp > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS vp,
+                       CAST(sum(CASE WHEN cq > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS vq,
+                       CAST(count(*) AS BIGINT) AS vu
+                FROM cnt
+            ), terms AS (
+                SELECT CAST(round((
+                         CASE WHEN cp > 0 THEN
+                           (CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE))
+                           * ln((CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE))
+                                / ((CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE)
+                                    + CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE))
+                                   / 2.0))
+                         ELSE 0.0 END
+                       + CASE WHEN cq > 0 THEN
+                           (CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE))
+                           * ln((CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE))
+                                / ((CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE)
+                                    + CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE))
+                                   / 2.0))
+                         ELSE 0.0 END) / 2.0, 9) AS DECIMAL(15,9)) AS t,
+                       tp, tq, vp, vq, vu
+                FROM cnt, tot
+            )
+            SELECT round(CAST(sum(t) AS DOUBLE), 6) + 0.0 AS jsd,
+                   tp AS n_p, tq AS n_q, vp AS vocab_p, vq AS vocab_q,
+                   vu AS vocab_union
+            FROM terms GROUP BY tp, tq, vp, vq, vu
+        """,
+        # entropy / conditional entropy / mutual information of the
+        # event-type transition table: exact pair counts, round-9 decimal
+        # term sums, first-row-per-next-state marker for the marginal
+        # (functions/ml.py::conditional_entropy)
+        "conditional_entropy": """
+            WITH seq AS (
+                SELECT event_type AS c,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY event_id) AS x
+                FROM events
+            ), pairs AS (
+                SELECT c, x, CAST(count(*) AS BIGINT) AS n
+                FROM seq WHERE c IS NOT NULL AND x IS NOT NULL
+                GROUP BY c, x
+            ), en AS (
+                SELECT n,
+                       CAST(sum(n) OVER (PARTITION BY c) AS BIGINT) AS nc,
+                       CAST(sum(n) OVER (PARTITION BY x) AS BIGINT) AS nx,
+                       CAST(sum(n) OVER () AS BIGINT) AS nt,
+                       row_number() OVER (PARTITION BY x ORDER BY c) = 1
+                           AS first_x
+                FROM pairs
+            ), terms AS (
+                SELECT CAST(round(-(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+                         * ln(CAST(n AS DOUBLE) / CAST(nc AS DOUBLE)), 9)
+                         AS DECIMAL(15,9)) AS hc,
+                       CAST(CASE WHEN first_x THEN
+                         round(-(CAST(nx AS DOUBLE) / CAST(nt AS DOUBLE))
+                               * ln(CAST(nx AS DOUBLE) / CAST(nt AS DOUBLE)),
+                               9)
+                       ELSE 0.0 END AS DECIMAL(15,9)) AS hx,
+                       nt
+                FROM en
+            )
+            SELECT round(CAST(sum(hx) AS DOUBLE), 6) + 0.0 AS h_next,
+                   round(CAST(sum(hc) AS DOUBLE), 6) + 0.0
+                       AS h_next_given_cur,
+                   round(CAST(sum(hx) AS DOUBLE) - CAST(sum(hc) AS DOUBLE),
+                         6) + 0.0 AS mutual_info,
+                   nt AS n_transitions
+            FROM terms GROUP BY nt
+        """,
+        # deterministic multiplicative-hash bootstrap of mean n_chars over
+        # the dense doc_id<400 panel: identical integer draws, exact sums,
+        # identical rank selection (functions/ml.py::bootstrap_ci)
+        "bootstrap_ci": """
+            WITH panel AS (
+                SELECT doc_id AS pid, CAST(n_chars AS BIGINT) AS v
+                FROM documents WHERE doc_id >= 0 AND doc_id < 400
+            ), grid AS (
+                SELECT CAST(floor(i / 400) AS BIGINT) AS r,
+                       ((i + 1) * 2654435761) % 4294967296 % 400 AS draw
+                FROM (SELECT unnest(range(0, 80000)) AS i)
+            ), means AS (
+                SELECT r, CAST(sum(v) AS DOUBLE) / 400.0 AS m
+                FROM grid JOIN panel ON draw = pid GROUP BY r
+            ), ranked AS (
+                SELECT m,
+                       row_number() OVER (ORDER BY m ASC, r ASC) AS ra,
+                       row_number() OVER (ORDER BY m DESC, r DESC) AS rd
+                FROM means
+            ), fullp AS (
+                SELECT CAST(sum(v) AS DOUBLE) / 400.0 AS mf FROM panel
+            )
+            SELECT CAST(400 AS INT) AS n, CAST(200 AS INT) AS b,
+                   round(mf, 6) + 0.0 AS mean_full,
+                   round(max(CASE WHEN ra = 5 THEN m END), 6) + 0.0 AS ci_lo,
+                   round(max(CASE WHEN rd = 5 THEN m END), 6) + 0.0 AS ci_hi
+            FROM ranked, fullp GROUP BY mf
+        """,
+        # Gini of per-user event counts: exact rank*count integer sums
+        # (rank ties on count are order-invariant in the sum), one final
+        # double division (functions/quality.py::gini_concentration)
+        "gini_user_activity": """
+            WITH per AS (
+                SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id
+            ), r AS (
+                SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rnk
+                FROM per
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS nk,
+                       CAST(sum(cnt) AS BIGINT) AS tot,
+                       CAST(sum(CAST(rnk AS HUGEINT) * cnt) AS HUGEINT) AS s1
+                FROM r
+            )
+            SELECT nk AS n_keys, tot AS total_rows,
+                   CASE WHEN nk > 0 AND tot > 0 THEN
+                     round(CAST(2 * s1 - (nk + 1) * CAST(tot AS HUGEINT)
+                                AS DOUBLE)
+                           / CAST(CAST(nk AS HUGEINT) * tot AS DOUBLE), 6)
+                     + 0.0
+                   END AS gini
+            FROM agg
+        """,
+        # per-language fertility: the token_count_bpe estimator summed per
+        # lang, exact integer totals, guarded division
+        # (functions/text.py::tokenizer_fertility)
+        "tokenizer_fertility": """
+            WITH d AS (
+                SELECT lang,
+                       CAST(coalesce(list_sum(list_transform(
+                            regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            x -> greatest(1, (length(x) + 3) // 4))), 0)
+                            AS BIGINT) AS toks,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                            AS BIGINT) AS words
+                FROM documents
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS total_tokens,
+                   CAST(sum(words) AS BIGINT) AS total_words,
+                   CASE WHEN sum(words) > 0 THEN
+                     round(CAST(sum(toks) AS DOUBLE)
+                           / CAST(sum(words) AS DOUBLE), 6) + 0.0
+                   END AS fertility
+            FROM d GROUP BY lang
+        """,
+        "average_precision": _ap_oracle(),
+        "mmr_diverse_topk": _mmr_oracle(),
     }

@@ -732,3 +732,195 @@ def target_encoding(cat_col: str, label_col: str, id_col: str,
                 .withColumnRenamed("_fold", "fold"))
 
     return _apply
+
+
+def js_divergence(p_df: DataFrame, q_df: DataFrame, item_col: str,
+                  ) -> DataFrame:
+    """Jensen–Shannon divergence between the ``item_col`` distributions of
+    two frames (one row per item occurrence) — the SYMMETRIC, always-finite
+    companion to `psi_drift` for categorical drift: token distributions of
+    two corpus snapshots, domain mixes of two crawls. ``JSD = ½Σ p·ln(p/m)
+    + ½Σ q·ln(q/m)`` with ``m = (p+q)/2``; zero-count items contribute 0 on
+    their absent side (lim x→0 x·ln x = 0), so no epsilon floor is needed —
+    JSD ≤ ln 2 always.
+
+    Determinism: counts are exact integers; each item's term is computed
+    from its two counts and the two scan totals (one double expression),
+    rounded to 9 dp and summed as decimal — order-independent, the
+    psi_drift device. Returns one row
+    (jsd, n_p, n_q, vocab_p, vocab_q, vocab_union).
+
+    Scale shape: ONE map-combined groupBy of each side on the item key,
+    full-outer joined on that key (both sides aggregate to vocabulary
+    cardinality, not corpus size), 1-row totals broadcast. No windows, no
+    driver loops.
+
+    Reference anchor: none (drift-monitoring extension; family of
+    psi_drift / embedding_drift).
+    """
+    p_cnt = (p_df.groupBy(F.col(item_col).alias("_item"))
+             .agg(F.count(F.lit(1)).alias("_cp")))
+    q_cnt = (q_df.groupBy(F.col(item_col).alias("_item"))
+             .agg(F.count(F.lit(1)).alias("_cq")))
+    j = (p_cnt.join(q_cnt, "_item", "full_outer")
+         .select(F.coalesce("_cp", F.lit(0)).alias("_cp"),
+                 F.coalesce("_cq", F.lit(0)).alias("_cq")))
+    tot = j.agg(F.sum("_cp").alias("_tp"), F.sum("_cq").alias("_tq"),
+                F.sum((F.col("_cp") > 0).cast("long")).alias("_vp"),
+                F.sum((F.col("_cq") > 0).cast("long")).alias("_vq"),
+                F.count(F.lit(1)).alias("_vu"))
+    both = j.crossJoin(F.broadcast(tot))
+    p = F.col("_cp").cast("double") / F.col("_tp").cast("double")
+    q = F.col("_cq").cast("double") / F.col("_tq").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (F.when(F.col("_cp") > 0, p * F.log(p / m))
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("_cq") > 0, q * F.log(q / m))
+            .otherwise(F.lit(0.0))) / F.lit(2.0)
+    terms = both.select(
+        F.round(term, 9).cast("decimal(15,9)").alias("_t"),
+        "_tp", "_tq", "_vp", "_vq", "_vu")
+    return terms.groupBy("_tp", "_tq", "_vp", "_vq", "_vu").agg(
+        (F.round(F.sum("_t").cast("double"), 6) + F.lit(0.0)).alias("jsd")
+    ).select(
+        "jsd", F.col("_tp").alias("n_p"), F.col("_tq").alias("n_q"),
+        F.col("_vp").alias("vocab_p"), F.col("_vq").alias("vocab_q"),
+        F.col("_vu").alias("vocab_union"))
+
+
+def conditional_entropy(df: DataFrame, cur_col: str, next_col: str,
+                        ) -> DataFrame:
+    """Information content of a transition table: entropy of the next state
+    ``H(X)``, conditional entropy given the current state ``H(X|C)``, and
+    their difference — the mutual information ``I(C;X)`` — in nats. The
+    Markov-chain summary of `event_transitions`: how predictable is the
+    next event, and how much does knowing the current one help?
+
+    Determinism: all probabilities derive from exact integer counts of the
+    (cur, next) pair table; each entropy term is one double expression
+    rounded to 9 dp and summed as decimal (order-independent). NULL states
+    on either side are excluded (no transition evidence). Returns one row
+    (h_next, h_next_given_cur, mutual_info, n_transitions).
+
+    Scale shape: ONE map-combined groupBy on the pair key; the pair table
+    is bounded by |states|² — the marginals are windows over THAT tiny
+    frame, never the raw data.
+
+    Reference anchor: none (info-theoretic evaluation extension; family of
+    token_entropy / pmi_collocations).
+    """
+    from pyspark.sql import Window
+
+    pairs = (df.filter(F.col(cur_col).isNotNull()
+                       & F.col(next_col).isNotNull())
+             .groupBy(F.col(cur_col).alias("_c"),
+                      F.col(next_col).alias("_x"))
+             .agg(F.count(F.lit(1)).alias("_n")))
+    wc = Window.partitionBy("_c")
+    wx = Window.partitionBy("_x")
+    wall = Window.partitionBy()
+    en = pairs.select(
+        "_c", "_n",
+        F.sum("_n").over(wc).alias("_nc"),
+        F.sum("_n").over(wx).alias("_nx"),
+        F.sum("_n").over(wall).alias("_nt"),
+        # first-pair-row marker per next-state: the H(X) marginal term
+        # contributes exactly once per distinct _x (an exact-decimal
+        # device — dividing the rounded term by its multiplicity would
+        # reintroduce FP the oracle would have to replicate op-for-op)
+        (F.row_number().over(wx.orderBy("_c")) == 1).alias("_first_x"))
+    nt = F.col("_nt").cast("double")
+    # H(X|C) term: −(n/N)·ln(n/n_c); H(X) term: −(n_x/N)·ln(n_x/N)
+    hc_term = -(F.col("_n").cast("double") / nt) \
+        * F.log(F.col("_n").cast("double") / F.col("_nc").cast("double"))
+    hx_row = -(F.col("_nx").cast("double") / nt) \
+        * F.log(F.col("_nx").cast("double") / nt)
+    terms = en.select(
+        F.round(hc_term, 9).cast("decimal(15,9)").alias("_hc"),
+        F.when(F.col("_first_x"), F.round(hx_row, 9))
+        .otherwise(F.lit(0.0)).cast("decimal(15,9)").alias("_hx"),
+        "_nt")
+    agg = terms.groupBy("_nt").agg(
+        F.sum("_hc").alias("_shc"), F.sum("_hx").alias("_shx"))
+    h_cond = F.round(F.col("_shc").cast("double"), 6)
+    h_next = F.round(F.col("_shx").cast("double"), 6)
+    return agg.select(
+        (h_next + F.lit(0.0)).alias("h_next"),
+        (h_cond + F.lit(0.0)).alias("h_next_given_cur"),
+        (F.round(F.col("_shx").cast("double")
+                 - F.col("_shc").cast("double"), 6) + F.lit(0.0))
+        .alias("mutual_info"),
+        F.col("_nt").alias("n_transitions"))
+
+
+def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
+                 n: int = 400, b: int = 200, trim: float = 0.025,
+                 ) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the mean of an
+    INTEGER metric over a fixed evaluation panel — the error bar an eval
+    report should carry. The panel is the rows with ``id_col`` in
+    ``[0, n)`` (dense ids required — validated loudly); resample ``r``
+    draws item ``i`` as index ``((r·n + i + 1)·2654435761 mod 2^32) mod
+    n`` — the Knuth multiplicative hash, portable integer arithmetic in
+    both engines. The 2^32 wrap is what makes draws non-degenerate: a
+    single-modulus LCG like ``(j·48271) mod n`` maps each consecutive
+    n-index block to a PERMUTATION of the panel whenever the multiplier
+    is coprime to n (measured: every resample mean identical), while the
+    wrapping hash breaks the progression. CI bounds are the
+    symmetric ``trim`` quantiles by rank: the ``⌊trim·b⌋``-th smallest and
+    largest resample means (ties on mean break by resample id).
+
+    Determinism: each resample mean is ONE double division of an exact
+    integer sum; rank selection is over those exact doubles. Returns one
+    row (n, b, mean_full, ci_lo, ci_hi).
+
+    Scale shape: the panel (n rows) broadcasts into the ``b × n`` index
+    grid (a `spark.range`, no data shuffle), one map-combined groupBy on
+    the resample id (b groups), and the rank windows run over the b-row
+    mean table. Costs are fixed by (n, b), independent of corpus size —
+    the audit-panel discipline (pq_train's bounded-sample argument).
+
+    Reference anchor: none (evaluation-statistics extension; family of
+    welch_ttest / ks_statistic).
+    """
+    from pyspark.sql import Window
+
+    if n <= 0 or b <= 0:
+        raise ValueError(f"bootstrap_ci: need n > 0 and b > 0, got {n}, {b}")
+    lo_pos = int(trim * b)
+    if lo_pos < 1 or 2 * lo_pos >= b:
+        raise ValueError(
+            f"bootstrap_ci: trim={trim} with b={b} trims {lo_pos} from "
+            "each side — need at least 1 and fewer than b/2")
+    spark = df.sparkSession
+    panel = (df.filter((F.col(id_col) >= 0) & (F.col(id_col) < n))
+             .select(F.col(id_col).alias("_pid"),
+                     F.col(value_col).cast("long").alias("_v")))
+    got = panel.count()
+    if got != n:
+        raise ValueError(
+            f"bootstrap_ci: panel ids [0, {n}) must be dense — found {got} "
+            f"rows; pass a frame with dense {id_col}")
+    grid = spark.range(b * n).select(
+        (F.col("id") / n).cast("long").alias("_r"),
+        (((F.col("id") + 1) * 2654435761) % 4294967296 % n).alias("_draw"))
+    drawn = grid.join(F.broadcast(panel), grid._draw == panel._pid)
+    means = (drawn.groupBy("_r")
+             .agg((F.sum("_v").cast("double") / F.lit(float(n)))
+                  .alias("_mean")))
+    asc = Window.orderBy(F.col("_mean").asc(), F.col("_r").asc())
+    desc = Window.orderBy(F.col("_mean").desc(), F.col("_r").desc())
+    ranked = means.select(
+        "_mean",
+        F.row_number().over(asc).alias("_ra"),
+        F.row_number().over(desc).alias("_rd"))
+    picks = ranked.agg(
+        F.max(F.when(F.col("_ra") == lo_pos, F.col("_mean"))).alias("_lo"),
+        F.max(F.when(F.col("_rd") == lo_pos, F.col("_mean"))).alias("_hi"))
+    full = panel.agg(
+        (F.sum("_v").cast("double") / F.lit(float(n))).alias("_mf"))
+    return (picks.crossJoin(F.broadcast(full))
+            .select(F.lit(n).alias("n"), F.lit(b).alias("b"),
+                    (F.round("_mf", 6) + F.lit(0.0)).alias("mean_full"),
+                    (F.round("_lo", 6) + F.lit(0.0)).alias("ci_lo"),
+                    (F.round("_hi", 6) + F.lit(0.0)).alias("ci_hi")))

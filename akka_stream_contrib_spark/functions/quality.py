@@ -394,3 +394,49 @@ def k_anonymity(quasi_cols: list[str], k: int = 5
                 .filter(F.col("group_size") < k))
 
     return _apply
+
+
+def gini_concentration(key_col: str) -> Callable[[DataFrame], DataFrame]:
+    """Gini coefficient of row counts across ``key_col`` groups — the
+    corpus-concentration audit (how unequal is the data across domains /
+    sources / users?): 0 = perfectly even, →1 = one key dominates. The
+    scalar companion to `corpus.domain_cap`'s actionable form.
+
+    Exact integer arithmetic end-to-end: per-key counts, ascending ranks
+    1..K over (count, key) — assigned by the two-phase range rank
+    (`global_rank`), NEVER a single-partition window, because at 100 TB
+    the key cardinality (domains, users) is itself unbounded — then
+    ``G = (2·Σ rank·cnt − (K+1)·Σ cnt) / (K·Σ cnt)`` with the products as
+    narrow-decimal × decimal (the precision-trim trap: decimal(10,0) ×
+    decimal(19,0) stays exact) and ONE double division at the end. Ties
+    on count order by key — Σ rank·cnt is tie-order-invariant, so the
+    tie-break only pins the oracle. Returns one row
+    (n_keys, total_rows, gini). NULL keys count as one group (an audit
+    should see them).
+
+    Reference anchor: none (corpus-audit extension; family of
+    k_anonymity / skew_report).
+    """
+    from akka_stream_contrib_spark.operators.global_order import global_rank
+
+    def _apply(df: DataFrame) -> DataFrame:
+        per = (df.groupBy(F.col(key_col).alias("_k"))
+               .agg(F.count(F.lit(1)).alias("_cnt")))
+        ranked = global_rank(per, ["_cnt", "_k"], out="_r")
+        agg = ranked.agg(
+            F.count(F.lit(1)).alias("_nk"),
+            F.sum("_cnt").alias("_tot"),
+            F.sum(F.col("_r").cast("decimal(10,0)")
+                  * F.col("_cnt").cast("decimal(19,0)")).alias("_s1"))
+        num = (F.lit(2).cast("decimal(10,0)") * F.col("_s1")
+               - (F.col("_nk") + F.lit(1)).cast("decimal(10,0)")
+               * F.col("_tot").cast("decimal(19,0)"))
+        den = (F.col("_nk").cast("decimal(10,0)")
+               * F.col("_tot").cast("decimal(19,0)"))
+        return agg.select(
+            F.col("_nk").alias("n_keys"),
+            F.col("_tot").alias("total_rows"),
+            (F.round(F.try_divide(num.cast("double"), den.cast("double")),
+                     6) + F.lit(0.0)).alias("gini"))
+
+    return _apply

@@ -390,3 +390,60 @@ def ndcg_at_k(rel_col: str = "rel", k: int = 10,
              + F.lit(0.0)).alias("ndcg"))
 
     return _apply
+
+
+def average_precision_at_k(rel_col: str = "rel", k: int = 10,
+                           order_by: Sequence[str] | None = None,
+                           id_col: str = "doc_id",
+                           ) -> Callable[[DataFrame], DataFrame]:
+    """Average Precision at ``k`` over a scored result list with BINARY
+    relevance: ``AP@k = (Σ_{i ≤ k, rel_i=1} precision@i) / R_k`` where
+    ``R_k`` is the number of relevant hits in the top-k — the
+    area-under-PR companion to `ndcg_at_k` (nDCG rewards graded order;
+    AP rewards putting every relevant hit early). NULL relevance counts
+    as not relevant.
+
+    Determinism: ranks tie-break by ``order_by`` then ``id_col`` exactly
+    like `ndcg_at_k`; each precision@i is ONE double division of two
+    small exact integers, rounded to 9 dp and summed as decimal; the
+    final AP is one try_divide (NULL when the top-k has no relevant hit
+    — mirroring DuckDB via an explicit guard, not NaN).
+
+    Scale shape: the top-k cut is TakeOrdered (never a global sort); the
+    rank/prefix windows run over the ≤k-row result — the same benign
+    post-limit WindowExec as `ndcg_at_k`. Returns one row
+    (k, n_rel, ap).
+
+    Reference anchor: none (retrieval-evaluation extension; family of
+    ndcg_at_k / rrf_fusion).
+    """
+    order_by = list(order_by) if order_by else ["score"]
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        order = [F.desc(c) for c in order_by] + [F.col(id_col)]
+        top = df.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        rel = F.coalesce(F.col(rel_col).cast("int"), F.lit(0))
+        ranked = top.select(
+            rel.alias("_rel"),
+            F.row_number().over(w).alias("_i"),
+            F.sum(rel).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("_cum"))
+        prec = F.when(
+            F.col("_rel") == 1,
+            F.round(F.col("_cum").cast("double")
+                    / F.col("_i").cast("double"), 9)
+        ).otherwise(F.lit(0.0)).cast("decimal(15,9)")
+        agg = ranked.agg(F.sum(prec).alias("_sp"),
+                         F.sum("_rel").alias("_nrel"))
+        return agg.select(
+            F.lit(k).alias("k"),
+            F.col("_nrel").cast("long").alias("n_rel"),
+            (F.round(F.try_divide(F.col("_sp").cast("double"),
+                                  F.col("_nrel").cast("double")), 6)
+             + F.lit(0.0)).alias("ap"))
+
+    return _apply

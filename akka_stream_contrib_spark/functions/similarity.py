@@ -844,3 +844,75 @@ def hard_negatives(queries: DataFrame, k: int = 5,
 
     return queries.select(id_col, vec_col, label_col).mapInPandas(
         _scan, schema=out_schema)
+
+
+def mmr_select(df: DataFrame, query_vec: Sequence[float], k: int = 5,
+               shortlist: int = 20, lam_num: int = 7, lam_den: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               ) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-``k`` (Carbonell & Goldstein
+    1998): greedily pick the candidate maximizing ``λ·rel(c) −
+    (1−λ)·max_{s∈S} sim(c, s)`` — relevance to the query balanced against
+    redundancy with what is already selected. The RAG-context /
+    eval-panel picker: top-k by raw similarity returns near-duplicates;
+    MMR returns coverage.
+
+    Engine-exact by construction: relevance and pairwise similarity are
+    INTEGER inner products of the int8-quantized vectors
+    (`quantize_embeddings` — floor(x·scale + 0.5) replays bit-for-bit in
+    DuckDB), and λ is the rational ``lam_num/lam_den``, so every greedy
+    round maximizes the exact integer ``lam_den·MMR = lam_num·rel −
+    (lam_den−lam_num)·max_sim`` — no FP anywhere, ties break to the
+    smaller id. Round 1 has an empty selected set: its score is
+    ``lam_num·rel`` (the standard convention).
+
+    Scale shape: the DISTRIBUTED part is the shortlist preselect — exact
+    integer query dots, TakeOrdered top-``shortlist`` (never a global
+    sort). The greedy loop is inherently sequential (each pick conditions
+    the next), so it runs on the collected shortlist — ``shortlist × dim``
+    ints, bounded and independent of corpus size, the same driver-side
+    budget discipline as `pq_train`. Returns (rank, id, rel_dot,
+    mmr_score) with mmr_score = the lam_den-scaled integer objective.
+
+    Reference anchor: none (similarity-search extension; family of
+    quantized_cosine_topk / hard_negatives).
+    """
+    if not 0 < k <= shortlist:
+        raise ValueError(f"mmr_select: need 0 < k <= shortlist, "
+                         f"got k={k}, shortlist={shortlist}")
+    if not 0 <= lam_num <= lam_den:
+        raise ValueError("mmr_select: need 0 <= lam_num <= lam_den")
+    qa = np.asarray(query_vec, dtype=np.float64)
+    amax = float(np.max(np.abs(qa)))
+    qscale = 127.0 / amax if amax > 0 else 0.0
+    qq = [int(np.floor(v * qscale + 0.5)) for v in qa]
+    qlit = F.array(*[F.lit(v) for v in qq])
+    qv = quantize_embeddings(df, id_col=id_col, vec_col=vec_col)
+    dot = F.aggregate(
+        F.zip_with("qvec", qlit, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    pre = (qv.select(F.col(id_col), F.col("qvec"), dot.alias("_rel"))
+           .orderBy(F.desc("_rel"), id_col)
+           .limit(shortlist))
+    rows = pre.collect()
+    cand = [(r[id_col], list(r["qvec"]), int(r["_rel"])) for r in rows]
+    mu = lam_den - lam_num
+    selected: list[tuple] = []  # (rank, id, rel, score)
+    sel_vecs: list[list[int]] = []
+    remaining = list(cand)
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for cid, cvec, crel in remaining:
+            msim = max((sum(a * b for a, b in zip(cvec, s))
+                        for s in sel_vecs), default=0)
+            score = lam_num * crel - mu * msim
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, cvec, crel, score)
+        _, cid, cvec, crel, score = best
+        selected.append((rank, cid, crel, score))
+        sel_vecs.append(cvec)
+        remaining = [c for c in remaining if c[0] != cid]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        selected, f"rank int, {id_col} long, rel_dot long, mmr_score long")

@@ -626,3 +626,41 @@ def luhn_scan(id_col: str = "doc_id", text_col: str = "text"
                         F.length("_d").cast("int").alias("n_digits")))
 
     return _apply
+
+
+def tokenizer_fertility(group_col: str = "lang", text_col: str = "text",
+                        chars_per_token: int = 4,
+                        ) -> Callable[[DataFrame], DataFrame]:
+    """Tokenizer fertility per ``group_col``: subword tokens emitted per
+    whitespace word — THE tokenizer-evaluation number (a fertility far
+    above ~1.3 for a language means the vocabulary under-serves it and its
+    effective context shrinks). Uses the same BPE-ish estimator as
+    `token_count_bpe` (ceil(len/chars_per_token) per alphanumeric word)
+    over the same regex word stream, so the two queries are consistent.
+
+    One map-combined groupBy; exact integer token/word sums, one
+    try_divide (NULL for a group with no words), rounded to 6 dp. Returns
+    (group, n_docs, total_tokens, total_words, fertility).
+
+    Reference anchor: none (tokenizer-evaluation extension; family of
+    token_count_bpe / oov_rate).
+    """
+    c = chars_per_token
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = F.expr(
+            f"aggregate(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0), 0L,"
+            f" (a, x) -> a + greatest(1L, (length(x) + {c - 1}) div {c}))")
+        words = F.expr(
+            f"cast(size(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)) as long)")
+        agg = (df.groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(toks).alias("total_tokens"),
+                    F.sum(words).alias("total_words")))
+        return agg.select(
+            group_col, "n_docs", "total_tokens", "total_words",
+            (F.round(F.try_divide(F.col("total_tokens").cast("double"),
+                                  F.col("total_words").cast("double")), 6)
+             + F.lit(0.0)).alias("fertility"))
+
+    return _apply

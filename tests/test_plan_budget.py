@@ -355,6 +355,23 @@ BUDGET = {
     "embedding_drift": 11,
     # ONE map-combined quasi-identifier groupBy + size filter
     "k_anonymity": 1,
+    # round-7 evaluation/curation family. js_divergence: one corpus-side
+    # groupBy per slice; the other four exchanges carry vocabulary-sized
+    # aggregates only (vocab join + totals + term sum)
+    "js_divergence": 6,
+    # lead window on user_id, pair groupBy; the entropy windows/sum run
+    # over the |types|²-row pair table
+    "conditional_entropy": 3,
+    # b×n grid joins the BROADCAST panel (no data shuffle); groupBy on the
+    # resample id + rank windows over the b-row mean table
+    "bootstrap_ci": 3,
+    # per-key count groupBy + the two-phase range rank
+    "gini_user_activity": 2,
+    "tokenizer_fertility": 1,
+    # TakeOrdered top-k cut; the AP windows run over the ≤k-row result
+    "average_precision": 1,
+    # TakeOrdered shortlist preselect + bounded driver-side greedy
+    "mmr_diverse_topk": 0,
 }
 
 
