@@ -186,6 +186,19 @@ HEADLINE = [
     "kaplan_meier",
     "embedding_drift",
     "k_anonymity",
+    # round-7 additions: categorical drift (JSD), transition information,
+    # bootstrap error bars, concentration audit, tokenizer fertility,
+    # AP@k ranking eval, MMR diverse retrieval, and the sketch contract
+    # audits that flipped from rows-only to hash-checked this round
+    "js_divergence",
+    "conditional_entropy",
+    "bootstrap_ci",
+    "gini_user_activity",
+    "tokenizer_fertility",
+    "average_precision",
+    "mmr_diverse_topk",
+    "approx_distinct_users",
+    "hll_daily_users",
 ]
 
 

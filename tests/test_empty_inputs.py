@@ -26,6 +26,9 @@ DATA_DEPENDENT = {
     "knn_join",          # broadcast corpus matrix (np.stack of rows)
     "ann_all_topk",      # idem
     "lateral_top_customers",  # registers views from the real sf dir
+    # validates its fixed dense evaluation panel driver-side and raises
+    # loudly when it is missing — an empty corpus IS the failure it guards
+    "bootstrap_ci",
 }
 # rows expected even on empty tables: global-aggregate reductions (one
 # NULL/zero row — standard SQL) and pure generators (seeded by literals,
@@ -46,6 +49,9 @@ NONEMPTY_OK = {
     # benford emits its COMPLETE 9-digit spine (n=0, NULL χ² terms) by
     # design — an absent digit is the signal it audits for
     "benford_check",
+    # round-7 single-row reductions: (n_keys=0, NULL gini) and
+    # (k, 0 hits, NULL ap) are standard aggregate semantics
+    "gini_user_activity", "average_precision",
 }
 
 
