@@ -3846,6 +3846,77 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(emb, qvec, k=5, shortlist=20)
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus split (functions/corpus.py::perplexity_split over
+    functions/text.py::bigram_logprob_score): rank every scored doc by LM
+    log-probability and cut into 3 equal-count buckets (tail/middle/head)
+    by exact integer rank arithmetic — the quality-tiering step before
+    mixture sampling. Two-phase range rank, no quantile estimation."""
+    from akka_stream_contrib_spark.functions import bigram_logprob_score
+    from akka_stream_contrib_spark.functions.corpus import perplexity_split
+    docs = tables.load(spark, "documents", sf_dir)
+    scored = docs.transform(bigram_logprob_score(k=0.5))
+    return scored.transform(perplexity_split(n_buckets=3))
+
+
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral feature table (functions/ml.py::rfm_features): per-user
+    recency (days to the corpus max timestamp), frequency, and exact
+    decimal monetary sum — one map-combined groupBy + a broadcast 1-row
+    anchor."""
+    from akka_stream_contrib_spark.functions.ml import rfm_features
+    ev = tables.load(spark, "events", sf_dir)
+    return rfm_features(ev)
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph mixing structure (functions/graph.py::degree_assortativity):
+    Pearson correlation of endpoint degrees over the co-activity graph's
+    undirected edges (both orientations) — hubs-link-to-hubs vs
+    hubs-link-to-leaves. Exact decimal moment sums, one double Pearson
+    combination. Same deterministic lag-edge graph as pagerank_users."""
+    from akka_stream_contrib_spark.functions.graph import degree_assortativity
+    ev = tables.load(spark, "events", sf_dir)
+    w = Window.partitionBy(
+        F.date_trunc("hour", F.col("ts"))).orderBy("event_id")
+    edges = (ev.select(F.lag("user_id").over(w).alias("src"),
+                       F.col("user_id").alias("dst"))
+             .filter(F.col("src").isNotNull()
+                     & (F.col("src") != F.col("dst"))))
+    return degree_assortativity(edges)
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit report: the near-dup connected components of
+    q_dup_clusters reduced to a cluster-size histogram plus the corpus
+    totals a dedup run reports (members in clusters, clusters, removable
+    docs = members − clusters). Two tiny aggregations over the cluster
+    table + a broadcast 1-row totals frame.
+
+    Scope: rides the same exact-pair path as dup_clusters /
+    semantic_dedup — quadratic BY DESIGN (near_dup_pairs' documented
+    audit/candidate-set contract); at corpus scale feed it clusters built
+    from the banded generators (minhash_lsh_dedup / ann_lsh_topk)
+    instead. The histogram/totals stages themselves are
+    cluster-cardinality aggregations at any scale."""
+    from akka_stream_contrib_spark.functions import dup_clusters, near_dup_pairs
+    emb = tables.load(spark, "embeddings", sf_dir)
+    pairs = near_dup_pairs(emb, threshold=0.4)
+    clusters = dup_clusters(pairs, "id_a", "id_b")
+    sizes = (clusters.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    hist = (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+    tot = sizes.agg(
+        F.sum("cluster_size").alias("total_members"),
+        F.count(F.lit(1)).alias("total_clusters"))
+    return (hist.crossJoin(F.broadcast(tot))
+            .select("cluster_size", "n_clusters", "total_members",
+                    "total_clusters",
+                    (F.col("total_members") - F.col("total_clusters"))
+                    .alias("removable_docs")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4104,6 +4175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "average_precision": q_average_precision,
         "mmr_diverse_topk": q_mmr_diverse_topk,
+        "perplexity_buckets": q_perplexity_buckets,
+        "rfm_features": q_rfm_features,
+        "degree_assortativity": q_degree_assortativity,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4138,7 +4213,8 @@ _PRIORITY = [
     # (2) new this round
     "js_divergence", "conditional_entropy", "bootstrap_ci",
     "gini_user_activity", "tokenizer_fertility", "average_precision",
-    "mmr_diverse_topk",
+    "mmr_diverse_topk", "perplexity_buckets", "rfm_features",
+    "degree_assortativity", "dup_cluster_sizes",
     # (3) no-oracle rows flipped to oracle-backed
     "approx_distinct_users", "hll_daily_users", "ivf_ann_topk",
     "ann_ivf_all",
@@ -4148,12 +4224,12 @@ _PRIORITY = [
     "accumulate", "token_throttle", "pareto_customers", "token_budget_fill",
     # (5) queued re-evidence from round 6
     "logreg_quality",
-    # (6) re-evidence picks (weak-set heavies + long-unseen staples)
+    # (6) re-evidence picks (weak-set heavies + long-unseen staples;
+    # four staple slots ceded to the batch-2 additions above)
     "q1_pricing_summary", "q2_min_cost_supplier", "q11_important_stock",
     "q9_product_profit", "minhash_lsh_dedup", "ngram_jaccard_dedup",
     "simhash_pairs", "dedup_exact", "bm25_search", "rrf_fusion",
-    "hard_negatives", "dsir_select", "novelty_score", "duplicate_spans",
-    "holt_trend", "sessionize",
+    "hard_negatives", "dsir_select",
     # exactly 50 = the driver window. Everything else is cumulative
     # driver-green and covered by the local replica each session.
 ]
@@ -4948,6 +5024,36 @@ _COS_TOP10_ORACLE = """
     SELECT vec_id, round(cos, 6) AS cos_sim
     FROM c ORDER BY cos DESC, vec_id LIMIT 10
 """
+
+
+#: DuckDB mirror of functions/text.py::bigram_logprob_score — shared by the
+#: bigram_logprob gate and the perplexity_buckets split built on top of it
+_BIGRAM_LP_SQL = """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(t[1 : len(t) - 1]) AS w1,
+                       unnest(t[2 : len(t)]) AS w2
+                FROM toks WHERE len(t) >= 2
+            ), bgc AS (
+                SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+            ), uc AS (
+                SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+            ), v AS (
+                SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vv FROM (
+                    SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)
+            )
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(CAST(sum(CAST(round(ln((c.c12 + 0.5) / (u.c1 + 0.5 * v.vv)), 9)
+                                       AS DECIMAL(15,9))) AS DOUBLE) / count(*), 6) + 0.0
+                       AS logprob
+            FROM bg b
+            JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+            JOIN uc u ON b.w1 = u.w1
+            CROSS JOIN v
+            GROUP BY b.doc_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6226,32 +6332,7 @@ def oracle_sql() -> dict[str, str]:
                    round(list_reduce(vs, (x, y) -> x + y) / n, 6) + 0.0 AS centroid_v
             FROM a
         """,
-        "bigram_logprob": """
-            WITH toks AS (
-                SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-            ), bg AS (
-                SELECT doc_id,
-                       unnest(t[1 : len(t) - 1]) AS w1,
-                       unnest(t[2 : len(t)]) AS w2
-                FROM toks WHERE len(t) >= 2
-            ), bgc AS (
-                SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
-            ), uc AS (
-                SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
-            ), v AS (
-                SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vv FROM (
-                    SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)
-            )
-            SELECT b.doc_id, count(*) AS n_bigrams,
-                   round(CAST(sum(CAST(round(ln((c.c12 + 0.5) / (u.c1 + 0.5 * v.vv)), 9)
-                                       AS DECIMAL(15,9))) AS DOUBLE) / count(*), 6) + 0.0
-                       AS logprob
-            FROM bg b
-            JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
-            JOIN uc u ON b.w1 = u.w1
-            CROSS JOIN v
-            GROUP BY b.doc_id
-        """,
+        "bigram_logprob": _BIGRAM_LP_SQL,
         "cm_frequency": """
             WITH toks AS (
                 SELECT unnest(string_split(lower(text), ' ')) AS token
@@ -9254,4 +9335,115 @@ def oracle_sql() -> dict[str, str]:
         """,
         "average_precision": _ap_oracle(),
         "mmr_diverse_topk": _mmr_oracle(),
+        # CCNet split on the shared bigram-LM CTE: identical 6-dp scores,
+        # identical (score, id) ranking, exact integer bucket arithmetic
+        # (// mirrors Spark's DIV; a double divide + int cast would
+        # truncate on Spark but ROUND on DuckDB)
+        "perplexity_buckets": f"""
+            WITH scored AS ({_BIGRAM_LP_SQL})
+            SELECT doc_id, logprob,
+                   CAST((3 * (rnk - 1)) // n AS INT) AS ppl_bucket
+            FROM (SELECT doc_id, logprob,
+                         row_number() OVER (ORDER BY logprob, doc_id) AS rnk,
+                         count(*) OVER () AS n
+                  FROM scored)
+        """,
+        # RFM: exact day diff to the corpus anchor, exact decimal cents sum
+        # (functions/ml.py::rfm_features)
+        "rfm_features": """
+            WITH anchor AS (SELECT max(ts) AS maxts FROM events)
+            SELECT user_id AS user,
+                   CAST(date_diff('day', CAST(max(ts) AS DATE),
+                                  CAST(maxts AS DATE)) AS INT)
+                       AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
+                                 CAST(0 AS DECIMAL(18,2))) AS DOUBLE) + 0.0
+                       AS monetary,
+                   CAST(count(value) AS BIGINT) AS n_valued
+            FROM events CROSS JOIN anchor
+            GROUP BY user_id, maxts
+        """,
+        # Pearson degree assortativity over the canonical undirected lag
+        # graph: exact integer moment sums, the SAME double combination,
+        # NULL on zero variance (functions/graph.py::degree_assortativity)
+        "degree_assortativity": """
+            WITH e0 AS (
+                SELECT lag(user_id) OVER (
+                           PARTITION BY date_trunc('hour', ts)
+                           ORDER BY event_id) AS src,
+                       user_id AS dst
+                FROM events
+            ), ed AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e0 WHERE src IS NOT NULL AND src <> dst
+            ), deg AS (
+                SELECT v, count(*) AS d FROM (
+                    SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+                GROUP BY v
+            ), j AS (
+                SELECT da.d AS dx, db.d AS dy
+                FROM ed JOIN deg da ON ed.a = da.v
+                        JOIN deg db ON ed.b = db.v
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS m,
+                       CAST(sum(CAST(dx AS HUGEINT) + dy) AS HUGEINT) AS sx,
+                       CAST(sum(CAST(dx AS HUGEINT) * dx
+                                + CAST(dy AS HUGEINT) * dy) AS HUGEINT)
+                           AS sxx,
+                       CAST(sum(2 * CAST(dx AS HUGEINT) * dy) AS HUGEINT)
+                           AS sxy
+                FROM j
+            )
+            SELECT m AS n_edges,
+                   CASE WHEN CAST(m * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                   THEN round((CAST(m * 2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              / (CAST(m * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                              6) + 0.0
+                   END AS assortativity
+            FROM agg
+        """,
+        # dedup audit on the dup_clusters transitive closure: cluster-size
+        # histogram + corpus totals
+        "dup_cluster_sizes": """
+            WITH RECURSIVE n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+                FROM embeddings
+            ), p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+                WHERE round(list_sum(list_transform(
+                          generate_series(1, len(a.nv)),
+                          i -> a.nv[i] * b.nv[i])), 6) >= 0.4
+            ), e AS (
+                SELECT id_a AS u, id_b AS v FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ), reach(u, v) AS (
+                SELECT u, v FROM e
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ), clusters AS (
+                SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+                FROM reach GROUP BY u
+            ), sizes AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM clusters GROUP BY cluster_id
+            ), tot AS (
+                SELECT CAST(sum(cluster_size) AS BIGINT) AS total_members,
+                       CAST(count(*) AS BIGINT) AS total_clusters
+                FROM sizes
+            )
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                   total_members, total_clusters,
+                   total_members - total_clusters AS removable_docs
+            FROM sizes, tot
+            GROUP BY cluster_size, total_members, total_clusters
+        """,
     }

@@ -955,3 +955,43 @@ def zipf_fit(top_k: int = 500, text_col: str = "text"
             F.col("n").alias("n_terms"))
 
     return _apply
+
+
+def perplexity_split(lp_col: str = "logprob", id_col: str = "doc_id",
+                     n_buckets: int = 3):
+    """CCNet-style perplexity split (Wenzek et al. 2020): rank documents by
+    LM score and cut the ranking into ``n_buckets`` equal-count buckets —
+    head/middle/tail when 3 — so downstream mixing can oversample the
+    head and drop the tail. Composes with `text.bigram_logprob_score`
+    (or any external-LM score column).
+
+    Engine-exact: the score column is already a 6-dp-rounded double
+    (identical in both engines), ranks come from the two-phase range rank
+    (`global_rank` — key cardinality is corpus-sized, so NEVER a
+    single-partition window), and the bucket is pure integer arithmetic
+    ``(n_buckets·(rank−1)) div n`` — no float thresholds, no quantile
+    estimation. Ties rank by (score, id). Returns one row per scored doc
+    (id, score, ppl_bucket) with bucket 0 = lowest scores (the tail to
+    drop when the score is a log-probability).
+
+    Reference anchor: none (corpus-curation extension; family of
+    curriculum_order / mixture_sample; algorithm from the public CCNet
+    paper).
+    """
+    from akka_stream_contrib_spark.operators.global_order import global_rank
+
+    def _apply(df: DataFrame) -> DataFrame:
+        if n_buckets < 1:
+            raise ValueError(f"perplexity_split: n_buckets >= 1, "
+                             f"got {n_buckets}")
+        ranked = global_rank(df.select(id_col, lp_col), [lp_col, id_col],
+                             out="_r")
+        tot = ranked.agg(F.count(F.lit(1)).alias("_n"))
+        # integer DIV, not a double divide + int cast: Spark's
+        # double->int cast truncates while DuckDB's ROUNDS — the integer
+        # form is identical in both engines by construction
+        bucket = F.expr(f"CAST(({n_buckets} * (_r - 1)) DIV _n AS INT)")
+        return (ranked.crossJoin(F.broadcast(tot))
+                .select(id_col, lp_col, bucket.alias("ppl_bucket")))
+
+    return _apply

@@ -174,3 +174,60 @@ def local_clustering(edges: DataFrame, src: str = "src", dst: str = "dst",
     return out.select(
         "node", "degree", "triangles",
         (F.round(coef, 6) + F.lit(0.0)).alias("coefficient"))
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree assortativity of the undirected simple graph: the Pearson
+    correlation of endpoint degrees over all edges, both orientations
+    (Newman 2002) — positive means hubs link to hubs (social nets),
+    negative means hubs link to leaves (the fraud-ring / botnet shape).
+    Completes the structural family: triangle_count (global closure),
+    local_clustering (per-node), assortativity (mixing).
+
+    Exact integer moment sums to the end: both-orientation sums make
+    Σx = Σy and Σx² = Σy², products go through decimal (the int64
+    overflow discipline — deg² · edges overflows at ~1e6-degree hubs),
+    and the final Pearson combination is one double expression over the
+    exact sums, NULL (try_divide) on a degree-regular graph where the
+    variance is 0. One groupBy for degrees + one broadcast-degree join
+    per endpoint + a 1-row reduction. Returns
+    (n_edges, assortativity).
+
+    Reference anchor: none (graph-analytics extension; family of
+    triangle_count / local_clustering).
+    """
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    und, deg, _wedges = _wedge_frames(edges, src, dst)
+    # like local_clustering: `und` feeds the degree build AND the moment
+    # join, `deg` joins twice (one alias per endpoint) — cache both so the
+    # edge canonicalization and the degree shuffle run once
+    und = pipeline_cache(und)
+    deg = pipeline_cache(deg)
+    da, db = deg.alias("da"), deg.alias("db")
+    joined = (und.join(da, F.col("a") == F.col("da.v"))
+              .join(db, F.col("b") == F.col("db.v"))
+              .select(F.col("da.d").alias("dx"), F.col("db.d").alias("dy")))
+    # both orientations: each undirected edge contributes (dx,dy), (dy,dx)
+    x = F.col("dx").cast("decimal(19,0)")
+    y = F.col("dy").cast("decimal(19,0)")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(x + y).alias("_sx"),
+        F.sum(x * x + y * y).alias("_sxx"),
+        # decimal(19,0)² needs precision 39 -> Spark trims; keep the
+        # factors narrow (degrees < 1e9) so the product stays exact
+        F.sum(F.lit(2).cast("decimal(10,0)")
+              * F.col("dx").cast("decimal(14,0)")
+              * F.col("dy").cast("decimal(14,0)")).alias("_sxy"))
+    n = (F.col("_m") * 2).cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    return agg.select(
+        F.col("_m").alias("n_edges"),
+        (F.round(F.try_divide(num, den), 6) + F.lit(0.0))
+        .alias("assortativity"))

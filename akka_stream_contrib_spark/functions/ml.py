@@ -924,3 +924,39 @@ def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
                     (F.round("_mf", 6) + F.lit(0.0)).alias("mean_full"),
                     (F.round("_lo", 6) + F.lit(0.0)).alias("ci_lo"),
                     (F.round("_hi", 6) + F.lit(0.0)).alias("ci_hi")))
+
+
+def rfm_features(df: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 ) -> DataFrame:
+    """Recency/Frequency/Monetary feature table from an event log — the
+    classic behavioral featurization (churn models, LTV, segmentation),
+    and the per-entity aggregation shape every feature store materializes.
+    Recency is measured against the CORPUS max timestamp (not wall clock)
+    so the result is a pure function of the data.
+
+    One map-combined groupBy on the user key + a broadcast 1-row anchor;
+    exact arithmetic throughout: recency = whole days between the user's
+    last event and the anchor (integer), frequency = count, monetary =
+    decimal cents sum rendered as double (the `_money` convention). NULL
+    values contribute 0 to monetary and are not counted as purchases.
+    Returns (user, recency_days, frequency, monetary, n_valued).
+
+    Reference anchor: none (feature-engineering extension; family of
+    target_encoding / sessionize).
+    """
+    anchor = df.agg(F.max(ts_col).alias("_maxts"))
+    per = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(ts_col).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_mon"),
+        F.count(value_col).alias("n_valued"))
+    return (per.crossJoin(F.broadcast(anchor))
+            .select(
+                "user",
+                F.datediff(F.to_date("_maxts"), F.to_date("_last"))
+                .alias("recency_days"),
+                "frequency",
+                (F.coalesce(F.col("_mon"), F.lit(0).cast("decimal(18,2)"))
+                 .cast("double") + F.lit(0.0)).alias("monetary"),
+                "n_valued"))

@@ -199,6 +199,15 @@ HEADLINE = [
     "mmr_diverse_topk",
     "approx_distinct_users",
     "hll_daily_users",
+    # round-7 batch 2: CCNet perplexity split, RFM features, degree
+    # assortativity. dup_cluster_sizes is deliberately NOT here: like its
+    # parents dup_clusters/embedding_near_dup/semantic_dedup it rides the
+    # documented quadratic exact-pair audit path (near_dup_pairs), which
+    # the bench excludes at sf0.1 by family policy (the scale path for
+    # near-dup discovery is minhash_lsh_dedup / ann_lsh_topk, benched)
+    "perplexity_buckets",
+    "rfm_features",
+    "degree_assortativity",
 ]
 
 

@@ -49,9 +49,10 @@ NONEMPTY_OK = {
     # benford emits its COMPLETE 9-digit spine (n=0, NULL χ² terms) by
     # design — an absent digit is the signal it audits for
     "benford_check",
-    # round-7 single-row reductions: (n_keys=0, NULL gini) and
-    # (k, 0 hits, NULL ap) are standard aggregate semantics
-    "gini_user_activity", "average_precision",
+    # round-7 single-row reductions: (n_keys=0, NULL gini),
+    # (k, 0 hits, NULL ap), and (0 edges, NULL assortativity) are
+    # standard aggregate semantics
+    "gini_user_activity", "average_precision", "degree_assortativity",
 }
 
 

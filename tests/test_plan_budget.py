@@ -372,6 +372,18 @@ BUDGET = {
     "average_precision": 1,
     # TakeOrdered shortlist preselect + bounded driver-side greedy
     "mmr_diverse_topk": 0,
+    # bigram LM scoring reuses the cached bigram frame; the split adds one
+    # range rank over the scored docs (budget = the LM's own exchanges are
+    # lineage-truncated by its pipeline cache)
+    "perplexity_buckets": 2,
+    # one user groupBy + the broadcast 1-row anchor reduction
+    "rfm_features": 2,
+    # cached canonical edges + cached degrees (the local_clustering
+    # discipline): distinct, degree groupBy, moment join, 1-row reduction
+    "degree_assortativity": 4,
+    # near-dup pair join + label-propagation output (lineage truncated) +
+    # two tiny cluster aggregations
+    "dup_cluster_sizes": 4,
 }
 
 

@@ -129,3 +129,59 @@ def test_tokenizer_fertility_hand_case(spark):
     got = {r.lang: (r.total_tokens, r.total_words, r.fertility)
            for r in df.transform(tokenizer_fertility()).collect()}
     assert got == {"de": (5, 1, 5.0), "en": (2, 2, 1.0)}
+
+
+def test_perplexity_split_equal_count_buckets(spark):
+    from akka_stream_contrib_spark.functions.corpus import perplexity_split
+    df = spark.createDataFrame(
+        [(i, float(-i)) for i in range(6)], "doc_id long, logprob double")
+    got = {r.doc_id: r.ppl_bucket
+           for r in df.transform(perplexity_split()).collect()}
+    # ranking by logprob asc: doc 5 (-5.0) lowest -> bucket 0 (tail)
+    assert got == {5: 0, 4: 0, 3: 1, 2: 1, 1: 2, 0: 2}
+    with pytest.raises(ValueError, match="n_buckets"):
+        df.transform(perplexity_split(n_buckets=0))
+
+
+def test_rfm_features_hand_case(spark):
+    from akka_stream_contrib_spark.functions.ml import rfm_features
+    rows = [
+        (1, "2024-01-10 08:00:00", 10.50),
+        (1, "2024-01-12 09:00:00", None),     # valued NULL: freq yes, mon no
+        (2, "2024-01-01 23:00:00", 2.25),
+    ]
+    df = (spark.createDataFrame(rows, "user_id long, ts string, value double")
+          .withColumn("ts", F.to_timestamp("ts")))
+    got = {r.user: (r.recency_days, r.frequency, r.monetary, r.n_valued)
+           for r in rfm_features(df).collect()}
+    # corpus anchor = 2024-01-12
+    assert got == {1: (0, 2, 10.5, 1), 2: (11, 1, 2.25, 1)}
+
+
+def test_degree_assortativity_star_and_regular(spark):
+    from akka_stream_contrib_spark.functions.graph import degree_assortativity
+    # star K(1,3): hub degree 3 vs leaf degree 1 everywhere -> r = -1
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    r = degree_assortativity(star).collect()[0]
+    assert (r.n_edges, r.assortativity) == (3, -1.0)
+    # triangle: degree-regular -> zero variance -> NULL (try_divide),
+    # never NaN/inf
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    r = degree_assortativity(tri).collect()[0]
+    assert r.n_edges == 3 and r.assortativity is None
+
+
+def test_dup_cluster_sizes_internally_consistent(spark):
+    import __spark_entry__ as entry
+    rows = entry.queries()["dup_cluster_sizes"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total_members = rows[0].total_members
+    total_clusters = rows[0].total_clusters
+    assert sum(r.cluster_size * r.n_clusters for r in rows) == total_members
+    assert sum(r.n_clusters for r in rows) == total_clusters
+    assert all(r.removable_docs == total_members - total_clusters
+               for r in rows)
+    assert all(r.cluster_size >= 2 for r in rows)  # singletons never cluster
