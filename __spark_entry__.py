@@ -4188,9 +4188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: the ~50-query driver-evidence window (see queries() comment). Round-7
 #: grouping: (1) the 11 round-6 evaluation/graph queries that have NEVER
 #: appeared in a driver CORRECTNESS window (r6 cumulative: 222 of 233
-#: seen) — front-loaded so this round closes the registry; (2) the 7
-#: round-7 additions (JSD, conditional entropy, bootstrap CI, Gini,
-#: fertility, AP@k, MMR — all oracle-backed, local-gate green at
+#: seen) — front-loaded so this round closes the registry; (2) the 11
+#: round-7 additions (batch 1: JSD, conditional entropy, bootstrap CI,
+#: Gini, fertility, AP@k, MMR; batch 2: perplexity split, RFM,
+#: assortativity, dedup audit — all oracle-backed, local-gate green at
 #: sf0.001/0.01/0.1); (3) the formerly no-oracle rows now oracle-backed:
 #: the HLL pair flipped to contract oracles (exact counts + est_ok
 #: pinned TRUE) this round, the IVF pair flipped to value-hash oracles
@@ -4210,7 +4211,7 @@ _PRIORITY = [
     "ndcg_eval", "welch_ttest", "benford_check", "sliced_eval",
     "ks_statistic", "chi2_tokens", "local_clustering", "association_rules",
     "kaplan_meier", "embedding_drift", "k_anonymity",
-    # (2) new this round
+    # (2) the 11 round-7 additions (two batches)
     "js_divergence", "conditional_entropy", "bootstrap_ci",
     "gini_user_activity", "tokenizer_fertility", "average_precision",
     "mmr_diverse_topk", "perplexity_buckets", "rfm_features",
@@ -9174,9 +9175,12 @@ def oracle_sql() -> dict[str, str]:
         # (functions/ml.py::js_divergence)
         "js_divergence": """
             WITH tok AS (
+                -- lang IS NOT NULL mirrors the Spark side's three-valued
+                -- filters (lang = 'en' / lang <> 'en' both drop NULLs);
+                -- the bare CASE would bucket NULL-lang docs into q
                 SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_p,
                        unnest(string_split(lower(text), ' ')) AS item
-                FROM documents
+                FROM documents WHERE lang IS NOT NULL
             ), cnt AS (
                 SELECT item,
                        CAST(sum(is_p) AS BIGINT) AS cp,
@@ -9315,11 +9319,17 @@ def oracle_sql() -> dict[str, str]:
         # (functions/text.py::tokenizer_fertility)
         "tokenizer_fertility": """
             WITH d AS (
+                -- NULL-text docs stay NULL (Spark's aggregate over a NULL
+                -- array is NULL, skipped by sum) while a WORDLESS text
+                -- coalesces to 0 (Spark's fold starts at 0L) — collapsing
+                -- both to 0 would flip an all-NULL-text group from NULL
+                -- totals to 0
                 SELECT lang,
-                       CAST(coalesce(list_sum(list_transform(
-                            regexp_extract_all(lower(text), '[a-z0-9]+'),
-                            x -> greatest(1, (length(x) + 3) // 4))), 0)
-                            AS BIGINT) AS toks,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE CAST(coalesce(list_sum(list_transform(
+                                 regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 x -> greatest(1, (length(x) + 3) // 4))), 0)
+                                 AS BIGINT) END AS toks,
                        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
                             AS BIGINT) AS words
                 FROM documents

@@ -892,15 +892,25 @@ def bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
         raise ValueError(
             f"bootstrap_ci: trim={trim} with b={b} trims {lo_pos} from "
             "each side — need at least 1 and fewer than b/2")
+    from akka_stream_contrib_spark.util import pipeline_cache
+
     spark = df.sparkSession
-    panel = (df.filter((F.col(id_col) >= 0) & (F.col(id_col) < n))
-             .select(F.col(id_col).alias("_pid"),
-                     F.col(value_col).cast("long").alias("_v")))
-    got = panel.count()
-    if got != n:
+    # cache: the panel feeds three consumers (density validation, the
+    # broadcast into the grid join, the full-mean aggregate) — without it
+    # each one re-scans and re-filters the source
+    panel = pipeline_cache(
+        df.filter((F.col(id_col) >= 0) & (F.col(id_col) < n))
+        .select(F.col(id_col).alias("_pid"),
+                F.col(value_col).cast("long").alias("_v")))
+    chk = panel.agg(F.count(F.lit(1)).alias("c"),
+                    F.count_distinct("_pid").alias("d")).head()
+    # count alone is not density: duplicates plus matching gaps would pass
+    # and silently bias every resample mean — require n DISTINCT ids too
+    if chk.c != n or chk.d != n:
         raise ValueError(
-            f"bootstrap_ci: panel ids [0, {n}) must be dense — found {got} "
-            f"rows; pass a frame with dense {id_col}")
+            f"bootstrap_ci: panel ids [0, {n}) must be dense — found "
+            f"{chk.c} rows / {chk.d} distinct ids; pass a frame with "
+            f"dense unique {id_col}")
     grid = spark.range(b * n).select(
         (F.col("id") / n).cast("long").alias("_r"),
         (((F.col("id") + 1) * 2654435761) % 4294967296 % n).alias("_draw"))

@@ -895,6 +895,15 @@ def mmr_select(df: DataFrame, query_vec: Sequence[float], k: int = 5,
            .orderBy(F.desc("_rel"), id_col)
            .limit(shortlist))
     rows = pre.collect()
+    for r in rows:
+        if r["_rel"] is None:
+            # zip_with pads the shorter array with NULLs, so a dimension
+            # mismatch (or a NULL embedding entry) nulls the whole dot —
+            # fail loudly instead of TypeError-ing on int(None) below
+            raise ValueError(
+                f"mmr_select: NULL relevance dot for {id_col}="
+                f"{r[id_col]} — query_vec length ({len(qq)}) must match "
+                "the embedding dimension and embeddings must be NULL-free")
     cand = [(r[id_col], list(r["qvec"]), int(r["_rel"])) for r in rows]
     mu = lam_den - lam_num
     selected: list[tuple] = []  # (rank, id, rel, score)

@@ -140,7 +140,13 @@ def global_running_agg(df: DataFrame, order_cols: str | Sequence[str],
         else:
             combined = local
         out_cols.append(combined.alias(o))
-    return ranged.select("*", *out_cols).drop("_pid")
+    # REPLACE semantics for an `out` that names an existing column (the
+    # single-column withColumn behavior this function consolidated): a
+    # plain select("*", ...) would append a duplicate-named column and
+    # every downstream reference would raise AMBIGUOUS_REFERENCE
+    keep = [c for c in ranged.columns
+            if c != "_pid" and c not in set(outs)]
+    return ranged.select(*keep, *out_cols)
 
 
 def global_running_sum(df: DataFrame, order_cols: str | Sequence[str],

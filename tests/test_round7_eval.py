@@ -185,3 +185,35 @@ def test_dup_cluster_sizes_internally_consistent(spark):
     assert all(r.removable_docs == total_members - total_clusters
                for r in rows)
     assert all(r.cluster_size >= 2 for r in rows)  # singletons never cluster
+
+
+def test_global_running_agg_out_collision_replaces(spark):
+    """The consolidated multi-column fold must keep the single-column
+    form's withColumn REPLACE semantics: `out` naming an existing column
+    yields exactly one column of that name (the review found the
+    select('*', alias) form appended an ambiguous duplicate)."""
+    from akka_stream_contrib_spark.operators import global_running_agg
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                               "seq long, v long")
+    out = global_running_agg(df, "seq", "v", "v", fn="sum")
+    assert out.columns.count("v") == 1
+    assert {r.seq: r.v for r in out.select("seq", "v").collect()} \
+        == {1: 10, 2: 30, 3: 60}
+
+
+def test_bootstrap_ci_rejects_duplicate_ids(spark):
+    """Duplicates + matching gaps have the right COUNT but wrong support —
+    the density check must compare distinct ids too."""
+    from akka_stream_contrib_spark.functions.ml import bootstrap_ci
+    rows = [(1 if i == 2 else i, i) for i in range(100)]  # id 2 -> dup of 1
+    df = spark.createDataFrame(rows, "id long, v long")
+    with pytest.raises(ValueError, match="distinct"):
+        bootstrap_ci(df, "v", "id", n=100, b=40)
+
+
+def test_mmr_select_dimension_mismatch_fails_loudly(spark):
+    from akka_stream_contrib_spark.functions.similarity import mmr_select
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dimension"):
+        mmr_select(df, [1.0, 0.0], k=1, shortlist=1)
