@@ -3917,6 +3917,28 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("removable_docs")))
 
 
+def q_psi_probe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed sketch-based drift monitor (functions/sketches.py::psi_probe
+    over histogram_build): per-event-type PSI of the odd-id slice (values
+    scaled 1.1×, the synthetic drift) against the even-id reference,
+    computed ENTIRELY from the two mergeable (key, bin, cnt) sketches —
+    the batch twin of the histogram_stream + psi_probe streaming monitor
+    (tests/test_streaming.py proves the streamed sketch probes to the
+    identical PSI). Probe cost is sketch-cardinality at any stream
+    volume."""
+    from akka_stream_contrib_spark.functions.sketches import (
+        histogram_build, psi_probe)
+    ev = tables.load(spark, "events", sf_dir)
+    ref = histogram_build(
+        ev.filter(F.col("event_id") % 2 == 0),
+        key="event_type", value="value", lo=0.0, hi=1000.0, n_bins=10)
+    live = histogram_build(
+        ev.filter(F.col("event_id") % 2 == 1)
+        .withColumn("value", F.col("value") * F.lit(1.1)),
+        key="event_type", value="value", lo=0.0, hi=1000.0, n_bins=10)
+    return psi_probe(live, ref)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4179,6 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_features": q_rfm_features,
         "degree_assortativity": q_degree_assortativity,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "psi_probe_drift": q_psi_probe_drift,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4188,11 +4211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: the ~50-query driver-evidence window (see queries() comment). Round-7
 #: grouping: (1) the 11 round-6 evaluation/graph queries that have NEVER
 #: appeared in a driver CORRECTNESS window (r6 cumulative: 222 of 233
-#: seen) — front-loaded so this round closes the registry; (2) the 11
+#: seen) — front-loaded so this round closes the registry; (2) the 12
 #: round-7 additions (batch 1: JSD, conditional entropy, bootstrap CI,
 #: Gini, fertility, AP@k, MMR; batch 2: perplexity split, RFM,
-#: assortativity, dedup audit — all oracle-backed, local-gate green at
-#: sf0.001/0.01/0.1); (3) the formerly no-oracle rows now oracle-backed:
+#: assortativity, dedup audit, keyed sketch-PSI probe — all
+#: oracle-backed, local-gate green at sf0.001/0.01/0.1); (3) the
+#: formerly no-oracle rows now oracle-backed:
 #: the HLL pair flipped to contract oracles (exact counts + est_ok
 #: pinned TRUE) this round, the IVF pair flipped to value-hash oracles
 #: late in r6 and was never driver-seen with them; (4) queries whose
@@ -4211,11 +4235,11 @@ _PRIORITY = [
     "ndcg_eval", "welch_ttest", "benford_check", "sliced_eval",
     "ks_statistic", "chi2_tokens", "local_clustering", "association_rules",
     "kaplan_meier", "embedding_drift", "k_anonymity",
-    # (2) the 11 round-7 additions (two batches)
+    # (2) the 12 round-7 additions (two batches + the sketch-PSI probe)
     "js_divergence", "conditional_entropy", "bootstrap_ci",
     "gini_user_activity", "tokenizer_fertility", "average_precision",
     "mmr_diverse_topk", "perplexity_buckets", "rfm_features",
-    "degree_assortativity", "dup_cluster_sizes",
+    "degree_assortativity", "dup_cluster_sizes", "psi_probe_drift",
     # (3) no-oracle rows flipped to oracle-backed
     "approx_distinct_users", "hll_daily_users", "ivf_ann_topk",
     "ann_ivf_all",
@@ -4226,10 +4250,10 @@ _PRIORITY = [
     # (5) queued re-evidence from round 6
     "logreg_quality",
     # (6) re-evidence picks (weak-set heavies + long-unseen staples;
-    # four staple slots ceded to the batch-2 additions above)
+    # five staple slots ceded to the round-7 additions above)
     "q1_pricing_summary", "q2_min_cost_supplier", "q11_important_stock",
     "q9_product_profit", "minhash_lsh_dedup", "ngram_jaccard_dedup",
-    "simhash_pairs", "dedup_exact", "bm25_search", "rrf_fusion",
+    "simhash_pairs", "dedup_exact", "rrf_fusion",
     "hard_negatives", "dsir_select",
     # exactly 50 = the driver window. Everything else is cumulative
     # driver-green and covered by the local replica each session.
@@ -9345,6 +9369,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         "average_precision": _ap_oracle(),
         "mmr_diverse_topk": _mmr_oracle(),
+        # keyed sketch PSI: identical bin clamp, identical psi_drift term
+        # math (1e-6 floor, round-9 decimal sums), keys scored only when
+        # both sketches carry them (functions/sketches.py::psi_probe)
+        "psi_probe_drift": """
+            WITH ref AS (
+                SELECT event_type AS key,
+                       CAST(least(greatest(floor((CAST(value AS DOUBLE)
+                                - CAST(0.0 AS DOUBLE))
+                                / CAST(100.0 AS DOUBLE)), 0), 9) AS INT)
+                           AS bin,
+                       count(*) AS cnt
+                FROM events
+                WHERE event_id % 2 = 0 AND value IS NOT NULL
+                      AND NOT isnan(value)
+                GROUP BY 1, 2
+            ), live AS (
+                SELECT event_type AS key,
+                       CAST(least(greatest(floor((CAST(value AS DOUBLE)
+                                * CAST(1.1 AS DOUBLE)
+                                - CAST(0.0 AS DOUBLE))
+                                / CAST(100.0 AS DOUBLE)), 0), 9) AS INT)
+                           AS bin,
+                       count(*) AS cnt
+                FROM events
+                WHERE event_id % 2 = 1 AND value IS NOT NULL
+                      AND NOT isnan(value)
+                GROUP BY 1, 2
+            ), rt AS (
+                SELECT key, CAST(sum(cnt) AS BIGINT) AS tp
+                FROM ref GROUP BY key
+            ), lt AS (
+                SELECT key, CAST(sum(cnt) AS BIGINT) AS tq
+                FROM live GROUP BY key
+            ), ks AS (
+                SELECT rt.key AS key, tp, tq
+                FROM rt JOIN lt ON rt.key = lt.key
+            ), m AS (
+                SELECT COALESCE(r.key, l.key) AS key,
+                       COALESCE(r.bin, l.bin) AS bin,
+                       COALESCE(r.cnt, 0) AS cp, COALESCE(l.cnt, 0) AS cq
+                FROM ref r FULL OUTER JOIN live l
+                  ON r.key = l.key AND r.bin = l.bin
+            ), j AS (
+                SELECT m.key, m.bin,
+                       CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE) AS p,
+                       CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE) AS q
+                FROM m JOIN ks ON m.key = ks.key
+            ), t AS (
+                SELECT key, bin, p, q,
+                       CAST(round((greatest(p, 1e-6) - greatest(q, 1e-6))
+                            * ln(greatest(p, 1e-6) / greatest(q, 1e-6)), 9)
+                            AS DECIMAL(15,9)) AS term
+                FROM j
+            )
+            SELECT key, bin, round(p, 6) + 0.0 AS p, round(q, 6) + 0.0 AS q,
+                   CAST(term AS DOUBLE) + 0.0 AS psi_term,
+                   round(CAST(sum(term) OVER (PARTITION BY key) AS DOUBLE),
+                         6) + 0.0 AS psi
+            FROM t
+        """,
         # CCNet split on the shared bigram-LM CTE: identical 6-dp scores,
         # identical (score, id) ranking, exact integer bucket arithmetic
         # (// mirrors Spark's DIV; a double divide + int cast would

@@ -291,3 +291,54 @@ def histogram_probe(counts: DataFrame, qs: Sequence[float] = (0.5, 0.9, 0.99),
     est = (F.lit(lo) + F.lit(w) * (F.col("bin")
            + (rank - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt")))
     return hit.select("key", "q", F.round(est, 6).alias("est"), "n")
+
+
+def psi_probe(counts: DataFrame, ref_counts: DataFrame,
+              eps: float = 1e-6) -> DataFrame:
+    """Population-Stability-Index drift of a live ``(key, bin, cnt)``
+    histogram sketch against a frozen reference sketch with the SAME bin
+    geometry — the streaming drift monitor: maintain the live sketch with
+    ``streaming/rollup.py::histogram_stream`` (state bounded at
+    keys × n_bins, no watermark) and probe any micro-batch snapshot
+    against the reference for pennies. Same term math as
+    ``ml.psi_drift`` (1e-6 floor on empty buckets, per-bucket terms
+    rounded to 9 dp and summed as exact decimal), so a batch recompute
+    over the same rows yields the identical PSI.
+
+    Only keys present in BOTH sketches are scored (a key with no
+    reference has no drift baseline); within a scored key, a bucket
+    missing on one side is a 0-count bucket (the floored share). Returns
+    the psi_drift-shaped long form per key:
+    (key, bin, p, q, psi_term, psi) with p = reference share, q = live
+    share.
+
+    Scale shape: every join/window here runs over sketch-cardinality
+    rows (≤ keys × n_bins), never the raw stream — the probe cost is
+    independent of how much data the sketch has absorbed.
+    """
+    from pyspark.sql import Window
+
+    rt = ref_counts.groupBy("key").agg(F.sum("cnt").alias("_tp"))
+    lt = counts.groupBy("key").agg(F.sum("cnt").alias("_tq"))
+    keys = rt.join(lt, "key")
+    merged = (ref_counts.select("key", "bin", F.col("cnt").alias("_cp"))
+              .join(counts.select("key", "bin", F.col("cnt").alias("_cq")),
+                    ["key", "bin"], "full_outer")
+              .join(keys, "key"))
+    p = (F.coalesce("_cp", F.lit(0)).cast("double")
+         / F.col("_tp").cast("double"))
+    q = (F.coalesce("_cq", F.lit(0)).cast("double")
+         / F.col("_tq").cast("double"))
+    pe = F.greatest(p, F.lit(eps))
+    qe = F.greatest(q, F.lit(eps))
+    term = F.round((pe - qe) * F.log(pe / qe), 9).cast("decimal(15,9)")
+    per = merged.select("key", "bin",
+                        (F.round(p, 6) + F.lit(0.0)).alias("p"),
+                        (F.round(q, 6) + F.lit(0.0)).alias("q"),
+                        term.alias("_term"))
+    wk = Window.partitionBy("key")
+    return per.select(
+        "key", "bin", "p", "q",
+        (F.col("_term").cast("double") + F.lit(0.0)).alias("psi_term"),
+        (F.round(F.sum("_term").over(wk).cast("double"), 6) + F.lit(0.0))
+        .alias("psi"))

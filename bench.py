@@ -208,6 +208,7 @@ HEADLINE = [
     "perplexity_buckets",
     "rfm_features",
     "degree_assortativity",
+    "psi_probe_drift",
 ]
 
 

@@ -384,6 +384,10 @@ BUDGET = {
     # near-dup pair join + label-propagation output (lineage truncated) +
     # two tiny cluster aggregations
     "dup_cluster_sizes": 4,
+    # two corpus-side histogram builds; the other five exchanges (totals,
+    # key gate, bucket union, per-key psi window) shuffle sketch-
+    # cardinality rows (<= keys x n_bins) only
+    "psi_probe_drift": 7,
 }
 
 

@@ -844,3 +844,67 @@ def test_scd2_sink_replay_mid_batch_is_idempotent(spark, tmp_path):
     expect = sorted(map(tuple,
                         frame(b0 + b1).transform(scd2_intervals()).collect()))
     assert after_replay == expect
+
+
+def test_histogram_stream_psi_probe_matches_batch_psi(spark, tmp_path):
+    """Streaming drift monitor: a histogram_stream sketch probed with
+    psi_probe against a frozen reference must yield EXACTLY the PSI that
+    the batch psi_drift computes over the same raw values (same bucket
+    geometry, same 1e-6 floor, same round-9 decimal term sums)."""
+    from akka_stream_contrib_spark.functions.ml import psi_drift
+    from akka_stream_contrib_spark.functions.sketches import (
+        histogram_build, psi_probe)
+    from akka_stream_contrib_spark.streaming.rollup import histogram_stream
+
+    lo, hi, n_bins = 0.0, 100.0, 10
+    ref_vals = [float(v) for v in range(0, 100, 2)]       # uniform-ish
+    live_vals = [float(v % 60) for v in range(1, 100, 2)]  # shifted low
+    ref_df = spark.createDataFrame(
+        [("a", v) for v in ref_vals], "event_type string, value double")
+    ref_sketch = histogram_build(ref_df, key="event_type", value="value",
+                                 lo=lo, hi=hi, n_bins=n_bins)
+
+    feed = tmp_path / "drift_vals"
+    feed.mkdir()
+    _feed_json(feed, "b1.json",
+               [{"event_type": "a", "value": v} for v in live_vals[:25]])
+    _feed_json(feed, "b2.json",
+               [{"event_type": "a", "value": v} for v in live_vals[25:]])
+    src = (spark.readStream
+           .schema("event_type string, value double")
+           .option("maxFilesPerTrigger", 1)
+           .json(str(feed)))
+    sketch = histogram_stream(src, lo=lo, hi=hi, n_bins=n_bins)
+    q = (sketch.writeStream.format("memory").queryName("drift_sketch")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck_drift"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    streamed = spark.sql("select key, bin, cnt from drift_sketch")
+    probed = psi_probe(streamed, ref_sketch)
+    psi_vals = {r.psi for r in probed.collect()}
+    assert len(psi_vals) == 1
+    got_psi = psi_vals.pop()
+
+    # batch recompute over the SAME raw values and bucket geometry
+    old = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    new = spark.createDataFrame([(v,) for v in live_vals], "value double")
+    want = psi_drift(old, new, "value", n_buckets=n_bins, lo=lo, hi=hi)
+    want_psi = {r.psi for r in want.collect()}.pop()
+    assert got_psi == want_psi and got_psi > 0.1  # the shift IS drift
+
+
+def test_psi_probe_scores_only_keys_with_a_reference(spark):
+    from akka_stream_contrib_spark.functions.sketches import psi_probe
+    ref = spark.createDataFrame([("a", 0, 5), ("a", 1, 5)],
+                                "key string, bin int, cnt long")
+    live = spark.createDataFrame(
+        [("a", 0, 7), ("a", 2, 3), ("b", 0, 9)],
+        "key string, bin int, cnt long")
+    rows = psi_probe(live, ref).collect()
+    assert {r.key for r in rows} == {"a"}  # 'b' has no baseline
+    # bucket union: ref-only bin 1 and live-only bin 2 both appear
+    assert {r.bin for r in rows} == {0, 1, 2}
