@@ -187,9 +187,13 @@ def remove_boilerplate(max_doc_frac: float = 0.3, delim: str = " ",
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        segs = df.select(
+        from akka_stream_contrib_spark.util import pipeline_cache
+
+        # three consumers (DF counting, the anti-join, per-doc totals) —
+        # cache the exploded segment frame so the corpus explode runs once
+        segs = pipeline_cache(df.select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "seg"))
+            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "seg")))
         n_docs = df.select(
             F.count(F.lit(1)).alias("_n_docs"))
         boiler = (
