@@ -3939,6 +3939,140 @@ def q_psi_probe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_probe(live, ref)
 
 
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (functions/ml.py::cohen_kappa) between two
+    heuristic document raters — a char-length rubric vs a token-count
+    rubric, both 3-class — chance-corrected by the marginal product. The
+    label-quality audit run before trusting any annotation pass."""
+    from akka_stream_contrib_spark.functions.ml import cohen_kappa
+    docs = tables.load(spark, "documents", sf_dir)
+    rater_a = F.when(
+        F.col("n_chars").isNotNull(),
+        F.when(F.col("n_chars") < 300, F.lit("short"))
+        .when(F.col("n_chars") < 900, F.lit("mid"))
+        .otherwise(F.lit("long")))
+    ntok = F.size(F.split(F.col("text"), " "))
+    rater_b = F.when(
+        F.col("text").isNotNull(),
+        F.when(ntok < 50, F.lit("short"))
+        .when(ntok < 150, F.lit("mid"))
+        .otherwise(F.lit("long")))
+    return docs.transform(cohen_kappa(rater_a, rater_b))
+
+
+def q_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty-aware leaderboard (functions/ml.py::wilson_rank): users
+    ranked by the Wilson 95% lower bound of their purchase rate — one
+    conditional-count groupBy, closed-form bound from exact counts."""
+    from akka_stream_contrib_spark.functions.ml import wilson_rank
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.transform(wilson_rank(
+        (F.col("event_type") == "purchase"), "user_id",
+        min_trials=5, top_k=20))
+
+
+def q_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision threshold (functions/ml.py::f1_threshold_sweep) for
+    doc length predicting lang=='en' — the auc_roc fixture swept for the
+    F1-max cut: distinct-score collapse, shared two-phase prefix of both
+    classes, exact-integer confusion counts at every candidate."""
+    from akka_stream_contrib_spark.functions.ml import f1_threshold_sweep
+    docs = tables.load(spark, "documents", sf_dir)
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        F.col("n_chars").alias("score"))
+    return scored.transform(f1_threshold_sweep())
+
+
+_MRR_QUERIES = {
+    "q1": ["spark", "join", "window"],
+    "q2": ["hash", "merge", "sort"],
+    "q3": ["filter", "customer", "vector"],
+}
+
+
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank (functions/retrieval.py::mrr_at_k) of three
+    BM25 runs, a hit being a doc containing ALL the query's terms —
+    per-query bounded rank windows, 9-dp-decimal reciprocal ranks, one
+    final double division."""
+    from akka_stream_contrib_spark.functions import bm25_topk
+    from akka_stream_contrib_spark.functions.retrieval import mrr_at_k
+    docs = tables.load(spark, "documents", sf_dir)
+    parts = []
+    for name, terms in _MRR_QUERIES.items():
+        top = docs.transform(bm25_topk(terms, k=10))
+        toks = F.split(F.col("text"), " ")
+        rel = F.when(
+            sum((F.array_contains(toks, t).cast("int") for t in terms),
+                F.lit(0)) == len(terms), 1).otherwise(0)
+        parts.append(
+            F.broadcast(top)
+            .join(docs.select("doc_id", rel.alias("rel")), "doc_id")
+            .select(F.lit(name).alias("query"), "doc_id", "score", "rel"))
+    allq = parts[0]
+    for p in parts[1:]:
+        allq = allq.unionByName(p)
+    return allq.transform(mrr_at_k(k=10))
+
+
+def q_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (functions/basket.py::item_cf_topk)
+    over order baskets: per part, the top-5 co-ordered parts by cosine —
+    one basket self-join, per-item bounded rank window."""
+    from akka_stream_contrib_spark.functions.basket import item_cf_topk
+    li = tables.load(spark, "lineitem", sf_dir)
+    return li.transform(item_cf_topk(
+        "l_orderkey", "l_partkey", k=5, min_pair_count=3))
+
+
+def _interaction_edges(ev: DataFrame) -> DataFrame:
+    """The pagerank_users edge fixture: consecutive-user transitions inside
+    each hour bucket, self-loops dropped (dedup happens inside the graph
+    functions)."""
+    w = Window.partitionBy(F.date_trunc("hour", "ts")).orderBy("event_id")
+    return (ev.withColumn("src", F.lag("user_id").over(w))
+            .filter(F.col("src").isNotNull()
+                    & (F.col("src") != F.col("user_id")))
+            .select("src", F.col("user_id").alias("dst")))
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (functions/graph.py::hits_scores) over the
+    user-interaction graph — 3 L1-normalized power iterations, oracled by
+    the same unrolled-CTE pattern as pagerank."""
+    from akka_stream_contrib_spark.functions.graph import hits_scores
+    ev = tables.load(spark, "events", sf_dir)
+    return (hits_scores(_interaction_edges(ev), iterations=3)
+            .select(F.col("id").alias("user_id"),
+                    (F.round("hub", 6) + F.lit(0.0)).alias("hub"),
+                    (F.round("auth", 6) + F.lit(0.0)).alias("auth"))
+            .orderBy("user_id"))
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the undirected user-interaction graph (functions/graph.py::
+    k_core): synchronous peel rounds, all-integer degrees, the DuckDB
+    oracle replaying the identical unrolled rounds."""
+    from akka_stream_contrib_spark.functions.graph import k_core
+    ev = tables.load(spark, "events", sf_dir)
+    return (k_core(_interaction_edges(ev), k=3, rounds=8)
+            .select(F.col("id").alias("user_id"), "degree", "in_core")
+            .orderBy("user_id"))
+
+
+def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-2 (functions/text.py::bleu2_corpus) of odd-id documents
+    against their even-id predecessors — clipped-count inner joins on
+    (pair, gram), exact integers to three final divisions."""
+    from akka_stream_contrib_spark.functions.text import bleu2_corpus
+    docs = tables.load(spark, "documents", sf_dir)
+    cands = (docs.filter(F.col("doc_id") % 2 == 1)
+             .select((F.col("doc_id") - 1).alias("doc_id"), "text"))
+    refs = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    return cands.transform(bleu2_corpus(refs))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4202,6 +4336,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "psi_probe_drift": q_psi_probe_drift,
+        "cohen_kappa": q_cohen_kappa,
+        "wilson_rank": q_wilson_rank,
+        "f1_threshold_sweep": q_f1_threshold_sweep,
+        "mrr_eval": q_mrr_eval,
+        "item_cf_recs": q_item_cf_recs,
+        "hits_scores": q_hits_scores,
+        "k_core": q_k_core,
+        "bleu_eval": q_bleu_eval,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4247,14 +4389,15 @@ _PRIORITY = [
     "classification_report", "auc_roc", "ewma_smooth", "motif_search",
     "quantized_ann", "pagerank_users", "grouping_sets_revenue",
     "accumulate", "token_throttle", "pareto_customers", "token_budget_fill",
-    # (5) queued re-evidence from round 6
+    # (5) the session-2 round-7 additions (agreement/ranking-eval/recsys/
+    # graph family) — never driver-verified
+    "cohen_kappa", "wilson_rank", "f1_threshold_sweep", "mrr_eval",
+    "item_cf_recs", "hits_scores", "k_core", "bleu_eval",
+    # (6) queued re-evidence from round 6
     "logreg_quality",
-    # (6) re-evidence picks (weak-set heavies + long-unseen staples;
-    # five staple slots ceded to the round-7 additions above)
-    "q1_pricing_summary", "q2_min_cost_supplier", "q11_important_stock",
-    "q9_product_profit", "minhash_lsh_dedup", "ngram_jaccard_dedup",
-    "simhash_pairs", "dedup_exact", "rrf_fusion",
-    "hard_negatives", "dsir_select",
+    # (7) re-evidence picks (weak-set heavies; eight staple slots ceded
+    # to the session-2 additions above)
+    "q1_pricing_summary", "q11_important_stock", "minhash_lsh_dedup",
     # exactly 50 = the driver window. Everything else is cumulative
     # driver-green and covered by the local replica each session.
 ]
@@ -5081,6 +5224,384 @@ _BIGRAM_LP_SQL = """
         """
 
 
+_KAPPA_SQL = """
+    WITH rated AS (
+        SELECT CASE WHEN n_chars IS NULL THEN NULL
+                    WHEN n_chars < 300 THEN 'short'
+                    WHEN n_chars < 900 THEN 'mid'
+                    ELSE 'long' END AS _a,
+               CASE WHEN text IS NULL THEN NULL
+                    WHEN len(string_split(text, ' ')) < 50 THEN 'short'
+                    WHEN len(string_split(text, ' ')) < 150 THEN 'mid'
+                    ELSE 'long' END AS _b
+        FROM documents
+    ), cells AS (
+        SELECT _a, _b, count(*) AS _n FROM rated
+        WHERE _a IS NOT NULL AND _b IS NOT NULL GROUP BY _a, _b
+    ), rowm AS (SELECT _a AS _c, CAST(sum(_n) AS BIGINT) AS _ra
+                FROM cells GROUP BY _a),
+    colm AS (SELECT _b AS _c, CAST(sum(_n) AS BIGINT) AS _rb
+             FROM cells GROUP BY _b),
+    pe AS (SELECT sum(CAST(_ra AS DECIMAL(19,0)) * _rb) AS _pe_num
+           FROM rowm JOIN colm USING (_c)),
+    obs AS (SELECT CAST(sum(_n) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN _a = _b THEN _n ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM cells)
+    SELECT n, n_agree,
+           round(CASE WHEN n > 0
+                 THEN CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+               + 0.0 AS p_o,
+           round(CASE WHEN n > 0
+                 THEN CAST(_pe_num AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END, 6)
+               + 0.0 AS p_e,
+           round(CASE WHEN CAST(_pe_num AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                 THEN (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(_pe_num AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                      / (1.0 - CAST(_pe_num AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 6)
+               + 0.0 AS kappa
+    FROM obs CROSS JOIN pe
+"""
+
+
+def _wilson_oracle(z: float = 1.96, min_trials: int = 5,
+                   top_k: int = 20) -> str:
+    """DuckDB mirror of q_wilson_rank: identical conditional counts, the
+    identical double expression tree with z/z² injected as the SAME
+    python-literal doubles (CAST-from-VARCHAR parse — correctly rounded,
+    see the r6 1-ulp advice), ranked (wilson_lb desc, group asc)."""
+    zf = float(z)
+    zs = f"CAST('{zf!r}' AS DOUBLE)"
+    z2s = f"CAST('{zf * zf!r}' AS DOUBLE)"
+    n = "CAST(n_trials AS DOUBLE)"
+    p = f"(CAST(n_success AS DOUBLE) / {n})"
+    lb = (f"(({p} + {z2s} / (2.0 * {n})"
+          f" - {zs} * sqrt(({p} * (1.0 - {p}) + {z2s} / (4.0 * {n})) / {n}))"
+          f" / (1.0 + {z2s} / {n}))")
+    return f"""
+        WITH per AS (
+            SELECT user_id AS "group",
+                   CAST(sum(CAST(event_type = 'purchase' AS INT))
+                        AS BIGINT) AS n_success,
+                   CAST(count(CAST(event_type = 'purchase' AS INT))
+                        AS BIGINT) AS n_trials
+            FROM events GROUP BY user_id
+            HAVING count(CAST(event_type = 'purchase' AS INT))
+                   >= {int(min_trials)}
+        )
+        SELECT "group", n_success, n_trials,
+               round({p}, 6) + 0.0 AS rate,
+               round({lb}, 6) + 0.0 AS wilson_lb
+        FROM per
+        ORDER BY wilson_lb DESC, "group"
+        LIMIT {int(top_k)}
+    """
+
+
+_F1_SWEEP_SQL = """
+    WITH per AS (
+        SELECT n_chars AS threshold,
+               CAST(sum(CAST(lang = 'en' AS INT)) AS BIGINT) AS pos,
+               CAST(count(*) - sum(CAST(lang = 'en' AS INT))
+                    AS BIGINT) AS neg
+        FROM documents
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY n_chars
+    ), c AS (
+        SELECT *,
+               sum(pos) OVER (ORDER BY threshold
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cp,
+               sum(neg) OVER (ORDER BY threshold
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cn,
+               sum(pos) OVER () AS _tp_all,
+               sum(neg) OVER () AS _tn_all
+        FROM per
+    ), m AS (
+        SELECT threshold,
+               CAST(_tp_all - _cp + pos AS BIGINT) AS tp,
+               CAST(_tn_all - _cn + neg AS BIGINT) AS fp,
+               CAST(_tp_all - (_tp_all - _cp + pos) AS BIGINT) AS fn,
+               CAST(_tp_all AS BIGINT) AS _p
+        FROM c
+    )
+    SELECT threshold, tp, fp, fn,
+           round(CASE WHEN tp + fp > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
+               + 0.0 AS precision,
+           round(CASE WHEN _p > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(_p AS DOUBLE) END, 6)
+               + 0.0 AS recall,
+           round(CASE WHEN tp + fp + _p > 0
+                 THEN CAST(2 * tp AS DOUBLE)
+                      / CAST(tp + fp + _p AS DOUBLE) END, 6)
+               + 0.0 AS f1
+    FROM m
+    ORDER BY f1 DESC NULLS LAST, threshold
+    LIMIT 1
+"""
+
+
+def _mrr_oracle(k: int = 10) -> str:
+    """DuckDB mirror of q_mrr_eval: one _ndcg_oracle-style BM25 score CTE
+    per query cut at top-k, all-terms binary relevance, per-query first
+    relevant rank, 9-dp-decimal reciprocal ranks summed exactly, one
+    final double division."""
+    blocks = []
+    for name, terms in _MRR_QUERIES.items():
+        tfs = ",\n".join(
+            f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+            f" AS tf{i}" for i, t in enumerate(terms))
+        dfs = ", ".join(
+            f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS df{i}" for i in range(len(terms)))
+        score = " + ".join(
+            f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+            f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+            f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+            f" (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE)"
+            f" / CAST(n AS DOUBLE)))))"
+            for i in range(len(terms)))
+        rel = " AND ".join(
+            f"list_contains(string_split(d.text, ' '), '{t}')"
+            for t in terms)
+        blocks.append(f"""
+        SELECT '{name}' AS query, t.doc_id, t.score,
+               CASE WHEN {rel} THEN 1 ELSE 0 END AS rel
+        FROM (
+            SELECT doc_id, round({score}, 6) + 0.0 AS score
+            FROM (
+                SELECT doc_id, len(string_split(text, ' ')) AS dl, {tfs}
+                FROM documents WHERE text IS NOT NULL
+            ) tf, (
+                SELECT count(*) AS n, sum(dl) AS sdl, {dfs}
+                FROM (
+                    SELECT len(string_split(text, ' ')) AS dl, {tfs}
+                    FROM documents WHERE text IS NOT NULL)
+            ) stats
+            ORDER BY score DESC, doc_id
+            LIMIT {k}
+        ) t JOIN documents d USING (doc_id)""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+        WITH allq AS ({union}),
+        ranked AS (
+            SELECT query, rel,
+                   row_number() OVER (PARTITION BY query
+                       ORDER BY score DESC, doc_id) AS _i
+            FROM allq
+        ), first AS (
+            SELECT query,
+                   min(CASE WHEN rel = 1 THEN _i END) AS _fr
+            FROM ranked WHERE _i <= {k} GROUP BY query
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(count(_fr) AS BIGINT) AS n_hit,
+                   sum(CAST(CASE WHEN _fr IS NOT NULL
+                            THEN round(1.0 / CAST(_fr AS DOUBLE), 9)
+                            ELSE 0.0 END AS DECIMAL(15,9))) AS _srr
+            FROM first
+        )
+        SELECT n_queries, n_hit,
+               round(CASE WHEN n_queries > 0
+                     THEN CAST(_srr AS DOUBLE)
+                          / CAST(n_queries AS DOUBLE) END, 6)
+                   + 0.0 AS mrr
+        FROM agg
+    """
+
+
+def _item_cf_oracle(k: int = 5, min_pair_count: int = 3,
+                    max_basket_size: int = 100) -> str:
+    """DuckDB mirror of q_item_cf_recs: the association_rules basket
+    machinery (dedup, size cap, x<y self-join, exact counts) mirrored to
+    both directions, cosine = one double division of a sqrt of the exact
+    decimal count product, per-item rank (cosine desc, neighbor asc)."""
+    return f"""
+        WITH items AS (
+            SELECT basket, item FROM (
+                SELECT l_orderkey AS basket, l_partkey AS item,
+                       count(*) OVER (PARTITION BY l_orderkey) AS _sz
+                FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                      WHERE l_orderkey IS NOT NULL
+                        AND l_partkey IS NOT NULL))
+            WHERE _sz <= {max_basket_size}
+        ), item_n AS (
+            SELECT item AS _i, CAST(count(*) AS BIGINT) AS _n
+            FROM items GROUP BY item
+        ), pairs AS (
+            SELECT a.item AS x, b.item AS y,
+                   CAST(count(*) AS BIGINT) AS n_xy
+            FROM items a JOIN items b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY a.item, b.item
+            HAVING count(*) >= {min_pair_count}
+        ), mirrored AS (
+            SELECT x, y, n_xy FROM pairs
+            UNION ALL
+            SELECT y AS x, x AS y, n_xy FROM pairs
+        ), scored AS (
+            SELECT b.x AS item, b.y AS neighbor, b.n_xy,
+                   round(CAST(b.n_xy AS DOUBLE)
+                         / sqrt(CAST(CAST(nx._n AS DECIMAL(19,0)) * ny._n
+                                     AS DOUBLE)), 6) + 0.0 AS cosine
+            FROM mirrored b JOIN item_n nx ON b.x = nx._i
+                        JOIN item_n ny ON b.y = ny._i
+        )
+        SELECT item, neighbor, n_xy, cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY item
+                       ORDER BY cosine DESC, neighbor) AS rank
+            FROM scored)
+        WHERE rank <= {k}
+        ORDER BY item, rank
+    """
+
+
+_EDGES_CTE = """
+e AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+        SELECT lag(user_id) OVER (
+                   PARTITION BY date_trunc('hour', ts) ORDER BY event_id
+               ) AS src,
+               user_id AS dst
+        FROM events)
+    WHERE src IS NOT NULL AND src <> dst
+)"""
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    """DuckDB mirror of q_hits_scores: the HITS half-steps unrolled as
+    chained CTEs (the _pagerank_oracle pattern) — per-dst hub sums, L1
+    norm, per-src auth sums, L1 norm; identical coalesce/divide ordering.
+    Float-sum association drift ~1e-16, absorbed by the 6-dp round."""
+    parts = [_EDGES_CTE + """,
+nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+s0 AS MATERIALIZED (SELECT id, 1.0 AS hub, 1.0 AS auth FROM nodes)"""]
+    for t in range(1, iterations + 1):
+        p = t - 1
+        parts.append(f"""
+ar{t} AS MATERIALIZED (
+    SELECT e.dst, sum(s{p}.hub) AS _a
+    FROM e JOIN s{p} ON s{p}.id = e.src GROUP BY e.dst
+),
+an{t} AS (SELECT sum(_a) AS _an FROM ar{t}),
+a{t} AS MATERIALIZED (
+    SELECT nodes.id, coalesce(ar{t}._a, 0.0) / an{t}._an AS auth
+    FROM nodes LEFT JOIN ar{t} ON ar{t}.dst = nodes.id CROSS JOIN an{t}
+),
+hr{t} AS MATERIALIZED (
+    SELECT e.src, sum(a{t}.auth) AS _h
+    FROM e JOIN a{t} ON a{t}.id = e.dst GROUP BY e.src
+),
+hn{t} AS (SELECT sum(_h) AS _hn FROM hr{t}),
+s{t} AS MATERIALIZED (
+    SELECT nodes.id, coalesce(hr{t}._h, 0.0) / hn{t}._hn AS hub, a{t}.auth
+    FROM nodes JOIN a{t} ON a{t}.id = nodes.id
+    LEFT JOIN hr{t} ON hr{t}.src = nodes.id CROSS JOIN hn{t}
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT id AS user_id, round(hub, 6) + 0.0 AS hub,
+       round(auth, 6) + 0.0 AS auth
+FROM s{iterations} ORDER BY user_id
+""")
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """DuckDB mirror of q_k_core: the synchronous peel unrolled as chained
+    CTEs over the undirected view — all-integer degree arithmetic, so the
+    result is exact on both engines; the Spark side's early fixpoint exit
+    is sound because peeling is monotone (an unchanged keep-count is an
+    unchanged keep-set) and extra unrolled rounds are no-ops."""
+    parts = [_EDGES_CTE + """,
+und AS MATERIALIZED (
+    SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL
+        SELECT dst AS a, src AS b FROM e)
+)"""]
+    prev = "und"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+keep{r} AS MATERIALIZED (
+    SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {k}
+),
+al{r} AS MATERIALIZED (
+    SELECT t.a, t.b FROM {prev} t
+    JOIN keep{r} ka ON t.a = ka.a
+    JOIN keep{r} kb ON t.b = kb.a
+)""")
+        prev = f"al{r}"
+    return ("WITH " + ",".join(parts) + f"""
+SELECT a AS user_id, CAST(count(*) AS BIGINT) AS degree, true AS in_core
+FROM {prev} GROUP BY a HAVING count(*) >= {k}
+ORDER BY user_id
+""")
+
+
+_BLEU_SQL = """
+    WITH cands AS (
+        SELECT doc_id - 1 AS _id, string_split(lower(text), ' ') AS ct
+        FROM documents WHERE doc_id % 2 = 1
+    ), refs AS (
+        SELECT doc_id AS _id, string_split(lower(text), ' ') AS rt
+        FROM documents WHERE doc_id % 2 = 0
+    ), paired AS (
+        SELECT c._id, ct, rt FROM cands c JOIN refs r ON c._id = r._id
+    ), cc1 AS (
+        SELECT _id, g, count(*) AS _c FROM (
+            SELECT _id, unnest(ct) AS g FROM paired) GROUP BY _id, g
+    ), rc1 AS (
+        SELECT _id, g, count(*) AS _r FROM (
+            SELECT _id, unnest(rt) AS g FROM paired) GROUP BY _id, g
+    ), m1t AS (
+        SELECT CAST(coalesce(sum(least(_c, _r)), 0) AS BIGINT) AS m1
+        FROM cc1 JOIN rc1 USING (_id, g)
+    ), cc2 AS (
+        SELECT _id, w1 || chr(31) || w2 AS g, count(*) AS _c FROM (
+            SELECT _id, unnest(ct[1 : len(ct) - 1]) AS w1,
+                        unnest(ct[2 : len(ct)]) AS w2
+            FROM paired WHERE len(ct) >= 2) GROUP BY _id, g
+    ), rc2 AS (
+        SELECT _id, w1 || chr(31) || w2 AS g, count(*) AS _r FROM (
+            SELECT _id, unnest(rt[1 : len(rt) - 1]) AS w1,
+                        unnest(rt[2 : len(rt)]) AS w2
+            FROM paired WHERE len(rt) >= 2) GROUP BY _id, g
+    ), m2t AS (
+        SELECT CAST(coalesce(sum(least(_c, _r)), 0) AS BIGINT) AS m2
+        FROM cc2 JOIN rc2 USING (_id, g)
+    ), lens AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(len(ct)) AS BIGINT) AS d1,
+               CAST(sum(greatest(len(ct) - 1, 0)) AS BIGINT) AS d2,
+               CAST(sum(len(rt)) AS BIGINT) AS r_len
+        FROM paired
+    )
+    SELECT n_pairs, m1, d1, m2, d2,
+           round(CASE WHEN d1 >= r_len THEN 1.0
+                 ELSE exp(1.0 - CAST(r_len AS DOUBLE)
+                          / CAST(d1 AS DOUBLE)) END, 6) + 0.0 AS bp,
+           round(CASE WHEN d1 > 0
+                 THEN CAST(m1 AS DOUBLE) / CAST(d1 AS DOUBLE) END, 6)
+               + 0.0 AS p1,
+           round(CASE WHEN d2 > 0
+                 THEN CAST(m2 AS DOUBLE) / CAST(d2 AS DOUBLE) END, 6)
+               + 0.0 AS p2,
+           round((CASE WHEN d1 >= r_len THEN 1.0
+                  ELSE exp(1.0 - CAST(r_len AS DOUBLE)
+                           / CAST(d1 AS DOUBLE)) END)
+                 * sqrt((CASE WHEN d1 > 0 THEN CAST(m1 AS DOUBLE)
+                              / CAST(d1 AS DOUBLE) END)
+                        * (CASE WHEN d2 > 0 THEN CAST(m2 AS DOUBLE)
+                               / CAST(d2 AS DOUBLE) END)), 6)
+               + 0.0 AS bleu2
+    FROM lens CROSS JOIN m1t CROSS JOIN m2t
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # quantized-ANN query literals: same int8 quantization of the synthetic
     # query vector as q_quantized_ann (pure python — deterministic), embedded
@@ -5104,6 +5625,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE (((event_id * 48271) % 65536) + 65536) % 65536 < 6553
         """,
         "motif_search": _motif_oracle(),
+        "cohen_kappa": _KAPPA_SQL,
+        "wilson_rank": _wilson_oracle(),
+        "f1_threshold_sweep": _F1_SWEEP_SQL,
+        "mrr_eval": _mrr_oracle(),
+        "item_cf_recs": _item_cf_oracle(),
+        "hits_scores": _hits_oracle(),
+        "k_core": _kcore_oracle(),
+        "bleu_eval": _BLEU_SQL,
         "sample_step_replay": """
             WITH RECURSIVE tgt(i, pos) AS (
                 SELECT 1, ((1 * 48271) % 65536) % 40 + 1

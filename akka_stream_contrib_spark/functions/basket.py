@@ -90,3 +90,79 @@ def association_rules(basket_col: str, item_col: str,
             .limit(top_k))
 
     return _apply
+
+
+def item_cf_topk(basket_col: str, item_col: str, k: int = 5,
+                 min_pair_count: int = 2, max_basket_size: int = 100,
+                 ) -> Callable[[DataFrame], DataFrame]:
+    """Item-item collaborative filtering: for every item, the top-``k``
+    co-consumed neighbors by cosine similarity over the binary
+    basket-item matrix — ``cos(x,y) = n_xy / √(n_x·n_y)`` (Sarwar et al.
+    2001, WWW: "Item-Based Collaborative Filtering Recommendation
+    Algorithms"). The "users who bought X also bought Y" primitive;
+    `association_rules` ranks GLOBAL pairs by lift, this builds the
+    PER-ITEM neighbor lists a recommender serves.
+
+    Scale shape (shared with association_rules): one self-equi-join on
+    the basket key over the deduplicated (basket, item) frame, oversized
+    baskets excluded up front (quadratic-fanout guard), counts
+    map-combined. Pairs materialize once as x < y and are mirrored to
+    both directions AFTER counting (half the join output). The per-item
+    top-k is a rank window partitioned by item over the min-count-pruned
+    pair frame — bounded fan-in per item, never a global window.
+
+    Determinism: counts are exact integers; the count product is decimal
+    (int64-overflow guard); cosine is ONE double division of a sqrt of
+    that exact product — engine-identical; ranking ties break (cosine
+    desc, neighbor asc).
+
+    Returns (item, neighbor, n_xy, cosine, rank) — ≤ k rows per item.
+
+    Reference anchor: none (recsys/analytics extension; family of
+    association_rules).
+    """
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import pipeline_cache
+
+        items = pipeline_cache(
+            df.select(F.col(basket_col).alias("basket"),
+                      F.col(item_col).alias("item"))
+            .filter(F.col("basket").isNotNull() & F.col("item").isNotNull())
+            .distinct()
+            .withColumn("_sz", F.count(F.lit(1)).over(
+                Window.partitionBy("basket")))
+            .filter(F.col("_sz") <= max_basket_size)
+            .drop("_sz"))
+        item_n = items.groupBy(F.col("item").alias("_i")).agg(
+            F.count(F.lit(1)).alias("_n"))
+        left = items.select("basket", F.col("item").alias("x"))
+        right = items.select(F.col("basket").alias("_b"),
+                             F.col("item").alias("y"))
+        pairs = (left.join(right, (F.col("basket") == F.col("_b"))
+                           & (F.col("x") < F.col("y")))
+                 .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+                 .filter(F.col("n_xy") >= min_pair_count))
+        # mirror to both directions AFTER counting: each unordered pair
+        # was joined and counted once
+        both = pairs.unionByName(
+            pairs.select(F.col("y").alias("x"), F.col("x").alias("y"),
+                         "n_xy"))
+        nx = item_n.select(F.col("_i").alias("_ix"), F.col("_n").alias("n_x"))
+        ny = item_n.select(F.col("_i").alias("_iy"), F.col("_n").alias("n_y"))
+        dec = "decimal(19,0)"
+        cos = (F.col("n_xy").cast("double")
+               / F.sqrt((F.col("n_x").cast(dec) * F.col("n_y"))
+                        .cast("double")))
+        scored = (both.join(nx, F.col("x") == F.col("_ix"))
+                  .join(ny, F.col("y") == F.col("_iy"))
+                  .select(F.col("x").alias("item"),
+                          F.col("y").alias("neighbor"),
+                          "n_xy",
+                          (F.round(cos, 6) + F.lit(0.0)).alias("cosine")))
+        w = Window.partitionBy("item").orderBy(
+            F.desc("cosine"), "neighbor")
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .orderBy("item", "rank"))
+
+    return _apply

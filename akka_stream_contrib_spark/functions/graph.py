@@ -231,3 +231,118 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
         F.col("_m").alias("n_edges"),
         (F.round(F.try_divide(num, den), 6) + F.lit(0.0))
         .alias("assortativity"))
+
+
+def hits_scores(edges: DataFrame, iterations: int = 3,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, JACM: "Authoritative
+    sources in a hyperlinked environment") over the directed edge list —
+    the bipartite-influence companion to `pagerank`: a good HUB points at
+    good authorities, a good AUTHORITY is pointed at by good hubs. The
+    curation use: over a citation/link graph, authorities are the
+    canonical documents, hubs the index pages.
+
+    Synchronous power iteration, L1-normalized each half-step (the sum
+    norm keeps the update linear — no cross-engine sqrt in the loop):
+      auth'(v) = Σ_{u→v} hub(u)   then  auth ← auth' / Σ auth'
+      hub'(u)  = Σ_{u→v} auth(v)  then  hub  ← hub' / Σ hub'
+    Fixed ``iterations`` (driver-loop family of pagerank / kmeans /
+    logreg / BPE-learn); per-iteration lineage truncated with
+    localCheckpoint so the plan does not grow.
+
+    Scale shape: each half-step is one shuffle (aggregation on the
+    receiving endpoint) plus a broadcast 1-row norm; state is one row per
+    node. Float sums associate differently across engines (~1e-16);
+    callers round for portable output (the pagerank convention).
+
+    Returns (id, hub, auth) for every node appearing in the edge list.
+
+    Reference anchor: the cyclic wiring is `FeedbackLoop.scala:18-38`
+    re-expressed (same anchor as pagerank).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+             .distinct().localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    if nodes.isEmpty():
+        return nodes.select("id", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("auth"))
+    state = nodes.select("id", F.lit(1.0).alias("hub"),
+                         F.lit(1.0).alias("auth"))
+    for _ in range(iterations):
+        # auth half-step: sum of source hubs into each dst, L1-normalize
+        a_raw = (e.join(state.select(F.col("id").alias("_s"), "hub"),
+                        e.src == F.col("_s"))
+                 .groupBy("dst").agg(F.sum("hub").alias("_a")))
+        a_norm = a_raw.agg(F.sum("_a").alias("_an"))
+        auth = (nodes.join(a_raw, nodes.id == a_raw.dst, "left")
+                .crossJoin(F.broadcast(a_norm))
+                .select("id", (F.coalesce(F.col("_a"), F.lit(0.0))
+                               / F.col("_an")).alias("auth")))
+        # hub half-step: sum of destination auths out of each src
+        h_raw = (e.join(auth.select(F.col("id").alias("_d"), "auth"),
+                        e.dst == F.col("_d"))
+                 .groupBy("src").agg(F.sum("auth").alias("_h")))
+        h_norm = h_raw.agg(F.sum("_h").alias("_hn"))
+        state = (nodes.join(auth.select(F.col("id").alias("_i"), "auth"),
+                            nodes.id == F.col("_i"))
+                 .join(h_raw, nodes.id == h_raw.src, "left")
+                 .crossJoin(F.broadcast(h_norm))
+                 .select("id",
+                         (F.coalesce(F.col("_h"), F.lit(0.0))
+                          / F.col("_hn")).alias("hub"),
+                         "auth")
+                 .localCheckpoint(eager=True))
+    return state
+
+
+def k_core(edges: DataFrame, k: int = 3, rounds: int = 8,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core membership by synchronous peeling over the UNDIRECTED view
+    of the edge list: repeatedly delete every node whose remaining degree
+    is < ``k``; what survives is the k-core (Seidman 1983, "Network
+    structure and minimum degree"). The community-density filter — spam
+    rings and tightly-coupled crawl clusters sit in high cores, stragglers
+    in low ones.
+
+    Runs exactly ``rounds`` synchronous peel rounds (driver-loop family of
+    pagerank; each round = one degree aggregation + one semi-join, lineage
+    truncated with localCheckpoint). The result equals the true k-core
+    whenever peeling has converged by then — the loop exits early on a
+    fixpoint (a bounded driver count per round) — and the fixed bound is
+    what lets the DuckDB oracle replay the identical rounds as unrolled
+    CTEs; on adversarial path-like graphs needing more rounds, raise
+    ``rounds`` (converged-by verified in tests at all fixture SFs).
+
+    All-integer arithmetic — exact on any engine/partitioning.
+
+    Returns (id, degree, in_core): remaining degree after the final
+    completed round for SURVIVING nodes with in_core = true; peeled nodes
+    are absent.
+
+    Reference anchor: none (graph-analytics extension; family of
+    pagerank / triangle_count / local_clustering).
+    """
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    und = (und.union(und.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    alive = und
+    prev_n = None
+    for _ in range(rounds):
+        deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("a")
+        n_keep = keep.count()
+        if prev_n is not None and n_keep == prev_n:
+            break
+        prev_n = n_keep
+        alive = (alive
+                 .join(keep, "a")
+                 .join(keep.select(F.col("a").alias("b")), "b")
+                 .select("a", "b").localCheckpoint(eager=True))
+    return (alive.groupBy(F.col("a").alias("id"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .filter(F.col("degree") >= k)
+            .withColumn("in_core", F.lit(True)))

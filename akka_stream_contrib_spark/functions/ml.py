@@ -970,3 +970,172 @@ def rfm_features(df: DataFrame, user_col: str = "user_id",
                 (F.coalesce(F.col("_mon"), F.lit(0).cast("decimal(18,2)"))
                  .cast("double") + F.lit(0.0)).alias("monetary"),
                 "n_valued"))
+
+
+def cohen_kappa(rater_a, rater_b):
+    """Cohen's kappa — chance-corrected agreement between two categorical
+    labelings of the same rows (two annotation passes, a model vs an
+    editorial rubric, two heuristic quality raters). The standard
+    inter-annotator-agreement statistic for auditing label quality before
+    a training run.
+
+    ``kappa = (p_o − p_e) / (1 − p_e)`` with ``p_o`` the observed
+    agreement rate and ``p_e = Σ_c rowmarg_c · colmarg_c / N²`` the
+    agreement expected from the marginals alone.
+
+    Distributed shape: the corpus collapses FIRST to the (a, b) confusion
+    cells (one map-combined shuffle, bounded by the class-pair
+    cardinality, not corpus size); the marginals, their product sum, and
+    the observed-agreement sum are all aggregates of that tiny cell frame.
+    Counts stay exact integers — the marginal product is held as
+    decimal(38,0) (two ~1e10-row marginals overflow an int64 product) —
+    and p_o/p_e/kappa are three final double divisions with an explicit
+    guard (single-class raters make p_e = 1; kappa is NULL then, like the
+    degenerate-input convention of welch_ttest / auc_roc).
+
+    Rows where either rater is NULL carry no agreement evidence and are
+    excluded up front (engines disagree on NULL equality semantics).
+
+    Returns one row: (n, n_agree, p_o, p_e, kappa).
+
+    Reference anchor: none (evaluation extension; family of
+    classification_report / welch_ttest).
+    """
+    def _apply(df: DataFrame) -> DataFrame:
+        a = rater_a if isinstance(rater_a, Column) else F.col(rater_a)
+        b = rater_b if isinstance(rater_b, Column) else F.col(rater_b)
+        cells = (df.select(a.alias("_a"), b.alias("_b"))
+                 .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+                 .groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_n")))
+        rowm = cells.groupBy(F.col("_a").alias("_c")).agg(
+            F.sum("_n").alias("_ra"))
+        colm = cells.groupBy(F.col("_b").alias("_c")).agg(
+            F.sum("_n").alias("_rb"))
+        # product-of-marginals sum: tiny frames (≤ class count) — the join
+        # is broadcast; decimal keeps the product exact at any scale
+        pe_num = (rowm.join(colm, "_c")
+                  .agg(F.sum(F.col("_ra").cast("decimal(19,0)")
+                             * F.col("_rb")).alias("_pe_num")))
+        obs = cells.agg(
+            F.sum("_n").alias("n"),
+            F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n"))
+                  .otherwise(F.lit(0))).alias("n_agree"))
+        j = obs.crossJoin(F.broadcast(pe_num))
+        nd = F.col("n").cast("double")
+        po = F.try_divide(F.col("n_agree").cast("double"), nd)
+        pe = F.try_divide(F.col("_pe_num").cast("double"), nd * nd)
+        kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+        return j.select(
+            "n", "n_agree",
+            (F.round(po, 6) + F.lit(0.0)).alias("p_o"),
+            (F.round(pe, 6) + F.lit(0.0)).alias("p_e"),
+            (F.round(kappa, 6) + F.lit(0.0)).alias("kappa"))
+
+    return _apply
+
+
+def wilson_rank(success, group_col: str, z: float = 1.96,
+                min_trials: int = 1, top_k: int = 20):
+    """Rank groups by the Wilson score lower bound of their success rate —
+    the uncertainty-aware leaderboard (Agresti–Coull family; the classic
+    "how not to sort by average rating"). A group with 2/2 successes ranks
+    BELOW one with 80/100: the bound shrinks toward 0 for small samples.
+
+    ``lb = (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n)``
+
+    Distributed shape: ONE map-combined conditional-count groupBy on the
+    group key; the bound is a fixed double expression tree over the two
+    exact integer counts, so every engine computes the identical double
+    (z and z² are injected as the same python-literal doubles on both
+    sides — see the oracle mirror). Ranking (lb desc, group asc) and the
+    top-k cut are deterministic. sqrt is IEEE-correctly-rounded on both
+    engines; the argument is a composition of exact counts and those
+    shared literals.
+
+    Returns top_k rows: (group, n_success, n_trials, rate, wilson_lb).
+
+    Reference anchor: none (evaluation/curation extension; family of
+    bootstrap_ci — that one bounds a MEAN by resampling, this bounds a
+    RATE in closed form).
+    """
+    zf = float(z)
+    z2 = zf * zf
+
+    def _apply(df: DataFrame) -> DataFrame:
+        s = success if isinstance(success, Column) else F.col(success)
+        per = (df.groupBy(F.col(group_col).alias("group"))
+               .agg(F.sum(s.cast("int")).alias("n_success"),
+                    F.count(s.cast("int")).alias("n_trials"))
+               .filter(F.col("n_trials") >= int(min_trials)))
+        n = F.col("n_trials").cast("double")
+        p = F.col("n_success").cast("double") / n
+        zl, z2l = F.lit(zf), F.lit(z2)
+        lb = ((p + z2l / (2.0 * n)
+               - zl * F.sqrt((p * (1.0 - p) + z2l / (4.0 * n)) / n))
+              / (1.0 + z2l / n))
+        return (per.select(
+            "group", "n_success", "n_trials",
+            (F.round(p, 6) + F.lit(0.0)).alias("rate"),
+            (F.round(lb, 6) + F.lit(0.0)).alias("wilson_lb"))
+            .orderBy(F.desc("wilson_lb"), "group")
+            .limit(int(top_k)))
+
+    return _apply
+
+
+def f1_threshold_sweep(label_col: str = "label", score_col: str = "score"):
+    """Optimal decision threshold by exhaustive F1 sweep — the deployment
+    companion to `auc_roc`: AUC says whether the score ranks well, this
+    says WHERE to cut it. Evaluates "predict positive iff score ≥ t" at
+    every distinct score value t and returns the best row.
+
+    Distributed shape (the auc_roc skeleton): rows collapse FIRST to
+    per-distinct-score (pos, neg) counts (one map-combined shuffle,
+    bounded by score cardinality); the ≥-threshold cumulative tp/fp at
+    each candidate come from the two-phase range prefix sum run ONCE over
+    both columns (`global_running_sums` — never a single-partition
+    window) subtracted from the broadcast totals; the argmax is a
+    TakeOrdered over the bounded candidate frame. tp/fp/fn stay exact
+    integers; precision/recall/F1 are final double divisions — both
+    engines order identical doubles, and the (f1 desc, threshold asc)
+    tie-break is total.
+
+    Returns one row: (threshold, tp, fp, fn, precision, recall, f1);
+    NULL metrics when a class is absent (try_divide convention).
+
+    Reference anchor: none (evaluation extension; family of
+    auc_roc / ks_statistic / classification_report).
+    """
+    from akka_stream_contrib_spark.operators.global_order import (
+        global_running_sums,
+    )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        df = df.filter(F.col(label_col).isNotNull()
+                       & F.col(score_col).isNotNull())
+        y = F.col(label_col).cast("long")
+        per = (df.groupBy(F.col(score_col).alias("threshold"))
+               .agg(F.sum(y).alias("pos"),
+                    (F.count(F.lit(1)) - F.sum(y)).alias("neg")))
+        c = global_running_sums(per, ["threshold"],
+                                ["pos", "neg"], ["_cp", "_cn"])
+        totals = c.agg(F.sum("pos").alias("_tp_all"),
+                       F.sum("neg").alias("_tn_all"))
+        j = c.crossJoin(F.broadcast(totals))
+        # ≥ t cumulative = total − inclusive-ascending prefix + own bucket
+        tp = F.col("_tp_all") - F.col("_cp") + F.col("pos")
+        fp = F.col("_tn_all") - F.col("_cn") + F.col("neg")
+        fn = F.col("_tp_all") - tp
+        prec = F.try_divide(tp.cast("double"), (tp + fp).cast("double"))
+        rec = F.try_divide(tp.cast("double"), F.col("_tp_all").cast("double"))
+        f1 = F.try_divide((2 * tp).cast("double"),
+                          (tp + fp + F.col("_tp_all")).cast("double"))
+        return (j.select(
+            "threshold", tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
+            (F.round(prec, 6) + F.lit(0.0)).alias("precision"),
+            (F.round(rec, 6) + F.lit(0.0)).alias("recall"),
+            (F.round(f1, 6) + F.lit(0.0)).alias("f1"))
+            .orderBy(F.desc_nulls_last("f1"), "threshold")
+            .limit(1))
+
+    return _apply

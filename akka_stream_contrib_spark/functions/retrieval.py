@@ -447,3 +447,61 @@ def average_precision_at_k(rel_col: str = "rel", k: int = 10,
              + F.lit(0.0)).alias("ap"))
 
     return _apply
+
+
+def mrr_at_k(rel_col: str = "rel", k: int = 10,
+             query_col: str = "query",
+             order_by: Sequence[str] | None = None,
+             id_col: str = "doc_id",
+             ) -> Callable[[DataFrame], DataFrame]:
+    """Mean Reciprocal Rank at ``k`` over a MULTI-query result frame with
+    binary relevance: per query, ``rr = 1/rank`` of the FIRST relevant hit
+    in the top-k (0 if none), averaged over all queries. The navigational
+    companion to `ndcg_at_k`/`average_precision_at_k` — those grade the
+    whole list, MRR grades only how fast the first right answer appears.
+
+    Determinism: per-query ranks tie-break by ``order_by`` then ``id_col``
+    (the ndcg_at_k convention); each reciprocal rank is rounded to 9 dp
+    and held as decimal so the cross-query mean is an exact decimal sum
+    with ONE double division at the end — order-independent on any
+    engine. NULL relevance counts as not relevant.
+
+    Scale shape: callers pass per-query candidate lists (bm25/rrf tops),
+    so the per-query rank window runs over bounded ≤depth-row partitions
+    keyed by query — a real partitioned window, never a global one. The
+    final reduction is a single-row aggregate.
+
+    Returns one row: (n_queries, n_hit, mrr).
+
+    Reference anchor: none (retrieval-evaluation extension; family of
+    ndcg_at_k / average_precision_at_k / rrf_fusion).
+    """
+    order_by = list(order_by) if order_by else ["score"]
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        order = [F.desc(c) for c in order_by] + [F.col(id_col)]
+        w = Window.partitionBy(query_col).orderBy(*order)
+        rel = F.coalesce(F.col(rel_col).cast("int"), F.lit(0))
+        ranked = (df.select(F.col(query_col).alias("_q"),
+                            rel.alias("_rel"),
+                            F.row_number().over(w).alias("_i"))
+                  .filter(F.col("_i") <= k))
+        first = (ranked.groupBy("_q")
+                 .agg(F.min(F.when(F.col("_rel") == 1, F.col("_i")))
+                      .alias("_fr")))
+        rr = F.when(
+            F.col("_fr").isNotNull(),
+            F.round(F.lit(1.0) / F.col("_fr").cast("double"), 9)
+        ).otherwise(F.lit(0.0)).cast("decimal(15,9)")
+        agg = first.agg(F.count(F.lit(1)).alias("n_queries"),
+                        F.count("_fr").alias("n_hit"),
+                        F.sum(rr).alias("_srr"))
+        return agg.select(
+            "n_queries", "n_hit",
+            (F.round(F.try_divide(F.col("_srr").cast("double"),
+                                  F.col("n_queries").cast("double")), 6)
+             + F.lit(0.0)).alias("mrr"))
+
+    return _apply

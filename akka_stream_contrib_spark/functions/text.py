@@ -672,3 +672,89 @@ def tokenizer_fertility(group_col: str = "lang", text_col: str = "text",
              + F.lit(0.0)).alias("fertility"))
 
     return _apply
+
+
+def bleu2_corpus(refs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 ) -> Callable[[DataFrame], DataFrame]:
+    """Corpus-level BLEU-2 of a candidate frame against a reference frame
+    joined on ``id_col`` (Papineni et al. 2002, ACL: "BLEU: a Method for
+    Automatic Evaluation of Machine Translation"). The generation-eval
+    staple: clipped n-gram precision says "how much of what the candidate
+    wrote appears in the reference", the brevity penalty stops a one-word
+    candidate from scoring 1.0.
+
+      p_n = Σ_pairs Σ_g min(cnt_cand(g), cnt_ref(g)) / Σ_pairs |cand|_n
+      BLEU2 = BP · √(p₁·p₂),  BP = min(1, e^(1 − r/c)) over corpus totals
+
+    (the geometric mean is written as one √ of a product — no exp/ln
+    round-trip for the mean itself; exp appears only in the short-
+    candidate BP branch, 1-ulp libm drift absorbed by the 6-dp rounding).
+
+    Distributed shape: ONE equi-join pairs the two frames on id (the
+    paired frame is pipeline-cached for its five consumers); each
+    precision is map-combined (id, gram) counts on both sides joined on
+    their shared key — grams absent from either side clip to 0 and drop
+    out of the inner join; every total is a single-row aggregate
+    broadcast into the final one-row combination. Clipped matches and
+    lengths stay exact integers until three final double divisions.
+
+    Returns one row: (n_pairs, m1, d1, m2, d2, bp, p1, p2, bleu2).
+
+    Reference anchor: none (generation-evaluation extension; family of
+    ndcg_at_k / average_precision_at_k / js_divergence).
+    """
+    def _toks(c: Column) -> Column:
+        return F.split(F.lower(c), " ")
+
+    def _bigrams(t: Column) -> Column:
+        n = F.size(t)
+        return F.zip_with(
+            F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("\x1f"), b))
+
+    def _apply(cands: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import pipeline_cache
+
+        paired = pipeline_cache(
+            cands.select(F.col(id_col).alias("_id"),
+                         _toks(F.col(text_col)).alias("_ct"))
+            .join(refs.select(F.col(id_col).alias("_id"),
+                              _toks(F.col(text_col)).alias("_rt")),
+                  "_id"))
+
+        def clipped(gram_of) -> DataFrame:
+            cc = (paired.select("_id",
+                                F.explode(gram_of(F.col("_ct"))).alias("_g"))
+                  .groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_c")))
+            rc = (paired.select("_id",
+                                F.explode(gram_of(F.col("_rt"))).alias("_g"))
+                  .groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_r")))
+            return cc.join(rc, ["_id", "_g"]).agg(
+                F.coalesce(F.sum(F.least(F.col("_c"), F.col("_r"))),
+                           F.lit(0)).alias("m"))
+
+        m1 = clipped(lambda t: t).select(F.col("m").alias("m1"))
+        m2 = clipped(_bigrams).select(F.col("m").alias("m2"))
+        lens = paired.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.size("_ct")).alias("d1"),
+            F.sum(F.greatest(F.size("_ct") - 1, F.lit(0))).alias("d2"),
+            F.sum(F.size("_rt")).alias("r_len"))
+        j = (lens.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2)))
+        c = F.col("d1").cast("double")
+        r = F.col("r_len").cast("double")
+        bp = F.when(F.col("d1") >= F.col("r_len"), F.lit(1.0)) \
+             .otherwise(F.exp(F.lit(1.0) - r / c))
+        p1 = F.try_divide(F.col("m1").cast("double"), c)
+        p2 = F.try_divide(F.col("m2").cast("double"),
+                          F.col("d2").cast("double"))
+        return j.select(
+            "n_pairs", "m1", "d1", "m2", "d2",
+            (F.round(bp, 6) + F.lit(0.0)).alias("bp"),
+            (F.round(p1, 6) + F.lit(0.0)).alias("p1"),
+            (F.round(p2, 6) + F.lit(0.0)).alias("p2"),
+            (F.round(bp * F.sqrt(p1 * p2), 6) + F.lit(0.0)).alias("bleu2"))
+
+    return _apply

@@ -209,6 +209,16 @@ HEADLINE = [
     "rfm_features",
     "degree_assortativity",
     "psi_probe_drift",
+    # round-7 session-2: agreement/threshold/ranking eval, recsys
+    # neighbors, link analysis, graph cores, generation eval
+    "cohen_kappa",
+    "wilson_rank",
+    "f1_threshold_sweep",
+    "mrr_eval",
+    "item_cf_recs",
+    "hits_scores",
+    "k_core",
+    "bleu_eval",
 ]
 
 

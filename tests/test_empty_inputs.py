@@ -53,6 +53,10 @@ NONEMPTY_OK = {
     # (k, 0 hits, NULL ap), and (0 edges, NULL assortativity) are
     # standard aggregate semantics
     "gini_user_activity", "average_precision", "degree_assortativity",
+    # session-2 round-7 single-row reductions: all-NULL agreement/
+    # precision/BLEU metrics rows on empty input are standard aggregate
+    # semantics (kappa/mrr/bleu each end in a 1-row combination)
+    "cohen_kappa", "mrr_eval", "bleu_eval",
 }
 
 

@@ -388,6 +388,29 @@ BUDGET = {
     # key gate, bucket union, per-key psi window) shuffle sketch-
     # cardinality rows (<= keys x n_bins) only
     "psi_probe_drift": 7,
+    # confusion-cell collapse + the two class-marginal aggs, their tiny
+    # join/product agg, and the 1-row observed agg (all post-collapse
+    # frames are class-cardinality-bounded)
+    "cohen_kappa": 7,
+    # ONE conditional-count groupBy on the user key; the bound is
+    # map-side arithmetic and the cut TakeOrdered
+    "wilson_rank": 1,
+    # distinct-score collapse + shared two-phase prefix (checkpoint)
+    "f1_threshold_sweep": 2,
+    # three bm25 stat/top pipelines (each: tf agg + TakeOrdered) feeding
+    # one bounded per-query rank + 1-row reduction
+    "mrr_eval": 6,
+    # basket dedup/size-window + item counts + pair self-join/count +
+    # neighbor joins + per-item rank window
+    "item_cf_recs": 8,
+    # per-iteration lineage is checkpoint-truncated (pagerank pattern);
+    # the residual plan is the final half-step join + norm
+    "hits_scores": 1,
+    # checkpoint-truncated peel rounds; residual = final degree agg
+    "k_core": 2,
+    # pair join + 2 gram-count shuffles per n-gram order + clipped-match
+    # joins + 1-row length agg over the cached paired frame
+    "bleu_eval": 7,
 }
 
 

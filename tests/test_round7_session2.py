@@ -1,0 +1,272 @@
+"""Round-7 session-2 additions: agreement (Cohen's kappa), uncertainty
+ranking (Wilson lower bound), threshold selection (F1 sweep), ranking eval
+(MRR), recsys neighbors (item-item CF), link analysis (HITS), graph cores
+(k-core peeling), and generation eval (corpus BLEU-2).
+
+Each test pins the semantics against an independent pure-python replica on
+a hand-built frame (the oracle gate separately pins the fixture queries
+against DuckDB at three SFs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from akka_stream_contrib_spark.functions.basket import item_cf_topk
+from akka_stream_contrib_spark.functions.graph import hits_scores, k_core
+from akka_stream_contrib_spark.functions.ml import (
+    cohen_kappa,
+    f1_threshold_sweep,
+    wilson_rank,
+)
+from akka_stream_contrib_spark.functions.retrieval import mrr_at_k
+from akka_stream_contrib_spark.functions.text import bleu2_corpus
+
+
+# ---------------------------------------------------------------- kappa ---
+
+def test_cohen_kappa_perfect_agreement(spark):
+    df = spark.createDataFrame(
+        [Row(a=x, b=x) for x in ["p", "q", "p", "r", "q", "p"]])
+    r = df.transform(cohen_kappa("a", "b")).head()
+    assert r.n == 6 and r.n_agree == 6
+    assert r.p_o == 1.0 and r.kappa == 1.0
+
+
+def test_cohen_kappa_known_value(spark):
+    # classic 2x2 worked example: po = 0.7, pe = 0.5 -> kappa = 0.4
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = df.transform(cohen_kappa("a", "b")).head()
+    assert r.n == 50 and r.n_agree == 35
+    assert r.p_o == pytest.approx(0.7)
+    pe = (25 * 30 + 25 * 20) / 50 / 50
+    assert r.p_e == pytest.approx(round(pe, 6))
+    assert r.kappa == pytest.approx(round((0.7 - pe) / (1 - pe), 6))
+
+
+def test_cohen_kappa_null_raters_excluded(spark):
+    df = spark.createDataFrame(
+        [Row(a="x", b="x"), Row(a=None, b="x"), Row(a="x", b=None)])
+    r = df.transform(cohen_kappa("a", "b")).head()
+    assert r.n == 1 and r.kappa is None  # single cell -> pe = 1 -> NULL
+
+
+# --------------------------------------------------------------- wilson ---
+
+def _wilson_lb(s: int, n: int, z: float = 1.96) -> float:
+    p = s / n
+    z2 = z * z
+    return ((p + z2 / (2 * n)
+             - z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+            / (1 + z2 / n))
+
+
+def test_wilson_rank_orders_by_lower_bound(spark):
+    # 2/2 must rank BELOW 80/100 despite the higher raw rate
+    rows = ([Row(g="small", ok=True)] * 2
+            + [Row(g="big", ok=True)] * 80 + [Row(g="big", ok=False)] * 20)
+    df = spark.createDataFrame(rows)
+    out = df.transform(wilson_rank(F.col("ok"), "g", top_k=5,
+                                   min_trials=1)).collect()
+    assert [r.group for r in out] == ["big", "small"]
+    assert out[0].wilson_lb == pytest.approx(round(_wilson_lb(80, 100), 6))
+    assert out[1].wilson_lb == pytest.approx(round(_wilson_lb(2, 2), 6))
+
+
+def test_wilson_rank_min_trials_filter(spark):
+    rows = [Row(g="a", ok=True)] * 3 + [Row(g="b", ok=True)] * 10
+    df = spark.createDataFrame(rows)
+    out = df.transform(wilson_rank(F.col("ok"), "g", min_trials=5)).collect()
+    assert [r.group for r in out] == ["b"]
+
+
+# ------------------------------------------------------------- f1 sweep ---
+
+def test_f1_threshold_sweep_matches_bruteforce(spark):
+    rows = [(1, 9.0), (1, 7.0), (0, 7.0), (1, 5.0), (0, 4.0),
+            (0, 3.0), (1, 3.0), (0, 1.0)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    r = df.transform(f1_threshold_sweep()).head()
+
+    # brute force every distinct threshold in python
+    best = None
+    pos = sum(1 for y, _ in rows if y == 1)
+    for t in sorted({s for _, s in rows}):
+        tp = sum(1 for y, s in rows if s >= t and y == 1)
+        fp = sum(1 for y, s in rows if s >= t and y == 0)
+        f1 = round(2 * tp / (tp + fp + pos), 6)
+        if best is None or f1 > best[1] or (f1 == best[1] and t < best[0]):
+            if best is None or f1 > best[1]:
+                best = (t, f1, tp, fp)
+    assert r.threshold == best[0]
+    assert r.f1 == pytest.approx(best[1])
+    assert (r.tp, r.fp) == (best[2], best[3])
+    assert r.fn == pos - best[2]
+
+
+def test_f1_threshold_sweep_no_positives_is_null(spark):
+    df = spark.createDataFrame([(0, 1.0), (0, 2.0)],
+                               "label int, score double")
+    r = df.transform(f1_threshold_sweep()).head()
+    # no positives: recall 0/0 is NULL; f1's denominator is fp alone so
+    # the score is a well-defined 0
+    assert r.recall is None and r.f1 == 0.0 and r.tp == 0
+
+
+# ------------------------------------------------------------------ mrr ---
+
+def test_mrr_at_k_known_ranks(spark):
+    # q1 first hit at rank 2, q2 at rank 1, q3 no hit in top-3
+    rows = [
+        ("q1", 1, 9.0, 0), ("q1", 2, 8.0, 1), ("q1", 3, 7.0, 1),
+        ("q2", 1, 9.0, 1), ("q2", 2, 8.0, 0),
+        ("q3", 1, 9.0, 0), ("q3", 2, 8.0, 0), ("q3", 3, 7.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "query string, doc_id int,"
+                                     " score double, rel int")
+    r = df.transform(mrr_at_k(k=3)).head()
+    assert r.n_queries == 3 and r.n_hit == 2
+    assert r.mrr == pytest.approx(round((0.5 + 1.0 + 0.0) / 3, 6))
+
+
+def test_mrr_at_k_rank_cut(spark):
+    # the only relevant hit sits at rank 4 -> outside k=3 -> rr = 0
+    rows = [("q", i, 10.0 - i, 1 if i == 4 else 0) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "query string, doc_id int,"
+                                     " score double, rel int")
+    r = df.transform(mrr_at_k(k=3)).head()
+    assert r.n_hit == 0 and r.mrr == 0.0
+
+
+# -------------------------------------------------------------- item CF ---
+
+def test_item_cf_topk_cosine_and_mirror(spark):
+    # items A,B co-occur in 2 of A's 3 / B's 2 baskets; A,C in 1
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C"),
+            (4, "C")]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = df.transform(item_cf_topk("b", "i", k=5, min_pair_count=1)
+                       ).collect()
+    got = {(r.item, r.neighbor): (r.n_xy, r.cosine) for r in out}
+    assert got[("A", "B")] == (2, round(2 / math.sqrt(3 * 2), 6))
+    assert got[("B", "A")] == got[("A", "B")]  # mirrored after counting
+    assert got[("A", "C")] == (1, round(1 / math.sqrt(3 * 2), 6))
+    # per-item rank: A's best neighbor is B
+    ranks = {(r.item, r.rank): r.neighbor for r in out}
+    assert ranks[("A", 1)] == "B"
+
+
+def test_item_cf_topk_respects_k(spark):
+    rows = [(b, it) for b in range(4) for it in ["x", "y", "z", "w"]]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = df.transform(item_cf_topk("b", "i", k=2, min_pair_count=1)
+                       ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.item, []).append(r.neighbor)
+    assert all(len(v) == 2 for v in per.values())
+
+
+# ----------------------------------------------------------------- HITS ---
+
+def _hits_python(edges, iters=3):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: 1.0 for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw_a = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            raw_a[v] += hub[u]
+        an = sum(raw_a[v] for v in sorted({v for _, v in edges}))
+        auth = {n: raw_a[n] / an for n in nodes}
+        raw_h = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            raw_h[u] += auth[v]
+        hn = sum(raw_h[u] for u in sorted({u for u, _ in edges}))
+        hub = {n: raw_h[n] / hn for n in nodes}
+    return hub, auth
+
+
+def test_hits_scores_match_python_model(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.id: (r.hub, r.auth) for r in hits_scores(df, 3).collect()}
+    hub, auth = _hits_python(edges)
+    for n in hub:
+        assert out[n][0] == pytest.approx(hub[n], abs=1e-9)
+        assert out[n][1] == pytest.approx(auth[n], abs=1e-9)
+    # node 3 is the clear authority, node 1 the top hub
+    assert max(auth, key=auth.get) == 3
+    assert max(hub, key=hub.get) == 1
+
+
+# --------------------------------------------------------------- k-core ---
+
+def test_k_core_peels_tail(spark):
+    # triangle {1,2,3} plus a pendant path 3-4-5: 2-core = the triangle
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.id: r.degree for r in k_core(df, k=2, rounds=8).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_cascade_needs_multiple_rounds(spark):
+    # a path 1-2-3-4-5-6 with k=2 peels one end pair per round and
+    # vanishes entirely — exercises the multi-round cascade
+    edges = [(i, i + 1) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    assert k_core(df, k=2, rounds=8).count() == 0
+
+
+def test_k_core_fixture_converges_within_round_budget(spark):
+    """The gate fixture's 8-round bound is a true fixpoint at the test SF:
+    extra rounds change nothing (the oracle-equivalence precondition)."""
+    import __spark_entry__ as entry
+    a = entry.q_k_core(spark, "/root/testdata/sf0.001").collect()
+    from akka_stream_contrib_spark.functions.graph import k_core as kc
+    from akka_stream_contrib_spark import tables
+    ev = tables.load(spark, "events", "/root/testdata/sf0.001")
+    b = (kc(entry._interaction_edges(ev), k=3, rounds=12)
+         .select(F.col("id").alias("user_id"), "degree", "in_core")
+         .orderBy("user_id").collect())
+    assert a == b
+
+
+# ----------------------------------------------------------------- BLEU ---
+
+def test_bleu2_corpus_hand_counts(spark):
+    cand = spark.createDataFrame([(1, "the cat sat on the mat")],
+                                 "doc_id int, text string")
+    ref = spark.createDataFrame([(1, "the cat lay on the mat")],
+                                "doc_id int, text string")
+    r = cand.transform(bleu2_corpus(ref)).head()
+    # unigrams: the(2/2) cat(1) on(1) mat(1) sat(0) -> m1=5, d1=6
+    # bigrams: "the cat","on the","the mat" -> m2=3, d2=5
+    assert (r.m1, r.d1, r.m2, r.d2) == (5, 6, 3, 5)
+    assert r.bp == 1.0  # equal lengths
+    expected = math.sqrt((5 / 6) * (3 / 5))
+    assert r.bleu2 == pytest.approx(round(expected, 6))
+
+
+def test_bleu2_corpus_brevity_penalty(spark):
+    cand = spark.createDataFrame([(1, "the cat")], "doc_id int, text string")
+    ref = spark.createDataFrame([(1, "the cat sat on the mat")],
+                                "doc_id int, text string")
+    r = cand.transform(bleu2_corpus(ref)).head()
+    assert r.bp == pytest.approx(round(math.exp(1 - 6 / 2), 6))
+    assert r.p1 == 1.0 and r.p2 == 1.0
+    assert r.bleu2 == pytest.approx(round(math.exp(1 - 6 / 2), 6))
+
+
+def test_bleu2_corpus_unpaired_ids_drop(spark):
+    cand = spark.createDataFrame([(1, "a b"), (9, "zz")],
+                                 "doc_id int, text string")
+    ref = spark.createDataFrame([(1, "a b"), (7, "qq")],
+                                "doc_id int, text string")
+    r = cand.transform(bleu2_corpus(ref)).head()
+    assert r.n_pairs == 1 and r.bleu2 == 1.0
