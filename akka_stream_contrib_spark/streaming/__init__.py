@@ -9,6 +9,11 @@ from akka_stream_contrib_spark.streaming.stateful import (
     heavy_hitters_stream,
 )
 from akka_stream_contrib_spark.streaming.dedup import dedup_within_watermark
+from akka_stream_contrib_spark.streaming.funnel import (
+    funnel_stream,
+    funnel_milestones,
+    funnel_summary,
+)
 from akka_stream_contrib_spark.streaming.joins import stream_interval_join
 from akka_stream_contrib_spark.streaming.valve import Valve
 from akka_stream_contrib_spark.streaming.sinks import (
@@ -22,6 +27,9 @@ from akka_stream_contrib_spark.streaming.rollup import incremental_rollup, read_
 
 __all__ = [
     "token_throttle_stream",
+    "funnel_stream",
+    "funnel_milestones",
+    "funnel_summary",
     "keep_alive_stream",
     "accumulate_while_unchanged_stream",
     "sessionize_stream",

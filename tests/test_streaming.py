@@ -908,3 +908,106 @@ def test_psi_probe_scores_only_keys_with_a_reference(spark):
     assert {r.key for r in rows} == {"a"}  # 'b' has no baseline
     # bucket union: ref-only bin 1 and live-only bin 2 both appear
     assert {r.bin for r in rows} == {0, 1, 2}
+
+
+def test_funnel_stream_matches_batch_milestones(spark, tmp_path):
+    """Streaming funnel state folded across three micro-batches (with a
+    cross-batch LATE view event) must equal the batch conditional-min
+    recompute — the min-monoid merge-soundness argument made executable."""
+    from akka_stream_contrib_spark.streaming import (
+        funnel_milestones, funnel_stream, funnel_summary)
+
+    feed = tmp_path / "funnel_feed"
+    feed.mkdir()
+    rows_b1 = [
+        {"user_id": 1, "event_type": "view", "ts": "2026-01-01 10:00:00"},
+        {"user_id": 2, "event_type": "click", "ts": "2026-01-01 10:01:00"},
+    ]
+    rows_b2 = [
+        {"user_id": 1, "event_type": "click", "ts": "2026-01-01 10:05:00"},
+        # LATE view for user 2, EARLIER than the click of batch 1: the
+        # min-fold must surface it and make user 2 a converting funnel
+        {"user_id": 2, "event_type": "view", "ts": "2026-01-01 10:00:30"},
+    ]
+    rows_b3 = [
+        {"user_id": 1, "event_type": "purchase", "ts": "2026-01-01 10:06:00"},
+        {"user_id": 2, "event_type": "purchase", "ts": "2026-01-01 10:00:10"},
+        # purchase BEFORE the first view -> must NOT count as converted
+        {"user_id": 3, "event_type": "purchase", "ts": "2026-01-01 09:00:00"},
+        {"user_id": 3, "event_type": "view", "ts": "2026-01-01 09:30:00"},
+    ]
+    for name, rows in [("b1.json", rows_b1), ("b2.json", rows_b2),
+                       ("b3.json", rows_b3)]:
+        _feed_json(feed, name, rows)
+    src = (spark.readStream
+           .schema("user_id long, event_type string, ts timestamp")
+           .option("maxFilesPerTrigger", 1)
+           .json(str(feed)))
+    q = (funnel_stream(src).writeStream.format("memory")
+         .queryName("funnel_emit").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    emitted = spark.sql("select * from funnel_emit")
+    # every emission is a cumulative min -> min-aggregate = final state
+    from pyspark.sql import functions as F
+    final = emitted.groupBy("key").agg(
+        *[F.min(c).alias(c) for c in ("t_view", "t_click", "t_purchase")])
+
+    allrows = rows_b1 + rows_b2 + rows_b3
+    from datetime import datetime
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["event_type"], datetime.fromisoformat(r["ts"]))
+         for r in allrows],
+        "user_id long, event_type string, ts timestamp")
+    batch = funnel_milestones(bdf)
+    assert (sorted(final.collect(), key=lambda r: r.key)
+            == sorted(batch.collect(), key=lambda r: r.key))
+    s_stream = funnel_summary(final).head()
+    s_batch = funnel_summary(batch).head()
+    assert s_stream == s_batch
+    # user 2's late view makes the click ordered (n_then_click=2) but the
+    # 10:00:10 purchase precedes it; user 3's purchase precedes the view —
+    # only user 1 walks the full strictly-ordered funnel
+    assert (s_batch.n_view, s_batch.n_then_click,
+            s_batch.n_full_funnel) == (3, 2, 1)
+
+
+def test_funnel_stream_restart_replay_is_idempotent(spark, tmp_path):
+    """Kill the query between batches and restart from the checkpoint: the
+    min-fold makes redelivery harmless and the final state identical."""
+    from akka_stream_contrib_spark.streaming import funnel_stream
+    from pyspark.sql import functions as F
+
+    feed = tmp_path / "funnel_feed2"
+    feed.mkdir()
+    out_dir, ck = str(tmp_path / "funnel_rs_out"), str(tmp_path / "ck_rs")
+    _feed_json(feed, "b1.json", [
+        {"user_id": 7, "event_type": "view", "ts": "2026-01-01 08:00:00"}])
+
+    def run():
+        src = (spark.readStream
+               .schema("user_id long, event_type string, ts timestamp")
+               .option("maxFilesPerTrigger", 1)
+               .json(str(feed)))
+        q = (funnel_stream(src).writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    _feed_json(feed, "b2.json", [
+        {"user_id": 7, "event_type": "click", "ts": "2026-01-01 08:05:00"},
+        {"user_id": 7, "event_type": "view", "ts": "2026-01-01 08:01:00"}])
+    run()  # restart from checkpoint; only b2 replays
+    final = (spark.read.parquet(out_dir).groupBy("key")
+             .agg(*[F.min(c).alias(c)
+                    for c in ("t_view", "t_click", "t_purchase")])
+             .head())
+    # first view (08:00) survives the restart; the later view does not
+    # regress it; click lands; purchase still NULL
+    assert final.key == 7
+    assert final.t_view < final.t_click and final.t_purchase is None
