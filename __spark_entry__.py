@@ -4061,6 +4061,33 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (functions/graph.py::lpa_communities)
+    over the user-interaction graph — two synchronous min-tie-break
+    rounds, all-integer, oracled by the identical unrolled CTEs."""
+    from akka_stream_contrib_spark.functions.graph import lpa_communities
+    ev = tables.load(spark, "events", sf_dir)
+    return (lpa_communities(_interaction_edges(ev), rounds=2)
+            .select(F.col("id").alias("user_id"), "label")
+            .orderBy("user_id"))
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances (functions/graph.py::bfs_hops) from the smallest
+    user id in the interaction graph, out to 4 hops — frontier/settled
+    joins, all-integer, unrolled-CTE oracle."""
+    from akka_stream_contrib_spark.functions.graph import bfs_hops
+    ev = tables.load(spark, "events", sf_dir)
+    edges = _interaction_edges(ev).localCheckpoint(eager=True)
+    seed_row = edges.agg(
+        F.least(F.min("src"), F.min("dst")).alias("m")).head()
+    if seed_row.m is None:  # empty graph -> empty reachability frame
+        return spark.createDataFrame([], "user_id long, dist int")
+    return (bfs_hops(edges, seed_row.m, max_hops=4)
+            .select(F.col("id").alias("user_id"), "dist")
+            .orderBy("user_id"))
+
+
 def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus BLEU-2 (functions/text.py::bleu2_corpus) of odd-id documents
     against their even-id predecessors — clipped-count inner joins on
@@ -4344,6 +4371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "k_core": q_k_core,
         "bleu_eval": q_bleu_eval,
+        "lpa_communities": q_lpa_communities,
+        "bfs_hops": q_bfs_hops,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4393,11 +4422,12 @@ _PRIORITY = [
     # graph family) — never driver-verified
     "cohen_kappa", "wilson_rank", "f1_threshold_sweep", "mrr_eval",
     "item_cf_recs", "hits_scores", "k_core", "bleu_eval",
+    "lpa_communities", "bfs_hops",
     # (6) queued re-evidence from round 6
     "logreg_quality",
     # (7) re-evidence picks (weak-set heavies; eight staple slots ceded
     # to the session-2 additions above)
-    "q1_pricing_summary", "q11_important_stock", "minhash_lsh_dedup",
+    "q1_pricing_summary",
     # exactly 50 = the driver window. Everything else is cumulative
     # driver-green and covered by the local replica each session.
 ]
@@ -5542,6 +5572,77 @@ ORDER BY user_id
 """)
 
 
+def _lpa_oracle(rounds: int = 2) -> str:
+    """DuckDB mirror of q_lpa_communities: the synchronous label sweeps
+    unrolled as chained CTEs — neighbor-label vote counts and the
+    (count desc, label asc) argmax rank, all-integer, so the result is
+    exact on both engines."""
+    parts = [_EDGES_CTE + """,
+und AS MATERIALIZED (
+    SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL
+        SELECT dst AS a, src AS b FROM e)
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM und)"""]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f"""
+v{k} AS MATERIALIZED (
+    SELECT u.a, l.label, count(*) AS _n
+    FROM und u JOIN l{p} l ON l.id = u.b
+    GROUP BY u.a, l.label
+),
+l{k} AS MATERIALIZED (
+    SELECT a AS id, label FROM (
+        SELECT a, label,
+               row_number() OVER (PARTITION BY a
+                   ORDER BY _n DESC, label) AS _r
+        FROM v{k})
+    WHERE _r = 1
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT id AS user_id, label FROM l{rounds} ORDER BY user_id
+""")
+
+
+def _bfs_oracle(max_hops: int = 4) -> str:
+    """DuckDB mirror of q_bfs_hops: the frontier/settled BFS rounds
+    unrolled as chained CTEs from the min-node seed — all-integer; the
+    Spark side's empty-frontier early exit is sound because an empty
+    frontier makes every later unrolled round a no-op."""
+    parts = [_EDGES_CTE + """,
+und AS MATERIALIZED (
+    SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e
+        UNION ALL
+        SELECT dst AS a, src AS b FROM e)
+),
+s0 AS MATERIALIZED (
+    SELECT id, CAST(0 AS INT) AS dist FROM (
+        SELECT min(id) AS id FROM (
+            SELECT src AS id FROM e UNION ALL SELECT dst FROM e))
+    WHERE id IS NOT NULL
+),
+f0 AS MATERIALIZED (SELECT id FROM s0)"""]
+    for r in range(1, max_hops + 1):
+        p = r - 1
+        parts.append(f"""
+f{r} AS MATERIALIZED (
+    SELECT DISTINCT u.b AS id
+    FROM und u JOIN f{p} ON f{p}.id = u.a
+    WHERE NOT EXISTS (SELECT 1 FROM s{p} WHERE s{p}.id = u.b)
+),
+s{r} AS MATERIALIZED (
+    SELECT id, dist FROM s{p}
+    UNION ALL
+    SELECT id, CAST({r} AS INT) AS dist FROM f{r}
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT id AS user_id, dist FROM s{max_hops} ORDER BY user_id
+""")
+
+
 _BLEU_SQL = """
     WITH cands AS (
         SELECT doc_id - 1 AS _id, string_split(lower(text), ' ') AS ct
@@ -5632,6 +5733,8 @@ def oracle_sql() -> dict[str, str]:
         "item_cf_recs": _item_cf_oracle(),
         "hits_scores": _hits_oracle(),
         "k_core": _kcore_oracle(),
+        "lpa_communities": _lpa_oracle(),
+        "bfs_hops": _bfs_oracle(),
         "bleu_eval": _BLEU_SQL,
         "sample_step_replay": """
             WITH RECURSIVE tgt(i, pos) AS (

@@ -346,3 +346,89 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 8,
             .agg(F.count(F.lit(1)).alias("degree"))
             .filter(F.col("degree") >= k)
             .withColumn("in_core", F.lit(True)))
+
+
+def lpa_communities(edges: DataFrame, rounds: int = 2,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, Phys. Rev. E: "Near linear time algorithm to detect
+    community structures in large-scale networks") over the undirected
+    view: every node starts as its own label; each round it adopts the
+    most frequent label among its neighbors, ties broken toward the
+    SMALLEST label. Where `dup_clusters` finds connected components (full
+    transitive reach), LPA finds DENSE regions inside a component — the
+    crawl-cluster / spam-ring / topic-group splitter.
+
+    Runs exactly ``rounds`` synchronous rounds (the k_core convention:
+    a fixed bound is what lets the DuckDB oracle replay identical
+    unrolled CTEs; classic LPA converges in a handful of sweeps and the
+    tie-break makes every round deterministic). All-integer label/count
+    arithmetic — exact on any engine/partitioning.
+
+    Scale shape: each round is the neighbor-label join (one shuffle on
+    the edge key) + a (node, label) count + a per-node argmax rank window
+    whose fan-in is the node's degree; lineage checkpoint-truncated.
+
+    Returns (id, label) for every node in the edge list.
+
+    Reference anchor: none (graph-analytics extension; family of
+    pagerank / k_core; the cyclic wiring is FeedbackLoop.scala:18-38).
+    """
+    from pyspark.sql import Window
+
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    und = (und.union(und.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    labels = und.select(F.col("a").alias("id")).distinct() \
+                .withColumn("label", F.col("id"))
+    w = Window.partitionBy("a").orderBy(F.desc("_n"), "label")
+    for _ in range(rounds):
+        votes = (und.join(labels.select(F.col("id").alias("b"), "label"),
+                          "b")
+                 .groupBy("a", "label").agg(F.count(F.lit(1)).alias("_n")))
+        labels = (votes.withColumn("_r", F.row_number().over(w))
+                  .filter(F.col("_r") == 1)
+                  .select(F.col("a").alias("id"), "label")
+                  .localCheckpoint(eager=True))
+    return labels
+
+
+def bfs_hops(edges: DataFrame, source, max_hops: int = 4,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Breadth-first hop distance from ``source`` over the undirected
+    view, out to ``max_hops`` — the influence-radius / crawl-depth /
+    blast-radius primitive. Nodes unreached within the bound are absent
+    (their distance is known only to be > max_hops).
+
+    Each round is one frontier-neighbor join + an anti-join against the
+    settled set (both on the node key), lineage checkpoint-truncated;
+    the loop exits early on an empty frontier (bounded driver count, the
+    k_core convention). All-integer — exact on any engine; the DuckDB
+    oracle unrolls the same rounds as chained CTEs.
+
+    Returns (id, dist) with dist in [0, max_hops].
+
+    Reference anchor: none (graph-analytics extension; family of
+    k_core / lpa_communities).
+    """
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    und = (und.union(und.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    settled = spark.createDataFrame([(int(source), 0)], "id long, dist int") \
+                   .localCheckpoint(eager=True)
+    frontier = settled
+    for r in range(1, max_hops + 1):
+        nxt = (und.join(frontier.select(F.col("id").alias("a")), "a")
+               .select(F.col("b").alias("id")).distinct()
+               .join(settled.select("id"), "id", "left_anti")
+               .withColumn("dist", F.lit(r)))
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled

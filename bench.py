@@ -219,6 +219,8 @@ HEADLINE = [
     "hits_scores",
     "k_core",
     "bleu_eval",
+    "lpa_communities",
+    "bfs_hops",
 ]
 
 

@@ -411,6 +411,10 @@ BUDGET = {
     # pair join + 2 gram-count shuffles per n-gram order + clipped-match
     # joins + 1-row length agg over the cached paired frame
     "bleu_eval": 7,
+    # checkpoint-truncated label sweeps; residual = final vote/rank round
+    "lpa_communities": 1,
+    # checkpoint-truncated frontier rounds; residual = final union read
+    "bfs_hops": 1,
 }
 
 

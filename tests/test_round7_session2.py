@@ -270,3 +270,49 @@ def test_bleu2_corpus_unpaired_ids_drop(spark):
                                 "doc_id int, text string")
     r = cand.transform(bleu2_corpus(ref)).head()
     assert r.n_pairs == 1 and r.bleu2 == 1.0
+
+
+# ------------------------------------------------------------- LPA / BFS ---
+
+def _lpa_python(edges, rounds=2):
+    und = set()
+    for u, v in edges:
+        if u != v:
+            und.add((u, v)); und.add((v, u))
+    nodes = sorted({a for a, _ in und})
+    lab = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            votes = {}
+            for a, b in und:
+                if a == n:
+                    votes[lab[b]] = votes.get(lab[b], 0) + 1
+            # max count, ties -> smallest label
+            new[n] = min(votes, key=lambda l: (-votes[l], l))
+        lab = new
+    return lab
+
+
+def test_lpa_communities_matches_python_model(spark):
+    # two triangles bridged by one edge: LPA splits them
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    from akka_stream_contrib_spark.functions.graph import lpa_communities
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.id: r.label for r in lpa_communities(df, rounds=2).collect()}
+    assert got == _lpa_python(edges, 2)
+    # the two triangle cores carry distinct labels
+    assert got[1] == got[2] and got[5] == got[6]
+    assert got[1] != got[6]
+
+
+def test_bfs_hops_distances_and_bound(spark):
+    from akka_stream_contrib_spark.functions.graph import bfs_hops
+    # path 1-2-3-4-5-6-7 plus shortcut 1-4: dist(4)=1, dist(7)=4
+    edges = [(i, i + 1) for i in range(1, 7)] + [(1, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.id: r.dist for r in bfs_hops(df, 1, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2, 6: 3, 7: 4}
+    # tighter bound drops the tail beyond it
+    got2 = {r.id: r.dist for r in bfs_hops(df, 1, max_hops=2).collect()}
+    assert got2 == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
