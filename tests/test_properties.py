@@ -569,3 +569,116 @@ def test_stream_interval_join_batch_matches_model(lrows, rrows, lo, span):
     matched_left = {i for i, _ in model}
     assert {r.lid for r in orows if r.rid is None} \
         == set(range(len(lrows))) - matched_left
+
+
+# ---------------------------------------------------------------------------
+# round-7 session-2 invariants
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.tuples(st.sampled_from("xy"), st.sampled_from("xy")),
+                min_size=2, max_size=60))
+@settings(**SETTINGS)
+def test_cohen_kappa_symmetric_and_bounded(pairs):
+    from akka_stream_contrib_spark.functions.ml import cohen_kappa
+    spark = _get_spark()
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = df.transform(cohen_kappa("a", "b")).head()
+    s = df.transform(cohen_kappa("b", "a")).head()
+    # kappa is symmetric in the raters, and bounded by [-1, 1]
+    assert r.kappa == s.kappa and r.p_e == s.p_e
+    if r.kappa is not None:
+        assert -1.0 <= r.kappa <= 1.0
+    assert r.p_o is not None and 0.0 <= r.p_o <= 1.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.booleans()),
+                min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_wilson_bound_below_rate_and_in_unit_interval(rows):
+    from akka_stream_contrib_spark.functions.ml import wilson_rank
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, "g int, ok boolean")
+    out = df.transform(wilson_rank(F.col("ok"), "g", min_trials=1,
+                                   top_k=100)).collect()
+    assert out  # every group has >= 1 trial
+    for r in out:
+        assert 0.0 <= r.wilson_lb <= r.rate <= 1.0
+    # ranked by the bound, descending (group asc inside ties)
+    lbs = [r.wilson_lb for r in out]
+    assert lbs == sorted(lbs, reverse=True)
+
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 9)),
+                min_size=2, max_size=60))
+@settings(**SETTINGS)
+def test_f1_sweep_is_the_argmax(rows):
+    from akka_stream_contrib_spark.functions.ml import f1_threshold_sweep
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, "label int, score int")
+    r = df.transform(f1_threshold_sweep()).head()
+    pos = sum(1 for y, _ in rows if y == 1)
+    for t in sorted({s for _, s in rows}):
+        tp = sum(1 for y, s in rows if s >= t and y == 1)
+        fp = sum(1 for y, s in rows if s >= t and y == 0)
+        f1 = round(2 * tp / (tp + fp + pos), 6) if (tp + fp + pos) else None
+        if f1 is not None and r.f1 is not None:
+            assert r.f1 >= f1  # the swept optimum dominates every cut
+
+
+@given(st.lists(st.tuples(st.integers(1, 6), st.integers(1, 6)),
+                min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_k_core_nested_in_lower_core(edges):
+    from akka_stream_contrib_spark.functions.graph import k_core
+    spark = _get_spark()
+    edges = [e for e in edges if e[0] != e[1]]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src int, dst int")
+    core3 = {r.id for r in k_core(df, k=3, rounds=10).collect()}
+    core2 = {r.id for r in k_core(df, k=2, rounds=10).collect()}
+    assert core3 <= core2  # the 3-core nests inside the 2-core
+
+
+@given(st.lists(st.tuples(st.integers(1, 8), st.integers(1, 8)),
+                min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_bfs_triangle_inequality_on_edges(edges):
+    from akka_stream_contrib_spark.functions.graph import bfs_hops
+    spark = _get_spark()
+    edges = [e for e in edges if e[0] != e[1]]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src int, dst int")
+    seed = min(min(e) for e in edges)
+    dist = {r.id: r.dist for r in bfs_hops(df, seed, max_hops=10).collect()}
+    assert dist[seed] == 0
+    for u, v in edges:
+        if u in dist and v in dist:
+            assert abs(dist[u] - dist[v]) <= 1  # adjacent nodes differ by <=1
+        # a settled node's neighbor inside the bound must be settled
+        if u in dist and dist[u] < 10:
+            assert v in dist
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=20),
+                min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_bleu_identity_and_unit_interval(texts):
+    from akka_stream_contrib_spark.functions.text import bleu2_corpus
+    spark = _get_spark()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # candidate == reference -> every precision 1, bp 1, bleu 1 (when a
+    # bigram exists somewhere; all-single-token corpora have p2 NULL)
+    r = df.transform(bleu2_corpus(df)).head()
+    assert r.p1 == 1.0 and r.bp == 1.0
+    if r.d2 and r.d2 > 0:
+        assert r.bleu2 == 1.0
+    # shuffled pairing stays within [0, 1]
+    shifted = spark.createDataFrame(
+        [((i + 1) % len(rows), t) for i, t in rows],
+        "doc_id int, text string")
+    s = df.transform(bleu2_corpus(shifted)).head()
+    if s.bleu2 is not None:
+        assert 0.0 <= s.bleu2 <= 1.0
