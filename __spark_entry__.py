@@ -3756,14 +3756,16 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift between two corpus slices (functions/ml.py::
     js_divergence): JSD of the token distributions of English vs
     non-English documents — symmetric, always ≤ ln 2, no epsilon floor.
-    One groupBy per side on the token key + a full-outer vocabulary join;
-    9-dp decimal term sums (the psi_drift device)."""
-    from akka_stream_contrib_spark.functions.ml import js_divergence
+    ONE conditional-count groupBy on the token key (the slices share a
+    corpus, so the split form replaces two filtered scans + a full-outer
+    vocabulary join — the oracle's shape); 9-dp decimal term sums (the
+    psi_drift device)."""
+    from akka_stream_contrib_spark.functions.ml import js_divergence_split
     docs = tables.load(spark, "documents", sf_dir)
-    tok = docs.select("lang",
-                      F.explode(F.split(F.lower("text"), " ")).alias("item"))
-    return js_divergence(tok.filter(F.col("lang") == "en"),
-                         tok.filter(F.col("lang") != "en"), "item")
+    tok = (docs.filter(F.col("lang").isNotNull())
+           .select("lang",
+                   F.explode(F.split(F.lower("text"), " ")).alias("item")))
+    return js_divergence_split(tok, F.col("lang") == "en", "item")
 
 
 def q_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3877,13 +3879,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     combination. Same deterministic lag-edge graph as pagerank_users."""
     from akka_stream_contrib_spark.functions.graph import degree_assortativity
     ev = tables.load(spark, "events", sf_dir)
-    w = Window.partitionBy(
-        F.date_trunc("hour", F.col("ts"))).orderBy("event_id")
-    edges = (ev.select(F.lag("user_id").over(w).alias("src"),
-                       F.col("user_id").alias("dst"))
-             .filter(F.col("src").isNotNull()
-                     & (F.col("src") != F.col("dst"))))
-    return degree_assortativity(edges)
+    return degree_assortativity(_interaction_edges(ev))
 
 
 def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -233,6 +233,19 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
         .alias("assortativity"))
 
 
+
+def _symmetric(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Shared symmetric undirected view for the peel/sweep/frontier family
+    (k_core / lpa_communities / bfs_hops): self-loops dropped, both
+    directions materialized, deduped, lineage cut with an eager
+    checkpoint (every consumer iterates over it)."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    return (und.union(und.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+            .distinct().localCheckpoint(eager=True))
+
+
 def hits_scores(edges: DataFrame, iterations: int = 3,
                 src: str = "src", dst: str = "dst") -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999, JACM: "Authoritative
@@ -268,18 +281,26 @@ def hits_scores(edges: DataFrame, iterations: int = 3,
     if nodes.isEmpty():
         return nodes.select("id", F.lit(0.0).alias("hub"),
                             F.lit(0.0).alias("auth"))
+    from akka_stream_contrib_spark.util import pipeline_cache
+
     state = nodes.select("id", F.lit(1.0).alias("hub"),
                          F.lit(1.0).alias("auth"))
     for _ in range(iterations):
-        # auth half-step: sum of source hubs into each dst, L1-normalize
-        a_raw = (e.join(state.select(F.col("id").alias("_s"), "hub"),
-                        e.src == F.col("_s"))
-                 .groupBy("dst").agg(F.sum("hub").alias("_a")))
+        # auth half-step: sum of source hubs into each dst, L1-normalize.
+        # a_raw feeds both the norm aggregate and the auth join, and auth
+        # feeds both the hub half-step and the state join — cache each so
+        # the edge-join/aggregate subtree runs once per half-step instead
+        # of being re-evaluated per consumer inside the checkpoint job
+        a_raw = pipeline_cache(
+            e.join(state.select(F.col("id").alias("_s"), "hub"),
+                   e.src == F.col("_s"))
+            .groupBy("dst").agg(F.sum("hub").alias("_a")))
         a_norm = a_raw.agg(F.sum("_a").alias("_an"))
-        auth = (nodes.join(a_raw, nodes.id == a_raw.dst, "left")
-                .crossJoin(F.broadcast(a_norm))
-                .select("id", (F.coalesce(F.col("_a"), F.lit(0.0))
-                               / F.col("_an")).alias("auth")))
+        auth = pipeline_cache(
+            nodes.join(a_raw, nodes.id == a_raw.dst, "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select("id", (F.coalesce(F.col("_a"), F.lit(0.0))
+                           / F.col("_an")).alias("auth")))
         # hub half-step: sum of destination auths out of each src
         h_raw = (e.join(auth.select(F.col("id").alias("_d"), "auth"),
                         e.dst == F.col("_d"))
@@ -324,11 +345,7 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 8,
     Reference anchor: none (graph-analytics extension; family of
     pagerank / triangle_count / local_clustering).
     """
-    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .filter(F.col("a") != F.col("b")))
-    und = (und.union(und.select(F.col("b").alias("a"),
-                                F.col("a").alias("b")))
-           .distinct().localCheckpoint(eager=True))
+    und = _symmetric(edges, src, dst)
     alive = und
     prev_n = None
     for _ in range(rounds):
@@ -376,11 +393,7 @@ def lpa_communities(edges: DataFrame, rounds: int = 2,
     """
     from pyspark.sql import Window
 
-    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .filter(F.col("a") != F.col("b")))
-    und = (und.union(und.select(F.col("b").alias("a"),
-                                F.col("a").alias("b")))
-           .distinct().localCheckpoint(eager=True))
+    und = _symmetric(edges, src, dst)
     labels = und.select(F.col("a").alias("id")).distinct() \
                 .withColumn("label", F.col("id"))
     w = Window.partitionBy("a").orderBy(F.desc("_n"), "label")
@@ -413,14 +426,14 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 4,
     Reference anchor: none (graph-analytics extension; family of
     k_core / lpa_communities).
     """
-    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .filter(F.col("a") != F.col("b")))
-    und = (und.union(und.select(F.col("b").alias("a"),
-                                F.col("a").alias("b")))
-           .distinct().localCheckpoint(eager=True))
-    spark = edges.sparkSession
-    settled = spark.createDataFrame([(int(source), 0)], "id long, dist int") \
-                   .localCheckpoint(eager=True)
+    und = _symmetric(edges, src, dst)
+    # the seed frame inherits the node column's own type (string ids work
+    # like bigints; nothing is coerced through a hardcoded schema) and an
+    # absent source yields an empty frame -> empty reachability result
+    settled = (und.select(F.col("a").alias("id")).distinct()
+               .filter(F.col("id") == F.lit(source))
+               .withColumn("dist", F.lit(0))
+               .localCheckpoint(eager=True))
     frontier = settled
     for r in range(1, max_hops + 1):
         nxt = (und.join(frontier.select(F.col("id").alias("a")), "a")

@@ -765,6 +765,33 @@ def js_divergence(p_df: DataFrame, q_df: DataFrame, item_col: str,
     j = (p_cnt.join(q_cnt, "_item", "full_outer")
          .select(F.coalesce("_cp", F.lit(0)).alias("_cp"),
                  F.coalesce("_cq", F.lit(0)).alias("_cq")))
+    return _jsd_from_counts(j)
+
+
+def js_divergence_split(df: DataFrame, side, item_col: str) -> DataFrame:
+    """`js_divergence` when the two distributions are SLICES of one frame:
+    ``side`` marks an occurrence as belonging to p (true) or q (false);
+    NULL-side rows carry no distribution evidence and are excluded. ONE
+    conditional-count groupBy replaces the two filtered scans + full-outer
+    vocabulary join of the two-frame form — at corpus scale that halves
+    the exploded-token shuffle, which dominates the query (the shape the
+    DuckDB oracle always used). Identical output columns and values.
+    """
+    side = side if isinstance(side, Column) else F.col(side)
+    j = (df.select(F.col(item_col).alias("_item"), side.alias("_s"))
+         .groupBy("_item")
+         .agg(F.sum(F.when(F.col("_s"), 1).otherwise(0)).alias("_cp"),
+              F.sum(F.when(~F.col("_s"), 1).otherwise(0)).alias("_cq"))
+         # an item seen only on NULL-side rows matches no side: it is not
+         # part of either vocabulary (the two-frame form never sees it)
+         .filter((F.col("_cp") > 0) | (F.col("_cq") > 0))
+         .select("_cp", "_cq"))
+    return _jsd_from_counts(j)
+
+
+def _jsd_from_counts(j: DataFrame) -> DataFrame:
+    """Shared JSD tail: per-item (count_p, count_q) -> one summary row
+    (see js_divergence for the determinism argument)."""
     tot = j.agg(F.sum("_cp").alias("_tp"), F.sum("_cq").alias("_tq"),
                 F.sum((F.col("_cp") > 0).cast("long")).alias("_vp"),
                 F.sum((F.col("_cq") > 0).cast("long")).alias("_vq"),

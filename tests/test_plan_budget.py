@@ -358,7 +358,9 @@ BUDGET = {
     # round-7 evaluation/curation family. js_divergence: one corpus-side
     # groupBy per slice; the other four exchanges carry vocabulary-sized
     # aggregates only (vocab join + totals + term sum)
-    "js_divergence": 6,
+    # split form: ONE conditional-count token groupBy (was two filtered
+    # scans + a full-outer vocab join: 6 -> 4)
+    "js_divergence": 4,
     # lead window on user_id, pair groupBy; the entropy windows/sum run
     # over the |types|²-row pair table
     "conditional_entropy": 3,
