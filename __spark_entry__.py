@@ -4084,6 +4084,34 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement (functions/ml.py::rolling_active_users): per-day
+    DAU / trailing-7d WAU / trailing-28d MAU distinct users and the
+    DAU/MAU stickiness ratio — (user, day) collapse first, bounded offset
+    explodes, exact integer counts."""
+    from akka_stream_contrib_spark.functions.ml import rolling_active_users
+    ev = tables.load(spark, "events", sf_dir)
+    return rolling_active_users(ev)
+
+
+def q_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (functions/graph.py::personalized_pagerank)
+    from the smallest user id over the interaction graph — seed-relative
+    relevance, one job per iteration, unrolled-CTE oracle."""
+    from akka_stream_contrib_spark.functions.graph import (
+        personalized_pagerank)
+    ev = tables.load(spark, "events", sf_dir)
+    edges = _interaction_edges(ev).localCheckpoint(eager=True)
+    seed_row = edges.agg(
+        F.least(F.min("src"), F.min("dst")).alias("m")).head()
+    if seed_row.m is None:
+        return spark.createDataFrame([], "user_id long, rank double")
+    return (personalized_pagerank(edges, seed_row.m, iterations=3)
+            .select(F.col("id").alias("user_id"),
+                    (F.round("rank", 6) + F.lit(0.0)).alias("rank"))
+            .orderBy("user_id"))
+
+
 def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus BLEU-2 (functions/text.py::bleu2_corpus) of odd-id documents
     against their even-id predecessors — clipped-count inner joins on
@@ -4369,6 +4397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_eval": q_bleu_eval,
         "lpa_communities": q_lpa_communities,
         "bfs_hops": q_bfs_hops,
+        "active_users": q_active_users,
+        "ppr_related": q_ppr_related,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4418,12 +4448,9 @@ _PRIORITY = [
     # graph family) — never driver-verified
     "cohen_kappa", "wilson_rank", "f1_threshold_sweep", "mrr_eval",
     "item_cf_recs", "hits_scores", "k_core", "bleu_eval",
-    "lpa_communities", "bfs_hops",
-    # (6) queued re-evidence from round 6
-    "logreg_quality",
-    # (7) re-evidence picks (weak-set heavies; eight staple slots ceded
-    # to the session-2 additions above)
-    "q1_pricing_summary",
+    "lpa_communities", "bfs_hops", "active_users", "ppr_related",
+    # (6) re-evidence: the round-6 queue is fully ceded to first-evidence
+    # for the session-2 additions above
     # exactly 50 = the driver window. Everything else is cumulative
     # driver-green and covered by the local replica each session.
 ]
@@ -5639,6 +5666,86 @@ SELECT id AS user_id, dist FROM s{max_hops} ORDER BY user_id
 """)
 
 
+def _active_users_oracle(wau_days: int = 7, mau_days: int = 28) -> str:
+    """DuckDB mirror of q_active_users: identical (user, day) collapse,
+    per-window offset explode + re-distinct, max-day cut, exact counts,
+    one rounded stickiness division."""
+    def wc(w, out):
+        return f"""
+    {out}c AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS {out} FROM (
+            SELECT DISTINCT u, d + CAST(i AS INT) AS day
+            FROM ud, (SELECT unnest(generate_series(0, {w - 1})) AS i)
+        ), maxd WHERE day <= m GROUP BY day
+    )"""
+    return f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        maxd AS (SELECT max(d) AS m FROM ud),
+        dauc AS (
+            SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+            FROM ud GROUP BY d
+        ),{wc(wau_days, "wau")},{wc(mau_days, "mau")}
+        SELECT mauc.day,
+               CAST(coalesce(dau, 0) AS BIGINT) AS dau,
+               CAST(coalesce(wau, 0) AS BIGINT) AS wau,
+               mau,
+               round(CAST(coalesce(dau, 0) AS DOUBLE)
+                     / CAST(mau AS DOUBLE), 6) + 0.0 AS stickiness
+        FROM mauc
+        LEFT JOIN wauc ON mauc.day = wauc.day
+        LEFT JOIN dauc ON mauc.day = dauc.day
+        ORDER BY mauc.day
+    """
+
+
+def _ppr_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """DuckDB mirror of q_ppr_related: the personalized power iteration
+    unrolled as chained CTEs — seed-indicator teleport (the (1-d) and d
+    literals injected via the correctly-rounded VARCHAR->DOUBLE parse so
+    0.15000000000000002 matches F.lit(1.0-d) exactly), dangling mass to
+    the seed, identical expression ordering."""
+    d = f"CAST('{float(damping)!r}' AS DOUBLE)"
+    base = f"CAST('{1.0 - float(damping)!r}' AS DOUBLE)"
+    parts = [_EDGES_CTE + """,
+nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+seedc AS (SELECT min(id) AS s FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+    SELECT id, CASE WHEN id = seedc.s THEN 1.0 ELSE 0.0 END AS rank
+    FROM nodes, seedc
+)"""]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(f"""
+d{k} AS MATERIALIZED (
+    SELECT coalesce(sum(rank), 0.0) AS m
+    FROM r{p} WHERE NOT EXISTS (
+        SELECT 1 FROM outdeg WHERE outdeg.src = r{p}.id)
+),
+c{k} AS MATERIALIZED (
+    SELECT e.dst, sum(r{p}.rank / outdeg.out_deg) AS inflow
+    FROM e JOIN r{p} ON r{p}.id = e.src
+           JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst
+),
+r{k} AS MATERIALIZED (
+    SELECT nodes.id,
+           (CASE WHEN nodes.id = seedc.s THEN 1.0 ELSE 0.0 END)
+               * ({base} + {d} * d{k}.m)
+           + {d} * coalesce(c{k}.inflow, 0.0) AS rank
+    FROM nodes
+    LEFT JOIN c{k} ON c{k}.dst = nodes.id
+    CROSS JOIN seedc CROSS JOIN d{k}
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT id AS user_id, round(rank, 6) + 0.0 AS rank
+FROM r{iterations} ORDER BY user_id
+""")
+
+
 _BLEU_SQL = """
     WITH cands AS (
         SELECT doc_id - 1 AS _id, string_split(lower(text), ' ') AS ct
@@ -5731,6 +5838,8 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _kcore_oracle(),
         "lpa_communities": _lpa_oracle(),
         "bfs_hops": _bfs_oracle(),
+        "active_users": _active_users_oracle(),
+        "ppr_related": _ppr_oracle(),
         "bleu_eval": _BLEU_SQL,
         "sample_step_replay": """
             WITH RECURSIVE tgt(i, pos) AS (

@@ -445,3 +445,54 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 4,
         settled = settled.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return settled
+
+
+def personalized_pagerank(edges: DataFrame, seed, iterations: int = 3,
+                          damping: float = 0.85, src: str = "src",
+                          dst: str = "dst") -> DataFrame:
+    """Personalized PageRank from a single seed node: the random walk
+    teleports back to ``seed`` (probability 1−d, plus all dangling mass)
+    instead of to a uniform vector — rank becomes RELEVANCE TO THE SEED,
+    the seed-based recommendation / related-entities primitive (the
+    "people also interact with" query `pagerank` cannot answer, since its
+    scores are global importance).
+
+    Same loop skeleton as `pagerank` (fixed iterations, eager-checkpoint
+    lineage truncation, dangling mass as a broadcast 1-row frame, ONE job
+    per iteration); the update is
+    ``r(v) = [v = seed]·((1−d) + d·m) + d·inflow(v)`` with r₀ = e_seed.
+    Float sums drift ~1e-16 across engines; callers round for portable
+    output (the pagerank convention; the oracle unrolls identical CTEs).
+
+    Returns (id, rank) for every node in the edge list; ranks sum to 1.
+
+    Reference anchor: `FeedbackLoop.scala:18-38` re-expressed (the
+    pagerank anchor); algorithm per Page et al. 1999 §6 "personalized"
+    teleport vectors.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+             .distinct().localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    is_seed = (F.col("id") == F.lit(seed)).cast("double")
+    ranks = nodes.withColumn("rank", is_seed)
+    d = float(damping)
+    for _ in range(iterations):
+        contrib = (e.join(ranks.join(out_deg, ranks.id == out_deg.src)
+                          .select("id", (F.col("rank") / F.col("out_deg"))
+                                  .alias("share")),
+                          e.src == F.col("id"))
+                   .groupBy("dst").agg(F.sum("share").alias("inflow")))
+        dangling = (ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")))
+        ranks = (nodes.join(contrib, nodes.id == contrib.dst, "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("id",
+                         (is_seed * (F.lit(1.0 - d) + F.lit(d) * F.col("m"))
+                          + F.lit(d)
+                          * F.coalesce(F.col("inflow"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks

@@ -1166,3 +1166,65 @@ def f1_threshold_sweep(label_col: str = "label", score_col: str = "score"):
             .limit(1))
 
     return _apply
+
+
+def rolling_active_users(df: DataFrame, user_col: str = "user_id",
+                         ts_col: str = "ts", wau_days: int = 7,
+                         mau_days: int = 28) -> DataFrame:
+    """Rolling engagement: per activity day, the distinct users active that
+    day (DAU), in the trailing ``wau_days`` window (WAU), in the trailing
+    ``mau_days`` window (MAU), and the DAU/MAU stickiness ratio — the
+    product-analytics engagement staple `cohort_retention` does not cover
+    (cohorts follow a signup class; this follows the whole population).
+
+    Distributed shape: the event log collapses FIRST to the distinct
+    (user, day) frame — the only corpus-sized reduction; each window then
+    explodes that frame by its bounded offset span (≤ mau_days rows per
+    user-day, a constant), re-distincts on (user, target day) so a user
+    active twice in a window counts once, and counts per day. Days beyond
+    the corpus's last day are cut with a broadcast 1-row max. Counts are
+    exact integers; stickiness is ONE rounded double division.
+
+    Emits one row per day with ≥1 active user in its trailing MAU window,
+    i.e. every day from the first activity day to the last when activity
+    is continuous. Returns (day, dau, wau, mau, stickiness).
+
+    Reference anchor: none (product-analytics extension; family of
+    cohort_retention / funnel / rfm_features).
+    """
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    ud = pipeline_cache(
+        df.select(F.col(user_col).alias("_u"),
+                  F.to_date(ts_col).alias("_d"))
+        .filter(F.col("_u").isNotNull() & F.col("_d").isNotNull())
+        .distinct())
+    maxd = ud.agg(F.max("_d").alias("_maxd"))
+    dau = ud.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau"))
+
+    def window_counts(w: int, out: str) -> DataFrame:
+        contrib = (ud.select(
+            "_u", F.explode(F.sequence(
+                F.lit(0), F.lit(int(w) - 1))).alias("_off"), "_d")
+            .select("_u", F.date_add("_d", F.col("_off")).alias("day"))
+            .distinct()
+            .crossJoin(F.broadcast(maxd))
+            .filter(F.col("day") <= F.col("_maxd")))
+        return contrib.groupBy("day").agg(F.count(F.lit(1)).alias(out))
+
+    wau = window_counts(wau_days, "wau")
+    mau = window_counts(mau_days, "mau")
+    # MAU's day set covers DAU's and WAU's (wider trailing reach), so the
+    # left joins from mau lose nothing; days without same-day activity
+    # have dau = 0
+    out = (mau.join(wau, "day", "left").join(dau, "day", "left")
+           .select("day",
+                   F.coalesce("dau", F.lit(0)).alias("dau"),
+                   F.coalesce("wau", F.lit(0)).alias("wau"),
+                   "mau"))
+    return (out.withColumn(
+        "stickiness",
+        F.round(F.try_divide(F.col("dau").cast("double"),
+                             F.col("mau").cast("double")), 6) + F.lit(0.0))
+        .orderBy("day"))

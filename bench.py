@@ -221,6 +221,8 @@ HEADLINE = [
     "bleu_eval",
     "lpa_communities",
     "bfs_hops",
+    "active_users",
+    "ppr_related",
 ]
 
 

@@ -417,6 +417,11 @@ BUDGET = {
     "lpa_communities": 1,
     # checkpoint-truncated frontier rounds; residual = final union read
     "bfs_hops": 1,
+    # (user, day) collapse + per-window offset-explode re-distinct/count
+    # (x3 windows) + the day joins of those collapsed day frames
+    "active_users": 9,
+    # pagerank's checkpoint-truncated loop; residual = final rank read
+    "ppr_related": 1,
 }
 
 

@@ -316,3 +316,68 @@ def test_bfs_hops_distances_and_bound(spark):
     # tighter bound drops the tail beyond it
     got2 = {r.id: r.dist for r in bfs_hops(df, 1, max_hops=2).collect()}
     assert got2 == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+# --------------------------------------------------- active users / PPR ---
+
+def test_rolling_active_users_hand_windows(spark):
+    from datetime import datetime
+    from akka_stream_contrib_spark.functions.ml import rolling_active_users
+    rows = [
+        (1, datetime(2024, 3, 1, 10)), (2, datetime(2024, 3, 1, 11)),
+        (1, datetime(2024, 3, 2, 9)),
+        (3, datetime(2024, 3, 9, 9)),   # 8 days later: outside u2's WAU
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {str(r.day): (r.dau, r.wau, r.mau)
+           for r in rolling_active_users(df, wau_days=7, mau_days=28
+                                         ).collect()}
+    assert got["2024-03-01"] == (2, 2, 2)
+    assert got["2024-03-02"] == (1, 2, 2)      # u1 again + trailing u2
+    assert got["2024-03-08"] == (0, 1, 2)      # day-2 u1 still in WAU
+    assert got["2024-03-09"] == (1, 1, 3)      # u3 active; u1/u2 MAU only
+    # a user active twice in a window counts once
+    assert got["2024-03-03"] == (0, 2, 2)
+
+
+def test_rolling_active_users_stickiness_division(spark):
+    from datetime import datetime
+    from akka_stream_contrib_spark.functions.ml import rolling_active_users
+    df = spark.createDataFrame([(1, datetime(2024, 1, 1))],
+                               "user_id long, ts timestamp")
+    r = rolling_active_users(df).head()
+    assert r.dau == 1 and r.mau == 1 and r.stickiness == 1.0
+
+
+def _ppr_python(edges, seed, iters=3, d=0.85):
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    out = {}
+    for u, _ in e:
+        out[u] = out.get(u, 0) + 1
+    r = {n: (1.0 if n == seed else 0.0) for n in nodes}
+    for _ in range(iters):
+        m = sum(r[n] for n in nodes if n not in out)
+        inflow = {n: 0.0 for n in nodes}
+        for u, v in e:
+            inflow[v] += r[u] / out[u]
+        r = {n: (1.0 if n == seed else 0.0) * ((1.0 - d) + d * m)
+             + d * inflow[n] for n in nodes}
+    return r
+
+
+def test_personalized_pagerank_matches_python_model(spark):
+    from akka_stream_contrib_spark.functions.graph import (
+        personalized_pagerank)
+    edges = [(1, 2), (2, 3), (3, 1), (2, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.id: r.rank
+           for r in personalized_pagerank(df, 1, iterations=3).collect()}
+    want = _ppr_python(edges, 1)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+    # mass conservation and seed locality: ranks sum to 1, the seed's
+    # neighborhood outranks the far tail
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[1] > got[5]
