@@ -791,7 +791,13 @@ def js_divergence_split(df: DataFrame, side, item_col: str) -> DataFrame:
 
 def _jsd_from_counts(j: DataFrame) -> DataFrame:
     """Shared JSD tail: per-item (count_p, count_q) -> one summary row
-    (see js_divergence for the determinism argument)."""
+    (see js_divergence for the determinism argument). ``j`` feeds both
+    the totals aggregate and the term stream — cached so the upstream
+    corpus explode/collapse runs ONCE, not once per consumer (the frame
+    itself is vocabulary-cardinality)."""
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    j = pipeline_cache(j)
     tot = j.agg(F.sum("_cp").alias("_tp"), F.sum("_cq").alias("_tq"),
                 F.sum((F.col("_cp") > 0).cast("long")).alias("_vp"),
                 F.sum((F.col("_cq") > 0).cast("long")).alias("_vq"),

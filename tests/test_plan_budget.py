@@ -359,8 +359,9 @@ BUDGET = {
     # groupBy per slice; the other four exchanges carry vocabulary-sized
     # aggregates only (vocab join + totals + term sum)
     # split form: ONE conditional-count token groupBy (was two filtered
-    # scans + a full-outer vocab join: 6 -> 4)
-    "js_divergence": 4,
+    # scans + a full-outer vocab join) with the vocab-cardinality count
+    # frame cached for its two consumers (6 -> 4 -> 3)
+    "js_divergence": 3,
     # lead window on user_id, pair groupBy; the entropy windows/sum run
     # over the |types|²-row pair table
     "conditional_entropy": 3,

@@ -106,6 +106,25 @@ SHOWCASE = {
     "kaplan_meier": "survival curve: distinct-duration collapse, exclusive "
         "range-prefix at-risk set, log-space product — duration "
         "cardinality bounds everything after the first shuffle",
+    "js_divergence": "token drift, split form: ONE conditional-count "
+        "groupBy on the exploded token key (no second scan, no "
+        "full-outer vocab join), 1-row totals broadcast into the "
+        "decimal term sum",
+    "cohen_kappa": "inter-rater agreement: corpus collapses to the "
+        "(a,b) confusion cells first; marginals, their decimal product "
+        "sum and the observed sum are aggregates of that tiny frame",
+    "f1_threshold_sweep": "threshold argmax: distinct-score collapse, "
+        "ONE shared two-phase range prefix for both classes, broadcast "
+        "totals, TakeOrdered over the candidate frame",
+    "item_cf_recs": "item-item CF: basket self-join on the cached "
+        "deduplicated item frame, pairs counted once and mirrored "
+        "after counting, per-item rank window over pruned neighbors",
+    "active_users": "rolling engagement: distinct (user, day) collapse "
+        "first; each window is a bounded offset explode of that "
+        "collapsed frame re-distincted per day — day-cardinality joins",
+    "bleu_eval": "corpus BLEU-2: one id equi-join pairs the frames "
+        "(pipeline-cached for five consumers); clipped matches are "
+        "map-combined (id, gram) counts inner-joined on their shared key",
 }
 
 
