@@ -5527,10 +5527,12 @@ e AS MATERIALIZED (
 
 
 def _hits_oracle(iterations: int = 3) -> str:
-    """DuckDB mirror of q_hits_scores: the HITS half-steps unrolled as
-    chained CTEs (the _pagerank_oracle pattern) — per-dst hub sums, L1
-    norm, per-src auth sums, L1 norm; identical coalesce/divide ordering.
-    Float-sum association drift ~1e-16, absorbed by the 6-dp round."""
+    """DuckDB mirror of q_hits_scores: the UNNORMALIZED HITS half-steps
+    unrolled as chained CTEs (the _pagerank_oracle pattern) with ONE
+    final L1 normalization — mirroring functions/graph.py::hits_scores'
+    deferred-norm loop exactly (per-half-step norms are scalar factors
+    that cancel under linearity). Float-sum association drift ~1e-16
+    relative, absorbed by the 6-dp round."""
     parts = [_EDGES_CTE + """,
 nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
 s0 AS MATERIALIZED (SELECT id, 1.0 AS hub, 1.0 AS auth FROM nodes)"""]
@@ -5541,25 +5543,24 @@ ar{t} AS MATERIALIZED (
     SELECT e.dst, sum(s{p}.hub) AS _a
     FROM e JOIN s{p} ON s{p}.id = e.src GROUP BY e.dst
 ),
-an{t} AS (SELECT sum(_a) AS _an FROM ar{t}),
 a{t} AS MATERIALIZED (
-    SELECT nodes.id, coalesce(ar{t}._a, 0.0) / an{t}._an AS auth
-    FROM nodes LEFT JOIN ar{t} ON ar{t}.dst = nodes.id CROSS JOIN an{t}
+    SELECT nodes.id, coalesce(ar{t}._a, 0.0) AS auth
+    FROM nodes LEFT JOIN ar{t} ON ar{t}.dst = nodes.id
 ),
 hr{t} AS MATERIALIZED (
     SELECT e.src, sum(a{t}.auth) AS _h
     FROM e JOIN a{t} ON a{t}.id = e.dst GROUP BY e.src
 ),
-hn{t} AS (SELECT sum(_h) AS _hn FROM hr{t}),
 s{t} AS MATERIALIZED (
-    SELECT nodes.id, coalesce(hr{t}._h, 0.0) / hn{t}._hn AS hub, a{t}.auth
+    SELECT nodes.id, coalesce(hr{t}._h, 0.0) AS hub, a{t}.auth
     FROM nodes JOIN a{t} ON a{t}.id = nodes.id
-    LEFT JOIN hr{t} ON hr{t}.src = nodes.id CROSS JOIN hn{t}
+    LEFT JOIN hr{t} ON hr{t}.src = nodes.id
 )""")
-    return ("WITH " + ",".join(parts) + f"""
-SELECT id AS user_id, round(hub, 6) + 0.0 AS hub,
-       round(auth, 6) + 0.0 AS auth
-FROM s{iterations} ORDER BY user_id
+    return ("WITH " + ",".join(parts) + f""",
+norms AS (SELECT sum(hub) AS hn, sum(auth) AS an FROM s{iterations})
+SELECT id AS user_id, round(hub / hn, 6) + 0.0 AS hub,
+       round(auth / an, 6) + 0.0 AS auth
+FROM s{iterations} CROSS JOIN norms ORDER BY user_id
 """)
 
 

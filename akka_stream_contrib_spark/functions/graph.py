@@ -255,18 +255,24 @@ def hits_scores(edges: DataFrame, iterations: int = 3,
     curation use: over a citation/link graph, authorities are the
     canonical documents, hubs the index pages.
 
-    Synchronous power iteration, L1-normalized each half-step (the sum
-    norm keeps the update linear — no cross-engine sqrt in the loop):
-      auth'(v) = Σ_{u→v} hub(u)   then  auth ← auth' / Σ auth'
-      hub'(u)  = Σ_{u→v} auth(v)  then  hub  ← hub' / Σ hub'
+    Synchronous power iteration with DEFERRED L1 normalization: the
+    update is linear, so the per-half-step norms are scalar factors that
+    cancel — the loop runs unnormalized
+      auth'(v) = Σ_{u→v} hub(u),   hub'(u) = Σ_{u→v} auth'(v)
+    and both vectors are L1-normalized ONCE at the end, giving the same
+    direction as the textbook interleaved form while saving the two
+    broadcast-norm driver jobs every iteration (the pagerank
+    one-job-per-iteration discipline: each iteration is exactly one
+    eager checkpoint). Unnormalized magnitudes grow like ‖A‖₁^iterations
+    — for 3 iterations far inside double range on any real graph.
     Fixed ``iterations`` (driver-loop family of pagerank / kmeans /
-    logreg / BPE-learn); per-iteration lineage truncated with
-    localCheckpoint so the plan does not grow.
+    logreg / BPE-learn); lineage truncated with localCheckpoint.
 
     Scale shape: each half-step is one shuffle (aggregation on the
-    receiving endpoint) plus a broadcast 1-row norm; state is one row per
-    node. Float sums associate differently across engines (~1e-16);
-    callers round for portable output (the pagerank convention).
+    receiving endpoint); state is one row per node; one broadcast 1-row
+    norm frame at the end. Float sums associate differently across
+    engines (~1e-16 relative); callers round for portable output (the
+    pagerank convention).
 
     Returns (id, hub, auth) for every node appearing in the edge list.
 
@@ -286,36 +292,30 @@ def hits_scores(edges: DataFrame, iterations: int = 3,
     state = nodes.select("id", F.lit(1.0).alias("hub"),
                          F.lit(1.0).alias("auth"))
     for _ in range(iterations):
-        # auth half-step: sum of source hubs into each dst, L1-normalize.
-        # a_raw feeds both the norm aggregate and the auth join, and auth
-        # feeds both the hub half-step and the state join — cache each so
-        # the edge-join/aggregate subtree runs once per half-step instead
-        # of being re-evaluated per consumer inside the checkpoint job
-        a_raw = pipeline_cache(
-            e.join(state.select(F.col("id").alias("_s"), "hub"),
-                   e.src == F.col("_s"))
-            .groupBy("dst").agg(F.sum("hub").alias("_a")))
-        a_norm = a_raw.agg(F.sum("_a").alias("_an"))
+        # auth feeds both the hub half-step and the state join — cached
+        # so the edge-join/aggregate subtree runs once inside the single
+        # eager checkpoint job this iteration performs
+        a_raw = (e.join(state.select(F.col("id").alias("_s"), "hub"),
+                        e.src == F.col("_s"))
+                 .groupBy("dst").agg(F.sum("hub").alias("_a")))
         auth = pipeline_cache(
             nodes.join(a_raw, nodes.id == a_raw.dst, "left")
-            .crossJoin(F.broadcast(a_norm))
-            .select("id", (F.coalesce(F.col("_a"), F.lit(0.0))
-                           / F.col("_an")).alias("auth")))
-        # hub half-step: sum of destination auths out of each src
+            .select("id", F.coalesce(F.col("_a"), F.lit(0.0))
+                    .alias("auth")))
         h_raw = (e.join(auth.select(F.col("id").alias("_d"), "auth"),
                         e.dst == F.col("_d"))
                  .groupBy("src").agg(F.sum("auth").alias("_h")))
-        h_norm = h_raw.agg(F.sum("_h").alias("_hn"))
         state = (nodes.join(auth.select(F.col("id").alias("_i"), "auth"),
                             nodes.id == F.col("_i"))
                  .join(h_raw, nodes.id == h_raw.src, "left")
-                 .crossJoin(F.broadcast(h_norm))
                  .select("id",
-                         (F.coalesce(F.col("_h"), F.lit(0.0))
-                          / F.col("_hn")).alias("hub"),
+                         F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub"),
                          "auth")
                  .localCheckpoint(eager=True))
-    return state
+    norms = state.agg(F.sum("hub").alias("_hn"), F.sum("auth").alias("_an"))
+    return (state.crossJoin(F.broadcast(norms))
+            .select("id", (F.col("hub") / F.col("_hn")).alias("hub"),
+                    (F.col("auth") / F.col("_an")).alias("auth")))
 
 
 def k_core(edges: DataFrame, k: int = 3, rounds: int = 8,
