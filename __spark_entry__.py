@@ -4112,6 +4112,31 @@ def q_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal interval (functions/ml.py::split_conformal) for a
+    fixed linear chars-per-token rule on documents: even ids calibrate,
+    odd ids test, 90% target — exact integer rank index via the two-phase
+    global rank, distribution-free coverage check."""
+    from akka_stream_contrib_spark.functions.ml import split_conformal
+    docs = tables.load(spark, "documents", sf_dir)
+    ntok = F.size(F.split(F.col("text"), " "))
+    score = F.abs(F.col("n_chars").cast("double")
+                  - F.lit(6.1) * ntok.cast("double"))
+    return docs.transform(split_conformal(
+        score, (F.col("doc_id") % 2 == 0), keep_num=9, keep_den=10))
+
+
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA forecast backtest (operators/timeseries.py::
+    ewma_forecast_eval): MAE / MASE vs the naive lag-1 forecast / sMAPE
+    over each user's value series — 9-dp decimal error sums on the shared
+    window pass."""
+    from akka_stream_contrib_spark.operators.timeseries import (
+        ewma_forecast_eval)
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.transform(ewma_forecast_eval())
+
+
 def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus BLEU-2 (functions/text.py::bleu2_corpus) of odd-id documents
     against their even-id predecessors — clipped-count inner joins on
@@ -4399,6 +4424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "active_users": q_active_users,
         "ppr_related": q_ppr_related,
+        "conformal_interval": q_conformal_interval,
+        "forecast_eval": q_forecast_eval,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4443,12 +4470,13 @@ _PRIORITY = [
     # (4) oracle/implementation changed this round
     "classification_report", "auc_roc", "ewma_smooth", "motif_search",
     "quantized_ann", "pagerank_users", "grouping_sets_revenue",
-    "accumulate", "token_throttle", "pareto_customers", "token_budget_fill",
+    "accumulate", "token_throttle",
     # (5) the session-2 round-7 additions (agreement/ranking-eval/recsys/
     # graph family) — never driver-verified
     "cohen_kappa", "wilson_rank", "f1_threshold_sweep", "mrr_eval",
     "item_cf_recs", "hits_scores", "k_core", "bleu_eval",
     "lpa_communities", "bfs_hops", "active_users", "ppr_related",
+    "conformal_interval", "forecast_eval",
     # (6) re-evidence: the round-6 queue is fully ceded to first-evidence
     # for the session-2 additions above
     # exactly 50 = the driver window. Everything else is cumulative
@@ -5747,6 +5775,84 @@ FROM r{iterations} ORDER BY user_id
 """)
 
 
+_CONFORMAL_SQL = """
+    WITH scored AS (
+        SELECT abs(CAST(n_chars AS DOUBLE)
+                   - 6.1 * CAST(len(string_split(text, ' ')) AS DOUBLE))
+                   AS _s,
+               doc_id % 2 = 0 AS _c, doc_id AS _id
+        FROM documents
+    ), cal AS (
+        SELECT _s, _id,
+               row_number() OVER (ORDER BY _s, _id) AS _r
+        FROM scored WHERE _c
+    ), nc AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM cal),
+    q AS (
+        SELECT n_calib,
+               CAST(least(greatest(((n_calib + 1) * 9 + 10 - 1) // 10, 1),
+                          n_calib) AS BIGINT) AS k,
+               _s AS q_hat
+        FROM cal, nc
+        WHERE _r = least(greatest(((n_calib + 1) * 9 + 10 - 1) // 10, 1),
+                         n_calib)
+    )
+    SELECT first(n_calib) AS n_calib, first(k) AS k,
+           round(first(q_hat), 6) + 0.0 AS q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN _s <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           round(CASE WHEN count(*) > 0 THEN
+                 CAST(sum(CASE WHEN _s <= q_hat THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE) END, 6) + 0.0
+               AS coverage
+    FROM (SELECT * FROM scored WHERE NOT _c) CROSS JOIN q
+"""
+
+
+def _forecast_eval_oracle() -> str:
+    """DuckDB mirror of q_forecast_eval: the _ewma_oracle frame as a CTE,
+    the identical lag forecasts, 9-dp decimal error sums, three guarded
+    final divisions."""
+    return f"""
+        WITH ew AS ({_EWMA_ORACLE}),
+        l AS (
+            SELECT value,
+                   lag(ewma) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS _f,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS _nv
+            FROM ew
+        ), rows_ AS (
+            SELECT CAST(round(abs(value - _f), 9) AS DECIMAL(15,9)) AS _e,
+                   CAST(round(abs(value - _nv), 9) AS DECIMAL(15,9)) AS _ne,
+                   CAST(CASE WHEN abs(_f) + abs(value) > 0
+                        THEN round(2.0 * abs(value - _f)
+                                   / (abs(_f) + abs(value)), 9)
+                        ELSE 0.0 END AS DECIMAL(15,9)) AS _sm
+            FROM l WHERE _f IS NOT NULL
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(_e) AS _se, sum(_ne) AS _sne, sum(_sm) AS _ssm
+            FROM rows_
+        )
+        SELECT n,
+               round(CASE WHEN n > 0
+                     THEN CAST(_se AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+                   + 0.0 AS mae,
+               round(CASE WHEN n > 0
+                     THEN CAST(_sne AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+                   + 0.0 AS naive_mae,
+               round(CASE WHEN CAST(_sne AS DOUBLE) / CAST(n AS DOUBLE) > 0
+                     THEN (CAST(_se AS DOUBLE) / CAST(n AS DOUBLE))
+                          / (CAST(_sne AS DOUBLE) / CAST(n AS DOUBLE)) END,
+                     6) + 0.0 AS mase,
+               round(CASE WHEN n > 0
+                     THEN CAST(_ssm AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+                   + 0.0 AS smape
+        FROM agg
+    """
+
+
 _BLEU_SQL = """
     WITH cands AS (
         SELECT doc_id - 1 AS _id, string_split(lower(text), ' ') AS ct
@@ -5841,6 +5947,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": _bfs_oracle(),
         "active_users": _active_users_oracle(),
         "ppr_related": _ppr_oracle(),
+        "conformal_interval": _CONFORMAL_SQL,
+        "forecast_eval": _forecast_eval_oracle(),
         "bleu_eval": _BLEU_SQL,
         "sample_step_replay": """
             WITH RECURSIVE tgt(i, pos) AS (

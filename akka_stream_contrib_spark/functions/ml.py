@@ -1234,3 +1234,64 @@ def rolling_active_users(df: DataFrame, user_col: str = "user_id",
         F.round(F.try_divide(F.col("dau").cast("double"),
                              F.col("mau").cast("double")), 6) + F.lit(0.0))
         .orderBy("day"))
+
+
+def split_conformal(score, calib, keep_num: int = 9, keep_den: int = 10,
+                    id_col: str = "doc_id"):
+    """Split conformal prediction interval (Papadopoulos et al. 2002;
+    Vovk's inductive conformal): the calibration slice's nonconformity
+    scores yield the quantile ``q_hat`` = the ⌈(n+1)·keep_num/keep_den⌉-th
+    smallest calibration score, and any prediction within ``q_hat`` of the
+    truth is "covered" — a DISTRIBUTION-FREE interval with guaranteed
+    ≥ keep_num/keep_den marginal coverage. The uncertainty-quantification
+    companion to `calibration_report` (that audits probability calibration;
+    this constructs finite-sample-valid intervals).
+
+    Determinism: the target coverage is a RATIONAL (keep_num/keep_den), so
+    the rank index k is exact integer arithmetic (⌈x/d⌉ = (x + d − 1) div
+    d — no float ceil); the k-th smallest comes from the two-phase global
+    rank (`operators/global_order.py`, never a single-partition sort) with
+    the (score, id) total order; coverage counts are exact integers. If k
+    exceeds the calibration size (tiny n, high coverage), k clamps to n —
+    the honest q_hat would be +∞; callers with such n need more data.
+
+    Returns one row: (n_calib, k, q_hat, n_test, n_covered, coverage).
+
+    Reference anchor: none (evaluation extension; family of
+    bootstrap_ci / wilson_rank — all finite-sample uncertainty).
+    """
+    from akka_stream_contrib_spark.operators.global_order import global_rank
+
+    def _apply(df: DataFrame) -> DataFrame:
+        s = score if isinstance(score, Column) else F.col(score)
+        c = calib if isinstance(calib, Column) else F.col(calib)
+        scored = df.select(s.alias("_s"), c.alias("_c"),
+                           F.col(id_col).alias("_id"))
+        cal = scored.filter(F.col("_c")).select("_s", "_id")
+        ranked = global_rank(cal, ["_s", "_id"], out="_r")
+        n_cal = cal.agg(F.count(F.lit(1)).alias("n_calib"))
+        k = F.expr(
+            f"least(greatest(((n_calib + 1) * {int(keep_num)}"
+            f" + {int(keep_den)} - 1) div {int(keep_den)}, 1), n_calib)")
+        qrow = (ranked.crossJoin(F.broadcast(n_cal))
+                .withColumn("_k", k)
+                .filter(F.col("_r") == F.col("_k"))
+                .select("n_calib", F.col("_k").alias("k"),
+                        F.col("_s").alias("q_hat")))
+        test = (scored.filter(~F.col("_c"))
+                .crossJoin(F.broadcast(qrow))
+                .agg(F.first("n_calib").alias("n_calib"),
+                     F.first("k").alias("k"),
+                     F.first("q_hat").alias("q_hat"),
+                     F.count(F.lit(1)).alias("n_test"),
+                     F.sum(F.when(F.col("_s") <= F.col("q_hat"), 1)
+                           .otherwise(0)).alias("n_covered")))
+        return test.select(
+            "n_calib", "k",
+            (F.round("q_hat", 6) + F.lit(0.0)).alias("q_hat"),
+            "n_test", "n_covered",
+            (F.round(F.try_divide(F.col("n_covered").cast("double"),
+                                  F.col("n_test").cast("double")), 6)
+             + F.lit(0.0)).alias("coverage"))
+
+    return _apply

@@ -481,3 +481,65 @@ def autocorrelation(key: str = "event_type", value: str = "value",
             .alias("acf"))
 
     return _apply
+
+
+def ewma_forecast_eval(key: str = "user_id", value: str = "value",
+                       seq: str = "event_id", alpha: float = 0.3,
+                       depth: int = 8) -> Callable[[DataFrame], DataFrame]:
+    """Forecast backtest of the truncated EWMA as a one-step-ahead
+    predictor: each observation is forecast by the PREVIOUS row's EWMA,
+    scored against the naive lag-1 forecast — MAE, MASE (Hyndman &
+    Koehler 2006, "Another look at measures of forecast accuracy": scale-
+    free, defined where the naive error is not all-zero) and sMAPE. The
+    evaluation closes the smoothing family the way auc_roc closes the
+    classifiers: `ewma_smooth`/`holt_linear` produce forecasts, this says
+    whether they beat naive.
+
+    Determinism: forecasts are the 6-dp-rounded `ewma_smooth` values;
+    every per-row error term is rounded to 9 dp and summed as decimal
+    (order-independent), with three final guarded double divisions.
+    First-row-per-key observations have no forecast and are excluded
+    (forecast and naive are NULL on exactly the same rows).
+
+    Scale shape: one key shuffle for the EWMA window pass (the lag
+    columns ride the same partitioning), then a single-row reduction.
+
+    Returns one row: (n, mae, naive_mae, mase, smape).
+
+    Reference anchor: none (evaluation extension over the Timed/
+    instrumentation family's smoothing ops).
+    """
+    def _apply(df: DataFrame) -> DataFrame:
+        ew = df.transform(ewma_smooth(key=key, value=value, seq=seq,
+                                      alpha=alpha, depth=depth))
+        w = Window.partitionBy(key).orderBy(seq)
+        f = F.lag("ewma").over(w)
+        nv = F.lag(value).over(w)
+        x = F.col(value)
+        dec = "decimal(15,9)"
+        e = F.round(F.abs(x - f), 9).cast(dec)
+        ne = F.round(F.abs(x - nv), 9).cast(dec)
+        sm_den = F.abs(f) + F.abs(x)
+        sm = F.when(sm_den > 0,
+                    F.round(F.lit(2.0) * F.abs(x - f) / sm_den, 9)
+                    ).otherwise(F.lit(0.0)).cast(dec)
+        rows = (ew.select(f.alias("_f"), e.alias("_e"), ne.alias("_ne"),
+                          sm.alias("_sm"))
+                .filter(F.col("_f").isNotNull()))
+        agg = rows.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("_e").alias("_se"),
+                       F.sum("_ne").alias("_sne"),
+                       F.sum("_sm").alias("_ssm"))
+        nd = F.col("n").cast("double")
+        mae = F.try_divide(F.col("_se").cast("double"), nd)
+        nmae = F.try_divide(F.col("_sne").cast("double"), nd)
+        return agg.select(
+            "n",
+            (F.round(mae, 6) + F.lit(0.0)).alias("mae"),
+            (F.round(nmae, 6) + F.lit(0.0)).alias("naive_mae"),
+            (F.round(F.when(nmae > 0, mae / nmae), 6) + F.lit(0.0))
+            .alias("mase"),
+            (F.round(F.try_divide(F.col("_ssm").cast("double"), nd), 6)
+             + F.lit(0.0)).alias("smape"))
+
+    return _apply

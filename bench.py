@@ -223,6 +223,8 @@ HEADLINE = [
     "bfs_hops",
     "active_users",
     "ppr_related",
+    "conformal_interval",
+    "forecast_eval",
 ]
 
 

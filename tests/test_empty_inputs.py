@@ -57,6 +57,9 @@ NONEMPTY_OK = {
     # precision/BLEU metrics rows on empty input are standard aggregate
     # semantics (kappa/mrr/bleu each end in a 1-row combination)
     "cohen_kappa", "mrr_eval", "bleu_eval",
+    # conformal/forecast: one all-NULL/zero metrics row on empty input
+    # (aggregate-over-empty semantics, mirrored in the oracles)
+    "conformal_interval", "forecast_eval",
 }
 
 

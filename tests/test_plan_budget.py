@@ -407,8 +407,10 @@ BUDGET = {
     # neighbor joins + per-item rank window
     "item_cf_recs": 8,
     # per-iteration lineage is checkpoint-truncated (pagerank pattern);
-    # the residual plan is the final half-step join + norm
-    "hits_scores": 1,
+    # deferred normalization moves the single L1-norm aggregate AFTER the
+    # last checkpoint (1 -> 2 residual exchanges) in exchange for
+    # dropping the two broadcast-norm driver jobs every iteration
+    "hits_scores": 2,
     # checkpoint-truncated peel rounds; residual = final degree agg
     "k_core": 2,
     # pair join + 2 gram-count shuffles per n-gram order + clipped-match
@@ -423,6 +425,11 @@ BUDGET = {
     "active_users": 9,
     # pagerank's checkpoint-truncated loop; residual = final rank read
     "ppr_related": 1,
+    # calib range-rank (two-phase) + 1-row quantile broadcast + test agg
+    "conformal_interval": 3,
+    # ONE key shuffle shared by the EWMA window and its lag columns,
+    # then a single-row reduction
+    "forecast_eval": 2,
 }
 
 

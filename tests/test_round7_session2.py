@@ -381,3 +381,59 @@ def test_personalized_pagerank_matches_python_model(spark):
     # neighborhood outranks the far tail
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     assert got[1] > got[5]
+
+
+# ------------------------------------------------ conformal / forecast ---
+
+def test_split_conformal_quantile_and_coverage(spark):
+    from akka_stream_contrib_spark.functions.ml import split_conformal
+    # calib scores 1..10 -> k = ceil(11*9/10) = 10 -> q_hat = 10.0
+    rows = ([(float(i), True, i) for i in range(1, 11)]
+            + [(5.0, False, 100), (10.0, False, 101), (11.0, False, 102)])
+    df = spark.createDataFrame(rows, "s double, c boolean, doc_id int")
+    r = df.transform(split_conformal("s", "c")).head()
+    assert (r.n_calib, r.k, r.q_hat) == (10, 10, 10.0)
+    assert (r.n_test, r.n_covered) == (3, 2)  # 5 and 10 covered, 11 not
+    assert r.coverage == pytest.approx(round(2 / 3, 6))
+
+
+def test_split_conformal_k_clamps_to_n(spark):
+    from akka_stream_contrib_spark.functions.ml import split_conformal
+    rows = [(1.0, True, 1), (2.0, True, 2), (1.5, False, 3)]
+    df = spark.createDataFrame(rows, "s double, c boolean, doc_id int")
+    r = df.transform(split_conformal("s", "c")).head()
+    # ceil(3*9/10) = 3 > n_calib=2 -> clamp to 2 -> q_hat = 2.0
+    assert (r.n_calib, r.k, r.q_hat) == (2, 2, 2.0)
+    assert r.n_covered == 1
+
+
+def test_ewma_forecast_eval_matches_python(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        ewma_forecast_eval, ewma_weights)
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, value double")
+    r = df.transform(ewma_forecast_eval(alpha=0.3, depth=8)).head()
+
+    ws = ewma_weights(0.3, 8)
+    ew = []
+    for i in range(len(vals)):
+        num = sum(w * vals[i - j] for j, w in enumerate(ws) if i - j >= 0)
+        den = sum(w for j, w in enumerate(ws) if i - j >= 0)
+        ew.append(round(num / den, 6))
+    es = [round(abs(vals[i] - ew[i - 1]), 9) for i in range(1, len(vals))]
+    nes = [round(abs(vals[i] - vals[i - 1]), 9) for i in range(1, len(vals))]
+    assert r.n == 4
+    assert r.mae == pytest.approx(round(sum(es) / 4, 6))
+    assert r.naive_mae == pytest.approx(round(sum(nes) / 4, 6))
+    assert r.mase == pytest.approx(round((sum(es) / 4) / (sum(nes) / 4), 6))
+
+
+def test_ewma_forecast_eval_constant_series_mase_null(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        ewma_forecast_eval)
+    rows = [(1, i, 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, value double")
+    r = df.transform(ewma_forecast_eval()).head()
+    # naive error is all-zero -> MASE undefined -> NULL; MAE exactly 0
+    assert r.naive_mae == 0.0 and r.mase is None and r.mae == 0.0
