@@ -125,6 +125,12 @@ SHOWCASE = {
     "bleu_eval": "corpus BLEU-2: one id equi-join pairs the frames "
         "(pipeline-cached for five consumers); clipped matches are "
         "map-combined (id, gram) counts inner-joined on their shared key",
+    "conformal_interval": "split conformal: two-phase global rank of the "
+        "calibration scores (range exchange + broadcast prefix), 1-row "
+        "quantile broadcast, conditional-count coverage",
+    "forecast_eval": "EWMA forecast backtest: the lag forecasts ride the "
+        "smoother's ONE key-partitioned window pass; 9-dp decimal error "
+        "sums to a single-row reduction",
 }
 
 
