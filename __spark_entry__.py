@@ -4033,6 +4033,17 @@ def _interaction_edges(ev: DataFrame) -> DataFrame:
             .select("src", F.col("user_id").alias("dst")))
 
 
+def _min_seed_edges(ev: DataFrame):
+    """Shared seed derivation for the seed-parameterized graph fixtures
+    (q_bfs_hops / q_ppr_related): the checkpointed interaction edges plus
+    the smallest endpoint id (None on an empty graph — callers return
+    their empty frame)."""
+    edges = _interaction_edges(ev).localCheckpoint(eager=True)
+    seed_row = edges.agg(
+        F.least(F.min("src"), F.min("dst")).alias("m")).head()
+    return edges, seed_row.m
+
+
 def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (functions/graph.py::hits_scores) over the
     user-interaction graph — 3 L1-normalized power iterations, oracled by
@@ -4074,12 +4085,10 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, all-integer, unrolled-CTE oracle."""
     from akka_stream_contrib_spark.functions.graph import bfs_hops
     ev = tables.load(spark, "events", sf_dir)
-    edges = _interaction_edges(ev).localCheckpoint(eager=True)
-    seed_row = edges.agg(
-        F.least(F.min("src"), F.min("dst")).alias("m")).head()
-    if seed_row.m is None:  # empty graph -> empty reachability frame
+    edges, seed = _min_seed_edges(ev)
+    if seed is None:  # empty graph -> empty reachability frame
         return spark.createDataFrame([], "user_id long, dist int")
-    return (bfs_hops(edges, seed_row.m, max_hops=4)
+    return (bfs_hops(edges, seed, max_hops=4)
             .select(F.col("id").alias("user_id"), "dist")
             .orderBy("user_id"))
 
@@ -4101,12 +4110,10 @@ def q_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
     from akka_stream_contrib_spark.functions.graph import (
         personalized_pagerank)
     ev = tables.load(spark, "events", sf_dir)
-    edges = _interaction_edges(ev).localCheckpoint(eager=True)
-    seed_row = edges.agg(
-        F.least(F.min("src"), F.min("dst")).alias("m")).head()
-    if seed_row.m is None:
+    edges, seed = _min_seed_edges(ev)
+    if seed is None:
         return spark.createDataFrame([], "user_id long, rank double")
-    return (personalized_pagerank(edges, seed_row.m, iterations=3)
+    return (personalized_pagerank(edges, seed, iterations=3)
             .select(F.col("id").alias("user_id"),
                     (F.round("rank", 6) + F.lit(0.0)).alias("rank"))
             .orderBy("user_id"))

@@ -312,6 +312,10 @@ def hits_scores(edges: DataFrame, iterations: int = 3,
                          F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub"),
                          "auth")
                  .localCheckpoint(eager=True))
+        # both of auth's consumers are materialized by the checkpoint —
+        # release its storage now instead of pinning one dead
+        # InMemoryRelation per iteration until the next pipeline's sweep
+        auth.unpersist()
     norms = state.agg(F.sum("hub").alias("_hn"), F.sum("auth").alias("_an"))
     return (state.crossJoin(F.broadcast(norms))
             .select("id", (F.col("hub") / F.col("_hn")).alias("hub"),
@@ -428,10 +432,13 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 4,
     """
     und = _symmetric(edges, src, dst)
     # the seed frame inherits the node column's own type (string ids work
-    # like bigints; nothing is coerced through a hardcoded schema) and an
-    # absent source yields an empty frame -> empty reachability result
-    settled = (und.select(F.col("a").alias("id")).distinct()
-               .filter(F.col("id") == F.lit(source))
+    # like bigints; nothing is coerced through a hardcoded schema); it is
+    # drawn from the RAW endpoints so a source whose only edges are
+    # self-loops still yields its dist-0 row, and an absent source yields
+    # an empty frame -> empty reachability result
+    settled = (edges.select(F.col(src).alias("id"))
+               .union(edges.select(F.col(dst).alias("id")))
+               .filter(F.col("id") == F.lit(source)).distinct()
                .withColumn("dist", F.lit(0))
                .localCheckpoint(eager=True))
     frontier = settled
@@ -475,6 +482,13 @@ def personalized_pagerank(edges: DataFrame, seed, iterations: int = 3,
     nodes = (e.select(F.col("src").alias("id"))
              .union(e.select(F.col("dst").alias("id")))
              .distinct().localCheckpoint(eager=True))
+    # a seed outside the graph would make every teleport term vanish and
+    # return silent all-zero ranks — fail loudly instead (bounded probe
+    # of the checkpointed node frame)
+    if nodes.filter(F.col("id") == F.lit(seed)).isEmpty():
+        raise ValueError(
+            f"personalized_pagerank: seed {seed!r} is not a node of the "
+            "edge list")
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     is_seed = (F.col("id") == F.lit(seed)).cast("double")
     ranks = nodes.withColumn("rank", is_seed)

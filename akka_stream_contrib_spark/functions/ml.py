@@ -1263,13 +1263,19 @@ def split_conformal(score, calib, keep_num: int = 9, keep_den: int = 10,
     from akka_stream_contrib_spark.operators.global_order import global_rank
 
     def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import pipeline_cache
+
         s = score if isinstance(score, Column) else F.col(score)
         c = calib if isinstance(calib, Column) else F.col(calib)
-        scored = df.select(s.alias("_s"), c.alias("_c"),
-                           F.col(id_col).alias("_id"))
+        # scored feeds the calibration rank AND the test aggregate — one
+        # cached scan instead of two; n_calib reads the already-ranked
+        # (checkpoint-backed) frame instead of re-scanning the input
+        scored = pipeline_cache(
+            df.select(s.alias("_s"), c.alias("_c"),
+                      F.col(id_col).alias("_id")))
         cal = scored.filter(F.col("_c")).select("_s", "_id")
         ranked = global_rank(cal, ["_s", "_id"], out="_r")
-        n_cal = cal.agg(F.count(F.lit(1)).alias("n_calib"))
+        n_cal = ranked.agg(F.count(F.lit(1)).alias("n_calib"))
         k = F.expr(
             f"least(greatest(((n_calib + 1) * {int(keep_num)}"
             f" + {int(keep_den)} - 1) div {int(keep_den)}, 1), n_calib)")

@@ -437,3 +437,18 @@ def test_ewma_forecast_eval_constant_series_mase_null(spark):
     r = df.transform(ewma_forecast_eval()).head()
     # naive error is all-zero -> MASE undefined -> NULL; MAE exactly 0
     assert r.naive_mae == 0.0 and r.mase is None and r.mae == 0.0
+
+
+def test_bfs_hops_self_loop_only_source_keeps_dist0(spark):
+    from akka_stream_contrib_spark.functions.graph import bfs_hops
+    df = spark.createDataFrame([(5, 5)], "src int, dst int")
+    got = {r.id: r.dist for r in bfs_hops(df, 5, max_hops=3).collect()}
+    assert got == {5: 0}
+
+
+def test_personalized_pagerank_rejects_absent_seed(spark):
+    from akka_stream_contrib_spark.functions.graph import (
+        personalized_pagerank)
+    df = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(df, 99)
