@@ -682,3 +682,44 @@ def test_bleu_identity_and_unit_interval(texts):
     s = df.transform(bleu2_corpus(shifted)).head()
     if s.bleu2 is not None:
         assert 0.0 <= s.bleu2 <= 1.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.booleans(),
+                          st.integers(0, 999)),
+                min_size=4, max_size=60, unique_by=lambda r: r[2]))
+@settings(**SETTINGS)
+def test_split_conformal_quantile_is_kth_smallest(rows):
+    from akka_stream_contrib_spark.functions.ml import split_conformal
+    if not any(c for _, c, _ in rows) or all(c for _, c, _ in rows):
+        return  # need both slices
+    spark = _get_spark()
+    df = spark.createDataFrame([(float(s), c, i) for s, c, i in rows],
+                               "s double, c boolean, doc_id int")
+    r = df.transform(split_conformal("s", "c")).head()
+    cal = sorted(float(s) for s, c, _ in rows if c)
+    n = len(cal)
+    k = min(max(-(-((n + 1) * 9) // 10), 1), n)
+    assert (r.n_calib, r.k) == (n, k)
+    assert r.q_hat == round(cal[k - 1], 6)
+    test = [float(s) for s, c, _ in rows if not c]
+    assert r.n_covered == sum(1 for s in test if s <= cal[k - 1])
+
+
+@given(st.lists(st.tuples(st.integers(1, 3), st.integers(0, 27)),
+                min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_active_users_windows_nest(rows):
+    from datetime import datetime, timedelta
+    from akka_stream_contrib_spark.functions.ml import rolling_active_users
+    spark = _get_spark()
+    base = datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [(u, base + timedelta(days=d)) for u, d in rows],
+        "user_id long, ts timestamp")
+    out = rolling_active_users(df).collect()
+    assert out  # at least one active day
+    for r in out:
+        # daily actives are inside the weekly window, weekly inside the
+        # monthly; stickiness stays in [0, 1]
+        assert 0 <= r.dau <= r.wau <= r.mau
+        assert 0.0 <= r.stickiness <= 1.0
