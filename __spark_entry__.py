@@ -4144,6 +4144,17 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.transform(ewma_forecast_eval())
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user value trend (operators/timeseries.py::
+    theil_sen_trend): exact lower median of all pairwise slopes — the
+    outlier-immune companion to q_regr_trend's least squares. Key-bounded
+    pair join with a loud size guard, per-key rank median."""
+    from akka_stream_contrib_spark.operators.timeseries import (
+        theil_sen_trend)
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.transform(theil_sen_trend(max_points=500))
+
+
 def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus BLEU-2 (functions/text.py::bleu2_corpus) of odd-id documents
     against their even-id predecessors — clipped-count inner joins on
@@ -4433,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_related": q_ppr_related,
         "conformal_interval": q_conformal_interval,
         "forecast_eval": q_forecast_eval,
+        "theil_sen": q_theil_sen,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4477,13 +4489,13 @@ _PRIORITY = [
     # (4) oracle/implementation changed this round
     "classification_report", "auc_roc", "ewma_smooth", "motif_search",
     "quantized_ann", "pagerank_users", "grouping_sets_revenue",
-    "accumulate", "token_throttle",
+    "accumulate",
     # (5) the session-2 round-7 additions (agreement/ranking-eval/recsys/
     # graph family) — never driver-verified
     "cohen_kappa", "wilson_rank", "f1_threshold_sweep", "mrr_eval",
     "item_cf_recs", "hits_scores", "k_core", "bleu_eval",
     "lpa_communities", "bfs_hops", "active_users", "ppr_related",
-    "conformal_interval", "forecast_eval",
+    "conformal_interval", "forecast_eval", "theil_sen",
     # (6) re-evidence: the round-6 queue is fully ceded to first-evidence
     # for the session-2 additions above
     # exactly 50 = the driver window. Everything else is cumulative
@@ -5860,6 +5872,36 @@ def _forecast_eval_oracle() -> str:
     """
 
 
+_THEIL_SEN_SQL = """
+    WITH pts AS (
+        SELECT k, x, v FROM (
+            SELECT user_id AS k, event_id AS x, value AS v,
+                   count(*) OVER (PARTITION BY user_id) AS _n
+            FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL)
+        WHERE _n <= 500 AND _n >= 2
+    ), pairs AS (
+        SELECT a.k, a.x AS xi, b.x AS xj,
+               (b.v - a.v) / CAST(b.x - a.x AS DOUBLE) AS _s
+        FROM pts a JOIN pts b ON a.k = b.k AND a.x < b.x
+    ), ranked AS (
+        SELECT k, _s,
+               row_number() OVER (PARTITION BY k ORDER BY _s, xi, xj)
+                   AS _r,
+               CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS _np
+        FROM pairs
+    ), med AS (
+        SELECT k, _s, _np FROM ranked WHERE _r = (_np + 1) // 2
+    ), counts AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_points
+        FROM pts GROUP BY k
+    )
+    SELECT med.k AS user_id, n_points, _np AS n_pairs,
+           round(_s, 6) + 0.0 AS theil_slope
+    FROM med JOIN counts ON med.k = counts.k
+    ORDER BY user_id
+"""
+
+
 _BLEU_SQL = """
     WITH cands AS (
         SELECT doc_id - 1 AS _id, string_split(lower(text), ' ') AS ct
@@ -5956,6 +5998,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_related": _ppr_oracle(),
         "conformal_interval": _CONFORMAL_SQL,
         "forecast_eval": _forecast_eval_oracle(),
+        "theil_sen": _THEIL_SEN_SQL,
         "bleu_eval": _BLEU_SQL,
         "sample_step_replay": """
             WITH RECURSIVE tgt(i, pos) AS (

@@ -543,3 +543,64 @@ def ewma_forecast_eval(key: str = "user_id", value: str = "value",
              + F.lit(0.0)).alias("smape"))
 
     return _apply
+
+
+def theil_sen_trend(key: str = "user_id", seq: str = "event_id",
+                    value: str = "value", max_points: int = 500,
+                    ) -> Callable[[DataFrame], DataFrame]:
+    """Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    ``(v_j − v_i)/(x_j − x_i)`` over the key's series (Sen 1968, JASA) —
+    up to ~29% contamination cannot move it, where the least-squares
+    slope (`q_regr_trend`'s recipe) chases every outlier. The robust
+    companion for trend audits over noisy per-entity series.
+
+    Distributed shape (the association_rules guard pattern): pair fan-out
+    is quadratic in the series length, so keys with more than
+    ``max_points`` observations are EXCLUDED up front by a window count —
+    documented truncation, loud in the signature. The self-join runs on
+    the key (one hash shuffle shared by both sides), and the exact lower
+    median is the ⌊(n_pairs+1)/2⌋-th smallest slope via a per-key rank
+    window over the key's own bounded pair list — never a global sort.
+
+    Determinism: x and v are exact inputs; each slope is ONE double
+    division; the median element is selected by the (slope, i, j) total
+    order, so every engine picks the identical pair and value.
+
+    Returns one row per key: (key, n_points, n_pairs, theil_slope).
+    """
+    def _apply(df: DataFrame) -> DataFrame:
+        pts = (df.select(F.col(key).alias("k"),
+                         F.col(seq).alias("x"),
+                         F.col(value).alias("v"))
+               .filter(F.col("x").isNotNull() & F.col("v").isNotNull())
+               .withColumn("_n", F.count(F.lit(1)).over(
+                   Window.partitionBy("k")))
+               .filter((F.col("_n") <= max_points) & (F.col("_n") >= 2))
+               .drop("_n"))
+        a = pts.select("k", F.col("x").alias("xi"), F.col("v").alias("vi"))
+        b = pts.select(F.col("k").alias("_k"), F.col("x").alias("xj"),
+                       F.col("v").alias("vj"))
+        pairs = (a.join(b, (F.col("k") == F.col("_k"))
+                        & (F.col("xi") < F.col("xj")))
+                 .select("k", "xi", "xj",
+                         ((F.col("vj") - F.col("vi"))
+                          / (F.col("xj") - F.col("xi")).cast("double"))
+                         .alias("_s")))
+        w = Window.partitionBy("k")
+        ranked = pairs.select(
+            "k", "_s",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy("_s", "xi", "xj"))
+            .alias("_r"),
+            F.count(F.lit(1)).over(w).alias("_np"))
+        # exact lower median: the (_np + 1) div 2 -th smallest slope
+        med = ranked.filter(F.col("_r") == F.expr("(_np + 1) div 2"))
+        counts = pts.groupBy("k").agg(F.count(F.lit(1)).alias("n_points"))
+        return (med.join(counts, "k")
+                .select(F.col("k").alias(key), "n_points",
+                        F.col("_np").alias("n_pairs"),
+                        (F.round("_s", 6) + F.lit(0.0))
+                        .alias("theil_slope"))
+                .orderBy(key))
+
+    return _apply

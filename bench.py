@@ -225,6 +225,7 @@ HEADLINE = [
     "ppr_related",
     "conformal_interval",
     "forecast_eval",
+    "theil_sen",
 ]
 
 

@@ -430,6 +430,9 @@ BUDGET = {
     # ONE key shuffle shared by the EWMA window and its lag columns,
     # then a single-row reduction
     "forecast_eval": 2,
+    # size-guard window + key self-join (shared key hash) + per-key pair
+    # rank + the point-count join
+    "theil_sen": 4,
 }
 
 

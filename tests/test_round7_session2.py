@@ -452,3 +452,33 @@ def test_personalized_pagerank_rejects_absent_seed(spark):
     df = spark.createDataFrame([(1, 2)], "src int, dst int")
     with pytest.raises(ValueError, match="seed"):
         personalized_pagerank(df, 99)
+
+
+def test_theil_sen_median_slope_resists_outlier(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        theil_sen_trend)
+    # clean slope 2 with one wild outlier at the end
+    rows = [(1, x, 2.0 * x) for x in range(1, 7)] + [(1, 7, 1000.0)]
+    df = spark.createDataFrame(rows, "user_id int, event_id int,"
+                                     " value double")
+    r = df.transform(theil_sen_trend()).head()
+    # brute-force median of pairwise slopes in python
+    pts = [(x, v) for _, x, v in rows]
+    slopes = sorted((vj - vi) / (xj - xi)
+                    for i, (xi, vi) in enumerate(pts)
+                    for xj, vj in pts[i + 1:])
+    k = (len(slopes) + 1) // 2
+    assert r.n_points == 7 and r.n_pairs == len(slopes)
+    assert r.theil_slope == pytest.approx(round(slopes[k - 1], 6))
+    assert r.theil_slope == 2.0  # the outlier cannot move the median
+
+
+def test_theil_sen_size_guard_excludes_long_series(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        theil_sen_trend)
+    rows = ([(1, x, float(x)) for x in range(10)]
+            + [(2, x, float(x)) for x in range(3)])
+    df = spark.createDataFrame(rows, "user_id int, event_id int,"
+                                     " value double")
+    out = df.transform(theil_sen_trend(max_points=5)).collect()
+    assert [r.user_id for r in out] == [2]
