@@ -4147,8 +4147,9 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-user value trend (operators/timeseries.py::
     theil_sen_trend): exact lower median of all pairwise slopes — the
-    outlier-immune companion to q_regr_trend's least squares. Key-bounded
-    pair join with a loud size guard, per-key rank median."""
+    outlier-immune companion to q_regr_trend's least squares. One key
+    shuffle, size-guarded collect_list, pairs generated in-row by nested
+    higher-order functions (never shuffled), array_sort median."""
     from akka_stream_contrib_spark.operators.timeseries import (
         theil_sen_trend)
     ev = tables.load(spark, "events", sf_dir)

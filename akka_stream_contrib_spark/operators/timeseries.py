@@ -554,53 +554,81 @@ def theil_sen_trend(key: str = "user_id", seq: str = "event_id",
     slope (`q_regr_trend`'s recipe) chases every outlier. The robust
     companion for trend audits over noisy per-entity series.
 
-    Distributed shape (the association_rules guard pattern): pair fan-out
-    is quadratic in the series length, so keys with more than
-    ``max_points`` observations are EXCLUDED up front by a window count —
-    documented truncation, loud in the signature. The self-join runs on
-    the key (one hash shuffle shared by both sides), and the exact lower
-    median is the ⌊(n_pairs+1)/2⌋-th smallest slope via a per-key rank
-    window over the key's own bounded pair list — never a global sort.
+    Distributed shape (round 8 rewrite): pair fan-out is quadratic in the
+    series length, so keys with more than ``max_points`` observations are
+    EXCLUDED up front by a window count — documented truncation, loud in
+    the signature. The survivors are collapsed to ONE row per key
+    (``sort_array(collect_list(struct(x, v)))``, bounded ≤ max_points
+    structs), and every pairwise slope is generated JVM-side by nested
+    higher-order functions (``transform`` over ``slice``) inside that
+    single row — the quadratic pair set NEVER hits a shuffle, a sort
+    window, or a join-back. The window's hash partitioning on the key is
+    reused by the aggregation, so the whole operator is one data shuffle
+    plus the presentation-order range exchange (the old shape paid a pair
+    self-join, TWO window passes over the fanned-out pairs, and a count
+    join-back: 4.2 s data-bound at sf0.1; this one is pure per-row
+    compute after a single exchange).
 
     Determinism: x and v are exact inputs; each slope is ONE double
-    division; the median element is selected by the (slope, i, j) total
-    order, so every engine picks the identical pair and value.
+    division; ``array_sort`` over struct(_s, xi, xj) is the same
+    (slope, i, j) total order the rank window used, so every engine
+    picks the identical pair and value. Equal-x pairs (0-width span)
+    are filtered before the sort, exactly as the old strict ``xi < xj``
+    join condition excluded them.
 
     Returns one row per key: (key, n_points, n_pairs, theil_slope).
     """
     def _apply(df: DataFrame) -> DataFrame:
+        # Explicit-count repartition on the key: the pair stage is
+        # CPU-heavy but byte-tiny (≤500 structs/key), so AQE's byte-based
+        # partition coalescing would collapse it to one task and
+        # single-thread the quadratic slope generation (measured 5.7 s vs
+        # 1.8 s on 32 cores at sf0.1). A user-specified partition count is
+        # exempt from coalescing; the window and the aggregation both
+        # reuse this hash partitioning, so it is still the only data
+        # shuffle in the plan.
+        n_part = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
         pts = (df.select(F.col(key).alias("k"),
                          F.col(seq).alias("x"),
                          F.col(value).alias("v"))
                .filter(F.col("x").isNotNull() & F.col("v").isNotNull())
+               .repartition(n_part, "k")
                .withColumn("_n", F.count(F.lit(1)).over(
                    Window.partitionBy("k")))
                .filter((F.col("_n") <= max_points) & (F.col("_n") >= 2))
                .drop("_n"))
-        a = pts.select("k", F.col("x").alias("xi"), F.col("v").alias("vi"))
-        b = pts.select(F.col("k").alias("_k"), F.col("x").alias("xj"),
-                       F.col("v").alias("vj"))
-        pairs = (a.join(b, (F.col("k") == F.col("_k"))
-                        & (F.col("xi") < F.col("xj")))
-                 .select("k", "xi", "xj",
-                         ((F.col("vj") - F.col("vi"))
-                          / (F.col("xj") - F.col("xi")).cast("double"))
-                         .alias("_s")))
-        w = Window.partitionBy("k")
-        ranked = pairs.select(
-            "k", "_s",
-            F.row_number().over(
-                Window.partitionBy("k").orderBy("_s", "xi", "xj"))
-            .alias("_r"),
-            F.count(F.lit(1)).over(w).alias("_np"))
-        # exact lower median: the (_np + 1) div 2 -th smallest slope
-        med = ranked.filter(F.col("_r") == F.expr("(_np + 1) div 2"))
-        counts = pts.groupBy("k").agg(F.count(F.lit(1)).alias("n_points"))
-        return (med.join(counts, "k")
+        grp = pts.groupBy("k").agg(
+            F.sort_array(F.collect_list(F.struct("x", "v"))).alias("_pts"),
+            F.count(F.lit(1)).alias("n_points"))
+        # all ordered pairs (i < j) as slope structs, built in-row:
+        # transform index i is 0-based, slice position is 1-based, so the
+        # tail strictly after element i starts at i + 2. Duplicate-x pairs
+        # divide by 0.0 into ±Inf/NaN (IEEE, never an ANSI error) and are
+        # dropped by the xj != xi filter before the sort.
+        pair_expr = (
+            "filter(flatten(transform(_pts, (p, i) -> "
+            "transform(slice(_pts, i + 2, size(_pts) - i - 1), q -> "
+            "struct((q.v - p.v) / cast(q.x - p.x as double) as _s, "
+            "p.x as xi, q.x as xj)))), r -> r.xj != r.xi)")
+        slopes = grp.select(
+            "k", "n_points",
+            F.array_sort(F.expr(pair_expr)).alias("_sl"))
+        # exact lower median: the (n_pairs + 1) div 2 -th smallest slope.
+        # The n_pairs >= 1 filter comes AFTER this projection so predicate
+        # pushdown rewrites it to size(_sl) over the materialized column —
+        # filtering before would inline (and re-evaluate) the whole
+        # quadratic HOF expression inside the Filter node. element_at is
+        # `when`-guarded so the empty-slopes row (all-equal x) never feeds
+        # ANSI element_at an index of 0 before the filter drops it.
+        return (slopes
                 .select(F.col("k").alias(key), "n_points",
-                        F.col("_np").alias("n_pairs"),
-                        (F.round("_s", 6) + F.lit(0.0))
+                        F.size("_sl").cast("long").alias("n_pairs"),
+                        (F.round(F.when(F.size("_sl") >= 1, F.expr(
+                            "element_at(_sl, cast((size(_sl) + 1) div 2"
+                            " as int))._s")), 6) + F.lit(0.0))
                         .alias("theil_slope"))
+                .filter(F.col("n_pairs") >= 1)
                 .orderBy(key))
 
     return _apply

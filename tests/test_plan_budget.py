@@ -430,9 +430,10 @@ BUDGET = {
     # ONE key shuffle shared by the EWMA window and its lag columns,
     # then a single-row reduction
     "forecast_eval": 2,
-    # size-guard window + key self-join (shared key hash) + per-key pair
-    # rank + the point-count join
-    "theil_sen": 4,
+    # ONE explicit key repartition shared by the size-guard window and the
+    # collect_list aggregation (pairs are generated in-row by HOFs, never
+    # shuffled) + the presentation-order range exchange
+    "theil_sen": 2,
 }
 
 
