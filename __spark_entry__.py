@@ -5805,7 +5805,7 @@ _CONFORMAL_SQL = """
     ), cal AS (
         SELECT _s, _id,
                row_number() OVER (ORDER BY _s, _id) AS _r
-        FROM scored WHERE _c
+        FROM scored WHERE _c AND _s IS NOT NULL
     ), nc AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM cal),
     q AS (
         SELECT n_calib,

@@ -93,7 +93,7 @@ def association_rules(basket_col: str, item_col: str,
 
 
 def item_cf_topk(basket_col: str, item_col: str, k: int = 5,
-                 min_pair_count: int = 2, max_basket_size: int = 100,
+                 min_pair_count: int = 3, max_basket_size: int = 100,
                  ) -> Callable[[DataFrame], DataFrame]:
     """Item-item collaborative filtering: for every item, the top-``k``
     co-consumed neighbors by cosine similarity over the binary

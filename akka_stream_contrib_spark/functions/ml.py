@@ -1273,7 +1273,12 @@ def split_conformal(score, calib, keep_num: int = 9, keep_den: int = 10,
         scored = pipeline_cache(
             df.select(s.alias("_s"), c.alias("_c"),
                       F.col(id_col).alias("_id")))
-        cal = scored.filter(F.col("_c")).select("_s", "_id")
+        # NULL scores are excluded from the calibration rank: Spark's
+        # global_rank sorts NULLS FIRST while DuckDB's ORDER BY sorts them
+        # last, so a NULL entering the rank would shift the k-th element
+        # differently per engine (and a NULL quantile is meaningless).
+        cal = (scored.filter(F.col("_c") & F.col("_s").isNotNull())
+               .select("_s", "_id"))
         ranked = global_rank(cal, ["_s", "_id"], out="_r")
         n_cal = ranked.agg(F.count(F.lit(1)).alias("n_calib"))
         k = F.expr(

@@ -42,7 +42,21 @@ def funnel_stream(events: DataFrame,
     ``t_<step>`` the epoch-micros of the user's earliest such event seen so
     far (NULL until seen). Append mode; state never times out (a funnel
     window, if wanted, is a filter on the milestone spans downstream —
-    state stays #steps scalars per user either way)."""
+    state stays #steps scalars per user either way).
+
+    UTC-session requirement (same contract as ``tables.load``): the
+    pandas timestamps Arrow delivers here are tz-naive, and the
+    ``.value // 1_000`` conversion below reads them AS UTC. That equals
+    ``funnel_milestones``' ``epoch_micros`` only when
+    ``spark.sql.session.timeZone`` is UTC — a non-UTC session would
+    silently shift every milestone and break the documented stream/batch
+    equality, so it is asserted up front."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"funnel_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): tz-naive pandas timestamps are read as UTC, "
+            f"so any other session zone breaks the batch-twin equality")
     steps = list(steps)
     out_schema = StructType(
         [StructField("key", LongType())]

@@ -100,9 +100,9 @@ def test_f1_threshold_sweep_matches_bruteforce(spark):
         tp = sum(1 for y, s in rows if s >= t and y == 1)
         fp = sum(1 for y, s in rows if s >= t and y == 0)
         f1 = round(2 * tp / (tp + fp + pos), 6)
-        if best is None or f1 > best[1] or (f1 == best[1] and t < best[0]):
-            if best is None or f1 > best[1]:
-                best = (t, f1, tp, fp)
+        # ascending iteration keeps the smallest threshold on f1 ties
+        if best is None or f1 > best[1]:
+            best = (t, f1, tp, fp)
     assert r.threshold == best[0]
     assert r.f1 == pytest.approx(best[1])
     assert (r.tp, r.fp) == (best[2], best[3])
