@@ -991,9 +991,13 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from akka_stream_contrib_spark.functions import near_dup_pairs
+    """Exact near-dup pairs via the blocked plan (functions/similarity.py::
+    near_dup_pairs_blocked): sound IVF cell-pair pruning + per-block float64
+    GEMM verify — identical output to the quadratic audit kernel
+    (near_dup_pairs, kept for candidate verification), scale-shaped plan."""
+    from akka_stream_contrib_spark.functions import near_dup_pairs_blocked
     emb = tables.load(spark, "embeddings", sf_dir)
-    return near_dup_pairs(emb, threshold=0.4)
+    return near_dup_pairs_blocked(emb, threshold=0.4)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,10 +2092,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest-quality member (most tokens, doc_id tie-break) as the cluster
     canonical. The full replace-N-near-dups-with-one-doc pass of a corpus
     build, with every stage from this engine."""
-    from akka_stream_contrib_spark.functions import dup_clusters, near_dup_pairs
+    from akka_stream_contrib_spark.functions import (dup_clusters,
+                                                      near_dup_pairs_blocked)
     emb = tables.load(spark, "embeddings", sf_dir)
     docs = tables.load(spark, "documents", sf_dir)
-    clusters = dup_clusters(near_dup_pairs(emb, threshold=0.4), "id_a", "id_b")
+    clusters = dup_clusters(near_dup_pairs_blocked(emb, threshold=0.4),
+                            "id_a", "id_b")
     joined = (clusters.join(docs, clusters.id == docs.doc_id)
               .select("cluster_id", "doc_id",
                       F.size(F.split("text", " ")).alias("n_tok")))
@@ -2260,9 +2266,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs→clusters→canonical step of a real dedup pipeline. The iteration is
     a driver loop over the (tiny) edge set; the oracle is a recursive-CTE
     transitive closure."""
-    from akka_stream_contrib_spark.functions import dup_clusters, near_dup_pairs
+    from akka_stream_contrib_spark.functions import (dup_clusters,
+                                                      near_dup_pairs_blocked)
     emb = tables.load(spark, "embeddings", sf_dir)
-    pairs = near_dup_pairs(emb, threshold=0.4)
+    pairs = near_dup_pairs_blocked(emb, threshold=0.4)
     return (dup_clusters(pairs, "id_a", "id_b")
             .select(F.col("id").alias("vec_id"), "cluster_id"))
 
@@ -3895,9 +3902,10 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the banded generators (minhash_lsh_dedup / ann_lsh_topk)
     instead. The histogram/totals stages themselves are
     cluster-cardinality aggregations at any scale."""
-    from akka_stream_contrib_spark.functions import dup_clusters, near_dup_pairs
+    from akka_stream_contrib_spark.functions import (dup_clusters,
+                                                      near_dup_pairs_blocked)
     emb = tables.load(spark, "embeddings", sf_dir)
-    pairs = near_dup_pairs(emb, threshold=0.4)
+    pairs = near_dup_pairs_blocked(emb, threshold=0.4)
     clusters = dup_clusters(pairs, "id_a", "id_b")
     sizes = (clusters.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).alias("cluster_size")))

@@ -76,6 +76,129 @@ def near_dup_pairs(df: DataFrame, threshold: float,
     )
 
 
+def near_dup_pairs_blocked(df: DataFrame, threshold: float, nlist: int = 16,
+                           iters: int = 5, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """EXACT cosine-threshold pair join (same output as
+    :func:`near_dup_pairs`) with a sound cell-level prune and blocked-GEMM
+    verification — the scale-shaped default for the near-dup family.
+
+    Why not LSH here: a probabilistic prefilter is only exact when the data
+    has a margin around the threshold, and the fixtures deliberately have
+    NONE (pairs at cos 0.40001 vs rejects at 0.39989, measured round 8) —
+    any banding scheme either misses qualifying pairs or degenerates to
+    all-pairs. This plan keeps exactness unconditionally and prunes with a
+    bound that is sound by the spherical triangle inequality:
+
+    1. deterministic IVF cell assignment (``_train_centroids`` sample
+       k-means, one Arrow map pass — no shuffle);
+    2. per-cell angular radius ``r_c = max angle(v, centroid_c)`` (one tiny
+       nlist-row aggregation);
+    3. a cell-pair (i, j) can contain a qualifying pair only if
+       ``angle(c_i, c_j) − r_i − r_j ≤ arccos(threshold)`` — every other
+       cell pair is skipped without touching its vectors. Clustered
+       corpora (the 100 TB case) prune most of the nlist² grid; on
+       uniform noise nothing prunes and the plan honestly degrades to
+       a BLOCKED exact join;
+    4. surviving cell pairs verify with one float64 GEMM per pair
+       (cogrouped ``applyInPandas``) — vectorized Arrow batches instead of
+       the interpreted per-pair HOF dot of the naive theta-join, and
+       embarrassingly parallel over the (c_a, c_b) key.
+
+    The O(N²/nlist²)-per-block worst case is inherent to EXACT zero-margin
+    threshold joins, not to this plan; with cluster structure the bound
+    turns it into O(sum of surviving block products).
+    """
+    spark = df.sparkSession
+    cents = _train_centroids(df, nlist, iters, id_col, vec_col)
+    if cents is None:  # empty corpus: empty result in the output schema
+        return (df.select(F.col(id_col).alias("id_a"),
+                          F.col(id_col).alias("id_b"))
+                .withColumn("cos_sim", F.lit(0.0)).limit(0))
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs = b_cents.value
+        for pdfb in batches:
+            if len(pdfb) == 0:
+                continue
+            v = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            d2 = _sq_dists(v, cs)
+            cell = np.argmin(d2, axis=1)
+            # both sides unit-norm, so cos(v, home) = 1 - d²/2
+            ccos = 1.0 - d2[np.arange(len(v)), cell] / 2.0
+            yield pd.DataFrame({id_col: pdfb[id_col], "nvec": list(v),
+                                "cell": cell.astype("int32"),
+                                "_ccos": ccos})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    from akka_stream_contrib_spark.util import (drop_stale_caches,
+                                                pipeline_cache)
+    drop_stale_caches()
+    assigned = pipeline_cache(df.select(id_col, vec_col).mapInPandas(
+        _assign,
+        schema=f"{id_col} {id_type}, nvec array<double>, cell int, "
+               "_ccos double"))
+
+    # nlist-row driver summary: per-cell worst-case angular radius
+    import math
+    rad_rows = (assigned.groupBy("cell")
+                .agg(F.min("_ccos").alias("_mc")).collect())
+    radius = {int(r["cell"]): math.acos(max(-1.0, min(1.0, float(r["_mc"]))))
+              for r in rad_rows}
+    theta_t = math.acos(max(-1.0, min(1.0, float(threshold))))
+    cand = []
+    cells = sorted(radius)
+    for pos, ci in enumerate(cells):
+        for cj in cells[pos:]:
+            th = math.acos(max(-1.0, min(
+                1.0, float(np.dot(cents[ci], cents[cj])))))
+            if th - radius[ci] - radius[cj] <= theta_t:
+                cand.append((ci, cj))
+    cand_df = spark.createDataFrame(cand, "c_a int, c_b int")
+    # the right side gets renamed key columns: reusing cand_df verbatim on
+    # both cogroup sides trips Spark's ambiguous-self-join analyzer check
+    cand_r = cand_df.select(F.col("c_a").alias("_ca"),
+                            F.col("c_b").alias("_cb"))
+    left = (assigned.join(F.broadcast(cand_df),
+                          F.col("cell") == F.col("c_a"))
+            .select("c_a", "c_b", id_col, "nvec"))
+    right = (assigned.join(F.broadcast(cand_r),
+                           F.col("cell") == F.col("_cb"))
+             .select("_ca", "_cb", F.col(id_col).alias("_idb"),
+                     F.col("nvec").alias("_nvb")))
+
+    thr = float(threshold)
+
+    def _pairs(key, apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(apdf) == 0 or len(bpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "_cos": []})
+        va = np.stack(apdf["nvec"].to_numpy())
+        vb = np.stack(bpdf["_nvb"].to_numpy())
+        ia = apdf[id_col].to_numpy()
+        ib = bpdf["_idb"].to_numpy()
+        sims = va @ vb.T
+        # conservative raw-value prefilter; the exact >= on the ROUNDED
+        # value (the naive plan's contract) happens JVM-side below
+        ii, jj = np.nonzero(sims >= thr - 1e-9)
+        id1, id2, s = ia[ii], ib[jj], sims[ii, jj]
+        if key[0] == key[1]:  # same cell: strict upper triangle
+            keep = id1 < id2
+            id1, id2, s = id1[keep], id2[keep], s[keep]
+        else:  # disjoint cells: every pair once, canonical id order
+            id1, id2 = np.minimum(id1, id2), np.maximum(id1, id2)
+        return pd.DataFrame({"id_a": id1, "id_b": id2, "_cos": s})
+
+    verified = (left.groupBy("c_a", "c_b")
+                .cogroup(right.groupBy("_ca", "_cb"))
+                .applyInPandas(_pairs,
+                               schema=f"id_a {id_type}, id_b {id_type}, "
+                                      "_cos double"))
+    return (verified
+            .select("id_a", "id_b", F.round("_cos", 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
 
 def _sq_dists(v: np.ndarray, cs: np.ndarray) -> np.ndarray:
     """(n, d) × (m, d) → (n, m) squared Euclidean distances via the GEMM

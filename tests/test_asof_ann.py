@@ -156,3 +156,41 @@ def test_as_of_join_forward_and_tolerance(spark):
     # row 1: latest-before is 5 min old (within 600 s); row 2: latest-before
     # is 2.5 h old -> nulled by tolerance
     assert tol == {1: 50.0, 2: None}
+
+
+def test_near_dup_blocked_equals_quadratic_kernel(spark):
+    # fixture slice with zero threshold margin — the case that rules out
+    # probabilistic prefilters; the blocked plan must be EXACTLY equal
+    from akka_stream_contrib_spark.functions import (near_dup_pairs,
+                                                     near_dup_pairs_blocked)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = sorted(map(tuple, near_dup_pairs_blocked(emb, 0.4).collect()))
+    want = sorted(map(tuple, near_dup_pairs(emb, 0.4).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_near_dup_blocked_prunes_separated_clusters(spark):
+    # two tight antipodal clusters: the cell-pair angular bound must prove
+    # no cross-cluster pair can reach the threshold, so every qualifying
+    # pair is within-cluster — and the output equals brute force
+    import numpy as np
+    from akka_stream_contrib_spark.functions import (near_dup_pairs,
+                                                     near_dup_pairs_blocked)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [-1.0, 0.0, 0.0, 0.0]
+        jit = [((i * 37 + d) % 7 - 3) / 100.0 for d in range(4)]
+        rows.append((i, [float(b + j) for b, j in zip(base, jit)]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = sorted(map(tuple, near_dup_pairs_blocked(
+        df, 0.9, nlist=4).collect()))
+    want = sorted(map(tuple, near_dup_pairs(df, 0.9).collect()))
+    assert got == want and len(got) > 0
+    # no qualifying pair crosses the cluster parity boundary
+    assert all(a % 2 == b % 2 for a, b, _ in got)
+
+
+def test_near_dup_blocked_empty_input(spark):
+    from akka_stream_contrib_spark.functions import near_dup_pairs_blocked
+    df = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    assert near_dup_pairs_blocked(df, 0.4).count() == 0

@@ -57,7 +57,11 @@ BUDGET = {
     "simhash": 1, "ann_cosine_topk": 0, "ann_lsh_topk": 1, "ivf_ann_topk": 0,
     # jaccard: posting-list agg + pair agg + cache-fed size agg + 2 size
     # joins of tiny aggregates (sub-broadcast at runtime; counted in-plan)
-    "ngram_jaccard_dedup": 5, "embedding_near_dup": 0, "multimodal_meta": 0,
+    "ngram_jaccard_dedup": 5,
+    # blocked exact near-dup: the two cogroup sides each hash on the
+    # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
+    # broadcast nested-loop join — no shuffle, no scale either)
+    "embedding_near_dup": 2, "multimodal_meta": 0,
     "stratified_sample": 0, "array_hof": 0, "regexp_funcs": 0,
     "moving_revenue_7d": 1, "grouping_sets_revenue": 1, "funnel_conversion": 2,
     "user_journey": 1, "chunk_documents": 0, "pack_sequences": 1,
