@@ -4460,55 +4460,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **{k: v for k, v in base.items() if k not in set(front)}}
 
 
-#: the ~50-query driver-evidence window (see queries() comment). Round-7
-#: grouping: (1) the 11 round-6 evaluation/graph queries that have NEVER
-#: appeared in a driver CORRECTNESS window (r6 cumulative: 222 of 233
-#: seen) — front-loaded so this round closes the registry; (2) the 12
-#: round-7 additions (batch 1: JSD, conditional entropy, bootstrap CI,
-#: Gini, fertility, AP@k, MMR; batch 2: perplexity split, RFM,
-#: assortativity, dedup audit, keyed sketch-PSI probe — all
-#: oracle-backed, local-gate green at sf0.001/0.01/0.1); (3) the
-#: formerly no-oracle rows now oracle-backed:
-#: the HLL pair flipped to contract oracles (exact counts + est_ok
-#: pinned TRUE) this round, the IVF pair flipped to value-hash oracles
-#: late in r6 and was never driver-seen with them; (4) queries whose
-#: oracle or implementation changed this round: the try_divide guard
-#: mirrors (classification_report, auc_roc), the CAST('…' AS DOUBLE)
-#: literal hardening (ewma_smooth, motif_search, quantized_ann), the
-#: one-job-per-iteration pagerank, the star-schema grouping-sets
-#: pre-join, and the global_running_agg consolidation's callers
-#: (accumulate, token_throttle, pareto_customers, token_budget_fill;
-#: ks_statistic/kaplan_meier/auc_roc already above); (5) logreg_quality
-#: re-evidence (r6's selectExpr refactor, queued from last round);
-#: (6) re-evidence picks: the strict-weak-set heavies and staples whose
-#: last driver check predates round 4.
+#: the ~50-query driver-evidence window (see queries() comment). The
+#: registry closed at 260/260 in round 7, so the window's job is now
+#: FRESHNESS (verdict r7 #4). Round-8 grouping: (1) the 6 queries whose
+#: implementation changed this round — theil_sen (in-row HOF pair
+#: median, one key shuffle), the near-dup family re-pointed at the
+#: blocked exact kernel (embedding_near_dup, semantic_dedup,
+#: dup_clusters), the conformal NULL-guard mirror (conformal_interval),
+#: and the item-CF default alignment (item_cf_recs); (2) the 44 rows
+#: last driver-seen in ROUND 1 — every core operator gate (sample_nth …
+#: unfold_collatz, the staleness list the verdict named) plus the r1
+#: TPC-H canon and SQL staples. 6 + 44 = the full window; the r3 cohort
+#: (36 rows) rotates next round.
 _PRIORITY = [
-    # (1) never-driver-verified — closing the registry at 233/233
-    "ndcg_eval", "welch_ttest", "benford_check", "sliced_eval",
-    "ks_statistic", "chi2_tokens", "local_clustering", "association_rules",
-    "kaplan_meier", "embedding_drift", "k_anonymity",
-    # (2) the 12 round-7 additions (two batches + the sketch-PSI probe)
-    "js_divergence", "conditional_entropy", "bootstrap_ci",
-    "gini_user_activity", "tokenizer_fertility", "average_precision",
-    "mmr_diverse_topk", "perplexity_buckets", "rfm_features",
-    "degree_assortativity", "dup_cluster_sizes", "psi_probe_drift",
-    # (3) no-oracle rows flipped to oracle-backed
-    "approx_distinct_users", "hll_daily_users", "ivf_ann_topk",
-    "ann_ivf_all",
-    # (4) oracle/implementation changed this round
-    "classification_report", "auc_roc", "ewma_smooth", "motif_search",
-    "quantized_ann", "pagerank_users", "grouping_sets_revenue",
-    "accumulate",
-    # (5) the session-2 round-7 additions (agreement/ranking-eval/recsys/
-    # graph family) — never driver-verified
-    "cohen_kappa", "wilson_rank", "f1_threshold_sweep", "mrr_eval",
-    "item_cf_recs", "hits_scores", "k_core", "bleu_eval",
-    "lpa_communities", "bfs_hops", "active_users", "ppr_related",
-    "conformal_interval", "forecast_eval", "theil_sen",
-    # (6) re-evidence: the round-6 queue is fully ceded to first-evidence
-    # for the session-2 additions above
+    # (1) round-8 implementation/oracle changes
+    "theil_sen", "embedding_near_dup", "semantic_dedup", "dup_clusters",
+    "conformal_interval", "item_cf_recs",
+    # (2) the complete round-1 cohort: core operator gates first
+    "sample_nth", "sample_step", "partition_with", "pass_through",
+    "delay_flow", "accumulate_keyed", "last_element", "time_window",
+    "sliding_window", "session_window", "rate_limiter", "pulse",
+    "keep_alive", "merge_by_index", "retry", "unfold_collatz",
+    "feedback_fibonacci",
+    # then the r1 TPC-H canon
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q4_order_priority", "q10_returned_items",
+    "q14_promo_revenue", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q22_idle_balance", "q7_nation_volume",
+    "q8_market_share", "q15_top_supplier", "q21_waiting_supplier",
+    "q13_order_distribution",
+    # and the r1 SQL staples
+    "customers_retained", "customers_churned", "cube_revenue",
+    "range_join_follows", "string_funcs", "date_parts", "window_breadth",
+    "quantiles", "pivot_revenue", "posexplode_tokens", "resample_ffill",
     # exactly 50 = the driver window. Everything else is cumulative
-    # driver-green and covered by the local replica each session.
+    # driver-green (nothing older than round 3) and covered by the local
+    # replica each session.
 ]
 
 

@@ -228,6 +228,41 @@ HEADLINE = [
     "theil_sen",
 ]
 
+# Stable cross-round regression set (verdict r7 #5): 25 queries benched in
+# EVERY round regardless of how the correctness window rotates — the TPC-H
+# canon, the dedup/ANN heavies, and the named weak-set members — so
+# round-over-round plan regressions are visible instead of the r6→r7
+# 3-common-query blind spot. The stdout line carries the totals + the
+# previous round's total; BENCH_DETAIL.json carries per-query numbers.
+STABLE_SET = [
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q9_product_profit",
+    "q11_important_stock", "q18_large_orders",
+    "dedup_exact", "minhash_lsh_dedup", "ngram_jaccard_dedup",
+    "duplicate_spans", "novelty_score", "dsir_select", "phash_near_dup",
+    "ann_cosine_topk", "ann_ivf_all", "pq_ann", "quantized_ann", "knn_join",
+    "theil_sen", "hard_negatives", "bigram_logprob", "audio_segments",
+    "vwap_resample",
+]
+assert set(STABLE_SET) <= set(HEADLINE), "stable set must be benched"
+
+# previous round's sf0.1 cold timings for STABLE_SET (BENCH_DETAIL.json of
+# the round named below) — update BOTH fields when a new round's bench runs
+STABLE_PREV_ROUND = 7
+STABLE_PREV = {
+    "q1_pricing_summary": 1.728, "q2_min_cost_supplier": 1.818,
+    "q3_shipping_priority": 1.036, "q5_local_supplier_volume": 0.924,
+    "q6_forecast_revenue": 0.284, "q9_product_profit": 1.128,
+    "q11_important_stock": 1.832, "q18_large_orders": 1.186,
+    "dedup_exact": 0.177, "minhash_lsh_dedup": 1.813,
+    "ngram_jaccard_dedup": 2.106, "duplicate_spans": 1.363,
+    "novelty_score": 2.788, "dsir_select": 2.456, "phash_near_dup": 2.444,
+    "ann_cosine_topk": 0.388, "ann_ivf_all": 0.969, "pq_ann": 0.853,
+    "quantized_ann": 0.3, "knn_join": 0.382, "theil_sen": 5.296,
+    "hard_negatives": 2.951, "bigram_logprob": 1.447,
+    "audio_segments": 1.89, "vwap_resample": 0.991,
+}
+
 
 def main() -> None:
     spark = get_spark("bench")
@@ -413,6 +448,11 @@ def main() -> None:
             "baseline_duckdb_pipelined_sec": base_pipelined,
             "floor_probe_failed": floor_missing,
             "split_probe_failed": split_missing,
+            "stable_set": {
+                "names": STABLE_SET,
+                "prev_round": STABLE_PREV_ROUND,
+                "prev_queries": STABLE_PREV,
+            },
             "decomposition_note": (
                 "floor = same plan at the compile-warmed tiny SF (job "
                 "setup/scheduling/AQE at 10x less data, a per-query fixed "
@@ -438,6 +478,16 @@ def main() -> None:
                 "8 threads, one cursor each) so the pipelined comparison "
                 "is apples-to-apples."),
         }, f, indent=1)
+    stable_now = {q: timings[q] for q in STABLE_SET if q in timings}
+    stable_block = {
+        "n": len(stable_now),
+        "total_sec": round(sum(stable_now.values()), 3),
+        "warm_total_sec": round(sum(
+            warms.get(q, stable_now[q]) for q in stable_now), 3),
+        "prev_round": STABLE_PREV_ROUND,
+        "prev_total_sec": round(sum(
+            STABLE_PREV[q] for q in stable_now if q in STABLE_PREV), 3),
+    }
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "headline_queries_total_wall_sec",
@@ -453,6 +503,7 @@ def main() -> None:
         "spark_split_input_oracle_subset_sec": split_subset,
         "spark_pipelined_oracle_subset_sec": pipelined_wall,
         "baseline_duckdb_pipelined_sec": base_pipelined,
+        "stable_set": stable_block,
         "detail": "BENCH_DETAIL.json",
     }, separators=(",", ":")), flush=True)
     spark.stop()
