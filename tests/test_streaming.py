@@ -1011,3 +1011,162 @@ def test_funnel_stream_restart_replay_is_idempotent(spark, tmp_path):
     # regress it; click lands; purchase still NULL
     assert final.key == 7
     assert final.t_view < final.t_click and final.t_purchase is None
+
+
+def test_funnel_stream_restart_under_load_and_idle(spark, tmp_path):
+    """The r6 sinks' restart-under-load case for the funnel twin: TWO files
+    pending at restart forced into separate micro-batches, a late event in
+    the second pending batch, then an idle restart. The min-fold state must
+    survive every boundary, equal the batch recompute, and the idle run
+    must append nothing. (No watermark leg: funnel state is NoTimeout by
+    contract — late data is the point of the min-monoid.)"""
+    import os
+    from datetime import datetime
+
+    from akka_stream_contrib_spark.streaming import (funnel_milestones,
+                                                     funnel_stream)
+
+    feed = tmp_path / "funnel_rl_src"
+    feed.mkdir()
+    out_dir, ck = str(tmp_path / "funnel_rl_out"), str(tmp_path / "funnel_rl_ck")
+    rows_b1 = [
+        {"user_id": 1, "event_type": "view", "ts": "2026-01-01 10:00:00"},
+        {"user_id": 2, "event_type": "view", "ts": "2026-01-01 10:00:20"},
+    ]
+    _feed_json(feed, "b1.json", rows_b1)
+
+    def run():
+        src = (spark.readStream
+               .schema("user_id long, event_type string, ts timestamp")
+               .option("maxFilesPerTrigger", 1)
+               .json(str(feed)))
+        q = (funnel_stream(src).writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    # restart with TWO pending files -> two micro-batches in one run;
+    # pinned mtimes fix the admission order; b3 carries a LATE view that
+    # must regress user 2's milestone downward across the batch boundary
+    rows_b2 = [
+        {"user_id": 1, "event_type": "click", "ts": "2026-01-01 10:02:00"},
+        {"user_id": 2, "event_type": "click", "ts": "2026-01-01 10:03:00"},
+    ]
+    rows_b3 = [
+        {"user_id": 1, "event_type": "purchase", "ts": "2026-01-01 10:05:00"},
+        {"user_id": 2, "event_type": "view", "ts": "2026-01-01 09:59:00"},
+    ]
+    _feed_json(feed, "b2.json", rows_b2)
+    _feed_json(feed, "b3.json", rows_b3)
+    now = time.time()
+    os.utime(feed / "b2.json", (now - 10, now - 10))
+    os.utime(feed / "b3.json", (now, now))
+    run()
+    final = (spark.read.parquet(out_dir).groupBy("key")
+             .agg(*[F.min(c).alias(c)
+                    for c in ("t_view", "t_click", "t_purchase")]))
+    allrows = rows_b1 + rows_b2 + rows_b3
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["event_type"], datetime.fromisoformat(r["ts"]))
+         for r in allrows],
+        "user_id long, event_type string, ts timestamp")
+    batch = funnel_milestones(bdf)
+    assert (sorted(final.collect(), key=lambda r: r.key)
+            == sorted(batch.collect(), key=lambda r: r.key))
+    # idle restart: no pending files -> nothing appended
+    n_before = spark.read.parquet(out_dir).count()
+    run()
+    assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_histogram_stream_restart_replay_and_under_load(spark, tmp_path):
+    """Restart trio for the sketch-PSI twin: (a) restart from checkpoint
+    with TWO pending files processed as separate micro-batches — the
+    count-monoid state must accumulate across every boundary and equal the
+    batch histogram; (b) an idle restart re-emits the IDENTICAL snapshot
+    (replay changes nothing); (c) psi_probe over the post-restart snapshot
+    still equals the batch psi_drift. (No watermark leg: the sketch is
+    bounded at keys x n_bins by construction and takes no watermark.)"""
+    import os
+
+    from akka_stream_contrib_spark.functions.ml import psi_drift
+    from akka_stream_contrib_spark.functions.sketches import (histogram_build,
+                                                              psi_probe)
+    from akka_stream_contrib_spark.streaming.rollup import histogram_stream
+
+    lo, hi, n_bins = 0.0, 100.0, 10
+    live_vals = [float(v % 60) for v in range(1, 100, 2)]
+    feed = tmp_path / "drift_rl_src"
+    feed.mkdir()
+    ck = str(tmp_path / "drift_rl_ck")
+
+    def run(view):
+        src = (spark.readStream
+               .schema("event_type string, value double")
+               .option("maxFilesPerTrigger", 1)
+               .json(str(feed)))
+        sketch = histogram_stream(src, lo=lo, hi=hi, n_bins=n_bins)
+        q = (sketch.writeStream.format("memory").queryName(view)
+             .outputMode("complete")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    _feed_json(feed, "b1.json",
+               [{"event_type": "a", "value": v} for v in live_vals[:20]])
+    run("drift_rl_1")
+    # two pending files at restart -> two micro-batches in one run
+    _feed_json(feed, "b2.json",
+               [{"event_type": "a", "value": v} for v in live_vals[20:35]])
+    _feed_json(feed, "b3.json",
+               [{"event_type": "a", "value": v} for v in live_vals[35:]])
+    now = time.time()
+    os.utime(feed / "b2.json", (now - 10, now - 10))
+    os.utime(feed / "b3.json", (now, now))
+    run("drift_rl_2")
+    streamed = spark.sql("select key, bin, cnt from drift_rl_2")
+    live_df = spark.createDataFrame(
+        [("a", v) for v in live_vals], "event_type string, value double")
+    want_hist = {(r.key, r.bin): r.cnt
+                 for r in histogram_build(live_df, key="event_type",
+                                          value="value", lo=lo, hi=hi,
+                                          n_bins=n_bins).collect()}
+    got_hist = {(r.key, r.bin): r.cnt for r in streamed.collect()}
+    assert got_hist == want_hist
+    # idle restart: availableNow with nothing pending fires NO batch (the
+    # complete-mode memory table stays empty) and must not disturb state —
+    # proven by the next run with one more file, whose snapshot is the
+    # full accumulated histogram including that file
+    run("drift_rl_3")
+    assert spark.sql("select * from drift_rl_3").count() == 0
+    extra = [99.0, 99.0]
+    _feed_json(feed, "b4.json",
+               [{"event_type": "a", "value": v} for v in extra])
+    run("drift_rl_4")
+    live_df2 = spark.createDataFrame(
+        [("a", v) for v in live_vals + extra],
+        "event_type string, value double")
+    want2 = {(r.key, r.bin): r.cnt
+             for r in histogram_build(live_df2, key="event_type",
+                                      value="value", lo=lo, hi=hi,
+                                      n_bins=n_bins).collect()}
+    got2 = {(r.key, r.bin): r.cnt
+            for r in spark.sql(
+                "select key, bin, cnt from drift_rl_4").collect()}
+    assert got2 == want2
+    # the post-restart sketch still scores the exact batch PSI
+    ref_vals = [float(v) for v in range(0, 100, 2)]
+    ref_df = spark.createDataFrame(
+        [("a", v) for v in ref_vals], "event_type string, value double")
+    ref_sketch = histogram_build(ref_df, key="event_type", value="value",
+                                 lo=lo, hi=hi, n_bins=n_bins)
+    got_psi = {r.psi for r in psi_probe(streamed, ref_sketch).collect()}.pop()
+    old = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    new = spark.createDataFrame([(v,) for v in live_vals], "value double")
+    want_psi = {r.psi for r in psi_drift(old, new, "value", n_buckets=n_bins,
+                                         lo=lo, hi=hi).collect()}.pop()
+    assert got_psi == want_psi
