@@ -990,6 +990,16 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n=4, threshold=0.2, max_doc_freq=250)
 
 
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment (functions/dedup.py::ngram_containment):
+    the asymmetric near-dup detector — |A∩B| / |A| catches a small document
+    embedded in a big one where symmetric Jaccard reads ~0. Same df-pruned
+    posting-list plan as ngram_jaccard_dedup (Broder 1997 containment)."""
+    from akka_stream_contrib_spark.functions import ngram_containment
+    docs = tables.load(spark, "documents", sf_dir)
+    return ngram_containment(docs, n=4, threshold=0.3, max_doc_freq=250)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs via the blocked plan (functions/similarity.py::
     near_dup_pairs_blocked): sound IVF cell-pair pruning + per-block float64
@@ -4262,6 +4272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "doc_containment": q_doc_containment,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
         "stratified_sample": q_stratified_sample,
@@ -4473,7 +4484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: TPC-H canon and SQL staples. 6 + 44 = the full window; the r3 cohort
 #: (36 rows) rotates next round.
 _PRIORITY = [
-    # (1) round-8 implementation/oracle changes
+    # (1) round-8 additions and implementation/oracle changes
+    "doc_containment",
     "theil_sen", "embedding_near_dup", "semantic_dedup", "dup_clusters",
     "conformal_interval", "item_cf_recs",
     # (2) the complete round-1 cohort: core operator gates first
@@ -4491,11 +4503,13 @@ _PRIORITY = [
     "q13_order_distribution",
     # and the r1 SQL staples
     "customers_retained", "customers_churned", "cube_revenue",
-    "range_join_follows", "string_funcs", "date_parts", "window_breadth",
+    "range_join_follows", "string_funcs", "window_breadth",
     "quantiles", "pivot_revenue", "posexplode_tokens", "resample_ffill",
-    # exactly 50 = the driver window. Everything else is cumulative
-    # driver-green (nothing older than round 3) and covered by the local
-    # replica each session.
+    # exactly 50 = the driver window (date_parts, a zero-shuffle map-side
+    # staple, cedes its slot to the doc_containment first-evidence and
+    # rotates with the r3 cohort next round). Everything else is
+    # cumulative driver-green and covered by the local replica each
+    # session.
 ]
 
 
@@ -7415,6 +7429,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(_shared / (sa.n_grams + sb.n_grams - _shared), 6) >= 0.2
+        """,
+        "doc_containment": """
+            WITH g AS (
+                SELECT DISTINCT doc_id, substr(lc, i, 4) AS ngram
+                FROM (SELECT doc_id, lower(text) AS lc,
+                             unnest(range(1, length(text) - 2)) AS i
+                      FROM documents WHERE length(text) >= 4)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            rare AS (
+                SELECT doc_id, ngram FROM (
+                    SELECT doc_id, ngram, count(*) OVER (PARTITION BY ngram) AS _df FROM g)
+                WHERE _df <= 250
+            ),
+            shared AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS _shared
+                FROM rare a JOIN rare b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            scored AS (
+                SELECT doc_a, doc_b,
+                       round(_shared / sa.n_grams, 6) AS cont_a_in_b,
+                       round(_shared / sb.n_grams, 6) AS cont_b_in_a
+                FROM shared
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+            )
+            SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a,
+                   greatest(cont_a_in_b, cont_b_in_a) AS containment,
+                   CASE WHEN cont_a_in_b >= cont_b_in_a THEN 'a_in_b'
+                        ELSE 'b_in_a' END AS direction
+            FROM scored
+            WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.3
         """,
         "props_variant": """
             -- TRY_CAST of the unquoted string: a plain CAST(json_extract(..)

@@ -444,6 +444,72 @@ def ngram_jaccard_dedup(
     )
 
 
+def ngram_containment(
+    df: DataFrame,
+    n: int = 4,
+    threshold: float = 0.6,
+    max_doc_freq: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directed character-n-gram containment: C(A→B) = |A∩B| / |A| — the
+    asymmetric companion to :func:`ngram_jaccard_dedup`. Containment is
+    what catches a SMALL document embedded in a BIG one (quote inclusion,
+    boilerplate wrapping, partial copies): a 100-gram doc fully inside a
+    10,000-gram doc has Jaccard ≈ 0.01 (invisible to the symmetric
+    detector) but containment ≈ 1.0 (Broder 1997's resemblance vs
+    containment distinction, "On the resemblance and containment of
+    documents").
+
+    Same scale machinery as the Jaccard detector — distinct-gram explode,
+    document-frequency pruning (a broadcast anti-join of the Zipf head),
+    posting-list pair fan-out bounded by the df cap, one aggregation per
+    pair — and the same conservative convention: the shared count excludes
+    df-pruned grams while the denominators are FULL set sizes, so the
+    score is an under-estimate.
+
+    Returns one row per unordered candidate pair (doc_a < doc_b):
+    (doc_a, doc_b, cont_a_in_b, cont_b_in_a, containment, direction) with
+    ``containment`` the max of the two directions (filtered ≥ threshold)
+    and ``direction`` naming the contained side ('a_in_b' on ties — the
+    deterministic pick).
+    """
+    _drop_stale_caches()
+    grams = char_ngrams(df, n=n, id_col=id_col, text_col=text_col).persist()
+    _LAST_PERSISTED.append(grams)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    common = (
+        grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq).select("ngram")
+    )
+    rare = grams.join(F.broadcast(common), "ngram", "left_anti")
+    pair_expr = pair_fanout_expr("doc_a", "doc_b")
+    shared = (
+        rare.groupBy("ngram").agg(F.array_sort(F.collect_set("doc_id")).alias("_l"))
+        .filter(F.size("_l") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .groupBy(F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("_ida"), F.col("n_grams").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("_idb"), F.col("n_grams").alias("_nb"))
+    c_ab = F.round(F.col("_shared") / F.col("_na"), 6)
+    c_ba = F.round(F.col("_shared") / F.col("_nb"), 6)
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("_ida"))
+        .join(sb, F.col("doc_b") == F.col("_idb"))
+        .select(
+            "doc_a", "doc_b",
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+            F.greatest(c_ab, c_ba).alias("containment"),
+            F.when(c_ab >= c_ba, F.lit("a_in_b")).otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash(id_col: str = "doc_id", text_col: str = "text", k: int = 3,
             bits: int = 16) -> Callable[[DataFrame], DataFrame]:
     """Per-document SimHash: for each bit b, sum ±1 votes of bit b of each

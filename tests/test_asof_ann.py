@@ -194,3 +194,22 @@ def test_near_dup_blocked_empty_input(spark):
     from akka_stream_contrib_spark.functions import near_dup_pairs_blocked
     df = spark.createDataFrame([], "vec_id int, embedding array<float>")
     assert near_dup_pairs_blocked(df, 0.4).count() == 0
+
+
+def test_ngram_containment_detects_embedded_doc(spark):
+    # doc 2 is a verbatim substring of doc 1: containment(2 in 1) = 1.0
+    # while Jaccard is small — the asymmetric detector's reason to exist
+    from akka_stream_contrib_spark.functions import (ngram_containment,
+                                                     ngram_jaccard_dedup)
+    big = "the quick brown fox jumps over the lazy dog " * 8
+    small = "quick brown fox jumps"
+    other = "completely unrelated text about spark plans and shuffles"
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id int, text string")
+    rows = ngram_containment(df, n=4, threshold=0.9,
+                             max_doc_freq=100).collect()
+    assert [(r.doc_a, r.doc_b, r.direction) for r in rows] == [(1, 2, "b_in_a")]
+    assert rows[0].cont_b_in_a == 1.0 and rows[0].cont_a_in_b < 0.5
+    # the symmetric detector misses it at the same bar
+    jac = ngram_jaccard_dedup(df, n=4, threshold=0.9, max_doc_freq=100)
+    assert jac.count() == 0

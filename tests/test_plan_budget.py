@@ -58,6 +58,8 @@ BUDGET = {
     # jaccard: posting-list agg + pair agg + cache-fed size agg + 2 size
     # joins of tiny aggregates (sub-broadcast at runtime; counted in-plan)
     "ngram_jaccard_dedup": 5,
+    # containment: identical posting-list machinery as the jaccard plan
+    "doc_containment": 5,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
