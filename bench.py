@@ -200,11 +200,13 @@ HEADLINE = [
     "approx_distinct_users",
     "hll_daily_users",
     # round-7 batch 2: CCNet perplexity split, RFM features, degree
-    # assortativity. dup_cluster_sizes is deliberately NOT here: like its
-    # parents dup_clusters/embedding_near_dup/semantic_dedup it rides the
-    # documented quadratic exact-pair audit path (near_dup_pairs), which
-    # the bench excludes at sf0.1 by family policy (the scale path for
-    # near-dup discovery is minhash_lsh_dedup / ann_lsh_topk, benched)
+    # assortativity. The near-dup CLUSTER compositions (dup_clusters /
+    # dup_cluster_sizes / semantic_dedup) stay out — since round 8 they
+    # ride the blocked exact kernel (scale-shaped), but their DuckDB
+    # oracles are recursive-CTE transitive closures that cost 74-83 s
+    # EACH at sf0.1 (measured r8): benching them prices the oracle's
+    # recursion, not the engines. The pair-detection stage itself is
+    # benched below (embedding_near_dup, round-8 blocked-GEMM plan).
     "perplexity_buckets",
     "rfm_features",
     "degree_assortativity",
@@ -226,6 +228,10 @@ HEADLINE = [
     "conformal_interval",
     "forecast_eval",
     "theil_sen",
+    # round-8 additions: the blocked exact near-dup pair join and the
+    # directed-containment dedup detector
+    "embedding_near_dup",
+    "doc_containment",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in
