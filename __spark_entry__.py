@@ -1537,6 +1537,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the user co-activity graph (functions/graph.py::
+    adamic_adar): common neighbors weighted 1/ln(deg) (Adamic & Adar 2003),
+    top-50 predicted links among NON-adjacent pairs. q_triangle_count's
+    edges; degree-capped posting-list fan-out, per-term 9-dp decimal sums."""
+    from akka_stream_contrib_spark.functions.graph import adamic_adar
+    ev = tables.load(spark, "events", sf_dir)
+    w = Window.partitionBy(F.date_trunc("hour", "ts")).orderBy("event_id")
+    edges = (ev.withColumn("src", F.lag("user_id").over(w))
+             .filter(F.col("src").isNotNull()
+                     & (F.col("src") != F.col("user_id")))
+             .select("src", F.col("user_id").alias("dst")))
+    return adamic_adar(edges, top_k=50, max_degree=200)
+
+
 def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-quality family: Flesch reading-ease per document
     (functions/text.py::readability_score) — regexp counts + one arithmetic
@@ -4225,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_promotion_suppliers": q_q20_promotion_suppliers,
         "reservoir_sample": q_reservoir_sample,
         "triangle_count": q_triangle_count,
+        "adamic_adar": q_adamic_adar,
         "readability_scores": q_readability_scores,
         "pmi_collocations": q_pmi_collocations,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -4485,7 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (36 rows) rotates next round.
 _PRIORITY = [
     # (1) round-8 additions and implementation/oracle changes
-    "doc_containment",
+    "doc_containment", "adamic_adar",
     "theil_sen", "embedding_near_dup", "semantic_dedup", "dup_clusters",
     "conformal_interval", "item_cf_recs",
     # (2) the complete round-1 cohort: core operator gates first
@@ -4503,11 +4519,11 @@ _PRIORITY = [
     "q13_order_distribution",
     # and the r1 SQL staples
     "customers_retained", "customers_churned", "cube_revenue",
-    "range_join_follows", "string_funcs", "window_breadth",
+    "range_join_follows", "window_breadth",
     "quantiles", "pivot_revenue", "posexplode_tokens", "resample_ffill",
-    # exactly 50 = the driver window (date_parts, a zero-shuffle map-side
-    # staple, cedes its slot to the doc_containment first-evidence and
-    # rotates with the r3 cohort next round). Everything else is
+    # exactly 50 = the driver window (date_parts and string_funcs, both
+    # zero-shuffle map-side staples, cede their slots to the round-8
+    # first-evidence queries and rotate with the r3 cohort next round). Everything else is
     # cumulative driver-green and covered by the local replica each
     # session.
 ]
@@ -6267,6 +6283,42 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM wedges w
                     WHERE EXISTS (SELECT 1 FROM und
                                   WHERE a = w.w1 AND b = w.w2)) AS n_triangles
+        """,
+        "adamic_adar": """
+            WITH e0 AS (
+                SELECT lag(user_id) OVER (
+                           PARTITION BY date_trunc('hour', ts)
+                           ORDER BY event_id) AS src,
+                       user_id AS dst
+                FROM events),
+            edges AS (SELECT src, dst FROM e0
+                      WHERE src IS NOT NULL AND src <> dst),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM edges),
+            nbrs AS (SELECT a AS v, b AS n FROM und
+                     UNION ALL SELECT b AS v, a AS n FROM und),
+            deg AS (SELECT v, count(*) AS d FROM nbrs GROUP BY v),
+            ctr AS (SELECT v,
+                           CAST(round(1.0 / ln(d), 9) AS DECIMAL(28,9)) AS term
+                    FROM deg WHERE d >= 2 AND d <= 200),
+            pairs AS (
+                SELECT n1.n AS x, n2.n AS y, ctr.term
+                FROM nbrs n1
+                JOIN nbrs n2 ON n1.v = n2.v AND n1.n < n2.n
+                JOIN ctr ON ctr.v = n1.v),
+            agg AS (
+                SELECT x, y, CAST(count(*) AS BIGINT) AS n_common,
+                       sum(term) AS _aa
+                FROM pairs GROUP BY x, y),
+            cand AS (
+                SELECT * FROM agg
+                WHERE NOT EXISTS (SELECT 1 FROM und
+                                  WHERE a = agg.x AND b = agg.y))
+            SELECT x, y, n_common,
+                   round(CAST(_aa AS DOUBLE), 6) + 0.0 AS adamic_adar
+            FROM cand
+            ORDER BY adamic_adar DESC, x, y
+            LIMIT 50
         """,
         "readability_scores": """
             WITH c AS (

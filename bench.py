@@ -232,6 +232,7 @@ HEADLINE = [
     # directed-containment dedup detector
     "embedding_near_dup",
     "doc_containment",
+    "adamic_adar",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

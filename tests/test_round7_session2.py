@@ -482,3 +482,35 @@ def test_theil_sen_size_guard_excludes_long_series(spark):
                                      " value double")
     out = df.transform(theil_sen_trend(max_points=5)).collect()
     assert [r.user_id for r in out] == [2]
+
+
+# ---------------------------------------------------------- adamic-adar ---
+
+def test_adamic_adar_known_small_graph(spark):
+    import math
+
+    from akka_stream_contrib_spark.functions.graph import adamic_adar
+    # path graph 1-2-3-4 plus edge 2-5: non-adjacent pairs through shared
+    # centers: (1,3) via 2 (deg 3), (2,4) via 3 (deg 2), (1,5)/(3,5) via 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5)], "src long, dst long")
+    rows = {(r.x, r.y): (r.n_common, r.adamic_adar)
+            for r in adamic_adar(edges, top_k=10, max_degree=10).collect()}
+    t3 = round(round(1.0 / math.log(3), 9), 6)   # center deg 3
+    t2 = round(round(1.0 / math.log(2), 9), 6)   # center deg 2
+    assert rows == {(1, 3): (1, t3), (1, 5): (1, t3), (3, 5): (1, t3),
+                    (2, 4): (1, t2)}
+
+
+def test_adamic_adar_excludes_adjacent_and_caps_degree(spark):
+    from akka_stream_contrib_spark.functions.graph import adamic_adar
+    # triangle 1-2-3: every pair is adjacent -> no predictions at all
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    assert adamic_adar(tri).count() == 0
+    # star center 0 with 5 leaves: max_degree=4 excludes the hub ->
+    # no candidate pairs survive the cap
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long")
+    assert adamic_adar(star, max_degree=4).count() == 0
+    assert adamic_adar(star, max_degree=5).count() == 10  # C(5,2) leaves

@@ -29,7 +29,7 @@ SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/.scratch/sf1"
 REP = 10
 PASS_THROUGH = ["region", "nation", "customer", "supplier", "part",
-                "orders", "embeddings"]
+                "orders"]
 DEFAULT_QUERIES = [
     "q1_pricing_summary", "q6_forecast_revenue", "quality_score",
     "bm25_search", "auc_roc", "active_users", "dedup_exact",
@@ -69,11 +69,21 @@ def build(spark) -> None:
     scale("events", {"event_id": 10_000_000, "user_id": 100_000})
     scale("documents", {"doc_id": 10_000_000}, text_perturb="text")
     scale("lineitem", {"l_orderkey": 100_000_000})
+    # replicas carry IDENTICAL vectors under offset ids, so cross-replica
+    # near-dup pairs are REAL (cos = 1 twins plus every original pair at
+    # 10x multiplicity): threshold-join OUTPUT grows ~quadratically in
+    # replication by construction — the probe's wall-clock reads compute
+    # growth, its row count reads that inherent output blow-up
+    scale("embeddings", {"vec_id": 10_000})
 
 
 def main() -> None:
     spark = get_spark("scale_probe")
-    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
+    emb = os.path.join(DST, "embeddings.parquet")
+    if os.path.isfile(emb):  # pre-r8 probe trees copied embeddings verbatim
+        os.remove(emb)
+    if (not os.path.exists(os.path.join(DST, "lineitem.parquet"))
+            or not os.path.exists(emb)):
         build(spark)
     queries = sys.argv[1:] or DEFAULT_QUERIES
     qs = entry.queries()
