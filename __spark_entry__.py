@@ -1537,6 +1537,29 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe group-aware split (functions/corpus.py::grouped_split):
+    every event of a user lands in the SAME split via a portable hash of
+    the GROUP key — the defense train_test_split's row hash cannot give
+    against near-duplicate leakage across splits. Zero shuffles."""
+    from akka_stream_contrib_spark.functions import grouped_split
+    ev = tables.load(spark, "events", sf_dir)
+    return (ev.transform(grouped_split("user_id"))
+            .select("event_id", "user_id", "split"))
+
+
+def q_purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal backtest split with an embargo gap (functions/corpus.py::
+    purged_time_split, de Prado 2018 ch. 7): train | dropped embargo |
+    test by fractions of the observed time span — one 1-row min/max
+    broadcast, no data shuffle."""
+    from akka_stream_contrib_spark.functions import purged_time_split
+    ev = tables.load(spark, "events", sf_dir)
+    return (ev.transform(purged_time_split("ts", train_frac=0.7,
+                                           embargo_frac=0.1))
+            .select("event_id", "split"))
+
+
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction over the user co-activity graph (functions/graph.py::
     adamic_adar): common neighbors weighted 1/ln(deg) (Adamic & Adar 2003),
@@ -4241,6 +4264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "triangle_count": q_triangle_count,
         "adamic_adar": q_adamic_adar,
+        "grouped_split": q_grouped_split,
+        "purged_time_split": q_purged_time_split,
         "readability_scores": q_readability_scores,
         "pmi_collocations": q_pmi_collocations,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -4501,7 +4526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (36 rows) rotates next round.
 _PRIORITY = [
     # (1) round-8 additions and implementation/oracle changes
-    "doc_containment", "adamic_adar",
+    "doc_containment", "adamic_adar", "grouped_split",
+    "purged_time_split",
     "theil_sen", "embedding_near_dup", "semantic_dedup", "dup_clusters",
     "conformal_interval", "item_cf_recs",
     # (2) the complete round-1 cohort: core operator gates first
@@ -4520,10 +4546,11 @@ _PRIORITY = [
     # and the r1 SQL staples
     "customers_retained", "customers_churned", "cube_revenue",
     "range_join_follows", "window_breadth",
-    "quantiles", "pivot_revenue", "posexplode_tokens", "resample_ffill",
-    # exactly 50 = the driver window (date_parts and string_funcs, both
-    # zero-shuffle map-side staples, cede their slots to the round-8
-    # first-evidence queries and rotate with the r3 cohort next round). Everything else is
+    "quantiles", "pivot_revenue",
+    # exactly 50 = the driver window (date_parts, string_funcs,
+    # posexplode_tokens and resample_ffill — low-risk r1 staples —
+    # cede their slots to the four round-8 first-evidence queries and
+    # rotate with the r3 cohort next round). Everything else is
     # cumulative driver-green and covered by the local replica each
     # session.
 ]
@@ -6283,6 +6310,33 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM wedges w
                     WHERE EXISTS (SELECT 1 FROM und
                                   WHERE a = w.w1 AND b = w.w2)) AS n_triangles
+        """,
+        "grouped_split": """
+            SELECT event_id, user_id,
+                   CASE WHEN CAST(concat('0x',
+                             substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST(concat('0x',
+                             substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM events
+        """,
+        "purged_time_split": """
+            WITH b AS (
+                SELECT min(epoch_us(ts)) AS _lo, max(epoch_us(ts)) AS _hi
+                FROM events)
+            SELECT event_id,
+                   CASE WHEN epoch_us(ts) <= _lo + CAST(floor(
+                             CAST(_hi - _lo AS DOUBLE)
+                             * CAST('0.7' AS DOUBLE)) AS BIGINT)
+                        THEN 'train'
+                        WHEN epoch_us(ts) <= _lo + CAST(floor(
+                             CAST(_hi - _lo AS DOUBLE)
+                             * CAST('0.7999999999999999' AS DOUBLE)) AS BIGINT)
+                        THEN 'embargo'
+                        ELSE 'test' END AS split
+            FROM events CROSS JOIN b
         """,
         "adamic_adar": """
             WITH e0 AS (

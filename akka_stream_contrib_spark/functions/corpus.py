@@ -247,6 +247,74 @@ def train_test_split(buckets: tuple[int, int] = (80, 90),
     return _apply
 
 
+def grouped_split(group_col: str, buckets: tuple[int, int] = (80, 90),
+                  ) -> Callable[[DataFrame], DataFrame]:
+    """Leakage-safe GROUP-aware train/val/test assignment: every row of a
+    group (user, author, domain, session) lands in the SAME split, because
+    the bucket is a portable hash of the GROUP key, not the row id. The
+    standard defense against near-duplicate leakage across splits — two
+    documents by one author (or two events of one user) straddling
+    train/test lets a model memorize its way to inflated eval scores;
+    :func:`train_test_split` (row-hash) cannot prevent that.
+
+    Same properties as the row-level splitter: pure map-side expression,
+    zero shuffles, stable across reruns/backfills/engines.
+    """
+    lo, hi = buckets
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.functions.text import token_id
+        bucket = F.pmod(token_id(F.col(group_col).cast("string")),
+                        F.lit(100))
+        return df.withColumn("split",
+                             F.when(bucket < lo, "train")
+                             .when(bucket < hi, "val")
+                             .otherwise("test"))
+
+    return _apply
+
+
+def purged_time_split(ts_col: str, train_frac: float = 0.7,
+                      embargo_frac: float = 0.1,
+                      ) -> Callable[[DataFrame], DataFrame]:
+    """Temporal split with an EMBARGO gap for backtesting time-ordered
+    data (the "purged" split of de Prado 2018, *Advances in Financial
+    Machine Learning* ch. 7): train = the first ``train_frac`` of the
+    observed time span, test = everything after ``train_frac +
+    embargo_frac``, and the embargo slice between them is DROPPED from
+    both sides — rows whose labels/feature windows straddle the boundary
+    would otherwise leak future information into training.
+
+    Cut points are fractions of the observed [min(ts), max(ts)] span —
+    one single-row min/max aggregate broadcast back over the scan (the
+    1-row-stats crossJoin convention), so the split is deterministic,
+    data-derived, and adds no data shuffle.
+
+    Emits the input rows plus ``split`` ∈ ('train', 'embargo', 'test').
+    """
+    if not (0 < train_frac and train_frac + embargo_frac < 1):
+        raise ValueError("need 0 < train_frac and "
+                         "train_frac + embargo_frac < 1")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import epoch_micros
+        us = epoch_micros(F.col(ts_col))
+        bounds = df.agg(F.min(us).alias("_lo"), F.max(us).alias("_hi"))
+        t = df.crossJoin(F.broadcast(bounds))
+        span = (F.col("_hi") - F.col("_lo")).cast("double")
+        cut1 = F.col("_lo") + (span * F.lit(float(train_frac))).cast("long")
+        cut2 = F.col("_lo") + (span * F.lit(float(train_frac)
+                                            + float(embargo_frac))
+                               ).cast("long")
+        return (t.withColumn("split",
+                             F.when(us <= cut1, "train")
+                             .when(us <= cut2, "embargo")
+                             .otherwise("test"))
+                .drop("_lo", "_hi"))
+
+    return _apply
+
+
 def mixture_sample(weights: dict[str, float], default: float = 0.0,
                    domain_col: str = "source", id_col: str = "doc_id",
                    ) -> Callable[[DataFrame], DataFrame]:

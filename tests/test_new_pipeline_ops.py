@@ -363,3 +363,45 @@ def test_psi_drift_detects_shift(spark):
     psi_shift = psi_drift(same, shifted).collect()[0].psi
     assert psi_same == 0.0
     assert psi_shift > 0.25   # half the mass moved: clearly 'shifted'
+
+
+# -------------------------------------------------- leakage-safe splits ---
+
+def test_grouped_split_keeps_groups_together(spark):
+    from akka_stream_contrib_spark.functions import grouped_split
+    rows = [(i, i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id int, user_id int")
+    out = df.transform(grouped_split("user_id"))
+    per_group = (out.groupBy("user_id")
+                 .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r.n == 1 for r in per_group)
+    assert {r.split for r in out.select("split").distinct().collect()} <= {
+        "train", "val", "test"}
+
+
+def test_purged_time_split_embargo_separates_train_test(spark):
+    from akka_stream_contrib_spark.functions import purged_time_split
+    import datetime
+    base = datetime.datetime(2026, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id int, ts timestamp") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = df.transform(purged_time_split("ts", train_frac=0.7,
+                                         embargo_frac=0.1))
+    got = {r.event_id: r.split for r in out.collect()}
+    # span = 99 min: train <= floor(99*0.7) = 69, embargo <= 79, test after
+    assert got[0] == "train" and got[69] == "train"
+    assert got[70] == "embargo" and got[79] == "embargo"
+    assert got[80] == "test" and got[99] == "test"
+    # every train row strictly precedes every test row with a full gap
+    import pyspark.sql.functions as SF
+    mx_train = out.filter("split = 'train'").agg(SF.max("ts")).head()[0]
+    mn_test = out.filter("split = 'test'").agg(SF.min("ts")).head()[0]
+    assert (mn_test - mx_train).total_seconds() >= 11 * 60
+
+
+def test_purged_time_split_validates_fractions(spark):
+    from akka_stream_contrib_spark.functions import purged_time_split
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        purged_time_split("ts", train_frac=0.9, embargo_frac=0.2)

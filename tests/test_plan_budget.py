@@ -50,6 +50,9 @@ BUDGET = {
     # phase) exists only to hash-check the estimate's error bound;
     # production reads the 1-exchange sketch estimate alone
     "approx_distinct_users": 2,
+        # leakage-safe splits: group hash is map-side; the purged split pays
+    # only the 1-row min/max stats broadcast
+    "grouped_split": 0, "purged_time_split": 1,
     "semi_join_customers": 0, "anti_join_customers": 0,
     "top_orders_per_customer": 1, "props_json_extract": 1,
     "monthly_revenue": 1, "text_stats": 0, "lang_id": 0, "token_count_bpe": 0,

@@ -131,6 +131,22 @@ SHOWCASE = {
     "forecast_eval": "EWMA forecast backtest: the lag forecasts ride the "
         "smoother's ONE key-partitioned window pass; 9-dp decimal error "
         "sums to a single-row reduction",
+    "theil_sen": "robust trend, round-8 form: one explicit key "
+        "repartition shared by the size-guard window and the collect_list "
+        "aggregation; the quadratic pair set is generated IN-ROW by "
+        "nested HOFs and median-selected by array_sort — no pair shuffle, "
+        "no sort window, no join-back",
+    "embedding_near_dup": "exact near-dup pairs, blocked form: Arrow "
+        "cell-assignment pass (broadcast centroids), sound cell-pair "
+        "angular-bound prune, cogrouped per-cell-pair float64 GEMM verify "
+        "— the only data shuffles are the two cogroup sides on the "
+        "surviving (cell_a, cell_b) key",
+    "doc_containment": "directed containment dedup: the jaccard "
+        "machinery's df-pruned posting lists and in-row pair fan-out, "
+        "with per-direction division instead of the union denominator",
+    "adamic_adar": "link prediction: degree-capped posting-list wedge "
+        "fan-out (in-row), per-center 9-dp decimal terms summed exactly, "
+        "broadcast anti-join against existing edges, TakeOrdered top-k",
 }
 
 
