@@ -1537,6 +1537,48 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-algebra (functions/sketches.py::hll_overlap): pairwise
+    distinct-user overlap between event types via inclusion-exclusion over
+    HLL union-merges — overlaps read kilobyte sketches, never the raw
+    events. Like the other sketch gates, the hash-checked surface is the
+    CONTRACT: exact pair counts plus est_ok = |est − exact| ≤
+    5σ·(|A|+|B|+|A∪B|), σ = 1.04/√2¹² (published HLL RSE); the oracle
+    recomputes the exact columns and pins est_ok ≡ TRUE."""
+    from akka_stream_contrib_spark.functions import (hll_overlap,
+                                                     hll_sketch_rollup)
+    ev = tables.load(spark, "events", sf_dir)
+    sk = hll_sketch_rollup(ev, keys=["event_type"], item="user_id", lgk=12)
+    est = hll_overlap(sk, key="event_type")
+    from akka_stream_contrib_spark.util import pipeline_cache
+    # the exact-audit frame feeds three consumers (per-type counts + both
+    # intersection sides) — materialize the distinct once
+    du = pipeline_cache(ev.select("event_type", "user_id").distinct())
+    per = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_n"))
+    ua = du.select(F.col("event_type").alias("k_a"),
+                   F.col("user_id").alias("_u"))
+    ub = du.select(F.col("event_type").alias("k_b"),
+                   F.col("user_id").alias("_u"))
+    inter = (ua.join(ub, ["_u"]).filter(F.col("k_a") < F.col("k_b"))
+             .groupBy("k_a", "k_b")
+             .agg(F.count(F.lit(1)).alias("exact_overlap")))
+    pa = per.select(F.col("event_type").alias("k_a"),
+                    F.col("exact_n").alias("exact_a"))
+    pb = per.select(F.col("event_type").alias("k_b"),
+                    F.col("exact_n").alias("exact_b"))
+    sigma = 1.04 / (2 ** 12) ** 0.5
+    ex_union = F.col("exact_a") + F.col("exact_b") - F.col("exact_overlap")
+    return (est.join(F.broadcast(inter), ["k_a", "k_b"])
+            .join(F.broadcast(pa), "k_a").join(F.broadcast(pb), "k_b")
+            .select("k_a", "k_b", "exact_a", "exact_b", "exact_overlap",
+                    (F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+                     <= F.lit(5 * sigma) * (F.col("exact_a")
+                                            + F.col("exact_b") + ex_union))
+                    .alias("est_ok"))
+            .orderBy("k_a", "k_b"))
+
+
 def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe group-aware split (functions/corpus.py::grouped_split):
     every event of a user lands in the SAME split via a portable hash of
@@ -4264,6 +4306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "triangle_count": q_triangle_count,
         "adamic_adar": q_adamic_adar,
+        "hll_overlap": q_hll_overlap,
         "grouped_split": q_grouped_split,
         "purged_time_split": q_purged_time_split,
         "readability_scores": q_readability_scores,
@@ -4527,7 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _PRIORITY = [
     # (1) round-8 additions and implementation/oracle changes
     "doc_containment", "adamic_adar", "grouped_split",
-    "purged_time_split",
+    "purged_time_split", "hll_overlap",
     "theil_sen", "embedding_near_dup", "semantic_dedup", "dup_clusters",
     "conformal_interval", "item_cf_recs",
     # (2) the complete round-1 cohort: core operator gates first
@@ -4546,11 +4589,11 @@ _PRIORITY = [
     # and the r1 SQL staples
     "customers_retained", "customers_churned", "cube_revenue",
     "range_join_follows", "window_breadth",
-    "quantiles", "pivot_revenue",
+    "quantiles",
     # exactly 50 = the driver window (date_parts, string_funcs,
-    # posexplode_tokens and resample_ffill — low-risk r1 staples —
-    # cede their slots to the four round-8 first-evidence queries and
-    # rotate with the r3 cohort next round). Everything else is
+    # posexplode_tokens, resample_ffill and pivot_revenue — low-risk r1
+    # staples — cede their slots to the five round-8 first-evidence
+    # queries and rotate with the r3 cohort next round). Everything else is
     # cumulative driver-green and covered by the local replica each
     # session.
 ]
@@ -6310,6 +6353,25 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM wedges w
                     WHERE EXISTS (SELECT 1 FROM und
                                   WHERE a = w.w1 AND b = w.w2)) AS n_triangles
+        """,
+        "hll_overlap": """
+            WITH du AS (
+                SELECT DISTINCT event_type, user_id FROM events),
+            per AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+                FROM du GROUP BY event_type),
+            inter AS (
+                SELECT a.event_type AS k_a, b.event_type AS k_b,
+                       CAST(count(*) AS BIGINT) AS exact_overlap
+                FROM du a JOIN du b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY a.event_type, b.event_type)
+            SELECT k_a, k_b, pa.exact_n AS exact_a, pb.exact_n AS exact_b,
+                   exact_overlap, TRUE AS est_ok
+            FROM inter
+            JOIN per pa ON pa.event_type = k_a
+            JOIN per pb ON pb.event_type = k_b
+            ORDER BY k_a, k_b
         """,
         "grouped_split": """
             SELECT event_id, user_id,

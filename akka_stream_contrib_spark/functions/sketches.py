@@ -46,6 +46,40 @@ def hll_merge(sketch_df: DataFrame, keys: Sequence[str],
             .drop("_merged"))
 
 
+def hll_overlap(sketch_df: DataFrame, key: str,
+                sketch_col: str = "sketch") -> DataFrame:
+    """Pairwise distinct-set OVERLAP estimates from HLL sketches alone:
+    ``|A∩B| ≈ est(A) + est(B) − est(A ∪ B)`` (inclusion–exclusion over a
+    sketch union-merge). The audience-overlap / retargeting primitive at
+    100 TB: after ONE pass builds the per-key sketch table, every pairwise
+    overlap is computed from the kilobyte sketches — the raw items are
+    never re-read and no (key_a, key_b, item) fan-out ever exists.
+
+    Input is a per-key sketch table (:func:`hll_sketch_rollup`). The pair
+    join is over the KEYS (one row per key — broadcast-trivial), not the
+    items. Returns (k_a, k_b, est_a, est_b, est_union, est_overlap) for
+    every unordered key pair.
+
+    Error: each estimate carries the published HLL relative standard
+    error σ = 1.04/√(2^lgk); the subtraction compounds them, so the
+    overlap's absolute error is bounded by ~σ·(|A|+|B|+|A∪B|) — small
+    relative to the UNION, not to the intersection (tiny overlaps of
+    huge sets drown in sketch noise; exact audits belong there).
+    """
+    a = sketch_df.select(F.col(key).alias("k_a"),
+                         F.col(sketch_col).alias("_sa"))
+    b = sketch_df.select(F.col(key).alias("k_b"),
+                         F.col(sketch_col).alias("_sb"))
+    est = (a.join(b, F.col("k_a") < F.col("k_b"))
+           .select("k_a", "k_b",
+                   F.hll_sketch_estimate("_sa").alias("est_a"),
+                   F.hll_sketch_estimate("_sb").alias("est_b"),
+                   F.hll_sketch_estimate(
+                       F.expr("hll_union(_sa, _sb)")).alias("est_union")))
+    return est.withColumn(
+        "est_overlap", F.col("est_a") + F.col("est_b") - F.col("est_union"))
+
+
 def mg_update(counters: dict, batch_counts, capacity: int) -> dict:
     """Merge a batch's item counts into Misra-Gries ``counters``, applying
     the batched decrement that keeps ≤ ``capacity`` entries: subtract the

@@ -763,3 +763,20 @@ def test_negative_sampling_no_self_pairs_and_deterministic(spark):
     assert out1 == out2                      # reproducible, no RNG state
     assert len(out1) == 30                   # k per doc, join loses none
     assert all(d != n for d, _, n in out1)   # self-pairs wrapped away
+
+
+def test_hll_overlap_estimates_track_exact(spark):
+    from akka_stream_contrib_spark.functions import (hll_overlap,
+                                                     hll_sketch_rollup)
+    # groups with a known overlap structure: a∩b = 50, a∩c = 0
+    rows = ([("a", i) for i in range(100)]
+            + [("b", i) for i in range(50, 150)]
+            + [("c", i) for i in range(200, 260)])
+    df = spark.createDataFrame(rows, "grp string, uid long")
+    sk = hll_sketch_rollup(df, keys=["grp"], item="uid", lgk=12)
+    got = {(r.k_a, r.k_b): r.est_overlap
+           for r in hll_overlap(sk, key="grp").collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # lgk=12 on a few hundred items is near-exact
+    assert abs(got[("a", "b")] - 50) < 3
+    assert abs(got[("a", "c")]) < 3 and abs(got[("b", "c")]) < 3

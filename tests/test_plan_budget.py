@@ -91,6 +91,11 @@ BUDGET = {
     # hash-checks the estimate's error bound; the production rollup path
     # (sketch table only) stays at 3
     "hll_daily_users": 5,
+    # sketch set-algebra contract audit: the production surface is the
+    # 1-exchange sketch agg + key-pair broadcast; the other 6 exchanges
+    # are the exact-audit twin (cached distinct + per-type counts +
+    # user-keyed intersection join), the approx_distinct_users pattern
+    "hll_overlap": 7,
     "token_entropy": 2,
     # sweep line: per-order max, order join, date agg, date-spine cumsum
     "shipping_concurrency": 4,
