@@ -723,3 +723,115 @@ def test_active_users_windows_nest(rows):
         # monthly; stickiness stays in [0, 1]
         assert 0 <= r.dau <= r.wau <= r.mau
         assert 0.0 <= r.stickiness <= 1.0
+
+
+# ------------------------------------------------------- round-8 additions
+
+
+def theil_sen_model(pts: list[tuple[int, float]]) -> float | None:
+    """Pure-python reference: exact lower median of pairwise slopes under
+    the (slope, xi, xj) total order."""
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (xi, vi), (xj, vj) = pts[i], pts[j]
+            if xi != xj:
+                lo, hi = (pts[i], pts[j]) if xi < xj else (pts[j], pts[i])
+                slopes.append(((hi[1] - lo[1]) / float(hi[0] - lo[0]),
+                               lo[0], hi[0]))
+    if not slopes:
+        return None
+    slopes.sort()
+    return round(slopes[(len(slopes) + 1) // 2 - 1][0], 6)
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 30),
+              st.floats(-100, 100, allow_nan=False, width=32)),
+    min_size=2, max_size=12, unique_by=lambda t: t[0]))
+@settings(**SETTINGS)
+def test_theil_sen_hof_rewrite_matches_bruteforce(pts):
+    from akka_stream_contrib_spark.operators.timeseries import theil_sen_trend
+    spark = _get_spark()
+    df = spark.createDataFrame([(1, x, float(v)) for x, v in pts],
+                               "user_id int, event_id int, value double")
+    rows = df.transform(theil_sen_trend()).collect()
+    want = theil_sen_model([(x, float(v)) for x, v in pts])
+    if want is None:
+        assert rows == []
+    else:
+        assert len(rows) == 1
+        assert rows[0].theil_slope == want + 0.0
+        assert rows[0].n_pairs == len(pts) * (len(pts) - 1) // 2
+
+
+def adamic_adar_model(edges: set[tuple[int, int]], cap: int):
+    import math
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbr: dict[int, set[int]] = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    out = {}
+    centers = {v for v, ns in nbr.items() if 2 <= len(ns) <= cap}
+    for z in centers:
+        ns = sorted(nbr[z])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                pair = (ns[i], ns[j])
+                if pair not in und:
+                    t = round(1.0 / math.log(len(nbr[z])), 9)
+                    c, s_ = out.get(pair, (0, 0.0))
+                    out[pair] = (c + 1, round(s_ + t, 9))
+    return {p: (c, round(s_, 6)) for p, (c, s_) in out.items()}
+
+
+@given(st.sets(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+               min_size=1, max_size=16))
+@settings(**SETTINGS)
+def test_adamic_adar_matches_python_model(edges):
+    from akka_stream_contrib_spark.functions.graph import adamic_adar
+    spark = _get_spark()
+    df = spark.createDataFrame([(a, b) for a, b in edges],
+                               "src long, dst long")
+    got = {(r.x, r.y): (r.n_common, r.adamic_adar)
+           for r in adamic_adar(df, top_k=1000, max_degree=5).collect()}
+    want = adamic_adar_model(edges, cap=5)
+    assert got == {p: (c, s_ + 0.0) for p, (c, s_) in want.items()}
+
+
+@given(st.lists(st.integers(0, 1_000_000), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_grouped_split_is_a_pure_function_of_the_group(uids):
+    from akka_stream_contrib_spark.functions import grouped_split
+    spark = _get_spark()
+    # two rows per uid in different "tables" must land in the same split
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(uids * 2)],
+                               "row_id int, user_id long")
+    out = df.transform(grouped_split("user_id"))
+    per = (out.groupBy("user_id")
+           .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r.n == 1 for r in per)
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=2, max_size=25,
+                unique=True))
+@settings(**SETTINGS)
+def test_purged_time_split_is_ordered_and_exhaustive(offsets):
+    from akka_stream_contrib_spark.functions import purged_time_split
+    import datetime
+    spark = _get_spark()
+    base = datetime.datetime(2026, 1, 1)
+    rows = [(i, base + datetime.timedelta(seconds=o))
+            for i, o in enumerate(offsets)]
+    df = (spark.createDataFrame(rows, "event_id int, ts timestamp")
+          .withColumn("ts", F.col("ts").cast("timestamp_ntz")))
+    out = df.transform(purged_time_split("ts")).collect()
+    assert len(out) == len(rows)
+    order = {"train": 0, "embargo": 1, "test": 2}
+    got = sorted((r.ts, order[r.split]) for r in out)
+    # split labels are monotone in time: train <= embargo <= test
+    labels = [g[1] for g in got]
+    assert labels == sorted(labels)
+    # min is always train, max is always test (span endpoints)
+    assert labels[0] == 0 and labels[-1] == 2
