@@ -185,6 +185,30 @@ def ohlc_stream(stream_df: DataFrame, ts_col: str = "ts",
     )
 
 
+def hll_distinct_stream(stream_df: DataFrame, key_col: str = "event_type",
+                        item_col: str = "user_id", lgk: int = 12
+                        ) -> DataFrame:
+    """Streaming twin of functions/sketches.py::hll_sketch_rollup +
+    hll_merge: per-key distinct-count ESTIMATES maintained as HLL sketch
+    state in a plain streaming aggregation. The sketch is a commutative
+    mergeable monoid (union), so the streaming state equals the batch
+    sketch of all data seen so far for ANY batch split, arrival order or
+    replay — the histogram_stream merge-soundness argument with union in
+    place of addition. State is bounded at keys × 2^lgk registers
+    regardless of stream volume (no watermark needed: the sketch never
+    grows), and the same snapshot feeds functions/sketches.py::hll_overlap
+    for streaming audience-overlap monitoring."""
+    from pyspark.sql import functions as F
+
+    return (stream_df
+            .filter(F.col(item_col).isNotNull())
+            .groupBy(F.col(key_col).alias("key"))
+            .agg(F.hll_sketch_agg(F.col(item_col), F.lit(lgk))
+                 .alias("sketch"))
+            .withColumn("approx_distinct",
+                        F.hll_sketch_estimate(F.col("sketch"))))
+
+
 def histogram_stream(stream_df: DataFrame, key_col: str = "event_type",
                      value_col: str = "value", lo: float = 0.0,
                      hi: float = 1000.0, n_bins: int = 64) -> DataFrame:

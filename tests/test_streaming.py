@@ -1170,3 +1170,59 @@ def test_histogram_stream_restart_replay_and_under_load(spark, tmp_path):
     want_psi = {r.psi for r in psi_drift(old, new, "value", n_buckets=n_bins,
                                          lo=lo, hi=hi).collect()}.pop()
     assert got_psi == want_psi
+
+
+def test_hll_distinct_stream_matches_batch_sketch(spark, tmp_path):
+    """Mergeable-sketch streaming twin: HLL union is a commutative monoid,
+    so the streaming state across micro-batches (including a replayed
+    restart) must estimate exactly what the batch sketch over all rows
+    estimates — and both must be within the published RSE of exact."""
+    from akka_stream_contrib_spark.functions import (hll_merge,
+                                                     hll_sketch_rollup)
+    from akka_stream_contrib_spark.streaming.rollup import hll_distinct_stream
+
+    feed = tmp_path / "hll_src"
+    feed.mkdir()
+    ck = str(tmp_path / "hll_ck")
+    rows = [{"event_type": "a", "user_id": i % 400} for i in range(300)] + \
+           [{"event_type": "b", "user_id": i % 37} for i in range(100)]
+    _feed_json(feed, "b1.json", rows[:150])
+
+    def run(view):
+        src = (spark.readStream
+               .schema("event_type string, user_id long")
+               .option("maxFilesPerTrigger", 1)
+               .json(str(feed)))
+        q = (hll_distinct_stream(src).writeStream.format("memory")
+             .queryName(view).outputMode("complete")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run("hll_s1")
+    # restart with two pending files -> two micro-batches in one run
+    import os
+    _feed_json(feed, "b2.json", rows[150:300])
+    _feed_json(feed, "b3.json", rows[300:])
+    now = time.time()
+    os.utime(feed / "b2.json", (now - 10, now - 10))
+    os.utime(feed / "b3.json", (now, now))
+    run("hll_s2")
+    got = {r.key: r.approx_distinct
+           for r in spark.sql(
+               "select key, approx_distinct from hll_s2").collect()}
+    bdf = spark.createDataFrame(
+        [(r["event_type"], r["user_id"]) for r in rows],
+        "event_type string, user_id long")
+    batch = hll_merge(hll_sketch_rollup(
+        bdf, keys=["event_type"], item="user_id", lgk=12),
+        keys=["event_type"])
+    want = {r.event_type: r.approx_distinct for r in batch.collect()}
+    assert got == want  # identical sketches -> identical estimates
+    exact = {r.event_type: r.n for r in bdf.distinct().groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= 5 * 1.04 / (2 ** 12) ** 0.5 * exact[k] + 1
