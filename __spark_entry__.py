@@ -1537,6 +1537,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_frequent_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent user journeys (operators/timeseries.py::frequent_journeys):
+    global top-20 event-type TRIGRAMS in per-user event order — the paths
+    users actually take, one level above event_transitions' bigram matrix.
+    Size-guarded collect per key, in-row HOF k-gram explode, TakeOrdered."""
+    from akka_stream_contrib_spark.operators.timeseries import (
+        frequent_journeys)
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.transform(frequent_journeys(k=3, top_k=20, max_events=1000))
+
+
 def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch set-algebra (functions/sketches.py::hll_overlap): pairwise
     distinct-user overlap between event types via inclusion-exclusion over
@@ -4306,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "triangle_count": q_triangle_count,
         "adamic_adar": q_adamic_adar,
+        "frequent_journeys": q_frequent_journeys,
         "hll_overlap": q_hll_overlap,
         "grouped_split": q_grouped_split,
         "purged_time_split": q_purged_time_split,
@@ -4570,7 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _PRIORITY = [
     # (1) round-8 additions and implementation/oracle changes
     "doc_containment", "adamic_adar", "grouped_split",
-    "purged_time_split", "hll_overlap",
+    "purged_time_split", "hll_overlap", "frequent_journeys",
     "theil_sen", "embedding_near_dup", "semantic_dedup", "dup_clusters",
     "conformal_interval", "item_cf_recs",
     # (2) the complete round-1 cohort: core operator gates first
@@ -4589,11 +4601,10 @@ _PRIORITY = [
     # and the r1 SQL staples
     "customers_retained", "customers_churned", "cube_revenue",
     "range_join_follows", "window_breadth",
-    "quantiles",
-    # exactly 50 = the driver window (date_parts, string_funcs,
-    # posexplode_tokens, resample_ffill and pivot_revenue — low-risk r1
-    # staples — cede their slots to the five round-8 first-evidence
-    # queries and rotate with the r3 cohort next round). Everything else is
+    # exactly 50 = the driver window (six low-risk r1 staples —
+    # date_parts, string_funcs, posexplode_tokens, resample_ffill,
+    # pivot_revenue, quantiles — cede their slots to the round-8
+    # first-evidence queries and rotate with the r3 cohort next round). Everything else is
     # cumulative driver-green and covered by the local replica each
     # session.
 ]
@@ -6353,6 +6364,26 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM wedges w
                     WHERE EXISTS (SELECT 1 FROM und
                                   WHERE a = w.w1 AND b = w.w2)) AS n_triangles
+        """,
+        "frequent_journeys": """
+            WITH s AS (
+                SELECT user_id,
+                       list(event_type ORDER BY event_id, event_type) AS l
+                FROM events
+                WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY user_id
+                HAVING count(*) <= 1000
+            ),
+            g AS (
+                SELECT array_to_string(l[i:i+2], '>') AS journey
+                FROM s, LATERAL (
+                    SELECT unnest(range(1, len(l) - 1)) AS i) t
+                WHERE len(l) >= 3
+            )
+            SELECT journey, CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY journey
+            ORDER BY n DESC, journey
+            LIMIT 20
         """,
         "hll_overlap": """
             WITH du AS (

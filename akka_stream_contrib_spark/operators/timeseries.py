@@ -545,6 +545,56 @@ def ewma_forecast_eval(key: str = "user_id", value: str = "value",
     return _apply
 
 
+def frequent_journeys(key: str = "user_id", seq: str = "event_id",
+                      step: str = "event_type", k: int = 3,
+                      top_k: int = 20, max_events: int = 1000,
+                      ) -> Callable[[DataFrame], DataFrame]:
+    """Frequent user journeys: the globally most common length-``k``
+    CONSECUTIVE step sequences (default trigrams of event types in
+    per-user event order) — the product-analytics "what paths do users
+    actually take" primitive one level above `event_transitions`'
+    bigram matrix.
+
+    Distributed shape (the theil_sen discipline): keys with more than
+    ``max_events`` observations are EXCLUDED up front by a window count
+    (loud in the signature — per-key state stays bounded), each
+    surviving key collapses to ONE ordered step array
+    (``sort_array(collect_list(struct(seq, step)))``), and the k-gram
+    explode is an in-row HOF (`transform` over `sequence`) — the only
+    shuffles are the key hash (window + agg share it) and the k-gram
+    count; top-k is TakeOrdered, never a global sort.
+
+    Returns (journey, n) — journey as 'a>b>c', ordered by count desc,
+    journey asc.
+    """
+    def _apply(df: DataFrame) -> DataFrame:
+        pts = (df.select(F.col(key).alias("u"),
+                         F.col(seq).alias("x"),
+                         F.col(step).alias("s"))
+               .filter(F.col("x").isNotNull() & F.col("s").isNotNull())
+               .withColumn("_n", F.count(F.lit(1)).over(
+                   Window.partitionBy("u")))
+               .filter(F.col("_n") <= max_events)
+               .drop("_n"))
+        grp = pts.groupBy("u").agg(
+            F.expr("transform(sort_array(collect_list(struct(x, s))),"
+                   " p -> p.s)").alias("_l"))
+        kk = int(k)
+        # sequence(a, b) DESCENDS when b < a, so the short-array case must
+        # be guarded to an empty array, not fed a reversed range
+        grams = grp.select(F.explode(F.expr(
+            f"case when size(_l) >= {kk} then "
+            f"transform(sequence(1, size(_l) - {kk - 1}), "
+            f"i -> concat_ws('>', slice(_l, i, {kk}))) "
+            "else array() end")).alias("journey"))
+        return (grams.groupBy("journey")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), "journey")
+                .limit(top_k))
+
+    return _apply
+
+
 def theil_sen_trend(key: str = "user_id", seq: str = "event_id",
                     value: str = "value", max_points: int = 500,
                     ) -> Callable[[DataFrame], DataFrame]:

@@ -233,6 +233,7 @@ HEADLINE = [
     "embedding_near_dup",
     "doc_containment",
     "adamic_adar",
+    "frequent_journeys",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

@@ -451,6 +451,9 @@ BUDGET = {
     # collect_list aggregation (pairs are generated in-row by HOFs, never
     # shuffled) + the presentation-order range exchange
     "theil_sen": 2,
+    # same shape: key hash shared by guard window + collect agg, then the
+    # k-gram count agg; top-k is TakeOrdered
+    "frequent_journeys": 2,
 }
 
 

@@ -195,3 +195,19 @@ def test_holt_linear_length_buckets_and_skew(spark, monkeypatch):
             tr = 0.35 * (nlv - lv) + (1.0 - 0.35) * tr
             lv = nlv
             assert got[(k, i)] == (q(lv), q(tr))
+
+
+def test_frequent_journeys_trigrams_and_guard(spark):
+    from akka_stream_contrib_spark.operators.timeseries import (
+        frequent_journeys)
+    rows = ([(1, i, t) for i, t in enumerate("abcabc")]
+            + [(2, i, t) for i, t in enumerate("abcx")]
+            + [(3, 0, "a"), (3, 1, "b")])          # < 3 events: no trigram
+    df = spark.createDataFrame(rows,
+                               "user_id int, event_id int, event_type string")
+    got = {r.journey: r.n for r in df.transform(frequent_journeys()).collect()}
+    assert got == {"a>b>c": 3, "b>c>a": 1, "c>a>b": 1, "b>c>x": 1}
+    # max_events guard excludes the long user entirely
+    got2 = {r.journey: r.n
+            for r in df.transform(frequent_journeys(max_events=5)).collect()}
+    assert got2 == {"a>b>c": 1, "b>c>x": 1}
