@@ -549,7 +549,17 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
         .filter(F.col("a") != F.col("b")).distinct())
     nbrs = und.union(und.select(F.col("b").alias("a"),
                                 F.col("a").alias("b")))
-    posting = (nbrs.groupBy(F.col("a").alias("v"))
+    # explicit-count repartition (the theil_sen discipline): the wedge
+    # fan-out stage is CPU-heavy but byte-tiny, so AQE's byte-based
+    # coalescing would single-thread the in-row pair generation (measured
+    # 19 s -> 4 s warm at sf0.1). A codegen self-equi-join form was also
+    # measured and REJECTED: it re-materializes the 12 M-row wedge stream
+    # through a join + exchange that AQE under-sizes, landing 5x slower
+    # than this posting form on the dense sf0.1 co-activity graph.
+    n_part = int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    posting = (nbrs.repartition(n_part, "a")
+               .groupBy(F.col("a").alias("v"))
                .agg(F.array_sort(F.collect_set("b")).alias("_l"))
                .withColumn("_d", F.size("_l"))
                .filter((F.col("_d") >= 2) & (F.col("_d") <= max_degree))

@@ -434,9 +434,10 @@ BUDGET = {
     "lpa_communities": 1,
     # checkpoint-truncated frontier rounds; residual = final union read
     "bfs_hops": 1,
-    # window-edge derivation + canonical distinct + posting groupBy +
+    # window-edge derivation + canonical distinct + the explicit
+    # parallelism-pinning repartition (union sides) + posting groupBy +
     # (x,y) pair agg; anti-join broadcasts, top-k is TakeOrdered
-    "adamic_adar": 4,
+    "adamic_adar": 6,
     # (user, day) collapse + per-window offset-explode re-distinct/count
     # (x3 windows) + the day joins of those collapsed day frames
     "active_users": 9,
