@@ -1537,6 +1537,17 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust standardization (functions/corpus.py::robust_scale):
+    (x − median)/(1.4826·MAD) — the outlier-immune z-score; mad_by_type's
+    statistics broadcast back over the rows, map-side scale."""
+    from akka_stream_contrib_spark.functions import robust_scale
+    ev = tables.load(spark, "events", sf_dir)
+    return (ev.transform(robust_scale("event_type"))
+            .select("event_id", "event_type", "value",
+                    "median", "mad", "robust_z"))
+
+
 def q_frequent_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent user journeys (operators/timeseries.py::frequent_journeys):
     global top-20 event-type TRIGRAMS in per-user event order — the paths
@@ -4317,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "triangle_count": q_triangle_count,
         "adamic_adar": q_adamic_adar,
+        "robust_scale": q_robust_scale,
         "frequent_journeys": q_frequent_journeys,
         "hll_overlap": q_hll_overlap,
         "grouped_split": q_grouped_split,
@@ -4583,6 +4595,7 @@ _PRIORITY = [
     # (1) round-8 additions and implementation/oracle changes
     "doc_containment", "adamic_adar", "grouped_split",
     "purged_time_split", "hll_overlap", "frequent_journeys",
+    "robust_scale",
     "theil_sen", "embedding_near_dup", "semantic_dedup", "dup_clusters",
     "conformal_interval", "item_cf_recs",
     # (2) the complete round-1 cohort: core operator gates first
@@ -4600,11 +4613,12 @@ _PRIORITY = [
     "q13_order_distribution",
     # and the r1 SQL staples
     "customers_retained", "customers_churned", "cube_revenue",
-    "range_join_follows", "window_breadth",
-    # exactly 50 = the driver window (six low-risk r1 staples —
+    "range_join_follows",
+    # exactly 50 = the driver window (seven low-risk r1 staples —
     # date_parts, string_funcs, posexplode_tokens, resample_ffill,
-    # pivot_revenue, quantiles — cede their slots to the round-8
-    # first-evidence queries and rotate with the r3 cohort next round). Everything else is
+    # pivot_revenue, quantiles, window_breadth — cede their slots to the
+    # round-8 first-evidence queries and rotate with the r3 cohort next
+    # round). Everything else is
     # cumulative driver-green and covered by the local replica each
     # session.
 ]
@@ -6364,6 +6378,24 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM wedges w
                     WHERE EXISTS (SELECT 1 FROM und
                                   WHERE a = w.w1 AND b = w.w2)) AS n_triangles
+        """,
+        "robust_scale": """
+            WITH med AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.5), 6) AS median
+                FROM events GROUP BY event_type
+            ), mad AS (
+                SELECT e.event_type, median,
+                       round(quantile_cont(abs(value - median), 0.5), 6)
+                           AS mad
+                FROM events e JOIN med USING (event_type)
+                GROUP BY e.event_type, median
+            )
+            SELECT event_id, e.event_type, value, median, mad,
+                   round(CASE WHEN mad > 0 THEN (value - median)
+                              / (CAST('1.4826' AS DOUBLE) * mad) END, 6)
+                       + 0.0 AS robust_z
+            FROM events e JOIN mad USING (event_type)
         """,
         "frequent_journeys": """
             WITH s AS (

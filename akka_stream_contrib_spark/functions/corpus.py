@@ -531,6 +531,42 @@ def mixture_weights(alpha: float = 0.5, domain_col: str = "source",
     return _apply
 
 
+def robust_scale(key: str, value: str = "value",
+                 ) -> Callable[[DataFrame], DataFrame]:
+    """Per-group robust standardization: ``(x − median) / (1.4826·MAD)``
+    — the outlier-immune sibling of the z-score (median and MAD have a
+    50% breakdown point where mean/stddev have 0%; 1.4826 makes MAD a
+    consistent σ estimator under normality). The feature transform to
+    reach for when heavy tails would let a single outlier deflate every
+    other row's z-score (`rolling_zscore`'s failure mode on corrupt
+    feeds).
+
+    Plan: two group aggregates over the scan (exact interpolated median,
+    then MAD of deviations — the `mad_by_type` recipe) broadcast back
+    over the rows; the scale itself is one map-side expression. Both
+    statistics are rounded to 6 dp BEFORE the division so the output is
+    engine-exact. Zero-MAD groups (constant value) yield NULL — no
+    meaningful scale exists.
+
+    Emits the input rows plus ``median``, ``mad``, ``robust_z``.
+    """
+    def _apply(df: DataFrame) -> DataFrame:
+        med = df.groupBy(key).agg(
+            F.round(F.expr(f"percentile({value}, 0.5)"), 6).alias("median"))
+        mad = (df.join(F.broadcast(med), key)
+               .groupBy(key, "median")
+               .agg(F.round(F.expr(
+                   f"percentile(abs({value} - median), 0.5)"), 6)
+                   .alias("mad")))
+        z = F.when(F.col("mad") > 0,
+                   (F.col(value) - F.col("median"))
+                   / (F.lit(1.4826) * F.col("mad")))
+        return (df.join(F.broadcast(mad), key)
+                .withColumn("robust_z", F.round(z, 6) + F.lit(0.0)))
+
+    return _apply
+
+
 def kfold_split(k: int = 5, id_col: str = "doc_id"
                 ) -> Callable[[DataFrame], DataFrame]:
     """Deterministic k-fold assignment for cross-validation: fold =

@@ -405,3 +405,22 @@ def test_purged_time_split_validates_fractions(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         purged_time_split("ts", train_frac=0.9, embargo_frac=0.2)
+
+
+def test_robust_scale_outlier_immunity(spark):
+    from akka_stream_contrib_spark.functions import robust_scale
+    # 9 values at 10+/-2 plus one gross outlier: median/MAD barely move,
+    # so inliers keep |robust_z| small while the outlier is far out
+    vals = [8.0, 9.0, 9.5, 10.0, 10.0, 10.5, 11.0, 12.0, 10.0, 1000.0]
+    df = spark.createDataFrame([(i, "a", v) for i, v in enumerate(vals)],
+                               "event_id int, event_type string, value double")
+    out = {r.event_id: r for r in df.transform(
+        robust_scale("event_type")).collect()}
+    assert out[0].median == 10.0
+    inlier_z = [abs(out[i].robust_z) for i in range(9)]
+    assert max(inlier_z) < 3 and abs(out[9].robust_z) > 100
+    # constant group: no meaningful scale -> NULL
+    cst = spark.createDataFrame([(i, "c", 5.0) for i in range(4)],
+                                "event_id int, event_type string, value double")
+    rows = cst.transform(robust_scale("event_type")).collect()
+    assert all(r.robust_z is None and r.mad == 0.0 for r in rows)

@@ -100,6 +100,9 @@ BUDGET = {
     # sweep line: per-order max, order join, date agg, date-spine cumsum
     "shipping_concurrency": 4,
     "mad_by_type": 2,
+    # mad_by_type's two stat aggregates; the row-side scale is map-side
+    # (both stats broadcast back over the scan)
+    "robust_scale": 2,
     # custkey agg + 2-phase distinct count (join side broadcasts under AQE)
     "cohort_retention": 3,
     # user window, transition agg, tiny per-type share window
