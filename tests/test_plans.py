@@ -338,3 +338,34 @@ def test_token_budget_fill_derives_total_without_rescanning_source(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = formatted_plan(token_budget_fill()(df))
     assert "Scan parquet" not in plan, plan[:2000]
+
+
+def test_near_dup_family_has_no_nested_loop_self_join(spark):
+    """Round-8 'Done' criterion (verdict r7 #3): the near-dup entries must
+    NOT contain the quadratic id_a < id_b theta self-join — the blocked
+    kernel's only joins are broadcast candidate-cell joins and the
+    cogroup's hash exchanges; the pair work lives in applyInPandas."""
+    for q in ("embedding_near_dup", "semantic_dedup", "dup_clusters"):
+        plan = formatted_plan(entry.queries()[q](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
+    # the cogroup GEMM is visible in the pair query's own plan (the two
+    # cluster compositions truncate it behind dup_clusters' checkpoint)
+    plan = formatted_plan(entry.queries()["embedding_near_dup"](spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_round8_additions_plan_shapes(spark):
+    # theil_sen / frequent_journeys: the quadratic fan-out is in-row —
+    # no join, no window over the fanned-out stream
+    for q in ("theil_sen", "frequent_journeys"):
+        plan = formatted_plan(entry.queries()[q](spark, SF))
+        assert "Join" not in plan, q
+    # adamic_adar: wedge fan-out is in-row; the only joins are the capped
+    # center join and the broadcast anti-join against existing edges
+    plan = formatted_plan(entry.queries()["adamic_adar"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # grouped_split stays a pure map-side scan
+    plan = formatted_plan(entry.queries()["grouped_split"](spark, SF))
+    assert "Exchange" not in plan
