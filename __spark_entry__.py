@@ -6452,7 +6452,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT min(epoch_us(ts)) AS _lo, max(epoch_us(ts)) AS _hi
                 FROM events)
             SELECT event_id,
-                   CASE WHEN epoch_us(ts) <= _lo + CAST(floor(
+                   CASE WHEN ts IS NULL THEN NULL
+                        WHEN epoch_us(ts) <= _lo + CAST(floor(
                              CAST(_hi - _lo AS DOUBLE)
                              * CAST('0.7' AS DOUBLE)) AS BIGINT)
                         THEN 'train'

@@ -290,7 +290,11 @@ def purged_time_split(ts_col: str, train_frac: float = 0.7,
     1-row-stats crossJoin convention), so the split is deterministic,
     data-derived, and adds no data shuffle.
 
-    Emits the input rows plus ``split`` ∈ ('train', 'embargo', 'test').
+    Emits the input rows plus ``split`` ∈ ('train', 'embargo', 'test');
+    rows with a NULL timestamp get ``split = NULL`` — an undated row can't
+    be placed on the timeline, and for a leakage-safety primitive silently
+    routing it into the evaluation split (the old fall-through) is the
+    worst possible default. Callers decide what NULL means for them.
     """
     if not (0 < train_frac and train_frac + embargo_frac < 1):
         raise ValueError("need 0 < train_frac and "
@@ -307,7 +311,8 @@ def purged_time_split(ts_col: str, train_frac: float = 0.7,
                                             + float(embargo_frac))
                                ).cast("long")
         return (t.withColumn("split",
-                             F.when(us <= cut1, "train")
+                             F.when(us.isNull(), F.lit(None).cast("string"))
+                             .when(us <= cut1, "train")
                              .when(us <= cut2, "embargo")
                              .otherwise("test"))
                 .drop("_lo", "_hi"))

@@ -57,10 +57,16 @@ def near_dup_pairs(df: DataFrame, threshold: float,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact pairs with cosine ≥ threshold via normalized self-join.
     Quadratic — intended for candidate verification / small-N; the scale path
-    is ``ann_topk_all`` or LSH bucketing first."""
+    is ``ann_topk_all`` or LSH bucketing first.
+
+    Zero-norm vectors are DROPPED (cosine is undefined for them); without the
+    filter Spark's NaN ordering (NaN > any double) would silently emit every
+    pair touching a zero vector while the blocked kernel dropped them —
+    the explicit filter makes both kernels agree on degenerate inputs."""
     normed = (
         df.select(F.col(id_col), as_double(vec_col).alias("_e"))
         .withColumn("_nrm", _norm(F.col("_e")))
+        .filter(F.col("_nrm") > 0)
         .select(id_col, F.transform("_e", lambda x: x / F.col("_nrm")).alias("_nv"))
     )
     a, b = normed.alias("a"), normed.alias("b")
@@ -108,6 +114,14 @@ def near_dup_pairs_blocked(df: DataFrame, threshold: float, nlist: int = 16,
     The O(N²/nlist²)-per-block worst case is inherent to EXACT zero-margin
     threshold joins, not to this plan; with cluster structure the bound
     turns it into O(sum of surviving block products).
+
+    Boundary exactness: the naive kernel's contract is ``round(cos, 6) >=
+    threshold``, which admits raw cosines down to ``threshold - 5e-7``
+    (they round UP to the threshold). Both prunes here therefore cut at
+    ``thr_eff = threshold - 5.1e-7`` — strictly wider than the 6-dp
+    rounding granularity — and the final JVM-side ``round(cos, 6) >=
+    threshold`` filter restores the exact contract. Zero-norm vectors are
+    dropped (matching :func:`near_dup_pairs`).
     """
     spark = df.sparkSession
     cents = _train_centroids(df, nlist, iters, id_col, vec_col)
@@ -123,7 +137,14 @@ def near_dup_pairs_blocked(df: DataFrame, threshold: float, nlist: int = 16,
             if len(pdfb) == 0:
                 continue
             v = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            nrm = np.linalg.norm(v, axis=1, keepdims=True)
+            ok = nrm[:, 0] > 0.0
+            if not ok.all():  # drop zero-norm rows — cosine is undefined;
+                v, nrm = v[ok], nrm[ok]  # parity with near_dup_pairs' filter
+                pdfb = pdfb.loc[ok]
+                if len(pdfb) == 0:
+                    continue
+            v /= nrm
             d2 = _sq_dists(v, cs)
             cell = np.argmin(d2, axis=1)
             # both sides unit-norm, so cos(v, home) = 1 - d²/2
@@ -147,7 +168,11 @@ def near_dup_pairs_blocked(df: DataFrame, threshold: float, nlist: int = 16,
                 .agg(F.min("_ccos").alias("_mc")).collect())
     radius = {int(r["cell"]): math.acos(max(-1.0, min(1.0, float(r["_mc"]))))
               for r in rad_rows}
-    theta_t = math.acos(max(-1.0, min(1.0, float(threshold))))
+    # effective raw threshold: the contract is round(cos, 6) >= threshold,
+    # which keeps raw cosines as low as threshold - 5e-7 (they round up) —
+    # so every prune below must cut at thr_eff, not threshold
+    thr_eff = float(threshold) - 5.1e-7
+    theta_t = math.acos(max(-1.0, min(1.0, thr_eff)))
     cand = []
     cells = sorted(radius)
     for pos, ci in enumerate(cells):
@@ -169,8 +194,6 @@ def near_dup_pairs_blocked(df: DataFrame, threshold: float, nlist: int = 16,
              .select("_ca", "_cb", F.col(id_col).alias("_idb"),
                      F.col("nvec").alias("_nvb")))
 
-    thr = float(threshold)
-
     def _pairs(key, apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
         if len(apdf) == 0 or len(bpdf) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "_cos": []})
@@ -179,9 +202,9 @@ def near_dup_pairs_blocked(df: DataFrame, threshold: float, nlist: int = 16,
         ia = apdf[id_col].to_numpy()
         ib = bpdf["_idb"].to_numpy()
         sims = va @ vb.T
-        # conservative raw-value prefilter; the exact >= on the ROUNDED
-        # value (the naive plan's contract) happens JVM-side below
-        ii, jj = np.nonzero(sims >= thr - 1e-9)
+        # prefilter at thr_eff (wider than the 6-dp rounding granularity);
+        # the exact >= on the ROUNDED value happens JVM-side below
+        ii, jj = np.nonzero(sims >= thr_eff)
         id1, id2, s = ia[ii], ib[jj], sims[ii, jj]
         if key[0] == key[1]:  # same cell: strict upper triangle
             keep = id1 < id2
@@ -420,7 +443,12 @@ def _train_centroids(df: DataFrame, nlist: int, iters: int,
     if len(sample) == 0:
         return None
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    ok = nrm[:, 0] > 0.0  # zero-norm rows would NaN-poison every centroid
+    if not ok.any():
+        return None
+    X, nrm = X[ok], nrm[ok]
+    X /= nrm
     cents = X[:nlist].copy()
     for _ in range(iters):
         assign = np.argmin(_sq_dists(X, cents), axis=1)

@@ -213,3 +213,46 @@ def test_ngram_containment_detects_embedded_doc(spark):
     # the symmetric detector misses it at the same bar
     jac = ngram_jaccard_dedup(df, n=4, threshold=0.9, max_doc_freq=100)
     assert jac.count() == 0
+
+
+def test_near_dup_blocked_keeps_rounding_boundary_pairs(spark):
+    # ADVICE r8: the naive contract round(cos, 6) >= thr admits raw cosines
+    # down to thr - 5e-7; a pair planted at raw cos ≈ thr - 2.5e-7 (rounds
+    # up to exactly thr) must survive the blocked kernel's prunes too
+    import math
+    import numpy as np
+    from akka_stream_contrib_spark.functions import (near_dup_pairs,
+                                                     near_dup_pairs_blocked)
+    thr = 0.4
+    theta = math.acos(thr - 2.5e-7)
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [float(math.cos(theta)), float(math.sin(theta)), 0.0, 0.0]),
+            # filler so k-means has something to chew on
+            *[(10 + i, [((i * 31 + d) % 11 - 5) / 5.0 for d in range(4)])
+              for i in range(20)]]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    # float32 storage perturbs the cosine; assert against the naive kernel,
+    # and independently that the planted pair is in BOTH outputs
+    want = sorted(map(tuple, near_dup_pairs(df, thr).collect()))
+    got = sorted(map(tuple, near_dup_pairs_blocked(df, thr, nlist=4).collect()))
+    assert got == want
+    planted = [(a, b) for a, b, _ in want if (a, b) == (1, 2)]
+    assert planted == [(1, 2)]
+
+
+def test_near_dup_zero_norm_dropped_by_both_kernels(spark):
+    # ADVICE r8: zero-norm vectors previously diverged (NaN >= thr is TRUE
+    # JVM-side, False in numpy). Both kernels now drop them.
+    from akka_stream_contrib_spark.functions import (near_dup_pairs,
+                                                     near_dup_pairs_blocked)
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),   # zero-norm: must pair with nothing
+            *[(10 + i, [((i * 17 + d) % 9 - 4) / 4.0 for d in range(4)])
+              for i in range(12)]]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    want = sorted(map(tuple, near_dup_pairs(df, 0.9).collect()))
+    got = sorted(map(tuple, near_dup_pairs_blocked(df, 0.9, nlist=2).collect()))
+    assert got == want
+    assert all(3 not in (a, b) for a, b, _ in want)
+    assert (1, 2) in [(a, b) for a, b, _ in want]

@@ -400,6 +400,22 @@ def test_purged_time_split_embargo_separates_train_test(spark):
     assert (mn_test - mx_train).total_seconds() >= 11 * 60
 
 
+def test_purged_time_split_null_ts_gets_null_split(spark):
+    # ADVICE r8: undated rows used to fall through to 'test' — the worst
+    # default for a leakage-safety primitive. They now get split = NULL.
+    from akka_stream_contrib_spark.functions import purged_time_split
+    import datetime
+    base = datetime.datetime(2026, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=i)) for i in range(50)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "event_id int, ts timestamp") \
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {r.event_id: r.split
+           for r in df.transform(purged_time_split("ts")).collect()}
+    assert got[999] is None
+    assert got[0] == "train" and got[49] == "test"
+
+
 def test_purged_time_split_validates_fractions(spark):
     from akka_stream_contrib_spark.functions import purged_time_split
     import pytest as _pt
