@@ -4581,46 +4581,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: the ~50-query driver-evidence window (see queries() comment). The
 #: registry closed at 260/260 in round 7, so the window's job is now
-#: FRESHNESS (verdict r7 #4). Round-8 grouping: (1) the 6 queries whose
-#: implementation changed this round — theil_sen (in-row HOF pair
-#: median, one key shuffle), the near-dup family re-pointed at the
-#: blocked exact kernel (embedding_near_dup, semantic_dedup,
-#: dup_clusters), the conformal NULL-guard mirror (conformal_interval),
-#: and the item-CF default alignment (item_cf_recs); (2) the 44 rows
-#: last driver-seen in ROUND 1 — every core operator gate (sample_nth …
-#: unfold_collatz, the staleness list the verdict named) plus the r1
-#: TPC-H canon and SQL staples. 6 + 44 = the full window; the r3 cohort
-#: (36 rows) rotates next round.
+#: FRESHNESS (verdict r8 #1). Round-9 grouping: (1) queries whose
+#: implementation or oracle changed this round — the near-dup family
+#: (thr_eff boundary prune + zero-norm drop: embedding_near_dup,
+#: semantic_dedup, dup_clusters, dup_cluster_sizes) and the NULL-ts
+#: mirror (purged_time_split), plus any round-9 first-evidence
+#: additions appended at the bottom; (2) the 36 rows last driver-seen
+#: in ROUND 3 (the cohort the r8 verdict named); (3) the seven r1
+#: staples that ceded their slots in round 8 (date_parts …
+#: window_breadth). After this round every registry row has driver
+#: evidence from round 4 or later.
 _PRIORITY = [
-    # (1) round-8 additions and implementation/oracle changes
-    "doc_containment", "adamic_adar", "grouped_split",
-    "purged_time_split", "hll_overlap", "frequent_journeys",
-    "robust_scale",
-    "theil_sen", "embedding_near_dup", "semantic_dedup", "dup_clusters",
-    "conformal_interval", "item_cf_recs",
-    # (2) the complete round-1 cohort: core operator gates first
-    "sample_nth", "sample_step", "partition_with", "pass_through",
-    "delay_flow", "accumulate_keyed", "last_element", "time_window",
-    "sliding_window", "session_window", "rate_limiter", "pulse",
-    "keep_alive", "merge_by_index", "retry", "unfold_collatz",
-    "feedback_fibonacci",
-    # then the r1 TPC-H canon
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q4_order_priority", "q10_returned_items",
-    "q14_promo_revenue", "q17_small_qty_revenue", "q18_large_orders",
-    "q19_disjunctive_revenue", "q22_idle_balance", "q7_nation_volume",
-    "q8_market_share", "q15_top_supplier", "q21_waiting_supplier",
-    "q13_order_distribution",
-    # and the r1 SQL staples
-    "customers_retained", "customers_churned", "cube_revenue",
-    "range_join_follows",
-    # exactly 50 = the driver window (seven low-risk r1 staples —
-    # date_parts, string_funcs, posexplode_tokens, resample_ffill,
-    # pivot_revenue, quantiles, window_breadth — cede their slots to the
-    # round-8 first-evidence queries and rotate with the r3 cohort next
-    # round). Everything else is
-    # cumulative driver-green and covered by the local replica each
-    # session.
+    # (1) round-9 implementation/oracle changes
+    "embedding_near_dup", "semantic_dedup", "dup_clusters",
+    "dup_cluster_sizes", "purged_time_split",
+    # (2) the complete round-3 cohort, last driver-hashed in r3
+    "timed_interval_between", "token_throttle", "array_agg_events",
+    "retry_concat_split", "unfold_flow_with", "token_throttle_keyed",
+    "duplicate_spans", "span_dedup", "bpe_encode", "length_batches",
+    "negative_samples", "gopher_rules", "contamination_score",
+    "mixture_weights", "rp_project", "simhash_pairs", "doc_keywords",
+    "bloom_membership", "ohlc_resample", "skew_report",
+    "quantile_normalize", "snapshot_diff", "entity_resolution",
+    "bloom_pruned_revenue", "vwap_resample", "dedup_within",
+    "corpus_report", "weighted_sample", "attribution_last_touch",
+    "curriculum_order", "fuzzy_vocab_jw", "segment_dedup",
+    "cluster_silhouette", "calibration_report", "seasonal_anomalies",
+    "dedup_exact",
+    # (3) the seven r1 staples that ceded slots in round 8
+    "date_parts", "string_funcs", "posexplode_tokens", "resample_ffill",
+    "pivot_revenue", "quantiles", "window_breadth",
+    # (4) round-9 first-evidence additions (new ops land here)
 ]
 
 
