@@ -7,6 +7,7 @@ from akka_stream_contrib_spark.streaming.stateful import (
     accumulate_while_unchanged_stream,
     sessionize_stream,
     heavy_hitters_stream,
+    merge_by_index_stream,
 )
 from akka_stream_contrib_spark.streaming.dedup import dedup_within_watermark
 from akka_stream_contrib_spark.streaming.funnel import (
@@ -33,6 +34,7 @@ __all__ = [
     "keep_alive_stream",
     "accumulate_while_unchanged_stream",
     "sessionize_stream",
+    "merge_by_index_stream",
     "dedup_within_watermark",
     "stream_interval_join",
     "Valve",

@@ -301,3 +301,117 @@ def heavy_hitters_stream(items: DataFrame, item_col: str = "item",
     return bucketed.groupBy("_bucket").applyInPandasWithState(
         _fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def merge_by_index_stream(elements: DataFrame, n_branches: int,
+                          key_col: str = "key") -> DataFrame:
+    """Streaming k-way ordered merge — the cross-batch twin of
+    ``operators/merge.py::merge_by_index`` (reference MergeByIndex.scala:
+    41-169, the gap-inference rule at :97-119 and the fail-on-non-monotonic
+    check at :139-143).
+
+    Input rows: (key, branch ∈ [0, n_branches), idx, payload) where each
+    branch's ``idx`` sequence is strictly increasing. Output rows carry the
+    restored global order as DATA: (key, idx, branch, payload, pos) with
+    ``pos`` the 0-based emit position per key — the streaming analogue of
+    the batch form's ``rnk`` column (memory sinks don't preserve row order,
+    so order must survive as a column).
+
+    Emit rule, translated from the reference's inlet buffer:
+
+    - an element is emitted when its index equals the next expected index
+      (``buffer.head._2 == expectedIndex``, MergeByIndex.scala:99), or
+    - when EVERY branch's high-water mark has passed it — per-branch indices
+      are strictly increasing, so once ``min_b hwm[b] >= idx`` no smaller
+      index can ever arrive and the gap below ``idx`` is a confirmed
+      omission. This is the micro-batch form of "an element from all inlets
+      is buffered" (:105-108): the reference infers the omission from one
+      buffered element per open inlet; here the per-branch high-water marks
+      carry the same guarantee across batches.
+
+    Failure contract (:139-143 / verifyElementIndex): an arriving index
+    below the expected frontier, or a duplicate of a buffered index, raises
+    ``ValueError`` and fails the query — the reference fails the stream the
+    same way.
+
+    There is no branch-close signal in an unbounded stream, so the
+    reference's ``updateMaxBufferLength`` shrink-on-close (:116-119) has no
+    analogue here: a branch that stops sending simply stops advancing the
+    frontier (elements past its high-water mark wait in state). Bounded
+    inputs with closed branches are the batch form's job.
+
+    Scale: state per key is the reorder buffer between the slowest and
+    fastest branch's high-water marks plus ``n_branches`` longs — bounded by
+    branch skew, not stream length; keys partition the state store.
+    """
+    if n_branches < 1:
+        raise ValueError("merge_by_index_stream needs n_branches >= 1")
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("idx", LongType()),
+        StructField("branch", LongType()),
+        StructField("payload", StringType()),
+        StructField("pos", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("expected", LongType()),
+        StructField("pos", LongType()),
+        StructField("hwm", ArrayType(LongType())),
+        StructField("buf_idx", ArrayType(LongType())),
+        StructField("buf_branch", ArrayType(LongType())),
+        StructField("buf_payload", ArrayType(StringType())),
+    ])
+
+    def _fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            expected, pos, hwm, bi, bb, bp = state.get
+            hwm = list(hwm)
+            buf = {int(i): (int(b), p) for i, b, p in zip(bi, bb, bp)}
+        else:
+            expected, pos, hwm, buf = 0, 0, [None] * n_branches, {}
+        for pdf in pdfs:
+            for b, i, p in zip(pdf["branch"], pdf["idx"], pdf["payload"]):
+                b, i = int(b), int(i)
+                if not (0 <= b < n_branches):
+                    raise ValueError(
+                        f"merge_by_index_stream: branch {b} out of range "
+                        f"[0, {n_branches})")
+                if i < expected:
+                    raise ValueError(
+                        f"merge_by_index_stream: non-monotonic index {i} < "
+                        f"expected {expected} (reference "
+                        "MergeByIndex.scala:139-143 fails the stream)")
+                if i in buf:
+                    raise ValueError(
+                        f"merge_by_index_stream: duplicate index {i}")
+                if hwm[b] is not None and i <= hwm[b]:
+                    raise ValueError(
+                        f"merge_by_index_stream: branch {b} index {i} not "
+                        f"strictly increasing past {hwm[b]}")
+                buf[i] = (b, None if p is None else str(p))
+                hwm[b] = i
+        frontier = None
+        if all(h is not None for h in hwm):
+            frontier = min(hwm)
+        emitted = []
+        for i in sorted(buf):
+            if i == expected or (frontier is not None and i <= frontier):
+                b, p = buf.pop(i)
+                emitted.append((key[0], i, b, p, pos))
+                pos += 1
+                expected = i + 1
+            else:
+                break
+        bi = sorted(buf)
+        state.update((expected, pos, hwm, bi,
+                      [buf[i][0] for i in bi], [buf[i][1] for i in bi]))
+        if emitted:
+            yield pd.DataFrame(
+                emitted, columns=[key_col, "idx", "branch", "payload", "pos"])
+
+    return (
+        elements.groupBy(key_col)
+        .applyInPandasWithState(
+            _fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)
+    )

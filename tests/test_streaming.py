@@ -1226,3 +1226,97 @@ def test_hll_distinct_stream_matches_batch_sketch(spark, tmp_path):
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     for k, est in got.items():
         assert abs(est - exact[k]) <= 5 * 1.04 / (2 ** 12) ** 0.5 * exact[k] + 1
+
+
+def test_merge_by_index_stream_random_scatter(spark, tmp_path):
+    # MergeByIndexSpec.scala:105-128 adapted: indices 0..29 scattered over 3
+    # branches (deterministic pseudo-random assignment), fed across two
+    # micro-batches; the merged output must carry 0..29 in pos order.
+    from akka_stream_contrib_spark.streaming import merge_by_index_stream
+    feed = tmp_path / "mbi_feed"
+    feed.mkdir()
+    scatter = [0, 2, 1, 1, 0, 2, 0, 1, 2, 2, 0, 1, 1, 2, 0,
+               2, 1, 0, 0, 2, 1, 2, 0, 1, 0, 1, 2, 1, 2, 0]
+    assign = dict(enumerate(scatter))
+    rows = [{"key": 1, "branch": assign[i], "idx": i, "payload": f"p{i}"}
+            for i in range(30)]
+    # per-branch order is monotonic by construction (idx ascending)
+    _feed_json(feed, "b1.json", [r for r in rows if r["idx"] < 17])
+    schema = "key long, branch long, idx long, payload string"
+    src = spark.readStream.schema(schema).json(str(feed))
+    out = merge_by_index_stream(src, n_branches=3)
+    q = (out.writeStream.format("memory").queryName("mbi")
+         .option("checkpointLocation", str(tmp_path / "mbi_ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        # batch 1: every idx <= min branch hwm is emittable; at least the
+        # prefix up to the slowest branch's high-water mark must appear
+        hwm = {b: max(r["idx"] for r in rows
+                      if r["branch"] == b and r["idx"] < 17) for b in range(3)}
+        n1 = sum(1 for i in range(17) if i <= min(hwm.values()))
+        assert _await_rows(spark, "mbi", n1)
+        _feed_json(feed, "b2.json", [r for r in rows if r["idx"] >= 17])
+        # after batch 2 the frontier still sits at the slowest branch's final
+        # hwm; everything at or below it must be out, in pos order
+        hwm2 = {b: max(r["idx"] for r in rows if r["branch"] == b)
+                for b in range(3)}
+        n2 = min(hwm2.values()) + 1
+        assert _await_rows(spark, "mbi", n2)
+        got = spark.sql("select * from mbi order by pos").collect()
+        assert [r.idx for r in got] == list(range(len(got)))
+        assert [r.pos for r in got] == list(range(len(got)))
+        assert all(r.payload == f"p{r.idx}" for r in got)
+        assert {r.branch for r in got} == {0, 1, 2}
+    finally:
+        q.stop()
+
+
+def test_merge_by_index_stream_gap_inference(spark, tmp_path):
+    # MergeByIndex.scala:97-119: index 2 is OMITTED; once every branch's
+    # high-water mark passes it, the merge must deduce the omission and
+    # keep emitting — without a gap signal it would stall forever.
+    from akka_stream_contrib_spark.streaming import merge_by_index_stream
+    feed = tmp_path / "mbig_feed"
+    feed.mkdir()
+    _feed_json(feed, "b1.json", [
+        {"key": 1, "branch": 0, "idx": 0, "payload": "a"},
+        {"key": 1, "branch": 1, "idx": 1, "payload": "b"},
+        # idx 2 omitted; both branches deliver past it
+        {"key": 1, "branch": 0, "idx": 3, "payload": "d"},
+        {"key": 1, "branch": 1, "idx": 4, "payload": "e"},
+    ])
+    schema = "key long, branch long, idx long, payload string"
+    src = spark.readStream.schema(schema).json(str(feed))
+    out = merge_by_index_stream(src, n_branches=2)
+    q = (out.writeStream.format("memory").queryName("mbig")
+         .option("checkpointLocation", str(tmp_path / "mbig_ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        assert _await_rows(spark, "mbig", 4)
+        got = spark.sql("select * from mbig order by pos").collect()
+        assert [r.idx for r in got] == [0, 1, 3, 4]
+        assert [r.pos for r in got] == [0, 1, 2, 3]
+    finally:
+        q.stop()
+
+
+def test_merge_by_index_stream_duplicate_index_fails(spark, tmp_path):
+    # MergeByIndex.scala:139-143: a duplicate/non-monotonic index fails the
+    # stream (IllegalArgumentException); here the query terminates with the
+    # ValueError surfaced through StreamingQueryException.
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from akka_stream_contrib_spark.streaming import merge_by_index_stream
+    feed = tmp_path / "mbid_feed"
+    feed.mkdir()
+    _feed_json(feed, "b1.json", [
+        {"key": 1, "branch": 0, "idx": 0, "payload": "a"},
+        {"key": 1, "branch": 1, "idx": 0, "payload": "dup"},
+    ])
+    schema = "key long, branch long, idx long, payload string"
+    src = spark.readStream.schema(schema).json(str(feed))
+    out = merge_by_index_stream(src, n_branches=2)
+    q = (out.writeStream.format("memory").queryName("mbid")
+         .option("checkpointLocation", str(tmp_path / "mbid_ck"))
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="duplicate index"):
+        q.awaitTermination(60)
