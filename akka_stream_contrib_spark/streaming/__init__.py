@@ -8,6 +8,8 @@ from akka_stream_contrib_spark.streaming.stateful import (
     sessionize_stream,
     heavy_hitters_stream,
     merge_by_index_stream,
+    delay_strategy_stream,
+    linear_increasing_delay_strategy,
 )
 from akka_stream_contrib_spark.streaming.dedup import dedup_within_watermark
 from akka_stream_contrib_spark.streaming.funnel import (
@@ -35,6 +37,8 @@ __all__ = [
     "accumulate_while_unchanged_stream",
     "sessionize_stream",
     "merge_by_index_stream",
+    "delay_strategy_stream",
+    "linear_increasing_delay_strategy",
     "dedup_within_watermark",
     "stream_interval_join",
     "Valve",

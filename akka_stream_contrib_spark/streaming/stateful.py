@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType, StringType, StructField, StructType, BooleanType, ArrayType,
+    DoubleType, TimestampType,
 )
 
 
@@ -413,5 +414,88 @@ def merge_by_index_stream(elements: DataFrame, n_branches: int,
         elements.groupBy(key_col)
         .applyInPandasWithState(
             _fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)
+    )
+
+
+def linear_increasing_delay_strategy(step_s: float, initial_s: float = 0.0,
+                                     max_s: float = float("inf"),
+                                     flag_col: str = "needs_increase"):
+    """The reference's built-in linearIncreasingDelay as a (state_schema,
+    init_state, next_delay) strategy triple (DelayFlow.scala:76-99): on a
+    needs-increase element delay grows by ``step_s`` up to ``max_s``, on any
+    other element it resets to ``initial_s``; the returned delay applies to
+    the element that moved the state — DelayFlowSpec's 2,3,4,5,5,5 then
+    reset-to-initial sequence."""
+    if step_s <= 0:
+        raise ValueError("Increase step must be positive")  # DelayFlow.scala:81
+    if not max_s > initial_s:
+        raise ValueError("Max delay must be bigger than initial delay")
+
+    def _next(state, row):
+        (delay,) = state
+        if bool(row[flag_col]):
+            nxt = delay + step_s
+            delay = nxt if nxt < max_s else max_s
+        else:
+            delay = initial_s
+        return delay, (delay,)
+
+    return "delay double", (float(initial_s),), _next
+
+
+def delay_strategy_stream(elements: DataFrame, strategy,
+                          key_col: str = "key", seq_col: str = "seq",
+                          ts_col: str = "ts") -> DataFrame:
+    """Arbitrary user-supplied STATEFUL DelayStrategy, cross-batch — the
+    streaming form of the reference's ``DelayFlow(strategySupplier)``
+    (DelayFlow.scala:52-53; the trait at :107-119 says "can be stateful to
+    compute delay for any sequence of elements").
+
+    ``strategy`` is a triple ``(state_schema_ddl, init_state_tuple,
+    next_delay)`` where ``next_delay(state_tuple, row_dict) -> (delay_s,
+    new_state_tuple)`` — the pure-function rendering of the reference's
+    mutable ``nextDelay(elem)``: Spark's state store persists the tuple
+    across micro-batches, so the strategy object itself never needs to be
+    serialized. A fresh ``init_state`` per key mirrors the reference's
+    strategy-per-materialization supplier.
+
+    Elements are processed in ``seq_col`` order per key (within state +
+    batch); output carries the decision as DATA — (key, seq, delay_s,
+    deliver_ts = ts + delay) — the event-time-shift convention of the batch
+    ``operators/delay.py::delay_flow``. Scale: one state-store row per key,
+    O(1) state per key regardless of stream length.
+    """
+    state_ddl, init_state, next_delay = strategy
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("seq", LongType()),
+        StructField("delay_s", DoubleType()),
+        StructField("deliver_ts", TimestampType()),
+    ])
+
+    def _fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        st = tuple(state.get) if state.exists else tuple(init_state)
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
+        emitted = []
+        if len(rows):
+            rows = rows.sort_values(seq_col)
+            for _, r in rows.iterrows():
+                delay, st = next_delay(st, r)
+                deliver = (None if pd.isna(r[ts_col])
+                           else r[ts_col] + pd.Timedelta(seconds=float(delay)))
+                emitted.append((key[0], int(r[seq_col]), float(delay),
+                                deliver))
+        state.update(st)
+        if emitted:
+            yield pd.DataFrame(
+                emitted, columns=[key_col, "seq", "delay_s", "deliver_ts"])
+
+    return (
+        elements.groupBy(key_col)
+        .applyInPandasWithState(
+            _fn, out_schema,
+            StructType.fromDDL(state_ddl), "append",
             GroupStateTimeout.NoTimeout)
     )

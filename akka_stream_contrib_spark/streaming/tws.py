@@ -98,3 +98,80 @@ def keep_alive_tws(elements: DataFrame, interval_ms: int,
             timeMode="ProcessingTime",
         )
     )
+
+
+class DelayFlowProcessor(StatefulProcessor):
+    """Timer-based delayed EMISSION for an arbitrary stateful DelayStrategy —
+    the transformWithState rendering of ``DelayFlow(strategySupplier)``
+    (DelayFlow.scala:52-53 and the stateful trait at :107-119). Where
+    ``stateful.py::delay_strategy_stream`` records the delay decision as an
+    event-time shift column, this processor actually HOLDS each element in
+    the state store and releases it when its per-element timer fires — the
+    reference's timerScheduled→push behavior (DelayFlow.scala:135-152).
+
+    ``strategy`` is the same (state_schema_ddl, init_state, next_delay)
+    triple: the strategy state persists in a per-key value state, buffered
+    elements in a list state keyed by their due processing time, and one
+    timer per due instant releases everything that has matured.
+    """
+
+    def __init__(self, strategy, key_col: str = "key") -> None:
+        self.state_ddl, self.init_state, self.next_delay = strategy
+        self.key_col = key_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.strategy_state = handle.getValueState("strategy", self.state_ddl)
+        self.pending = handle.getListState(
+            "pending", "seq long, delay_s double, due_ms long")
+
+    def handleInputRows(self, key: Any, rows: Iterator[pd.DataFrame],
+                        timer_values: TimerValues) -> Iterator[pd.DataFrame]:
+        st = (tuple(self.strategy_state.get())
+              if self.strategy_state.exists() else tuple(self.init_state))
+        now = timer_values.getCurrentProcessingTimeInMs()
+        for pdf in rows:
+            for _, r in pdf.sort_values("seq").iterrows():
+                delay, st = self.next_delay(st, r)
+                due = now + int(float(delay) * 1000)
+                self.pending.appendValue((int(r["seq"]), float(delay), due))
+                self.handle.registerTimer(due)
+        self.strategy_state.update(st)
+        return iter(())
+
+    def handleExpiredTimer(self, key: Any, timer_values: TimerValues,
+                           expired: ExpiredTimerInfo) -> Iterator[pd.DataFrame]:
+        fire = expired.getExpiryTimeInMs()
+        keep, release = [], []
+        for seq, delay_s, due in self.pending.get():
+            (release if due <= fire else keep).append(
+                (int(seq), float(delay_s), int(due)))
+        self.pending.clear()
+        for row in keep:
+            self.pending.appendValue(row)
+        if release:
+            release.sort()
+            yield pd.DataFrame(
+                {self.key_col: [key[0]] * len(release),
+                 "seq": [s for s, _, _ in release],
+                 "delay_s": [d for _, d, _ in release]})
+
+    def close(self) -> None:
+        pass
+
+
+def delay_flow_tws(elements: DataFrame, strategy,
+                   key_col: str = "key") -> DataFrame:
+    """``DelayFlow`` with a user-supplied stateful strategy on real
+    transformWithState timers: elements are held per key and pushed when
+    their delay matures. Output: (key, seq, delay_s) in release order."""
+    key_t = elements.schema[key_col].dataType.simpleString()
+    return (
+        elements.groupBy(key_col)
+        .transformWithStateInPandas(
+            DelayFlowProcessor(strategy, key_col),
+            outputStructType=f"{key_col} {key_t}, seq long, delay_s double",
+            outputMode="append",
+            timeMode="ProcessingTime",
+        )
+    )

@@ -1320,3 +1320,113 @@ def test_merge_by_index_stream_duplicate_index_fails(spark, tmp_path):
          .trigger(availableNow=True).start())
     with pytest.raises(StreamingQueryException, match="duplicate index"):
         q.awaitTermination(60)
+
+
+def test_delay_strategy_stream_linear_backoff_reset_cap(spark, tmp_path):
+    # DelayFlowSpec "work with linear increasing delay": step=1, initial=1,
+    # max=5, needsIncrease for the first six elements -> delays 2,3,4,5,5,5
+    # then reset to the initial 1 for the rest (DelayFlow.scala:85-99). The
+    # batch boundary lands mid-backoff (after seq 3), so the strategy state
+    # (current delay) must survive the micro-batch restart.
+    from akka_stream_contrib_spark.streaming import (
+        delay_strategy_stream, linear_increasing_delay_strategy)
+    feed = tmp_path / "ds_feed"
+    feed.mkdir()
+    rows = [{"key": 1, "seq": i, "needs_increase": i < 7,
+             "ts": f"2026-01-01T00:00:{i:02d}"} for i in range(1, 11)]
+    _feed_json(feed, "b1.json", rows[:3])
+    schema = "key long, seq long, needs_increase boolean, ts timestamp"
+    src = spark.readStream.schema(schema).json(str(feed))
+    strat = linear_increasing_delay_strategy(step_s=1.0, initial_s=1.0,
+                                             max_s=5.0)
+    out = delay_strategy_stream(src, strat)
+    q = (out.writeStream.format("memory").queryName("dstrat")
+         .option("checkpointLocation", str(tmp_path / "ds_ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        assert _await_rows(spark, "dstrat", 3)
+        _feed_json(feed, "b2.json", rows[3:])
+        assert _await_rows(spark, "dstrat", 10)
+        got = {r.seq: r.delay_s
+               for r in spark.sql("select * from dstrat").collect()}
+        assert got == {1: 2.0, 2: 3.0, 3: 4.0, 4: 5.0, 5: 5.0, 6: 5.0,
+                       7: 1.0, 8: 1.0, 9: 1.0, 10: 1.0}
+        # deliver_ts = ts + delay (event-time shift convention)
+        dl = {r.seq: r.deliver_ts
+              for r in spark.sql("select * from dstrat").collect()}
+        assert dl[1].second == 3 and dl[7].second == 8
+    finally:
+        q.stop()
+
+
+def test_delay_strategy_stream_custom_user_strategy(spark, tmp_path):
+    # the reference's scaladoc example (DelayFlow.scala:36-46): delay grows
+    # by 1s on every failure, never resets — an arbitrary user strategy the
+    # built-ins can't express, carried cross-batch through the state store
+    from akka_stream_contrib_spark.streaming import delay_strategy_stream
+    feed = tmp_path / "cu_feed"
+    feed.mkdir()
+    rows = [{"key": 1, "seq": i, "failed": i in (2, 3, 6),
+             "ts": "2026-01-01T00:00:00"} for i in range(1, 8)]
+    _feed_json(feed, "b1.json", rows[:4])
+
+    def _next(state, row):
+        (d,) = state
+        if bool(row["failed"]):
+            d += 1.0
+        return d, (d,)
+
+    src = spark.readStream.schema(
+        "key long, seq long, failed boolean, ts timestamp").json(str(feed))
+    out = delay_strategy_stream(src, ("delay double", (0.0,), _next))
+    q = (out.writeStream.format("memory").queryName("dcust")
+         .option("checkpointLocation", str(tmp_path / "cu_ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        assert _await_rows(spark, "dcust", 4)
+        _feed_json(feed, "b2.json", rows[4:])
+        assert _await_rows(spark, "dcust", 7)
+        got = {r.seq: r.delay_s
+               for r in spark.sql("select * from dcust").collect()}
+        assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 2.0,
+                       5: 2.0, 6: 3.0, 7: 3.0}
+    finally:
+        q.stop()
+
+
+def test_delay_flow_tws_timer_release(spark, tmp_path):
+    """transformWithState variant: elements held in state and released by
+    per-element timers once the strategy's delay matures."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs the protobuf python package "
+               "(absent in this container; no-install policy) — "
+               "delay_flow_tws is the forward-path impl, exercised wherever "
+               "`import google.protobuf` succeeds")
+    import time as _time
+    from akka_stream_contrib_spark.streaming import (
+        linear_increasing_delay_strategy)
+    from akka_stream_contrib_spark.streaming.tws import delay_flow_tws
+    feed = tmp_path / "dt_feed"
+    feed.mkdir()
+    _feed_json(feed, "b1.json", [
+        {"key": 1, "seq": 1, "needs_increase": True},
+        {"key": 1, "seq": 2, "needs_increase": False},
+    ])
+    src = spark.readStream.schema(
+        "key long, seq long, needs_increase boolean").json(str(feed))
+    strat = linear_increasing_delay_strategy(step_s=1.0, initial_s=0.5,
+                                             max_s=5.0)
+    q = (delay_flow_tws(src, strat)
+         .writeStream.format("memory").queryName("dtws")
+         .option("checkpointLocation", str(tmp_path / "dt_ck"))
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        t0 = _time.monotonic()
+        rows = []
+        while _time.monotonic() - t0 < 60 and len(rows) < 2:
+            rows = spark.sql("select * from dtws").collect()
+            _time.sleep(0.5)
+        assert {(r.seq, r.delay_s) for r in rows} == {(1, 1.5), (2, 0.5)}
+    finally:
+        q.stop()
