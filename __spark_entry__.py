@@ -4292,6 +4292,58 @@ def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ---------------------------------------------------------------------------
 
+def q_cross_lingual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transliteration-robust near-dup detection (functions/dedup.py::
+    cross_lingual_dedup): odd documents are planted with ACCENTED vowels
+    (a→á … u→ú via translate) so their raw n-gram overlap with even
+    documents collapses; the translit fold (text.py::translit_normalize —
+    lowercase, 1:1 diacritic fold, punctuation strip, whitespace collapse)
+    must recover the same pair set the plain detector finds on unaccented
+    text. Same df-pruned posting-list plan as ngram_jaccard_dedup — the
+    fold is free map-side codegen on the scan."""
+    from akka_stream_contrib_spark.functions import cross_lingual_dedup
+    docs = tables.load(spark, "documents", sf_dir)
+    accented = F.when(F.col("doc_id") % 2 == 1,
+                      F.translate(F.col("text"), "aeiou", "\u00e1\u00e9\u00ed\u00f3\u00fa")
+                      ).otherwise(F.col("text"))
+    d = docs.select("doc_id", accented.alias("text"))
+    return cross_lingual_dedup(d, n=4, threshold=0.2, max_doc_freq=250)
+
+
+def q_embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift monitor (functions/ml.py::
+    embedding_dim_drift): reference slice = labels 0-4, current slice =
+    labels 5-9; top-10 dimensions by |standardized mean difference| —
+    the encoder-swap detector. Two width-sized partial-agg shuffles
+    (64 dim keys) regardless of corpus size; exact-decimal moment sums."""
+    from akka_stream_contrib_spark.functions import embedding_dim_drift
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return embedding_dim_drift(emb.filter(F.col("label") < 5),
+                               emb.filter(F.col("label") >= 5), top_k=10)
+
+
+def q_url_recrawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL re-crawl dedup (functions/web.py::normalize_url):
+    synthetic crawl where doc pairs (2k, 2k+1) fetched the same logical
+    page under different surface forms (mixed-case scheme/host + #fragment
+    vs clean); normalization collapses each pair to one canonical URL and
+    the dedup keeps the first-crawled doc. One hash shuffle on the
+    canonical key — the exact-dedup discipline applied to the web front
+    of the pipeline."""
+    from akka_stream_contrib_spark.functions.web import normalize_url
+    docs = tables.load(spark, "documents", sf_dir)
+    page = F.floor(F.col("doc_id") / 2).cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://WWW.Example.COM/doc/"), page, F.lit("#ref"))
+    ).otherwise(F.concat(F.lit("https://www.example.com/doc/"), page))
+    return (docs.select("doc_id", url.alias("url"))
+            .withColumn("norm_url", normalize_url(F.col("url")))
+            .groupBy("norm_url")
+            .agg(F.count(F.lit(1)).alias("n_crawls"),
+                 F.min("doc_id").alias("keep_doc")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4573,6 +4625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_interval": q_conformal_interval,
         "forecast_eval": q_forecast_eval,
         "theil_sen": q_theil_sen,
+        # round-9 additions
+        "cross_lingual_dedup": q_cross_lingual_dedup,
+        "embedding_dim_drift": q_embedding_dim_drift,
+        "url_recrawl_dedup": q_url_recrawl_dedup,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4611,8 +4667,57 @@ _PRIORITY = [
     # (3) the seven r1 staples that ceded slots in round 8
     "date_parts", "string_funcs", "posexplode_tokens", "resample_ffill",
     "pivot_revenue", "quantiles", "window_breadth",
-    # (4) round-9 first-evidence additions (new ops land here)
+    # (4) round-9 first-evidence additions
+    "cross_lingual_dedup", "embedding_dim_drift",
+    # (url_recrawl_dedup is local-gated this round and rotates into the
+    # driver window next round — the window caps at ~50)
 ]
+
+
+def _cross_lingual_oracle() -> str:
+    """DuckDB mirror of q_cross_lingual_dedup: the accent plant, the
+    translit fold (SAME src/dst literals via text.py::translit_map — one
+    definition, two engines), then the ngram_jaccard posting-list SQL on
+    the folded text."""
+    from akka_stream_contrib_spark.functions.text import translit_map
+    src, dst = translit_map()
+    return f"""
+        WITH folded AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                       translate(lower(
+                           CASE WHEN doc_id % 2 = 1
+                                THEN translate(text, 'aeiou', '\u00e1\u00e9\u00ed\u00f3\u00fa')
+                                ELSE text END),
+                           '{src}', '{dst}'),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS lc
+            FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, substr(lc, i, 4) AS ngram
+            FROM (SELECT doc_id, lc, unnest(range(1, length(lc) - 2)) AS i
+                  FROM folded WHERE length(lc) >= 4)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        rare AS (
+            SELECT doc_id, ngram FROM (
+                SELECT doc_id, ngram,
+                       count(*) OVER (PARTITION BY ngram) AS _df FROM g)
+            WHERE _df <= 250
+        ),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS _shared
+            FROM rare a JOIN rare b
+              ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(_shared / (sa.n_grams + sb.n_grams - _shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(_shared / (sa.n_grams + sb.n_grams - _shared), 6) >= 0.2
+    """
 
 
 def _ewma_oracle(alpha: float = 0.3, depth: int = 8) -> str:
@@ -8315,6 +8420,76 @@ def oracle_sql() -> dict[str, str]:
                                    / sqrt(greatest((ss - (s * s) / cnt) / (cnt - 1.0), 0.0)), 6) + 0.0
                    END AS zscore
             FROM fr
+        """,
+        "cross_lingual_dedup": _cross_lingual_oracle(),
+        "embedding_dim_drift": """
+            WITH ex AS (
+                SELECT CAST(i - 1 AS INTEGER) AS dim,
+                       CAST(embedding[i] AS DOUBLE) AS v,
+                       (label < 5) AS is_ref
+                FROM (SELECT embedding, label,
+                             unnest(range(1, len(embedding) + 1)) AS i
+                      FROM embeddings WHERE embedding IS NOT NULL)
+            ), m AS (
+                SELECT dim,
+                       sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                       sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur,
+                       sum(CASE WHEN is_ref THEN CAST(round(v, 9) AS DECIMAL(28,9))
+                                ELSE CAST(0 AS DECIMAL(28,9)) END) AS sx_ref,
+                       sum(CASE WHEN is_ref THEN CAST(0 AS DECIMAL(28,9))
+                                ELSE CAST(round(v, 9) AS DECIMAL(28,9)) END) AS sx_cur,
+                       sum(CASE WHEN is_ref THEN CAST(round(v * v, 9) AS DECIMAL(28,9))
+                                ELSE CAST(0 AS DECIMAL(28,9)) END) AS sx2_ref,
+                       sum(CASE WHEN is_ref THEN CAST(0 AS DECIMAL(28,9))
+                                ELSE CAST(round(v * v, 9) AS DECIMAL(28,9)) END) AS sx2_cur
+                FROM ex GROUP BY dim
+            ), mom AS (
+                SELECT dim,
+                       CAST(sx_ref AS DOUBLE) / n_ref AS m_ref,
+                       CAST(sx_cur AS DOUBLE) / n_cur AS m_cur,
+                       CAST(sx2_ref AS DOUBLE) / n_ref
+                         - (CAST(sx_ref AS DOUBLE) / n_ref)
+                           * (CAST(sx_ref AS DOUBLE) / n_ref) AS v_ref,
+                       CAST(sx2_cur AS DOUBLE) / n_cur
+                         - (CAST(sx_cur AS DOUBLE) / n_cur)
+                           * (CAST(sx_cur AS DOUBLE) / n_cur) AS v_cur
+                FROM m
+            ), scored AS (
+                SELECT dim,
+                       round(m_ref, 6) + 0.0 AS mean_ref,
+                       round(m_cur, 6) + 0.0 AS mean_cur,
+                       round((m_cur - m_ref) / sqrt((v_ref + v_cur) / 2.0), 6)
+                         + 0.0 AS smd
+                FROM mom
+            )
+            SELECT dim, mean_ref, mean_cur, smd
+            FROM scored ORDER BY abs(smd) DESC, dim LIMIT 10
+        """,
+        "url_recrawl_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'HTTPS://WWW.Example.COM/doc/'
+                                 || CAST(doc_id // 2 AS VARCHAR) || '#ref'
+                            ELSE 'https://www.example.com/doc/'
+                                 || CAST(doc_id // 2 AS VARCHAR)
+                       END AS url
+                FROM documents
+            ), n AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                               '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                           || regexp_replace(regexp_replace(url, '#.*$', ''),
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                           '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1')
+                           AS norm_url
+                FROM u
+            )
+            SELECT norm_url,
+                   CAST(count(*) AS BIGINT) AS n_crawls,
+                   min(doc_id) AS keep_doc
+            FROM n GROUP BY norm_url
         """,
         "ewma_smooth": _EWMA_ORACLE,
         "sessionize": """

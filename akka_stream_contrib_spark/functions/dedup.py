@@ -892,3 +892,37 @@ def lsh_tune(threshold: float, n_perm: int = 64) -> tuple[int, int]:
         if best is None or err < best[0]:
             best = (err, bands, rows)
     return best[1], best[2]
+
+
+def cross_lingual_dedup(
+    df: DataFrame,
+    n: int = 4,
+    threshold: float = 0.35,
+    max_doc_freq: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-lingual / transliteration-robust near-dup detection: fold each
+    document through :func:`akka_stream_contrib_spark.functions.text.
+    translit_normalize` (lowercase, 1:1 diacritic fold, punctuation strip,
+    whitespace collapse) and run the character-n-gram Jaccard inverted-index
+    plan on the FOLDED text. Catches the re-post written without accents,
+    the OCR pass that dropped diacritics, and punctuation-variant mirrors —
+    pairs whose raw n-gram Jaccard sits below any usable threshold.
+
+    Same scale shape as :func:`ngram_jaccard_dedup` (the fold is extra
+    map-side codegen on the scan, zero added shuffles): df-pruned posting
+    lists, no all-pairs anywhere. Documents that fold to fewer than ``n``
+    characters (non-Latin scripts strip away) produce no grams and exit the
+    candidate stream — quarantine them upstream via the empty-fold signal.
+
+    Output: (doc_a, doc_b, jaccard) on the folded gram sets.
+    """
+    from akka_stream_contrib_spark.functions.text import translit_normalize
+
+    folded = df.select(
+        F.col(id_col),
+        translit_normalize(F.col(text_col)).alias(text_col))
+    return ngram_jaccard_dedup(folded, n=n, threshold=threshold,
+                               max_doc_freq=max_doc_freq,
+                               id_col=id_col, text_col=text_col)

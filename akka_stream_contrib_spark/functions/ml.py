@@ -1306,3 +1306,51 @@ def split_conformal(score, calib, keep_num: int = 9, keep_den: int = 10,
              + F.lit(0.0)).alias("coverage"))
 
     return _apply
+
+
+def embedding_dim_drift(ref: DataFrame, cur: DataFrame, top_k: int = 10,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION embedding drift between a reference slice and a
+    current slice — the monitor that catches a silently retrained or
+    mis-versioned encoder upstream of a 100 TB pipeline: a changed model
+    shifts individual dimensions long before corpus-level metrics move.
+    For each dimension d: standardized mean difference
+    ``smd = (mean_cur − mean_ref) / sqrt((var_ref + var_cur) / 2)``
+    (Cohen's d with pooled variance); |smd| ≳ 0.1 on many dims = drifted
+    encoder. Returns the ``top_k`` dims by |smd| (tie-break dim asc) with
+    both means and the smd, all rounded to 6 dp.
+
+    Scale shape: posexplode is map-side; each side reduces to ONE
+    partial-aggregated groupBy over the dim key (cardinality = embedding
+    width, e.g. 64 rows) — the monitor costs two scans and two
+    width-sized shuffles regardless of corpus size; the dim-key join is
+    broadcast-sized by construction. Engine-stable: per-element values
+    round to 9 dp and accumulate as exact decimals (order-independent
+    sums), doubles only in the final closed-form moments.
+    """
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                       .alias("dim", "_v"))
+        v9 = F.round(F.col("_v"), 9).cast("decimal(28,9)")
+        v2 = F.round(F.col("_v") * F.col("_v"), 9).cast("decimal(28,9)")
+        return (ex.groupBy("dim")
+                .agg(F.count(F.lit(1)).alias(f"n_{tag}"),
+                     F.sum(v9).alias(f"sx_{tag}"),
+                     F.sum(v2).alias(f"sx2_{tag}")))
+
+    r, c = moments(ref, "ref"), moments(cur, "cur")
+    j = r.join(c, "dim")
+    def mean(tag):
+        return F.col(f"sx_{tag}").cast("double") / F.col(f"n_{tag}")
+    def var(tag):
+        m = mean(tag)
+        return F.col(f"sx2_{tag}").cast("double") / F.col(f"n_{tag}") - m * m
+    pooled = F.sqrt((var("ref") + var("cur")) / F.lit(2.0))
+    smd = F.round((mean("cur") - mean("ref")) / pooled, 6) + F.lit(0.0)
+    return (j.select(
+        F.col("dim").cast("int").alias("dim"),
+        (F.round(mean("ref"), 6) + F.lit(0.0)).alias("mean_ref"),
+        (F.round(mean("cur"), 6) + F.lit(0.0)).alias("mean_cur"),
+        smd.alias("smd"))
+        .orderBy(F.abs(F.col("smd")).desc(), "dim")
+        .limit(top_k))

@@ -758,3 +758,41 @@ def bleu2_corpus(refs: DataFrame, id_col: str = "doc_id",
             (F.round(bp * F.sqrt(p1 * p2), 6) + F.lit(0.0)).alias("bleu2"))
 
     return _apply
+
+
+def translit_map() -> tuple[str, str]:
+    """The 1:1 Latin-diacritic fold shared by :func:`translit_normalize`
+    and its DuckDB oracle mirror — ONE definition so the two engines can
+    never diverge on a character. Deliberately 1:1 (``translate``
+    semantics): multi-char expansions (ß→ss, æ→ae) fold to their leading
+    letter instead; a real ICU transliterator is a library dependency out
+    of scope under the no-third-party rule, and for DEDUP KEYS a lossy
+    stable fold is exactly as good as a linguistically correct one."""
+    groups = [
+        ("àáâãäåāăą", "a"), ("çćč", "c"), ("ďð", "d"), ("èéêëēĕėęě", "e"),
+        ("ìíîïĩīĭįı", "i"), ("ñńň", "n"), ("òóôõöøōŏő", "o"),
+        ("ùúûüũūŭůű", "u"), ("ýÿ", "y"), ("žźż", "z"), ("šśß", "s"),
+        ("þť", "t"), ("ĝğ", "g"), ("ĥ", "h"), ("ĵ", "j"), ("ķ", "k"),
+        ("ĺļľł", "l"), ("ŕŗř", "r"), ("ŵ", "w"), ("æ", "a"), ("œ", "o"),
+    ]
+    src = "".join(g for g, _ in groups)
+    dst = "".join(d * len(g) for g, d in groups)
+    assert len(src) == len(dst)
+    return src, dst
+
+
+def translit_normalize(col: Column) -> Column:
+    """Transliteration-normalized text for CROSS-LINGUAL dedup keys: the
+    same sentence written with or without diacritics (or romanized with
+    accent loss — OCR output, keyboard-limited re-posts, crawl mojibake
+    repairs) folds to one canonical form. lowercase → 1:1 diacritic fold
+    (:func:`translit_map`) → strip everything outside [a-z0-9 ] →
+    collapse whitespace → trim. Pure codegen expressions, zero shuffles;
+    non-Latin scripts strip to (near-)empty — this targets Latin-script
+    variants, and empty keys are the caller's quarantine signal."""
+    src, dst = translit_map()
+    t = F.lower(col)
+    t = F.translate(t, src, dst)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)

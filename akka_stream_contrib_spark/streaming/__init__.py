@@ -27,6 +27,7 @@ from akka_stream_contrib_spark.streaming.sinks import (
     read_scd2,
 )
 from akka_stream_contrib_spark.streaming.rollup import incremental_rollup, read_rollup, expire_buckets
+from akka_stream_contrib_spark.streaming.metrics import embedding_drift_sink
 
 __all__ = [
     "token_throttle_stream",
@@ -38,6 +39,7 @@ __all__ = [
     "sessionize_stream",
     "merge_by_index_stream",
     "delay_strategy_stream",
+    "embedding_drift_sink",
     "linear_increasing_delay_strategy",
     "dedup_within_watermark",
     "stream_interval_join",

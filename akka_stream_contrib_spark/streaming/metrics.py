@@ -66,3 +66,62 @@ def pulse_stream(df: DataFrame, key_col: str, order_col: str) -> DataFrame:
         F.max_by(F.struct(*[c for c in df.columns if c != key_col]),
                  F.col(order_col)).alias("_latest")
     ).select(key_col, "_latest.*"))
+
+
+def embedding_drift_sink(stream_df: DataFrame, ref_profile: DataFrame,
+                         path: str, vec_col: str = "embedding",
+                         min_batch_rows: int = 2):
+    """Per-micro-batch embedding-drift monitor — the streaming twin of
+    ``functions/ml.py::embedding_dim_drift``: every batch's per-dimension
+    moments are compared against a PRECOMPUTED reference profile and the
+    standardized mean difference lands as one row per dimension per batch
+    at ``path`` (parquet, appended with ``batch_id``), so an encoder swap
+    in a live ingest shows up within one trigger interval.
+
+    ``ref_profile`` must carry (dim, mean_ref, var_ref) — build it once
+    from the reference corpus::
+
+        ref.select(F.posexplode(...)) .groupBy("dim").agg(avg, var_pop)
+
+    It is collected ONCE at sink construction (embedding-width rows — the
+    bounded-broadcast budget class) so each micro-batch pays only its own
+    map-side explode + one width-sized aggregation, never a join against
+    a second stream. Batches with fewer than ``min_batch_rows`` vectors
+    are recorded with NULL smd (a 1-vector batch has no variance).
+
+    Returns a ready-to-``start()`` DataStreamWriter (foreachBatch).
+    """
+    prof = {int(r["dim"]): (float(r["mean_ref"]), float(r["var_ref"]))
+            for r in ref_profile.collect()}
+    spark_ref = stream_df.sparkSession
+
+    def _monitor(batch_df: DataFrame, batch_id: int) -> None:
+        ex = batch_df.select(
+            F.posexplode(F.col(vec_col).cast("array<double>"))
+            .alias("dim", "_v"))
+        stats = (ex.groupBy("dim")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.avg("_v").alias("mean_cur"),
+                      F.var_pop("_v").alias("var_cur"))
+                 .collect())
+        rows = []
+        for r in stats:
+            d = int(r["dim"])
+            if d not in prof:
+                continue
+            m_ref, v_ref = prof[d]
+            if int(r["n"]) >= min_batch_rows:
+                pooled = ((v_ref + float(r["var_cur"])) / 2.0) ** 0.5
+                smd = (round((float(r["mean_cur"]) - m_ref) / pooled, 6)
+                       if pooled > 0 else None)
+            else:
+                smd = None
+            rows.append((int(batch_id), d, int(r["n"]),
+                         round(float(r["mean_cur"]), 6), m_ref, smd))
+        if rows:
+            (spark_ref.createDataFrame(
+                rows, "batch_id long, dim int, n long, mean_cur double, "
+                      "mean_ref double, smd double")
+             .write.mode("append").parquet(path))
+
+    return stream_df.writeStream.foreachBatch(_monitor)

@@ -440,3 +440,75 @@ def test_robust_scale_outlier_immunity(spark):
                                 "event_id int, event_type string, value double")
     rows = cst.transform(robust_scale("event_type")).collect()
     assert all(r.robust_z is None and r.mad == 0.0 for r in rows)
+
+
+def test_cross_lingual_dedup_catches_accented_mirror(spark):
+    # the accented re-post: raw 4-gram jaccard between 1 and 2 is ~0, the
+    # translit fold recovers jaccard 1.0; doc 3 is unrelated
+    from akka_stream_contrib_spark.functions import (cross_lingual_dedup,
+                                                     ngram_jaccard_dedup)
+    base = "the quick brown fox jumps over seventeen lazy dogs tonight"
+    accented = ("Thé qüîck BRÖWN fôx, júmps över sévéntéén lâzy dögs — "
+                "tönîght!")
+    rows = [(1, base), (2, accented),
+            (3, "completely different content about spark shuffles")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = cross_lingual_dedup(df, n=4, threshold=0.9, max_doc_freq=10).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+    assert got[0].jaccard == 1.0
+    # the plain detector misses it at any usable bar
+    assert ngram_jaccard_dedup(df, n=4, threshold=0.3,
+                               max_doc_freq=10).count() == 0
+
+
+def test_translit_normalize_fold_properties(spark):
+    from akka_stream_contrib_spark.functions.text import (translit_map,
+                                                          translit_normalize)
+    src, dst = translit_map()
+    assert len(src) == len(dst) and len(set(src)) == len(src)
+    rows = [(1, "Ça va? Élève #1 — naïve façade…"),
+            (2, "ca va eleve 1 naive facade"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", translit_normalize(F.col("text")).alias("n")).collect()}
+    assert got[1] == got[2] == "ca va eleve 1 naive facade"
+    assert got[3] is None
+
+
+def test_embedding_dim_drift_detects_planted_shift(spark):
+    # ref: deterministic pseudo-noise; cur: same noise with dims 3 and 7
+    # shifted by +1.0 and -0.5 — they must rank 1st and 2nd by |smd|
+    def vec(i, shift=None):
+        v = [((i * 31 + d * 17) % 13 - 6) / 12.0 for d in range(8)]
+        if shift:
+            for d, s in shift.items():
+                v[d] += s
+        return v
+    from akka_stream_contrib_spark.functions import embedding_dim_drift
+    ref = spark.createDataFrame(
+        [(i, vec(i)) for i in range(60)], "vec_id int, embedding array<float>")
+    cur = spark.createDataFrame(
+        [(i, vec(i, {3: 1.0, 7: -0.5})) for i in range(60)],
+        "vec_id int, embedding array<float>")
+    got = embedding_dim_drift(ref, cur, top_k=3).collect()
+    assert got[0].dim == 3 and got[0].smd > 2.0
+    assert got[1].dim == 7 and got[1].smd < -0.9
+    # unshifted dims have smd == 0 exactly (identical samples)
+    assert abs(got[2].smd) < 1e-9
+
+
+def test_url_recrawl_dedup_collapses_surface_variants(spark):
+    from akka_stream_contrib_spark.functions.web import normalize_url
+    rows = [(1, "HTTPS://WWW.Example.COM/a/b#frag"),
+            (2, "https://www.example.com/a/b"),
+            (3, "https://other.com/"),
+            (4, "https://other.com")]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    got = {r.norm_url: (r.n, r.keep) for r in
+           df.withColumn("norm_url", normalize_url(F.col("url")))
+           .groupBy("norm_url")
+           .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep"))
+           .collect()}
+    assert got["https://www.example.com/a/b"] == (2, 1)
+    assert got["https://other.com"] == (2, 3)

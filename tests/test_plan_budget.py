@@ -63,6 +63,13 @@ BUDGET = {
     "ngram_jaccard_dedup": 5,
     # containment: identical posting-list machinery as the jaccard plan
     "doc_containment": 5,
+    # round-9: translit fold is map-side codegen on the scan — the budget
+    # IS the jaccard plan's
+    "cross_lingual_dedup": 5,
+    # two width-keyed (64-row) moment aggs + their tiny-key join
+    "embedding_dim_drift": 4,
+    # canonical-URL exact dedup: one hash shuffle on the normalized key
+    "url_recrawl_dedup": 1,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)

@@ -1430,3 +1430,63 @@ def test_delay_flow_tws_timer_release(spark, tmp_path):
         assert {(r.seq, r.delay_s) for r in rows} == {(1, 1.5), (2, 0.5)}
     finally:
         q.stop()
+
+
+def test_embedding_drift_sink_flags_encoder_swap(spark, tmp_path):
+    # reference profile from clean vectors; batch 1 matches the profile
+    # (|smd| small), batch 2 simulates an encoder swap (dim 2 shifted hard)
+    from akka_stream_contrib_spark.streaming import embedding_drift_sink
+
+    def vec(i, shift=0.0):
+        v = [((i * 13 + d * 7) % 11 - 5) / 10.0 for d in range(4)]
+        v[2] += shift
+        return v
+
+    ref = spark.createDataFrame([(i, vec(i)) for i in range(200)],
+                                "vec_id long, embedding array<float>")
+    prof = (ref.select(F.posexplode(F.col("embedding").cast("array<double>"))
+                       .alias("dim", "v"))
+            .groupBy("dim")
+            .agg(F.avg("v").alias("mean_ref"),
+                 F.var_pop("v").alias("var_ref")))
+    feed = tmp_path / "drift_feed"
+    feed.mkdir()
+    _feed_json(feed, "b1.json",
+               [{"vec_id": i, "embedding": vec(i)} for i in range(60)])
+    src = spark.readStream.schema(
+        "vec_id long, embedding array<float>").json(str(feed))
+    out_dir = str(tmp_path / "drift_out")
+    q = (embedding_drift_sink(src, prof, out_dir)
+         .option("checkpointLocation", str(tmp_path / "drift_ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        t0 = time.time()
+        while time.time() - t0 < 60:
+            try:
+                if spark.read.parquet(out_dir).count() >= 4:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        _feed_json(feed, "b2.json",
+                   [{"vec_id": 1000 + i, "embedding": vec(i, shift=2.0)}
+                    for i in range(60)])
+        while time.time() - t0 < 60:
+            try:
+                if spark.read.parquet(out_dir).count() >= 8:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        rows = spark.read.parquet(out_dir).collect()
+        by_batch = {}
+        for r in rows:
+            by_batch.setdefault(r.batch_id, {})[r.dim] = r.smd
+        batches = sorted(by_batch)
+        assert len(batches) >= 2
+        clean, swapped = by_batch[batches[0]], by_batch[batches[-1]]
+        assert all(abs(s) < 1.0 for s in clean.values())
+        assert swapped[2] > 3.0          # the planted shift screams
+        assert abs(swapped[0]) < 1.0     # untouched dims stay quiet
+    finally:
+        q.stop()
