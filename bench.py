@@ -234,6 +234,11 @@ HEADLINE = [
     "doc_containment",
     "adamic_adar",
     "frequent_journeys",
+    # round-9 additions: translit-fold dedup, per-dim drift monitor,
+    # canonical-URL re-crawl dedup
+    "cross_lingual_dedup",
+    "embedding_dim_drift",
+    "url_recrawl_dedup",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in
@@ -254,21 +259,23 @@ STABLE_SET = [
 ]
 assert set(STABLE_SET) <= set(HEADLINE), "stable set must be benched"
 
-# previous round's sf0.1 cold timings for STABLE_SET (BENCH_DETAIL.json of
-# the round named below) — update BOTH fields when a new round's bench runs
-STABLE_PREV_ROUND = 7
+# previous round's sf0.1 cold timings for STABLE_SET — from the round-8
+# QUIET-host run (git 180b716's BENCH_DETAIL.json, 09:32), NOT the
+# committed clamp-contaminated 12:35 BENCH_DETAIL (see BASELINE.md r8
+# clamp note) — update BOTH fields from a VERIFIED-QUIET run only
+STABLE_PREV_ROUND = 8
 STABLE_PREV = {
-    "q1_pricing_summary": 1.728, "q2_min_cost_supplier": 1.818,
-    "q3_shipping_priority": 1.036, "q5_local_supplier_volume": 0.924,
-    "q6_forecast_revenue": 0.284, "q9_product_profit": 1.128,
-    "q11_important_stock": 1.832, "q18_large_orders": 1.186,
-    "dedup_exact": 0.177, "minhash_lsh_dedup": 1.813,
-    "ngram_jaccard_dedup": 2.106, "duplicate_spans": 1.363,
-    "novelty_score": 2.788, "dsir_select": 2.456, "phash_near_dup": 2.444,
-    "ann_cosine_topk": 0.388, "ann_ivf_all": 0.969, "pq_ann": 0.853,
-    "quantized_ann": 0.3, "knn_join": 0.382, "theil_sen": 5.296,
-    "hard_negatives": 2.951, "bigram_logprob": 1.447,
-    "audio_segments": 1.89, "vwap_resample": 0.991,
+    "q1_pricing_summary": 0.923, "q2_min_cost_supplier": 0.973,
+    "q3_shipping_priority": 0.658, "q5_local_supplier_volume": 0.354,
+    "q6_forecast_revenue": 0.145, "q9_product_profit": 0.817,
+    "q11_important_stock": 1.328, "q18_large_orders": 0.676,
+    "dedup_exact": 0.111, "minhash_lsh_dedup": 1.436,
+    "ngram_jaccard_dedup": 2.303, "duplicate_spans": 1.313,
+    "novelty_score": 1.714, "dsir_select": 2.247, "phash_near_dup": 3.356,
+    "ann_cosine_topk": 0.254, "ann_ivf_all": 0.761, "pq_ann": 0.767,
+    "quantized_ann": 0.203, "knn_join": 0.274, "theil_sen": 1.612,
+    "hard_negatives": 1.04, "bigram_logprob": 1.173, "audio_segments": 1.277,
+    "vwap_resample": 1.051,
 }
 
 
