@@ -4344,6 +4344,51 @@ def q_url_recrawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("keep_doc")))
 
 
+def _synth_html():
+    """The deterministic HTML wrapper shared by q_html_extract and its
+    oracle: nav + script/style/comment boilerplate around the document
+    text, a per-doc anchor, a footer."""
+    return (
+        "<html><head><title>D</title><script>var x = 1 < 2;</script>"
+        "<style>.nav{color:red}</style></head><body><!-- build 42 -->"
+        "<div id=nav><a href=/>Home</a> <a href=/about>About&nbsp;Us</a></div>"
+        "<h1>Doc</h1><p>", "</p><div class=footer>"
+        "<a href=/tos>Terms &amp; Conditions</a></div></body></html>")
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions/web.py::html_text_extract):
+    documents wrapped in a deterministic crawl-page template (script/style/
+    comment boilerplate, nav + footer anchors, entities); the extractor
+    must recover the body text, count chars, and score link density --
+    the jusText/CCNet boilerplate gate input. Pure regexp codegen chain,
+    zero shuffles."""
+    from akka_stream_contrib_spark.functions.web import html_text_extract
+    docs = tables.load(spark, "documents", sf_dir)
+    pre, post = _synth_html()
+    html = F.concat(F.lit(pre), F.col("text"), F.lit(post))
+    return (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", html.alias("html"))
+            .transform(html_text_extract()))
+
+
+def q_common_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal (functions/corpus.py::
+    common_line_filter): every document carries the same synthetic cookie
+    banner and copyright footer around its own body line; lines verbatim-
+    shared by > 5 documents are condemned by the hash-keyed frequency
+    table and stripped everywhere. Two key shuffles + one join -- no
+    all-pairs, no driver state."""
+    from akka_stream_contrib_spark.functions.corpus import common_line_filter
+    docs = tables.load(spark, "documents", sf_dir)
+    wrapped = F.concat(
+        F.lit("We use cookies to improve your experience\n"),
+        F.col("text"),
+        F.lit("\nCopyright 2026 Example Corp All rights reserved"))
+    return (docs.select("doc_id", wrapped.alias("text"))
+            .transform(common_line_filter(max_doc_freq=5)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4629,6 +4674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_lingual_dedup": q_cross_lingual_dedup,
         "embedding_dim_drift": q_embedding_dim_drift,
         "url_recrawl_dedup": q_url_recrawl_dedup,
+        "html_extract": q_html_extract,
+        "common_line_filter": q_common_line_filter,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4672,6 +4719,61 @@ _PRIORITY = [
     # (url_recrawl_dedup is local-gated this round and rotates into the
     # driver window next round — the window caps at ~50)
 ]
+
+
+def _html_extract_oracle() -> str:
+    """DuckDB mirror of q_html_extract: the SAME wrapper literals
+    (_synth_html — one definition, two engines) and the regexp chain of
+    web.py::html_text_extract step for step ('g' flags where Spark
+    replaces globally by default)."""
+    pre, post = _synth_html()
+    pre_sql = pre.replace("'", "''")
+    post_sql = post.replace("'", "''")
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, '{pre_sql}' || text || '{post_sql}' AS h
+            FROM documents WHERE text IS NOT NULL
+        ), noscript AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(h,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g') AS t,
+                   regexp_replace(regexp_replace(h,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g') AS for_anchors
+            FROM raw
+        ), stripped AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(t,
+                               '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>',
+                               chr(10), 'g'),
+                               '<[^>]*>', ' ', 'g'),
+                           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                       '[ ' || chr(9) || chr(11) || chr(12) || chr(13) || ']+',
+                       ' ', 'g'),
+                       ' ?' || chr(10) || ' ?', chr(10), 'g'),
+                       chr(10) || '{{2,}}', chr(10), 'g'),
+                       '^' || chr(10) || '+|' || chr(10) || '+$', '', 'g'))
+                       AS text,
+                   coalesce(list_sum(list_transform(
+                       regexp_extract_all(for_anchors,
+                           '(?is)<a[^>]*>(.*?)</a>', 1),
+                       a -> length(trim(regexp_replace(a, '<[^>]*>', ' ',
+                                                       'g'))))), 0)
+                       AS anchor_chars
+            FROM noscript
+        )
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN length(text) > 0
+                    THEN round(anchor_chars / length(text), 6) + 0.0
+                    ELSE 0.0 END AS link_density
+        FROM stripped
+    """
 
 
 def _cross_lingual_oracle() -> str:
@@ -8420,6 +8522,38 @@ def oracle_sql() -> dict[str, str]:
                                    / sqrt(greatest((ss - (s * s) / cnt) / (cnt - 1.0), 0.0)), 6) + 0.0
                    END AS zscore
             FROM fr
+        """,
+        "html_extract": _html_extract_oracle(),
+        "common_line_filter": """
+            WITH wrapped AS (
+                SELECT doc_id,
+                       'We use cookies to improve your experience'
+                       || chr(10) || text || chr(10)
+                       || 'Copyright 2026 Example Corp All rights reserved'
+                       AS text
+                FROM documents WHERE text IS NOT NULL
+            ), lines AS (
+                SELECT doc_id, i - 1 AS pos, ln[i] AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ln,
+                             unnest(range(1, len(string_split(text, chr(10)))
+                                          + 1)) AS i
+                      FROM wrapped)
+            ), cond AS (
+                SELECT line FROM lines WHERE length(line) >= 10
+                GROUP BY line HAVING count(DISTINCT doc_id) > 5
+            ), marked AS (
+                SELECT l.doc_id, l.pos, l.line,
+                       (c.line IS NOT NULL AND length(l.line) >= 10) AS _drop
+                FROM lines l LEFT JOIN cond c ON l.line = c.line
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT _drop THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(count(CASE WHEN NOT _drop THEN 1 END) AS BIGINT)
+                       AS n_lines_kept,
+                   CAST(count(CASE WHEN _drop THEN 1 END) AS BIGINT)
+                       AS n_lines_dropped
+            FROM marked GROUP BY doc_id
         """,
         "cross_lingual_dedup": _cross_lingual_oracle(),
         "embedding_dim_drift": """

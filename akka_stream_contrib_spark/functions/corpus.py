@@ -1108,3 +1108,62 @@ def perplexity_split(lp_col: str = "logprob", id_col: str = "doc_id",
                 .select(id_col, lp_col, bucket.alias("ppl_bucket")))
 
     return _apply
+
+
+def common_line_filter(max_doc_freq: int = 5, min_line_chars: int = 10,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       ) -> Callable[[DataFrame], DataFrame]:
+    """CCNet-style boilerplate LINE removal: a line (newline-delimited)
+    that appears verbatim in more than ``max_doc_freq`` distinct documents
+    is boilerplate (nav menus, cookie banners, footers — the web-corpus
+    noise that survives per-document dedup because every page carries it
+    once) and is stripped from every document. Lines shorter than
+    ``min_line_chars`` are kept unconditionally (too little signal to
+    condemn; also keeps headers/bullets).
+
+    Plan: one explode of (doc, pos, line) with a map-side md5 line key; the
+    line-frequency table is ONE partial-aggregated groupBy on the hash
+    (boilerplate lines collapse map-side exactly because they repeat); a
+    key-hash join marks condemned lines; per-doc reassembly is a groupBy
+    collecting (pos, line) structs — ``array_sort`` on the struct restores
+    original order without a window. Two key shuffles + one join, no
+    all-pairs, no driver state: the 100 TB shape for this operator.
+
+    Emits (doc_id, text, n_lines_kept, n_lines_dropped); documents whose
+    every line was boilerplate come back with empty text (the quarantine
+    signal), NULL-text docs are dropped (no lines — same row semantics as
+    the other explode-based text operators).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.functions.text import token_id
+
+        lines = (df
+                 .filter(F.col(text_col).isNotNull())
+                 .select(F.col(id_col).alias("doc_id"),
+                         F.posexplode(F.split(text_col, "\n"))
+                         .alias("pos", "line"))
+                 .withColumn("_k", token_id(F.col("line"))))
+        cond = (lines
+                .filter(F.length("line") >= min_line_chars)
+                .groupBy("_k")
+                .agg(F.countDistinct("doc_id").alias("_df"))
+                .filter(F.col("_df") > max_doc_freq)
+                .select("_k", F.lit(True).alias("_boiler")))
+        marked = (lines.join(cond, "_k", "left")
+                  .withColumn("_drop",
+                              F.col("_boiler").isNotNull()
+                              & (F.length("line") >= min_line_chars)))
+        return (marked.groupBy("doc_id")
+                .agg(F.array_sort(F.collect_list(
+                         F.when(~F.col("_drop"),
+                                F.struct("pos", "line")))).alias("_kept"),
+                     F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+                     .cast("bigint").alias("n_lines_dropped"))
+                .select("doc_id",
+                        F.array_join(F.transform("_kept", lambda s: s.line),
+                                     "\n").alias(text_col),
+                        F.size("_kept").cast("bigint").alias("n_lines_kept"),
+                        "n_lines_dropped"))
+
+    return _apply

@@ -239,6 +239,8 @@ HEADLINE = [
     "cross_lingual_dedup",
     "embedding_dim_drift",
     "url_recrawl_dedup",
+    "html_extract",
+    "common_line_filter",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

@@ -512,3 +512,64 @@ def test_url_recrawl_dedup_collapses_surface_variants(spark):
            .collect()}
     assert got["https://www.example.com/a/b"] == (2, 1)
     assert got["https://other.com"] == (2, 3)
+
+
+def test_html_text_extract_strips_boilerplate_and_scores_links(spark):
+    from akka_stream_contrib_spark.functions.web import html_text_extract
+    rows = [
+        (1, '<html><head><script>var hidden = "SECRET";</script>'
+            '<style>.x{color:red}</style></head><body><!-- note -->'
+            '<h1>Title</h1><p>Real body &amp; content here</p>'
+            '<div><a href="/a">Nav One</a><a href="/b">Nav Two</a></div>'
+            '</body></html>'),
+        # nav-only page: link density ~1
+        (2, '<body><a href="/x">Only Links</a></body>'),
+        (3, '<p>No tags beyond this</p>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, html string")
+    got = {r.doc_id: r for r in df.transform(html_text_extract()).collect()}
+    t1 = got[1].text
+    assert "SECRET" not in t1 and "color:red" not in t1 and "note" not in t1
+    assert "Title" in t1 and "Real body & content here" in t1
+    assert 0.0 < got[1].link_density < 0.6
+    assert got[2].text == "Only Links" and got[2].link_density == 1.0
+    assert got[3].text == "No tags beyond this"
+    assert got[3].link_density == 0.0
+    assert got[3].n_chars == len("No tags beyond this")
+
+
+def test_html_text_extract_block_closers_become_newlines(spark):
+    from akka_stream_contrib_spark.functions.web import html_text_extract
+    df = spark.createDataFrame(
+        [(1, "<p>para one</p><p>para two</p><br>line three")],
+        "doc_id int, html string")
+    t = df.transform(html_text_extract()).collect()[0].text
+    assert t.split("\n") == ["para one", "para two", "line three"]
+
+
+def test_common_line_filter_strips_shared_lines_keeps_bodies(spark):
+    from akka_stream_contrib_spark.functions.corpus import common_line_filter
+    banner = "We use cookies on this site"
+    footer = "Copyright Example Corp 2026"
+    rows = [(i, f"{banner}\nunique body line number {i}\n{footer}")
+            for i in range(10)]
+    rows.append((99, None))  # NULL text: dropped
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           df.transform(common_line_filter(max_doc_freq=5)).collect()}
+    assert 99 not in got and len(got) == 10
+    for i in range(10):
+        assert got[i].text == f"unique body line number {i}"
+        assert got[i].n_lines_kept == 1 and got[i].n_lines_dropped == 2
+
+
+def test_common_line_filter_short_lines_immune(spark):
+    # a short line shared by everyone (e.g. "---") stays: too little
+    # signal to condemn below min_line_chars
+    from akka_stream_contrib_spark.functions.corpus import common_line_filter
+    rows = [(i, f"---\nbody {i} with enough length here") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = df.transform(common_line_filter(max_doc_freq=3,
+                                          min_line_chars=10)).collect()
+    assert all(r.text.startswith("---\n") for r in got)
+    assert all(r.n_lines_dropped == 0 for r in got)

@@ -70,6 +70,10 @@ BUDGET = {
     "embedding_dim_drift": 4,
     # canonical-URL exact dedup: one hash shuffle on the normalized key
     "url_recrawl_dedup": 1,
+    # pure regexp codegen chain on the scan
+    "html_extract": 0,
+    # line explode -> hash-keyed df table + join + per-doc regroup
+    "common_line_filter": 3,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
