@@ -4389,6 +4389,39 @@ def q_common_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(common_line_filter(max_doc_freq=5)))
 
 
+def q_chat_training_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template SFT flattening (functions/corpus.py::
+    chat_to_training_text): synthetic conversations (one per source,
+    turns = that source's documents in doc_id order, roles alternating by
+    doc_id parity, content = first 80 chars) rendered to training text
+    with LOSS-MASK SPANS; output is one row per assistant span with the
+    span text sliced back out of the rendered string — the self-proving
+    form (a wrong offset produces wrong span_text and fails the hash).
+    One groupBy shuffle; the render+span fold is array codegen."""
+    from akka_stream_contrib_spark.functions.corpus import chat_to_training_text
+    docs = tables.load(spark, "documents", sf_dir)
+    turns = (docs.filter(F.col("text").isNotNull())
+             .select(F.col("source").alias("conv_id"), "doc_id",
+                     F.when(F.col("doc_id") % 2 == 0, "user")
+                     .otherwise("assistant").alias("role"),
+                     F.substring("text", 1, 80).alias("content")))
+    convs = (turns.groupBy("conv_id")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("doc_id", "role", "content"))).alias("_t"))
+             .select("conv_id",
+                     F.transform("_t", lambda x: F.struct(
+                         x.role.alias("role"),
+                         x.content.alias("content"))).alias("turns")))
+    out = convs.transform(chat_to_training_text(id_col="conv_id"))
+    sp = out.select("conv_id", "text",
+                    F.explode("assistant_spans").alias("_sp"))
+    return sp.select(
+        "conv_id", F.col("_sp.s").alias("s"), F.col("_sp.e").alias("e"),
+        F.substring(F.col("text"), (F.col("_sp.s") + 1).cast("int"),
+                    (F.col("_sp.e") - F.col("_sp.s")).cast("int"))
+        .alias("span_text"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4676,6 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_recrawl_dedup": q_url_recrawl_dedup,
         "html_extract": q_html_extract,
         "common_line_filter": q_common_line_filter,
+        "chat_training_text": q_chat_training_text,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -8554,6 +8588,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(CASE WHEN _drop THEN 1 END) AS BIGINT)
                        AS n_lines_dropped
             FROM marked GROUP BY doc_id
+        """,
+        "chat_training_text": """
+            WITH turns AS (
+                SELECT source AS conv_id, doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substr(text, 1, 80) AS content
+                FROM documents WHERE text IS NOT NULL
+            ), off AS (
+                SELECT conv_id, doc_id, role, content,
+                       coalesce(sum(CASE WHEN role = 'assistant' THEN 12
+                                         ELSE 7 END
+                                    + length(content) + 1)
+                           OVER (PARTITION BY conv_id ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING),
+                           0) AS prev
+                FROM turns
+            ), rendered AS (
+                SELECT conv_id,
+                       string_agg(CASE WHEN role = 'assistant'
+                                       THEN '[ASSISTANT]' || chr(10)
+                                       ELSE '[USER]' || chr(10) END
+                                  || content || chr(10),
+                                  '' ORDER BY doc_id) AS text
+                FROM turns GROUP BY conv_id
+            )
+            SELECT o.conv_id,
+                   CAST(o.prev + 12 AS BIGINT) AS s,
+                   CAST(o.prev + 12 + length(o.content) AS BIGINT) AS e,
+                   substr(r.text, CAST(o.prev + 13 AS INTEGER),
+                          length(o.content)) AS span_text
+            FROM off o JOIN rendered r USING (conv_id)
+            WHERE o.role = 'assistant'
         """,
         "cross_lingual_dedup": _cross_lingual_oracle(),
         "embedding_dim_drift": """

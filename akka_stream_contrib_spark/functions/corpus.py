@@ -1167,3 +1167,81 @@ def common_line_filter(max_doc_freq: int = 5, min_line_chars: int = 10,
                         "n_lines_dropped"))
 
     return _apply
+
+
+def chat_to_training_text(system_prompt: str = "",
+                          id_col: str = "conv_id",
+                          turns_col: str = "turns",
+                          ) -> Callable[[DataFrame], DataFrame]:
+    """Chat-transcript → SFT training-text flattening: render an array of
+    (role, content) turns into one templated string and emit the LOSS-MASK
+    SPANS — the [start, end) character ranges of assistant content inside
+    the rendered text (everything else is masked out of the loss). The
+    step between a curated conversation corpus and a tokenizer.
+
+    Template (fixed, versioned by this function):
+    ``[SYS]\\n{system}\\n`` (when non-empty), then per turn
+    ``[USER]\\n{content}\\n`` or ``[ASSISTANT]\\n{content}\\n``.
+
+    Everything is array-fold codegen: one ``aggregate`` over the turns
+    array accumulates (rendered-so-far-length, spans, text) — zero
+    shuffles, zero Python; scales with scan bandwidth. Emits (conv_id,
+    text, n_turns, assistant_spans array<struct<s:bigint,e:bigint>>,
+    assistant_frac = assistant chars / total chars rounded 6dp).
+
+    Rows whose turns array is NULL/empty are dropped (nothing to train
+    on — the quarantine signal is their absence, as in the other
+    explode-based text operators).
+    """
+    header = f"[SYS]\n{system_prompt}\n" if system_prompt else ""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        t = F.col(turns_col)
+        rendered = F.concat(
+            F.lit(header),
+            F.array_join(
+                F.transform(
+                    t, lambda s: F.concat(
+                        F.when(s.role == "assistant", F.lit("[ASSISTANT]\n"))
+                        .otherwise(F.lit("[USER]\n")),
+                        s.content, F.lit("\n"))),
+                ""))
+        # span fold: running offset starts after the header; each turn
+        # advances it by tag + content + newline, assistant turns record
+        # [offset + tag, offset + tag + len(content)) before advancing
+        tag_len = F.when(F.col("x.role") == "assistant",
+                         F.lit(len("[ASSISTANT]\n"))
+                         ).otherwise(F.lit(len("[USER]\n")))
+        fold = F.expr(f"""
+            aggregate(
+              {turns_col},
+              struct(CAST({len(header)} AS BIGINT) AS off,
+                     CAST(array() AS array<struct<s: bigint, e: bigint>>)
+                         AS spans),
+              (acc, x) -> struct(
+                acc.off + (CASE WHEN x.role = 'assistant'
+                                THEN {len("[ASSISTANT]")}
+                                ELSE {len("[USER]")} END) + 1
+                        + length(x.content) + 1 AS off,
+                CASE WHEN x.role = 'assistant'
+                     THEN array_append(acc.spans, struct(
+                          acc.off + {len("[ASSISTANT]")} + 1 AS s,
+                          acc.off + {len("[ASSISTANT]")} + 1
+                              + length(x.content) AS e))
+                     ELSE acc.spans END AS spans),
+              acc -> acc.spans)
+        """)
+        _ = tag_len  # documented-name helper; the SQL fold carries the logic
+        n = F.length(rendered)
+        a_chars = F.aggregate(
+            fold, F.lit(0).cast("bigint"), lambda acc, s: acc + (s.e - s.s))
+        return (df
+                .filter(t.isNotNull() & (F.size(t) > 0))
+                .select(F.col(id_col).alias("conv_id"),
+                        rendered.alias("text"),
+                        F.size(t).cast("bigint").alias("n_turns"),
+                        fold.alias("assistant_spans"),
+                        (F.round(a_chars / n, 6) + F.lit(0.0))
+                        .alias("assistant_frac")))
+
+    return _apply

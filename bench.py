@@ -241,6 +241,7 @@ HEADLINE = [
     "url_recrawl_dedup",
     "html_extract",
     "common_line_filter",
+    "chat_training_text",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

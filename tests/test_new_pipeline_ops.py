@@ -573,3 +573,37 @@ def test_common_line_filter_short_lines_immune(spark):
                                           min_line_chars=10)).collect()
     assert all(r.text.startswith("---\n") for r in got)
     assert all(r.n_lines_dropped == 0 for r in got)
+
+
+def test_chat_training_text_spans_slice_exactly(spark):
+    from akka_stream_contrib_spark.functions.corpus import chat_to_training_text
+    rows = [
+        (1, [("user", "hi there"), ("assistant", "hello!"),
+             ("user", "bye"), ("assistant", "see ya")]),
+        (2, [("user", "no reply here")]),      # no assistant spans
+        (3, None), (4, []),                    # dropped: nothing to train on
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id int, turns array<struct<role string, content string>>")
+    got = {r.conv_id: r for r in
+           df.transform(chat_to_training_text(system_prompt="be nice"))
+           .collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1.text == ("[SYS]\nbe nice\n[USER]\nhi there\n[ASSISTANT]\n"
+                       "hello!\n[USER]\nbye\n[ASSISTANT]\nsee ya\n")
+    # every span slices back to exactly the assistant content
+    assert [r1.text[s.s:s.e] for s in r1.assistant_spans] == ["hello!", "see ya"]
+    assert r1.n_turns == 4
+    assert abs(r1.assistant_frac - round(12 / len(r1.text), 6)) < 1e-9
+    assert got[2].assistant_spans == [] and got[2].assistant_frac == 0.0
+
+
+def test_chat_training_text_no_system_header(spark):
+    from akka_stream_contrib_spark.functions.corpus import chat_to_training_text
+    df = spark.createDataFrame(
+        [(1, [("assistant", "first")])],
+        "conv_id int, turns array<struct<role string, content string>>")
+    r = df.transform(chat_to_training_text()).collect()[0]
+    assert r.text == "[ASSISTANT]\nfirst\n"
+    assert [(s.s, s.e) for s in r.assistant_spans] == [(12, 17)]

@@ -74,6 +74,8 @@ BUDGET = {
     "html_extract": 0,
     # line explode -> hash-keyed df table + join + per-doc regroup
     "common_line_filter": 3,
+    # one conv-key groupBy; render + span fold are array codegen
+    "chat_training_text": 1,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
