@@ -1490,3 +1490,70 @@ def test_embedding_drift_sink_flags_encoder_swap(spark, tmp_path):
         assert abs(swapped[0]) < 1.0     # untouched dims stay quiet
     finally:
         q.stop()
+
+def test_merge_by_index_stream_restart_resumes_frontier(spark, tmp_path):
+    # checkpoint recovery: run 1 emits the releasable prefix, the query
+    # STOPS, run 2 (same checkpoint, parquet sink — memory sinks don't
+    # recover) must resume the expected-index frontier and the position
+    # counter from state — no loss, no re-emission
+    from akka_stream_contrib_spark.streaming import merge_by_index_stream
+    feed = tmp_path / "mbir_feed"
+    feed.mkdir()
+    out_dir = str(tmp_path / "mbir_out")
+    schema = "key long, branch long, idx long, payload string"
+    rows = [{"key": 1, "branch": i % 2, "idx": i, "payload": f"p{i}"}
+            for i in range(12)]
+    _feed_json(feed, "b1.json", rows[:7])
+
+    def run_once():
+        src = spark.readStream.schema(schema).json(str(feed))
+        q = (merge_by_index_stream(src, n_branches=2)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "mbir_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        return [(r.idx, r.pos) for r in
+                spark.read.parquet(out_dir).orderBy("pos").collect()]
+
+    got1 = run_once()
+    # branch hwms after b1: branch0 (even) = 6, branch1 (odd) = 5 →
+    # frontier releases 0..5 and idx 6 rides the expected fast-path
+    assert got1 == [(i, i) for i in range(7)]
+    _feed_json(feed, "b2.json", rows[7:])
+    got2 = run_once()
+    # run 2 appends the continuation: positions resume at 7 from state
+    # (frontier releases through 10, idx 11 rides the expected fast-path)
+    assert got2 == [(i, i) for i in range(12)]
+
+
+def test_delay_strategy_stream_restart_keeps_backoff_state(spark, tmp_path):
+    # the DelayFlowSpec sequence split across a query RESTART: the strategy
+    # state (current delay) must come back from the checkpoint, not reset
+    from akka_stream_contrib_spark.streaming import (
+        delay_strategy_stream, linear_increasing_delay_strategy)
+    feed = tmp_path / "dsr_feed"
+    feed.mkdir()
+    out_dir = str(tmp_path / "dsr_out")
+    schema = "key long, seq long, needs_increase boolean, ts timestamp"
+    rows = [{"key": 1, "seq": i, "needs_increase": i < 7,
+             "ts": f"2026-01-01T00:00:{i:02d}"} for i in range(1, 11)]
+    _feed_json(feed, "b1.json", rows[:3])
+    strat = linear_increasing_delay_strategy(step_s=1.0, initial_s=1.0,
+                                             max_s=5.0)
+
+    def run_once():
+        src = spark.readStream.schema(schema).json(str(feed))
+        q = (delay_strategy_stream(src, strat)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "dsr_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        return {r.seq: r.delay_s for r in spark.read.parquet(out_dir).collect()}
+
+    got1 = run_once()
+    assert got1 == {1: 2.0, 2: 3.0, 3: 4.0}
+    _feed_json(feed, "b2.json", rows[3:])
+    got2 = run_once()
+    # a reset-on-restart bug would restart the ladder at 2.0 for seq 4
+    assert got2 == {1: 2.0, 2: 3.0, 3: 4.0, 4: 5.0, 5: 5.0, 6: 5.0,
+                    7: 1.0, 8: 1.0, 9: 1.0, 10: 1.0}
