@@ -4422,6 +4422,20 @@ def q_chat_training_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("span_text"))
 
 
+def q_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion pair mining (functions/similarity.py::margin_mine;
+    Artetxe & Schwenk 2019 — the LASER/CCMatrix bitext recipe): mine
+    aligned pairs between the label<5 and label>=5 embedding slices;
+    cosine normalized by each side's k-NN neighborhood density, argmax
+    per source vector above the margin bar. Two broadcast-GEMM kNN
+    passes + two tiny id-keyed aggs + one per-query window."""
+    from akka_stream_contrib_spark.functions.similarity import margin_mine
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return margin_mine(emb.filter(F.col("label") < 5),
+                       emb.filter(F.col("label") >= 5),
+                       k=4, threshold=1.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4710,6 +4724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "common_line_filter": q_common_line_filter,
         "chat_training_text": q_chat_training_text,
+        "margin_mine": q_margin_mine,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -8588,6 +8603,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(CASE WHEN _drop THEN 1 END) AS BIGINT)
                        AS n_lines_dropped
             FROM marked GROUP BY doc_id
+        """,
+        "margin_mine": """
+            WITH n AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE)
+                                      * CAST(y AS DOUBLE))))) AS nv
+                FROM embeddings
+            ), s AS (SELECT * FROM n WHERE label < 5),
+            t AS (SELECT * FROM n WHERE label >= 5),
+            pf AS (
+                SELECT s.vec_id AS qid, t.vec_id AS nid,
+                       round(list_sum(list_transform(
+                           generate_series(1, len(s.nv)),
+                           i -> s.nv[i] * t.nv[i])), 6) AS cos_sim
+                FROM s JOIN t ON true
+            ), fwd AS (
+                SELECT * FROM (
+                    SELECT qid, nid, cos_sim,
+                           row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, nid) AS rnk
+                    FROM pf) WHERE rnk <= 4
+            ), pb AS (
+                SELECT t.vec_id AS qid, s.vec_id AS nid,
+                       round(list_sum(list_transform(
+                           generate_series(1, len(t.nv)),
+                           i -> t.nv[i] * s.nv[i])), 6) AS cos_sim
+                FROM t JOIN s ON true
+            ), bwd AS (
+                SELECT * FROM (
+                    SELECT qid, nid, cos_sim,
+                           row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, nid) AS rnk
+                    FROM pb) WHERE rnk <= 4
+            ), dx AS (SELECT qid, sum(CAST(cos_sim AS DECIMAL(9,6))) AS dxs
+                      FROM fwd GROUP BY qid),
+            dy AS (SELECT qid, sum(CAST(cos_sim AS DECIMAL(9,6))) AS dys
+                   FROM bwd GROUP BY qid),
+            scored AS (
+                SELECT f.qid, f.nid, f.cos_sim,
+                       round(f.cos_sim * 8
+                             / CAST(dx.dxs + dy.dys AS DOUBLE), 6) + 0.0
+                           AS margin
+                FROM fwd f
+                JOIN dx ON f.qid = dx.qid
+                JOIN dy ON f.nid = dy.qid
+                WHERE dx.dxs + dy.dys > 0
+            )
+            SELECT qid AS src_id, nid AS tgt_id, cos_sim, margin
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY margin DESC, nid) AS rn FROM scored)
+            WHERE rn = 1 AND margin >= 1.0
         """,
         "chat_training_text": """
             WITH turns AS (

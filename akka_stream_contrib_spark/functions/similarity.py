@@ -1076,3 +1076,59 @@ def mmr_select(df: DataFrame, query_vec: Sequence[float], k: int = 5,
     spark = df.sparkSession
     return spark.createDataFrame(
         selected, f"rank int, {id_col} long, rel_dot long, mmr_score long")
+
+
+def margin_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
+                threshold: float = 1.05,
+                src_id: str = "vec_id", tgt_id: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Margin-criterion pair mining between two embedding sets (Artetxe &
+    Schwenk 2019, "Margin-based parallel corpus mining" — the
+    LASER/CCMatrix recipe): a candidate pair (x, y) scores
+    ``cos(x, y) / (mean cos of x's k-NN in tgt / 2 + mean cos of y's k-NN
+    in src / 2)`` — absolute cosine is miscalibrated across hubs, the
+    margin normalizes by each side's local density. Keep x's argmax-margin
+    neighbor when its score clears ``threshold`` (> 1 = closer than the
+    neighborhood average).
+
+    Plan: two :func:`knn_join` passes (broadcast GEMM, zero shuffle, the
+    ANN kernel this engine already prices) provide both the candidates and
+    the denominators; the denominators reduce to one tiny agg per side
+    keyed by vector id; the final argmax is a per-query window on the
+    join's own partitioning. 6-dp cosines are EXACT decimals, so the
+    k-sum denominators are order-independent and the oracle replays the
+    score bit-for-bit. Pairs with a non-positive denominator (pathological
+    all-negative neighborhoods) are dropped — the margin is undefined
+    there (documented, mirrored in the oracle).
+
+    Emits (src_id, tgt_id, cos_sim, margin) for the mined pairs.
+    """
+    from pyspark.sql import Window
+
+    fwd = knn_join(src, tgt, k=k, query_id=src_id, corpus_id=tgt_id,
+                   vec_col=vec_col)
+    bwd = knn_join(tgt, src, k=k, query_id=tgt_id, corpus_id=src_id,
+                   vec_col=vec_col)
+    # k-NN sums stay EXACT decimals (no decimal division — engines differ
+    # on division scale/rounding); the single double division happens once,
+    # margin = cos · 2k / (Σfwd + Σbwd), algebraically the mean-based form
+    dec = F.col("cos_sim").cast("decimal(9,6)")
+    dx = (fwd.groupBy("query_id").agg(F.sum(dec).alias("_dx"))
+          .select(F.col("query_id").alias("_qx"), "_dx"))
+    dy = (bwd.groupBy("query_id").agg(F.sum(dec).alias("_dy"))
+          .select(F.col("query_id").alias("_qy"), "_dy"))
+    dsum = F.col("_dx") + F.col("_dy")
+    scored = (fwd
+              .join(dx, F.col("query_id") == F.col("_qx"))
+              .join(dy, F.col("neighbor_id") == F.col("_qy"))
+              .filter(dsum > 0)
+              .withColumn("margin",
+                          F.round(F.col("cos_sim") * F.lit(2 * k)
+                                  / dsum.cast("double"), 6) + F.lit(0.0)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("margin"), "neighbor_id")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("margin") >= threshold))
+            .select(F.col("query_id").alias("src_id"),
+                    F.col("neighbor_id").alias("tgt_id"),
+                    "cos_sim", "margin"))

@@ -242,6 +242,7 @@ HEADLINE = [
     "html_extract",
     "common_line_filter",
     "chat_training_text",
+    "margin_mine",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

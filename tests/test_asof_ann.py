@@ -256,3 +256,41 @@ def test_near_dup_zero_norm_dropped_by_both_kernels(spark):
     assert got == want
     assert all(3 not in (a, b) for a, b, _ in want)
     assert (1, 2) in [(a, b) for a, b, _ in want]
+
+
+def test_margin_mine_prefers_local_density_normalization(spark):
+    # x0 sits in a DENSE src hub whose absolute cosines to tgt are all
+    # high; x1 is isolated with one genuinely aligned tgt partner. Raw
+    # cosine ranks the hub pair higher; the margin criterion must surface
+    # the isolated aligned pair with the LARGER margin.
+    import math
+    from akka_stream_contrib_spark.functions.similarity import margin_mine
+
+    def unit(theta, phi=0.0):
+        return [math.cos(theta), math.sin(theta) * math.cos(phi),
+                math.sin(theta) * math.sin(phi), 0.0]
+
+    # src: x1 isolated near angle 1.2; a hub of sources near angle 0
+    src = [(1, unit(1.2))] + [(10 + i, unit(0.02 * i)) for i in range(6)]
+    # tgt: y1 aligned with x1; a spread of hub-adjacent targets near 0
+    tgt = [(101, unit(1.21))] + [(110 + i, unit(0.03 + 0.05 * i))
+                                 for i in range(6)]
+    sdf = spark.createDataFrame(src, "vec_id int, embedding array<float>")
+    tdf = spark.createDataFrame(tgt, "vec_id int, embedding array<float>")
+    got = {r.src_id: r for r in
+           margin_mine(sdf, tdf, k=3, threshold=0.0).collect()}
+    # the isolated pair is mined and its margin beats every hub source's
+    assert got[1].tgt_id == 101 and got[1].cos_sim > 0.99
+    assert all(got[1].margin > got[s].margin for s in got if s != 1)
+    # every mined pair is that source's margin-argmax: one row per src
+    assert len(got) == len(src)
+
+
+def test_margin_mine_threshold_and_empty_sides(spark):
+    from akka_stream_contrib_spark.functions.similarity import margin_mine
+    sdf = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id int, embedding array<float>")
+    tdf = spark.createDataFrame([(2, [0.0, 1.0])],
+                                "vec_id int, embedding array<float>")
+    # orthogonal pair: cos 0, denominator 0 -> dropped, nothing mined
+    assert margin_mine(sdf, tdf, k=1, threshold=0.0).count() == 0

@@ -76,6 +76,9 @@ BUDGET = {
     "common_line_filter": 3,
     # one conv-key groupBy; render + span fold are array codegen
     "chat_training_text": 1,
+    # two id-keyed k-NN-sum aggs + the per-query argmax window; both kNN
+    # passes are broadcast GEMM (zero exchange), agg joins broadcast
+    "margin_mine": 3,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
