@@ -4765,8 +4765,11 @@ _PRIORITY = [
     "pivot_revenue", "quantiles", "window_breadth",
     # (4) round-9 first-evidence additions
     "cross_lingual_dedup", "embedding_dim_drift",
-    # (url_recrawl_dedup is local-gated this round and rotates into the
-    # driver window next round — the window caps at ~50)
+    # (the other round-9 additions — url_recrawl_dedup, html_extract,
+    # common_line_filter, chat_training_text, margin_mine — are local-gated
+    # this round (oracle-green at sf0.001/0.01/0.1, see
+    # tools/sweep_sf01_r9.log + session logs) and take the round-10
+    # first-evidence slots — the window caps at ~50)
 ]
 
 

@@ -1191,7 +1191,10 @@ def chat_to_training_text(system_prompt: str = "",
 
     Rows whose turns array is NULL/empty are dropped (nothing to train
     on — the quarantine signal is their absence, as in the other
-    explode-based text operators).
+    explode-based text operators). A NULL ``content`` inside a turn
+    renders as the empty string (tag + blank line) — without the coalesce
+    it would NULL-poison the whole span fold while silently vanishing
+    from the rendered text.
     """
     header = f"[SYS]\n{system_prompt}\n" if system_prompt else ""
 
@@ -1204,7 +1207,7 @@ def chat_to_training_text(system_prompt: str = "",
                     t, lambda s: F.concat(
                         F.when(s.role == "assistant", F.lit("[ASSISTANT]\n"))
                         .otherwise(F.lit("[USER]\n")),
-                        s.content, F.lit("\n"))),
+                        F.coalesce(s.content, F.lit("")), F.lit("\n"))),
                 ""))
         # span fold: running offset starts after the header; each turn
         # advances it by tag + content + newline, assistant turns record
@@ -1222,12 +1225,12 @@ def chat_to_training_text(system_prompt: str = "",
                 acc.off + (CASE WHEN x.role = 'assistant'
                                 THEN {len("[ASSISTANT]")}
                                 ELSE {len("[USER]")} END) + 1
-                        + length(x.content) + 1 AS off,
+                        + length(coalesce(x.content, '')) + 1 AS off,
                 CASE WHEN x.role = 'assistant'
                      THEN array_append(acc.spans, struct(
                           acc.off + {len("[ASSISTANT]")} + 1 AS s,
                           acc.off + {len("[ASSISTANT]")} + 1
-                              + length(x.content) AS e))
+                              + length(coalesce(x.content, '')) AS e))
                      ELSE acc.spans END AS spans),
               acc -> acc.spans)
         """)

@@ -607,3 +607,16 @@ def test_chat_training_text_no_system_header(spark):
     r = df.transform(chat_to_training_text()).collect()[0]
     assert r.text == "[ASSISTANT]\nfirst\n"
     assert [(s.s, s.e) for s in r.assistant_spans] == [(12, 17)]
+
+
+def test_chat_training_text_null_content_renders_empty(spark):
+    # a NULL content turn renders as tag + blank line instead of
+    # NULL-poisoning the span fold (spans stayed (None, None) before)
+    from akka_stream_contrib_spark.functions.corpus import chat_to_training_text
+    df = spark.createDataFrame(
+        [(1, [("user", None), ("assistant", "hello")])],
+        "conv_id int, turns array<struct<role string, content string>>")
+    r = df.transform(chat_to_training_text()).collect()[0]
+    assert r.text == "[USER]\n\n[ASSISTANT]\nhello\n"
+    assert [(s.s, s.e) for s in r.assistant_spans] == [(20, 25)]
+    assert r.text[20:25] == "hello"
