@@ -1557,3 +1557,30 @@ def test_delay_strategy_stream_restart_keeps_backoff_state(spark, tmp_path):
     # a reset-on-restart bug would restart the ladder at 2.0 for seq 4
     assert got2 == {1: 2.0, 2: 3.0, 3: 4.0, 4: 5.0, 5: 5.0, 6: 5.0,
                     7: 1.0, 8: 1.0, 9: 1.0, 10: 1.0}
+
+
+def test_incremental_dedup_sink_cross_lingual_key(spark, tmp_path):
+    """Composition: the translit fold as the dedup key makes the LIFETIME
+    streaming dedup cross-lingual — an accented re-post arriving batches
+    later is suppressed by the on-disk index."""
+    from akka_stream_contrib_spark.functions.text import translit_normalize
+    from akka_stream_contrib_spark.streaming import incremental_dedup_sink
+
+    out = str(tmp_path / "clk_out")
+    sink = incremental_dedup_sink(out, text_col="norm_key")
+
+    def with_key(df):
+        return df.withColumn("norm_key", translit_normalize(F.col("text")))
+
+    b1 = spark.createDataFrame(
+        [(1, "Héllo, Wörld!"), (2, "something else entirely")],
+        "doc_id bigint, text string")
+    b2 = spark.createDataFrame(
+        [(3, "hello world"),          # accent-variant of doc 1: suppressed
+         (4, "SOMETHING élse — entirely"),  # case/diacritic twin of 2
+         (5, "genuinely new content")],
+        "doc_id bigint, text string")
+    sink(with_key(b1), 0)
+    sink(with_key(b2), 1)
+    docs = {r.doc_id for r in spark.read.parquet(f"{out}/docs").collect()}
+    assert docs == {1, 2, 5}
