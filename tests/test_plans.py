@@ -369,3 +369,31 @@ def test_round8_additions_plan_shapes(spark):
     # grouped_split stays a pure map-side scan
     plan = formatted_plan(entry.queries()["grouped_split"](spark, SF))
     assert "Exchange" not in plan
+
+
+def test_round9_additions_plan_shapes(spark):
+    from akka_stream_contrib_spark.plans import formatted_plan
+    # html_extract: the whole extraction is one codegen chain on the scan —
+    # no exchange, no join, and the scan reads only (doc_id, text)
+    plan = formatted_plan(entry.queries()["html_extract"](spark, SF))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "ReadSchema" in plan and "doc_id" in plan
+    assert "lang" not in plan and "source" not in plan  # column pruning
+    # margin_mine: the kNN stages are broadcast GEMM — never a cartesian
+    # or nested-loop pair join
+    plan = formatted_plan(entry.queries()["margin_mine"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # embedding_dim_drift: the dim-keyed moment join must not shuffle the
+    # exploded element stream a second time — the join is broadcast or a
+    # tiny hash join of two 64-row aggregates, never a sort-merge over data
+    plan = formatted_plan(entry.queries()["embedding_dim_drift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # cross_lingual_dedup rides the jaccard posting plan: no nested-loop
+    plan = formatted_plan(entry.queries()["cross_lingual_dedup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # chat_training_text: one exchange (the conv groupBy); the span fold
+    # adds no window over the rendered stream
+    plan = formatted_plan(entry.queries()["chat_training_text"](spark, SF))
+    assert "Window" not in plan
