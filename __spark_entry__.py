@@ -4790,10 +4790,7 @@ def _html_extract_oracle() -> str:
                    regexp_replace(regexp_replace(regexp_replace(h,
                        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
                        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                       '(?s)<!--.*?-->', ' ', 'g') AS t,
-                   regexp_replace(regexp_replace(h,
-                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                       '(?s)<!--.*?-->', ' ', 'g') AS for_anchors
+                       '(?s)<!--.*?-->', ' ', 'g') AS t
             FROM raw
         ), stripped AS (
             SELECT doc_id,
@@ -4812,18 +4809,26 @@ def _html_extract_oracle() -> str:
                        '^' || chr(10) || '+|' || chr(10) || '+$', '', 'g'))
                        AS text,
                    coalesce(list_sum(list_transform(
-                       regexp_extract_all(for_anchors,
+                       regexp_extract_all(t,
                            '(?is)<a[^>]*>(.*?)</a>', 1),
-                       a -> length(trim(regexp_replace(a, '<[^>]*>', ' ',
-                                                       'g'))))), 0)
+                       a -> length(trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               regexp_replace(a, '<[^>]*>', ' ', 'g'),
+                               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                               '&quot;', '"'), '&#39;', chr(39)),
+                               '&amp;', '&'),
+                           '[ ' || chr(9) || chr(10) || chr(11) || chr(12)
+                               || chr(13) || ']+',
+                           ' ', 'g'))))), 0)
                        AS anchor_chars
             FROM noscript
         )
         SELECT doc_id, text,
                CAST(length(text) AS BIGINT) AS n_chars,
-               CASE WHEN length(text) > 0
-                    THEN round(anchor_chars / length(text), 6) + 0.0
-                    ELSE 0.0 END AS link_density
+               round(least(CASE WHEN length(text) > 0
+                                THEN anchor_chars / length(text)
+                                ELSE 0.0 END, 1.0), 6) + 0.0
+                   AS link_density
         FROM stripped
     """
 
@@ -8702,7 +8707,8 @@ def oracle_sql() -> dict[str, str]:
                        (label < 5) AS is_ref
                 FROM (SELECT embedding, label,
                              unnest(range(1, len(embedding) + 1)) AS i
-                      FROM embeddings WHERE embedding IS NOT NULL)
+                      FROM embeddings
+                      WHERE embedding IS NOT NULL AND label IS NOT NULL)
             ), m AS (
                 SELECT dim,
                        sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
@@ -8731,12 +8737,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT dim,
                        round(m_ref, 6) + 0.0 AS mean_ref,
                        round(m_cur, 6) + 0.0 AS mean_cur,
-                       round((m_cur - m_ref) / sqrt((v_ref + v_cur) / 2.0), 6)
-                         + 0.0 AS smd
+                       CASE WHEN v_ref + v_cur > 0
+                            THEN round((m_cur - m_ref)
+                                       / sqrt((v_ref + v_cur) / 2.0), 6)
+                                 + 0.0 END AS smd
                 FROM mom
             )
             SELECT dim, mean_ref, mean_cur, smd
-            FROM scored ORDER BY abs(smd) DESC, dim LIMIT 10
+            FROM scored ORDER BY abs(smd) DESC NULLS LAST, dim LIMIT 10
         """,
         "url_recrawl_dedup": """
             WITH u AS (

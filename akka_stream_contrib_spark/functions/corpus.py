@@ -1121,36 +1121,47 @@ def common_line_filter(max_doc_freq: int = 5, min_line_chars: int = 10,
     ``min_line_chars`` are kept unconditionally (too little signal to
     condemn; also keeps headers/bullets).
 
-    Plan: one explode of (doc, pos, line) with a map-side md5 line key; the
-    line-frequency table is ONE partial-aggregated groupBy on the hash
-    (boilerplate lines collapse map-side exactly because they repeat); a
-    key-hash join marks condemned lines; per-doc reassembly is a groupBy
-    collecting (pos, line) structs — ``array_sort`` on the struct restores
-    original order without a window. Two key shuffles + one join, no
-    all-pairs, no driver state: the 100 TB shape for this operator.
+    Plan: one explode of (doc, pos, line) (cached — the frequency agg and
+    the join probe both consume it, the ngram_jaccard discipline); the
+    line-frequency table is ONE partial-aggregated groupBy on the LINE
+    ITSELF (boilerplate lines collapse map-side exactly because they
+    repeat; keying by the raw string, not a 32-bit hash, is what makes the
+    condemnation collision-free at corpus scale — a hash key would strip
+    innocent colliding lines); the condemned set is tiny by construction
+    (each needs > max_doc_freq distinct docs) and BROADCASTS back over the
+    line stream; per-doc reassembly is a groupBy collecting (pos, line)
+    structs — ``array_sort`` on the struct restores original order without
+    a window. Two key shuffles, no all-pairs, no driver state: the 100 TB
+    shape for this operator.
+
+    Relationship to :func:`remove_boilerplate` (same file): that operator
+    is the FRACTIONAL-df CCNet cleanup (drop segments in > frac·N docs,
+    drop emptied docs); this one is its absolute-threshold sibling for
+    streaming-corpus hygiene — fixed df cap independent of corpus size,
+    short-line immunity, and emptied docs kept (empty text IS the
+    quarantine signal). Both key the condemnation by the raw segment.
 
     Emits (doc_id, text, n_lines_kept, n_lines_dropped); documents whose
-    every line was boilerplate come back with empty text (the quarantine
-    signal), NULL-text docs are dropped (no lines — same row semantics as
-    the other explode-based text operators).
+    every line was boilerplate come back with empty text, NULL-text docs
+    are dropped (no lines — same row semantics as the other explode-based
+    text operators).
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        from akka_stream_contrib_spark.functions.text import token_id
+        from akka_stream_contrib_spark.util import pipeline_cache
 
-        lines = (df
-                 .filter(F.col(text_col).isNotNull())
-                 .select(F.col(id_col).alias("doc_id"),
-                         F.posexplode(F.split(text_col, "\n"))
-                         .alias("pos", "line"))
-                 .withColumn("_k", token_id(F.col("line"))))
+        lines = pipeline_cache(
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(F.split(text_col, "\n"))
+                    .alias("pos", "line")))
         cond = (lines
                 .filter(F.length("line") >= min_line_chars)
-                .groupBy("_k")
+                .groupBy("line")
                 .agg(F.countDistinct("doc_id").alias("_df"))
                 .filter(F.col("_df") > max_doc_freq)
-                .select("_k", F.lit(True).alias("_boiler")))
-        marked = (lines.join(cond, "_k", "left")
+                .select("line", F.lit(True).alias("_boiler")))
+        marked = (lines.join(F.broadcast(cond), "line", "left")
                   .withColumn("_drop",
                               F.col("_boiler").isNotNull()
                               & (F.length("line") >= min_line_chars)))
@@ -1212,9 +1223,6 @@ def chat_to_training_text(system_prompt: str = "",
         # span fold: running offset starts after the header; each turn
         # advances it by tag + content + newline, assistant turns record
         # [offset + tag, offset + tag + len(content)) before advancing
-        tag_len = F.when(F.col("x.role") == "assistant",
-                         F.lit(len("[ASSISTANT]\n"))
-                         ).otherwise(F.lit(len("[USER]\n")))
         fold = F.expr(f"""
             aggregate(
               {turns_col},
@@ -1234,7 +1242,6 @@ def chat_to_training_text(system_prompt: str = "",
                      ELSE acc.spans END AS spans),
               acc -> acc.spans)
         """)
-        _ = tag_len  # documented-name helper; the SQL fold carries the logic
         n = F.length(rendered)
         a_chars = F.aggregate(
             fold, F.lit(0).cast("bigint"), lambda acc, s: acc + (s.e - s.s))

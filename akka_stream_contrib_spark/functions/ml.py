@@ -1345,12 +1345,19 @@ def embedding_dim_drift(ref: DataFrame, cur: DataFrame, top_k: int = 10,
     def var(tag):
         m = mean(tag)
         return F.col(f"sx2_{tag}").cast("double") / F.col(f"n_{tag}") - m * m
-    pooled = F.sqrt((var("ref") + var("cur")) / F.lit(2.0))
-    smd = F.round((mean("cur") - mean("ref")) / pooled, 6) + F.lit(0.0)
+    vsum = var("ref") + var("cur")
+    pooled = F.sqrt(vsum / F.lit(2.0))
+    # a dimension constant in both slices (padding dims) has pooled = 0:
+    # 0/0 would be NaN, and Spark orders NaN ABOVE every real value, so a
+    # dead dim would permanently occupy rank 1 — emit NULL instead (the
+    # streaming twin's pooled > 0 guard; NULLs sort last)
+    smd = F.when(vsum > 0,
+                 F.round((mean("cur") - mean("ref")) / pooled, 6)
+                 + F.lit(0.0))
     return (j.select(
         F.col("dim").cast("int").alias("dim"),
         (F.round(mean("ref"), 6) + F.lit(0.0)).alias("mean_ref"),
         (F.round(mean("cur"), 6) + F.lit(0.0)).alias("mean_cur"),
         smd.alias("smd"))
-        .orderBy(F.abs(F.col("smd")).desc(), "dim")
+        .orderBy(F.abs(F.col("smd")).desc_nulls_last(), "dim")
         .limit(top_k))

@@ -110,16 +110,24 @@ def html_text_extract(id_col: str = "doc_id", html_col: str = "html",
         t = F.regexp_replace(h, r"(?is)<script[^>]*>.*?</script>", " ")
         t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
         t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
-        # anchor text, measured on the same cleaned stream
+        # anchor text, measured on the SAME cleaned stream as the
+        # denominator (style blocks stripped too) and normalized the same
+        # way (inner tags out, entities decoded, whitespace collapsed) —
+        # an inconsistent numerator made '&amp;'-bearing nav pages score
+        # link_density > 1 (r9 review fix)
         anchors = F.regexp_extract_all(
-            F.regexp_replace(
-                F.regexp_replace(h, r"(?is)<script[^>]*>.*?</script>", " "),
-                r"(?s)<!--.*?-->", " "),
-            F.lit(r"(?is)<a[^>]*>(.*?)</a>"), 1)
+            t, F.lit(r"(?is)<a[^>]*>(.*?)</a>"), 1)
+
+        def anchor_len(c):
+            c = F.regexp_replace(c, r"<[^>]*>", " ")
+            for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                            ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+                c = F.replace(c, F.lit(ent), F.lit(ch))
+            c = F.regexp_replace(c, r"[ \t\n\x0b\x0c\r]+", " ")
+            return F.length(F.trim(c))
+
         anchor_chars = F.aggregate(
-            F.transform(anchors,
-                        lambda s: F.length(F.trim(
-                            F.regexp_replace(s, r"<[^>]*>", " ")))),
+            F.transform(anchors, anchor_len),
             F.lit(0), lambda acc, x: acc + x)
 
         def strip_tags(c):
@@ -139,11 +147,16 @@ def html_text_extract(id_col: str = "doc_id", html_col: str = "html",
 
         text = strip_tags(t)
         n = F.length(text)
+        # least(…, 1) caps residual approximation (regex extraction can
+        # still over-count pathological nested markup); the contract is
+        # density ∈ [0, 1]
         return df.select(
             F.col(id_col).alias("doc_id"),
             text.alias("text"),
             n.cast("bigint").alias("n_chars"),
-            (F.round(F.when(n > 0, anchor_chars / n).otherwise(F.lit(0.0)), 6)
+            (F.round(F.least(
+                F.when(n > 0, anchor_chars / n).otherwise(F.lit(0.0)),
+                F.lit(1.0)), 6)
              + F.lit(0.0)).alias("link_density"))
 
     return _apply

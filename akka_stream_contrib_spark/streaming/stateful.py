@@ -370,8 +370,18 @@ def merge_by_index_stream(elements: DataFrame, n_branches: int,
             buf = {int(i): (int(b), p) for i, b, p in zip(bi, bb, bp)}
         else:
             expected, pos, hwm, buf = 0, 0, [None] * n_branches, {}
-        for pdf in pdfs:
-            for b, i, p in zip(pdf["branch"], pdf["idx"], pdf["payload"]):
+        # arrival order within a micro-batch is NOT data order (the groupBy
+        # shuffle interleaves source partitions/files) — sort the batch by
+        # idx before the monotonicity checks, or valid input whose rows
+        # arrive as (3, 1) would spuriously fail the stream. Per-branch
+        # sequences are strictly increasing, so the global idx sort restores
+        # every branch's event order within the batch.
+        chunks = list(pdfs)
+        rows = (pd.concat(chunks).sort_values("idx")
+                if chunks else pd.DataFrame(
+                    columns=["branch", "idx", "payload"]))
+        if len(rows):
+            for b, i, p in zip(rows["branch"], rows["idx"], rows["payload"]):
                 b, i = int(b), int(i)
                 if not (0 <= b < n_branches):
                     raise ValueError(

@@ -130,8 +130,13 @@ class DelayFlowProcessor(StatefulProcessor):
         st = (tuple(self.strategy_state.get())
               if self.strategy_state.exists() else tuple(self.init_state))
         now = timer_values.getCurrentProcessingTimeInMs()
-        for pdf in rows:
-            for _, r in pdf.sort_values("seq").iterrows():
+        # concat ALL Arrow chunks before the one sort: a key with more rows
+        # than the Arrow batch size arrives as several pdfs, and per-chunk
+        # sorting would feed seq 10050 to the strategy before seq 9990
+        chunks = list(rows)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            for _, r in batch.sort_values("seq").iterrows():
                 delay, st = self.next_delay(st, r)
                 due = now + int(float(delay) * 1000)
                 self.pending.appendValue((int(r["seq"]), float(delay), due))

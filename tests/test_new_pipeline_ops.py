@@ -620,3 +620,37 @@ def test_chat_training_text_null_content_renders_empty(spark):
     assert r.text == "[USER]\n\n[ASSISTANT]\nhello\n"
     assert [(s.s, s.e) for s in r.assistant_spans] == [(20, 25)]
     assert r.text[20:25] == "hello"
+
+
+def test_html_link_density_bounded_with_entities_and_style_anchors(spark):
+    # r9 review: entity-bearing anchors ('&amp;') and anchors inside
+    # <style> blocks used to push the numerator past the denominator
+    from akka_stream_contrib_spark.functions.web import html_text_extract
+    rows = [
+        (1, '<body><a href="/x">Terms &amp; Conditions</a></body>'),
+        (2, '<body><style>q::before{content:"<a>fake</a>"}</style>'
+            '<p>real content text here</p></body>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, html string")
+    got = {r.doc_id: r for r in df.transform(html_text_extract()).collect()}
+    assert got[1].text == "Terms & Conditions"
+    assert got[1].link_density == 1.0          # == , not > 1.222
+    assert got[2].link_density == 0.0          # style anchors don't count
+    assert "fake" not in got[2].text
+
+
+def test_embedding_dim_drift_constant_dim_yields_null_not_nan(spark):
+    # r9 review: a dim constant in both slices gave smd = 0/0 = NaN, and
+    # Spark ranks NaN above every real value — the dead dim hijacked rank 1
+    from akka_stream_contrib_spark.functions import embedding_dim_drift
+    def vec(i, shift=0.0):
+        # dim 0 constant everywhere; dim 1 genuinely drifts
+        return [0.5, ((i * 7) % 9 - 4) / 8.0 + shift, ((i * 3) % 5) / 5.0]
+    ref = spark.createDataFrame([(i, vec(i)) for i in range(40)],
+                                "vec_id int, embedding array<float>")
+    cur = spark.createDataFrame([(i, vec(i, shift=1.0)) for i in range(40)],
+                                "vec_id int, embedding array<float>")
+    got = embedding_dim_drift(ref, cur, top_k=3).collect()
+    assert got[0].dim == 1 and got[0].smd > 2.0   # the real drift leads
+    by_dim = {r.dim: r.smd for r in got}
+    assert by_dim[0] is None                       # constant dim: NULL

@@ -1584,3 +1584,31 @@ def test_incremental_dedup_sink_cross_lingual_key(spark, tmp_path):
     sink(with_key(b2), 1)
     docs = {r.doc_id for r in spark.read.parquet(f"{out}/docs").collect()}
     assert docs == {1, 2, 5}
+
+
+def test_merge_by_index_stream_tolerates_batch_arrival_order(spark, tmp_path):
+    # two files land in ONE availableNow batch; the file holding the LOWER
+    # indices sorts after the other, so arrival order within the batch is
+    # (2,3,0,1)-ish — the operator must sort by idx before its
+    # monotonicity checks instead of failing valid input (r9 review fix)
+    from akka_stream_contrib_spark.streaming import merge_by_index_stream
+    feed = tmp_path / "mbo_feed"
+    feed.mkdir()
+    _feed_json(feed, "1_late.json", [
+        {"key": 1, "branch": 0, "idx": 2, "payload": "c"},
+        {"key": 1, "branch": 1, "idx": 3, "payload": "d"},
+    ])
+    _feed_json(feed, "2_early.json", [
+        {"key": 1, "branch": 0, "idx": 0, "payload": "a"},
+        {"key": 1, "branch": 1, "idx": 1, "payload": "b"},
+    ])
+    src = spark.readStream.schema(
+        "key long, branch long, idx long, payload string").json(str(feed))
+    q = (merge_by_index_stream(src, n_branches=2)
+         .writeStream.format("memory").queryName("mbo")
+         .option("checkpointLocation", str(tmp_path / "mbo_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = [(r.idx, r.pos) for r in
+           spark.sql("select * from mbo order by pos").collect()]
+    assert got == [(0, 0), (1, 1), (2, 2), (3, 3)]
