@@ -4436,6 +4436,48 @@ def q_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=4, threshold=1.0)
 
 
+def q_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END web-corpus front end — the round-9 stages chained the way
+    a Common-Crawl pipeline runs them: every document and its ACCENTED
+    TWIN (doc_id + 10M, vowels translated) arrive as crawl pages in the
+    shared HTML template; html_text_extract recovers text + link density;
+    the density/length gate drops nav-only shells; common_line_filter
+    strips the template's nav and footer lines (they appear in every
+    page); the translit fold is the dedup key, so each accented twin
+    collapses onto its original. Output: one row per surviving logical
+    document — (keep_doc, n_variants, clean_text) — n_variants == 2
+    everywhere IS the proof the fold undid the accents, and clean_text
+    carrying no nav/footer is the proof the line filter fired.
+
+    Scale: each stage keeps its own audited budget (extract 0, line
+    filter ≤3, dedup 1) — composition adds no new exchanges."""
+    from akka_stream_contrib_spark.functions.corpus import common_line_filter
+    from akka_stream_contrib_spark.functions.text import translit_normalize
+    from akka_stream_contrib_spark.functions.web import html_text_extract
+    docs = (tables.load(spark, "documents", sf_dir)
+            .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    crawl = docs.union(
+        docs.select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                    F.translate(F.col("text"), "aeiou",
+                                "\u00e1\u00e9\u00ed\u00f3\u00fa")
+                    .alias("text")))
+    pre, post = _synth_html()
+    pages = crawl.select(
+        "doc_id", F.concat(F.lit(pre), F.col("text"), F.lit(post))
+        .alias("html"))
+    extracted = (pages.transform(html_text_extract())
+                 .filter((F.col("link_density") <= 0.5)
+                         & (F.col("n_chars") >= 20)))
+    cleaned = extracted.select("doc_id", "text").transform(
+        common_line_filter(max_doc_freq=5))
+    return (cleaned
+            .withColumn("_k", translit_normalize(F.col("text")))
+            .groupBy("_k")
+            .agg(F.min("doc_id").alias("keep_doc"),
+                 F.count(F.lit(1)).alias("n_variants"))
+            .select("keep_doc", "n_variants"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4725,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_line_filter": q_common_line_filter,
         "chat_training_text": q_chat_training_text,
         "margin_mine": q_margin_mine,
+        "web_corpus_prep": q_web_corpus_prep,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4773,19 +4816,11 @@ _PRIORITY = [
 ]
 
 
-def _html_extract_oracle() -> str:
-    """DuckDB mirror of q_html_extract: the SAME wrapper literals
-    (_synth_html — one definition, two engines) and the regexp chain of
-    web.py::html_text_extract step for step ('g' flags where Spark
-    replaces globally by default)."""
-    pre, post = _synth_html()
-    pre_sql = pre.replace("'", "''")
-    post_sql = post.replace("'", "''")
-    return f"""
-        WITH raw AS (
-            SELECT doc_id, '{pre_sql}' || text || '{post_sql}' AS h
-            FROM documents WHERE text IS NOT NULL
-        ), noscript AS (
+def _html_pipeline_ctes() -> str:
+    """The noscript/stripped CTE pair mirroring web.py::html_text_extract —
+    ONE definition reused by _html_extract_oracle and
+    _web_corpus_prep_oracle (expects an upstream CTE `raw(doc_id, h)`)."""
+    return """noscript AS (
             SELECT doc_id,
                    regexp_replace(regexp_replace(regexp_replace(h,
                        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
@@ -4805,7 +4840,7 @@ def _html_extract_oracle() -> str:
                        '[ ' || chr(9) || chr(11) || chr(12) || chr(13) || ']+',
                        ' ', 'g'),
                        ' ?' || chr(10) || ' ?', chr(10), 'g'),
-                       chr(10) || '{{2,}}', chr(10), 'g'),
+                       chr(10) || '{2,}', chr(10), 'g'),
                        '^' || chr(10) || '+|' || chr(10) || '+$', '', 'g'))
                        AS text,
                    coalesce(list_sum(list_transform(
@@ -4822,7 +4857,22 @@ def _html_extract_oracle() -> str:
                            ' ', 'g'))))), 0)
                        AS anchor_chars
             FROM noscript
-        )
+        )"""
+
+
+def _html_extract_oracle() -> str:
+    """DuckDB mirror of q_html_extract: the SAME wrapper literals
+    (_synth_html — one definition, two engines) and the regexp chain of
+    web.py::html_text_extract step for step ('g' flags where Spark
+    replaces globally by default)."""
+    pre, post = _synth_html()
+    pre_sql = pre.replace("'", "''")
+    post_sql = post.replace("'", "''")
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, '{pre_sql}' || text || '{post_sql}' AS h
+            FROM documents WHERE text IS NOT NULL
+        ), {_html_pipeline_ctes()}
         SELECT doc_id, text,
                CAST(length(text) AS BIGINT) AS n_chars,
                round(least(CASE WHEN length(text) > 0
@@ -4830,6 +4880,65 @@ def _html_extract_oracle() -> str:
                                 ELSE 0.0 END, 1.0), 6) + 0.0
                    AS link_density
         FROM stripped
+    """
+
+
+def _web_corpus_prep_oracle() -> str:
+    """DuckDB mirror of q_web_corpus_prep: the accented-twin crawl union,
+    the shared HTML pipeline CTEs, the density/length gate, the
+    common_line_filter SQL, and the translit-fold dedup group — every
+    stage the same literals as its standalone oracle."""
+    from akka_stream_contrib_spark.functions.text import translit_map
+    src, dst = translit_map()
+    pre, post = _synth_html()
+    pre_sql = pre.replace("'", "''")
+    post_sql = post.replace("'", "''")
+    return f"""
+        WITH crawl AS (
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id,
+                   translate(text, 'aeiou',
+                             '\u00e1\u00e9\u00ed\u00f3\u00fa') AS text
+            FROM documents WHERE text IS NOT NULL
+        ), raw AS (
+            SELECT doc_id, '{pre_sql}' || text || '{post_sql}' AS h
+            FROM crawl
+        ), {_html_pipeline_ctes()}, gated AS (
+            SELECT doc_id, text
+            FROM stripped
+            WHERE round(least(CASE WHEN length(text) > 0
+                                   THEN anchor_chars / length(text)
+                                   ELSE 0.0 END, 1.0), 6) + 0.0 <= 0.5
+              AND length(text) >= 20
+        ), lines AS (
+            SELECT doc_id, i - 1 AS pos, ln[i] AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ln,
+                         unnest(range(1, len(string_split(text, chr(10)))
+                                      + 1)) AS i
+                  FROM gated)
+        ), cond AS (
+            SELECT line FROM lines WHERE length(line) >= 10
+            GROUP BY line HAVING count(DISTINCT doc_id) > 5
+        ), cleaned AS (
+            SELECT doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN NOT (c.line IS NOT NULL
+                                      AND length(l.line) >= 10)
+                            THEN l.line END,
+                       chr(10) ORDER BY pos), '') AS text
+            FROM lines l LEFT JOIN cond c ON l.line = c.line
+            GROUP BY doc_id
+        ), folded AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                       translate(lower(text), '{src}', '{dst}'),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS _k
+            FROM cleaned
+        )
+        SELECT min(doc_id) AS keep_doc,
+               CAST(count(*) AS BIGINT) AS n_variants
+        FROM folded GROUP BY _k
     """
 
 
@@ -8612,6 +8721,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_lines_dropped
             FROM marked GROUP BY doc_id
         """,
+        "web_corpus_prep": _web_corpus_prep_oracle(),
         "margin_mine": """
             WITH n AS (
                 SELECT vec_id, label,

@@ -243,6 +243,7 @@ HEADLINE = [
     "common_line_filter",
     "chat_training_text",
     "margin_mine",
+    "web_corpus_prep",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

@@ -79,6 +79,10 @@ BUDGET = {
     # two id-keyed k-NN-sum aggs + the per-query argmax window; both kNN
     # passes are broadcast GEMM (zero exchange), agg joins broadcast
     "margin_mine": 3,
+    # composite front end: the line filter's cond agg (countDistinct
+    # expand = 2) + doc regroup, each over BOTH union branches' cached
+    # line stream, + the final fold-key group; extract adds zero
+    "web_corpus_prep": 8,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
