@@ -653,10 +653,17 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     # sims IS the (sim desc, id asc) total order — one vectorized argsort
     # and ONE output frame per Arrow batch instead of a per-query-row
     # lexsort + DataFrame (the hard_negatives kernel shape)
-    order0 = np.argsort(pdf[corpus_id].to_numpy())
-    c_ids = pdf[corpus_id].to_numpy()[order0]
-    c_mat = np.stack(pdf[vec_col].to_numpy()[order0]).astype(np.float64)
-    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    if len(pdf) == 0:
+        # an empty corpus has no neighbors: the empty result in the output
+        # schema (np.stack would raise) — lets compositions (margin_mine)
+        # run over empty slices instead of crashing at plan build
+        c_ids = np.empty(0, dtype=np.int64)
+        c_mat = np.empty((0, 1), dtype=np.float64)
+    else:
+        order0 = np.argsort(pdf[corpus_id].to_numpy())
+        c_ids = pdf[corpus_id].to_numpy()[order0]
+        c_mat = np.stack(pdf[vec_col].to_numpy()[order0]).astype(np.float64)
+        c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
     b_ids = spark.sparkContext.broadcast(c_ids)
     b_mat = spark.sparkContext.broadcast(c_mat)
     kk = min(k, len(c_ids))

@@ -23,8 +23,7 @@ DATA_DEPENDENT = {
     "knn_label_vote",    # query vector = row 0's embedding
     "ann_cosine_topk",   # idem
     "ivf_ann_topk",      # k-means training sample
-    "knn_join",          # broadcast corpus matrix (np.stack of rows)
-    "ann_all_topk",      # idem
+    "ann_all_topk",      # broadcast corpus matrix (np.stack of rows)
     "lateral_top_customers",  # registers views from the real sf dir
     # validates its fixed dense evaluation panel driver-side and raises
     # loudly when it is missing — an empty corpus IS the failure it guards
