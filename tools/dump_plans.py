@@ -144,6 +144,17 @@ SHOWCASE = {
     "doc_containment": "directed containment dedup: the jaccard "
         "machinery's df-pruned posting lists and in-row pair fan-out, "
         "with per-direction division instead of the union denominator",
+    "html_extract": "HTML extraction: the whole regexp chain is one "
+        "codegen project over the pruned (doc_id, text) scan — zero "
+        "exchanges, zero joins",
+    "embedding_dim_drift": "drift monitor: two width-keyed partial aggs "
+        "(64 dim rows) joined tiny; shuffle bytes constant in corpus size",
+    "margin_mine": "bitext mining: both kNN stages are broadcast-GEMM "
+        "mapInPandas (no exchange); only the k-sum aggs and the argmax "
+        "window shuffle",
+    "web_corpus_prep": "composite crawl front end: extract map-side over "
+        "the union, line-filter condemnation broadcast back, one fold-key "
+        "group finishes",
     "adamic_adar": "link prediction: degree-capped posting-list wedge "
         "fan-out (in-row), per-center 9-dp decimal terms summed exactly, "
         "broadcast anti-join against existing edges, TakeOrdered top-k",
