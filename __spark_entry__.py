@@ -4478,6 +4478,23 @@ def q_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("keep_doc", "n_variants"))
 
 
+def q_generation_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate generation-loop detection (functions/text.py::
+    generation_loops): every tenth document gets a planted decoding loop
+    (a 2-token block repeated four times at the tail); the detector must
+    report period 2 / 4 repeats for exactly those docs and NULL elsewhere.
+    Unrolled in-row slice equality — zero shuffles."""
+    from akka_stream_contrib_spark.functions.text import generation_loops
+    docs = tables.load(spark, "documents", sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" spam loop spam loop spam loop spam loop"))
+    ).otherwise(F.col("text"))
+    return (docs.select("doc_id", planted.alias("text"))
+            .transform(generation_loops()))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4768,6 +4785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_training_text": q_chat_training_text,
         "margin_mine": q_margin_mine,
         "web_corpus_prep": q_web_corpus_prep,
+        "generation_loops": q_generation_loops,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4939,6 +4957,58 @@ def _web_corpus_prep_oracle() -> str:
         SELECT min(doc_id) AS keep_doc,
                CAST(count(*) AS BIGINT) AS n_variants
         FROM folded GROUP BY _k
+    """
+
+
+def _generation_loops_oracle(max_period: int = 8, min_repeats: int = 3,
+                             max_repeats: int = 12) -> str:
+    """DuckDB mirror of q_generation_loops: the same unrolled tail-block
+    slice equalities (1-based inclusive list slicing), smallest period
+    first, consecutive-run repeat count by descending all-equal CASE."""
+    def block(pp, k):
+        return f"ln[n - {k * pp} + 1 : n - {(k - 1) * pp}]"
+
+    def loops_at(pp):
+        eqs = " AND ".join(
+            f"{block(pp, 1)} = {block(pp, k)}"
+            for k in range(2, min_repeats + 1))
+        return f"(n >= {min_repeats * pp} AND {eqs})"
+
+    period = ("CASE " + " ".join(
+        f"WHEN {loops_at(pp)} THEN {pp}"
+        for pp in range(1, max_period + 1)) + " END")
+
+    def reps_for(pp):
+        whens = []
+        for k in range(max_repeats, min_repeats - 1, -1):
+            eqs = " AND ".join(
+                f"{block(pp, 1)} = {block(pp, j)}" for j in range(2, k + 1))
+            whens.append(f"WHEN n >= {k * pp} AND {eqs} THEN {k}")
+        return "CASE " + " ".join(whens) + " END"
+
+    reps = ("CASE " + " ".join(
+        f"WHEN loop_period = {pp} THEN ({reps_for(pp)})"
+        for pp in range(1, max_period + 1)) + " END")
+
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN text ||
+                             ' spam loop spam loop spam loop spam loop'
+                        ELSE text END AS text
+            FROM documents WHERE text IS NOT NULL
+        ), toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ln,
+                   len(string_split(text, ' ')) AS n
+            FROM planted
+        ), scored AS (
+            SELECT doc_id, ln, n, {period} AS loop_period FROM toks
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(loop_period AS INTEGER) AS loop_period,
+               CAST({reps} AS INTEGER) AS n_repeats
+        FROM scored
     """
 
 
@@ -8721,6 +8791,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_lines_dropped
             FROM marked GROUP BY doc_id
         """,
+        "generation_loops": _generation_loops_oracle(),
         "web_corpus_prep": _web_corpus_prep_oracle(),
         "margin_mine": """
             WITH n AS (

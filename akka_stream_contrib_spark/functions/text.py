@@ -796,3 +796,77 @@ def translit_normalize(col: Column) -> Column:
     t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
     t = F.regexp_replace(t, " +", " ")
     return F.trim(t)
+
+
+def generation_loops(id_col: str = "doc_id", text_col: str = "text",
+                     max_period: int = 8, min_repeats: int = 3,
+                     max_repeats: int = 12,
+                     ) -> Callable[[DataFrame], DataFrame]:
+    """Degenerate generation-loop detector — the filter a synthetic-data
+    pipeline runs before model outputs are recycled as training text: a
+    decoding loop leaves the document TAIL repeating a short token block
+    ("the best of the best of the best ..."). For each document, find the
+    SMALLEST period p ≤ ``max_period`` whose last ``min_repeats`` blocks of
+    p tokens are identical, and count how many consecutive tail blocks
+    repeat (capped at ``max_repeats``).
+
+    Emits (doc_id, n_tokens, loop_period, n_repeats) — loop_period/
+    n_repeats NULL when the tail is clean. Everything is unrolled
+    array-slice equality inside codegen (periods and repeat counts are
+    small compile-time bounds): zero shuffles, scan-bandwidth cost, and
+    the same slice comparisons replay verbatim in the SQL oracle.
+
+    Docs with NULL text are dropped (no tokens to scan — the usual
+    explode-family row semantics).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        n = F.size(toks)
+
+        def block(p: int, k: int) -> Column:
+            # k-th tail block of length p (k = 1 is the last p tokens)
+            return F.slice(toks, n - F.lit(k * p) + 1, p)
+
+        def loops_at(p: int) -> Column:
+            cond = n >= F.lit(min_repeats * p)
+            eqs = [block(p, 1) == block(p, k)
+                   for k in range(2, min_repeats + 1)]
+            out = cond
+            for e in eqs:
+                out = out & e
+            return out
+
+        period = F.lit(None).cast("int")
+        for p in range(max_period, 0, -1):
+            period = F.when(loops_at(p), F.lit(p)).otherwise(period)
+
+        def repeats_for(p: int) -> Column:
+            # longest consecutive run of equal tail blocks, capped — an
+            # exact fold: (still_running, count) over k = 2..max_repeats
+            acc = F.struct(F.lit(True).alias("ok"), F.lit(1).alias("c"))
+            fold = F.aggregate(
+                F.sequence(F.lit(2), F.lit(max_repeats)),
+                acc,
+                lambda a, k: F.struct(
+                    (a.ok & (n >= k * F.lit(p))
+                     & (block(p, 1) == F.slice(
+                         toks, n - k * F.lit(p) + 1, p))).alias("ok"),
+                    F.when(a.ok & (n >= k * F.lit(p))
+                           & (block(p, 1) == F.slice(
+                               toks, n - k * F.lit(p) + 1, p)),
+                           a.c + 1).otherwise(a.c).alias("c")),
+                lambda a: a.c)
+            return fold
+
+        reps = F.lit(None).cast("int")
+        for p in range(max_period, 0, -1):
+            reps = F.when(period == p, repeats_for(p)).otherwise(reps)
+
+        return (df.filter(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("doc_id"),
+                        n.cast("bigint").alias("n_tokens"),
+                        period.alias("loop_period"),
+                        reps.alias("n_repeats")))
+
+    return _apply

@@ -244,6 +244,7 @@ HEADLINE = [
     "chat_training_text",
     "margin_mine",
     "web_corpus_prep",
+    "generation_loops",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

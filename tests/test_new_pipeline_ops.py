@@ -654,3 +654,35 @@ def test_embedding_dim_drift_constant_dim_yields_null_not_nan(spark):
     assert got[0].dim == 1 and got[0].smd > 2.0   # the real drift leads
     by_dim = {r.dim: r.smd for r in got}
     assert by_dim[0] is None                       # constant dim: NULL
+
+
+def test_generation_loops_detects_tail_periods(spark):
+    from akka_stream_contrib_spark.functions.text import generation_loops
+    rows = [
+        (1, "a clean sentence with no repetition at the end"),
+        (2, "the model says of the best of the best of the best"),  # p=3 x3
+        (3, "loop loop loop loop loop"),                            # p=1 x5
+        (4, "ab cd ab cd ab cd ab cd"),                             # p=2 x4
+        # repetition in the MIDDLE, clean tail: not a decoding loop
+        (5, "x y x y x y then the text recovers and ends cleanly"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.loop_period, r.n_repeats)
+           for r in df.transform(generation_loops()).collect()}
+    assert 6 not in got
+    assert got[1] == (None, None)
+    assert got[2] == (3, 3)
+    assert got[3] == (1, 5)
+    assert got[4] == (2, 4)
+    assert got[5] == (None, None)
+
+
+def test_generation_loops_repeat_cap_and_smallest_period(spark):
+    from akka_stream_contrib_spark.functions.text import generation_loops
+    # 20 identical tokens: smallest period 1 wins (a p=2 reading also
+    # matches — the detector must report 1), repeats cap at max_repeats
+    df = spark.createDataFrame([(1, " ".join(["z"] * 20))],
+                               "doc_id int, text string")
+    r = df.transform(generation_loops(max_repeats=12)).collect()[0]
+    assert (r.loop_period, r.n_repeats) == (1, 12)

@@ -83,6 +83,8 @@ BUDGET = {
     # expand = 2) + doc regroup, each over BOTH union branches' cached
     # line stream, + the final fold-key group; extract adds zero
     "web_corpus_prep": 8,
+    # unrolled in-row slice equality — pure scan-side project
+    "generation_loops": 0,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
