@@ -4827,10 +4827,11 @@ _PRIORITY = [
     # (4) round-9 first-evidence additions
     "cross_lingual_dedup", "embedding_dim_drift",
     # (the other round-9 additions — url_recrawl_dedup, html_extract,
-    # common_line_filter, chat_training_text, margin_mine — are local-gated
-    # this round (oracle-green at sf0.001/0.01/0.1, see
-    # tools/sweep_sf01_r9.log + session logs) and take the round-10
-    # first-evidence slots — the window caps at ~50)
+    # common_line_filter, chat_training_text, margin_mine,
+    # web_corpus_prep, generation_loops — are local-gated this round
+    # (oracle-green at sf0.001/0.01/0.1, see tools/sweep_sf01_r9.log +
+    # session logs) and take the round-10 first-evidence slots — the
+    # window caps at ~50)
 ]
 
 
