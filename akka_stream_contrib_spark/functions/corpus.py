@@ -18,6 +18,34 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: default row budget for broadcasting a data-dependent condemned set
+#: (boilerplate segments/lines). 1M rows × ~100-byte strings ≈ 100 MB —
+#: inside a standard executor heap with headroom; matches the discipline of
+#: similarity.BROADCAST_BUDGET_ROWS for driver-collected index sides.
+CONDEMNED_BROADCAST_BUDGET_ROWS = 1_000_000
+
+
+def _guarded_broadcast(cond: DataFrame, budget_rows: int,
+                       what: str) -> DataFrame:
+    """Broadcast a data-dependent condemned set ONLY under an explicit row
+    budget; over budget, fall back to a shuffle-hash join hint.
+
+    A condemned set's cardinality is data-dependent: on a real web corpus
+    the number of distinct boilerplate lines grows with the number of
+    sites/templates (every nav/footer line of every site qualifies), so a
+    forced broadcast is a driver/executor OOM or an 8 GB broadcast-limit
+    failure at 100× scale. The ``limit(budget+1).count()`` probe bounds the
+    decision work the same way ``similarity._bounded_index_pdf`` bounds its
+    driver collect: seeing budget+1 rows proves over-budget without counting
+    the full set. Either branch runs the SAME key-equi join — correctness is
+    unaffected; callers cache ``cond`` so the probe's aggregation is reused
+    by the join itself.
+    """
+    n = cond.limit(budget_rows + 1).count()
+    if n <= budget_rows:
+        return F.broadcast(cond)
+    return cond.hint("shuffle_hash")
+
 
 def chunk_documents(chunk_size: int = 64, overlap: int = 8,
                     id_col: str = "doc_id", text_col: str = "text"
@@ -170,6 +198,8 @@ def domain_cap(n_per_domain: int, domain_col: str = "source",
 
 def remove_boilerplate(max_doc_frac: float = 0.3, delim: str = " ",
                        id_col: str = "doc_id", text_col: str = "text",
+                       broadcast_budget_rows: int =
+                       CONDEMNED_BROADCAST_BUDGET_ROWS,
                        ) -> Callable[[DataFrame], DataFrame]:
     """Frequent-segment (boilerplate) removal, the CCNet-style cleanup: split
     every document into segments on ``delim`` (lines for real web text; the
@@ -180,9 +210,11 @@ def remove_boilerplate(max_doc_frac: float = 0.3, delim: str = " ",
     least one surviving segment.
 
     Scale shape: DF counting is a partial-aggregated count over distinct
-    (doc, segment); the boilerplate set is tiny by construction (a segment
-    needs > frac·N docs, so there are at most segments-per-doc / frac of
-    them) and is BROADCAST back over the corpus — the corpus itself
+    (doc, segment); the boilerplate set broadcasts back over the corpus
+    ONLY under ``broadcast_budget_rows`` (its cardinality is data-dependent
+    — per-segment evidence is bounded by the frac·N threshold, the NUMBER
+    of qualifying segments is not), else the anti-join runs as a plain
+    shuffle-hash join on the same exact-string key; the corpus itself
     shuffles once, on doc_id, for re-assembly.
     """
 
@@ -196,14 +228,17 @@ def remove_boilerplate(max_doc_frac: float = 0.3, delim: str = " ",
             F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "seg")))
         n_docs = df.select(
             F.count(F.lit(1)).alias("_n_docs"))
-        boiler = (
+        boiler = pipeline_cache(
             segs.select("doc_id", "seg").distinct()
             .groupBy("seg").agg(F.count(F.lit(1)).alias("_df"))
             .crossJoin(F.broadcast(n_docs))
             .filter(F.col("_df") > F.col("_n_docs") * F.lit(max_doc_frac))
             .select("seg")
         )
-        kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+        kept = segs.join(
+            _guarded_broadcast(boiler, broadcast_budget_rows,
+                               "remove_boilerplate"),
+            "seg", "left_anti")
         ordered = F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "seg"))),
             lambda s: s["seg"])
@@ -1112,6 +1147,8 @@ def perplexity_split(lp_col: str = "logprob", id_col: str = "doc_id",
 
 def common_line_filter(max_doc_freq: int = 5, min_line_chars: int = 10,
                        id_col: str = "doc_id", text_col: str = "text",
+                       broadcast_budget_rows: int =
+                       CONDEMNED_BROADCAST_BUDGET_ROWS,
                        ) -> Callable[[DataFrame], DataFrame]:
     """CCNet-style boilerplate LINE removal: a line (newline-delimited)
     that appears verbatim in more than ``max_doc_freq`` distinct documents
@@ -1127,12 +1164,17 @@ def common_line_filter(max_doc_freq: int = 5, min_line_chars: int = 10,
     ITSELF (boilerplate lines collapse map-side exactly because they
     repeat; keying by the raw string, not a 32-bit hash, is what makes the
     condemnation collision-free at corpus scale — a hash key would strip
-    innocent colliding lines); the condemned set is tiny by construction
-    (each needs > max_doc_freq distinct docs) and BROADCASTS back over the
-    line stream; per-doc reassembly is a groupBy collecting (pos, line)
+    innocent colliding lines); the condemned set broadcasts back over the
+    line stream ONLY under ``broadcast_budget_rows`` — its cardinality is
+    data-dependent (per-line evidence is bounded by the max_doc_freq
+    threshold, the NUMBER of qualifying nav/footer lines grows with the
+    number of crawled sites/templates), so over budget the probe join falls
+    back to a plain shuffle-hash join on the same exact-string key — see
+    :func:`_guarded_broadcast`; per-doc reassembly is a groupBy collecting (pos, line)
     structs — ``array_sort`` on the struct restores original order without
-    a window. Two key shuffles, no all-pairs, no driver state: the 100 TB
-    shape for this operator.
+    a window. Two key shuffles on the broadcast path (three when the
+    over-budget fallback re-keys the probe side), no all-pairs, no driver
+    state: the 100 TB shape for this operator.
 
     Relationship to :func:`remove_boilerplate` (same file): that operator
     is the FRACTIONAL-df CCNet cleanup (drop segments in > frac·N docs,
@@ -1155,13 +1197,17 @@ def common_line_filter(max_doc_freq: int = 5, min_line_chars: int = 10,
             .select(F.col(id_col).alias("doc_id"),
                     F.posexplode(F.split(text_col, "\n"))
                     .alias("pos", "line")))
-        cond = (lines
-                .filter(F.length("line") >= min_line_chars)
-                .groupBy("line")
-                .agg(F.countDistinct("doc_id").alias("_df"))
-                .filter(F.col("_df") > max_doc_freq)
-                .select("line", F.lit(True).alias("_boiler")))
-        marked = (lines.join(F.broadcast(cond), "line", "left")
+        cond = pipeline_cache(
+            lines
+            .filter(F.length("line") >= min_line_chars)
+            .groupBy("line")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("line", F.lit(True).alias("_boiler")))
+        marked = (lines.join(
+            _guarded_broadcast(cond, broadcast_budget_rows,
+                               "common_line_filter"),
+            "line", "left")
                   .withColumn("_drop",
                               F.col("_boiler").isNotNull()
                               & (F.length("line") >= min_line_chars)))

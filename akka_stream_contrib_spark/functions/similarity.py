@@ -1104,7 +1104,10 @@ def margin_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
     keyed by vector id; the final argmax is a per-query window on the
     join's own partitioning. 6-dp cosines are EXACT decimals, so the
     k-sum denominators are order-independent and the oracle replays the
-    score bit-for-bit. Pairs with a non-positive denominator (pathological
+    score bit-for-bit; each side's mean divides by its ACTUAL returned
+    neighbor count (< k when a side has fewer than k vectors), keeping the
+    score faithful to the mean-based formula on degenerate small slices.
+    Pairs with a non-positive denominator (pathological
     all-negative neighborhoods) are dropped — the margin is undefined
     there (documented, mirrored in the oracle).
 
@@ -1117,21 +1120,29 @@ def margin_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
     bwd = knn_join(tgt, src, k=k, query_id=tgt_id, corpus_id=src_id,
                    vec_col=vec_col)
     # k-NN sums stay EXACT decimals (no decimal division — engines differ
-    # on division scale/rounding); the single double division happens once,
-    # margin = cos · 2k / (Σfwd + Σbwd), algebraically the mean-based form
+    # on division scale/rounding); the single double division happens once.
+    # The denominators carry their ACTUAL neighbor counts (knn_join clips
+    # to min(k, |corpus|), so a small slice returns < k neighbors — a
+    # constant 2k would inflate the margin there; r9 ADVICE): margin =
+    # cos · 2·nx·ny / (Σfwd·ny + Σbwd·nx), algebraically the mean-based
+    # Artetxe-Schwenk form cos / (Σfwd/nx/2 + Σbwd/ny/2) for any nx, ny,
+    # and numerator/denominator remain exact decimal×integer products.
     dec = F.col("cos_sim").cast("decimal(9,6)")
-    dx = (fwd.groupBy("query_id").agg(F.sum(dec).alias("_dx"))
-          .select(F.col("query_id").alias("_qx"), "_dx"))
-    dy = (bwd.groupBy("query_id").agg(F.sum(dec).alias("_dy"))
-          .select(F.col("query_id").alias("_qy"), "_dy"))
-    dsum = F.col("_dx") + F.col("_dy")
+    dx = (fwd.groupBy("query_id")
+          .agg(F.sum(dec).alias("_dx"), F.count(F.lit(1)).alias("_nx"))
+          .select(F.col("query_id").alias("_qx"), "_dx", "_nx"))
+    dy = (bwd.groupBy("query_id")
+          .agg(F.sum(dec).alias("_dy"), F.count(F.lit(1)).alias("_ny"))
+          .select(F.col("query_id").alias("_qy"), "_dy", "_ny"))
+    den = F.col("_dx") * F.col("_ny") + F.col("_dy") * F.col("_nx")
     scored = (fwd
               .join(dx, F.col("query_id") == F.col("_qx"))
               .join(dy, F.col("neighbor_id") == F.col("_qy"))
-              .filter(dsum > 0)
+              .filter(den > 0)
               .withColumn("margin",
-                          F.round(F.col("cos_sim") * F.lit(2 * k)
-                                  / dsum.cast("double"), 6) + F.lit(0.0)))
+                          F.round(F.col("cos_sim")
+                                  * (F.lit(2) * F.col("_nx") * F.col("_ny"))
+                                  / den.cast("double"), 6) + F.lit(0.0)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("margin"), "neighbor_id")
     return (scored.withColumn("_rn", F.row_number().over(w))

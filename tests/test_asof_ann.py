@@ -294,3 +294,22 @@ def test_margin_mine_threshold_and_empty_sides(spark):
                                 "vec_id int, embedding array<float>")
     # orthogonal pair: cos 0, denominator 0 -> dropped, nothing mined
     assert margin_mine(sdf, tdf, k=1, threshold=0.0).count() == 0
+
+
+def test_margin_mine_small_slice_uses_actual_neighbor_counts(spark):
+    # r9 ADVICE: knn_join clips to min(k, |corpus|); with k=4 over a
+    # 2-vector tgt and 1-vector src the means must divide by the ACTUAL
+    # counts (2 and 1), not k — a constant 2k would inflate the margin.
+    import math
+    from akka_stream_contrib_spark.functions.similarity import margin_mine
+    sdf = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id int, embedding array<float>")
+    r = math.sqrt(0.5)
+    tdf = spark.createDataFrame([(101, [1.0, 0.0]), (102, [r, r])],
+                                "vec_id int, embedding array<float>")
+    got = {r_.src_id: r_ for r_ in
+           margin_mine(sdf, tdf, k=4, threshold=0.0).collect()}
+    # fwd: cos {1.0, 0.707107}, nx=2; bwd for tgt 101: cos {1.0}, ny=1
+    # margin = cos * 2*nx*ny / (dxs*ny + dys*nx) = 1.0 * 4 / (1.707107 + 2.0)
+    assert got[1].tgt_id == 101
+    assert abs(got[1].margin - round(4 / 3.707107, 6)) < 1e-9
