@@ -75,8 +75,10 @@ def embedding_drift_sink(stream_df: DataFrame, ref_profile: DataFrame,
     ``functions/ml.py::embedding_dim_drift``: every batch's per-dimension
     moments are compared against a PRECOMPUTED reference profile and the
     standardized mean difference lands as one row per dimension per batch
-    at ``path`` (parquet, appended with ``batch_id``), so an encoder swap
-    in a live ingest shows up within one trigger interval.
+    at ``path`` (parquet, partitioned by ``batch_id`` with dynamic
+    partition overwrite — a foreachBatch retry rewrites its own batch's
+    partition instead of appending duplicates), so an encoder swap in a
+    live ingest shows up within one trigger interval.
 
     ``ref_profile`` must carry (dim, mean_ref, var_ref) — build it once
     from the reference corpus::
@@ -94,6 +96,14 @@ def embedding_drift_sink(stream_df: DataFrame, ref_profile: DataFrame,
     prof = {int(r["dim"]): (float(r["mean_ref"]), float(r["var_ref"]))
             for r in ref_profile.collect()}
     spark_ref = stream_df.sparkSession
+    monitor = _drift_monitor(prof, spark_ref, path, vec_col, min_batch_rows)
+    return stream_df.writeStream.foreachBatch(monitor)
+
+
+def _drift_monitor(prof: dict, spark_ref, path: str, vec_col: str,
+                   min_batch_rows: int):
+    """The per-micro-batch monitor body, factored out so tests can replay
+    a batch_id (the foreachBatch at-least-once retry) directly."""
 
     def _monitor(batch_df: DataFrame, batch_id: int) -> None:
         ex = batch_df.select(
@@ -119,9 +129,17 @@ def embedding_drift_sink(stream_df: DataFrame, ref_profile: DataFrame,
             rows.append((int(batch_id), d, int(r["n"]),
                          round(float(r["mean_cur"]), 6), m_ref, smd))
         if rows:
+            # foreachBatch is AT-LEAST-ONCE: a retried micro-batch must
+            # overwrite ITS OWN batch_id partition, not append a duplicate
+            # set of monitor rows (r9 ADVICE). Dynamic partition overwrite
+            # touches only the partitions present in this write — exactly
+            # this batch_id — leaving every other batch's rows intact.
             (spark_ref.createDataFrame(
                 rows, "batch_id long, dim int, n long, mean_cur double, "
                       "mean_ref double, smd double")
-             .write.mode("append").parquet(path))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(path))
 
-    return stream_df.writeStream.foreachBatch(_monitor)
+    return _monitor

@@ -347,8 +347,11 @@ def merge_by_index_stream(elements: DataFrame, n_branches: int,
     """
     if n_branches < 1:
         raise ValueError("merge_by_index_stream needs n_branches >= 1")
+    # the key column keeps ITS OWN type (delay_flow_tws convention) — a
+    # hard-coded LongType would fail Arrow conversion on string keys with
+    # an opaque runtime error (r9 ADVICE)
     out_schema = StructType([
-        StructField(key_col, LongType()),
+        StructField(key_col, elements.schema[key_col].dataType),
         StructField("idx", LongType()),
         StructField("branch", LongType()),
         StructField("payload", StringType()),
@@ -444,7 +447,14 @@ def linear_increasing_delay_strategy(step_s: float, initial_s: float = 0.0,
 
     def _next(state, row):
         (delay,) = state
-        if bool(row[flag_col]):
+        # a NULL flag arrives as NaN through pandas, and bool(NaN) is True
+        # — the reference's needsIncrease is a user predicate over a
+        # concrete element, so NULL must read as False (reset), not as a
+        # silent increase (r9 ADVICE)
+        flag = row[flag_col]
+        if pd.isna(flag):
+            flag = False
+        if bool(flag):
             nxt = delay + step_s
             delay = nxt if nxt < max_s else max_s
         else:
@@ -477,8 +487,9 @@ def delay_strategy_stream(elements: DataFrame, strategy,
     O(1) state per key regardless of stream length.
     """
     state_ddl, init_state, next_delay = strategy
+    # key keeps its input type (see merge_by_index_stream note / r9 ADVICE)
     out_schema = StructType([
-        StructField(key_col, LongType()),
+        StructField(key_col, elements.schema[key_col].dataType),
         StructField("seq", LongType()),
         StructField("delay_s", DoubleType()),
         StructField("deliver_ts", TimestampType()),

@@ -135,13 +135,26 @@ class DelayFlowProcessor(StatefulProcessor):
         # sorting would feed seq 10050 to the strategy before seq 9990
         chunks = list(rows)
         batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        immediate = []
         if len(batch):
             for _, r in batch.sort_values("seq").iterrows():
                 delay, st = self.next_delay(st, r)
+                if delay <= 0:
+                    # non-positive delay pushes IMMEDIATELY (DelayFlow.
+                    # scala:144-145 "if (delay <= Duration.Zero) push")
+                    # instead of holding the element behind a timer until
+                    # the next trigger (r9 ADVICE)
+                    immediate.append((int(r["seq"]), float(delay)))
+                    continue
                 due = now + int(float(delay) * 1000)
                 self.pending.appendValue((int(r["seq"]), float(delay), due))
                 self.handle.registerTimer(due)
         self.strategy_state.update(st)
+        if immediate:
+            return iter((pd.DataFrame(
+                {self.key_col: [key[0]] * len(immediate),
+                 "seq": [s for s, _ in immediate],
+                 "delay_s": [d for _, d in immediate]}),))
         return iter(())
 
     def handleExpiredTimer(self, key: Any, timer_values: TimerValues,

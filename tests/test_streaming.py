@@ -1612,3 +1612,136 @@ def test_merge_by_index_stream_tolerates_batch_arrival_order(spark, tmp_path):
     got = [(r.idx, r.pos) for r in
            spark.sql("select * from mbo order by pos").collect()]
     assert got == [(0, 0), (1, 1), (2, 2), (3, 3)]
+
+
+def test_linear_delay_strategy_null_flag_resets():
+    # r9 ADVICE: a NULL needs_increase arrives as NaN through pandas, and
+    # bool(NaN) is True — the strategy must treat it as False (reset),
+    # mirroring the reference's concrete-boolean predicate contract
+    import math
+    from akka_stream_contrib_spark.streaming import (
+        linear_increasing_delay_strategy)
+    _, init, nxt = linear_increasing_delay_strategy(
+        step_s=1.0, initial_s=1.0, max_s=5.0)
+    st = init
+    d, st = nxt(st, {"needs_increase": True})
+    assert d == 2.0
+    d, st = nxt(st, {"needs_increase": float("nan")})   # NULL via pandas
+    assert d == 1.0 and not math.isnan(d)
+    d, st = nxt(st, {"needs_increase": None})
+    assert d == 1.0
+
+
+def test_stateful_stream_key_type_follows_input(spark, tmp_path):
+    # r9 ADVICE: merge_by_index_stream / delay_strategy_stream hard-coded
+    # LongType for the key column; a string key must flow through with its
+    # own type (schema check — no query start needed)
+    from pyspark.sql.types import StringType
+    from akka_stream_contrib_spark.streaming import (
+        delay_strategy_stream, linear_increasing_delay_strategy,
+        merge_by_index_stream)
+    feed = tmp_path / "kt_feed"
+    feed.mkdir()
+    src = spark.readStream.schema(
+        "key string, branch long, idx long, payload string").json(str(feed))
+    assert merge_by_index_stream(src, n_branches=2).schema["key"].dataType \
+        == StringType()
+    src2 = spark.readStream.schema(
+        "key string, seq long, needs_increase boolean, ts timestamp"
+    ).json(str(feed))
+    strat = linear_increasing_delay_strategy(step_s=1.0, initial_s=1.0,
+                                             max_s=5.0)
+    assert delay_strategy_stream(src2, strat).schema["key"].dataType \
+        == StringType()
+
+
+def test_merge_by_index_stream_string_key_roundtrip(spark, tmp_path):
+    # and the string key actually survives Arrow conversion end-to-end
+    from akka_stream_contrib_spark.streaming import merge_by_index_stream
+    feed = tmp_path / "sk_feed"
+    feed.mkdir()
+    _feed_json(feed, "b1.json", [
+        {"key": "alpha", "branch": 0, "idx": 0, "payload": "a"},
+        {"key": "alpha", "branch": 1, "idx": 1, "payload": "b"},
+    ])
+    src = spark.readStream.schema(
+        "key string, branch long, idx long, payload string").json(str(feed))
+    q = (merge_by_index_stream(src, n_branches=2)
+         .writeStream.format("memory").queryName("mbsk")
+         .option("checkpointLocation", str(tmp_path / "sk_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = [(r.key, r.idx, r.pos) for r in
+           spark.sql("select * from mbsk order by pos").collect()]
+    assert got == [("alpha", 0, 0), ("alpha", 1, 1)]
+
+
+def test_delay_flow_processor_zero_delay_emits_in_batch():
+    # r9 ADVICE / DelayFlow.scala:144-145: non-positive delay pushes
+    # immediately instead of waiting behind a timer for the next trigger.
+    # Unit-level drive of the processor with fake state handles (the
+    # transformWithState runtime needs protobuf, absent here).
+    import pandas as pd
+    from akka_stream_contrib_spark.streaming.tws import DelayFlowProcessor
+
+    class _Val:
+        def __init__(self): self._v = None
+        def exists(self): return self._v is not None
+        def get(self): return self._v
+        def update(self, v): self._v = v
+
+    class _Lst:
+        def __init__(self): self._l = []
+        def appendValue(self, v): self._l.append(v)
+        def get(self): return list(self._l)
+        def clear(self): self._l = []
+
+    class _Handle:
+        def __init__(self):
+            self.timers = []
+            self._val, self._lst = _Val(), _Lst()
+        def getValueState(self, *_): return self._val
+        def getListState(self, *_): return self._lst
+        def registerTimer(self, due): self.timers.append(due)
+
+    class _TV:
+        def getCurrentProcessingTimeInMs(self): return 10_000
+
+    # delay = 0 for even seq, 1.5s for odd — the reference's user strategy
+    def _next(state, row):
+        d = 0.0 if int(row["seq"]) % 2 == 0 else 1.5
+        return d, state
+
+    p = DelayFlowProcessor(("delay double", (0.0,), _next))
+    h = _Handle()
+    p.handle = h
+    p.strategy_state, p.pending = h._val, h._lst
+    out = list(p.handleInputRows(
+        (7,), iter([pd.DataFrame({"seq": [1, 2, 3, 4]})]), _TV()))
+    assert len(out) == 1
+    assert sorted(out[0]["seq"]) == [2, 4]          # zero-delay: pushed now
+    assert sorted(s for s, _, _ in h._lst.get()) == [1, 3]  # held on timers
+    assert h.timers == [11_500, 11_500]
+
+
+def test_drift_monitor_batch_retry_is_idempotent(spark, tmp_path):
+    # r9 ADVICE: foreachBatch is at-least-once — replaying a batch_id must
+    # overwrite that batch's partition, not append duplicate monitor rows
+    from akka_stream_contrib_spark.streaming.metrics import _drift_monitor
+    out = str(tmp_path / "drift_idem")
+    prof = {0: (0.0, 1.0), 1: (0.0, 1.0)}
+    mon = _drift_monitor(prof, spark, out, "embedding", 2)
+    b0 = spark.createDataFrame(
+        [(i, [0.1 * i, -0.1 * i]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    b1 = spark.createDataFrame(
+        [(i, [1.0 + 0.1 * i, -0.1 * i]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    mon(b0, 0)
+    mon(b1, 1)
+    before = sorted((r.batch_id, r.dim, r.mean_cur)
+                    for r in spark.read.parquet(out).collect())
+    mon(b1, 1)  # the retry
+    after = sorted((r.batch_id, r.dim, r.mean_cur)
+                   for r in spark.read.parquet(out).collect())
+    assert after == before and len(after) == 4
