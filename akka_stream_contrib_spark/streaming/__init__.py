@@ -8,6 +8,7 @@ from akka_stream_contrib_spark.streaming.stateful import (
     sessionize_stream,
     heavy_hitters_stream,
     merge_by_index_stream,
+    CLOSE_INDEX,
     delay_strategy_stream,
     linear_increasing_delay_strategy,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "accumulate_while_unchanged_stream",
     "sessionize_stream",
     "merge_by_index_stream",
+    "CLOSE_INDEX",
     "delay_strategy_stream",
     "embedding_drift_sink",
     "linear_increasing_delay_strategy",

@@ -304,6 +304,12 @@ def heavy_hitters_stream(items: DataFrame, item_col: str = "item",
         GroupStateTimeout.NoTimeout)
 
 
+#: end-of-branch sentinel index for merge_by_index_stream: a row with
+#: idx == CLOSE_INDEX (Long.MaxValue — above any real index by convention)
+#: declares its branch closed, releasing the frontier for bounded streams.
+CLOSE_INDEX = (1 << 63) - 1
+
+
 def merge_by_index_stream(elements: DataFrame, n_branches: int,
                           key_col: str = "key") -> DataFrame:
     """Streaming k-way ordered merge — the cross-batch twin of
@@ -335,11 +341,16 @@ def merge_by_index_stream(elements: DataFrame, n_branches: int,
     ``ValueError`` and fails the query — the reference fails the stream the
     same way.
 
-    There is no branch-close signal in an unbounded stream, so the
-    reference's ``updateMaxBufferLength`` shrink-on-close (:116-119) has no
-    analogue here: a branch that stops sending simply stops advancing the
-    frontier (elements past its high-water mark wait in state). Bounded
-    inputs with closed branches are the batch form's job.
+    Branch close (:116-119 ``updateMaxBufferLength``): an unbounded stream
+    has no inlet-close signal, so closing is declared IN-BAND — a row with
+    ``idx == CLOSE_INDEX`` (Long.MaxValue) marks its branch done, jumping
+    that branch's high-water mark to +inf so it stops constraining the
+    frontier and a bounded stream flushes its tail (the gap below becomes a
+    confirmed omission, exactly the reference's shrink-on-close
+    accounting). The sentinel is idempotent under at-least-once replay;
+    data arriving on a closed branch fails the query. A branch that never
+    closes and stops sending simply stops advancing the frontier (elements
+    past its high-water mark wait in state).
 
     Scale: state per key is the reorder buffer between the slowest and
     fastest branch's high-water marks plus ``n_branches`` longs — bounded by
@@ -390,6 +401,23 @@ def merge_by_index_stream(elements: DataFrame, n_branches: int,
                     raise ValueError(
                         f"merge_by_index_stream: branch {b} out of range "
                         f"[0, {n_branches})")
+                if i == CLOSE_INDEX:
+                    # end-of-branch sentinel: the branch's high-water mark
+                    # jumps to +inf, so it stops constraining the frontier
+                    # and a bounded stream flushes its tail — the
+                    # micro-batch rendering of the reference's
+                    # updateMaxBufferLength shrink-on-close
+                    # (MergeByIndex.scala:116-119). Idempotent: a replayed
+                    # sentinel (at-least-once sources) is a no-op. The
+                    # global idx sort above guarantees same-batch data on
+                    # the branch is processed before its close.
+                    hwm[b] = CLOSE_INDEX
+                    continue
+                if hwm[b] == CLOSE_INDEX:
+                    raise ValueError(
+                        f"merge_by_index_stream: element idx {i} arrived on "
+                        f"closed branch {b} (end-of-branch sentinel already "
+                        "seen)")
                 if i < expected:
                     raise ValueError(
                         f"merge_by_index_stream: non-monotonic index {i} < "

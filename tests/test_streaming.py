@@ -1745,3 +1745,74 @@ def test_drift_monitor_batch_retry_is_idempotent(spark, tmp_path):
     after = sorted((r.batch_id, r.dim, r.mean_cur)
                    for r in spark.read.parquet(out).collect())
     assert after == before and len(after) == 4
+
+
+def test_merge_by_index_stream_close_flush_sentinel(spark, tmp_path):
+    # r9 verdict #5 / MergeByIndex.scala:116-119 shrink-on-close: a bounded
+    # 3-branch scatter where branch 2 closes early (its idx 5 never comes).
+    # Without the close the frontier sticks at branch 2's high-water mark;
+    # the CLOSE_INDEX sentinel jumps it to +inf so the tail (6, 7) flushes
+    # and the gap below becomes a confirmed omission. Stream must equal the
+    # batch form on the same bounded input.
+    from akka_stream_contrib_spark.operators.merge import merge_by_index
+    from akka_stream_contrib_spark.streaming import (
+        CLOSE_INDEX, merge_by_index_stream)
+    feed = tmp_path / "cf_feed"
+    feed.mkdir()
+    data = [(0, 0), (1, 1), (2, 2), (0, 3), (1, 4), (0, 6), (1, 7)]
+    _feed_json(feed, "b1.json",
+               [{"key": 1, "branch": b, "idx": i, "payload": f"p{i}"}
+                for b, i in data])
+    _feed_json(feed, "b2.json",
+               [{"key": 1, "branch": 2, "idx": CLOSE_INDEX, "payload": None},
+                # replayed sentinel (at-least-once): idempotent no-op
+                {"key": 1, "branch": 2, "idx": CLOSE_INDEX, "payload": None}])
+    src = spark.readStream.schema(
+        "key long, branch long, idx long, payload string").json(str(feed))
+    q = (merge_by_index_stream(src, n_branches=3)
+         .writeStream.format("memory").queryName("mbcf")
+         .option("checkpointLocation", str(tmp_path / "cf_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = [(r.idx, r.pos) for r in
+           spark.sql("select * from mbcf order by pos").collect()]
+    assert got == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4), (6, 5), (7, 6)]
+
+    # batch equivalence: same bounded input through operators/merge.py
+    branches = [
+        spark.createDataFrame(
+            [(1, b, i, f"p{i}") for bb, i in data if bb == b],
+            "key long, branch long, idx long, payload string")
+        for b in range(3)]
+    batch = [(r.idx, r.rnk - 1) for r in
+             merge_by_index(branches, index="idx").orderBy("rnk").collect()]
+    assert batch == got
+
+
+def test_merge_by_index_stream_data_after_close_fails(spark, tmp_path):
+    from akka_stream_contrib_spark.streaming import (
+        CLOSE_INDEX, merge_by_index_stream)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    feed = tmp_path / "dac_feed"
+    feed.mkdir()
+    ck = str(tmp_path / "dac_ck")
+    out_dir = str(tmp_path / "dac_out")
+    schema = "key long, branch long, idx long, payload string"
+
+    def run_once():
+        src = spark.readStream.schema(schema).json(str(feed))
+        return (merge_by_index_stream(src, n_branches=1)
+                .writeStream.format("parquet").option("path", out_dir)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True).start())
+
+    # batch 1: only the sentinel — branch 0 closes, state checkpointed
+    _feed_json(feed, "b1.json", [
+        {"key": 1, "branch": 0, "idx": CLOSE_INDEX, "payload": None}])
+    run_once().awaitTermination(60)
+    # batch 2 (recovered state): data on the closed branch fails the query
+    _feed_json(feed, "b2.json", [
+        {"key": 1, "branch": 0, "idx": 0, "payload": "late"}])
+    q = run_once()
+    with pytest.raises(StreamingQueryException, match="closed branch"):
+        q.awaitTermination(60)
