@@ -4499,6 +4499,36 @@ def q_generation_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(generation_loops()))
 
 
+def q_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with loss-mask carry (functions/corpus.py::
+    pack_training_rows): every third document carries a synthetic
+    assistant span [0, min(40, len)); documents pack into 128-token
+    training rows by harmonic size class (longest-first, closed-form
+    floor(rank/k) assignment — no row ever exceeds the budget) and the
+    spans are remapped into packed coordinates. Output is the self-proving
+    form: span_concat re-slices every remapped span out of the PACKED
+    text, so a wrong offset produces wrong text and fails the hash."""
+    from akka_stream_contrib_spark.functions.corpus import pack_training_rows
+    docs = tables.load(spark, "documents", sf_dir)
+    spans = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.array(F.struct(
+            F.lit(0).cast("bigint").alias("s"),
+            F.least(F.lit(40), F.length("text")).cast("bigint").alias("e"))),
+    ).otherwise(F.expr("CAST(array() AS array<struct<s: bigint, e: bigint>>)"))
+    base = (docs.filter(F.col("text").isNotNull())
+            .select(F.col("doc_id").alias("conv_id"), "text",
+                    spans.alias("assistant_spans")))
+    packed = base.transform(pack_training_rows(budget=128))
+    return packed.select(
+        "pack_id", "n_docs", "n_tokens", "overflow",
+        F.size("assistant_spans").cast("bigint").alias("n_spans"),
+        F.expr("array_join(transform(assistant_spans, x -> "
+               "substr(text, CAST(x.s + 1 AS INT), "
+               "CAST(x.e - x.s AS INT))), '|')").alias("span_concat"),
+        F.length("text").cast("bigint").alias("text_len"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4790,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_mine": q_margin_mine,
         "web_corpus_prep": q_web_corpus_prep,
         "generation_loops": q_generation_loops,
+        "pack_training_rows": q_pack_training_rows,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -8794,6 +8825,63 @@ def oracle_sql() -> dict[str, str]:
             FROM marked GROUP BY doc_id
         """,
         "generation_loops": _generation_loops_oracle(),
+        "pack_training_rows": """
+            WITH base AS (
+                SELECT doc_id AS conv_id, text,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN [{'s': CAST(0 AS BIGINT),
+                                   'e': CAST(least(40, length(text))
+                                             AS BIGINT)}]
+                            ELSE CAST([] AS STRUCT(s BIGINT, e BIGINT)[])
+                       END AS spans,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents WHERE text IS NOT NULL
+            ), kls AS (
+                SELECT *, CASE WHEN n_tok > 128 THEN 0
+                               ELSE 128 // n_tok END AS kcls
+                FROM base
+            ), rnk AS (
+                -- longest-first inside each harmonic size class, id
+                -- tie-break: mirrors global_rank(_k, -n, id) - class min
+                SELECT *, row_number() OVER (PARTITION BY kcls
+                              ORDER BY n_tok DESC, conv_id) - 1 AS rank0
+                FROM kls
+            ), rws AS (
+                SELECT *, CASE WHEN kcls = 0 THEN rank0
+                               ELSE rank0 // kcls END AS row_id
+                FROM rnk
+            ), mem AS (
+                -- prev = char offset of this member in the packed text
+                -- (sum of earlier members' lengths + 1-char separators)
+                SELECT *, coalesce(sum(length(text) + 1) OVER (
+                              PARTITION BY kcls, row_id ORDER BY rank0
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS prev
+                FROM rws
+            ), packs AS (
+                SELECT kcls, row_id,
+                       string_agg(text, chr(10) ORDER BY rank0) AS ptext,
+                       flatten(list(list_transform(spans,
+                           x -> {'s': x.s + prev, 'e': x.e + prev})
+                           ORDER BY rank0)) AS pspans,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                       (kcls = 0) AS overflow
+                FROM mem GROUP BY kcls, row_id
+            )
+            SELECT CAST(kcls AS VARCHAR) || '_' || CAST(row_id AS VARCHAR)
+                       AS pack_id,
+                   n_docs, n_tokens, overflow,
+                   CAST(len(pspans) AS BIGINT) AS n_spans,
+                   -- coalesce: DuckDB's array_to_string of an empty list
+                   -- is NULL where Spark's array_join is ''
+                   coalesce(array_to_string(list_transform(pspans,
+                       x -> substr(ptext, CAST(x.s + 1 AS INTEGER),
+                                   CAST(x.e - x.s AS INTEGER))), '|'), '')
+                       AS span_concat,
+                   CAST(length(ptext) AS BIGINT) AS text_len
+            FROM packs
+        """,
         "web_corpus_prep": _web_corpus_prep_oracle(),
         "margin_mine": """
             WITH n AS (

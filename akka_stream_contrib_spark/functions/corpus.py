@@ -1301,3 +1301,110 @@ def chat_to_training_text(system_prompt: str = "",
                         .alias("assistant_frac")))
 
     return _apply
+
+def pack_training_rows(budget: int = 256, id_col: str = "conv_id",
+                       text_col: str = "text",
+                       spans_col: str = "assistant_spans",
+                       sep: str = "\n") -> Callable[[DataFrame], DataFrame]:
+    """Sequence packing WITH LOSS-MASK CARRY — the stage between
+    :func:`chat_to_training_text` and the trainer: short rendered texts are
+    packed into fixed-token-budget training rows and every document's
+    ``assistant_spans`` offsets are REMAPPED into the packed row's
+    coordinates, so the loss mask survives packing.
+
+    Packing is size-class (harmonic) packing — the deterministic,
+    shuffle-friendly rendering of first-fit-decreasing inside length
+    buckets (Lee & Lee 1985's harmonic algorithm; the classic
+    distributed-friendly FFD surrogate):
+
+    - capacity class ``k = floor(budget / n_tok)`` — every document in
+      class k fits k-per-row (``n_tok <= budget/k``), so a packed row of k
+      class-k members NEVER exceeds the budget, and because class-k docs
+      have ``n_tok > budget/(k+1)`` each row is > k/(k+1) full;
+    - inside a class, documents are taken longest-first (id tie-break) and
+      chopped into consecutive rows of k — the decreasing order keeps row
+      fill monotone and the assignment a pure closed-form
+      ``floor(rank / k)``, no sequential bin state;
+    - documents longer than the budget get class 0: one row each,
+      ``overflow = true`` (splitting would cut spans — the caller decides
+      whether to truncate or drop).
+
+    Scale shape: the longest-first rank is the package's two-phase
+    :func:`~akka_stream_contrib_spark.operators.global_order.global_rank`
+    (range shuffle + K-row driver summary — never a single-partition
+    window); the class-minimum table is at most ``budget + 1`` rows
+    (bounded BY CONSTRUCTION, safely broadcast); assembly is ONE hash
+    shuffle on (class, row) with every group at most k members. Three
+    exchanges total, each skew-free (heavy classes spread uniformly over
+    row ids).
+
+    Emits (pack_id, <text_col>, <spans_col> remapped, n_docs, n_tokens,
+    overflow). ``n_tokens`` is the sum of member whitespace-token counts
+    (separators excluded). NULL-text rows are dropped (nothing to train
+    on); NULL spans read as empty. Span structs must carry fields
+    ``s``/``e`` (the chat_to_training_text contract).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    sep_len = len(sep)
+    empty_spans = "CAST(array() AS array<struct<s: bigint, e: bigint>>)"
+
+    def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.operators.global_order import global_rank
+
+        n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+        base = (df.filter(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("_id"),
+                        F.col(text_col).alias("_txt"),
+                        F.coalesce(F.col(spans_col), F.expr(empty_spans))
+                        .alias("_sp"),
+                        n_tok.alias("_n"))
+                .withColumn("_k",
+                            F.when(F.col("_n") > budget, F.lit(0))
+                            .otherwise(F.floor(budget / F.col("_n")))
+                            .cast("bigint"))
+                .withColumn("_negn", -F.col("_n")))
+        ranked = global_rank(base, ["_k", "_negn", "_id"], out="_r")
+        kmin = ranked.groupBy("_k").agg(F.min("_r").alias("_rmin"))
+        rank0 = F.col("_r") - F.col("_rmin")
+        rows = (ranked.join(F.broadcast(kmin), "_k")
+                .withColumn("_row",
+                            F.when(F.col("_k") == 0, rank0)
+                            .otherwise(F.floor(rank0 / F.col("_k")))))
+        members = (rows.groupBy("_k", "_row")
+                   .agg(F.array_sort(F.collect_list(F.struct(
+                       F.col("_r").alias("r"), F.col("_txt").alias("t"),
+                       F.col("_sp").alias("sp"), F.col("_n").alias("n")
+                   ))).alias("_m")))
+
+        init = F.struct(F.lit(0).cast("bigint").alias("cnt"),
+                        F.lit(0).cast("bigint").alias("len"),
+                        F.lit("").alias("txt"),
+                        F.expr(empty_spans).alias("spans"))
+
+        def _merge(acc, m):
+            off = F.when(acc.cnt == F.lit(0), F.lit(0).cast("bigint")) \
+                   .otherwise(acc.len + F.lit(sep_len).cast("bigint"))
+            return F.struct(
+                (acc.cnt + F.lit(1)).alias("cnt"),
+                (off + F.length(m.t)).alias("len"),
+                F.when(acc.cnt == F.lit(0), m.t)
+                 .otherwise(F.concat(acc.txt, F.lit(sep), m.t)).alias("txt"),
+                F.concat(acc.spans, F.transform(
+                    m.sp, lambda x: F.struct((x.s + off).alias("s"),
+                                             (x.e + off).alias("e"))))
+                 .alias("spans"))
+
+        folded = F.aggregate(F.col("_m"), init, _merge)
+        n_tokens = F.aggregate(F.col("_m"), F.lit(0).cast("bigint"),
+                               lambda a, m: a + m.n)
+        return members.select(
+            F.concat_ws("_", F.col("_k").cast("string"),
+                        F.col("_row").cast("string")).alias("pack_id"),
+            folded.getField("txt").alias(text_col),
+            folded.getField("spans").alias(spans_col),
+            F.size("_m").cast("bigint").alias("n_docs"),
+            n_tokens.alias("n_tokens"),
+            (F.col("_k") == 0).alias("overflow"))
+
+    return _apply

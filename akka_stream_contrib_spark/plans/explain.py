@@ -40,15 +40,29 @@ def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
 def count_exchanges(df: DataFrame) -> int:
     """Number of DISTINCT shuffle exchanges (excludes broadcast exchanges
     and ReusedExchange references) — the scale-limiting resource of a plan.
-    Distinct by formatted-plan node id: a cached (InMemoryRelation) subtree
-    is printed once per consumer but its exchanges execute once, and a
-    ReusedExchange re-reads shuffle files instead of re-shuffling."""
+
+    Distinct by the exchange's ARGUMENTS (partitioning expression incl.
+    expression ids, plan_id stripped), not by formatted-plan node id: a
+    cached (InMemoryRelation) subtree prints its build plan once per
+    consumer — and under AQE once more as the cache's initial plan — while
+    its exchanges execute at most once; node-id dedup double-counted those
+    reprints (same partitioning, same expr ids, different print ids). Two
+    genuinely distinct shuffles always differ in arguments (fresh expr ids
+    per operator output), and a ReusedExchange re-reads shuffle files
+    instead of re-shuffling."""
     import re
     plan = formatted_plan(df)
     ids = set()
-    for name, node_id in re.findall(r"([A-Za-z]*Exchange) \((\d+)\)", plan):
-        if name == "Exchange":
-            ids.add(node_id)
+    # details section: one "(N) NodeName" header per node, its metadata
+    # lines (Input/Arguments/...) following until the next header
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        m = re.match(r"\((\d+)\) Exchange\b", block)
+        if not m:
+            continue
+        a = re.search(r"Arguments: ([^\n]*)", block)
+        args = (re.sub(r"\[plan_id=\d+\]", "", a.group(1)) if a
+                else m.group(1))
+        ids.add(args)
     return len(ids)
 
 

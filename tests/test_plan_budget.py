@@ -85,6 +85,10 @@ BUDGET = {
     "web_corpus_prep": 8,
     # unrolled in-row slice equality — pure scan-side project
     "generation_loops": 0,
+    # r10 packing: global_rank's range shuffle + its pid-local window
+    # re-hash, the <=budget+1-row class-min agg (broadcast back), and the
+    # (class, row) assembly group — every group at most k members
+    "pack_training_rows": 4,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
