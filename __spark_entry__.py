@@ -4529,6 +4529,24 @@ def q_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("text_len"))
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction (functions/corpus.py::
+    preference_pairs): documents group into 8-candidate prompts
+    (prompt = doc_id DIV 8), score = length(text) % 997; per prompt the
+    top/bottom scored candidates become the (chosen, rejected) pair,
+    kept when the score gap clears margin=50. One partial-aggregated
+    prompt-key shuffle — the argmax/argmin are lexicographic struct
+    MIN/MAX, no window sort."""
+    from akka_stream_contrib_spark.functions.corpus import preference_pairs
+    docs = tables.load(spark, "documents", sf_dir)
+    cands = (docs.filter(F.col("text").isNotNull())
+             .select(F.expr("CAST(doc_id DIV 8 AS BIGINT)")
+                     .alias("prompt_id"),
+                     F.col("doc_id").alias("cand_id"), "text",
+                     (F.length("text") % 997).cast("double").alias("score")))
+    return cands.transform(preference_pairs(margin=50.0))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4821,6 +4839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_corpus_prep": q_web_corpus_prep,
         "generation_loops": q_generation_loops,
         "pack_training_rows": q_pack_training_rows,
+        "preference_pairs": q_preference_pairs,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4849,7 +4868,7 @@ _PRIORITY = [
     # (2) round-10 implementation changes
     "remove_boilerplate",
     # (3) round-10 first-evidence additions
-    "pack_training_rows",
+    "pack_training_rows", "preference_pairs",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -8825,6 +8844,37 @@ def oracle_sql() -> dict[str, str]:
             FROM marked GROUP BY doc_id
         """,
         "generation_loops": _generation_loops_oracle(),
+        "preference_pairs": """
+            WITH cands AS (
+                SELECT doc_id // 8 AS prompt_id, doc_id AS cand_id, text,
+                       CAST(length(text) % 997 AS DOUBLE) AS score
+                FROM documents WHERE text IS NOT NULL
+            ), ranked AS (
+                -- chosen: score DESC, id ASC; rejected: score ASC, id
+                -- DESC (a fully tied prompt still yields two distinct
+                -- candidates) — mirrors the struct MIN/MAX tie-breaks
+                SELECT *, row_number() OVER (PARTITION BY prompt_id
+                              ORDER BY score DESC, cand_id) AS rb,
+                          row_number() OVER (PARTITION BY prompt_id
+                              ORDER BY score ASC, cand_id DESC) AS rw,
+                          count(*) OVER (PARTITION BY prompt_id) AS n_cands
+                FROM cands
+            ), ch AS (
+                SELECT prompt_id, cand_id AS chosen_id,
+                       text AS chosen_text, score AS cs,
+                       CAST(n_cands AS BIGINT) AS n_candidates
+                FROM ranked WHERE rb = 1
+            ), rj AS (
+                SELECT prompt_id, cand_id AS rejected_id,
+                       text AS rejected_text, score AS rs
+                FROM ranked WHERE rw = 1
+            )
+            SELECT prompt_id, chosen_id, rejected_id, chosen_text,
+                   rejected_text, round(cs - rs, 6) + 0.0 AS score_margin,
+                   n_candidates
+            FROM ch JOIN rj USING (prompt_id)
+            WHERE n_candidates >= 2 AND cs - rs >= 50.0
+        """,
         "pack_training_rows": """
             WITH base AS (
                 SELECT doc_id AS conv_id, text,

@@ -1408,3 +1408,55 @@ def pack_training_rows(budget: int = 256, id_col: str = "conv_id",
             (F.col("_k") == 0).alias("overflow"))
 
     return _apply
+
+def preference_pairs(margin: float = 0.0, prompt_col: str = "prompt_id",
+                     cand_col: str = "cand_id", text_col: str = "text",
+                     score_col: str = "score"
+                     ) -> Callable[[DataFrame], DataFrame]:
+    """Preference-pair construction for DPO/RLHF reward modeling: per
+    prompt, from N scored candidate completions emit ONE (chosen,
+    rejected) pair — chosen = highest score (lowest candidate id on ties),
+    rejected = lowest score (HIGHEST candidate id on ties, so a fully tied
+    candidate set still yields two distinct completions) — and keep the
+    pair only when ``chosen.score - rejected.score >= margin`` (weak pairs
+    teach nothing; the margin gate is the standard Bradley-Terry data
+    hygiene step) and the prompt has >= 2 candidates.
+
+    Scale shape: ONE partial-aggregated groupBy on the prompt key — the
+    argmax/argmin ride lexicographic struct MIN/MAX ((-score, cand_id,
+    text)), which combines map-side, so a hot prompt with millions of
+    candidates never sorts inside one task (the window-rank formulation
+    would). No joins, no windows, one exchange.
+
+    Emits (prompt_id, chosen_id, rejected_id, chosen_text, rejected_text,
+    score_margin, n_candidates). NULL scores are dropped up front (an
+    unscored candidate can be neither chosen nor rejected).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        p, c, t, s = prompt_col, cand_col, text_col, score_col
+        # lexicographic struct ordering: (-score) puts the best candidate
+        # FIRST under min() and the worst first under max(); cand_id
+        # breaks exact-score ties deterministically (min id for chosen,
+        # max id for rejected via max()); text is never reached (ids are
+        # unique per prompt)
+        ordered = F.struct((-F.col(s)).alias("ns"),
+                           F.col(c).alias("c"), F.col(t).alias("t"),
+                           F.col(s).alias("s"))
+        agg = (df.filter(F.col(s).isNotNull())
+               .groupBy(p)
+               .agg(F.min(ordered).alias("_ch"),
+                    F.max(ordered).alias("_rj"),
+                    F.count(F.lit(1)).alias("n_candidates")))
+        gap = F.col("_ch.s") - F.col("_rj.s")
+        return (agg.filter((F.col("n_candidates") >= 2)
+                           & (gap >= F.lit(margin)))
+                .select(F.col(p),
+                        F.col("_ch.c").alias("chosen_id"),
+                        F.col("_rj.c").alias("rejected_id"),
+                        F.col("_ch.t").alias("chosen_text"),
+                        F.col("_rj.t").alias("rejected_text"),
+                        (F.round(gap, 6) + F.lit(0.0)).alias("score_margin"),
+                        "n_candidates"))
+
+    return _apply

@@ -245,6 +245,10 @@ HEADLINE = [
     "margin_mine",
     "web_corpus_prep",
     "generation_loops",
+    # round-10 additions: sequence packing with loss-mask carry;
+    # DPO preference-pair construction
+    "pack_training_rows",
+    "preference_pairs",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

@@ -801,3 +801,43 @@ def test_pack_training_rows_fill_guarantee(spark):
             continue
         for row, n in sorted(packs)[:-1]:
             assert n == k, (k, row, n)
+
+
+def test_preference_pairs_selection_ties_and_gates(spark):
+    from akka_stream_contrib_spark.functions.corpus import preference_pairs
+    rows = [
+        (1, 10, "weak", 1.0), (1, 11, "best", 5.0), (1, 12, "mid", 3.0),
+        (2, 20, "tie a", 2.0), (2, 21, "tie b", 2.0),   # full tie
+        (3, 30, "lonely", 4.0),                          # 1 candidate: drop
+        (4, 40, "unscored", None), (4, 41, "scored", 1.0),  # 1 scored: drop
+        (5, 50, "best dup", 7.0), (5, 51, "best dup", 7.0),
+        (5, 52, "low", 1.0),                             # tied best: min id
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, text string, score double")
+    got = {r.prompt_id: r for r in
+           df.transform(preference_pairs(margin=0.0)).collect()}
+    assert set(got) == {1, 2, 5}
+    assert (got[1].chosen_id, got[1].rejected_id) == (11, 10)
+    assert got[1].score_margin == 4.0 and got[1].n_candidates == 3
+    # full tie: chosen = min id, rejected = max id — distinct candidates
+    assert (got[2].chosen_id, got[2].rejected_id) == (20, 21)
+    assert got[2].score_margin == 0.0
+    # tied best: min id wins chosen; rejected is the genuine worst
+    assert (got[5].chosen_id, got[5].rejected_id) == (50, 52)
+    # margin gate drops weak pairs
+    kept = {r.prompt_id for r in
+            df.transform(preference_pairs(margin=1.0)).collect()}
+    assert kept == {1, 5}
+
+
+def test_preference_pairs_plan_is_single_partial_agg(spark):
+    # scale contract: no window sort, no join — a hot prompt with millions
+    # of candidates must never sort inside one task
+    from akka_stream_contrib_spark.functions.corpus import preference_pairs
+    df = spark.createDataFrame(
+        [(1, 1, "t", 1.0)], "prompt_id long, cand_id long, text string, score double")
+    plan = df.transform(preference_pairs())._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_min" in plan or "partial" in plan.lower()

@@ -89,6 +89,10 @@ BUDGET = {
     # re-hash, the <=budget+1-row class-min agg (broadcast back), and the
     # (class, row) assembly group — every group at most k members
     "pack_training_rows": 4,
+    # r10 DPO pairs: ONE partial-aggregated prompt-key groupBy (argmax/
+    # argmin are lexicographic struct MIN/MAX — map-side combinable, no
+    # window sort, no join)
+    "preference_pairs": 1,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
