@@ -4547,6 +4547,16 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.transform(preference_pairs(margin=50.0))
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (functions/corpus.py::fim_transform,
+    Bavarian 2022 PSM): md5-gated 50% of documents re-render as
+    <PRE>prefix<SUF>suffix<MID>middle with md5-derived split points —
+    deterministic, portable, zero shuffles (pure scan-side codegen)."""
+    from akka_stream_contrib_spark.functions.corpus import fim_transform
+    docs = tables.load(spark, "documents", sf_dir)
+    return docs.select("doc_id", "text").transform(fim_transform(rate=50))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4840,6 +4850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generation_loops": q_generation_loops,
         "pack_training_rows": q_pack_training_rows,
         "preference_pairs": q_preference_pairs,
+        "fim_transform": q_fim_transform,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4868,7 +4879,7 @@ _PRIORITY = [
     # (2) round-10 implementation changes
     "remove_boilerplate",
     # (3) round-10 first-evidence additions
-    "pack_training_rows", "preference_pairs",
+    "pack_training_rows", "preference_pairs", "fim_transform",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -8844,6 +8855,47 @@ def oracle_sql() -> dict[str, str]:
             FROM marked GROUP BY doc_id
         """,
         "generation_loops": _generation_loops_oracle(),
+        "fim_transform": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split(text, ' ') AS toks,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                           || ':fimr'), 1, 8)) AS BIGINT) % 100 < 50 AS gate,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                           || ':fim1'), 1, 8)) AS BIGINT) AS h1,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                           || ':fim2'), 1, 8)) AS BIGINT) AS h2
+                FROM documents
+            ), pts AS (
+                SELECT *,
+                       (text IS NOT NULL AND n >= 3 AND gate) AS fim_applied,
+                       CASE WHEN n > 1 THEN 1 + h1 % (n - 1) END AS i
+                FROM t
+            ), pts2 AS (
+                SELECT *, CASE WHEN i IS NOT NULL AND n > i
+                               THEN i + 1 + h2 % (n - i) END AS j
+                FROM pts
+            )
+            SELECT doc_id, fim_applied,
+                   CASE WHEN fim_applied
+                        -- coalesce each segment: an empty DuckDB list
+                        -- slice renders NULL and would NULL the concat
+                        THEN '<PRE>' || coalesce(array_to_string(
+                                    toks[1:i], ' '), '')
+                             || '<SUF>' || coalesce(array_to_string(
+                                    toks[(j + 1):n], ' '), '')
+                             || '<MID>' || coalesce(array_to_string(
+                                    toks[(i + 1):j], ' '), '')
+                        ELSE text END AS text,
+                   CAST(CASE WHEN fim_applied THEN i
+                             ELSE coalesce(n, 0) END AS BIGINT) AS n_prefix,
+                   CAST(CASE WHEN fim_applied THEN j - i
+                             ELSE 0 END AS BIGINT) AS n_middle,
+                   CAST(CASE WHEN fim_applied THEN n - j
+                             ELSE 0 END AS BIGINT) AS n_suffix
+            FROM pts2
+        """,
         "preference_pairs": """
             WITH cands AS (
                 SELECT doc_id // 8 AS prompt_id, doc_id AS cand_id, text,

@@ -1460,3 +1460,61 @@ def preference_pairs(margin: float = 0.0, prompt_col: str = "prompt_id",
                         "n_candidates"))
 
     return _apply
+
+def fim_transform(rate: int = 50, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  pre_tok: str = "<PRE>", suf_tok: str = "<SUF>",
+                  mid_tok: str = "<MID>") -> Callable[[DataFrame], DataFrame]:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    training of language models to fill in the middle" — the FIM recipe
+    code models train on): for ``rate`` percent of documents, split the
+    token stream at two deterministic points and re-render in PSM order
+    ``<PRE> prefix <SUF> suffix <MID> middle``, teaching the model to
+    infill; the rest pass through verbatim (the paper's joint objective).
+
+    Everything is deterministic and portable: document selection and both
+    split points derive from md5 of the id (the ``token_id`` convention),
+    so reruns, backfills, and the DuckDB oracle reproduce the exact same
+    transformation — the property a 100 TB preprocessing job needs for
+    idempotent re-runs. Prefix gets >= 1 token, middle >= 1, suffix >= 0;
+    documents under 3 tokens always pass through.
+
+    Scale shape: pure Column codegen on the scan (hash, slice, array_join)
+    — ZERO shuffles; output partitioning follows the input.
+
+    Emits (doc_id, fim_applied, text, n_prefix, n_middle, n_suffix).
+    """
+    if not 0 <= rate <= 100:
+        raise ValueError(f"rate must be in [0, 100], got {rate}")
+    from akka_stream_contrib_spark.functions.text import token_id
+
+    def _apply(df: DataFrame) -> DataFrame:
+        sid = F.col(id_col).cast("string")
+        toks = F.split(F.col(text_col), " ")
+        n = F.size(toks).cast("bigint")
+        gate = token_id(F.concat(sid, F.lit(":fimr"))) % 100 < rate
+        # i in [1, n-1]: prefix = tokens[1..i] (non-empty, leaves >= 1)
+        i = F.lit(1) + F.pmod(token_id(F.concat(sid, F.lit(":fim1"))),
+                              n - 1)
+        # j in [i+1, n]: middle = tokens[i+1..j] (>= 1), suffix may be empty
+        j = i + F.lit(1) + F.pmod(token_id(F.concat(sid, F.lit(":fim2"))),
+                                  n - i)
+        apply_fim = F.col(text_col).isNotNull() & (n >= 3) & gate
+        prefix = F.slice(toks, F.lit(1), i)
+        middle = F.slice(toks, i + 1, j - i)
+        suffix = F.slice(toks, j + 1, n - j)
+        psm = F.concat(
+            F.lit(pre_tok), F.array_join(prefix, " "),
+            F.lit(suf_tok), F.array_join(suffix, " "),
+            F.lit(mid_tok), F.array_join(middle, " "))
+        z = F.lit(0).cast("bigint")
+        return df.select(
+            F.col(id_col),
+            apply_fim.alias("fim_applied"),
+            F.when(apply_fim, psm).otherwise(F.col(text_col)).alias(text_col),
+            F.when(apply_fim, i).otherwise(F.coalesce(n, z))
+             .cast("bigint").alias("n_prefix"),
+            F.when(apply_fim, j - i).otherwise(z).alias("n_middle"),
+            F.when(apply_fim, n - j).otherwise(z).alias("n_suffix"))
+
+    return _apply

@@ -249,6 +249,7 @@ HEADLINE = [
     # DPO preference-pair construction
     "pack_training_rows",
     "preference_pairs",
+    "fim_transform",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

@@ -841,3 +841,38 @@ def test_preference_pairs_plan_is_single_partial_agg(spark):
         .executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan
     assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_fim_transform_psm_reconstructs_and_is_deterministic(spark):
+    from akka_stream_contrib_spark.functions.corpus import fim_transform
+    import re
+    rows = [(i, " ".join(f"tok{j}" for j in range(12))) for i in range(40)] \
+        + [(100, "a b"), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.transform(fim_transform(rate=50)).collect()
+    applied = [r for r in got if r.fim_applied]
+    raw = {r.doc_id: r for r in got if not r.fim_applied}
+    # ~50% gate (md5-deterministic; exact count is a property of the ids)
+    assert 10 <= len(applied) <= 30
+    for r in applied:
+        m = re.fullmatch(r"<PRE>(.*)<SUF>(.*)<MID>(.*)", r.text, re.S)
+        pre, suf, mid = m.groups()
+        # prefix + middle + suffix reassemble the original token stream
+        toks = ([t for t in pre.split(" ") if t]
+                + [t for t in mid.split(" ") if t]
+                + [t for t in suf.split(" ") if t])
+        assert toks == [f"tok{j}" for j in range(12)]
+        assert (r.n_prefix, r.n_middle, r.n_suffix) == (
+            len([t for t in pre.split(" ") if t]),
+            len([t for t in mid.split(" ") if t]),
+            len([t for t in suf.split(" ") if t]))
+        assert r.n_prefix >= 1 and r.n_middle >= 1 and r.n_suffix >= 0
+    # short and NULL docs pass through
+    assert raw[100].text == "a b" and raw[100].n_prefix == 2
+    assert raw[101].text is None and raw[101].n_prefix == 0
+    # determinism: a rerun reproduces the exact same transformation
+    again = df.transform(fim_transform(rate=50)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # rate bounds
+    assert all(not r.fim_applied
+               for r in df.transform(fim_transform(rate=0)).collect())

@@ -93,6 +93,8 @@ BUDGET = {
     # argmin are lexicographic struct MIN/MAX — map-side combinable, no
     # window sort, no join)
     "preference_pairs": 1,
+    # r10 FIM: md5 gate + split points + slices, all scan-side codegen
+    "fim_transform": 0,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
