@@ -4526,6 +4526,12 @@ def q_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_join(transform(assistant_spans, x -> "
                "substr(text, CAST(x.s + 1 AS INT), "
                "CAST(x.e - x.s AS INT))), '|')").alias("span_concat"),
+        # doc_spans self-proof: re-slicing every member boundary out of
+        # the packed text must reproduce the member texts verbatim
+        F.md5(F.expr("array_join(transform(doc_spans, x -> "
+                     "substr(text, CAST(x.s + 1 AS INT), "
+                     "CAST(x.e - x.s AS INT))), '\u001f')"))
+        .alias("doc_concat_md5"),
         F.length("text").cast("bigint").alias("text_len"))
 
 
@@ -8966,6 +8972,9 @@ def oracle_sql() -> dict[str, str]:
                        flatten(list(list_transform(spans,
                            x -> {'s': x.s + prev, 'e': x.e + prev})
                            ORDER BY rank0)) AS pspans,
+                       list({'s': prev,
+                             'e': prev + length(text)}
+                            ORDER BY rank0) AS dspans,
                        CAST(count(*) AS BIGINT) AS n_docs,
                        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                        (kcls = 0) AS overflow
@@ -8981,6 +8990,10 @@ def oracle_sql() -> dict[str, str]:
                        x -> substr(ptext, CAST(x.s + 1 AS INTEGER),
                                    CAST(x.e - x.s AS INTEGER))), '|'), '')
                        AS span_concat,
+                   md5(coalesce(array_to_string(list_transform(dspans,
+                       x -> substr(ptext, CAST(x.s + 1 AS INTEGER),
+                                   CAST(x.e - x.s AS INTEGER))),
+                       chr(31)), '')) AS doc_concat_md5,
                    CAST(length(ptext) AS BIGINT) AS text_len
             FROM packs
         """,

@@ -1338,10 +1338,13 @@ def pack_training_rows(budget: int = 256, id_col: str = "conv_id",
     exchanges total, each skew-free (heavy classes spread uniformly over
     row ids).
 
-    Emits (pack_id, <text_col>, <spans_col> remapped, n_docs, n_tokens,
-    overflow). ``n_tokens`` is the sum of member whitespace-token counts
-    (separators excluded). NULL-text rows are dropped (nothing to train
-    on); NULL spans read as empty. Span structs must carry fields
+    Emits (pack_id, <text_col>, <spans_col> remapped, doc_spans, n_docs,
+    n_tokens, overflow). ``doc_spans`` carries each member document's
+    [start, end) boundary in packed coordinates — the metadata a trainer
+    needs to reset position ids and block cross-document attention inside
+    a packed row. ``n_tokens`` is the sum of member whitespace-token
+    counts (separators excluded). NULL-text rows are dropped (nothing to
+    train on); NULL spans read as empty. Span structs must carry fields
     ``s``/``e`` (the chat_to_training_text contract).
     """
     if budget < 1:
@@ -1380,7 +1383,8 @@ def pack_training_rows(budget: int = 256, id_col: str = "conv_id",
         init = F.struct(F.lit(0).cast("bigint").alias("cnt"),
                         F.lit(0).cast("bigint").alias("len"),
                         F.lit("").alias("txt"),
-                        F.expr(empty_spans).alias("spans"))
+                        F.expr(empty_spans).alias("spans"),
+                        F.expr(empty_spans).alias("dspans"))
 
         def _merge(acc, m):
             off = F.when(acc.cnt == F.lit(0), F.lit(0).cast("bigint")) \
@@ -1393,7 +1397,15 @@ def pack_training_rows(budget: int = 256, id_col: str = "conv_id",
                 F.concat(acc.spans, F.transform(
                     m.sp, lambda x: F.struct((x.s + off).alias("s"),
                                              (x.e + off).alias("e"))))
-                 .alias("spans"))
+                 .alias("spans"),
+                # member-document boundaries in PACKED coordinates — what
+                # the trainer needs to reset position ids / block
+                # cross-document attention inside a packed row
+                F.array_append(
+                    acc.dspans,
+                    F.struct(off.alias("s"),
+                             (off + F.length(m.t)).alias("e")))
+                 .alias("dspans"))
 
         folded = F.aggregate(F.col("_m"), init, _merge)
         n_tokens = F.aggregate(F.col("_m"), F.lit(0).cast("bigint"),
@@ -1403,6 +1415,7 @@ def pack_training_rows(budget: int = 256, id_col: str = "conv_id",
                         F.col("_row").cast("string")).alias("pack_id"),
             folded.getField("txt").alias(text_col),
             folded.getField("spans").alias(spans_col),
+            folded.getField("dspans").alias("doc_spans"),
             F.size("_m").cast("bigint").alias("n_docs"),
             n_tokens.alias("n_tokens"),
             (F.col("_k") == 0).alias("overflow"))

@@ -876,3 +876,21 @@ def test_fim_transform_psm_reconstructs_and_is_deterministic(spark):
     # rate bounds
     assert all(not r.fim_applied
                for r in df.transform(fim_transform(rate=0)).collect())
+
+
+def test_pack_training_rows_doc_spans_tile_the_packed_text(spark):
+    # doc_spans: consecutive member boundaries separated by exactly the
+    # separator; re-slicing reproduces member texts; spans tile the row
+    from akka_stream_contrib_spark.functions.corpus import pack_training_rows
+    rows = [(i, f"doc number {i} body", None) for i in range(1, 9)]
+    df = spark.createDataFrame(
+        rows, "conv_id long, text string, "
+              "assistant_spans array<struct<s: bigint, e: bigint>>")
+    for r in df.transform(pack_training_rows(budget=12)).collect():
+        slices = [r.text[d.s:d.e] for d in r.doc_spans]
+        assert len(slices) == r.n_docs
+        assert all(s.startswith("doc number ") for s in slices)
+        assert r.doc_spans[0].s == 0
+        for a, b in zip(r.doc_spans, r.doc_spans[1:]):
+            assert b.s == a.e + 1 and r.text[a.e:b.s] == "\n"
+        assert r.doc_spans[-1].e == len(r.text)
