@@ -40,10 +40,21 @@ def _guarded_broadcast(cond: DataFrame, budget_rows: int,
     the full set. Either branch runs the SAME key-equi join — correctness is
     unaffected; callers cache ``cond`` so the probe's aggregation is reused
     by the join itself.
+
+    The probe runs at plan-CONSTRUCTION time — one bounded job (the
+    count-cap requires counting; the cache it materializes is the one the
+    main query consumes, so the work is paid once, not twice). Batch-only,
+    like every corpus-wide aggregate in this module. The over-budget
+    fallback is logged with the operator name so a production job that
+    degrades from broadcast to shuffle-hash leaves a trace.
     """
     n = cond.limit(budget_rows + 1).count()
     if n <= budget_rows:
         return F.broadcast(cond)
+    import logging
+    logging.getLogger(__name__).warning(
+        "%s: condemned set exceeds broadcast_budget_rows=%d — falling back "
+        "to a shuffle-hash join (same key, same result)", what, budget_rows)
     return cond.hint("shuffle_hash")
 
 

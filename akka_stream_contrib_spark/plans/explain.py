@@ -41,29 +41,44 @@ def count_exchanges(df: DataFrame) -> int:
     """Number of DISTINCT shuffle exchanges (excludes broadcast exchanges
     and ReusedExchange references) — the scale-limiting resource of a plan.
 
-    Distinct by the exchange's ARGUMENTS (partitioning expression incl.
-    expression ids, plan_id stripped), not by formatted-plan node id: a
-    cached (InMemoryRelation) subtree prints its build plan once per
-    consumer — and under AQE once more as the cache's initial plan — while
-    its exchanges execute at most once; node-id dedup double-counted those
-    reprints (same partitioning, same expr ids, different print ids). Two
-    genuinely distinct shuffles always differ in arguments (fresh expr ids
-    per operator output), and a ReusedExchange re-reads shuffle files
-    instead of re-shuffling."""
+    MAIN-plan exchanges count by node id (two independent shuffles always
+    count twice, even when their printed arguments collide — e.g. two
+    SinglePartition aggregates). Exchanges nested under an InMemoryRelation
+    print once per consumer — and under AQE once more as the cache's
+    initial-plan copy — while they execute AT MOST once (the cache build);
+    those dedupe by partitioning ARGUMENTS (plan_id stripped), which
+    collapses the reprints of one build plan without hiding main-plan
+    shuffles. A ReusedExchange re-reads shuffle files instead of
+    re-shuffling and is excluded by name."""
     import re
     plan = formatted_plan(df)
-    ids = set()
-    # details section: one "(N) NodeName" header per node, its metadata
-    # lines (Input/Arguments/...) following until the next header
-    for block in re.split(r"\n(?=\(\d+\) )", plan):
-        m = re.match(r"\((\d+)\) Exchange\b", block)
+    tree = plan.split("\n\n", 1)[0]
+    # tree walk: a node line renders as "...+- NodeName (N)"; children are
+    # indented deeper, so everything deeper than an InMemoryRelation line
+    # (until indentation returns) is that cache's build-plan rendering
+    cached_ids, main_ids, stack = set(), set(), []
+    for line in tree.splitlines():
+        m = re.search(r"([A-Za-z][A-Za-z]*) \((\d+)\)\s*$", line)
         if not m:
             continue
+        name, node_id = m.group(1), m.group(2)
+        indent = re.search(r"[A-Za-z*]", line).start()
+        while stack and indent <= stack[-1]:
+            stack.pop()
+        if name == "Exchange":
+            (cached_ids if stack else main_ids).add(node_id)
+        if name == "InMemoryRelation":
+            stack.append(indent)
+    # details section: map node id -> Arguments (for the cached dedup key)
+    cached_args = set()
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        m = re.match(r"\((\d+)\) Exchange\b", block)
+        if not m or m.group(1) not in cached_ids:
+            continue
         a = re.search(r"Arguments: ([^\n]*)", block)
-        args = (re.sub(r"\[plan_id=\d+\]", "", a.group(1)) if a
-                else m.group(1))
-        ids.add(args)
-    return len(ids)
+        cached_args.add(re.sub(r"\[plan_id=\d+\]", "", a.group(1)) if a
+                        else m.group(1))
+    return len(main_ids) + len(cached_args)
 
 
 def assert_partition_pruned(df: DataFrame, column: str) -> None:

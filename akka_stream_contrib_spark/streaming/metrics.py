@@ -80,6 +80,12 @@ def embedding_drift_sink(stream_df: DataFrame, ref_profile: DataFrame,
     partition instead of appending duplicates), so an encoder swap in a
     live ingest shows up within one trigger interval.
 
+    Layout note: the batch_id-partitioned layout is NOT compatible with a
+    path written by the pre-r10 flat-append form of this sink — point an
+    upgraded query at a fresh path (mixing the two trips Spark's partition
+    discovery). Readers see ``batch_id`` as an inferred integer partition
+    column (directory-name inference), not the written long.
+
     ``ref_profile`` must carry (dim, mean_ref, var_ref) — build it once
     from the reference corpus::
 

@@ -397,3 +397,22 @@ def test_round9_additions_plan_shapes(spark):
     # adds no window over the rendered stream
     plan = formatted_plan(entry.queries()["chat_training_text"](spark, SF))
     assert "Window" not in plan
+
+
+def test_count_exchanges_no_argument_collision_in_main_plan(spark):
+    # r10 review: two independent global aggregates print identical
+    # Exchange arguments (SinglePartition) — they are distinct runtime
+    # shuffles and must count as 2, while cached build-plan reprints
+    # (same InMemoryRelation, AQE initial copy) still dedupe
+    from pyspark.sql import functions as F
+    from akka_stream_contrib_spark.plans import count_exchanges
+    from akka_stream_contrib_spark.util import pipeline_cache
+    a = spark.range(100).agg(F.count(F.lit(1)).alias("a"))
+    b = spark.range(200).agg(F.sum("id").alias("b"))
+    assert count_exchanges(a.crossJoin(b)) == 2
+    # cached subtree: its ONE build shuffle counts once even when the
+    # cache is consumed twice
+    base = pipeline_cache(spark.range(100).withColumn("k", F.col("id") % 5)
+                          .groupBy("k").agg(F.count(F.lit(1)).alias("c")))
+    joined = base.join(base.withColumnRenamed("c", "c2"), "k")
+    assert count_exchanges(joined) <= 2
