@@ -270,23 +270,23 @@ STABLE_SET = [
 ]
 assert set(STABLE_SET) <= set(HEADLINE), "stable set must be benched"
 
-# previous round's sf0.1 cold timings for STABLE_SET — from the round-8
-# QUIET-host run (git 180b716's BENCH_DETAIL.json, 09:32), NOT the
-# committed clamp-contaminated 12:35 BENCH_DETAIL (see BASELINE.md r8
-# clamp note) — update BOTH fields from a VERIFIED-QUIET run only
-STABLE_PREV_ROUND = 8
+# previous round's sf0.1 cold timings for STABLE_SET — from the round-10
+# VERIFIED-QUIET run (/tmp/bench_r10.log, 20:25; DuckDB sequential 53.1 s
+# vs the r8-quiet 54.1 s on the same oracle set = host back at quiet
+# speed) — update BOTH fields from a VERIFIED-QUIET run only
+STABLE_PREV_ROUND = 10
 STABLE_PREV = {
-    "q1_pricing_summary": 0.923, "q2_min_cost_supplier": 0.973,
-    "q3_shipping_priority": 0.658, "q5_local_supplier_volume": 0.354,
-    "q6_forecast_revenue": 0.145, "q9_product_profit": 0.817,
-    "q11_important_stock": 1.328, "q18_large_orders": 0.676,
-    "dedup_exact": 0.111, "minhash_lsh_dedup": 1.436,
-    "ngram_jaccard_dedup": 2.303, "duplicate_spans": 1.313,
-    "novelty_score": 1.714, "dsir_select": 2.247, "phash_near_dup": 3.356,
-    "ann_cosine_topk": 0.254, "ann_ivf_all": 0.761, "pq_ann": 0.767,
-    "quantized_ann": 0.203, "knn_join": 0.274, "theil_sen": 1.612,
-    "hard_negatives": 1.04, "bigram_logprob": 1.173, "audio_segments": 1.277,
-    "vwap_resample": 1.051,
+    "q1_pricing_summary": 1.044, "q2_min_cost_supplier": 1.094,
+    "q3_shipping_priority": 0.625, "q5_local_supplier_volume": 0.39,
+    "q6_forecast_revenue": 0.157, "q9_product_profit": 0.838,
+    "q11_important_stock": 1.518, "q18_large_orders": 0.747,
+    "dedup_exact": 0.135, "minhash_lsh_dedup": 1.644,
+    "ngram_jaccard_dedup": 1.911, "duplicate_spans": 1.335,
+    "novelty_score": 1.756, "dsir_select": 1.933, "phash_near_dup": 1.428,
+    "ann_cosine_topk": 0.225, "ann_ivf_all": 1.041, "pq_ann": 0.819,
+    "quantized_ann": 0.246, "knn_join": 0.273, "theil_sen": 2.015,
+    "hard_negatives": 0.844, "bigram_logprob": 1.224,
+    "audio_segments": 0.9, "vwap_resample": 0.906,
 }
 
 
