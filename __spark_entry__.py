@@ -4563,6 +4563,24 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").transform(fim_transform(rate=50))
 
 
+def q_near_dup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split fuzzy decontamination (functions/dedup.py::
+    near_dup_decontaminate): every seventh document leaks into the
+    benchmark with a trailing-token paraphrase (ids offset by 20M); the
+    MinHash-LSH cross join must flag exactly those training docs with
+    their benchmark twin as the argmax-Jaccard match — no within-split
+    pairs. Same bit-exact hash family as minhash_lsh_dedup, replayed by
+    the oracle."""
+    from akka_stream_contrib_spark.functions.dedup import near_dup_decontaminate
+    docs = (tables.load(spark, "documents", sf_dir)
+            .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    ev = (docs.filter(F.col("doc_id") % 7 == 0)
+          .select((F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+                  F.concat(F.col("text"), F.lit(" trailing eval marker"))
+                  .alias("text")))
+    return near_dup_decontaminate(docs, ev, threshold=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4857,6 +4875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_training_rows": q_pack_training_rows,
         "preference_pairs": q_preference_pairs,
         "fim_transform": q_fim_transform,
+        "near_dup_decontaminate": q_near_dup_decontaminate,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4886,6 +4905,7 @@ _PRIORITY = [
     "remove_boilerplate",
     # (3) round-10 first-evidence additions
     "pack_training_rows", "preference_pairs", "fim_transform",
+    "near_dup_decontaminate",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -8861,6 +8881,74 @@ def oracle_sql() -> dict[str, str]:
             FROM marked GROUP BY doc_id
         """,
         "generation_loops": _generation_loops_oracle(),
+        "near_dup_decontaminate": """
+            WITH tdocs AS (
+                SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            ), edocs AS (
+                SELECT doc_id + 20000000 AS doc_id,
+                       text || ' trailing eval marker' AS text
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id % 7 = 0
+            ), tsh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM tdocs) WHERE len(l) >= 3
+            ), esh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM edocs) WHERE len(l) >= 3
+            ), hp AS (SELECT h, 6*h + 7 AS a, 3*h + 1 AS b
+                      FROM (SELECT unnest(generate_series(0, 7)) AS h)),
+            tsig AS (
+                SELECT doc_id, h, min((a * CAST(concat('0x',
+                           substr(md5(shingle), 1, 8)) AS BIGINT) + b)
+                           % 8191) AS mh
+                FROM tsh CROSS JOIN hp GROUP BY doc_id, h
+            ), esig AS (
+                SELECT doc_id, h, min((a * CAST(concat('0x',
+                           substr(md5(shingle), 1, 8)) AS BIGINT) + b)
+                           % 8191) AS mh
+                FROM esh CROSS JOIN hp GROUP BY doc_id, h
+            ), tband AS (
+                SELECT doc_id, h // 2 AS band,
+                       sum(mh * CASE WHEN h % 2 = 0 THEN 1 ELSE 8192 END)
+                           AS band_key
+                FROM tsig GROUP BY doc_id, band
+            ), eband AS (
+                SELECT doc_id, h // 2 AS band,
+                       sum(mh * CASE WHEN h % 2 = 0 THEN 1 ELSE 8192 END)
+                           AS band_key
+                FROM esig GROUP BY doc_id, band
+            ), cand AS (
+                SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+                FROM tband t JOIN eband e
+                  ON t.band = e.band AND t.band_key = e.band_key
+            ), tsz AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
+            esz AS (SELECT doc_id, count(*) AS n FROM esh GROUP BY doc_id),
+            inter AS (
+                SELECT c.doc_id, c.eval_id, count(*) AS i
+                FROM cand c
+                JOIN tsh ON tsh.doc_id = c.doc_id
+                JOIN esh ON esh.doc_id = c.eval_id
+                        AND esh.shingle = tsh.shingle
+                GROUP BY c.doc_id, c.eval_id
+            ), scored AS (
+                SELECT i.doc_id, i.eval_id,
+                       round(i.i / (t.n + e.n - i.i), 6) AS jaccard
+                FROM inter i
+                JOIN tsz t ON i.doc_id = t.doc_id
+                JOIN esz e ON i.eval_id = e.doc_id
+            )
+            SELECT doc_id, eval_id, jaccard
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY jaccard DESC, eval_id) AS rn
+                  FROM scored WHERE jaccard >= 0.5)
+            WHERE rn = 1
+        """,
         "fim_transform": """
             WITH t AS (
                 SELECT doc_id, text,

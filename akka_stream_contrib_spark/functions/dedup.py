@@ -926,3 +926,71 @@ def cross_lingual_dedup(
     return ngram_jaccard_dedup(folded, n=n, threshold=threshold,
                                max_doc_freq=max_doc_freq,
                                id_col=id_col, text_col=text_col)
+
+def near_dup_decontaminate(train: DataFrame, eval_df: DataFrame, k: int = 3,
+                           num_hashes: int = 8, bands: int = 4,
+                           threshold: float = 0.5, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """CROSS-SPLIT fuzzy decontamination: MinHash-LSH between the training
+    corpus and an evaluation set, flagging each training document whose
+    near-duplicate lives in the benchmark — the step modern corpus
+    pipelines (Dolma, FineWeb) run beyond :func:`~akka_stream_contrib_spark.
+    functions.corpus.decontaminate`'s exact-shingle containment: a
+    benchmark item that was lightly paraphrased or truncated into the
+    crawl still leaks, and only near-dup detection catches it.
+
+    Same verified kernel as :func:`minhash_lsh_dedup` (one shared
+    :func:`minhash_aggs` hash family, :func:`band_keys` bucketing, exact
+    Jaccard verification on candidates only) with the pair join taken
+    ACROSS the two sides instead of within one: train band rows bucket-join
+    eval band rows, so no within-split pairs are ever generated. The eval
+    side is benchmark-sized (MBs against a 100 TB corpus) — its band table
+    and per-doc aggregate are tiny, and AQE broadcasts them at runtime;
+    the training corpus is shingled and aggregated ONCE (single doc_id
+    shuffle), exactly the dedup-family discipline.
+
+    Emits one row per CONTAMINATED training doc: (doc_id, eval_id,
+    jaccard) with eval_id the argmax-Jaccard benchmark match (min eval_id
+    tie-break); training docs without a candidate above ``threshold`` are
+    absent (the common case — the output is benchmark-sized too).
+    """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    _drop_stale_caches()
+    rows_per_band = num_hashes // bands
+
+    def _per_doc(df: DataFrame) -> DataFrame:
+        sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
+        agg = (sh.withColumn("tid", token_id(F.col("shingle")))
+               .groupBy("doc_id")
+               .agg(*minhash_aggs(num_hashes),
+                    F.count(F.lit(1)).alias("n"),
+                    F.collect_list("shingle").alias("shs")))
+        agg = agg.persist()
+        _LAST_PERSISTED.append(agg)
+        return agg
+
+    tr, ev = _per_doc(train), _per_doc(eval_df)
+    tb = band_keys(tr, bands=bands, rows_per_band=rows_per_band) \
+        .select(F.col("doc_id").alias("_t"), "band", "band_key")
+    eb = band_keys(ev, bands=bands, rows_per_band=rows_per_band) \
+        .select(F.col("doc_id").alias("_e"), "band", "band_key")
+    cand = (tb.join(eb, ["band", "band_key"])
+            .select(F.col("_t").alias("doc_id"),
+                    F.col("_e").alias("eval_id"))
+            .distinct())
+    ta = tr.select("doc_id", F.col("n").alias("_nt"),
+                   F.col("shs").alias("_st"))
+    ea = ev.select(F.col("doc_id").alias("eval_id"),
+                   F.col("n").alias("_ne"), F.col("shs").alias("_se"))
+    inter = F.size(F.array_intersect("_st", "_se"))
+    scored = (cand.join(ta, "doc_id").join(ea, "eval_id")
+              .withColumn("jaccard",
+                          F.round(inter / (F.col("_nt") + F.col("_ne")
+                                           - inter), 6))
+              .filter(F.col("jaccard") >= threshold))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "eval_id")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "eval_id", "jaccard"))

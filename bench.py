@@ -250,6 +250,7 @@ HEADLINE = [
     "pack_training_rows",
     "preference_pairs",
     "fim_transform",
+    "near_dup_decontaminate",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

@@ -894,3 +894,32 @@ def test_pack_training_rows_doc_spans_tile_the_packed_text(spark):
         for a, b in zip(r.doc_spans, r.doc_spans[1:]):
             assert b.s == a.e + 1 and r.text[a.e:b.s] == "\n"
         assert r.doc_spans[-1].e == len(r.text)
+
+
+def test_near_dup_decontaminate_cross_split_only(spark):
+    from akka_stream_contrib_spark.functions.dedup import near_dup_decontaminate
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank"),
+         (2, "an entirely different training text about spark shuffle planning"),
+         # near-dup of doc 1 WITHIN train: must NOT appear (cross-split only)
+         (3, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog near the river edge"),
+         (102, "benchmark item sharing no shingles with anything in the corpus")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           near_dup_decontaminate(train, ev, threshold=0.3).collect()}
+    # both copies of the leaked text flag against the SAME benchmark item
+    assert set(got) == {1, 3}
+    assert got[1].eval_id == 101 and got[3].eval_id == 101
+    assert got[1].jaccard > 0.7
+    # clean training doc and clean benchmark item stay silent
+    assert 2 not in got and all(r.eval_id != 102 for r in got.values())
+
+
+def test_near_dup_decontaminate_band_divisibility_guard(spark):
+    from akka_stream_contrib_spark.functions.dedup import near_dup_decontaminate
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        near_dup_decontaminate(df, df, num_hashes=8, bands=3)

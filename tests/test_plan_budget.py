@@ -95,6 +95,10 @@ BUDGET = {
     "preference_pairs": 1,
     # r10 FIM: md5 gate + split points + slices, all scan-side codegen
     "fim_transform": 0,
+    # r10 cross-split fuzzy decontamination: per-side doc aggs (2) + the
+    # band bucket join (train side re-keys; eval side tiny, AQE-broadcast
+    # class) + candidate distinct; verify joins ride the cached aggs
+    "near_dup_decontaminate": 4,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
