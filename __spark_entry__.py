@@ -4581,6 +4581,37 @@ def q_near_dup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_decontaminate(docs, ev, threshold=0.5)
 
 
+def q_chat_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-tree flattening (functions/corpus.py::chat_tree_paths):
+    each source's documents form a binary reply tree (node = per-source
+    rank, parent = rank DIV 2 — the heap shape), roles alternate by rank
+    parity; every leaf yields its root→leaf path. Output renders the turn
+    sequence as role:content joined by '|' (hash-comparable), so a wrong
+    walk order or wrong parent produces wrong text. The oracle replays the
+    walk as a recursive CTE."""
+    from pyspark.sql import Window
+    from akka_stream_contrib_spark.functions.corpus import chat_tree_paths
+    docs = (tables.load(spark, "documents", sf_dir)
+            .filter(F.col("text").isNotNull()))
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    tree = (docs.select(F.col("source").alias("conv_id"), "doc_id",
+                        F.substring("text", 1, 40).alias("content"))
+            .withColumn("node_id", F.row_number().over(w).cast("long"))
+            .select("conv_id", "node_id",
+                    F.when(F.col("node_id") > 1,
+                           F.floor(F.col("node_id") / 2)).cast("long")
+                    .alias("parent_id"),
+                    F.when(F.col("node_id") % 2 == 1, "user")
+                    .otherwise("assistant").alias("role"),
+                    "content"))
+    out = tree.transform(chat_tree_paths(max_depth=16))
+    return out.select(
+        "conv_id", "leaf_id", "depth",
+        F.expr("array_join(transform(turns, "
+               "x -> x.role || ':' || x.content), '|')").alias("path_text"),
+        "truncated")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4876,6 +4907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "fim_transform": q_fim_transform,
         "near_dup_decontaminate": q_near_dup_decontaminate,
+        "chat_tree_paths": q_chat_tree_paths,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4905,7 +4937,7 @@ _PRIORITY = [
     "remove_boilerplate",
     # (3) round-10 first-evidence additions
     "pack_training_rows", "preference_pairs", "fim_transform",
-    "near_dup_decontaminate",
+    "near_dup_decontaminate", "chat_tree_paths",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -8881,6 +8913,45 @@ def oracle_sql() -> dict[str, str]:
             FROM marked GROUP BY doc_id
         """,
         "generation_loops": _generation_loops_oracle(),
+        "chat_tree_paths": """
+            WITH RECURSIVE nodes AS (
+                SELECT source AS conv_id,
+                       CAST(row_number() OVER (PARTITION BY source
+                           ORDER BY doc_id) AS BIGINT) AS node_id,
+                       substr(text, 1, 40) AS content
+                FROM documents WHERE text IS NOT NULL
+            ), tree AS (
+                SELECT conv_id, node_id,
+                       CASE WHEN node_id > 1 THEN node_id // 2 END
+                           AS parent_id,
+                       CASE WHEN node_id % 2 = 1 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       content
+                FROM nodes
+            ), leaves AS (
+                SELECT t.* FROM tree t
+                WHERE NOT EXISTS (SELECT 1 FROM tree c
+                                  WHERE c.conv_id = t.conv_id
+                                    AND c.parent_id = t.node_id)
+            ), walk AS (
+                SELECT conv_id, node_id AS leaf_id, node_id AS node,
+                       0 AS up
+                FROM leaves
+                UNION ALL
+                SELECT w.conv_id, w.leaf_id, t.parent_id, w.up + 1
+                FROM walk w JOIN tree t ON t.conv_id = w.conv_id
+                                       AND t.node_id = w.node
+                WHERE t.parent_id IS NOT NULL
+            )
+            SELECT w.conv_id, w.leaf_id,
+                   CAST(count(*) AS BIGINT) AS depth,
+                   string_agg(t.role || ':' || t.content, '|'
+                              ORDER BY w.up DESC) AS path_text,
+                   false AS truncated
+            FROM walk w JOIN tree t ON t.conv_id = w.conv_id
+                                   AND t.node_id = w.node
+            GROUP BY w.conv_id, w.leaf_id
+        """,
         "near_dup_decontaminate": """
             WITH tdocs AS (
                 SELECT doc_id, text FROM documents WHERE text IS NOT NULL

@@ -1542,3 +1542,77 @@ def fim_transform(rate: int = 50, id_col: str = "doc_id",
             F.when(apply_fim, n - j).otherwise(z).alias("n_suffix"))
 
     return _apply
+
+def chat_tree_paths(max_depth: int = 16, conv_col: str = "conv_id",
+                    node_col: str = "node_id", parent_col: str = "parent_id",
+                    role_col: str = "role", content_col: str = "content"
+                    ) -> Callable[[DataFrame], DataFrame]:
+    """Conversation-TREE flattening: crowd/assistant chat data often arrives
+    as reply trees (multiple candidate replies per message — the
+    OpenAssistant shape); SFT needs LINEAR paths. For every leaf, walk the
+    parent links to the root and emit the root→leaf turn sequence — one
+    training conversation per leaf, sharing prefixes with its siblings
+    (the dedup/packing stages downstream handle the shared prefixes).
+
+    Scale shape: ONE shuffle on the conversation key collects each tree
+    into a row (trees are conversation-sized — tens to hundreds of nodes);
+    the walk itself is an UNROLLED in-row map lookup (``map_from_arrays``
+    + ``element_at`` chained ``max_depth`` times, all codegen) — no
+    iterative joins, no graph library, no driver loop. A path deeper than
+    ``max_depth`` is flagged ``truncated`` rather than silently clipped.
+
+    Emits (conv_id, leaf_id, depth, turns array<struct<role, content>>
+    root→leaf order, truncated). Roots have NULL ``parent_col``; a leaf is
+    any node no other node names as parent.
+    """
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        nodes = F.array_sort(F.collect_list(F.struct(
+            F.col(node_col).alias("n"),
+            F.col(parent_col).alias("p"),
+            F.col(role_col).alias("r"),
+            F.col(content_col).alias("c"))))
+        tree = (df.groupBy(F.col(conv_col).alias("conv_id"))
+                .agg(nodes.alias("_nodes"))
+                .withColumn("_m", F.map_from_arrays(
+                    F.transform("_nodes", lambda x: x.n),
+                    F.col("_nodes")))
+                # NULL parents (roots) are dropped from the parents list:
+                # array_contains over an array holding NULL returns NULL
+                # for non-members, which would silently drop every leaf
+                .withColumn("_parents", F.filter(
+                    F.transform("_nodes", lambda x: x.p),
+                    lambda p: p.isNotNull())))
+        leaves = (tree.select(
+            "conv_id", "_m",
+            F.explode(F.filter(
+                "_nodes",
+                lambda x: ~F.array_contains(F.col("_parents"), x.n)))
+            .alias("_leaf")))
+        # unrolled parent walk: chain[0] = leaf id, chain[i+1] =
+        # parent(chain[i]); element_at returns NULL past the root, so the
+        # chain is NULL-padded and the filter trims it
+        steps = ["CAST(_leaf.n AS BIGINT)"]
+        for _ in range(max_depth - 1):
+            steps.append(f"element_at(_m, {steps[-1]}).p")
+        chain = ("filter(array(" + ", ".join(steps) + "), x -> x IS NOT NULL)")
+        walked = (leaves
+                  .withColumn("_chain", F.reverse(F.expr(chain)))
+                  .withColumn("_truncated",
+                              F.expr(f"element_at(_m, {steps[-1]}).p")
+                              .isNotNull()))
+        turns = F.transform(
+            "_chain",
+            lambda nid: F.struct(
+                F.element_at("_m", nid).r.alias("role"),
+                F.element_at("_m", nid).c.alias("content")))
+        return walked.select(
+            "conv_id",
+            F.col("_leaf.n").alias("leaf_id"),
+            F.size("_chain").cast("bigint").alias("depth"),
+            turns.alias("turns"),
+            F.col("_truncated").alias("truncated"))
+
+    return _apply

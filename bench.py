@@ -251,6 +251,7 @@ HEADLINE = [
     "preference_pairs",
     "fim_transform",
     "near_dup_decontaminate",
+    "chat_tree_paths",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

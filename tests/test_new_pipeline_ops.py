@@ -923,3 +923,46 @@ def test_near_dup_decontaminate_band_divisibility_guard(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="must divide"):
         near_dup_decontaminate(df, df, num_hashes=8, bands=3)
+
+
+def test_chat_tree_paths_flattens_every_leaf(spark):
+    from akka_stream_contrib_spark.functions.corpus import chat_tree_paths
+    #      1(user q)
+    #     /        \
+    #    2(a1)      3(a2)
+    #    |          |
+    #    4(f1)      5(f2)
+    #               |
+    #               6(a3)
+    rows = [(9, 1, None, "user", "q"), (9, 2, 1, "assistant", "a1"),
+            (9, 3, 1, "assistant", "a2"), (9, 4, 2, "user", "f1"),
+            (9, 5, 3, "user", "f2"), (9, 6, 5, "assistant", "a3")]
+    df = spark.createDataFrame(
+        rows, "conv_id long, node_id long, parent_id long, "
+              "role string, content string")
+    got = {r.leaf_id: r for r in df.transform(chat_tree_paths()).collect()}
+    assert set(got) == {4, 6}
+    assert [(t.role, t.content) for t in got[4].turns] == [
+        ("user", "q"), ("assistant", "a1"), ("user", "f1")]
+    assert [(t.role, t.content) for t in got[6].turns] == [
+        ("user", "q"), ("assistant", "a2"), ("user", "f2"),
+        ("assistant", "a3")]
+    assert got[4].depth == 3 and got[6].depth == 4
+    assert not got[4].truncated and not got[6].truncated
+
+
+def test_chat_tree_paths_depth_cap_flags_truncated(spark):
+    from akka_stream_contrib_spark.functions.corpus import chat_tree_paths
+    chain = [(1, i, None if i == 1 else i - 1, "user", f"m{i}")
+             for i in range(1, 6)]
+    df = spark.createDataFrame(
+        chain, "conv_id long, node_id long, parent_id long, "
+               "role string, content string")
+    r = df.transform(chat_tree_paths(max_depth=3)).collect()[0]
+    # keeps the max_depth turns NEAREST the leaf and flags the cut
+    assert r.truncated and r.depth == 3
+    assert [t.content for t in r.turns] == ["m3", "m4", "m5"]
+    full = df.transform(chat_tree_paths(max_depth=16)).collect()[0]
+    assert not full.truncated and full.depth == 5
+    with pytest.raises(ValueError, match="max_depth"):
+        chat_tree_paths(max_depth=0)

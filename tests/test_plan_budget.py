@@ -99,6 +99,10 @@ BUDGET = {
     # band bucket join (train side re-keys; eval side tiny, AQE-broadcast
     # class) + candidate distinct; verify joins ride the cached aggs
     "near_dup_decontaminate": 4,
+    # r10 tree flattening: ONE conv-key shuffle (the fixture's rank window
+    # and the op's tree groupBy share it); the parent walk is in-row
+    # unrolled map lookup, zero further exchanges
+    "chat_tree_paths": 1,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
