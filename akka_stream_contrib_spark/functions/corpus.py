@@ -1555,11 +1555,22 @@ def chat_tree_paths(max_depth: int = 16, conv_col: str = "conv_id",
     (the dedup/packing stages downstream handle the shared prefixes).
 
     Scale shape: ONE shuffle on the conversation key collects each tree
-    into a row (trees are conversation-sized — tens to hundreds of nodes);
-    the walk itself is an UNROLLED in-row map lookup (``map_from_arrays``
-    + ``element_at`` chained ``max_depth`` times, all codegen) — no
-    iterative joins, no graph library, no driver loop. A path deeper than
-    ``max_depth`` is flagged ``truncated`` rather than silently clipped.
+    into a row; the walk itself is an UNROLLED in-row map lookup
+    (``map_from_arrays`` + ``element_at`` chained ``max_depth`` times, all
+    codegen) — no iterative joins, no graph library, no driver loop; all
+    leaf paths are computed inside the tree row and only the FINISHED
+    paths explode (exploding leaves first would duplicate the tree map
+    once per leaf). A path deeper than ``max_depth`` is flagged
+    ``truncated`` rather than silently clipped.
+
+    Size contract: trees must be CONVERSATION-sized (tens to hundreds of
+    nodes — the OpenAssistant shape; the conv key carries the
+    parallelism). Spark's array-backed map lookup is linear in tree size,
+    so per-conversation cost is O(leaves × depth × nodes) — microseconds
+    at the contract size, quadratic if a single "conversation" grows with
+    the corpus (measured: 2.06× wall at 10× data with fixed 50-node
+    trees; 30× when one tree absorbs the whole 10× corpus — SCALE.md
+    round-10 probe).
 
     Emits (conv_id, leaf_id, depth, turns array<struct<role, content>>
     root→leaf order, truncated). Roots have NULL ``parent_col``; a leaf is
@@ -1585,34 +1596,43 @@ def chat_tree_paths(max_depth: int = 16, conv_col: str = "conv_id",
                 .withColumn("_parents", F.filter(
                     F.transform("_nodes", lambda x: x.p),
                     lambda p: p.isNotNull())))
-        leaves = (tree.select(
-            "conv_id", "_m",
-            F.explode(F.filter(
-                "_nodes",
-                lambda x: ~F.array_contains(F.col("_parents"), x.n)))
-            .alias("_leaf")))
-        # unrolled parent walk: chain[0] = leaf id, chain[i+1] =
-        # parent(chain[i]); element_at returns NULL past the root, so the
-        # chain is NULL-padded and the filter trims it
-        steps = ["CAST(_leaf.n AS BIGINT)"]
-        for _ in range(max_depth - 1):
-            steps.append(f"element_at(_m, {steps[-1]}).p")
-        chain = ("filter(array(" + ", ".join(steps) + "), x -> x IS NOT NULL)")
-        walked = (leaves
-                  .withColumn("_chain", F.reverse(F.expr(chain)))
-                  .withColumn("_truncated",
-                              F.expr(f"element_at(_m, {steps[-1]}).p")
-                              .isNotNull()))
-        turns = F.transform(
-            "_chain",
-            lambda nid: F.struct(
-                F.element_at("_m", nid).r.alias("role"),
-                F.element_at("_m", nid).c.alias("content")))
-        return walked.select(
-            "conv_id",
-            F.col("_leaf.n").alias("leaf_id"),
-            F.size("_chain").cast("bigint").alias("depth"),
-            turns.alias("turns"),
-            F.col("_truncated").alias("truncated"))
+        # every leaf's path is computed INSIDE the one tree row and only
+        # the finished paths explode — exploding leaves first and carrying
+        # the map along would duplicate the whole tree once per leaf
+        # (leaves × tree-size, quadratic in conversation size; measured
+        # 38× wall at 10× nodes before this shape)
+        def _walk(leaf):
+            # unrolled parent walk: chain[0] = leaf id, chain[i+1] =
+            # parent(chain[i]); element_at returns NULL past the root, so
+            # the chain is NULL-padded and the filter trims it
+            cur = leaf.n
+            hops = [cur]
+            for _ in range(max_depth - 1):
+                cur = F.element_at(F.col("_m"), cur).p
+                hops.append(cur)
+            chain = F.reverse(F.filter(F.array(*hops),
+                                       lambda x: x.isNotNull()))
+            turns = F.transform(
+                chain,
+                lambda nid: F.struct(
+                    F.element_at(F.col("_m"), nid).r.alias("role"),
+                    F.element_at(F.col("_m"), nid).c.alias("content")))
+            return F.struct(
+                leaf.n.alias("leaf"),
+                F.size(chain).cast("bigint").alias("depth"),
+                turns.alias("turns"),
+                F.element_at(F.col("_m"), hops[-1]).p.isNotNull()
+                .alias("trunc"))
+
+        paths = F.transform(
+            F.filter("_nodes",
+                     lambda x: ~F.array_contains(F.col("_parents"), x.n)),
+            _walk)
+        return (tree.select("conv_id", F.explode(paths).alias("_p"))
+                .select("conv_id",
+                        F.col("_p.leaf").alias("leaf_id"),
+                        F.col("_p.depth").alias("depth"),
+                        F.col("_p.turns").alias("turns"),
+                        F.col("_p.trunc").alias("truncated")))
 
     return _apply

@@ -83,3 +83,55 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def q_chat_tree_conv50(spark, sf_dir):
+    """q_chat_tree_paths re-keyed at realistic tree size: conv = doc_id
+    // 50 (fixed ~50-node trees), so 10x documents = 10x MORE trees of
+    the same size — the real-corpus shape (reply trees are
+    conversation-sized; the 5-key fixture makes one tree grow with the
+    corpus, which compounds the O(N) in-row map lookup into N^2)."""
+    from pyspark.sql import Window
+    from akka_stream_contrib_spark.functions.corpus import chat_tree_paths
+    docs = (tables.load(spark, "documents", sf_dir)
+            .filter(F.col("text").isNotNull()))
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    tree = (docs.select((F.col("doc_id") / 50).cast("long").alias("conv_id"),
+                        "doc_id",
+                        F.substring("text", 1, 40).alias("content"))
+            .withColumn("node_id", F.row_number().over(w).cast("long"))
+            .select("conv_id", "node_id",
+                    F.when(F.col("node_id") > 1,
+                           F.floor(F.col("node_id") / 2)).cast("long")
+                    .alias("parent_id"),
+                    F.when(F.col("node_id") % 2 == 1, "user")
+                    .otherwise("assistant").alias("role"),
+                    "content"))
+    out = tree.transform(chat_tree_paths(max_depth=16))
+    return out.select(
+        "conv_id", "leaf_id", "depth",
+        F.expr("array_join(transform(turns, "
+               "x -> x.role || ':' || x.content), '|')").alias("path_text"),
+        "truncated")
+
+
+def probe_tree() -> None:
+    spark = get_spark("probe_r10_tree")
+    import os
+    if not os.path.exists(os.path.join(DST, "documents.parquet")):
+        build(spark)
+
+    def best_of(fn, sf, k=2):
+        best = float("inf")
+        for _ in range(k):
+            t0 = time.time()
+            fn(spark, sf).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        return best
+
+    q_chat_tree_conv50(spark, "/root/testdata/sf0.01") \
+        .write.mode("overwrite").format("noop").save()
+    a = best_of(q_chat_tree_conv50, SRC)
+    b = best_of(q_chat_tree_conv50, DST)
+    print(f"chat_tree_conv50         sf0.1 {a:6.2f}s  10x {b:6.2f}s  "
+          f"ratio {b / a:5.2f}x", flush=True)
