@@ -11,6 +11,7 @@ from akka_stream_contrib_spark.streaming.stateful import (
     CLOSE_INDEX,
     delay_strategy_stream,
     linear_increasing_delay_strategy,
+    preference_pairs_stream,
 )
 from akka_stream_contrib_spark.streaming.dedup import dedup_within_watermark
 from akka_stream_contrib_spark.streaming.funnel import (
@@ -41,6 +42,7 @@ __all__ = [
     "merge_by_index_stream",
     "CLOSE_INDEX",
     "delay_strategy_stream",
+    "preference_pairs_stream",
     "embedding_drift_sink",
     "linear_increasing_delay_strategy",
     "dedup_within_watermark",

@@ -548,3 +548,77 @@ def delay_strategy_stream(elements: DataFrame, strategy,
             StructType.fromDDL(state_ddl), "append",
             GroupStateTimeout.NoTimeout)
     )
+
+def preference_pairs_stream(candidates: DataFrame, margin: float = 0.0,
+                            prompt_col: str = "prompt_id",
+                            cand_col: str = "cand_id",
+                            text_col: str = "text",
+                            score_col: str = "score") -> DataFrame:
+    """Streaming twin of ``functions/corpus.py::preference_pairs``:
+    scored candidate completions ARRIVE over time (a sampling fleet
+    filling prompts at its own pace); per-prompt best/worst live in the
+    state store with the batch form's exact tie-breaks (chosen = higher
+    score then LOWER id, rejected = lower score then HIGHER id), and each
+    micro-batch that changes a prompt's state emits the CURRENT pair once
+    it qualifies (>= 2 scored candidates, score gap >= ``margin``).
+
+    Qualification is MONOTONE — more candidates only widen the gap and
+    grow n — so append-mode emission is sound: each emitted row carries a
+    per-prompt ``upd`` counter and downstream takes the max-``upd`` row
+    per prompt (decision-as-data, the delay_strategy_stream convention).
+    NULL scores are skipped, mirroring the batch form. State is O(1) per
+    prompt (two candidate structs + two counters) regardless of stream
+    length.
+    """
+    ptype = candidates.schema[prompt_col].dataType
+    ctype = candidates.schema[cand_col].dataType
+    out_schema = StructType([
+        StructField(prompt_col, ptype),
+        StructField("chosen_id", ctype),
+        StructField("rejected_id", ctype),
+        StructField("chosen_text", StringType()),
+        StructField("rejected_text", StringType()),
+        StructField("score_margin", DoubleType()),
+        StructField("n_candidates", LongType()),
+        StructField("upd", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("bs", DoubleType()), StructField("bi", ctype),
+        StructField("bt", StringType()),
+        StructField("ws", DoubleType()), StructField("wi", ctype),
+        StructField("wt", StringType()),
+        StructField("n", LongType()), StructField("upd", LongType()),
+    ])
+
+    def _fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            bs, bi, bt, ws, wi, wt, n, upd = state.get
+        else:
+            bs = bi = bt = ws = wi = wt = None
+            n, upd = 0, 0
+        changed = False
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                s, c, t = row[score_col], row[cand_col], row[text_col]
+                if pd.isna(s):
+                    continue
+                s = float(s)
+                n += 1
+                changed = True
+                if bs is None or s > bs or (s == bs and c < bi):
+                    bs, bi, bt = s, c, t
+                if ws is None or s < ws or (s == ws and c > wi):
+                    ws, wi, wt = s, c, t
+        if changed:
+            upd += 1
+            state.update((bs, bi, bt, ws, wi, wt, n, upd))
+            if n >= 2 and bs - ws >= margin:
+                yield pd.DataFrame([{
+                    prompt_col: key[0], "chosen_id": bi, "rejected_id": wi,
+                    "chosen_text": bt, "rejected_text": wt,
+                    "score_margin": round(bs - ws, 6) + 0.0,
+                    "n_candidates": n, "upd": upd}])
+
+    return (candidates.groupBy(prompt_col)
+            .applyInPandasWithState(_fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -80,9 +80,10 @@ BUDGET = {
     # passes are broadcast GEMM (zero exchange), agg joins broadcast
     "margin_mine": 3,
     # composite front end: the line filter's cond agg (countDistinct
-    # expand = 2) + doc regroup, each over BOTH union branches' cached
-    # line stream, + the final fold-key group; extract adds zero
-    "web_corpus_prep": 8,
+    # expand = 2) + doc regroup + the final md5-fold-key group; extract
+    # adds zero. Was 8 before r10: the md5 fold key and the
+    # cache-reprint-aware count_exchanges brought the audited count to 4
+    "web_corpus_prep": 4,
     # unrolled in-row slice equality — pure scan-side project
     "generation_loops": 0,
     # r10 packing: global_rank's range shuffle + its pid-local window

@@ -1816,3 +1816,48 @@ def test_merge_by_index_stream_data_after_close_fails(spark, tmp_path):
     q = run_once()
     with pytest.raises(StreamingQueryException, match="closed branch"):
         q.awaitTermination(60)
+
+
+def test_preference_pairs_stream_cross_batch_updates(spark, tmp_path):
+    # the batch form's twin: candidates ARRIVE over micro-batches; per-
+    # prompt best/worst persist in state; each qualifying change emits the
+    # current pair with a growing upd counter (take max-upd downstream)
+    from akka_stream_contrib_spark.streaming import preference_pairs_stream
+    feed = tmp_path / "pp_feed"
+    feed.mkdir()
+    _feed_json(feed, "b1.json", [
+        {"prompt_id": 1, "cand_id": 10, "text": "weak", "score": 1.0},
+        {"prompt_id": 1, "cand_id": 11, "text": "good", "score": 5.0},
+        {"prompt_id": 2, "cand_id": 20, "text": "only one", "score": 3.0},
+        {"prompt_id": 3, "cand_id": 30, "text": "unscored", "score": None},
+    ])
+    src = spark.readStream.schema(
+        "prompt_id long, cand_id long, text string, score double"
+    ).json(str(feed))
+    q = (preference_pairs_stream(src, margin=0.0)
+         .writeStream.format("memory").queryName("ppstream")
+         .option("checkpointLocation", str(tmp_path / "pp_ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        assert _await_rows(spark, "ppstream", 1)
+        got = spark.sql("select * from ppstream").collect()
+        # prompt 1 qualifies; prompt 2 (single) and 3 (unscored) stay silent
+        assert {r.prompt_id for r in got} == {1}
+        r = got[0]
+        assert (r.chosen_id, r.rejected_id, r.score_margin) == (11, 10, 4.0)
+        # batch 2: a better candidate for prompt 1 and prompt 2's second
+        _feed_json(feed, "b2.json", [
+            {"prompt_id": 1, "cand_id": 12, "text": "best", "score": 7.0},
+            {"prompt_id": 2, "cand_id": 21, "text": "second", "score": 1.0},
+        ])
+        assert _await_rows(spark, "ppstream", 3)
+        rows = spark.sql("select * from ppstream").collect()
+        latest = {}
+        for r in rows:
+            if r.prompt_id not in latest or r.upd > latest[r.prompt_id].upd:
+                latest[r.prompt_id] = r
+        assert (latest[1].chosen_id, latest[1].rejected_id) == (12, 10)
+        assert latest[1].score_margin == 6.0 and latest[1].n_candidates == 3
+        assert (latest[2].chosen_id, latest[2].rejected_id) == (20, 21)
+    finally:
+        q.stop()
