@@ -158,6 +158,22 @@ SHOWCASE = {
     "adamic_adar": "link prediction: degree-capped posting-list wedge "
         "fan-out (in-row), per-center 9-dp decimal terms summed exactly, "
         "broadcast anti-join against existing edges, TakeOrdered top-k",
+    # round-10 additions
+    "pack_training_rows": "loss-mask-carrying sequence packing: two-phase "
+        "global rank (range exchange + pid window), <=budget+1-row "
+        "class-min broadcast, ONE (class,row) assembly group; span/doc "
+        "offset remap is an array fold in codegen",
+    "preference_pairs": "DPO pair construction: ONE partial-aggregated "
+        "prompt groupBy — argmax/argmin as lexicographic struct MIN/MAX, "
+        "no window sort, no join, hot-prompt skew-proof",
+    "fim_transform": "fill-in-middle PSM: md5 gate + split points + "
+        "slices, one codegen project over the scan — zero exchanges",
+    "near_dup_decontaminate": "cross-split fuzzy decontamination: the "
+        "minhash kernel's per-side doc aggs, band bucket join taken "
+        "ACROSS sides (eval side benchmark-sized), argmax-Jaccard window",
+    "chat_tree_paths": "reply-tree flattening: ONE conv-key shuffle; all "
+        "leaf paths walked in-row (unrolled map lookups) and only the "
+        "finished paths explode",
 }
 
 
