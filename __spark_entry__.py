@@ -8934,6 +8934,11 @@ def oracle_sql() -> dict[str, str]:
                                   WHERE c.conv_id = t.conv_id
                                     AND c.parent_id = t.node_id)
             ), walk AS (
+                -- the walk replays Spark's max_depth=16 cap exactly: at
+                -- most 16 hops per leaf, and a 16th node that still has a
+                -- parent marks the path truncated (leaf-nearest 16 turns
+                -- kept) — without this the oracle silently diverges the
+                -- moment a conversation tree exceeds depth 16
                 SELECT conv_id, node_id AS leaf_id, node_id AS node,
                        0 AS up
                 FROM leaves
@@ -8941,13 +8946,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT w.conv_id, w.leaf_id, t.parent_id, w.up + 1
                 FROM walk w JOIN tree t ON t.conv_id = w.conv_id
                                        AND t.node_id = w.node
-                WHERE t.parent_id IS NOT NULL
+                WHERE t.parent_id IS NOT NULL AND w.up + 1 < 16
             )
             SELECT w.conv_id, w.leaf_id,
                    CAST(count(*) AS BIGINT) AS depth,
                    string_agg(t.role || ':' || t.content, '|'
                               ORDER BY w.up DESC) AS path_text,
-                   false AS truncated
+                   coalesce(max(CASE WHEN w.up = 15
+                                     THEN t.parent_id IS NOT NULL END),
+                            false) AS truncated
             FROM walk w JOIN tree t ON t.conv_id = w.conv_id
                                    AND t.node_id = w.node
             GROUP BY w.conv_id, w.leaf_id

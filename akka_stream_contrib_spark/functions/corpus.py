@@ -1453,8 +1453,10 @@ def preference_pairs(margin: float = 0.0, prompt_col: str = "prompt_id",
     would). No joins, no windows, one exchange.
 
     Emits (prompt_id, chosen_id, rejected_id, chosen_text, rejected_text,
-    score_margin, n_candidates). NULL scores are dropped up front (an
-    unscored candidate can be neither chosen nor rejected).
+    score_margin, n_candidates). NULL and NaN scores are dropped up front
+    (an unscored/brokenly-scored candidate can be neither chosen nor
+    rejected — and Spark orders NaN above every double, so a kept NaN
+    would win "rejected" with a vacuously-true margin gate).
     """
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -1467,7 +1469,12 @@ def preference_pairs(margin: float = 0.0, prompt_col: str = "prompt_id",
         ordered = F.struct((-F.col(s)).alias("ns"),
                            F.col(c).alias("c"), F.col(t).alias("t"),
                            F.col(s).alias("s"))
-        agg = (df.filter(F.col(s).isNotNull())
+        # NULL *and* NaN scores are unusable (Spark orders NaN above every
+        # double, so a NaN candidate would win "rejected" and make the
+        # margin gate vacuously true); dropping both keeps the streaming
+        # twin's contract identical
+        agg = (df.filter(F.col(s).isNotNull()
+                         & ~F.isnan(F.col(s).cast("double")))
                .groupBy(p)
                .agg(F.min(ordered).alias("_ch"),
                     F.max(ordered).alias("_rj"),
@@ -1574,7 +1581,10 @@ def chat_tree_paths(max_depth: int = 16, conv_col: str = "conv_id",
 
     Emits (conv_id, leaf_id, depth, turns array<struct<role, content>>
     root→leaf order, truncated). Roots have NULL ``parent_col``; a leaf is
-    any node no other node names as parent.
+    any node no other node names as parent; a DANGLING parent reference
+    (deleted/moderated node — routine in crowd reply trees) terminates the
+    walk there, so the orphaned subtree's top acts as a root and never
+    renders a phantom NULL turn.
     """
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
@@ -1610,8 +1620,14 @@ def chat_tree_paths(max_depth: int = 16, conv_col: str = "conv_id",
             for _ in range(max_depth - 1):
                 cur = F.element_at(F.col("_m"), cur).p
                 hops.append(cur)
-            chain = F.reverse(F.filter(F.array(*hops),
-                                       lambda x: x.isNotNull()))
+            # membership filter, not just isNotNull: a DANGLING parent id
+            # (deleted/moderated node — routine in crowd reply trees) is
+            # non-NULL but absent from the map; keeping it would render a
+            # phantom (NULL, NULL) turn. A node with a missing parent
+            # terminates the walk there (treated as a root).
+            chain = F.reverse(F.filter(
+                F.array(*hops),
+                lambda x: x.isNotNull() & F.map_contains_key(F.col("_m"), x)))
             turns = F.transform(
                 chain,
                 lambda nid: F.struct(

@@ -297,6 +297,27 @@ def minhash_incremental_dedup(new_df: DataFrame, index: DataFrame,
                     F.coalesce(F.col("_hit"), F.lit(False)).alias("candidate_dup")))
 
 
+def minhash_doc_aggregate(df: DataFrame, k: int, num_hashes: int,
+                          id_col: str, text_col: str,
+                          persist: bool = True) -> DataFrame:
+    """Per-doc minhash aggregate (signatures + shingle-set size + shingle
+    array in ONE pass, single doc_id shuffle) — ONE definition shared by
+    :func:`minhash_lsh_dedup` and :func:`near_dup_decontaminate`, the
+    :func:`minhash_aggs` discipline: the aggregate shape can never
+    silently diverge between the within-corpus and cross-split paths."""
+    sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
+    agg = (sh.withColumn("tid", token_id(F.col("shingle")))
+           .groupBy("doc_id")
+           .agg(*minhash_aggs(num_hashes),
+                F.count(F.lit(1)).alias("n"),
+                # shingles are distinct per doc (see shingles())
+                F.collect_list("shingle").alias("shs")))
+    if persist:
+        agg = agg.persist()
+        _LAST_PERSISTED.append(agg)
+    return agg
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     k: int = 3,
@@ -324,16 +345,8 @@ def minhash_lsh_dedup(
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes})")
     _drop_stale_caches()
-    sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
-    tids = sh.withColumn("tid", token_id(F.col("shingle")))
-    per_doc = tids.groupBy("doc_id").agg(
-        *minhash_aggs(num_hashes),
-        F.count(F.lit(1)).alias("n"),
-        F.collect_list("shingle").alias("shs"),  # shingles are distinct per doc
-    )
-    if persist_intermediate:
-        per_doc = per_doc.persist()
-        _LAST_PERSISTED.append(per_doc)
+    per_doc = minhash_doc_aggregate(df, k, num_hashes, id_col, text_col,
+                                    persist=persist_intermediate)
     cand = lsh_candidate_pairs(per_doc, bands=bands, rows_per_band=num_hashes // bands)
     docs_a = per_doc.select(F.col("doc_id").alias("_ida"), F.col("n").alias("na"),
                             F.col("shs").alias("sha"))
@@ -959,19 +972,8 @@ def near_dup_decontaminate(train: DataFrame, eval_df: DataFrame, k: int = 3,
             f"bands ({bands}) must divide num_hashes ({num_hashes})")
     _drop_stale_caches()
     rows_per_band = num_hashes // bands
-
-    def _per_doc(df: DataFrame) -> DataFrame:
-        sh = shingles(df, k=k, id_col=id_col, text_col=text_col)
-        agg = (sh.withColumn("tid", token_id(F.col("shingle")))
-               .groupBy("doc_id")
-               .agg(*minhash_aggs(num_hashes),
-                    F.count(F.lit(1)).alias("n"),
-                    F.collect_list("shingle").alias("shs")))
-        agg = agg.persist()
-        _LAST_PERSISTED.append(agg)
-        return agg
-
-    tr, ev = _per_doc(train), _per_doc(eval_df)
+    tr = minhash_doc_aggregate(train, k, num_hashes, id_col, text_col)
+    ev = minhash_doc_aggregate(eval_df, k, num_hashes, id_col, text_col)
     tb = band_keys(tr, bands=bands, rows_per_band=rows_per_band) \
         .select(F.col("doc_id").alias("_t"), "band", "band_key")
     eb = band_keys(ev, bands=bands, rows_per_band=rows_per_band) \

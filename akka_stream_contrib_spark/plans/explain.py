@@ -52,33 +52,46 @@ def count_exchanges(df: DataFrame) -> int:
     re-shuffling and is excluded by name."""
     import re
     plan = formatted_plan(df)
-    tree = plan.split("\n\n", 1)[0]
-    # tree walk: a node line renders as "...+- NodeName (N)"; children are
-    # indented deeper, so everything deeper than an InMemoryRelation line
-    # (until indentation returns) is that cache's build-plan rendering
-    cached_ids, main_ids, stack = set(), set(), []
-    for line in tree.splitlines():
+    # tree walk over EVERY section (main plan AND "===== Subqueries ====="
+    # trees — a shuffle inside a subquery is a real shuffle): a node line
+    # renders as "...+- NodeName (N)"; children are indented deeper, so
+    # everything deeper than an InMemoryRelation line (until indentation
+    # returns) is that cache's build-plan rendering. A section boundary
+    # resets the indent stack.
+    owner, main_ids, stack = {}, set(), []
+    for line in plan.splitlines():
+        if line.startswith("=====") or line.lstrip().startswith("Subquery"):
+            stack = []
+            continue
         m = re.search(r"([A-Za-z][A-Za-z]*) \((\d+)\)\s*$", line)
         if not m:
             continue
         name, node_id = m.group(1), m.group(2)
         indent = re.search(r"[A-Za-z*]", line).start()
-        while stack and indent <= stack[-1]:
+        while stack and indent <= stack[-1][0]:
             stack.pop()
         if name == "Exchange":
-            (cached_ids if stack else main_ids).add(node_id)
+            if stack:
+                owner[node_id] = stack[0][1]  # outermost owning relation
+            else:
+                main_ids.add(node_id)
         if name == "InMemoryRelation":
-            stack.append(indent)
-    # details section: map node id -> Arguments (for the cached dedup key)
-    cached_args = set()
+            stack.append((indent, node_id))
+    # details: node id -> Arguments. Cached build exchanges dedupe by
+    # (owning relation's arguments, exchange arguments): the relation's
+    # detail carries its OUTPUT expr ids, identical across reprints of one
+    # cache and distinct between different caches — so two caches whose
+    # build shuffles print the same partitioning (e.g. SinglePartition)
+    # still count separately, while AQE/consumer reprints collapse.
+    args = {}
     for block in re.split(r"\n(?=\(\d+\) )", plan):
-        m = re.match(r"\((\d+)\) Exchange\b", block)
-        if not m or m.group(1) not in cached_ids:
-            continue
-        a = re.search(r"Arguments: ([^\n]*)", block)
-        cached_args.add(re.sub(r"\[plan_id=\d+\]", "", a.group(1)) if a
-                        else m.group(1))
-    return len(main_ids) + len(cached_args)
+        m = re.match(r"\((\d+)\) [A-Za-z]", block)
+        a = re.search(r"Arguments: ([^\n]*)", block) if m else None
+        if m and a:
+            args[m.group(1)] = re.sub(r"\[plan_id=\d+\]", "", a.group(1))
+    cached = {(args.get(rel, rel), args.get(ex, ex))
+              for ex, rel in owner.items()}
+    return len(main_ids) + len(cached)
 
 
 def assert_partition_pruned(df: DataFrame, column: str) -> None:

@@ -596,19 +596,29 @@ def preference_pairs_stream(candidates: DataFrame, margin: float = 0.0,
         else:
             bs = bi = bt = ws = wi = wt = None
             n, upd = 0, 0
+        # vectorized per-batch reduction (a hot prompt can land millions
+        # of candidates in one micro-batch — per-row Python iteration
+        # would serialize exactly the case the batch form is built for):
+        # two C-speed sorts pick the batch's best/worst with the exact
+        # tie-break keys, then one merge against state
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()
         changed = False
-        for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                s, c, t = row[score_col], row[cand_col], row[text_col]
-                if pd.isna(s):
-                    continue
-                s = float(s)
-                n += 1
-                changed = True
-                if bs is None or s > bs or (s == bs and c < bi):
-                    bs, bi, bt = s, c, t
-                if ws is None or s < ws or (s == ws and c > wi):
-                    ws, wi, wt = s, c, t
+        if len(rows):
+            rows = rows[rows[score_col].notna()]
+        if len(rows):
+            changed = True
+            n += len(rows)
+            top = rows.sort_values([score_col, cand_col],
+                                   ascending=[False, True]).iloc[0]
+            bot = rows.sort_values([score_col, cand_col],
+                                   ascending=[True, False]).iloc[0]
+            s, c, t = float(top[score_col]), top[cand_col], top[text_col]
+            if bs is None or s > bs or (s == bs and c < bi):
+                bs, bi, bt = s, c, t
+            s, c, t = float(bot[score_col]), bot[cand_col], bot[text_col]
+            if ws is None or s < ws or (s == ws and c > wi):
+                ws, wi, wt = s, c, t
         if changed:
             upd += 1
             state.update((bs, bi, bt, ws, wi, wt, n, upd))

@@ -966,3 +966,35 @@ def test_chat_tree_paths_depth_cap_flags_truncated(spark):
     assert not full.truncated and full.depth == 5
     with pytest.raises(ValueError, match="max_depth"):
         chat_tree_paths(max_depth=0)
+
+
+def test_preference_pairs_nan_scores_dropped(spark):
+    # Spark orders NaN above every double: a kept NaN would win "rejected"
+    # with a vacuously-true margin gate — both forms drop NULL and NaN
+    from akka_stream_contrib_spark.functions.corpus import preference_pairs
+    rows = [(1, 10, "good", 5.0), (1, 11, "nan", float("nan")),
+            (1, 12, "weak", 1.0)]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, text string, score double")
+    got = df.transform(preference_pairs(margin=0.0)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.chosen_id, r.rejected_id, r.n_candidates) == (10, 12, 2)
+    assert r.score_margin == 4.0
+
+
+def test_chat_tree_paths_dangling_parent_acts_as_root(spark):
+    # a parent referencing a deleted node must terminate the walk, not
+    # render a phantom (NULL, NULL) turn
+    from akka_stream_contrib_spark.functions.corpus import chat_tree_paths
+    rows = [(1, 5, 99, "user", "orphan top"),
+            (1, 6, 5, "assistant", "reply")]
+    df = spark.createDataFrame(
+        rows, "conv_id long, node_id long, parent_id long, "
+              "role string, content string")
+    got = df.transform(chat_tree_paths()).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.leaf_id == 6 and r.depth == 2 and not r.truncated
+    assert [(t.role, t.content) for t in r.turns] == [
+        ("user", "orphan top"), ("assistant", "reply")]

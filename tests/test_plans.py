@@ -416,3 +416,14 @@ def test_count_exchanges_no_argument_collision_in_main_plan(spark):
                           .groupBy("k").agg(F.count(F.lit(1)).alias("c")))
     joined = base.join(base.withColumnRenamed("c", "c2"), "k")
     assert count_exchanges(joined) <= 2
+    # TWO different caches with identical-argument builds (SinglePartition)
+    # are distinct runtime shuffles — dedup is scoped per owning relation
+    ca = pipeline_cache(spark.range(100).agg(F.count(F.lit(1)).alias("x")))
+    cb = pipeline_cache(spark.range(200).agg(F.count(F.lit(1)).alias("y")))
+    assert count_exchanges(ca.crossJoin(cb)) == 2
+    # a shuffle inside a subquery section is a real shuffle and counts
+    spark.range(100).withColumn("k", F.col("id") % 2) \
+        .createOrReplaceTempView("_ce_t")
+    sub = spark.sql("select * from _ce_t where id > "
+                    "(select avg(id) from _ce_t group by k limit 1)")
+    assert count_exchanges(sub) >= 1
