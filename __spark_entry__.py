@@ -4612,6 +4612,94 @@ def q_chat_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "truncated")
 
 
+def q_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling (functions/corpus.py::rejection_sample):
+    the same 8-candidate prompt groups as q_preference_pairs, but the SFT
+    selection side — per prompt keep only the reward argmax, and only when
+    it clears the prompt's own exact median by delta=100 (prompts the
+    reward model cannot discriminate on are dropped entirely). One
+    partial-aggregated prompt-key shuffle; argmax via struct MIN, median
+    via exact percentile."""
+    from akka_stream_contrib_spark.functions.corpus import rejection_sample
+    docs = tables.load(spark, "documents", sf_dir)
+    cands = (docs.filter(F.col("text").isNotNull())
+             .select(F.expr("CAST(doc_id DIV 8 AS BIGINT)")
+                     .alias("prompt_id"),
+                     F.col("doc_id").alias("cand_id"), "text",
+                     (F.length("text") % 997).cast("double").alias("score")))
+    return cands.transform(rejection_sample(delta=100.0, min_candidates=2))
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (functions/corpus.py::epoch_shuffle):
+    md5-keyed shard + intra-shard position over documents, n_shards=8,
+    seed='epoch-0'. The permutation is a pure function of (seed, doc_id)
+    — the oracle replays it bit-for-bit — and the plan's only exchange is
+    the shard-partitioned window (no global sort)."""
+    from akka_stream_contrib_spark.functions.corpus import epoch_shuffle
+    docs = tables.load(spark, "documents", sf_dir)
+    return (docs.select("doc_id")
+            .transform(epoch_shuffle(n_shards=8, seed="epoch-0"))
+            .select("doc_id", "shard", "pos"))
+
+
+def q_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sizing study (functions/corpus.py::
+    context_fit_report): per (source, candidate limit in 32/64/96/128
+    whitespace tokens) — how many documents truncate and what fraction of
+    the slice's tokens falls past the limit. Constant 4x map-side explode
+    into ONE partial-aggregated (source, limit) groupBy."""
+    from akka_stream_contrib_spark.functions.corpus import context_fit_report
+    docs = tables.load(spark, "documents", sf_dir)
+    return (docs.transform(context_fit_report(limits=(32, 64, 96, 128),
+                                              group_col="source"))
+            .withColumnRenamed("group", "source")
+            .orderBy("source", "context_limit"))
+
+
+def q_elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry arena ratings (functions/ml.py::bradley_terry_ratings,
+    Hunter 2004 MM / Zermelo): 8 synthetic models play deterministic
+    pairwise matches derived from documents (model_a = doc_id mod 8,
+    opponent offset by 1 + (doc_id DIV 8) mod 7 so a != b by construction;
+    wins from text-length / id parity), 3 unrolled MM iterations with
+    add-half smoothing, mean-1 normalization. The oracle replays the
+    identical unrolled iteration — the pagerank/hits convention."""
+    from akka_stream_contrib_spark.functions.ml import bradley_terry_ratings
+    docs = tables.load(spark, "documents", sf_dir)
+    m = F.col("doc_id") % 8
+    opp = (m + 1 + F.expr("doc_id DIV 8") % 7) % 8
+    games = (docs.filter(F.col("text").isNotNull())
+             .select(F.concat(F.lit("m"), m.cast("string")).alias("model_a"),
+                     F.concat(F.lit("m"), opp.cast("string"))
+                     .alias("model_b"),
+                     (F.length("text") % 3).cast("double").alias("wins_a"),
+                     (F.col("doc_id") % 2).cast("double").alias("wins_b")))
+    return (bradley_terry_ratings(games, iterations=3, smoothing=0.5)
+            .orderBy("model"))
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attribution (functions/quality.py::filter_funnel):
+    a four-stage curation chain over documents (has_text, min_chars >=
+    150, >= 30 whitespace tokens, a deterministic id-hash stand-in for a
+    classifier gate), attributed per source by FIRST failing stage —
+    entering/killed/surviving counts, conditional and cumulative survival.
+    One wide groupBy; stage rows inline-explode with unrolled prefix
+    arithmetic."""
+    from akka_stream_contrib_spark.functions.quality import filter_funnel
+    docs = tables.load(spark, "documents", sf_dir)
+    stages = [
+        ("has_text", F.col("text").isNotNull()),
+        ("min_chars", F.col("n_chars") >= 150),
+        ("token_floor", F.size(F.split(F.col("text"), " ")) >= 30),
+        ("quality_hash", F.col("doc_id") % 7 != 0),
+    ]
+    return (docs.transform(filter_funnel(stages, group_col="source"))
+            .withColumnRenamed("group", "source")
+            .orderBy("source", "stage_idx"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4908,6 +4996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "near_dup_decontaminate": q_near_dup_decontaminate,
         "chat_tree_paths": q_chat_tree_paths,
+        "rejection_sample": q_rejection_sample,
+        "epoch_shuffle": q_epoch_shuffle,
+        "context_fit_report": q_context_fit_report,
+        "elo_ratings": q_elo_ratings,
+        "filter_funnel": q_filter_funnel,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -4938,6 +5031,8 @@ _PRIORITY = [
     # (3) round-10 first-evidence additions
     "pack_training_rows", "preference_pairs", "fim_transform",
     "near_dup_decontaminate", "chat_tree_paths",
+    "rejection_sample", "epoch_shuffle", "context_fit_report",
+    "elo_ratings", "filter_funnel",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -6636,6 +6731,66 @@ _BLEU_SQL = """
                + 0.0 AS bleu2
     FROM lens CROSS JOIN m1t CROSS JOIN m2t
 """
+
+
+def _bt_oracle(iterations: int = 3) -> str:
+    """DuckDB mirror of q_elo_ratings: the canonical-pair aggregate,
+    add-half smoothing, and ``iterations`` unrolled Hunter-2004 MM steps
+    (each = endpoint joins + per-model denominator sum + mean-1
+    renormalization), chained CTEs in the _hits_oracle/_pagerank_oracle
+    style. Per-model sums run over <= |models|-1 pair terms, so float
+    association drift is ~1e-16 relative — absorbed by the 6-dp round."""
+    head = """
+        WITH g AS (
+            SELECT concat('m', CAST(doc_id % 8 AS VARCHAR)) AS a,
+                   concat('m', CAST((doc_id % 8 + 1 + (doc_id // 8) % 7) % 8
+                                    AS VARCHAR)) AS b,
+                   CAST(length(text) % 3 AS DOUBLE) AS wa,
+                   CAST(doc_id % 2 AS DOUBLE) AS wb
+            FROM documents WHERE text IS NOT NULL
+        ), p2 AS (
+            SELECT lo, hi, rw_lo, rw_hi,
+                   rw_lo + 0.5 AS w_lo, rw_hi + 0.5 AS w_hi,
+                   rw_lo + rw_hi + 1.0 AS n
+            FROM (
+                SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+                       sum(CASE WHEN a <= b THEN wa ELSE wb END) AS rw_lo,
+                       sum(CASE WHEN a <= b THEN wb ELSE wa END) AS rw_hi
+                FROM g WHERE a <> b GROUP BY 1, 2)
+        ), totals AS (
+            SELECT model, sum(w) AS wins, sum(gms) AS games,
+                   sum(w) + 0.5 * count(*) AS w_sm
+            FROM (SELECT lo AS model, rw_lo AS w, rw_lo + rw_hi AS gms
+                  FROM p2
+                  UNION ALL
+                  SELECT hi, rw_hi, rw_lo + rw_hi FROM p2)
+            GROUP BY model
+        ), r0 AS (SELECT model, 1.0 AS rating FROM totals)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(f""", j{i} AS (
+            SELECT p2.lo, p2.hi, p2.n, rl.rating AS r_lo, rh.rating AS r_hi
+            FROM p2 JOIN r{i - 1} rl ON p2.lo = rl.model
+                    JOIN r{i - 1} rh ON p2.hi = rh.model
+        ), d{i} AS (
+            SELECT model, sum(c) AS den FROM (
+                SELECT lo AS model, n / (r_lo + r_hi) AS c FROM j{i}
+                UNION ALL
+                SELECT hi, n / (r_lo + r_hi) FROM j{i})
+            GROUP BY model
+        ), raw{i} AS (
+            SELECT t.model, t.w_sm / d.den AS p
+            FROM totals t JOIN d{i} d USING (model)
+        ), r{i} AS (
+            SELECT model, p / (SELECT avg(p) FROM raw{i}) AS rating
+            FROM raw{i}
+        )""")
+    parts.append(f"""
+        SELECT t.model, round(r{iterations}.rating, 6) + 0.0 AS rating,
+               t.wins, t.games
+        FROM totals t JOIN r{iterations} USING (model)
+        ORDER BY t.model""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8913,6 +9068,118 @@ def oracle_sql() -> dict[str, str]:
             FROM marked GROUP BY doc_id
         """,
         "generation_loops": _generation_loops_oracle(),
+        "rejection_sample": """
+            WITH cands AS (
+                SELECT doc_id // 8 AS prompt_id, doc_id AS cand_id, text,
+                       CAST(length(text) % 997 AS DOUBLE) AS score
+                FROM documents WHERE text IS NOT NULL
+            ), ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY prompt_id
+                                          ORDER BY score DESC, cand_id)
+                           AS rb,
+                       count(*) OVER (PARTITION BY prompt_id) AS n_cands,
+                       quantile_cont(score, 0.5) OVER
+                           (PARTITION BY prompt_id) AS med
+                FROM cands
+            )
+            SELECT prompt_id, cand_id, text, score,
+                   round(med, 6) + 0.0 AS median_score,
+                   round(score - med, 6) + 0.0 AS reward_gain,
+                   CAST(n_cands AS BIGINT) AS n_candidates
+            FROM ranked
+            WHERE rb = 1 AND n_cands >= 2 AND score - med >= 100.0
+        """,
+        "epoch_shuffle": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       CAST(CAST(concat('0x', substr(md5(concat(
+                                'epoch-0:shard:', CAST(doc_id AS VARCHAR))),
+                                1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+                       md5(concat('epoch-0:ord:', CAST(doc_id AS VARCHAR)))
+                           AS ord
+                FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY ord, doc_id)
+                        AS BIGINT) AS pos
+            FROM keyed
+        """,
+        "context_fit_report": """
+            WITH tok AS (
+                SELECT source, CAST(length(string_split(text, ' '))
+                                    AS BIGINT) AS n
+                FROM documents WHERE text IS NOT NULL
+            ), x AS (
+                SELECT source, n, CAST(l.context_limit AS INT)
+                           AS context_limit
+                FROM tok CROSS JOIN (VALUES (32), (64), (96), (128))
+                     AS l(context_limit)
+            )
+            SELECT source, context_limit,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n > context_limit THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_truncated,
+                   round(CAST(sum(CASE WHEN n > context_limit
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) + 0.0 AS pct_docs_truncated,
+                   CAST(sum(n) AS BIGINT) AS tokens_total,
+                   CAST(sum(greatest(n - context_limit, 0)) AS BIGINT)
+                       AS tokens_lost,
+                   round(CAST(sum(greatest(n - context_limit, 0)) AS DOUBLE)
+                         / sum(n), 6) + 0.0 AS pct_tokens_lost
+            FROM x GROUP BY source, context_limit
+            ORDER BY source, context_limit
+        """,
+        "elo_ratings": _bt_oracle(),
+        "filter_funnel": """
+            WITH flags AS (
+                SELECT source,
+                       (text IS NOT NULL) AS p1,
+                       coalesce(n_chars >= 150, FALSE) AS p2,
+                       coalesce(length(string_split(text, ' ')) >= 30,
+                                FALSE) AS p3,
+                       (doc_id % 7 <> 0) AS p4
+                FROM documents
+            ), ff AS (
+                SELECT source,
+                       CASE WHEN NOT p1 THEN 1 WHEN NOT p2 THEN 2
+                            WHEN NOT p3 THEN 3 WHEN NOT p4 THEN 4
+                       END AS f
+                FROM flags
+            ), agg AS (
+                SELECT source, count(*) AS total,
+                       sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS k1,
+                       sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS k2,
+                       sum(CASE WHEN f = 3 THEN 1 ELSE 0 END) AS k3,
+                       sum(CASE WHEN f = 4 THEN 1 ELSE 0 END) AS k4
+                FROM ff GROUP BY source
+            ), stages AS (
+                SELECT source, 1 AS i, 'has_text' AS stage, total AS n_in,
+                       k1 AS killed, total - k1 AS n_out, total FROM agg
+                UNION ALL
+                SELECT source, 2, 'min_chars', total - k1, k2,
+                       total - k1 - k2, total FROM agg
+                UNION ALL
+                SELECT source, 3, 'token_floor', total - k1 - k2, k3,
+                       total - k1 - k2 - k3, total FROM agg
+                UNION ALL
+                SELECT source, 4, 'quality_hash', total - k1 - k2 - k3, k4,
+                       total - k1 - k2 - k3 - k4, total FROM agg
+            )
+            SELECT source, CAST(i AS INT) AS stage_idx, stage,
+                   CAST(n_in AS BIGINT) AS n_in,
+                   CAST(killed AS BIGINT) AS n_killed,
+                   CAST(n_out AS BIGINT) AS n_out,
+                   CASE WHEN n_in > 0 THEN
+                        round(CAST(n_out AS DOUBLE) / n_in, 6) + 0.0
+                   END AS survival_rate,
+                   CASE WHEN total > 0 THEN
+                        round(CAST(n_out AS DOUBLE) / total, 6) + 0.0
+                   END AS cumulative_survival
+            FROM stages ORDER BY source, stage_idx
+        """,
         "chat_tree_paths": """
             WITH RECURSIVE nodes AS (
                 SELECT source AS conv_id,

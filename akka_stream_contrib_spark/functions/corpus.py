@@ -1652,3 +1652,157 @@ def chat_tree_paths(max_depth: int = 16, conv_col: str = "conv_id",
                         F.col("_p.trunc").alias("truncated")))
 
     return _apply
+
+
+def rejection_sample(delta: float = 0.0, min_candidates: int = 2,
+                     prompt_col: str = "prompt_id", cand_col: str = "cand_id",
+                     text_col: str = "text", score_col: str = "score"
+                     ) -> Callable[[DataFrame], DataFrame]:
+    """Best-of-n rejection sampling (the Llama-2 / InstructGPT SFT recipe:
+    sample n completions per prompt, keep the reward-model argmax): per
+    prompt emit the single highest-scored completion (lowest candidate id
+    on exact ties), kept only when it clears the prompt's OWN median score
+    by ``delta`` — a prompt whose best candidate barely beats its median is
+    one the reward model cannot discriminate on, and training on its
+    "winner" teaches noise. Prompts with fewer than ``min_candidates``
+    scored candidates are dropped (argmax of one sample is not selection).
+
+    Scale shape: ONE partial-aggregated groupBy on the prompt key — the
+    argmax rides the lexicographic struct MIN ((-score, cand_id, text),
+    map-side combinable) next to an exact ``percentile(score, 0.5)``
+    (interpolated median, the one agg here that buffers its group — the
+    per-prompt candidate count is bounded by the sampling fan-out n, not by
+    corpus size, so the buffer is O(n) per group). No joins, no windows,
+    one exchange.
+
+    NULL and NaN scores are dropped up front (Spark orders NaN above every
+    double — a kept NaN would win the argmax and poison the median).
+
+    Emits (prompt_id, cand_id, text, score, median_score, reward_gain,
+    n_candidates).
+    """
+    if min_candidates < 1:
+        raise ValueError(
+            f"min_candidates must be >= 1, got {min_candidates}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        p, c, t, s = prompt_col, cand_col, text_col, score_col
+        ordered = F.struct((-F.col(s)).alias("ns"),
+                           F.col(c).alias("c"), F.col(t).alias("t"),
+                           F.col(s).alias("s"))
+        agg = (df.filter(F.col(s).isNotNull()
+                         & ~F.isnan(F.col(s).cast("double")))
+               .groupBy(p)
+               .agg(F.min(ordered).alias("_best"),
+                    F.percentile(F.col(s).cast("double"),
+                                 F.lit(0.5)).alias("_med"),
+                    F.count(F.lit(1)).alias("n_candidates")))
+        gain = F.col("_best.s") - F.col("_med")
+        return (agg.filter((F.col("n_candidates") >= min_candidates)
+                           & (gain >= F.lit(delta)))
+                .select(F.col(p),
+                        F.col("_best.c").alias(c),
+                        F.col("_best.t").alias(t),
+                        F.col("_best.s").alias(s),
+                        (F.round("_med", 6) + F.lit(0.0))
+                        .alias("median_score"),
+                        (F.round(gain, 6) + F.lit(0.0))
+                        .alias("reward_gain"),
+                        "n_candidates"))
+
+    return _apply
+
+
+def epoch_shuffle(n_shards: int, seed: str = "epoch-0",
+                  id_col: str = "doc_id") -> Callable[[DataFrame], DataFrame]:
+    """Deterministic epoch shuffle: assign every row a shard and an
+    intra-shard position so a training run streams the corpus in a
+    reproducible pseudo-random order (new ``seed`` per epoch = new
+    permutation; same seed = bit-identical order for reruns, resumption,
+    and the data-ablation replays a 100 TB pipeline needs).
+
+    Scale shape: the naive formulation — ``row_number() OVER (ORDER BY
+    hash)`` — is a GLOBAL sort whose final window collapses to one task.
+    Here the shard assignment is a pure map-side hash (``pmod(md5-hash,
+    n_shards)``) and the position window partitions BY shard: one exchange,
+    n_shards-way parallel sort of 1/n_shards of the corpus each, no global
+    ordering anywhere. Readers stream shards independently (the tf.data /
+    WebDataset contract: shuffle = sharded files + per-shard order + a
+    small in-memory buffer).
+
+    Both the shard hash and the order key derive from md5 of (seed, id)
+    (the ``token_id`` convention), so any engine with md5 reproduces the
+    permutation — the DuckDB oracle property.
+
+    Emits the input columns plus (shard, pos); pos is 1-based within its
+    shard.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+    from akka_stream_contrib_spark.functions.text import token_id
+
+    def _apply(df: DataFrame) -> DataFrame:
+        sid = F.col(id_col).cast("string")
+        shard = F.pmod(token_id(F.concat(F.lit(seed + ":shard:"), sid)),
+                       F.lit(n_shards)).cast("int")
+        order_key = F.md5(F.concat(F.lit(seed + ":ord:"), sid))
+        w = (Window.partitionBy("shard")
+             .orderBy(F.col("_ord"), F.col(id_col)))
+        return (df.withColumn("shard", shard)
+                .withColumn("_ord", order_key)
+                .withColumn("pos", F.row_number().over(w).cast("bigint"))
+                .drop("_ord"))
+
+    return _apply
+
+
+def context_fit_report(limits=(256, 512, 1024, 2048),
+                       group_col: str = "source", text_col: str = "text"
+                       ) -> Callable[[DataFrame], DataFrame]:
+    """Truncation-loss accounting: before committing to a context length,
+    measure what each candidate limit would DISCARD, per corpus slice —
+    the standard context-window sizing study (how many documents get cut,
+    and what fraction of the corpus' tokens falls past the limit). A limit
+    that loses 1% of tokens overall but 40% of one source's is how a code
+    or book subcorpus silently vanishes from the training mix.
+
+    Scale shape: token counts are scan-side codegen (split + size); each
+    row then explodes into |limits| accounting rows (a constant ~4x map-side
+    multiplier, NOT data growth) feeding ONE partial-aggregated groupBy on
+    the (slice, limit) key. One exchange; output cardinality = slices x
+    limits.
+
+    Emits (group, context_limit, n_docs, n_truncated, pct_docs_truncated,
+    tokens_total, tokens_lost, pct_tokens_lost).
+    """
+    lims = sorted(set(int(x) for x in limits))
+    if not lims or lims[0] < 1:
+        raise ValueError(f"limits must be positive ints, got {limits!r}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+        base = (df.filter(F.col(text_col).isNotNull())
+                .select(F.col(group_col).alias("group"),
+                        toks.alias("_n"),
+                        F.explode(F.array(
+                            *[F.lit(x) for x in lims])).alias(
+                            "context_limit")))
+        lost = F.greatest(F.col("_n") - F.col("context_limit"),
+                          F.lit(0).cast("bigint"))
+        return (base.groupBy("group", "context_limit")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum((F.col("_n") > F.col("context_limit"))
+                           .cast("bigint")).alias("n_truncated"),
+                     F.sum("_n").alias("tokens_total"),
+                     F.sum(lost).alias("tokens_lost"))
+                .select("group", "context_limit", "n_docs", "n_truncated",
+                        (F.round(F.col("n_truncated")
+                                 / F.col("n_docs"), 6) + F.lit(0.0))
+                        .alias("pct_docs_truncated"),
+                        "tokens_total", "tokens_lost",
+                        (F.round(F.col("tokens_lost")
+                                 / F.col("tokens_total"), 6) + F.lit(0.0))
+                        .alias("pct_tokens_lost")))
+
+    return _apply

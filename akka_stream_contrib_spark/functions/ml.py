@@ -1361,3 +1361,108 @@ def embedding_dim_drift(ref: DataFrame, cur: DataFrame, top_k: int = 10,
         smd.alias("smd"))
         .orderBy(F.abs(F.col("smd")).desc_nulls_last(), "dim")
         .limit(top_k))
+
+#: row budget for collecting the per-pair sufficient statistic of a
+#: Bradley-Terry fit. |pairs| <= |models|^2 / 2 — bounded by the experiment
+#: design (an arena of 2000 models is < 2M pairs), never by data volume.
+BT_PAIR_BUDGET_ROWS = 2_000_000
+
+
+def bradley_terry_ratings(games: DataFrame, iterations: int = 3,
+                          smoothing: float = 0.5,
+                          a_col: str = "model_a", b_col: str = "model_b",
+                          wins_a_col: str = "wins_a",
+                          wins_b_col: str = "wins_b",
+                          max_pairs: int = BT_PAIR_BUDGET_ROWS) -> DataFrame:
+    """Bradley-Terry skill ratings from pairwise win counts — the model
+    behind LLM arena leaderboards (Chatbot-Arena-style elo is an online
+    approximation of exactly this likelihood): P(i beats j) =
+    p_i / (p_i + p_j), fit by the Zermelo/Hunter-2004 MM iteration
+    p_i' = W_i / sum_j n_ij / (p_i + p_j), each step renormalized to mean
+    rating 1. Sequential Elo is order-dependent (a fold over the game
+    stream — undistributable and irreproducible under reordering); the MM
+    fixed point is batch, deterministic, and the estimator the arena
+    reports actually use.
+
+    ``smoothing`` pseudo-wins are added to EACH side of every observed
+    pairing (the ratings analogue of add-half Laplace): a model with zero
+    recorded wins otherwise collapses to rating 0 and stays there. Only
+    observed pairs are smoothed — the pair table stays sparse.
+
+    Scale shape — fifth member of the bounded-driver-loop family (k-means /
+    PageRank / BPE-learn / logreg_train): the corpus-sized game log
+    collapses to the canonical per-pair table in ONE partial-aggregated
+    groupBy on the unordered (lo, hi) key — the only shuffle that ever sees
+    data-volume-sized input. That table IS the model's sufficient
+    statistic, and its cardinality is <= |models|^2 / 2 — bounded by the
+    experiment design, not the corpus — so the MM solve runs on the driver
+    over the collected summary (an explicit ``max_pairs`` budget guards the
+    collect, the `_bounded_index_pdf` discipline; a lazily-unrolled
+    formulation instead references the ratings relation twice per step and
+    the analyzer cost grows ~4^iterations — measured as a planning hang at
+    iterations=3 before this shape). The fitted ratings return as a literal
+    DataFrame; the 6-dp round happens ENGINE-side so the DuckDB oracle's
+    rounding semantics match.
+
+    Emits (model, rating, wins, games) — rating rounded to 6 (the
+    pagerank/hits oracle convention), wins/games the RAW (unsmoothed)
+    per-model totals.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+
+    a, b, wa, wb = a_col, b_col, wins_a_col, wins_b_col
+    lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
+    a_is_lo = F.col(a) <= F.col(b)
+    pairs = (games.filter(F.col(a) != F.col(b))
+             .groupBy(lo.alias("lo"), hi.alias("hi"))
+             .agg(F.sum(F.when(a_is_lo, F.col(wa)).otherwise(F.col(wb))
+                        .cast("double")).alias("rw_lo"),
+                  F.sum(F.when(a_is_lo, F.col(wb)).otherwise(F.col(wa))
+                        .cast("double")).alias("rw_hi"))).cache()
+    try:
+        if pairs.limit(max_pairs + 1).count() > max_pairs:
+            raise ValueError(
+                f"pair table exceeds max_pairs={max_pairs}: a Bradley-Terry "
+                f"fit over this many distinct model pairings is not a "
+                f"bounded-summary problem; raise max_pairs deliberately or "
+                f"shrink the model set")
+        rows = [(r.lo, r.hi, float(r.rw_lo), float(r.rw_hi))
+                for r in pairs.collect()]
+    finally:
+        pairs.unpersist()
+
+    # driver-side MM solve over the bounded summary; all folds iterate in
+    # sorted order so float association is deterministic run-to-run
+    rows.sort()
+    s = float(smoothing)
+    wins: dict[str, float] = {}
+    gms: dict[str, float] = {}
+    w_sm: dict[str, float] = {}
+    for plo, phi, rlo, rhi in rows:
+        g = rlo + rhi
+        for m, w in ((plo, rlo), (phi, rhi)):
+            wins[m] = wins.get(m, 0.0) + w
+            gms[m] = gms.get(m, 0.0) + g
+            w_sm[m] = w_sm.get(m, 0.0) + w + s
+    models = sorted(wins)
+    p = {m: 1.0 for m in models}
+    for _ in range(iterations):
+        den = {m: 0.0 for m in models}
+        for plo, phi, rlo, rhi in rows:
+            c = (rlo + rhi + 2.0 * s) / (p[plo] + p[phi])
+            den[plo] += c
+            den[phi] += c
+        p = {m: w_sm[m] / den[m] for m in models}
+        mean = sum(p[m] for m in models) / len(models)
+        p = {m: p[m] / mean for m in models}
+
+    spark = games.sparkSession
+    out = spark.createDataFrame(
+        [(m, p[m], wins[m], gms[m]) for m in models],
+        "model string, rating double, wins double, games double")
+    return out.select("model",
+                      (F.round("rating", 6) + F.lit(0.0)).alias("rating"),
+                      "wins", "games")

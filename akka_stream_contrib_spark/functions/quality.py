@@ -440,3 +440,81 @@ def gini_concentration(key_col: str) -> Callable[[DataFrame], DataFrame]:
                      6) + F.lit(0.0)).alias("gini"))
 
     return _apply
+
+
+def filter_funnel(stages: "list[tuple[str, Column]]",
+                  group_col: str | None = None
+                  ) -> Callable[[DataFrame], DataFrame]:
+    """Filter-funnel attribution: a curation pipeline is a chain of keep
+    predicates, and when 40% of a corpus disappears the question is always
+    WHICH stage killed it, per corpus slice. Each row is attributed to its
+    FIRST failing stage (the order the chain would actually drop it);
+    per (slice, stage) the report gives rows entering, rows killed there,
+    rows surviving, the stage's conditional survival rate, and cumulative
+    survival from the start — the numbers a dataset card's filtering
+    section reports (Gopher/Dolma-style pipeline accounting).
+
+    ``stages`` is an ordered list of (name, keep-Column) pairs evaluated
+    against the input row; a NULL predicate counts as False (a row a
+    predicate cannot judge does not pass it).
+
+    Scale shape: every stage flag and the first-fail attribution are
+    scan-side codegen (one CASE chain — stage count is a config constant);
+    ONE partial-aggregated groupBy on the slice key produces the per-stage
+    kill counts as |stages| conditional sums in a single wide row, and the
+    per-stage report rows inline-explode from that row with
+    plan-build-time prefix arithmetic (no window, no join, no second
+    pass). Output cardinality = slices x stages.
+
+    Emits (group, stage_idx, stage, n_in, n_killed, n_out,
+    survival_rate, cumulative_survival).
+    """
+    if not stages:
+        raise ValueError("stages must be a non-empty ordered list")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        # first failing stage index (1-based), NULL for survivors
+        first_fail = F.lit(None).cast("int")
+        for idx in range(len(stages) - 1, -1, -1):
+            pred = F.coalesce(stages[idx][1].cast("boolean"), F.lit(False))
+            first_fail = F.when(~pred, F.lit(idx + 1)).otherwise(first_fail)
+        grp = (F.col(group_col) if group_col
+               else F.lit("all")).alias("group")
+        agg = (df.select(grp, first_fail.alias("_ff"))
+               .groupBy("group")
+               .agg(F.count(F.lit(1)).alias("_total"),
+                    # when(...) not a bare cast: ff is NULL for survivors,
+                    # and a group where EVERY row survives a stage would
+                    # sum all-NULLs to NULL, poisoning the prefix
+                    # subtraction downstream
+                    *[F.sum(F.when(F.col("_ff") == i + 1, F.lit(1))
+                            .otherwise(F.lit(0)).cast("bigint"))
+                      .alias(f"_k{i + 1}") for i in range(len(stages))]))
+        # prefix arithmetic unrolled at plan-build time: rows entering
+        # stage i = total - kills before i
+        entering = F.col("_total")
+        rows = []
+        for i, name in enumerate(names, start=1):
+            killed = F.col(f"_k{i}")
+            out = entering - killed
+            rate = F.when(entering > 0,
+                          F.round(out / entering, 6) + F.lit(0.0))
+            cum = F.when(F.col("_total") > 0,
+                         F.round(out / F.col("_total"), 6) + F.lit(0.0))
+            rows.append(F.struct(
+                F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"),
+                entering.cast("bigint").alias("n_in"),
+                killed.cast("bigint").alias("n_killed"),
+                out.cast("bigint").alias("n_out"),
+                rate.alias("survival_rate"),
+                cum.alias("cumulative_survival")))
+            entering = out
+        return (agg.select("group", F.explode(F.array(*rows)).alias("_s"))
+                .select("group", "_s.stage_idx", "_s.stage", "_s.n_in",
+                        "_s.n_killed", "_s.n_out", "_s.survival_rate",
+                        "_s.cumulative_survival"))
+
+    return _apply

@@ -998,3 +998,190 @@ def test_chat_tree_paths_dangling_parent_acts_as_root(spark):
     assert r.leaf_id == 6 and r.depth == 2 and not r.truncated
     assert [(t.role, t.content) for t in r.turns] == [
         ("user", "orphan top"), ("assistant", "reply")]
+
+
+def test_rejection_sample_argmax_median_gate(spark):
+    from akka_stream_contrib_spark.functions.corpus import rejection_sample
+    rows = [
+        # prompt 1: scores 1,5,9 -> best 9, median 5, gain 4
+        (1, 10, "a", 1.0), (1, 11, "b", 5.0), (1, 12, "c", 9.0),
+        # prompt 2: flat scores -> gain 0, dropped at delta=2
+        (2, 20, "d", 3.0), (2, 21, "e", 3.0),
+        # prompt 3: single candidate -> dropped (min_candidates)
+        (3, 30, "f", 99.0),
+        # prompt 4: NULL + NaN candidates unusable -> one scored left,
+        # dropped by min_candidates
+        (4, 40, "g", 7.0), (4, 41, "h", None), (4, 42, "i", float("nan")),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, text string, score double")
+    got = {r.prompt_id: r for r in
+           df.transform(rejection_sample(delta=2.0)).collect()}
+    assert set(got) == {1}
+    assert got[1].cand_id == 12 and got[1].score == 9.0
+    assert got[1].median_score == 5.0 and got[1].reward_gain == 4.0
+    assert got[1].n_candidates == 3
+    # delta=0 admits the flat prompt; argmax tie -> lowest cand_id
+    got0 = {r.prompt_id: r for r in
+            df.transform(rejection_sample(delta=0.0)).collect()}
+    assert got0[2].cand_id == 20 and got0[2].reward_gain == 0.0
+    with pytest.raises(ValueError):
+        rejection_sample(min_candidates=0)
+
+
+def test_rejection_sample_plan_is_single_agg(spark):
+    from akka_stream_contrib_spark.functions.corpus import rejection_sample
+    from akka_stream_contrib_spark.plans import count_exchanges
+    df = spark.createDataFrame(
+        [(1, 1, "t", 1.0)],
+        "prompt_id long, cand_id long, text string, score double")
+    out = df.transform(rejection_sample())
+    assert count_exchanges(out) <= 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_epoch_shuffle_is_a_deterministic_permutation(spark):
+    from akka_stream_contrib_spark.functions.corpus import epoch_shuffle
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = df.transform(epoch_shuffle(n_shards=4, seed="e0")).collect()
+    b = df.transform(epoch_shuffle(n_shards=4, seed="e0")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    # it IS a permutation: every row present once, positions contiguous
+    assert sorted(r.doc_id for r in a) == list(range(200))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed reorders (new epoch, new permutation)
+    c = df.transform(epoch_shuffle(n_shards=4, seed="e1")).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in c} != \
+           {(r.doc_id, r.shard, r.pos) for r in a}
+    with pytest.raises(ValueError):
+        epoch_shuffle(n_shards=0)
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    from akka_stream_contrib_spark.functions.corpus import epoch_shuffle
+    from akka_stream_contrib_spark.plans import count_exchanges
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = df.transform(epoch_shuffle(n_shards=8))
+    # one hash exchange on the shard key; a global row_number would show a
+    # rangepartitioning / single-partition exchange instead
+    assert count_exchanges(out) <= 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(shard" in plan.lower()
+
+
+def test_context_fit_report_accounting(spark):
+    from akka_stream_contrib_spark.functions.corpus import context_fit_report
+    rows = [
+        (1, "s1", "one two three four"),          # 4 tokens
+        (2, "s1", "a b c d e f g h"),             # 8 tokens
+        (3, "s2", "x y"),                         # 2 tokens
+        (4, "s2", None),                          # ignored
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.group, r.context_limit): r
+           for r in df.transform(context_fit_report(limits=(4, 6))).collect()}
+    r14 = out[("s1", 4)]
+    assert r14.n_docs == 2 and r14.n_truncated == 1
+    assert r14.tokens_total == 12 and r14.tokens_lost == 4
+    assert r14.pct_docs_truncated == 0.5
+    assert r14.pct_tokens_lost == round(4 / 12, 6)
+    r16 = out[("s1", 6)]
+    assert r16.n_truncated == 1 and r16.tokens_lost == 2
+    r24 = out[("s2", 4)]
+    assert r24.n_truncated == 0 and r24.tokens_lost == 0 \
+        and r24.pct_tokens_lost == 0.0
+    assert set(out) == {("s1", 4), ("s1", 6), ("s2", 4), ("s2", 6)}
+    with pytest.raises(ValueError):
+        context_fit_report(limits=())
+
+
+def test_bradley_terry_recovers_strength_order(spark):
+    from akka_stream_contrib_spark.functions.ml import bradley_terry_ratings
+    # A dominates B dominates C; strength order must come out A > B > C
+    rows = [
+        ("A", "B", 9.0, 1.0), ("B", "C", 9.0, 1.0), ("A", "C", 9.0, 1.0),
+        # reversed orientation rows fold into the same canonical pairs
+        ("B", "A", 1.0, 9.0), ("C", "A", 0.0, 2.0),
+        # self-games are dropped
+        ("A", "A", 5.0, 5.0),
+    ]
+    games = spark.createDataFrame(
+        rows, "model_a string, model_b string, wins_a double, wins_b double")
+    out = {r.model: r for r in
+           bradley_terry_ratings(games, iterations=5).collect()}
+    assert out["A"].rating > out["B"].rating > out["C"].rating
+    # mean-1 normalization
+    assert abs(sum(r.rating for r in out.values()) / 3 - 1.0) < 1e-4
+    # raw (unsmoothed) totals: A won 9+9+9+2=29 of (9+1)*2+9+1+2=32 games
+    assert out["A"].wins == 29.0 and out["A"].games == 32.0
+    with pytest.raises(ValueError):
+        bradley_terry_ratings(games, iterations=0)
+    with pytest.raises(ValueError):
+        bradley_terry_ratings(games, smoothing=-1.0)
+
+
+def test_bradley_terry_zero_win_model_survives_smoothing(spark):
+    from akka_stream_contrib_spark.functions.ml import bradley_terry_ratings
+    games = spark.createDataFrame(
+        [("A", "B", 4.0, 0.0)],
+        "model_a string, model_b string, wins_a double, wins_b double")
+    out = {r.model: r for r in bradley_terry_ratings(games).collect()}
+    # without smoothing B's MM rating is exactly 0; add-half keeps it
+    # positive and finite
+    assert 0.0 < out["B"].rating < out["A"].rating
+    assert out["B"].wins == 0.0 and out["B"].games == 4.0
+
+
+def test_filter_funnel_first_fail_attribution(spark):
+    from akka_stream_contrib_spark.functions.quality import filter_funnel
+    rows = [
+        (1, "a", 10),   # passes all
+        (2, None, 5),   # killed at stage 1 (null text)
+        (3, "b", 2),    # killed at stage 2 (len < 4)
+        (4, "c", 1),    # killed at stage 2 as well (never reaches 3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n long")
+    stages = [("has_text", F.col("text").isNotNull()),
+              ("big_n", F.col("n") >= 4),
+              ("even", F.col("doc_id") % 2 == 0)]
+    out = {r.stage: r for r in df.transform(filter_funnel(stages)).collect()}
+    assert out["has_text"].n_in == 4 and out["has_text"].n_killed == 1
+    assert out["big_n"].n_in == 3 and out["big_n"].n_killed == 2
+    # doc 1 (odd) dies at stage 3; only survivors of 1-2 enter
+    assert out["even"].n_in == 1 and out["even"].n_killed == 1 \
+        and out["even"].n_out == 0
+    assert out["big_n"].survival_rate == round(1 / 3, 6)
+    assert out["even"].cumulative_survival == 0.0
+    assert out["has_text"].group == "all"
+
+
+def test_filter_funnel_all_survive_stage_counts_zero(spark):
+    from akka_stream_contrib_spark.functions.quality import filter_funnel
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    stages = [("has_text", F.col("text").isNotNull()),
+              ("always", F.lit(True))]
+    out = {r.stage: r for r in df.transform(filter_funnel(stages)).collect()}
+    # every row survives both stages: kills must be 0, not NULL
+    assert out["has_text"].n_killed == 0 and out["always"].n_killed == 0
+    assert out["always"].n_out == 2 and out["always"].survival_rate == 1.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        filter_funnel([])
+    with _pt.raises(ValueError):
+        filter_funnel([("a", F.lit(True)), ("a", F.lit(False))])
+
+
+def test_filter_funnel_null_predicate_is_false(spark):
+    from akka_stream_contrib_spark.functions.quality import filter_funnel
+    # n is NULL for doc 2: the comparison is NULL -> treated as a kill
+    df = spark.createDataFrame([(1, 5), (2, None)], "doc_id long, n long")
+    out = {r.stage: r for r in df.transform(
+        filter_funnel([("n_big", F.col("n") >= 3)])).collect()}
+    assert out["n_big"].n_killed == 1 and out["n_big"].n_out == 1

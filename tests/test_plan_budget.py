@@ -104,6 +104,22 @@ BUDGET = {
     # and the op's tree groupBy share it); the parent walk is in-row
     # unrolled map lookup, zero further exchanges
     "chat_tree_paths": 1,
+    # r10 best-of-n: ONE partial-aggregated prompt-key groupBy (struct-MIN
+    # argmax + exact median side by side; no window, no join)
+    "rejection_sample": 1,
+    # r10 deterministic shuffle: ONE hash exchange on the shard key feeding
+    # the shard-partitioned position window — no global sort anywhere
+    "epoch_shuffle": 1,
+    # r10 context sizing: constant 4x limit explode into ONE (source,
+    # limit) groupBy + the 80-row presentation sort
+    "context_fit_report": 2,
+    # r10 Bradley-Terry: returned plan is the |models|-row literal + its
+    # presentation sort; the ONE corpus-sized shuffle (canonical-pair agg)
+    # runs eagerly inside the bounded-driver-loop fit (kmeans convention)
+    "elo_ratings": 1,
+    # r10 funnel: ONE wide slice-key groupBy (stage kills as conditional
+    # sums), inline stage explode + the 80-row presentation sort
+    "filter_funnel": 2,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
