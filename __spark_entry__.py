@@ -4700,6 +4700,32 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "stage_idx"))
 
 
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption (functions/corpus.py::span_corrupt, Raffel 2020):
+    rate 0.15, mean span 3 → 20-token blocks each contributing one
+    md5-placed masked span; input keeps numbered sentinels, target lists
+    the masked spans. Pure array codegen on the scan — zero shuffles —
+    and every choice replays from md5(doc_id, block) in any engine."""
+    from akka_stream_contrib_spark.functions.corpus import span_corrupt
+    docs = tables.load(spark, "documents", sf_dir)
+    return (docs.select("doc_id", "text")
+            .transform(span_corrupt(corruption_rate=0.15, mean_span=3)))
+
+
+def q_interleave_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave (functions/corpus.py::
+    interleave_by_weight, stride scheduling): source srcN carries weight
+    1 + N mod 3; the p-th row of a source lands at slot (p - phase)/w
+    with an md5 phase, md5 within-source order. ONE source-partitioned
+    window exchange; slot is a pure function of (seed, source, doc_id)."""
+    from akka_stream_contrib_spark.functions.corpus import interleave_by_weight
+    docs = tables.load(spark, "documents", sf_dir)
+    weights = {f"src{i}": 1.0 + i % 3 for i in range(20)}
+    return (docs.select("doc_id", "source")
+            .transform(interleave_by_weight(weights, seed="mix-0"))
+            .select("doc_id", "source", "src_pos", "slot"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5001,6 +5027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_fit_report": q_context_fit_report,
         "elo_ratings": q_elo_ratings,
         "filter_funnel": q_filter_funnel,
+        "span_corrupt": q_span_corrupt,
+        "interleave_by_weight": q_interleave_by_weight,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -5032,7 +5060,8 @@ _PRIORITY = [
     "pack_training_rows", "preference_pairs", "fim_transform",
     "near_dup_decontaminate", "chat_tree_paths",
     "rejection_sample", "epoch_shuffle", "context_fit_report",
-    "elo_ratings", "filter_funnel",
+    "elo_ratings", "filter_funnel", "span_corrupt",
+    "interleave_by_weight",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -9133,6 +9162,86 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, context_limit
         """,
         "elo_ratings": _bt_oracle(),
+        "span_corrupt": """
+            WITH base AS (
+                SELECT doc_id, text, string_split(text, ' ') AS toks,
+                       CAST(length(string_split(text, ' ')) AS BIGINT) AS n
+                FROM documents
+            ), blk AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(CAST(ceil(n / 20.0) AS BIGINT))) AS k
+                FROM base WHERE text IS NOT NULL AND n >= 2
+            ), spans AS (
+                SELECT doc_id, n, k, toks,
+                       k * 20 AS base_off,
+                       least(CAST(20 AS BIGINT), n - k * 20) AS blen,
+                       least(1 + CAST(concat('0x', substr(md5(concat(
+                                 CAST(doc_id AS VARCHAR), ':scL:',
+                                 CAST(k AS VARCHAR))), 1, 8)) AS BIGINT)
+                             % 5,
+                             least(CAST(20 AS BIGINT), n - k * 20)) AS L
+                FROM blk
+            ), placed AS (
+                SELECT doc_id, n, k, toks, base_off, blen, L,
+                       base_off
+                       + CAST(concat('0x', substr(md5(concat(
+                             CAST(doc_id AS VARCHAR), ':scO:',
+                             CAST(k AS VARCHAR))), 1, 8)) AS BIGINT)
+                         % (blen - L + 1)
+                       + 1 AS a
+                FROM spans
+            ), pieces AS (
+                SELECT doc_id, n, k, L,
+                       concat_ws(' ',
+                           CASE WHEN a - 1 > base_off THEN
+                               array_to_string(toks[base_off + 1 : a - 1],
+                                               ' ') END,
+                           '<extra_id_' || k || '>',
+                           CASE WHEN base_off + blen >= a + L THEN
+                               array_to_string(
+                                   toks[a + L : base_off + blen], ' ')
+                           END) AS ip,
+                       concat_ws(' ', '<extra_id_' || k || '>',
+                                 array_to_string(toks[a : a + L - 1], ' '))
+                           AS tp
+                FROM placed
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(ip, ' ' ORDER BY k) AS input_text,
+                       string_agg(tp, ' ' ORDER BY k)
+                           || ' <extra_id_' || CAST(ceil(max(n) / 20.0)
+                                AS BIGINT) || '>' AS target_text,
+                       CAST(ceil(max(n) / 20.0) AS BIGINT) AS n_spans,
+                       CAST(sum(L) AS BIGINT) AS n_corrupted_tokens
+                FROM pieces GROUP BY doc_id
+            )
+            SELECT doc_id, input_text, target_text, n_spans,
+                   n_corrupted_tokens
+            FROM agg
+            UNION ALL
+            SELECT doc_id, text AS input_text, '' AS target_text,
+                   CAST(0 AS BIGINT) AS n_spans,
+                   CAST(0 AS BIGINT) AS n_corrupted_tokens
+            FROM base WHERE text IS NULL OR n < 2
+        """,
+        "interleave_by_weight": """
+            WITH pos AS (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (PARTITION BY source
+                           ORDER BY md5(concat('mix-0:ord:',
+                                               CAST(doc_id AS VARCHAR))),
+                                    doc_id) AS BIGINT) AS src_pos
+                FROM documents
+            )
+            SELECT doc_id, source, src_pos,
+                   round((src_pos
+                          - (CAST(concat('0x', substr(md5(concat(
+                                 'mix-0:phase:', source)), 1, 8))
+                                 AS BIGINT) % 1000000) / 1000000.0)
+                         / (1.0 + CAST(substr(source, 4) AS BIGINT) % 3),
+                         6) + 0.0 AS slot
+            FROM pos
+        """,
         "filter_funnel": """
             WITH flags AS (
                 SELECT source,

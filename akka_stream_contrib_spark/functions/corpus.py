@@ -1806,3 +1806,155 @@ def context_fit_report(limits=(256, 512, 1024, 2048),
                         .alias("pct_tokens_lost")))
 
     return _apply
+
+
+def span_corrupt(corruption_rate: float = 0.15, mean_span: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 sentinel: str = "<extra_id_{}>"
+                 ) -> Callable[[DataFrame], DataFrame]:
+    """Span-corruption objective prep (Raffel et al. 2020, T5 — the
+    denoising recipe seq2seq models pretrain on): mask contiguous token
+    spans and re-render the document as an (input, target) pair — input
+    keeps the unmasked text with one numbered sentinel per hole, target
+    lists each sentinel followed by the tokens it hides, closed by a final
+    sentinel.
+
+    Span placement is BLOCKED: tokens partition into fixed blocks of
+    ``B = round(mean_span / corruption_rate)`` and each block contributes
+    exactly one corrupted span (length 1 + hash % (2*mean_span - 1), mean
+    ``mean_span``, clipped to the block; offset hash-placed within the
+    block). That yields the target corruption rate exactly in expectation,
+    guarantees spans never overlap or touch across blocks without any
+    merge pass, and — like ``fim_transform`` — makes every choice a pure
+    function of md5(doc_id, block), so reruns, backfills, and the DuckDB
+    oracle reproduce the identical corruption (the idempotent-preprocessing
+    property; sampled-noise formulations can't replay).
+
+    Scale shape: ZERO shuffles — block spans, both renderings, and the
+    token accounting all happen inside ONE ``transform`` over
+    ``sequence(0, n_blocks-1)`` per row (array codegen on the scan);
+    output partitioning follows the input. Documents shorter than 2 tokens
+    (nothing maskable next to something kept) pass through with
+    ``n_spans = 0`` and target '' .
+
+    Emits (doc_id, input_text, target_text, n_spans, n_corrupted_tokens).
+    """
+    if not 0.0 < corruption_rate <= 1.0:
+        raise ValueError(
+            f"corruption_rate must be in (0, 1], got {corruption_rate}")
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    B = max(int(round(mean_span / corruption_rate)), mean_span, 2)
+    from akka_stream_contrib_spark.functions.text import token_id
+
+    def _apply(df: DataFrame) -> DataFrame:
+        sid = F.col(id_col).cast("string")
+        toks = F.split(F.col(text_col), " ")
+        n = F.size(toks).cast("bigint")
+        nb = F.ceil(n / F.lit(B)).cast("bigint")
+
+        def _block(k):
+            base = k * B  # tokens before this block (0-based)
+            blen = F.least(F.lit(B).cast("bigint"), n - base)
+            hL = token_id(F.concat(sid, F.lit(":scL:"), k.cast("string")))
+            hO = token_id(F.concat(sid, F.lit(":scO:"), k.cast("string")))
+            L = F.least(F.lit(1) + hL % (2 * mean_span - 1), blen)
+            off = hO % (blen - L + F.lit(1))
+            a = base + off + 1  # 1-based absolute span start
+            pre = F.array_join(F.slice(toks, base + 1, off), " ")
+            post = F.array_join(
+                F.slice(toks, a + L, blen - off - L), " ")
+            sent = F.concat(F.lit(sentinel.split("{}")[0]),
+                            k.cast("string"),
+                            F.lit(sentinel.split("{}")[1]))
+            ip = F.concat_ws(" ", F.when(off > 0, pre), sent,
+                             F.when(blen - off - L > 0, post))
+            tp = F.concat_ws(" ", sent,
+                             F.array_join(F.slice(toks, a, L), " "))
+            return F.struct(ip.alias("ip"), tp.alias("tp"), L.alias("l"))
+
+        pieces = F.transform(F.sequence(F.lit(0).cast("bigint"), nb - 1),
+                             _block)
+        close = F.concat(F.lit(sentinel.split("{}")[0]), nb.cast("string"),
+                         F.lit(sentinel.split("{}")[1]))
+        corruptible = F.col(text_col).isNotNull() & (n >= 2)
+        z = F.lit(0).cast("bigint")
+        return df.select(
+            F.col(id_col),
+            F.when(corruptible,
+                   F.array_join(F.transform(pieces, lambda x: x.ip), " "))
+            .otherwise(F.col(text_col)).alias("input_text"),
+            F.when(corruptible,
+                   F.concat(F.array_join(
+                       F.transform(pieces, lambda x: x.tp), " "),
+                       F.lit(" "), close))
+            .otherwise(F.lit("")).alias("target_text"),
+            F.when(corruptible, nb).otherwise(z).alias("n_spans"),
+            F.when(corruptible,
+                   F.aggregate(pieces, z, lambda acc, x: acc + x.l))
+            .otherwise(z).alias("n_corrupted_tokens"))
+
+    return _apply
+
+
+def interleave_by_weight(weights: "dict[str, float]",
+                         default_weight: float = 1.0, seed: str = "mix-0",
+                         source_col: str = "source", id_col: str = "doc_id"
+                         ) -> Callable[[DataFrame], DataFrame]:
+    """Deterministic weighted corpus interleaving — the tf.data
+    ``sample_from_datasets`` / Pile mixing step made reproducible: every
+    row gets a global ``slot`` such that streaming the corpus in slot
+    order visits source s with long-run frequency proportional to
+    ``weights[s]``. The schedule is stride scheduling (Waldspurger 1995):
+    the p-th row of source s lands at slot ``(p - phase_s) / w_s`` — rows
+    of a weight-2 source arrive twice as densely as a weight-1 source,
+    exactly, not in expectation — with a per-source md5 phase in [0, 1)
+    de-synchronizing the streams' ticks.
+
+    Within each source, order is the ``epoch_shuffle`` permutation
+    (md5 of (seed, id)), so the interleave is also a shuffle; a new
+    ``seed`` reshuffles AND re-phases. Every slot is a pure function of
+    (seed, source, id) — replayable anywhere, including the oracle.
+
+    Scale shape: ONE exchange — the source-partitioned position window
+    (parallel across sources; at 100 TB the per-source sort is the
+    standard distributed sort). The slot arithmetic is map-side. The
+    output is NOT globally sorted: a training reader range-partitions /
+    sorts by slot at write time (TeraSort shape), or streams shards of
+    the slot space independently; emitting positions instead of forcing
+    a global order keeps the operator one-shuffle.
+
+    Emits the input columns plus (src_pos, slot); slot rounded to 6.
+    """
+    if not weights and default_weight <= 0:
+        raise ValueError("default_weight must be > 0 when weights is empty")
+    for s, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s!r} must be > 0, got {w}")
+    if default_weight <= 0:
+        raise ValueError(
+            f"default_weight must be > 0, got {default_weight}")
+    from pyspark.sql import Window
+    from akka_stream_contrib_spark.functions.text import token_id
+
+    def _apply(df: DataFrame) -> DataFrame:
+        sid = F.col(id_col).cast("string")
+        w_expr = F.lit(float(default_weight))
+        for s, w in sorted(weights.items()):
+            w_expr = F.when(F.col(source_col) == s,
+                            F.lit(float(w))).otherwise(w_expr)
+        phase = (token_id(F.concat(F.lit(seed + ":phase:"),
+                                   F.col(source_col))) % 1_000_000
+                 / F.lit(1_000_000.0))
+        win = (Window.partitionBy(source_col)
+               .orderBy(F.col("_ord"), F.col(id_col)))
+        return (df.withColumn("_ord", F.md5(
+                    F.concat(F.lit(seed + ":ord:"), sid)))
+                .withColumn("src_pos",
+                            F.row_number().over(win).cast("bigint"))
+                .withColumn("slot",
+                            F.round((F.col("src_pos") - phase) / w_expr, 6)
+                            + F.lit(0.0))
+                .drop("_ord"))
+
+    return _apply

@@ -1185,3 +1185,82 @@ def test_filter_funnel_null_predicate_is_false(spark):
     out = {r.stage: r for r in df.transform(
         filter_funnel([("n_big", F.col("n") >= 3)])).collect()}
     assert out["n_big"].n_killed == 1 and out["n_big"].n_out == 1
+
+
+def test_span_corrupt_roundtrip_reconstructs_document(spark):
+    from akka_stream_contrib_spark.functions.corpus import span_corrupt
+    import re as _re
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = df.transform(span_corrupt(corruption_rate=0.15, mean_span=3)).first()
+    # splice the target spans back into the input holes -> original text
+    spans = {}
+    parts = _re.split(r"<extra_id_(\d+)>", r.target_text)
+    for i in range(1, len(parts) - 2, 2):
+        spans[int(parts[i])] = parts[i + 1].strip()
+    rebuilt = _re.sub(r"<extra_id_(\d+)>",
+                      lambda m: spans[int(m.group(1))], r.input_text)
+    assert " ".join(rebuilt.split()) == text
+    # blocked placement: 100 tokens / B=20 -> exactly 5 spans, and the
+    # final sentinel closes the target
+    assert r.n_spans == 5 and r.target_text.endswith("<extra_id_5>")
+    assert 5 <= r.n_corrupted_tokens <= 25
+    # deterministic
+    r2 = df.transform(span_corrupt(corruption_rate=0.15, mean_span=3)).first()
+    assert r2.input_text == r.input_text and r2.target_text == r.target_text
+
+
+def test_span_corrupt_short_and_null_pass_through(spark):
+    from akka_stream_contrib_spark.functions.corpus import span_corrupt
+    df = spark.createDataFrame([(1, "solo"), (2, None)],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in df.transform(span_corrupt()).collect()}
+    assert out[1].input_text == "solo" and out[1].n_spans == 0
+    assert out[2].input_text is None and out[2].target_text == ""
+    with pytest.raises(ValueError):
+        span_corrupt(corruption_rate=0.0)
+    with pytest.raises(ValueError):
+        span_corrupt(mean_span=0)
+
+
+def test_span_corrupt_zero_shuffles(spark):
+    from akka_stream_contrib_spark.functions.corpus import span_corrupt
+    from akka_stream_contrib_spark.plans import count_exchanges
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    assert count_exchanges(df.transform(span_corrupt())) == 0
+
+
+def test_interleave_by_weight_frequency_and_determinism(spark):
+    from akka_stream_contrib_spark.functions.corpus import interleave_by_weight
+    rows = [(i, "heavy" if i % 2 == 0 else "light") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = df.transform(interleave_by_weight({"heavy": 3.0, "light": 1.0}))
+    ordered = sorted(out.collect(), key=lambda r: (r.slot, r.doc_id))
+    # long-run frequency: in the first 120 slots, heavy ~ 3x light
+    head = ordered[:120]
+    n_heavy = sum(1 for r in head if r.source == "heavy")
+    assert 80 <= n_heavy <= 100  # 3:1 ratio = 90 expected
+    # stride exactness: heavy rows are 1/3 apart, light rows 1 apart
+    heavy = [r.slot for r in ordered if r.source == "heavy"]
+    assert all(abs((b - a) - 1 / 3) < 2e-6
+               for a, b in zip(heavy, heavy[1:]))
+    # deterministic replay
+    again = sorted(
+        df.transform(interleave_by_weight({"heavy": 3.0, "light": 1.0}))
+        .collect(), key=lambda r: (r.slot, r.doc_id))
+    assert [r.doc_id for r in again] == [r.doc_id for r in ordered]
+    # unknown source rides default_weight; bad weights raise
+    with pytest.raises(ValueError):
+        interleave_by_weight({"a": 0.0})
+    with pytest.raises(ValueError):
+        interleave_by_weight({}, default_weight=-1.0)
+
+
+def test_interleave_by_weight_single_exchange_no_global_sort(spark):
+    from akka_stream_contrib_spark.functions.corpus import interleave_by_weight
+    from akka_stream_contrib_spark.plans import count_exchanges
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    out = df.transform(interleave_by_weight({"a": 2.0}))
+    assert count_exchanges(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()

@@ -120,6 +120,12 @@ BUDGET = {
     # r10 funnel: ONE wide slice-key groupBy (stage kills as conditional
     # sums), inline stage explode + the 80-row presentation sort
     "filter_funnel": 2,
+    # r10 T5 denoising: block spans + both renderings are ONE transform
+    # over sequence() per row — pure scan-side array codegen
+    "span_corrupt": 0,
+    # r10 stride-schedule mixing: ONE source-partitioned position window;
+    # slot arithmetic map-side, no global sort
+    "interleave_by_weight": 1,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
