@@ -252,6 +252,17 @@ HEADLINE = [
     "fim_transform",
     "near_dup_decontaminate",
     "chat_tree_paths",
+    # round-10 session-2 additions: best-of-n rejection sampling,
+    # deterministic epoch shuffle, context-window sizing, Bradley-Terry
+    # arena ratings, filter-funnel attribution, T5 span corruption,
+    # stride-scheduled corpus interleave
+    "rejection_sample",
+    "epoch_shuffle",
+    "context_fit_report",
+    "elo_ratings",
+    "filter_funnel",
+    "span_corrupt",
+    "interleave_by_weight",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

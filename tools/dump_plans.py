@@ -174,6 +174,22 @@ SHOWCASE = {
     "chat_tree_paths": "reply-tree flattening: ONE conv-key shuffle; all "
         "leaf paths walked in-row (unrolled map lookups) and only the "
         "finished paths explode",
+    # round-10 session-2 additions
+    "rejection_sample": "best-of-n selection: ONE prompt groupBy — "
+        "struct-MIN argmax and the exact median in the same partial agg; "
+        "no window, no join",
+    "epoch_shuffle": "deterministic epoch shuffle: map-side md5 shard "
+        "hash, position window PARTITIONED BY shard — the global-sort "
+        "formulation's single-task collapse designed out",
+    "span_corrupt": "T5 span corruption: blocked masking + both "
+        "renderings in one transform() over sequence() — zero exchanges, "
+        "scan-partitioned",
+    "interleave_by_weight": "stride-scheduled corpus mixing: one "
+        "source-partitioned position window, slot arithmetic map-side, "
+        "no global sort",
+    "filter_funnel": "filter-funnel attribution: first-fail CASE chain "
+        "on the scan, ONE wide slice groupBy, stage rows inline-exploded "
+        "with unrolled prefix arithmetic",
 }
 
 
