@@ -12,6 +12,7 @@ from akka_stream_contrib_spark.streaming.stateful import (
     delay_strategy_stream,
     linear_increasing_delay_strategy,
     preference_pairs_stream,
+    interleave_stream,
 )
 from akka_stream_contrib_spark.streaming.dedup import dedup_within_watermark
 from akka_stream_contrib_spark.streaming.funnel import (
@@ -43,6 +44,7 @@ __all__ = [
     "CLOSE_INDEX",
     "delay_strategy_stream",
     "preference_pairs_stream",
+    "interleave_stream",
     "embedding_drift_sink",
     "linear_increasing_delay_strategy",
     "dedup_within_watermark",

@@ -632,3 +632,78 @@ def preference_pairs_stream(candidates: DataFrame, margin: float = 0.0,
     return (candidates.groupBy(prompt_col)
             .applyInPandasWithState(_fn, out_schema, state_schema, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def interleave_stream(rows: DataFrame, weights: "dict[str, float]",
+                      default_weight: float = 1.0, seed: str = "mix-0",
+                      source_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Streaming twin of ``functions/corpus.py::interleave_by_weight``:
+    corpus rows ARRIVE over micro-batches (a crawl/ingest feed) and each
+    gets its stride-schedule slot as it lands — per-source position
+    counters persist in the state store, so the weighted interleave
+    extends indefinitely without recomputing history. Slot assignment is
+    MONOTONE per source (positions only grow), so append-mode emission is
+    sound.
+
+    Within a micro-batch, rows order by the SAME md5(seed, id) key as the
+    batch form (hashlib and Spark md5 agree byte-for-byte), so a
+    single-batch stream reproduces the batch op exactly; across batches
+    the shuffle is per-batch and positions continue — the cross-batch
+    order is arrival order, the only order a stream can honor (documented
+    divergence from the batch form's global md5 order). State is O(1) per
+    source (one counter). HALF_UP slot rounding matches Spark/DuckDB
+    ``round``.
+    """
+    if default_weight <= 0:
+        raise ValueError(f"default_weight must be > 0, got {default_weight}")
+    for s, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s!r} must be > 0, got {w}")
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    stype = rows.schema[source_col].dataType
+    itype = rows.schema[id_col].dataType
+    out_schema = StructType([
+        StructField(source_col, stype), StructField(id_col, itype),
+        StructField("src_pos", LongType()),
+        StructField("slot", DoubleType()),
+    ])
+    state_schema = StructType([StructField("cnt", LongType())])
+
+    def _slot(pos: int, phase: float, w: float) -> float:
+        x = (pos - phase) / w
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               ROUND_HALF_UP))
+
+    def _fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        src = key[0]
+        cnt = state.get[0] if state.exists else 0
+        w = float(weights.get(src, default_weight))
+        phase = (int(hashlib.md5(f"{seed}:phase:{src}".encode())
+                     .hexdigest()[:8], 16) % 1_000_000) / 1_000_000.0
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks)
+        ids = batch[id_col]
+        order = sorted(
+            range(len(batch)),
+            key=lambda i: (hashlib.md5(
+                f"{seed}:ord:{ids.iloc[i]}".encode()).hexdigest(),
+                ids.iloc[i]))
+        out = pd.DataFrame({
+            source_col: [src] * len(order),
+            id_col: [ids.iloc[i] for i in order],
+            "src_pos": [cnt + p + 1 for p in range(len(order))],
+            "slot": [_slot(cnt + p + 1, phase, w)
+                     for p in range(len(order))],
+        })
+        cnt += len(order)
+        state.update((cnt,))
+        yield out
+
+    return (rows.groupBy(source_col)
+            .applyInPandasWithState(_fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.NoTimeout))

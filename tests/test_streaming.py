@@ -1861,3 +1861,65 @@ def test_preference_pairs_stream_cross_batch_updates(spark, tmp_path):
         assert (latest[2].chosen_id, latest[2].rejected_id) == (20, 21)
     finally:
         q.stop()
+
+
+def test_interleave_stream_single_batch_equals_batch_form(spark, tmp_path):
+    # one micro-batch = the batch operator exactly (same md5 order, same
+    # stride slots, same HALF_UP rounding)
+    from akka_stream_contrib_spark.functions.corpus import interleave_by_weight
+    from akka_stream_contrib_spark.streaming import interleave_stream
+    rows = [{"doc_id": i, "source": "a" if i % 3 else "b"}
+            for i in range(30)]
+    feed = tmp_path / "il_feed"
+    feed.mkdir()
+    _feed_json(feed, "b1.json", rows)
+    src = spark.readStream.schema("doc_id long, source string").json(str(feed))
+    q = (interleave_stream(src, {"a": 2.0, "b": 1.0})
+         .writeStream.format("memory").queryName("ilstream")
+         .option("checkpointLocation", str(tmp_path / "il_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id): (r.src_pos, r.slot)
+           for r in spark.sql("select * from ilstream").collect()}
+    batch = spark.createDataFrame([(r["doc_id"], r["source"]) for r in rows],
+                                  "doc_id long, source string")
+    want = {r.doc_id: (r.src_pos, r.slot)
+            for r in batch.transform(
+                interleave_by_weight({"a": 2.0, "b": 1.0})).collect()}
+    assert got == want
+
+
+def test_interleave_stream_positions_continue_across_batches(spark, tmp_path):
+    from akka_stream_contrib_spark.streaming import interleave_stream
+    feed = tmp_path / "il2_feed"
+    feed.mkdir()
+    _feed_json(feed, "b1.json", [{"doc_id": 1, "source": "a"},
+                                 {"doc_id": 2, "source": "a"}])
+    src = (spark.readStream.schema("doc_id long, source string")
+           .option("maxFilesPerTrigger", 1).json(str(feed)))
+    q = (interleave_stream(src, {"a": 2.0})
+         .writeStream.format("memory").queryName("il2stream")
+         .option("checkpointLocation", str(tmp_path / "il2_ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        assert _await_rows(spark, "il2stream", 2)
+        _feed_json(feed, "b2.json", [{"doc_id": 3, "source": "a"}])
+        assert _await_rows(spark, "il2stream", 3)
+        got = {r.doc_id: r.src_pos
+               for r in spark.sql("select * from il2stream").collect()}
+        # batch-2 row resumes the counter, not restarts it
+        assert got[3] == 3
+        assert sorted(got.values()) == [1, 2, 3]
+    finally:
+        q.stop()
+
+
+def test_interleave_stream_bad_weights_raise(spark):
+    from akka_stream_contrib_spark.streaming import interleave_stream
+    import pytest as _pt
+    df = spark.readStream.format("rate").load().selectExpr(
+        "value as doc_id", "'a' as source")
+    with _pt.raises(ValueError):
+        interleave_stream(df, {"a": -1.0})
+    with _pt.raises(ValueError):
+        interleave_stream(df, {}, default_weight=0.0)
