@@ -1844,6 +1844,10 @@ def span_corrupt(corruption_rate: float = 0.15, mean_span: int = 3,
             f"corruption_rate must be in (0, 1], got {corruption_rate}")
     if mean_span < 1:
         raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    if "{}" not in sentinel:
+        raise ValueError(
+            f"sentinel needs a {{}} placeholder for the span number, "
+            f"got {sentinel!r}")
     B = max(int(round(mean_span / corruption_rate)), mean_span, 2)
     from akka_stream_contrib_spark.functions.text import token_id
 
@@ -1926,8 +1930,6 @@ def interleave_by_weight(weights: "dict[str, float]",
 
     Emits the input columns plus (src_pos, slot); slot rounded to 6.
     """
-    if not weights and default_weight <= 0:
-        raise ValueError("default_weight must be > 0 when weights is empty")
     for s, w in weights.items():
         if w <= 0:
             raise ValueError(f"weight for {s!r} must be > 0, got {w}")

@@ -1434,6 +1434,11 @@ def bradley_terry_ratings(games: DataFrame, iterations: int = 3,
     finally:
         pairs.unpersist()
 
+    spark = games.sparkSession
+    out_schema = "model string, rating double, wins double, games double"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+
     # driver-side MM solve over the bounded summary; all folds iterate in
     # sorted order so float association is deterministic run-to-run
     rows.sort()
@@ -1455,14 +1460,17 @@ def bradley_terry_ratings(games: DataFrame, iterations: int = 3,
             c = (rlo + rhi + 2.0 * s) / (p[plo] + p[phi])
             den[plo] += c
             den[phi] += c
-        p = {m: w_sm[m] / den[m] for m in models}
+        # den[m] can only be 0 at smoothing=0 when every pairing of m has
+        # zero recorded wins on both sides (no information either way) —
+        # the MM update is 0/0 there; keep the current estimate instead of
+        # crashing (with smoothing > 0 every observed pair contributes)
+        p = {m: (w_sm[m] / den[m] if den[m] > 0 else p[m])
+             for m in models}
         mean = sum(p[m] for m in models) / len(models)
         p = {m: p[m] / mean for m in models}
 
-    spark = games.sparkSession
     out = spark.createDataFrame(
-        [(m, p[m], wins[m], gms[m]) for m in models],
-        "model string, rating double, wins double, games double")
+        [(m, p[m], wins[m], gms[m]) for m in models], out_schema)
     return out.select("model",
                       (F.round("rating", 6) + F.lit(0.0)).alias("rating"),
                       "wins", "games")

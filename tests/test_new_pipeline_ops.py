@@ -1264,3 +1264,25 @@ def test_interleave_by_weight_single_exchange_no_global_sort(spark):
     assert count_exchanges(out) == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_bradley_terry_empty_and_uninformative_inputs(spark):
+    from akka_stream_contrib_spark.functions.ml import bradley_terry_ratings
+    schema = "model_a string, model_b string, wins_a double, wins_b double"
+    # empty game log -> empty ratings with the contract schema, no crash
+    empty = bradley_terry_ratings(spark.createDataFrame([], schema))
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == \
+        ["model", "rating", "wins", "games"]
+    # smoothing=0 with a both-sides-zero pair: 0/0 MM update keeps the
+    # current estimate instead of ZeroDivisionError
+    z = bradley_terry_ratings(
+        spark.createDataFrame([("A", "B", 0.0, 0.0)], schema),
+        smoothing=0.0).collect()
+    assert {r.model: r.rating for r in z} == {"A": 1.0, "B": 1.0}
+
+
+def test_span_corrupt_sentinel_needs_placeholder(spark):
+    from akka_stream_contrib_spark.functions.corpus import span_corrupt
+    with pytest.raises(ValueError, match="placeholder"):
+        span_corrupt(sentinel="<mask>")
