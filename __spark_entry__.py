@@ -4726,6 +4726,65 @@ def q_interleave_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "src_pos", "slot"))
 
 
+def q_template_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-template mining (functions/corpus.py::template_mine):
+    80% of documents re-render as slotted task prompts (quoted excerpt +
+    numeric budget, template keyed by source), 20% stay raw free text;
+    the miner must recover exactly the 5 language templates and filter the
+    singletons out. Skeleton = regexp codegen; ONE md5-keyed groupBy with
+    the skeleton as struct payload (dedup_exact key discipline)."""
+    from akka_stream_contrib_spark.functions.corpus import template_mine
+    docs = tables.load(spark, "documents", sf_dir)
+    prompts = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 5 != 0,
+               F.concat(F.col("lang"), F.lit(' task: write about "'),
+                        F.substring("text", 1, 20), F.lit('" in '),
+                        (F.col("n_chars") % 50).cast("string"),
+                        F.lit(" words")))
+        .otherwise(F.col("text")).alias("text"))
+    return prompts.transform(template_mine(min_count=2,
+                                           source_col="source"))
+
+
+def q_bitext_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext hygiene (functions/corpus.py::bitext_filter): synthetic
+    translation pairs from documents — by doc_id mod 4 the "translation"
+    is a 3-token truncation (ratio kill), a verbatim copy (identity
+    kill), the text plus a spurious number (digit-parity kill), or the
+    token-reversed text (clean pair). Pure scan-side flags, zero
+    shuffles; per-rule kill flags feed filter_funnel downstream."""
+    from akka_stream_contrib_spark.functions.corpus import bitext_filter
+    docs = tables.load(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("src_text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.array_join(F.slice(toks, 1, 3), " "))
+        .when(F.col("doc_id") % 4 == 1, F.col("text"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.col("text"), F.lit(" 42")))
+        .otherwise(F.array_join(F.reverse(toks), " "))
+        .alias("tgt_text"))
+    return pairs.transform(bitext_filter(max_len_ratio=2.0, min_tokens=2))
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest (functions/corpus.py::shard_manifest) over the
+    epoch_shuffle permutation: per-shard row/token totals plus the
+    contiguity proof (min_pos = 1, max_pos = n_rows). The manifest agg
+    groups on the SAME shard key the position window hashed on, so the
+    composed plan pays one exchange total."""
+    from akka_stream_contrib_spark.functions.corpus import (epoch_shuffle,
+                                                            shard_manifest)
+    docs = tables.load(spark, "documents", sf_dir)
+    return (docs.select("doc_id", "text")
+            .transform(epoch_shuffle(n_shards=8, seed="epoch-0"))
+            .transform(shard_manifest(text_col="text"))
+            .orderBy("shard"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5029,6 +5088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "span_corrupt": q_span_corrupt,
         "interleave_by_weight": q_interleave_by_weight,
+        "template_mine": q_template_mine,
+        "bitext_filter": q_bitext_filter,
+        "shard_manifest": q_shard_manifest,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -5061,7 +5123,8 @@ _PRIORITY = [
     "near_dup_decontaminate", "chat_tree_paths",
     "rejection_sample", "epoch_shuffle", "context_fit_report",
     "elo_ratings", "filter_funnel", "span_corrupt",
-    "interleave_by_weight",
+    "interleave_by_weight", "template_mine", "bitext_filter",
+    "shard_manifest",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -9162,6 +9225,107 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, context_limit
         """,
         "elo_ratings": _bt_oracle(),
+        "template_mine": """
+            WITH prompts AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 5 <> 0 THEN
+                            lang || ' task: write about "'
+                                   || substr(text, 1, 20) || '" in '
+                                   || CAST(n_chars % 50 AS VARCHAR)
+                                   || ' words'
+                       ELSE text END AS text
+                FROM documents WHERE text IS NOT NULL
+            ), skel AS (
+                SELECT doc_id, source,
+                       trim(regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(text, '"[^"]*"', '<q>', 'g'),
+                           '''[^'']*''', '<q>', 'g'),
+                           '[0-9]+', '<num>', 'g'),
+                           '\s+', ' ', 'g')) AS s
+                FROM prompts
+            )
+            SELECT s AS template, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   min(doc_id) AS example_id
+            FROM skel GROUP BY s HAVING count(*) >= 2
+        """,
+        "bitext_filter": """
+            WITH pairs AS (
+                SELECT doc_id AS pair_id, text AS src_text,
+                       CASE doc_id % 4
+                            WHEN 0 THEN array_to_string(
+                                string_split(text, ' ')[1:3], ' ')
+                            WHEN 1 THEN text
+                            WHEN 2 THEN text || ' 42'
+                            ELSE array_to_string(list_reverse(
+                                string_split(text, ' ')), ' ')
+                       END AS tgt_text
+                FROM documents WHERE text IS NOT NULL
+            ), n AS (
+                SELECT *,
+                       CAST(length(string_split(src_text, ' ')) AS BIGINT)
+                           AS ns,
+                       CAST(length(string_split(tgt_text, ' ')) AS BIGINT)
+                           AS nt,
+                       (src_text IS NOT NULL AND tgt_text IS NOT NULL)
+                           AS is_pair,
+                       CASE WHEN trim(regexp_replace(src_text, '[^0-9]+',
+                                 ' ', 'g')) = '' THEN 0
+                            ELSE length(string_split(trim(regexp_replace(
+                                 src_text, '[^0-9]+', ' ', 'g')), ' '))
+                       END AS ds,
+                       CASE WHEN trim(regexp_replace(tgt_text, '[^0-9]+',
+                                 ' ', 'g')) = '' THEN 0
+                            ELSE length(string_split(trim(regexp_replace(
+                                 tgt_text, '[^0-9]+', ' ', 'g')), ' '))
+                       END AS dt
+                FROM pairs
+            ), fl AS (
+                SELECT *,
+                       CAST(greatest(ns, nt) AS DOUBLE)
+                           / CAST(least(ns, nt) AS DOUBLE) AS ratio,
+                       (is_pair AND ns >= 2 AND nt >= 2) AS ok_len_floor,
+                       (is_pair AND CAST(greatest(ns, nt) AS DOUBLE)
+                            / CAST(least(ns, nt) AS DOUBLE) <= 2.0)
+                           AS ok_ratio,
+                       (is_pair AND src_text <> tgt_text) AS ok_not_identical,
+                       (is_pair AND ds = dt) AS ok_digits
+                FROM n
+            )
+            SELECT pair_id, src_text, tgt_text,
+                   CASE WHEN is_pair THEN ns END AS n_src_tokens,
+                   CASE WHEN is_pair THEN nt END AS n_tgt_tokens,
+                   CASE WHEN is_pair THEN round(ratio, 6) + 0.0 END
+                       AS len_ratio,
+                   ok_len_floor, ok_ratio, ok_not_identical, ok_digits,
+                   (ok_len_floor AND ok_ratio AND ok_not_identical
+                    AND ok_digits) AS keep
+            FROM fl
+        """,
+        "shard_manifest": """
+            WITH keyed AS (
+                SELECT doc_id, text,
+                       CAST(CAST(concat('0x', substr(md5(concat(
+                                'epoch-0:shard:', CAST(doc_id AS VARCHAR))),
+                                1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+                       md5(concat('epoch-0:ord:', CAST(doc_id AS VARCHAR)))
+                           AS ord
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, text, shard,
+                       CAST(row_number() OVER (PARTITION BY shard
+                                               ORDER BY ord, doc_id)
+                            AS BIGINT) AS pos
+                FROM keyed
+            )
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(coalesce(
+                       length(string_split(text, ' ')), 0)) AS BIGINT)
+                       AS n_tokens,
+                   min(pos) AS min_pos, max(pos) AS max_pos,
+                   (min(pos) = 1 AND max(pos) = count(*)) AS contiguous
+            FROM pos GROUP BY shard ORDER BY shard
+        """,
         "span_corrupt": """
             WITH base AS (
                 SELECT doc_id, text, string_split(text, ' ') AS toks,

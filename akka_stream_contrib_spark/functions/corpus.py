@@ -1960,3 +1960,144 @@ def interleave_by_weight(weights: "dict[str, float]",
                 .drop("_ord"))
 
     return _apply
+
+
+def template_mine(min_count: int = 2, id_col: str = "doc_id",
+                  text_col: str = "text", source_col: str | None = None
+                  ) -> Callable[[DataFrame], DataFrame]:
+    """Instruction-template mining: synthetic / crowd instruction sets are
+    full of near-identical prompts that differ only in the slotted values
+    ("Write a review of {product} in {n} words") -- surface-level dedup
+    misses them, yet over-represented templates skew an SFT mix as badly
+    as literal duplicates. Each text reduces to its template SKELETON
+    (single-quoted and double-quoted spans -> <q>, digit runs -> <num>,
+    whitespace folded) and skeletons seen >= ``min_count`` times report
+    with their multiplicity, slice spread, and one deterministic example
+    (the min-id document).
+
+    Scale shape: skeleton extraction is a pure regexp chain in codegen on
+    the scan; ONE partial-aggregated groupBy on the (16-byte md5 of the)
+    skeleton -- the dedup_exact key discipline: the multi-KB skeleton
+    string rides as payload via lexicographic struct MIN, never as the
+    shuffle key. distinct-source spread uses the count_distinct expansion
+    (the url_domain_stats accounting).
+
+    Emits (template, n_docs, n_sources, example_id) unsorted -- order at
+    presentation time.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        skel = F.col(text_col)
+        skel = F.regexp_replace(skel, '"[^"]*"', "<q>")
+        skel = F.regexp_replace(skel, "'[^']*'", "<q>")
+        skel = F.regexp_replace(skel, "[0-9]+", "<num>")
+        skel = F.trim(F.regexp_replace(skel, "\\s+", " "))
+        src = (F.col(source_col) if source_col
+               else F.lit("all")).alias("_src")
+        base = (df.filter(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("_id"), skel.alias("_skel"),
+                        src))
+        agg = (base.groupBy(F.md5("_skel").alias("_k"))
+               .agg(F.min(F.struct(F.col("_id").alias("i"),
+                                   F.col("_skel").alias("s"))).alias("_ex"),
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.countDistinct("_src").alias("n_sources")))
+        return (agg.filter(F.col("n_docs") >= min_count)
+                .select(F.col("_ex.s").alias("template"), "n_docs",
+                        "n_sources", F.col("_ex.i").alias("example_id")))
+
+    return _apply
+
+
+def bitext_filter(max_len_ratio: float = 2.0, min_tokens: int = 1,
+                  pair_col: str = "pair_id", src_col: str = "src_text",
+                  tgt_col: str = "tgt_text"
+                  ) -> Callable[[DataFrame], DataFrame]:
+    """Parallel-corpus (bitext) hygiene -- the standard WMT/OPUS cleaning
+    pass applied after mining aligns candidate pairs (`margin_mine`
+    produces them; this filters them): a translation pair is kept when
+    both sides meet a token floor, the token-length ratio stays under
+    ``max_len_ratio`` (wildly unbalanced pairs are misalignments), the
+    two sides are not literally identical (copy-through rows teach the
+    model to parrot), and both sides carry the same count of digit runs
+    (numbers must survive translation -- a mismatch flags truncation or
+    hallucination; the Koehn / ParaCrawl recipe).
+
+    Scale shape: every check is a pure Column expression on the scan --
+    ZERO shuffles, output partitioning follows the input; the flags are
+    emitted alongside ``keep`` so downstream can report per-rule kill
+    rates with `filter_funnel` instead of re-deriving them.
+
+    Emits (pair_id, src_text, tgt_text, n_src_tokens, n_tgt_tokens,
+    len_ratio, ok_len_floor, ok_ratio, ok_not_identical, ok_digits,
+    keep).
+    """
+    if max_len_ratio < 1.0:
+        raise ValueError(
+            f"max_len_ratio must be >= 1.0, got {max_len_ratio}")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        ns = F.size(F.split(F.col(src_col), " ")).cast("bigint")
+        nt = F.size(F.split(F.col(tgt_col), " ")).cast("bigint")
+        both = F.col(src_col).isNotNull() & F.col(tgt_col).isNotNull()
+
+        def n_digit_runs(c):
+            # count of maximal digit runs: strip non-digits to single
+            # spaces, trim, then count tokens (0 for a digit-free string)
+            squashed = F.trim(F.regexp_replace(F.col(c), "[^0-9]+", " "))
+            return F.when(squashed == "", F.lit(0)).otherwise(
+                F.size(F.split(squashed, " ")))
+
+        ratio = (F.greatest(ns, nt).cast("double")
+                 / F.least(ns, nt).cast("double"))
+        ok_floor = both & (ns >= min_tokens) & (nt >= min_tokens)
+        ok_ratio = both & (ratio <= F.lit(float(max_len_ratio)))
+        ok_ident = both & (F.col(src_col) != F.col(tgt_col))
+        ok_digits = both & (n_digit_runs(src_col) == n_digit_runs(tgt_col))
+        keep = ok_floor & ok_ratio & ok_ident & ok_digits
+        return df.select(
+            F.col(pair_col), F.col(src_col), F.col(tgt_col),
+            F.when(both, ns).alias("n_src_tokens"),
+            F.when(both, nt).alias("n_tgt_tokens"),
+            F.when(both, F.round(ratio, 6) + F.lit(0.0)).alias("len_ratio"),
+            ok_floor.alias("ok_len_floor"), ok_ratio.alias("ok_ratio"),
+            ok_ident.alias("ok_not_identical"),
+            ok_digits.alias("ok_digits"), keep.alias("keep"))
+
+    return _apply
+
+
+def shard_manifest(text_col: str | None = "text"
+                   ) -> Callable[[DataFrame], DataFrame]:
+    """Shard manifest over `epoch_shuffle` output -- the WebDataset /
+    tf.data contract's other half: a training reader wants, per shard,
+    how many rows and tokens it will stream and proof the position space
+    is contiguous (a gap means a lost row; an overlap, a duplicated one).
+
+    Scale shape: ONE groupBy on the shard key -- and because the input is
+    `epoch_shuffle` output, it is ALREADY hash-partitioned by shard (the
+    position window's exchange), so the aggregation reuses that
+    partitioning and the composed plan pays a single exchange total
+    (asserted in the plan-budget test). Token counting is scan-side.
+
+    Emits (shard, n_rows, n_tokens, min_pos, max_pos, contiguous).
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = (F.size(F.split(F.col(text_col), " ")).cast("bigint")
+                if text_col else F.lit(0).cast("bigint"))
+        return (df.groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.coalesce(toks, F.lit(0).cast("bigint")))
+                     .alias("n_tokens"),
+                     F.min("pos").alias("min_pos"),
+                     F.max("pos").alias("max_pos"))
+                .withColumn("contiguous",
+                            (F.col("min_pos") == 1)
+                            & (F.col("max_pos") == F.col("n_rows"))))
+
+    return _apply

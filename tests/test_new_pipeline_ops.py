@@ -1286,3 +1286,57 @@ def test_span_corrupt_sentinel_needs_placeholder(spark):
     from akka_stream_contrib_spark.functions.corpus import span_corrupt
     with pytest.raises(ValueError, match="placeholder"):
         span_corrupt(sentinel="<mask>")
+
+
+def test_template_mine_slots_and_min_count(spark):
+    from akka_stream_contrib_spark.functions.corpus import template_mine
+    rows = [
+        (1, 'Review "TV set" in 20 words', "s1"),
+        (2, 'Review "a phone" in 5 words', "s2"),
+        (3, "Review 'the car' in 7 words", "s1"),   # single-quoted slot
+        (4, "totally unique document", "s1"),        # singleton -> dropped
+        (5, None, "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = df.transform(template_mine(min_count=2, source_col="source")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.template == "Review <q> in <num> words"
+    assert r.n_docs == 3 and r.n_sources == 2 and r.example_id == 1
+    with pytest.raises(ValueError):
+        template_mine(min_count=0)
+
+
+def test_bitext_filter_rules(spark):
+    from akka_stream_contrib_spark.functions.corpus import bitext_filter
+    rows = [
+        (1, "good pair here", "bon couple ici"),        # clean
+        (2, "one two three four five six", "uno"),      # ratio kill
+        (3, "same text", "same text"),                  # identity kill
+        (4, "pay 100 dollars", "paie euros"),           # digit-parity kill
+        (5, "x", "y"),                                  # below token floor
+        (6, None, "orphan"),                            # null side
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, src_text string, tgt_text string")
+    out = {r.pair_id: r for r in
+           df.transform(bitext_filter(max_len_ratio=2.0, min_tokens=2)).collect()}
+    assert out[1].keep and out[1].len_ratio == 1.0
+    assert not out[2].keep and not out[2].ok_ratio and out[2].len_ratio == 6.0
+    assert not out[3].keep and not out[3].ok_not_identical
+    assert not out[4].keep and not out[4].ok_digits and out[4].ok_ratio
+    assert not out[5].keep and not out[5].ok_len_floor
+    assert not out[6].keep and out[6].n_src_tokens is None
+    with pytest.raises(ValueError):
+        bitext_filter(max_len_ratio=0.5)
+    with pytest.raises(ValueError):
+        bitext_filter(min_tokens=0)
+
+
+def test_shard_manifest_detects_gaps(spark):
+    from akka_stream_contrib_spark.functions.corpus import shard_manifest
+    rows = [(0, 1, "a b"), (0, 2, "c"), (0, 3, None),
+            (1, 2, "d e f")]  # shard 1 starts at pos 2 -> gap
+    df = spark.createDataFrame(rows, "shard int, pos long, text string")
+    out = {r.shard: r for r in df.transform(shard_manifest()).collect()}
+    assert out[0].n_rows == 3 and out[0].n_tokens == 3 and out[0].contiguous
+    assert out[1].n_rows == 1 and not out[1].contiguous

@@ -126,6 +126,15 @@ BUDGET = {
     # r10 stride-schedule mixing: ONE source-partitioned position window;
     # slot arithmetic map-side, no global sort
     "interleave_by_weight": 1,
+    # r10 template mining: ONE md5-skeleton groupBy whose countDistinct
+    # spread expands to a second phase (the url_domain_stats accounting)
+    "template_mine": 2,
+    # r10 bitext hygiene: every rule is scan-side codegen
+    "bitext_filter": 0,
+    # r10 manifest: the agg groups on the SAME shard key epoch_shuffle's
+    # window hashed on — partitioning reused, so the composed plan pays
+    # the window exchange + only the 8-row presentation sort
+    "shard_manifest": 2,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
