@@ -263,6 +263,9 @@ HEADLINE = [
     "filter_funnel",
     "span_corrupt",
     "interleave_by_weight",
+    "template_mine",
+    "bitext_filter",
+    "shard_manifest",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

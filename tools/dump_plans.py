@@ -190,6 +190,9 @@ SHOWCASE = {
     "filter_funnel": "filter-funnel attribution: first-fail CASE chain "
         "on the scan, ONE wide slice groupBy, stage rows inline-exploded "
         "with unrolled prefix arithmetic",
+    "shard_manifest": "epoch_shuffle + manifest composed: the manifest "
+        "agg groups on the key the position window hashed on -- exchange "
+        "REUSED, one data-sized shuffle in the whole plan",
 }
 
 
