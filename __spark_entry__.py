@@ -4785,6 +4785,53 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("shard"))
 
 
+def q_prefix_cache_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache sizing (functions/corpus.py::prefix_cache_report):
+    prompts carry a per-language 8-token system header before the document
+    text, so depth 4/8 share per language and depth 16 mostly diverges —
+    the report quantifies the cache hit profile at each depth. md5 prefix
+    keys (dedup_exact discipline), constant 3x explode, two shrinking
+    aggregates."""
+    from akka_stream_contrib_spark.functions.corpus import prefix_cache_report
+    docs = tables.load(spark, "documents", sf_dir)
+    prompts = (docs.filter(F.col("text").isNotNull())
+               .select(F.concat(
+                   F.col("lang"),
+                   F.lit(" system prompt tokens one two three four "),
+                   F.col("text")).alias("text")))
+    return (prompts.transform(prefix_cache_report(depths=(4, 8, 16)))
+            .orderBy("prefix_len"))
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (functions/ml.py::fleiss_kappa): five consecutive
+    documents form one "item", their language labels are the judge
+    votes — chance-corrected N-rater agreement in three shrinking
+    aggregates, oracled by the identical closed form."""
+    from akka_stream_contrib_spark.functions.ml import fleiss_kappa
+    docs = tables.load(spark, "documents", sf_dir)
+    ratings = docs.select(F.expr("CAST(doc_id DIV 5 AS BIGINT)")
+                          .alias("item_id"),
+                          F.col("lang").alias("category"))
+    return fleiss_kappa(ratings)
+
+
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (functions/ml.py::pass_at_k, HumanEval estimator): eight
+    documents form one task's samples, a sample "passes" when
+    (n_chars + doc_id) mod 3 = 0; mean unbiased pass@{1,2,4} over tasks.
+    The binomial ratio is an exact telescoping product inside an array
+    fold — bit-identical in both engines."""
+    from akka_stream_contrib_spark.functions.ml import pass_at_k
+    docs = tables.load(spark, "documents", sf_dir)
+    samples = (docs.filter(F.col("text").isNotNull())
+               .select(F.expr("CAST(doc_id DIV 8 AS BIGINT)")
+                       .alias("task_id"),
+                       ((F.col("n_chars") + F.col("doc_id")) % 3 == 0)
+                       .alias("correct")))
+    return pass_at_k(samples, ks=(1, 2, 4))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5091,6 +5138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_mine": q_template_mine,
         "bitext_filter": q_bitext_filter,
         "shard_manifest": q_shard_manifest,
+        "prefix_cache_report": q_prefix_cache_report,
+        "fleiss_kappa": q_fleiss_kappa,
+        "pass_at_k": q_pass_at_k,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -5124,7 +5174,7 @@ _PRIORITY = [
     "rejection_sample", "epoch_shuffle", "context_fit_report",
     "elo_ratings", "filter_funnel", "span_corrupt",
     "interleave_by_weight", "template_mine", "bitext_filter",
-    "shard_manifest",
+    "shard_manifest", "prefix_cache_report", "fleiss_kappa", "pass_at_k",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -9225,6 +9275,90 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, context_limit
         """,
         "elo_ratings": _bt_oracle(),
+        "prefix_cache_report": """
+            WITH prompts AS (
+                SELECT lang || ' system prompt tokens one two three four '
+                            || text AS text
+                FROM documents WHERE text IS NOT NULL
+            ), rows_ AS (
+                SELECT CAST(l.k AS INT) AS prefix_len,
+                       md5(array_to_string(
+                           string_split(text, ' ')[1:l.k], ' ')) AS pk
+                FROM prompts CROSS JOIN (VALUES (4), (8), (16)) l(k)
+                WHERE length(string_split(text, ' ')) >= l.k
+            ), groups AS (
+                SELECT prefix_len, pk, count(*) AS g
+                FROM rows_ GROUP BY 1, 2
+            )
+            SELECT prefix_len,
+                   CAST(sum(g) AS BIGINT) AS n_prompts,
+                   CAST(sum(CASE WHEN g >= 2 THEN g ELSE 0 END) AS BIGINT)
+                       AS n_shared_prompts,
+                   CAST(sum(CASE WHEN g >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shared_groups,
+                   CAST(sum(CASE WHEN g >= 2 THEN (g - 1) * prefix_len
+                                 ELSE 0 END) AS BIGINT) AS tokens_saved,
+                   round(CAST(sum(CASE WHEN g >= 2 THEN (g - 1) * prefix_len
+                                       ELSE 0 END) AS DOUBLE)
+                         / (sum(g) * prefix_len), 6) + 0.0 AS hit_rate
+            FROM groups GROUP BY prefix_len ORDER BY prefix_len
+        """,
+        "fleiss_kappa": """
+            WITH ic AS (
+                SELECT doc_id // 5 AS i, lang AS c, count(*) AS n
+                FROM documents GROUP BY 1, 2
+            ), per_item AS (
+                SELECT i, sum(n) AS ni, sum(n * n) AS sq FROM ic GROUP BY 1
+            ), ist AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_items,
+                       CAST(sum(CASE WHEN ni >= 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_rated_items,
+                       CAST(sum(ni) AS BIGINT) AS n_ratings,
+                       sum(CASE WHEN ni >= 2 THEN
+                            CAST(sq - ni AS DOUBLE) / (ni * (ni - 1)) END)
+                           AS p_sum
+                FROM per_item
+            ), m AS (
+                SELECT CAST(sum(nc * nc) AS DOUBLE)
+                           / (sum(nc) * sum(nc)) AS pe
+                FROM (SELECT sum(n) AS nc FROM ic GROUP BY c)
+            )
+            SELECT n_items, n_rated_items, n_ratings,
+                   round(p_sum / n_rated_items, 6) + 0.0 AS p_bar,
+                   round(pe, 6) + 0.0 AS p_e,
+                   CASE WHEN pe < 1.0 THEN
+                        round((p_sum / n_rated_items - pe) / (1.0 - pe), 6)
+                            + 0.0
+                   END AS kappa
+            FROM ist, m
+        """,
+        "pass_at_k": """
+            WITH per_task AS (
+                SELECT doc_id // 8 AS t,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN (n_chars + doc_id) % 3 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c
+                FROM documents WHERE text IS NOT NULL GROUP BY 1
+            ), ex AS (
+                SELECT n, c, CAST(l.k AS INT) AS k
+                FROM per_task CROSS JOIN (VALUES (1), (2), (4)) l(k)
+                WHERE n >= l.k
+            ), p AS (
+                SELECT k,
+                       CASE WHEN c = 0 THEN 0.0
+                            WHEN c > n - k THEN 1.0
+                            ELSE 1.0 - list_reduce(
+                                list_transform(range(k),
+                                    i -> CAST(n - c - i AS DOUBLE)
+                                         / CAST(n - i AS DOUBLE)),
+                                (a, b) -> a * b)
+                       END AS p
+                FROM ex
+            )
+            SELECT k, CAST(count(*) AS BIGINT) AS n_tasks,
+                   round(avg(p), 6) + 0.0 AS mean_pass_at_k
+            FROM p GROUP BY k ORDER BY k
+        """,
         "template_mine": """
             WITH prompts AS (
                 SELECT doc_id, source,

@@ -2101,3 +2101,65 @@ def shard_manifest(text_col: str | None = "text"
                             & (F.col("max_pos") == F.col("n_rows"))))
 
     return _apply
+
+
+def prefix_cache_report(depths=(4, 8, 16), text_col: str = "text"
+                        ) -> Callable[[DataFrame], DataFrame]:
+    """Prefix-cache planning report — the sizing study behind vLLM-style
+    automatic prefix caching and batched-inference prompt ordering: at
+    each candidate prefix depth k (in whitespace tokens), how many
+    prompts share their first k tokens with at least one other prompt,
+    and how many prefill tokens a shared-prefix cache would save
+    (``(n-1) * k`` per group of n). Shared system prompts and few-shot
+    headers make this number large in real serving mixes; the report says
+    at which depth the sharing falls off.
+
+    Only prompts with >= k tokens count at depth k (a shorter prompt has
+    no depth-k prefix to share; documented contract).
+
+    Scale shape: the prefix key is scan-side (slice + join) and rides as
+    a 16-byte md5 (the dedup_exact key discipline); one constant
+    |depths|x explode feeds the (depth, prefix) groupBy, whose output
+    re-aggregates per depth — two exchanges, the second over
+    group-cardinality rows. Output cardinality = |depths|.
+
+    Emits (prefix_len, n_prompts, n_shared_prompts, n_shared_groups,
+    tokens_saved, hit_rate) where hit_rate = tokens_saved /
+    (n_prompts * k), the fraction of depth-k prefill tokens a perfect
+    prefix cache skips.
+    """
+    ds = sorted(set(int(k) for k in depths))
+    if not ds or ds[0] < 1:
+        raise ValueError(f"depths must be positive ints, got {depths!r}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        n = F.size(toks)
+        rows = (df.filter(F.col(text_col).isNotNull())
+                .select(toks.alias("_t"), n.alias("_n"),
+                        F.explode(F.array(
+                            *[F.lit(k) for k in ds])).alias("prefix_len"))
+                .filter(F.col("_n") >= F.col("prefix_len"))
+                .select("prefix_len",
+                        F.md5(F.array_join(
+                            F.slice(F.col("_t"), 1, F.col("prefix_len")),
+                            " ")).alias("_pk")))
+        groups = (rows.groupBy("prefix_len", "_pk")
+                  .agg(F.count(F.lit(1)).alias("_g")))
+        shared = F.col("_g") >= 2
+        return (groups.groupBy("prefix_len")
+                .agg(F.sum("_g").alias("n_prompts"),
+                     F.sum(F.when(shared, F.col("_g")).otherwise(0))
+                     .alias("n_shared_prompts"),
+                     F.sum(shared.cast("bigint")).alias("n_shared_groups"),
+                     F.sum(F.when(shared, (F.col("_g") - 1)
+                                  * F.col("prefix_len")).otherwise(0))
+                     .alias("tokens_saved"))
+                .select("prefix_len", "n_prompts", "n_shared_prompts",
+                        "n_shared_groups", "tokens_saved",
+                        (F.round(F.col("tokens_saved")
+                                 / (F.col("n_prompts")
+                                    * F.col("prefix_len")), 6)
+                         + F.lit(0.0)).alias("hit_rate")))
+
+    return _apply

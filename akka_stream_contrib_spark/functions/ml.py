@@ -1474,3 +1474,109 @@ def bradley_terry_ratings(games: DataFrame, iterations: int = 3,
     return out.select("model",
                       (F.round("rating", 6) + F.lit(0.0)).alias("rating"),
                       "wins", "games")
+
+
+def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
+                 category_col: str = "category") -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among MANY
+    raters, the labeling-QA statistic for LLM-as-judge and crowd
+    annotation fleets (Cohen's kappa — `cohen_kappa` — only handles two
+    fixed raters; Fleiss treats each item's raters as exchangeable, which
+    is exactly the shape of an N-judge ensemble). Uses the standard
+    varying-raters generalization: items with n_i >= 2 ratings contribute
+    P_i = (sum_c n_ic^2 - n_i) / (n_i (n_i - 1)); chance agreement P_e =
+    sum_c p_c^2 from the pooled category marginals; kappa =
+    (P_bar - P_e) / (1 - P_e). Items with a single rating carry no
+    agreement evidence and are counted but excluded.
+
+    Scale shape: the ONE corpus-sized shuffle is the (item, category)
+    count, CACHED because both the per-item collapse and the category
+    marginals reduce from it; every later exchange is over item- or
+    category-cardinality rows shrinking to single-row stats. No windows,
+    no joins except the final 1-row x 1-row broadcast combine.
+
+    Returns a single-row DataFrame (n_items, n_rated_items, n_ratings,
+    p_bar, p_e, kappa), ratios rounded to 6. kappa is NULL when P_e = 1
+    (all ratings one category — agreement is undefined, not perfect).
+    """
+    # ic feeds BOTH the per-item and the marginal reductions: cache the
+    # (item, category) aggregate (items x categories rows — far below the
+    # input) so the one corpus-sized shuffle runs once, not twice
+    ic = (ratings.groupBy(F.col(item_col).alias("_i"),
+                          F.col(category_col).alias("_c"))
+          .agg(F.count(F.lit(1)).alias("_n"))).cache()
+    per_item = (ic.groupBy("_i")
+                .agg(F.sum("_n").alias("_ni"),
+                     F.sum(F.col("_n") * F.col("_n")).alias("_sq")))
+    item_stats = per_item.select(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("_ni") >= 2).cast("bigint")).alias("n_rated_items"),
+        F.sum("_ni").alias("n_ratings"),
+        F.sum(F.when(F.col("_ni") >= 2,
+                     (F.col("_sq") - F.col("_ni")).cast("double")
+                     / (F.col("_ni") * (F.col("_ni") - 1))))
+        .alias("_p_sum"))
+    marg = (ic.groupBy("_c").agg(F.sum("_n").alias("_nc"))
+            .select(F.sum(F.col("_nc") * F.col("_nc")).alias("_sq_c"),
+                    F.sum("_nc").alias("_tot")))
+    j = item_stats.crossJoin(F.broadcast(marg))
+    p_bar = F.col("_p_sum") / F.col("n_rated_items")
+    p_e = F.col("_sq_c").cast("double") / (F.col("_tot") * F.col("_tot"))
+    kappa = F.when(p_e < 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e))
+    return j.select(
+        "n_items", "n_rated_items", "n_ratings",
+        (F.round(p_bar, 6) + F.lit(0.0)).alias("p_bar"),
+        (F.round(p_e, 6) + F.lit(0.0)).alias("p_e"),
+        (F.round(kappa, 6) + F.lit(0.0)).alias("kappa"))
+
+
+def pass_at_k(samples: DataFrame, ks=(1, 2, 4),
+              task_col: str = "task_id",
+              correct_col: str = "correct") -> DataFrame:
+    """pass@k — the unbiased estimator from the HumanEval paper (Chen et
+    al. 2021, "Evaluating Large Language Models Trained on Code"): per
+    task with n generated samples of which c pass, pass@k =
+    1 - C(n-c, k) / C(n, k), the probability that at least one of k
+    randomly drawn samples passes; the benchmark metric is its mean over
+    tasks. The naive "fraction of tasks with a pass in the first k" is
+    biased; this closed form is not.
+
+    The binomial ratio C(n-c, k) / C(n, k) is evaluated as the exact
+    telescoping product prod_{i=0..k-1} (n-c-i) / (n-i) inside an array
+    fold over sequence(0, k-1) — no gamma functions, identical
+    left-to-right float association in Spark and DuckDB (oracle parity by
+    construction). pass@k = 1 when c > n - k (every k-subset hits a
+    pass), 0 when c = 0. Tasks with fewer than k samples are excluded at
+    that k (the estimator needs n >= k).
+
+    Scale shape: ONE corpus-sized groupBy (per-task n and c), then a
+    constant |ks|x explode over task-cardinality rows into the per-k
+    mean. No windows, no joins.
+
+    Emits (k, n_tasks, mean_pass_at_k) — one row per k, rounded to 6.
+    """
+    kss = sorted(set(int(k) for k in ks))
+    if not kss or kss[0] < 1:
+        raise ValueError(f"ks must be positive ints, got {ks!r}")
+
+    per_task = (samples.groupBy(F.col(task_col).alias("_t"))
+                .agg(F.count(F.lit(1)).alias("_n"),
+                     F.sum(F.col(correct_col).cast("bigint")).alias("_c")))
+    ex = (per_task.select(
+        "_n", "_c",
+        F.explode(F.array(*[F.lit(k) for k in kss])).alias("k"))
+        .filter(F.col("_n") >= F.col("k")))
+    n, c, k = F.col("_n"), F.col("_c"), F.col("k")
+    ratio = F.aggregate(
+        F.sequence(F.lit(0), k - 1), F.lit(1.0),
+        lambda acc, i: acc * (n - c - i).cast("double")
+        / (n - i).cast("double"))
+    p = F.when(c == 0, F.lit(0.0)) \
+         .when(c > n - k, F.lit(1.0)) \
+         .otherwise(F.lit(1.0) - ratio)
+    return (ex.select("k", p.alias("_p"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_tasks"),
+                 (F.round(F.avg("_p"), 6) + F.lit(0.0))
+                 .alias("mean_pass_at_k"))
+            .orderBy("k"))

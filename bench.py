@@ -266,6 +266,9 @@ HEADLINE = [
     "template_mine",
     "bitext_filter",
     "shard_manifest",
+    "prefix_cache_report",
+    "fleiss_kappa",
+    "pass_at_k",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

@@ -1340,3 +1340,62 @@ def test_shard_manifest_detects_gaps(spark):
     out = {r.shard: r for r in df.transform(shard_manifest()).collect()}
     assert out[0].n_rows == 3 and out[0].n_tokens == 3 and out[0].contiguous
     assert out[1].n_rows == 1 and not out[1].contiguous
+
+
+def test_prefix_cache_report_accounting(spark):
+    from akka_stream_contrib_spark.functions.corpus import prefix_cache_report
+    rows = [(1, "sys a b c q1 x"), (2, "sys a b c q2 y"), (3, "sys a b c q3"),
+            (4, "other prompt here now"), (5, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.prefix_len: r
+           for r in df.transform(prefix_cache_report(depths=(2, 4))).collect()}
+    # 'tiny' (1 token) is excluded at every depth; docs 1-3 share both
+    # depth-2 and depth-4 prefixes
+    for k in (2, 4):
+        r = out[k]
+        assert r.n_prompts == 4 and r.n_shared_prompts == 3
+        assert r.n_shared_groups == 1
+        assert r.tokens_saved == 2 * k
+        assert r.hit_rate == round(2 * k / (4 * k), 6)
+    with pytest.raises(ValueError):
+        prefix_cache_report(depths=())
+
+
+def test_fleiss_kappa_known_value(spark):
+    from akka_stream_contrib_spark.functions.ml import fleiss_kappa
+    rt = [(1, "a"), (1, "a"), (1, "b"),
+          (2, "b"), (2, "b"), (2, "b"),
+          (3, "a"), (3, "c"), (3, "b"),
+          (4, "x")]  # single rating: counted, excluded from agreement
+    df = spark.createDataFrame(rt, "item_id long, category string")
+    r = fleiss_kappa(df).first()
+    assert (r.n_items, r.n_rated_items, r.n_ratings) == (4, 3, 10)
+    # hand-computed: P_bar = (1/3 + 1 + 0)/3, P_e = (9+25+1+1)/100
+    assert r.p_bar == round((1 / 3 + 1 + 0) / 3, 6)
+    assert r.p_e == 0.36
+    assert r.kappa == round((r.p_bar - 0.36) / (1 - 0.36), 6)
+
+
+def test_fleiss_kappa_unanimous_single_category_is_null(spark):
+    from akka_stream_contrib_spark.functions.ml import fleiss_kappa
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "a"), (2, "a")],
+                               "item_id long, category string")
+    r = fleiss_kappa(df).first()
+    assert r.p_e == 1.0 and r.kappa is None  # undefined, not perfect
+
+
+def test_pass_at_k_unbiased_estimator(spark):
+    from akka_stream_contrib_spark.functions.ml import pass_at_k
+    # task 1: n=4, c=2; task 2: n=4, c=0; task 3: n=2 (excluded at k=4)
+    rows = ([(1, i < 2) for i in range(4)] + [(2, False)] * 4
+            + [(3, True), (3, False)])
+    df = spark.createDataFrame(rows, "task_id long, correct boolean")
+    out = {r.k: r for r in pass_at_k(df, ks=(1, 2, 4)).collect()}
+    # k=1: (1 - C(2,1)/C(4,1), 0, 1 - C(1,1)/C(2,1)) -> (0.5, 0, 0.5)
+    assert out[1].n_tasks == 3 and out[1].mean_pass_at_k == round(1 / 3, 6)
+    # k=2: task1 = 1 - C(2,2)/C(4,2) = 5/6; task3: c > n-k -> 1.0
+    assert out[2].mean_pass_at_k == round((5 / 6 + 0.0 + 1.0) / 3, 6)
+    # k=4: only tasks with n >= 4; task1 c > n-k -> 1.0
+    assert out[4].n_tasks == 2 and out[4].mean_pass_at_k == 0.5
+    with pytest.raises(ValueError):
+        pass_at_k(df, ks=(0,))

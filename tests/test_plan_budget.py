@@ -135,6 +135,14 @@ BUDGET = {
     # window hashed on — partitioning reused, so the composed plan pays
     # the window exchange + only the 8-row presentation sort
     "shard_manifest": 2,
+    # r10 prefix-cache sizing: (depth, md5-prefix) groupBy + the per-depth
+    # re-agg + 3-row presentation sort
+    "prefix_cache_report": 3,
+    # r10 Fleiss: cached (item,category) count (the one corpus-sized
+    # shuffle) + per-item, item-stat, marginal, and 1-row reductions
+    "fleiss_kappa": 5,
+    # r10 pass@k: per-task groupBy + per-k mean + 3-row presentation sort
+    "pass_at_k": 3,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
