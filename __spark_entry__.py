@@ -4832,6 +4832,38 @@ def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pass_at_k(samples, ks=(1, 2, 4))
 
 
+def q_lsh_design_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH design study (functions/dedup.py::lsh_design_report):
+    deterministic pair-similarity sample (sim = (doc_id * 37 mod 101) /
+    100) histogrammed at 0.05 buckets; three candidate (bands, rows)
+    configs scored against it — collision S-curve as exact in-row
+    telescoping folds, expected candidates / FP / FN mass per config.
+    Complements lsh_tune (the single-threshold analytic inverse)."""
+    from akka_stream_contrib_spark.functions.dedup import lsh_design_report
+    docs = tables.load(spark, "documents", sf_dir)
+    sims = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        (((F.col("doc_id") * 37) % 101) / 100.0).alias("sim"))
+    return sims.transform(lsh_design_report(
+        configs=((8, 8), (16, 4), (32, 2)), target_threshold=0.5))
+
+
+def q_epoch_shuffle_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-preserving epoch shuffle (functions/corpus.py::epoch_shuffle
+    with group_col): ten consecutive documents form one conversation;
+    every conversation lands whole in one shard and its rows stay
+    adjacent — the multi-turn contract. Same single-exchange plan as the
+    row shuffle, keys derived from the group."""
+    from akka_stream_contrib_spark.functions.corpus import epoch_shuffle
+    docs = tables.load(spark, "documents", sf_dir)
+    rows = docs.select("doc_id",
+                       F.expr("CAST(doc_id DIV 10 AS BIGINT)")
+                       .alias("conv_id"))
+    return (rows.transform(epoch_shuffle(n_shards=8, seed="epoch-0",
+                                         group_col="conv_id"))
+            .select("doc_id", "conv_id", "shard", "pos"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5141,6 +5173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_cache_report": q_prefix_cache_report,
         "fleiss_kappa": q_fleiss_kappa,
         "pass_at_k": q_pass_at_k,
+        "lsh_design_report": q_lsh_design_report,
+        "epoch_shuffle_grouped": q_epoch_shuffle_grouped,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -5175,6 +5209,7 @@ _PRIORITY = [
     "elo_ratings", "filter_funnel", "span_corrupt",
     "interleave_by_weight", "template_mine", "bitext_filter",
     "shard_manifest", "prefix_cache_report", "fleiss_kappa", "pass_at_k",
+    "lsh_design_report", "epoch_shuffle_grouped",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -9275,6 +9310,61 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, context_limit
         """,
         "elo_ratings": _bt_oracle(),
+        "lsh_design_report": """
+            WITH sims AS (
+                SELECT ((doc_id * 37) % 101) / 100.0 AS sim FROM documents
+            ), hist AS (
+                SELECT floor(sim / 0.05) AS bk,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM sims WHERE sim IS NOT NULL GROUP BY 1
+            ), ex AS (
+                SELECT bk, n, CAST(c.b AS INT) AS b, CAST(c.r AS INT) AS r
+                FROM hist CROSS JOIN (VALUES (8, 8), (16, 4), (32, 2))
+                     c(b, r)
+            ), scored AS (
+                SELECT b, r, n,
+                       round(pow(1.0 / b, 1.0 / r), 6) + 0.0 AS sstar,
+                       (bk + 0.5) * 0.05 AS s_mid,
+                       1.0 - list_reduce(
+                           list_transform(range(b), x ->
+                               1.0 - list_reduce(
+                                   list_transform(range(r),
+                                       y -> (bk + 0.5) * 0.05),
+                                   (a, c2) -> a * c2)),
+                           (a, c2) -> a * c2) AS p
+                FROM ex
+            )
+            SELECT b AS bands, r AS rows_per_band,
+                   max(sstar) AS s_star,
+                   round(sum(n * p), 6) + 0.0 AS expected_candidates,
+                   round(sum(CASE WHEN s_mid < 0.5 THEN n * p
+                                  ELSE 0.0 END), 6) + 0.0
+                       AS false_positive_mass,
+                   round(sum(CASE WHEN s_mid >= 0.5 THEN n * (1.0 - p)
+                                  ELSE 0.0 END), 6) + 0.0
+                       AS false_negative_mass,
+                   CAST(sum(n) AS BIGINT) AS n_pairs
+            FROM scored GROUP BY b, r ORDER BY bands
+        """,
+        "epoch_shuffle_grouped": """
+            WITH rows_ AS (
+                SELECT doc_id, doc_id // 10 AS conv_id FROM documents
+            ), keyed AS (
+                SELECT doc_id, conv_id,
+                       CAST(CAST(concat('0x', substr(md5(concat(
+                                'epoch-0:shard:',
+                                CAST(conv_id AS VARCHAR))),
+                                1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+                       md5(concat('epoch-0:ord:',
+                                  CAST(conv_id AS VARCHAR))) AS ord
+                FROM rows_
+            )
+            SELECT doc_id, conv_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY ord, doc_id)
+                        AS BIGINT) AS pos
+            FROM keyed
+        """,
         "prefix_cache_report": """
             WITH prompts AS (
                 SELECT lang || ' system prompt tokens one two three four '

@@ -1714,7 +1714,8 @@ def rejection_sample(delta: float = 0.0, min_candidates: int = 2,
 
 
 def epoch_shuffle(n_shards: int, seed: str = "epoch-0",
-                  id_col: str = "doc_id") -> Callable[[DataFrame], DataFrame]:
+                  id_col: str = "doc_id", group_col: str | None = None
+                  ) -> Callable[[DataFrame], DataFrame]:
     """Deterministic epoch shuffle: assign every row a shard and an
     intra-shard position so a training run streams the corpus in a
     reproducible pseudo-random order (new ``seed`` per epoch = new
@@ -1734,6 +1735,15 @@ def epoch_shuffle(n_shards: int, seed: str = "epoch-0",
     (the ``token_id`` convention), so any engine with md5 reproduces the
     permutation — the DuckDB oracle property.
 
+    With ``group_col`` set, the permutation is GROUP-PRESERVING: all rows
+    of a group land in the same shard (shard hash keyed by the group) and
+    stay adjacent in the stream (order key = (group md5, id)), shuffling
+    the ORDER OF GROUPS rather than rows — the multi-turn-conversation /
+    multi-chunk-document contract, where splitting a unit across shards
+    breaks downstream packing. Shard balance then holds at group
+    granularity (the usual caveat: one giant group is a planning problem,
+    not a shuffle problem).
+
     Emits the input columns plus (shard, pos); pos is 1-based within its
     shard.
     """
@@ -1743,10 +1753,11 @@ def epoch_shuffle(n_shards: int, seed: str = "epoch-0",
     from akka_stream_contrib_spark.functions.text import token_id
 
     def _apply(df: DataFrame) -> DataFrame:
-        sid = F.col(id_col).cast("string")
-        shard = F.pmod(token_id(F.concat(F.lit(seed + ":shard:"), sid)),
+        key = (F.col(group_col) if group_col
+               else F.col(id_col)).cast("string")
+        shard = F.pmod(token_id(F.concat(F.lit(seed + ":shard:"), key)),
                        F.lit(n_shards)).cast("int")
-        order_key = F.md5(F.concat(F.lit(seed + ":ord:"), sid))
+        order_key = F.md5(F.concat(F.lit(seed + ":ord:"), key))
         w = (Window.partitionBy("shard")
              .orderBy(F.col("_ord"), F.col(id_col)))
         return (df.withColumn("shard", shard)

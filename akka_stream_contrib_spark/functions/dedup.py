@@ -996,3 +996,89 @@ def near_dup_decontaminate(train: DataFrame, eval_df: DataFrame, k: int = 3,
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("doc_id", "eval_id", "jaccard"))
+
+
+def lsh_design_report(configs=((8, 8), (16, 4), (32, 2)),
+                      target_threshold: float = 0.5,
+                      bucket_width: float = 0.05,
+                      sim_col: str = "sim"
+                      ) -> "Callable[[DataFrame], DataFrame]":
+    """Banded-LSH design study — `lsh_tune` inverts the S-curve for ONE
+    threshold analytically; this evaluates CANDIDATE (bands, rows)
+    configurations against the corpus's MEASURED pair-similarity
+    distribution, which is what actually decides recall/cost at 100 TB: a
+    config that looks fine on the curve can drown in candidate pairs if
+    the corpus has heavy near-threshold mass. For each config, over a
+    histogram of observed pair similarities (``bucket_width`` buckets,
+    scored at the bucket midpoint): collision probability
+    P(s) = 1 - (1 - s^r)^b, the config's effective threshold
+    s* = (1/b)^(1/r), expected candidate-pair count, false-positive mass
+    (candidates below ``target_threshold``) and false-negative mass
+    (misses at/above it).
+
+    Both integer powers evaluate as exact telescoping products inside
+    array folds (the `pass_at_k` discipline) — identical float
+    association in Spark and DuckDB, so oracle parity needs no tolerance;
+    only s* uses ``pow`` (1/r is fractional), rounded to 6.
+
+    Scale shape: ONE corpus-sized groupBy builds the |1/bucket_width|-row
+    histogram; the constant |configs|x explode and every aggregate after
+    operate on histogram-cardinality rows. No windows, no joins.
+
+    Emits (bands, rows_per_band, s_star, expected_candidates,
+    false_positive_mass, false_negative_mass, n_pairs).
+    """
+    cfgs = sorted(set((int(b), int(r)) for b, r in configs))
+    if not cfgs or any(b < 1 or r < 1 for b, r in cfgs):
+        raise ValueError(f"configs must be positive (bands, rows), "
+                         f"got {configs!r}")
+    if not 0.0 < target_threshold < 1.0:
+        raise ValueError(
+            f"target_threshold must be in (0, 1), got {target_threshold}")
+    if not 0.0 < bucket_width <= 0.5:
+        raise ValueError(
+            f"bucket_width must be in (0, 0.5], got {bucket_width}")
+
+    def _ipow(base, k):
+        # exact integer power: fold over sequence(1, k); k >= 1 always
+        return F.aggregate(F.sequence(F.lit(1), k), F.lit(1.0),
+                           lambda acc, _: acc * base)
+
+    def _apply(df: DataFrame) -> DataFrame:
+        bucket = F.floor(F.col(sim_col) / F.lit(float(bucket_width)))
+        hist = (df.filter(F.col(sim_col).isNotNull())
+                .groupBy(bucket.alias("_bk"))
+                .agg(F.count(F.lit(1)).alias("_n")))
+        ex = hist.select(
+            "_bk", "_n",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+                for b, r in cfgs])).alias("_cfg"))
+        b, r = F.col("_cfg.b"), F.col("_cfg.r")
+        s_mid = (F.col("_bk") + F.lit(0.5)) * F.lit(float(bucket_width))
+        p = F.lit(1.0) - _ipow(F.lit(1.0) - _ipow(s_mid, r), b)
+        below = s_mid < F.lit(float(target_threshold))
+        # per-row projection first: s_star is constant within a config
+        # group, so it rides as max() — referencing grouping expressions
+        # inside agg is version-fragile
+        rows = ex.select(
+            b.alias("bands"), r.alias("rows_per_band"), F.col("_n"),
+            (F.round(F.pow(F.lit(1.0) / b, F.lit(1.0) / r), 6)
+             + F.lit(0.0)).alias("_sstar"),
+            (F.col("_n") * p).alias("_cand"),
+            F.when(below, F.col("_n") * p).otherwise(F.lit(0.0))
+            .alias("_fp"),
+            F.when(~below, F.col("_n") * (F.lit(1.0) - p))
+            .otherwise(F.lit(0.0)).alias("_fn"))
+        return (rows.groupBy("bands", "rows_per_band")
+                .agg(F.max("_sstar").alias("s_star"),
+                     (F.round(F.sum("_cand"), 6) + F.lit(0.0))
+                     .alias("expected_candidates"),
+                     (F.round(F.sum("_fp"), 6) + F.lit(0.0))
+                     .alias("false_positive_mass"),
+                     (F.round(F.sum("_fn"), 6) + F.lit(0.0))
+                     .alias("false_negative_mass"),
+                     F.sum("_n").alias("n_pairs"))
+                .orderBy("bands"))
+
+    return _apply

@@ -269,6 +269,8 @@ HEADLINE = [
     "prefix_cache_report",
     "fleiss_kappa",
     "pass_at_k",
+    "lsh_design_report",
+    "epoch_shuffle_grouped",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

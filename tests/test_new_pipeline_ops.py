@@ -1399,3 +1399,46 @@ def test_pass_at_k_unbiased_estimator(spark):
     assert out[4].n_tasks == 2 and out[4].mean_pass_at_k == 0.5
     with pytest.raises(ValueError):
         pass_at_k(df, ks=(0,))
+
+
+def test_lsh_design_report_scurve_math(spark):
+    from akka_stream_contrib_spark.functions.dedup import lsh_design_report
+    # all mass in one bucket -> closed-form check at the midpoint
+    df = spark.createDataFrame([(i, 0.52) for i in range(10)],
+                               "pair_id long, sim double")
+    out = {(r.bands, r.rows_per_band): r
+           for r in df.transform(
+               lsh_design_report(configs=((16, 4),), bucket_width=0.05,
+                                 target_threshold=0.5)).collect()}
+    r = out[(16, 4)]
+    s = 0.525  # bucket 10 midpoint
+    p = 1 - (1 - s ** 4) ** 16
+    assert r.n_pairs == 10
+    assert abs(r.expected_candidates - round(10 * p, 6)) < 1e-6
+    assert r.false_positive_mass == 0.0  # midpoint >= threshold
+    assert abs(r.false_negative_mass - round(10 * (1 - p), 6)) < 1e-6
+    assert r.s_star == round((1 / 16) ** 0.25, 6)
+    with pytest.raises(ValueError):
+        lsh_design_report(configs=())
+    with pytest.raises(ValueError):
+        lsh_design_report(target_threshold=1.5)
+    with pytest.raises(ValueError):
+        lsh_design_report(bucket_width=0.0)
+
+
+def test_epoch_shuffle_grouped_invariants(spark):
+    from akka_stream_contrib_spark.functions.corpus import epoch_shuffle
+    rows = [(i, i // 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, conv_id long")
+    out = df.transform(epoch_shuffle(n_shards=4, group_col="conv_id")).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.conv_id, []).append((r.shard, r.pos))
+    # every group lands whole in ONE shard…
+    assert all(len({s for s, _ in v}) == 1 for v in by_g.values())
+    # …and occupies CONTIGUOUS positions (groups shuffled, rows adjacent)
+    for v in by_g.values():
+        ps = sorted(p for _, p in v)
+        assert ps == list(range(ps[0], ps[0] + len(ps)))
+    # still a permutation overall
+    assert sorted(r.doc_id for r in out) == list(range(60))

@@ -143,6 +143,12 @@ BUDGET = {
     "fleiss_kappa": 5,
     # r10 pass@k: per-task groupBy + per-k mean + 3-row presentation sort
     "pass_at_k": 3,
+    # r10 LSH design: ONE histogram groupBy; config explode + S-curve
+    # folds ride histogram-cardinality rows; + config agg + 3-row sort
+    "lsh_design_report": 3,
+    # r10 grouped shuffle: same single shard-key exchange as epoch_shuffle
+    # (keys derived from the group instead of the row)
+    "epoch_shuffle_grouped": 1,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
