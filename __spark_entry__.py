@@ -4864,6 +4864,20 @@ def q_epoch_shuffle_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "conv_id", "shard", "pos"))
 
 
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (functions/text.py::distinct_ngrams, Li 2016):
+    per source, the fraction of {1,2,3}-gram occurrences that are
+    distinct — the mode-collapse detector for synthetic slices. N-grams
+    materialize in-row and shuffle as 16-byte md5 keys; one (source, n)
+    count-distinct aggregate."""
+    from akka_stream_contrib_spark.functions.text import distinct_ngrams
+    docs = tables.load(spark, "documents", sf_dir)
+    return (docs.transform(distinct_ngrams(ns=(1, 2, 3),
+                                           group_col="source"))
+            .withColumnRenamed("group", "source")
+            .orderBy("source", "n"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5175,6 +5189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pass_at_k": q_pass_at_k,
         "lsh_design_report": q_lsh_design_report,
         "epoch_shuffle_grouped": q_epoch_shuffle_grouped,
+        "distinct_ngrams": q_distinct_ngrams,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -5209,7 +5224,7 @@ _PRIORITY = [
     "elo_ratings", "filter_funnel", "span_corrupt",
     "interleave_by_weight", "template_mine", "bitext_filter",
     "shard_manifest", "prefix_cache_report", "fleiss_kappa", "pass_at_k",
-    "lsh_design_report", "epoch_shuffle_grouped",
+    "lsh_design_report", "epoch_shuffle_grouped", "distinct_ngrams",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -9310,6 +9325,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, context_limit
         """,
         "elo_ratings": _bt_oracle(),
+        "distinct_ngrams": """
+            WITH grams AS (
+                SELECT source, l.n AS n,
+                       unnest(CASE WHEN length(string_split(text, ' '))
+                                        >= l.n THEN
+                           list_transform(
+                               range(1, length(string_split(text, ' '))
+                                        - l.n + 2),
+                               i -> md5(array_to_string(
+                                   string_split(text, ' ')
+                                       [i : i + l.n - 1], ' ')))
+                           ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM documents CROSS JOIN (VALUES (1), (2), (3)) l(n)
+                WHERE text IS NOT NULL
+            )
+            SELECT source, CAST(n AS INT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_grams_total,
+                   CAST(count(DISTINCT gram) AS BIGINT)
+                       AS n_grams_distinct,
+                   round(CAST(count(DISTINCT gram) AS DOUBLE)
+                         / count(*), 6) + 0.0 AS distinct_ratio
+            FROM grams GROUP BY source, n ORDER BY source, n
+        """,
         "lsh_design_report": """
             WITH sims AS (
                 SELECT ((doc_id * 37) % 101) / 100.0 AS sim FROM documents

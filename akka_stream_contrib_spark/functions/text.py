@@ -870,3 +870,59 @@ def generation_loops(id_col: str = "doc_id", text_col: str = "text",
                         reps.alias("n_repeats")))
 
     return _apply
+
+
+def distinct_ngrams(ns=(1, 2, 3), group_col: str = "source",
+                    text_col: str = "text"
+                    ) -> "Callable[[DataFrame], DataFrame]":
+    """Distinct-n diversity (Li et al. 2016, "A Diversity-Promoting
+    Objective Function for Neural Conversation Models"): the fraction of
+    n-gram occurrences in a corpus slice that are distinct — THE standard
+    mode-collapse detector for generated/synthetic data (a slice whose
+    distinct-2 craters is a model repeating itself; raw dedup won't see
+    it because whole documents still differ).
+
+    Scale shape: n-grams materialize IN-ROW (one ``transform`` over
+    ``sequence`` per document per n — no joins, no self-zip shuffle) and
+    explode keyed by the 16-byte md5 of the gram (narrow shuffle rows,
+    the dedup_exact discipline; md5 is also what the DuckDB oracle hashes
+    so the distinct counts agree exactly). ONE (slice, n)-keyed aggregate
+    whose count-distinct expands to the standard two-phase plan; output
+    cardinality = slices x |ns|.
+
+    Emits (group, n, n_grams_total, n_grams_distinct, distinct_ratio).
+    """
+    nss = sorted(set(int(n) for n in ns))
+    if not nss or nss[0] < 1:
+        raise ValueError(f"ns must be positive ints, got {ns!r}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        sz = F.size(toks)
+
+        def grams_for(n):
+            # positions 1 .. sz-n+1; empty array when the doc is shorter
+            return F.when(
+                sz >= n,
+                F.transform(
+                    F.sequence(F.lit(1), sz - n + 1),
+                    lambda i: F.md5(F.array_join(
+                        F.slice(toks, i, F.lit(n)), " ")))
+            ).otherwise(F.array().cast("array<string>"))
+
+        per_n = F.explode(F.array(*[
+            F.struct(F.lit(n).alias("n"), grams_for(n).alias("g"))
+            for n in nss]))
+        rows = (df.filter(F.col(text_col).isNotNull())
+                .select(F.col(group_col).alias("group"), per_n.alias("_x"))
+                .select("group", F.col("_x.n").alias("n"),
+                        F.explode("_x.g").alias("_gram")))
+        return (rows.groupBy("group", "n")
+                .agg(F.count(F.lit(1)).alias("n_grams_total"),
+                     F.countDistinct("_gram").alias("n_grams_distinct"))
+                .withColumn("distinct_ratio",
+                            F.round(F.col("n_grams_distinct")
+                                    / F.col("n_grams_total"), 6)
+                            + F.lit(0.0)))
+
+    return _apply

@@ -271,6 +271,7 @@ HEADLINE = [
     "pass_at_k",
     "lsh_design_report",
     "epoch_shuffle_grouped",
+    "distinct_ngrams",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

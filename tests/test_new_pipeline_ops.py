@@ -1442,3 +1442,23 @@ def test_epoch_shuffle_grouped_invariants(spark):
         assert ps == list(range(ps[0], ps[0] + len(ps)))
     # still a permutation overall
     assert sorted(r.doc_id for r in out) == list(range(60))
+
+
+def test_distinct_ngrams_counts(spark):
+    from akka_stream_contrib_spark.functions.text import distinct_ngrams
+    rows = [(1, "a", "the cat sat"), (2, "a", "the cat sat"), (3, "a", "dog"),
+            (4, "b", "x y x y"), (5, "b", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.group, r.n): r
+           for r in df.transform(distinct_ngrams(ns=(1, 2))).collect()}
+    assert out[("a", 1)].n_grams_total == 7
+    assert out[("a", 1)].n_grams_distinct == 4
+    assert out[("a", 2)].n_grams_total == 4       # "the cat","cat sat" x2
+    assert out[("a", 2)].n_grams_distinct == 2
+    assert out[("b", 2)].n_grams_total == 3       # xy, yx, xy
+    assert out[("b", 2)].n_grams_distinct == 2
+    assert out[("b", 2)].distinct_ratio == round(2 / 3, 6)
+    # docs shorter than n contribute nothing at that n
+    assert ("a", 2) in out and out[("a", 2)].n_grams_total == 4
+    with pytest.raises(ValueError):
+        distinct_ngrams(ns=())

@@ -149,6 +149,9 @@ BUDGET = {
     # r10 grouped shuffle: same single shard-key exchange as epoch_shuffle
     # (keys derived from the group instead of the row)
     "epoch_shuffle_grouped": 1,
+    # r10 distinct-n: in-row gram materialization; ONE (source, n) agg
+    # whose count-distinct expands to two phases + presentation sort
+    "distinct_ngrams": 3,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
