@@ -9362,12 +9362,13 @@ def oracle_sql() -> dict[str, str]:
             ), scored AS (
                 SELECT b, r, n,
                        round(pow(1.0 / b, 1.0 / r), 6) + 0.0 AS sstar,
-                       (bk + 0.5) * 0.05 AS s_mid,
+                       least((bk + 0.5) * 0.05, 1.0) AS s_mid,
                        1.0 - list_reduce(
                            list_transform(range(b), x ->
                                1.0 - list_reduce(
                                    list_transform(range(r),
-                                       y -> (bk + 0.5) * 0.05),
+                                       y -> least((bk + 0.5) * 0.05,
+                                                  1.0)),
                                    (a, c2) -> a * c2)),
                            (a, c2) -> a * c2) AS p
                 FROM ex
@@ -9504,7 +9505,7 @@ def oracle_sql() -> dict[str, str]:
                            '''[^'']*''', '<q>', 'g'),
                            '[0-9]+', '<num>', 'g'),
                            '\s+', ' ', 'g')) AS s
-                FROM prompts
+                FROM prompts WHERE text IS NOT NULL
             )
             SELECT s AS template, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,

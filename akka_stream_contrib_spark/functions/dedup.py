@@ -1055,7 +1055,11 @@ def lsh_design_report(configs=((8, 8), (16, 4), (32, 2)),
                 F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
                 for b, r in cfgs])).alias("_cfg"))
         b, r = F.col("_cfg.b"), F.col("_cfg.r")
-        s_mid = (F.col("_bk") + F.lit(0.5)) * F.lit(float(bucket_width))
+        # clamp: sim = 1.0 (exact duplicates — routine in a dedup sample)
+        # floors into a bucket whose raw midpoint exceeds 1, where the
+        # S-curve is out of domain (p > 1, negative miss mass)
+        s_mid = F.least((F.col("_bk") + F.lit(0.5))
+                        * F.lit(float(bucket_width)), F.lit(1.0))
         p = F.lit(1.0) - _ipow(F.lit(1.0) - _ipow(s_mid, r), b)
         below = s_mid < F.lit(float(target_threshold))
         # per-row projection first: s_star is constant within a config

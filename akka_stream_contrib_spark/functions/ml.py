@@ -1567,10 +1567,13 @@ def pass_at_k(samples: DataFrame, ks=(1, 2, 4),
         F.explode(F.array(*[F.lit(k) for k in kss])).alias("k"))
         .filter(F.col("_n") >= F.col("k")))
     n, c, k = F.col("_n"), F.col("_c"), F.col("k")
+    # the per-step ratio is computed FIRST and then multiplied into the
+    # accumulator — the same association the DuckDB oracle's list_reduce
+    # over precomputed ratios uses, so parity is bitwise, not rounded
     ratio = F.aggregate(
         F.sequence(F.lit(0), k - 1), F.lit(1.0),
-        lambda acc, i: acc * (n - c - i).cast("double")
-        / (n - i).cast("double"))
+        lambda acc, i: acc * ((n - c - i).cast("double")
+                              / (n - i).cast("double")))
     p = F.when(c == 0, F.lit(0.0)) \
          .when(c > n - k, F.lit(1.0)) \
          .otherwise(F.lit(1.0) - ratio)

@@ -1462,3 +1462,17 @@ def test_distinct_ngrams_counts(spark):
     assert ("a", 2) in out and out[("a", 2)].n_grams_total == 4
     with pytest.raises(ValueError):
         distinct_ngrams(ns=())
+
+
+def test_lsh_design_report_exact_duplicates_clamped(spark):
+    from akka_stream_contrib_spark.functions.dedup import lsh_design_report
+    # sim = 1.0 floors into bucket 20 whose raw midpoint (1.025) is out of
+    # the S-curve's domain; with odd bands that produced p > 1 and
+    # NEGATIVE miss mass before the clamp
+    df = spark.createDataFrame([(i, 1.0) for i in range(8)],
+                               "pair_id long, sim double")
+    r = df.transform(lsh_design_report(configs=((3, 2),))).first()
+    assert r.false_negative_mass >= 0.0
+    assert r.expected_candidates <= r.n_pairs
+    # exact duplicates collide with certainty: p(1.0) = 1
+    assert r.expected_candidates == 8.0
