@@ -193,6 +193,12 @@ SHOWCASE = {
     "shard_manifest": "epoch_shuffle + manifest composed: the manifest "
         "agg groups on the key the position window hashed on -- exchange "
         "REUSED, one data-sized shuffle in the whole plan",
+    "lsh_design_report": "LSH config pricing: one histogram groupBy, "
+        "then config explode + exact S-curve folds over ~20 rows -- "
+        "evaluating 100 configs costs the same as 3",
+    "distinct_ngrams": "distinct-n diversity: grams materialize in-row "
+        "(transform over sequence, no self-join), shuffle as 16-byte md5 "
+        "keys into one count-distinct agg",
 }
 
 
