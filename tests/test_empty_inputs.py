@@ -45,6 +45,9 @@ NONEMPTY_OK = {
     # round-6 session-2 single-row metric reductions: one all-NULL/zero
     # metrics row on empty input is standard aggregate semantics
     "auc_roc", "ks_statistic", "welch_ttest", "zipf_fit", "ndcg_eval",
+    # r10 session-2: global single-row agreement reduction — one
+    # zero-count/NULL-kappa row on empty input is standard agg semantics
+    "fleiss_kappa",
     # benford emits its COMPLETE 9-digit spine (n=0, NULL χ² terms) by
     # design — an absent digit is the signal it audits for
     "benford_check",
