@@ -4878,6 +4878,25 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "n"))
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (functions/ml.py::spearman_corr): two
+    deterministic scorers over documents (text-length and char-count
+    residues) rank-correlated per language with the fractional-rank tie
+    correction — the leaderboard-stability statistic. One slice-key
+    exchange shared by all four windows and the corr aggregate."""
+    from akka_stream_contrib_spark.functions.ml import spearman_corr
+    docs = tables.load(spark, "documents", sf_dir)
+    scored = (docs.filter(F.col("text").isNotNull()
+                          & F.col("n_chars").isNotNull())
+              .select("lang",
+                      (F.length("text") % 101).cast("double").alias("sx"),
+                      ((F.col("n_chars") * 7) % 89).cast("double")
+                      .alias("sy")))
+    return (scored.transform(spearman_corr("sx", "sy", group_col="lang"))
+            .withColumnRenamed("group", "lang")
+            .orderBy("lang"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5190,6 +5209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_design_report": q_lsh_design_report,
         "epoch_shuffle_grouped": q_epoch_shuffle_grouped,
         "distinct_ngrams": q_distinct_ngrams,
+        "spearman_corr": q_spearman_corr,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -5225,6 +5245,7 @@ _PRIORITY = [
     "interleave_by_weight", "template_mine", "bitext_filter",
     "shard_manifest", "prefix_cache_report", "fleiss_kappa", "pass_at_k",
     "lsh_design_report", "epoch_shuffle_grouped", "distinct_ngrams",
+    "spearman_corr",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -9325,6 +9346,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, context_limit
         """,
         "elo_ratings": _bt_oracle(),
+        "spearman_corr": """
+            WITH base AS (
+                SELECT lang,
+                       CAST(length(text) % 101 AS DOUBLE) AS sx,
+                       CAST((n_chars * 7) % 89 AS DOUBLE) AS sy
+                FROM documents
+                WHERE text IS NOT NULL AND n_chars IS NOT NULL
+            ), ranked AS (
+                SELECT lang,
+                       rank() OVER (PARTITION BY lang ORDER BY sx)
+                           + (count(*) OVER (PARTITION BY lang, sx) - 1)
+                             / 2.0 AS rx,
+                       rank() OVER (PARTITION BY lang ORDER BY sy)
+                           + (count(*) OVER (PARTITION BY lang, sy) - 1)
+                             / 2.0 AS ry
+                FROM base
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CASE WHEN stddev_samp(rx) > 0 AND stddev_samp(ry) > 0
+                        THEN round(covar_samp(rx, ry)
+                                   / (stddev_samp(rx) * stddev_samp(ry)),
+                                   6) + 0.0
+                   END AS rho
+            FROM ranked GROUP BY lang ORDER BY lang
+        """,
         "distinct_ngrams": """
             WITH grams AS (
                 SELECT source, l.n AS n,

@@ -1583,3 +1583,62 @@ def pass_at_k(samples: DataFrame, ks=(1, 2, 4),
                  (F.round(F.avg("_p"), 6) + F.lit(0.0))
                  .alias("mean_pass_at_k"))
             .orderBy("k"))
+
+
+def spearman_corr(x_col: str, y_col: str, group_col: str | None = None
+                  ) -> "Callable[[DataFrame], DataFrame]":
+    """Spearman rank correlation with the standard tie correction
+    (average ranks), per slice — the leaderboard-stability / metric-
+    agreement statistic: "do these two scorers ORDER the items the same
+    way?" is a rank question Pearson (`user_correlation`'s shape) gets
+    wrong under monotone-but-nonlinear score relationships, judge scale
+    drift, or outliers. rho = Pearson correlation of the average-rank
+    transforms: avg_rank = rank() + (n_ties - 1)/2, the fractional-rank
+    convention every stats package uses for ties.
+
+    Scale shape: ONE hash exchange on the slice key shared by all four
+    windows (two rank orders x {rank, tie-count} — same partitioning,
+    Spark re-sorts without re-shuffling), then the per-slice `corr`
+    aggregate rides the same partitioning too. Rows with a NULL in
+    either score are dropped (a rank needs a value). NULL rho when a
+    slice has < 2 rows or either score is constant (zero rank variance —
+    undefined, not zero).
+
+    Emits (group, n, rho) with rho rounded to 6.
+    """
+    if x_col == y_col:
+        raise ValueError("x_col and y_col must differ")
+    from pyspark.sql import Window
+
+    def _apply(df: DataFrame) -> DataFrame:
+        grp = (F.col(group_col) if group_col
+               else F.lit("all")).alias("group")
+        base = (df.filter(F.col(x_col).isNotNull()
+                          & F.col(y_col).isNotNull())
+                .select(grp, F.col(x_col).alias("_x"),
+                        F.col(y_col).alias("_y")))
+
+        def avg_rank(col):
+            wr = Window.partitionBy("group").orderBy(F.col(col))
+            wt = Window.partitionBy("group", col)
+            return (F.rank().over(wr).cast("double")
+                    + (F.count(F.lit(1)).over(wt) - 1) / 2.0)
+
+        ranked = (base.withColumn("_rx", avg_rank("_x"))
+                  .withColumn("_ry", avg_rank("_y")))
+        # explicit covar/stddev decomposition instead of corr(): under
+        # ANSI mode corr() raises ArithmeticException on zero rank
+        # variance (constant score or 1-row slice) — here that case is a
+        # guarded NULL, and the oracle mirrors the same formula
+        agg = (ranked.groupBy("group")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.covar_samp("_rx", "_ry").alias("_cov"),
+                    F.stddev_samp("_rx").alias("_sx"),
+                    F.stddev_samp("_ry").alias("_sy")))
+        rho = F.when((F.col("_sx") > 0) & (F.col("_sy") > 0),
+                     F.round(F.col("_cov")
+                             / (F.col("_sx") * F.col("_sy")), 6)
+                     + F.lit(0.0))
+        return agg.select("group", "n", rho.alias("rho"))
+
+    return _apply

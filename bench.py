@@ -272,6 +272,7 @@ HEADLINE = [
     "lsh_design_report",
     "epoch_shuffle_grouped",
     "distinct_ngrams",
+    "spearman_corr",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

@@ -1476,3 +1476,32 @@ def test_lsh_design_report_exact_duplicates_clamped(spark):
     assert r.expected_candidates <= r.n_pairs
     # exact duplicates collide with certainty: p(1.0) = 1
     assert r.expected_candidates == 8.0
+
+
+def test_spearman_corr_ties_and_degenerate_slices(spark):
+    from akka_stream_contrib_spark.functions.ml import spearman_corr
+    rows = [(1, 1.0, 10.0), (1, 2.0, 20.0), (1, 3.0, 30.0),   # rho = 1
+            (2, 1.0, 3.0), (2, 2.0, 2.0), (2, 3.0, 1.0),      # rho = -1
+            (3, 1.0, 1.0), (3, 1.0, 2.0), (3, 2.0, 3.0), (3, 3.0, 3.0),
+            (4, 5.0, 1.0), (4, 5.0, 2.0),                     # constant x
+            (5, 1.0, None), (5, None, 2.0), (5, 3.0, 4.0)]    # NULLs drop
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    out = {r.group: r for r in
+           df.transform(spearman_corr("x", "y", group_col="g")).collect()}
+    assert out[1].rho == 1.0 and out[2].rho == -1.0
+    # fractional-rank tie correction, hand-computed
+    assert out[3].rho == 0.888889
+    # zero rank variance -> undefined, NULL not 0
+    assert out[4].rho is None
+    # NULL-score rows dropped; a 1-row slice has no correlation
+    assert out[5].n == 1 and out[5].rho is None
+    with pytest.raises(ValueError):
+        spearman_corr("x", "x")
+
+
+def test_spearman_corr_single_exchange(spark):
+    from akka_stream_contrib_spark.functions.ml import spearman_corr
+    from akka_stream_contrib_spark.plans import count_exchanges
+    df = spark.createDataFrame([(1, 1.0, 2.0)], "g int, x double, y double")
+    assert count_exchanges(df.transform(
+        spearman_corr("x", "y", group_col="g"))) == 1

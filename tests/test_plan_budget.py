@@ -152,6 +152,9 @@ BUDGET = {
     # r10 distinct-n: in-row gram materialization; ONE (source, n) agg
     # whose count-distinct expands to two phases + presentation sort
     "distinct_ngrams": 3,
+    # r10 Spearman: ONE slice-key hash shared by all four rank/tie
+    # windows and the corr agg + the 5-row presentation sort
+    "spearman_corr": 2,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
