@@ -9707,12 +9707,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source, src_pos,
-                   round((src_pos
+                   floor((src_pos
                           - (CAST(concat('0x', substr(md5(concat(
                                  'mix-0:phase:', source)), 1, 8))
                                  AS BIGINT) % 1000000) / 1000000.0)
-                         / (1.0 + CAST(substr(source, 4) AS BIGINT) % 3),
-                         6) + 0.0 AS slot
+                         / (1.0 + CAST(substr(source, 4) AS BIGINT) % 3)
+                         * 1000000.0) / 1000000.0 AS slot
             FROM pos
         """,
         "filter_funnel": """

@@ -1965,9 +1965,16 @@ def interleave_by_weight(weights: "dict[str, float]",
                     F.concat(F.lit(seed + ":ord:"), sid)))
                 .withColumn("src_pos",
                             F.row_number().over(win).cast("bigint"))
+                # slot is TRUNCATED to 6 dp, not rounded: (pos - phase)
+                # has exactly 6 decimal digits, so /w lands on exact
+                # .xxxxxx5 halves where Spark's BigDecimal HALF_UP and a
+                # binary-double round() disagree by 1e-6 (found by the
+                # sf0.1 oracle sweep). floor of identical IEEE doubles is
+                # engine-independent
                 .withColumn("slot",
-                            F.round((F.col("src_pos") - phase) / w_expr, 6)
-                            + F.lit(0.0))
+                            F.floor((F.col("src_pos") - phase) / w_expr
+                                    * F.lit(1_000_000.0))
+                            / F.lit(1_000_000.0))
                 .drop("_ord"))
 
     return _apply

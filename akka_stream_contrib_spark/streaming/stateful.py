@@ -652,8 +652,8 @@ def interleave_stream(rows: DataFrame, weights: "dict[str, float]",
     the shuffle is per-batch and positions continue — the cross-batch
     order is arrival order, the only order a stream can honor (documented
     divergence from the batch form's global md5 order). State is O(1) per
-    source (one counter). HALF_UP slot rounding matches Spark/DuckDB
-    ``round``.
+    source (one counter). Slots truncate at 6 dp exactly as the batch
+    form does.
     """
     if default_weight <= 0:
         raise ValueError(f"default_weight must be > 0, got {default_weight}")
@@ -661,7 +661,7 @@ def interleave_stream(rows: DataFrame, weights: "dict[str, float]",
         if w <= 0:
             raise ValueError(f"weight for {s!r} must be > 0, got {w}")
     import hashlib
-    from decimal import ROUND_HALF_UP, Decimal
+    import math
 
     stype = rows.schema[source_col].dataType
     itype = rows.schema[id_col].dataType
@@ -673,9 +673,11 @@ def interleave_stream(rows: DataFrame, weights: "dict[str, float]",
     state_schema = StructType([StructField("cnt", LongType())])
 
     def _slot(pos: int, phase: float, w: float) -> float:
+        # 6-dp TRUNCATION, matching the batch form: floor of identical
+        # IEEE doubles is engine/runtime-independent, unlike rounding at
+        # the exact .xxxxxx5 halves this arithmetic produces
         x = (pos - phase) / w
-        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
-                                               ROUND_HALF_UP))
+        return math.floor(x * 1_000_000.0) / 1_000_000.0
 
     def _fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         src = key[0]
