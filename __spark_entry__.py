@@ -4897,6 +4897,43 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def q_position_bias_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judge position-bias probe (functions/ml.py::position_bias_probe):
+    synthetic pairwise verdicts whose first-position win propensity
+    varies by language (threshold keyed on the lang initial), binomial z
+    against the fair 0.5 per lang — the MT-Bench-style judge QA check.
+    One slice-key groupBy."""
+    from akka_stream_contrib_spark.functions.ml import position_bias_probe
+    docs = tables.load(spark, "documents", sf_dir)
+    verdicts = docs.select(
+        "lang",
+        ((F.col("doc_id") % 97)
+         < (40 + F.ascii(F.substring("lang", 1, 1)) % 25))
+        .alias("first_won"))
+    return (verdicts.transform(position_bias_probe(group_col="lang"))
+            .withColumnRenamed("group", "lang")
+            .orderBy("lang"))
+
+
+def q_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise win-rate matrix (functions/ml.py::win_rate_matrix): the
+    SAME deterministic arena games as q_elo_ratings, reported as raw
+    per-pair evidence with Wilson lower bounds — which matchups carry
+    statistical weight behind the BT ratings. One canonical-pair
+    groupBy; Wilson arithmetic post-aggregate."""
+    from akka_stream_contrib_spark.functions.ml import win_rate_matrix
+    docs = tables.load(spark, "documents", sf_dir)
+    m = F.col("doc_id") % 8
+    opp = (m + 1 + F.expr("doc_id DIV 8") % 7) % 8
+    games = (docs.filter(F.col("text").isNotNull())
+             .select(F.concat(F.lit("m"), m.cast("string")).alias("model_a"),
+                     F.concat(F.lit("m"), opp.cast("string"))
+                     .alias("model_b"),
+                     (F.length("text") % 3).cast("double").alias("wins_a"),
+                     (F.col("doc_id") % 2).cast("double").alias("wins_b")))
+    return win_rate_matrix(games).orderBy("model_lo", "model_hi")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
     return q_q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5210,6 +5247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_grouped": q_epoch_shuffle_grouped,
         "distinct_ngrams": q_distinct_ngrams,
         "spearman_corr": q_spearman_corr,
+        "position_bias_probe": q_position_bias_probe,
+        "win_rate_matrix": q_win_rate_matrix,
     }
     front = [k for k in _PRIORITY if k in base]
     return {**{k: base[k] for k in front},
@@ -5245,7 +5284,7 @@ _PRIORITY = [
     "interleave_by_weight", "template_mine", "bitext_filter",
     "shard_manifest", "prefix_cache_report", "fleiss_kappa", "pass_at_k",
     "lsh_design_report", "epoch_shuffle_grouped", "distinct_ngrams",
-    "spearman_corr",
+    "spearman_corr", "position_bias_probe", "win_rate_matrix",
     # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
     "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
     "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
@@ -9346,6 +9385,56 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, context_limit
         """,
         "elo_ratings": _bt_oracle(),
+        "position_bias_probe": """
+            WITH v AS (
+                SELECT lang,
+                       ((doc_id % 97)
+                        < (40 + ascii(substr(lang, 1, 1)) % 25)) AS f
+                FROM documents
+            ), agg AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+                           AS first_wins
+                FROM v WHERE f IS NOT NULL GROUP BY lang
+            )
+            SELECT lang, n, first_wins,
+                   round(CAST(first_wins AS DOUBLE) / n, 6) + 0.0
+                       AS first_win_rate,
+                   round((CAST(first_wins AS DOUBLE) / n - 0.5) * 2.0
+                         * sqrt(CAST(n AS DOUBLE)), 6) + 0.0 AS z,
+                   (abs((CAST(first_wins AS DOUBLE) / n - 0.5) * 2.0
+                        * sqrt(CAST(n AS DOUBLE))) > 1.96) AS biased
+            FROM agg ORDER BY lang
+        """,
+        "win_rate_matrix": """
+            WITH g AS (
+                SELECT concat('m', CAST(doc_id % 8 AS VARCHAR)) AS a,
+                       concat('m', CAST((doc_id % 8 + 1 + (doc_id // 8) % 7)
+                                        % 8 AS VARCHAR)) AS b,
+                       CAST(length(text) % 3 AS DOUBLE) AS wa,
+                       CAST(doc_id % 2 AS DOUBLE) AS wb
+                FROM documents WHERE text IS NOT NULL
+            ), agg AS (
+                SELECT least(a, b) AS model_lo, greatest(a, b) AS model_hi,
+                       sum(CASE WHEN a <= b THEN wa ELSE wb END) AS wins_lo,
+                       sum(CASE WHEN a <= b THEN wb ELSE wa END) AS wins_hi
+                FROM g WHERE a <> b GROUP BY 1, 2
+            ), w AS (
+                SELECT model_lo, model_hi,
+                       wins_lo + wins_hi AS games, wins_lo,
+                       wins_lo / (wins_lo + wins_hi) AS p,
+                       wins_lo + wins_hi AS n
+                FROM agg WHERE wins_lo + wins_hi > 0
+            )
+            SELECT model_lo, model_hi, games, wins_lo,
+                   round(p, 6) + 0.0 AS win_rate_lo,
+                   round((p + (1.96 * 1.96) / (2 * n)
+                          - 1.96 * sqrt(p * (1 - p) / n
+                                        + (1.96 * 1.96) / (4 * n * n)))
+                         / (1 + (1.96 * 1.96) / n), 6) + 0.0
+                       AS wilson_lb_lo
+            FROM w ORDER BY model_lo, model_hi
+        """,
         "spearman_corr": """
             WITH base AS (
                 SELECT lang,

@@ -273,6 +273,8 @@ HEADLINE = [
     "epoch_shuffle_grouped",
     "distinct_ngrams",
     "spearman_corr",
+    "position_bias_probe",
+    "win_rate_matrix",
 ]
 
 # Stable cross-round regression set (verdict r7 #5): 25 queries benched in

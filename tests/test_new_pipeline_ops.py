@@ -1505,3 +1505,38 @@ def test_spearman_corr_single_exchange(spark):
     df = spark.createDataFrame([(1, 1.0, 2.0)], "g int, x double, y double")
     assert count_exchanges(df.transform(
         spearman_corr("x", "y", group_col="g"))) == 1
+
+
+def test_position_bias_probe_flags_and_nulls(spark):
+    from akka_stream_contrib_spark.functions.ml import position_bias_probe
+    rows = ([(i, "j1", i % 10 < 7) for i in range(100)]      # 70% first
+            + [(i, "j2", i % 2 == 0) for i in range(100)]    # fair
+            + [(0, "j2", None)])                             # abstention
+    df = spark.createDataFrame(rows, "cid long, judge string, first_won boolean")
+    out = {r.group: r for r in
+           df.transform(position_bias_probe(group_col="judge")).collect()}
+    assert out["j1"].biased and out["j1"].z == 4.0 \
+        and out["j1"].first_win_rate == 0.7
+    assert not out["j2"].biased and out["j2"].n == 100  # NULL dropped
+    with pytest.raises(ValueError):
+        position_bias_probe(z_crit=0)
+
+
+def test_win_rate_matrix_wilson_and_orientation_fold(spark):
+    from akka_stream_contrib_spark.functions.ml import win_rate_matrix
+    g = spark.createDataFrame(
+        [("A", "B", 9.0, 1.0), ("B", "A", 1.0, 5.0),   # folds to A:14 B:2
+         ("A", "C", 0.0, 0.0),                          # zero games: dropped
+         ("D", "D", 3.0, 1.0)],                         # self-game: dropped
+        "model_a string, model_b string, wins_a double, wins_b double")
+    out = {(r.model_lo, r.model_hi): r for r in win_rate_matrix(g).collect()}
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert r.games == 16.0 and r.wins_lo == 14.0 and r.win_rate_lo == 0.875
+    # Wilson lower bound, hand-computed (p=0.875, n=16, z=1.96)
+    import math
+    p, n, z = 0.875, 16.0, 1.96
+    lb = ((p + z * z / (2 * n)
+           - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+          / (1 + z * z / n))
+    assert abs(r.wilson_lb_lo - round(lb, 6)) < 1e-6

@@ -155,6 +155,10 @@ BUDGET = {
     # r10 Spearman: ONE slice-key hash shared by all four rank/tie
     # windows and the corr agg + the 5-row presentation sort
     "spearman_corr": 2,
+    # r10 judge QA: ONE slice groupBy + 5-row presentation sort
+    "position_bias_probe": 2,
+    # r10 arena matrix: the BT canonical-pair groupBy + 28-row sort
+    "win_rate_matrix": 2,
     # blocked exact near-dup: the two cogroup sides each hash on the
     # surviving (cell_a, cell_b) pair key (the old 0 was the quadratic
     # broadcast nested-loop join — no shuffle, no scale either)
