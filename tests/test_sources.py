@@ -72,7 +72,11 @@ def test_directory_changes_feed(spark, tmp_path):
         .start()
     )
     try:
-        time.sleep(2)  # let the initial snapshot (offset) be taken
+        # let the initial snapshot (offset) be taken before creating files:
+        # a fixed sleep raced a loaded host (snapshot after a.txt => no
+        # Creation event) — wait for the first completed micro-batch instead
+        assert _run_until(q, lambda: q.lastProgress is not None)
+        time.sleep(1.2)  # one extra trigger so the snapshot offset is live
         (watched / "a.txt").write_text("hello")
         assert _run_until(q, lambda: {("a.txt", "Creation")} <= {
             (os.path.basename(r.path), r.change)
