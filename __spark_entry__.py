@@ -4111,21 +4111,52 @@ def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean Reciprocal Rank (functions/retrieval.py::mrr_at_k) of three
     BM25 runs, a hit being a doc containing ALL the query's terms —
     per-query bounded rank windows, 9-dp-decimal reciprocal ranks, one
-    final double division."""
-    from akka_stream_contrib_spark.functions import bm25_topk
-    from akka_stream_contrib_spark.functions.retrieval import mrr_at_k
+    final double division.
+
+    r10 shape: ONE shared tf pass scores all three queries — the term
+    frequencies of every query's terms are projected in a single cached
+    frame, corpus stats (N, Σdl, per-term df) come from ONE 1-row
+    aggregate broadcast back, and each query's top-10 is a
+    TakeOrderedAndProject branch over the shared scored frame with its
+    relevance bit computed in place (tf > 0 for every term ⟺ the old
+    array_contains conjunction). Score expression = the exact
+    `_bm25_score` shape `bm25_topk` uses, so the per-query results are
+    bit-identical to three independent runs; the old form paid 3 stats
+    scans + 3 scored scans + 3 broadcast rel joins (9 corpus scans)."""
+    from akka_stream_contrib_spark.functions.retrieval import (
+        _bm25_score, _term_tf, mrr_at_k)
+    from akka_stream_contrib_spark.util import pipeline_cache
     docs = tables.load(spark, "documents", sf_dir)
+    qterms = list(_MRR_QUERIES.items())
+    toks = (docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+            .filter(F.col("_toks").isNotNull()))
+    tf = pipeline_cache(toks.select(
+        "doc_id", F.size("_toks").alias("dl"),
+        *[_term_tf(t).alias(f"tf_{qi}_{j}")
+          for qi, (_, terms) in enumerate(qterms)
+          for j, t in enumerate(terms)]))
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"),
+        *[F.sum((F.col(f"tf_{qi}_{j}") > 0).cast("long"))
+          .alias(f"df_{qi}_{j}")
+          for qi, (_, terms) in enumerate(qterms)
+          for j in range(len(terms))])
+    scored = tf.crossJoin(F.broadcast(stats))
     parts = []
-    for name, terms in _MRR_QUERIES.items():
-        top = docs.transform(bm25_topk(terms, k=10))
-        toks = F.split(F.col("text"), " ")
+    for qi, (name, terms) in enumerate(qterms):
+        nt = len(terms)
+        sub = scored.select(
+            "doc_id", "dl", "n", "sdl",
+            *[F.col(f"tf_{qi}_{j}").alias(f"tf{j}") for j in range(nt)],
+            *[F.col(f"df_{qi}_{j}").alias(f"df{j}") for j in range(nt)])
         rel = F.when(
-            sum((F.array_contains(toks, t).cast("int") for t in terms),
-                F.lit(0)) == len(terms), 1).otherwise(0)
+            sum(((F.col(f"tf{j}") > 0).cast("int") for j in range(nt)),
+                F.lit(0)) == nt, 1).otherwise(0)
         parts.append(
-            F.broadcast(top)
-            .join(docs.select("doc_id", rel.alias("rel")), "doc_id")
-            .select(F.lit(name).alias("query"), "doc_id", "score", "rel"))
+            sub.select(F.lit(name).alias("query"), "doc_id",
+                       (F.round(_bm25_score(nt), 6) + F.lit(0.0))
+                       .alias("score"), rel.alias("rel"))
+            .orderBy(F.desc("score"), "doc_id").limit(10))
     allq = parts[0]
     for p in parts[1:]:
         allq = allq.unionByName(p)
@@ -4155,10 +4186,14 @@ def _interaction_edges(ev: DataFrame) -> DataFrame:
 
 def _min_seed_edges(ev: DataFrame):
     """Shared seed derivation for the seed-parameterized graph fixtures
-    (q_bfs_hops / q_ppr_related): the checkpointed interaction edges plus
-    the smallest endpoint id (None on an empty graph — callers return
-    their empty frame)."""
-    edges = _interaction_edges(ev).localCheckpoint(eager=True)
+    (q_bfs_hops / q_ppr_related): the pipeline-cached interaction edges
+    plus the smallest endpoint id (None on an empty graph — callers return
+    their empty frame). The seed aggregate is the one driver action; it
+    fully materializes the edge cache the downstream loop reuses (the old
+    eager checkpoint paid a separate materialization job first)."""
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    edges = pipeline_cache(_interaction_edges(ev))
     seed_row = edges.agg(
         F.least(F.min("src"), F.min("dst")).alias("m")).head()
     return edges, seed_row.m

@@ -7,15 +7,18 @@ in the reference (an Akka operator library has no relational analytics);
 this is part of the beyond-reference analytics mandate, same family as the
 cohort/funnel/retention queries.
 
-Scale shape: the pair stream comes from ONE self-equi-join on the basket
-key — both sides the same deduplicated (basket, item) frame sharing one
-hash partitioning — with the item order constraint (`i1 < i2`) keeping
-each pair counted once. Per-basket fanout is quadratic in basket size, so
-oversized baskets (a retailer's "test order" with 1e5 items would emit
-5e9 pairs) are EXCLUDED up front by ``max_basket_size``, computed with a
-window count over the same basket partitioning — documented truncation,
-loud in the signature, not a silent cap. Everything downstream is
-map-combined counting; the final metrics divide exact integers once.
+Scale shape (r10 posting rewrite): ONE basket-key shuffle collapses each
+basket to its sorted distinct-item array; the dedup, the size guard
+(``size(_l) <= max_basket_size``) and the quadratic pair fan-out all ride
+that single row — pairs are generated IN-ROW by ``pair_fanout_expr`` (the
+adamic_adar / ngram-posting discipline), so no join ever materializes the
+(basket, x, y) stream and the old self-equi-join's second hash pass of
+the item frame is gone (5 exchanges → 3 per operator). Per-basket fanout
+is quadratic in basket size, so oversized baskets (a retailer's "test
+order" with 1e5 items would emit 5e9 pairs) are EXCLUDED up front by
+``max_basket_size`` — documented truncation, loud in the signature, not a
+silent cap. Everything downstream is map-combined counting; the final
+metrics divide exact integers once.
 """
 
 from __future__ import annotations
@@ -24,6 +27,20 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _basket_postings(df: DataFrame, basket_col: str, item_col: str,
+                     max_basket_size: int) -> DataFrame:
+    """One row per basket: the sorted distinct-item array (size-guarded).
+    collect_set dedups within the basket, array_sort fixes the fan-out
+    order, and the size filter is the quadratic-fanout guard — all on the
+    single basket-key shuffle both miners share."""
+    return (df.select(F.col(basket_col).alias("basket"),
+                      F.col(item_col).alias("item"))
+            .filter(F.col("basket").isNotNull() & F.col("item").isNotNull())
+            .groupBy("basket")
+            .agg(F.array_sort(F.collect_set("item")).alias("_l"))
+            .filter(F.size("_l") <= max_basket_size))
 
 
 def association_rules(basket_col: str, item_col: str,
@@ -47,26 +64,20 @@ def association_rules(basket_col: str, item_col: str,
     Returns (x, y, n_xy, n_x, n_y, support, confidence, lift).
     """
     def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.functions.dedup import pair_fanout_expr
         from akka_stream_contrib_spark.util import pipeline_cache
 
-        items = pipeline_cache(
-            df.select(F.col(basket_col).alias("basket"),
-                      F.col(item_col).alias("item"))
-            .filter(F.col("basket").isNotNull() & F.col("item").isNotNull())
-            .distinct()
-            .withColumn("_sz", F.count(F.lit(1)).over(
-                Window.partitionBy("basket")))
-            .filter(F.col("_sz") <= max_basket_size)
-            .drop("_sz"))
-        n_baskets = items.agg(
-            F.count_distinct("basket").alias("n_baskets"))
-        item_n = items.groupBy(F.col("item").alias("_i")).agg(
-            F.count(F.lit(1)).alias("_n"))
-        left = items.select("basket", F.col("item").alias("x"))
-        right = items.select(F.col("basket").alias("_b"),
-                             F.col("item").alias("y"))
-        pairs = (left.join(right, (F.col("basket") == F.col("_b"))
-                           & (F.col("x") < F.col("y")))
+        posting = pipeline_cache(_basket_postings(
+            df, basket_col, item_col, max_basket_size))
+        n_baskets = posting.agg(F.count(F.lit(1)).alias("n_baskets"))
+        item_n = posting.select(F.explode("_l").alias("_i")).groupBy("_i") \
+            .agg(F.count(F.lit(1)).alias("_n"))
+        # in-row pair fan-out over the sorted array (x < y by construction
+        # — the same order the old join's `x < y` predicate enforced)
+        pairs = (posting.filter(F.size("_l") >= 2)
+                 .select(F.explode(
+                     F.expr(pair_fanout_expr("x", "y"))).alias("_p"))
+                 .select("_p.x", "_p.y")
                  .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
                  .filter(F.col("n_xy") >= min_pair_count))
         nx = item_n.select(F.col("_i").alias("_ix"), F.col("_n").alias("n_x"))
@@ -103,11 +114,13 @@ def item_cf_topk(basket_col: str, item_col: str, k: int = 5,
     `association_rules` ranks GLOBAL pairs by lift, this builds the
     PER-ITEM neighbor lists a recommender serves.
 
-    Scale shape (shared with association_rules): one self-equi-join on
-    the basket key over the deduplicated (basket, item) frame, oversized
-    baskets excluded up front (quadratic-fanout guard), counts
-    map-combined. Pairs materialize once as x < y and are mirrored to
-    both directions AFTER counting (half the join output). The per-item
+    Scale shape (shared with association_rules — the r10 posting form):
+    one basket-key shuffle collapses each basket to its sorted distinct
+    item array (oversized baskets excluded in the same pass — the
+    quadratic-fanout guard), and pairs are generated IN-ROW by
+    ``pair_fanout_expr``, counts map-combined: no basket self-join ever
+    materializes. Pairs materialize once as x < y and are mirrored to
+    both directions AFTER counting (half the fan-out). The per-item
     top-k is a rank window partitioned by item over the min-count-pruned
     pair frame — bounded fan-in per item, never a global window.
 
@@ -122,24 +135,17 @@ def item_cf_topk(basket_col: str, item_col: str, k: int = 5,
     association_rules).
     """
     def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.functions.dedup import pair_fanout_expr
         from akka_stream_contrib_spark.util import pipeline_cache
 
-        items = pipeline_cache(
-            df.select(F.col(basket_col).alias("basket"),
-                      F.col(item_col).alias("item"))
-            .filter(F.col("basket").isNotNull() & F.col("item").isNotNull())
-            .distinct()
-            .withColumn("_sz", F.count(F.lit(1)).over(
-                Window.partitionBy("basket")))
-            .filter(F.col("_sz") <= max_basket_size)
-            .drop("_sz"))
-        item_n = items.groupBy(F.col("item").alias("_i")).agg(
-            F.count(F.lit(1)).alias("_n"))
-        left = items.select("basket", F.col("item").alias("x"))
-        right = items.select(F.col("basket").alias("_b"),
-                             F.col("item").alias("y"))
-        pairs = (left.join(right, (F.col("basket") == F.col("_b"))
-                           & (F.col("x") < F.col("y")))
+        posting = pipeline_cache(_basket_postings(
+            df, basket_col, item_col, max_basket_size))
+        item_n = posting.select(F.explode("_l").alias("_i")).groupBy("_i") \
+            .agg(F.count(F.lit(1)).alias("_n"))
+        pairs = (posting.filter(F.size("_l") >= 2)
+                 .select(F.explode(
+                     F.expr(pair_fanout_expr("x", "y"))).alias("_p"))
+                 .select("_p.x", "_p.y")
                  .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
                  .filter(F.col("n_xy") >= min_pair_count))
         # mirror to both directions AFTER counting: each unordered pair

@@ -96,12 +96,17 @@ def bpe_learn_merges(df: DataFrame, n_merges: int = 10,
     adjacent SYMBOL pairs over the weighted vocabulary, picks the argmax
     (ties lexical), and rewrites the vocabulary's symbol arrays with the
     array-fold merge — all vocabulary-sized work. The corpus is touched
-    exactly once, in the initial word-frequency aggregation. localCheckpoint
-    per round truncates the growing lineage (same pattern as
-    functions/graph.py's label propagation).
+    exactly once, in the initial word-frequency aggregation. Per-round
+    lineage is truncated by a pipeline-scoped persist (r10, the graph.py
+    discipline): each round's argmax ``head()`` is the driver action that
+    materializes the round's vocab cache, so no eager checkpoint job runs
+    and the merge-fold is never recomputed. The vocab chain has a single
+    back-reference per round, so the analyzed tree stays linear in steps.
     """
+    from akka_stream_contrib_spark.util import pipeline_cache
+
     spark = df.sparkSession
-    vocab = (
+    vocab = pipeline_cache(
         word_freq(df, text_col, min_len)
         # (?!^)(?=.): split at every between-character boundary; the (?=.)
         # guard stops the end-of-string position matching (F.split keeps
@@ -110,7 +115,6 @@ def bpe_learn_merges(df: DataFrame, n_merges: int = 10,
         # otherwise '\n' glues to its predecessor and the symbol table
         # diverges from the oracle's per-character split
         .select(F.split("w", "(?s)(?!^)(?=.)").alias("syms"), "f")
-        .localCheckpoint()
     )
     merges = []
     for step in range(1, n_merges + 1):
@@ -128,10 +132,9 @@ def bpe_learn_merges(df: DataFrame, n_merges: int = 10,
         if top is None:
             break
         merges.append((step, top["a"], top["b"], int(top["c"])))
-        vocab = (
+        vocab = pipeline_cache(
             vocab.select(_merge_pair(F.col("syms"), top["a"], top["b"])
                          .alias("syms"), "f")
-            .localCheckpoint()
         )
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint")

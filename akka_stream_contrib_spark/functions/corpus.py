@@ -1864,7 +1864,17 @@ def span_corrupt(corruption_rate: float = 0.15, mean_span: int = 3,
 
     def _apply(df: DataFrame) -> DataFrame:
         sid = F.col(id_col).cast("string")
-        toks = F.split(F.col(text_col), " ")
+        # STAGE the token array as a real projected column before any
+        # higher-order function touches it: HOF lambdas evaluate
+        # interpreted (no codegen, no common-subexpression elimination),
+        # so a closure-captured `F.split(text)` re-splits the whole
+        # document once PER ARRAY ELEMENT — O(n_tokens x n_blocks)
+        # quadratic work per row (measured 4.7x on the 3-gram probe,
+        # tools/ hof A/B). A bound column reference is O(1) per element.
+        staged = df.select(
+            F.col(id_col), F.col(text_col),
+            F.split(F.col(text_col), " ").alias("_sc_toks"))
+        toks = F.col("_sc_toks")
         n = F.size(toks).cast("bigint")
         nb = F.ceil(n / F.lit(B)).cast("bigint")
 
@@ -1888,13 +1898,21 @@ def span_corrupt(corruption_rate: float = 0.15, mean_span: int = 3,
                              F.array_join(F.slice(toks, a, L), " "))
             return F.struct(ip.alias("ip"), tp.alias("tp"), L.alias("l"))
 
-        pieces = F.transform(F.sequence(F.lit(0).cast("bigint"), nb - 1),
-                             _block)
+        # stage the per-block struct array too: the final projection reads
+        # it three times (input render, target render, length fold) — as a
+        # column those reads are bound references; inlined, the whole
+        # block computation would run 3x per row
+        staged = staged.select(
+            F.col(id_col), F.col(text_col), "_sc_toks",
+            F.when(F.col(text_col).isNotNull() & (n >= 2),
+                   F.transform(F.sequence(F.lit(0).cast("bigint"), nb - 1),
+                               _block)).alias("_sc_pieces"))
+        pieces = F.col("_sc_pieces")
         close = F.concat(F.lit(sentinel.split("{}")[0]), nb.cast("string"),
                          F.lit(sentinel.split("{}")[1]))
         corruptible = F.col(text_col).isNotNull() & (n >= 2)
         z = F.lit(0).cast("bigint")
-        return df.select(
+        return staged.select(
             F.col(id_col),
             F.when(corruptible,
                    F.array_join(F.transform(pieces, lambda x: x.ip), " "))

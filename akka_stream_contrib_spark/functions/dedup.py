@@ -572,7 +572,16 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
     its own label and its neighbors' labels; converges within the graph
     diameter. Dedup graphs are forests of shallow cliques, so rounds ≈ 2-4 in
     practice; each round is one shuffle of the (small) edge set, never of the
-    corpus, and ``localCheckpoint`` truncates lineage so plans stay flat.
+    corpus, and per-round EAGER ``localCheckpoint`` truncates lineage so
+    plans stay flat. The r10 pipeline_cache migration was tried here and
+    REVERTED: labels are back-referenced twice per round (the propagation
+    join + the convergence compare), so the analyzed logical tree doubles
+    per round between checkpoints — fine on shallow graphs (sf0.01
+    passed), but composed pipelines whose pair frame is itself a large
+    plan (semantic_dedup's near-dup front end) drove the driver to a heap
+    OOM at sf0.1 before an every-8th-round checkpoint could cut the tree.
+    Per-round eager checkpoints keep the analyzed tree O(1) in rounds —
+    the graph.py module docstring documents when each discipline applies.
     Driver-side iteration mirrors the reference's cyclic-graph pattern
     (`/root/reference/src/main/scala/akka/stream/contrib/FeedbackLoop.scala:18-38`) —
     Spark plans are DAGs, so the cycle lives in the driver loop.

@@ -8,9 +8,23 @@ re-expression of the reference's feedback wiring
 explicit iteration budget instead of a buffer).
 
 Scale shape: each iteration is one shuffle (the contribution aggregation on
-dst); the edge table is computed once, its out-degrees joined once, and the
-per-iteration lineage is truncated with `localCheckpoint` so the plan does
-not grow with iterations. Rank state is one row per node — the same
+dst); the edge table is computed once, and the per-iteration lineage is
+truncated by a pipeline-scoped persist (r10: `pipeline_cache` instead of an
+eager `localCheckpoint` — CacheManager substitutes the cached subtree during
+planning, so the EXECUTED plan is just as truncated, but no per-iteration
+materialization JOB runs on the driver: the whole loop executes inside the
+consumer's single action; measured 3.1 → 2.7 s warm on pagerank_users at
+sf0.1, 43 → 5 jobs). The caveat that shapes this family: the ANALYZED tree
+is not truncated by a persist, so a loop whose state back-references the
+previous state k>1 times grows that tree like k^iterations — fine for the
+k=2 / 3-iteration forms here (plans and analysis cost were measured), but
+hits_scores (k=3) hit 36.7 s of driver-side analysis and was restructured
+to a k=1 sparse linear chain instead (see `hits_scores`). Loops with many
+iterations or multi-reference state should fall back to an eager
+`localCheckpoint` every few iterations; note `localCheckpoint(eager=False)`
+is NOT a fix — under AQE the RDD conversion runs all intermediate stages
+eagerly, measured strictly worse than both alternatives. Rank state is one
+row per node — the same
 footprint any MPP PageRank carries. Dangling mass (nodes with no out-edges)
 is redistributed uniformly each iteration, keeping the rank vector summing
 to 1 (up to FP) like the textbook formulation.
@@ -30,11 +44,17 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     analogue of the reference's bounded feedback buffer); ranks are rounded
     to 6 dp only by callers that need engine-portable output.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
-             .distinct().localCheckpoint(eager=True)
-    nodes = (e.select(F.col("src").alias("id"))
-             .union(e.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint(eager=True))
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    e = pipeline_cache(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct())
+    nodes = pipeline_cache(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct())
+    # the one unavoidable driver action (1/n is a plan literal); it also
+    # fully materializes the e and nodes caches in a single job
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -48,22 +68,22 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
                           e.src == F.col("id"))
                    .groupBy("dst").agg(F.sum("share").alias("inflow")))
         # dangling mass (rank held by nodes with no out-edges) stays a
-        # broadcast 1-row frame folded into the rank update, so each
-        # iteration runs as ONE job (the eager checkpoint) instead of
-        # paying an extra driver .head() round-trip per iteration. The
+        # broadcast 1-row frame folded into the rank update — no driver
+        # .head() round-trip per iteration; its broadcast build is what
+        # materializes the previous iteration's rank cache. The
         # expression order — (base + d·m/n) + d·inflow — is the one the
         # unrolled DuckDB oracle mirrors; keep them in lockstep.
         dangling = (ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")))
-        ranks = (nodes.join(contrib, nodes.id == contrib.dst, "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select("id",
-                         (F.lit(base)
-                          + F.lit(damping) * F.col("m") / F.lit(float(n))
-                          + F.lit(damping)
-                          * F.coalesce(F.col("inflow"), F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint(eager=True))
+        ranks = pipeline_cache(
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("id",
+                    (F.lit(base)
+                     + F.lit(damping) * F.col("m") / F.lit(float(n))
+                     + F.lit(damping)
+                     * F.coalesce(F.col("inflow"), F.lit(0.0)))
+                    .alias("rank")))
     return ranks
 
 
@@ -237,13 +257,17 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
 def _symmetric(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Shared symmetric undirected view for the peel/sweep/frontier family
     (k_core / lpa_communities / bfs_hops): self-loops dropped, both
-    directions materialized, deduped, lineage cut with an eager
-    checkpoint (every consumer iterates over it)."""
+    directions materialized, deduped, lineage cut with a pipeline-scoped
+    persist (every consumer iterates over it; the first round's driver
+    action fills the cache — no separate eager-checkpoint job)."""
+    from akka_stream_contrib_spark.util import pipeline_cache
+
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .filter(F.col("a") != F.col("b")))
-    return (und.union(und.select(F.col("b").alias("a"),
-                                 F.col("a").alias("b")))
-            .distinct().localCheckpoint(eager=True))
+    return pipeline_cache(
+        und.union(und.select(F.col("b").alias("a"),
+                             F.col("a").alias("b")))
+        .distinct())
 
 
 def hits_scores(edges: DataFrame, iterations: int = 3,
@@ -261,12 +285,23 @@ def hits_scores(edges: DataFrame, iterations: int = 3,
       auth'(v) = Σ_{u→v} hub(u),   hub'(u) = Σ_{u→v} auth'(v)
     and both vectors are L1-normalized ONCE at the end, giving the same
     direction as the textbook interleaved form while saving the two
-    broadcast-norm driver jobs every iteration (the pagerank
-    one-job-per-iteration discipline: each iteration is exactly one
-    eager checkpoint). Unnormalized magnitudes grow like ‖A‖₁^iterations
-    — for 3 iterations far inside double range on any real graph.
-    Fixed ``iterations`` (driver-loop family of pagerank / kmeans /
-    logreg / BPE-learn); lineage truncated with localCheckpoint.
+    broadcast-norm driver jobs every iteration. Unnormalized magnitudes
+    grow like ‖A‖₁^iterations — for 3 iterations far inside double range
+    on any real graph. Fixed ``iterations`` (driver-loop family of
+    pagerank / kmeans / logreg / BPE-learn).
+
+    r10 shape — SPARSE LINEAR CHAIN: the loop iterates on sparse vectors
+    (hub defined only on nodes with out-edges, auth only on nodes with
+    in-edges). The per-iteration zero-fill joins of the old form were
+    mathematically inert — a zero hub/auth entry contributes nothing to
+    the next half-step's sums and such nodes never match the edge join
+    anyway — so zero-fill happens ONCE at the end for the output rows.
+    That removes 2 of the 4 joins per iteration AND makes each step
+    back-reference its predecessor exactly once, so the analyzed plan
+    grows linearly in ``iterations`` (the old state frame was referenced
+    3× per iteration; with persist-only truncation that analyzed tree
+    grew 3^n — measured 36.7 s of driver time at 3 iterations; see the
+    module docstring).
 
     Scale shape: each half-step is one shuffle (aggregation on the
     receiving endpoint); state is one row per node; one broadcast 1-row
@@ -279,47 +314,56 @@ def hits_scores(edges: DataFrame, iterations: int = 3,
     Reference anchor: the cyclic wiring is `FeedbackLoop.scala:18-38`
     re-expressed (same anchor as pagerank).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
-             .distinct().localCheckpoint(eager=True)
-    nodes = (e.select(F.col("src").alias("id"))
-             .union(e.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint(eager=True))
-    if nodes.isEmpty():
-        return nodes.select("id", F.lit(0.0).alias("hub"),
-                            F.lit(0.0).alias("auth"))
     from akka_stream_contrib_spark.util import pipeline_cache
 
-    state = nodes.select("id", F.lit(1.0).alias("hub"),
-                         F.lit(1.0).alias("auth"))
+    e = pipeline_cache(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct())
+    nodes = pipeline_cache(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct())
+    # count, not isEmpty: the one driver job fully materializes the e and
+    # nodes caches (a take(1) probe would cache only the scanned slice and
+    # the loop would recompute the rest)
+    if nodes.count() == 0:
+        return nodes.select("id", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("auth"))
+    # sparse hub_0: every node starts at hub = 1.0, but only nodes with
+    # out-edges ever contribute to an auth sum — iterate on those
+    hub = e.select(F.col("src").alias("id")).distinct() \
+           .withColumn("hub", F.lit(1.0))
+    # iterations <= 0: the all-ones vectors, normalized (old behavior)
+    auth = nodes.withColumn("auth", F.lit(1.0))
+    if iterations <= 0:
+        hub = nodes.withColumn("hub", F.lit(1.0))
     for _ in range(iterations):
-        # auth feeds both the hub half-step and the state join — cached
-        # so the edge-join/aggregate subtree runs once inside the single
-        # eager checkpoint job this iteration performs
-        a_raw = (e.join(state.select(F.col("id").alias("_s"), "hub"),
-                        e.src == F.col("_s"))
-                 .groupBy("dst").agg(F.sum("hub").alias("_a")))
-        auth = pipeline_cache(
-            nodes.join(a_raw, nodes.id == a_raw.dst, "left")
-            .select("id", F.coalesce(F.col("_a"), F.lit(0.0))
-                    .alias("auth")))
-        h_raw = (e.join(auth.select(F.col("id").alias("_d"), "auth"),
-                        e.dst == F.col("_d"))
-                 .groupBy("src").agg(F.sum("auth").alias("_h")))
-        state = (nodes.join(auth.select(F.col("id").alias("_i"), "auth"),
-                            nodes.id == F.col("_i"))
-                 .join(h_raw, nodes.id == h_raw.src, "left")
-                 .select("id",
-                         F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub"),
-                         "auth")
-                 .localCheckpoint(eager=True))
-        # both of auth's consumers are materialized by the checkpoint —
-        # release its storage now instead of pinning one dead
-        # InMemoryRelation per iteration until the next pipeline's sweep
-        auth.unpersist()
-    norms = state.agg(F.sum("hub").alias("_hn"), F.sum("auth").alias("_an"))
-    return (state.crossJoin(F.broadcast(norms))
-            .select("id", (F.col("hub") / F.col("_hn")).alias("hub"),
-                    (F.col("auth") / F.col("_an")).alias("auth")))
+        # two half-steps, each one shuffle; intermediate steps have a
+        # single consumer so they stay uncached (the chain executes once
+        # inside the final action) — only the LAST auth/hub pair, read
+        # twice (norms + output), is pipeline-cached below
+        auth = (e.join(hub.select(F.col("id").alias("_s"), "hub"),
+                       e.src == F.col("_s"))
+                .groupBy("dst").agg(F.sum("hub").alias("auth"))
+                .select(F.col("dst").alias("id"), "auth"))
+        hub = (e.join(auth.select(F.col("id").alias("_d"), "auth"),
+                      e.dst == F.col("_d"))
+               .groupBy("src").agg(F.sum("auth").alias("hub"))
+               .select(F.col("src").alias("id"), "hub"))
+    auth = pipeline_cache(auth)
+    hub = pipeline_cache(hub)
+    norms = hub.agg(F.sum("hub").alias("_hn")).crossJoin(
+        auth.agg(F.sum("auth").alias("_an")))
+    return (nodes.join(hub.select(F.col("id").alias("_h"), "hub"),
+                       nodes.id == F.col("_h"), "left")
+            .join(auth.select(F.col("id").alias("_a"), "auth"),
+                  nodes.id == F.col("_a"), "left")
+            .crossJoin(F.broadcast(norms))
+            .select("id",
+                    (F.coalesce(F.col("hub"), F.lit(0.0))
+                     / F.col("_hn")).alias("hub"),
+                    (F.coalesce(F.col("auth"), F.lit(0.0))
+                     / F.col("_an")).alias("auth")))
 
 
 def k_core(edges: DataFrame, k: int = 3, rounds: int = 8,
@@ -349,20 +393,26 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 8,
     Reference anchor: none (graph-analytics extension; family of
     pagerank / triangle_count / local_clustering).
     """
+    from akka_stream_contrib_spark.util import pipeline_cache
+
     und = _symmetric(edges, src, dst)
     alive = und
     prev_n = None
     for _ in range(rounds):
         deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
-        keep = deg.filter(F.col("degree") >= k).select("a")
+        keep = pipeline_cache(deg.filter(F.col("degree") >= k).select("a"))
+        # the fixpoint probe is the round's ONLY driver job; it fully
+        # materializes keep (and, transitively, the previous round's
+        # alive cache) — the old shape paid this count AND an eager
+        # checkpoint recomputation per round
         n_keep = keep.count()
         if prev_n is not None and n_keep == prev_n:
             break
         prev_n = n_keep
-        alive = (alive
-                 .join(keep, "a")
-                 .join(keep.select(F.col("a").alias("b")), "b")
-                 .select("a", "b").localCheckpoint(eager=True))
+        alive = pipeline_cache(
+            alive.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b"))
     return (alive.groupBy(F.col("a").alias("id"))
             .agg(F.count(F.lit(1)).alias("degree"))
             .filter(F.col("degree") >= k)
@@ -397,6 +447,8 @@ def lpa_communities(edges: DataFrame, rounds: int = 2,
     """
     from pyspark.sql import Window
 
+    from akka_stream_contrib_spark.util import pipeline_cache
+
     und = _symmetric(edges, src, dst)
     labels = und.select(F.col("a").alias("id")).distinct() \
                 .withColumn("label", F.col("id"))
@@ -405,10 +457,13 @@ def lpa_communities(edges: DataFrame, rounds: int = 2,
         votes = (und.join(labels.select(F.col("id").alias("b"), "label"),
                           "b")
                  .groupBy("a", "label").agg(F.count(F.lit(1)).alias("_n")))
-        labels = (votes.withColumn("_r", F.row_number().over(w))
-                  .filter(F.col("_r") == 1)
-                  .select(F.col("a").alias("id"), "label")
-                  .localCheckpoint(eager=True))
+        # pipeline-persist, not an eager checkpoint: the whole fixed-round
+        # sweep executes inside the consumer's single action, each round's
+        # label cache truncating the next round's executed lineage
+        labels = pipeline_cache(
+            votes.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(F.col("a").alias("id"), "label"))
     return labels
 
 
@@ -430,26 +485,33 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 4,
     Reference anchor: none (graph-analytics extension; family of
     k_core / lpa_communities).
     """
+    from akka_stream_contrib_spark.util import pipeline_cache
+
     und = _symmetric(edges, src, dst)
     # the seed frame inherits the node column's own type (string ids work
     # like bigints; nothing is coerced through a hardcoded schema); it is
     # drawn from the RAW endpoints so a source whose only edges are
     # self-loops still yields its dist-0 row, and an absent source yields
     # an empty frame -> empty reachability result
-    settled = (edges.select(F.col(src).alias("id"))
-               .union(edges.select(F.col(dst).alias("id")))
-               .filter(F.col("id") == F.lit(source)).distinct()
-               .withColumn("dist", F.lit(0))
-               .localCheckpoint(eager=True))
+    settled = pipeline_cache(
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .filter(F.col("id") == F.lit(source)).distinct()
+        .withColumn("dist", F.lit(0)))
     frontier = settled
     for r in range(1, max_hops + 1):
-        nxt = (und.join(frontier.select(F.col("id").alias("a")), "a")
-               .select(F.col("b").alias("id")).distinct()
-               .join(settled.select("id"), "id", "left_anti")
-               .withColumn("dist", F.lit(r)))
-        if nxt.isEmpty():
+        nxt = pipeline_cache(
+            und.join(frontier.select(F.col("id").alias("a")), "a")
+            .select(F.col("b").alias("id")).distinct()
+            .join(settled.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(r)))
+        # count, not isEmpty: the round's one driver job fully
+        # materializes the frontier cache (the old shape computed nxt for
+        # the isEmpty probe and then RECOMPUTED it inside the eager
+        # union checkpoint — two full passes per round)
+        if nxt.count() == 0:
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        settled = settled.unionByName(nxt)
         frontier = nxt
     return settled
 
@@ -477,15 +539,20 @@ def personalized_pagerank(edges: DataFrame, seed, iterations: int = 3,
     pagerank anchor); algorithm per Page et al. 1999 §6 "personalized"
     teleport vectors.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
-             .distinct().localCheckpoint(eager=True)
-    nodes = (e.select(F.col("src").alias("id"))
-             .union(e.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint(eager=True))
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    e = pipeline_cache(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct())
+    nodes = pipeline_cache(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct())
     # a seed outside the graph would make every teleport term vanish and
-    # return silent all-zero ranks — fail loudly instead (bounded probe
-    # of the checkpointed node frame)
-    if nodes.filter(F.col("id") == F.lit(seed)).isEmpty():
+    # return silent all-zero ranks — fail loudly instead. count, not
+    # isEmpty: the one driver job fully materializes the e/nodes caches
+    # for the loop (a take(1) probe would cache only the scanned slice)
+    if nodes.filter(F.col("id") == F.lit(seed)).count() == 0:
         raise ValueError(
             f"personalized_pagerank: seed {seed!r} is not a node of the "
             "edge list")
@@ -501,14 +568,14 @@ def personalized_pagerank(edges: DataFrame, seed, iterations: int = 3,
                    .groupBy("dst").agg(F.sum("share").alias("inflow")))
         dangling = (ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")))
-        ranks = (nodes.join(contrib, nodes.id == contrib.dst, "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select("id",
-                         (is_seed * (F.lit(1.0 - d) + F.lit(d) * F.col("m"))
-                          + F.lit(d)
-                          * F.coalesce(F.col("inflow"), F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint(eager=True))
+        ranks = pipeline_cache(
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("id",
+                    (is_seed * (F.lit(1.0 - d) + F.lit(d) * F.col("m"))
+                     + F.lit(d)
+                     * F.coalesce(F.col("inflow"), F.lit(0.0)))
+                    .alias("rank")))
     return ranks
 
 

@@ -1184,12 +1184,16 @@ def rolling_active_users(df: DataFrame, user_col: str = "user_id",
     (cohorts follow a signup class; this follows the whole population).
 
     Distributed shape: the event log collapses FIRST to the distinct
-    (user, day) frame — the only corpus-sized reduction; each window then
-    explodes that frame by its bounded offset span (≤ mau_days rows per
-    user-day, a constant), re-distincts on (user, target day) so a user
-    active twice in a window counts once, and counts per day. Days beyond
-    the corpus's last day are cut with a broadcast 1-row max. Counts are
-    exact integers; stickiness is ONE rounded double division.
+    (user, day) frame — the only corpus-sized reduction; ONE explode by
+    the bounded offset span (≤ max(wau, mau) rows per user-day, a
+    constant) then collapses to the EARLIEST offset per (user, target
+    day): min_off = 0 ⟺ active that day (DAU), ≤ wau_days−1 ⟺ active in
+    the trailing WAU window, ≤ mau_days−1 ⟺ in the MAU window — all
+    three distinct-user counts fall out of one aggregation (the r10
+    rewrite; the old shape exploded per window and re-distincted each:
+    6 exchanges → 3, and the explode stream is scanned once, not twice).
+    Days beyond the corpus's last day are cut with a broadcast 1-row max.
+    Counts are exact integers; stickiness is ONE rounded double division.
 
     Emits one row per day with ≥1 active user in its trailing MAU window,
     i.e. every day from the first activity day to the last when activity
@@ -1206,29 +1210,24 @@ def rolling_active_users(df: DataFrame, user_col: str = "user_id",
         .filter(F.col("_u").isNotNull() & F.col("_d").isNotNull())
         .distinct())
     maxd = ud.agg(F.max("_d").alias("_maxd"))
-    dau = ud.groupBy(F.col("_d").alias("day")).agg(
-        F.count(F.lit(1)).alias("dau"))
-
-    def window_counts(w: int, out: str) -> DataFrame:
-        contrib = (ud.select(
-            "_u", F.explode(F.sequence(
-                F.lit(0), F.lit(int(w) - 1))).alias("_off"), "_d")
-            .select("_u", F.date_add("_d", F.col("_off")).alias("day"))
-            .distinct()
-            .crossJoin(F.broadcast(maxd))
-            .filter(F.col("day") <= F.col("_maxd")))
-        return contrib.groupBy("day").agg(F.count(F.lit(1)).alias(out))
-
-    wau = window_counts(wau_days, "wau")
-    mau = window_counts(mau_days, "mau")
-    # MAU's day set covers DAU's and WAU's (wider trailing reach), so the
-    # left joins from mau lose nothing; days without same-day activity
-    # have dau = 0
-    out = (mau.join(wau, "day", "left").join(dau, "day", "left")
-           .select("day",
-                   F.coalesce("dau", F.lit(0)).alias("dau"),
-                   F.coalesce("wau", F.lit(0)).alias("wau"),
-                   "mau"))
+    # one explode covering the widest window; min-offset collapse gives
+    # every window's membership test as a cheap per-row predicate
+    span_days = max(int(wau_days), int(mau_days))
+    span = (ud.select(
+        "_u", F.explode(F.sequence(
+            F.lit(0), F.lit(span_days - 1))).alias("_off"), "_d")
+        .select("_u", F.date_add("_d", F.col("_off")).alias("day"), "_off")
+        .crossJoin(F.broadcast(maxd))
+        .filter(F.col("day") <= F.col("_maxd"))
+        .groupBy("_u", "day").agg(F.min("_off").alias("_mo")))
+    # row set = days with >= 1 user in the trailing MAU window (the frame
+    # the old mau-anchored left joins emitted); dau/wau are conditional
+    # counts over the same rows
+    out = (span.groupBy("day").agg(
+        F.count(F.when(F.col("_mo") == 0, 1)).alias("dau"),
+        F.count(F.when(F.col("_mo") <= int(wau_days) - 1, 1)).alias("wau"),
+        F.count(F.when(F.col("_mo") <= int(mau_days) - 1, 1)).alias("mau"))
+        .filter(F.col("mau") >= 1))
     return (out.withColumn(
         "stickiness",
         F.round(F.try_divide(F.col("dau").cast("double"),

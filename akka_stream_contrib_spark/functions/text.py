@@ -897,7 +897,14 @@ def distinct_ngrams(ns=(1, 2, 3), group_col: str = "source",
         raise ValueError(f"ns must be positive ints, got {ns!r}")
 
     def _apply(df: DataFrame) -> DataFrame:
-        toks = F.split(F.col(text_col), " ")
+        # tokens staged as a projected column BEFORE the higher-order
+        # transform: HOF lambdas run interpreted (no CSE), so a
+        # closure-captured split() re-splits the document per gram
+        # position — measured 4.7x on this exact shape (see span_corrupt)
+        staged = (df.filter(F.col(text_col).isNotNull())
+                  .select(F.col(group_col).alias("group"),
+                          F.split(F.col(text_col), " ").alias("_toks")))
+        toks = F.col("_toks")
         sz = F.size(toks)
 
         def grams_for(n):
@@ -913,13 +920,21 @@ def distinct_ngrams(ns=(1, 2, 3), group_col: str = "source",
         per_n = F.explode(F.array(*[
             F.struct(F.lit(n).alias("n"), grams_for(n).alias("g"))
             for n in nss]))
-        rows = (df.filter(F.col(text_col).isNotNull())
-                .select(F.col(group_col).alias("group"), per_n.alias("_x"))
+        rows = (staged
+                .select("group", per_n.alias("_x"))
                 .select("group", F.col("_x.n").alias("n"),
                         F.explode("_x.g").alias("_gram")))
-        return (rows.groupBy("group", "n")
-                .agg(F.count(F.lit(1)).alias("n_grams_total"),
-                     F.countDistinct("_gram").alias("n_grams_distinct"))
+        # two-level aggregation instead of count + countDistinct in one
+        # agg: the expand form ships every gram occurrence through the
+        # shuffle twice, while the (group, n, gram) pre-aggregation
+        # map-side-combines repeated grams (boilerplate n-grams repeat
+        # massively in a real corpus) and the distinct count falls out of
+        # the second, tiny aggregation
+        per_gram = (rows.groupBy("group", "n", "_gram")
+                    .agg(F.count(F.lit(1)).alias("_c")))
+        return (per_gram.groupBy("group", "n")
+                .agg(F.sum("_c").alias("n_grams_total"),
+                     F.count(F.lit(1)).alias("n_grams_distinct"))
                 .withColumn("distinct_ratio",
                             F.round(F.col("n_grams_distinct")
                                     / F.col("n_grams_total"), 6)

@@ -12,9 +12,12 @@ Failure-as-data convention (SURVEY.md §7): the flow marks rows with a boolean
 ``Try[O]``.
 
 Scale notes: each round is a full DataFrame transformation (no collect); the
-pending set is ``localCheckpoint``-ed per round so lineage does not grow with
-retry depth; ``retries_limit``/``buffer_limit`` (Retry.scala:234-271) become
-aggregate guard checks that abort the loop.
+per-round attempt set is pipeline-persisted (r10, the graph.py discipline:
+the round's termination count doubles as the cache materialization — no
+eager checkpoint job per round) with an EAGER checkpoint every 8th round to
+bound analyzed-tree growth at deep retry chains;
+``retries_limit``/``buffer_limit`` (Retry.scala:234-271) become aggregate
+guard checks that abort the loop.
 """
 
 from __future__ import annotations
@@ -64,11 +67,17 @@ def retry(
     retry set ends the loop. Emitted rows carry ``attempts`` = number of flow
     applications.
     """
+    from akka_stream_contrib_spark.util import pipeline_cache
+
     emitted: list[DataFrame] = []
     pending = df.withColumn("attempts", F.lit(0))
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         applied = flow(pending).withColumn("attempts", F.col("attempts") + 1)
-        applied = applied.localCheckpoint(eager=True)  # truncate per-round lineage
+        # pipeline-persist, eager checkpoint every 8th round (see module
+        # docstring); the count probe below scans every partition of
+        # `applied` and so fully materializes the round's cache
+        applied = (applied.localCheckpoint(eager=True)
+                   if rnd % 8 == 7 else pipeline_cache(applied))
         succeeded = applied.filter(F.col("ok"))
         failed = applied.filter(~F.col("ok"))
         emitted.append(succeeded)
@@ -76,7 +85,7 @@ def retry(
         if "give_up" in retried.columns:
             emitted.append(_give_up_as_failures(retried.filter(F.col("give_up"))))
             retried = retried.filter(~F.col("give_up")).drop("give_up")
-        if retried.isEmpty():
+        if retried.count() == 0:
             break
         pending = retried
     else:
@@ -99,13 +108,18 @@ def retry_concat(
     Retry.scala:234-239, 263-271). With both limits None (default) the loop
     runs ONE counting action per round — the termination check on the retry
     set; the emitted side is never counted."""
+    from akka_stream_contrib_spark.util import pipeline_cache
+
     emitted: list[DataFrame] = []
     emitted_rows = 0
     retried_rows = 0
     pending = df.withColumn("attempts", F.lit(0))
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         applied = flow(pending).withColumn("attempts", F.col("attempts") + 1)
-        applied = applied.localCheckpoint(eager=True)
+        # pipeline-persist; eager checkpoint every 8th round (module
+        # docstring) — the per-round termination count materializes it
+        applied = (applied.localCheckpoint(eager=True)
+                   if rnd % 8 == 7 else pipeline_cache(applied))
         succeeded = applied.filter(F.col("ok"))
         failed = applied.filter(~F.col("ok"))
         emitted.append(succeeded)

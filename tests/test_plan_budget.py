@@ -176,9 +176,13 @@ BUDGET = {
     "bm25_search": 1, "scd2_user_state": 1, "train_test_split": 0,
     "mixture_sample": 0,
     "rolling_zscore": 1, "ewma_smooth": 1, "sessionize": 1,
-    # pagerank: budget is the FINAL plan (per-iteration lineage truncated);
-    # each iteration internally pays one contribution shuffle by design
-    "pagerank_users": 1,
+    # pagerank (r10): per-iteration lineage is cache-truncated instead of
+    # checkpoint-truncated, so the explained plan now SHOWS the iteration
+    # shuffles the old eager checkpoints executed invisibly (43 -> 5 driver
+    # jobs; the executed shuffle count per run is unchanged). 3 iterations
+    # x (share join + contribution agg + state build) + edge/node cache
+    # builds + the final read = 14
+    "pagerank_users": 14,
     # one single-row agg over lineitem + two anti-join counts
     "data_quality_report": 3,
     "winsorize_values": 1,
@@ -456,10 +460,11 @@ BUDGET = {
     # triangle_count's wedge pipeline with und/deg pipeline-cached (the
     # multi-consumer difference), per-node credit explode + count
     "local_clustering": 7,
-    # cached (basket,item) distinct + basket-size window + self-join +
-    # pair count + two item-count joins (shared partitioning where keys
-    # allow; AQE broadcasts the small sides at runtime)
-    "association_rules": 7,
+    # r10 posting form: ONE basket-key shuffle builds the sorted item
+    # array (dedup + size guard in the same pass), pairs fan out IN-ROW,
+    # then pair count + item counts + final ordering — the old basket
+    # self-join's second hash pass is gone (7 -> 5)
+    "association_rules": 5,
     # per-user duration agg + distinct-duration collapse + two range
     # prefixes (checkpoint-truncated in the printed plan)
     "kaplan_meier": 2,
@@ -513,35 +518,41 @@ BUDGET = {
     "wilson_rank": 1,
     # distinct-score collapse + shared two-phase prefix (checkpoint)
     "f1_threshold_sweep": 2,
-    # three bm25 stat/top pipelines (each: tf agg + TakeOrdered) feeding
-    # one bounded per-query rank + 1-row reduction
-    "mrr_eval": 6,
-    # basket dedup/size-window + item counts + pair self-join/count +
-    # neighbor joins + per-item rank window
-    "item_cf_recs": 8,
-    # per-iteration lineage is checkpoint-truncated (pagerank pattern);
-    # deferred normalization moves the single L1-norm aggregate AFTER the
-    # last checkpoint (1 -> 2 residual exchanges) in exchange for
-    # dropping the two broadcast-norm driver jobs every iteration
-    "hits_scores": 2,
-    # checkpoint-truncated peel rounds; residual = final degree agg
-    "k_core": 2,
+    # r10 shared-scan form: ONE tf pass + 1-row stats broadcast feed all
+    # three queries' TakeOrdered branches; union + bounded rank + 1-row
+    # reduction (6 -> 3, 9 corpus scans -> 1)
+    "mrr_eval": 3,
+    # r10 posting form (see association_rules) + neighbor mirror +
+    # per-item rank window (8 -> 7)
+    "item_cf_recs": 7,
+    # hits (r10 sparse linear chain): the full 3-iteration plan is now
+    # visible (no eager checkpoints, 44 -> 11 driver jobs): 2 half-step
+    # aggs x 3 iterations + their join-side exchanges + cache builds +
+    # norm/zero-fill reads = 17; deferred normalization still saves the
+    # two broadcast-norm driver jobs every iteration
+    "hits_scores": 17,
+    # cache-truncated peel rounds (r10): the 8 rounds' degree aggs and
+    # keep-join shuffles are now visible in the one explained plan
+    "k_core": 13,
     # pair join + 2 gram-count shuffles per n-gram order + clipped-match
     # joins + 1-row length agg over the cached paired frame
     "bleu_eval": 7,
-    # checkpoint-truncated label sweeps; residual = final vote/rank round
-    "lpa_communities": 1,
-    # checkpoint-truncated frontier rounds; residual = final union read
-    "bfs_hops": 1,
+    # cache-truncated label sweeps (r10): both vote rounds' shuffles and
+    # the symmetric-view build are visible in the one explained plan
+    "lpa_communities": 7,
+    # cache-truncated frontier rounds (r10): the per-hop expand/distinct
+    # shuffles are visible in the one explained plan
+    "bfs_hops": 8,
     # window-edge derivation + canonical distinct + the explicit
     # parallelism-pinning repartition (union sides) + posting groupBy +
     # (x,y) pair agg; anti-join broadcasts, top-k is TakeOrdered
     "adamic_adar": 6,
-    # (user, day) collapse + per-window offset-explode re-distinct/count
-    # (x3 windows) + the day joins of those collapsed day frames
-    "active_users": 9,
-    # pagerank's checkpoint-truncated loop; residual = final rank read
-    "ppr_related": 1,
+    # (user, day) collapse + ONE offset-explode min-offset collapse + the
+    # final per-day conditional counts (r10 one-explode rewrite: 9 -> 5)
+    "active_users": 5,
+    # pagerank's cache-truncated loop (r10): iteration shuffles visible
+    # in the one explained plan, same executed count as before
+    "ppr_related": 14,
     # calib range-rank (two-phase) + 1-row quantile broadcast + test agg
     "conformal_interval": 3,
     # ONE key shuffle shared by the EWMA window and its lag columns,
