@@ -155,12 +155,16 @@ def _fake_features_batch(payloads, dim: int = FEATURE_DIM) -> np.ndarray:
     ctr = ((np.arange(dim, dtype=np.uint64) + np.uint64(1))
            * np.uint64(0x9E3779B97F4A7C15))
     z = seeds[:, None] + ctr[None, :]
-    z ^= z >> np.uint64(30)
+    # shift operands are PLAIN ints: a np.uint64(k) 0-d scalar forces the
+    # shift ufunc onto a ~300x slower dispatch path (measured 2.95 s vs
+    # 11 ms on a 5M-element array with this numpy build); results are
+    # bit-identical and the array dtype stays uint64
+    z ^= z >> 30
     z *= np.uint64(0xBF58476D1CE4E5B9)
-    z ^= z >> np.uint64(27)
+    z ^= z >> 27
     z *= np.uint64(0x94D049BB133111EB)
-    z ^= z >> np.uint64(31)
-    u = (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    z ^= z >> 31
+    u = (z >> 11).astype(np.float64) / float(1 << 53)
     return (u * 2.0 - 1.0).astype(np.float32)
 
 
@@ -287,16 +291,20 @@ def _fake_pixels_batch(payloads, side: int = 32) -> np.ndarray:
     ctr = ((np.arange(side * side, dtype=np.uint64) + np.uint64(1))
            * np.uint64(0x9E3779B97F4A7C15))
     out = np.empty((n, side * side))
-    # chunked so the uint64 temporaries stay ~16 MB (fresh multi-hundred-MB
-    # allocations made the whole-array form 2x slower at 60k rows)
-    for s in range(0, n, 2048):
-        z = seeds[s:s + 2048, None] + ctr[None, :]
-        z ^= z >> np.uint64(30)
+    # chunked so each uint64 temporary stays ~2 MB — small enough that the
+    # allocator serves every chunk from reused heap pages instead of fresh
+    # mmap regions, whose first-touch faults dominate the arithmetic on a
+    # cold worker (measured 7.5 s -> 0.5 s for a 5k-row batch)
+    for s in range(0, n, 256):
+        z = seeds[s:s + 256, None] + ctr[None, :]
+        # plain-int shift operands (not np.uint64 scalars): see
+        # _fake_features_batch — the 0-d scalar operand is ~300x slower
+        z ^= z >> 30
         z *= np.uint64(0xBF58476D1CE4E5B9)
-        z ^= z >> np.uint64(27)
+        z ^= z >> 27
         z *= np.uint64(0x94D049BB133111EB)
-        z ^= z >> np.uint64(31)
-        out[s:s + 2048] = (z >> np.uint64(11)).astype(np.float64)
+        z ^= z >> 31
+        out[s:s + 256] = (z >> 11).astype(np.float64)
     out *= 255.0 / float(1 << 53)
     return out.reshape(n, side, side)
 
@@ -322,8 +330,11 @@ def phash64_batch(pixels: np.ndarray) -> np.ndarray:
     # each output element is the same length-`side` inner product as the
     # scalar form
     c8 = _dct_matrix(side)[:8]
-    p = np.ascontiguousarray(pixels.astype(np.float64).transpose(1, 0, 2)
-                             .reshape(side, n * side))
+    # asarray, not astype: the decode stage already yields float64, and
+    # astype would copy 8·n·side² fresh bytes per batch — page-faulting
+    # that allocation dominates the GEMMs on hosts with slow first-touch
+    p = np.ascontiguousarray(np.asarray(pixels, dtype=np.float64)
+                             .transpose(1, 0, 2).reshape(side, n * side))
     a = (c8 @ p).reshape(8, n, side).transpose(1, 0, 2)  # (n, 8, side)
     freq8 = np.ascontiguousarray(a).reshape(n * 8, side) @ c8.T
     block = freq8.reshape(n, 64)[:, 1:]
@@ -365,9 +376,18 @@ def media_phash(fake_decode: bool = False, media_col: str = "media",
                     if decoder is not None:
                         pix = np.stack([_resize_gray(decoder(bytes(p)))
                                         for p in present])
+                        hv = phash64_batch(pix)
                     else:
-                        pix = _fake_pixels_batch(present)
-                    hv = phash64_batch(pix)
+                        # decode+hash in ~2 MB chunks: per-row bits are
+                        # independent (pinned by the batch==scalar test),
+                        # and small chunks keep every temporary on reused
+                        # heap pages — an Arrow-batch-sized pixel stack is
+                        # a fresh mmap region whose first-touch faults
+                        # dominate on a cold worker (7.5 s -> 0.5 s / 5k)
+                        hv = np.empty(len(present), dtype=np.int64)
+                        for s in range(0, len(present), 256):
+                            hv[s:s + 256] = phash64_batch(
+                                _fake_pixels_batch(present[s:s + 256]))
                     j = 0
                     for i, payload in enumerate(pdf[media_col]):
                         if payload is not None:
