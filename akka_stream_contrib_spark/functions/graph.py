@@ -599,10 +599,13 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
     broadcast-eligible anti-join; top-k is TakeOrdered, never a global
     sort.
 
-    Determinism: each center's term is ``round(1/ln(d), 9)`` cast to
-    decimal — per-term rounding + exact decimal addition make the sum
-    independent of aggregation order, so both engines produce the
-    identical score (the PMI/bigram convention).
+    Determinism: each center's term is ``round(1/ln(d), 9)`` held as a
+    1e9-scaled long — per-term rounding + exact integer addition make the
+    sum independent of aggregation order, so both engines produce the
+    identical score (the PMI/bigram convention). Scaled-long headroom:
+    a single pair overflows the 64-bit sum only past ~6.4e9 common
+    neighbors (Long.Max / 1.45e9), far beyond any graph's ``max_degree``
+    fan-in worth scoring.
 
     Returns (x, y, n_common, adamic_adar), ordered by score desc with
     (x, y) tie-break, limited to ``top_k``.
@@ -630,9 +633,19 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
                .agg(F.array_sort(F.collect_set("b")).alias("_l"))
                .withColumn("_d", F.size("_l"))
                .filter((F.col("_d") >= 2) & (F.col("_d") <= max_degree))
+               # the 9-dp term rides the quadratic wedge fan-out as a
+               # 1e9-SCALED LONG, not a decimal(28,9): the decimal cast
+               # (exact 9-dp) happens once per CENTER, the long scaling is
+               # an exact decimal multiply, and the 12M-row pair aggregate
+               # sums primitive longs instead of precision-28 decimals
+               # (16-byte unscaled values + overflow-checked adds). The
+               # final score divides the long sum back via an exact
+               # decimal(9,9) multiply, so the emitted double is
+               # bit-identical to the old decimal-sum cast.
                .withColumn("_term",
-                           F.round(F.lit(1.0) / F.log(F.col("_d")), 9)
-                           .cast("decimal(28,9)")))
+                           (F.round(F.lit(1.0) / F.log(F.col("_d")), 9)
+                            .cast("decimal(28,9)")
+                            * F.lit(1000000000)).cast("long")))
     pairs = (posting
              .select("_term", F.explode(
                  F.expr(pair_fanout_expr("x", "y"))).alias("_p"))
@@ -643,9 +656,14 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
                 F.sum("_term").alias("_aa")))
     cand = agg.join(und, (F.col("x") == F.col("a"))
                     & (F.col("y") == F.col("b")), "left_anti")
+    # unscale: long × decimal(9,9) 1e-9 is an EXACT decimal(30,9) multiply
+    # (precision 20+9+1, no division-rule precision loss), so the cast to
+    # double sees the identical rational the old decimal(38,9) sum held
     return (cand.select(
         "x", "y", "n_common",
-        (F.round(F.col("_aa").cast("double"), 6) + F.lit(0.0))
+        (F.round((F.col("_aa").cast("decimal(20,0)")
+                  * F.lit("0.000000001").cast("decimal(9,9)"))
+                 .cast("double"), 6) + F.lit(0.0))
         .alias("adamic_adar"))
         .orderBy(F.desc("adamic_adar"), "x", "y")
         .limit(top_k))

@@ -620,11 +620,12 @@ def theil_sen_trend(key: str = "user_id", seq: str = "event_id",
     compute after a single exchange).
 
     Determinism: x and v are exact inputs; each slope is ONE double
-    division; ``array_sort`` over struct(_s, xi, xj) is the same
-    (slope, i, j) total order the rank window used, so every engine
-    picks the identical pair and value. Equal-x pairs (0-width span)
-    are filtered before the sort, exactly as the old strict ``xi < xj``
-    join condition excluded them.
+    division; ``array_sort`` over the plain slope doubles gives the same
+    k-th smallest VALUE as any tie-broken (slope, i, j) order — equal
+    doubles are interchangeable once only the value is read — so every
+    engine picks the identical median. Equal-x pairs (0-width span) are
+    excluded inside the fan-out lambda before the division, exactly as
+    the old strict ``xi < xj`` join condition excluded them.
 
     Returns one row per key: (key, n_points, n_pairs, theil_slope).
     """
@@ -653,14 +654,21 @@ def theil_sen_trend(key: str = "user_id", seq: str = "event_id",
             F.count(F.lit(1)).alias("n_points"))
         # all ordered pairs (i < j) as slope structs, built in-row:
         # transform index i is 0-based, slice position is 1-based, so the
-        # tail strictly after element i starts at i + 2. Duplicate-x pairs
-        # divide by 0.0 into ±Inf/NaN (IEEE, never an ANSI error) and are
-        # dropped by the xj != xi filter before the sort.
+        # tail strictly after element i starts at i + 2. Equal-x pairs are
+        # excluded BEFORE the division (q.x != p.x filter inside the inner
+        # lambda), so every generated slope is a finite double. The array
+        # holds PLAIN doubles, not (slope, xi, xj) structs: the output
+        # only ever reads the median slope VALUE, and the k-th smallest
+        # double of a multiset is the same under any tie order, so the
+        # struct tie-break was semantically inert — while array_sort over
+        # structs pays an interpreted 3-field comparator per comparison
+        # against a primitive double compare here (~2x the whole query's
+        # data-bound cost at sf0.1, measured round 10).
         pair_expr = (
-            "filter(flatten(transform(_pts, (p, i) -> "
-            "transform(slice(_pts, i + 2, size(_pts) - i - 1), q -> "
-            "struct((q.v - p.v) / cast(q.x - p.x as double) as _s, "
-            "p.x as xi, q.x as xj)))), r -> r.xj != r.xi)")
+            "flatten(transform(_pts, (p, i) -> "
+            "transform(filter(slice(_pts, i + 2, size(_pts) - i - 1), "
+            "q -> q.x != p.x), "
+            "q -> (q.v - p.v) / cast(q.x - p.x as double))))")
         slopes = grp.select(
             "k", "n_points",
             F.array_sort(F.expr(pair_expr)).alias("_sl"))
@@ -676,7 +684,7 @@ def theil_sen_trend(key: str = "user_id", seq: str = "event_id",
                         F.size("_sl").cast("long").alias("n_pairs"),
                         (F.round(F.when(F.size("_sl") >= 1, F.expr(
                             "element_at(_sl, cast((size(_sl) + 1) div 2"
-                            " as int))._s")), 6) + F.lit(0.0))
+                            " as int))")), 6) + F.lit(0.0))
                         .alias("theil_slope"))
                 .filter(F.col("n_pairs") >= 1)
                 .orderBy(key))
