@@ -353,6 +353,33 @@ def ivf_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
 BROADCAST_BUDGET_ROWS = 1_000_000
 
 
+def _topk_idx_rounded(sims: np.ndarray, kk: int) -> np.ndarray:
+    """Per-row top-``kk`` column indices of ``sims`` ordered by
+    (sim DESC, column ASC), for sims ALREADY ROUNDED to 6 dp.
+
+    Output-identical to ``np.argsort(-sims, axis=1, kind="stable")[:, :kk]``
+    but O(C) per row instead of O(C log C): the 1e6-scaled sim and the
+    column index pack into ONE int64 key (higher sim → smaller key, ties →
+    smaller column first — keys are unique per row, so even plain
+    argpartition is deterministic), the kk smallest keys come from
+    ``argpartition``, and only those kk are fully sorted. The plain
+    argpartition-on-floats shortcut is NOT equivalent (an exact tie
+    straddling the boundary drops an arbitrary member); the packed key is
+    what makes the selection total-order-exact.
+    """
+    n_cols = sims.shape[1]
+    # scaled sim |s|<=~1e6 fits 21 bits; column index fits 32. Shift/or
+    # operands are plain ints (a 0-d np scalar operand hits a ~300x slower
+    # ufunc dispatch path on this numpy build — see multimodal.py).
+    keys = ((1_000_000 - np.rint(sims * 1e6).astype(np.int64)) << 32) \
+        | np.arange(n_cols, dtype=np.int64)
+    if kk >= n_cols:
+        return np.argsort(keys, axis=1)
+    part = np.argpartition(keys, kk - 1, axis=1)[:, :kk]
+    order = np.argsort(np.take_along_axis(keys, part, axis=1), axis=1)
+    return np.take_along_axis(part, order, axis=1)
+
+
 def _bounded_index_pdf(df: DataFrame, cols: list, budget_rows: int,
                        what: str) -> pd.DataFrame:
     """Collect an index side to the driver ONLY if it fits the budget.
@@ -398,16 +425,21 @@ def ann_topk_all(df: DataFrame, k: int = 10, id_col: str = "vec_id",
     def _topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         corpus = b_mat.value
         corpus_ids = b_ids.value
+        # cap the block so the (block × N) sims temporary stays ~2 MB:
+        # fresh tens-of-MB allocations are first-touch-fault-bound on this
+        # host (the multimodal.py finding); small blocks reuse heap pages
+        block_eff = max(1, min(block, (2 << 20) // (8 * max(len(corpus_ids),
+                                                            1))))
         for pdfb in batches:
             if len(pdfb) == 0:
                 continue
             q = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             qids = pdfb[id_col].to_numpy()
-            for s in range(0, len(q), block):
-                qb = q[s:s + block]
+            for s in range(0, len(q), block_eff):
+                qb = q[s:s + block_eff]
                 sims = qb @ corpus.T                       # (b, N)
-                qb_ids = qids[s:s + block]
+                qb_ids = qids[s:s + block_eff]
                 # mask self-matches, take top-k per row
                 for row_i in range(sims.shape[0]):
                     sims[row_i, corpus_ids == qb_ids[row_i]] = -np.inf
@@ -676,15 +708,26 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
                 continue
             q = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = (q @ corpus_m.T).round(6)
             qids = pdfb[query_id].to_numpy()
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            yield pd.DataFrame({
-                "query_id": np.repeat(qids, kk),
-                "neighbor_id": corpus_ids[idx].ravel(),
-                "rank": np.tile(np.arange(1, kk + 1), len(q)),
-                "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
-            })
+            # query rows stream through the GEMM in ~2 MB sims chunks: a
+            # whole-batch (rows × corpus) sims matrix is a fresh hundreds-
+            # of-MB allocation whose first-touch page faults dominate the
+            # arithmetic on this host (the multimodal.py finding); small
+            # chunks keep every temporary on reused heap pages. Chunking
+            # the M dimension never changes an output element — each
+            # cos_sim is the same k-length dot product either way.
+            chunk = max(1, (2 << 20) // (8 * max(len(corpus_ids), 1)))
+            outs = []
+            for s in range(0, len(q), chunk):
+                sims = (q[s:s + chunk] @ corpus_m.T).round(6)
+                idx = _topk_idx_rounded(sims, kk)
+                outs.append(pd.DataFrame({
+                    "query_id": np.repeat(qids[s:s + chunk], kk),
+                    "neighbor_id": corpus_ids[idx].ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1), sims.shape[0]),
+                    "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+                }))
+            yield pd.concat(outs, ignore_index=True)
 
     id_type = queries.schema[query_id].dataType.simpleString()
     nbr_type = corpus.schema[corpus_id].dataType.simpleString()
@@ -974,13 +1017,18 @@ def hard_negatives(queries: DataFrame, k: int = 5,
                 continue
             q = np.stack(pdfb[vec_col].to_numpy()).astype(np.float64)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = (q @ corpus_m.T).round(6)
             qids = pdfb[id_col].to_numpy()
             qlabels = pdfb[label_col].to_numpy()
-            # one vectorized top-k per LABEL GROUP (few labels, not per row):
-            # the label mask is shared by every query of that label, so the
-            # candidate slice, the stable argsort, and the output columns
-            # all batch — no per-row python, no per-row DataFrame
+            # one vectorized top-k per LABEL GROUP (few labels, not per
+            # row): the label mask is shared by every query of that label.
+            # The masked corpus is gathered ONCE per label and the group's
+            # queries stream through the GEMM in ~2 MB sims chunks — a
+            # whole-batch (rows × corpus) sims matrix is a fresh
+            # hundreds-of-MB allocation whose first-touch page faults
+            # dominate the arithmetic on this host (the multimodal.py
+            # finding). Chunking M and masking the corpus BEFORE the GEMM
+            # never changes an output element: each cos_sim is the same
+            # k-length dot product of the same two vectors.
             outs = []
             for lab in np.unique(qlabels):
                 qsel = qlabels == lab
@@ -989,14 +1037,20 @@ def hard_negatives(queries: DataFrame, k: int = 5,
                 kk = min(k, len(cand_ids))
                 if kk == 0:
                     continue
-                sub = sims[qsel][:, mask]
-                idx = np.argsort(-sub, axis=1, kind="stable")[:, :kk]
-                outs.append(pd.DataFrame({
-                    "query_id": np.repeat(qids[qsel], kk),
-                    "neighbor_id": cand_ids[idx].ravel(),
-                    "rank": np.tile(np.arange(1, kk + 1), int(qsel.sum())),
-                    "cos_sim": np.take_along_axis(sub, idx, axis=1).ravel(),
-                }))
+                cand_m = np.ascontiguousarray(corpus_m[mask])
+                qg = q[qsel]
+                gids = qids[qsel]
+                chunk = max(1, (2 << 20) // (8 * len(cand_ids)))
+                for s in range(0, len(qg), chunk):
+                    sub = (qg[s:s + chunk] @ cand_m.T).round(6)
+                    idx = _topk_idx_rounded(sub, kk)
+                    outs.append(pd.DataFrame({
+                        "query_id": np.repeat(gids[s:s + chunk], kk),
+                        "neighbor_id": cand_ids[idx].ravel(),
+                        "rank": np.tile(np.arange(1, kk + 1), sub.shape[0]),
+                        "cos_sim": np.take_along_axis(sub, idx,
+                                                      axis=1).ravel(),
+                    }))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 

@@ -313,3 +313,23 @@ def test_margin_mine_small_slice_uses_actual_neighbor_counts(spark):
     # margin = cos * 2*nx*ny / (dxs*ny + dys*nx) = 1.0 * 4 / (1.707107 + 2.0)
     assert got[1].tgt_id == 101
     assert abs(got[1].margin - round(4 / 3.707107, 6)) < 1e-9
+
+
+def test_topk_idx_rounded_equals_stable_argsort():
+    # r10 opt: the packed-key argpartition selection must be output-
+    # identical to the stable argsort it replaced, including exact-tie
+    # runs straddling the k boundary (few distinct rounded values).
+    import numpy as np
+    from akka_stream_contrib_spark.functions.similarity import (
+        _topk_idx_rounded)
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        sims = (rng.integers(-4, 5, size=(60, 237)) / 4.0).round(6)
+        for kk in (1, 2, 5, 236, 237):
+            ref = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            assert np.array_equal(_topk_idx_rounded(sims, kk), ref)
+    # negative / extreme rounded sims (cos in [-1, 1]) pack correctly
+    sims = np.array([[-1.0, 1.0, 0.0, 1.0, -1.0]]).round(6)
+    ref = np.argsort(-sims, axis=1, kind="stable")
+    assert np.array_equal(_topk_idx_rounded(sims, 5), ref)
+    assert np.array_equal(_topk_idx_rounded(sims, 2), ref[:, :2])
