@@ -1356,7 +1356,14 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelates into a per-part window-min over the region-filtered pair
     table — one shuffle on l_partkey; supplier/nation/region and the part
     filter are broadcast. Deterministic LIMIT via a total order
-    (s_name, p_partkey unique per row)."""
+    (s_name, p_partkey unique per row).
+
+    r10 opt (guide §2.3 — shuffle fewer bytes): the small-part filter
+    semi-joins LINEITEM before the pair aggregation instead of filtering
+    after the window. Both the (l_partkey, l_suppkey) aggregation shuffle
+    and the window shuffle now carry only qualifying parts' rows; the pair
+    aggregate and the per-part min are group-key-local, so filtering by
+    the group key first is output-identical."""
     region = tables.load(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
     nation = tables.load(spark, "nation", sf_dir)
     supp = tables.load(spark, "supplier", sf_dir)
@@ -1367,7 +1374,13 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ps = _partsupp(spark, sf_dir)
+    li = tables.load(spark, "lineitem", sf_dir).join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_money("l_extendedprice")).alias("ps_cost"),
+        F.sum(_money("l_quantity")).alias("ps_avail"),
+    )
     cand = ps.join(F.broadcast(eur), ps.l_suppkey == eur.s_suppkey)
     w = Window.partitionBy("l_partkey")
     return (

@@ -651,8 +651,8 @@ def duplicate_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     cleaner may cut (see :func:`span_dedup`).
 
     Scale shape: one map-side gram pass (:func:`positional_ngrams`), one
-    shuffle grouping on md5(gram) — a uniform 128-bit key, so no skew and a
-    32-char key instead of the k-word string on the wire; the duplicated-gram
+    shuffle grouping on unhex(md5(gram)) — a uniform 128-bit key, so no skew
+    and 16 key bytes instead of the k-word string on the wire; the duplicated-gram
     table (count > 1) is typically a small fraction of the corpus and joins
     back to the occurrence rows on the same hash. Span merging is a
     gaps-and-islands window partitioned per document — bounded work per doc.
@@ -660,7 +660,10 @@ def duplicate_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     suffix array, no driver state.
     """
     occ = (positional_ngrams(df, k=k, id_col=id_col, text_col=text_col)
-           .select(F.md5("gram").alias("g"),
+           # unhex: the 16-byte digest itself, not its 32-char hex
+           # rendering — same 128-bit grouping key (unhex is bijective on
+           # md5 output), half the shuffle-key bytes (r10 opt, guide §2.3)
+           .select(F.unhex(F.md5("gram")).alias("g"),
                    # occurrence key as an ORDERABLE STRUCT, not an integer
                    # pack: works for string/huge ids (a doc_id*2^32 pack
                    # NULLs non-numeric ids and wraps past 2^31), and struct
@@ -754,6 +757,13 @@ def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     near-identical strings), a pair-distinct reduction, and codegen-side
     verification on candidates only. No block-size skew parameter to tune.
 
+    The shuffle key is ``xxhash64(variant)`` (8 bytes), not the variant
+    string (r10 opt, guide §2.3 — shuffle keys instead of payloads): a
+    hash collision can only MERGE two posting lists, never split one, so
+    no true pair is lost and any spurious candidate a merge fans out is
+    rejected by the threshold-bounded levenshtein verification — output
+    identical by construction even under collisions.
+
     Emits (id_a, id_b, edit_distance) with the pair ordered by the string
     (a < b), distance ∈ {0, 1} (0 only for duplicate strings under distinct
     ids).
@@ -764,10 +774,11 @@ def edit1_pairs(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
         " substring(_s, i + 1, length(_s)))), _s)"
     )
     v = (df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
-         .select("_id", "_s", F.explode(F.expr(variants)).alias("variant")))
+         .select("_id", "_s", F.explode(F.expr(variants)).alias("variant"))
+         .select("_id", "_s", F.xxhash64("variant").alias("_vk")))
     pair_expr = pair_fanout_expr()
     cand = (
-        v.groupBy("variant")
+        v.groupBy("_vk")
         .agg(F.array_sort(F.collect_list(F.struct("_s", "_id"))).alias("_l"))
         .filter(F.size("_l") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("_p"))

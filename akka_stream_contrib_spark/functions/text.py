@@ -691,13 +691,18 @@ def bleu2_corpus(refs: DataFrame, id_col: str = "doc_id",
     round-trip for the mean itself; exp appears only in the short-
     candidate BP branch, 1-ulp libm drift absorbed by the 6-dp rounding).
 
-    Distributed shape: ONE equi-join pairs the two frames on id (the
-    paired frame is pipeline-cached for its five consumers); each
-    precision is map-combined (id, gram) counts on both sides joined on
-    their shared key — grams absent from either side clip to 0 and drop
-    out of the inner join; every total is a single-row aggregate
-    broadcast into the final one-row combination. Clipped matches and
-    lengths stay exact integers until three final double divisions.
+    Distributed shape (r10 opt, guide §2.3/§2.4 — aggregate before you
+    shuffle, share passes): ONE equi-join pairs the two frames on id (the
+    paired frame is pipeline-cached for its two consumers); ONE explode of
+    a tagged (level, side, gram) array covers unigrams+bigrams on both
+    sides, so all four gram streams ride ONE (id, level, gram) shuffle
+    with map-side partial counts, and both clipped-match totals fall out
+    of a single one-row aggregate — ``least(c, r)`` is 0 whenever a gram
+    is absent from either side, which is exactly the inner-join clipping
+    of the two-sided form this replaced (measured: 4 gram exchanges + 2
+    (id, gram) joins → 1 gram exchange, explain Exchange mentions 24→9).
+    Clipped matches and lengths stay exact integers until three final
+    double divisions.
 
     Returns one row: (n_pairs, m1, d1, m2, d2, bp, p1, p2, bleu2).
 
@@ -724,25 +729,38 @@ def bleu2_corpus(refs: DataFrame, id_col: str = "doc_id",
                               _toks(F.col(text_col)).alias("_rt")),
                   "_id"))
 
-        def clipped(gram_of) -> DataFrame:
-            cc = (paired.select("_id",
-                                F.explode(gram_of(F.col("_ct"))).alias("_g"))
-                  .groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_c")))
-            rc = (paired.select("_id",
-                                F.explode(gram_of(F.col("_rt"))).alias("_g"))
-                  .groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_r")))
-            return cc.join(rc, ["_id", "_g"]).agg(
-                F.coalesce(F.sum(F.least(F.col("_c"), F.col("_r"))),
-                           F.lit(0)).alias("m"))
+        def _tagged(arr: Column, lvl: int, side: int) -> Column:
+            # NULL token arrays carry no grams either way (explode of the
+            # old per-side NULL array produced no rows; here the coalesce
+            # keeps the OTHER side's entries alive in the concat)
+            return F.transform(
+                F.coalesce(arr, F.array()),
+                lambda g: F.struct(F.lit(lvl).alias("lvl"),
+                                   F.lit(side).alias("side"),
+                                   g.alias("g")))
 
-        m1 = clipped(lambda t: t).select(F.col("m").alias("m1"))
-        m2 = clipped(_bigrams).select(F.col("m").alias("m2"))
+        entries = F.concat(
+            _tagged(F.col("_ct"), 1, 0), _tagged(_bigrams(F.col("_ct")), 2, 0),
+            _tagged(F.col("_rt"), 1, 1), _tagged(_bigrams(F.col("_rt")), 2, 1))
+        counts = (paired.select("_id", F.explode(entries).alias("_e"))
+                  .groupBy("_id", F.col("_e.lvl").alias("_lvl"),
+                           F.col("_e.g").alias("_g"))
+                  .agg(F.sum(F.when(F.col("_e.side") == 0, 1)
+                             .otherwise(0)).alias("_c"),
+                       F.sum(F.when(F.col("_e.side") == 1, 1)
+                             .otherwise(0)).alias("_r")))
+        clip = F.least(F.col("_c"), F.col("_r"))
+        m = counts.agg(
+            F.coalesce(F.sum(F.when(F.col("_lvl") == 1, clip)),
+                       F.lit(0)).alias("m1"),
+            F.coalesce(F.sum(F.when(F.col("_lvl") == 2, clip)),
+                       F.lit(0)).alias("m2"))
         lens = paired.agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(F.size("_ct")).alias("d1"),
             F.sum(F.greatest(F.size("_ct") - 1, F.lit(0))).alias("d2"),
             F.sum(F.size("_rt")).alias("r_len"))
-        j = (lens.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2)))
+        j = lens.crossJoin(F.broadcast(m))
         c = F.col("d1").cast("double")
         r = F.col("r_len").cast("double")
         bp = F.when(F.col("d1") >= F.col("r_len"), F.lit(1.0)) \

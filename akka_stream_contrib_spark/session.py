@@ -34,6 +34,14 @@ def get_spark(app_name: str = "akka-stream-contrib-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (and coalesce) the materialization of persisted
+        # frames: pipeline_cache is the repo-wide shared-subtree discipline,
+        # and with the default (false) a cached range/hash shuffle keeps all
+        # `shuffle.partitions` slices — every cache consumer then runs one
+        # task per slice (measured 10 → 134 tasks on the global_order
+        # operators when _ranged moved from localCheckpoint to persist)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # default codegen cache is 100 compiled classes; a session running the

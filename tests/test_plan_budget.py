@@ -19,13 +19,19 @@ SF = "/root/testdata/sf0.001"
 
 # query -> max shuffle exchanges (audited 2026-08-13, spark 4.1, AQE on,
 # 64 MB broadcast threshold; sf0.001 statistics)
+# r10: global_order's _ranged moved from eager localCheckpoint to a
+# pipeline-scoped persist, so every global_rank/running-agg consumer's
+# range shuffle (and its upstream lineage) is now VISIBLE in the explained
+# plan instead of hidden behind a checkpoint stub — the executed shuffles
+# are unchanged (same honest-count situation as the r10 graph-loop
+# migration); budgets for those queries were re-audited 2026-08-17.
 BUDGET = {
     "sample_nth": 0, "sample_step": 0, "partition_with": 0, "pass_through": 0,
-    "delay_flow": 0, "accumulate": 1, "accumulate_keyed": 1,
+    "delay_flow": 0, "accumulate": 2, "accumulate_keyed": 1,
     "accumulate_while_unchanged": 1, "last_element": 1,
-    "timed_interval_between": 1, "time_window": 1, "sliding_window": 1,
+    "timed_interval_between": 2, "time_window": 1, "sliding_window": 1,
     "session_window": 1, "rate_limiter": 1, "pulse": 1, "keep_alive": 1,
-    "merge_by_index": 1, "token_throttle": 1, "retry": 0, "unfold_collatz": 0,
+    "merge_by_index": 2, "token_throttle": 2, "retry": 0, "unfold_collatz": 0,
     "feedback_fibonacci": 0, "q1_pricing_summary": 1,
     "q3_shipping_priority": 1, "q5_local_supplier_volume": 1,
     "q6_forecast_revenue": 1, "q4_order_priority": 1, "q10_returned_items": 1,
@@ -89,7 +95,7 @@ BUDGET = {
     # r10 packing: global_rank's range shuffle + its pid-local window
     # re-hash, the <=budget+1-row class-min agg (broadcast back), and the
     # (class, row) assembly group — every group at most k members
-    "pack_training_rows": 4,
+    "pack_training_rows": 5,
     # r10 DPO pairs: ONE partial-aggregated prompt-key groupBy (argmax/
     # argmin are lexicographic struct MIN/MAX — map-side combinable, no
     # window sort, no join)
@@ -212,7 +218,7 @@ BUDGET = {
     # exchange on the checkpointed ranged frame + 1-row total agg +
     # custkey agg): +1 vs the old budget, which bought the removal of the
     # unbounded single-partition cumulative window (SCALE.md)
-    "pareto_customers": 3,
+    "pareto_customers": 5,
     # deletion-neighborhood posting lists: variant groupBy + pair dedup
     "fuzzy_name_match": 2,
     # daily agg + per-segment stats agg (dims broadcast)
@@ -303,9 +309,9 @@ BUDGET = {
     # corpus→vocab word-freq agg + token agg; top-k is TakeOrdered
     "bpe_token_freqs": 2,
     # global_rank range shuffle + batch_id agg (rank summary is K rows)
-    "length_batches": 2,
+    "length_batches": 3,
     # global_rank range shuffle + ordinal lookup join (hash keys uniform)
-    "negative_samples": 2,
+    "negative_samples": 3,
     # bigram word-count shuffle + per-doc share agg; map-side rule columns
     "gopher_rules": 2,
     # eval-shingle distinct (broadcast side) + per-doc conditional-sum agg
@@ -366,7 +372,7 @@ BUDGET = {
     "value_quantile_sketch": 2,
     # two distributed global-rank range partitionings + per-stage offsets
     # agg (the rank primitive's summary passes read the pinned placement)
-    "curriculum_order": 3,
+    "curriculum_order": 8,
     # band-bucket self-join exchange + candidate distinct
     "phash_near_dup": 2,
     # distinct (doc,gram) + per-gram min-doc agg + per-doc reduce
@@ -412,7 +418,7 @@ BUDGET = {
     # frame (window exchange + partial-agg exchange, both over the narrow
     # (id, n_tok, quality) frame — the r5 review fix removed the second
     # full-corpus scan+re-tokenize this replaced; see SCALE.md)
-    "token_budget_fill": 3,
+    "token_budget_fill": 4,
     # ONE pre-explode doc_id repartition (explicit count — fan-out must
     # not bind to input splits); island window + segment groupBy REUSE it
     "audio_segments": 1,
@@ -422,14 +428,14 @@ BUDGET = {
     # map-side over the intervals
     "scd2_as_of": 1,
     # two-phase global rank (range exchange); the target table broadcasts
-    "sample_step_replay": 1,
+    "sample_step_replay": 2,
     # one key-window shuffle; distance is codegen, top-k is TakeOrdered
     "motif_search": 1,
     # two-phase global rank (range exchange); shard id is map-side modulo
-    "balanced_shards": 1,
+    "balanced_shards": 2,
     # distinct-score collapse + two-phase range prefix of negatives; the
     # final 1-row reduction rides the checkpointed ranged frame
-    "auc_roc": 2,
+    "auc_roc": 4,
     # both flank frames share the one key-window shuffle
     "mean_shift": 1,
     # ONE key shuffle: the (key, lag) agg's clustered distribution is
@@ -453,7 +459,7 @@ BUDGET = {
     # one map-combined slice-key shuffle
     "sliced_eval": 1,
     # distinct-score collapse + TWO range-prefix CDFs (checkpoint-backed)
-    "ks_statistic": 3,
+    "ks_statistic": 4,
     # one (token) presence aggregation + broadcast label totals +
     # TakeOrdered top-k
     "chi2_tokens": 2,
@@ -467,7 +473,7 @@ BUDGET = {
     "association_rules": 5,
     # per-user duration agg + distinct-duration collapse + two range
     # prefixes (checkpoint-truncated in the printed plan)
-    "kaplan_meier": 2,
+    "kaplan_meier": 5,
     # psi_drift's bucket machinery (same 11 as psi_drift) over the
     # map-side anchor-distance projection
     "embedding_drift": 11,
@@ -487,7 +493,7 @@ BUDGET = {
     # resample id + rank windows over the b-row mean table
     "bootstrap_ci": 3,
     # per-key count groupBy + the two-phase range rank
-    "gini_user_activity": 2,
+    "gini_user_activity": 4,
     "tokenizer_fertility": 1,
     # TakeOrdered top-k cut; the AP windows run over the ≤k-row result
     "average_precision": 1,
@@ -496,7 +502,7 @@ BUDGET = {
     # bigram LM scoring reuses the cached bigram frame; the split adds one
     # range rank over the scored docs (budget = the LM's own exchanges are
     # lineage-truncated by its pipeline cache)
-    "perplexity_buckets": 2,
+    "perplexity_buckets": 10,
     # one user groupBy + the broadcast 1-row anchor reduction
     "rfm_features": 2,
     # cached canonical edges + cached degrees (the local_clustering
@@ -517,7 +523,7 @@ BUDGET = {
     # map-side arithmetic and the cut TakeOrdered
     "wilson_rank": 1,
     # distinct-score collapse + shared two-phase prefix (checkpoint)
-    "f1_threshold_sweep": 2,
+    "f1_threshold_sweep": 3,
     # r10 shared-scan form: ONE tf pass + 1-row stats broadcast feed all
     # three queries' TakeOrdered branches; union + bounded rank + 1-row
     # reduction (6 -> 3, 9 corpus scans -> 1)
@@ -534,9 +540,10 @@ BUDGET = {
     # cache-truncated peel rounds (r10): the 8 rounds' degree aggs and
     # keep-join shuffles are now visible in the one explained plan
     "k_core": 13,
-    # pair join + 2 gram-count shuffles per n-gram order + clipped-match
-    # joins + 1-row length agg over the cached paired frame
-    "bleu_eval": 7,
+    # r10: pair join + ONE tagged-gram (id, lvl, gram) count shuffle for
+    # all four gram streams + 1-row clipped/length aggs over the cached
+    # paired frame (was 7: two count shuffles + a clipped join per order)
+    "bleu_eval": 3,
     # cache-truncated label sweeps (r10): both vote rounds' shuffles and
     # the symmetric-view build are visible in the one explained plan
     "lpa_communities": 7,
@@ -552,7 +559,7 @@ BUDGET = {
     "active_users": 5,
     # pagerank's cache-truncated loop (r10): iteration shuffles visible
     # in the one explained plan, same executed count as before
-    "ppr_related": 14,
+    "ppr_related": 15,
     # calib range-rank (two-phase) + 1-row quantile broadcast + test agg
     "conformal_interval": 3,
     # ONE key shuffle shared by the EWMA window and its lag columns,
