@@ -435,20 +435,28 @@ def phash_near_dup(radius: int = 4, hash_col: str = "phash",
                     .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
                 for b in range(n_bands)])).alias("bk")
         ).select("_id", "_h", "bk.band", "bk.val")
-        # both self-join sides read this frame — cache it or the upstream
-        # decode/hash stage (often an Arrow pass) executes twice;
-        # registered for release by the next pipeline's entry
-        from akka_stream_contrib_spark.util import pipeline_cache
-        bands = pipeline_cache(bands)
-        a = bands.alias("a")
-        b = bands.alias("b")
-        cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                       & (F.col("a.val") == F.col("b.val"))
-                       & (F.col("a._id") < F.col("b._id")))
-                .select(F.col("a._id").alias("id_a"),
-                        F.col("b._id").alias("id_b"),
-                        F.col("a._h").alias("_ha"),
-                        F.col("b._h").alias("_hb"))
+        # candidate pairs via per-bucket POSTING LISTS (r10 opt, guide
+        # §2.3 — same rewrite as ngram_jaccard/lsh_candidate_pairs, which
+        # measured 2.6×): ONE shuffle groups each (band, val) bucket's
+        # (_id, _h) structs and the pair fan-out happens map-side, instead
+        # of hashing the band table TWICE for an a/b self-join. The sorted
+        # set fans out pairs in struct order (= id order for unique ids);
+        # the strict id_a < id_b filter keeps the old join's exclusion of
+        # same-id pairs exactly, even under a duplicated upstream id. The
+        # upstream decode/hash Arrow pass now has ONE consumer, so the
+        # pipeline cache the self-join needed is gone too.
+        from akka_stream_contrib_spark.functions.dedup import pair_fanout_expr
+        pair_expr = pair_fanout_expr("a", "b")
+        cand = (bands.groupBy("band", "val")
+                .agg(F.array_sort(
+                    F.collect_set(F.struct("_id", "_h"))).alias("_l"))
+                .filter(F.size("_l") >= 2)
+                .select(F.explode(F.expr(pair_expr)).alias("_p"))
+                .filter(F.col("_p.a._id") < F.col("_p.b._id"))
+                .select(F.col("_p.a._id").alias("id_a"),
+                        F.col("_p.b._id").alias("id_b"),
+                        F.col("_p.a._h").alias("_ha"),
+                        F.col("_p.b._h").alias("_hb"))
                 .distinct())
         ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
         return (cand.withColumn("hamming", ham)

@@ -62,7 +62,9 @@ BUDGET = {
     "semi_join_customers": 0, "anti_join_customers": 0,
     "top_orders_per_customer": 1, "props_json_extract": 1,
     "monthly_revenue": 1, "text_stats": 0, "lang_id": 0, "token_count_bpe": 0,
-    "doc_fingerprint": 0, "dedup_exact": 1, "minhash_lsh_dedup": 5,
+    # r10 posting form: per-doc minhash agg (cached) + (band, band_key)
+    # posting groupBy + pair distinct — was 5 with the band self-join
+    "doc_fingerprint": 0, "dedup_exact": 1, "minhash_lsh_dedup": 3,
     "simhash": 1, "ann_cosine_topk": 0, "ann_lsh_topk": 1, "ivf_ann_topk": 0,
     # jaccard: posting-list agg + pair agg + cache-fed size agg + 2 size
     # joins of tiny aggregates (sub-broadcast at runtime; counted in-plan)
@@ -373,8 +375,12 @@ BUDGET = {
     # two distributed global-rank range partitionings + per-stage offsets
     # agg (the rank primitive's summary passes read the pinned placement)
     "curriculum_order": 8,
-    # band-bucket self-join exchange + candidate distinct
-    "phash_near_dup": 2,
+    # r10 posting form: (band, val) posting groupBy + candidate distinct +
+    # output sort. The old budget of 2 counted a BROADCAST band self-join
+    # at fixture stats — at scale that join becomes two more shuffles of
+    # the band table (4 total); the posting form is flat 3 at any size
+    # (SCALE.md pHash section)
+    "phash_near_dup": 3,
     # distinct (doc,gram) + per-gram min-doc agg + per-doc reduce
     "novelty_score": 3,
     # name distinct + blocked self-join key exchange (similarity UDF runs
