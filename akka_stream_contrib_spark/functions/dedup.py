@@ -607,15 +607,20 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
             und.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u").agg(F.min("lbl").alias("_nlbl"))
         )
-        new_labels = (
+        # carry the PRE-step label through the checkpoint so convergence is
+        # a filter-count over the checkpointed rows — the old form re-joined
+        # new labels against old labels on u (a full shuffle join per round)
+        # just to ask "did anything drop?", but least(lbl, _nlbl) <= lbl
+        # makes the comparison row-local if _old rides along (8 bytes/row
+        # through the checkpoint copy, one join + one shuffle less per round)
+        step = (
             labels.join(neighbor_min, "u", "left")
-            .select("u", F.least("lbl", "_nlbl").alias("lbl"))
+            .select("u", F.col("lbl").alias("_old"),
+                    F.least("lbl", "_nlbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "u")
-                   .filter(F.col("n.lbl") < F.col("o.lbl")).count())
-        labels = new_labels
+        changed = step.filter(F.col("lbl") < F.col("_old")).count()
+        labels = step.select("u", "lbl")
         if changed == 0:
             break
     else:
