@@ -602,7 +602,7 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
     labels = (und.groupBy("u").agg(F.min("v").alias("lbl"))
               .select("u", F.least("u", "lbl").alias("lbl"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor_min = (
             und.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u").agg(F.min("lbl").alias("_nlbl"))
@@ -613,12 +613,28 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
         # just to ask "did anything drop?", but least(lbl, _nlbl) <= lbl
         # makes the comparison row-local if _old rides along (8 bytes/row
         # through the checkpoint copy, one join + one shuffle less per round)
-        step = (
-            labels.join(neighbor_min, "u", "left")
-            .select("u", F.col("lbl").alias("_old"),
-                    F.least("lbl", "_nlbl").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
+        step = labels.join(neighbor_min, "u", "left")
+        new_lbl = F.least("lbl", "_nlbl")
+        if rnd >= 2:
+            # pointer-jumping hop from round 3 on: also take lbl(lbl(x)).
+            # Neighbor-min alone converges in O(diameter) rounds; adding the
+            # hop makes path graphs converge in O(log diameter) (each round
+            # at least doubles how far the min has traveled). The combined
+            # update is pointwise <= the pure one and every label is still a
+            # component node id, so the fixpoint (= component min) and the
+            # no-decrease termination test are unchanged — only the round
+            # count drops. Gated to round >= 3 because dedup forests of
+            # shallow cliques converge in 2-3 rounds and would pay the extra
+            # label self-join for nothing; long chains (record-linkage name
+            # graphs) are exactly the inputs that reach round 3.
+            hop = labels.select(F.col("u").alias("_lk"),
+                                F.col("lbl").alias("_l2"))
+            step = step.join(hop, F.col("lbl") == F.col("_lk"), "left")
+            new_lbl = F.least("lbl", "_nlbl", "_l2")
+        step = (step
+                .select("u", F.col("lbl").alias("_old"),
+                        new_lbl.alias("lbl"))
+                .localCheckpoint(eager=True))
         changed = step.filter(F.col("lbl") < F.col("_old")).count()
         labels = step.select("u", "lbl")
         if changed == 0:

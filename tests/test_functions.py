@@ -156,6 +156,20 @@ def test_dup_clusters_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_dup_clusters_long_path_pointer_jump(spark):
+    # a 64-node path has diameter 63: pure neighbor-min propagation needs
+    # ~63 rounds (> max_iter=30 would raise), while the round-3+ pointer
+    # jump (lbl(lbl(x)) in the per-round min) converges in O(log n) rounds
+    # — this pins both the convergence speed and the min-label result on
+    # the deep-graph path the shallow-clique fixtures never reach
+    from akka_stream_contrib_spark.functions import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a bigint, id_b bigint")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 65)}
+
+
 def test_redact_pii_synthetic(spark):
     from akka_stream_contrib_spark.functions import redact_pii
 
