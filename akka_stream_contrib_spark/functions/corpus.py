@@ -805,17 +805,19 @@ def curriculum_order(stages: int, score, id_col: str = "doc_id"
 
     def _apply(df: DataFrame) -> DataFrame:
         from akka_stream_contrib_spark.functions.text import token_id
-        from akka_stream_contrib_spark.operators.global_order import global_rank
+        from akka_stream_contrib_spark.operators.global_order import (
+            global_rank, global_rank_total)
         s = score if isinstance(score, Column) else F.col(score)
         base = df.select(F.col(id_col).alias("doc_id"),
                          (-s.cast("double")).alias("_neg"),
                          token_id(F.col(id_col).cast("string")).alias("_shuf"))
-        r1 = global_rank(base, ["_neg", "doc_id"], out="_grk")
-        n = r1.agg(F.count(F.lit(1)).alias("_n"))
-        staged = (r1.crossJoin(F.broadcast(n))
-                  .withColumn("stage",
-                              F.floor((F.col("_grk") - 1) * F.lit(stages)
-                                      / F.col("_n")).cast("int")))
+        # total from the rank pass's own driver summary (literal) — no
+        # second count aggregate, no broadcast crossJoin
+        r1, n = global_rank_total(base, ["_neg", "doc_id"], out="_grk")
+        staged = r1.withColumn(
+            "stage",
+            F.floor((F.col("_grk") - 1) * F.lit(stages)
+                    / F.lit(max(int(n), 1))).cast("int"))
         r2 = global_rank(staged.select("doc_id", "stage", "_shuf"),
                          ["stage", "_shuf", "doc_id"], out="_grk2")
         offs = r2.groupBy("stage").agg((F.min("_grk2") - 1).alias("_off"))
@@ -1137,21 +1139,24 @@ def perplexity_split(lp_col: str = "logprob", id_col: str = "doc_id",
     curriculum_order / mixture_sample; algorithm from the public CCNet
     paper).
     """
-    from akka_stream_contrib_spark.operators.global_order import global_rank
+    from akka_stream_contrib_spark.operators.global_order import (
+        global_rank_total)
 
     def _apply(df: DataFrame) -> DataFrame:
         if n_buckets < 1:
             raise ValueError(f"perplexity_split: n_buckets >= 1, "
                              f"got {n_buckets}")
-        ranked = global_rank(df.select(id_col, lp_col), [lp_col, id_col],
-                             out="_r")
-        tot = ranked.agg(F.count(F.lit(1)).alias("_n"))
+        # the total comes from the rank pass's own K-row driver summary
+        # (global_rank_total) and bakes in as a literal — no second count
+        # aggregate over the ranked frame, no broadcast crossJoin
+        ranked, n = global_rank_total(df.select(id_col, lp_col),
+                                      [lp_col, id_col], out="_r")
         # integer DIV, not a double divide + int cast: Spark's
         # double->int cast truncates while DuckDB's ROUNDS — the integer
         # form is identical in both engines by construction
-        bucket = F.expr(f"CAST(({n_buckets} * (_r - 1)) DIV _n AS INT)")
-        return (ranked.crossJoin(F.broadcast(tot))
-                .select(id_col, lp_col, bucket.alias("ppl_bucket")))
+        bucket = F.expr(
+            f"CAST(({n_buckets} * (_r - 1)) DIV {max(int(n), 1)} AS INT)")
+        return ranked.select(id_col, lp_col, bucket.alias("ppl_bucket"))
 
     return _apply
 

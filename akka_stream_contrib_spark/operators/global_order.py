@@ -71,13 +71,26 @@ def _offset_expr(per_pid: dict[int, object], zero) -> Column:
 def global_rank(df: DataFrame, order_cols: str | Sequence[str],
                 out: str = "rnk") -> DataFrame:
     """1-based global position of each row under ``order_cols`` order."""
+    return global_rank_total(df, order_cols, out)[0]
+
+
+def global_rank_total(df: DataFrame, order_cols: str | Sequence[str],
+                      out: str = "rnk") -> tuple[DataFrame, int]:
+    """:func:`global_rank` plus the EXACT total row count, read from the
+    same K-row per-range summary the rank offsets already collect — a
+    caller that needs N (equal-count bucket cuts, stage boundaries) bakes
+    it in as a literal instead of running a second count aggregate over
+    the ranked frame and broadcast-crossJoining its 1-row result (one
+    aggregate job + one BroadcastExchange less per consumer; same number
+    by construction: both are the row count of the ranged frame)."""
     order_cols = normalize_cols(order_cols)
     ranged = _ranged(df, order_cols)
     counts = {r._pid: r.cnt for r in
               ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (ranged.withColumn(out, F.row_number().over(w) + _offset_expr(counts, 0))
-            .drop("_pid"))
+    ranked = (ranged.withColumn(out, F.row_number().over(w) + _offset_expr(counts, 0))
+              .drop("_pid"))
+    return ranked, sum(counts.values())
 
 
 #: prefix-combinable running folds: (window agg, per-partition summary agg,
