@@ -990,7 +990,7 @@ def token_budget_fill(budget_num: int = 3, budget_den: int = 10,
 
     def _apply(df: DataFrame) -> DataFrame:
         from akka_stream_contrib_spark.operators.global_order import (
-            global_running_sum)
+            global_running_agg_total)
 
         toks = (df.filter(F.col(text_col).isNotNull())
                 .select(F.col(id_col),
@@ -1004,16 +1004,17 @@ def token_budget_fill(budget_num: int = 3, budget_den: int = 10,
         # descending quality via a negated sort key (repartitionByRange in
         # the two-phase prefix sorts ascending)
         keyed = q.withColumn("_negq", -F.col("quality"))
-        cum = global_running_sum(keyed, ["_negq", id_col], "n_tok",
-                                 "cum_tok").drop("_negq")
-        # corpus total = the LAST inclusive prefix = max(cum_tok), read from
-        # the localCheckpointed ranged frame — NOT a second source scan with
-        # a full re-tokenization (n_tok is never NULL here, so the max is
-        # always the complete sum)
-        total = cum.agg(F.max("cum_tok").alias("_tot"))
-        thresh = F.expr(f"({budget_num} * _tot) div {budget_den}")
-        return (cum.crossJoin(F.broadcast(total))
-                .filter(F.col("cum_tok") <= thresh)
+        # corpus total = the running sum's OWN complete fold, read from the
+        # two-phase pass's K-row driver summary (global_running_agg_total)
+        # — no second aggregate over the cached frame, no broadcast
+        # crossJoin of its 1-row result; the budget threshold bakes in as
+        # a literal (integer arithmetic, identical to the old SQL DIV on
+        # non-negative totals)
+        cum, (total,) = global_running_agg_total(
+            keyed, ["_negq", id_col], "n_tok", "cum_tok", fn="sum")
+        cum = cum.drop("_negq")
+        thresh = (budget_num * int(total)) // budget_den if total else 0
+        return (cum.filter(F.col("cum_tok") <= F.lit(thresh).cast("long"))
                 .select(id_col, "n_tok", "quality",
                         F.col("cum_tok").cast("long").alias("cum_tok")))
 

@@ -206,7 +206,7 @@ def ks_statistic(label_col: str = "label", score_col: str = "score"):
     welch_ttest / psi_drift).
     """
     from akka_stream_contrib_spark.operators.global_order import (
-        global_running_sums,
+        global_running_agg_total,
     )
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -217,17 +217,23 @@ def ks_statistic(label_col: str = "label", score_col: str = "score"):
                .agg(F.sum(y).alias("pos"),
                     (F.count(F.lit(1)) - F.sum(y)).alias("neg")))
         # BOTH class CDFs from one ranged pass (one range shuffle, one
-        # checkpoint, one driver summary round-trip)
-        c = global_running_sums(per, ["_score"], ["pos", "neg"],
-                                ["_cp", "_cn"])
-        tot = c.agg(F.sum("pos").alias("n_pos"),
-                    F.sum("neg").alias("n_neg"))
+        # checkpoint, one driver summary round-trip); the class TOTALS are
+        # the same pass's complete folds, read from its K-row driver
+        # summary — no second aggregate over the CDF frame, no broadcast
+        # crossJoin of its 1-row result (NULL literals reproduce the empty
+        # -input sums exactly)
+        c, (t_pos, t_neg) = global_running_agg_total(
+            per, ["_score"], ["pos", "neg"], ["_cp", "_cn"], fn="sum")
+        n_pos = (F.lit(None).cast("long") if t_pos is None
+                 else F.lit(int(t_pos)).cast("long"))
+        n_neg = (F.lit(None).cast("long") if t_neg is None
+                 else F.lit(int(t_neg)).cast("long"))
         # cum·total products as exact decimal: two ~1e11-row classes at
         # 100 TB would overflow an int64 product
-        d = c.crossJoin(F.broadcast(tot)).select(
-            "_score", "n_pos", "n_neg",
-            F.abs(F.col("_cp").cast("decimal(19,0)") * F.col("n_neg")
-                  - F.col("_cn").cast("decimal(19,0)") * F.col("n_pos"))
+        d = c.select(
+            "_score", n_pos.alias("n_pos"), n_neg.alias("n_neg"),
+            F.abs(F.col("_cp").cast("decimal(19,0)") * n_neg
+                  - F.col("_cn").cast("decimal(19,0)") * n_pos)
             .alias("_num"))
         agg = d.agg(
             F.max("_num").alias("_m"),
@@ -347,7 +353,7 @@ def kaplan_meier(duration_col: str = "duration", event_col: str = "event"):
     cohort_retention / auc_roc).
     """
     from akka_stream_contrib_spark.operators.global_order import (
-        global_running_sum,
+        global_running_agg_total, global_running_sum,
     )
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -357,12 +363,15 @@ def kaplan_meier(duration_col: str = "duration", event_col: str = "event"):
                .agg(F.sum(ev).alias("d"),
                     (F.count(F.lit(1)) - F.sum(ev)).alias("c")))
         per = per.withColumn("_leave", F.col("d") + F.col("c"))
-        c1 = global_running_sum(per, ["t"], "_leave", "_cum_leave")
-        tot = c1.agg(F.sum("_leave").alias("_n_total"))
-        c1 = (c1.crossJoin(F.broadcast(tot))
-              .withColumn("n_risk",
-                          F.col("_n_total")
-                          - (F.col("_cum_leave") - F.col("_leave"))))
+        # the cohort total is the running sum's own complete fold (K-row
+        # driver summary) — no second aggregate + broadcast crossJoin
+        c1, (n_total,) = global_running_agg_total(
+            per, ["t"], "_leave", "_cum_leave", fn="sum")
+        lit_total = (F.lit(None).cast("long") if n_total is None
+                     else F.lit(int(n_total)).cast("long"))
+        c1 = c1.withColumn("n_risk",
+                           lit_total
+                           - (F.col("_cum_leave") - F.col("_leave")))
         ratio = F.col("d").cast("double") / F.col("n_risk").cast("double")
         term = F.when(
             F.col("d") < F.col("n_risk"),
@@ -1126,9 +1135,10 @@ def f1_threshold_sweep(label_col: str = "label", score_col: str = "score"):
     per-distinct-score (pos, neg) counts (one map-combined shuffle,
     bounded by score cardinality); the ≥-threshold cumulative tp/fp at
     each candidate come from the two-phase range prefix sum run ONCE over
-    both columns (`global_running_sums` — never a single-partition
-    window) subtracted from the broadcast totals; the argmax is a
-    TakeOrdered over the bounded candidate frame. tp/fp/fn stay exact
+    both columns (`global_running_agg_total` — never a single-partition
+    window) subtracted from the class totals, which are the same pass's
+    complete folds baked in as literals; the argmax is a TakeOrdered over
+    the bounded candidate frame. tp/fp/fn stay exact
     integers; precision/recall/F1 are final double divisions — both
     engines order identical doubles, and the (f1 desc, threshold asc)
     tie-break is total.
@@ -1140,7 +1150,7 @@ def f1_threshold_sweep(label_col: str = "label", score_col: str = "score"):
     auc_roc / ks_statistic / classification_report).
     """
     from akka_stream_contrib_spark.operators.global_order import (
-        global_running_sums,
+        global_running_agg_total,
     )
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -1150,19 +1160,23 @@ def f1_threshold_sweep(label_col: str = "label", score_col: str = "score"):
         per = (df.groupBy(F.col(score_col).alias("threshold"))
                .agg(F.sum(y).alias("pos"),
                     (F.count(F.lit(1)) - F.sum(y)).alias("neg")))
-        c = global_running_sums(per, ["threshold"],
-                                ["pos", "neg"], ["_cp", "_cn"])
-        totals = c.agg(F.sum("pos").alias("_tp_all"),
-                       F.sum("neg").alias("_tn_all"))
-        j = c.crossJoin(F.broadcast(totals))
+        # class totals = the same ranged pass's complete folds (K-row
+        # driver summary) — no second aggregate + broadcast crossJoin
+        c, (t_pos, t_neg) = global_running_agg_total(
+            per, ["threshold"], ["pos", "neg"], ["_cp", "_cn"], fn="sum")
+        tp_all = (F.lit(None).cast("long") if t_pos is None
+                  else F.lit(int(t_pos)).cast("long"))
+        tn_all = (F.lit(None).cast("long") if t_neg is None
+                  else F.lit(int(t_neg)).cast("long"))
+        j = c
         # ≥ t cumulative = total − inclusive-ascending prefix + own bucket
-        tp = F.col("_tp_all") - F.col("_cp") + F.col("pos")
-        fp = F.col("_tn_all") - F.col("_cn") + F.col("neg")
-        fn = F.col("_tp_all") - tp
+        tp = tp_all - F.col("_cp") + F.col("pos")
+        fp = tn_all - F.col("_cn") + F.col("neg")
+        fn = tp_all - tp
         prec = F.try_divide(tp.cast("double"), (tp + fp).cast("double"))
-        rec = F.try_divide(tp.cast("double"), F.col("_tp_all").cast("double"))
+        rec = F.try_divide(tp.cast("double"), tp_all.cast("double"))
         f1 = F.try_divide((2 * tp).cast("double"),
-                          (tp + fp + F.col("_tp_all")).cast("double"))
+                          (tp + fp + tp_all).cast("double"))
         return (j.select(
             "threshold", tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
             (F.round(prec, 6) + F.lit(0.0)).alias("precision"),

@@ -119,6 +119,22 @@ def global_running_agg(df: DataFrame, order_cols: str | Sequence[str],
     the single-column form would re-range and re-checkpoint the same frame
     per column — measured as one extra plan exchange per column in
     `ks_statistic` before the shared pass existed)."""
+    return global_running_agg_total(df, order_cols, value_col, out, fn)[0]
+
+
+def global_running_agg_total(df: DataFrame, order_cols: str | Sequence[str],
+                             value_col: str | Sequence[str],
+                             out: str | Sequence[str],
+                             fn: str = "sum",
+                             ) -> tuple[DataFrame, list]:
+    """:func:`global_running_agg` plus each column's COMPLETE fold (the
+    final carry of the per-range summaries — e.g. the corpus total for
+    ``sum``), read from the same K-row driver summary the prefix offsets
+    already collect. A caller that needs the total (budget thresholds,
+    normalizing denominators) bakes it in as a literal instead of running
+    a second aggregate over the running-fold output and
+    broadcast-crossJoining its 1-row result. ``None`` when every range's
+    summary is NULL/empty (matches what that aggregate would return)."""
     try:
         local_agg, summary_agg, py_comb, col_comb, _ident = _MONOIDS[fn]
     except KeyError:
@@ -138,6 +154,7 @@ def global_running_agg(df: DataFrame, order_cols: str | Sequence[str],
     w = (Window.partitionBy("_pid").orderBy(*order_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out_cols = []
+    totals = []
     for i, (c, o) in enumerate(zip(value_cols, outs)):
         summaries = {r["_pid"]: r[f"_s{i}"] for r in rows}
         # exclusive prefix-combine of the summaries (skipping empty/None
@@ -151,6 +168,7 @@ def global_running_agg(df: DataFrame, order_cols: str | Sequence[str],
             s = summaries[pid]
             if s is not None:
                 carry = s if carry is None else py_comb(carry, s)
+        totals.append(carry)  # the complete fold over every range
         local = local_agg(c).over(w)
         pairs = [x for pid in prefix if prefix[pid] is not None
                  for x in (pid, prefix[pid])]
@@ -172,7 +190,7 @@ def global_running_agg(df: DataFrame, order_cols: str | Sequence[str],
     # every downstream reference would raise AMBIGUOUS_REFERENCE
     keep = [c for c in ranged.columns
             if c != "_pid" and c not in set(outs)]
-    return ranged.select(*keep, *out_cols)
+    return ranged.select(*keep, *out_cols), totals
 
 
 def global_running_sum(df: DataFrame, order_cols: str | Sequence[str],
