@@ -1273,7 +1273,8 @@ def split_conformal(score, calib, keep_num: int = 9, keep_den: int = 10,
     Reference anchor: none (evaluation extension; family of
     bootstrap_ci / wilson_rank — all finite-sample uncertainty).
     """
-    from akka_stream_contrib_spark.operators.global_order import global_rank
+    from akka_stream_contrib_spark.operators.global_order import (
+        global_rank_total)
 
     def _apply(df: DataFrame) -> DataFrame:
         from akka_stream_contrib_spark.util import pipeline_cache
@@ -1281,8 +1282,9 @@ def split_conformal(score, calib, keep_num: int = 9, keep_den: int = 10,
         s = score if isinstance(score, Column) else F.col(score)
         c = calib if isinstance(calib, Column) else F.col(calib)
         # scored feeds the calibration rank AND the test aggregate — one
-        # cached scan instead of two; n_calib reads the already-ranked
-        # (checkpoint-backed) frame instead of re-scanning the input
+        # cached scan instead of two; n_calib comes from the rank pass's
+        # own K-row driver summary (global_rank_total), so no count
+        # aggregate over the ranked frame and no broadcast crossJoin
         scored = pipeline_cache(
             df.select(s.alias("_s"), c.alias("_c"),
                       F.col(id_col).alias("_id")))
@@ -1292,15 +1294,17 @@ def split_conformal(score, calib, keep_num: int = 9, keep_den: int = 10,
         # differently per engine (and a NULL quantile is meaningless).
         cal = (scored.filter(F.col("_c") & F.col("_s").isNotNull())
                .select("_s", "_id"))
-        ranked = global_rank(cal, ["_s", "_id"], out="_r")
-        n_cal = ranked.agg(F.count(F.lit(1)).alias("n_calib"))
-        k = F.expr(
-            f"least(greatest(((n_calib + 1) * {int(keep_num)}"
-            f" + {int(keep_den)} - 1) div {int(keep_den)}, 1), n_calib)")
-        qrow = (ranked.crossJoin(F.broadcast(n_cal))
-                .withColumn("_k", k)
-                .filter(F.col("_r") == F.col("_k"))
-                .select("n_calib", F.col("_k").alias("k"),
+        ranked, n = global_rank_total(cal, ["_s", "_id"], out="_r")
+        # exact integer arithmetic in Python — identical to the old SQL
+        # least/greatest/div chain on non-negative ints; n == 0 gives
+        # k == 0, which matches no rank and yields the same empty qrow
+        n = int(n)
+        k_val = min(max(((n + 1) * int(keep_num) + int(keep_den) - 1)
+                        // int(keep_den), 1), n)
+        qrow = (ranked
+                .filter(F.col("_r") == F.lit(k_val).cast("long"))
+                .select(F.lit(n).cast("long").alias("n_calib"),
+                        F.lit(k_val).cast("long").alias("k"),
                         F.col("_s").alias("q_hat")))
         test = (scored.filter(~F.col("_c"))
                 .crossJoin(F.broadcast(qrow))
