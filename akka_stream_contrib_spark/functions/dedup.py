@@ -898,15 +898,18 @@ def novelty_score(n: int = 3, id_col: str = "doc_id", text_col: str = "text"
     Output: (doc_id, n_grams, novel, novelty).
 
     Scale shape: grams explode map-side; one shuffle to distinct
-    (doc, gram), one to the per-gram min-doc table; the ownership join is
-    gram-keyed on the SAME uniform key (ordinary hash join, Zipf head
-    handled by AQE skew split) and the final per-doc reduce is the only
-    other exchange. The distinct (doc, gram) frame feeds BOTH join sides,
-    so it is pipeline-cached — without it the explode+distinct lineage
-    recomputes per side. (A window-min over the gram partition would
-    consume the frame once but forces a per-partition SORT the hash
-    groupBy avoids — measured SLOWER, 1.14 → 1.28 s warm at sf0.1, so
-    the join form stays.) Integer counts only — no float accumulation.
+    (doc, gram), one to the per-gram min-doc table, one per-doc count of
+    that frame — and the per-doc NOVEL count is the min-doc table itself
+    re-keyed by its owning doc (``novel(d) = |{g : min_doc(g) = d}|``),
+    so the corpus-sized gram-keyed ownership join the first version paid
+    (doc_grams ⋈ first on gram, then a per-doc reduce of the joined
+    stream) is gone: what remains keyed by doc are two doc-cardinality
+    aggregates and their doc-keyed join. The distinct (doc, gram) frame
+    feeds both aggregations, so it is pipeline-cached — without it the
+    explode+distinct lineage recomputes per consumer. (A window-min over
+    the gram partition was also tried and measured SLOWER than the
+    groupBy — 1.14 → 1.28 s warm at sf0.1 — per-partition sort vs hash.)
+    Integer counts only — no float accumulation.
     """
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -925,11 +928,14 @@ def novelty_score(n: int = 3, id_col: str = "doc_id", text_col: str = "text"
                 lambda i: F.concat_ws(" ", F.slice("_t", i, n)))).alias("gram"))
         doc_grams = pipeline_cache(grams.distinct())
         first = doc_grams.groupBy("gram").agg(F.min("doc_id").alias("_first"))
-        return (doc_grams.join(first, "gram")
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("n_grams"),
-                     F.sum(F.when(F.col("_first") == F.col("doc_id"), 1)
-                           .otherwise(0)).alias("novel"))
+        novel = (first.groupBy(F.col("_first").alias("doc_id"))
+                 .agg(F.count(F.lit(1)).alias("novel")))
+        per_doc = (doc_grams.groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).alias("n_grams")))
+        return (per_doc.join(novel, "doc_id", "left")
+                .select("doc_id", "n_grams",
+                        F.coalesce(F.col("novel"), F.lit(0).cast("long"))
+                        .alias("novel"))
                 .withColumn("novelty",
                             F.round(F.col("novel") / F.col("n_grams"), 6)
                             + F.lit(0.0)))

@@ -661,8 +661,15 @@ def nb_predict(docs: DataFrame, matrix: DataFrame, priors: DataFrame,
     evidence to score). Returns (id, predicted, logpost, n_tok).
 
     Scale shape: the V·L model broadcasts; the corpus pays one
-    (id, label) aggregation shuffle and the per-id argmax window reuses
-    L-row groups — cost is one pass regardless of corpus size.
+    (id, label) aggregation shuffle, and the per-id argmax is a plain
+    MIN aggregate over a (−posterior, label) struct — lexicographic
+    struct order IS the (posterior desc, label asc) argmax order, the
+    posterior is exact decimal so its negation is exact, and within one
+    id every label row is unique so the trailing n_tok field never
+    participates in a comparison. A hash aggregate partially combines
+    map-side (≤1 row per id per map partition crosses the wire) where
+    the former row_number window shipped every (id, label) row and paid
+    a per-partition sort.
     """
     toks = (docs.select(F.col(id_col),
                         F.explode(F.split(F.lower(F.col(text_col)), " "))
@@ -674,13 +681,14 @@ def nb_predict(docs: DataFrame, matrix: DataFrame, priors: DataFrame,
                    F.count(F.lit(1)).alias("n_tok")))
     tot = (scored.join(F.broadcast(priors), "label")
            .withColumn("_post", F.col("_s") + F.col("logprior")))
-    from pyspark.sql import Window
-    w = Window.partitionBy(id_col).orderBy(F.desc("_post"), "label")
-    return (tot.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col(id_col), F.col("label").alias(out),
-                    (F.col("_post").cast("double") + F.lit(0.0))
-                    .alias("logpost"), "n_tok"))
+    best = tot.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("_post")).alias("np"),
+                       F.col("label").alias("lb"),
+                       F.col("n_tok").alias("nt"))).alias("_b"))
+    return best.select(
+        F.col(id_col), F.col("_b.lb").alias(out),
+        ((-F.col("_b.np")).cast("double") + F.lit(0.0)).alias("logpost"),
+        F.col("_b.nt").alias("n_tok"))
 
 
 def target_encoding(cat_col: str, label_col: str, id_col: str,

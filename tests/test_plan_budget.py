@@ -381,8 +381,13 @@ BUDGET = {
     # the band table (4 total); the posting form is flat 3 at any size
     # (SCALE.md pHash section)
     "phash_near_dup": 3,
-    # distinct (doc,gram) + per-gram min-doc agg + per-doc reduce
-    "novelty_score": 3,
+    # distinct (doc,gram) + per-gram min-doc agg + the two doc-keyed
+    # count aggregates (n_grams over the cached gram frame, novel over
+    # the min-doc table). 4 > the old 3, but the exchange this rewrite
+    # REMOVED was the corpus-sized gram-keyed ownership join shuffle —
+    # the two added aggregates partially combine map-side to ≤1 row per
+    # doc per partition (r10, measured 1.37→1.03 s warm at sf0.1)
+    "novelty_score": 4,
     # name distinct + blocked self-join key exchange (similarity UDF runs
     # on candidates only)
     "fuzzy_vocab_jw": 2,
