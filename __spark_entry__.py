@@ -1432,7 +1432,14 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal) held by ASIA suppliers, keeping parts above 0.05% of the
     global total. The HAVING-vs-global-scalar subquery becomes a 1-row
     broadcast crossJoin — no second scan of the pair table at scale, and
-    the grand total reuses the per-part aggregate."""
+    the grand total reuses the per-part aggregate.
+
+    r10 opt (guide §2.3, the q2 discipline): the ASIA supplier filter
+    broadcast-SEMI-joins LINEITEM before the (l_partkey, l_suppkey) pair
+    aggregation instead of joining the aggregated pair table — the pair
+    shuffle now carries only ASIA suppliers' rows (~1/5 of lineitem).
+    The filter key is a group key of the pair aggregate, so min/sum per
+    surviving group are untouched: output-identical."""
     region = tables.load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
     nation = tables.load(spark, "nation", sf_dir)
     supp = tables.load(spark, "supplier", sf_dir)
@@ -1441,12 +1448,17 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey")
     )
-    ps = _partsupp(spark, sf_dir)
+    li = tables.load(spark, "lineitem", sf_dir).join(
+        F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_money("l_extendedprice")).alias("ps_cost"),
+        F.sum(_money("l_quantity")).alias("ps_avail"),
+    )
     from akka_stream_contrib_spark.util import drop_stale_caches, pipeline_cache
     drop_stale_caches()
     per_part = pipeline_cache(
-        ps.join(F.broadcast(asia), ps.l_suppkey == asia.s_suppkey)
-        .groupBy("l_partkey")
+        ps.groupBy("l_partkey")
         .agg(F.sum(F.col("ps_cost") * F.col("ps_avail")).alias("_value"))
         # both consumers (grand total + threshold filter) read this subtree;
         # without materialization the lineitem scan + pair aggregation run

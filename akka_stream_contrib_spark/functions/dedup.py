@@ -1049,10 +1049,21 @@ def near_dup_decontaminate(train: DataFrame, eval_df: DataFrame, k: int = 3,
                           F.round(inter / (F.col("_nt") + F.col("_ne")
                                            - inter), 6))
               .filter(F.col("jaccard") >= threshold))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "eval_id")
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("doc_id", "eval_id", "jaccard"))
+    # per-train-doc argmax as a MIN aggregate over a (−jaccard, eval_id,
+    # jaccard) struct (the nb_predict / lpa r10 discipline): lexicographic
+    # struct order IS the (jaccard desc, eval_id asc) order the former
+    # row_number window sorted by — jaccard is a 6-dp round of an
+    # all-integer ratio (denominator ≥ 1, never NaN), so double negation
+    # is order-exact; the trailing payload field never decides a
+    # comparison because (jaccard, eval_id) is already unique per doc.
+    # The hash aggregate partially combines map-side where the window
+    # shipped and sorted every surviving candidate pair.
+    return (scored.groupBy("doc_id")
+            .agg(F.min(F.struct((-F.col("jaccard")).alias("nj"),
+                                F.col("eval_id").alias("ev"),
+                                F.col("jaccard").alias("jc"))).alias("_b"))
+            .select("doc_id", F.col("_b.ev").alias("eval_id"),
+                    F.col("_b.jc").alias("jaccard")))
 
 
 def lsh_design_report(configs=((8, 8), (16, 4), (32, 2)),

@@ -437,22 +437,22 @@ def lpa_communities(edges: DataFrame, rounds: int = 2,
     arithmetic — exact on any engine/partitioning.
 
     Scale shape: each round is the neighbor-label join (one shuffle on
-    the edge key) + a (node, label) count + a per-node argmax rank window
-    whose fan-in is the node's degree; lineage checkpoint-truncated.
+    the edge key) + a (node, label) count + a per-node argmax MIN
+    aggregate over a (−count, label) struct — lexicographic struct order
+    IS the (count desc, label asc) vote order, all-integer so negation
+    is exact, and the hash aggregate partially combines map-side where
+    a rank window would ship every (node, label) row and sort it.
 
     Returns (id, label) for every node in the edge list.
 
     Reference anchor: none (graph-analytics extension; family of
     pagerank / k_core; the cyclic wiring is FeedbackLoop.scala:18-38).
     """
-    from pyspark.sql import Window
-
     from akka_stream_contrib_spark.util import pipeline_cache
 
     und = _symmetric(edges, src, dst)
     labels = und.select(F.col("a").alias("id")).distinct() \
                 .withColumn("label", F.col("id"))
-    w = Window.partitionBy("a").orderBy(F.desc("_n"), "label")
     for _ in range(rounds):
         votes = (und.join(labels.select(F.col("id").alias("b"), "label"),
                           "b")
@@ -461,9 +461,10 @@ def lpa_communities(edges: DataFrame, rounds: int = 2,
         # sweep executes inside the consumer's single action, each round's
         # label cache truncating the next round's executed lineage
         labels = pipeline_cache(
-            votes.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select(F.col("a").alias("id"), "label"))
+            votes.groupBy("a")
+            .agg(F.min(F.struct((-F.col("_n")).alias("nn"),
+                                F.col("label").alias("lb"))).alias("_b"))
+            .select(F.col("a").alias("id"), F.col("_b.lb").alias("label")))
     return labels
 
 

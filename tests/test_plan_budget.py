@@ -282,8 +282,9 @@ BUDGET = {
     "kmeans_clusters": 0,
     # bigram counts + two marginal aggs + top-n; N is a 1-row broadcast
     "pmi_collocations": 4,
-    # partsupp-derived value agg ×2 (group + global threshold) + dims
-    "q11_important_stock": 5,
+    # r10: ASIA semi-join prefilters lineitem BEFORE the pair agg — pair
+    # shuffle + per-part agg + threshold rollup (dims broadcast)
+    "q11_important_stock": 3,
     "q16_supplier_part_counts": 3,
     "q20_promotion_suppliers": 3,
     "q2_min_cost_supplier": 2,
