@@ -555,38 +555,45 @@ def frequent_journeys(key: str = "user_id", seq: str = "event_id",
     actually take" primitive one level above `event_transitions`'
     bigram matrix.
 
-    Distributed shape (the theil_sen discipline): keys with more than
-    ``max_events`` observations are EXCLUDED up front by a window count
-    (loud in the signature — per-key state stays bounded), each
-    surviving key collapses to ONE ordered step array
-    (``sort_array(collect_list(struct(seq, step)))``), and the k-gram
-    explode is an in-row HOF (`transform` over `sequence`) — the only
-    shuffles are the key hash (window + agg share it) and the k-gram
-    count; top-k is TakeOrdered, never a global sort.
+    Distributed shape: keys with more than ``max_events`` observations
+    are EXCLUDED up front by a window count (loud in the signature —
+    per-key state stays bounded), and each surviving row emits its own
+    k-gram from ``lead(step, 1..k-1)`` over the (key, seq) ordering —
+    the grams stream out of the ONE key-hash window pass row by row.
+    (The first form collected each key's ordered step array and exploded
+    an in-row HOF k-gram transform; r10 measured the lead form ~2×
+    faster at sf0.1 — `sort_array` over (seq, step) structs pays an
+    interpreted comparator per element and the HOF `slice`/`concat_ws`
+    lambda evaluates interpreted per gram, where the window sort runs in
+    the native UnsafeRow sorter and the lead projection is compiled —
+    the same struct-comparator pathology the theil_sen and char-n-gram
+    posting rewrites hit.) The only shuffles are the key hash and the
+    k-gram count; top-k is TakeOrdered, never a global sort.
 
     Returns (journey, n) — journey as 'a>b>c', ordered by count desc,
     journey asc.
     """
     def _apply(df: DataFrame) -> DataFrame:
+        kk = int(k)
         pts = (df.select(F.col(key).alias("u"),
                          F.col(seq).alias("x"),
                          F.col(step).alias("s"))
-               .filter(F.col("x").isNotNull() & F.col("s").isNotNull())
-               .withColumn("_n", F.count(F.lit(1)).over(
-                   Window.partitionBy("u")))
-               .filter(F.col("_n") <= max_events)
-               .drop("_n"))
-        grp = pts.groupBy("u").agg(
-            F.expr("transform(sort_array(collect_list(struct(x, s))),"
-                   " p -> p.s)").alias("_l"))
-        kk = int(k)
-        # sequence(a, b) DESCENDS when b < a, so the short-array case must
-        # be guarded to an empty array, not fed a reversed range
-        grams = grp.select(F.explode(F.expr(
-            f"case when size(_l) >= {kk} then "
-            f"transform(sequence(1, size(_l) - {kk - 1}), "
-            f"i -> concat_ws('>', slice(_l, i, {kk}))) "
-            "else array() end")).alias("journey"))
+               .filter(F.col("x").isNotNull() & F.col("s").isNotNull()))
+        # order by (x, s) — the exact tie-break the former
+        # sort_array(collect_list(struct(x, s))) applied to duplicate seq
+        # values, so the gram stream is identical even then
+        wo = Window.partitionBy("u").orderBy("x", "s")
+        steps = [F.col("s")] + [F.lead("s", j).over(wo)
+                                for j in range(1, kk)]
+        # the count window shares the key partitioning with the ordered
+        # lead window (one exchange, one sort); lead(s, k-1) is non-NULL
+        # exactly when the gram's k rows all exist within the key (s is
+        # pre-filtered non-NULL, leads never cross partitions)
+        grams = (pts.select(
+            F.count(F.lit(1)).over(Window.partitionBy("u")).alias("_n"),
+            steps[-1].isNotNull().alias("_ok"),
+            F.concat_ws(">", *steps).alias("journey"))
+            .filter((F.col("_n") <= max_events) & F.col("_ok")))
         return (grams.groupBy("journey")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .orderBy(F.desc("n"), "journey")
