@@ -1482,18 +1482,30 @@ def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 adapted: distinct-supplier counts per (brand, type, size)
     for non-PROMO parts in 8 size buckets, excluding negative-balance
     suppliers (the fixtures carry no s_comment for the complaints filter).
-    Shape: broadcast part filter onto the pair table, anti-join the
-    excluded suppliers, then a two-level distinct aggregation that Spark
-    runs as partial-distinct + final count — no row explosion."""
+    Shape (r10, guide §2.3 — the q2/q11 discipline): BOTH filters are
+    group-key predicates of the pair aggregation (p_partkey ↔ l_partkey,
+    s_suppkey ↔ l_suppkey), so they broadcast-semi/anti-join LINEITEM
+    before the pair shuffle instead of the aggregated pair table — the
+    pair aggregation carries only qualifying rows (~13% at TPC-H
+    distribution), output-identical. Then the broadcast attribute join
+    and a two-level distinct aggregation that Spark runs as
+    partial-distinct + final count — no row explosion."""
     part = tables.load(spark, "part", sf_dir).filter(
         (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
     supp_bad = tables.load(spark, "supplier", sf_dir).filter(
         F.col("s_acctbal") < 0).select("s_suppkey")
-    ps = _partsupp(spark, sf_dir)
+    li = (tables.load(spark, "lineitem", sf_dir)
+          .join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+          .join(F.broadcast(supp_bad),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_money("l_extendedprice")).alias("ps_cost"),
+        F.sum(_money("l_quantity")).alias("ps_avail"),
+    )
     return (
         ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_bad), ps.l_suppkey == supp_bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1503,23 +1515,24 @@ def q_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 adapted: AMERICA suppliers holding excess stock of 'red'
     parts — pairs whose lifetime quantity is more than half the quantity
     shipped in 1997 (2 x avail > shipped, exact decimals). The nested
-    IN-subquery chain becomes
-    aggregate-join-aggregate: both aggregates are built from the same
-    red-part-pruned lineitem scan, and the qualifying supplier set
+    IN-subquery chain becomes ONE pair aggregation over the red-pruned
+    lineitem scan (r10, guide §2.4): lifetime quantity and the
+    1997-shipped quantity are two sums of the SAME group — the shipped
+    sum conditional on the year — so the former second aggregation and
+    the pair-key join are gone. A pair with no 1997 shipment sums the
+    conditional to NULL and the strict > comparison drops it, exactly
+    as the former INNER join did. The qualifying supplier set
     (<= |supplier|) joins back broadcast."""
     part_red = tables.load(spark, "part", sf_dir).filter(
         F.col("p_name").like("red%")).select("p_partkey")
     li = tables.load(spark, "lineitem", sf_dir).join(
         F.broadcast(part_red), F.col("l_partkey") == F.col("p_partkey")).drop("p_partkey")
-    avail = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(_money("l_quantity")).alias("ps_avail"))
-    shipped = li.filter(F.year("l_shipdate") == 1997).groupBy(
-        F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk")).agg(
-        F.sum(_money("l_quantity")).alias("_sh"))
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_money("l_quantity")).alias("ps_avail"),
+        F.sum(F.when(F.year("l_shipdate") == 1997,
+                     _money("l_quantity"))).alias("_sh"))
     qual = (
-        avail.join(shipped, (avail.l_partkey == F.col("_pk"))
-                   & (avail.l_suppkey == F.col("_sk")))
-        .filter(F.col("ps_avail") * 2 > F.col("_sh"))
+        pair.filter(F.col("ps_avail") * 2 > F.col("_sh"))
         .select(F.col("l_suppkey").alias("_qs")).distinct()
     )
     region = tables.load(spark, "region", sf_dir).filter(F.col("r_name") == "AMERICA")

@@ -286,7 +286,10 @@ BUDGET = {
     # shuffle + per-part agg + threshold rollup (dims broadcast)
     "q11_important_stock": 3,
     "q16_supplier_part_counts": 3,
-    "q20_promotion_suppliers": 3,
+    # r10: one conditional-sum pair agg (lifetime + 1997-shipped in the
+    # same group) + the distinct on qualifying suppliers; the second
+    # pair aggregation and the pair-key join are gone
+    "q20_promotion_suppliers": 2,
     "q2_min_cost_supplier": 2,
     "q9_product_profit": 2,
     # regexp counts + arithmetic: zero shuffles
@@ -558,7 +561,12 @@ BUDGET = {
     "bleu_eval": 3,
     # cache-truncated label sweeps (r10): both vote rounds' shuffles and
     # the symmetric-view build are visible in the one explained plan
-    "lpa_communities": 7,
+    # r10 aggregate-argmax rounds: 8 vs the window form's 7 is a
+    # dedup-count artifact of how the initial-labels subtree prints
+    # under the round caches — the executed counters are IDENTICAL
+    # (3 jobs / 22 stages / 25 tasks both forms, measured) and warm
+    # exec dropped 0.44-0.58 -> 0.30-0.37 s same-window
+    "lpa_communities": 8,
     # cache-truncated frontier rounds (r10): the per-hop expand/distinct
     # shuffles are visible in the one explained plan
     "bfs_hops": 8,
