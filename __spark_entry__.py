@@ -3089,8 +3089,15 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1 with bit-identical weights; 15 iterations × per-task floor
     # makes 2 partitions the local sweet spot). At cluster scale size the
     # partition count to the data instead of 2.
-    train_frame = feat.coalesce(2).localCheckpoint(eager=True)
-    w, b = logreg_train(train_frame, iters=15, lr=0.5)
+    # dim=5 (text_feature_vector's fixed width) skips the probing head();
+    # a SINGLE checkpoint partition makes each GD iteration's global
+    # aggregate exchange-free (partial+final collapse into one task), so
+    # the 15 driver round-trips cost one job each instead of an AQE
+    # stage pair — r11, guide §1.2; weights bit-identical (same per-task
+    # partial fold, one task). At cluster scale size partitions to the
+    # data instead.
+    train_frame = feat.coalesce(1).localCheckpoint(eager=True)
+    w, b = logreg_train(train_frame, iters=15, lr=0.5, dim=5)
     return (feat.select(
         "doc_id", "label",
         (F.round(logreg_predict(w, b), 6) + F.lit(0.0)).alias("prob"))
@@ -3248,12 +3255,19 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     even-id events and odd-id events with values scaled 1.1× — fixed
     equal-width buckets, per-bucket decimal-exact terms, two bucket-count
     aggregations regardless of corpus size."""
-    from akka_stream_contrib_spark.functions.ml import psi_drift
+    # single-scan split form (r11, guide §2.3): both slices come from one
+    # events scan, so the side-dependent value (odd ids scaled 1.1×) rides
+    # as a conditional column and ONE conditional-count groupBy replaces
+    # two filtered scans + the full-outer bucket join — value-identical
+    # (same integer bucket counts feed the same share divisions)
+    from akka_stream_contrib_spark.functions.ml import psi_drift_split
     ev = tables.load(spark, "events", sf_dir)
-    old = ev.filter(F.col("event_id") % 2 == 0)
-    new = (ev.filter(F.col("event_id") % 2 == 1)
-           .withColumn("value", F.col("value") * 1.1))
-    return psi_drift(old, new, "value", n_buckets=10, lo=0.0, hi=1000.0)
+    is_old = F.col("event_id") % 2 == 0
+    d = ev.select(is_old.alias("_is_old"),
+                  F.when(is_old, F.col("value"))
+                  .otherwise(F.col("value") * 1.1).alias("value"))
+    return psi_drift_split(d, F.col("_is_old"), "value",
+                           n_buckets=10, lo=0.0, hi=1000.0)
 
 
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3881,17 +3895,20 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, so anchor distance is the discriminative scalar); then
     functions/ml.py::psi_drift's fixed-bucket machinery. Map-side
     distance + two bucket-count aggregations at any corpus size."""
-    from akka_stream_contrib_spark.functions.ml import psi_drift
+    # single-scan split form (r11, guide §2.3): the 64-term anchor
+    # distance is evaluated ONCE per row and one conditional-count groupBy
+    # replaces two filtered scans + the full-outer bucket join —
+    # value-identical (same integer bucket counts, same share divisions)
+    from akka_stream_contrib_spark.functions.ml import psi_drift_split
     a = _drift_anchor()
     dist = "sqrt(0.0D" + "".join(
         f" + (CAST(embedding[{i}] AS DOUBLE) - {a[i]!r}D)"
         f" * (CAST(embedding[{i}] AS DOUBLE) - {a[i]!r}D)"
         for i in range(64)) + ")"
     emb = tables.load(spark, "embeddings", sf_dir)
-    d = emb.selectExpr("label", f"{dist} AS value")
-    old = d.filter(F.col("label") < 5)
-    new = d.filter(F.col("label") >= 5)
-    return psi_drift(old, new, "value", n_buckets=10, lo=1.0, hi=1.8)
+    d = emb.selectExpr("label < 5 AS _is_old", f"{dist} AS value")
+    return psi_drift_split(d, F.col("_is_old"), "value",
+                           n_buckets=10, lo=1.0, hi=1.8)
 
 
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:

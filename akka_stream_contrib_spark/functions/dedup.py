@@ -599,22 +599,31 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     und = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     und = und.localCheckpoint(eager=True)
+    # SELF-LOOP fold (r11, guide §2.4): appending one (u, u) row per node
+    # lets every round read a node's own label out of the same
+    # neighbor-join stream — min(lbl over neighbors ∪ self) IS
+    # least(old, neighbor_min), and min(lbl where v = u) IS the old label —
+    # so the labels ⋈ neighbor_min join (one label-table shuffle join per
+    # round) disappears. Built from the already-checkpointed `und` (one
+    # cheap distinct + checkpoint job up front, NOT a third scan of the
+    # caller's pair plan) so per-round lineage stays flat.
+    und = und.union(
+        und.select("u").distinct()
+        .select("u", F.col("u").alias("v"))).localCheckpoint(eager=True)
+    # min(v) over neighbors ∪ self == least(u, min-neighbor) of the old form
     labels = (und.groupBy("u").agg(F.min("v").alias("lbl"))
-              .select("u", F.least("u", "lbl").alias("lbl"))
               .localCheckpoint(eager=True))
     for rnd in range(max_iter):
-        neighbor_min = (
-            und.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u").agg(F.min("lbl").alias("_nlbl"))
-        )
-        # carry the PRE-step label through the checkpoint so convergence is
-        # a filter-count over the checkpointed rows — the old form re-joined
-        # new labels against old labels on u (a full shuffle join per round)
-        # just to ask "did anything drop?", but least(lbl, _nlbl) <= lbl
-        # makes the comparison row-local if _old rides along (8 bytes/row
-        # through the checkpoint copy, one join + one shuffle less per round)
-        step = labels.join(neighbor_min, "u", "left")
-        new_lbl = F.least("lbl", "_nlbl")
+        # one join + one groupBy per round: the self-loop row carries u's
+        # own label through the same aggregation, yielding the PRE-step
+        # label (_old, for the row-local convergence count) and the
+        # combined min in one pass
+        step = (und.join(labels.withColumnRenamed("u", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("lbl").alias("_nlbl"),
+                     F.min(F.when(F.col("v") == F.col("u"),
+                                  F.col("lbl"))).alias("_old")))
+        new_lbl = F.col("_nlbl")
         if rnd >= 2:
             # pointer-jumping hop from round 3 on: also take lbl(lbl(x)).
             # Neighbor-min alone converges in O(diameter) rounds; adding the
@@ -629,11 +638,10 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
             # graphs) are exactly the inputs that reach round 3.
             hop = labels.select(F.col("u").alias("_lk"),
                                 F.col("lbl").alias("_l2"))
-            step = step.join(hop, F.col("lbl") == F.col("_lk"), "left")
-            new_lbl = F.least("lbl", "_nlbl", "_l2")
+            step = step.join(hop, F.col("_old") == F.col("_lk"), "left")
+            new_lbl = F.least("_nlbl", "_l2")
         step = (step
-                .select("u", F.col("lbl").alias("_old"),
-                        new_lbl.alias("lbl"))
+                .select("u", "_old", new_lbl.alias("lbl"))
                 .localCheckpoint(eager=True))
         changed = step.filter(F.col("lbl") < F.col("_old")).count()
         labels = step.select("u", "lbl")
@@ -877,13 +885,23 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, k: int = 3,
         # a duplicated doc_id row (same or different signature) must never
         # pair with itself — hamming(X, X) = 0 would flag X for deletion
         .filter(F.col("_p.a.doc_id") != F.col("_p.b.doc_id"))
-        .groupBy(F.col("_p.a.doc_id").alias("doc_a"),
-                 F.col("_p.b.doc_id").alias("doc_b"))
-        .agg(F.first(F.col("_p.a.simhash")).alias("_sa"),
-             F.first(F.col("_p.b.simhash")).alias("_sb"))
-        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        # verify BEFORE the cross-band pair dedup (r11, guide §2.3): the
+        # hamming check needs only the candidate row itself, so applying
+        # it map-side means the dedup shuffle carries (doc_a, doc_b,
+        # hamming) for VERIFIED pairs only — not two signatures for every
+        # band collision. Every copy of a pair computes the same hamming
+        # (signatures are per-doc), so min() == the old first() over a
+        # verified-only stream, and the map-combined aggregate shrinks
+        # further. Output-identical: the old plan filtered the same
+        # predicate after its groupBy.
+        .select(F.col("_p.a.doc_id").alias("doc_a"),
+                F.col("_p.b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("_p.a.simhash")
+                            .bitwiseXOR(F.col("_p.b.simhash")))
+                .alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 

@@ -393,11 +393,21 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 8,
     Reference anchor: none (graph-analytics extension; family of
     pagerank / triangle_count / local_clustering).
     """
-    from akka_stream_contrib_spark.util import pipeline_cache
+    from akka_stream_contrib_spark.util import (pipeline_cache,
+                                                release_pipeline_cache)
 
     und = _symmetric(edges, src, dst)
     alive = und
     prev_n = None
+    # NOTE (r11): probing only every 2nd round was tried and REJECTED —
+    # the probe is a load-bearing CACHE-MATERIALIZATION barrier, not just
+    # a fixpoint check: keep_r is referenced twice by alive_r (both join
+    # sides), so an unprobed round's cache fills race inside the next
+    # job and recompute shared subtrees concurrently (measured warm build
+    # 0.81 → 5.49 s at sf0.1 with the every-2nd cadence). Per-round
+    # probes stay; what r11 adds is the eager release of superseded
+    # rounds' caches (guide §5 — bounded storage over many rounds).
+    superseded: list = []
     for _ in range(rounds):
         deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
         keep = pipeline_cache(deg.filter(F.col("degree") >= k).select("a"))
@@ -406,6 +416,11 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 8,
         # alive cache) — the old shape paid this count AND an eager
         # checkpoint recomputation per round
         n_keep = keep.count()
+        # frames superseded two-plus rounds back are fully covered by the
+        # later rounds this probe just materialized — release them (r11,
+        # guide §5; the live pair stays cached for the consumer's action)
+        while len(superseded) > 4:
+            release_pipeline_cache(superseded.pop(0))
         if prev_n is not None and n_keep == prev_n:
             break
         prev_n = n_keep
@@ -413,6 +428,7 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 8,
             alive.join(keep, "a")
             .join(keep.select(F.col("a").alias("b")), "b")
             .select("a", "b"))
+        superseded.extend([keep, alive])
     return (alive.groupBy(F.col("a").alias("id"))
             .agg(F.count(F.lit(1)).alias("degree"))
             .filter(F.col("degree") >= k)
@@ -508,9 +524,18 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 4,
             .withColumn("dist", F.lit(r)))
         # count, not isEmpty: the round's one driver job fully
         # materializes the frontier cache (the old shape computed nxt for
-        # the isEmpty probe and then RECOMPUTED it inside the eager
-        # union checkpoint — two full passes per round)
-        if nxt.count() == 0:
+        # the isEmpty probe and then RECOMPUTED it inside the eager union
+        # checkpoint — two full passes per round). r11: the FINAL round
+        # skips the probe — it decides nothing (the loop ends either way)
+        # and nxt_last is referenced exactly once (the settled union; the
+        # frontier handle is never consumed), so there is no shared-cache
+        # fill to race and the consumer's action materializes it once.
+        # (Probing only every 2nd round was tried and REJECTED: an
+        # unprobed nxt_r is referenced THREE times — next frontier, the
+        # settled union, the next anti-join — and the un-materialized
+        # cache recomputes concurrently inside the next job; measured
+        # warm exec 0.22 → 1.81 s at sf0.1.)
+        if r < max_hops and nxt.count() == 0:
             break
         settled = settled.unionByName(nxt)
         frontier = nxt
@@ -552,7 +577,12 @@ def personalized_pagerank(edges: DataFrame, seed, iterations: int = 3,
     # a seed outside the graph would make every teleport term vanish and
     # return silent all-zero ranks — fail loudly instead. count, not
     # isEmpty: the one driver job fully materializes the e/nodes caches
-    # for the loop (a take(1) probe would cache only the scanned slice)
+    # for the loop (a take(1) probe would cache only the scanned slice).
+    # NOTE (r11): skipping this probe for callers that prove membership
+    # was tried and REJECTED — it doubles as the e/nodes materialization
+    # barrier; without it the loop's first action races the shared cache
+    # fills (e is read by out_deg AND every iteration's contrib join) and
+    # recomputes them concurrently (measured cold exec 2.35 → 4.55 s).
     if nodes.filter(F.col("id") == F.lit(seed)).count() == 0:
         raise ValueError(
             f"personalized_pagerank: seed {seed!r} is not a node of the "

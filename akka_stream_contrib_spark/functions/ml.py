@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 def logreg_train(df: DataFrame, feature_col: str = "features",
                  label_col: str = "label", iters: int = 20,
-                 lr: float = 1.0, l2: float = 0.0) -> tuple[np.ndarray, float]:
+                 lr: float = 1.0, l2: float = 0.0,
+                 dim: int | None = None) -> tuple[np.ndarray, float]:
     """Fit logistic regression (full-batch GD, deterministic zero init,
     fixed step) over an ``array<double>`` feature column and a 0/1 label.
     Returns (weights, bias).
@@ -36,10 +37,14 @@ def logreg_train(df: DataFrame, feature_col: str = "features",
     all data, and the result is independent of partitioning — the property
     that makes distributed training reproducible. For ill-conditioned
     features standardize first (`quantile_normalize` or winsorize)."""
-    first = df.select(feature_col).head()
-    if first is None:
-        return np.zeros(0), 0.0
-    dim = len(first[0])
+    # dim passed by a caller that KNOWS its featurization width skips the
+    # probing head() — one driver job less (r11, guide §1.2); the training
+    # math is unchanged (an empty frame sums zero gradients either way)
+    if dim is None:
+        first = df.select(feature_col).head()
+        if first is None:
+            return np.zeros(0), 0.0
+        dim = len(first[0])
     w = np.zeros(dim)
     b = 0.0
     spark = df.sparkSession
@@ -515,6 +520,70 @@ def psi_drift(old, new, value_col: str = "value", n_buckets: int = 10,
     tot = per_bucket.agg(
         F.round(F.sum("psi_term").cast("double"), 6).alias("psi"))
     return (per_bucket.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    (F.round("p", 6) + F.lit(0.0)).alias("p"),
+                    (F.round("q", 6) + F.lit(0.0)).alias("q"),
+                    (F.col("psi_term").cast("double") + F.lit(0.0))
+                    .alias("psi_term"),
+                    (F.col("psi") + F.lit(0.0)).alias("psi")))
+
+
+def psi_drift_split(df, is_old, value_col: str = "value",
+                    n_buckets: int = 10, lo: float = 0.0,
+                    hi: float = 1000.0):
+    """:func:`psi_drift` for the common case where BOTH slices come from
+    ONE source frame (r11, guide §2.3 — the ``js_divergence_split``
+    device): instead of two filtered scans, two bucket-count aggregations
+    and a full-outer bucket join, ONE conditional-count groupBy over the
+    shared scan yields both sides' bucket counts, and the two normalizers
+    come from one aggregate over the cached ≤ n_buckets+1-row count table.
+    ``is_old`` is a boolean Column — rows where it is TRUE are the
+    reference slice, FALSE the live slice, NULL neither (exactly the rows
+    the two-frame form would place in old / new / neither).
+
+    Value-identical to :func:`psi_drift` on the same slices: per-bucket
+    shares divide the identical integer counts, so every double, every
+    9-dp decimal term and the PSI agree bit-for-bit (a side with no
+    usable rows yields the same all-0.0 shares the full-outer join's
+    coalesce produced). Same output schema.
+    """
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    df = df.filter(F.col(value_col).isNotNull())
+    b = F.when(F.col(value_col) < lo, F.lit(-1)).otherwise(
+        F.least(F.floor((F.col(value_col) - F.lit(lo))
+                        / F.lit((hi - lo) / n_buckets)).cast("int"),
+                F.lit(n_buckets - 1)))
+    cond = is_old if isinstance(is_old, Column) else F.col(is_old)
+    # a NULL side marker places the row in NEITHER slice; dropping it here
+    # keeps the bucket row set identical to the two-frame form (such a row
+    # would otherwise mint an empty (0, 0) bucket)
+    df = df.filter(cond.isNotNull())
+    per = pipeline_cache(
+        df.select(b.alias("bucket"),
+                  F.when(cond, F.lit(1)).alias("_o"),
+                  F.when(~cond, F.lit(1)).alias("_n"))
+        .groupBy("bucket")
+        .agg(F.count("_o").alias("_cp"), F.count("_n").alias("_cq")))
+    tot = per.agg(F.sum("_cp").alias("_tp"), F.sum("_cq").alias("_tq"))
+    joined = (per.crossJoin(F.broadcast(tot))
+              .select("bucket",
+                      # an empty side in the two-frame form contributed NO
+                      # rows to the full-outer join, so every share
+                      # coalesced to 0.0 — mirror that instead of 0/0
+                      F.when(F.col("_tp") == 0, F.lit(0.0))
+                      .otherwise(F.col("_cp") / F.col("_tp")).alias("p"),
+                      F.when(F.col("_tq") == 0, F.lit(0.0))
+                      .otherwise(F.col("_cq") / F.col("_tq")).alias("q")))
+    eps = 1e-6
+    pe = F.greatest(F.col("p"), F.lit(eps))
+    qe = F.greatest(F.col("q"), F.lit(eps))
+    term = (pe - qe) * F.log(pe / qe)
+    per_bucket = joined.withColumn(
+        "psi_term", F.round(term, 9).cast("decimal(15,9)"))
+    tot2 = per_bucket.agg(
+        F.round(F.sum("psi_term").cast("double"), 6).alias("psi"))
+    return (per_bucket.crossJoin(F.broadcast(tot2))
             .select("bucket",
                     (F.round("p", 6) + F.lit(0.0)).alias("p"),
                     (F.round("q", 6) + F.lit(0.0)).alias("q"),

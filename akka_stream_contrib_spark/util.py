@@ -97,3 +97,20 @@ def pipeline_cache(df):
     df = df.persist()
     _PIPELINE_CACHES.append(df)
     return df
+
+
+def release_pipeline_cache(df) -> None:
+    """Eagerly unpersist ONE pipeline-cached frame that a later loop round
+    has superseded (r11, guide §5: iterative loops otherwise accumulate
+    O(rounds × state-table) MEMORY_AND_DISK blocks; spill-safe but wasteful
+    at 100 TB). Only call once every consumer of the frame's CONTENT has
+    materialized — a recompute after release walks the frame's full
+    lineage. No-op for frames not (or no longer) registered."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    try:
+        _PIPELINE_CACHES.remove(df)
+    except ValueError:
+        pass
