@@ -5360,35 +5360,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: replayed against the local DuckDB-oracle replica each session
 #: (tests/test_oracle_gate.py).
 _PRIORITY = [
-    # (1) round-9 additions taking their reserved first-evidence slots
+    # r11 evidence rotation (verdict r10 item 7): the ~50-row driver window
+    # moves to (1) every query path this round's optimizations touched and
+    # (2) the r10-optimized paths the r10 window never sampled
+    # (hits_scores, the global_order family, bleu_eval, the LSH/posting
+    # rewrites, dup_clusters) — so the driver hashes the optimized plans,
+    # not just the local oracle replica.
+    # (1) r11-touched query paths
+    "dup_clusters", "semantic_dedup", "dup_cluster_sizes",
+    "entity_resolution", "psi_drift", "embedding_drift", "logreg_quality",
+    "simhash_pairs", "chat_tree_paths", "near_dup_decontaminate",
+    "k_core", "bfs_hops", "ppr_related", "elo_ratings", "fleiss_kappa",
+    "template_mine",
+    # (2) r10-optimized, never driver-hashed on the optimized plan
+    "hits_scores", "bleu_eval", "minhash_lsh_dedup", "phash_near_dup",
+    "pagerank_users", "lpa_communities", "curriculum_order",
+    "kaplan_meier", "auc_roc", "ks_statistic", "f1_threshold_sweep",
+    "pareto_customers", "gini_user_activity", "balanced_shards",
+    "token_budget_fill", "sample_step_replay", "negative_samples",
+    "length_batches", "perplexity_buckets", "conformal_interval",
+    "active_users", "nb_lang_confusion", "novelty_score",
+    "duplicate_spans", "span_dedup", "fuzzy_name_match",
+    "association_rules", "item_cf_recs", "doc_keywords", "mrr_eval",
+    "frequent_journeys", "theil_sen", "adamic_adar", "bpe_encode",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_promotion_suppliers",
+    # (3) former front (r9/r10 first-evidence cohorts) — already
+    # driver-hashed in r10's window, rotate behind
     "url_recrawl_dedup", "html_extract", "common_line_filter",
     "chat_training_text", "margin_mine", "web_corpus_prep",
-    "generation_loops",
-    # (2) round-10 implementation changes
-    "remove_boilerplate",
-    # (3) round-10 first-evidence additions
+    "generation_loops", "remove_boilerplate",
     "pack_training_rows", "preference_pairs", "fim_transform",
-    "near_dup_decontaminate", "chat_tree_paths",
     "rejection_sample", "epoch_shuffle", "context_fit_report",
-    "elo_ratings", "filter_funnel", "span_corrupt",
-    "interleave_by_weight", "template_mine", "bitext_filter",
-    "shard_manifest", "prefix_cache_report", "fleiss_kappa", "pass_at_k",
+    "filter_funnel", "span_corrupt",
+    "interleave_by_weight", "bitext_filter",
+    "shard_manifest", "prefix_cache_report", "pass_at_k",
     "lsh_design_report", "epoch_shuffle_grouped", "distinct_ngrams",
     "spearman_corr", "position_bias_probe", "win_rate_matrix",
-    # (4) the round-4 cohort, last driver-hashed in r4 (42 rows)
-    "accumulate_while_unchanged", "ann_all_topk", "ann_cosine_topk",
-    "ann_lsh_topk", "as_of_join", "as_of_join_forward", "blocking_report",
-    "bm25_search", "boolean_retrieval", "cdc_apply_changes",
-    "chunk_documents", "decontaminate", "dedup_incremental",
-    "dedup_keep_best", "doc_fingerprint", "funnel_conversion", "knn_join",
-    "lang_id", "minhash_lsh_dedup", "neyman_sample", "ngram_jaccard_dedup",
-    "novelty_score", "oov_rate", "pack_sequences", "pii_redact",
-    "q11_important_stock", "q12_priority_shipping",
-    "q16_supplier_part_counts", "q20_promotion_suppliers",
-    "q2_min_cost_supplier", "q9_product_profit", "quality_score",
-    "quantile_error_report", "rollup_revenue", "simhash", "target_encoding",
-    "text_stats", "tfidf_search", "token_count_bpe", "train_test_split",
-    "value_quantile_sketch", "vocab_topk",
 ]
 
 
@@ -9729,7 +9737,7 @@ def oracle_sql() -> dict[str, str]:
                            regexp_replace(text, '"[^"]*"', '<q>', 'g'),
                            '''[^'']*''', '<q>', 'g'),
                            '[0-9]+', '<num>', 'g'),
-                           '\s+', ' ', 'g')) AS s
+                           '\\s+', ' ', 'g')) AS s
                 FROM prompts WHERE text IS NOT NULL
             )
             SELECT s AS template, CAST(count(*) AS BIGINT) AS n_docs,

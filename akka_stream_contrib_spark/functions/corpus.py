@@ -1618,33 +1618,58 @@ def chat_tree_paths(max_depth: int = 16, conv_col: str = "conv_id",
         # (leaves × tree-size, quadratic in conversation size; measured
         # 38× wall at 10× nodes before this shape)
         def _walk(leaf):
-            # unrolled parent walk: chain[0] = leaf id, chain[i+1] =
-            # parent(chain[i]); element_at returns NULL past the root, so
-            # the chain is NULL-padded and the filter trims it
-            cur = leaf.n
-            hops = [cur]
-            for _ in range(max_depth - 1):
-                cur = F.element_at(F.col("_m"), cur).p
-                hops.append(cur)
-            # membership filter, not just isNotNull: a DANGLING parent id
-            # (deleted/moderated node — routine in crowd reply trees) is
-            # non-NULL but absent from the map; keeping it would render a
-            # phantom (NULL, NULL) turn. A node with a missing parent
-            # terminates the walk there (treated as a root).
-            chain = F.reverse(F.filter(
-                F.array(*hops),
-                lambda x: x.isNotNull() & F.map_contains_key(F.col("_m"), x)))
-            turns = F.transform(
-                chain,
-                lambda nid: F.struct(
-                    F.element_at(F.col("_m"), nid).r.alias("role"),
-                    F.element_at(F.col("_m"), nid).c.alias("content")))
-            return F.struct(
-                leaf.n.alias("leaf"),
-                F.size(chain).cast("bigint").alias("depth"),
-                turns.alias("turns"),
-                F.element_at(F.col("_m"), hops[-1]).p.isNotNull()
-                .alias("trunc"))
+            # parent walk as ONE aggregate fold over a step counter:
+            # chain[0] = leaf id, chain[i+1] = parent(chain[i]);
+            # element_at returns NULL past the root, so the chain is
+            # NULL-padded and the filter trims it. r11 (guide §4.2): the
+            # former UNROLLED hop list re-embedded each hop's expression
+            # in the next (hop i carried i nested lookups, so one walk
+            # evaluated O(max_depth²) map probes per leaf and the plan
+            # grew quadratically in max_depth); the fold does max_depth−1
+            # probes and O(1) plan nodes. Values are step-identical.
+            steps = (F.sequence(F.lit(1), F.lit(max_depth - 1))
+                     if max_depth > 1 else F.array().cast("array<int>"))
+            chain0 = F.aggregate(
+                steps, F.array(leaf.n),
+                lambda acc, _i: F.array_append(
+                    acc, F.element_at(F.col("_m"),
+                                      F.element_at(acc, F.lit(-1))).p))
+
+            # let-bindings via single-element transform: the padded chain
+            # and the trimmed chain are each EVALUATED ONCE and referenced
+            # through the lambda variable (HOF lambda scopes defeat CSE,
+            # so naming them as plain exprs would re-run the whole walk
+            # per reference — the shingles/span_corrupt discipline)
+            def _mk(ch):
+                # membership filter, not just isNotNull: a DANGLING parent
+                # id (deleted/moderated node — routine in crowd reply
+                # trees) is non-NULL but absent from the map; keeping it
+                # would render a phantom (NULL, NULL) turn. A node with a
+                # missing parent terminates the walk there (treated as a
+                # root).
+                kept0 = F.reverse(F.filter(
+                    ch, lambda x: x.isNotNull()
+                    & F.map_contains_key(F.col("_m"), x)))
+
+                def _emit(kept):
+                    turns = F.transform(
+                        kept,
+                        lambda nid: F.struct(
+                            F.element_at(F.col("_m"), nid).r.alias("role"),
+                            F.element_at(F.col("_m"), nid).c
+                            .alias("content")))
+                    return F.struct(
+                        leaf.n.alias("leaf"),
+                        F.size(kept).cast("bigint").alias("depth"),
+                        turns.alias("turns"),
+                        F.element_at(F.col("_m"),
+                                     F.element_at(ch, F.lit(-1))).p
+                        .isNotNull().alias("trunc"))
+
+                return F.element_at(F.transform(F.array(kept0), _emit),
+                                    F.lit(1))
+
+            return F.element_at(F.transform(F.array(chain0), _mk), F.lit(1))
 
         paths = F.transform(
             F.filter("_nodes",

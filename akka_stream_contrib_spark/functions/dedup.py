@@ -1053,10 +1053,15 @@ def near_dup_decontaminate(train: DataFrame, eval_df: DataFrame, k: int = 3,
         .select(F.col("doc_id").alias("_t"), "band", "band_key")
     eb = band_keys(ev, bands=bands, rows_per_band=rows_per_band) \
         .select(F.col("doc_id").alias("_e"), "band", "band_key")
+    # no pre-join distinct (r11, guide §2.4): a pair colliding in several
+    # bands is verified at most ``bands`` times (bounded duplication over a
+    # benchmark-sized candidate stream), and the final per-train-doc MIN
+    # aggregate collapses identical copies to the identical winner — so
+    # the distinct's dedicated exchange bought nothing the tail aggregate
+    # does not already do. Output-identical: min over duplicated rows.
     cand = (tb.join(eb, ["band", "band_key"])
             .select(F.col("_t").alias("doc_id"),
-                    F.col("_e").alias("eval_id"))
-            .distinct())
+                    F.col("_e").alias("eval_id")))
     ta = tr.select("doc_id", F.col("n").alias("_nt"),
                    F.col("shs").alias("_st"))
     ea = ev.select(F.col("doc_id").alias("eval_id"),

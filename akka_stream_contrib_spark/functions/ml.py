@@ -1507,15 +1507,23 @@ def bradley_terry_ratings(games: DataFrame, iterations: int = 3,
     if smoothing < 0:
         raise ValueError(f"smoothing must be >= 0, got {smoothing}")
 
+    from akka_stream_contrib_spark.util import (pipeline_cache,
+                                                release_pipeline_cache)
+
     a, b, wa, wb = a_col, b_col, wins_a_col, wins_b_col
     lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
     a_is_lo = F.col(a) <= F.col(b)
-    pairs = (games.filter(F.col(a) != F.col(b))
-             .groupBy(lo.alias("lo"), hi.alias("hi"))
-             .agg(F.sum(F.when(a_is_lo, F.col(wa)).otherwise(F.col(wb))
-                        .cast("double")).alias("rw_lo"),
-                  F.sum(F.when(a_is_lo, F.col(wb)).otherwise(F.col(wa))
-                        .cast("double")).alias("rw_hi"))).cache()
+    # pipeline_cache, not a bare .cache() (r11 cache hygiene): the budget
+    # probe and the collect are its two consumers; registration means a
+    # session that aborts between them still releases the cache on the
+    # next pipeline's drop_stale_caches
+    pairs = pipeline_cache(
+        games.filter(F.col(a) != F.col(b))
+        .groupBy(lo.alias("lo"), hi.alias("hi"))
+        .agg(F.sum(F.when(a_is_lo, F.col(wa)).otherwise(F.col(wb))
+                   .cast("double")).alias("rw_lo"),
+             F.sum(F.when(a_is_lo, F.col(wb)).otherwise(F.col(wa))
+                   .cast("double")).alias("rw_hi")))
     try:
         if pairs.limit(max_pairs + 1).count() > max_pairs:
             raise ValueError(
@@ -1526,7 +1534,9 @@ def bradley_terry_ratings(games: DataFrame, iterations: int = 3,
         rows = [(r.lo, r.hi, float(r.rw_lo), float(r.rw_hi))
                 for r in pairs.collect()]
     finally:
-        pairs.unpersist()
+        # registry-backed release (r11 cache hygiene): the eager unpersist
+        # stays, and drop_stale_caches covers any path that skips it
+        release_pipeline_cache(pairs)
 
     spark = games.sparkSession
     out_schema = "model string, rating double, wins double, games double"
@@ -1593,12 +1603,17 @@ def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
     p_bar, p_e, kappa), ratios rounded to 6. kappa is NULL when P_e = 1
     (all ratings one category — agreement is undefined, not perfect).
     """
+    from akka_stream_contrib_spark.util import pipeline_cache
+
     # ic feeds BOTH the per-item and the marginal reductions: cache the
     # (item, category) aggregate (items x categories rows — far below the
-    # input) so the one corpus-sized shuffle runs once, not twice
-    ic = (ratings.groupBy(F.col(item_col).alias("_i"),
-                          F.col(category_col).alias("_c"))
-          .agg(F.count(F.lit(1)).alias("_n"))).cache()
+    # input) so the one corpus-sized shuffle runs once, not twice.
+    # pipeline_cache, not a bare .cache() (r11 cache hygiene): a bare
+    # cache was never dropped — a slow storage leak over a long session
+    ic = pipeline_cache(
+        ratings.groupBy(F.col(item_col).alias("_i"),
+                        F.col(category_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_n")))
     per_item = (ic.groupBy("_i")
                 .agg(F.sum("_n").alias("_ni"),
                      F.sum(F.col("_n") * F.col("_n")).alias("_sq")))

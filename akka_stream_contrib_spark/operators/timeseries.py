@@ -556,10 +556,14 @@ def frequent_journeys(key: str = "user_id", seq: str = "event_id",
     bigram matrix.
 
     Distributed shape: keys with more than ``max_events`` observations
-    are EXCLUDED up front by a window count (loud in the signature —
-    per-key state stays bounded), and each surviving row emits its own
-    k-gram from ``lead(step, 1..k-1)`` over the (key, seq) ordering —
-    the grams stream out of the ONE key-hash window pass row by row.
+    are EXCLUDED (loud in the signature — their grams never reach the
+    count shuffle) by a count over the SAME window pass that orders the
+    rows, so an oversized key pays the shared per-key window sort (the
+    native UnsafeRow sorter spills, per-key state stays bounded) and is
+    then filtered before anything downstream; each surviving row emits
+    its own k-gram from ``lead(step, 1..k-1)`` over the (key, seq)
+    ordering — the grams stream out of the ONE key-hash window pass row
+    by row.
     (The first form collected each key's ordered step array and exploded
     an in-row HOF k-gram transform; r10 measured the lead form ~2×
     faster at sf0.1 — `sort_array` over (seq, step) structs pays an

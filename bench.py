@@ -292,6 +292,12 @@ STABLE_SET = [
     "ann_cosine_topk", "ann_ivf_all", "pq_ann", "quantized_ann", "knn_join",
     "theil_sen", "hard_negatives", "bigram_logprob", "audio_segments",
     "vwap_resample",
+    # r11 additions (verdict r10 item 5, additions-only): the five
+    # heaviest round-10 build-tail ops, so round 12 has a like-for-like
+    # cross-round signal covering them (no STABLE_PREV entries yet — the
+    # prev-total sum skips absent keys by construction)
+    "pack_training_rows", "chat_tree_paths", "near_dup_decontaminate",
+    "win_rate_matrix", "fim_transform",
 ]
 assert set(STABLE_SET) <= set(HEADLINE), "stable set must be benched"
 
@@ -530,6 +536,11 @@ def main() -> None:
                 "is apples-to-apples."),
         }, f, indent=1)
     stable_now = {q: timings[q] for q in STABLE_SET if q in timings}
+    # like-for-like guard (r11): STABLE_SET grew 25 -> 30, so total_sec no
+    # longer sums the same queries as prev_total_sec; comparable_total_sec
+    # restricts THIS round's total to the queries STABLE_PREV actually
+    # priced (additions-only field — existing fields keep their meaning)
+    prev_keys = [q for q in stable_now if q in STABLE_PREV]
     stable_block = {
         "n": len(stable_now),
         "total_sec": round(sum(stable_now.values()), 3),
@@ -537,7 +548,10 @@ def main() -> None:
             warms.get(q, stable_now[q]) for q in stable_now), 3),
         "prev_round": STABLE_PREV_ROUND,
         "prev_total_sec": round(sum(
-            STABLE_PREV[q] for q in stable_now if q in STABLE_PREV), 3),
+            STABLE_PREV[q] for q in prev_keys), 3),
+        "n_prev_comparable": len(prev_keys),
+        "comparable_total_sec": round(sum(
+            stable_now[q] for q in prev_keys), 3),
     }
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({

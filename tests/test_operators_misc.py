@@ -545,3 +545,31 @@ def test_resample_interpolate_exact_line(spark):
     assert [out[(1, d)] for d in (1, 2, 3, 4, 5)] == [0.0, 2.0, 4.0, 6.0, 8.0]
     # user 2: single observation fills its whole (1-tick) grid
     assert out[(2, 2)] == 5.0
+
+
+def test_global_rank_survives_cache_eviction(spark):
+    """Recompute-determinism of the range-pin (r11, verdict r10 item 8):
+    global_rank pins row placement with a pipeline persist; if that cache
+    is LOST at cluster scale, a recomputed partition must land on the
+    same _pid with the same local order, or the baked-in prefix offsets
+    silently corrupt every rank. The range boundaries come from seeded
+    reservoir sampling over a deterministic input, so eviction must be
+    invisible — assert the full (key -> rank) map is identical after a
+    blocking unpersist of every cache the rank pass registered."""
+    from pyspark.sql import functions as F
+    from akka_stream_contrib_spark import util
+    from akka_stream_contrib_spark.operators import global_rank
+
+    df = spark.range(0, 5000, 1, 16).select(
+        (F.pmod(F.col("id") * 7919, F.lit(977))).alias("k"),
+        F.col("id").alias("seq"))
+    ranked = global_rank(df, ["k", "seq"], out="rnk")
+    before = {(r.k, r.seq): r.rnk for r in ranked.collect()}
+    # every rank is assigned exactly once (total order over the input)
+    assert sorted(before.values()) == list(range(1, 5001))
+    # evict the pinned range partitioning; the next action recomputes it
+    # from scratch (fresh boundary sampling over the same input)
+    for c in list(util._PIPELINE_CACHES):
+        c.unpersist(blocking=True)
+    after = {(r.k, r.seq): r.rnk for r in ranked.collect()}
+    assert after == before

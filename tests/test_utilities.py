@@ -224,3 +224,40 @@ def test_retain_pipeline_caches_defers_drop(spark):
         assert a.storageLevel.useMemory and b.storageLevel.useMemory
     assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
     assert not util._PIPELINE_CACHES
+
+
+def test_no_unregistered_caches_in_package():
+    """Grep gate (r11 cache hygiene): raw ``.cache()`` is banned in the
+    package and ``.persist()`` may appear only inside util.pipeline_cache
+    or in dedup.py's registered ``_LAST_PERSISTED`` pattern — an
+    unregistered cache is never dropped by drop_stale_caches and leaks
+    executor storage for the session lifetime."""
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "akka_stream_contrib_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, pkg)
+        src = open(path).read()
+        code = "\n".join(ln for ln in src.splitlines()
+                         if not ln.lstrip().startswith("#"))
+        if ".cache()" in code:
+            offenders.append(f"{rel}: .cache()")
+        # ".unpersist()" contains ".persist()" as a substring — exclude it
+        n_persist = max(
+            0, code.count(".persist()") - code.count(".unpersist()"))
+        if rel == "util.py":
+            # pipeline_cache's own body is the one sanctioned call site
+            if n_persist > 1:
+                offenders.append(f"{rel}: {n_persist} .persist() calls")
+        elif rel == os.path.join("functions", "dedup.py"):
+            # every persist must be registered with _LAST_PERSISTED
+            if n_persist != code.count("_LAST_PERSISTED.append"):
+                offenders.append(
+                    f"{rel}: {n_persist} .persist() vs "
+                    f"{code.count('_LAST_PERSISTED.append')} registrations")
+        elif n_persist:
+            offenders.append(f"{rel}: {n_persist} .persist() calls")
+    assert not offenders, offenders
