@@ -89,9 +89,15 @@ def logreg_train(df: DataFrame, feature_col: str = "features",
                 *[f"sum({es} * x[{j}]) AS g{j}" for j in range(dim)],
                 f"sum({es}) AS gb", "count(1) AS n").collect()[0]
             n_tot = row["n"] or 1
-            gw = np.array([row[f"g{j}"] for j in range(dim)], dtype=np.float64)
+            # sum over an EMPTY frame is NULL — reachable when a caller
+            # passes dim explicitly (skipping the emptiness-detecting
+            # head()); a zero gradient leaves the weights at init, the
+            # same model the old early-return produced
+            gw = np.array([row[f"g{j}"] if row[f"g{j}"] is not None else 0.0
+                           for j in range(dim)], dtype=np.float64)
             w -= lr * (gw / n_tot + l2 * w)
-            b -= lr * float(row["gb"]) / n_tot
+            b -= lr * float(row["gb"] if row["gb"] is not None else 0.0) \
+                / n_tot
         return w, b
     for _ in range(iters):
         b_wb = spark.sparkContext.broadcast((w, b))
