@@ -318,8 +318,19 @@ def bigram_logprob_score(k: float = 0.5, id_col: str = "doc_id",
                                                     pipeline_cache)
         drop_stale_caches()
         bigrams = pipeline_cache(bigrams)
-        bg_counts = bigrams.groupBy("w1", "w2").agg(
-            F.count(F.lit(1)).alias("c12"))
+        # the count table itself feeds FOUR consumers (marginals, both
+        # vocab branches, the enrichment join) and the executed plan shows
+        # ZERO ReusedExchange across them — without its own cache each
+        # consumer re-runs the map-side partial aggregation over the whole
+        # cached bigram stream (4 full passes; the shuffled bytes were
+        # already vocab²-bounded thanks to the partial agg). Caching the
+        # vocab²-BOUNDED aggregate cuts that to one pass (r11, guide §2.4;
+        # measured jobs 23 → 21 on perplexity_buckets / 17 → 15 on
+        # bigram_logprob, wall flat at sf0.1 — the kept win is the three
+        # saved corpus-cache passes at scale).
+        bg_counts = pipeline_cache(
+            bigrams.groupBy("w1", "w2").agg(
+                F.count(F.lit(1)).alias("c12")))
         # marginal + vocabulary DERIVE from the aggregated count table
         # (|vocab|² bounded) — the raw bigram rows shuffle exactly twice
         # (count table + final per-doc reduce), never for the marginals:
