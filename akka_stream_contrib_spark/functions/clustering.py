@@ -61,14 +61,22 @@ def kmeans_assign(df: DataFrame, k: int = 8, iterations: int = 5,
     """
     if k <= 0 or iterations < 0:
         raise ValueError(f"kmeans_assign needs k>=1, iterations>=0")
-    seed_rows = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+    from akka_stream_contrib_spark.util import (drop_stale_caches,
+                                                pipeline_cache)
+    drop_stale_caches()
+    # the (id, vector) projection is scanned once per Lloyd round plus the
+    # seed TakeOrdered and the final assignment pass — iterations+2 parquet
+    # scans (each re-decoding the array<double> column) without a cache.
+    # Cache it once (MEMORY_AND_DISK, the MLlib training-loop discipline,
+    # guide §5); the seed collect below doubles as the materialization.
+    base = pipeline_cache(df.select(id_col, vec_col))
+    seed_rows = base.orderBy(id_col).limit(k).collect()
     if not seed_rows:
         return df.select(F.col(id_col), F.lit(0).alias("cluster"),
                          F.lit(0.0).alias("dist")).limit(0)
     import numpy as np
 
     cents_np = np.array([[float(x) for x in r[vec_col]] for r in seed_rows])
-    base = df.select(id_col, vec_col)
     spark = df.sparkSession
     # Iteration assignments run as ONE Arrow pass with broadcast centroids
     # and per-batch partial (cluster, n, vector-sum) rows — no shuffle at
