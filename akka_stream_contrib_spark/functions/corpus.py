@@ -945,11 +945,32 @@ def neyman_allocation(n_total: int, stratum_col: str = "event_type",
                                      .otherwise(proportional))
                              .cast("bigint"))
                  .select("stratum", "n_stratum", "sigma", "alloc"))
-        w = Window.partitionBy(stratum_col).orderBy(
-            token_id(F.col(id_col).cast("string")), id_col)
-        ranked = df.select(F.col(stratum_col).alias("stratum"),
-                           F.col(id_col).alias("_id"),
-                           F.row_number().over(w).alias("_rk"))
+        # Per-stratum hash-rank selection, SALTED two-phase (guide §2 skew):
+        # stratum cardinality is tiny (event types), so a plain
+        # Window.partitionBy(stratum) sorts the WHOLE corpus in <=|strata|
+        # reducer tasks — the hot-key straggler shape at 100 TB. Since every
+        # stratum's allocation is <= n_total (it is a floor of a <=1 share
+        # of n_total), a row can only be kept if its per-stratum rank is
+        # <= n_total, and its rank within any SUBSET containing it is a
+        # lower bound on its global rank. Phase 1 therefore ranks within
+        # (stratum, salt) — parallel, bounded sorts — and keeps local rank
+        # <= n_total: every globally-kept row survives. Phase 2 re-ranks
+        # the <= salt*n_total survivors per stratum; for any row with
+        # global rank r <= n_total all r-1 better rows also survived, so
+        # survivor rank == global rank, and a row with global rank >
+        # n_total keeps survivor rank > n_total >= alloc — the final
+        # filter selects the IDENTICAL set (oracle-verified both SFs).
+        sel = df.select(F.col(stratum_col).alias("stratum"),
+                        F.col(id_col).alias("_id"),
+                        token_id(F.col(id_col).cast("string")).alias("_h"))
+        n_salt = 32
+        w_local = Window.partitionBy(
+            "stratum", F.pmod(F.hash("_id"), F.lit(n_salt))).orderBy("_h", "_id")
+        pre = (sel.withColumn("_lrk", F.row_number().over(w_local))
+               .filter(F.col("_lrk") <= F.lit(n_total)))
+        w = Window.partitionBy("stratum").orderBy("_h", "_id")
+        ranked = pre.select("stratum", "_id",
+                            F.row_number().over(w).alias("_rk"))
         kept = (ranked.join(F.broadcast(alloc), "stratum")
                 .filter(F.col("_rk") <= F.col("alloc"))
                 .groupBy("stratum")
