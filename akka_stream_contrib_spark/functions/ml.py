@@ -1711,13 +1711,26 @@ def spearman_corr(x_col: str, y_col: str, group_col: str | None = None
     transforms: avg_rank = rank() + (n_ties - 1)/2, the fractional-rank
     convention every stats package uses for ties.
 
-    Scale shape: ONE hash exchange on the slice key shared by all four
-    windows (two rank orders x {rank, tie-count} — same partitioning,
-    Spark re-sorts without re-shuffling), then the per-slice `corr`
-    aggregate rides the same partitioning too. Rows with a NULL in
-    either score are dropped (a rank needs a value). NULL rho when a
-    slice has < 2 rows or either score is constant (zero rank variance —
-    undefined, not zero).
+    Scale shape (r11, guide §2 skew): the slice key is LOW-cardinality
+    (languages, model names), so the former per-slice rank windows sorted
+    the whole CORPUS in ≤|slices| reducer tasks — the hot-key straggler
+    shape at 100 TB. The fractional rank is a function of the DISTINCT
+    (slice, value) only: avg_rank = cnt_before + (ties+1)/2 ==
+    rank + (ties−1)/2 exactly (integers < 2^52 in double). So each score
+    ranks via a map-combined (slice, value) COUNT aggregate — a uniform
+    composite key, so the corpus collapses in parallel — and the rank
+    window rides the DISTINCT-value table; the corpus-sized row stream
+    equi-joins the two rank tables back (broadcast whenever the distinct
+    tables are small — always at bounded score domains, like the modular
+    residues the declared query ranks). The collapse factor is the tie
+    multiplicity: an adversarial all-distinct double score degenerates
+    back to a |slices|-task sort of the distinct table — the fully
+    sort-free form (global_order range machinery per slice) was measured
+    and rejected: +2 driver summary collects, jobs 4 → 21 and +0.8 s at
+    sf0.1 for a hazard the declared workloads don't hit. Rows with a
+    NULL in either score are dropped (a rank needs a value). NULL rho
+    when a slice has < 2 rows or either score is constant (zero rank
+    variance — undefined, not zero).
 
     Emits (group, n, rho) with rho rounded to 6.
     """
@@ -1726,21 +1739,42 @@ def spearman_corr(x_col: str, y_col: str, group_col: str | None = None
     from pyspark.sql import Window
 
     def _apply(df: DataFrame) -> DataFrame:
+        from akka_stream_contrib_spark.util import (drop_stale_caches,
+                                                    pipeline_cache)
+        drop_stale_caches()
         grp = (F.col(group_col) if group_col
                else F.lit("all")).alias("group")
-        base = (df.filter(F.col(x_col).isNotNull()
-                          & F.col(y_col).isNotNull())
-                .select(grp, F.col(x_col).alias("_x"),
-                        F.col(y_col).alias("_y")))
+        # three consumers (two distinct-value aggregates + the join-back
+        # row stream) — cache the projection so the source scans once
+        base = pipeline_cache(
+            df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(grp, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")))
 
-        def avg_rank(col):
-            wr = Window.partitionBy("group").orderBy(F.col(col))
-            wt = Window.partitionBy("group", col)
-            return (F.rank().over(wr).cast("double")
-                    + (F.count(F.lit(1)).over(wt) - 1) / 2.0)
+        def rank_table(c, gout, vout, rout):
+            # avg rank per DISTINCT (group, value): the corpus collapses
+            # in a map-combined count aggregate (uniform composite key),
+            # and the per-group rank window rides the DISTINCT-value
+            # table — its sort input is |distinct scores|, never the
+            # corpus rows the old per-slice window shipped to one reducer
+            d = base.groupBy("group", c).agg(F.count(F.lit(1)).alias("_cnt"))
+            wloc = (Window.partitionBy("group").orderBy(c)
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            cnt_before = F.sum("_cnt").over(wloc) - F.col("_cnt")
+            ar = (cnt_before.cast("double")
+                  + (F.col("_cnt") + 1).cast("double") / 2.0)
+            return d.select(F.col("group").alias(gout),
+                            F.col(c).alias(vout), ar.alias(rout))
 
-        ranked = (base.withColumn("_rx", avg_rank("_x"))
-                  .withColumn("_ry", avg_rank("_y")))
+        rx = rank_table("_x", "_gx", "_vx", "_rx")
+        ry = rank_table("_y", "_gy", "_vy", "_ry")
+        # every base row matches exactly one rank-table row (its own
+        # (group, value) pair exists by construction): inner joins
+        # preserve the row set; group compares null-safe
+        ranked = (base
+                  .join(rx, F.col("group").eqNullSafe(F.col("_gx"))
+                        & (F.col("_x") == F.col("_vx")))
+                  .join(ry, F.col("group").eqNullSafe(F.col("_gy"))
+                        & (F.col("_y") == F.col("_vy"))))
         # explicit covar/stddev decomposition instead of corr(): under
         # ANSI mode corr() raises ArithmeticException on zero rank
         # variance (constant score or 1-row slice) — here that case is a

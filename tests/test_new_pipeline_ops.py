@@ -1499,12 +1499,28 @@ def test_spearman_corr_ties_and_degenerate_slices(spark):
         spearman_corr("x", "x")
 
 
-def test_spearman_corr_single_exchange(spark):
+def test_spearman_corr_no_corpus_slice_sort(spark):
+    # r11 skew rewrite: the plan must contain NO window over the raw row
+    # stream partitioned by the slice key alone (the whole-corpus
+    # one-reducer-per-slice sort); ranks ride the distinct-value count
+    # tables. The bounded exchange count is pinned in test_plan_budget.
     from akka_stream_contrib_spark.functions.ml import spearman_corr
     from akka_stream_contrib_spark.plans import count_exchanges
     df = spark.createDataFrame([(1, 1.0, 2.0)], "g int, x double, y double")
-    assert count_exchanges(df.transform(
-        spearman_corr("x", "y", group_col="g"))) == 1
+    out = df.transform(spearman_corr("x", "y", group_col="g"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert count_exchanges(out) <= 9
+    # the old form computed rank() windows over the raw row stream; the
+    # rewrite derives fractional ranks arithmetically from the count
+    # aggregate, so no rank() window function may appear at all
+    assert "rank(" not in plan
+    # and every Window node's direct child is an Aggregate (the
+    # distinct-value count table), never the raw projection
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if ln.lstrip("+- :").startswith("Window"):
+            nxt = lines[i + 1].lstrip("+- :")
+            assert nxt.startswith("Aggregate"), nxt
 
 
 def test_position_bias_probe_flags_and_nulls(spark):

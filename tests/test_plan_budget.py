@@ -160,9 +160,13 @@ BUDGET = {
     # r10 distinct-n: in-row gram materialization; ONE (source, n) agg
     # whose count-distinct expands to two phases + presentation sort
     "distinct_ngrams": 3,
-    # r10 Spearman: ONE slice-key hash shared by all four rank/tie
-    # windows and the corr agg + the 5-row presentation sort
-    "spearman_corr": 2,
+    # r11 Spearman skew rewrite: the corpus collapses in two map-combined
+    # (slice, value) count aggs (uniform keys) instead of sorting whole
+    # slices in one reducer each; two tiny distinct-table rank windows +
+    # two broadcast join-backs + corr agg + presentation sort. 9 printed
+    # exchanges include the cached base subtree's reprints across its
+    # three consumers.
+    "spearman_corr": 9,
     # r10 judge QA: ONE slice groupBy + 5-row presentation sort
     "position_bias_probe": 2,
     # r10 arena matrix: the BT canonical-pair groupBy + 28-row sort
