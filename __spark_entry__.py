@@ -5372,6 +5372,9 @@ _PRIORITY = [
     "simhash_pairs", "chat_tree_paths", "near_dup_decontaminate",
     "k_core", "bfs_hops", "ppr_related", "elo_ratings", "fleiss_kappa",
     "template_mine",
+    # r11 continuation (session 2): skew rewrites + the kmeans cache
+    "neyman_sample", "spearman_corr", "interleave_by_weight",
+    "kmeans_clusters", "bigram_logprob",
     # (2) r10-optimized, never driver-hashed on the optimized plan
     "hits_scores", "bleu_eval", "minhash_lsh_dedup", "phash_near_dup",
     "pagerank_users", "lpa_communities", "curriculum_order",

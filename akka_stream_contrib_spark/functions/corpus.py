@@ -2001,13 +2001,18 @@ def interleave_by_weight(weights: "dict[str, float]",
     ``seed`` reshuffles AND re-phases. Every slot is a pure function of
     (seed, source, id) — replayable anywhere, including the oracle.
 
-    Scale shape: ONE exchange — the source-partitioned position window
-    (parallel across sources; at 100 TB the per-source sort is the
-    standard distributed sort). The slot arithmetic is map-side. The
-    output is NOT globally sorted: a training reader range-partitions /
-    sorts by slot at write time (TeraSort shape), or streams shards of
-    the slot space independently; emitting positions instead of forcing
-    a global order keeps the operator one-shuffle.
+    Scale shape (r11, guide §2 skew): a plain source-partitioned position
+    window puts each source's ENTIRE slice in one reducer task — sources
+    are few, so at 100 TB that is a multi-TB single-task sort. Positions
+    therefore come from the `global_order` range discipline applied per
+    source: ONE range exchange on (source, order-key) — parallel bounded
+    sorts, each source split across many contiguous ranges — plus a
+    K·|sources|-row driver summary whose exclusive prefixes turn local
+    row_numbers into exact per-source positions. The slot arithmetic is
+    map-side. The output is NOT globally sorted: a training reader
+    range-partitions / sorts by slot at write time (TeraSort shape), or
+    streams shards of the slot space independently; emitting positions
+    instead of forcing a global order keeps the operator one-shuffle.
 
     Emits the input columns plus (src_pos, slot); slot rounded to 6.
     """
@@ -2029,12 +2034,48 @@ def interleave_by_weight(weights: "dict[str, float]",
         phase = (token_id(F.concat(F.lit(seed + ":phase:"),
                                    F.col(source_col))) % 1_000_000
                  / F.lit(1_000_000.0))
-        win = (Window.partitionBy(source_col)
+        # per-source global positions WITHOUT a one-reducer-per-source
+        # sort: range-partition on (source, order-key) — each source
+        # spans many contiguous ranges — then local row_number within
+        # (range, source) plus the source's exclusive prefix from a
+        # K·|sources|-row driver summary (the global_order discipline;
+        # (_ord, id) is a total order so ties cannot straddle a range)
+        from akka_stream_contrib_spark.operators.global_order import _ranged
+        from akka_stream_contrib_spark.util import drop_stale_caches
+        drop_stale_caches()
+        staged = df.withColumn("_ord", F.md5(
+            F.concat(F.lit(seed + ":ord:"), sid)))
+        ranged = _ranged(staged, [source_col, "_ord", id_col])
+        summ = (ranged.groupBy("_pid", F.col(source_col).alias("_src"))
+                .agg(F.count(F.lit(1)).alias("_c")).collect())
+        per: dict = {}
+        run: dict = {}
+        for r in sorted(summ, key=lambda r: r["_pid"]):
+            p, s, c = r["_pid"], r["_src"], r["_c"]
+            per.setdefault(p, {})[s] = run.get(s, 0)
+            run[s] = run.get(s, 0) + c
+        branches = []
+        for p in sorted(per):
+            nn = {s: o for s, o in per[p].items() if s is not None}
+            inner = None
+            if nn:
+                m = F.create_map(*[F.lit(x) for s, o in nn.items()
+                                   for x in (s, o)])
+                inner = m[F.col(source_col)]
+            if None in per[p]:
+                nb = F.lit(per[p][None])
+                inner = (F.when(F.col(source_col).isNull(), nb)
+                         .otherwise(inner) if inner is not None
+                         else F.when(F.col(source_col).isNull(), nb))
+            branches.append(F.when(F.col("_pid") == p, inner))
+        offs = (F.coalesce(*branches, F.lit(0)).cast("bigint")
+                if branches else F.lit(0).cast("bigint"))
+        win = (Window.partitionBy("_pid", source_col)
                .orderBy(F.col("_ord"), F.col(id_col)))
-        return (df.withColumn("_ord", F.md5(
-                    F.concat(F.lit(seed + ":ord:"), sid)))
+        return (ranged
                 .withColumn("src_pos",
-                            F.row_number().over(win).cast("bigint"))
+                            F.row_number().over(win).cast("bigint") + offs)
+                .drop("_pid")
                 # slot is TRUNCATED to 6 dp, not rounded: (pos - phase)
                 # has exactly 6 decimal digits, so /w lands on exact
                 # .xxxxxx5 halves where Spark's BigDecimal HALF_UP and a

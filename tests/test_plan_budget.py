@@ -131,9 +131,10 @@ BUDGET = {
     # r10 T5 denoising: block spans + both renderings are ONE transform
     # over sequence() per row — pure scan-side array codegen
     "span_corrupt": 0,
-    # r10 stride-schedule mixing: ONE source-partitioned position window;
-    # slot arithmetic map-side, no global sort
-    "interleave_by_weight": 1,
+    # r11 stride-schedule mixing: ONE (source, order-key) range exchange
+    # (each source split across many ranges — no one-reducer-per-source
+    # sort) + the K-row driver summary aggregate; slot arithmetic map-side
+    "interleave_by_weight": 2,
     # r10 template mining: ONE md5-skeleton groupBy whose countDistinct
     # spread expands to a second phase (the url_domain_stats accounting)
     "template_mine": 2,
