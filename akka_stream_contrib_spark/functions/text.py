@@ -850,8 +850,17 @@ def generation_loops(id_col: str = "doc_id", text_col: str = "text",
     """
 
     def _apply(df: DataFrame) -> DataFrame:
-        toks = F.split(F.col(text_col), " ")
-        n = F.size(toks)
+        # stage the token array and its size as PROJECTED columns: the
+        # period chain and the repeat folds reference them dozens of
+        # times, and inside the aggregate() lambdas CSE cannot share a
+        # recomputed split() (the span_corrupt/shingles discipline) — an
+        # attribute read costs nothing
+        staged = (df.filter(F.col(text_col).isNotNull())
+                  .select(F.col(id_col).alias("doc_id"),
+                          F.split(F.col(text_col), " ").alias("_t"))
+                  .withColumn("_n", F.size("_t")))
+        toks = F.col("_t")
+        n = F.col("_n")
 
         def block(p: int, k: int) -> Column:
             # k-th tail block of length p (k = 1 is the last p tokens)
@@ -892,11 +901,10 @@ def generation_loops(id_col: str = "doc_id", text_col: str = "text",
         for p in range(max_period, 0, -1):
             reps = F.when(period == p, repeats_for(p)).otherwise(reps)
 
-        return (df.filter(F.col(text_col).isNotNull())
-                .select(F.col(id_col).alias("doc_id"),
-                        n.cast("bigint").alias("n_tokens"),
-                        period.alias("loop_period"),
-                        reps.alias("n_repeats")))
+        return staged.select("doc_id",
+                             n.cast("bigint").alias("n_tokens"),
+                             period.alias("loop_period"),
+                             reps.alias("n_repeats"))
 
     return _apply
 
