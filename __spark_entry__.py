@@ -5396,10 +5396,10 @@ _PRIORITY = [
     "pack_training_rows", "preference_pairs", "fim_transform",
     "rejection_sample", "epoch_shuffle", "context_fit_report",
     "filter_funnel", "span_corrupt",
-    "interleave_by_weight", "bitext_filter",
+    "bitext_filter",
     "shard_manifest", "prefix_cache_report", "pass_at_k",
     "lsh_design_report", "epoch_shuffle_grouped", "distinct_ngrams",
-    "spearman_corr", "position_bias_probe", "win_rate_matrix",
+    "position_bias_probe", "win_rate_matrix",
 ]
 
 
