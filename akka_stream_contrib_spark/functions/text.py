@@ -584,7 +584,14 @@ def jaro_winkler_col(a, b):
 
     _jw_impl.__annotations__ = {
         "x": pandas.Series, "y": pandas.Series, "return": pandas.Series}
-    _jw = pandas_udf("double")(_jw_impl)
+    # asNondeterministic: the function IS pure (same inputs -> same
+    # similarity), but leaving it "deterministic" lets Catalyst push a
+    # filter on the result back through the projection and re-extract the
+    # UDF into BOTH operators — two ArrowEvalPython passes over the
+    # candidate stream (observed in fuzzy_vocab_jw's plan). The flag pins
+    # the UDF where it was projected so every candidate pair crosses the
+    # Python boundary exactly once; values are unchanged.
+    _jw = pandas_udf("double")(_jw_impl).asNondeterministic()
     return _jw(a, b)
 
 
