@@ -132,7 +132,19 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     joins on vertex keys (wedge build + closing-edge probe), no crossJoin,
     all counting map-side-combined.
     """
-    und, _deg, wedges = _wedge_frames(edges, src, dst)
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    und, deg, wedges = _wedge_frames(edges, src, dst)
+    # like local_clustering: the physical plan reads `und` SEVEN times
+    # (deg build, 2 degree-join sides of each of the 2 oriented
+    # evaluations inside the wedge self-join, the closing probe) and
+    # `deg` four — with exchange reuse NOT firing across the aliased
+    # branches (0 ReusedExchange in the executed plan). Cache both so the
+    # edge canonicalization (scan + distinct shuffle) and the degree
+    # shuffle run once; the CacheManager substitutes the cached subtrees
+    # inside the already-built `wedges` plan by canonical equality.
+    und = pipeline_cache(und)
+    deg = pipeline_cache(deg)
     # wedge endpoints are value-ordered (w1 < w2) and `und` is canonical
     # (a < b), so the closing-edge probe is a single EQUI semi-join — a
     # disjunctive form here would force a nested-loop join and blow up on

@@ -301,10 +301,11 @@ BUDGET = {
     "readability_scores": 0,
     # per-partition reservoirs merge driver-side: map-side only
     "reservoir_sample": 0,
-    # STATIC count — the edge subtree (`und`) appears 4× in the declarative
-    # plan; at runtime AQE's stage cache collapses identical subtrees to 8
-    # unique shuffle stages + 6 ReusedExchange (verified sf0.01)
-    "triangle_count": 19,
+    # r11: und/deg pipeline-cached like local_clustering (the aliased
+    # degree-join branches defeated exchange reuse — 0 ReusedExchange in
+    # the executed plan); canonicalization + degree shuffle run once,
+    # wedge self-join + closing probe read the caches (19 -> 6)
+    "triangle_count": 6,
     # corpus→vocab word-freq agg + vocab-sized pair agg
     "bpe_pair_counts": 2,
     # iterative: per-round jobs run at build time; result is a local table
