@@ -1965,18 +1965,22 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data prep pipeline — the operators composed the way
     a real corpus pass runs them: exact-dedup to canonical docs (hash
     groupBy), per-doc quality stats, language tag, then the quality gate.
-    One scan feeds three shuffle-light branches re-joined on doc_id
-    (AQE broadcasts the small post-aggregation sides)."""
-    from akka_stream_contrib_spark.functions import lang_id, text_stats
+    Stats and language are per-row projections of the same scan, so they
+    are computed INLINE in one wide projection (r11 — the shared
+    `text_stat_cols` / `lang_score_cols` expression builders the
+    text_stats / lang_id transforms themselves use); the old
+    transform-then-rejoin form paid two corpus-to-corpus doc_id shuffle
+    joins and two extra scans for identical values. One shuffle remains:
+    the canonical-doc hash groupBy + semi join."""
+    from akka_stream_contrib_spark.functions.text import (
+        lang_argmax, lang_score_cols, text_stat_cols)
     docs = tables.load(spark, "documents", sf_dir)
-    stats = docs.transform(text_stats())
-    lang = docs.transform(lang_id()).select("doc_id", "predicted_lang")
     canon = (docs.groupBy(F.md5("text").alias("_h"))
              .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    scored = docs.select("doc_id", *text_stat_cols(), *lang_score_cols())
     return (
-        docs.join(canon, "doc_id", "left_semi")
-        .join(stats, "doc_id")
-        .join(lang, "doc_id")
+        scored.withColumn("predicted_lang", lang_argmax())
+        .join(canon, "doc_id", "left_semi")
         .filter((F.col("n_tokens") >= 20) & (F.col("stopword_ratio") <= 0.2))
         .select("doc_id", "predicted_lang", "n_tokens", "stopword_ratio")
     )
@@ -4098,15 +4102,16 @@ def q_psi_probe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical PSI). Probe cost is sketch-cardinality at any stream
     volume."""
     from akka_stream_contrib_spark.functions.sketches import (
-        histogram_build, psi_probe)
+        histogram_build_split, psi_probe)
     ev = tables.load(spark, "events", sf_dir)
-    ref = histogram_build(
-        ev.filter(F.col("event_id") % 2 == 0),
-        key="event_type", value="value", lo=0.0, hi=1000.0, n_bins=10)
-    live = histogram_build(
-        ev.filter(F.col("event_id") % 2 == 1)
-        .withColumn("value", F.col("value") * F.lit(1.1)),
-        key="event_type", value="value", lo=0.0, hi=1000.0, n_bins=10)
+    # one tagged conditional-count scan builds BOTH sketches (the %2
+    # parity predicate prunes no row groups, so two histogram_build
+    # calls each read the whole table) — histogram_build_split docstring
+    # has the value-identity argument
+    live, ref = histogram_build_split(
+        ev, F.col("event_id") % 2 == 1, key="event_type",
+        ref_value=F.col("value"), live_value=F.col("value") * F.lit(1.1),
+        lo=0.0, hi=1000.0, n_bins=10)
     return psi_probe(live, ref)
 
 

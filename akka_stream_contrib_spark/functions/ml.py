@@ -792,25 +792,37 @@ def target_encoding(cat_col: str, label_col: str, id_col: str,
     from akka_stream_contrib_spark.functions.text import token_id
 
     def _apply(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from akka_stream_contrib_spark.util import pipeline_cache
+
         y = F.col(label_col).cast("decimal(18,4)")
         fold = F.pmod(token_id(F.col(id_col).cast("string")),
                       F.lit(n_folds)).cast("int")
         base = df.withColumn("_fold", fold)
-        per_cat = (base.groupBy(F.col(cat_col).alias("_c"))
-                   .agg(F.sum(y).alias("_s"), F.count(F.lit(1)).alias("_n")))
-        per_cat_fold = (base.groupBy(F.col(cat_col).alias("_c"),
-                                     F.col("_fold").alias("_f"))
-                        .agg(F.sum(y).alias("_sf"),
-                             F.count(F.lit(1)).alias("_nf")))
-        prior = df.agg(
-            (F.sum(y).cast("double") / F.count(F.lit(1))).alias("_prior"))
-        # null-safe joins throughout: NULL is a legitimate category (and a
-        # NULL id yields a NULL fold) — plain equality would silently drop
-        # those rows from the returned frame
-        enc = (per_cat.join(per_cat_fold,
-                            per_cat["_c"].eqNullSafe(per_cat_fold["_c"]))
-               .select(per_cat["_c"].alias("_c"), F.col("_f"),
-                       F.col("_s"), F.col("_n"), F.col("_sf"), F.col("_nf"))
+        # ONE corpus aggregation: the (cat, fold) cells partition the rows,
+        # so the per-category totals are their fold-sums (decimal sums are
+        # exact — associativity holds bit-for-bit) and the global prior is
+        # the grand total; the old separate per_cat groupBy and prior
+        # aggregate each re-scanned the corpus (r11 scan census: 4 scans
+        # of events, now 2 — this cells pass + the final row join).
+        # Cached: bounded by |categories| x n_folds, never corpus size.
+        per_cat_fold = pipeline_cache(
+            base.groupBy(F.col(cat_col).alias("_c"),
+                         F.col("_fold").alias("_f"))
+            .agg(F.sum(y).alias("_sf"),
+                 F.count(F.lit(1)).alias("_nf")))
+        prior = per_cat_fold.agg(
+            (F.sum("_sf").cast("double") / F.sum("_nf")).alias("_prior"))
+        # per-category totals as a window over the tiny cell frame — the
+        # NULL partition groups exactly like the old eqNullSafe join key
+        # (NULL is a legitimate category; a NULL id yields a NULL fold)
+        wc = Window.partitionBy("_c")
+        enc = (per_cat_fold
+               .select("_c", "_f",
+                       F.sum("_sf").over(wc).alias("_s"),
+                       F.sum("_nf").over(wc).alias("_n"),
+                       "_sf", "_nf")
                .crossJoin(F.broadcast(prior)))
         m = F.lit(float(smoothing))
         te = ((F.col("_s") - F.col("_sf")).cast("double")
@@ -1129,9 +1141,18 @@ def cohen_kappa(rater_a, rater_b):
     def _apply(df: DataFrame) -> DataFrame:
         a = rater_a if isinstance(rater_a, Column) else F.col(rater_a)
         b = rater_b if isinstance(rater_b, Column) else F.col(rater_b)
-        cells = (df.select(a.alias("_a"), b.alias("_b"))
-                 .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
-                 .groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_n")))
+        from akka_stream_contrib_spark.util import pipeline_cache
+
+        # the cell frame feeds THREE corpus-collapsing consumers (row
+        # marginals, column marginals, observed-agreement sums) whose
+        # aliased re-aggregations defeat exchange reuse — uncached, each
+        # re-ran the full corpus scan + cell aggregation (r11 scan
+        # census: 3 scans). Cache it: bounded by the class-pair
+        # cardinality, never corpus size.
+        cells = pipeline_cache(
+            df.select(a.alias("_a"), b.alias("_b"))
+            .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+            .groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_n")))
         rowm = cells.groupBy(F.col("_a").alias("_c")).agg(
             F.sum("_n").alias("_ra"))
         colm = cells.groupBy(F.col("_b").alias("_c")).agg(

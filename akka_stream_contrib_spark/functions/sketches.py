@@ -301,6 +301,47 @@ def histogram_build(df: DataFrame, key: str, value: str = "value",
             .groupBy("key", "bin").agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def histogram_build_split(df: DataFrame, is_live, key: str,
+                          ref_value, live_value,
+                          lo: float = 0.0, hi: float = 1000.0,
+                          n_bins: int = 64) -> tuple[DataFrame, DataFrame]:
+    """Both sides of a live-vs-reference histogram pair from ONE scan of a
+    single source, for the case the two slices are a row-level split of
+    the same table (`is_live` must be non-NULL on every row) — the
+    sketch-level twin of ``ml.psi_drift_split``. Two separate
+    ``histogram_build`` calls over complementary filters each read every
+    row of the source (a residue/id-parity predicate prunes no row
+    groups), doubling the corpus scan+decode for zero extra information.
+
+    One conditional-count aggregate yields both (key, bin, cnt) tables;
+    the ≤ keys x n_bins tagged table is pipeline-cached so the two slices
+    and all four of ``psi_probe``'s reads share the single scan.
+    Value-identical to the two-build form by construction: each side's
+    rows are binned on ITS value expression, the NULL/NaN guard applies
+    to the side-selected value (scaling preserves NULL/NaN-ness either
+    way), and the cnt>0 slice filters reproduce exactly
+    ``histogram_build``'s only-bins-with-counts row set."""
+    from akka_stream_contrib_spark.util import pipeline_cache
+
+    w = (hi - lo) / n_bins
+    v = F.when(is_live, live_value).otherwise(ref_value).cast("double")
+    bin_ = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
+                   F.lit(n_bins - 1)).cast("int")
+    live_i = is_live.cast("int")
+    tagged = (df.filter(v.isNotNull() & ~F.isnan(v))
+              .select(F.col(key).alias("key"), bin_.alias("bin"),
+                      live_i.alias("_l"))
+              .groupBy("key", "bin")
+              .agg(F.sum("_l").alias("_cl"),
+                   F.sum(F.lit(1) - F.col("_l")).alias("_cr")))
+    tagged = pipeline_cache(tagged)
+    live = (tagged.filter(F.col("_cl") > 0)
+            .select("key", "bin", F.col("_cl").alias("cnt")))
+    ref = (tagged.filter(F.col("_cr") > 0)
+           .select("key", "bin", F.col("_cr").alias("cnt")))
+    return live, ref
+
+
 def histogram_probe(counts: DataFrame, qs: Sequence[float] = (0.5, 0.9, 0.99),
                     lo: float = 0.0, hi: float = 1000.0, n_bins: int = 64
                     ) -> DataFrame:

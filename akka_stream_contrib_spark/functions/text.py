@@ -49,53 +49,69 @@ def token_id(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def text_stat_cols(text_col: str = "text",
+                   stopwords: Sequence[str] = ("the", "a")) -> list[Column]:
+    """The `text_stats` output expressions as standalone aliased Columns —
+    for composing into a WIDER single projection (e.g. the training_prep
+    pipeline computes stats + language inline from one scan instead of
+    re-scanning per transform and joining corpus-sized frames on doc_id)."""
+    sw = ", ".join(f"'{s}'" for s in stopwords)
+    toks = tokens(text_col)
+    return [
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.expr(f"aggregate(transform(split({text_col}, ' '), x -> length(x)), 0L, (a, x) -> a + x)")
+            / F.size(toks), 4).alias("avg_token_len"),
+        F.round(
+            F.size(F.expr(f"filter(split({text_col}, ' '), x -> x IN ({sw}))"))
+            / F.size(toks), 6).alias("stopword_ratio"),
+    ]
+
+
 def text_stats(id_col: str = "doc_id", text_col: str = "text",
                stopwords: Sequence[str] = ("the", "a")) -> Callable[[DataFrame], DataFrame]:
     """Per-document quality stats: token count, distinct tokens, average token
     length, stopword ratio."""
-    sw = ", ".join(f"'{s}'" for s in stopwords)
 
     def _apply(df: DataFrame) -> DataFrame:
-        toks = tokens(text_col)
-        return df.select(
-            F.col(id_col),
-            F.size(toks).alias("n_tokens"),
-            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-            F.round(
-                F.expr(f"aggregate(transform(split({text_col}, ' '), x -> length(x)), 0L, (a, x) -> a + x)")
-                / F.size(toks), 4).alias("avg_token_len"),
-            F.round(
-                F.size(F.expr(f"filter(split({text_col}, ' '), x -> x IN ({sw}))"))
-                / F.size(toks), 6).alias("stopword_ratio"),
-        )
+        return df.select(F.col(id_col), *text_stat_cols(text_col, stopwords))
 
     return _apply
+
+
+def lang_score_cols(text_col: str = "text") -> list[Column]:
+    """The three `lang_id` marker-score expressions as standalone aliased
+    Columns (score_en / score_de / score_es) — the single-projection
+    composition companion of `text_stat_cols`."""
+    def _score(lang: str) -> Column:
+        ws = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return F.size(F.expr(f"filter(split({text_col}, ' '), x -> x IN ({ws}))"))
+
+    return [_score("en").alias("score_en"), _score("de").alias("score_de"),
+            _score("es").alias("score_es")]
+
+
+def lang_argmax() -> Column:
+    """`lang_id`'s argmax over already-projected score_en/score_de/score_es
+    attributes (deterministic tie-break order en > de > es)."""
+    # NULL text has no tokens to score: label NULL, not a language.
+    # All-NULL scores would skip every when() and confidently fall
+    # through to the 'es' branch.
+    return (
+        F.when(F.col("score_en").isNull(), F.lit(None).cast("string"))
+        .when((F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")), "en")
+        .when(F.col("score_de") >= F.col("score_es"), "de")
+        .otherwise("es"))
 
 
 def lang_id(id_col: str = "doc_id", text_col: str = "text") -> Callable[[DataFrame], DataFrame]:
     """Marker-word language heuristic: count hits from each language's marker
     list; argmax with deterministic tie-break order en > de > es."""
 
-    def _score(lang: str) -> Column:
-        ws = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
-        return F.size(F.expr(f"filter(split({text_col}, ' '), x -> x IN ({ws}))"))
-
     def _apply(df: DataFrame) -> DataFrame:
-        s_en, s_de, s_es = _score("en"), _score("de"), _score("es")
-        out = df.select(
-            F.col(id_col),
-            s_en.alias("score_en"), s_de.alias("score_de"), s_es.alias("score_es"),
-        )
-        return out.withColumn(
-            "predicted_lang",
-            # NULL text has no tokens to score: label NULL, not a language.
-            # All-NULL scores would skip every when() and confidently fall
-            # through to the 'es' branch.
-            F.when(F.col("score_en").isNull(), F.lit(None).cast("string"))
-            .when((F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")), "en")
-            .when(F.col("score_de") >= F.col("score_es"), "de")
-            .otherwise("es"),
-        )
+        out = df.select(F.col(id_col), *lang_score_cols(text_col))
+        return out.withColumn("predicted_lang", lang_argmax())
 
     return _apply
 

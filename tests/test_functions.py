@@ -794,3 +794,34 @@ def test_hll_overlap_estimates_track_exact(spark):
     # lgk=12 on a few hundred items is near-exact
     assert abs(got[("a", "b")] - 50) < 3
     assert abs(got[("a", "c")]) < 3 and abs(got[("b", "c")]) < 3
+
+
+def test_histogram_build_split_matches_two_builds(spark):
+    # the single-scan tagged form must reproduce two independent
+    # histogram_build calls exactly: same (key, bin) row sets per side
+    # (only bins with counts), same counts, side-specific value
+    # expressions, NULL/NaN rows excluded on the side-selected value
+    from pyspark.sql import functions as F
+
+    from akka_stream_contrib_spark.functions import histogram_build
+    from akka_stream_contrib_spark.functions.sketches import (
+        histogram_build_split)
+    rows = [(i, "k%d" % (i % 2), float(v)) for i, v in
+            enumerate([3.0, 47.0, 11.0, 999.0, -5.0, 62.0, 5.0, 88.0])]
+    rows += [(100, "k0", None), (101, "k1", float("nan"))]
+    df = spark.createDataFrame(rows, "id long, key string, value double")
+    is_live = F.col("id") % 2 == 1
+    live, ref = histogram_build_split(
+        df, is_live, key="key", ref_value=F.col("value"),
+        live_value=F.col("value") * F.lit(1.1), lo=0.0, hi=100.0, n_bins=10)
+    want_ref = histogram_build(
+        df.filter(F.col("id") % 2 == 0), key="key", value="value",
+        lo=0.0, hi=100.0, n_bins=10)
+    want_live = histogram_build(
+        df.filter(F.col("id") % 2 == 1)
+        .withColumn("value", F.col("value") * F.lit(1.1)),
+        key="key", value="value", lo=0.0, hi=100.0, n_bins=10)
+    as_set = lambda d: {(r.key, r.bin, r.cnt) for r in d.collect()}  # noqa: E731
+    assert as_set(ref) == as_set(want_ref)
+    assert as_set(live) == as_set(want_live)
+    assert as_set(ref) and as_set(live)      # fixture hits both sides

@@ -535,11 +535,16 @@ BUDGET = {
     # two corpus-side histogram builds; the other five exchanges (totals,
     # key gate, bucket union, per-key psi window) shuffle sketch-
     # cardinality rows (<= keys x n_bins) only
-    "psi_probe_drift": 7,
+    # r11: both sketches from ONE tagged conditional-count scan
+    # (histogram_build_split) — the parity predicate prunes nothing, so
+    # the old two-build form paid two full corpus scans (7 -> 6)
+    "psi_probe_drift": 6,
     # confusion-cell collapse + the two class-marginal aggs, their tiny
     # join/product agg, and the 1-row observed agg (all post-collapse
-    # frames are class-cardinality-bounded)
-    "cohen_kappa": 7,
+    # frames are class-cardinality-bounded); r11: the cell frame is
+    # pipeline-cached, so the corpus cell-collapse exchange prints once
+    # instead of per consumer (7 -> 5)
+    "cohen_kappa": 5,
     # ONE conditional-count groupBy on the user key; the bound is
     # map-side arithmetic and the cut TakeOrdered
     "wilson_rank": 1,
