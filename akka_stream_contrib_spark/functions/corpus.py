@@ -190,18 +190,32 @@ def domain_cap(n_per_domain: int, domain_col: str = "source",
     deterministic pseudo-random sample per domain, unchanged across reruns
     and engines. Adds a 1-based ``dom_rank`` to the survivors.
 
-    Scale shape: ONE hash shuffle on the domain key; the per-domain window
-    orders only that domain's rows. A mega-domain is the usual skew case —
-    if one domain outweighs an executor, pre-filter with a cheap
-    approx_count threshold or salt the heavy key before the exact cap.
+    Scale shape (r11): SALTED two-phase rank, the `neyman_allocation`
+    device (guide §2 skew) — the domain key is low-cardinality (20
+    sources in the fixtures), so a plain Window.partitionBy(domain) sorts
+    the WHOLE corpus in ≤|domains| reducer tasks. A kept row's rank
+    within any SUBSET containing it lower-bounds its global rank, so
+    phase 1 ranks within (domain, 32-way salt) — parallel bounded sorts —
+    and keeps local rank ≤ n_per_domain: every globally-kept row
+    survives. Phase 2 re-ranks the ≤ 32·n_per_domain survivors per
+    domain; for a row with global rank r ≤ n_per_domain all r−1 better
+    rows also survived, so survivor rank == global rank, and a row with
+    global rank > n_per_domain keeps survivor rank > n_per_domain — the
+    filter selects the IDENTICAL rows with IDENTICAL dom_rank.
     """
 
     def _apply(df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
         from akka_stream_contrib_spark.functions.text import token_id
         pri = token_id(F.col(id_col).cast("string"))
-        w = Window.partitionBy(domain_col).orderBy(pri, id_col)
-        return (df.withColumn("dom_rank", F.row_number().over(w))
+        n_salt = 32
+        w_local = Window.partitionBy(
+            domain_col, F.pmod(F.hash(F.col(id_col)), F.lit(n_salt))
+        ).orderBy(pri, F.col(id_col))
+        pre = (df.withColumn("_lrk", F.row_number().over(w_local))
+               .filter(F.col("_lrk") <= n_per_domain).drop("_lrk"))
+        w = Window.partitionBy(domain_col).orderBy(pri, F.col(id_col))
+        return (pre.withColumn("dom_rank", F.row_number().over(w))
                 .filter(F.col("dom_rank") <= n_per_domain))
 
     return _apply
@@ -643,15 +657,71 @@ def quantile_normalize(key: str, value: str = "value",
     """Per-group quantile (rank) normalization — map every value to its
     percent rank within its group, the outlier-robust feature transform
     (rank-gauss without the gaussianization step). ``seq`` breaks ties for
-    a total order so the output is engine-deterministic. One hash shuffle
-    on the group key; the window sorts only within groups."""
+    a total order so the output is engine-deterministic.
+
+    Scale shape (r11, requires ``seq``): the group key is typically
+    low-cardinality (event types), so a plain Window.partitionBy(key)
+    sorts the WHOLE corpus in ≤|keys| reducer tasks — the hot-key
+    straggler shape at 100 TB. With ``seq`` the order (key, value, seq)
+    is TOTAL, so ties cannot straddle a range boundary: range-partition
+    on it (each group spans many contiguous ranges — the
+    `interleave_by_weight` / global_order device), rank locally within
+    (range, key), and add the group's exclusive prefix from a
+    K·|keys|-row driver summary whose per-key grand totals also supply
+    percent_rank's n−1 denominator. percent_rank over a total order IS
+    (row_number−1)/(n−1) — the identical double division (0.0 for a
+    1-row group, Spark's convention). Without ``seq`` ties make range
+    boundaries unsafe and the single-window form is kept."""
 
     def _apply(df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
-        order = [F.col(value)] + ([F.col(seq)] if seq else [])
-        w = Window.partitionBy(key).orderBy(*order)
-        return df.withColumn(
-            "pct", (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)))
+        if seq is None:
+            w = Window.partitionBy(key).orderBy(F.col(value))
+            return df.withColumn(
+                "pct", (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)))
+
+        from akka_stream_contrib_spark.operators.global_order import _ranged
+        ranged = _ranged(df, [key, value, seq])
+        summ = (ranged.groupBy("_pid", F.col(key).alias("_k"))
+                .agg(F.count(F.lit(1)).alias("_c")).collect())
+        per: dict = {}
+        run: dict = {}
+        for r in sorted(summ, key=lambda r: r["_pid"]):
+            p, k, c = r["_pid"], r["_k"], r["_c"]
+            per.setdefault(p, {})[k] = run.get(k, 0)
+            run[k] = run.get(k, 0) + c
+        branches = []
+        for p in sorted(per):
+            nn = {k: o for k, o in per[p].items() if k is not None}
+            inner = None
+            if nn:
+                m = F.create_map(*[F.lit(x) for k, o in nn.items()
+                                   for x in (k, o)])
+                inner = m[F.col(key)]
+            if None in per[p]:
+                nb = F.lit(per[p][None])
+                inner = (F.when(F.col(key).isNull(), nb).otherwise(inner)
+                         if inner is not None
+                         else F.when(F.col(key).isNull(), nb))
+            branches.append(F.when(F.col("_pid") == p, inner))
+        offs = (F.coalesce(*branches, F.lit(0)).cast("bigint")
+                if branches else F.lit(0).cast("bigint"))
+        nn_tot = {k: n for k, n in run.items() if k is not None}
+        n_tot = (F.create_map(*[F.lit(x) for k, n in nn_tot.items()
+                                for x in (k, n)])[F.col(key)]
+                 if nn_tot else F.lit(None).cast("bigint"))
+        if None in run:
+            n_tot = (F.when(F.col(key).isNull(), F.lit(run[None]))
+                     .otherwise(n_tot))
+        w_local = Window.partitionBy("_pid", key).orderBy(
+            F.col(value), F.col(seq))
+        rank = (F.row_number().over(w_local).cast("bigint") + offs)
+        pct = F.when(
+            n_tot > 1,
+            F.round((rank - F.lit(1)).cast("double")
+                    / (n_tot - F.lit(1)).cast("double"), 6) + F.lit(0.0)
+        ).otherwise(F.lit(0.0))
+        return ranged.withColumn("pct", pct).drop("_pid")
 
     return _apply
 

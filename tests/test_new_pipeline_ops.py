@@ -1562,3 +1562,33 @@ def test_win_rate_matrix_wilson_and_orientation_fold(spark):
            - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
           / (1 + z * z / n))
     assert abs(r.wilson_lb_lo - round(lb, 6)) < 1e-6
+
+
+def test_quantile_normalize_range_partitioned_no_key_sort(spark):
+    # r11 skew rewrite (with seq): per-key ranks ride a range exchange on
+    # (key, value, seq) — each key split across many ranges — plus the
+    # local (range, key) window and driver-summary prefixes; a hash
+    # exchange on the group key alone (one reducer sorting a key's whole
+    # slice) must NOT appear. Without seq the single-window form remains.
+    from akka_stream_contrib_spark.functions.corpus import quantile_normalize
+    from akka_stream_contrib_spark.plans import count_exchanges
+    df = spark.createDataFrame([(1, "a", 2.0)], "event_id long, k string, value double")
+    out = df.transform(quantile_normalize("k", "value", seq="event_id"))
+    assert count_exchanges(out) <= 2
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in plan
+    assert "hashpartitioning(k#" not in plan
+
+
+def test_domain_cap_salted_no_whole_domain_sort(spark):
+    # r11 skew rewrite: the first (corpus-sized) rank pass partitions on
+    # (domain, 32-way salt) — parallel bounded sorts; the only window
+    # partitioned by the domain alone rides the <= 32*cap survivors.
+    from akka_stream_contrib_spark.functions import domain_cap
+    from akka_stream_contrib_spark.plans import count_exchanges
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    out = df.transform(domain_cap(5, domain_col="source"))
+    assert count_exchanges(out) <= 2
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    # the salted partitioning lists (source, pmod(hash(doc_id), 32))
+    assert "pmod(hash(doc_id" in plan

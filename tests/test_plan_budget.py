@@ -247,8 +247,10 @@ BUDGET = {
     "ann_ivf_all": 3,
     # one content-hash exchange; rank + count share a single window pass
     "dedup_keep_best": 1,
-    # one domain exchange
-    "domain_cap": 1,
+    # r11 salted two-phase cap (the neyman device): (domain, salt)
+    # bounded-sort exchange + the survivor re-rank exchange (<=
+    # 32*n_per_domain rows/domain) — was ONE whole-corpus-per-domain sort
+    "domain_cap": 2,
     # distinct (doc,seg) + seg DF agg + kept reassembly + totals + join
     # (boilerplate set broadcasts)
     "remove_boilerplate": 5,
@@ -349,8 +351,10 @@ BUDGET = {
     "skew_report": 3,
     # hash-mod fold: pure map-side
     "kfold_split": 0,
-    # one group-key window exchange
-    "quantile_normalize": 1,
+    # r11 range-partitioned per-key ranks (the interleave_by_weight /
+    # global_order device): range exchange + the (range, key) local
+    # window exchange — was ONE whole-corpus-per-key sort
+    "quantile_normalize": 2,
     # training iterations run at plan-build; scoring plan is map-side
     "logreg_quality": 0,
     # one co-partitioned full outer join (both sides hash on the key)
