@@ -1592,3 +1592,22 @@ def test_domain_cap_salted_no_whole_domain_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString().lower()
     # the salted partitioning lists (source, pmod(hash(doc_id), 32))
     assert "pmod(hash(doc_id" in plan
+
+
+def test_autocorrelation_range_partitioned_no_key_sort(spark):
+    # r11 skew rewrite: the lag window runs within (range, key) over the
+    # ghost-row union — a hash exchange on the key alone (one reducer
+    # sorting a key's whole series) must NOT appear; values are pinned by
+    # the test_round6 ACF value checks and the sf0.1 oracle (multi-range).
+    from akka_stream_contrib_spark.operators.timeseries import autocorrelation
+    from akka_stream_contrib_spark.plans import count_exchanges
+    df = spark.createDataFrame([(1, "a", 1.0)],
+                               "event_id long, event_type string, value double")
+    out = df.transform(autocorrelation(key="event_type", lags=(1, 2)))
+    assert count_exchanges(out) <= 4
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in plan
+    # a hash exchange on the BARE key = the hot-key sort shape; the
+    # (event_type, lag) moment-agg exchange is the benign map-combined one
+    import re
+    assert not re.search(r"hashpartitioning\(event_type#\d+, \d+\)", plan)

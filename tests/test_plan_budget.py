@@ -463,9 +463,10 @@ BUDGET = {
     "auc_roc": 4,
     # both flank frames share the one key-window shuffle
     "mean_shift": 1,
-    # ONE key shuffle: the (key, lag) agg's clustered distribution is
-    # satisfied by the lag window's key hash partitioning (subset rule)
-    "acf_lags": 1,
+    # r11 ghost-row range lag (no whole-corpus-per-key sort): range
+    # exchange + the (range, key) tail window + the (range, key) lag
+    # window over the ghost union + the (key, lag) moment agg
+    "acf_lags": 4,
     # vocab_topk reduction; rank is the benign post-limit window over
     # <= top_k rows (was a two-phase global rank: 2 -> 1)
     "zipf_fit": 1,
