@@ -5380,10 +5380,12 @@ _PRIORITY = [
     # r11 continuation (session 2): skew rewrites + the kmeans cache
     "neyman_sample", "spearman_corr", "interleave_by_weight",
     "kmeans_clusters", "bigram_logprob",
-    # r11 continuation (session 3): scan-census single-pass rewrites
+    # r11 continuation (session 3): scan-census single-pass rewrites +
+    # the hazard-census hot-key sort fixes
     "psi_probe_drift", "target_encoding", "cohen_kappa",
     "merge_by_index", "training_prep", "triangle_count",
     "fuzzy_vocab_jw", "blocking_report",
+    "quantile_normalize", "domain_cap", "acf_lags",
     # (2) r10-optimized, never driver-hashed on the optimized plan
     "hits_scores", "bleu_eval", "minhash_lsh_dedup", "phash_near_dup",
     "pagerank_users", "lpa_communities", "curriculum_order",

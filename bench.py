@@ -302,29 +302,32 @@ STABLE_SET = [
 assert set(STABLE_SET) <= set(HEADLINE), "stable set must be benched"
 
 # previous round's sf0.1 cold timings for STABLE_SET — from the round-11
-# run of record (/tmp/bench_r11_final2.log; this host's DuckDB sequential
-# PLATEAU is ~82.5 s across three idle-host runs where the r10 record
-# host measured 53.1 s — absolute seconds across hosts are NOT comparable,
-# same-run ratios are; this run's stable-25 subset 22.0 s beat the
-# r10-quiet 25.05 s in RAW seconds despite the 1.55x slower denominator).
-# Update BOTH fields only from a run whose same-run DuckDB time sits at
-# the host's idle plateau with no single-query stalls.
+# END-OF-ROUND run of record on the FINAL r11 tree (session-3 close-out;
+# same-run DuckDB 78.0 s vs this host's ~78–82.5 s idle plateau, no
+# single-query stalls, per-query geomean 1.09x vs the session-1 interim
+# record = window-quiet). The stable-30 total 27.13 s carries ~1.5 s of
+# DELIBERATE skew-insurance cost the session-2/3 rewrites added at sf0.1
+# (range/salted two-phase ranks in interleave/neyman/spearman/
+# quantile_normalize/domain_cap/acf_lags — bounded per-reducer sorts at
+# 100 TB; the ledger has each keep argument). Update BOTH fields only
+# from a run whose same-run DuckDB time sits at the host's idle plateau
+# with no single-query stalls.
 STABLE_PREV_ROUND = 11
 STABLE_PREV = {
-    "q1_pricing_summary": 1.297, "q2_min_cost_supplier": 0.498,
-    "q3_shipping_priority": 0.725, "q5_local_supplier_volume": 0.556,
-    "q6_forecast_revenue": 0.181, "q9_product_profit": 0.864,
-    "q11_important_stock": 0.888, "q18_large_orders": 0.727,
-    "dedup_exact": 0.126, "minhash_lsh_dedup": 1.561,
-    "ngram_jaccard_dedup": 2.049, "duplicate_spans": 1.262,
-    "novelty_score": 1.235, "dsir_select": 1.878, "phash_near_dup": 0.74,
-    "ann_cosine_topk": 0.231, "ann_ivf_all": 0.814, "pq_ann": 0.756,
-    "quantized_ann": 0.21, "knn_join": 0.255, "theil_sen": 1.337,
-    "hard_negatives": 0.421, "bigram_logprob": 1.224,
-    "audio_segments": 1.259, "vwap_resample": 0.903,
-    "pack_training_rows": 0.882, "chat_tree_paths": 0.435,
-    "near_dup_decontaminate": 1.765, "win_rate_matrix": 0.284,
-    "fim_transform": 0.297,
+    "q1_pricing_summary": 1.232, "q2_min_cost_supplier": 0.405,
+    "q3_shipping_priority": 0.688, "q5_local_supplier_volume": 0.369,
+    "q6_forecast_revenue": 0.176, "q9_product_profit": 0.754,
+    "q11_important_stock": 1.064, "q18_large_orders": 0.87,
+    "dedup_exact": 0.143, "minhash_lsh_dedup": 1.73,
+    "ngram_jaccard_dedup": 2.016, "duplicate_spans": 1.649,
+    "novelty_score": 1.224, "dsir_select": 2.092,
+    "phash_near_dup": 0.785, "ann_cosine_topk": 0.209,
+    "ann_ivf_all": 0.837, "pq_ann": 0.725, "quantized_ann": 0.304,
+    "knn_join": 0.391, "theil_sen": 1.399, "hard_negatives": 0.44,
+    "bigram_logprob": 1.71, "audio_segments": 1.085,
+    "vwap_resample": 0.95, "pack_training_rows": 0.903,
+    "chat_tree_paths": 0.459, "near_dup_decontaminate": 1.802,
+    "win_rate_matrix": 0.307, "fim_transform": 0.41,
 }
 
 
